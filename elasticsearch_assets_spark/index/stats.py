@@ -1,0 +1,45 @@
+"""Index-level metadata + BM25 collection statistics.
+
+Layout of an index directory (all Parquet unless noted):
+
+    <index_dir>/segments/chunk=<c>/   one row per (seg_id, term) posting list
+    <index_dir>/stats/                (term, df, cf) global term stats
+    <index_dir>/manifest/             per-chunk checkpoint + lineage rows
+    <index_dir>/meta.json             collection constants (this module)
+
+The stats table is the Spark-native replacement for what Lucene keeps in
+segment headers; global df across segments is what makes BM25 scores
+rank-identical no matter how many segments/partitions the build used
+(SURVEY.md §7.3(1)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class IndexMeta:
+    n_docs: int
+    total_tokens: int
+    avgdl: float
+    num_segments: int
+    num_chunks: int
+    tokenizer_version: int
+    codec_version: int
+    k1: float = K1
+    b: float = B
+
+    def save(self, index_dir: str) -> None:
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump(asdict(self), f, indent=2)
+
+
+def load_meta(index_dir: str) -> IndexMeta:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return IndexMeta(**json.load(f))

@@ -1,0 +1,155 @@
+"""Distributed BM25 top-k query engine over the doc-bucketed segment index.
+
+Query plan (all DataFrame ops; the only Python is the vectorized numpy
+scorer inside applyInPandas):
+
+  segments.where(term IN q)              -- parquet row-group skip on term
+    groupBy(seg_id).applyInPandas(score) -- segment-local decode+intersect+topk
+    orderBy(score DESC, doc_id ASC).limit(k)   -- TakeOrderedAndProject merge
+
+Per-segment work is O(postings of query terms in that segment); the global
+merge sees ≤ num_segments × k rows. No shuffle touches raw postings. This is
+the from-scratch replacement for the search the reference delegates at
+/root/reference/asset/elasticsearch_reader/reader.js:11-13, with the
+reference's `size` cap becoming top-k `k` (SURVEY.md §2.3 F1-F4).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_assets_spark.analysis.tokenizer import tokenize
+from elasticsearch_assets_spark.index.codec import decode_postings
+from elasticsearch_assets_spark.index.stats import IndexMeta, load_meta
+from elasticsearch_assets_spark.query.bm25 import idf
+
+TOPK_SCHEMA = "doc_id long, score double"
+
+
+def _score_segment(
+    pdf: pd.DataFrame,
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    mode: str,
+    k: int | None,
+) -> pd.DataFrame:
+    """Score one segment's posting lists for the query. `terms` is sorted."""
+    lists = {}
+    for _, row in pdf.iterrows():
+        lists[row["term"]] = decode_postings(
+            row["doc_gaps"], row["tfs_enc"], row["doclens_enc"]
+        )
+    present = [t for t in terms if t in lists]
+    if mode == "and":
+        if len(present) != len(terms):
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+        # progressive sorted intersection, smallest list first
+        by_size = sorted(present, key=lambda t: lists[t][0].size)
+        cand = reduce(
+            lambda a, t: a[np.isin(a, lists[t][0], assume_unique=True)],
+            by_size[1:],
+            lists[by_size[0]][0],
+        )
+        if cand.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+        score = np.zeros(cand.size, dtype=np.float64)
+        for t in terms:  # sorted — canonical accumulation order
+            doc_ids, tfs, dls = lists[t]
+            pos = np.searchsorted(doc_ids, cand)
+            tf = tfs[pos].astype(np.float64)
+            dl = dls[pos].astype(np.float64)
+            score += idfs[t] * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        docs = cand
+    else:  # disjunctive
+        if not present:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+        docs = np.unique(np.concatenate([lists[t][0] for t in present]))
+        score = np.zeros(docs.size, dtype=np.float64)
+        for t in terms:  # sorted — canonical accumulation order
+            if t not in lists:
+                continue
+            doc_ids, tfs, dls = lists[t]
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            contrib = idfs[t] * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            pos = np.searchsorted(docs, doc_ids)
+            np.add.at(score, pos, contrib)
+    order = np.lexsort((docs, -score))
+    if k is not None:
+        order = order[:k]
+    return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
+
+
+class InvertedIndex:
+    """Handle to a built index directory (segments + stats + meta)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta: IndexMeta = load_meta(index_dir)
+
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+
+    @property
+    def stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "stats"))
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term — tiny collect (≤ |terms| rows)."""
+        rows = self.stats.where(F.col("term").isin(terms)).collect()
+        return {r["term"]: r["df"] for r in rows}
+
+    def count_term(self, term: str) -> int:
+        """F4 count-without-fetch: answered from the stats table, no scan."""
+        return self.term_stats([term]).get(term, 0)
+
+    def search(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        mode: str = "and",
+    ) -> DataFrame:
+        """Top-k BM25. `query` is a raw text (tokenized with the index
+        analyzer) or a pre-tokenized term list. Returns (doc_id, score),
+        globally ordered (score DESC, doc_id ASC), ≤ k rows."""
+        terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        dfs = self.term_stats(terms)
+        if mode == "and" and len(dfs) != len(terms):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        meta = self.meta
+        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_segment(pdf, terms, idfs, avgdl, k1, b, mode, k)
+
+        per_seg = (
+            self.segments.where(F.col("term").isin(terms))
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
+        )
+        return per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def materialize(self, topk: DataFrame, corpus: DataFrame, on: str = "doc_id") -> DataFrame:
+        """J3: join the k winners back to their documents (broadcast the ids)."""
+        return corpus.join(F.broadcast(topk), on=on, how="inner").orderBy(
+            F.col("score").desc(), F.col(on).asc()
+        )

@@ -1,0 +1,70 @@
+"""Tokenizer + extractor contracts (SURVEY.md §2.6 C8, BASELINE byte-identity)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_assets_spark.analysis import (
+    extract_text,
+    extract_text_series,
+    tokenize,
+    tokenize_series,
+)
+from elasticsearch_assets_spark.datagen.pages import pages_pandas
+
+
+def test_tokenize_basic():
+    assert tokenize("Hello, World! x2") == ["hello", "world", "x2"]
+    assert tokenize("") == []
+    assert tokenize(None) == []
+    assert tokenize("foo_bar") == ["foo", "bar"]  # underscore splits
+    assert tokenize("Füße größer") == ["füße", "größer"]  # unicode letters kept
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=40), max_size=20))
+def test_tokenize_series_matches_scalar(texts):
+    s = pd.Series(texts, dtype=object)
+    vec = tokenize_series(s).tolist()
+    assert vec == [tokenize(t) for t in texts]
+
+
+def test_extract_roundtrip_fixture():
+    pdf = pages_pandas(200)
+    for html, text in zip(pdf["html"], pdf["text"]):
+        assert extract_text(html) == text  # byte-identical contract
+    vec = extract_text_series(pdf["html"])
+    assert (vec == pdf["text"]).all()
+
+
+def test_extract_entities_and_multi_p():
+    html = b"<html><body><p>a &amp; b</p><x>skip</x><p>c &lt;d&gt;</p></body></html>"
+    assert extract_text(html) == "a & b\n\nc <d>"
+
+
+def test_pages_deterministic_and_invariants():
+    a = pages_pandas(50)
+    b = pages_pandas(50)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["url"].is_unique
+    assert a["doc_id"].tolist() == list(range(50))
+    # truth file style check: sha256(text) stable
+    h = hashlib.sha256("".join(a["text"]).encode()).hexdigest()
+    assert len(h) == 64
+    # zipf head skew: 'the' should appear in many docs
+    head_docs = a["text"].str.contains(r"\bthe\b").mean()
+    assert head_docs > 0.5
+
+
+def test_pages_subset_ids_match_full():
+    """Row content is a pure function of doc_id — partition-invariant."""
+    import numpy as np
+
+    full = pages_pandas(100)
+    sub = pages_pandas(100, ids=np.array([3, 17, 99]))
+    for col in full.columns:
+        assert sub[col].tolist() == full.iloc[[3, 17, 99]][col].tolist()

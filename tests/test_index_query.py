@@ -1,0 +1,100 @@
+"""End-to-end: build index on the pages fixture, query, assert rank parity
+vs the naive BM25 oracle (SURVEY.md §5(2)) and partition-count invariance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from elasticsearch_assets_spark.datagen.pages import pages_df, pages_pandas
+from elasticsearch_assets_spark.index.build import build_index
+from elasticsearch_assets_spark.query.bm25 import bm25_oracle
+from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+N_DOCS = 800
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return pages_pandas(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory, corpus_pdf):
+    d = str(tmp_path_factory.mktemp("idx"))
+    corpus = pages_df(spark, N_DOCS, partitions=6)
+    meta = build_index(spark, corpus, d, num_segments=8, num_chunks=2)
+    assert meta.n_docs == N_DOCS
+    return InvertedIndex(spark, d)
+
+
+QUERIES = [
+    (["spark"], "and"),
+    (["spark", "join"], "and"),
+    (["query", "index", "scan"], "and"),
+    (["spark", "join"], "or"),
+    (["term0005", "crawl", "the"], "or"),
+    (["nosuchterm"], "and"),
+    (["nosuchterm", "spark"], "and"),
+    (["nosuchterm", "spark"], "or"),
+]
+
+
+@pytest.mark.parametrize("terms,mode", QUERIES)
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_rank_parity_vs_oracle(index, corpus_pdf, terms, mode, k):
+    docs = dict(zip(corpus_pdf["doc_id"], corpus_pdf["text"]))
+    expected = bm25_oracle(docs, terms, k=k, mode=mode)
+    got = [(r["doc_id"], r["score"]) for r in index.search(terms, k=k, mode=mode).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, gs), (_, es) in zip(got, expected):
+        assert math.isclose(gs, es, rel_tol=1e-12, abs_tol=1e-12), (gs, es)
+
+
+def test_meta_stats(index, corpus_pdf):
+    from elasticsearch_assets_spark.analysis.tokenizer import tokenize
+
+    total = sum(len(tokenize(t)) for t in corpus_pdf["text"])
+    assert index.meta.total_tokens == total
+    assert index.meta.avgdl == total / N_DOCS
+
+
+def test_count_term_fast_path(index, corpus_pdf):
+    from elasticsearch_assets_spark.analysis.tokenizer import tokenize
+
+    truth = sum(1 for t in corpus_pdf["text"] if "spark" in tokenize(t))
+    assert index.count_term("spark") == truth
+    assert index.count_term("nosuchterm") == 0
+
+
+def test_partition_invariance(spark, tmp_path, corpus_pdf):
+    """Same corpus, different segment/partition/chunk counts → identical top-k
+    docIDs AND scores (SURVEY.md §7.3(1))."""
+    results = []
+    for segs, parts, chunks in [(1, 1, 1), (8, 6, 2), (16, 4, 4)]:
+        d = str(tmp_path / f"idx_{segs}_{parts}_{chunks}")
+        corpus = pages_df(spark, N_DOCS, partitions=parts)
+        build_index(spark, corpus, d, num_segments=segs, num_chunks=chunks)
+        idx = InvertedIndex(spark, d)
+        res = [
+            (r["doc_id"], r["score"])
+            for r in idx.search(["spark", "join"], k=20, mode="or").collect()
+        ]
+        results.append(res)
+    assert results[0] == results[1] == results[2]
+
+
+def test_search_raw_query_string(index, corpus_pdf):
+    docs = dict(zip(corpus_pdf["doc_id"], corpus_pdf["text"]))
+    expected = bm25_oracle(docs, ["spark", "join"], k=5, mode="and")
+    got = [(r["doc_id"], r["score"]) for r in index.search("Spark JOIN", k=5).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+
+
+def test_materialize(index, spark, corpus_pdf):
+    corpus = spark.createDataFrame(corpus_pdf[["doc_id", "url", "text"]])
+    top = index.search(["spark", "join"], k=5)
+    rows = index.materialize(top, corpus).collect()
+    assert len(rows) == 5
+    assert all("spark" in r["text"] and "join" in r["text"] for r in rows)
