@@ -122,12 +122,13 @@ class InvertedIndex:
     def search(
         self,
         query: str | list[str],
-        k: int = 10,
+        k: int | None = 10,
         mode: str = "and",
     ) -> DataFrame:
         """Top-k BM25. `query` is a raw text (tokenized with the index
         analyzer) or a pre-tokenized term list. Returns (doc_id, score),
-        globally ordered (score DESC, doc_id ASC), ≤ k rows."""
+        globally ordered (score DESC, doc_id ASC), ≤ k rows (all matches
+        when k is None)."""
         terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -146,7 +147,8 @@ class InvertedIndex:
             .groupBy("seg_id")
             .applyInPandas(score_fn, TOPK_SCHEMA)
         )
-        return per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+        ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered.limit(k) if k is not None else ordered
 
     def materialize(self, topk: DataFrame, corpus: DataFrame, on: str = "doc_id") -> DataFrame:
         """J3: join the k winners back to their documents (broadcast the ids)."""

@@ -1,0 +1,64 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count, column
+names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                row.append(f"{v:.4f}" if not math.isnan(v) else "nan")
+            elif isinstance(v, pd.Timestamp):
+                row.append(v.isoformat())
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    assert sql is not None, f"{name} has no oracle"
+    got = q(spark, SF_DIR).toPandas()
+    exp = duck.sql(sql).df()
+    assert sorted(got.columns) == sorted(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"rowcount {len(got)} != {len(exp)}"
+    assert _normalize(got) == _normalize(exp)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert rows[0]["score"] >= rows[-1]["score"]
