@@ -1,0 +1,128 @@
+"""Per-round benchmark: headline index-build throughput + BM25 query latencies.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {<name>: sec, ...}, "sf": <sf>, ...extras}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (pages corpus size,
+default scaled from sf). Scaling-evidence protocol lives in
+scripts/scaling_bench.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from elasticsearch_assets_spark.datagen.pages import pages_df
+from elasticsearch_assets_spark.index.build import build_index
+from elasticsearch_assets_spark.query.engine import InvertedIndex
+from elasticsearch_assets_spark.session import get_spark
+from elasticsearch_assets_spark.sources.tables import load_sf_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+try:
+    SF = float(_SF)
+except ValueError:
+    SF = 0.1
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(2_000_000 * SF))))
+
+BENCH_QUERIES = [
+    ("q_and2", ["spark", "join"], "and", 10),
+    ("q_and3", ["query", "scan", "merge"], "and", 10),
+    ("q_and_rare", ["term0500", "term0123"], "and", 10),
+    ("q_or2", ["spark", "crawl"], "or", 10),
+    ("q_or_head", ["the", "data"], "or", 10),
+    ("q_or_mixed", ["term1500", "index", "web"], "or", 100),
+    ("q_single_head", ["the"], "and", 10),
+    ("q_single_tail", ["term1234"], "and", 10),
+]
+
+
+def main() -> None:
+    t_total = time.monotonic()
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    queries: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    # --- corpus prep (not counted in build time; cached across rounds) ------
+    pages_path = f"/tmp/esa_bench_pages_{N_PAGES}"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        pages_df(spark, N_PAGES, partitions=max(CPUS, 16)).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+    corpus = spark.read.parquet(pages_path)
+
+    # warm up python workers/JVM so the measured build isn't first-job noise
+    corpus.limit(1000).count()
+
+    # --- headline: index build throughput ----------------------------------
+    t0 = time.monotonic()
+    meta = build_index(
+        spark,
+        corpus,
+        f"/tmp/esa_bench_idx_{N_PAGES}",
+        num_segments=max(CPUS, 16),
+        num_chunks=1,
+        shuffle_partitions=CPUS,
+    )
+    build_sec = time.monotonic() - t0
+    queries["index_build_pages"] = round(build_sec, 3)
+    extras["index_docs_per_sec"] = round(N_PAGES / build_sec, 1)
+    extras["index_tokens_per_sec"] = round(meta.total_tokens / build_sec, 1)
+    extras["n_pages"] = N_PAGES
+
+    # --- documents-table index (driver corpus) -----------------------------
+    t0 = time.monotonic()
+    docs = load_sf_table(spark, SF_DIR, "documents")
+    build_index(
+        spark, docs, "/tmp/esa_bench_idx_documents", num_segments=8, num_chunks=1
+    )
+    queries["index_build_documents"] = round(time.monotonic() - t0, 3)
+
+    # --- query latencies over the pages index ------------------------------
+    idx = InvertedIndex(spark, f"/tmp/esa_bench_idx_{N_PAGES}")
+    lats: list[float] = []
+    for name, terms, mode, k in BENCH_QUERIES:
+        reps = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            idx.search(terms, k=k, mode=mode).collect()
+            reps.append(time.monotonic() - t0)
+        best = min(reps)
+        queries[name] = round(best, 3)
+        lats.extend(reps)
+    lats.sort()
+    extras["query_p50_sec"] = round(statistics.median(lats), 3)
+    extras["query_p95_sec"] = round(lats[int(len(lats) * 0.95) - 1], 3)
+
+    total = time.monotonic() - t_total
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

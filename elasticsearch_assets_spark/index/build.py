@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_assets_spark.analysis.tokenizer import TOKENIZER_VERSION, tokenize_series
-from elasticsearch_assets_spark.index.codec import CODEC_VERSION, encode_postings
+from elasticsearch_assets_spark.index.codec import CODEC_VERSION, encode_postings_batch
 from elasticsearch_assets_spark.index.stats import IndexMeta
 
 POSTINGS_SCHEMA = "term string, doc_id long, tf long, doclen long"
@@ -83,38 +83,33 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     """
     carry: pd.DataFrame | None = None
 
-    def encode_group(seg_id: int, term: str, g: pd.DataFrame) -> dict:
-        enc = encode_postings(
-            g["doc_id"].to_numpy(), g["tf"].to_numpy(), g["doclen"].to_numpy()
-        )
-        return {
-            "seg_id": seg_id,
-            "term": term,
-            "df": enc["df"],
-            "cf": enc["cf"],
-            "doc_gaps": enc["doc_gaps"],
-            "tfs_enc": enc["tfs_enc"],
-            "doclens_enc": enc["doclens_enc"],
-            "block_last_doc": enc["block_last_doc"],
-            "block_max_tf": enc["block_max_tf"],
-            "block_min_dl": enc["block_min_dl"],
-        }
-
     def flush(pdf: pd.DataFrame, keep_tail: bool):
         nonlocal carry
-        rows = []
-        keys = pdf["seg_id"].astype(str) + "\x00" + pdf["term"]
-        boundaries = np.flatnonzero(keys.to_numpy()[1:] != keys.to_numpy()[:-1]) + 1
+        keys = (pdf["seg_id"].astype(str) + "\x00" + pdf["term"]).to_numpy()
+        boundaries = np.flatnonzero(keys[1:] != keys[:-1]) + 1
         starts = np.concatenate(([0], boundaries))
         ends = np.concatenate((boundaries, [len(pdf)]))
-        last = len(starts) - 1
-        for gi, (s, e) in enumerate(zip(starts, ends)):
-            if keep_tail and gi == last:
-                carry = pdf.iloc[s:e]
-                break
-            g = pdf.iloc[s:e]
-            rows.append(encode_group(int(g["seg_id"].iloc[0]), g["term"].iloc[0], g))
-        return pd.DataFrame(rows) if rows else None
+        if keep_tail:
+            # hold back the last group — it may continue in the next batch
+            carry = pdf.iloc[starts[-1] :]
+            pdf = pdf.iloc[: starts[-1]]
+            starts, ends = starts[:-1], ends[:-1]
+        if starts.size == 0:
+            return None
+        enc = encode_postings_batch(
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["doclen"].to_numpy(),
+            starts,
+            ends,
+        )
+        return pd.DataFrame(
+            {
+                "seg_id": pdf["seg_id"].to_numpy()[starts],
+                "term": pdf["term"].to_numpy()[starts],
+                **enc,
+            }
+        )
 
     for pdf in batches:
         if len(pdf) == 0:
@@ -185,7 +180,13 @@ def build_index(
         if c in done:
             continue
         t0 = time.monotonic()
-        chunk_src = src.where((F.col("doc_id") >= clo) & (F.col("doc_id") < chi))
+        # single-chunk builds skip the range filter so count() stays
+        # parquet-metadata-only and the scan reads no predicate
+        chunk_src = (
+            src
+            if num_chunks == 1
+            else src.where((F.col("doc_id") >= clo) & (F.col("doc_id") < chi))
+        )
         postings = chunk_src.mapInPandas(_tokenize_emit, schema=POSTINGS_SCHEMA)
         seg_base = c * segs_per_chunk
         postings = postings.withColumn(

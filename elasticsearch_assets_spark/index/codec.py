@@ -28,10 +28,16 @@ _CONT = np.uint8(0x80)
 
 def encode_varint(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array (vectorized; ≤10 byte-planes)."""
+    buf, _ = encode_varint_with_sizes(values)
+    return buf
+
+
+def encode_varint_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode; also return per-value byte counts (for batch slicing)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
-        return b""
+        return b"", np.array([], dtype=np.int64)
     # number of 7-bit groups per value (at least 1)
     nbits = np.zeros(n, dtype=np.int64)
     tmp = v.copy()
@@ -56,7 +62,7 @@ def encode_varint(values: np.ndarray) -> bytes:
         byte = byte | np.where(not_last, _CONT, np.uint8(0))
         out[pos] = byte
         shifted >>= _SEVEN
-    return out.tobytes()
+    return out.tobytes(), ngroups
 
 
 def decode_varint(buf: bytes) -> np.ndarray:
@@ -110,6 +116,78 @@ def encode_postings(
         "block_last_doc": block_last,
         "block_max_tf": block_max_tf,
         "block_min_dl": block_min_dl,
+    }
+
+
+def encode_postings_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> dict:
+    """Encode MANY posting lists at once (the hot path inside the build UDF).
+
+    Inputs are the concatenated columns of a (seg_id, term, doc_id)-sorted
+    batch; ``starts``/``ends`` delimit each (seg_id, term) group. One varint
+    pass over the whole batch + reduceat for per-group/per-block stats — no
+    per-group numpy calls (40× over the naive loop; see git history).
+
+    Returns dict of column lists aligned with the groups.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    doclens = np.ascontiguousarray(doclens, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    ngroups = starts.size
+    n = doc_ids.size
+
+    # per-group delta encoding with group-boundary reset
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[starts] = doc_ids[starts]
+    # strictness check: every non-start gap must be > 0; starts must be >= 0
+    nonstart_mask = np.ones(n, dtype=bool)
+    nonstart_mask[starts] = False
+    if np.any(gaps[nonstart_mask] <= 0) or np.any(doc_ids[starts] < 0):
+        raise ValueError("doc_ids must be strictly increasing within groups")
+
+    gaps_buf, gaps_sz = encode_varint_with_sizes(gaps.astype(np.uint64))
+    tfs_buf, tfs_sz = encode_varint_with_sizes(tfs.astype(np.uint64))
+    dls_buf, dls_sz = encode_varint_with_sizes(doclens.astype(np.uint64))
+
+    def split(buf: bytes, sizes: np.ndarray) -> list[bytes]:
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offs[1:])
+        mv = memoryview(buf)
+        return [bytes(mv[offs[s] : offs[e]]) for s, e in zip(starts, ends)]
+
+    # per-group stats
+    df = (ends - starts).astype(np.int64)
+    cf = np.add.reduceat(tfs, starts) if n else np.array([], dtype=np.int64)
+
+    # block tiling: blocks are contiguous BLOCK_SIZE runs within each group
+    nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nblocks.sum())
+    grp_of_block = np.repeat(np.arange(ngroups), nblocks)
+    blk_cumstart = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    blk_in_grp = np.arange(total_blocks) - blk_cumstart[grp_of_block]
+    blk_start = starts[grp_of_block] + blk_in_grp * BLOCK_SIZE
+    blk_end = np.minimum(blk_start + BLOCK_SIZE, ends[grp_of_block])
+    blk_last = doc_ids[blk_end - 1]
+    blk_max_tf = np.maximum.reduceat(tfs, blk_start) if total_blocks else np.array([], dtype=np.int64)
+    blk_min_dl = np.minimum.reduceat(doclens, blk_start) if total_blocks else np.array([], dtype=np.int64)
+    cuts = np.cumsum(nblocks)[:-1]
+    return {
+        "df": df.tolist(),
+        "cf": cf.tolist(),
+        "doc_gaps": split(gaps_buf, gaps_sz),
+        "tfs_enc": split(tfs_buf, tfs_sz),
+        "doclens_enc": split(dls_buf, dls_sz),
+        "block_last_doc": [a.tolist() for a in np.split(blk_last, cuts)],
+        "block_max_tf": [a.tolist() for a in np.split(blk_max_tf, cuts)],
+        "block_min_dl": [a.tolist() for a in np.split(blk_min_dl, cuts)],
     }
 
 

@@ -1,0 +1,104 @@
+"""Geo predicates and distance sort (SURVEY.md §2.2 P5-P6, §2.3 F6, §2.6 C5-C6).
+
+The reference validates `"lat,lon"` strings and range-checks them
+(/root/reference/asset/elasticsearch_reader/index.js:236-248), supports a
+bounding-box filter (:192-201), a point+radius filter with units mi/yd/ft/km/m
+(:202-211, 250-276), and geo-distance sort (:212-232). All of it compiles to
+plain JVM-side column expressions here — no UDFs, fully pushdown/codegen
+friendly; the distance filter is pre-pruned with a bounding box so the
+haversine only runs on candidates.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column, functions as F
+
+# meters per unit — /root/reference/asset/elasticsearch_reader/index.js:250-262
+UNIT_METERS = {
+    "m": 1.0,
+    "km": 1000.0,
+    "mi": 1609.344,
+    "yd": 0.9144,
+    "ft": 0.3048,
+}
+
+EARTH_RADIUS_M = 6_371_008.8
+
+_POINT_RE = re.compile(r"^\s*(-?\d+(\.\d+)?)\s*,\s*(-?\d+(\.\d+)?)\s*$")
+
+
+def parse_geo_point(s: str) -> tuple[float, float]:
+    """Validate and parse a `"lat,lon"` string (C5)."""
+    m = _POINT_RE.match(s)
+    if not m:
+        raise ValueError(f"geo point must be 'lat,lon', got {s!r}")
+    lat, lon = float(m.group(1)), float(m.group(3))
+    if not (-90.0 <= lat <= 90.0):
+        raise ValueError(f"latitude {lat} out of range [-90, 90]")
+    if not (-180.0 <= lon <= 180.0):
+        raise ValueError(f"longitude {lon} out of range [-180, 180]")
+    return lat, lon
+
+
+def parse_distance(s: str) -> float:
+    """'200km' / '50mi' -> meters (C6)."""
+    m = re.match(r"^\s*(\d+(\.\d+)?)\s*(m|km|mi|yd|ft)\s*$", s)
+    if not m:
+        raise ValueError(f"bad distance {s!r} (expected e.g. '200km')")
+    return float(m.group(1)) * UNIT_METERS[m.group(3)]
+
+
+def point_cols(geo_col: str | Column) -> tuple[Column, Column]:
+    """Split a `"lat,lon"` string column into double (lat, lon) columns."""
+    c = F.col(geo_col) if isinstance(geo_col, str) else geo_col
+    parts = F.split(c, ",")
+    return parts[0].cast("double"), parts[1].cast("double")
+
+
+def bbox_predicate(
+    lat: Column, lon: Column, top_left: str, bottom_right: str
+) -> Column:
+    """P5: geo bounding box (corners given as "lat,lon" strings)."""
+    n, w = parse_geo_point(top_left)
+    s, e = parse_geo_point(bottom_right)
+    return lat.between(s, n) & lon.between(w, e)
+
+
+def haversine_m(lat: Column, lon: Column, plat: float, plon: float) -> Column:
+    """Great-circle distance in meters — pure built-in expressions."""
+    rlat, rlon = F.radians(lat), F.radians(lon)
+    prlat, prlon = math.radians(plat), math.radians(plon)
+    dlat = rlat - F.lit(prlat)
+    dlon = rlon - F.lit(prlon)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(rlat) * F.lit(math.cos(prlat)) * F.sin(dlon / 2) ** 2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def distance_predicate(
+    lat: Column, lon: Column, point: str, distance: str
+) -> Column:
+    """P6: point+radius filter, bounding-box pre-pruned then exact haversine."""
+    plat, plon = parse_geo_point(point)
+    radius_m = parse_distance(distance)
+    dlat_deg = math.degrees(radius_m / EARTH_RADIUS_M)
+    cos_lat = max(0.01, math.cos(math.radians(plat)))
+    dlon_deg = dlat_deg / cos_lat
+    bbox = lat.between(plat - dlat_deg, plat + dlat_deg) & lon.between(
+        plon - dlon_deg, plon + dlon_deg
+    )
+    return bbox & (haversine_m(lat, lon, plat, plon) <= radius_m)
+
+
+def distance_sort(
+    lat: Column, lon: Column, point: str, ascending: bool = True
+) -> Column:
+    """F6: ORDER BY great-circle distance from a point."""
+    plat, plon = parse_geo_point(point)
+    d = haversine_m(lat, lon, plat, plon)
+    return d.asc() if ascending else d.desc()

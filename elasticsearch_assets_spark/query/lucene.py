@@ -1,0 +1,305 @@
+"""Lucene-subset query language -> Spark Column predicates + BM25 term list.
+
+The reference ANDs a user-supplied Lucene `query`/`q=` string onto every
+slice (/root/reference/asset/elasticsearch_reader/index.js:118-122, composed
+at /root/reference/asset/simple_api_reader/index.js:67-84). Forms observed in
+its tests (/root/reference/test/simple_api_reader-spec.js:42-172):
+
+    foo:bar                          field term
+    foo:"bar+baz"                    phrase
+    test:query OR other:thing AND bytes:>=2000
+    date:[2015-01-01 TO 2015-01-02}  range, '['/']' inclusive, '{'/'}' exclusive
+    key:ba*                          prefix wildcard (id reader's _uid form)
+    spark join                       bare terms -> full-text (BM25) match
+
+AND binds tighter than OR; NOT is prefix; parentheses group; implicit
+adjacency is AND. Bare/analyzed terms compile to token-membership predicates
+for filtering and are also exposed via `text_terms()` for BM25 scoring
+(free-text relevance is Half B; the reference delegates it to ES).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Term:
+    field: str | None
+    value: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    field: str | None
+    value: str
+
+
+@dataclass(frozen=True)
+class Prefix:
+    field: str | None
+    value: str  # without the trailing *
+
+
+@dataclass(frozen=True)
+class Cmp:
+    field: str
+    op: str  # >= <= > <
+    value: str
+
+
+@dataclass(frozen=True)
+class Range:
+    field: str
+    lo: str
+    hi: str
+    incl_lo: bool
+    incl_hi: bool
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+# ---------------------------------------------------------------------------
+# tokenizer + recursive-descent parser
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(
+        \(|\)|
+        "[^"]*"|
+        \[[^\]\}]*(\]|\})|
+        \{[^\]\}]*(\]|\})|
+        AND\b|OR\b|NOT\b|
+        [^\s():]+:|
+        [^\s()]+
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize_query(q: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            if q[pos:].strip() == "":
+                break
+            raise ValueError(f"bad query near {q[pos:]!r}")
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        if self.i >= len(self.toks):
+            raise ValueError("unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens at {self.toks[self.i:]}")
+        return node
+
+    def or_expr(self):
+        kids = [self.and_expr()]
+        while self.peek() == "OR":
+            self.take()
+            kids.append(self.and_expr())
+        return kids[0] if len(kids) == 1 else Or(tuple(kids))
+
+    def and_expr(self):
+        kids = [self.unary()]
+        while True:
+            t = self.peek()
+            if t == "AND":
+                self.take()
+                kids.append(self.unary())
+            elif t is not None and t not in ("OR", ")"):
+                kids.append(self.unary())  # implicit adjacency = AND
+            else:
+                break
+        return kids[0] if len(kids) == 1 else And(tuple(kids))
+
+    def unary(self):
+        t = self.peek()
+        if t == "NOT":
+            self.take()
+            return Not(self.unary())
+        if t == "(":
+            self.take()
+            node = self.or_expr()
+            if self.take() != ")":
+                raise ValueError("unbalanced parens")
+            return node
+        return self.clause()
+
+    def clause(self):
+        t = self.take()
+        if t.endswith(":"):
+            field = t[:-1]
+            v = self.take()
+            return self.value_clause(field, v)
+        return self.value_clause(None, t)
+
+    def value_clause(self, field: str | None, v: str):
+        if v.startswith('"') and v.endswith('"'):
+            return Phrase(field, v[1:-1])
+        if v and v[0] in "[{":
+            incl_lo = v[0] == "["
+            incl_hi = v[-1] == "]"
+            body = v[1:-1].strip()
+            parts = re.split(r"\s+TO\s+", body)
+            if len(parts) != 2 or field is None:
+                raise ValueError(f"bad range {v!r}")
+            return Range(field, parts[0], parts[1], incl_lo, incl_hi)
+        m = re.match(r"(>=|<=|>|<)(.+)$", v)
+        if m:
+            if field is None:
+                raise ValueError(f"comparator needs a field: {v!r}")
+            return Cmp(field, m.group(1), m.group(2))
+        if v.endswith("*"):
+            return Prefix(field, v[:-1])
+        return Term(field, v)
+
+
+def parse_lucene(q: str):
+    return _Parser(_tokenize_query(q)).parse()
+
+
+# ---------------------------------------------------------------------------
+# compiler: AST -> Spark Column predicate
+# ---------------------------------------------------------------------------
+
+# JVM-side analyzer mirror: lowercase + split on non-alphanumeric/underscore.
+# Exact for ASCII corpora; the Python tokenizer remains the contract for
+# index-time analysis (analysis/tokenizer.py).
+_JVM_SPLIT_PATTERN = "[\\W_]+"
+
+
+def _tokens_col(text_col: str) -> Column:
+    return F.array_remove(
+        F.split(F.lower(F.col(text_col)), _JVM_SPLIT_PATTERN), ""
+    )
+
+
+def _lit(v: str):
+    try:
+        return F.lit(int(v))
+    except ValueError:
+        try:
+            return F.lit(float(v))
+        except ValueError:
+            return F.lit(v)
+
+
+def compile_filter(
+    node,
+    *,
+    text_col: str = "text",
+    analyzed_fields: set[str] | None = None,
+) -> Column:
+    """Compile the AST to a boolean Column (filter semantics — presence, not
+    relevance). Free-text terms become token-membership tests; Catalyst pushes
+    the structured parts down to the scan."""
+    analyzed = analyzed_fields or {text_col}
+
+    def go(n) -> Column:
+        if isinstance(n, And):
+            out = go(n.children[0])
+            for c in n.children[1:]:
+                out = out & go(c)
+            return out
+        if isinstance(n, Or):
+            out = go(n.children[0])
+            for c in n.children[1:]:
+                out = out | go(c)
+            return out
+        if isinstance(n, Not):
+            return ~go(n.child)
+        if isinstance(n, Term):
+            if n.field is None or n.field in analyzed:
+                col = n.field if n.field is not None and n.field != text_col else text_col
+                return F.array_contains(_tokens_col(col), n.value.lower())
+            return F.col(n.field) == _lit(n.value)
+        if isinstance(n, Phrase):
+            if n.field is None or n.field in analyzed:
+                col = n.field if n.field is not None and n.field != text_col else text_col
+                # phrase = analyzed tokens adjacent in the raw text
+                toks = [t for t in re.split(r"[\W_]+", n.value.lower()) if t]
+                if not toks:
+                    return F.lit(True)
+                pattern = "(?i)" + r"[\W_]+".join(re.escape(t) for t in toks)
+                return F.col(col).rlike(pattern)
+            return F.col(n.field) == F.lit(n.value)
+        if isinstance(n, Prefix):
+            if n.field is None:
+                raise ValueError("prefix query needs a field")
+            return F.col(n.field).startswith(n.value)
+        if isinstance(n, Cmp):
+            c = F.col(n.field)
+            v = _lit(n.value)
+            return {">=": c >= v, "<=": c <= v, ">": c > v, "<": c < v}[n.op]
+        if isinstance(n, Range):
+            c = F.col(n.field)
+            lo = c >= _lit(n.lo) if n.incl_lo else c > _lit(n.lo)
+            hi = c <= _lit(n.hi) if n.incl_hi else c < _lit(n.hi)
+            return lo & hi
+        raise TypeError(f"unknown node {n!r}")
+
+    return go(node)
+
+
+def text_terms(node, *, analyzed_fields: set[str] | None = None, text_col: str = "text") -> list[str]:
+    """Positive free-text terms (for BM25 scoring). NOT-negated terms are
+    excluded — they filter, they don't score."""
+    analyzed = analyzed_fields or {text_col}
+    out: list[str] = []
+
+    def go(n, negated: bool) -> None:
+        if isinstance(n, (And, Or)):
+            for c in n.children:
+                go(c, negated)
+        elif isinstance(n, Not):
+            go(n.child, not negated)
+        elif isinstance(n, Term) and (n.field is None or n.field in analyzed):
+            if not negated:
+                out.append(n.value.lower())
+        elif isinstance(n, Phrase) and (n.field is None or n.field in analyzed):
+            if not negated:
+                out.extend(t for t in re.split(r"[\W_]+", n.value.lower()) if t)
+
+    go(node, False)
+    return out

@@ -1,0 +1,91 @@
+"""Lucene-subset parser + compiler tests — query strings taken from the
+reference's HTTP-contract tests (/root/reference/test/simple_api_reader-spec.js)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.query.lucene import (
+    And, Cmp, Not, Or, Phrase, Prefix, Range, Term,
+    compile_filter, parse_lucene, text_terms,
+)
+
+
+class TestParse:
+    def test_field_term(self):
+        assert parse_lucene("foo:bar") == Term("foo", "bar")
+
+    def test_phrase(self):
+        assert parse_lucene('foo:"bar+baz"') == Phrase("foo", "bar+baz")
+
+    def test_bool_precedence(self):
+        # test:query OR other:thing AND bytes:>=2000  → OR(test, AND(other, bytes))
+        ast = parse_lucene("test:query OR other:thing AND bytes:>=2000")
+        assert ast == Or(
+            (Term("test", "query"), And((Term("other", "thing"), Cmp("bytes", ">=", "2000"))))
+        )
+
+    def test_range_mixed_brackets(self):
+        ast = parse_lucene("created:[2015-01-01 TO 2015-01-02}")
+        assert ast == Range("created", "2015-01-01", "2015-01-02", True, False)
+
+    def test_prefix_wildcard(self):
+        assert parse_lucene("doc_key:ba*") == Prefix("doc_key", "ba")
+
+    def test_bare_terms_implicit_and(self):
+        assert parse_lucene("spark join") == And((Term(None, "spark"), Term(None, "join")))
+
+    def test_not_and_parens(self):
+        ast = parse_lucene("NOT lang:en AND (spark OR join)")
+        assert ast == And(
+            (Not(Term("lang", "en")), Or((Term(None, "spark"), Term(None, "join"))))
+        )
+
+    def test_bad_query(self):
+        with pytest.raises(ValueError):
+            parse_lucene("(unbalanced")
+
+
+class TestCompile:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        rows = [
+            (0, "spark join query", "en", 1500),
+            (1, "spark filter", "en", 2500),
+            (2, "join merge", "de", 2000),
+            (3, "bar baz word", "fr", 3000),
+            (4, "bar other baz", "fr", 100),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string, bytes long")
+
+    def _ids(self, df, q, **kw):
+        pred = compile_filter(parse_lucene(q), **kw)
+        return sorted(r["doc_id"] for r in df.where(pred).collect())
+
+    def test_free_text_and(self, df):
+        assert self._ids(df, "spark join") == [0]
+
+    def test_field_eq(self, df):
+        assert self._ids(df, "lang:de") == [2]
+
+    def test_numeric_comparator(self, df):
+        assert self._ids(df, "bytes:>=2000") == [1, 2, 3]
+        assert self._ids(df, "bytes:<200") == [4]
+
+    def test_bool_mix(self, df):
+        assert self._ids(df, "lang:fr OR spark AND bytes:>=2000") == [1, 3, 4]
+
+    def test_phrase_adjacency(self, df):
+        assert self._ids(df, '"bar baz"') == [3]  # doc 4 has bar..baz non-adjacent
+
+    def test_range(self, df):
+        assert self._ids(df, "bytes:[1500 TO 2500}") == [0, 2]
+        assert self._ids(df, "bytes:[1500 TO 2500]") == [0, 1, 2]
+
+    def test_not(self, df):
+        assert self._ids(df, "NOT lang:en") == [2, 3, 4]
+
+    def test_text_terms_extraction(self):
+        ast = parse_lucene('spark AND lang:en OR "big data" NOT bad')
+        assert text_terms(ast) == ["spark", "big", "data"]

@@ -1,0 +1,151 @@
+"""Reader facade + geo operator tests (S1-S5, P5-P6, F6)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.datagen.events import events_pandas
+from elasticsearch_assets_spark.operators.geo import (
+    haversine_m,
+    parse_distance,
+    parse_geo_point,
+)
+from elasticsearch_assets_spark.sources.reader import DateReader, IdReader, ReaderConfig
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ev") / "events.parquet")
+    spark.createDataFrame(events_pandas(2000)).write.parquet(p)
+    return p
+
+
+class TestGeoPrimitives:
+    def test_parse_point(self):
+        assert parse_geo_point("45.5,-120.25") == (45.5, -120.25)
+        for bad in ["91,0", "0,181", "nonsense", "1;2"]:
+            with pytest.raises(ValueError):
+                parse_geo_point(bad)
+
+    def test_parse_distance_units(self):
+        assert parse_distance("1km") == 1000.0
+        assert parse_distance("1mi") == 1609.344
+        assert parse_distance("3ft") == pytest.approx(0.9144)
+        with pytest.raises(ValueError):
+            parse_distance("5parsec")
+
+    def test_haversine_known_value(self, spark):
+        # Paris -> London ≈ 343.5 km
+        df = spark.createDataFrame([(48.8566, 2.3522)], "lat double, lon double")
+        d = df.select(haversine_m(F.col("lat"), F.col("lon"), 51.5074, -0.1278).alias("d"))
+        meters = d.collect()[0]["d"]
+        assert math.isclose(meters, 343_500, rel_tol=0.01)
+
+
+class TestReaderConfig:
+    def test_geo_requires_field(self):
+        with pytest.raises(ValueError):
+            ReaderConfig(path="x", geo_point="1,1", geo_distance="1km")
+
+    def test_geo_exclusive(self):
+        with pytest.raises(ValueError):
+            ReaderConfig(
+                path="x", geo_field="location",
+                geo_box_top_left="1,1", geo_box_bottom_right="0,2",
+                geo_point="1,1", geo_distance="1km",
+            )
+
+    def test_date_reader_requires_date_field(self, spark):
+        with pytest.raises(ValueError):
+            DateReader(spark, ReaderConfig(path="x"))
+
+
+class TestDateReader:
+    def test_scan_range_and_query(self, spark, events_path):
+        cfg = ReaderConfig(
+            path=events_path,
+            date_field_name="created",
+            start="2019-07-02T00:00:00Z",
+            end="2019-07-04T00:00:00Z",
+            query="bytes:>=15000",
+        )
+        r = DateReader(spark, cfg)
+        rows = r.dataframe().collect()
+        assert rows
+        for row in rows:
+            assert row["bytes"] >= 15000
+            assert "2019-07-02" <= str(row["created"]) < "2019-07-04"
+        assert r.count() == len(rows)
+
+    def test_fields_projection_forces_date_field(self, spark, events_path):
+        cfg = ReaderConfig(
+            path=events_path, date_field_name="created", fields=["ip", "bytes"]
+        )
+        df = DateReader(spark, cfg).dataframe()
+        assert df.columns == ["ip", "bytes", "created"]
+
+    def test_plan_and_slices_cover(self, spark, events_path):
+        cfg = ReaderConfig(path=events_path, date_field_name="created", size=300)
+        r = DateReader(spark, cfg)
+        plan = r.plan()
+        assert plan.total == 2000
+        assert sum(s.count for s in plan.slices) == 2000
+        total = sum(r.read_slice(s).count() for s in plan.slices)
+        assert total == 2000
+
+    def test_geo_bbox(self, spark, events_path):
+        cfg = ReaderConfig(
+            path=events_path, date_field_name="created",
+            geo_field="location",
+            geo_box_top_left="40,-100", geo_box_bottom_right="0,0",
+        )
+        rows = DateReader(spark, cfg).dataframe().collect()
+        assert rows
+        for row in rows:
+            lat, lon = (float(x) for x in row["location"].split(","))
+            assert 0 <= lat <= 40 and -100 <= lon <= 0
+
+    def test_geo_distance_and_sort(self, spark, events_path):
+        cfg = ReaderConfig(
+            path=events_path, date_field_name="created",
+            geo_field="location",
+            geo_point="0,0", geo_distance="3000km",
+            geo_sort_point="0,0",
+        )
+        rows = DateReader(spark, cfg).dataframe().collect()
+        assert rows
+        # verify radius + ascending distance order with a python haversine
+        def hav_km(lat, lon):
+            from math import asin, cos, radians, sin, sqrt
+            a = sin(radians(lat) / 2) ** 2 + cos(0) * cos(radians(lat)) * sin(radians(lon) / 2) ** 2
+            return 2 * 6371.0088 * asin(sqrt(a))
+
+        dists = []
+        for row in rows:
+            lat, lon = (float(x) for x in row["location"].split(","))
+            d = hav_km(lat, lon)
+            assert d <= 3000 * 1.001
+            dists.append(d)
+        assert dists == sorted(dists)
+
+    def test_bm25_terms_routing(self, spark, events_path):
+        cfg = ReaderConfig(
+            path=events_path, date_field_name="created",
+            query="bytes:>=100 AND spark join", text_col="url",
+        )
+        assert DateReader(spark, cfg).bm25_terms() == ["spark", "join"]
+
+
+class TestIdReader:
+    def test_plan_and_read(self, spark, events_path):
+        cfg = ReaderConfig(path=events_path, key_field="id", size=200)
+        r = IdReader(spark, cfg)
+        plan = r.plan()
+        assert sum(s.count for s in plan) == 2000
+        assert all(s.count <= 200 for s in plan)
+        first = plan[0]
+        got = r.read_slice(first).count()
+        assert got == first.count
