@@ -1,0 +1,177 @@
+"""Keyed parquet table with MERGE semantics (SURVEY.md §2.1 S8, §7.3 #7).
+
+The reference's update/upsert/delete bulk actions require a mutable keyed
+store — Elasticsearch's doc-id index. Production target is Iceberg
+``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED ... WHEN NOT MATCHED
+INSERT`` / ``DELETE FROM t WHERE key IN (...)``; the sandbox has no Iceberg
+jar, so this module implements the same semantics over plain parquet with
+**hash-bucket dynamic partition overwrite**:
+
+* rows live under ``bucket=<pmod(xxhash64(key), n)>`` partitions;
+* a merge joins the update set against ONLY the affected buckets (partition
+  pruning on an IN-list of bucket values) and rewrites only those buckets
+  (``partitionOverwriteMode=dynamic``) — at 100 TB a merge touching 0.1% of
+  keys rewrites ~0.1% of files, the same I/O shape as Iceberg's
+  copy-on-write MERGE.
+
+Actions (reference /root/reference/asset/elasticsearch_index_selector/
+index.js:75-124):
+  index  -> insert-or-replace by key (full row)
+  create -> insert only if key absent
+  update -> overwrite listed fields of existing rows only
+  upsert -> update existing + insert missing
+  delete -> remove rows by key
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class KeyedParquetTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "_id",
+        num_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.num_buckets = num_buckets
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- helpers -----------------------------------------------------------
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(self.key).cast("string")), F.lit(self.num_buckets)).cast("int"),
+        )
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            e.startswith("bucket=") for e in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop("bucket")
+
+    def _read_buckets(self, buckets: list[int]) -> DataFrame:
+        # IN-list on the partition column -> Spark prunes to just these dirs
+        return self.spark.read.parquet(self.path).where(
+            F.col("bucket").isin(buckets)
+        )
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        self._bucket(df).write.mode(mode).partitionBy("bucket").parquet(self.path)
+
+    def _affected_buckets(self, source: DataFrame) -> list[int]:
+        rows = (
+            self._bucket(source.select(self.key))
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        return [r["bucket"] for r in rows]
+
+    def _overwrite_buckets(self, merged: DataFrame) -> None:
+        # dynamic mode: only partitions present in `merged` are replaced
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+
+    # -- actions ------------------------------------------------------------
+    def append(self, df: DataFrame) -> None:
+        """`index` when keys are fresh / initial load."""
+        self._write(df, "append")
+
+    def index(self, df: DataFrame) -> None:
+        """Insert-or-replace whole rows by key."""
+        if not self.exists():
+            self._write(df, "append")
+            return
+        src = self._bucket(df).dropDuplicates([self.key])
+        buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
+        tgt = self._read_buckets(buckets)
+        kept = tgt.join(src.select(self.key), self.key, "left_anti")
+        self._overwrite_buckets(kept.unionByName(src))
+
+    def create(self, df: DataFrame) -> None:
+        """Insert only rows whose key does not already exist."""
+        if not self.exists():
+            self._write(df.dropDuplicates([self.key]), "append")
+            return
+        src = self._bucket(df).dropDuplicates([self.key])
+        buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
+        tgt = self._read_buckets(buckets)
+        fresh = src.join(tgt.select(self.key), self.key, "left_anti")
+        fresh.write.mode("append").partitionBy("bucket").parquet(self.path)
+
+    def upsert(self, df: DataFrame, update_fields: Sequence[str] | None = None) -> None:
+        """MERGE: matched rows take source values (all fields or only
+        `update_fields`); unmatched source rows are inserted."""
+        if not self.exists():
+            self._write(df.dropDuplicates([self.key]), "append")
+            return
+        src = self._bucket(df).dropDuplicates([self.key])
+        buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
+        tgt = self._read_buckets(buckets)
+        cols = [c for c in tgt.columns if c != self.key]
+        upd = set(update_fields) if update_fields is not None else set(cols)
+        s = src.select(self.key, *[F.col(c).alias(f"_s_{c}") for c in cols])
+        merged = tgt.join(s, self.key, "full_outer").select(
+            F.col(self.key),
+            *[
+                (
+                    F.coalesce(F.col(f"_s_{c}"), F.col(c)) if c in upd or c == "bucket"
+                    else F.coalesce(F.col(c), F.col(f"_s_{c}"))
+                ).alias(c)
+                for c in cols
+            ],
+        )
+        self._overwrite_buckets(merged)
+
+    def update(self, df: DataFrame, update_fields: Sequence[str] | None = None) -> None:
+        """Overwrite fields of EXISTING rows only (no insert)."""
+        if not self.exists():
+            return
+        src = self._bucket(df).dropDuplicates([self.key])
+        buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
+        tgt = self._read_buckets(buckets)
+        cols = [c for c in tgt.columns if c != self.key]
+        src_cols = {c for c in cols if c in src.columns and c != "bucket"}
+        upd = (set(update_fields) if update_fields is not None else src_cols) & src_cols
+        s = src.select(self.key, *[F.col(c).alias(f"_s_{c}") for c in upd])
+        merged = tgt.join(s, self.key, "left").select(
+            F.col(self.key),
+            *[
+                (
+                    F.coalesce(F.col(f"_s_{c}"), F.col(c)) if c in upd else F.col(c)
+                ).alias(c)
+                for c in cols
+            ],
+        )
+        self._overwrite_buckets(merged)
+
+    def delete(self, keys: DataFrame) -> None:
+        """Remove rows whose key appears in `keys`."""
+        if not self.exists():
+            return
+        src = self._bucket(keys.select(self.key)).dropDuplicates([self.key])
+        buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
+        tgt = self._read_buckets(buckets)
+        kept = tgt.join(src.select(self.key), self.key, "left_anti")
+        # compute survivors BEFORE the overwrite invalidates the lazy scan
+        surviving = {
+            r["bucket"] for r in kept.select("bucket").distinct().collect()
+        }
+        self._overwrite_buckets(kept)
+        # a bucket that lost ALL rows emits nothing, so dynamic overwrite
+        # leaves its old files — drop those partition dirs explicitly
+        # (Iceberg MERGE handles this natively in production)
+        import shutil
+
+        for b in set(buckets) - surviving:
+            shutil.rmtree(os.path.join(self.path, f"bucket={b}"), ignore_errors=True)
