@@ -20,6 +20,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_assets_spark.index.build import build_index
 from elasticsearch_assets_spark.index.stats import B, K1
+from elasticsearch_assets_spark.operators import dedup as OD
+from elasticsearch_assets_spark.operators import similarity as OS
+from elasticsearch_assets_spark.operators import textstats as OT
+from elasticsearch_assets_spark.operators import multimodal as OM
+from elasticsearch_assets_spark.operators.texthash import (
+    MH_PRIME,
+    MINHASH_PERMS,
+    hash60_sql,
+    simhash_sql,
+    token_hashes_sql,
+    tokens_sql,
+)
 from elasticsearch_assets_spark.query.engine import InvertedIndex
 from elasticsearch_assets_spark.sources.tables import load_sf_table
 
@@ -141,6 +153,239 @@ def _term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis /
+# multimodal) — each Spark query paired with an exactly-equivalent DuckDB SQL
+# ---------------------------------------------------------------------------
+
+_TOKS = tokens_sql("text")
+_UNIGRAMS = f"list_distinct({_TOKS})"
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OD.exact_dedup(docs)
+
+
+def _dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OD.ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_NGRAM_PAIRS_SQL = f"""
+WITH t AS (SELECT doc_id, {_UNIGRAMS} AS s FROM documents),
+sh AS (SELECT doc_id, unnest(s) AS g FROM t),
+sz AS (SELECT doc_id, len(s) AS sz FROM t),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c::DOUBLE / (x.sz + y.sz - c), 4) AS jaccard
+FROM common JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+WHERE c::DOUBLE / (x.sz + y.sz - c) >= 0.8
+"""
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    sigs = OD.minhash_signatures(docs, n=1, k=8)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        *[F.col("sig")[i].alias(f"h{i}") for i in range(8)],
+    )
+
+
+def _minhash_sql_cols() -> str:
+    cols = []
+    for j in range(8):
+        a, b = MINHASH_PERMS[j]
+        cols.append(
+            f"coalesce(list_min(list_apply(s, "
+            f"x -> ({a} * ({hash60_sql('x')} % {MH_PRIME}) + {b}) % {MH_PRIME})), {MH_PRIME}) AS h{j}"
+        )
+    return ", ".join(cols)
+
+
+_MINHASH_SQL = f"""
+SELECT doc_id, {_minhash_sql_cols()}
+FROM (SELECT doc_id, {_UNIGRAMS} AS s FROM documents)
+"""
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OD.lsh_candidate_pairs(docs, n=1, k=8, bands=4)
+
+
+_LSH_SQL = f"""
+WITH sig AS ({_MINHASH_SQL}),
+banded AS (
+  SELECT doc_id, band, md5(bucket_key) AS bucket FROM (
+    SELECT doc_id, 0 AS band, h0 || ',' || h1 AS bucket_key FROM sig
+    UNION ALL SELECT doc_id, 1, h2 || ',' || h3 FROM sig
+    UNION ALL SELECT doc_id, 2, h4 || ',' || h5 FROM sig
+    UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM sig
+  )
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OD.simhash_fingerprints(docs, n_bits=32).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+_SIMHASH_SQL = f"""
+SELECT doc_id, {simhash_sql('hs', 32)} AS simhash
+FROM (SELECT doc_id, {token_hashes_sql(_TOKS)} AS hs FROM documents)
+"""
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OD.simhash_pairs(docs, n_bits=32, max_hamming=3, n_blocks=4)
+
+
+# oracle is the O(n^2) brute force — deliberately a DIFFERENT algorithm than
+# the pigeonhole block join it checks
+_SIMHASH_PAIRS_SQL = f"""
+WITH fp AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    out = OD.embedding_neardup_pairs(emb, threshold=0.45)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+_COS_AB = (
+    "(SELECT sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) FROM range(1,65) r(i)) / "
+    "(sqrt((SELECT sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE) FROM range(1,65) r(i))) * "
+    "sqrt((SELECT sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) FROM range(1,65) r(i))))"
+)
+
+_EMB_NEARDUP_SQL = f"""
+SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos >= 0.45
+"""
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    out = OS.cosine_topk(emb, qv, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+_ANN_TOPK_SQL = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id, {_COS_AB} AS cos
+  FROM embeddings a, q b
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    out = OS.ann_topk_lsh(emb, qv, k=10, n_planes=8, multiprobe=1)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def _bucket_sql(vec: str) -> str:
+    """Sign-LSH bucket code in SQL with the same deterministic hyperplanes."""
+    planes = OS._planes(8, 64)
+    terms = []
+    for i in range(8):
+        dot = " + ".join(
+            f"{vec}[{d + 1}]::DOUBLE * {planes[i][d]!r}" for d in range(64)
+        )
+        terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ANN_LSH_SQL = f"""
+WITH coded AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT embedding, bucket FROM coded WHERE vec_id = 0)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id, {_COS_AB} AS cos
+  FROM coded a, q b
+  WHERE bit_count(xor(a.bucket, b.bucket)) <= 1
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    s = OT.token_stats(docs)
+    return s.select(
+        "doc_id", "n_tokens", "n_unique",
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+SELECT doc_id, n_tokens, n_unique,
+       round(avg_token_len, 4) AS avg_token_len,
+       round(stopword_ratio, 4) AS stopword_ratio
+FROM ({OT.token_stats_sql()})
+"""
+
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # floor(x*1e4+0.5)/1e4 instead of round(): engines' round() differ on
+    # representation boundaries; this spelling is bit-identical in both
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OT.quality_score(docs).select(
+        "doc_id",
+        (F.floor(F.col("quality") * 10000.0 + 0.5) / 10000.0).alias("quality"),
+    )
+
+
+_QUALITY_SQL = (
+    "SELECT doc_id, floor(quality * 10000.0 + 0.5) / 10000.0 AS quality "
+    f"FROM ({OT.quality_score_sql()})"
+)
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OT.lang_id(docs)
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OT.doc_fingerprint(docs)
+
+
+def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OM.media_stats(OM.attach_fake_media(docs))
+
+
+_MEDIA_STATS_SQL = (
+    "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
+    "sha256(text) AS sha FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -162,6 +407,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_histogram": _slice_histogram,
         "id_prefix_scan": _id_prefix_scan,
         "id_prefix_histogram": _id_prefix_histogram,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_pairs": _dedup_ngram_pairs,
+        "minhash_sigs": _minhash_sigs,
+        "lsh_candidates": _lsh_candidates,
+        "simhash_fps": _simhash_fps,
+        "simhash_pairs": _simhash_pairs,
+        "emb_neardup": _emb_neardup,
+        "ann_topk": _ann_topk,
+        "ann_topk_lsh": _ann_topk_lsh,
+        "token_stats": _token_stats,
+        "quality_score": _quality,
+        "lang_id": _lang_id,
+        "doc_fingerprint": _fingerprint,
+        "media_stats": _media_stats,
     }
 
 
@@ -191,4 +450,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS prefix, count(*) AS cnt "
             "FROM documents GROUP BY 1"
         ),
+        "dedup_exact": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
+            "count(*) AS n_copies FROM documents GROUP BY 1"
+        ),
+        "dedup_ngram_pairs": _NGRAM_PAIRS_SQL,
+        "minhash_sigs": _MINHASH_SQL,
+        "lsh_candidates": _LSH_SQL,
+        "simhash_fps": _SIMHASH_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "emb_neardup": _EMB_NEARDUP_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        "ann_topk_lsh": _ANN_LSH_SQL,
+        "token_stats": _TOKEN_STATS_SQL,
+        "quality_score": _QUALITY_SQL,
+        "lang_id": OT.lang_id_sql(),
+        "doc_fingerprint": OT.doc_fingerprint_sql(),
+        "media_stats": _MEDIA_STATS_SQL,
     }

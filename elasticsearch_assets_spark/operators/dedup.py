@@ -1,0 +1,310 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over a ``documents``-shaped table (doc_id, text, ...):
+
+* exact          — content-hash groupBy, keep lowest doc_id
+* n-gram Jaccard — shingle inverted join, exact pairwise Jaccard
+* MinHash + LSH  — per-row signatures (texthash.minhash_expr, NO shuffle),
+                   banded bucket join for candidates, exact-Jaccard verify
+* SimHash        — per-row 32-bit fingerprints, hamming-radius pairs via
+                   multi-probe band join
+* embedding      — cosine near-dup pairs (see similarity.py for ANN)
+
+Scale notes (100 TB): signatures are pure column expressions computed in the
+same scan that reads the text — the only shuffles are the candidate-pair
+joins, whose keys are (band_id, band_hash)/(shingle) with cardinality ≈
+corpus size, not pair count. Bucket skew (a degenerate band bucket holding
+millions of docs) is the MinHash analogue of the reference's oversized-slice
+recursion (/root/reference/asset/elasticsearch_reader/slicer.js:183-222):
+`lsh_candidate_pairs(max_bucket)` drops buckets above the cap, mirroring how
+the reference refuses to emit oversized slices, and AQE handles residual
+join skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from elasticsearch_assets_spark.operators.texthash import (
+    minhash_expr,
+    shingles_expr,
+    simhash_expr,
+    tokens_expr,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact text content.
+
+    Hash-groupBy on md5(text) rather than the raw text so the shuffle moves
+    32-byte keys, not documents.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduplicated corpus itself (all columns, one row per content)."""
+    keep = exact_dedup(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    n: int = 1,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All unordered pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Plan: distinct shingles exploded -> self-equi-join on shingle (the
+    inverted-index trick: only docs sharing >=1 shingle ever meet) ->
+    count common -> join the two set sizes -> Jaccard. Output
+    (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(shingles_expr(tokens_expr(text_col), n))
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    n: int = 1,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig: array<long>[k]) — computed in the reading scan, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        minhash_expr(shingles_expr(tokens_expr(text_col), n), k).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    *,
+    n: int = 1,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float | None = None,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates: docs agreeing on all rows of >=1 LSH band.
+
+    k minhash values are cut into `bands` bands of k/bands rows; a band's
+    bucket key is md5 of its values. Docs sharing a bucket are candidates.
+    With `threshold`, candidates are verified with exact shingle Jaccard
+    (ngram_jaccard semantics) and filtered. `max_bucket` drops degenerate
+    buckets (skew guard) before the pair blow-up.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(df, n=n, k=k, text_col=text_col, id_col=id_col)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.slice("sig", bi * r + 1, r)[i] for i in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") <= max_bucket)
+            .drop("c")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if threshold is None:
+        return cand
+    exact = ngram_jaccard_pairs(
+        df, n=n, threshold=0.0, text_col=text_col, id_col=id_col
+    )
+    return cand.join(exact, ["id_a", "id_b"]).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    *,
+    n_bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, simhash: long) — per-row expression, no shuffle.
+
+    Two-stage projection: tokens are hashed ONCE into an array column, then
+    the n_bits bit-votes read that array — md5 cost is O(tokens), not
+    O(tokens * n_bits).
+    """
+    from elasticsearch_assets_spark.operators.texthash import hash60_expr
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens_expr(text_col), hash60_expr).alias("hs"),
+    )
+    return hashed.select("id", simhash_expr(F.col("hs"), n_bits).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs within `max_hamming` bits, via the block-permutation trick:
+
+    split the fingerprint into `n_blocks` bit-blocks; any pair within
+    hamming distance < n_blocks must agree exactly on >=1 block
+    (pigeonhole, requires max_hamming <= n_blocks - 1), so the join key is
+    (block_idx, block_value) — never all-pairs. Verification computes the
+    true hamming distance with bit_count(xor).
+    """
+    if max_hamming > n_blocks - 1:
+        raise ValueError("need max_hamming <= n_blocks - 1 for pigeonhole soundness")
+    fp = simhash_fingerprints(df, n_bits=n_bits, text_col=text_col, id_col=id_col)
+    width = n_bits // n_blocks
+    mask = (1 << width) - 1
+    blocks = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "simhash", "bv.blk", "bv.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(b, ["blk", "val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine similarity >= threshold (exact, O(n^2)).
+
+    Brute force is the verification/baseline path; at corpus scale, first
+    bucket with similarity.hyperplane_lsh and verify only within buckets.
+    """
+    from elasticsearch_assets_spark.operators.similarity import cosine_expr
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

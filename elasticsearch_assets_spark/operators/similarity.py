@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k for a query vector: a single
+  narrow projection + ``TakeOrderedAndProject``; the correctness baseline.
+* ``hyperplane_lsh_buckets`` / ``ann_topk_lsh`` — the scale path: random-
+  hyperplane (sign) LSH. Each vector gets an n_planes-bit bucket code from
+  deterministic seeded hyperplanes; a query probes its own bucket (plus
+  optional multi-probe neighbors at hamming distance 1) and ranks exactly
+  within the probed set. Bucketing is a pure per-row expression; search
+  prunes the scan with an IN-list on the bucket code — at 10^12 vectors
+  that's a partition-pruned read of ~n/2^n_planes vectors instead of n.
+
+All arithmetic is float64 inside JVM expressions (zip_with/aggregate) —
+no UDF, no Python in the data path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+# deterministic hyperplane source — fixed seed, reproducible across builds
+_PLANE_SEED = 0x5EED
+
+
+def _planes(n_planes: int, dim: int) -> np.ndarray:
+    rng = np.random.default_rng(_PLANE_SEED)
+    return rng.standard_normal((n_planes, dim))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-order float64 dot product (canonical accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to `query_vec`, (score DESC, id ASC) tie-break."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    scored = df.select(
+        F.col(id_col),
+        (dot_expr(F.col(vec_col), q) / (norm_expr(F.col(vec_col)) * F.lit(qn))).alias(
+            "score"
+        ),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bucket_code_expr(vec: Column, n_planes: int, dim: int) -> Column:
+    """Sign-LSH bucket code: bit_i = 1 iff dot(vec, plane_i) >= 0."""
+    planes = _planes(n_planes, dim)
+    code = F.lit(0).cast("long")
+    for i in range(n_planes):
+        p = F.array(*[F.lit(float(w)) for w in planes[i]])
+        code = code + F.when(dot_expr(vec, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return code
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    *,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket) assignment — per-row expression, no shuffle."""
+    return df.select(
+        F.col(id_col),
+        bucket_code_expr(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+
+
+def _query_code(query_vec: list[float], n_planes: int) -> int:
+    planes = _planes(n_planes, len(query_vec))
+    q = np.asarray(query_vec, dtype=np.float64)
+    return int(sum(1 << i for i in range(n_planes) if float(planes[i] @ q) >= 0.0))
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket (+ all buckets within
+    hamming distance `multiprobe`), rank exactly inside the probed set.
+
+    Probe count = sum_{d<=multiprobe} C(n_planes, d); with the default 8
+    planes and multiprobe=1 that's 9 of 256 buckets — a 96% scan prune that
+    becomes partition pruning when the table is written partitioned/bucketed
+    by the code.
+    """
+    dim = len(query_vec)
+    qcode = _query_code(query_vec, n_planes)
+    probes = {qcode}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probes.add(qcode ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qcode ^ (1 << i) ^ (1 << j))
+    bucketed = df.withColumn(
+        "bucket", bucket_code_expr(F.col(vec_col), n_planes, dim)
+    ).where(F.col("bucket").isin(sorted(probes)))
+    return cosine_topk(bucketed, query_vec, k, vec_col=vec_col, id_col=id_col)

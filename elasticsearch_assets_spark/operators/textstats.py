@@ -1,0 +1,183 @@
+"""Text-analysis operators: token stats, quality score, language ID,
+document fingerprint.
+
+All pure column expressions over the shared tokenizer contract
+(texthash.tokens_expr) — JVM-side, zero shuffle, exact DuckDB oracle
+spellings provided next to each. The reference has no analysis code of its
+own (it delegates to ES analyzers); these are the training-data-pipeline
+extensions over the same documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from elasticsearch_assets_spark.operators.texthash import tokens_expr, tokens_sql
+
+# tiny per-language marker lexicons (heuristic n-gram-free language ID —
+# stopword hits; deterministic, SQL-expressible)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"],
+}
+
+_EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+# ---------------------------------------------------------------------------
+# token stats
+# ---------------------------------------------------------------------------
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_unique, avg_token_len, stopword_ratio).
+
+    The token array is staged in its own projection so the regex extraction
+    runs once per row, not once per derived stat.
+    """
+    df = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS))
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.when(n > 0, total_len / n).otherwise(F.lit(0.0)).alias("avg_token_len"),
+        F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+    )
+
+
+def token_stats_sql(text: str = "text", id_col: str = "doc_id") -> str:
+    toks = tokens_sql(text)
+    stops = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    return f"""
+SELECT {id_col},
+       len(t)::BIGINT AS n_tokens,
+       len(list_distinct(t))::BIGINT AS n_unique,
+       CASE WHEN len(t) > 0
+            THEN list_sum(list_apply(t, x -> length(x)))::DOUBLE / len(t)
+            ELSE 0.0 END AS avg_token_len,
+       CASE WHEN len(t) > 0
+            THEN len(list_filter(t, x -> list_contains([{stops}], x)))::DOUBLE / len(t)
+            ELSE 0.0 END AS stopword_ratio
+FROM (SELECT {id_col}, {toks} AS t FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality score
+# ---------------------------------------------------------------------------
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic [0,1] quality: length band + lexical diversity + stopword
+    presence — the standard cheap pre-filter shape for web-text pipelines.
+
+    score = 0.4*min(n_tokens/100, 1) + 0.3*(n_unique/n_tokens)
+          + 0.3*min(stopword_ratio*5, 1);  0 for empty docs.
+    """
+    s = token_stats(df, text_col, id_col)
+    n = F.col("n_tokens")
+    return s.select(
+        F.col(id_col),
+        F.when(n > 0,
+            F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.3) * (F.col("n_unique") / n)
+            + F.lit(0.3) * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)),
+        ).otherwise(F.lit(0.0)).alias("quality"),
+    )
+
+
+def quality_score_sql(text: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+SELECT {id_col},
+       CASE WHEN n_tokens > 0 THEN
+         0.4::DOUBLE * least(n_tokens / 100.0::DOUBLE, 1.0::DOUBLE)
+         + 0.3::DOUBLE * (n_unique::DOUBLE / n_tokens)
+         + 0.3::DOUBLE * least(stopword_ratio * 5.0::DOUBLE, 1.0::DOUBLE)
+       ELSE 0.0::DOUBLE END AS quality
+FROM ({token_stats_sql(text, id_col)})
+"""
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pred_lang, lang_hits): argmax of marker-lexicon hit counts with
+    deterministic tie-break on language code; 'und' when zero hits."""
+    staged = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    langs = sorted(LANG_MARKERS)
+    hit_cols = [
+        F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang]))).alias(lang)
+        for lang in langs
+    ]
+    scored = staged.select(F.col(id_col), *hit_cols)
+    best = F.greatest(*[F.col(lang) for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first (alphabetical) max wins — deterministic
+        pred = pred.when(F.col(lang) == best, F.lit(lang))
+    # hit columns are computed in `scored`'s projection; this second select
+    # only compares them
+    return scored.select(
+        F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("lang_hits")
+    )
+
+
+def lang_id_sql(text: str = "text", id_col: str = "doc_id") -> str:
+    toks = tokens_sql(text)
+    langs = sorted(LANG_MARKERS)
+    hits = ", ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + f"], x))) AS {lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(langs) + ")"
+    whens = " ".join(
+        f"WHEN {lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+SELECT {id_col},
+       CASE WHEN {best} <= 0 THEN 'und' {whens} END AS pred_lang,
+       {best}::BIGINT AS lang_hits
+FROM (SELECT {id_col}, {hits}
+      FROM (SELECT {id_col}, {toks} AS t FROM documents))
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprint
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized content fingerprint: md5 over the sorted unique token set
+    (the classic 'fingerprint method' — whitespace/order/dup insensitive)."""
+    toks = tokens_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def doc_fingerprint_sql(text: str = "text", id_col: str = "doc_id") -> str:
+    toks = tokens_sql(text)
+    return (
+        f"SELECT {id_col}, md5(array_to_string(list_sort(list_distinct({toks})), ' ')) "
+        f"AS fingerprint FROM documents"
+    )
