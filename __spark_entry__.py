@@ -374,6 +374,42 @@ def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OT.doc_fingerprint(docs)
 
 
+def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: persistent-mode tumbling-window counts, driven with
+    trigger(availableNow) over the static events table — the streaming plan
+    is the real one (watermark + window agg); epoch-aligned 1h windows make
+    it oracle-equal to a batch date_trunc rollup."""
+    import tempfile
+    import uuid as _uuid
+
+    from elasticsearch_assets_spark.streaming import persistent as P
+
+    schema = load_sf_table(spark, sf_dir, "events").schema.simpleString()[7:-1].replace(
+        ":", " "
+    )
+    # FileStreamSource needs a directory; events.parquet is a single file —
+    # stage a symlink dir (no data copy)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        stream_dir = src
+    else:
+        stream_dir = tempfile.mkdtemp(prefix="esa_stream_src_")
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream = P.file_stream(spark, stream_dir, schema)
+    # watermarks need TIMESTAMP (ltz); session tz is UTC so the ntz->ltz cast
+    # is value-preserving and windows stay epoch-aligned like the oracle
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    counts = P.windowed_counts(stream, "ts", "1h", delay="1m")
+    name = "wc_" + _uuid.uuid4().hex[:8]
+    out = P.run_to_table(
+        counts,
+        checkpoint_dir=tempfile.mkdtemp(prefix="esa_ckpt_"),
+        output_mode="complete",
+        queryName=name,
+    )
+    return out.select("win_start", "cnt")
+
+
 def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_table(spark, sf_dir, "documents")
     return OM.media_stats(OM.attach_fake_media(docs))
@@ -421,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "doc_fingerprint": _fingerprint,
         "media_stats": _media_stats,
+        "stream_windowed_counts": _stream_windowed_counts,
     }
 
 
@@ -467,4 +504,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": OT.lang_id_sql(),
         "doc_fingerprint": OT.doc_fingerprint_sql(),
         "media_stats": _MEDIA_STATS_SQL,
+        "stream_windowed_counts": (
+            "SELECT date_trunc('hour', ts) AS win_start, count(*) AS cnt "
+            "FROM events GROUP BY 1"
+        ),
     }
