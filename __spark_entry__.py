@@ -47,7 +47,16 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
         idx_dir = os.path.join(
             "/tmp", "esa_indexes", key.strip("/").replace("/", "_") + "_documents"
         )
-        if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        import json
+
+        from elasticsearch_assets_spark.index.codec import CODEC_VERSION
+
+        meta_path = os.path.join(idx_dir, "meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                stale = json.load(fh).get("codec_version") != CODEC_VERSION
+        if stale:
             docs = load_sf_table(spark, sf_dir, "documents")
             build_index(
                 spark, docs, idx_dir, id_col="doc_id", text_col="text",

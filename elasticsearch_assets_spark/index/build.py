@@ -48,7 +48,8 @@ POSTINGS_SCHEMA = "term string, doc_id long, tf long, doclen long"
 SEGMENT_SCHEMA = (
     "seg_id int, term string, df long, cf long, "
     "doc_gaps binary, tfs_enc binary, doclens_enc binary, "
-    "block_last_doc array<long>, block_max_tf array<long>, block_min_dl array<long>"
+    "block_last_doc array<long>, block_max_tf array<long>, block_min_dl array<long>, "
+    "block_off_gaps array<long>, block_off_tfs array<long>, block_off_dls array<long>"
 )
 MANIFEST_SCHEMA = (
     "chunk_id int, lo long, hi long, n_docs long, n_postings long, n_terms long, "

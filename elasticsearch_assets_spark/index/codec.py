@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 BLOCK_SIZE = 128
-CODEC_VERSION = 1
+CODEC_VERSION = 2  # v2: per-block byte offsets -> skippable blocks (WAND)
 
 _U64 = np.uint64
 _SEVEN = _U64(7)
@@ -107,15 +107,26 @@ def encode_postings(
         block_last.append(int(doc_ids[sl][-1]))
         block_max_tf.append(int(tfs[sl].max()))
         block_min_dl.append(int(doclens[sl].min()))
+    gaps_buf, gaps_sz = encode_varint_with_sizes(gaps.astype(np.uint64))
+    tfs_buf, tfs_sz = encode_varint_with_sizes(tfs.astype(np.uint64))
+    dls_buf, dls_sz = encode_varint_with_sizes(doclens.astype(np.uint64))
+
+    def offs(sizes: np.ndarray) -> list[int]:
+        pre = np.concatenate(([0], np.cumsum(sizes)))
+        return [int(pre[bi * BLOCK_SIZE]) for bi in range(nblocks)]
+
     return {
         "df": int(doc_ids.size),
         "cf": int(tfs.sum()),
-        "doc_gaps": encode_varint(gaps.astype(np.uint64)),
-        "tfs_enc": encode_varint(tfs.astype(np.uint64)),
-        "doclens_enc": encode_varint(doclens.astype(np.uint64)),
+        "doc_gaps": gaps_buf,
+        "tfs_enc": tfs_buf,
+        "doclens_enc": dls_buf,
         "block_last_doc": block_last,
         "block_max_tf": block_max_tf,
         "block_min_dl": block_min_dl,
+        "block_off_gaps": offs(gaps_sz),
+        "block_off_tfs": offs(tfs_sz),
+        "block_off_dls": offs(dls_sz),
     }
 
 
@@ -179,6 +190,16 @@ def encode_postings_batch(
     blk_max_tf = np.maximum.reduceat(tfs, blk_start) if total_blocks else np.array([], dtype=np.int64)
     blk_min_dl = np.minimum.reduceat(doclens, blk_start) if total_blocks else np.array([], dtype=np.int64)
     cuts = np.cumsum(nblocks)[:-1]
+
+    def block_offsets(sizes: np.ndarray) -> list[list[int]]:
+        """Byte offset of each block's first value, relative to its group's
+        blob start — makes every block an independently decodable varint
+        stream (LEB128 values are self-delimiting)."""
+        pre = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=pre[1:])
+        offs = pre[blk_start] - pre[starts[grp_of_block]]
+        return [a.tolist() for a in np.split(offs, cuts)]
+
     return {
         "df": df.tolist(),
         "cf": cf.tolist(),
@@ -188,6 +209,9 @@ def encode_postings_batch(
         "block_last_doc": [a.tolist() for a in np.split(blk_last, cuts)],
         "block_max_tf": [a.tolist() for a in np.split(blk_max_tf, cuts)],
         "block_min_dl": [a.tolist() for a in np.split(blk_min_dl, cuts)],
+        "block_off_gaps": block_offsets(gaps_sz),
+        "block_off_tfs": block_offsets(tfs_sz),
+        "block_off_dls": block_offsets(dls_sz),
     }
 
 
@@ -198,3 +222,39 @@ def decode_postings(doc_gaps: bytes, tfs_enc: bytes, doclens_enc: bytes):
     tfs = decode_varint(tfs_enc).astype(np.int64)
     doclens = decode_varint(doclens_enc).astype(np.int64)
     return doc_ids, tfs, doclens
+
+
+def decode_doc_ids(doc_gaps: bytes) -> np.ndarray:
+    """Decode only the docID stream (the WAND candidate pass skips tf/dl)."""
+    return np.cumsum(decode_varint(doc_gaps).astype(np.int64))
+
+
+def decode_value_blocks(
+    blob: bytes, offs: np.ndarray, df: int, sel: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected blocks of a value stream (tfs/doclens).
+
+    `offs` is the per-block byte-offset array, `sel` a sorted array of block
+    indices. Returns (values, positions): `positions` are the global posting
+    indices (0..df) the values correspond to. One concatenated varint pass —
+    no per-block decode calls.
+    """
+    offs = np.asarray(offs, dtype=np.int64)
+    nblocks = offs.size
+    if sel.size == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    ends = np.concatenate((offs[1:], [len(blob)]))
+    mv = memoryview(blob)
+    buf = b"".join(bytes(mv[offs[b] : ends[b]]) for b in sel)
+    vals = decode_varint(buf).astype(np.int64)
+    counts = np.minimum((sel + 1) * BLOCK_SIZE, df) - sel * BLOCK_SIZE
+    positions = np.repeat(sel * BLOCK_SIZE, counts) + _intra_block_arange(counts)
+    return vals, positions
+
+
+def _intra_block_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized ragged arange)."""
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return out - np.repeat(starts, counts)

@@ -17,16 +17,20 @@ reference's `size` cap becoming top-k `k` (SURVEY.md §2.3 F1-F4).
 from __future__ import annotations
 
 import os
-from functools import reduce
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_assets_spark.analysis.tokenizer import tokenize
-from elasticsearch_assets_spark.index.codec import decode_postings
 from elasticsearch_assets_spark.index.stats import IndexMeta, load_meta
 from elasticsearch_assets_spark.query.bm25 import idf
+from elasticsearch_assets_spark.query.wand import (
+    TermPostings,
+    exact_scores,
+    topk_conjunctive,
+    topk_disjunctive_pruned,
+)
 
 TOPK_SCHEMA = "doc_id long, score double"
 
@@ -41,57 +45,34 @@ def _score_segment(
     mode: str,
     k: int | None,
 ) -> pd.DataFrame:
-    """Score one segment's posting lists for the query. `terms` is sorted."""
-    lists = {}
-    for _, row in pdf.iterrows():
-        lists[row["term"]] = decode_postings(
-            row["doc_gaps"], row["tfs_enc"], row["doclens_enc"]
-        )
-    present = [t for t in terms if t in lists]
+    """Score one segment's posting lists for the query. `terms` is sorted.
+
+    AND: docID-intersection first, tf/dl block-decoded only for survivors.
+    OR + k: block-max pruned candidate selection (wand.py), rank-safe.
+    OR all: exhaustive union scoring.
+    In every path the exact scorer accumulates terms in sorted order —
+    results are independent of pruning and of segment count.
+    """
+    postings = {row["term"]: TermPostings(row) for _, row in pdf.iterrows()}
     if mode == "and":
-        if len(present) != len(terms):
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
-        # progressive sorted intersection, smallest list first
-        by_size = sorted(present, key=lambda t: lists[t][0].size)
-        cand = reduce(
-            lambda a, t: a[np.isin(a, lists[t][0], assume_unique=True)],
-            by_size[1:],
-            lists[by_size[0]][0],
+        docs, score = topk_conjunctive(terms, postings, idfs, avgdl, k1, b, k)
+    elif k is not None:
+        docs, score = topk_disjunctive_pruned(
+            terms, postings, idfs, avgdl, k1, b, k
         )
-        if cand.size == 0:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
-        score = np.zeros(cand.size, dtype=np.float64)
-        for t in terms:  # sorted — canonical accumulation order
-            doc_ids, tfs, dls = lists[t]
-            pos = np.searchsorted(doc_ids, cand)
-            tf = tfs[pos].astype(np.float64)
-            dl = dls[pos].astype(np.float64)
-            score += idfs[t] * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
-        docs = cand
-    else:  # disjunctive
+    else:
+        present = [t for t in terms if t in postings]
         if not present:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
+            docs = np.array([], dtype=np.int64)
+            score = np.array([], dtype=np.float64)
+        else:
+            docs = np.unique(
+                np.concatenate([postings[t].doc_ids for t in present])
             )
-        docs = np.unique(np.concatenate([lists[t][0] for t in present]))
-        score = np.zeros(docs.size, dtype=np.float64)
-        for t in terms:  # sorted — canonical accumulation order
-            if t not in lists:
-                continue
-            doc_ids, tfs, dls = lists[t]
-            tf = tfs.astype(np.float64)
-            dl = dls.astype(np.float64)
-            contrib = idfs[t] * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
-            pos = np.searchsorted(docs, doc_ids)
-            np.add.at(score, pos, contrib)
-    order = np.lexsort((docs, -score))
-    if k is not None:
-        order = order[:k]
-    return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
+            score = exact_scores(docs, terms, postings, idfs, avgdl, k1, b)
+            order = np.lexsort((docs, -score))
+            docs, score = docs[order], score[order]
+    return pd.DataFrame({"doc_id": docs, "score": score})
 
 
 class InvertedIndex:

@@ -1,0 +1,174 @@
+"""Block-max pruned BM25 scoring kernels (SURVEY.md §2.3 F3, M4).
+
+Vectorized block-max-WAND variant suited to numpy (classic WAND's per-doc
+pointer chasing is a Python-loop antipattern; this formulation does the same
+safe pruning with array passes):
+
+  candidate pass   decode ONLY the docID streams; per posting, an upper
+                   bound from its block's (max_tf, min_dl) metadata; per-doc
+                   UB = sum of its terms' block bounds.
+  seed pass        exact-score the m docs with the highest UB (selective
+                   block decode of tf/dl); θ = k-th best exact score.
+  prune            docs with UB < θ cannot enter the top-k (score ≤ UB < θ
+                   while ≥ k docs already score ≥ θ) — rank-safe.
+  final pass       exact-score the survivors, take top-k.
+
+tf/dl streams are decoded only for blocks that contain a surviving
+candidate — the block offsets added in codec v2 make those streams
+block-addressable. The exact scorer accumulates in float64 over terms in
+sorted order, so results are bit-identical to the exhaustive path (tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from elasticsearch_assets_spark.index.codec import (
+    BLOCK_SIZE,
+    decode_doc_ids,
+    decode_value_blocks,
+)
+
+
+def _bm25_part(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+class TermPostings:
+    """One term's segment row, decoded lazily: doc ids up front, tf/dl per
+    block on demand."""
+
+    def __init__(self, row) -> None:
+        self.doc_ids: np.ndarray = decode_doc_ids(row["doc_gaps"])
+        self.df = int(self.doc_ids.size)
+        self._tfs_enc = row["tfs_enc"]
+        self._dls_enc = row["doclens_enc"]
+        self._off_tfs = np.asarray(row["block_off_tfs"], dtype=np.int64)
+        self._off_dls = np.asarray(row["block_off_dls"], dtype=np.int64)
+        self.block_max_tf = np.asarray(row["block_max_tf"], dtype=np.int64)
+        self.block_min_dl = np.asarray(row["block_min_dl"], dtype=np.int64)
+        self._tfs_full: np.ndarray | None = None
+        self._dls_full: np.ndarray | None = None
+
+    # -- full decode (exhaustive path) --------------------------------------
+    def full(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._tfs_full is None:
+            from elasticsearch_assets_spark.index.codec import decode_varint
+
+            self._tfs_full = decode_varint(self._tfs_enc).astype(np.int64)
+            self._dls_full = decode_varint(self._dls_enc).astype(np.int64)
+        return self._tfs_full, self._dls_full
+
+    # -- selective decode ----------------------------------------------------
+    def gather(self, positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """tf/dl at the given (sorted) posting positions, decoding only the
+        blocks they fall in."""
+        if positions.size == 0:
+            e = np.array([], dtype=np.int64)
+            return e, e
+        blocks = np.unique(positions // BLOCK_SIZE)
+        tfs, pos_t = decode_value_blocks(self._tfs_enc, self._off_tfs, self.df, blocks)
+        dls, _ = decode_value_blocks(self._dls_enc, self._off_dls, self.df, blocks)
+        ix = np.searchsorted(pos_t, positions)
+        return tfs[ix], dls[ix]
+
+    def posting_bounds(self, idf: float, avgdl: float, k1: float, b: float) -> np.ndarray:
+        """Per-POSTING score upper bound from block metadata (expanded)."""
+        ub_block = idf * _bm25_part(self.block_max_tf, self.block_min_dl, avgdl, k1, b)
+        counts = np.minimum(
+            (np.arange(ub_block.size) + 1) * BLOCK_SIZE, self.df
+        ) - np.arange(ub_block.size) * BLOCK_SIZE
+        return np.repeat(ub_block, counts)
+
+
+def exact_scores(
+    cand: np.ndarray,
+    terms: list[str],
+    postings: dict[str, TermPostings],
+    idfs: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> np.ndarray:
+    """Exact BM25 of `cand` docs (sorted), accumulating terms in the given
+    (sorted) order — the canonical order shared with the exhaustive path."""
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in terms:
+        if t not in postings:
+            continue
+        tp = postings[t]
+        hit = np.isin(tp.doc_ids, cand, assume_unique=True)
+        positions = np.flatnonzero(hit)
+        if positions.size == 0:
+            continue
+        tf, dl = tp.gather(positions)
+        at = np.searchsorted(cand, tp.doc_ids[positions])
+        score[at] += idfs[t] * _bm25_part(tf, dl, avgdl, k1, b)
+    return score
+
+
+def topk_disjunctive_pruned(
+    terms: list[str],
+    postings: dict[str, TermPostings],
+    idfs: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rank-safe pruned top-k OR scoring. Returns (doc_ids, scores) of ≤ k
+    docs ordered (score DESC, doc_id ASC)."""
+    present = [t for t in terms if t in postings]
+    if not present:
+        e = np.array([], dtype=np.int64)
+        return e, np.array([], dtype=np.float64)
+    union = np.unique(np.concatenate([postings[t].doc_ids for t in present]))
+    ub = np.zeros(union.size, dtype=np.float64)
+    for t in present:
+        tp = postings[t]
+        at = np.searchsorted(union, tp.doc_ids)
+        ub[at] += tp.posting_bounds(idfs[t], avgdl, k1, b)
+
+    if union.size <= max(4 * k, 256):
+        cand = union  # pruning overhead beats nothing this small
+    else:
+        m = max(4 * k, 256)
+        seed_ix = np.sort(np.argpartition(ub, -m)[-m:])
+        seed = union[seed_ix]
+        seed_scores = exact_scores(seed, terms, postings, idfs, avgdl, k1, b)
+        theta = np.partition(seed_scores, -k)[-k]
+        cand = union[ub >= theta]
+
+    scores = exact_scores(cand, terms, postings, idfs, avgdl, k1, b)
+    order = np.lexsort((cand, -scores))[:k]
+    return cand[order], scores[order]
+
+
+def topk_conjunctive(
+    terms: list[str],
+    postings: dict[str, TermPostings],
+    idfs: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """AND scoring: docID-stream intersection first (smallest list outward),
+    tf/dl decoded only for blocks holding surviving docs."""
+    if any(t not in postings for t in terms):
+        e = np.array([], dtype=np.int64)
+        return e, np.array([], dtype=np.float64)
+    by_size = sorted(terms, key=lambda t: postings[t].df)
+    cand = postings[by_size[0]].doc_ids
+    for t in by_size[1:]:
+        cand = cand[np.isin(cand, postings[t].doc_ids, assume_unique=True)]
+        if cand.size == 0:
+            e = np.array([], dtype=np.int64)
+            return e, np.array([], dtype=np.float64)
+    scores = exact_scores(cand, terms, postings, idfs, avgdl, k1, b)
+    order = np.lexsort((cand, -scores))
+    if k is not None:
+        order = order[:k]
+    return cand[order], scores[order]
