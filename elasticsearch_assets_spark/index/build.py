@@ -5,14 +5,20 @@ delegates to Elasticsearch bulk writes
 (/root/reference/asset/elasticsearch_bulk/index.js, .../elasticsearch_index_selector/index.js)
 per BASELINE.json north_star. Shape of the job:
 
-  corpus --mapInPandas(tokenize)--> (term, doc_id, tf, doclen)      [no shuffle]
-         --repartition(P, seg_id)--> doc-bucketed partitions        [ONE shuffle]
-         --sortWithinPartitions(seg_id, term, doc_id)
-         --mapInPandas(encode)--> (seg_id, term, df, cf, postings…) [no shuffle]
+  corpus --repartition(P, seg_id)--> doc-bucketed partitions   [ONE shuffle,
+                                                                of DOCUMENTS]
+         --mapInPandas(tokenize+aggregate+sort+encode)--> segment rows
          --write parquet segments
 
 Design notes for 100 TB:
 
+* **Shuffle documents, not postings.** Tokenizing AFTER the doc shuffle means
+  the one shuffle moves ~|corpus text| bytes instead of the 3-5x larger
+  (term, doc, tf, doclen) row stream, and the JVM never sorts the posting
+  stream at all — each partition builds its posting lists in one vectorized
+  numpy pass (factorize -> lexsort -> reduceat -> varint), exactly a Lucene
+  segment flush. Per-partition memory = its docs' postings; size
+  num_segments so a partition's postings fit an executor (knob below).
 * **Document-bucketed segments** (`seg_id = xxhash64(doc_id) % num_segments`),
   not term-partitioned lists: every query term's postings for a given doc are
   co-located, so multi-term intersection + WAND run segment-locally with no
@@ -20,8 +26,8 @@ Design notes for 100 TB:
   segments — this *is* the salted-repartition skew handling (the salt is the
   doc hash; the reference's analogous trick is secondary key-splitting of hot
   ranges, /root/reference/asset/elasticsearch_reader/slicer.js:323-332).
-* **One shuffle total**, keyed by seg_id, with map-side nothing to combine
-  (tf already aggregated per doc inside the tokenize pass).
+  num_segments defaults to 4x the shuffle partitions so bucket->partition
+  hashing stays balanced (max/mean load ~1.3 instead of ~2 at 1:1).
 * **Resumable chunks** (R2): the corpus is split into `num_chunks` doc_id
   ranges; each chunk is an independent job writing `segments/chunk=<c>/` +
   a committed manifest row. Re-running skips committed chunks. Chunk ranges
@@ -44,87 +50,103 @@ from elasticsearch_assets_spark.analysis.tokenizer import TOKENIZER_VERSION, tok
 from elasticsearch_assets_spark.index.codec import CODEC_VERSION, encode_postings_batch
 from elasticsearch_assets_spark.index.stats import IndexMeta
 
-POSTINGS_SCHEMA = "term string, doc_id long, tf long, doclen long"
 SEGMENT_SCHEMA = (
     "seg_id int, term string, df long, cf long, "
     "doc_gaps binary, tfs_enc binary, doclens_enc binary, "
     "block_last_doc array<long>, block_max_tf array<long>, block_min_dl array<long>, "
     "block_off_gaps array<long>, block_off_tfs array<long>, block_off_dls array<long>"
 )
-MANIFEST_SCHEMA = (
-    "chunk_id int, lo long, hi long, n_docs long, n_postings long, n_terms long, "
-    "wall_sec double, docs_per_sec double, status string, committed_at double"
+# manifest rows are driver-side JSON-line files (one per chunk commit):
+# {chunk_id, lo, hi, n_docs, n_postings, n_terms, wall_sec, docs_per_sec,
+#  status, committed_at} — metadata writes must not cost a Spark job each
+MANIFEST_FIELDS = (
+    "chunk_id", "lo", "hi", "n_docs", "n_postings", "n_terms",
+    "wall_sec", "docs_per_sec", "status", "committed_at",
 )
 
 
-def _tokenize_emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(doc_id, text) batches -> (term, doc_id, tf, doclen) rows, vectorized."""
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        toks = tokenize_series(pdf["text"])
-        lens = toks.str.len().to_numpy(dtype=np.int64)
-        flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks]) \
-            if lens.sum() else np.array([], dtype=object)
-        flat_docs = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
-        flat_dls = np.repeat(lens, lens)
-        tf = (
-            pd.DataFrame({"term": flat_terms, "doc_id": flat_docs, "doclen": flat_dls})
-            .groupby(["doc_id", "term"], sort=False)
-            .agg(tf=("term", "size"), doclen=("doclen", "first"))
-            .reset_index()
+def _tokenize_batch(pdf: pd.DataFrame):
+    """One (doc_id, text, seg_id) batch -> (uniques obj[], codes i64[],
+    docs i64[], tfs i64[], dls i64[], segs i64[]) with tf pre-aggregated per
+    (doc, term) via factorize. Term strings leave this function only as the
+    small per-batch vocabulary; postings carry int codes."""
+    toks = tokenize_series(pdf["text"])
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        e = np.array([], dtype=np.int64)
+        return np.array([], dtype=object), e, e, e, e, e
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    codes, uniques = pd.factorize(flat_terms, sort=False)
+    flat_docidx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+    key = flat_docidx * len(uniques) + codes
+    uk, counts = np.unique(key, return_counts=True)
+    docidx = uk // len(uniques)
+    code = (uk % len(uniques)).astype(np.int64)
+    return (
+        np.asarray(uniques, dtype=object),
+        code,
+        pdf["doc_id"].to_numpy(dtype=np.int64)[docidx],
+        counts.astype(np.int64),
+        lens[docidx],
+        pdf["seg_id"].to_numpy(dtype=np.int64)[docidx],
+    )
+
+
+def _segment_writer(out_batch_rows: int = 65_536):
+    """mapInPandas fn: doc-bucketed (doc_id, text, seg_id) partition ->
+    encoded segment rows. Accumulates the partition's aggregated postings,
+    then ONE vocab-merge + lexsort + batch-encode — the Lucene-flush shape,
+    no JVM sort, no posting-row shuffle. The partition-level merge touches
+    strings only at vocabulary size: per-batch vocabs are re-factorized and
+    per-posting codes remapped through an int lookup (object-array passes
+    over the full posting stream are what saturate memory bandwidth at high
+    core counts)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab_l, codes_l, docs_l, tfs_l, dls_l, segs_l = [], [], [], [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u, c, d, tf, dl, sg = _tokenize_batch(pdf)
+            if c.size:
+                vocab_l.append(u)
+                codes_l.append(c)
+                docs_l.append(d)
+                tfs_l.append(tf)
+                dls_l.append(dl)
+                segs_l.append(sg)
+        if not codes_l:
+            return
+        # merge per-batch vocabularies (small) -> global codes per batch
+        all_vocab = np.concatenate(vocab_l)
+        gcodes_of_vocab, uniques = pd.factorize(all_vocab, sort=False)
+        offs = np.concatenate(([0], np.cumsum([v.size for v in vocab_l])[:-1]))
+        codes = np.concatenate(
+            [gcodes_of_vocab[off : off + v.size][c] for off, v, c in zip(offs, vocab_l, codes_l)]
         )
-        yield tf[["term", "doc_id", "tf", "doclen"]]
-
-
-def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Sorted (seg_id, term, doc_id) batches -> one encoded row per (seg_id, term).
-
-    Carries the trailing (possibly batch-spanning) group between batches.
-    """
-    carry: pd.DataFrame | None = None
-
-    def flush(pdf: pd.DataFrame, keep_tail: bool):
-        nonlocal carry
-        keys = (pdf["seg_id"].astype(str) + "\x00" + pdf["term"]).to_numpy()
-        boundaries = np.flatnonzero(keys[1:] != keys[:-1]) + 1
-        starts = np.concatenate(([0], boundaries))
-        ends = np.concatenate((boundaries, [len(pdf)]))
-        if keep_tail:
-            # hold back the last group — it may continue in the next batch
-            carry = pdf.iloc[starts[-1] :]
-            pdf = pdf.iloc[: starts[-1]]
-            starts, ends = starts[:-1], ends[:-1]
-        if starts.size == 0:
-            return None
-        enc = encode_postings_batch(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["doclen"].to_numpy(),
-            starts,
-            ends,
-        )
-        return pd.DataFrame(
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        segs = np.concatenate(segs_l)
+        del vocab_l, codes_l, docs_l, tfs_l, dls_l, segs_l, all_vocab
+        order = np.lexsort((docs, codes, segs))
+        segs, codes, docs = segs[order], codes[order], docs[order]
+        tfs, dls = tfs[order], dls[order]
+        change = np.flatnonzero((segs[1:] != segs[:-1]) | (codes[1:] != codes[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [segs.size]))
+        enc = encode_postings_batch(docs, tfs, dls, starts, ends)
+        out = pd.DataFrame(
             {
-                "seg_id": pdf["seg_id"].to_numpy()[starts],
-                "term": pdf["term"].to_numpy()[starts],
+                "seg_id": segs[starts].astype(np.int32),
+                "term": np.asarray(uniques, dtype=object)[codes[starts]],
                 **enc,
             }
         )
+        for lo in range(0, len(out), out_batch_rows):
+            yield out.iloc[lo : lo + out_batch_rows]
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
-        out = flush(pdf, keep_tail=True)
-        if out is not None and len(out):
-            yield out
-    if carry is not None and len(carry):
-        out = flush(carry, keep_tail=False)
-        if out is not None and len(out):
-            yield out
+    return fn
 
 
 def _chunk_ranges(lo: int, hi: int, num_chunks: int) -> list[tuple[int, int]]:
@@ -134,15 +156,32 @@ def _chunk_ranges(lo: int, hi: int, num_chunks: int) -> list[tuple[int, int]]:
     return [(edges[c], edges[c + 1]) for c in range(num_chunks)]
 
 
+def read_manifest(index_dir: str) -> list[dict]:
+    import glob
+    import json
+
+    rows = []
+    for p in sorted(glob.glob(os.path.join(index_dir, "manifest", "chunk-*.json"))):
+        with open(p) as fh:
+            rows.append(json.load(fh))
+    return rows
+
+
+def _commit_manifest_row(index_dir: str, row: dict) -> None:
+    import json
+
+    mdir = os.path.join(index_dir, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"chunk-{row['chunk_id']:05d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(row, fh)
+    os.replace(tmp, path)  # atomic commit marker (R2)
+
+
 def committed_chunks(spark: SparkSession, index_dir: str) -> set[int]:
-    mpath = os.path.join(index_dir, "manifest")
-    try:
-        m = spark.read.parquet(mpath)
-    except Exception:
-        return set()
     return {
-        r["chunk_id"]
-        for r in m.where(F.col("status") == "committed").select("chunk_id").collect()
+        r["chunk_id"] for r in read_manifest(index_dir) if r["status"] == "committed"
     }
 
 
@@ -153,23 +192,44 @@ def build_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_segments: int = 32,
+    num_segments: int | None = None,
     num_chunks: int = 1,
     shuffle_partitions: int | None = None,
     resume: bool = False,
+    partitioning: str = "doc_hash",
 ) -> IndexMeta:
-    """Build (or resume) the inverted index for `corpus` into `index_dir`."""
+    """Build (or resume) the inverted index for `corpus` into `index_dir`.
+
+    `partitioning`:
+      * "doc_hash" — one shuffle keyed by seg_id = xxhash64(doc_id) %
+        num_segments: deterministic doc->segment assignment independent of
+        input layout. `num_segments` defaults to 4x the shuffle partitions
+        (buckets hash onto partitions; oversubscription keeps load balanced).
+      * "input" — ZERO shuffle: each input split becomes one segment
+        (seg_id = spark_partition_id), the Lucene-flush shape. Right when
+        the corpus is already well-partitioned (the usual 100 TB case —
+        a shuffle of the whole corpus text is the single largest cost).
+    A partition holds whole segments; size them so one partition's postings
+    fit in an executor's memory.
+    """
     os.makedirs(index_dir, exist_ok=True)
     src = corpus.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
-    bounds = src.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
-    lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None:
-        raise ValueError("empty corpus")
-    ranges = _chunk_ranges(int(lo), int(hi), num_chunks)
-    segs_per_chunk = max(1, num_segments // num_chunks)
     nparts = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_segments is None:
+        num_segments = 4 * nparts
+    segs_per_chunk = max(1, num_segments // num_chunks)
+    if num_chunks > 1:
+        bounds = src.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None:
+            raise ValueError("empty corpus")
+        ranges = _chunk_ranges(int(lo), int(hi), num_chunks)
+    else:
+        ranges = [(None, None)]
     if not resume:
         import shutil
 
@@ -188,37 +248,48 @@ def build_index(
             if num_chunks == 1
             else src.where((F.col("doc_id") >= clo) & (F.col("doc_id") < chi))
         )
-        postings = chunk_src.mapInPandas(_tokenize_emit, schema=POSTINGS_SCHEMA)
         seg_base = c * segs_per_chunk
-        postings = postings.withColumn(
-            "seg_id",
-            (F.lit(seg_base) + F.pmod(F.xxhash64("doc_id"), F.lit(segs_per_chunk)))
-            .cast("int"),
-        )
-        encoded = (
-            postings.repartition(min(nparts, segs_per_chunk), "seg_id")
-            .sortWithinPartitions("seg_id", "term", "doc_id")
-            .mapInPandas(_encode_partition, schema=SEGMENT_SCHEMA)
-        )
+        if partitioning == "input":
+            # seg = input split; no shuffle at all. The offset keeps chunk
+            # segment ids disjoint (ids are labels, uniqueness is enough).
+            bucketed = chunk_src.withColumn(
+                "seg_id",
+                (F.lit(seg_base) + F.spark_partition_id()).cast("int"),
+            )
+        else:
+            bucketed = chunk_src.withColumn(
+                "seg_id",
+                (F.lit(seg_base) + F.pmod(F.xxhash64("doc_id"), F.lit(segs_per_chunk)))
+                .cast("int"),
+            ).repartition(min(nparts, segs_per_chunk), "seg_id")
+        encoded = bucketed.mapInPandas(_segment_writer(), schema=SEGMENT_SCHEMA)
         seg_path = os.path.join(index_dir, "segments", f"chunk={c}")
         encoded.write.mode("overwrite").parquet(seg_path)
 
+        # one combined metadata job per chunk: postings/terms from the just-
+        # written segment footers + doc count (metadata-only when unfiltered)
         seg_df = spark.read.parquet(seg_path)
         agg = seg_df.agg(
-            F.sum("cf").alias("toks"),
             F.count("*").alias("lists"),
             F.count_distinct("term").alias("terms"),
         ).collect()[0]
         n_docs = chunk_src.count()
         wall = time.monotonic() - t0
-        row = (
-            c, int(clo), int(chi), int(n_docs), int(agg["lists"] or 0),
-            int(agg["terms"] or 0), wall, (n_docs / wall if wall > 0 else 0.0),
-            "committed", time.time(),
-        )
         # checkpoint after every chunk so a kill mid-build loses ≤1 chunk (R2)
-        spark.createDataFrame([row], schema=MANIFEST_SCHEMA).write.mode("append").parquet(
-            os.path.join(index_dir, "manifest")
+        _commit_manifest_row(
+            index_dir,
+            {
+                "chunk_id": c,
+                "lo": int(clo if clo is not None else 0),
+                "hi": int(chi if chi is not None else 0),
+                "n_docs": int(n_docs),
+                "n_postings": int(agg["lists"] or 0),
+                "n_terms": int(agg["terms"] or 0),
+                "wall_sec": wall,
+                "docs_per_sec": (n_docs / wall if wall > 0 else 0.0),
+                "status": "committed",
+                "committed_at": time.time(),
+            },
         )
 
     return finalize_index(spark, index_dir, num_segments, num_chunks)
@@ -233,9 +304,15 @@ def finalize_index(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
     stats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
-    m = spark.read.parquet(os.path.join(index_dir, "manifest"))
-    n_docs = m.where(F.col("status") == "committed").agg(F.sum("n_docs")).collect()[0][0]
-    total = spark.read.parquet(os.path.join(index_dir, "stats")).agg(F.sum("cf")).collect()[0][0]
+    n_docs = sum(
+        r["n_docs"] for r in read_manifest(index_dir) if r["status"] == "committed"
+    )
+    # total tokens from the (tiny) stats table, not another segments scan
+    total = (
+        spark.read.parquet(os.path.join(index_dir, "stats"))
+        .agg(F.sum("cf"))
+        .collect()[0][0]
+    )
     meta = IndexMeta(
         n_docs=int(n_docs),
         total_tokens=int(total),
