@@ -143,6 +143,9 @@ def _segment_writer(out_batch_rows: int = 65_536):
                 **enc,
             }
         )
+        # emit rows term-sorted so parquet row groups carry tight term
+        # min/max ranges -> query-time `term IN (...)` prunes row groups
+        out = out.sort_values("term", kind="stable", ignore_index=True)
         for lo in range(0, len(out), out_batch_rows):
             yield out.iloc[lo : lo + out_batch_rows]
 

@@ -76,12 +76,22 @@ def _score_segment(
 
 
 class InvertedIndex:
-    """Handle to a built index directory (segments + stats + meta)."""
+    """Handle to a built index directory (segments + stats + meta).
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    `driver_stats_rows`: when the vocabulary is at most this many terms the
+    whole stats table is pulled into a driver dict once — term lookups stop
+    costing a Spark job each (a web-corpus vocabulary is millions of terms =
+    tens of MB, fine; set 0 to force per-query distributed lookups, the
+    10^12-doc / 10^8-term path where stats stay a bucketed table)."""
+
+    def __init__(
+        self, spark: SparkSession, index_dir: str, driver_stats_rows: int = 5_000_000
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.meta: IndexMeta = load_meta(index_dir)
+        self._driver_stats_rows = driver_stats_rows
+        self._stats_cache: dict[str, int] | None = None
 
     @property
     def segments(self) -> DataFrame:
@@ -91,8 +101,22 @@ class InvertedIndex:
     def stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "stats"))
 
+    def _maybe_cache_stats(self) -> dict[str, int] | None:
+        if self._stats_cache is None and self._driver_stats_rows > 0:
+            pdf = self.stats.limit(self._driver_stats_rows + 1).toPandas()
+            if len(pdf) <= self._driver_stats_rows:
+                self._stats_cache = dict(
+                    zip(pdf["term"].tolist(), pdf["df"].astype(int).tolist())
+                )
+            else:
+                self._driver_stats_rows = 0  # too big — stay distributed
+        return self._stats_cache
+
     def term_stats(self, terms: list[str]) -> dict[str, int]:
-        """Global df per term — tiny collect (≤ |terms| rows)."""
+        """Global df per term — driver-cached dict, or a ≤|terms|-row collect."""
+        cache = self._maybe_cache_stats()
+        if cache is not None:
+            return {t: cache[t] for t in terms if t in cache}
         rows = self.stats.where(F.col("term").isin(terms)).collect()
         return {r["term"]: r["df"] for r in rows}
 
