@@ -383,6 +383,107 @@ def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OT.doc_fingerprint(docs)
 
 
+# ---------------------------------------------------------------------------
+# geo + lucene-filter queries (SURVEY.md §2.2 P4-P6, §2.3 F6) over events
+# with a deterministic synthetic location derived from event_id the same way
+# in both engines
+# ---------------------------------------------------------------------------
+
+_LAT_SQL = "(event_id * 7) % 160 - 80"
+_LON_SQL = "(event_id * 13) % 340 - 170"
+
+
+def _geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_sf_table(spark, sf_dir, "events")
+    lat = ((F.col("event_id") * 7) % 160 - 80).cast("double")
+    lon = ((F.col("event_id") * 13) % 340 - 170).cast("double")
+    return ev.withColumn("lat", lat).withColumn("lon", lon)
+
+
+def _geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_assets_spark.operators.geo import bbox_predicate
+
+    ev = _geo_events(spark, sf_dir)
+    return ev.where(
+        bbox_predicate(F.col("lat"), F.col("lon"), "40,-100", "-10,50")
+    ).select("event_id", "lat", "lon")
+
+
+_GEO_BBOX_SQL = f"""
+SELECT event_id, ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon
+FROM events
+WHERE ({_LAT_SQL}) BETWEEN -10 AND 40 AND ({_LON_SQL}) BETWEEN -100 AND 50
+"""
+
+_HAVERSINE_SQL = (
+    "2.0 * 6371008.8 * asin(sqrt("
+    "sin((radians(lat) - radians({plat})) / 2) ^ 2"
+    " + cos(radians(lat)) * cos(radians({plat}))"
+    " * sin((radians(lon) - radians({plon})) / 2) ^ 2))"
+)
+
+
+def _geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_assets_spark.operators.geo import distance_predicate, haversine_m
+
+    ev = _geo_events(spark, sf_dir)
+    return (
+        ev.where(distance_predicate(F.col("lat"), F.col("lon"), "10,20", "2000km"))
+        .select(
+            "event_id",
+            F.round(haversine_m(F.col("lat"), F.col("lon"), 10.0, 20.0) / 1000.0, 2).alias(
+                "dist_km"
+            ),
+        )
+    )
+
+
+_GEO_DIST_SQL = f"""
+SELECT event_id, round(d / 1000.0, 2) AS dist_km FROM (
+  SELECT event_id, {_HAVERSINE_SQL.format(plat='10.0', plon='20.0')} AS d
+  FROM (SELECT event_id, ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon FROM events)
+) WHERE d <= 2000000.0
+"""
+
+
+def _geo_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_assets_spark.operators.geo import haversine_m
+
+    ev = _geo_events(spark, sf_dir)
+    d = haversine_m(F.col("lat"), F.col("lon"), 0.0, 0.0)
+    return (
+        ev.select("event_id", d.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", F.round((F.col("d") / 1000.0), 2).alias("dist_km"))
+    )
+
+
+_GEO_SORT_SQL = f"""
+SELECT event_id, round(d / 1000.0, 2) AS dist_km FROM (
+  SELECT event_id, {_HAVERSINE_SQL.format(plat='0.0', plon='0.0')} AS d
+  FROM (SELECT event_id, ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon FROM events)
+) ORDER BY d ASC, event_id ASC LIMIT 20
+"""
+
+
+def _lucene_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: the reader's Lucene-subset query compiled to Column predicates
+    (AND binds tighter than OR, numeric comparator, field terms)."""
+    from elasticsearch_assets_spark.query.lucene import compile_filter, parse_lucene
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    ast = parse_lucene("event_type:click AND value:>=30.5 OR event_type:error")
+    pred = compile_filter(ast, analyzed_fields=set())
+    return ev.where(pred).select("event_id", "event_type", "value")
+
+
+_LUCENE_SQL = (
+    "SELECT event_id, event_type, value FROM events "
+    "WHERE (event_type = 'click' AND value >= 30.5) OR event_type = 'error'"
+)
+
+
 def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: persistent-mode tumbling-window counts, driven with
     trigger(availableNow) over the static events table — the streaming plan
@@ -467,6 +568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _fingerprint,
         "media_stats": _media_stats,
         "stream_windowed_counts": _stream_windowed_counts,
+        "geo_bbox": _geo_bbox,
+        "geo_distance": _geo_distance,
+        "geo_sort_topk": _geo_sort_topk,
+        "lucene_filter": _lucene_filter,
     }
 
 
@@ -517,4 +622,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS win_start, count(*) AS cnt "
             "FROM events GROUP BY 1"
         ),
+        "geo_bbox": _GEO_BBOX_SQL,
+        "geo_distance": _GEO_DIST_SQL,
+        "geo_sort_topk": _GEO_SORT_SQL,
+        "lucene_filter": _LUCENE_SQL,
     }
