@@ -243,7 +243,6 @@ def build_index(
     for c, (clo, chi) in enumerate(ranges):
         if c in done:
             continue
-        t0 = time.monotonic()
         # single-chunk builds skip the range filter so count() stays
         # parquet-metadata-only and the scan reads no predicate
         chunk_src = (
@@ -251,51 +250,80 @@ def build_index(
             if num_chunks == 1
             else src.where((F.col("doc_id") >= clo) & (F.col("doc_id") < chi))
         )
-        seg_base = c * segs_per_chunk
-        if partitioning == "input":
-            # seg = input split; no shuffle at all. The offset keeps chunk
-            # segment ids disjoint (ids are labels, uniqueness is enough).
-            bucketed = chunk_src.withColumn(
-                "seg_id",
-                (F.lit(seg_base) + F.spark_partition_id()).cast("int"),
-            )
-        else:
-            bucketed = chunk_src.withColumn(
-                "seg_id",
-                (F.lit(seg_base) + F.pmod(F.xxhash64("doc_id"), F.lit(segs_per_chunk)))
-                .cast("int"),
-            ).repartition(min(nparts, segs_per_chunk), "seg_id")
-        encoded = bucketed.mapInPandas(_segment_writer(), schema=SEGMENT_SCHEMA)
-        seg_path = os.path.join(index_dir, "segments", f"chunk={c}")
-        encoded.write.mode("overwrite").parquet(seg_path)
-
-        # one combined metadata job per chunk: postings/terms from the just-
-        # written segment footers + doc count (metadata-only when unfiltered)
-        seg_df = spark.read.parquet(seg_path)
-        agg = seg_df.agg(
-            F.count("*").alias("lists"),
-            F.count_distinct("term").alias("terms"),
-        ).collect()[0]
-        n_docs = chunk_src.count()
-        wall = time.monotonic() - t0
-        # checkpoint after every chunk so a kill mid-build loses ≤1 chunk (R2)
-        _commit_manifest_row(
-            index_dir,
-            {
-                "chunk_id": c,
-                "lo": int(clo if clo is not None else 0),
-                "hi": int(chi if chi is not None else 0),
-                "n_docs": int(n_docs),
-                "n_postings": int(agg["lists"] or 0),
-                "n_terms": int(agg["terms"] or 0),
-                "wall_sec": wall,
-                "docs_per_sec": (n_docs / wall if wall > 0 else 0.0),
-                "status": "committed",
-                "committed_at": time.time(),
-            },
+        build_chunk(
+            spark, chunk_src, index_dir,
+            chunk_id=c,
+            seg_base=c * segs_per_chunk,
+            segs_per_chunk=segs_per_chunk,
+            nparts=nparts,
+            partitioning=partitioning,
+            lo=clo,
+            hi=chi,
         )
 
     return finalize_index(spark, index_dir, num_segments, num_chunks)
+
+
+def build_chunk(
+    spark: SparkSession,
+    chunk_src: DataFrame,
+    index_dir: str,
+    *,
+    chunk_id: int,
+    seg_base: int,
+    segs_per_chunk: int,
+    nparts: int,
+    partitioning: str = "doc_hash",
+    lo: int | None = None,
+    hi: int | None = None,
+) -> dict:
+    """Build + atomically commit ONE chunk (`segments/chunk=<id>/` + manifest
+    row). Idempotent: rerunning overwrites the same chunk dir and re-commits
+    — the unit of work for resumable batch builds AND streaming micro-batch
+    indexing (each foreachBatch epoch is one chunk). `chunk_src` must have
+    (doc_id, text) columns."""
+    t0 = time.monotonic()
+    if partitioning == "input":
+        # seg = input split; no shuffle at all. The offset keeps chunk
+        # segment ids disjoint (ids are labels, uniqueness is enough).
+        bucketed = chunk_src.withColumn(
+            "seg_id",
+            (F.lit(seg_base) + F.spark_partition_id()).cast("int"),
+        )
+    else:
+        bucketed = chunk_src.withColumn(
+            "seg_id",
+            (F.lit(seg_base) + F.pmod(F.xxhash64("doc_id"), F.lit(segs_per_chunk)))
+            .cast("int"),
+        ).repartition(min(nparts, segs_per_chunk), "seg_id")
+    encoded = bucketed.mapInPandas(_segment_writer(), schema=SEGMENT_SCHEMA)
+    seg_path = os.path.join(index_dir, "segments", f"chunk={chunk_id}")
+    encoded.write.mode("overwrite").parquet(seg_path)
+
+    # one combined metadata job per chunk: postings/terms from the just-
+    # written segment footers + doc count (metadata-only when unfiltered)
+    seg_df = spark.read.parquet(seg_path)
+    agg = seg_df.agg(
+        F.count("*").alias("lists"),
+        F.count_distinct("term").alias("terms"),
+    ).collect()[0]
+    n_docs = chunk_src.count()
+    wall = time.monotonic() - t0
+    row = {
+        "chunk_id": chunk_id,
+        "lo": int(lo if lo is not None else 0),
+        "hi": int(hi if hi is not None else 0),
+        "n_docs": int(n_docs),
+        "n_postings": int(agg["lists"] or 0),
+        "n_terms": int(agg["terms"] or 0),
+        "wall_sec": wall,
+        "docs_per_sec": (n_docs / wall if wall > 0 else 0.0),
+        "status": "committed",
+        "committed_at": time.time(),
+    }
+    # checkpoint after every chunk so a kill mid-build loses ≤1 chunk (R2)
+    _commit_manifest_row(index_dir, row)
+    return row
 
 
 def finalize_index(

@@ -1,0 +1,115 @@
+"""Streaming incremental index maintenance (T1 + M3 composed).
+
+A document stream becomes a continuously-growing inverted index: each
+micro-batch is built and committed as one chunk (`index/build.build_chunk`),
+exactly the unit a resumable batch build uses, so
+
+* retries are idempotent (a re-delivered epoch overwrites its own chunk dir
+  and re-commits the same manifest row — exactly-once at the index level
+  on top of foreachBatch's at-least-once);
+* the index is queryable between batches after `refresh()` (re-finalize:
+  global stats + meta), which is the Elasticsearch "refresh" analogue;
+* long streams are compacted with index.merge.merge_segments (the
+  "too many small segments" problem is the same as Lucene's).
+
+BM25 scores shift as collection stats grow — that is inherent to streaming
+relevance, identical to ES behavior.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from elasticsearch_assets_spark.index.build import (
+    build_chunk,
+    committed_chunks,
+    finalize_index,
+)
+from elasticsearch_assets_spark.index.stats import IndexMeta
+
+
+class StreamingIndexWriter:
+    """foreachBatch handler that appends each micro-batch as an index chunk."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        segs_per_batch: int = 8,
+        nparts: int = 8,
+        partitioning: str = "doc_hash",
+        refresh_every: int = 1,
+    ):
+        self.index_dir = index_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.segs_per_batch = segs_per_batch
+        self.nparts = nparts
+        self.partitioning = partitioning
+        self.refresh_every = max(1, refresh_every)
+        os.makedirs(index_dir, exist_ok=True)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        src = batch_df.select(
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.col(self.text_col).alias("text"),
+        )
+        if src.isEmpty():
+            return
+        build_chunk(
+            batch_df.sparkSession, src, self.index_dir,
+            chunk_id=int(batch_id),
+            seg_base=int(batch_id) * self.segs_per_batch,
+            segs_per_chunk=self.segs_per_batch,
+            nparts=self.nparts,
+            partitioning=self.partitioning,
+        )
+        if (int(batch_id) + 1) % self.refresh_every == 0:
+            self.refresh(batch_df.sparkSession)
+
+    def refresh(self, spark: SparkSession) -> IndexMeta | None:
+        """Re-finalize (global stats + meta) so queries see all committed
+        chunks — the ES refresh analogue."""
+        chunks = committed_chunks(spark, self.index_dir)
+        if not chunks:
+            return None
+        return finalize_index(
+            spark, self.index_dir,
+            num_segments=self.segs_per_batch * len(chunks),
+            num_chunks=len(chunks),
+        )
+
+
+def index_stream(
+    stream: DataFrame,
+    index_dir: str,
+    *,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segs_per_batch: int = 8,
+    trigger_available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """Start the streaming index build; returns the StreamingQuery.
+
+    `checkpoint_dir` gives epoch tracking (Spark replays uncommitted epochs
+    after a crash; chunk commits are idempotent so replay is safe)."""
+    writer = StreamingIndexWriter(
+        index_dir, id_col=id_col, text_col=text_col, segs_per_batch=segs_per_batch
+    )
+    w = stream.writeStream.foreachBatch(writer).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start(), writer
