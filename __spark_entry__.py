@@ -467,6 +467,52 @@ SELECT event_id, round(d / 1000.0, 2) AS dist_km FROM (
 """
 
 
+def _timeseries_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/C4: weekly + daily time-series index naming (pinned epoch-week
+    semantics, reference index_selector-spec.js:82-106)."""
+    from elasticsearch_assets_spark.sinks.index_selector import timeseries_index_expr
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        timeseries_index_expr(ts, "weekly", "w").alias("weekly_index"),
+        timeseries_index_expr(ts, "daily", "d").alias("daily_index"),
+    )
+
+
+_TIMESERIES_SQL = """
+SELECT event_id,
+       'w-' || floor(epoch_ms(ts) / 604800000)::BIGINT AS weekly_index,
+       'd-' || strftime(ts, '%Y.%m.%d') AS daily_index
+FROM events
+"""
+
+
+def _bulk_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: multisend routing by first char of the doc key with '*' fallback."""
+    from elasticsearch_assets_spark.sinks.bulk import route_by_key
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_id")
+    )
+    routed = route_by_key(
+        keyed, {"a,b,c": "conn1", "d,e,f": "conn2", "*": "fallback"}
+    )
+    return routed.select("doc_id", "_connection")
+
+
+_BULK_ROUTE_SQL = """
+SELECT doc_id,
+       CASE substr(md5(doc_id::VARCHAR), 1, 1)
+         WHEN 'a' THEN 'conn1' WHEN 'b' THEN 'conn1' WHEN 'c' THEN 'conn1'
+         WHEN 'd' THEN 'conn2' WHEN 'e' THEN 'conn2' WHEN 'f' THEN 'conn2'
+         ELSE 'fallback' END AS _connection
+FROM documents
+"""
+
+
 def _lucene_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: the reader's Lucene-subset query compiled to Column predicates
     (AND binds tighter than OR, numeric comparator, field terms)."""
@@ -572,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance": _geo_distance,
         "geo_sort_topk": _geo_sort_topk,
         "lucene_filter": _lucene_filter,
+        "timeseries_index": _timeseries_index,
+        "bulk_route": _bulk_route,
     }
 
 
@@ -626,4 +674,6 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance": _GEO_DIST_SQL,
         "geo_sort_topk": _GEO_SORT_SQL,
         "lucene_filter": _LUCENE_SQL,
+        "timeseries_index": _TIMESERIES_SQL,
+        "bulk_route": _BULK_ROUTE_SQL,
     }
