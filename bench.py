@@ -104,6 +104,17 @@ def main() -> None:
     extras["query_p50_sec"] = round(statistics.median(lats), 3)
     extras["query_p95_sec"] = round(lats[int(len(lats) * 0.95) - 1], 3)
 
+    # serving path: same kernels, one pushed-down scan job + driver scoring
+    slats: list[float] = []
+    for name, terms, mode, k in BENCH_QUERIES:
+        for _ in range(3):
+            t0 = time.monotonic()
+            idx.search_local(terms, k=k or 10, mode=mode)
+            slats.append(time.monotonic() - t0)
+    slats.sort()
+    extras["serving_p50_sec"] = round(statistics.median(slats), 3)
+    extras["serving_p95_sec"] = round(slats[int(len(slats) * 0.95) - 1], 3)
+
     total = time.monotonic() - t_total
     print(
         json.dumps(

@@ -155,6 +155,60 @@ class InvertedIndex:
         ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return ordered.limit(k) if k is not None else ordered
 
+    def search_local(
+        self,
+        query: str | list[str],
+        k: int | None = 10,
+        mode: str = "and",
+    ) -> list[tuple[int, float]]:
+        """Low-latency serving path: ONE Spark job (the pushed-down `term IN`
+        scan collects the few matching posting rows), then the same scoring
+        kernels run on the driver — the coordinating-node pattern. Returns
+        [(doc_id, score)] identical to `search().collect()` (tested).
+
+        Right when the query's posting lists are driver-small (typical
+        serving); `search()` remains the distributed path for huge head
+        terms or k=None analytics."""
+        terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+        if not terms:
+            return []
+        rows = self.segments.where(F.col("term").isin(terms)).collect()
+        dfs: dict[str, int] = {}
+        by_seg: dict[int, dict[str, object]] = {}
+        for r in rows:
+            dfs[r["term"]] = dfs.get(r["term"], 0) + r["df"]
+            by_seg.setdefault(r["seg_id"], {})[r["term"]] = TermPostings(r)
+        if mode == "and" and len(dfs) != len(terms):
+            return []
+        meta = self.meta
+        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
+        out_docs: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        for postings in by_seg.values():
+            if mode == "and":
+                d, s = topk_conjunctive(
+                    terms, postings, idfs, meta.avgdl, meta.k1, meta.b, k
+                )
+            elif k is not None:
+                d, s = topk_disjunctive_pruned(
+                    terms, postings, idfs, meta.avgdl, meta.k1, meta.b, k
+                )
+            else:
+                present = [t for t in terms if t in postings]
+                d = np.unique(np.concatenate([postings[t].doc_ids for t in present])) \
+                    if present else np.array([], dtype=np.int64)
+                s = exact_scores(d, terms, postings, idfs, meta.avgdl, meta.k1, meta.b)
+            out_docs.append(d)
+            out_scores.append(s)
+        if not out_docs:
+            return []
+        docs = np.concatenate(out_docs)
+        scores = np.concatenate(out_scores)
+        order = np.lexsort((docs, -scores))
+        if k is not None:
+            order = order[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
     def materialize(self, topk: DataFrame, corpus: DataFrame, on: str = "doc_id") -> DataFrame:
         """J3: join the k winners back to their documents (broadcast the ids)."""
         return corpus.join(F.broadcast(topk), on=on, how="inner").orderBy(

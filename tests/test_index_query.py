@@ -98,3 +98,20 @@ def test_materialize(index, spark, corpus_pdf):
     rows = index.materialize(top, corpus).collect()
     assert len(rows) == 5
     assert all("spark" in r["text"] and "join" in r["text"] for r in rows)
+
+
+def test_search_local_identical_to_distributed(index, spark):
+    for terms, mode, k in [
+        (["spark", "join"], "and", 10),
+        (["the", "data"], "or", 25),
+        (["crawl"], "and", None),
+        (["nosuchterm", "spark"], "and", 10),
+        (["nosuchterm", "spark"], "or", 10),
+    ]:
+        dist = [
+            (r["doc_id"], r["score"])
+            for r in index.search(terms, k=k, mode=mode).collect()
+        ]
+        local = index.search_local(terms, k=k, mode=mode)
+        assert local == dist, (terms, mode, k)
+    assert index.search_local([], k=5) == []

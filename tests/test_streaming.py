@@ -158,3 +158,52 @@ def test_single_key_lru_and_persistence(spark, store, tmp_path):
 def test_mget_on_empty_store(spark, store):
     assert store.mget(["nothing"]).count() == 0
     assert store.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def test_keyed_running_stats_accumulates_across_restarts(spark, tmp_path):
+    from elasticsearch_assets_spark.streaming.stateful import keyed_running_stats
+
+    src = str(tmp_path / "st_src")
+    ckpt = str(tmp_path / "st_ckpt")
+    _write_batch(
+        spark, src,
+        [Row(event_id=1, ts=_ts(0), val="a"), Row(event_id=1, ts=_ts(1), val="a"),
+         Row(event_id=2, ts=_ts(2), val="b")],
+    )
+
+    def run_once(qname):
+        # foreachBatch sink: supports checkpoint recovery (memory sink does not)
+        collected = []
+        stream = P.file_stream(spark, src, EV_SCHEMA)
+        stats = keyed_running_stats(
+            stream.withColumn("v", F.lit(10.0)),
+            key_col="val", ts_col="ts", value_col="v",
+        )
+        q = (
+            stats.writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {r["key"]: (r["cnt"], r["total"]) for r in collected}
+
+    first = run_once("st1")
+    assert first == {"a": (2, 20.0), "b": (1, 10.0)}
+
+    # more data arrives; a RESTARTED query (same checkpoint) must resume the
+    # persisted per-key state, not restart the counters
+    _write_batch(
+        spark, src,
+        [Row(event_id=3, ts=_ts(3), val="a"), Row(event_id=4, ts=_ts(4), val="c")],
+    )
+    second = run_once("st2")
+    assert second["a"] == (3, 30.0)  # 2 (from state) + 1 new
+    assert second["c"] == (1, 10.0)
+    assert "b" not in second  # update mode: untouched keys aren't re-emitted

@@ -110,3 +110,50 @@ def test_missing_term_semantics():
     assert d.size == 0  # AND with absent term -> empty
     d, s = topk_disjunctive_pruned(["t0", "zz"], postings, idfs, AVGDL, K1, B, 10)
     assert d.size == 10  # OR scores present terms only
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: pruning must be invisible in results
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_pruned_or_fuzz(data):
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    n_docs = data.draw(st.integers(500, 20_000))
+    n_terms = data.draw(st.integers(1, 4))
+    dfs = [
+        data.draw(st.integers(1, min(n_docs, 3000))) for _ in range(n_terms)
+    ]
+    k = data.draw(st.integers(1, 40))
+    postings = _postings(rng, n_docs, dfs)
+    terms = sorted(postings)
+    idfs = {t: idf(n_docs, postings[t].df) for t in terms}
+
+    got_d, got_s = topk_disjunctive_pruned(terms, postings, idfs, AVGDL, K1, B, k)
+    union = np.unique(np.concatenate([postings[t].doc_ids for t in terms]))
+    ref_s = exact_scores(union, terms, postings, idfs, AVGDL, K1, B)
+    order = np.lexsort((union, -ref_s))[:k]
+    assert np.array_equal(got_d, union[order])
+    assert np.array_equal(got_s, ref_s[order])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_selective_block_decode_fuzz(data):
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    df = data.draw(st.integers(1, 2000))
+    row = _random_term(rng, 1_000_000, df)
+    tp = TermPostings(row)
+    full_tf, full_dl = TermPostings(row).full()
+    n_pos = data.draw(st.integers(1, df))
+    positions = np.sort(rng.choice(df, size=n_pos, replace=False))
+    tf, dl = tp.gather(positions)
+    assert np.array_equal(tf, full_tf[positions])
+    assert np.array_equal(dl, full_dl[positions])
