@@ -207,3 +207,65 @@ def _mk_slice(lo: datetime, start_off: int, end_off: int, count: int) -> DateSli
         end=lo + timedelta(milliseconds=end_off),
         count=count,
     )
+
+
+# ---------------------------------------------------------------------------
+# X4: secondary key-subslicing of hot ranges (subslice_by_key)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CombinedSlice:
+    """A hot date range further split by key prefix — the reference's
+    `{start, end, key, count}` slice (slicer.js:323-332 + id_slicer.js:70-76,
+    91-94): emitted when a minimum-width date slice still exceeds the
+    subslice threshold."""
+
+    start: datetime  # inclusive
+    end: datetime  # exclusive
+    prefix: str
+    count: int
+
+
+def combined_predicate(ts_col: str | Column, key_col: str | Column, sl: CombinedSlice) -> Column:
+    from elasticsearch_assets_spark.plans.id_slicer import KeySlice, key_predicate
+
+    return slice_predicate(ts_col, DateSlice(sl.start, sl.end, sl.count)) & key_predicate(
+        key_col, KeySlice(sl.prefix, sl.count)
+    )
+
+
+def subslice_by_key(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    plan: DateSlicePlan,
+    *,
+    threshold: int = 50_000,
+    size: int = 10_000,
+    key_type: str = "base64url",
+    starting_depth: int = 1,
+) -> list["DateSlice | CombinedSlice"]:
+    """Replace slices with count >= threshold by key-prefix sub-slices.
+
+    `threshold` default mirrors subslice_key_threshold
+    (/root/reference/asset/elasticsearch_reader/index.js:154). Slice order is
+    preserved; sub-slices are alphabet-ordered within their range, like the
+    reference's makeKeyList (slicer.js:281-285).
+    """
+    from elasticsearch_assets_spark.plans.id_slicer import plan_key_slices
+
+    out: list[DateSlice | CombinedSlice] = []
+    for sl in plan.slices:
+        if sl.count < threshold:
+            out.append(sl)
+            continue
+        scoped = df.where(slice_predicate(ts_col, sl))
+        keys = plan_key_slices(
+            scoped, key_col, size=size, key_type=key_type, starting_depth=starting_depth
+        )
+        out.extend(
+            CombinedSlice(start=sl.start, end=sl.end, prefix=k.prefix, count=k.count)
+            for k in keys
+        )
+    return out

@@ -25,10 +25,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from elasticsearch_assets_spark.operators import geo as geo_ops
 from elasticsearch_assets_spark.plans.date_slicer import (
+    CombinedSlice,
     DateSlice,
     DateSlicePlan,
+    combined_predicate,
     plan_date_slices,
     slice_predicate,
+    subslice_by_key,
 )
 from elasticsearch_assets_spark.plans.datemath import parse_date_math
 from elasticsearch_assets_spark.plans.id_slicer import (
@@ -63,6 +66,10 @@ class ReaderConfig:
     key_type: str = "base64url"
     key_range: list[str] | None = None
     starting_key_depth: int = 1
+    # X4: secondary key-splitting of hot date ranges
+    # (subslice_key_threshold default: elasticsearch_reader/index.js:154)
+    subslice_by_key: bool = False
+    subslice_key_threshold: int = 50_000
     # analysis
     text_col: str = "text"
 
@@ -198,8 +205,29 @@ class DateReader(BaseReader):
             resolution=c.time_resolution,
         )
 
-    def read_slice(self, sl: DateSlice) -> DataFrame:
-        df = self._base().where(slice_predicate(self.config.date_field_name, sl))
+    def plan_with_subslices(self) -> list["DateSlice | CombinedSlice"]:
+        """X4: the date plan with hot ranges secondarily split by key prefix
+        (requires key_field; subslice_by_key config)."""
+        c = self.config
+        if not (c.subslice_by_key and c.key_field):
+            raise ValueError("plan_with_subslices needs subslice_by_key + key_field")
+        df = self._base()
+        pred = self._predicates()
+        if pred is not None:
+            df = df.where(pred)
+        return subslice_by_key(
+            df, c.date_field_name, c.key_field, self.plan(),
+            threshold=c.subslice_key_threshold, size=c.size,
+            key_type=c.key_type, starting_depth=c.starting_key_depth,
+        )
+
+    def read_slice(self, sl: "DateSlice | CombinedSlice") -> DataFrame:
+        c = self.config
+        if isinstance(sl, CombinedSlice):
+            base_pred = combined_predicate(c.date_field_name, c.key_field, sl)
+        else:
+            base_pred = slice_predicate(c.date_field_name, sl)
+        df = self._base().where(base_pred)
         pred = self._predicates()
         if pred is not None:
             df = df.where(pred)

@@ -149,3 +149,50 @@ class TestIdReader:
         first = plan[0]
         got = r.read_slice(first).count()
         assert got == first.count
+
+
+class TestSubsliceByKey:
+    """X4: hot date ranges secondarily split by key prefix."""
+
+    def test_hot_range_subsliced_and_covering(self, spark, tmp_path):
+        from elasticsearch_assets_spark.plans.date_slicer import CombinedSlice
+        from elasticsearch_assets_spark.sources.reader import DateReader, ReaderConfig
+
+        # 2000 uniform events + 400 at ONE instant: the hot instant is a
+        # minimum-width slice that time-splitting cannot shrink — exactly the
+        # case the reference's subslice_by_key exists for
+        pdf = events_pandas(2400)
+        hot_ts = pdf.loc[1000, "created"]
+        pdf.loc[2000:, "created"] = hot_ts
+        path = str(tmp_path / "hot.parquet")
+        spark.createDataFrame(pdf).write.parquet(path)
+
+        cfg = ReaderConfig(
+            path=path,
+            date_field_name="created",
+            size=200,
+            key_field="id",
+            key_type="base64url",
+            subslice_by_key=True,
+            subslice_key_threshold=300,
+        )
+        rdr = DateReader(spark, cfg)
+        slices = rdr.plan_with_subslices()
+        combined = [s for s in slices if isinstance(s, CombinedSlice)]
+        assert combined, "hot instant should be key-subsliced"
+
+        # every doc lands in exactly one slice: totals add up, reads agree
+        total = sum(s.count for s in slices)
+        assert total == 2400
+        read_total = sum(rdr.read_slice(s).count() for s in slices)
+        assert read_total == total
+        # combined sub-slices respect the size cap (unless at max depth)
+        for s in combined:
+            assert s.count <= 200 or len(s.prefix) >= 8
+
+    def test_requires_config(self, spark, events_path):
+        from elasticsearch_assets_spark.sources.reader import DateReader, ReaderConfig
+
+        cfg = ReaderConfig(path=events_path, date_field_name="created")
+        with pytest.raises(ValueError):
+            DateReader(spark, cfg).plan_with_subslices()
