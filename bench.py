@@ -115,6 +115,10 @@ def main() -> None:
     extras["serving_p50_sec"] = round(statistics.median(slats), 3)
     extras["serving_p95_sec"] = round(slats[int(len(slats) * 0.95) - 1], 3)
 
+    # NOTE: thread-pooled QPS was measured and removed — py4j + the GIL
+    # serialize driver-side jobs, so concurrent-thread numbers just restate
+    # p50. Horizontal serving scale = multiple driver processes per index.
+
     total = time.monotonic() - t_total
     print(
         json.dumps(
