@@ -115,3 +115,38 @@ def test_search_local_identical_to_distributed(index, spark):
         local = index.search_local(terms, k=k, mode=mode)
         assert local == dist, (terms, mode, k)
     assert index.search_local([], k=5) == []
+
+
+def test_head_term_skew_segments_balanced(spark, tmp_path):
+    """Head-term skew: a term in EVERY doc must spread across all segments
+    (doc-hash bucketing is the salt), keeping per-segment posting lists and
+    per-partition work balanced."""
+    import pandas as pd
+
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [f"the the the common filler{i % 7} unique{i}" for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    idx_dir = str(tmp_path / "skew")
+    build_index(spark, df, idx_dir, num_segments=16)
+    idx = InvertedIndex(spark, idx_dir)
+
+    seg_rows = (
+        idx.segments.where("term = 'the'").select("seg_id", "df").collect()
+    )
+    counts = {r["seg_id"]: r["df"] for r in seg_rows}
+    assert len(counts) == 16  # the head term hits every segment
+    mean = n / 16
+    assert max(counts.values()) < 1.5 * mean  # no hot segment
+
+    # and the head-term query still ranks correctly with pruning
+    top = idx.search(["the", "filler3"], k=5, mode="and").collect()
+    assert len(top) == 5
+    assert idx.count_term("the") == n
