@@ -339,6 +339,17 @@ SELECT vec_id, round(cos, 4) AS score FROM (
 """
 
 
+def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only check: the k-means coarse quantizer is trained on
+    the data at runtime, so no static SQL oracle exists; correctness vs
+    brute force is covered by tests/test_similarity_ops.py)."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    cents = OS.train_ivf_centroids(emb, n_centroids=8, sample=2000)
+    out = OS.ann_topk_ivf(emb, qv, k=10, centroids=cents, nprobe=3)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
 def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_table(spark, sf_dir, "documents")
     s = OT.token_stats(docs)
@@ -608,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": _emb_neardup,
         "ann_topk": _ann_topk,
         "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
         "token_stats": _token_stats,
         "quality_score": _quality,
         "lang_id": _lang_id,

@@ -106,6 +106,93 @@ def _query_code(query_vec: list[float], n_planes: int) -> int:
     return int(sum(1 << i for i in range(n_planes) if float(planes[i] @ q) >= 0.0))
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    *,
+    n_centroids: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = _PLANE_SEED,
+) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample (float64, deterministic seed).
+
+    The coarse quantizer needs only a representative sample — at 10^12
+    vectors you still train on ~10^5-10^6 rows; assignment of the full
+    corpus is the distributed part (ivf_assign)."""
+    pdf = df.select(vec_col).limit(sample).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine on normalized = dot
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def _assign_fn(centroids: np.ndarray, vec_col: str):
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            out = pdf.copy()
+            out["centroid"] = np.argmax(x @ centroids.T, axis=1).astype(np.int32)
+            yield out
+
+    return fn
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, centroid) — vectorized Arrow-batch nearest-centroid
+    assignment; write `partitionBy('centroid')` to make probes partition-
+    pruned reads."""
+    schema = f"{id_col} long, {vec_col} array<float>, centroid int"
+    return df.select(id_col, vec_col).mapInPandas(
+        _assign_fn(centroids, vec_col), schema
+    )
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: rank exactly inside the `nprobe` nearest
+    centroids' cells. With `partitionBy('centroid')` storage the probe is a
+    partition-pruned scan of ~nprobe/n_centroids of the corpus."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    probed = assigned.where(F.col("centroid").isin(probes))
+    return cosine_topk(probed, query_vec, k, vec_col=vec_col, id_col=id_col)
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: list[float],

@@ -265,8 +265,12 @@ def compile_filter(
                 return F.col(col).rlike(pattern)
             return F.col(n.field) == F.lit(n.value)
         if isinstance(n, Prefix):
-            if n.field is None:
-                raise ValueError("prefix query needs a field")
+            if n.field is None or n.field in analyzed:
+                # analyzed prefix: any token starts with the prefix
+                col = n.field if n.field is not None and n.field != text_col else text_col
+                return F.exists(
+                    _tokens_col(col), lambda t: t.startswith(n.value.lower())
+                )
             return F.col(n.field).startswith(n.value)
         if isinstance(n, Cmp):
             c = F.col(n.field)

@@ -49,7 +49,12 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
-    assert sql is not None, f"{name} has no oracle"
+    if sql is None:
+        # rows-only contract entry (driver records the weaker check):
+        # must run and produce rows with a stable schema
+        got = q(spark, SF_DIR).toPandas()
+        assert len(got) > 0 and len(got.columns) > 0
+        return
     got = q(spark, SF_DIR).toPandas()
     exp = duck.sql(sql).df()
     assert sorted(got.columns) == sorted(exp.columns), (got.columns, exp.columns)

@@ -89,3 +89,27 @@ class TestCompile:
     def test_text_terms_extraction(self):
         ast = parse_lucene('spark AND lang:en OR "big data" NOT bad')
         assert text_terms(ast) == ["spark", "big", "data"]
+
+
+def test_analyzed_prefix_query(spark):
+    from pyspark.sql import Row
+
+    from elasticsearch_assets_spark.query.lucene import compile_filter, parse_lucene
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="sparkling water"), Row(doc_id=1, text="flat water"),
+         Row(doc_id=2, text="Sparse data")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in df.where(compile_filter(parse_lucene("spar*"))).collect()
+    )
+    assert got == [0, 2]  # sparkling + Sparse (lowercased), not flat
+    # non-analyzed field prefix stays a raw startswith
+    df2 = df.withColumn("tag", df.text)
+    got2 = [
+        r["doc_id"]
+        for r in df2.where(compile_filter(parse_lucene("tag:flat*"))).collect()
+    ]
+    assert got2 == [1]

@@ -189,3 +189,45 @@ def test_frame_sample_shapes(spark, media):
     assert len(bytes(by_doc[1][0]["frame_bytes"])) == 64
     assert len(by_doc[0]) == 1  # short doc -> single frame
     assert 2 not in by_doc or len(by_doc[2]) == 1
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_assignment_and_recall(spark):
+    rng = np.random.default_rng(5)
+    # 4 well-separated clusters of 25 vectors
+    centers = rng.standard_normal((4, 16)) * 4
+    vecs = np.vstack([
+        c + 0.1 * rng.standard_normal((25, 16)) for c in centers
+    ]).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = S.train_ivf_centroids(df, n_centroids=4, sample=100, iters=15)
+    assert cents.shape == (4, 16)
+
+    assigned = S.ivf_assign(df, cents)
+    by_cell = {
+        r["vec_id"]: r["centroid"] for r in assigned.collect()
+    }
+    # members of the same true cluster land in the same cell
+    for base in (0, 25, 50, 75):
+        cells = {by_cell[base + j] for j in range(25)}
+        assert len(cells) == 1, f"cluster at {base} split across {cells}"
+
+    q = [float(x) for x in centers[2]]
+    got = S.ann_topk_ivf(df, q, k=10, centroids=cents, nprobe=1).collect()
+    ids = {r["vec_id"] for r in got}
+    assert ids <= set(range(50, 75))  # all from the right cluster
+    exact = _np_topk(vecs, np.asarray(q), 10)
+    assert ids == {i for i, _ in exact}  # full recall on separated clusters
+
+
+def test_ivf_deterministic_training(spark, vdf):
+    a = S.train_ivf_centroids(vdf, n_centroids=8, sample=60)
+    b = S.train_ivf_centroids(vdf, n_centroids=8, sample=60)
+    assert np.array_equal(a, b)
