@@ -96,6 +96,37 @@ class ReaderConfig:
             raise ValueError("time_resolution must be 's' or 'ms'")
 
 
+def attach_metadata(
+    df: DataFrame,
+    *,
+    key_col: str | None = None,
+    event_ts_col: str | None = None,
+    index_name: str | None = None,
+) -> DataFrame:
+    """S1 metadata mapping: the reference wraps every hit as
+    DataEntity.make(_source, {_key, _processTime, _ingestTime, _eventTime,
+    _index}) (/root/reference/asset/elasticsearch_reader/reader.js:14-28).
+    Spark has no hidden per-row metadata, so they become plain columns:
+    deterministic where possible (_key from a column, _event_ts from the
+    date field), wall-clock stamps where the reference also used wall-clock.
+    """
+    out = df
+    if key_col is not None:
+        out = out.withColumn("_key", F.col(key_col).cast("string"))
+    else:
+        # engine-assigned deterministic key (C7) — content hash
+        out = out.withColumn(
+            "_key", F.sha1(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+        )
+    now = F.current_timestamp()
+    out = out.withColumn("_process_ts", now).withColumn("_ingest_ts", now)
+    if event_ts_col is not None:
+        out = out.withColumn("_event_ts", F.col(event_ts_col))
+    if index_name is not None:
+        out = out.withColumn("_index", F.lit(index_name))
+    return out
+
+
 class BaseReader:
     def __init__(self, spark: SparkSession, config: ReaderConfig):
         self.spark = spark

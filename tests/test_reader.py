@@ -196,3 +196,27 @@ class TestSubsliceByKey:
         cfg = ReaderConfig(path=events_path, date_field_name="created")
         with pytest.raises(ValueError):
             DateReader(spark, cfg).plan_with_subslices()
+
+
+class TestMetadataColumns:
+    def test_attach_metadata(self, spark, events_path):
+        from elasticsearch_assets_spark.sources.reader import attach_metadata
+
+        df = spark.read.parquet(events_path).limit(5)
+        out = attach_metadata(
+            df, key_col="id", event_ts_col="created", index_name="events-v1"
+        )
+        rows = out.collect()
+        for r in rows:
+            assert r["_key"] == r["id"]
+            assert r["_event_ts"] == r["created"]
+            assert r["_index"] == "events-v1"
+            assert r["_process_ts"] is not None and r["_ingest_ts"] is not None
+
+    def test_auto_key_is_deterministic(self, spark, events_path):
+        from elasticsearch_assets_spark.sources.reader import attach_metadata
+
+        df = spark.read.parquet(events_path).limit(5).select("id", "url")
+        a = {r["id"]: r["_key"] for r in attach_metadata(df).collect()}
+        b = {r["id"]: r["_key"] for r in attach_metadata(df).collect()}
+        assert a == b and all(len(k) == 40 for k in a.values())
