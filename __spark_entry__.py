@@ -49,13 +49,18 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
         )
         import json
 
+        from elasticsearch_assets_spark.analysis.tokenizer import TOKENIZER_VERSION
         from elasticsearch_assets_spark.index.codec import CODEC_VERSION
 
         meta_path = os.path.join(idx_dir, "meta.json")
         stale = True
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
-                stale = json.load(fh).get("codec_version") != CODEC_VERSION
+                m = json.load(fh)
+            stale = (
+                m.get("codec_version") != CODEC_VERSION
+                or m.get("tokenizer_version") != TOKENIZER_VERSION
+            )
         if stale:
             docs = load_sf_table(spark, sf_dir, "documents")
             build_index(

@@ -46,7 +46,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from elasticsearch_assets_spark.analysis.tokenizer import TOKENIZER_VERSION, tokenize_series
+from elasticsearch_assets_spark.analysis.tokenizer import (
+    TOKENIZER_VERSION,
+    encode_tokens,
+    tokenize_flat,
+)
 from elasticsearch_assets_spark.index.codec import CODEC_VERSION, encode_postings_batch
 from elasticsearch_assets_spark.index.stats import IndexMeta
 
@@ -68,15 +72,14 @@ MANIFEST_FIELDS = (
 def _tokenize_batch(pdf: pd.DataFrame):
     """One (doc_id, text, seg_id) batch -> (uniques obj[], codes i64[],
     docs i64[], tfs i64[], dls i64[], segs i64[]) with tf pre-aggregated per
-    (doc, term) via factorize. Term strings leave this function only as the
-    small per-batch vocabulary; postings carry int codes."""
-    toks = tokenize_series(pdf["text"])
-    lens = toks.str.len().to_numpy(dtype=np.int64)
+    (doc, term). Tokenization + term coding stay in Arrow/RE2 kernels
+    (tokenize_flat + dictionary_encode, ~2x the pandas-regex path); term
+    strings leave this function only as the small per-batch vocabulary."""
+    flat, lens = tokenize_flat(pdf["text"])
     if lens.sum() == 0:
         e = np.array([], dtype=np.int64)
         return np.array([], dtype=object), e, e, e, e, e
-    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-    codes, uniques = pd.factorize(flat_terms, sort=False)
+    codes, uniques = encode_tokens(flat)
     flat_docidx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
     key = flat_docidx * len(uniques) + codes
     uk, counts = np.unique(key, return_counts=True)

@@ -68,3 +68,38 @@ def test_pages_subset_ids_match_full():
     sub = pages_pandas(100, ids=np.array([3, 17, 99]))
     for col in full.columns:
         assert sub[col].tolist() == full.iloc[[3, 17, 99]][col].tolist()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=["L", "N", "P", "Z", "M", "S", "C"]
+            ),
+            max_size=80,
+        ),
+        max_size=20,
+    )
+)
+def test_tokenize_flat_matches_scalar_contract(texts):
+    """The Arrow/RE2 flat tokenizer must equal the Python spec exactly —
+    any divergence is a tokenizer-contract break."""
+    import pandas as pd
+
+    from elasticsearch_assets_spark.analysis.tokenizer import (
+        encode_tokens,
+        tokenize,
+        tokenize_flat,
+    )
+
+    s = pd.Series(texts, dtype=object)
+    flat, lens = tokenize_flat(s)
+    flat_list = (
+        flat.to_pylist() if hasattr(flat, "to_pylist") else list(flat)
+    )
+    expected = [tokenize(t) for t in texts]
+    assert lens.tolist() == [len(e) for e in expected]
+    assert flat_list == [tok for e in expected for tok in e]
+    codes, uniques = encode_tokens(flat)
+    assert [uniques[c] for c in codes] == flat_list
