@@ -338,8 +338,12 @@ def finalize_index(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
     stats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    # committed chunks + compaction rows (whose n_docs is a corrective
+    # delta after a tombstone purge)
     n_docs = sum(
-        r["n_docs"] for r in read_manifest(index_dir) if r["status"] == "committed"
+        r["n_docs"]
+        for r in read_manifest(index_dir)
+        if r["status"] == "committed" or r["status"].startswith("compacted")
     )
     # total tokens from the (tiny) stats table, not another segments scan
     total = (

@@ -44,21 +44,27 @@ def _score_segment(
     b: float,
     mode: str,
     k: int | None,
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score one segment's posting lists for the query. `terms` is sorted.
 
     AND: docID-intersection first, tf/dl block-decoded only for survivors.
     OR + k: block-max pruned candidate selection (wand.py), rank-safe.
     OR all: exhaustive union scoring.
+    `excluded` (tombstoned doc ids) are dropped before ranking.
     In every path the exact scorer accumulates terms in sorted order —
     results are independent of pruning and of segment count.
     """
+    from elasticsearch_assets_spark.query.wand import _exclude
+
     postings = {row["term"]: TermPostings(row) for _, row in pdf.iterrows()}
     if mode == "and":
-        docs, score = topk_conjunctive(terms, postings, idfs, avgdl, k1, b, k)
+        docs, score = topk_conjunctive(
+            terms, postings, idfs, avgdl, k1, b, k, excluded
+        )
     elif k is not None:
         docs, score = topk_disjunctive_pruned(
-            terms, postings, idfs, avgdl, k1, b, k
+            terms, postings, idfs, avgdl, k1, b, k, excluded
         )
     else:
         present = [t for t in terms if t in postings]
@@ -66,8 +72,9 @@ def _score_segment(
             docs = np.array([], dtype=np.int64)
             score = np.array([], dtype=np.float64)
         else:
-            docs = np.unique(
-                np.concatenate([postings[t].doc_ids for t in present])
+            docs = _exclude(
+                np.unique(np.concatenate([postings[t].doc_ids for t in present])),
+                excluded,
             )
             score = exact_scores(docs, terms, postings, idfs, avgdl, k1, b)
             order = np.lexsort((docs, -score))
@@ -87,11 +94,21 @@ class InvertedIndex:
     def __init__(
         self, spark: SparkSession, index_dir: str, driver_stats_rows: int = 5_000_000
     ):
+        from elasticsearch_assets_spark.index.tombstones import load_tombstones
+
         self.spark = spark
         self.index_dir = index_dir
         self.meta: IndexMeta = load_meta(index_dir)
         self._driver_stats_rows = driver_stats_rows
         self._stats_cache: dict[str, int] | None = None
+        # deletions: excluded before ranking; df/N/avgdl still include them
+        # until compaction — the ES/Lucene deleted-docs contract
+        self.tombstones: np.ndarray = load_tombstones(index_dir)
+
+    def refresh_tombstones(self) -> None:
+        from elasticsearch_assets_spark.index.tombstones import load_tombstones
+
+        self.tombstones = load_tombstones(self.index_dir)
 
     @property
     def segments(self) -> DataFrame:
@@ -143,9 +160,10 @@ class InvertedIndex:
         meta = self.meta
         idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
         avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
 
         def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_segment(pdf, terms, idfs, avgdl, k1, b, mode, k)
+            return _score_segment(pdf, terms, idfs, avgdl, k1, b, mode, k, excluded)
 
         per_seg = (
             self.segments.where(F.col("term").isin(terms))
@@ -184,19 +202,24 @@ class InvertedIndex:
         idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
+        from elasticsearch_assets_spark.query.wand import _exclude
+
         for postings in by_seg.values():
             if mode == "and":
                 d, s = topk_conjunctive(
-                    terms, postings, idfs, meta.avgdl, meta.k1, meta.b, k
+                    terms, postings, idfs, meta.avgdl, meta.k1, meta.b, k,
+                    self.tombstones,
                 )
             elif k is not None:
                 d, s = topk_disjunctive_pruned(
-                    terms, postings, idfs, meta.avgdl, meta.k1, meta.b, k
+                    terms, postings, idfs, meta.avgdl, meta.k1, meta.b, k,
+                    self.tombstones,
                 )
             else:
                 present = [t for t in terms if t in postings]
                 d = np.unique(np.concatenate([postings[t].doc_ids for t in present])) \
                     if present else np.array([], dtype=np.int64)
+                d = _exclude(d, self.tombstones)
                 s = exact_scores(d, terms, postings, idfs, meta.avgdl, meta.k1, meta.b)
             out_docs.append(d)
             out_scores.append(s)

@@ -109,6 +109,14 @@ def exact_scores(
     return score
 
 
+def _exclude(docs: np.ndarray, excluded: np.ndarray | None) -> np.ndarray:
+    """Drop tombstoned docs BEFORE ranking (rank-safe for survivors;
+    ES/Lucene-identical: stats still count deleted docs until merge)."""
+    if excluded is None or excluded.size == 0 or docs.size == 0:
+        return docs
+    return docs[~np.isin(docs, excluded, assume_unique=False)]
+
+
 def topk_disjunctive_pruned(
     terms: list[str],
     postings: dict[str, TermPostings],
@@ -117,6 +125,7 @@ def topk_disjunctive_pruned(
     k1: float,
     b: float,
     k: int,
+    excluded: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Rank-safe pruned top-k OR scoring. Returns (doc_ids, scores) of ≤ k
     docs ordered (score DESC, doc_id ASC)."""
@@ -124,12 +133,21 @@ def topk_disjunctive_pruned(
     if not present:
         e = np.array([], dtype=np.int64)
         return e, np.array([], dtype=np.float64)
-    union = np.unique(np.concatenate([postings[t].doc_ids for t in present]))
+    union = _exclude(
+        np.unique(np.concatenate([postings[t].doc_ids for t in present])), excluded
+    )
+    if union.size == 0:
+        e = np.array([], dtype=np.int64)
+        return e, np.array([], dtype=np.float64)
     ub = np.zeros(union.size, dtype=np.float64)
     for t in present:
         tp = postings[t]
         at = np.searchsorted(union, tp.doc_ids)
-        ub[at] += tp.posting_bounds(idfs[t], avgdl, k1, b)
+        # excluded docs are absent from `union` — mask their postings so
+        # their bounds don't land on a neighbor (or out of range)
+        valid = (at < union.size) & (union[np.minimum(at, union.size - 1)] == tp.doc_ids)
+        bounds = tp.posting_bounds(idfs[t], avgdl, k1, b)
+        ub[at[valid]] += bounds[valid]  # positions unique per term
 
     if union.size <= max(4 * k, 256):
         cand = union  # pruning overhead beats nothing this small
@@ -154,6 +172,7 @@ def topk_conjunctive(
     k1: float,
     b: float,
     k: int | None,
+    excluded: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """AND scoring: docID-stream intersection first (smallest list outward),
     tf/dl decoded only for blocks holding surviving docs."""
@@ -161,7 +180,7 @@ def topk_conjunctive(
         e = np.array([], dtype=np.int64)
         return e, np.array([], dtype=np.float64)
     by_size = sorted(terms, key=lambda t: postings[t].df)
-    cand = postings[by_size[0]].doc_ids
+    cand = _exclude(postings[by_size[0]].doc_ids, excluded)
     for t in by_size[1:]:
         cand = cand[np.isin(cand, postings[t].doc_ids, assume_unique=True)]
         if cand.size == 0:

@@ -68,3 +68,69 @@ def test_merge_preserves_results_and_shrinks_segments(spark, built):
 def test_merge_is_atomic_no_leftover_dirs(spark, built):
     assert not os.path.exists(os.path.join(built, "segments.tmp"))
     assert not os.path.exists(os.path.join(built, "segments.old"))
+
+
+# ---------------------------------------------------------------------------
+# tombstone deletions
+# ---------------------------------------------------------------------------
+
+
+def test_tombstones_exclude_then_purge(spark, tmp_path):
+    from elasticsearch_assets_spark.index.tombstones import (
+        add_tombstones,
+        load_tombstones,
+    )
+    from elasticsearch_assets_spark.index.merge import count_distinct_docs
+
+    idx = str(tmp_path / "tomb")
+    corpus = pages_df(spark, 1500, partitions=4)
+    build_index(spark, corpus, idx, num_segments=8)
+    base = InvertedIndex(spark, idx)
+    full = base.search(["the", "data"], k=30, mode="or").collect()
+    victims = {r["doc_id"] for r in full[:5]}
+
+    assert add_tombstones(idx, victims) == 5
+    ix = InvertedIndex(spark, idx)  # reload picks up tombstones
+    got = ix.search(["the", "data"], k=30, mode="or").collect()
+    assert not ({r["doc_id"] for r in got} & victims)
+    # surviving docs keep their exact pre-delete scores (stats unchanged
+    # until merge — the ES deleted-docs contract)
+    before = {r["doc_id"]: r["score"] for r in full}
+    for r in got:
+        if r["doc_id"] in before:
+            assert r["score"] == before[r["doc_id"]]
+    # serving path agrees
+    assert [(r["doc_id"], r["score"]) for r in got] == ix.search_local(
+        ["the", "data"], k=30, mode="or"
+    )
+
+    # compaction purges physically and corrects stats
+    n_before = ix.meta.n_docs
+    merge_segments(spark, idx, target_segments=4)
+    assert load_tombstones(idx).size == 0
+    purged = InvertedIndex(spark, idx)
+    assert purged.meta.n_docs == n_before - 5
+    assert count_distinct_docs(spark, idx) == n_before - 5
+    got2 = purged.search(["the", "data"], k=30, mode="or").collect()
+    assert not ({r["doc_id"] for r in got2} & victims)
+    # ranking of survivors is stable (same relative order; scores shift
+    # because df/avgdl now reflect the purge)
+    assert [r["doc_id"] for r in got2[:10]] == [
+        r["doc_id"] for r in got if r["doc_id"] not in victims
+    ][:10]
+
+
+def test_tombstone_files_are_cumulative(tmp_path):
+    from elasticsearch_assets_spark.index.tombstones import (
+        add_tombstones,
+        clear_tombstones,
+        load_tombstones,
+    )
+
+    d = str(tmp_path / "i")
+    add_tombstones(d, [3, 1])
+    add_tombstones(d, [2, 3])
+    assert load_tombstones(d).tolist() == [1, 2, 3]
+    assert add_tombstones(d, []) == 0
+    clear_tombstones(d)
+    assert load_tombstones(d).size == 0
