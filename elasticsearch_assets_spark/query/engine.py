@@ -45,26 +45,28 @@ def _score_segment(
     mode: str,
     k: int | None,
     excluded: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score one segment's posting lists for the query. `terms` is sorted.
 
     AND: docID-intersection first, tf/dl block-decoded only for survivors.
     OR + k: block-max pruned candidate selection (wand.py), rank-safe.
     OR all: exhaustive union scoring.
-    `excluded` (tombstoned doc ids) are dropped before ranking.
+    `excluded` (tombstones) are dropped and, when `allowed` is given,
+    ranking is restricted to that doc set — both before the top-k cut.
     In every path the exact scorer accumulates terms in sorted order —
     results are independent of pruning and of segment count.
     """
-    from elasticsearch_assets_spark.query.wand import _exclude
+    from elasticsearch_assets_spark.query.wand import restrict
 
     postings = {row["term"]: TermPostings(row) for _, row in pdf.iterrows()}
     if mode == "and":
         docs, score = topk_conjunctive(
-            terms, postings, idfs, avgdl, k1, b, k, excluded
+            terms, postings, idfs, avgdl, k1, b, k, excluded, allowed
         )
     elif k is not None:
         docs, score = topk_disjunctive_pruned(
-            terms, postings, idfs, avgdl, k1, b, k, excluded
+            terms, postings, idfs, avgdl, k1, b, k, excluded, allowed
         )
     else:
         present = [t for t in terms if t in postings]
@@ -72,9 +74,10 @@ def _score_segment(
             docs = np.array([], dtype=np.int64)
             score = np.array([], dtype=np.float64)
         else:
-            docs = _exclude(
+            docs = restrict(
                 np.unique(np.concatenate([postings[t].doc_ids for t in present])),
                 excluded,
+                allowed,
             )
             score = exact_scores(docs, terms, postings, idfs, avgdl, k1, b)
             order = np.lexsort((docs, -score))
@@ -146,11 +149,13 @@ class InvertedIndex:
         query: str | list[str],
         k: int | None = 10,
         mode: str = "and",
+        allowed: "np.ndarray | None" = None,
     ) -> DataFrame:
         """Top-k BM25. `query` is a raw text (tokenized with the index
         analyzer) or a pre-tokenized term list. Returns (doc_id, score),
         globally ordered (score DESC, doc_id ASC), ≤ k rows (all matches
-        when k is None)."""
+        when k is None). `allowed` restricts ranking to a doc-id set (the
+        reference's `range AND (query)` composition — see search_filtered)."""
         terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -163,7 +168,9 @@ class InvertedIndex:
         excluded = self.tombstones
 
         def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_segment(pdf, terms, idfs, avgdl, k1, b, mode, k, excluded)
+            return _score_segment(
+                pdf, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed
+            )
 
         per_seg = (
             self.segments.where(F.col("term").isin(terms))
@@ -231,6 +238,35 @@ class InvertedIndex:
         if k is not None:
             order = order[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
+
+    def search_filtered(
+        self,
+        query: str | list[str],
+        filtered: DataFrame,
+        k: int | None = 10,
+        mode: str = "and",
+        *,
+        id_col: str = "doc_id",
+        collect_cap: int = 5_000_000,
+    ) -> DataFrame:
+        """The reference's full query composition: BM25 top-k AMONG the docs
+        matching a structured filter (`range AND (user query)`,
+        /root/reference/asset/simple_api_reader/index.js:67-84). `filtered`
+        is any DataFrame of matching docs (e.g. a DateReader scan).
+
+        Selective filters (≤ collect_cap ids) broadcast the id set into the
+        scoring kernels — restriction happens before the top-k cut, one
+        job. Larger filters fall back to exhaustive scoring + semi join +
+        re-limit (correct for any selectivity, costs a full OR scan)."""
+        ids = filtered.select(F.col(id_col).cast("long").alias(id_col))
+        sample = ids.limit(collect_cap + 1).collect()
+        if len(sample) <= collect_cap:
+            allowed = np.sort(np.array([r[id_col] for r in sample], dtype=np.int64))
+            return self.search(query, k=k, mode=mode, allowed=allowed)
+        scored = self.search(query, k=None, mode=mode)
+        out = scored.join(ids.distinct(), scored.doc_id == ids[id_col], "left_semi")
+        out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return out.limit(k) if k is not None else out
 
     def materialize(self, topk: DataFrame, corpus: DataFrame, on: str = "doc_id") -> DataFrame:
         """J3: join the k winners back to their documents (broadcast the ids)."""

@@ -117,6 +117,21 @@ def _exclude(docs: np.ndarray, excluded: np.ndarray | None) -> np.ndarray:
     return docs[~np.isin(docs, excluded, assume_unique=False)]
 
 
+def restrict(
+    docs: np.ndarray,
+    excluded: np.ndarray | None,
+    allowed: np.ndarray | None,
+) -> np.ndarray:
+    """Candidate restriction before ranking: drop tombstones, and (for
+    filtered search — the reference's `range AND (query)` composition)
+    keep only docs passing the structured filter. Restriction-before-top-k
+    is rank-safe for the surviving docs."""
+    docs = _exclude(docs, excluded)
+    if allowed is not None and docs.size:
+        docs = docs[np.isin(docs, allowed, assume_unique=False)]
+    return docs
+
+
 def topk_disjunctive_pruned(
     terms: list[str],
     postings: dict[str, TermPostings],
@@ -126,6 +141,7 @@ def topk_disjunctive_pruned(
     b: float,
     k: int,
     excluded: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Rank-safe pruned top-k OR scoring. Returns (doc_ids, scores) of ≤ k
     docs ordered (score DESC, doc_id ASC)."""
@@ -133,8 +149,9 @@ def topk_disjunctive_pruned(
     if not present:
         e = np.array([], dtype=np.int64)
         return e, np.array([], dtype=np.float64)
-    union = _exclude(
-        np.unique(np.concatenate([postings[t].doc_ids for t in present])), excluded
+    union = restrict(
+        np.unique(np.concatenate([postings[t].doc_ids for t in present])),
+        excluded, allowed,
     )
     if union.size == 0:
         e = np.array([], dtype=np.int64)
@@ -173,6 +190,7 @@ def topk_conjunctive(
     b: float,
     k: int | None,
     excluded: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """AND scoring: docID-stream intersection first (smallest list outward),
     tf/dl decoded only for blocks holding surviving docs."""
@@ -180,7 +198,7 @@ def topk_conjunctive(
         e = np.array([], dtype=np.int64)
         return e, np.array([], dtype=np.float64)
     by_size = sorted(terms, key=lambda t: postings[t].df)
-    cand = _exclude(postings[by_size[0]].doc_ids, excluded)
+    cand = restrict(postings[by_size[0]].doc_ids, excluded, allowed)
     for t in by_size[1:]:
         cand = cand[np.isin(cand, postings[t].doc_ids, assume_unique=True)]
         if cand.size == 0:

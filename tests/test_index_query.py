@@ -150,3 +150,28 @@ def test_head_term_skew_segments_balanced(spark, tmp_path):
     top = idx.search(["the", "filler3"], k=5, mode="and").collect()
     assert len(top) == 5
     assert idx.count_term("the") == n
+
+
+def test_search_filtered_composition(index, spark):
+    """F1+P2 composed: top-k among docs passing a structured filter must
+    equal filtering the exhaustive ranking — for both the broadcast path
+    and the join fallback."""
+    from elasticsearch_assets_spark.sources.tables import load_sf_table
+
+    full = index.search(["spark", "table"], k=None, mode="or").collect()
+    assert len(full) > 20
+    keep = {r["doc_id"] for r in full if r["doc_id"] % 3 == 0}
+    filtered_df = spark.createDataFrame(
+        [(int(d),) for d in keep], "doc_id long"
+    )
+    want = [
+        (r["doc_id"], r["score"]) for r in full if r["doc_id"] in keep
+    ][:10]
+
+    fast = index.search_filtered(["spark", "table"], filtered_df, k=10, mode="or")
+    assert [(r["doc_id"], r["score"]) for r in fast.collect()] == want
+
+    slow = index.search_filtered(
+        ["spark", "table"], filtered_df, k=10, mode="or", collect_cap=2
+    )
+    assert [(r["doc_id"], r["score"]) for r in slow.collect()] == want
