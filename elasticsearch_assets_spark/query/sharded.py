@@ -1,0 +1,115 @@
+"""Sharded index serving (the 10^12-doc topology, docs/SCALE.md).
+
+One index directory per shard (disjoint doc sets — e.g. one per corpus
+partition family or time range). Queries compute **global** collection
+statistics (df summed across shards, N/avgdl combined) and rank each shard
+with those — so scores are identical to a single monolithic index over the
+union corpus (tested), exactly how Elasticsearch computes distributed IDF
+with DFS query-then-fetch. The per-shard work reuses the serving kernels;
+the coordinator merges per-shard top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_assets_spark.analysis.tokenizer import tokenize
+from elasticsearch_assets_spark.query.bm25 import idf
+from elasticsearch_assets_spark.query.engine import TOPK_SCHEMA, InvertedIndex
+
+
+class ShardedIndex:
+    def __init__(self, spark: SparkSession, shard_dirs: list[str]):
+        if not shard_dirs:
+            raise ValueError("need at least one shard")
+        self.spark = spark
+        self.shards = [InvertedIndex(spark, d) for d in shard_dirs]
+        self.n_docs = sum(s.meta.n_docs for s in self.shards)
+        self.total_tokens = sum(s.meta.total_tokens for s in self.shards)
+        self.avgdl = self.total_tokens / self.n_docs
+        # k1/b must agree across shards
+        k1s = {(s.meta.k1, s.meta.b) for s in self.shards}
+        if len(k1s) != 1:
+            raise ValueError(f"shards disagree on BM25 params: {k1s}")
+        (self.k1, self.b), = k1s
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Global df = sum over shards (disjoint doc sets)."""
+        out: dict[str, int] = {}
+        for s in self.shards:
+            for t, df_ in s.term_stats(terms).items():
+                out[t] = out.get(t, 0) + df_
+        return out
+
+    def count_term(self, term: str) -> int:
+        return self.term_stats([term]).get(term, 0)
+
+    def search_local(
+        self, query: str | list[str], k: int | None = 10, mode: str = "and"
+    ) -> list[tuple[int, float]]:
+        """Coordinating-node search: global idfs -> per-shard kernel scoring
+        -> k-way merge with the canonical (score DESC, doc_id ASC) order."""
+        terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+        if not terms:
+            return []
+        dfs = self.term_stats(terms)
+        if mode == "and" and len(dfs) != len(terms):
+            return []
+        idfs = {t: idf(self.n_docs, dfs.get(t, 0)) for t in terms}
+        allhits: list[tuple[int, float]] = []
+        for s in self.shards:
+            allhits.extend(
+                self._shard_local(s, terms, idfs, k, mode)
+            )
+        allhits.sort(key=lambda ds: (-ds[1], ds[0]))
+        return allhits[:k] if k is not None else allhits
+
+    def _shard_local(self, shard, terms, idfs, k, mode):
+        """search_local's kernel loop with GLOBAL (idfs, avgdl) substituted."""
+        from pyspark.sql import functions as SF
+
+        from elasticsearch_assets_spark.query.wand import (
+            TermPostings,
+            exact_scores,
+            restrict,
+            topk_conjunctive,
+            topk_disjunctive_pruned,
+        )
+
+        rows = shard.segments.where(SF.col("term").isin(terms)).collect()
+        by_seg: dict[int, dict] = {}
+        for r in rows:
+            by_seg.setdefault(r["seg_id"], {})[r["term"]] = TermPostings(r)
+        out: list[tuple[int, float]] = []
+        for postings in by_seg.values():
+            if mode == "and":
+                d, s = topk_conjunctive(
+                    terms, postings, idfs, self.avgdl, self.k1, self.b, k,
+                    shard.tombstones,
+                )
+            elif k is not None:
+                d, s = topk_disjunctive_pruned(
+                    terms, postings, idfs, self.avgdl, self.k1, self.b, k,
+                    shard.tombstones,
+                )
+            else:
+                present = [t for t in terms if t in postings]
+                d = (
+                    np.unique(np.concatenate([postings[t].doc_ids for t in present]))
+                    if present
+                    else np.array([], dtype=np.int64)
+                )
+                d = restrict(d, shard.tombstones, None)
+                s = exact_scores(
+                    d, terms, postings, idfs, self.avgdl, self.k1, self.b
+                )
+            out.extend(zip((int(x) for x in d), (float(x) for x in s)))
+        return out
+
+    def search(
+        self, query: str | list[str], k: int | None = 10, mode: str = "and"
+    ) -> DataFrame:
+        """DataFrame result for parity with InvertedIndex.search."""
+        hits = self.search_local(query, k=k, mode=mode)
+        return self.spark.createDataFrame(hits or [], TOPK_SCHEMA)
