@@ -109,6 +109,19 @@ def exact_scores(
     return score
 
 
+def _sorted_intersect(small: np.ndarray, big: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED unique id arrays via binary search on the
+    larger — O(|small| log |big|), the galloping-intersection shape a
+    rare∧head query needs (np.isin would re-sort the head list every call)."""
+    if small.size == 0 or big.size == 0:
+        return np.array([], dtype=np.int64)
+    if small.size > big.size:
+        small, big = big, small
+    pos = np.searchsorted(big, small)
+    pos_c = np.minimum(pos, big.size - 1)
+    return small[big[pos_c] == small]
+
+
 def _exclude(docs: np.ndarray, excluded: np.ndarray | None) -> np.ndarray:
     """Drop tombstoned docs BEFORE ranking (rank-safe for survivors;
     ES/Lucene-identical: stats still count deleted docs until merge)."""
@@ -200,7 +213,7 @@ def topk_conjunctive(
     by_size = sorted(terms, key=lambda t: postings[t].df)
     cand = restrict(postings[by_size[0]].doc_ids, excluded, allowed)
     for t in by_size[1:]:
-        cand = cand[np.isin(cand, postings[t].doc_ids, assume_unique=True)]
+        cand = _sorted_intersect(cand, postings[t].doc_ids)
         if cand.size == 0:
             e = np.array([], dtype=np.int64)
             return e, np.array([], dtype=np.float64)
