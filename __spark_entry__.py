@@ -247,6 +247,30 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents")
+    pairs = OD.ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    return OD.dedup_clusters(docs.select("doc_id"), pairs, max_iter=50)
+
+
+# min-label connected components as a recursive CTE; `c.r < e.b` prunes the
+# reachability expansion to shrinking labels only (still derives the
+# component min along any path from the min node)
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+comp(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, c.r FROM comp c JOIN edges e ON e.a = c.id WHERE c.r < e.b
+)
+SELECT id AS doc_id, min(r) AS rep FROM comp GROUP BY id
+"""
+
+
 def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_table(spark, sf_dir, "documents")
     return OD.simhash_fingerprints(docs, n_bits=32).select(
@@ -619,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": _dedup_ngram_pairs,
         "minhash_sigs": _minhash_sigs,
         "lsh_candidates": _lsh_candidates,
+        "dedup_clusters": _dedup_clusters,
         "simhash_fps": _simhash_fps,
         "simhash_pairs": _simhash_pairs,
         "emb_neardup": _emb_neardup,
@@ -673,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": _NGRAM_PAIRS_SQL,
         "minhash_sigs": _MINHASH_SQL,
         "lsh_candidates": _LSH_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "simhash_fps": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "emb_neardup": _EMB_NEARDUP_SQL,

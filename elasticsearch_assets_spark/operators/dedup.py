@@ -279,6 +279,56 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (connected components -> canonical representative)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Assign every doc the MIN doc id of its near-dup connected component.
+
+    `pairs` is any (id_a, id_b) near-dup edge set (Jaccard/LSH/SimHash/
+    cosine). Iterative min-label propagation over the undirected edges; each
+    round is one join + min-aggregate, converging in O(component diameter)
+    rounds (near-dup components are shallow; cap max_iter). The standard
+    keep-one-per-cluster filter is then `WHERE doc_id = rep`.
+
+    At 10^12 scale: label propagation is the Spark-idiomatic component
+    algorithm (alternating large-star/small-star halves the rounds; the
+    simple propagation keeps the plan to joins the optimizer understands).
+    Convergence check is a count of changed labels per round (one action).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = ids.select(F.col(id_col).alias("id")).withColumn("rep", F.col("id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("rep").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce("nmin", F.col("rep"))).alias("new_rep"),
+                F.col("rep"),
+            )
+        ).cache()
+        changed = updated.where(F.col("new_rep") != F.col("rep")).count()
+        labels = updated.select("id", F.col("new_rep").alias("rep"))
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "rep")
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

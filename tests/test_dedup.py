@@ -180,3 +180,25 @@ def test_embedding_neardup_pairs(spark):
     assert set(got) == set(want) and (3, 5) in got
     for p, c in got.items():
         assert c == pytest.approx(want[p], abs=1e-9)
+
+
+def test_dedup_clusters_connected_components(spark):
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # components: {0,1,2,3} (chain), {5,6}, singletons 4,7,8,9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    reps = {r["doc_id"]: r["rep"] for r in D.dedup_clusters(ids, pairs).collect()}
+    assert reps == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+
+def test_dedup_clusters_from_jaccard_pairs(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, n=1, threshold=0.75)
+    ids = docs.select("doc_id")
+    reps = {r["doc_id"]: r["rep"] for r in D.dedup_clusters(ids, pairs).collect()}
+    # docs 0,1,2 are one near-dup component; 3,4 another; 5 alone
+    assert reps[0] == reps[1] == reps[2] == 0
+    assert reps[3] == reps[4] == 3
+    assert reps[5] == 5
+    survivors = sorted(d for d, r in reps.items() if d == r)
+    assert survivors == [0, 3, 5]
