@@ -119,6 +119,25 @@ def main() -> None:
     # serialize driver-side jobs, so concurrent-thread numbers just restate
     # p50. Horizontal serving scale = multiple driver processes per index.
 
+    # --- training-data pipeline operators over the sf tables ----------------
+    from elasticsearch_assets_spark.operators import dedup as OD
+    from elasticsearch_assets_spark.operators import similarity as OS
+
+    docs = load_sf_table(spark, SF_DIR, "documents")
+    t0 = time.monotonic()
+    OD.minhash_signatures(docs, n=1, k=8).count()
+    queries["op_minhash_sigs"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    # max_bucket: the synthetic vocab is tiny, so identical-signature
+    # buckets degenerate — the skew cap is the designed defense
+    OD.lsh_candidate_pairs(docs, n=1, k=8, bands=4, max_bucket=100).count()
+    queries["op_lsh_candidates"] = round(time.monotonic() - t0, 3)
+    emb = load_sf_table(spark, SF_DIR, "embeddings")
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    t0 = time.monotonic()
+    OS.cosine_topk(emb, qv, k=10).collect()
+    queries["op_ann_bruteforce"] = round(time.monotonic() - t0, 3)
+
     total = time.monotonic() - t_total
     print(
         json.dumps(

@@ -113,3 +113,52 @@ def test_analyzed_prefix_query(spark):
         for r in df2.where(compile_filter(parse_lucene("tag:flat*"))).collect()
     ]
     assert got2 == [1]
+
+
+# ---------------------------------------------------------------------------
+# parser fuzz: never crash, booleans compose
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_field = st.sampled_from(["foo", "bar", "bytes", "created"])
+_value = st.text(
+    alphabet=st.characters(codec="ascii", categories=["L", "N"]), min_size=1, max_size=8
+)
+
+
+@st.composite
+def _clause(draw):
+    kind = draw(st.sampled_from(["term", "fterm", "cmp", "range", "phrase"]))
+    f, v = draw(_field), draw(_value)
+    if kind == "term":
+        return v
+    if kind == "fterm":
+        return f"{f}:{v}"
+    if kind == "cmp":
+        op = draw(st.sampled_from([">=", "<=", ">", "<"]))
+        return f"{f}:{op}{draw(st.integers(0, 9999))}"
+    if kind == "range":
+        lo, hi = sorted((draw(st.integers(0, 99)), draw(st.integers(100, 999))))
+        lb = draw(st.sampled_from(["[", "{"]))
+        rb = draw(st.sampled_from(["]", "}"]))
+        return f"{f}:{lb}{lo} TO {hi}{rb}"
+    return f'{f}:"{v} {draw(_value)}"'
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_parser_fuzz_composed_queries(data):
+    from elasticsearch_assets_spark.query.lucene import parse_lucene, text_terms
+
+    n = data.draw(st.integers(1, 4))
+    clauses = [data.draw(_clause()) for _ in range(n)]
+    ops = [data.draw(st.sampled_from([" AND ", " OR "])) for _ in range(n - 1)]
+    q = clauses[0]
+    for op, c in zip(ops, clauses[1:]):
+        neg = data.draw(st.booleans())
+        q += op + ("NOT " if neg else "") + c
+    ast = parse_lucene(q)  # must not raise
+    assert ast is not None
+    text_terms(ast)  # must not raise either
