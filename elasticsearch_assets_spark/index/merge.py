@@ -85,6 +85,98 @@ def _merge_partition(
     yield out.sort_values("term", kind="stable", ignore_index=True)
 
 
+def plan_tiered_merge(
+    index_dir: str, *, max_chunks: int = 8, merge_factor: int = 4
+) -> list[int]:
+    """Which chunk ids to merge next (Lucene-style tiered policy): when more
+    than `max_chunks` committed chunks exist, pick the `merge_factor`
+    smallest (by doc count) — merging small chunks first amortizes write
+    cost logarithmically over the index's life. Empty list = nothing to do."""
+    rows = [r for r in read_manifest(index_dir) if r["status"] == "committed"]
+    if len(rows) <= max_chunks:
+        return []
+    rows.sort(key=lambda r: (r["n_docs"], r["chunk_id"]))
+    return sorted(r["chunk_id"] for r in rows[:merge_factor])
+
+
+def merge_chunks(
+    spark: SparkSession,
+    index_dir: str,
+    chunk_ids: list[int],
+    *,
+    segs_out: int = 8,
+    shuffle_partitions: int | None = None,
+) -> int:
+    """Merge a SUBSET of chunks into one new chunk (tiered compaction for
+    streaming/chunked indexes — no whole-index rewrite). Chunks are
+    doc-disjoint, so a subset merge is always safe; tombstones are NOT
+    purged here (they stay until a full merge_segments pass, preserving the
+    stats contract). Returns the new chunk id.
+
+    Single-writer operation: while the swap window is open (new chunk
+    written, old dirs not yet removed) a concurrent query would see merged
+    postings twice. In production the swap is one Iceberg snapshot commit;
+    the sandbox keeps the window to two directory removals."""
+    if len(chunk_ids) < 2:
+        raise ValueError("need >= 2 chunks to merge")
+    rows = read_manifest(index_dir)
+    committed = {r["chunk_id"] for r in rows if r["status"] == "committed"}
+    missing = set(chunk_ids) - committed
+    if missing:
+        raise ValueError(f"chunks not committed: {sorted(missing)}")
+    new_chunk = max(r["chunk_id"] for r in rows) + 1
+    seg_base = 0
+    seg_root = os.path.join(index_dir, "segments")
+    # fresh seg-id space above every existing segment id
+    all_chunks = spark.read.parquet(seg_root)
+    seg_base = int(
+        all_chunks.agg(F.max("seg_id")).collect()[0][0] or 0
+    ) + 1
+    nparts = shuffle_partitions or min(
+        segs_out, int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    src_paths = [os.path.join(seg_root, f"chunk={c}") for c in chunk_ids]
+    src = spark.read.parquet(*src_paths).withColumn(
+        "seg_id",
+        (F.lit(seg_base) + F.pmod(F.col("seg_id"), F.lit(segs_out))).cast("int"),
+    )
+    merged = src.repartition(nparts, "seg_id").mapInPandas(
+        lambda it: _merge_partition(it, None), schema=SEGMENT_SCHEMA
+    )
+    new_path = os.path.join(seg_root, f"chunk={new_chunk}")
+    merged.write.mode("overwrite").parquet(new_path)
+
+    # manifest first (sum of merged chunks), then drop the old chunk dirs +
+    # their manifest rows — a crash between leaves both new and old chunks
+    # present; read_manifest-driven n_docs double-counts until the old rows
+    # are gone, so delete manifest rows BEFORE segment dirs
+    from elasticsearch_assets_spark.index.build import _commit_manifest_row
+
+    old = [r for r in rows if r["chunk_id"] in set(chunk_ids)]
+    _commit_manifest_row(
+        index_dir,
+        {
+            "chunk_id": new_chunk,
+            "lo": min(r["lo"] for r in old),
+            "hi": max(r["hi"] for r in old),
+            "n_docs": sum(r["n_docs"] for r in old),
+            "n_postings": 0,
+            "n_terms": 0,
+            "wall_sec": 0.0,
+            "docs_per_sec": 0.0,
+            "status": "committed",
+            "committed_at": time.time(),
+        },
+    )
+    for c in chunk_ids:
+        p = os.path.join(index_dir, "manifest", f"chunk-{c:05d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    for c in chunk_ids:
+        shutil.rmtree(os.path.join(seg_root, f"chunk={c}"), ignore_errors=True)
+    return new_chunk
+
+
 def count_distinct_docs(spark: SparkSession, index_dir: str) -> int:
     """Exact live-doc count: decode only the docID streams, unique per
     segment (segments are doc-disjoint), sum. Used after a tombstone-

@@ -134,3 +134,55 @@ def test_tombstone_files_are_cumulative(tmp_path):
     assert add_tombstones(d, []) == 0
     clear_tombstones(d)
     assert load_tombstones(d).size == 0
+
+
+# ---------------------------------------------------------------------------
+# tiered chunk compaction
+# ---------------------------------------------------------------------------
+
+
+def test_tiered_merge_plan_and_chunk_merge(spark, tmp_path):
+    from elasticsearch_assets_spark.index.merge import merge_chunks, plan_tiered_merge
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    idx = str(tmp_path / "tiered")
+    corpus = pages_df(spark, 1200, partitions=4)
+    build_index(spark, corpus, idx, num_chunks=6, num_segments=12)
+    assert plan_tiered_merge(idx, max_chunks=8) == []  # under the cap
+    picks = plan_tiered_merge(idx, max_chunks=4, merge_factor=3)
+    assert len(picks) == 3
+
+    before = InvertedIndex(spark, idx)
+    want = {
+        q: [(r["doc_id"], r["score"]) for r in before.search(list(q), k=15, mode="or").collect()]
+        for q in (("the", "data"), ("spark",))
+    }
+    n_docs_before = before.meta.n_docs
+
+    new_chunk = merge_chunks(spark, idx, picks, segs_out=4)
+    rows = read_manifest(idx)
+    ids = {r["chunk_id"] for r in rows}
+    assert new_chunk in ids and not (set(picks) & ids)
+    assert sum(r["n_docs"] for r in rows if r["status"] == "committed") == n_docs_before
+
+    # search results identical after the chunk-subset merge (re-finalize not
+    # even needed: stats tables were not touched, segments are equivalent)
+    after = InvertedIndex(spark, idx)
+    for q, expected in want.items():
+        got = [(r["doc_id"], r["score"]) for r in after.search(list(q), k=15, mode="or").collect()]
+        assert got == expected
+
+    import os
+    for c in picks:
+        assert not os.path.exists(f"{idx}/segments/chunk={c}")
+
+
+def test_merge_chunks_validation(spark, tmp_path):
+    from elasticsearch_assets_spark.index.merge import merge_chunks
+
+    idx = str(tmp_path / "v")
+    build_index(spark, pages_df(spark, 200, partitions=2), idx, num_chunks=2)
+    with pytest.raises(ValueError):
+        merge_chunks(spark, idx, [0])
+    with pytest.raises(ValueError):
+        merge_chunks(spark, idx, [0, 99])
