@@ -106,6 +106,7 @@ def merge_chunks(
     *,
     segs_out: int = 8,
     shuffle_partitions: int | None = None,
+    new_chunk_id: int | None = None,
 ) -> int:
     """Merge a SUBSET of chunks into one new chunk (tiered compaction for
     streaming/chunked indexes — no whole-index rewrite). Chunks are
@@ -124,7 +125,16 @@ def merge_chunks(
     missing = set(chunk_ids) - committed
     if missing:
         raise ValueError(f"chunks not committed: {sorted(missing)}")
-    new_chunk = max(r["chunk_id"] for r in rows) + 1
+    # default id space: max+1. Streaming writers pass negative ids instead —
+    # their batch ids (epoch numbers) own the non-negative space and a
+    # max+1 id would be overwritten by the next epoch's chunk commit.
+    new_chunk = (
+        new_chunk_id
+        if new_chunk_id is not None
+        else max(r["chunk_id"] for r in rows) + 1
+    )
+    if new_chunk in committed:
+        raise ValueError(f"chunk id {new_chunk} already committed")
     seg_base = 0
     seg_root = os.path.join(index_dir, "segments")
     # fresh seg-id space above every existing segment id

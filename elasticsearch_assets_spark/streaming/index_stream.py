@@ -44,6 +44,8 @@ class StreamingIndexWriter:
         nparts: int = 8,
         partitioning: str = "doc_hash",
         refresh_every: int = 1,
+        auto_compact_max_chunks: int | None = None,
+        compact_merge_factor: int = 4,
     ):
         self.index_dir = index_dir
         self.id_col = id_col
@@ -52,6 +54,10 @@ class StreamingIndexWriter:
         self.nparts = nparts
         self.partitioning = partitioning
         self.refresh_every = max(1, refresh_every)
+        # Lucene-style tiered policy: when committed chunks exceed this cap,
+        # refresh() merges the `compact_merge_factor` smallest into one
+        self.auto_compact_max_chunks = auto_compact_max_chunks
+        self.compact_merge_factor = compact_merge_factor
         os.makedirs(index_dir, exist_ok=True)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -76,7 +82,33 @@ class StreamingIndexWriter:
 
     def refresh(self, spark: SparkSession) -> IndexMeta | None:
         """Re-finalize (global stats + meta) so queries see all committed
-        chunks — the ES refresh analogue."""
+        chunks — the ES refresh analogue. With auto_compact_max_chunks set,
+        first folds the smallest chunks together when the count exceeds the
+        cap (bounded segment growth for long-lived streams)."""
+        if self.auto_compact_max_chunks is not None:
+            from elasticsearch_assets_spark.index.merge import (
+                merge_chunks,
+                plan_tiered_merge,
+            )
+
+            picks = plan_tiered_merge(
+                self.index_dir,
+                max_chunks=self.auto_compact_max_chunks,
+                merge_factor=self.compact_merge_factor,
+            )
+            if len(picks) >= 2:
+                from elasticsearch_assets_spark.index.build import read_manifest
+
+                lowest = min(
+                    (r["chunk_id"] for r in read_manifest(self.index_dir)),
+                    default=0,
+                )
+                merge_chunks(
+                    spark, self.index_dir, picks,
+                    segs_out=self.segs_per_batch,
+                    # negative id space: epoch numbers own the ids >= 0
+                    new_chunk_id=min(0, lowest) - 1,
+                )
         chunks = committed_chunks(spark, self.index_dir)
         if not chunks:
             return None

@@ -76,3 +76,33 @@ def test_stream_index_chunks_and_restart_idempotence(spark, tmp_path):
     assert meta.n_docs == 100
     assert InvertedIndex(spark, idx_dir).count_term("gamma") == 50
     assert InvertedIndex(spark, idx_dir).count_term("alpha") == 50
+
+
+def test_stream_auto_compaction_bounds_chunks(spark, tmp_path):
+    """A long-lived stream with auto-compaction keeps the chunk count
+    bounded while preserving search results."""
+    from elasticsearch_assets_spark.streaming.index_stream import (
+        StreamingIndexWriter,
+    )
+
+    corpus = pages_df(spark, 900, partitions=3).select("doc_id", "text").cache()
+    idx_dir = str(tmp_path / "ac")
+    writer = StreamingIndexWriter(
+        idx_dir, segs_per_batch=2, auto_compact_max_chunks=3,
+        compact_merge_factor=3,
+    )
+    # simulate 6 micro-batches of 150 docs each
+    for b in range(6):
+        batch = corpus.where(f"doc_id >= {b*150} AND doc_id < {(b+1)*150}")
+        writer(batch, b)
+    meta = writer.refresh(spark)
+    assert meta.n_docs == 900
+    chunks = read_manifest(idx_dir)
+    assert len([r for r in chunks if r["status"] == "committed"]) <= 4
+
+    # equals a batch-built index
+    batch_dir = str(tmp_path / "b")
+    build_index(spark, corpus, batch_dir, num_segments=8)
+    a = InvertedIndex(spark, idx_dir).search(["the", "data"], k=20, mode="or").collect()
+    b2 = InvertedIndex(spark, batch_dir).search(["the", "data"], k=20, mode="or").collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b2]
