@@ -41,12 +41,17 @@ from elasticsearch_assets_spark.sources.tables import load_sf_table
 _INDEX_CACHE: dict[str, InvertedIndex] = {}
 
 
+def _idx_dir(sf_dir: str, suffix: str = "_documents") -> str:
+    key = os.path.abspath(sf_dir)
+    return os.path.join(
+        "/tmp", "esa_indexes", key.strip("/").replace("/", "_") + suffix
+    )
+
+
 def _docs_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
-        idx_dir = os.path.join(
-            "/tmp", "esa_indexes", key.strip("/").replace("/", "_") + "_documents"
-        )
+        idx_dir = _idx_dir(sf_dir)
         import json
 
         from elasticsearch_assets_spark.analysis.tokenizer import TOKENIZER_VERSION
@@ -71,15 +76,49 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     return _INDEX_CACHE[key]
 
 
+# deterministic deletion set for the tombstone contract row: doc_id % 7 == 0
+_DELETE_PRED_SQL = "doc_id % 7 <> 0"  # survivors
+
+
+def _docs_index_tombstoned(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """A copy of the documents index with `doc_id % 7 == 0` tombstoned —
+    exercises the real delete path (tombstone files + exclusion before
+    ranking, stats untouched until compaction)."""
+    key = os.path.abspath(sf_dir) + "#tomb"
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        from elasticsearch_assets_spark.index.tombstones import add_tombstones
+
+        base = _docs_index(spark, sf_dir)  # ensures the base index is fresh
+        tomb_dir = _idx_dir(sf_dir, "_documents_tomb")
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        shutil.copytree(base.index_dir, tomb_dir)
+        docs = load_sf_table(spark, sf_dir, "documents")
+        ids = [
+            r["doc_id"]
+            for r in docs.where(F.col("doc_id") % 7 == 0).select("doc_id").collect()
+        ]
+        add_tombstones(tomb_dir, ids)
+        _INDEX_CACHE[key] = InvertedIndex(spark, tomb_dir)
+    return _INDEX_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # BM25 oracle SQL template (DuckDB) — same formula as query/bm25.py
 # ---------------------------------------------------------------------------
 
 
-def _bm25_sql(terms: list[str], mode: str, k: int | None) -> str:
+def _bm25_sql(
+    terms: list[str], mode: str, k: int | None, where: str | None = None
+) -> str:
+    """`where` restricts RANKING to matching docs — collection stats (df, N,
+    avgdl) stay global, exactly the engine's search_filtered / tombstone
+    contract (restriction before the top-k cut, stats untouched)."""
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     nterms = len(set(terms))
     having = f"HAVING count(*) = {nterms}" if mode == "and" else ""
+    final_where = f"WHERE {where}" if where else ""
     limit = (
         f"ORDER BY s DESC, doc_id ASC LIMIT {k}" if k is not None else ""
     )
@@ -103,7 +142,7 @@ scored AS (
   GROUP BY tf.doc_id
   {having}
 )
-SELECT doc_id, round(s, 4) AS score FROM scored {limit}
+SELECT doc_id, round(s, 4) AS score FROM scored {final_where} {limit}
 """
 
 
@@ -164,6 +203,29 @@ def _term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: count-without-fetch from the stats table (no corpus scan)."""
     idx = _docs_index(spark, sf_dir)
     return spark.createDataFrame([(idx.count_term("spark"),)], "cnt long")
+
+
+def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core composition `range AND (query)` (simple_api_
+    reader/index.js:67-84): BM25 top-k AMONG docs matching a structured
+    filter. Runs the distributed cogrouped path (doc_hash index: the filter
+    ids shuffle by derived segment, no driver materialization)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    filtered = docs.where(F.col("doc_id") % 3 == 0)
+    res = idx.search_filtered(["spark", "table"], filtered, k=10, mode="or")
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete contract: docs with doc_id % 7 == 0 deleted, then a
+    disjunctive all-matches query — deleted docs are excluded from ranking
+    while df/N/avgdl still count them until compaction (the ES/Lucene
+    deleted-docs contract, mirrored exactly by the oracle's global stats +
+    restricted final select)."""
+    idx = _docs_index_tombstoned(spark, sf_dir)
+    res = idx.search(["spark", "join"], k=None, mode="or")
+    return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
 # ---------------------------------------------------------------------------
@@ -247,6 +309,43 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + candidate-local exact-Jaccard verification (the
+    scale path: Jaccard is computed ONLY for candidate pairs, never via a
+    corpus-wide all-pairs join)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OD.lsh_candidate_pairs(docs, n=1, k=8, bands=4, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# oracle mirrors the candidate-local shape: candidates from the banded join,
+# Jaccard from per-doc distinct-shingle list intersection per candidate pair
+def _lsh_verified_sql() -> str:
+    return f"""
+WITH sig AS ({_MINHASH_SQL}),
+banded AS (
+  SELECT doc_id, band, md5(bucket_key) AS bucket FROM (
+    SELECT doc_id, 0 AS band, h0 || ',' || h1 AS bucket_key FROM sig
+    UNION ALL SELECT doc_id, 1, h2 || ',' || h3 FROM sig
+    UNION ALL SELECT doc_id, 2, h4 || ',' || h5 FROM sig
+    UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM sig
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+t AS (SELECT doc_id, {_UNIGRAMS} AS s FROM documents)
+SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+  SELECT id_a, id_b,
+         len(list_intersect(x.s, y.s))::DOUBLE
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+  FROM cand JOIN t x ON x.doc_id = id_a JOIN t y ON y.doc_id = id_b
+) WHERE jac >= 0.8
+"""
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_table(spark, sf_dir, "documents")
     pairs = OD.ngram_jaccard_pairs(docs, n=1, threshold=0.8)
@@ -293,6 +392,27 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the pigeonhole block join it checks
 _SIMHASH_PAIRS_SQL = f"""
 WITH fp AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _simhash_pairs60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-default SimHash shape: 60-bit fingerprints (Manku-style
+    wide, capped at hash60's informative bits), 15-bit pigeonhole blocks."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OD.simhash_pairs(docs, n_bits=60, max_hamming=3, n_blocks=4)
+
+
+_SIMHASH60_SQL = f"""
+SELECT doc_id, {simhash_sql('hs', 60)} AS simhash
+FROM (SELECT doc_id, {token_hashes_sql(_TOKS)} AS hs FROM documents)
+"""
+
+_SIMHASH_PAIRS60_SQL = f"""
+WITH fp AS ({_SIMHASH60_SQL})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -368,15 +488,79 @@ SELECT vec_id, round(cos, 4) AS score FROM (
 """
 
 
+_IVF_N_CENTROIDS = 8
+_IVF_SAMPLE = 2000
+_IVF_NPROBE = 3
+
+
 def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (rows-only check: the k-means coarse quantizer is trained on
-    the data at runtime, so no static SQL oracle exists; correctness vs
-    brute force is covered by tests/test_similarity_ops.py)."""
+    """IVF ANN. The k-means quantizer is trained on a deterministically
+    ORDERED sample (orderBy(vec_id).limit(n), fixed seed), so the trained
+    centroid constants can be re-derived outside Spark and embedded in the
+    DuckDB oracle twin (_ann_ivf_sql) — same pattern as the LSH hyperplane
+    SQL twin."""
     emb = load_sf_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
-    cents = OS.train_ivf_centroids(emb, n_centroids=8, sample=2000)
-    out = OS.ann_topk_ivf(emb, qv, k=10, centroids=cents, nprobe=3)
+    cents = OS.train_ivf_centroids(
+        emb, n_centroids=_IVF_N_CENTROIDS, sample=_IVF_SAMPLE
+    )
+    out = OS.ann_topk_ivf(emb, qv, k=10, centroids=cents, nprobe=_IVF_NPROBE)
     return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+# the driver's correctness gate runs oracle SQL against sf0.01 tables
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _ann_ivf_sql() -> str | None:
+    """DuckDB twin of _ann_topk_ivf: re-trains the quantizer with the SAME
+    numpy kmeans on the SAME ordered sample (read via DuckDB instead of
+    Spark — identical float32 parquet values), then emits the centroid
+    constants. Cell assignment is argmax over sequential-order float64 dot
+    chains in BOTH engines (Spark centroid_assign_expr <-> the `+`-chain +
+    list_position SQL below), so assignments are bit-identical."""
+    import duckdb
+    import numpy as np
+
+    path = os.path.join(_ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT embedding FROM read_parquet('{path}') "
+        f"ORDER BY vec_id LIMIT {_IVF_SAMPLE}"
+    ).df()
+    x = np.stack(pdf["embedding"].to_numpy())
+    cents = OS.kmeans_fit(x, n_centroids=_IVF_N_CENTROIDS, iters=10)
+    q = np.asarray(
+        con.execute(
+            f"SELECT embedding FROM read_parquet('{path}') WHERE vec_id = 0"
+        ).fetchone()[0],
+        dtype=np.float64,
+    )
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cents @ q), kind="stable")[:_IVF_NPROBE].tolist()
+    dim = cents.shape[1]
+
+    def dot_chain(vec: str, c: np.ndarray) -> str:
+        return "(0.0 + " + " + ".join(
+            f"{vec}[{d + 1}]::DOUBLE * {c[d]!r}" for d in range(dim)
+        ) + ")"
+
+    dots = "[" + ", ".join(dot_chain("embedding", cents[i]) for i in range(len(cents))) + "]"
+    plist = ", ".join(str(p) for p in sorted(probes))
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding,
+         list_position(dots, list_max(dots)) - 1 AS centroid
+  FROM (SELECT vec_id, embedding, {dots} AS dots FROM embeddings)
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id, {_COS_AB} AS cos
+  FROM (SELECT vec_id, embedding FROM assigned WHERE centroid IN ({plist})) a, q b
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
 
 
 def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,6 +727,50 @@ def _bulk_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.select("doc_id", "_connection")
 
 
+def _scripted_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: the reference's Painless-script bulk cases
+    (index_selector-spec.js:245-290 — `ctx._source.count += add` with
+    script_params) as MERGE update-expressions on the keyed table: matched
+    keys run `t.count + s.add`, unmatched source keys insert their doc."""
+    import tempfile
+
+    from elasticsearch_assets_spark.sinks.keyed_table import KeyedParquetTable
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="esa_scripted_"), "tbl")
+    table = KeyedParquetTable(spark, path, key="_id", num_buckets=8)
+    table.append(
+        docs.select(
+            F.col("doc_id").alias("_id"),
+            (F.col("doc_id") % 10).cast("long").alias("count"),
+        )
+    )
+    matched = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("_id"),
+        F.lit(5).cast("long").alias("add"),
+        F.lit(100).cast("long").alias("count"),
+    )
+    fresh = docs.where(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("_id"),
+        F.lit(7).cast("long").alias("add"),
+        F.lit(50).cast("long").alias("count"),
+    )
+    table.upsert(
+        matched.unionByName(fresh), update_exprs={"count": "t.count + s.add"}
+    )
+    return table.read().select(F.col("_id").alias("key_id"), "count")
+
+
+_SCRIPTED_UPSERT_SQL = """
+SELECT doc_id AS key_id, ((doc_id % 10) + 5)::BIGINT AS count
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, (doc_id % 10)::BIGINT FROM documents WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT doc_id + 10000000, 50::BIGINT FROM documents WHERE doc_id % 101 = 0
+"""
+
+
 _BULK_ROUTE_SQL = """
 SELECT doc_id,
        CASE substr(md5(doc_id::VARCHAR), 1, 1)
@@ -633,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": _bm25_query(["query", "merge", "scan"], "and", 10),
         "bm25_or_all": _bm25_query(["spark", "table"], "or", None),
         "bm25_single_term": _bm25_query(["filter"], "and", None),
+        "bm25_filtered": _bm25_filtered,
+        "bm25_after_delete": _bm25_after_delete,
         "term_count": _term_count,
         "date_range_scan": _date_range_scan,
         "minmax_dates": _minmax_dates,
@@ -643,9 +873,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": _dedup_ngram_pairs,
         "minhash_sigs": _minhash_sigs,
         "lsh_candidates": _lsh_candidates,
+        "lsh_verified": _lsh_verified,
         "dedup_clusters": _dedup_clusters,
         "simhash_fps": _simhash_fps,
         "simhash_pairs": _simhash_pairs,
+        "simhash_pairs60": _simhash_pairs60,
         "emb_neardup": _emb_neardup,
         "ann_topk": _ann_topk,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -662,15 +894,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_filter": _lucene_filter,
         "timeseries_index": _timeseries_index,
         "bulk_route": _bulk_route,
+        "scripted_upsert": _scripted_upsert,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "bm25_and_all": _bm25_sql(["spark", "join"], "and", None),
         "bm25_and_topk": _bm25_sql(["query", "merge", "scan"], "and", 10),
         "bm25_or_all": _bm25_sql(["spark", "table"], "or", None),
         "bm25_single_term": _bm25_sql(["filter"], "and", None),
+        "bm25_filtered": _bm25_sql(
+            ["spark", "table"], "or", 10, where="doc_id % 3 = 0"
+        ),
+        "bm25_after_delete": _bm25_sql(
+            ["spark", "join"], "or", None, where=_DELETE_PRED_SQL
+        ),
         "term_count": (
             "SELECT count(*)::BIGINT AS cnt FROM documents "
             "WHERE list_contains(string_split(text, ' '), 'spark')"
@@ -698,9 +937,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": _NGRAM_PAIRS_SQL,
         "minhash_sigs": _MINHASH_SQL,
         "lsh_candidates": _LSH_SQL,
+        "lsh_verified": _lsh_verified_sql(),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "simhash_fps": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "simhash_pairs60": _SIMHASH_PAIRS60_SQL,
         "emb_neardup": _EMB_NEARDUP_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
@@ -719,4 +960,9 @@ def oracle_sql() -> dict[str, str]:
         "lucene_filter": _LUCENE_SQL,
         "timeseries_index": _TIMESERIES_SQL,
         "bulk_route": _BULK_ROUTE_SQL,
+        "scripted_upsert": _SCRIPTED_UPSERT_SQL,
     }
+    ivf = _ann_ivf_sql()
+    if ivf is not None:  # oracle tables unavailable -> rows-only check
+        out["ann_topk_ivf"] = ivf
+    return out

@@ -264,7 +264,11 @@ def build_index(
             hi=chi,
         )
 
-    return finalize_index(spark, index_dir, num_segments, num_chunks)
+    return finalize_index(
+        spark, index_dir, num_segments, num_chunks,
+        partitioning=partitioning if partitioning == "doc_hash" else "opaque",
+        segs_per_chunk=segs_per_chunk,
+    )
 
 
 def build_chunk(
@@ -330,7 +334,13 @@ def build_chunk(
 
 
 def finalize_index(
-    spark: SparkSession, index_dir: str, num_segments: int, num_chunks: int
+    spark: SparkSession,
+    index_dir: str,
+    num_segments: int,
+    num_chunks: int,
+    *,
+    partitioning: str = "opaque",
+    segs_per_chunk: int = 0,
 ) -> IndexMeta:
     """Global term stats + meta.json from committed segments + manifest."""
     seg_df = spark.read.parquet(os.path.join(index_dir, "segments"))
@@ -359,6 +369,8 @@ def finalize_index(
         num_chunks=num_chunks,
         tokenizer_version=TOKENIZER_VERSION,
         codec_version=CODEC_VERSION,
+        partitioning=partitioning,
+        segs_per_chunk=segs_per_chunk,
     )
     meta.save(index_dir)
     return meta

@@ -184,6 +184,10 @@ def merge_chunks(
             os.remove(p)
     for c in chunk_ids:
         shutil.rmtree(os.path.join(seg_root, f"chunk={c}"), ignore_errors=True)
+    meta = load_meta(index_dir)
+    if meta.partitioning != "opaque":
+        meta.partitioning = "opaque"  # merged chunk broke the hash mapping
+        meta.save(index_dir)
     return new_chunk
 
 
@@ -260,6 +264,7 @@ def merge_segments(
     meta = load_meta(index_dir)
     meta.num_segments = target_segments
     meta.num_chunks = 1
+    meta.partitioning = "opaque"  # seg ids were remapped; hash mapping lost
     meta.save(index_dir)
     # lineage: record the compaction in the manifest
     prior = read_manifest(index_dir)
@@ -277,10 +282,15 @@ def merge_segments(
     }
     if excluded is not None:
         # purge happened: correct the manifest doc total so re-finalized
-        # stats (df, N, avgdl) reflect only live docs, then drop tombstones
+        # stats (df, N, avgdl) reflect only live docs, then drop tombstones.
+        # The sum MUST use the same predicate finalize_index uses (committed
+        # plus prior compacted:* delta rows) — otherwise a second purge cycle
+        # ignores the first cycle's delta and undercounts n_docs.
         true_docs = count_distinct_docs(spark, index_dir)
         manifest_sum = sum(
-            r["n_docs"] for r in prior if r["status"] == "committed"
+            r["n_docs"]
+            for r in prior
+            if r["status"] == "committed" or r["status"].startswith("compacted")
         )
         row["n_docs"] = true_docs - manifest_sum  # corrective delta
         row["status"] = f"compacted:{target_segments}:purged:{excluded.size}"

@@ -34,6 +34,13 @@ class IndexMeta:
     codec_version: int
     k1: float = K1
     b: float = B
+    # doc->segment mapping contract: "doc_hash" means seg_id is computable
+    # as chunk_id*segs_per_chunk + pmod(xxhash64(doc_id), segs_per_chunk)
+    # from the manifest chunk ranges — the distributed filtered-search path
+    # (engine.search_filtered) relies on it. "opaque" (input-partitioned
+    # builds, compacted/merged indexes, streaming chunk ids) disables it.
+    partitioning: str = "opaque"
+    segs_per_chunk: int = 0
 
     def save(self, index_dir: str) -> None:
         with open(os.path.join(index_dir, "meta.json"), "w") as f:

@@ -189,11 +189,28 @@ def lsh_candidate_pairs(
     )
     if threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(
-        df, n=n, threshold=0.0, text_col=text_col, id_col=id_col
+    # verify ONLY the candidate pairs: join each side to its per-doc
+    # distinct-shingle set and intersect per pair. Cost is O(candidates),
+    # never the corpus-wide all-pairs Jaccard join — at 10^12 docs the
+    # candidate set is the LSH-pruned output, while a full shingle self-join
+    # is near-cartesian on head shingles.
+    sets_df = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_expr(tokens_expr(text_col), n)).alias("shset"),
     )
-    return cand.join(exact, ["id_a", "id_b"]).where(
-        F.col("jaccard") >= threshold
+    return (
+        cand.join(
+            sets_df.withColumnsRenamed({"id": "id_a", "shset": "sh_a"}), "id_a"
+        )
+        .join(sets_df.withColumnsRenamed({"id": "id_b", "shset": "sh_b"}), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -205,11 +222,16 @@ def lsh_candidate_pairs(
 def simhash_fingerprints(
     df: DataFrame,
     *,
-    n_bits: int = 32,
+    n_bits: int = 60,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, simhash: long) — per-row expression, no shuffle.
+
+    Default 60 bits (the Manku-style wide fingerprint, capped at the 60
+    informative bits of the cross-engine hash60 kernel — bits 60-63 of
+    token hashes are constant zero, so wider fingerprints add no signal
+    and 2^63 would overflow signed int64 in both engines).
 
     Two-stage projection: tokens are hashed ONCE into an array column, then
     the n_bits bit-votes read that array — md5 cost is O(tokens), not
@@ -227,9 +249,10 @@ def simhash_fingerprints(
 def simhash_pairs(
     df: DataFrame,
     *,
-    n_bits: int = 32,
+    n_bits: int = 60,
     max_hamming: int = 3,
     n_blocks: int = 4,
+    max_bucket: int | None = 1_000_000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -240,6 +263,14 @@ def simhash_pairs(
     (pigeonhole, requires max_hamming <= n_blocks - 1), so the join key is
     (block_idx, block_value) — never all-pairs. Verification computes the
     true hamming distance with bit_count(xor).
+
+    Scale shape (Manku et al., WWW'07): the defaults give 15-bit blocks —
+    2^15 join values per block, so at n docs the expected bucket is
+    n/32768, vs n/256 with the old 32-bit/8-bit defaults whose pair join
+    exploded quadratically. `max_bucket` drops degenerate buckets (a
+    boilerplate fingerprint shared by millions of docs) before the pair
+    blow-up — the same skew guard as lsh_candidate_pairs; the default cap
+    only triggers on pathological buckets.
     """
     if max_hamming > n_blocks - 1:
         raise ValueError("need max_hamming <= n_blocks - 1 for pigeonhole soundness")
@@ -261,6 +292,14 @@ def simhash_pairs(
             )
         ).alias("bv"),
     ).select("id", "simhash", "bv.blk", "bv.val")
+    if max_bucket is not None:
+        ok = (
+            blocks.groupBy("blk", "val")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") <= max_bucket)
+            .drop("c")
+        )
+        blocks = blocks.join(ok, ["blk", "val"], "left_semi")
     a = blocks.alias("a")
     b = blocks.alias("b")
     return (
@@ -307,7 +346,8 @@ def dedup_clusters(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     labels = ids.select(F.col(id_col).alias("id")).withColumn("rep", F.col("id"))
-    for _ in range(max_iter):
+    prev_cached = None
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -322,10 +362,27 @@ def dedup_clusters(
             )
         ).cache()
         changed = updated.where(F.col("new_rep") != F.col("rep")).count()
+        # the count materialized `updated`; the previous round's cache (and
+        # its lineage) is no longer needed — unpersist so 20+ rounds don't
+        # accumulate cached partitions
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = updated
         labels = updated.select("id", F.col("new_rep").alias("rep"))
         if changed == 0:
             break
-    return labels.select(F.col("id").alias(id_col), "rep")
+        # cut lineage periodically: each round's plan references the prior
+        # round's join, growing the logical plan linearly otherwise
+        if (it + 1) % 5 == 0:
+            labels = labels.localCheckpoint(eager=True)
+            prev_cached.unpersist()
+            prev_cached = None
+    out = labels.select(F.col("id").alias(id_col), "rep")
+    if prev_cached is not None:
+        # materialize the result before releasing the cache backing it
+        out = out.localCheckpoint(eager=True)
+        prev_cached.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -111,22 +111,19 @@ def _query_code(query_vec: list[float], n_planes: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def train_ivf_centroids(
-    df: DataFrame,
+def kmeans_fit(
+    x: np.ndarray,
     *,
     n_centroids: int = 16,
-    sample: int = 10_000,
     iters: int = 10,
-    vec_col: str = "embedding",
     seed: int = _PLANE_SEED,
 ) -> np.ndarray:
-    """Lloyd's k-means on a driver-side sample (float64, deterministic seed).
+    """Lloyd's k-means on an in-memory float64 sample (deterministic seed).
 
-    The coarse quantizer needs only a representative sample — at 10^12
-    vectors you still train on ~10^5-10^6 rows; assignment of the full
-    corpus is the distributed part (ivf_assign)."""
-    pdf = df.select(vec_col).limit(sample).toPandas()
-    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    Shared by the Spark trainer AND the DuckDB oracle twin — identical
+    input rows produce bit-identical centroids, which is what lets the
+    trained constants be embedded in a SQL oracle."""
+    x = x.astype(np.float64, copy=True)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -140,20 +137,27 @@ def train_ivf_centroids(
     return cent
 
 
-def _assign_fn(centroids: np.ndarray, vec_col: str):
-    import pandas as pd
+def train_ivf_centroids(
+    df: DataFrame,
+    *,
+    n_centroids: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = _PLANE_SEED,
+) -> np.ndarray:
+    """k-means coarse quantizer trained on a DETERMINISTICALLY ORDERED
+    driver-side sample (orderBy(id).limit(n) is a total order over the
+    unique id, so the sample — and therefore the centroids — is identical
+    across runs, partition layouts, and file splits).
 
-    def fn(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            out = pdf.copy()
-            out["centroid"] = np.argmax(x @ centroids.T, axis=1).astype(np.int32)
-            yield out
-
-    return fn
+    The quantizer needs only a representative sample — at 10^12 vectors you
+    still train on ~10^5-10^6 rows; assignment of the full corpus is the
+    distributed part (ivf_assign / centroid_assign_expr)."""
+    pdf = df.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy())
+    return kmeans_fit(x, n_centroids=n_centroids, iters=iters, seed=seed)
 
 
 def ivf_assign(
@@ -163,13 +167,35 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, vec, centroid) — vectorized Arrow-batch nearest-centroid
-    assignment; write `partitionBy('centroid')` to make probes partition-
-    pruned reads."""
-    schema = f"{id_col} long, {vec_col} array<float>, centroid int"
-    return df.select(id_col, vec_col).mapInPandas(
-        _assign_fn(centroids, vec_col), schema
+    """(id, vec, centroid) nearest-centroid assignment as a pure JVM column
+    expression (codegen'd, no Python worker round-trip) — the SAME
+    expression query-time probing uses, so a vector's stored cell and its
+    probed cell can never disagree on float tie-breaks. Write with
+    `partitionBy('centroid')` to make probes partition-pruned reads."""
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        centroid_assign_expr(F.col(vec_col), centroids).alias("centroid"),
     )
+
+
+def centroid_dots_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """array<double> of dot(vec, centroid_i) — sequential left-to-right
+    float64 accumulation per dot (same order as a `+`-chain in SQL, so a
+    DuckDB twin with the centroid constants is bit-identical)."""
+    dots = []
+    for i in range(centroids.shape[0]):
+        c = F.array(*[F.lit(float(w)) for w in centroids[i]])
+        dots.append(dot_expr(vec, c))
+    return F.array(*dots)
+
+
+def centroid_assign_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid index as a pure JVM expression (first-max-wins
+    tie-break, matching np.argmax). argmax over normalized vectors equals
+    argmax over raw dots because ||vec|| is a positive per-row constant."""
+    dots = centroid_dots_expr(vec, centroids)
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def ann_topk_ivf(
@@ -183,12 +209,16 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: rank exactly inside the `nprobe` nearest
-    centroids' cells. With `partitionBy('centroid')` storage the probe is a
-    partition-pruned scan of ~nprobe/n_centroids of the corpus."""
+    centroids' cells. Cell assignment is a JVM column expression (no Python
+    in the data path); with `partitionBy('centroid')` storage (ivf_assign +
+    write) the probe becomes a partition-pruned scan of ~nprobe/n_centroids
+    of the corpus."""
     q = np.asarray(query_vec, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
-    probes = np.argsort(-(centroids @ q))[:nprobe].tolist()
-    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    probes = np.argsort(-(centroids @ q), kind="stable")[:nprobe].tolist()
+    assigned = df.withColumn(
+        "centroid", centroid_assign_expr(F.col(vec_col), centroids)
+    )
     probed = assigned.where(F.col("centroid").isin(probes))
     return cosine_topk(probed, query_vec, k, vec_col=vec_col, id_col=id_col)
 

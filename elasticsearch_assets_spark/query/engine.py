@@ -59,7 +59,10 @@ def _score_segment(
     """
     from elasticsearch_assets_spark.query.wand import restrict
 
-    postings = {row["term"]: TermPostings(row) for _, row in pdf.iterrows()}
+    postings = {
+        row["term"]: TermPostings(row)
+        for row in (t._asdict() for t in pdf.itertuples(index=False))
+    }
     if mode == "and":
         docs, score = topk_conjunctive(
             terms, postings, idfs, avgdl, k1, b, k, excluded, allowed
@@ -239,6 +242,43 @@ class InvertedIndex:
             order = order[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
+    def _filter_with_seg(self, ids: DataFrame) -> DataFrame | None:
+        """Map a filter-id DataFrame to (seg_id, doc_id) executor-side, when
+        the index's doc->segment mapping is derivable (meta.partitioning ==
+        "doc_hash": seg = chunk*segs_per_chunk + pmod(xxhash64(doc_id),
+        segs_per_chunk), chunk from the manifest doc_id ranges). Returns
+        None when the mapping is opaque (input-partitioned build, compacted
+        or streaming index)."""
+        from elasticsearch_assets_spark.index.build import read_manifest
+
+        meta = self.meta
+        if meta.partitioning != "doc_hash" or meta.segs_per_chunk <= 0:
+            return None
+        spc = meta.segs_per_chunk
+        if meta.num_chunks == 1:
+            return ids.select(
+                F.pmod(F.xxhash64("doc_id"), F.lit(spc)).cast("int").alias("seg_id"),
+                "doc_id",
+            )
+        rows = [r for r in read_manifest(self.index_dir) if r["status"] == "committed"]
+        if sorted(r["chunk_id"] for r in rows) != list(range(meta.num_chunks)):
+            return None  # chunk layout no longer the original build's
+        ranges = self.spark.createDataFrame(
+            [(int(r["chunk_id"]), int(r["lo"]), int(r["hi"])) for r in rows],
+            "chunk int, lo long, hi long",
+        )
+        # tiny ranges table broadcast; docs outside every range aren't indexed
+        joined = ids.join(
+            F.broadcast(ranges),
+            (F.col("doc_id") >= F.col("lo")) & (F.col("doc_id") < F.col("hi")),
+        )
+        return joined.select(
+            (
+                F.col("chunk") * spc + F.pmod(F.xxhash64("doc_id"), F.lit(spc))
+            ).cast("int").alias("seg_id"),
+            "doc_id",
+        )
+
     def search_filtered(
         self,
         query: str | list[str],
@@ -248,25 +288,86 @@ class InvertedIndex:
         *,
         id_col: str = "doc_id",
         collect_cap: int = 5_000_000,
+        strategy: str = "auto",
     ) -> DataFrame:
         """The reference's full query composition: BM25 top-k AMONG the docs
         matching a structured filter (`range AND (user query)`,
         /root/reference/asset/simple_api_reader/index.js:67-84). `filtered`
         is any DataFrame of matching docs (e.g. a DateReader scan).
 
-        Selective filters (≤ collect_cap ids) broadcast the id set into the
-        scoring kernels — restriction happens before the top-k cut, one
-        job. Larger filters fall back to exhaustive scoring + semi join +
-        re-limit (correct for any selectivity, costs a full OR scan)."""
-        ids = filtered.select(F.col(id_col).cast("long").alias(id_col))
-        sample = ids.limit(collect_cap + 1).collect()
-        if len(sample) <= collect_cap:
-            allowed = np.sort(np.array([r[id_col] for r in sample], dtype=np.int64))
-            return self.search(query, k=k, mode=mode, allowed=allowed)
+        Path selection (`strategy="auto"`; the named strategies force one,
+        all rank-identical — tested):
+        1. "cogroup": when the doc->segment mapping is derivable (doc_hash
+           builds), the filter ids are cogrouped with the posting rows BY
+           SEGMENT — fully executor-side, no driver materialization, any
+           filter size.
+        2. "broadcast": selective filters (≤ collect_cap ids) broadcast the
+           id set into the scoring kernels.
+        3. "exhaustive": exhaustive scoring + semi join + re-limit (correct
+           for any selectivity, costs a full OR scan)."""
+        ids = filtered.select(F.col(id_col).cast("long").alias("doc_id"))
+        if strategy in ("auto", "cogroup"):
+            with_seg = self._filter_with_seg(ids)
+            if with_seg is not None:
+                return self._search_cogrouped(query, with_seg, k=k, mode=mode)
+            if strategy == "cogroup":
+                raise ValueError(
+                    "doc->segment mapping unavailable (meta.partitioning="
+                    f"{self.meta.partitioning!r})"
+                )
+        if strategy in ("auto", "broadcast"):
+            sample = ids.limit(collect_cap + 1).collect()
+            if len(sample) <= collect_cap:
+                allowed = np.sort(
+                    np.array([r["doc_id"] for r in sample], dtype=np.int64)
+                )
+                return self.search(query, k=k, mode=mode, allowed=allowed)
         scored = self.search(query, k=None, mode=mode)
-        out = scored.join(ids.distinct(), scored.doc_id == ids[id_col], "left_semi")
+        out = scored.join(ids.distinct(), "doc_id", "left_semi")
         out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return out.limit(k) if k is not None else out
+
+    def _search_cogrouped(
+        self,
+        query: str | list[str],
+        ids_with_seg: DataFrame,
+        k: int | None,
+        mode: str,
+    ) -> DataFrame:
+        """Distributed filtered search: per segment, cogroup (posting rows,
+        allowed doc ids) and run the same scoring kernels restricted to the
+        allowed set — rank-identical to the broadcast path (tested). The
+        shuffle moves only the filter ids (8 B each) keyed by segment; the
+        posting side is the usual pushed-down `term IN` scan."""
+        terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        dfs = self.term_stats(terms)
+        if mode == "and" and len(dfs) != len(terms):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        meta = self.meta
+        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+
+        def score_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float64"}
+                )
+            allowed = np.unique(right["doc_id"].to_numpy(np.int64))
+            return _score_segment(
+                left, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed
+            )
+
+        posts = self.segments.where(F.col("term").isin(terms))
+        per_seg = (
+            posts.groupBy("seg_id")
+            .cogroup(ids_with_seg.groupBy("seg_id"))
+            .applyInPandas(score_fn, TOPK_SCHEMA)
+        )
+        ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered.limit(k) if k is not None else ordered
 
     def materialize(self, topk: DataFrame, corpus: DataFrame, on: str = "doc_id") -> DataFrame:
         """J3: join the k winners back to their documents (broadcast the ids)."""

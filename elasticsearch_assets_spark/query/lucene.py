@@ -203,10 +203,12 @@ def parse_lucene(q: str):
 # compiler: AST -> Spark Column predicate
 # ---------------------------------------------------------------------------
 
-# JVM-side analyzer mirror: lowercase + split on non-alphanumeric/underscore.
-# Exact for ASCII corpora; the Python tokenizer remains the contract for
-# index-time analysis (analysis/tokenizer.py).
-_JVM_SPLIT_PATTERN = "[\\W_]+"
+# JVM-side analyzer mirror: lowercase + split on non-letter/number runs.
+# Same Unicode class definition as the normative RE2 kernel
+# (analysis/tokenizer.py `[^\p{L}\p{N}]+`) — Java regex supports \p{L}/\p{N}
+# natively, so `text:café` filters exactly as the index analyzes (tested on
+# mixed-script text in tests/test_lucene.py).
+_JVM_SPLIT_PATTERN = "[^\\p{L}\\p{N}]+"
 
 
 def _tokens_col(text_col: str) -> Column:
@@ -257,11 +259,16 @@ def compile_filter(
         if isinstance(n, Phrase):
             if n.field is None or n.field in analyzed:
                 col = n.field if n.field is not None and n.field != text_col else text_col
-                # phrase = analyzed tokens adjacent in the raw text
-                toks = [t for t in re.split(r"[\W_]+", n.value.lower()) if t]
+                # phrase = analyzed tokens adjacent in the raw text;
+                # analysis goes through the normative tokenizer contract
+                from elasticsearch_assets_spark.analysis.tokenizer import tokenize
+
+                toks = tokenize(n.value)
                 if not toks:
                     return F.lit(True)
-                pattern = "(?i)" + r"[\W_]+".join(re.escape(t) for t in toks)
+                pattern = "(?i)" + r"[^\p{L}\p{N}]+".join(
+                    re.escape(t) for t in toks
+                )
                 return F.col(col).rlike(pattern)
             return F.col(n.field) == F.lit(n.value)
         if isinstance(n, Prefix):
@@ -303,7 +310,9 @@ def text_terms(node, *, analyzed_fields: set[str] | None = None, text_col: str =
                 out.append(n.value.lower())
         elif isinstance(n, Phrase) and (n.field is None or n.field in analyzed):
             if not negated:
-                out.extend(t for t in re.split(r"[\W_]+", n.value.lower()) if t)
+                from elasticsearch_assets_spark.analysis.tokenizer import tokenize
+
+                out.extend(tokenize(n.value))
 
     go(node, False)
     return out

@@ -43,7 +43,6 @@ class KeyedParquetTable:
         self.path = path
         self.key = key
         self.num_buckets = num_buckets
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- helpers -----------------------------------------------------------
     def _bucket(self, df: DataFrame) -> DataFrame:
@@ -79,8 +78,11 @@ class KeyedParquetTable:
         return [r["bucket"] for r in rows]
 
     def _overwrite_buckets(self, merged: DataFrame) -> None:
-        # dynamic mode: only partitions present in `merged` are replaced
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+        # dynamic mode (scoped to THIS writer, not session-wide): only
+        # partitions present in `merged` are replaced
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(self.path)
 
     # -- actions ------------------------------------------------------------
     def append(self, df: DataFrame) -> None:
@@ -109,13 +111,67 @@ class KeyedParquetTable:
         fresh = src.join(tgt.select(self.key), self.key, "left_anti")
         fresh.write.mode("append").partitionBy("bucket").parquet(self.path)
 
-    def upsert(self, df: DataFrame, update_fields: Sequence[str] | None = None) -> None:
-        """MERGE: matched rows take source values (all fields or only
-        `update_fields`); unmatched source rows are inserted."""
+    def _merge_exprs(
+        self,
+        tgt: DataFrame,
+        src: DataFrame,
+        update_exprs: dict[str, str],
+        *,
+        insert_missing: bool,
+    ) -> DataFrame:
+        """MERGE with per-column UPDATE EXPRESSIONS — the reference's
+        Painless-script cases (`ctx._source.count += add` with
+        `script_params`, /root/reference/test/index_selector-spec.js:245-290)
+        re-expressed as `MERGE ... WHEN MATCHED THEN UPDATE SET col = expr`
+        per SURVEY.md §2.11. `update_exprs` maps a target column to a SQL
+        expression over aliases `t` (existing row) and `s` (source row, which
+        may carry extra param columns like `s.add`), e.g.
+        ``{"count": "t.count + s.add"}``. Matched rows evaluate the
+        expressions (non-listed columns keep target values — script updates
+        touch only their fields); unmatched source rows insert source values
+        when `insert_missing` (upsert), else are ignored (update)."""
+        t = tgt.drop("bucket").alias("t")
+        s = src.drop("bucket").alias("s")
+        cond = F.col(f"t.{self.key}") == F.col(f"s.{self.key}")
+        joined = t.join(s, cond, "full_outer" if insert_missing else "left_outer")
+        t_key, s_key = F.col(f"t.{self.key}"), F.col(f"s.{self.key}")
+        out = [F.coalesce(t_key, s_key).alias(self.key)]
+        src_cols = set(src.columns)
+        for c in tgt.columns:
+            if c in (self.key, "bucket"):
+                continue
+            matched_val = (
+                F.expr(update_exprs[c]) if c in update_exprs else F.col(f"t.{c}")
+            )
+            insert_val = F.col(f"s.{c}") if c in src_cols else F.lit(None)
+            out.append(
+                F.when(s_key.isNull(), F.col(f"t.{c}"))
+                .when(t_key.isNull(), insert_val)
+                .otherwise(matched_val)
+                .alias(c)
+            )
+        return self._bucket(joined.select(*out))
+
+    def upsert(
+        self,
+        df: DataFrame,
+        update_fields: Sequence[str] | None = None,
+        update_exprs: dict[str, str] | None = None,
+    ) -> None:
+        """MERGE: matched rows take source values (all fields, only
+        `update_fields`, or computed `update_exprs` — see _merge_exprs);
+        unmatched source rows are inserted."""
         if not self.exists():
             self._write(df.dropDuplicates([self.key]), "append")
             return
         src = self._bucket(df).dropDuplicates([self.key])
+        if update_exprs is not None:
+            buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
+            merged = self._merge_exprs(
+                self._read_buckets(buckets), src, update_exprs, insert_missing=True
+            )
+            self._overwrite_buckets(merged)
+            return
         buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
         tgt = self._read_buckets(buckets)
         cols = [c for c in tgt.columns if c != self.key]
@@ -133,11 +189,24 @@ class KeyedParquetTable:
         )
         self._overwrite_buckets(merged)
 
-    def update(self, df: DataFrame, update_fields: Sequence[str] | None = None) -> None:
-        """Overwrite fields of EXISTING rows only (no insert)."""
+    def update(
+        self,
+        df: DataFrame,
+        update_fields: Sequence[str] | None = None,
+        update_exprs: dict[str, str] | None = None,
+    ) -> None:
+        """Overwrite fields of EXISTING rows only (no insert); with
+        `update_exprs`, matched rows evaluate the expressions instead."""
         if not self.exists():
             return
         src = self._bucket(df).dropDuplicates([self.key])
+        if update_exprs is not None:
+            buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
+            merged = self._merge_exprs(
+                self._read_buckets(buckets), src, update_exprs, insert_missing=False
+            )
+            self._overwrite_buckets(merged)
+            return
         buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
         tgt = self._read_buckets(buckets)
         cols = [c for c in tgt.columns if c != self.key]

@@ -103,3 +103,40 @@ def test_tokenize_flat_matches_scalar_contract(texts):
     assert flat_list == [tok for e in expected for tok in e]
     codes, uniques = encode_tokens(flat)
     assert [uniques[c] for c in codes] == flat_list
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", categories=["L", "N", "P", "Z", "M", "S", "C"]
+        ),
+        max_size=120,
+    )
+)
+def test_kernel_matches_independent_python_spec(text):
+    """The frozen tokenizer contract, checked EXTERNALLY: the normative
+    Arrow/RE2 kernel must equal an independent pure-Python `re` spec
+    (`[^\\W_]+` over lowercased text == maximal L*/N* runs). Known
+    divergence class: codepoints the interpreter's (older) Unicode tables
+    leave unassigned but RE2's (newer) tables classify — those are skipped
+    via `unicodedata` (documented fallback caveat in tokenizer.py)."""
+    import unicodedata
+
+    from hypothesis import assume
+
+    from elasticsearch_assets_spark.analysis.tokenizer import _TOKEN_RE, tokenize
+
+    kernel = tokenize(text)
+    lowered = text.lower()
+    spec = _TOKEN_RE.findall(lowered)
+    if kernel != spec:
+        # tolerate only Unicode-version skew: unassigned-in-Python chars,
+        # or case mappings that differ between utf8_lower and str.lower
+        assume(not any(unicodedata.category(c) == "Cn" for c in text))
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arrow_lower = pc.utf8_lower(pa.array([text])).to_pylist()[0]
+        assume(arrow_lower == lowered)
+    assert kernel == spec

@@ -31,7 +31,7 @@ def py_minhash(shingles: set[str], k: int = 8) -> list[int]:
     return out
 
 
-def py_simhash(tokens: list[str], n_bits: int = 32) -> int:
+def py_simhash(tokens: list[str], n_bits: int = 60) -> int:
     acc = 0
     for j in range(n_bits):
         vote = sum(1 if (h60(t) >> j) & 1 else -1 for t in tokens)
@@ -140,6 +140,7 @@ def test_simhash_matches_python(spark, docs):
 
 def test_simhash_pairs_equal_bruteforce(spark, docs):
     fps = {i: py_simhash(py_tokens(t)) for i, t in CORPUS}
+    # default (60-bit Manku shape) and legacy 32-bit both checked
     want = {
         (a, b)
         for a, b in itertools.combinations(sorted(fps), 2)
@@ -202,3 +203,60 @@ def test_dedup_clusters_from_jaccard_pairs(spark, docs):
     assert reps[5] == 5
     survivors = sorted(d for d, r in reps.items() if d == r)
     assert survivors == [0, 3, 5]
+
+
+def test_simhash_32bit_still_supported(spark, docs):
+    """The narrow 32-bit shape remains available for compat (explicit
+    n_bits); defaults are the scale-sane 60-bit/15-bit-block shape."""
+    fps = {
+        r["id"]: r["simhash"]
+        for r in D.simhash_fingerprints(docs, n_bits=32).collect()
+    }
+    for i, t in CORPUS:
+        assert fps[i] == py_simhash(py_tokens(t), n_bits=32), f"doc {i}"
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_pairs(
+            docs, n_bits=32, max_hamming=3, n_blocks=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_simhash_max_bucket_drops_degenerate_buckets(spark):
+    """Identical docs collapse into one (blk, val) bucket per block; the
+    skew cap drops those buckets before the pair join (mirrors the LSH
+    guard)."""
+    same = spark.createDataFrame(
+        [Row(doc_id=i, text="same text everywhere") for i in range(12)],
+        "doc_id long, text string",
+    )
+    assert D.simhash_pairs(same, max_bucket=5).count() == 0
+    assert D.simhash_pairs(same).count() == 66  # 12 choose 2
+
+
+def test_lsh_verify_is_candidate_local(spark, docs):
+    """Threshold verification equals exact Jaccard restricted to the
+    candidate set (never a corpus-wide pairwise join): every verified pair
+    is a candidate AND its jaccard matches ngram_jaccard_pairs."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, n=1, threshold=0.0).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs, n=1, k=8, bands=4).collect()
+    }
+    verified = D.lsh_candidate_pairs(
+        docs, n=1, k=8, bands=4, threshold=0.6
+    ).collect()
+    for r in verified:
+        key = (r["id_a"], r["id_b"])
+        assert key in cand
+        assert abs(r["jaccard"] - exact[key]) < 1e-12
+        assert r["jaccard"] >= 0.6

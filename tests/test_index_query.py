@@ -154,10 +154,9 @@ def test_head_term_skew_segments_balanced(spark, tmp_path):
 
 def test_search_filtered_composition(index, spark):
     """F1+P2 composed: top-k among docs passing a structured filter must
-    equal filtering the exhaustive ranking — for both the broadcast path
-    and the join fallback."""
-    from elasticsearch_assets_spark.sources.tables import load_sf_table
-
+    equal filtering the exhaustive ranking — for ALL three execution
+    strategies (cogrouped executor-side, broadcast id-set, semi-join
+    fallback), which must be rank-identical."""
     full = index.search(["spark", "table"], k=None, mode="or").collect()
     assert len(full) > 20
     keep = {r["doc_id"] for r in full if r["doc_id"] % 3 == 0}
@@ -168,10 +167,68 @@ def test_search_filtered_composition(index, spark):
         (r["doc_id"], r["score"]) for r in full if r["doc_id"] in keep
     ][:10]
 
-    fast = index.search_filtered(["spark", "table"], filtered_df, k=10, mode="or")
-    assert [(r["doc_id"], r["score"]) for r in fast.collect()] == want
+    # auto on a doc_hash multi-chunk index resolves to the cogroup path
+    assert index.meta.partitioning == "doc_hash"
+    for strategy in ("auto", "cogroup", "broadcast", "exhaustive"):
+        got = index.search_filtered(
+            ["spark", "table"], filtered_df, k=10, mode="or", strategy=strategy
+        )
+        assert [(r["doc_id"], r["score"]) for r in got.collect()] == want, strategy
 
+    # forced-broadcast over the cap degrades to the semi-join fallback
     slow = index.search_filtered(
-        ["spark", "table"], filtered_df, k=10, mode="or", collect_cap=2
+        ["spark", "table"], filtered_df, k=10, mode="or",
+        strategy="broadcast", collect_cap=2,
     )
     assert [(r["doc_id"], r["score"]) for r in slow.collect()] == want
+
+
+def test_search_filtered_cogroup_single_chunk(spark, tmp_path, corpus_pdf):
+    """Cogroup path on a single-chunk index (trivial seg mapping) + filter
+    ids that are absent from the index (harmless) + tombstone interaction."""
+    from elasticsearch_assets_spark.index.tombstones import add_tombstones
+
+    d = str(tmp_path / "idx1")
+    corpus = pages_df(spark, 300, partitions=4)
+    build_index(spark, corpus, d, num_segments=8, num_chunks=1)
+    idx = InvertedIndex(spark, d)
+    assert idx.meta.partitioning == "doc_hash" and idx.meta.num_chunks == 1
+
+    filtered_df = spark.range(0, 10_000, 2).withColumnRenamed("id", "doc_id")
+    want = idx.search_filtered(
+        ["spark", "the"], filtered_df, k=20, mode="or", strategy="broadcast"
+    ).collect()
+    got = idx.search_filtered(
+        ["spark", "the"], filtered_df, k=20, mode="or", strategy="cogroup"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    assert all(r["doc_id"] % 2 == 0 for r in got) and len(got) == 20
+
+    # tombstoned docs stay excluded on the cogroup path too
+    add_tombstones(d, [r["doc_id"] for r in got[:3]])
+    idx.refresh_tombstones()
+    got2 = idx.search_filtered(
+        ["spark", "the"], filtered_df, k=20, mode="or", strategy="cogroup"
+    ).collect()
+    assert {r["doc_id"] for r in got2}.isdisjoint(
+        {r["doc_id"] for r in got[:3]}
+    )
+
+
+def test_search_filtered_opaque_mapping_falls_back(spark, tmp_path):
+    """input-partitioned builds have no derivable doc->seg mapping: auto
+    falls back to broadcast; forced cogroup raises."""
+    d = str(tmp_path / "idx_inp")
+    corpus = pages_df(spark, 200, partitions=4)
+    build_index(spark, corpus, d, num_segments=8, num_chunks=1, partitioning="input")
+    idx = InvertedIndex(spark, d)
+    assert idx.meta.partitioning == "opaque"
+    filtered_df = spark.range(0, 200, 3).withColumnRenamed("id", "doc_id")
+    got = idx.search_filtered(["spark"], filtered_df, k=5, mode="and")
+    assert all(r["doc_id"] % 3 == 0 for r in got.collect())
+    with pytest.raises(ValueError, match="mapping unavailable"):
+        idx.search_filtered(
+            ["spark"], filtered_df, k=5, mode="and", strategy="cogroup"
+        )

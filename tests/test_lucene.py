@@ -162,3 +162,44 @@ def test_parser_fuzz_composed_queries(data):
     ast = parse_lucene(q)  # must not raise
     assert ast is not None
     text_terms(ast)  # must not raise either
+
+
+def test_non_ascii_filter_matches_tokenizer_contract(spark):
+    """P4 parity on non-ASCII text: compile_filter membership must agree
+    with the normative analysis.tokenizer contract — the JVM mirror uses
+    the same [^\\p{L}\\p{N}]+ class, so `text:café` filters exactly what
+    the index analyzes (mixed scripts, accents, CJK, digits)."""
+    from pyspark.sql import Row
+
+    from elasticsearch_assets_spark.analysis.tokenizer import tokenize
+    from elasticsearch_assets_spark.query.lucene import compile_filter, parse_lucene
+
+    texts = [
+        "Café au lait, s'il vous plaît",
+        "CAFÉ-BAR öffnet früh",
+        "日本語のテキストとspark",
+        "naïve approach №42 über_alles",
+        "Ωμέγα και άλφα",
+        "cafe without accent",
+        "ᾯ ancient greek ligature",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    for probe in ["café", "öffnet", "日本語のテキストとspark", "über", "ωμέγα", "42"]:
+        want = sorted(i for i, t in enumerate(texts) if probe in tokenize(t))
+        got = sorted(
+            r["doc_id"]
+            for r in df.where(
+                compile_filter(parse_lucene(f"text:{probe}"))
+            ).collect()
+        )
+        assert got == want, (probe, got, want)
+
+    # phrase adjacency across non-ASCII separators
+    got = sorted(
+        r["doc_id"]
+        for r in df.where(compile_filter(parse_lucene('"café au"'))).collect()
+    )
+    assert got == [0]

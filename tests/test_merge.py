@@ -186,3 +186,30 @@ def test_merge_chunks_validation(spark, tmp_path):
         merge_chunks(spark, idx, [0])
     with pytest.raises(ValueError):
         merge_chunks(spark, idx, [0, 99])
+
+
+def test_double_purge_cycle_keeps_doc_count_exact(spark, tmp_path):
+    """Two tombstone->purge-compaction cycles: n_docs (and thus idf/avgdl)
+    must equal the true live-doc count after EACH cycle — the corrective
+    delta must account for prior compacted:* manifest rows, not only
+    status=='committed' ones."""
+    from elasticsearch_assets_spark.index.tombstones import add_tombstones
+
+    idx = str(tmp_path / "idx")
+    corpus = pages_df(spark, 400, partitions=4)
+    build_index(spark, corpus, idx, num_chunks=2, num_segments=8)
+    assert InvertedIndex(spark, idx).meta.n_docs == 400
+
+    add_tombstones(idx, list(range(0, 50)))
+    merge_segments(spark, idx, target_segments=4, apply_tombstones=True)
+    assert InvertedIndex(spark, idx).meta.n_docs == 350
+
+    add_tombstones(idx, list(range(50, 80)))
+    merge_segments(spark, idx, target_segments=4, apply_tombstones=True)
+    meta = InvertedIndex(spark, idx).meta
+    assert meta.n_docs == 320, meta.n_docs
+
+    # and search over the twice-purged index never returns a deleted doc
+    ix = InvertedIndex(spark, idx)
+    got = {r["doc_id"] for r in ix.search(["the"], k=None, mode="or").collect()}
+    assert got.isdisjoint(set(range(80)))

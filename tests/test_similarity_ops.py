@@ -231,3 +231,41 @@ def test_ivf_deterministic_training(spark, vdf):
     a = S.train_ivf_centroids(vdf, n_centroids=8, sample=60)
     b = S.train_ivf_centroids(vdf, n_centroids=8, sample=60)
     assert np.array_equal(a, b)
+
+
+def test_ivf_training_invariant_to_partitioning(spark, vecs):
+    """Ordered-sample training: centroids must be bit-identical no matter
+    how the input is partitioned/shuffled (the round-1 nondeterminism was
+    `limit()` without an ordering)."""
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)
+    ]
+    a = S.train_ivf_centroids(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        .repartition(7),
+        n_centroids=4, sample=40,
+    )
+    b = S.train_ivf_centroids(
+        spark.createDataFrame(list(reversed(rows)), "vec_id long, embedding array<float>")
+        .repartition(2),
+        n_centroids=4, sample=40,
+    )
+    assert (a == b).all()
+
+
+def test_centroid_assign_expr_matches_numpy(spark, vdf, vecs):
+    """The JVM assignment expression must agree with numpy argmax over
+    normalized dots (first-max tie-break)."""
+    from pyspark.sql import functions as F
+
+    cents = S.train_ivf_centroids(vdf, n_centroids=4, sample=60)
+    got = {
+        r["vec_id"]: r["centroid"]
+        for r in vdf.select(
+            "vec_id", S.centroid_assign_expr(F.col("embedding"), cents).alias("centroid")
+        ).collect()
+    }
+    x = vecs.astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    want = np.argmax(x @ cents.T, axis=1)
+    assert got == {i: int(want[i]) for i in range(len(vecs))}

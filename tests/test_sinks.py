@@ -209,3 +209,36 @@ def test_merge_prunes_to_affected_buckets(spark, ktable):
     ktable.upsert(upd)
     assert _snapshot(ktable)["k7"] == (700, "V")
     assert _snapshot(ktable)["k8"] == (8, "v")
+
+
+def test_update_exprs_scripted_increment(spark, ktable):
+    """U1: the reference's Painless script case (`ctx._source.count += add`
+    with script_params, index_selector-spec.js:245-290) as a MERGE update
+    expression. Matched rows run the expression; non-listed columns keep
+    target values; unmatched source rows are ignored by update() and
+    inserted by upsert()."""
+    ktable.index(_rows(spark, ("k1", 1, "x"), ("k2", 2, "y")))
+    src = spark.createDataFrame(
+        [Row(_id="k1", a=0, b="IGNORED", add=5), Row(_id="knew", a=7, b="n", add=1)],
+        "_id string, a int, b string, add int",
+    )
+    ktable.update(src, update_exprs={"a": "t.a + s.add"})
+    assert _snapshot(ktable) == {"k1": (6, "x"), "k2": (2, "y")}
+
+    ktable.upsert(src, update_exprs={"a": "t.a + s.add"})
+    snap = _snapshot(ktable)
+    assert snap["k1"] == (11, "x")  # scripted again: 6 + 5
+    assert snap["k2"] == (2, "y")  # untouched
+    assert snap["knew"] == (7, "n")  # unmatched source row inserted whole
+
+
+def test_update_exprs_with_coalesce_default(spark, ktable):
+    """script with a missing-field default: coalesce(t.a, 0) + s.add."""
+    ktable.index(
+        spark.createDataFrame(
+            [Row(_id="k1", a=None, b="x")], "_id string, a int, b string"
+        )
+    )
+    src = spark.createDataFrame([Row(_id="k1", add=3)], "_id string, add int")
+    ktable.update(src, update_exprs={"a": "coalesce(t.a, 0) + s.add"})
+    assert _snapshot(ktable) == {"k1": (3, "x")}
