@@ -205,6 +205,28 @@ def _term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(idx.count_term("spark"),)], "cnt long")
 
 
+def _date_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: date sort + result window (reference sort:created + size)."""
+    ev = load_sf_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(25)
+        .select("event_id", "ts")
+    )
+
+
+def _bm25_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: top-k winners joined back to their documents (broadcast join of
+    the k ids against the corpus scan)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    topk = idx.search(["spark", "join"], k=10, mode="and")
+    out = idx.materialize(topk, docs)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"), "lang", "n_chars"
+    )
+
+
 def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core composition `range AND (query)` (simple_api_
     reader/index.js:67-84): BM25 top-k AMONG docs matching a structured
@@ -863,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_single_term": _bm25_query(["filter"], "and", None),
         "bm25_filtered": _bm25_filtered,
         "bm25_after_delete": _bm25_after_delete,
+        "bm25_materialize": _bm25_materialize,
+        "date_sort_topk": _date_sort_topk,
         "term_count": _term_count,
         "date_range_scan": _date_range_scan,
         "minmax_dates": _minmax_dates,
@@ -909,6 +933,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_after_delete": _bm25_sql(
             ["spark", "join"], "or", None, where=_DELETE_PRED_SQL
+        ),
+        "bm25_materialize": f"""
+WITH topk AS ({_bm25_sql(["spark", "join"], "and", 10)})
+SELECT doc_id, score, lang, n_chars
+FROM topk JOIN documents USING (doc_id)
+""",
+        "date_sort_topk": (
+            "SELECT event_id, ts FROM events "
+            "ORDER BY ts ASC, event_id ASC LIMIT 25"
         ),
         "term_count": (
             "SELECT count(*)::BIGINT AS cnt FROM documents "

@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from elasticsearch_assets_spark.datagen.pages import pages_df
 from elasticsearch_assets_spark.index.build import build_index
 from elasticsearch_assets_spark.query.engine import InvertedIndex
@@ -76,11 +78,7 @@ def main() -> None:
     # --- headline: index build throughput ----------------------------------
     t0 = time.monotonic()
     meta = build_index(
-        spark,
-        corpus,
-        f"/tmp/esa_bench_idx_{N_PAGES}",
-        num_chunks=1,
-        shuffle_partitions=CPUS,
+        spark, corpus, f"/tmp/esa_bench_idx_{N_PAGES}", num_chunks=1
     )
     build_sec = time.monotonic() - t0
     queries["index_build_pages"] = round(build_sec, 3)
@@ -132,11 +130,31 @@ def main() -> None:
     # buckets degenerate — the skew cap is the designed defense
     OD.lsh_candidate_pairs(docs, n=1, k=8, bands=4, max_bucket=100).count()
     queries["op_lsh_candidates"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    # candidate-local verification (round-2 fix: per-pair set intersection,
+    # never the corpus-wide pairwise Jaccard join)
+    OD.lsh_candidate_pairs(
+        docs, n=1, k=8, bands=4, max_bucket=100, threshold=0.8
+    ).count()
+    queries["op_lsh_verified"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    OD.simhash_pairs(docs).count()  # 60-bit / 15-bit-block defaults
+    queries["op_simhash_pairs"] = round(time.monotonic() - t0, 3)
     emb = load_sf_table(spark, SF_DIR, "embeddings")
     qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     t0 = time.monotonic()
     OS.cosine_topk(emb, qv, k=10).collect()
     queries["op_ann_bruteforce"] = round(time.monotonic() - t0, 3)
+
+    # filtered search on the documents index (cogrouped executor-side path)
+    didx = InvertedIndex(spark, "/tmp/esa_bench_idx_documents")
+    filt = docs.where(F.col("doc_id") % 3 == 0)
+    reps = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        didx.search_filtered(["spark", "table"], filt, k=10, mode="or").collect()
+        reps.append(time.monotonic() - t0)
+    queries["q_filtered_cogroup"] = round(min(reps), 3)
 
     total = time.monotonic() - t_total
     print(

@@ -23,7 +23,6 @@ CODEC_VERSION = 2  # v2: per-block byte offsets -> skippable blocks (WAND)
 _U64 = np.uint64
 _SEVEN = _U64(7)
 _MASK7 = _U64(0x7F)
-_CONT = np.uint8(0x80)
 
 
 def encode_varint(values: np.ndarray) -> bytes:
@@ -33,36 +32,34 @@ def encode_varint(values: np.ndarray) -> bytes:
 
 
 def encode_varint_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """LEB128-encode; also return per-value byte counts (for batch slicing)."""
+    """LEB128-encode; also return per-value byte counts (for batch slicing).
+
+    2D byte-plane formulation: all (plane, value) bytes are computed as one
+    (max_planes x n) uint8 matrix and compacted with a single boolean-mask
+    gather in value-major order. No data-dependent loops, no int64 fancy
+    scatter — ~3x fewer memory passes than the per-plane masked fill this
+    replaced (matters at high core counts where the build is DRAM-bound;
+    see BASELINE.md scaling notes)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
         return b"", np.array([], dtype=np.int64)
-    # number of 7-bit groups per value (at least 1)
-    nbits = np.zeros(n, dtype=np.int64)
-    tmp = v.copy()
-    alive = tmp > 0
-    while alive.any():
-        nbits[alive] += 1
-        tmp >>= _SEVEN
-        alive = tmp > 0
-    ngroups = np.maximum(nbits, 1)
-    total = int(ngroups.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    # byte positions: starts[i] .. starts[i]+ngroups[i]-1
-    starts = np.concatenate(([0], np.cumsum(ngroups)[:-1]))
-    # plane-by-plane fill (max 10 planes)
-    max_g = int(ngroups.max())
-    shifted = v.copy()
-    for plane in range(max_g):
-        sel = ngroups > plane
-        pos = starts[sel] + plane
-        byte = (shifted[sel] & _MASK7).astype(np.uint8)
-        not_last = (ngroups[sel] - 1) > plane
-        byte = byte | np.where(not_last, _CONT, np.uint8(0))
-        out[pos] = byte
-        shifted >>= _SEVEN
-    return out.tobytes(), ngroups
+    vmax = int(v.max())
+    # byte count per value: 1 + number of passed 128^k thresholds
+    ngroups = np.ones(n, dtype=np.int64)
+    t = 1 << 7
+    while t <= vmax:
+        ngroups += v >= np.uint64(t)
+        t <<= 7
+    max_g = max(1, (vmax.bit_length() + 6) // 7)
+    shifts = (np.arange(max_g, dtype=np.uint64) * _SEVEN)[:, None]
+    planes = ((v[None, :] >> shifts) & _MASK7).astype(np.uint8)
+    plane_idx = np.arange(max_g, dtype=np.int64)[:, None]
+    planes |= (plane_idx < (ngroups[None, :] - 1)).astype(np.uint8) << 7
+    keep = plane_idx < ngroups[None, :]
+    # transpose ravel = (value 0's bytes, value 1's bytes, ...) — the LEB128
+    # stream order
+    return planes.T[keep.T].tobytes(), ngroups
 
 
 def decode_varint(buf: bytes) -> np.ndarray:
@@ -168,11 +165,14 @@ def encode_postings_batch(
     tfs_buf, tfs_sz = encode_varint_with_sizes(tfs.astype(np.uint64))
     dls_buf, dls_sz = encode_varint_with_sizes(doclens.astype(np.uint64))
 
+    starts_l, ends_l = starts.tolist(), ends.tolist()
+
     def split(buf: bytes, sizes: np.ndarray) -> list[bytes]:
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(sizes, out=offs[1:])
+        off_l = offs.tolist()  # Python ints: no per-slice numpy scalar boxing
         mv = memoryview(buf)
-        return [bytes(mv[offs[s] : offs[e]]) for s, e in zip(starts, ends)]
+        return [bytes(mv[off_l[s] : off_l[e]]) for s, e in zip(starts_l, ends_l)]
 
     # per-group stats
     df = (ends - starts).astype(np.int64)
@@ -191,6 +191,18 @@ def encode_postings_batch(
     blk_min_dl = np.minimum.reduceat(doclens, blk_start) if total_blocks else np.array([], dtype=np.int64)
     cuts = np.cumsum(nblocks)[:-1]
 
+    blk_bounds = np.concatenate(([0], cuts, [total_blocks]))
+    bounds_list = blk_bounds.tolist()
+
+    def ragged(arr: np.ndarray) -> list[list[int]]:
+        """One C-level tolist + Python list slicing — ~2x np.split(+tolist),
+        which pays per-group ndarray-view construction."""
+        full = arr.tolist()
+        return [
+            full[bounds_list[i] : bounds_list[i + 1]]
+            for i in range(len(bounds_list) - 1)
+        ]
+
     def block_offsets(sizes: np.ndarray) -> list[list[int]]:
         """Byte offset of each block's first value, relative to its group's
         blob start — makes every block an independently decodable varint
@@ -198,7 +210,7 @@ def encode_postings_batch(
         pre = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(sizes, out=pre[1:])
         offs = pre[blk_start] - pre[starts[grp_of_block]]
-        return [a.tolist() for a in np.split(offs, cuts)]
+        return ragged(offs)
 
     return {
         "df": df.tolist(),
@@ -206,9 +218,9 @@ def encode_postings_batch(
         "doc_gaps": split(gaps_buf, gaps_sz),
         "tfs_enc": split(tfs_buf, tfs_sz),
         "doclens_enc": split(dls_buf, dls_sz),
-        "block_last_doc": [a.tolist() for a in np.split(blk_last, cuts)],
-        "block_max_tf": [a.tolist() for a in np.split(blk_max_tf, cuts)],
-        "block_min_dl": [a.tolist() for a in np.split(blk_min_dl, cuts)],
+        "block_last_doc": ragged(blk_last),
+        "block_max_tf": ragged(blk_max_tf),
+        "block_min_dl": ragged(blk_min_dl),
         "block_off_gaps": block_offsets(gaps_sz),
         "block_off_tfs": block_offsets(tfs_sz),
         "block_off_dls": block_offsets(dls_sz),

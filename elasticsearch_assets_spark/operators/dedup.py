@@ -23,10 +23,13 @@ join skew.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from elasticsearch_assets_spark.operators.texthash import (
-    minhash_expr,
+    MH_PRIME,
+    MINHASH_PERMS,
     shingles_expr,
     simhash_expr,
     tokens_expr,
@@ -88,7 +91,7 @@ def ngram_jaccard_pairs(
         F.explode(
             F.array_distinct(shingles_expr(tokens_expr(text_col), n))
         ).alias("sh"),
-    )
+    ).repartition("sh")  # one tokenize pass; both join sides reuse it
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -124,11 +127,34 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, sig: array<long>[k]) — computed in the reading scan, no shuffle."""
-    return df.select(
+    """(id, sig: array<long>[k]) — computed in the reading scan, no shuffle.
+
+    Two-stage projection (same trick as simhash_fingerprints): the md5-based
+    hash60 runs ONCE per distinct shingle in its own select; the k
+    permutations read the staged hash array — md5 cost is O(shingles), not
+    O(shingles * k). Values are identical to the single-stage expression
+    (the DuckDB twin in __spark_entry__ is unchanged)."""
+    from elasticsearch_assets_spark.operators.texthash import hash60_expr
+
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        minhash_expr(shingles_expr(tokens_expr(text_col), n), k).alias("sig"),
+        F.transform(
+            F.array_distinct(shingles_expr(tokens_expr(text_col), n)),
+            lambda s: hash60_expr(s) % MH_PRIME,
+        ).alias("hs"),
     )
+    sig = []
+    for j in range(k):
+        a, b = MINHASH_PERMS[j]
+        sig.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % MH_PRIME)
+                ),
+                F.lit(MH_PRIME),
+            )
+        )
+    return hashed.select("id", F.array(*sig).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -171,6 +197,9 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # one shuffle on the join key -> both self-join sides reuse the same
+    # exchange (signatures computed once), co-partitioned join
+    banded = banded.repartition("band", "bucket")
     if max_bucket is not None:
         ok = (
             banded.groupBy("band", "bucket")
@@ -233,9 +262,12 @@ def simhash_fingerprints(
     token hashes are constant zero, so wider fingerprints add no signal
     and 2^63 would overflow signed int64 in both engines).
 
-    Two-stage projection: tokens are hashed ONCE into an array column, then
-    the n_bits bit-votes read that array — md5 cost is O(tokens), not
-    O(tokens * n_bits).
+    Two-stage projection: tokens are hashed ONCE into an array column
+    (JVM-side md5), then the bit-votes are summed in ONE vectorized numpy
+    pass over Arrow batches (a bit-plane matrix + reduceat per doc) — the
+    pure column-expression spelling (texthash.simhash_expr, kept as the
+    oracle/SQL-twin reference and tested equal) folds the hash array once
+    PER BIT, n_bits full-array passes. Integer math is identical in both.
     """
     from elasticsearch_assets_spark.operators.texthash import hash60_expr
 
@@ -243,7 +275,26 @@ def simhash_fingerprints(
         F.col(id_col).alias("id"),
         F.transform(tokens_expr(text_col), hash60_expr).alias("hs"),
     )
-    return hashed.select("id", simhash_expr(F.col("hs"), n_bits).alias("simhash"))
+    shifts = np.arange(n_bits, dtype=np.uint64)[:, None]
+
+    @F.pandas_udf("long")
+    def votes(hs: pd.Series) -> pd.Series:
+        lens = hs.str.len().to_numpy(dtype=np.int64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.uint64) for a in hs[nonempty]]
+            )
+            # (n_bits, total_tokens) ±1 votes, summed per doc via reduceat
+            signs = (((flat[None, :] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
+            starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+            sums = np.add.reduceat(signs, starts, axis=1)
+            fp = ((sums > 0).astype(np.int64) * (1 << np.arange(n_bits, dtype=np.int64))[:, None]).sum(axis=0)
+            out[nonempty] = fp
+        return pd.Series(out)
+
+    return hashed.select("id", votes(F.col("hs")).alias("simhash"))
 
 
 def simhash_pairs(
@@ -292,6 +343,10 @@ def simhash_pairs(
             )
         ).alias("bv"),
     ).select("id", "simhash", "bv.blk", "bv.val")
+    # materialize one shuffle on the join key: the a/b sides of the self-
+    # join then read the SAME exchange (ReusedExchange) instead of running
+    # the fingerprint pipeline twice, and the join is co-partitioned
+    blocks = blocks.repartition("blk", "val")
     if max_bucket is not None:
         ok = (
             blocks.groupBy("blk", "val")

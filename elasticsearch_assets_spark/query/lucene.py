@@ -49,6 +49,12 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Wildcard:
+    field: str | None
+    value: str  # raw pattern with * (any run) and ? (single char)
+
+
+@dataclass(frozen=True)
 class Cmp:
     field: str
     op: str  # >= <= > <
@@ -83,6 +89,7 @@ class Not:
 # tokenizer + recursive-descent parser
 # ---------------------------------------------------------------------------
 
+# terms may contain backslash-escaped specials (\:, \(, \), \", \\ …)
 _TOKEN_RE = re.compile(
     r"""
     \s*(
@@ -91,12 +98,18 @@ _TOKEN_RE = re.compile(
         \[[^\]\}]*(\]|\})|
         \{[^\]\}]*(\]|\})|
         AND\b|OR\b|NOT\b|
-        [^\s():]+:|
-        [^\s()]+
+        (?:\\.|[^\s():\\])+:|
+        (?:\\.|[^\s()\\])+
     )
     """,
     re.VERBOSE,
 )
+
+_ESCAPE_RE = re.compile(r"\\(.)")
+
+
+def _unescape(v: str) -> str:
+    return _ESCAPE_RE.sub(r"\1", v)
 
 
 def _tokenize_query(q: str) -> list[str]:
@@ -168,8 +181,15 @@ class _Parser:
 
     def clause(self):
         t = self.take()
-        if t.endswith(":"):
-            field = t[:-1]
+        if t.endswith(":") and not t.endswith("\\:"):
+            field = _unescape(t[:-1])
+            if self.peek() == "(":
+                # field:(a OR b) — the group's bare terms inherit the field
+                self.take()
+                node = self.or_expr()
+                if self.take() != ")":
+                    raise ValueError("unbalanced parens in field group")
+                return _attach_field(node, field)
             v = self.take()
             return self.value_clause(field, v)
         return self.value_clause(None, t)
@@ -190,9 +210,43 @@ class _Parser:
             if field is None:
                 raise ValueError(f"comparator needs a field: {v!r}")
             return Cmp(field, m.group(1), m.group(2))
-        if v.endswith("*"):
-            return Prefix(field, v[:-1])
-        return Term(field, v)
+        # wildcards: unescaped * (any run) / ? (single char). A trailing *
+        # with no other wildcard is the fast Prefix form.
+        specials = [c for c, esc in _wild_chars(v) if not esc]
+        if specials:
+            if specials == ["*"] and v.endswith("*") and "?" not in v:
+                return Prefix(field, _unescape(v[:-1]))
+            return Wildcard(field, v)
+        return Term(field, _unescape(v))
+
+
+def _wild_chars(v: str):
+    """Yield (char, was_escaped) for wildcard chars in a raw token."""
+    i = 0
+    while i < len(v):
+        if v[i] == "\\" and i + 1 < len(v):
+            if v[i + 1] in "*?":
+                yield v[i + 1], True
+            i += 2
+            continue
+        if v[i] in "*?":
+            yield v[i], False
+        i += 1
+
+
+def _attach_field(node, field: str):
+    """Distribute a field over a `field:(...)` group's bare values."""
+    if isinstance(node, (Term, Phrase, Prefix, Wildcard)):
+        if node.field is None:
+            return type(node)(field, node.value)
+        return node
+    if isinstance(node, And):
+        return And(tuple(_attach_field(c, field) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(_attach_field(c, field) for c in node.children))
+    if isinstance(node, Not):
+        return Not(_attach_field(node.child, field))
+    return node
 
 
 def parse_lucene(q: str):
@@ -215,6 +269,27 @@ def _tokens_col(text_col: str) -> Column:
     return F.array_remove(
         F.split(F.lower(F.col(text_col)), _JVM_SPLIT_PATTERN), ""
     )
+
+
+def _wildcard_regex(v: str) -> str:
+    """Lucene wildcard token -> anchored regex body: * = any run, ? = one
+    char, backslash-escapes are literals."""
+    out = []
+    i = 0
+    while i < len(v):
+        c = v[i]
+        if c == "\\" and i + 1 < len(v):
+            out.append(re.escape(v[i + 1]))
+            i += 2
+            continue
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "".join(out)
 
 
 def _lit(v: str):
@@ -279,6 +354,13 @@ def compile_filter(
                     _tokens_col(col), lambda t: t.startswith(n.value.lower())
                 )
             return F.col(n.field).startswith(n.value)
+        if isinstance(n, Wildcard):
+            pattern = "^" + _wildcard_regex(n.value.lower()) + "$"
+            if n.field is None or n.field in analyzed:
+                # analyzed wildcard: any token matches the whole pattern
+                col = n.field if n.field is not None and n.field != text_col else text_col
+                return F.exists(_tokens_col(col), lambda t: t.rlike(pattern))
+            return F.col(n.field).rlike("^" + _wildcard_regex(n.value) + "$")
         if isinstance(n, Cmp):
             c = F.col(n.field)
             v = _lit(n.value)

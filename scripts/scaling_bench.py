@@ -52,8 +52,7 @@ def child(cpus: int, input_dir: str, out_file: str, reps: int = 3) -> None:
     # the measured run sees steady-state workers (first mapInPandas stage
     # pays worker fork + import costs)
     build_index(
-        spark, corpus.limit(2000), f"/tmp/esa_scaling_warm_{cpus}",
-        num_chunks=1, shuffle_partitions=cpus,
+        spark, corpus.limit(2000), f"/tmp/esa_scaling_warm_{cpus}", num_chunks=1
     )
 
     # best-of-reps: the sandbox VM shares a host, so single runs see up to
@@ -62,7 +61,7 @@ def child(cpus: int, input_dir: str, out_file: str, reps: int = 3) -> None:
     build_sec = float("inf")
     for _ in range(reps):
         t0 = time.monotonic()
-        build_index(spark, corpus, idx_dir, num_chunks=1, shuffle_partitions=cpus)
+        build_index(spark, corpus, idx_dir, num_chunks=1)
         build_sec = min(build_sec, time.monotonic() - t0)
 
     idx = InvertedIndex(spark, idx_dir)
@@ -111,11 +110,12 @@ scripts/scaling_bench.py.
 |---|---|
 {pair_rows}
 
-Target >= 0.8. Context: this box's hardware ceiling for 8->32-way CPU
-scaling is ~0.75 (pure-Python multiprocessing of regex work measures
-2.9x from 8 to 32 procs — single-socket memory bandwidth, not engine
-design); on a real 4N-executor cluster each executor contributes its own
-memory bandwidth, which the low-N pair models better. Generated
+Target >= 0.8. Context: the high-N pair is bounded by this box's shared
+single-socket memory bandwidth, which the hardware-ceiling decomposition
+below measures directly (two INDEPENDENT 16-core JVMs — zero engine-level
+contention — see scripts/ceiling_bench.py and BENCH/ceiling.json); on a
+real 4N-executor cluster each executor contributes its own socket's
+bandwidth, which the low-N pair models better. Generated
 {report['generated_at']}.
 <!-- scaling:end -->"""
     with open(path) as fh:

@@ -203,3 +203,81 @@ def test_non_ascii_filter_matches_tokenizer_contract(spark):
         for r in df.where(compile_filter(parse_lucene('"café au"'))).collect()
     )
     assert got == [0]
+
+
+class TestLuceneExtras:
+    """Escapes, field:(...) grouping, ? wildcard — Lucene-surface extras."""
+
+    def test_escaped_specials_parse_as_literals(self):
+        from elasticsearch_assets_spark.query.lucene import Term, parse_lucene
+
+        assert parse_lucene(r"foo\:bar") == Term(None, "foo:bar")
+        assert parse_lucene(r"tag:a\(b\)") == Term("tag", "a(b)")
+        assert parse_lucene(r"path:a\*b") == Term("path", "a*b")
+
+    def test_field_group_distributes(self):
+        from elasticsearch_assets_spark.query.lucene import (
+            Cmp, Or, Term, parse_lucene,
+        )
+
+        ast = parse_lucene("lang:(en OR de)")
+        assert ast == Or((Term("lang", "en"), Term("lang", "de")))
+        # explicit fields inside the group win; non-term clauses untouched
+        ast2 = parse_lucene("lang:(en OR other:x AND bytes:>=5)")
+        assert Term("other", "x") in ast2.children[1].children
+        assert Cmp("bytes", ">=", "5") in ast2.children[1].children
+
+    def test_question_wildcard(self, spark):
+        from pyspark.sql import Row
+
+        from elasticsearch_assets_spark.query.lucene import compile_filter, parse_lucene
+
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="bat cave"), Row(doc_id=1, text="bit rot"),
+             Row(doc_id=2, text="boat house"), Row(doc_id=3, text="bt short")],
+            "doc_id long, text string",
+        )
+
+        def ids(q):
+            return sorted(
+                r["doc_id"] for r in df.where(compile_filter(parse_lucene(q))).collect()
+            )
+
+        assert ids("b?t") == [0, 1]          # exactly one char
+        assert ids("b*t") == [0, 1, 2, 3]    # any run incl. empty
+        assert ids("b?at") == [2]
+        assert ids("text:b??t") == [2]
+
+    def test_wildcard_on_raw_field(self, spark):
+        from pyspark.sql import Row
+
+        from elasticsearch_assets_spark.query.lucene import compile_filter, parse_lucene
+
+        df = spark.createDataFrame(
+            [Row(doc_id=0, key="a1-x"), Row(doc_id=1, key="a2-y"), Row(doc_id=2, key="b1-x")],
+            "doc_id long, key string",
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in df.where(
+                compile_filter(parse_lucene("key:a?-*"), analyzed_fields=set())
+            ).collect()
+        )
+        assert got == [0, 1]
+
+    def test_escaped_wildcard_is_literal(self, spark):
+        from pyspark.sql import Row
+
+        from elasticsearch_assets_spark.query.lucene import compile_filter, parse_lucene
+
+        df = spark.createDataFrame(
+            [Row(doc_id=0, key="a*b"), Row(doc_id=1, key="axb")],
+            "doc_id long, key string",
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in df.where(
+                compile_filter(parse_lucene(r"key:a\*b"), analyzed_fields=set())
+            ).collect()
+        )
+        assert got == [0]
