@@ -856,6 +856,86 @@ def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("win_start", "cnt")
 
 
+def _enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S9/A5: keyed state storage enrichment — mset (MERGE upsert) of a
+    deterministic state table, then the broadcast-keyed enrich join of an
+    events batch against it (the reference's cache-enrichment pattern,
+    elasticsearch_state_storage/api.js:6-33)."""
+    import tempfile
+
+    from elasticsearch_assets_spark.state.storage import CachedStateStorage
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="esa_state_"), "tbl")
+    store = CachedStateStorage(spark, path, key="_key", num_buckets=8)
+    state = (
+        ev.select(F.col("event_type").alias("_key"))
+        .distinct()
+        .withColumn("weight", F.length("_key").cast("long"))
+    )
+    store.mset(state)
+    batch = ev.select("event_id", F.col("event_type").alias("_key"))
+    return store.enrich(batch).select("event_id", "_key", "weight")
+
+
+_ENRICH_SQL = """
+SELECT event_id, event_type AS _key, length(event_type)::BIGINT AS weight
+FROM events
+"""
+
+
+def _stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/S9-persist: custom stateful streaming op (applyInPandasWithState
+    running per-key stats) draining the events table with availableNow;
+    each micro-batch's updated states upsert into a keyed table (the
+    persist-through pattern), so the final table is the last state per key
+    — equal to the batch aggregate regardless of batch boundaries."""
+    import tempfile
+
+    from elasticsearch_assets_spark.sinks.keyed_table import KeyedParquetTable
+    from elasticsearch_assets_spark.streaming import persistent as P
+    from elasticsearch_assets_spark.streaming.stateful import keyed_running_stats
+
+    schema = load_sf_table(spark, sf_dir, "events").schema.simpleString()[7:-1].replace(
+        ":", " "
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        stream_dir = src
+    else:
+        stream_dir = tempfile.mkdtemp(prefix="esa_stream_src2_")
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream = P.file_stream(spark, stream_dir, schema)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stats = keyed_running_stats(
+        stream, key_col="event_type", ts_col="ts", value_col="value"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="esa_runstats_"), "tbl")
+    table = KeyedParquetTable(spark, path, key="key", num_buckets=4)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.upsert(batch_df)
+
+    q = (
+        stats.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="esa_ckpt2_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read().select(
+        "key", "cnt", F.round("total", 4).alias("total"), "last_ts"
+    )
+
+
+_STREAM_STATS_SQL = """
+SELECT event_type AS key, count(*) AS cnt,
+       round(sum(value), 4) AS total, max(ts) AS last_ts
+FROM events GROUP BY 1
+"""
+
+
 def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_table(spark, sf_dir, "documents")
     return OM.media_stats(OM.attach_fake_media(docs))
@@ -911,7 +991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "doc_fingerprint": _fingerprint,
         "media_stats": _media_stats,
+        "enrich_join": _enrich_join,
         "stream_windowed_counts": _stream_windowed_counts,
+        "stream_running_stats": _stream_running_stats,
         "geo_bbox": _geo_bbox,
         "geo_distance": _geo_distance,
         "geo_sort_topk": _geo_sort_topk,
@@ -983,6 +1065,8 @@ FROM topk JOIN documents USING (doc_id)
         "lang_id": OT.lang_id_sql(),
         "doc_fingerprint": OT.doc_fingerprint_sql(),
         "media_stats": _MEDIA_STATS_SQL,
+        "enrich_join": _ENRICH_SQL,
+        "stream_running_stats": _STREAM_STATS_SQL,
         "stream_windowed_counts": (
             "SELECT date_trunc('hour', ts) AS win_start, count(*) AS cnt "
             "FROM events GROUP BY 1"

@@ -20,25 +20,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "key string, cnt bigint, total double, last_ts timestamp"
-STATE_SCHEMA = "cnt bigint, total double, last_ms bigint"
+STATE_SCHEMA = "cnt bigint, total double, last_us bigint"
 
 
 def _stats_fn(
     key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    cnt, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+    cnt, total, last_us = state.get if state.exists else (0, 0.0, 0)
     for pdf in pdfs:
         cnt += len(pdf)
         total += float(pdf["value"].sum())
         if len(pdf):
-            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
-    state.update((cnt, float(total), int(last_ms)))
+            # microsecond precision: event timestamps are parquet TIMESTAMP
+            # (us); ms truncation would lose ordering vs a batch max(ts)
+            last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
+    state.update((cnt, float(total), int(last_us)))
     yield pd.DataFrame(
         {
             "key": [key[0]],
             "cnt": [cnt],
             "total": [total],
-            "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
         }
     )
 
