@@ -76,6 +76,7 @@ def ngram_jaccard_pairs(
     *,
     n: int = 1,
     threshold: float = 0.6,
+    max_doc_freq: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -85,6 +86,15 @@ def ngram_jaccard_pairs(
     inverted-index trick: only docs sharing >=1 shingle ever meet) ->
     count common -> join the two set sizes -> Jaccard. Output
     (id_a, id_b, jaccard).
+
+    This is the EXACT baseline; its join is near-quadratic on head shingles
+    (every doc pair sharing "the" meets). `max_doc_freq` is the scale
+    guard: shingles appearing in more docs are dropped from the JOIN side
+    only (set sizes still count them), turning the computed Jaccard into a
+    LOWER BOUND of the true value — emitted pairs genuinely clear the
+    threshold (no false positives); pairs whose overlap is mostly head
+    shingles can be missed. With pruning off (default) values are exact.
+    At corpus scale prefer lsh_candidate_pairs.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -93,8 +103,17 @@ def ngram_jaccard_pairs(
         ).alias("sh"),
     ).repartition("sh")  # one tokenize pass; both join sides reuse it
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .drop("df")
+        )
+        joinable = sh.join(rare, "sh", "left_semi")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     common = (
         a.join(b, "sh")
         .where(F.col("a.id") < F.col("b.id"))

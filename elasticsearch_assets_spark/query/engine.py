@@ -188,11 +188,15 @@ class InvertedIndex:
         query: str | list[str],
         k: int | None = 10,
         mode: str = "and",
+        allowed: "np.ndarray | None" = None,
     ) -> list[tuple[int, float]]:
         """Low-latency serving path: ONE Spark job (the pushed-down `term IN`
         scan collects the few matching posting rows), then the same scoring
         kernels run on the driver — the coordinating-node pattern. Returns
         [(doc_id, score)] identical to `search().collect()` (tested).
+        `allowed` restricts ranking to a sorted doc-id set — the serving
+        form of the reference's `range AND (query)` composition, identical
+        to `search_filtered` (tested).
 
         Right when the query's posting lists are driver-small (typical
         serving); `search()` remains the distributed path for huge head
@@ -212,24 +216,24 @@ class InvertedIndex:
         idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
-        from elasticsearch_assets_spark.query.wand import _exclude
+        from elasticsearch_assets_spark.query.wand import restrict
 
         for postings in by_seg.values():
             if mode == "and":
                 d, s = topk_conjunctive(
                     terms, postings, idfs, meta.avgdl, meta.k1, meta.b, k,
-                    self.tombstones,
+                    self.tombstones, allowed,
                 )
             elif k is not None:
                 d, s = topk_disjunctive_pruned(
                     terms, postings, idfs, meta.avgdl, meta.k1, meta.b, k,
-                    self.tombstones,
+                    self.tombstones, allowed,
                 )
             else:
                 present = [t for t in terms if t in postings]
                 d = np.unique(np.concatenate([postings[t].doc_ids for t in present])) \
                     if present else np.array([], dtype=np.int64)
-                d = _exclude(d, self.tombstones)
+                d = restrict(d, self.tombstones, allowed)
                 s = exact_scores(d, terms, postings, idfs, meta.avgdl, meta.k1, meta.b)
             out_docs.append(d)
             out_scores.append(s)

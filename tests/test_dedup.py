@@ -260,3 +260,25 @@ def test_lsh_verify_is_candidate_local(spark, docs):
         assert key in cand
         assert abs(r["jaccard"] - exact[key]) < 1e-12
         assert r["jaccard"] >= 0.6
+
+
+def test_ngram_max_doc_freq_prunes_head_shingles(spark, docs):
+    """The max_doc_freq guard drops head shingles from the join side only:
+    emitted pairs' jaccard is a lower bound of the exact value and no pair
+    is emitted that the exact computation would reject."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, n=1, threshold=0.0).collect()
+    }
+    pruned = D.ngram_jaccard_pairs(docs, n=1, threshold=0.5, max_doc_freq=3).collect()
+    assert len(pruned) > 0
+    for r in pruned:
+        key = (r["id_a"], r["id_b"])
+        assert r["jaccard"] <= exact[key] + 1e-12  # lower bound
+        assert exact[key] >= 0.5  # no false positives vs exact threshold
+
+    # shingles in every doc ("the" analogue): with max_doc_freq=1 nothing
+    # is joinable, so no pairs at all
+    assert (
+        D.ngram_jaccard_pairs(docs, n=1, threshold=0.0, max_doc_freq=1).count() == 0
+    )

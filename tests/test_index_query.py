@@ -232,3 +232,31 @@ def test_search_filtered_opaque_mapping_falls_back(spark, tmp_path):
         idx.search_filtered(
             ["spark"], filtered_df, k=5, mode="and", strategy="cogroup"
         )
+
+
+def test_search_local_filtered_parity(index, spark):
+    """Serving-path restriction (`search_local(allowed=...)`) must equal
+    the distributed filtered search — same kernels, same composition."""
+    import numpy as np
+
+    full = index.search(["spark", "table"], k=None, mode="or").collect()
+    keep = sorted(r["doc_id"] for r in full if r["doc_id"] % 3 == 0)
+    allowed = np.array(keep, dtype=np.int64)
+    filtered_df = spark.createDataFrame([(int(d),) for d in keep], "doc_id long")
+    want = [
+        (r["doc_id"], r["score"])
+        for r in index.search_filtered(
+            ["spark", "table"], filtered_df, k=10, mode="or"
+        ).collect()
+    ]
+    got = index.search_local(["spark", "table"], k=10, mode="or", allowed=allowed)
+    assert got == want
+    # k=None exhaustive form too
+    want_all = [
+        (r["doc_id"], r["score"])
+        for r in index.search_filtered(
+            ["spark", "table"], filtered_df, k=None, mode="or"
+        ).collect()
+    ]
+    got_all = index.search_local(["spark", "table"], k=None, mode="or", allowed=allowed)
+    assert got_all == want_all
