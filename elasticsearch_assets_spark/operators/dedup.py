@@ -386,8 +386,10 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the dedup shuffle: only hamming survivors move;
+        # candidates failing the radius never leave their join partition
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -269,3 +269,47 @@ def test_centroid_assign_expr_matches_numpy(spark, vdf, vecs):
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     want = np.argmax(x @ cents.T, axis=1)
     assert got == {i: int(want[i]) for i in range(len(vecs))}
+
+
+def test_ivf_partitioned_storage_prunes_probes(spark, vdf, vecs, tmp_path):
+    """The IVF scale path: assignments written partitionBy('centroid') make
+    a probe a PARTITION-PRUNED read — the probed scan must touch only the
+    nprobe cells' files, and ranking inside them must equal ann_topk_ivf
+    over the raw table."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_assets_spark.operators.similarity import (
+        cosine_topk, ivf_assign, train_ivf_centroids,
+    )
+
+    cents = S.train_ivf_centroids(vdf, n_centroids=4, sample=60)
+    path = str(tmp_path / "ivf")
+    ivf_assign(vdf, cents).write.partitionBy("centroid").parquet(path)
+
+    q = [float(x) for x in vecs[3]]
+    qn = np.asarray(q, dtype=np.float64)
+    qn /= np.linalg.norm(qn)
+    probes = np.argsort(-(cents @ qn), kind="stable")[:2].tolist()
+
+    stored = spark.read.parquet(path)
+    probed = stored.where(F.col("centroid").isin(probes))
+    # the scan must prune on the partition column (2 of 4 cells)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "centroid" in m[0] and all(str(p) in m[0] for p in probes), m
+
+    got = [
+        (r["vec_id"], round(r["score"], 10))
+        for r in cosine_topk(probed, q, k=5).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 10))
+        for r in S.ann_topk_ivf(vdf, q, k=5, centroids=cents, nprobe=2).collect()
+    ]
+    assert got == want
