@@ -486,12 +486,13 @@ def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_sql(vec: str) -> str:
-    """Sign-LSH bucket code in SQL with the same deterministic hyperplanes."""
+    """Sign-LSH bucket code in SQL with the same deterministic hyperplanes.
+    (float() before repr: numpy >= 2 scalar repr is 'np.float64(x)'.)"""
     planes = OS._planes(8, 64)
     terms = []
     for i in range(8):
         dot = " + ".join(
-            f"{vec}[{d + 1}]::DOUBLE * {planes[i][d]!r}" for d in range(64)
+            f"{vec}[{d + 1}]::DOUBLE * {float(planes[i][d])!r}" for d in range(64)
         )
         terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
@@ -565,8 +566,10 @@ def _ann_ivf_sql() -> str | None:
     dim = cents.shape[1]
 
     def dot_chain(vec: str, c: np.ndarray) -> str:
+        # float() first: repr of a raw numpy scalar is 'np.float64(x)' on
+        # numpy >= 2, which would break the SQL; repr(float) round-trips
         return "(0.0 + " + " + ".join(
-            f"{vec}[{d + 1}]::DOUBLE * {c[d]!r}" for d in range(dim)
+            f"{vec}[{d + 1}]::DOUBLE * {float(c[d])!r}" for d in range(dim)
         ) + ")"
 
     dots = "[" + ", ".join(dot_chain("embedding", cents[i]) for i in range(len(cents))) + "]"
@@ -820,6 +823,29 @@ _LUCENE_SQL = (
 )
 
 
+def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file stream: FileStreamSource needs a
+    directory, events.parquet is a single file — stage a symlink dir (no
+    data copy). Watermarks need TIMESTAMP (ltz); the session tz is UTC so
+    the ntz->ltz cast is value-preserving and windows stay epoch-aligned
+    like the batch oracles."""
+    import tempfile
+
+    from elasticsearch_assets_spark.streaming import persistent as P
+
+    schema = load_sf_table(spark, sf_dir, "events").schema.simpleString()[7:-1].replace(
+        ":", " "
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        stream_dir = src
+    else:
+        stream_dir = tempfile.mkdtemp(prefix="esa_stream_src_")
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream = P.file_stream(spark, stream_dir, schema)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: persistent-mode tumbling-window counts, driven with
     trigger(availableNow) over the static events table — the streaming plan
@@ -830,21 +856,7 @@ def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from elasticsearch_assets_spark.streaming import persistent as P
 
-    schema = load_sf_table(spark, sf_dir, "events").schema.simpleString()[7:-1].replace(
-        ":", " "
-    )
-    # FileStreamSource needs a directory; events.parquet is a single file —
-    # stage a symlink dir (no data copy)
-    src = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src):
-        stream_dir = src
-    else:
-        stream_dir = tempfile.mkdtemp(prefix="esa_stream_src_")
-        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
-    stream = P.file_stream(spark, stream_dir, schema)
-    # watermarks need TIMESTAMP (ltz); session tz is UTC so the ntz->ltz cast
-    # is value-preserving and windows stay epoch-aligned like the oracle
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _staged_events_stream(spark, sf_dir)
     counts = P.windowed_counts(stream, "ts", "1h", delay="1m")
     name = "wc_" + _uuid.uuid4().hex[:8]
     out = P.run_to_table(
@@ -893,20 +905,9 @@ def _stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from elasticsearch_assets_spark.sinks.keyed_table import KeyedParquetTable
-    from elasticsearch_assets_spark.streaming import persistent as P
     from elasticsearch_assets_spark.streaming.stateful import keyed_running_stats
 
-    schema = load_sf_table(spark, sf_dir, "events").schema.simpleString()[7:-1].replace(
-        ":", " "
-    )
-    src = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src):
-        stream_dir = src
-    else:
-        stream_dir = tempfile.mkdtemp(prefix="esa_stream_src2_")
-        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
-    stream = P.file_stream(spark, stream_dir, schema)
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _staged_events_stream(spark, sf_dir)
     stats = keyed_running_stats(
         stream, key_col="event_type", ts_col="ts", value_col="value"
     )
@@ -924,14 +925,18 @@ def _stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # floor-spelling per CLAUDE.md: engines' round() differ at
+    # representation boundaries, and the sums accumulate in different orders
     return table.read().select(
-        "key", "cnt", F.round("total", 4).alias("total"), "last_ts"
+        "key", "cnt",
+        (F.floor(F.col("total") * 10000.0 + 0.5) / 10000.0).alias("total"),
+        "last_ts",
     )
 
 
 _STREAM_STATS_SQL = """
 SELECT event_type AS key, count(*) AS cnt,
-       round(sum(value), 4) AS total, max(ts) AS last_ts
+       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total, max(ts) AS last_ts
 FROM events GROUP BY 1
 """
 

@@ -184,10 +184,13 @@ def merge_chunks(
             os.remove(p)
     for c in chunk_ids:
         shutil.rmtree(os.path.join(seg_root, f"chunk={c}"), ignore_errors=True)
-    meta = load_meta(index_dir)
-    if meta.partitioning != "opaque":
-        meta.partitioning = "opaque"  # merged chunk broke the hash mapping
-        meta.save(index_dir)
+    # meta.json may not exist yet (streaming auto-compaction can run before
+    # the first finalize_index/refresh) — finalize writes opaque later
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        meta = load_meta(index_dir)
+        if meta.partitioning != "opaque":
+            meta.partitioning = "opaque"  # merged chunk broke the hash mapping
+            meta.save(index_dir)
     return new_chunk
 
 

@@ -294,24 +294,34 @@ def simhash_fingerprints(
         F.col(id_col).alias("id"),
         F.transform(tokens_expr(text_col), hash60_expr).alias("hs"),
     )
-    shifts = np.arange(n_bits, dtype=np.uint64)[:, None]
-
     @F.pandas_udf("long")
     def votes(hs: pd.Series) -> pd.Series:
-        lens = hs.str.len().to_numpy(dtype=np.int64)
+        # null hash array (null text) -> null fingerprint, matching the
+        # column-expression spelling (null join keys never pair up)
+        null_mask = hs.isna()
+        lens = hs.str.len().fillna(0).to_numpy(dtype=np.int64)
         out = np.zeros(len(hs), dtype=np.int64)
         nonempty = lens > 0
         if nonempty.any():
             flat = np.concatenate(
                 [np.asarray(a, dtype=np.uint64) for a in hs[nonempty]]
             )
-            # (n_bits, total_tokens) ±1 votes, summed per doc via reduceat
-            signs = (((flat[None, :] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
             starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
-            sums = np.add.reduceat(signs, starts, axis=1)
-            fp = ((sums > 0).astype(np.int64) * (1 << np.arange(n_bits, dtype=np.int64))[:, None]).sum(axis=0)
+            doc_lens = lens[nonempty]
+            fp = np.zeros(doc_lens.size, dtype=np.int64)
+            # one bit-plane at a time: peak extra memory is one int64 row
+            # over the batch's tokens, not an (n_bits x tokens) matrix
+            # (vote = 2*ones - len > 0  <=>  2*ones > len)
+            for j in range(n_bits):
+                ones = np.add.reduceat(
+                    ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64),
+                    starts,
+                )
+                fp |= ((2 * ones > doc_lens).astype(np.int64)) << j
             out[nonempty] = fp
-        return pd.Series(out)
+        res = pd.Series(out, dtype="Int64")
+        res[null_mask.to_numpy()] = pd.NA
+        return res
 
     return hashed.select("id", votes(F.col("hs")).alias("simhash"))
 

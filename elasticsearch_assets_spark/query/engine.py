@@ -259,14 +259,22 @@ class InvertedIndex:
         if meta.partitioning != "doc_hash" or meta.segs_per_chunk <= 0:
             return None
         spc = meta.segs_per_chunk
+        # re-validate against the CURRENT manifest (this handle's cached
+        # meta may predate a compaction that remapped seg ids on disk):
+        # the original build's chunk rows must still be exactly present and
+        # no compaction row may exist, else the mapping is stale -> fall
+        # back rather than silently missing segments
+        all_rows = read_manifest(self.index_dir)
+        if any(r["status"].startswith("compacted") for r in all_rows):
+            return None
+        rows = [r for r in all_rows if r["status"] == "committed"]
+        if sorted(r["chunk_id"] for r in rows) != list(range(meta.num_chunks)):
+            return None  # chunk layout no longer the original build's
         if meta.num_chunks == 1:
             return ids.select(
                 F.pmod(F.xxhash64("doc_id"), F.lit(spc)).cast("int").alias("seg_id"),
                 "doc_id",
             )
-        rows = [r for r in read_manifest(self.index_dir) if r["status"] == "committed"]
-        if sorted(r["chunk_id"] for r in rows) != list(range(meta.num_chunks)):
-            return None  # chunk layout no longer the original build's
         ranges = self.spark.createDataFrame(
             [(int(r["chunk_id"]), int(r["lo"]), int(r["hi"])) for r in rows],
             "chunk int, lo long, hi long",

@@ -260,3 +260,32 @@ def test_search_local_filtered_parity(index, spark):
     ]
     got_all = index.search_local(["spark", "table"], k=None, mode="or", allowed=allowed)
     assert got_all == want_all
+
+
+def test_search_filtered_stale_handle_after_compaction(spark, tmp_path):
+    """A live InvertedIndex whose cached meta predates a compaction must NOT
+    use the stale doc->segment mapping (silently wrong results) — the
+    manifest re-validation forces the fallback path."""
+    from elasticsearch_assets_spark.index.merge import merge_segments
+
+    d = str(tmp_path / "idx_stale")
+    corpus = pages_df(spark, 300, partitions=4)
+    build_index(spark, corpus, d, num_segments=8, num_chunks=1)
+    idx = InvertedIndex(spark, d)  # caches meta: doc_hash
+    assert idx.meta.partitioning == "doc_hash"
+    filt = spark.range(0, 300, 2).withColumnRenamed("id", "doc_id")
+    want = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_filtered(
+            ["spark", "the"], filt, k=10, mode="or", strategy="broadcast"
+        ).collect()
+    ]
+    merge_segments(spark, d, target_segments=4)  # remaps seg ids on disk
+    got = idx.search_filtered(["spark", "the"], filt, k=10, mode="or")
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mapping unavailable"):
+        idx.search_filtered(
+            ["spark", "the"], filt, k=10, mode="or", strategy="cogroup"
+        )

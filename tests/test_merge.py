@@ -213,3 +213,24 @@ def test_double_purge_cycle_keeps_doc_count_exact(spark, tmp_path):
     ix = InvertedIndex(spark, idx)
     got = {r["doc_id"] for r in ix.search(["the"], k=None, mode="or").collect()}
     assert got.isdisjoint(set(range(80)))
+
+
+def test_merge_chunks_before_first_finalize(spark, tmp_path):
+    """Streaming auto-compaction can run before the first finalize_index
+    writes meta.json — merge_chunks must not require it."""
+    from elasticsearch_assets_spark.index.build import build_chunk
+    from elasticsearch_assets_spark.index.merge import merge_chunks
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    corpus = pages_df(spark, 200, partitions=2)
+    for c in range(3):
+        chunk = corpus.where(F.col("doc_id") % 3 == c).select("doc_id", "text")
+        build_chunk(
+            spark, chunk, idx, chunk_id=c, seg_base=c * 2,
+            segs_per_chunk=2, nparts=2,
+        )
+    assert not os.path.exists(os.path.join(idx, "meta.json"))
+    new_chunk = merge_chunks(spark, idx, [0, 1], segs_out=2)
+    rows = read_manifest(idx)
+    assert {r["chunk_id"] for r in rows} == {2, new_chunk}
