@@ -65,6 +65,9 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             stale = (
                 m.get("codec_version") != CODEC_VERSION
                 or m.get("tokenizer_version") != TOKENIZER_VERSION
+                # pre-round-2 caches lack the doc->segment mapping meta the
+                # cogrouped filtered-search path needs — rebuild those too
+                or m.get("partitioning") != "doc_hash"
             )
         if stale:
             docs = load_sf_table(spark, sf_dir, "documents")

@@ -233,6 +233,20 @@ def build_index(
     )
     if num_segments is None:
         num_segments = 4 * par
+    # the doc->segment mapping (num_segments/num_chunks/partitioning) is
+    # pinned at first build: a RESUME in a different session (different
+    # parallelism => different defaults) MUST reuse the original values, or
+    # already-committed chunks and new chunks would carry incompatible seg
+    # mappings under one doc_hash meta — silently wrong cogroup routing.
+    params_path = os.path.join(index_dir, "build_params.json")
+    if resume and os.path.exists(params_path):
+        import json
+
+        with open(params_path) as fh:
+            saved = json.load(fh)
+        num_segments = saved["num_segments"]
+        num_chunks = saved["num_chunks"]
+        partitioning = saved["partitioning"]
     segs_per_chunk = max(1, num_segments // num_chunks)
     if num_chunks > 1:
         bounds = src.agg(
@@ -250,6 +264,19 @@ def build_index(
         for sub in ("manifest", "segments", "stats"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     done = committed_chunks(spark, index_dir) if resume else set()
+    import json as _json
+
+    tmp = params_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(
+            {
+                "num_segments": num_segments,
+                "num_chunks": num_chunks,
+                "partitioning": partitioning,
+            },
+            fh,
+        )
+    os.replace(tmp, params_path)
 
     for c, (clo, chi) in enumerate(ranges):
         if c in done:

@@ -241,11 +241,13 @@ def lsh_candidate_pairs(
     # distinct-shingle set and intersect per pair. Cost is O(candidates),
     # never the corpus-wide all-pairs Jaccard join — at 10^12 docs the
     # candidate set is the LSH-pruned output, while a full shingle self-join
-    # is near-cartesian on head shingles.
+    # is near-cartesian on head shingles. The one repartition materializes
+    # the tokenize+shingle projection as a single exchange that BOTH pair-
+    # side joins reuse (same hash key — the doc id value).
     sets_df = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_expr(tokens_expr(text_col), n)).alias("shset"),
-    )
+    ).repartition("id")
     return (
         cand.join(
             sets_df.withColumnsRenamed({"id": "id_a", "shset": "sh_a"}), "id_a"
@@ -257,7 +259,10 @@ def lsh_candidate_pairs(
             F.col("common")
             / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
         )
-        .where(F.col("jaccard") >= threshold)
+        # common > 0: a bucket-collision pair sharing NO shingle is not a
+        # near-dup pair even at threshold 0.0 (matches ngram_jaccard_pairs,
+        # whose inverted join can only ever see co-occurring pairs)
+        .where((F.col("common") > 0) & (F.col("jaccard") >= threshold))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -428,9 +433,14 @@ def dedup_clusters(
     simple propagation keeps the plan to joins the optimizer understands).
     Convergence check is a count of changed labels per round (one action).
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # cache the edge set: every propagation round joins against it, and its
+    # lineage is the whole (possibly expensive) pair-generation pipeline —
+    # uncached, that pipeline would re-execute up to max_iter times
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .cache()
+    )
     labels = ids.select(F.col(id_col).alias("id")).withColumn("rep", F.col("id"))
     prev_cached = None
     for it in range(max_iter):
@@ -465,9 +475,10 @@ def dedup_clusters(
             prev_cached = None
     out = labels.select(F.col("id").alias(id_col), "rep")
     if prev_cached is not None:
-        # materialize the result before releasing the cache backing it
+        # materialize the result before releasing the caches backing it
         out = out.localCheckpoint(eager=True)
         prev_cached.unpersist()
+    edges.unpersist()
     return out
 
 

@@ -141,58 +141,62 @@ class _Parser:
         return t
 
     def parse(self):
-        node = self.or_expr()
+        node = self.or_expr(None)
         if self.peek() is not None:
             raise ValueError(f"trailing tokens at {self.toks[self.i:]}")
         return node
 
-    def or_expr(self):
-        kids = [self.and_expr()]
+    # `ctx` is the field a surrounding `field:(...)` group puts in scope:
+    # every field-less clause inside — terms, comparators, ranges,
+    # wildcards — binds to it; explicit inner fields win.
+    def or_expr(self, ctx: str | None):
+        kids = [self.and_expr(ctx)]
         while self.peek() == "OR":
             self.take()
-            kids.append(self.and_expr())
+            kids.append(self.and_expr(ctx))
         return kids[0] if len(kids) == 1 else Or(tuple(kids))
 
-    def and_expr(self):
-        kids = [self.unary()]
+    def and_expr(self, ctx: str | None):
+        kids = [self.unary(ctx)]
         while True:
             t = self.peek()
             if t == "AND":
                 self.take()
-                kids.append(self.unary())
+                kids.append(self.unary(ctx))
             elif t is not None and t not in ("OR", ")"):
-                kids.append(self.unary())  # implicit adjacency = AND
+                kids.append(self.unary(ctx))  # implicit adjacency = AND
             else:
                 break
         return kids[0] if len(kids) == 1 else And(tuple(kids))
 
-    def unary(self):
+    def unary(self, ctx: str | None):
         t = self.peek()
         if t == "NOT":
             self.take()
-            return Not(self.unary())
+            return Not(self.unary(ctx))
         if t == "(":
             self.take()
-            node = self.or_expr()
+            node = self.or_expr(ctx)
             if self.take() != ")":
                 raise ValueError("unbalanced parens")
             return node
-        return self.clause()
+        return self.clause(ctx)
 
-    def clause(self):
+    def clause(self, ctx: str | None):
         t = self.take()
         if t.endswith(":") and not t.endswith("\\:"):
             field = _unescape(t[:-1])
             if self.peek() == "(":
-                # field:(a OR b) — the group's bare terms inherit the field
+                # field:(...) — group contents inherit the field, incl.
+                # comparators/ranges: count:(>10 AND <20)
                 self.take()
-                node = self.or_expr()
+                node = self.or_expr(field)
                 if self.take() != ")":
                     raise ValueError("unbalanced parens in field group")
-                return _attach_field(node, field)
+                return node
             v = self.take()
             return self.value_clause(field, v)
-        return self.value_clause(None, t)
+        return self.value_clause(ctx, t)
 
     def value_clause(self, field: str | None, v: str):
         if v.startswith('"') and v.endswith('"'):
@@ -232,21 +236,6 @@ def _wild_chars(v: str):
         if v[i] in "*?":
             yield v[i], False
         i += 1
-
-
-def _attach_field(node, field: str):
-    """Distribute a field over a `field:(...)` group's bare values."""
-    if isinstance(node, (Term, Phrase, Prefix, Wildcard)):
-        if node.field is None:
-            return type(node)(field, node.value)
-        return node
-    if isinstance(node, And):
-        return And(tuple(_attach_field(c, field) for c in node.children))
-    if isinstance(node, Or):
-        return Or(tuple(_attach_field(c, field) for c in node.children))
-    if isinstance(node, Not):
-        return Not(_attach_field(node.child, field))
-    return node
 
 
 def parse_lucene(q: str):

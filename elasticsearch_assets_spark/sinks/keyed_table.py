@@ -152,6 +152,31 @@ class KeyedParquetTable:
             )
         return self._bucket(joined.select(*out))
 
+    def _apply_merge(
+        self,
+        df: DataFrame,
+        update_exprs: dict[str, str],
+        *,
+        insert_missing: bool,
+    ) -> None:
+        src = self._bucket(df).dropDuplicates([self.key])
+        buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
+        merged = self._merge_exprs(
+            self._read_buckets(buckets), src, update_exprs,
+            insert_missing=insert_missing,
+        )
+        self._overwrite_buckets(merged)
+
+    def _field_exprs(
+        self, src: DataFrame, update_fields: Sequence[str] | None
+    ) -> dict[str, str]:
+        """`update_fields` as MERGE expressions: matched rows take the
+        source value, falling back to the target when the source value is
+        null (the historical coalesce semantics, tested)."""
+        src_cols = {c for c in src.columns if c not in (self.key, "bucket")}
+        upd = set(update_fields) if update_fields is not None else src_cols
+        return {c: f"coalesce(s.{c}, t.{c})" for c in upd & src_cols}
+
     def upsert(
         self,
         df: DataFrame,
@@ -164,30 +189,10 @@ class KeyedParquetTable:
         if not self.exists():
             self._write(df.dropDuplicates([self.key]), "append")
             return
-        src = self._bucket(df).dropDuplicates([self.key])
-        if update_exprs is not None:
-            buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
-            merged = self._merge_exprs(
-                self._read_buckets(buckets), src, update_exprs, insert_missing=True
-            )
-            self._overwrite_buckets(merged)
-            return
-        buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
-        tgt = self._read_buckets(buckets)
-        cols = [c for c in tgt.columns if c != self.key]
-        upd = set(update_fields) if update_fields is not None else set(cols)
-        s = src.select(self.key, *[F.col(c).alias(f"_s_{c}") for c in cols])
-        merged = tgt.join(s, self.key, "full_outer").select(
-            F.col(self.key),
-            *[
-                (
-                    F.coalesce(F.col(f"_s_{c}"), F.col(c)) if c in upd or c == "bucket"
-                    else F.coalesce(F.col(c), F.col(f"_s_{c}"))
-                ).alias(c)
-                for c in cols
-            ],
+        exprs = update_exprs if update_exprs is not None else self._field_exprs(
+            df, update_fields
         )
-        self._overwrite_buckets(merged)
+        self._apply_merge(df, exprs, insert_missing=True)
 
     def update(
         self,
@@ -199,30 +204,10 @@ class KeyedParquetTable:
         `update_exprs`, matched rows evaluate the expressions instead."""
         if not self.exists():
             return
-        src = self._bucket(df).dropDuplicates([self.key])
-        if update_exprs is not None:
-            buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
-            merged = self._merge_exprs(
-                self._read_buckets(buckets), src, update_exprs, insert_missing=False
-            )
-            self._overwrite_buckets(merged)
-            return
-        buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
-        tgt = self._read_buckets(buckets)
-        cols = [c for c in tgt.columns if c != self.key]
-        src_cols = {c for c in cols if c in src.columns and c != "bucket"}
-        upd = (set(update_fields) if update_fields is not None else src_cols) & src_cols
-        s = src.select(self.key, *[F.col(c).alias(f"_s_{c}") for c in upd])
-        merged = tgt.join(s, self.key, "left").select(
-            F.col(self.key),
-            *[
-                (
-                    F.coalesce(F.col(f"_s_{c}"), F.col(c)) if c in upd else F.col(c)
-                ).alias(c)
-                for c in cols
-            ],
+        exprs = update_exprs if update_exprs is not None else self._field_exprs(
+            df, update_fields
         )
-        self._overwrite_buckets(merged)
+        self._apply_merge(df, exprs, insert_missing=False)
 
     def delete(self, keys: DataFrame) -> None:
         """Remove rows whose key appears in `keys`."""

@@ -20,6 +20,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "key string, cnt bigint, total double, last_ts timestamp"
+# STATE_VERSION history:
+#   v1: (cnt, total, last_ms)  — millisecond event-time
+#   v2: (cnt, total, last_us)  — microsecond event-time (parquet TIMESTAMP
+#       precision; ms truncation diverged from a batch max(ts))
+# Changing the state struct is CHECKPOINT-INCOMPATIBLE: Spark's state-schema
+# check aborts a restart from an older checkpoint (fail-safe — never a
+# silent ms/us reinterpretation). Restarting a v1 query on v2 code requires
+# a fresh checkpoint; the source replays and rebuilds state.
+STATE_VERSION = 2
 STATE_SCHEMA = "cnt bigint, total double, last_us bigint"
 
 

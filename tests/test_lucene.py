@@ -217,7 +217,7 @@ class TestLuceneExtras:
 
     def test_field_group_distributes(self):
         from elasticsearch_assets_spark.query.lucene import (
-            Cmp, Or, Term, parse_lucene,
+            Cmp, Or, Range, Term, parse_lucene,
         )
 
         ast = parse_lucene("lang:(en OR de)")
@@ -226,6 +226,11 @@ class TestLuceneExtras:
         ast2 = parse_lucene("lang:(en OR other:x AND bytes:>=5)")
         assert Term("other", "x") in ast2.children[1].children
         assert Cmp("bytes", ">=", "5") in ast2.children[1].children
+        # comparators and ranges inherit the group field (legal Lucene)
+        ast3 = parse_lucene("count:(>10 AND <20)")
+        assert ast3.children == (Cmp("count", ">", "10"), Cmp("count", "<", "20"))
+        ast4 = parse_lucene("created:([2019 TO 2020])")
+        assert ast4 == Range("created", "2019", "2020", True, True)
 
     def test_question_wildcard(self, spark):
         from pyspark.sql import Row

@@ -81,3 +81,50 @@ def test_resume_noop_when_all_committed(spark, tmp_path, corpus):
     before = {r["chunk_id"]: r["committed_at"] for r in read_manifest(idx)}
     build_index(spark, corpus, idx, num_chunks=2, num_segments=8, resume=True)
     assert {r["chunk_id"]: r["committed_at"] for r in read_manifest(idx)} == before
+
+
+def test_resume_pins_original_build_params(spark, tmp_path):
+    """A resume in a different session (different parallelism => different
+    defaults) must reuse the ORIGINAL num_segments/num_chunks — otherwise
+    committed and resumed chunks would carry incompatible doc->segment
+    mappings under one doc_hash meta."""
+    import json
+
+    from elasticsearch_assets_spark.datagen.pages import pages_df
+    from elasticsearch_assets_spark.index.build import (
+        build_index, read_manifest,
+    )
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    d = str(tmp_path / "idx")
+    corpus = pages_df(spark, 400, partitions=4)
+    build_index(spark, corpus, d, num_segments=8, num_chunks=4)
+    # simulate a crash after 2 chunks: drop chunks 2,3 + their manifest rows
+    import os as _os
+    import shutil as _shutil
+
+    for c in (2, 3):
+        _shutil.rmtree(_os.path.join(d, "segments", f"chunk={c}"))
+        _os.remove(_os.path.join(d, "manifest", f"chunk-{c:05d}.json"))
+
+    # resume with DIFFERENT (wrong) explicit params: the pinned
+    # build_params.json must win
+    meta = build_index(
+        spark, corpus, d, num_segments=32, num_chunks=8, resume=True
+    )
+    assert meta.num_segments == 8 and meta.num_chunks == 4
+    assert json.load(open(_os.path.join(d, "build_params.json")))["num_segments"] == 8
+    assert sorted(r["chunk_id"] for r in read_manifest(d)) == [0, 1, 2, 3]
+
+    # the mapping is coherent: cogrouped filtered search equals broadcast
+    idx = InvertedIndex(spark, d)
+    filt = spark.range(0, 400, 2).withColumnRenamed("id", "doc_id")
+    want = idx.search_filtered(
+        ["spark", "the"], filt, k=10, mode="or", strategy="broadcast"
+    ).collect()
+    got = idx.search_filtered(
+        ["spark", "the"], filt, k=10, mode="or", strategy="cogroup"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
