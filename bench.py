@@ -153,8 +153,11 @@ def main() -> None:
             docs, n=1, k=8, bands=4, max_bucket=100, threshold=0.8
         ).count(),
     )
-    # 60-bit / 15-bit-block defaults
-    op_best("op_simhash_pairs", lambda: OD.simhash_pairs(docs).count())
+    # 60-bit / 15-bit-block defaults; explicit skew cap = the scale config
+    op_best(
+        "op_simhash_pairs",
+        lambda: OD.simhash_pairs(docs, max_bucket=1_000_000).count(),
+    )
     op_best("op_ann_bruteforce", lambda: OS.cosine_topk(emb, qv, k=10).collect())
 
     # filtered search on the documents index (cogrouped executor-side path)

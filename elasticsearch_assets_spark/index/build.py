@@ -239,14 +239,28 @@ def build_index(
     # already-committed chunks and new chunks would carry incompatible seg
     # mappings under one doc_hash meta — silently wrong cogroup routing.
     params_path = os.path.join(index_dir, "build_params.json")
-    if resume and os.path.exists(params_path):
-        import json
+    if resume:
+        if os.path.exists(params_path):
+            import json
 
-        with open(params_path) as fh:
-            saved = json.load(fh)
-        num_segments = saved["num_segments"]
-        num_chunks = saved["num_chunks"]
-        partitioning = saved["partitioning"]
+            with open(params_path) as fh:
+                saved = json.load(fh)
+            num_segments = saved["num_segments"]
+            num_chunks = saved["num_chunks"]
+            partitioning = saved["partitioning"]
+        elif committed_chunks(spark, index_dir):
+            # chunks committed by a build that predates param pinning: the
+            # original segs_per_chunk is unrecoverable, and recomputing it
+            # from THIS session's parallelism can collide seg_id ranges
+            # across chunks (two doc-disjoint posting rows sharing a seg_id
+            # => silently wrong BM25) — refuse rather than guess.
+            raise ValueError(
+                f"cannot resume {index_dir!r}: committed chunks exist but "
+                "build_params.json is missing (index predates param "
+                "pinning). Rebuild with resume=False, or restore the "
+                "original num_segments/num_chunks/partitioning into "
+                "build_params.json."
+            )
     segs_per_chunk = max(1, num_segments // num_chunks)
     if num_chunks > 1:
         bounds = src.agg(

@@ -337,7 +337,7 @@ def simhash_pairs(
     n_bits: int = 60,
     max_hamming: int = 3,
     n_blocks: int = 4,
-    max_bucket: int | None = 1_000_000,
+    max_bucket: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -354,8 +354,12 @@ def simhash_pairs(
     n/32768, vs n/256 with the old 32-bit/8-bit defaults whose pair join
     exploded quadratically. `max_bucket` drops degenerate buckets (a
     boilerplate fingerprint shared by millions of docs) before the pair
-    blow-up — the same skew guard as lsh_candidate_pairs; the default cap
-    only triggers on pathological buckets.
+    blow-up — the same skew guard as lsh_candidate_pairs. It is OPT-IN
+    (default None = exact recall): enabling it trades recall inside
+    over-cap buckets for a bound on the pair join, so scale deployments
+    should set it deliberately (e.g. 1_000_000) — a cap silently enabled
+    by default would reduce recall on boilerplate-heavy corpora with no
+    signal to the caller.
     """
     if max_hamming > n_blocks - 1:
         raise ValueError("need max_hamming <= n_blocks - 1 for pigeonhole soundness")

@@ -182,9 +182,22 @@ class _Parser:
             return node
         return self.clause(ctx)
 
+    @staticmethod
+    def _is_field_token(t: str) -> bool:
+        """A token is a field clause iff it ends in an UNESCAPED colon.
+        Escape-ness is decided by the parity of the backslash run before
+        the colon: odd = the colon is escaped (`foo\\:` -> term "foo:"),
+        even = the backslashes escape each other and the colon is a real
+        separator (`foo\\\\:` -> field named "foo\\")."""
+        if not t.endswith(":"):
+            return False
+        body = t[:-1]
+        n_bs = len(body) - len(body.rstrip("\\"))
+        return n_bs % 2 == 0
+
     def clause(self, ctx: str | None):
         t = self.take()
-        if t.endswith(":") and not t.endswith("\\:"):
+        if self._is_field_token(t):
             field = _unescape(t[:-1])
             if self.peek() == "(":
                 # field:(...) — group contents inherit the field, incl.

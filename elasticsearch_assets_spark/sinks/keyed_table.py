@@ -118,6 +118,7 @@ class KeyedParquetTable:
         update_exprs: dict[str, str],
         *,
         insert_missing: bool,
+        strict: bool = True,
     ) -> DataFrame:
         """MERGE with per-column UPDATE EXPRESSIONS — the reference's
         Painless-script cases (`ctx._source.count += add` with
@@ -129,7 +130,24 @@ class KeyedParquetTable:
         ``{"count": "t.count + s.add"}``. Matched rows evaluate the
         expressions (non-listed columns keep target values — script updates
         touch only their fields); unmatched source rows insert source values
-        when `insert_missing` (upsert), else are ignored (update)."""
+        when `insert_missing` (upsert), else are ignored (update).
+
+        When `strict` (user-supplied update_exprs / update_fields), unknown
+        expression keys raise: the reference's script update fails loudly on
+        a bad field, so a typo'd column must not become a silent no-op.
+        Non-strict (exprs derived from ALL source columns) filters instead —
+        extra source columns are legitimate script params (`s.add`)."""
+        updatable = set(tgt.columns) - {self.key, "bucket"}
+        unknown = set(update_exprs) - updatable
+        if unknown:
+            if strict:
+                raise ValueError(
+                    f"update_exprs keys {sorted(unknown)} are not updatable "
+                    f"target columns (have: {sorted(updatable)})"
+                )
+            update_exprs = {
+                k: v for k, v in update_exprs.items() if k in updatable
+            }
         t = tgt.drop("bucket").alias("t")
         s = src.drop("bucket").alias("s")
         cond = F.col(f"t.{self.key}") == F.col(f"s.{self.key}")
@@ -158,12 +176,13 @@ class KeyedParquetTable:
         update_exprs: dict[str, str],
         *,
         insert_missing: bool,
+        strict: bool = True,
     ) -> None:
         src = self._bucket(df).dropDuplicates([self.key])
         buckets = [r["bucket"] for r in src.select("bucket").distinct().collect()]
         merged = self._merge_exprs(
             self._read_buckets(buckets), src, update_exprs,
-            insert_missing=insert_missing,
+            insert_missing=insert_missing, strict=strict,
         )
         self._overwrite_buckets(merged)
 
@@ -172,8 +191,16 @@ class KeyedParquetTable:
     ) -> dict[str, str]:
         """`update_fields` as MERGE expressions: matched rows take the
         source value, falling back to the target when the source value is
-        null (the historical coalesce semantics, tested)."""
+        null (the historical coalesce semantics, tested). An explicit
+        `update_fields` name absent from the source raises (typo guard)."""
         src_cols = {c for c in src.columns if c not in (self.key, "bucket")}
+        if update_fields is not None:
+            missing = set(update_fields) - src_cols
+            if missing:
+                raise ValueError(
+                    f"update_fields {sorted(missing)} are not source "
+                    f"columns (have: {sorted(src_cols)})"
+                )
         upd = set(update_fields) if update_fields is not None else src_cols
         return {c: f"coalesce(s.{c}, t.{c})" for c in upd & src_cols}
 
@@ -192,7 +219,8 @@ class KeyedParquetTable:
         exprs = update_exprs if update_exprs is not None else self._field_exprs(
             df, update_fields
         )
-        self._apply_merge(df, exprs, insert_missing=True)
+        strict = update_exprs is not None or update_fields is not None
+        self._apply_merge(df, exprs, insert_missing=True, strict=strict)
 
     def update(
         self,
@@ -207,7 +235,8 @@ class KeyedParquetTable:
         exprs = update_exprs if update_exprs is not None else self._field_exprs(
             df, update_fields
         )
-        self._apply_merge(df, exprs, insert_missing=False)
+        strict = update_exprs is not None or update_fields is not None
+        self._apply_merge(df, exprs, insert_missing=False, strict=strict)
 
     def delete(self, keys: DataFrame) -> None:
         """Remove rows whose key appears in `keys`."""

@@ -24,18 +24,42 @@ OUT_SCHEMA = "key string, cnt bigint, total double, last_ts timestamp"
 #   v1: (cnt, total, last_ms)  — millisecond event-time
 #   v2: (cnt, total, last_us)  — microsecond event-time (parquet TIMESTAMP
 #       precision; ms truncation diverged from a batch max(ts))
-# Changing the state struct is CHECKPOINT-INCOMPATIBLE: Spark's state-schema
-# check aborts a restart from an older checkpoint (fail-safe — never a
-# silent ms/us reinterpretation). Restarting a v1 query on v2 code requires
-# a fresh checkpoint; the source replays and rebuilds state.
-STATE_VERSION = 2
-STATE_SCHEMA = "cnt bigint, total double, last_us bigint"
+#   v3: (cnt, total, last_us, ver) — explicit version column (see below)
+# Spark's state-schema compatibility check (DataType.
+# equalsIgnoreNameAndCompatibleNullability) IGNORES field names, so a
+# rename with identical types — exactly the v1->v2 ms->us change — would
+# restart silently and reinterpret stored values. Two defenses:
+#   * the struct carries a `ver int` column: a restart from any checkpoint
+#     whose arity/types differ aborts at Spark's schema check, and one
+#     whose shape happens to match is validated per-key at read time
+#     (_stats_fn raises on ver mismatch — fail-fast, never silent).
+#   * callers should also suffix checkpoint paths with STATE_VERSION
+#     (checkpoint_dir() below) so old and new state never share a location.
+STATE_VERSION = 3
+STATE_SCHEMA = "cnt bigint, total double, last_us bigint, ver int"
+
+
+def checkpoint_dir(base: str) -> str:
+    """Version-scoped checkpoint location: a v_N checkpoint can never be
+    opened by v_M code, independent of struct-shape coincidences."""
+    import os
+
+    return os.path.join(base, f"state_v{STATE_VERSION}")
 
 
 def _stats_fn(
     key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    cnt, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    if state.exists:
+        cnt, total, last_us, ver = state.get
+        if ver != STATE_VERSION:
+            raise ValueError(
+                f"stateful checkpoint holds state version {ver}, code is "
+                f"v{STATE_VERSION}: restart from a fresh checkpoint "
+                "(the source replays and rebuilds state)"
+            )
+    else:
+        cnt, total, last_us = 0, 0.0, 0
     for pdf in pdfs:
         cnt += len(pdf)
         total += float(pdf["value"].sum())
@@ -43,7 +67,7 @@ def _stats_fn(
             # microsecond precision: event timestamps are parquet TIMESTAMP
             # (us); ms truncation would lose ordering vs a batch max(ts)
             last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
-    state.update((cnt, float(total), int(last_us)))
+    state.update((cnt, float(total), int(last_us), STATE_VERSION))
     yield pd.DataFrame(
         {
             "key": [key[0]],

@@ -286,3 +286,22 @@ class TestLuceneExtras:
             ).collect()
         )
         assert got == [0]
+
+
+class TestEscapedColon:
+    r"""Field-ness is decided by backslash-run parity before the colon
+    (ADVICE round 2): `foo\:` = term "foo:", `foo\\:` = field "foo\"."""
+
+    def test_single_escape_is_term(self):
+        assert parse_lucene(r"foo\:bar") == Term(None, "foo:bar")
+
+    def test_double_escape_is_field(self):
+        # \\ escapes the backslash; the colon is a real separator
+        assert parse_lucene(r"foo\\:bar") == Term("foo\\", "bar")
+
+    def test_triple_escape_is_term(self):
+        # \\ + \: -> literal backslash + literal colon inside one term
+        assert parse_lucene(r"foo\\\:bar") == Term(None, "foo\\:bar")
+
+    def test_plain_field_unaffected(self):
+        assert parse_lucene("foo:bar") == Term("foo", "bar")

@@ -128,3 +128,23 @@ def test_resume_pins_original_build_params(spark, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in got] == [
         (r["doc_id"], r["score"]) for r in want
     ]
+
+
+def test_resume_refuses_pre_pinning_index(spark, tmp_path):
+    """Committed chunks + missing build_params.json (an index built before
+    param pinning): the original segs_per_chunk is unrecoverable, so resume
+    must refuse instead of recomputing defaults that can collide seg_id
+    ranges across chunks (ADVICE round 2)."""
+    import os
+
+    import pytest as _pytest
+
+    from elasticsearch_assets_spark.datagen.pages import pages_df
+    from elasticsearch_assets_spark.index.build import build_index
+
+    d = str(tmp_path / "idx")
+    corpus = pages_df(spark, 200, partitions=2)
+    build_index(spark, corpus, d, num_segments=8, num_chunks=2)
+    os.remove(os.path.join(d, "build_params.json"))
+    with _pytest.raises(ValueError, match="build_params.json is missing"):
+        build_index(spark, corpus, d, num_segments=8, num_chunks=2, resume=True)

@@ -242,3 +242,37 @@ def test_update_exprs_with_coalesce_default(spark, ktable):
     src = spark.createDataFrame([Row(_id="k1", add=3)], "_id string, add int")
     ktable.update(src, update_exprs={"a": "coalesce(t.a, 0) + s.add"})
     assert _snapshot(ktable) == {"k1": (3, "x")}
+
+
+# ---------------------------------------------------------------------------
+# merge strictness (ADVICE round 2: typo'd update field must fail loudly)
+# ---------------------------------------------------------------------------
+
+
+def test_update_exprs_unknown_column_raises(spark, tmp_path):
+    t = KeyedParquetTable(spark, str(tmp_path / "kt"), key="_id", num_buckets=4)
+    t.append(spark.createDataFrame([(1, 10)], "_id long, count long"))
+    src = spark.createDataFrame([(1, 5)], "_id long, add long")
+    with pytest.raises(ValueError, match="not updatable"):
+        t.upsert(src, update_exprs={"cuont": "t.count + s.add"})  # typo
+    with pytest.raises(ValueError, match="not updatable"):
+        t.update(src, update_exprs={"_id": "s._id"})  # key not updatable
+
+
+def test_update_fields_unknown_source_column_raises(spark, tmp_path):
+    t = KeyedParquetTable(spark, str(tmp_path / "kt"), key="_id", num_buckets=4)
+    t.append(spark.createDataFrame([(1, 10)], "_id long, count long"))
+    src = spark.createDataFrame([(1, 5)], "_id long, count long")
+    with pytest.raises(ValueError, match="not source"):
+        t.upsert(src, update_fields=["cuont"])
+
+
+def test_upsert_all_fields_tolerates_extra_source_columns(spark, tmp_path):
+    """Derived-from-source exprs (update_fields=None) stay lenient: extra
+    source columns are legitimate script params, not typos."""
+    t = KeyedParquetTable(spark, str(tmp_path / "kt"), key="_id", num_buckets=4)
+    t.append(spark.createDataFrame([(1, 10)], "_id long, count long"))
+    src = spark.createDataFrame([(1, 99, 5)], "_id long, count long, extra long")
+    t.upsert(src)  # must not raise
+    rows = t.read().collect()
+    assert [(r["_id"], r["count"]) for r in rows] == [(1, 99)]

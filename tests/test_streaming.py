@@ -207,3 +207,29 @@ def test_keyed_running_stats_accumulates_across_restarts(spark, tmp_path):
     assert second["a"] == (3, 30.0)  # 2 (from state) + 1 new
     assert second["c"] == (1, 10.0)
     assert "b" not in second  # update mode: untouched keys aren't re-emitted
+
+
+def test_stateful_version_mismatch_raises():
+    """A checkpoint whose state struct happens to be shape-compatible but
+    carries a different STATE_VERSION must fail fast, never silently
+    reinterpret stored values (ADVICE round 2: Spark's state-schema check
+    ignores field names)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from elasticsearch_assets_spark.streaming import stateful as S
+
+    class FakeState:
+        exists = True
+        get = (1, 2.0, 3, S.STATE_VERSION - 1)
+
+        def update(self, v):
+            pass
+
+    pdf = pd.DataFrame(
+        {"value": [1.0], "ts": [pd.Timestamp("2024-01-01")]}
+    )
+    with _pytest.raises(ValueError, match="state version"):
+        list(S._stats_fn(("k",), iter([pdf]), FakeState()))
+    assert "ver int" in S.STATE_SCHEMA
+    assert S.checkpoint_dir("/tmp/x").endswith(f"state_v{S.STATE_VERSION}")
