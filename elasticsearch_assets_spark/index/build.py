@@ -316,6 +316,33 @@ def build_index(
             collect_metrics=num_chunks > 1,
         )
 
+    # durable doc->segment mapping (index/seg_map.py): the full entry set is
+    # (re)written every build — correct under resume, where skipped chunks
+    # still need their entries. Compactions TRANSFORM this file instead of
+    # invalidating it, keeping the cogrouped filtered-search path alive.
+    from elasticsearch_assets_spark.index.seg_map import (
+        SegMapEntry,
+        poison_seg_map,
+        save_seg_map,
+    )
+
+    if partitioning == "doc_hash":
+        save_seg_map(
+            index_dir,
+            [
+                SegMapEntry(
+                    chunk=c,
+                    spc=segs_per_chunk,
+                    segs=[c * segs_per_chunk + i for i in range(segs_per_chunk)],
+                    lo=clo,
+                    hi=chi,
+                )
+                for c, (clo, chi) in enumerate(ranges)
+            ],
+        )
+    else:
+        poison_seg_map(index_dir)  # seg = input split id, not f(doc_id)
+
     return finalize_index(
         spark, index_dir, num_segments, num_chunks,
         partitioning=partitioning if partitioning == "doc_hash" else "opaque",

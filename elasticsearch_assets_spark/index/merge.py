@@ -184,12 +184,23 @@ def merge_chunks(
             os.remove(p)
     for c in chunk_ids:
         shutil.rmtree(os.path.join(seg_root, f"chunk={c}"), ignore_errors=True)
+    # transform the durable doc->segment mapping by the same seg-id rewrite
+    # the shuffle above applied — the cogrouped filtered-search path keeps
+    # working on the compacted index (round-3 fix; index/seg_map.py)
+    from elasticsearch_assets_spark.index.seg_map import apply_merge_chunks
+
+    apply_merge_chunks(
+        index_dir, chunk_ids,
+        seg_base=seg_base, segs_out=segs_out, new_chunk=new_chunk,
+    )
     # meta.json may not exist yet (streaming auto-compaction can run before
-    # the first finalize_index/refresh) — finalize writes opaque later
+    # the first finalize_index/refresh) — finalize writes opaque later.
+    # partitioning="opaque" now only disables the LEGACY manifest-derived
+    # mapping; seg_map.json is the durable authority.
     if os.path.exists(os.path.join(index_dir, "meta.json")):
         meta = load_meta(index_dir)
         if meta.partitioning != "opaque":
-            meta.partitioning = "opaque"  # merged chunk broke the hash mapping
+            meta.partitioning = "opaque"
             meta.save(index_dir)
     return new_chunk
 
@@ -264,10 +275,19 @@ def merge_segments(
     os.rename(tmp_path, seg_path)
     shutil.rmtree(old)
 
+    # transform the durable doc->segment mapping by the same rewrite the
+    # shuffle applied (seg -> seg % target) — filtered search keeps its
+    # executor-side cogroup plan post-compaction (round-3 fix)
+    from elasticsearch_assets_spark.index.seg_map import apply_merge_segments
+
+    apply_merge_segments(index_dir, target_segments)
+
     meta = load_meta(index_dir)
     meta.num_segments = target_segments
     meta.num_chunks = 1
-    meta.partitioning = "opaque"  # seg ids were remapped; hash mapping lost
+    # "opaque" only disables the LEGACY manifest-derived mapping;
+    # seg_map.json above is the durable authority now
+    meta.partitioning = "opaque"
     meta.save(index_dir)
     # lineage: record the compaction in the manifest
     prior = read_manifest(index_dir)

@@ -247,13 +247,26 @@ class InvertedIndex:
         return [(int(docs[i]), float(scores[i])) for i in order]
 
     def _filter_with_seg(self, ids: DataFrame) -> DataFrame | None:
-        """Map a filter-id DataFrame to (seg_id, doc_id) executor-side, when
-        the index's doc->segment mapping is derivable (meta.partitioning ==
-        "doc_hash": seg = chunk*segs_per_chunk + pmod(xxhash64(doc_id),
-        segs_per_chunk), chunk from the manifest doc_id ranges). Returns
-        None when the mapping is opaque (input-partitioned build, compacted
-        or streaming index)."""
+        """Map a filter-id DataFrame to (seg_id, doc_id) executor-side.
+
+        Primary source: the durable seg_map.json (index/seg_map.py) — one
+        residue->segment lookup table per chunk that compactions TRANSFORM
+        rather than invalidate, so doc_hash builds, streaming indexes, and
+        compacted indexes all keep the cogroup plan. Read fresh from disk
+        each call (tiny JSON) so a handle created before a compaction never
+        routes with a stale mapping. Fallback for pre-seg_map indexes: the
+        legacy manifest-range derivation (meta.partitioning == "doc_hash",
+        refused after any compaction). Returns None when unmappable
+        (input-partitioned builds: seg = input split id, not f(doc_id))."""
         from elasticsearch_assets_spark.index.build import read_manifest
+        from elasticsearch_assets_spark.index.seg_map import (
+            load_seg_map,
+            route_ids,
+        )
+
+        entries = load_seg_map(self.index_dir)
+        if entries is not None:
+            return route_ids(self.spark, ids, entries)
 
         meta = self.meta
         if meta.partitioning != "doc_hash" or meta.segs_per_chunk <= 0:

@@ -77,6 +77,28 @@ class StreamingIndexWriter:
             nparts=self.nparts,
             partitioning=self.partitioning,
         )
+        # register the epoch's doc->segment mapping (unranged: chunk
+        # membership is arrival-time, not id-range). Idempotent per epoch,
+        # like the chunk commit itself; auto-compaction later folds these
+        # entries together (seg_map.apply_merge_chunks + normalize).
+        from elasticsearch_assets_spark.index.seg_map import (
+            SegMapEntry,
+            poison_seg_map,
+            upsert_chunk_entry,
+        )
+
+        if self.partitioning == "doc_hash":
+            base = int(batch_id) * self.segs_per_batch
+            upsert_chunk_entry(
+                self.index_dir,
+                SegMapEntry(
+                    chunk=int(batch_id),
+                    spc=self.segs_per_batch,
+                    segs=[base + i for i in range(self.segs_per_batch)],
+                ),
+            )
+        else:
+            poison_seg_map(self.index_dir)
         if (int(batch_id) + 1) % self.refresh_every == 0:
             self.refresh(batch_df.sparkSession)
 

@@ -264,8 +264,9 @@ def test_search_local_filtered_parity(index, spark):
 
 def test_search_filtered_stale_handle_after_compaction(spark, tmp_path):
     """A live InvertedIndex whose cached meta predates a compaction must NOT
-    use the stale doc->segment mapping (silently wrong results) — the
-    manifest re-validation forces the fallback path."""
+    route with a stale doc->segment mapping. Round 3: the durable
+    seg_map.json is transformed by the merge and read fresh per query, so
+    the cogroup plan keeps working — rank-identical — on the stale handle."""
     from elasticsearch_assets_spark.index.merge import merge_segments
 
     d = str(tmp_path / "idx_stale")
@@ -283,9 +284,65 @@ def test_search_filtered_stale_handle_after_compaction(spark, tmp_path):
     merge_segments(spark, d, target_segments=4)  # remaps seg ids on disk
     got = idx.search_filtered(["spark", "the"], filt, k=10, mode="or")
     assert [(r["doc_id"], r["score"]) for r in got.collect()] == want
-    import pytest as _pytest
+    # forced cogroup now SURVIVES compaction (round-2 verdict item #2)
+    got_cg = idx.search_filtered(
+        ["spark", "the"], filt, k=10, mode="or", strategy="cogroup"
+    )
+    assert [(r["doc_id"], r["score"]) for r in got_cg.collect()] == want
 
-    with _pytest.raises(ValueError, match="mapping unavailable"):
-        idx.search_filtered(
-            ["spark", "the"], filt, k=10, mode="or", strategy="cogroup"
-        )
+
+def test_cogroup_survives_merge_segments_with_plan(spark, tmp_path):
+    """Multi-chunk build -> full compaction: strategy="cogroup" stays
+    rank-identical to broadcast AND the physical plan still shows the
+    executor-side FlatMapCoGroupsInPandas (no driver materialization)."""
+    from elasticsearch_assets_spark.index.merge import merge_segments
+    from elasticsearch_assets_spark.index.seg_map import load_seg_map
+
+    d = str(tmp_path / "idx_cms")
+    corpus = pages_df(spark, 400, partitions=4)
+    build_index(spark, corpus, d, num_segments=16, num_chunks=4)
+    merge_segments(spark, d, target_segments=4)
+    idx = InvertedIndex(spark, d)
+    filt = spark.range(0, 400, 3).withColumnRenamed("id", "doc_id")
+    want = idx.search_filtered(
+        ["spark", "the"], filt, k=10, mode="or", strategy="broadcast"
+    ).collect()
+    got_df = idx.search_filtered(
+        ["spark", "the"], filt, k=10, mode="or", strategy="cogroup"
+    )
+    assert [(r["doc_id"], r["score"]) for r in got_df.collect()] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    # 4 chunks x 4 spc -> % 4 makes every residue table [0..3]: the map
+    # collapses to ONE unranged entry (normalize), so routing adds no
+    # per-chunk replication after full compaction
+    entries = load_seg_map(d)
+    assert len(entries) == 1 and entries[0].segs == [0, 1, 2, 3]
+
+
+def test_cogroup_survives_tiered_merge_chunks(spark, tmp_path):
+    """Tiered subset compaction (merge_chunks): merged + unmerged chunks
+    coexist; the transformed seg_map must route both correctly."""
+    from elasticsearch_assets_spark.index.build import finalize_index
+    from elasticsearch_assets_spark.index.merge import merge_chunks
+
+    d = str(tmp_path / "idx_cmc")
+    corpus = pages_df(spark, 400, partitions=4)
+    build_index(spark, corpus, d, num_segments=16, num_chunks=4)
+    idx0 = InvertedIndex(spark, d)
+    filt = spark.range(0, 400, 3).withColumnRenamed("id", "doc_id")
+    want = [
+        (r["doc_id"], r["score"])
+        for r in idx0.search_filtered(
+            ["spark", "the"], filt, k=10, mode="or", strategy="broadcast"
+        ).collect()
+    ]
+    merge_chunks(spark, d, [0, 2], segs_out=4)
+    finalize_index(spark, d, num_segments=12, num_chunks=3)
+    idx = InvertedIndex(spark, d)
+    got = idx.search_filtered(
+        ["spark", "the"], filt, k=10, mode="or", strategy="cogroup"
+    )
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == want

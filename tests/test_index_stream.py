@@ -106,3 +106,40 @@ def test_stream_auto_compaction_bounds_chunks(spark, tmp_path):
     a = InvertedIndex(spark, idx_dir).search(["the", "data"], k=20, mode="or").collect()
     b2 = InvertedIndex(spark, batch_dir).search(["the", "data"], k=20, mode="or").collect()
     assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b2]
+
+
+def test_stream_cogroup_filtered_search_and_compaction(spark, tmp_path):
+    """Streaming indexes get the executor-side cogroup filtered search via
+    the durable seg_map (epoch chunks are unranged entries), and keep it
+    through auto-compaction, whose merge folds the entries together."""
+    from elasticsearch_assets_spark.index.seg_map import load_seg_map
+    from elasticsearch_assets_spark.streaming.index_stream import (
+        StreamingIndexWriter,
+    )
+
+    corpus = pages_df(spark, 600, partitions=3).select("doc_id", "text").cache()
+    idx_dir = str(tmp_path / "cg")
+    writer = StreamingIndexWriter(
+        idx_dir, segs_per_batch=2, auto_compact_max_chunks=3,
+        compact_merge_factor=3,
+    )
+    for b in range(4):
+        writer(corpus.where(f"doc_id >= {b*150} AND doc_id < {(b+1)*150}"), b)
+    writer.refresh(spark)
+
+    idx = InvertedIndex(spark, idx_dir)
+    filt = spark.range(0, 600, 3).withColumnRenamed("id", "doc_id")
+    want = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_filtered(
+            ["the", "data"], filt, k=10, mode="or", strategy="broadcast"
+        ).collect()
+    ]
+    got = idx.search_filtered(
+        ["the", "data"], filt, k=10, mode="or", strategy="cogroup"
+    )
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == want
+    # auto-compaction merged epochs 0-2 (identical residue tables after the
+    # fold) -> the map holds far fewer entries than epochs
+    entries = load_seg_map(idx_dir)
+    assert entries is not None and len(entries) <= 2
