@@ -79,6 +79,39 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     return _INDEX_CACHE[key]
 
 
+def _docs_index_pos(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Positional variant of the documents index (build_index(
+    positions=True)) — backs the index-assisted phrase contract row.
+    Separate cache dir: the positional stream is opt-in, so the plain
+    index stays position-free (and its build bench unchanged)."""
+    key = os.path.abspath(sf_dir) + "#pos"
+    if key not in _INDEX_CACHE:
+        idx_dir = _idx_dir(sf_dir, "_documents_pos")
+        import json
+
+        from elasticsearch_assets_spark.analysis.tokenizer import TOKENIZER_VERSION
+        from elasticsearch_assets_spark.index.codec import CODEC_VERSION
+
+        meta_path = os.path.join(idx_dir, "meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                m = json.load(fh)
+            stale = (
+                m.get("codec_version") != CODEC_VERSION
+                or m.get("tokenizer_version") != TOKENIZER_VERSION
+                or not m.get("positions", False)
+            )
+        if stale:
+            docs = load_sf_table(spark, sf_dir, "documents")
+            build_index(
+                spark, docs, idx_dir, id_col="doc_id", text_col="text",
+                num_segments=8, num_chunks=1, positions=True,
+            )
+        _INDEX_CACHE[key] = InvertedIndex(spark, idx_dir)
+    return _INDEX_CACHE[key]
+
+
 # deterministic deletion set for the tombstone contract row: doc_id % 7 == 0
 _DELETE_PRED_SQL = "doc_id % 7 <> 0"  # survivors
 
@@ -146,6 +179,64 @@ scored AS (
   {having}
 )
 SELECT doc_id, round(s, 4) AS score FROM scored {final_where} {limit}
+"""
+
+
+_PHRASE_TERMS = ["table", "hash"]
+
+
+def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-assisted phrase query (round-2 verdict item #4): positional
+    postings, no text scan — doc matches iff the token sequence contains
+    the phrase consecutively; score = BM25 AND-score of the constituent
+    terms restricted to matching docs (query/phrase.py)."""
+    idx = _docs_index_pos(spark, sf_dir)
+    res = idx.search_phrase(_PHRASE_TERMS, k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_phrase_sql(phrase: list[str]) -> str:
+    """DuckDB twin: positional tokenization (zipped unnest) + an n-way
+    self-join asserting consecutive positions, then the standard BM25
+    template restricted to phrase-matching docs."""
+    distinct = sorted(set(phrase))
+    tlist = ", ".join(f"'{t}'" for t in distinct)
+    joins = " ".join(
+        f"JOIN ptoks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(phrase))
+    )
+    conds = " AND ".join(
+        f"t{i}.term = '{t}'" for i, t in enumerate(phrase)
+    )
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+toks AS (SELECT doc_id, term FROM ptoks),
+phrase AS (
+  SELECT DISTINCT t0.doc_id FROM ptoks t0 {joins} WHERE {conds}
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+  HAVING count(*) = {len(distinct)}
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM phrase)
 """
 
 
@@ -972,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_all": _bm25_query(["spark", "table"], "or", None),
         "bm25_single_term": _bm25_query(["filter"], "and", None),
         "bm25_filtered": _bm25_filtered,
+        "bm25_phrase": _bm25_phrase,
         "bm25_after_delete": _bm25_after_delete,
         "bm25_materialize": _bm25_materialize,
         "date_sort_topk": _date_sort_topk,
@@ -1021,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered": _bm25_sql(
             ["spark", "table"], "or", 10, where="doc_id % 3 = 0"
         ),
+        "bm25_phrase": _bm25_phrase_sql(_PHRASE_TERMS),
         "bm25_after_delete": _bm25_sql(
             ["spark", "join"], "or", None, where=_DELETE_PRED_SQL
         ),

@@ -60,6 +60,11 @@ SEGMENT_SCHEMA = (
     "block_last_doc array<long>, block_max_tf array<long>, block_min_dl array<long>, "
     "block_off_gaps array<long>, block_off_tfs array<long>, block_off_dls array<long>"
 )
+# positional indexes (build_index(positions=True)) add one binary column:
+# per-posting delta-encoded within-doc term positions (codec.
+# encode_positions_batch). Nullable and pruned away by every non-phrase
+# query's column selection — zero cost unless a phrase query reads it.
+SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA + ", pos_enc binary"
 # manifest rows are driver-side JSON-line files (one per chunk commit):
 # {chunk_id, lo, hi, n_docs, n_postings, n_terms, wall_sec, docs_per_sec,
 #  status, committed_at} — metadata writes must not cost a Spark job each
@@ -69,22 +74,47 @@ MANIFEST_FIELDS = (
 )
 
 
-def _tokenize_batch(pdf: pd.DataFrame):
+def _tokenize_batch(pdf: pd.DataFrame, positions: bool = False):
     """One (doc_id, text, seg_id) batch -> (uniques obj[], codes i64[],
-    docs i64[], tfs i64[], dls i64[], segs i64[]) with tf pre-aggregated per
-    (doc, term). Tokenization + term coding stay in Arrow/RE2 kernels
-    (tokenize_flat + dictionary_encode, ~2x the pandas-regex path); term
-    strings leave this function only as the small per-batch vocabulary."""
+    docs i64[], tfs i64[], dls i64[], segs i64[][, pos i64[]]) with tf
+    pre-aggregated per (doc, term). Tokenization + term coding stay in
+    Arrow/RE2 kernels (tokenize_flat + dictionary_encode, ~2x the
+    pandas-regex path); term strings leave this function only as the small
+    per-batch vocabulary. With `positions`, the extra return value is the
+    flat stream of within-doc token positions, one increasing run per
+    (doc, term) posting (a stable argsort replaces the np.unique
+    aggregation so occurrence order survives)."""
     flat, lens = tokenize_flat(pdf["text"])
     if lens.sum() == 0:
         e = np.array([], dtype=np.int64)
-        return np.array([], dtype=object), e, e, e, e, e
+        base = (np.array([], dtype=object), e, e, e, e, e)
+        return base + (e,) if positions else base
     codes, uniques = encode_tokens(flat)
     flat_docidx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
     key = flat_docidx * len(uniques) + codes
-    uk, counts = np.unique(key, return_counts=True)
-    docidx = uk // len(uniques)
-    code = (uk % len(uniques)).astype(np.int64)
+    if not positions:
+        uk, counts = np.unique(key, return_counts=True)
+        docidx = uk // len(uniques)
+        code = (uk % len(uniques)).astype(np.int64)
+        return (
+            np.asarray(uniques, dtype=object),
+            code,
+            pdf["doc_id"].to_numpy(dtype=np.int64)[docidx],
+            counts.astype(np.int64),
+            lens[docidx],
+            pdf["seg_id"].to_numpy(dtype=np.int64)[docidx],
+        )
+    doc_offs = np.zeros(len(pdf), dtype=np.int64)
+    np.cumsum(lens[:-1], out=doc_offs[1:])
+    pos_in_doc = np.arange(lens.sum(), dtype=np.int64) - np.repeat(doc_offs, lens)
+    order = np.argsort(key, kind="stable")  # stable: positions stay increasing
+    skey = key[order]
+    change = np.flatnonzero(skey[1:] != skey[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    counts = np.diff(np.concatenate((starts, [skey.size])))
+    gk = skey[starts]
+    docidx = gk // len(uniques)
+    code = (gk % len(uniques)).astype(np.int64)
     return (
         np.asarray(uniques, dtype=object),
         code,
@@ -92,10 +122,11 @@ def _tokenize_batch(pdf: pd.DataFrame):
         counts.astype(np.int64),
         lens[docidx],
         pdf["seg_id"].to_numpy(dtype=np.int64)[docidx],
+        pos_in_doc[order],
     )
 
 
-def _segment_writer(out_batch_rows: int = 65_536):
+def _segment_writer(out_batch_rows: int = 65_536, positions: bool = False):
     """mapInPandas fn: doc-bucketed (doc_id, text, seg_id) partition ->
     encoded segment rows. Accumulates the partition's aggregated postings,
     then ONE vocab-merge + lexsort + batch-encode — the Lucene-flush shape,
@@ -107,10 +138,12 @@ def _segment_writer(out_batch_rows: int = 65_536):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab_l, codes_l, docs_l, tfs_l, dls_l, segs_l = [], [], [], [], [], []
+        pos_l: list[np.ndarray] = []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            u, c, d, tf, dl, sg = _tokenize_batch(pdf)
+            out = _tokenize_batch(pdf, positions=positions)
+            u, c, d, tf, dl, sg = out[:6]
             if c.size:
                 vocab_l.append(u)
                 codes_l.append(c)
@@ -118,6 +151,8 @@ def _segment_writer(out_batch_rows: int = 65_536):
                 tfs_l.append(tf)
                 dls_l.append(dl)
                 segs_l.append(sg)
+                if positions:
+                    pos_l.append(out[6])
         if not codes_l:
             return
         # merge per-batch vocabularies (small) -> global codes per batch
@@ -131,14 +166,27 @@ def _segment_writer(out_batch_rows: int = 65_536):
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
         segs = np.concatenate(segs_l)
-        del vocab_l, codes_l, docs_l, tfs_l, dls_l, segs_l, all_vocab
+        flat_pos = np.concatenate(pos_l) if positions else None
+        del vocab_l, codes_l, docs_l, tfs_l, dls_l, segs_l, pos_l, all_vocab
         order = np.lexsort((docs, codes, segs))
+        if positions:
+            # positions are ragged runs of tfs[i] per posting — carry them
+            # through the posting sort with one vectorized gather
+            from elasticsearch_assets_spark.index.codec import ragged_gather
+
+            flat_pos = ragged_gather(flat_pos, tfs, order)
         segs, codes, docs = segs[order], codes[order], docs[order]
         tfs, dls = tfs[order], dls[order]
         change = np.flatnonzero((segs[1:] != segs[:-1]) | (codes[1:] != codes[:-1])) + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [segs.size]))
         enc = encode_postings_batch(docs, tfs, dls, starts, ends)
+        if positions:
+            from elasticsearch_assets_spark.index.codec import (
+                encode_positions_batch,
+            )
+
+            enc["pos_enc"] = encode_positions_batch(flat_pos, tfs, starts, ends)
         out = pd.DataFrame(
             {
                 "seg_id": segs[starts].astype(np.int32),
@@ -203,6 +251,7 @@ def build_index(
     shuffle_partitions: int | None = None,
     resume: bool = False,
     partitioning: str = "doc_hash",
+    positions: bool = False,
 ) -> IndexMeta:
     """Build (or resume) the inverted index for `corpus` into `index_dir`.
 
@@ -248,6 +297,7 @@ def build_index(
             num_segments = saved["num_segments"]
             num_chunks = saved["num_chunks"]
             partitioning = saved["partitioning"]
+            positions = saved.get("positions", False)
         elif committed_chunks(spark, index_dir):
             # chunks committed by a build that predates param pinning: the
             # original segs_per_chunk is unrecoverable, and recomputing it
@@ -287,6 +337,7 @@ def build_index(
                 "num_segments": num_segments,
                 "num_chunks": num_chunks,
                 "partitioning": partitioning,
+                "positions": positions,
             },
             fh,
         )
@@ -309,6 +360,7 @@ def build_index(
             segs_per_chunk=segs_per_chunk,
             nparts=nparts,
             partitioning=partitioning,
+            positions=positions,
             lo=clo,
             hi=chi,
             # single-chunk builds: finalize (next) derives the same totals
@@ -363,12 +415,14 @@ def build_chunk(
     lo: int | None = None,
     hi: int | None = None,
     collect_metrics: bool = True,
+    positions: bool = False,
 ) -> dict:
     """Build + atomically commit ONE chunk (`segments/chunk=<id>/` + manifest
     row). Idempotent: rerunning overwrites the same chunk dir and re-commits
     — the unit of work for resumable batch builds AND streaming micro-batch
     indexing (each foreachBatch epoch is one chunk). `chunk_src` must have
-    (doc_id, text) columns."""
+    (doc_id, text) columns. `positions` adds the positional stream
+    (SEGMENT_SCHEMA_POS) for index-assisted phrase queries."""
     t0 = time.monotonic()
     if partitioning == "input":
         # seg = input split; no shuffle at all. The offset keeps chunk
@@ -390,7 +444,10 @@ def build_chunk(
             (F.lit(seg_base) + F.pmod(F.xxhash64("doc_id"), F.lit(segs_per_chunk)))
             .cast("int"),
         ).repartitionByRange(min(nparts, segs_per_chunk), "seg_id")
-    encoded = bucketed.mapInPandas(_segment_writer(), schema=SEGMENT_SCHEMA)
+    encoded = bucketed.mapInPandas(
+        _segment_writer(positions=positions),
+        schema=SEGMENT_SCHEMA_POS if positions else SEGMENT_SCHEMA,
+    )
     seg_path = os.path.join(index_dir, "segments", f"chunk={chunk_id}")
     encoded.write.mode("overwrite").parquet(seg_path)
 
@@ -434,8 +491,12 @@ def finalize_index(
     partitioning: str = "opaque",
     segs_per_chunk: int = 0,
 ) -> IndexMeta:
-    """Global term stats + meta.json from committed segments + manifest."""
+    """Global term stats + meta.json from committed segments + manifest.
+    Positional-ness is DETECTED from the segment schema (pos_enc column) so
+    every finalize caller — batch build, streaming refresh, post-compaction
+    re-finalize — records it without threading a flag."""
     seg_df = spark.read.parquet(os.path.join(index_dir, "segments"))
+    has_positions = "pos_enc" in seg_df.columns
     stats = seg_df.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf"),
         F.count("*").alias("n_lists"),
@@ -472,6 +533,7 @@ def finalize_index(
         codec_version=CODEC_VERSION,
         partitioning=partitioning,
         segs_per_chunk=segs_per_chunk,
+        positions=has_positions,
     )
     meta.save(index_dir)
     return meta

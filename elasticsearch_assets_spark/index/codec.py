@@ -227,6 +227,80 @@ def encode_postings_batch(
     }
 
 
+def encode_positions_batch(
+    positions: np.ndarray,
+    tfs: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> list[bytes]:
+    """Encode term positions for MANY posting lists at once (round 3:
+    positional postings -> index-assisted phrase queries).
+
+    `positions` is the flat stream of within-doc token positions, one run of
+    `tfs[p]` strictly-increasing values per posting `p`, aligned with the
+    (seg, term, doc)-sorted posting columns that `encode_postings_batch`
+    received; `starts`/`ends` delimit each (seg, term) group IN POSTINGS.
+    Per-posting delta encoding (first position absolute, then gaps) + one
+    varint pass over the whole batch; returns one blob per group. Decoding
+    needs only the tf stream (`decode_positions`), so positions add ONE
+    nullable binary column to the segment schema and zero cost to
+    non-phrase queries (column pruning skips it)."""
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n_occ = positions.size
+    if n_occ != int(tfs.sum()):
+        raise ValueError("positions length must equal sum(tfs)")
+    # posting boundaries in the flat occurrence stream
+    occ_bounds = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=occ_bounds[1:])
+    post_starts = occ_bounds[:-1]
+    deltas = positions.copy()
+    if n_occ:
+        deltas[1:] -= positions[:-1]
+        deltas[post_starts] = positions[post_starts]
+    nonstart = np.ones(n_occ, dtype=bool)
+    nonstart[post_starts[post_starts < n_occ]] = False
+    if np.any(deltas[nonstart] <= 0) or (
+        n_occ and np.any(positions[post_starts[post_starts < n_occ]] < 0)
+    ):
+        raise ValueError("positions must be strictly increasing within a doc")
+    buf, sizes = encode_varint_with_sizes(deltas.astype(np.uint64))
+    byte_offs = np.zeros(n_occ + 1, dtype=np.int64)
+    np.cumsum(sizes, out=byte_offs[1:])
+    mv = memoryview(buf)
+    # group g's occurrences span occ_bounds[starts[g]] .. occ_bounds[ends[g]]
+    lo = byte_offs[occ_bounds[np.asarray(starts, dtype=np.int64)]].tolist()
+    hi = byte_offs[occ_bounds[np.asarray(ends, dtype=np.int64)]].tolist()
+    return [bytes(mv[a:b]) for a, b in zip(lo, hi)]
+
+
+def decode_positions(pos_enc: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode one group's position blob back to the flat position stream
+    (per-posting reset cumsum; `tfs` gives the run lengths)."""
+    deltas = decode_varint(pos_enc).astype(np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    if deltas.size == 0:
+        return deltas
+    cs = np.cumsum(deltas)
+    post_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    # absolute[i] = cs[i] - cs[start] + deltas[start] within each posting
+    base = np.repeat(cs[post_starts] - deltas[post_starts], tfs)
+    return cs - base
+
+
+def ragged_gather(
+    flat: np.ndarray, counts: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Reorder a ragged array (runs of `counts[i]` values) by group `order`
+    in one vectorized gather — used to carry position runs through the
+    build's posting lexsort and the merge's re-sort."""
+    starts = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    new_counts = counts[order]
+    idx = np.repeat(starts[order], new_counts) + _intra_block_arange(new_counts)
+    return flat[idx]
+
+
 def decode_postings(doc_gaps: bytes, tfs_enc: bytes, doclens_enc: bytes):
     """Decode to (doc_ids int64, tfs int64, doclens int64)."""
     gaps = decode_varint(doc_gaps).astype(np.int64)

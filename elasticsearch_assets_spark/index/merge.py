@@ -27,7 +27,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
-from elasticsearch_assets_spark.index.build import SEGMENT_SCHEMA, read_manifest
+from elasticsearch_assets_spark.index.build import (
+    SEGMENT_SCHEMA,
+    SEGMENT_SCHEMA_POS,
+    read_manifest,
+)
 from elasticsearch_assets_spark.index.codec import decode_postings, encode_postings_batch
 from elasticsearch_assets_spark.index.stats import load_meta
 
@@ -38,35 +42,60 @@ def _merge_partition(
     """Rows of (new_seg_id, term, encoded...) -> one merged row per
     (new_seg_id, term). Decodes every input list, drops tombstoned docs,
     concatenates, sorts by (seg, term, doc) in one vectorized pass,
-    re-encodes in one batch call."""
+    re-encodes in one batch call. A positional index's pos_enc stream rides
+    along: decoded per row, filtered with its posting, carried through the
+    sort as ragged runs (codec.ragged_gather), re-encoded per group."""
+    from elasticsearch_assets_spark.index.codec import (
+        decode_positions,
+        encode_positions_batch,
+        ragged_gather,
+    )
+
     rows = [pdf for pdf in batches if len(pdf)]
     if not rows:
         return
     pdf = pd.concat(rows, ignore_index=True)
     del rows
-    docs_l, tfs_l, dls_l = [], [], []
+    has_pos = "pos_enc" in pdf.columns
+    if has_pos and pdf["pos_enc"].isna().any():
+        raise ValueError(
+            "mixed positional/non-positional segment rows in one index"
+        )
+    docs_l, tfs_l, dls_l, pos_l = [], [], [], []
     counts = np.empty(len(pdf), dtype=np.int64)
-    for i, (g, t, d) in enumerate(
-        zip(pdf["doc_gaps"], pdf["tfs_enc"], pdf["doclens_enc"])
+    from itertools import repeat
+
+    pos_iter = pdf["pos_enc"] if has_pos else repeat(None)
+    for i, (g, t, d, p) in enumerate(
+        zip(pdf["doc_gaps"], pdf["tfs_enc"], pdf["doclens_enc"], pos_iter)
     ):
         doc_ids, tfs, dls = decode_postings(bytes(g), bytes(t), bytes(d))
+        if has_pos:
+            pos = decode_positions(bytes(p), tfs)
         if excluded is not None and excluded.size:
             keep = ~np.isin(doc_ids, excluded)
+            if has_pos:
+                pos = pos[np.repeat(keep, tfs)]
             doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
         counts[i] = doc_ids.size
         docs_l.append(doc_ids)
         tfs_l.append(tfs)
         dls_l.append(dls)
+        if has_pos:
+            pos_l.append(pos)
     if not any(c for c in counts):
         return
     docs = np.concatenate(docs_l)
     tfs = np.concatenate(tfs_l)
     dls = np.concatenate(dls_l)
-    del docs_l, tfs_l, dls_l
+    flat_pos = np.concatenate(pos_l) if has_pos else None
+    del docs_l, tfs_l, dls_l, pos_l
     segs = np.repeat(pdf["seg_id"].to_numpy(dtype=np.int64), counts)
     codes, uniques = pd.factorize(pdf["term"], sort=False)
     term_codes = np.repeat(codes.astype(np.int64), counts)
     order = np.lexsort((docs, term_codes, segs))
+    if has_pos:
+        flat_pos = ragged_gather(flat_pos, tfs, order)
     segs, term_codes, docs = segs[order], term_codes[order], docs[order]
     tfs, dls = tfs[order], dls[order]
     change = (
@@ -75,6 +104,8 @@ def _merge_partition(
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [segs.size]))
     enc = encode_postings_batch(docs, tfs, dls, starts, ends)
+    if has_pos:
+        enc["pos_enc"] = encode_positions_batch(flat_pos, tfs, starts, ends)
     out = pd.DataFrame(
         {
             "seg_id": segs[starts].astype(np.int32),
@@ -150,8 +181,9 @@ def merge_chunks(
         "seg_id",
         (F.lit(seg_base) + F.pmod(F.col("seg_id"), F.lit(segs_out))).cast("int"),
     )
+    out_schema = SEGMENT_SCHEMA_POS if "pos_enc" in src.columns else SEGMENT_SCHEMA
     merged = src.repartition(nparts, "seg_id").mapInPandas(
-        lambda it: _merge_partition(it, None), schema=SEGMENT_SCHEMA
+        lambda it: _merge_partition(it, None), schema=out_schema
     )
     new_path = os.path.join(seg_root, f"chunk={new_chunk}")
     merged.write.mode("overwrite").parquet(new_path)
@@ -264,8 +296,9 @@ def merge_segments(
     src = spark.read.parquet(seg_path).withColumn(
         "seg_id", F.pmod(F.col("seg_id"), F.lit(target_segments)).cast("int")
     )
+    out_schema = SEGMENT_SCHEMA_POS if "pos_enc" in src.columns else SEGMENT_SCHEMA
     merged = src.repartition(nparts, "seg_id").mapInPandas(
-        lambda it: _merge_partition(it, excluded), schema=SEGMENT_SCHEMA
+        lambda it: _merge_partition(it, excluded), schema=out_schema
     )
     merged.write.mode("overwrite").parquet(os.path.join(tmp_path, "chunk=0"))
 

@@ -41,6 +41,9 @@ class IndexMeta:
     # builds, compacted/merged indexes, streaming chunk ids) disables it.
     partitioning: str = "opaque"
     segs_per_chunk: int = 0
+    # positional index (pos_enc stream present): phrase queries are
+    # index-assisted; detected from the segment schema at finalize time
+    positions: bool = False
 
     def save(self, index_dir: str) -> None:
         with open(os.path.join(index_dir, "meta.json"), "w") as f:

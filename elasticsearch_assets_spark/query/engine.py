@@ -246,6 +246,111 @@ class InvertedIndex:
             order = order[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
+    def _phrase_prep(self, phrase):
+        """Shared planning for the phrase paths: tokens, distinct terms,
+        idfs. Returns None when the result is provably empty."""
+        toks = tokenize(phrase) if isinstance(phrase, str) else list(phrase)
+        if not toks:
+            return None
+        if not self.meta.positions:
+            raise ValueError(
+                "index was built without positions=True — phrase queries "
+                "need the positional stream (build_index(positions=True)); "
+                "without it use the lucene Phrase regex filter ANDed with a "
+                "restricting predicate"
+            )
+        distinct = sorted(set(toks))
+        dfs = self.term_stats(distinct)
+        if len(dfs) != len(distinct):
+            return None  # a missing term can never match consecutively
+        meta = self.meta
+        idfs = {t: idf(meta.n_docs, dfs[t]) for t in distinct}
+        return toks, distinct, idfs
+
+    def search_phrase(
+        self,
+        phrase: str | list[str],
+        k: int | None = 10,
+        allowed: "np.ndarray | None" = None,
+    ) -> DataFrame:
+        """Top-k BM25 among docs containing the EXACT consecutive token
+        sequence (index-assisted: positional postings, no text scan — see
+        query/phrase.py). Scores are the AND-query scores restricted to
+        phrase-matching docs; ordering contract matches `search`."""
+        from elasticsearch_assets_spark.query.phrase import phrase_match
+        from elasticsearch_assets_spark.query.wand import restrict
+
+        prep = self._phrase_prep(phrase)
+        if prep is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        toks, distinct, idfs = prep
+        meta = self.meta
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            docs = restrict(phrase_match(postings, toks), excluded, allowed)
+            score = exact_scores(docs, distinct, postings, idfs, avgdl, k1, b)
+            order = np.lexsort((docs, -score))
+            if k is not None:
+                order = order[:k]
+            return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
+
+        per_seg = (
+            self.segments.where(F.col("term").isin(distinct))
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
+        )
+        ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered.limit(k) if k is not None else ordered
+
+    def search_phrase_local(
+        self,
+        phrase: str | list[str],
+        k: int | None = 10,
+        allowed: "np.ndarray | None" = None,
+    ) -> list[tuple[int, float]]:
+        """Serving-path phrase search: one pushed-down posting collect, then
+        the same kernels on the driver — identical to
+        `search_phrase().collect()` (tested)."""
+        from elasticsearch_assets_spark.query.phrase import phrase_match
+        from elasticsearch_assets_spark.query.wand import restrict
+
+        prep = self._phrase_prep(phrase)
+        if prep is None:
+            return []
+        toks, distinct, idfs = prep
+        meta = self.meta
+        rows = self.segments.where(F.col("term").isin(distinct)).collect()
+        by_seg: dict[int, dict[str, TermPostings]] = {}
+        for r in rows:
+            by_seg.setdefault(r["seg_id"], {})[r["term"]] = TermPostings(r)
+        out_docs, out_scores = [], []
+        for postings in by_seg.values():
+            docs = restrict(
+                phrase_match(postings, toks), self.tombstones, allowed
+            )
+            if docs.size == 0:
+                continue
+            out_docs.append(docs)
+            out_scores.append(
+                exact_scores(
+                    docs, distinct, postings, idfs, meta.avgdl, meta.k1, meta.b
+                )
+            )
+        if not out_docs:
+            return []
+        docs = np.concatenate(out_docs)
+        scores = np.concatenate(out_scores)
+        order = np.lexsort((docs, -scores))
+        if k is not None:
+            order = order[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
     def _filter_with_seg(self, ids: DataFrame) -> DataFrame | None:
         """Map a filter-id DataFrame to (seg_id, doc_id) executor-side.
 

@@ -1,0 +1,79 @@
+"""Index-assisted phrase matching over positional postings (round 3).
+
+Round 2 compiled Lucene `field:"a b"` phrases to a regex scan of the raw
+text (query/lucene.py) — correct, but a bare phrase at 100 TB is a
+full-corpus regex pass. With `build_index(positions=True)` the segments
+carry per-posting within-doc term positions, and a phrase becomes pure
+posting-list work: intersect the constituent terms' doc lists, then verify
+adjacency with one vectorized multiset intersection per phrase slot — no
+text is ever read. This is the Lucene PhraseQuery plan re-expressed in
+numpy kernels (the reference's tested phrase surface,
+/root/reference/test/simple_api_reader-spec.js:63-112, delegates it to ES).
+
+Matching semantics: doc matches iff its token sequence (analysis/
+tokenizer.py contract) contains the phrase tokens consecutively. Scoring:
+BM25 sum of the phrase's DISTINCT terms over matching docs, with global
+collection stats — i.e. `search(mode="and")` restricted to phrase-matching
+docs. (Elasticsearch's match_phrase scores phrase *frequency*; we keep the
+term-sum form so phrase results compose with the engine's rank-identity
+invariants and have an exact SQL oracle.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from elasticsearch_assets_spark.query.wand import TermPostings, _sorted_intersect
+
+
+def phrase_match(
+    postings: dict[str, TermPostings], phrase: list[str]
+) -> np.ndarray:
+    """Sorted doc ids (of one segment) containing the phrase consecutively.
+
+    Fully vectorized: per phrase slot i, the occurrences of phrase[i] in
+    candidate docs become keys dense_doc * M + (pos - i); a doc has the
+    phrase at anchor position p iff key (doc, p) appears in EVERY slot's
+    set, so successive sorted-set intersections finish the job. Keys are
+    built in (doc, position) order, hence already sorted and unique —
+    `np.intersect1d(assume_unique=True)` does no re-sorting."""
+    empty = np.array([], dtype=np.int64)
+    distinct = sorted(set(phrase))
+    if any(t not in postings for t in distinct):
+        return empty
+    cand = postings[distinct[0]].doc_ids
+    for t in distinct[1:]:
+        cand = _sorted_intersect(cand, postings[t].doc_ids)
+        if cand.size == 0:
+            return empty
+    # occurrences of each distinct term restricted to candidate docs
+    occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    maxpos = 0
+    for t in distinct:
+        tp = postings[t]
+        tfs, _ = tp.full()
+        pos = tp.positions()
+        hit = np.isin(tp.doc_ids, cand, assume_unique=True)
+        keep = np.repeat(hit, tfs)
+        docs_o = np.repeat(tp.doc_ids, tfs)[keep]
+        pos_o = pos[keep]
+        if pos_o.size == 0:
+            return empty
+        occ[t] = (docs_o, pos_o)
+        maxpos = max(maxpos, int(pos_o.max()))
+    M = np.int64(maxpos + 2)
+    result: np.ndarray | None = None
+    for i, t in enumerate(phrase):
+        docs_o, pos_o = occ[t]
+        shifted = pos_o - i  # anchor position this occurrence supports
+        ok = shifted >= 0
+        dense = np.searchsorted(cand, docs_o[ok])
+        keys = dense * M + shifted[ok]
+        result = (
+            keys
+            if result is None
+            else np.intersect1d(result, keys, assume_unique=True)
+        )
+        if result.size == 0:
+            return empty
+    return cand[np.unique(result // M)]

@@ -45,6 +45,10 @@ class TermPostings:
         self.df = int(self.doc_ids.size)
         self._tfs_enc = row["tfs_enc"]
         self._dls_enc = row["doclens_enc"]
+        try:  # positional indexes only (dict rows and pyspark Rows differ)
+            self._pos_enc = row["pos_enc"]
+        except (KeyError, ValueError):
+            self._pos_enc = None
         self._off_tfs = np.asarray(row["block_off_tfs"], dtype=np.int64)
         self._off_dls = np.asarray(row["block_off_dls"], dtype=np.int64)
         self.block_max_tf = np.asarray(row["block_max_tf"], dtype=np.int64)
@@ -60,6 +64,16 @@ class TermPostings:
             self._tfs_full = decode_varint(self._tfs_enc).astype(np.int64)
             self._dls_full = decode_varint(self._dls_enc).astype(np.int64)
         return self._tfs_full, self._dls_full
+
+    def positions(self) -> np.ndarray:
+        """Flat within-doc term positions, one increasing run of tf values
+        per posting (positional indexes only)."""
+        if self._pos_enc is None:
+            raise ValueError("segment row has no positional stream")
+        from elasticsearch_assets_spark.index.codec import decode_positions
+
+        tfs, _ = self.full()
+        return decode_positions(self._pos_enc, tfs)
 
     # -- selective decode ----------------------------------------------------
     def gather(self, positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -43,6 +43,7 @@ class StreamingIndexWriter:
         segs_per_batch: int = 8,
         nparts: int = 8,
         partitioning: str = "doc_hash",
+        positions: bool = False,
         refresh_every: int = 1,
         auto_compact_max_chunks: int | None = None,
         compact_merge_factor: int = 4,
@@ -53,6 +54,7 @@ class StreamingIndexWriter:
         self.segs_per_batch = segs_per_batch
         self.nparts = nparts
         self.partitioning = partitioning
+        self.positions = positions
         self.refresh_every = max(1, refresh_every)
         # Lucene-style tiered policy: when committed chunks exceed this cap,
         # refresh() merges the `compact_merge_factor` smallest into one
@@ -76,6 +78,7 @@ class StreamingIndexWriter:
             segs_per_chunk=self.segs_per_batch,
             nparts=self.nparts,
             partitioning=self.partitioning,
+            positions=self.positions,
         )
         # register the epoch's doc->segment mapping (unranged: chunk
         # membership is arrival-time, not id-range). Idempotent per epoch,
