@@ -67,13 +67,28 @@ def main() -> None:
     corpus = spark.read.parquet(pages_path)
 
     # warm JVM + python-UDF worker pool (first mapInPandas stage pays worker
-    # fork + import costs) with the small documents-table build
+    # fork + import costs) with the small documents-table build.
+    # `index_build_documents` keeps the historical cold-inclusive number for
+    # round-over-round comparability; the r1->r2 "regression" in it was
+    # root-caused to cold-start noise (the table is 5k docs — warm builds
+    # run ~1.2-1.4 s regardless of round; cold adds 4-7 s of one-time
+    # worker-pool fork + imports that varies with host load), so the warm
+    # best-of-2 below is the number that tracks the actual build path.
     t0 = time.monotonic()
     docs = load_sf_table(spark, SF_DIR, "documents")
     build_index(
         spark, docs, "/tmp/esa_bench_idx_documents", num_segments=8, num_chunks=1
     )
     queries["index_build_documents"] = round(time.monotonic() - t0, 3)
+    warm = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        build_index(
+            spark, docs, "/tmp/esa_bench_idx_documents",
+            num_segments=8, num_chunks=1,
+        )
+        warm = min(warm, time.monotonic() - t0)
+    queries["index_build_documents_warm"] = round(warm, 3)
 
     # --- headline: index build throughput (best of 2 — the shared-host VM
     # adds up to 2x wall noise to single runs) -------------------------------
@@ -169,6 +184,20 @@ def main() -> None:
         didx.search_filtered(["spark", "table"], filt, k=10, mode="or").collect()
         reps.append(time.monotonic() - t0)
     queries["q_filtered_cogroup"] = round(min(reps), 3)
+
+    # LOW-selectivity filtered search on the big pages index: 90% of the
+    # corpus passes the filter, i.e. the regime where the broadcast path
+    # would have collected ~N ids to the driver — the forced cogroup plan
+    # ships them executor-side instead (round-2 verdict item #7)
+    wide = corpus.where(F.col("doc_id") % 10 != 0)
+    reps = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        idx.search_filtered(
+            ["spark", "table"], wide, k=10, mode="or", strategy="cogroup"
+        ).collect()
+        reps.append(time.monotonic() - t0)
+    queries["q_filtered_cogroup_wide"] = round(min(reps), 3)
 
     total = time.monotonic() - t_total
     print(

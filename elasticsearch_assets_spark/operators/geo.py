@@ -102,3 +102,18 @@ def distance_sort(
     plat, plon = parse_geo_point(point)
     d = haversine_m(lat, lon, plat, plon)
     return d.asc() if ascending else d.desc()
+
+
+def distance_col(
+    lat: Column, lon: Column, point: str, unit: str = "m"
+) -> Column:
+    """Great-circle distance from a point, converted to `unit` — the
+    reference's `geo_sort_unit` knob (elasticsearch_reader/index.js:228-235
+    + checkUnits): ES reports the sort values in the requested unit; the
+    unit never changes the ORDER, only the exposed numbers."""
+    if unit not in UNIT_METERS:
+        raise ValueError(
+            f"geo_sort_unit must be one of {sorted(UNIT_METERS)}, got {unit!r}"
+        )
+    plat, plon = parse_geo_point(point)
+    return haversine_m(lat, lon, plat, plon) / F.lit(UNIT_METERS[unit])

@@ -56,24 +56,55 @@ def attach_fake_media(
 
 def _fake_decode_batch(media: pd.Series) -> pd.DataFrame:
     """Deterministic 'decode': byte statistics + a 64-bit perceptual-hash
-    stand-in (xor-fold of the byte histogram)."""
-    means, ents, phashes, sizes = [], [], [], []
-    for buf in media:
-        a = np.frombuffer(bytes(buf), dtype=np.uint8)
-        sizes.append(int(a.size))
-        if a.size == 0:
-            means.append(0.0), ents.append(0.0), phashes.append(0)
-            continue
-        counts = np.bincount(a, minlength=256).astype(np.float64)
-        p = counts[counts > 0] / a.size
-        means.append(float(a.mean()))
-        ents.append(float(-(p * np.log2(p)).sum()))
-        h = np.uint64(0xCBF29CE484222325)
-        for i, c in enumerate(counts.astype(np.uint64)):
-            h = np.uint64((int(h) ^ (int(c) << (i % 56))) & 0x7FFFFFFFFFFFFFFF)
-        phashes.append(int(h))
+    stand-in (xor-fold of the byte histogram).
+
+    Fully vectorized over the batch (round-2 verdict item #5): one
+    concatenation -> per-doc byte histograms via a single bincount on
+    (doc, byte) keys, means/entropy/phash as 2D array passes. The only
+    per-row Python left is the byte-buffer concatenation itself (C-level
+    per item, inherent to ragged binary); a REAL codec (pillow/ffmpeg)
+    is inherently per-blob and lives behind the declared
+    NotImplementedError boundary below."""
+    n = len(media)
+    if n == 0:
+        return pd.DataFrame(
+            {"n_bytes": [], "mean_byte": [], "byte_entropy": [], "phash": []}
+        )
+    bufs = [bytes(b) for b in media]
+    sizes = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    doc_of_byte = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    counts = np.bincount(
+        doc_of_byte * 256 + flat, minlength=n * 256
+    ).reshape(n, 256)
+    nonempty = sizes > 0
+    safe = np.maximum(sizes, 1).astype(np.float64)
+    means = np.where(
+        nonempty, counts @ np.arange(256, dtype=np.float64) / safe, 0.0
+    )
+    p = counts / safe[:, None]
+    ent_terms = np.where(counts > 0, p * np.log2(p, where=counts > 0), 0.0)
+    ents = np.where(nonempty, -ent_terms.sum(axis=1), 0.0)
+    # xor-fold: masking commutes with XOR, and uint64 shift truncation
+    # preserves the low 63 bits — bit-identical to the scalar fold
+    shifts = (np.arange(256) % 56).astype(np.uint64)
+    folded = np.bitwise_xor.reduce(
+        counts.astype(np.uint64) << shifts[None, :], axis=1
+    )
+    phashes = np.where(
+        nonempty,
+        ((folded ^ np.uint64(0xCBF29CE484222325)) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(
+            np.int64
+        ),
+        0,
+    )
     return pd.DataFrame(
-        {"n_bytes": sizes, "mean_byte": means, "byte_entropy": ents, "phash": phashes}
+        {
+            "n_bytes": sizes,
+            "mean_byte": means,
+            "byte_entropy": ents,
+            "phash": phashes,
+        }
     )
 
 
@@ -113,24 +144,38 @@ def frame_sample(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames, offs = [], [], [], []
-            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
-                raw = bytes(buf)
-                for k in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
-                    off = k * every_n_bytes
-                    ids.append(doc_id)
-                    idxs.append(k)
-                    frames.append(raw[off : off + every_n_bytes])
-                    offs.append(off)
-            if ids:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": ids,
-                        "frame_idx": idxs,
-                        "frame_bytes": frames,
-                        "frame_off": offs,
-                    }
-                )
+            if len(pdf) == 0:
+                continue
+            bufs = [bytes(b) for b in pdf["media"]]
+            sizes = np.fromiter(
+                (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+            )
+            # frames per blob + vectorized (doc, frame_idx, offset) layout;
+            # slicing the concatenated buffer stays a list comp over a
+            # memoryview (the codec.py split idiom — building the ragged
+            # binary objects is inherently per-output-row)
+            nf = np.clip(sizes // every_n_bytes, 1, max_frames)
+            doc_of_frame = np.repeat(np.arange(len(bufs), dtype=np.int64), nf)
+            fi = np.arange(int(nf.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(nf)[:-1])), nf
+            )
+            off = fi * every_n_bytes
+            buf_starts = np.zeros(len(bufs), dtype=np.int64)
+            np.cumsum(sizes[:-1], out=buf_starts[1:])
+            lo = (buf_starts[doc_of_frame] + off).tolist()
+            hi = (
+                buf_starts[doc_of_frame]
+                + np.minimum(off + every_n_bytes, sizes[doc_of_frame])
+            ).tolist()
+            mv = memoryview(b"".join(bufs))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64)[doc_of_frame],
+                    "frame_idx": fi.astype(np.int32),
+                    "frame_bytes": [bytes(mv[a:b]) for a, b in zip(lo, hi)],
+                    "frame_off": off,
+                }
+            )
 
     return df.select("doc_id", "media").mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
 

@@ -61,6 +61,10 @@ class ReaderConfig:
     geo_distance: str | None = None
     geo_sort_point: str | None = None
     geo_sort_order: str = "asc"
+    # output unit for the sort distance (reference geo_sort_unit,
+    # index.js:228-235): when set, the scan gains a `_distance` column in
+    # that unit (sort order itself is unit-independent)
+    geo_sort_unit: str | None = None
     # id reader (S3/S4)
     key_field: str | None = None
     key_type: str = "base64url"
@@ -185,6 +189,15 @@ class BaseReader:
         c = self.config
         if c.geo_sort_point and c.geo_field:
             lat, lon = geo_ops.point_cols(c.geo_field)
+            if c.geo_sort_unit:
+                dist = geo_ops.distance_col(
+                    lat, lon, c.geo_sort_point, unit=c.geo_sort_unit
+                )
+                df = df.withColumn("_distance", dist)
+                col = F.col("_distance")
+                return df.orderBy(
+                    col.asc() if c.geo_sort_order == "asc" else col.desc()
+                )
             return df.orderBy(
                 geo_ops.distance_sort(
                     lat, lon, c.geo_sort_point, ascending=c.geo_sort_order == "asc"

@@ -220,3 +220,51 @@ class TestMetadataColumns:
         a = {r["id"]: r["_key"] for r in attach_metadata(df).collect()}
         b = {r["id"]: r["_key"] for r in attach_metadata(df).collect()}
         assert a == b and all(len(k) == 40 for k in a.values())
+
+
+def test_geo_sort_unit_mirrors_reference_units(spark):
+    """geo_sort_unit (reference index.js:228-235): the exposed sort
+    distance converts by the reference's meters-per-unit table; the order
+    never changes."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from elasticsearch_assets_spark.operators.geo import UNIT_METERS, distance_col
+    from elasticsearch_assets_spark.sources.reader import DateReader, ReaderConfig
+
+    import datetime as _dt
+
+    ts = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=ts, geo="10.0,10.0"),
+            Row(event_id=2, ts=ts, geo="20.0,20.0"),
+            Row(event_id=3, ts=ts, geo="30.0,30.0"),
+        ]
+    )
+    path = "/tmp/esa_geo_unit_test"
+    df.write.mode("overwrite").parquet(path)
+
+    def scan(unit):
+        cfg = ReaderConfig(
+            path=path, date_field_name="ts", geo_field="geo",
+            geo_sort_point="0,0", geo_sort_order="asc", geo_sort_unit=unit,
+        )
+        return DateReader(spark, cfg).dataframe().select("event_id", "_distance").collect()
+
+    km = scan("km")
+    mi = scan("mi")
+    assert [r["event_id"] for r in km] == [1, 2, 3]
+    assert [r["event_id"] for r in mi] == [1, 2, 3]
+    for a, b in zip(km, mi):
+        # the reference's unit table: mi value = km value * 1000 / 1609.344
+        assert b["_distance"] == pytest.approx(
+            a["_distance"] * UNIT_METERS["km"] / UNIT_METERS["mi"], rel=1e-12
+        )
+    # every reference unit is accepted; junk is rejected (checkUnits)
+    from pyspark.sql import functions as F
+
+    for u in UNIT_METERS:
+        distance_col(F.lit(1.0), F.lit(1.0), "0,0", unit=u)
+    with _pytest.raises(ValueError, match="geo_sort_unit"):
+        distance_col(F.lit(1.0), F.lit(1.0), "0,0", unit="furlong")
