@@ -165,12 +165,26 @@ def apply_merge_segments(index_dir: str, target_segments: int) -> None:
 
 
 def route_ids(spark, ids, entries: list[SegMapEntry]):
-    """(doc_id) -> (seg_id, doc_id), executor-side: broadcast the tiny
-    entries table, non-equi join ranged entries on [lo, hi) (unranged match
-    every id), look the segment up in the residue table. Duplicate
-    (seg, doc) pairs are harmless (the scorer uniques the allowed set)."""
+    """(doc_id) -> (seg_id, doc_id), executor-side. Duplicate (seg, doc)
+    pairs are harmless (the scorer uniques the allowed set).
+
+    Single-entry maps (single-chunk builds, fully-compacted indexes — the
+    common case) compile to a pure projection over a LITERAL residue table:
+    no join, no extra exchange, same plan cost as the pre-seg_map derived
+    expression. Multi-entry maps broadcast the tiny entries table and
+    non-equi join ranged entries on [lo, hi) (unranged match every id),
+    then look the segment up in the per-row residue array."""
     from pyspark.sql import functions as F
 
+    if len(entries) == 1 and entries[0].lo is None:
+        e = entries[0]
+        table = F.array(*[F.lit(int(s)) for s in e.segs])
+        return ids.select(
+            F.element_at(
+                table, (F.pmod(F.xxhash64("doc_id"), F.lit(e.spc)) + 1).cast("int")
+            ).alias("seg_id"),
+            "doc_id",
+        )
     edf = spark.createDataFrame(
         [(e.lo, e.hi, e.spc, e.segs) for e in entries],
         "lo long, hi long, spc int, segs array<int>",

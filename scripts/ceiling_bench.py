@@ -124,25 +124,48 @@ def main() -> None:
     assert all(q.wait() == 0 for q in quads)
     for i in range(4):
         runs[f"quad8_{i}"] = json.load(open(f"/tmp/esa_ceiling_q{i}.json"))
+    # E: solo 2, then FOUR independent 2-core JVMs — the hardware ceiling
+    # for the graded LOW-N pair (2->8): if four engine-contention-free
+    # 2-core processes can't beat one local[8] engine, the 2->8 shortfall
+    # is machine/fixed-cost-level, not engine-level
+    p = _spawn(2, input_dir, "/tmp/esa_ceiling_solo2.json", "solo2", args.reps)
+    assert p.wait() == 0
+    runs["solo2"] = json.load(open("/tmp/esa_ceiling_solo2.json"))
+    duos = [
+        _spawn(2, input_dir, f"/tmp/esa_ceiling_d{i}.json", f"d{i}", args.reps)
+        for i in range(4)
+    ]
+    assert all(d.wait() == 0 for d in duos)
+    for i in range(4):
+        runs[f"quad2_{i}"] = json.load(open(f"/tmp/esa_ceiling_d{i}.json"))
 
     pair_total = runs["pair16_a"]["docs_per_sec"] + runs["pair16_b"]["docs_per_sec"]
     quad_total = sum(runs[f"quad8_{i}"]["docs_per_sec"] for i in range(4))
+    quad2_total = sum(runs[f"quad2_{i}"]["docs_per_sec"] for i in range(4))
     t32 = runs["solo32"]["docs_per_sec"]
     t16 = runs["solo16"]["docs_per_sec"]
     t8 = runs["solo8"]["docs_per_sec"]
+    t2 = runs["solo2"]["docs_per_sec"]
     report = {
         "metric": "ceiling_decomposition",
         "docs": args.docs,
+        "tput_solo2": t2,
         "tput_solo8": t8,
         "tput_solo16": t16,
         "tput_pair16_total": round(pair_total, 1),
         "tput_quad8_total": round(quad_total, 1),
+        "tput_quad2_total": round(quad2_total, 1),
         "tput_solo32": t32,
         "hw_ceiling_efficiency_16_to_32": round(pair_total / (2 * t16), 3),
         "hw_ceiling_efficiency_8_to_32": round(quad_total / (4 * t8), 3),
+        "hw_ceiling_efficiency_2_to_8": round(quad2_total / (4 * t2), 3),
         "engine_share_of_gap": round(max(0.0, (pair_total - t32) / pair_total), 3),
+        "engine_share_of_gap_2_to_8": round(
+            max(0.0, (quad2_total - t8) / quad2_total), 3
+        ),
         "eff_16_to_32": round(t32 / (2 * t16), 3),
         "eff_8_to_32": round(t32 / (4 * t8), 3),
+        "eff_2_to_8": round(t8 / (4 * t2), 3),
         "generated_at": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -160,12 +183,22 @@ ceiling. {args.docs:,}-doc input, best of {args.reps} reps
 
 | run | docs/sec |
 |---|---|
+| 1 JVM x local[2] | {t2:,} |
+| 4 JVM x local[2], concurrent (sum) | {report['tput_quad2_total']:,} |
 | 1 JVM x local[8] | {t8:,} |
 | 4 JVM x local[8], concurrent (sum) | {report['tput_quad8_total']:,} |
 | 1 JVM x local[16] | {t16:,} |
 | 2 JVM x local[16], concurrent (sum) | {report['tput_pair16_total']:,} |
 | 1 JVM x local[32] | {t32:,} |
 
+* **2->8 hardware ceiling efficiency: {report['hw_ceiling_efficiency_2_to_8']}**
+  — four INDEPENDENT 2-core JVMs (zero engine-level contention, fixed
+  per-job costs paid 4x in parallel rather than once) vs 4x one 2-core
+  JVM; this bounds the graded 2->8 pair from above on this box. Measured
+  engine efficiency {report['eff_2_to_8']}; engine's share of the 8-thread
+  gap: **{report['engine_share_of_gap_2_to_8']}** (1 - solo8 / quad2-sum;
+  0 means one local[8] engine extracts at least as much from 8 threads as
+  four contention-free processes can).
 * **8->32 hardware ceiling efficiency: {report['hw_ceiling_efficiency_8_to_32']}**
   — what 4x the threads buys on this box with ZERO engine contention; this
   bounds the graded N->4N pair from above. Measured engine efficiency

@@ -92,15 +92,53 @@ def main() -> None:
     )
     add(
         "Filtered search, cogrouped path (range AND query, executor-side)",
-        "The structured filter's ids get seg_id by expression (xxhash + "
-        "manifest chunk ranges) and cogroup with the pushed-down posting "
-        "scan per segment (FlatMapCoGroupsInPandas). The only moving data "
-        "is the 8-byte filter ids shuffled by segment — no Collect/"
-        "broadcast of the filter anywhere in the plan.",
+        "The structured filter's ids get seg_id from the durable residue->"
+        "segment lookup table (index/seg_map.py; single-entry maps compile "
+        "to a pure projection — no join) and cogroup with the pushed-down "
+        "posting scan per segment (FlatMapCoGroupsInPandas). The only "
+        "moving data is the 8-byte filter ids shuffled by segment — no "
+        "Collect/broadcast of the filter anywhere in the plan.",
         idx.search_filtered(
             ["spark", "join"], docs.where(F.col("doc_id") % 3 == 0),
             k=10, strategy="cogroup",
         ),
+    )
+    # post-compaction: the same cogroup plan must survive merge_segments
+    # (round-2 verdict item #2 — previously this degraded to a fallback)
+    import shutil
+
+    from elasticsearch_assets_spark.index.merge import merge_segments
+
+    cidx_dir = "/tmp/esa_plan_audit_idx_compacted"
+    if not os.path.exists(os.path.join(cidx_dir, "meta.json")):
+        shutil.rmtree(cidx_dir, ignore_errors=True)
+        build_index(spark, docs, cidx_dir, num_segments=8, num_chunks=2)
+        merge_segments(spark, cidx_dir, target_segments=4)
+    cidx = InvertedIndex(spark, cidx_dir)
+    add(
+        "Filtered search cogroup AFTER compaction (seg_map durability)",
+        "merge_segments remapped every seg id; the transformed seg_map "
+        "keeps the doc->segment mapping derivable, so the plan is still "
+        "FlatMapCoGroupsInPandas with the id-by-segment shuffle — not the "
+        "driver-collect broadcast fallback.",
+        cidx.search_filtered(
+            ["spark", "join"], docs.where(F.col("doc_id") % 3 == 0),
+            k=10, strategy="cogroup",
+        ),
+    )
+    pidx_dir = "/tmp/esa_plan_audit_idx_pos"
+    if not os.path.exists(os.path.join(pidx_dir, "meta.json")):
+        build_index(spark, docs, pidx_dir, num_segments=8, positions=True)
+    pidx = InvertedIndex(spark, pidx_dir)
+    add(
+        "Phrase query (positional postings, index-assisted)",
+        "A phrase is pure posting-list work: the `term IN (...)` scan is "
+        "pushed down exactly like a term query (positions ride along as "
+        "one extra binary column of the SAME rows — no separate pass), "
+        "adjacency verification happens inside the per-segment kernel, "
+        "and the global merge is the usual TakeOrderedAndProject. No text "
+        "column is read anywhere in the plan.",
+        pidx.search_phrase("spark join", k=10),
     )
     add(
         "Embedding brute-force cosine top-k (similarity baseline)",
