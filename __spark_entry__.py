@@ -146,11 +146,20 @@ def _docs_index_tombstoned(spark: SparkSession, sf_dir: str) -> InvertedIndex:
 
 
 def _bm25_sql(
-    terms: list[str], mode: str, k: int | None, where: str | None = None
+    terms: list[str],
+    mode: str,
+    k: int | None,
+    where: str | None = None,
+    offset: int | None = None,
+    term_cond: str | None = None,
 ) -> str:
     """`where` restricts RANKING to matching docs — collection stats (df, N,
     avgdl) stay global, exactly the engine's search_filtered / tombstone
-    contract (restriction before the top-k cut, stats untouched)."""
+    contract (restriction before the top-k cut, stats untouched).
+    `offset` models keyset pagination (the engine's search_after cursor ==
+    OFFSET under the deterministic (s DESC, doc_id ASC) order).
+    `term_cond` replaces the IN-list with a dictionary predicate — the
+    oracle twin of the engine's prefix/wildcard/fuzzy expansion."""
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     nterms = len(set(terms))
     having = f"HAVING count(*) = {nterms}" if mode == "and" else ""
@@ -158,6 +167,8 @@ def _bm25_sql(
     limit = (
         f"ORDER BY s DESC, doc_id ASC LIMIT {k}" if k is not None else ""
     )
+    if offset is not None:
+        limit += f" OFFSET {offset}"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -166,7 +177,7 @@ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
 tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
-  WHERE term IN ({tlist}) GROUP BY doc_id, term
+  WHERE {term_cond or f"term IN ({tlist})"} GROUP BY doc_id, term
 ),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 scored AS (
@@ -342,6 +353,268 @@ def _bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _docs_index_tombstoned(spark, sf_dir)
     res = idx.search(["spark", "join"], k=None, mode="or")
     return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# round 3: multi-term rewrites, keyset pagination, proximity, MLT, facets
+# ---------------------------------------------------------------------------
+
+
+def _bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES prefix query: dictionary expansion (pushed StartsWith over the
+    stats table) run as a scored OR — Lucene scoring_boolean rewrite
+    (query/expand.py)."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search_prefix("s", k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard query `s?a*`: leading-literal prefix pushed to the
+    dictionary scan, anchored regex verifies, scored OR over the result."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search_wildcard("s?a*", k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy query: Levenshtein ≤ 2 expansion of the (non-dictionary)
+    typo 'grow' — JVM levenshtein over the distributed stats table, then a
+    scored OR over the matched terms."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search_fuzzy("grow", max_edits=2, k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_AFTER_TERMS = ["spark", "table"]
+
+
+def _search_after_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (ES search_after, the reference's scroll paging):
+    page 1's last (score, doc_id) becomes the cursor; page 2 re-runs the
+    query with the cursor filtering per segment BEFORE the top-k cut. The
+    oracle is OFFSET under the same deterministic order — equal results
+    prove cursor == offset semantics."""
+    idx = _docs_index(spark, sf_dir)
+    page1 = idx.search(_AFTER_TERMS, k=10, mode="or").collect()
+    if len(page1) < 10:  # corpus too small for a second page
+        return spark.createDataFrame([], "doc_id long, score double")
+    last = page1[-1]
+    res = idx.search(
+        _AFTER_TERMS, k=10, mode="or", after=(last["score"], last["doc_id"])
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_NEAR_T1, _NEAR_T2, _NEAR_SLOP = "spark", "join", 3
+
+
+def _bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-term proximity (ES span_near / match_phrase slop), index-assisted
+    via positional postings: |pos(spark) - pos(join)| <= 3, unordered;
+    scores are the two-term AND scores restricted to matching docs."""
+    idx = _docs_index_pos(spark, sf_dir)
+    res = idx.search_near(_NEAR_T1, _NEAR_T2, slop=_NEAR_SLOP, k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_near_sql(t1: str, t2: str, slop: int) -> str:
+    distinct = sorted({t1, t2})
+    tlist = ", ".join(f"'{t}'" for t in distinct)
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+toks AS (SELECT doc_id, term FROM ptoks),
+near AS (
+  SELECT DISTINCT p1.doc_id
+  FROM ptoks p1 JOIN ptoks p2 ON p1.doc_id = p2.doc_id
+  WHERE p1.term = '{t1}' AND p2.term = '{t2}'
+    AND abs(p1.pos - p2.pos) <= {slop}
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+  HAVING count(*) = {len(distinct)}
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM near)
+"""
+
+
+_MLT_DOC, _MLT_TERMS, _MLT_K = 7, 5, 10
+
+
+def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this: the source doc's top terms by (tf DESC, df ASC,
+    term ASC) run as a scored OR, source doc excluded."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    res = idx.more_like_this(
+        _MLT_DOC, docs, max_terms=_MLT_TERMS, k=_MLT_K
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _more_like_this_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+src AS (
+  SELECT term, count(*)::BIGINT AS tf FROM toks
+  WHERE doc_id = {_MLT_DOC} GROUP BY term
+),
+gdf AS (
+  SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS df
+  FROM toks t JOIN src USING (term) GROUP BY t.term
+),
+sel AS (
+  SELECT s.term FROM src s JOIN gdf g USING (term)
+  ORDER BY s.tf DESC, g.df ASC, s.term ASC LIMIT {_MLT_TERMS}
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id <> {_MLT_DOC}
+ORDER BY s DESC, doc_id ASC LIMIT {_MLT_K}
+"""
+
+
+def _facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation over a query's match set (operators/facets.py):
+    doc counts per `source` bucket, (count DESC, bucket ASC) order."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_counts(matches, docs, "source")
+
+
+_FACET_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.source AS bucket, count(*)::BIGINT AS doc_count
+FROM documents d JOIN m USING (doc_id)
+GROUP BY 1 ORDER BY doc_count DESC, bucket ASC
+"""
+
+
+def _facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation: fixed-width n_chars buckets (width 200)
+    over the match set; bucket key = floor(v / w) * w (the ES formula)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_histogram(matches, docs, "n_chars", 200.0)
+
+
+_FACET_HIST_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT (floor(d.n_chars / 200.0) * 200.0)::DOUBLE AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM documents d JOIN m USING (doc_id)
+GROUP BY 1 ORDER BY bucket ASC
+"""
+
+
+def _facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits aggregation: the 2 best-scored docs per `source` bucket
+    for a conjunctive query — the grouped-top-k window plan."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    scored = idx.search(["spark", "join"], k=None, mode="and")
+    out = OFA.facet_top_hits(scored, docs, "source", per_bucket=2)
+    return out.select(
+        "bucket", "doc_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+def _facet_top_hits_sql() -> str:
+    base = _bm25_sql(["spark", "join"], "and", None)
+    # re-derive the EXACT score for the window order (rounding only at
+    # output, same protocol as the engine side)
+    exact = base.replace("SELECT doc_id, round(s, 4) AS score", "SELECT doc_id, s")
+    return f"""
+WITH scored_x AS ({exact}),
+ranked AS (
+  SELECT d.source AS bucket, s.doc_id, s.s,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY s.s DESC, s.doc_id ASC
+         ) AS rank
+  FROM scored_x s JOIN documents d USING (doc_id)
+)
+SELECT bucket, doc_id, round(s, 4) AS score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 2 ORDER BY bucket ASC, rank ASC
+"""
+
+
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (duplicate-bigram
+    fraction, top-bigram share) — one O(n) JVM aggregate pass per doc,
+    zero shuffle (operators/textstats.py)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OT.repetition_stats(docs)
+    # floor(x*1e4+0.5)/1e4: engines' round() differ at representation
+    # boundaries (ratios with power-of-two denominators hit them)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unique_bigrams",
+        (F.floor(F.col("dup_bigram_frac") * 10000.0 + 0.5) / 10000.0).alias(
+            "dup_bigram_frac"
+        ),
+        (F.floor(F.col("top_bigram_share") * 10000.0 + 0.5) / 10000.0).alias(
+            "top_bigram_share"
+        ),
+    )
+
+
+def _repetition_stats_sql() -> str:
+    inner = OT.repetition_stats_sql()
+    return f"""
+SELECT doc_id, n_bigrams, n_unique_bigrams,
+       floor(dup_bigram_frac * 10000.0 + 0.5) / 10000.0 AS dup_bigram_frac,
+       floor(top_bigram_share * 10000.0 + 0.5) / 10000.0 AS top_bigram_share
+FROM ({inner})
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1064,6 +1337,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_single_term": _bm25_query(["filter"], "and", None),
         "bm25_filtered": _bm25_filtered,
         "bm25_phrase": _bm25_phrase,
+        "bm25_near": _bm25_near,
+        "bm25_prefix": _bm25_prefix,
+        "bm25_wildcard": _bm25_wildcard,
+        "bm25_fuzzy": _bm25_fuzzy,
+        "search_after_page2": _search_after_page2,
+        "more_like_this": _more_like_this,
+        "facet_terms": _facet_terms,
+        "facet_histogram": _facet_histogram,
+        "facet_top_hits": _facet_top_hits,
+        "repetition_stats": _repetition_stats,
         "bm25_after_delete": _bm25_after_delete,
         "bm25_materialize": _bm25_materialize,
         "date_sort_topk": _date_sort_topk,
@@ -1114,6 +1397,20 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "table"], "or", 10, where="doc_id % 3 = 0"
         ),
         "bm25_phrase": _bm25_phrase_sql(_PHRASE_TERMS),
+        "bm25_near": _bm25_near_sql(_NEAR_T1, _NEAR_T2, _NEAR_SLOP),
+        "bm25_prefix": _bm25_sql([], "or", None, term_cond="term LIKE 's%'"),
+        "bm25_wildcard": _bm25_sql(
+            [], "or", None, term_cond="term LIKE 's_a%'"
+        ),
+        "bm25_fuzzy": _bm25_sql(
+            [], "or", None, term_cond="levenshtein(term, 'grow') <= 2"
+        ),
+        "search_after_page2": _bm25_sql(_AFTER_TERMS, "or", 10, offset=10),
+        "more_like_this": _more_like_this_sql(),
+        "facet_terms": _FACET_TERMS_SQL,
+        "facet_histogram": _FACET_HIST_SQL,
+        "facet_top_hits": _facet_top_hits_sql(),
+        "repetition_stats": _repetition_stats_sql(),
         "bm25_after_delete": _bm25_sql(
             ["spark", "join"], "or", None, where=_DELETE_PRED_SQL
         ),

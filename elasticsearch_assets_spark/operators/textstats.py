@@ -159,6 +159,97 @@ FROM (SELECT {id_col}, {hits}
 
 
 # ---------------------------------------------------------------------------
+# within-doc repetition (Gopher-style repetition filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText-style
+    duplicate-n-gram filters (Rae et al. 2021, §A1.1) over bigrams:
+
+      n_bigrams        total bigram occurrences (n_tokens - 1)
+      n_unique_bigrams distinct bigrams
+      dup_bigram_frac  1 - distinct/total   (0 for docs with < 2 tokens)
+      top_bigram_share most frequent bigram's share of all occurrences
+
+    Pure JVM column expressions, zero shuffle: bigrams via transform over
+    the staged token array, then ONE O(n) pass over the sorted array with
+    an `aggregate` accumulator counting runs (distinct = run starts,
+    top count = longest run) — no per-doc quadratic filter, no explode."""
+    staged = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.when(
+            F.size("__toks") >= 2,
+            F.expr(
+                "transform(sequence(0, size(__toks) - 2),"
+                " i -> concat(__toks[i], ' ', __toks[i + 1]))"
+            ),
+        )
+        .otherwise(F.expr("array()"))
+        .alias("__bg"),
+    )
+    runs = F.expr(
+        """
+        aggregate(
+          array_sort(__bg),
+          named_struct('prev', cast(null as string),
+                       'run', 0L, 'maxrun', 0L, 'uniq', 0L),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+            'maxrun', greatest(acc.maxrun,
+                               IF(x <=> acc.prev, acc.run + 1L, 1L)),
+            'uniq', acc.uniq + IF(x <=> acc.prev, 0L, 1L)),
+          acc -> named_struct('maxrun', acc.maxrun, 'uniq', acc.uniq))
+        """
+    )
+    total = F.size("__bg").cast("long")
+    out = staged.select(
+        F.col(id_col), total.alias("n_bigrams"), runs.alias("__r")
+    ).select(
+        F.col(id_col),
+        "n_bigrams",
+        F.col("__r.uniq").alias("n_unique_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            1.0 - F.col("__r.uniq") / F.col("n_bigrams"),
+        ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        F.when(
+            F.col("n_bigrams") > 0, F.col("__r.maxrun") / F.col("n_bigrams")
+        ).otherwise(F.lit(0.0)).alias("top_bigram_share"),
+    )
+    return out
+
+
+def repetition_stats_sql(text: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin: bigrams via list_transform + unnest, counts via
+    group-by (the oracle may shuffle; the engine side must not)."""
+    toks = tokens_sql(text)
+    return f"""
+WITH t AS (SELECT {id_col}, {toks} AS tk FROM documents),
+b AS (SELECT {id_col},
+             list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]) AS bg
+      FROM t),
+e AS (SELECT {id_col}, unnest(bg) AS g FROM b),
+c AS (SELECT {id_col}, g, count(*) AS cnt FROM e GROUP BY 1, 2),
+a AS (SELECT {id_col}, sum(cnt) AS total, count(*) AS uniq, max(cnt) AS top
+      FROM c GROUP BY 1)
+SELECT d.{id_col},
+       coalesce(a.total, 0)::BIGINT AS n_bigrams,
+       coalesce(a.uniq, 0)::BIGINT AS n_unique_bigrams,
+       CASE WHEN a.total > 0 THEN 1 - a.uniq / a.total::DOUBLE
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN a.total > 0 THEN a.top / a.total::DOUBLE
+            ELSE 0.0 END AS top_bigram_share
+FROM documents d LEFT JOIN a USING ({id_col})
+"""
+
+
+# ---------------------------------------------------------------------------
 # fingerprint
 # ---------------------------------------------------------------------------
 

@@ -46,6 +46,7 @@ def _score_segment(
     k: int | None,
     excluded: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Score one segment's posting lists for the query. `terms` is sorted.
 
@@ -56,6 +57,14 @@ def _score_segment(
     ranking is restricted to that doc set — both before the top-k cut.
     In every path the exact scorer accumulates terms in sorted order —
     results are independent of pruning and of segment count.
+
+    `after` = (score, doc_id) keyset cursor: only docs STRICTLY after that
+    rank position (score DESC, doc_id ASC order) are returned — the ES
+    search_after contract, applied per segment BEFORE the top-k cut (so k
+    per segment still suffices for any page depth, the reason ES's
+    search_after beats from+size at scale). With `after` the kernel scores
+    matching docs exhaustively — the block-max pruning θ-bound would need
+    cursor-filtered seeds; exhaustive keeps it rank-safe.
     """
     from elasticsearch_assets_spark.query.wand import restrict
 
@@ -63,6 +72,32 @@ def _score_segment(
         row["term"]: TermPostings(row)
         for row in (t._asdict() for t in pdf.itertuples(index=False))
     }
+    if after is not None:
+        if mode == "and":
+            docs, score = topk_conjunctive(
+                terms, postings, idfs, avgdl, k1, b, None, excluded, allowed
+            )
+        else:
+            present = [t for t in terms if t in postings]
+            if not present:
+                docs = np.array([], dtype=np.int64)
+                score = np.array([], dtype=np.float64)
+            else:
+                docs = restrict(
+                    np.unique(
+                        np.concatenate([postings[t].doc_ids for t in present])
+                    ),
+                    excluded,
+                    allowed,
+                )
+                score = exact_scores(docs, terms, postings, idfs, avgdl, k1, b)
+        s_a, d_a = after
+        keep = (score < s_a) | ((score == s_a) & (docs > d_a))
+        docs, score = docs[keep], score[keep]
+        order = np.lexsort((docs, -score))
+        if k is not None:
+            order = order[:k]
+        return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
     if mode == "and":
         docs, score = topk_conjunctive(
             terms, postings, idfs, avgdl, k1, b, k, excluded, allowed
@@ -153,12 +188,19 @@ class InvertedIndex:
         k: int | None = 10,
         mode: str = "and",
         allowed: "np.ndarray | None" = None,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Top-k BM25. `query` is a raw text (tokenized with the index
         analyzer) or a pre-tokenized term list. Returns (doc_id, score),
         globally ordered (score DESC, doc_id ASC), ≤ k rows (all matches
         when k is None). `allowed` restricts ranking to a doc-id set (the
-        reference's `range AND (query)` composition — see search_filtered)."""
+        reference's `range AND (query)` composition — see search_filtered).
+
+        `after` = (score, doc_id) of the previous page's last row — keyset
+        pagination (ES search_after, the reference's scroll-style paging
+        surface, /root/reference/asset/elasticsearch_reader/reader.js). The
+        cursor filters per segment before the top-k cut, so page depth
+        never widens the per-segment work — unlike from+size."""
         terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -172,7 +214,7 @@ class InvertedIndex:
 
         def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             return _score_segment(
-                pdf, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed
+                pdf, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed, after
             )
 
         per_seg = (
@@ -189,6 +231,7 @@ class InvertedIndex:
         k: int | None = 10,
         mode: str = "and",
         allowed: "np.ndarray | None" = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Low-latency serving path: ONE Spark job (the pushed-down `term IN`
         scan collects the few matching posting rows), then the same scoring
@@ -196,7 +239,8 @@ class InvertedIndex:
         [(doc_id, score)] identical to `search().collect()` (tested).
         `allowed` restricts ranking to a sorted doc-id set — the serving
         form of the reference's `range AND (query)` composition, identical
-        to `search_filtered` (tested).
+        to `search_filtered` (tested). `after` is the keyset cursor, same
+        contract as `search` (tested identical).
 
         Right when the query's posting lists are driver-small (typical
         serving); `search()` remains the distributed path for huge head
@@ -218,15 +262,16 @@ class InvertedIndex:
         out_scores: list[np.ndarray] = []
         from elasticsearch_assets_spark.query.wand import restrict
 
+        seg_k = None if after is not None else k  # cursor filters pre-cut
         for postings in by_seg.values():
             if mode == "and":
                 d, s = topk_conjunctive(
-                    terms, postings, idfs, meta.avgdl, meta.k1, meta.b, k,
+                    terms, postings, idfs, meta.avgdl, meta.k1, meta.b, seg_k,
                     self.tombstones, allowed,
                 )
-            elif k is not None:
+            elif seg_k is not None:
                 d, s = topk_disjunctive_pruned(
-                    terms, postings, idfs, meta.avgdl, meta.k1, meta.b, k,
+                    terms, postings, idfs, meta.avgdl, meta.k1, meta.b, seg_k,
                     self.tombstones, allowed,
                 )
             else:
@@ -235,6 +280,10 @@ class InvertedIndex:
                     if present else np.array([], dtype=np.int64)
                 d = restrict(d, self.tombstones, allowed)
                 s = exact_scores(d, terms, postings, idfs, meta.avgdl, meta.k1, meta.b)
+            if after is not None and d.size:
+                s_a, d_a = after
+                keep = (s < s_a) | ((s == s_a) & (d > d_a))
+                d, s = d[keep], s[keep]
             out_docs.append(d)
             out_scores.append(s)
         if not out_docs:
@@ -245,6 +294,229 @@ class InvertedIndex:
         if k is not None:
             order = order[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
+
+    # -- multi-term rewrites (prefix / wildcard / fuzzy) --------------------
+
+    def expand_prefix(self, prefix: str, max_expansions: int | None = None) -> list[str]:
+        """Dictionary terms starting with `prefix` (pushed-down StartsWith
+        over the distributed stats table; see query/expand.py)."""
+        from elasticsearch_assets_spark.query.expand import (
+            expand_terms,
+            prefix_condition,
+        )
+
+        return expand_terms(self.stats, prefix_condition(prefix), max_expansions)
+
+    def expand_wildcard(self, pattern: str, max_expansions: int | None = None) -> list[str]:
+        from elasticsearch_assets_spark.query.expand import (
+            expand_terms,
+            wildcard_condition,
+        )
+
+        return expand_terms(self.stats, wildcard_condition(pattern), max_expansions)
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        max_expansions: int | None = None,
+    ) -> list[str]:
+        from elasticsearch_assets_spark.query.expand import (
+            expand_terms,
+            fuzzy_condition,
+        )
+
+        return expand_terms(
+            self.stats, fuzzy_condition(term, max_edits, prefix_length), max_expansions
+        )
+
+    def search_prefix(
+        self, prefix: str, k: int | None = 10, max_expansions: int | None = None
+    ) -> DataFrame:
+        """ES prefix query: expand against the term dictionary, run the
+        expansion as a scored OR query (Lucene scoring_boolean rewrite —
+        see query/expand.py for the contract and the ES deviation note)."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.search(terms, k=k, mode="or")
+
+    def search_wildcard(
+        self, pattern: str, k: int | None = 10, max_expansions: int | None = None
+    ) -> DataFrame:
+        """ES wildcard query (`*` any run, `?` one char) over dictionary
+        terms; leading literal prefix is parquet-pushed, then a scored OR."""
+        terms = self.expand_wildcard(pattern, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.search(terms, k=k, mode="or")
+
+    def search_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        k: int | None = 10,
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """ES fuzzy query: Levenshtein-expand (distance ≤ max_edits,
+        distance 0 included) against the dictionary, then a scored OR."""
+        terms = self.expand_fuzzy(term, max_edits, prefix_length, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.search(terms, k=k, mode="or")
+
+    # -- proximity ----------------------------------------------------------
+
+    def _near_prep(self, t1: str, t2: str):
+        if not self.meta.positions:
+            raise ValueError(
+                "index was built without positions=True — proximity queries "
+                "need the positional stream (build_index(positions=True))"
+            )
+        distinct = sorted({t1, t2})
+        dfs = self.term_stats(distinct)
+        if len(dfs) != len(distinct):
+            return None
+        meta = self.meta
+        return distinct, {t: idf(meta.n_docs, dfs[t]) for t in distinct}
+
+    def search_near(
+        self,
+        t1: str,
+        t2: str,
+        slop: int = 2,
+        ordered: bool = False,
+        k: int | None = 10,
+        allowed: "np.ndarray | None" = None,
+    ) -> DataFrame:
+        """Two-term proximity search (ES span_near / match_phrase slop),
+        index-assisted via positional postings: doc matches iff occurrences
+        of the terms lie within `slop` positions (`ordered` requires t1
+        before t2). Scores are the two-term AND scores restricted to
+        matching docs — same composition contract as search_phrase."""
+        from elasticsearch_assets_spark.query.phrase import near_match
+        from elasticsearch_assets_spark.query.wand import restrict
+
+        prep = self._near_prep(t1, t2)
+        if prep is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        distinct, idfs = prep
+        meta = self.meta
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            docs = restrict(
+                near_match(postings, t1, t2, slop, ordered), excluded, allowed
+            )
+            score = exact_scores(docs, distinct, postings, idfs, avgdl, k1, b)
+            order = np.lexsort((docs, -score))
+            if k is not None:
+                order = order[:k]
+            return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
+
+        per_seg = (
+            self.segments.where(F.col("term").isin(distinct))
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
+        )
+        ordered_df = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered_df.limit(k) if k is not None else ordered_df
+
+    def search_near_local(
+        self,
+        t1: str,
+        t2: str,
+        slop: int = 2,
+        ordered: bool = False,
+        k: int | None = 10,
+        allowed: "np.ndarray | None" = None,
+    ) -> list[tuple[int, float]]:
+        """Serving-path proximity search — identical results to
+        `search_near().collect()` (tested)."""
+        from elasticsearch_assets_spark.query.phrase import near_match
+        from elasticsearch_assets_spark.query.wand import restrict
+
+        prep = self._near_prep(t1, t2)
+        if prep is None:
+            return []
+        distinct, idfs = prep
+        meta = self.meta
+        rows = self.segments.where(F.col("term").isin(distinct)).collect()
+        by_seg: dict[int, dict[str, TermPostings]] = {}
+        for r in rows:
+            by_seg.setdefault(r["seg_id"], {})[r["term"]] = TermPostings(r)
+        out_docs, out_scores = [], []
+        for postings in by_seg.values():
+            docs = restrict(
+                near_match(postings, t1, t2, slop, ordered),
+                self.tombstones, allowed,
+            )
+            if docs.size == 0:
+                continue
+            out_docs.append(docs)
+            out_scores.append(
+                exact_scores(
+                    docs, distinct, postings, idfs, meta.avgdl, meta.k1, meta.b
+                )
+            )
+        if not out_docs:
+            return []
+        docs = np.concatenate(out_docs)
+        scores = np.concatenate(out_scores)
+        order = np.lexsort((docs, -scores))
+        if k is not None:
+            order = order[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+    # -- more-like-this ------------------------------------------------------
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        corpus: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_terms: int = 10,
+        k: int | None = 10,
+    ) -> DataFrame:
+        """ES more_like_this: select the source doc's most characteristic
+        terms, run them as a scored OR query, exclude the source doc.
+
+        Term selection (deterministic, integer-ordered so the SQL oracle is
+        exact): by (tf in source DESC, global df ASC, term ASC), top
+        `max_terms` — rare-but-frequent-in-doc first, the tf-idf ordering
+        with integer tie-breaks. The source text fetch is a planning-level
+        single-row lookup; everything after is the standard OR plan."""
+        row = (
+            corpus.where(F.col(id_col) == doc_id).select(text_col).head()
+        )
+        if row is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        toks = tokenize(row[0])
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        dfs = self.term_stats(sorted(tf))
+        sel = sorted(
+            (t for t in tf if t in dfs),
+            key=lambda t: (-tf[t], dfs[t], t),
+        )[:max_terms]
+        if not sel:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        # k+1 then drop the source doc: rank-safe (≤1 row removed)
+        res = self.search(sel, k=None if k is None else k + 1, mode="or")
+        res = res.where(F.col("doc_id") != doc_id)
+        res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return res.limit(k) if k is not None else res
 
     def _phrase_prep(self, phrase):
         """Shared planning for the phrase paths: tokens, distinct terms,

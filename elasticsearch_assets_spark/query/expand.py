@@ -1,0 +1,98 @@
+"""Multi-term query rewrite over the term dictionary (round 3).
+
+Elasticsearch's prefix / wildcard / fuzzy queries are Lucene MultiTermQuery
+rewrites: enumerate the matching terms from the term dictionary, then run
+the expansion as a boolean query. The reference exposes that surface through
+its Lucene query strings (wildcards in `q=`,
+/root/reference/asset/elasticsearch_reader/index.js:118-122) but delegates
+the enumeration to ES. Here the term dictionary IS the index's distributed
+stats table (term, df, cf), so enumeration is a pushed-down Spark filter:
+
+  prefix    `term LIKE 'pre%'`   -> StringStartsWith, parquet-pushed
+  wildcard  leading-literal StartsWith conjunct (pushed) + anchored rlike
+  fuzzy     length band (pushed) + optional prefix + JVM levenshtein
+
+The matched (term, df) rows are collected driver-side — a *vocabulary*-level
+result (bounded by `max_expansions`), never a corpus scan. Capping picks the
+highest-df terms first (Lucene's TopTermsRewrite order), tie-broken by term.
+
+Scoring contract: the expansion runs as a scored OR query with each term's
+real idf — Lucene's `scoring_boolean` rewrite — so results have an exact
+SQL oracle. (ES's default `constant_score_blended` blends the dfs; we keep
+per-term idf for oracle exactness and document the deviation here.)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, functions as F
+
+# matches Java regex metacharacters we must escape when translating globs
+_GLOB_SPECIALS = re.compile(r"([.^$+{}\[\]()|\\])")
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Glob (`*` any run, `?` one char) -> anchored Java/RE2 regex."""
+    esc = _GLOB_SPECIALS.sub(r"\\\1", pattern)
+    return "^" + esc.replace("*", ".*").replace("?", ".") + "$"
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """Glob -> SQL LIKE pattern (terms are L*+N* runs, so literal `%`/`_`
+    never appear in a term; a pattern containing them matches nothing on
+    the engine side and we escape them for the SQL side)."""
+    return (
+        pattern.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
+
+
+def literal_prefix(pattern: str) -> str:
+    """Longest literal prefix before the first glob metachar — the part a
+    parquet StartsWith filter can push down."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
+
+def prefix_condition(prefix: str) -> Column:
+    return F.col("term").startswith(prefix)
+
+
+def wildcard_condition(pattern: str) -> Column:
+    cond = F.col("term").rlike(wildcard_to_regex(pattern))
+    lit = literal_prefix(pattern)
+    if lit:  # pushed-down scan narrowing; rlike re-verifies
+        cond = F.col("term").startswith(lit) & cond
+    return cond
+
+
+def fuzzy_condition(term: str, max_edits: int = 1, prefix_length: int = 0) -> Column:
+    """Terms within `max_edits` Levenshtein distance (includes distance 0,
+    the ES contract). The |len| band is a pushable pre-filter; the distance
+    itself is Spark's JVM levenshtein."""
+    n = len(term)
+    cond = (F.length("term") >= n - max_edits) & (F.length("term") <= n + max_edits)
+    if prefix_length > 0:
+        cond = cond & F.col("term").startswith(term[:prefix_length])
+    return cond & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+
+
+def expand_terms(stats, cond: Column, max_expansions: int | None = None) -> list[str]:
+    """Enumerate matching dictionary terms, highest-df first under a cap.
+
+    `stats` is the index's (term, df, cf) DataFrame; the filter runs
+    distributed over the vocabulary and only the matched terms (≤ cap)
+    reach the driver — the Lucene rewrite enumeration re-expressed as a
+    pushed-down scan."""
+    sdf = stats.where(cond).select("term", "df")
+    if max_expansions is not None:
+        sdf = sdf.orderBy(F.col("df").desc(), F.col("term").asc()).limit(
+            max_expansions
+        )
+    return sorted(r["term"] for r in sdf.collect())

@@ -77,3 +77,57 @@ def phrase_match(
         if result.size == 0:
             return empty
     return cand[np.unique(result // M)]
+
+
+def near_match(
+    postings: dict[str, TermPostings],
+    t1: str,
+    t2: str,
+    slop: int,
+    ordered: bool = False,
+) -> np.ndarray:
+    """Sorted doc ids (of one segment) where an occurrence of `t1` lies
+    within `slop` positions of an occurrence of `t2` — Lucene's two-term
+    SpanNearQuery (ES match_phrase slop / span_near), index-assisted.
+
+    unordered: exists positions p1, p2 with |p1 - p2| <= slop
+    ordered:   exists p1 < p2 with p2 - p1 <= slop
+
+    Vectorized: occurrences become keys dense_doc * M + pos (M sized so a
+    slop window never crosses a doc block); for every t2 occurrence one
+    searchsorted pair asks whether any t1 key falls inside its window."""
+    empty = np.array([], dtype=np.int64)
+    if t1 == t2:
+        raise ValueError("near_match needs two distinct terms")
+    if t1 not in postings or t2 not in postings:
+        return empty
+    cand = _sorted_intersect(postings[t1].doc_ids, postings[t2].doc_ids)
+    if cand.size == 0:
+        return empty
+    occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    maxpos = 0
+    for t in (t1, t2):
+        tp = postings[t]
+        tfs, _ = tp.full()
+        pos = tp.positions()
+        hit = np.isin(tp.doc_ids, cand, assume_unique=True)
+        keep = np.repeat(hit, tfs)
+        docs_o = np.repeat(tp.doc_ids, tfs)[keep]
+        pos_o = pos[keep]
+        if pos_o.size == 0:
+            return empty
+        occ[t] = (docs_o, pos_o)
+        maxpos = max(maxpos, int(pos_o.max()))
+    M = np.int64(maxpos + slop + 2)  # window stays inside the doc block
+    d1, p1 = occ[t1]
+    d2, p2 = occ[t2]
+    k1 = np.searchsorted(cand, d1) * M + p1  # built sorted (doc, pos asc)
+    dense2 = np.searchsorted(cand, d2)
+    lo = dense2 * M + np.maximum(p2 - slop, 0)
+    hi = dense2 * M + (p2 - 1 if ordered else p2 + slop)
+    left = np.searchsorted(k1, lo, side="left")
+    right = np.searchsorted(k1, hi, side="right")
+    hit2 = right > left
+    if not hit2.any():
+        return empty
+    return cand[np.unique(dense2[hit2])]
