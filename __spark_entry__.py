@@ -586,6 +586,58 @@ FROM ranked WHERE rank <= 2 ORDER BY bucket ASC, rank ASC
 """
 
 
+def _querystring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-assisted Lucene query string (the reference's `q=` surface
+    with ES semantics): `spark AND jo* AND n_chars:>=400` — a term clause,
+    a dictionary-rewritten prefix clause (clause-level AND: any jo*-term
+    counts), and a structured filter restricting ranking through the
+    distributed search_filtered machinery. Collection stats stay global."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    res = idx.search_querystring("spark AND jo* AND n_chars:>=400", docs, k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_QS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term = 'spark' OR term LIKE 'jo%' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+  HAVING max(CASE WHEN tf.term = 'spark' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN tf.term LIKE 'jo%' THEN 1 ELSE 0 END) = 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE n_chars >= 400)
+"""
+
+
+def _querystring_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause-level OR of two dictionary rewrites: `qu* OR spark~1`."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    res = idx.search_querystring("qu* OR spark~1", docs, k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_QS_OR_SQL = _bm25_sql(
+    [], "or", None,
+    term_cond="term LIKE 'qu%' OR levenshtein(term, 'spark') <= 1",
+)
+
+
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals (duplicate-bigram
     fraction, top-bigram share) — one O(n) JVM aggregate pass per doc,
@@ -1347,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_histogram": _facet_histogram,
         "facet_top_hits": _facet_top_hits,
         "repetition_stats": _repetition_stats,
+        "querystring_search": _querystring_search,
+        "querystring_or": _querystring_or,
         "bm25_after_delete": _bm25_after_delete,
         "bm25_materialize": _bm25_materialize,
         "date_sort_topk": _date_sort_topk,
@@ -1411,6 +1465,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_histogram": _FACET_HIST_SQL,
         "facet_top_hits": _facet_top_hits_sql(),
         "repetition_stats": _repetition_stats_sql(),
+        "querystring_search": _QS_SQL,
+        "querystring_or": _QS_OR_SQL,
         "bm25_after_delete": _bm25_sql(
             ["spark", "join"], "or", None, where=_DELETE_PRED_SQL
         ),

@@ -30,6 +30,7 @@ from elasticsearch_assets_spark.query.wand import (
     exact_scores,
     topk_conjunctive,
     topk_disjunctive_pruned,
+    topk_group_conjunctive,
 )
 
 TOPK_SCHEMA = "doc_id long, score double"
@@ -47,6 +48,7 @@ def _score_segment(
     excluded: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    groups: list[list[str]] | None = None,
 ) -> pd.DataFrame:
     """Score one segment's posting lists for the query. `terms` is sorted.
 
@@ -74,9 +76,14 @@ def _score_segment(
     }
     if after is not None:
         if mode == "and":
-            docs, score = topk_conjunctive(
-                terms, postings, idfs, avgdl, k1, b, None, excluded, allowed
-            )
+            if groups is not None:
+                docs, score = topk_group_conjunctive(
+                    groups, postings, idfs, avgdl, k1, b, None, excluded, allowed
+                )
+            else:
+                docs, score = topk_conjunctive(
+                    terms, postings, idfs, avgdl, k1, b, None, excluded, allowed
+                )
         else:
             present = [t for t in terms if t in postings]
             if not present:
@@ -99,9 +106,14 @@ def _score_segment(
             order = order[:k]
         return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
     if mode == "and":
-        docs, score = topk_conjunctive(
-            terms, postings, idfs, avgdl, k1, b, k, excluded, allowed
-        )
+        if groups is not None:
+            docs, score = topk_group_conjunctive(
+                groups, postings, idfs, avgdl, k1, b, k, excluded, allowed
+            )
+        else:
+            docs, score = topk_conjunctive(
+                terms, postings, idfs, avgdl, k1, b, k, excluded, allowed
+            )
     elif k is not None:
         docs, score = topk_disjunctive_pruned(
             terms, postings, idfs, avgdl, k1, b, k, excluded, allowed
@@ -189,6 +201,7 @@ class InvertedIndex:
         mode: str = "and",
         allowed: "np.ndarray | None" = None,
         after: tuple[float, int] | None = None,
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """Top-k BM25. `query` is a raw text (tokenized with the index
         analyzer) or a pre-tokenized term list. Returns (doc_id, score),
@@ -200,13 +213,25 @@ class InvertedIndex:
         pagination (ES search_after, the reference's scroll-style paging
         surface, /root/reference/asset/elasticsearch_reader/reader.js). The
         cursor filters per segment before the top-k cut, so page depth
-        never widens the per-segment work — unlike from+size."""
-        terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+        never widens the per-segment work — unlike from+size.
+
+        `groups` (clause-level boolean semantics, Lucene BooleanQuery of
+        rewritten MultiTermQueries): with mode="and" a doc must match ≥ 1
+        term of EVERY group; scores still sum every matched term. Flat
+        `query` is the all-singleton-groups special case."""
+        if groups is not None:
+            terms = sorted({t for g in groups for t in g})
+        else:
+            terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         dfs = self.term_stats(terms)
-        if mode == "and" and len(dfs) != len(terms):
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if mode == "and":
+            if groups is not None:
+                if any(all(t not in dfs for t in g) for g in groups):
+                    return self.spark.createDataFrame([], TOPK_SCHEMA)
+            elif len(dfs) != len(terms):
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
         meta = self.meta
         idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
         avgdl, k1, b = meta.avgdl, meta.k1, meta.b
@@ -214,7 +239,8 @@ class InvertedIndex:
 
         def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             return _score_segment(
-                pdf, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed, after
+                pdf, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed,
+                after, groups,
             )
 
         per_seg = (
@@ -232,6 +258,7 @@ class InvertedIndex:
         mode: str = "and",
         allowed: "np.ndarray | None" = None,
         after: tuple[float, int] | None = None,
+        groups: list[list[str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Low-latency serving path: ONE Spark job (the pushed-down `term IN`
         scan collects the few matching posting rows), then the same scoring
@@ -245,7 +272,10 @@ class InvertedIndex:
         Right when the query's posting lists are driver-small (typical
         serving); `search()` remains the distributed path for huge head
         terms or k=None analytics."""
-        terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+        if groups is not None:
+            terms = sorted({t for g in groups for t in g})
+        else:
+            terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return []
         rows = self.segments.where(F.col("term").isin(terms)).collect()
@@ -254,8 +284,12 @@ class InvertedIndex:
         for r in rows:
             dfs[r["term"]] = dfs.get(r["term"], 0) + r["df"]
             by_seg.setdefault(r["seg_id"], {})[r["term"]] = TermPostings(r)
-        if mode == "and" and len(dfs) != len(terms):
-            return []
+        if mode == "and":
+            if groups is not None:
+                if any(all(t not in dfs for t in g) for g in groups):
+                    return []
+            elif len(dfs) != len(terms):
+                return []
         meta = self.meta
         idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
         out_docs: list[np.ndarray] = []
@@ -264,7 +298,12 @@ class InvertedIndex:
 
         seg_k = None if after is not None else k  # cursor filters pre-cut
         for postings in by_seg.values():
-            if mode == "and":
+            if mode == "and" and groups is not None:
+                d, s = topk_group_conjunctive(
+                    groups, postings, idfs, meta.avgdl, meta.k1, meta.b, seg_k,
+                    self.tombstones, allowed,
+                )
+            elif mode == "and":
                 d, s = topk_conjunctive(
                     terms, postings, idfs, meta.avgdl, meta.k1, meta.b, seg_k,
                     self.tombstones, allowed,
@@ -474,6 +513,73 @@ class InvertedIndex:
         if k is not None:
             order = order[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
+
+    # -- query strings -------------------------------------------------------
+
+    def search_querystring(
+        self,
+        q: str,
+        corpus: DataFrame | None = None,
+        k: int | None = 10,
+        *,
+        text_col: str = "text",
+        analyzed_fields: set[str] | None = None,
+        id_col: str = "doc_id",
+        collect_cap: int = 5_000_000,
+    ) -> DataFrame:
+        """Index-assisted Lucene query string (the reference's `q=` surface
+        with ES semantics): analyzed clauses score BM25 through the index
+        (prefix/wildcard/fuzzy clauses dictionary-rewritten, clause-level
+        boolean via the `groups` kernel), structured clauses compile to a
+        pushed-down filter over `corpus` and restrict ranking through
+        search_filtered's distributed machinery. See query/querystring.py
+        for the routing contract and unsupported shapes."""
+        from elasticsearch_assets_spark.query.lucene import compile_filter
+        from elasticsearch_assets_spark.query.querystring import (
+            and_node,
+            plan_querystring,
+        )
+
+        analyzed = analyzed_fields or {text_col}
+        plan = plan_querystring(q, self, analyzed)
+        if not plan.groups and plan.phrase is None:
+            raise ValueError(
+                "query string has no scoring clause — use compile_filter "
+                "for pure-filter semantics"
+            )
+        if plan.filters:
+            if corpus is None:
+                raise ValueError(
+                    "query string has structured clauses — pass `corpus`"
+                )
+            pred = compile_filter(
+                and_node(plan.filters),
+                text_col=text_col,
+                analyzed_fields=analyzed,
+            )
+            filtered = corpus.where(pred)
+            if plan.phrase is not None:
+                # phrase + filter: restrict via the collected id set (the
+                # broadcast path; phrases don't flow through cogroup yet)
+                sample = filtered.select(
+                    F.col(id_col).cast("long").alias("doc_id")
+                ).limit(collect_cap + 1).collect()
+                if len(sample) > collect_cap:
+                    raise ValueError(
+                        "filter matches too many docs for the phrase+filter "
+                        f"path (> {collect_cap}); tighten the filter"
+                    )
+                allowed = np.sort(
+                    np.array([r["doc_id"] for r in sample], dtype=np.int64)
+                )
+                return self.search_phrase(plan.phrase, k=k, allowed=allowed)
+            return self.search_filtered(
+                [], filtered, k=k, mode=plan.mode,
+                id_col=id_col, collect_cap=collect_cap, groups=plan.groups,
+            )
+        if plan.phrase is not None:
+            return self.search_phrase(plan.phrase, k=k)
+        return self.search([], k=k, mode=plan.mode, groups=plan.groups)
 
     # -- more-like-this ------------------------------------------------------
 
@@ -691,6 +797,7 @@ class InvertedIndex:
         id_col: str = "doc_id",
         collect_cap: int = 5_000_000,
         strategy: str = "auto",
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """The reference's full query composition: BM25 top-k AMONG the docs
         matching a structured filter (`range AND (user query)`,
@@ -711,7 +818,9 @@ class InvertedIndex:
         if strategy in ("auto", "cogroup"):
             with_seg = self._filter_with_seg(ids)
             if with_seg is not None:
-                return self._search_cogrouped(query, with_seg, k=k, mode=mode)
+                return self._search_cogrouped(
+                    query, with_seg, k=k, mode=mode, groups=groups
+                )
             if strategy == "cogroup":
                 raise ValueError(
                     "doc->segment mapping unavailable (meta.partitioning="
@@ -723,8 +832,10 @@ class InvertedIndex:
                 allowed = np.sort(
                     np.array([r["doc_id"] for r in sample], dtype=np.int64)
                 )
-                return self.search(query, k=k, mode=mode, allowed=allowed)
-        scored = self.search(query, k=None, mode=mode)
+                return self.search(
+                    query, k=k, mode=mode, allowed=allowed, groups=groups
+                )
+        scored = self.search(query, k=None, mode=mode, groups=groups)
         out = scored.join(ids.distinct(), "doc_id", "left_semi")
         out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return out.limit(k) if k is not None else out
@@ -735,18 +846,26 @@ class InvertedIndex:
         ids_with_seg: DataFrame,
         k: int | None,
         mode: str,
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """Distributed filtered search: per segment, cogroup (posting rows,
         allowed doc ids) and run the same scoring kernels restricted to the
         allowed set — rank-identical to the broadcast path (tested). The
         shuffle moves only the filter ids (8 B each) keyed by segment; the
         posting side is the usual pushed-down `term IN` scan."""
-        terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+        if groups is not None:
+            terms = sorted({t for g in groups for t in g})
+        else:
+            terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         dfs = self.term_stats(terms)
-        if mode == "and" and len(dfs) != len(terms):
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if mode == "and":
+            if groups is not None:
+                if any(all(t not in dfs for t in g) for g in groups):
+                    return self.spark.createDataFrame([], TOPK_SCHEMA)
+            elif len(dfs) != len(terms):
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
         meta = self.meta
         idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
         avgdl, k1, b = meta.avgdl, meta.k1, meta.b
@@ -759,7 +878,8 @@ class InvertedIndex:
                 )
             allowed = np.unique(right["doc_id"].to_numpy(np.int64))
             return _score_segment(
-                left, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed
+                left, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed,
+                None, groups,
             )
 
         posts = self.segments.where(F.col("term").isin(terms))

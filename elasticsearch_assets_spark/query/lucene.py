@@ -55,6 +55,13 @@ class Wildcard:
 
 
 @dataclass(frozen=True)
+class Fuzzy:
+    field: str | None
+    value: str
+    max_edits: int  # Lucene `term~` defaults to 2, `term~N` pins it
+
+
+@dataclass(frozen=True)
 class Cmp:
     field: str
     op: str  # >= <= > <
@@ -227,6 +234,17 @@ class _Parser:
             if field is None:
                 raise ValueError(f"comparator needs a field: {v!r}")
             return Cmp(field, m.group(1), m.group(2))
+        # fuzzy: `term~` (2 edits, the Lucene default) or `term~N`; the
+        # tilde is fuzzy iff unescaped (backslash-run parity, as for `:`)
+        m = re.match(r"^(.+?)~(\d?)$", v)
+        if m:
+            body = m.group(1)
+            n_bs = len(body) - len(body.rstrip("\\"))
+            has_wild = any(not esc for _, esc in _wild_chars(body))
+            if n_bs % 2 == 0 and not has_wild:
+                return Fuzzy(
+                    field, _unescape(body), int(m.group(2) or 2)
+                )
         # wildcards: unescaped * (any run) / ? (single char). A trailing *
         # with no other wildcard is the fast Prefix form.
         specials = [c for c, esc in _wild_chars(v) if not esc]
@@ -363,6 +381,15 @@ def compile_filter(
                 col = n.field if n.field is not None and n.field != text_col else text_col
                 return F.exists(_tokens_col(col), lambda t: t.rlike(pattern))
             return F.col(n.field).rlike("^" + _wildcard_regex(n.value) + "$")
+        if isinstance(n, Fuzzy):
+            if n.field is None or n.field in analyzed:
+                col = n.field if n.field is not None and n.field != text_col else text_col
+                lit = F.lit(n.value.lower())
+                return F.exists(
+                    _tokens_col(col),
+                    lambda t: F.levenshtein(t, lit) <= n.max_edits,
+                )
+            return F.levenshtein(F.col(n.field), F.lit(n.value)) <= n.max_edits
         if isinstance(n, Cmp):
             c = F.col(n.field)
             v = _lit(n.value)

@@ -208,6 +208,45 @@ def topk_disjunctive_pruned(
     return cand[order], scores[order]
 
 
+def topk_group_conjunctive(
+    groups: list[list[str]],
+    postings: dict[str, TermPostings],
+    idfs: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    excluded: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Boolean-clause AND scoring (Lucene BooleanQuery of rewritten
+    MultiTermQueries): a doc matches iff EVERY group contributes ≥ 1
+    present term — candidate set = ∩ over groups of (∪ of the group's
+    posting lists). Scores sum ALL matched terms across groups (BM25's
+    per-term sum), so `groups=[[t] for t in terms]` degenerates to
+    `topk_conjunctive` exactly (tested)."""
+    e = np.array([], dtype=np.int64)
+    unions: list[np.ndarray] = []
+    for g in groups:
+        arrs = [postings[t].doc_ids for t in g if t in postings]
+        if not arrs:
+            return e, np.array([], dtype=np.float64)
+        u = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        unions.append(u)
+    unions.sort(key=lambda a: a.size)
+    cand = restrict(unions[0], excluded, allowed)
+    for u in unions[1:]:
+        cand = _sorted_intersect(cand, u)
+        if cand.size == 0:
+            return e, np.array([], dtype=np.float64)
+    terms = sorted({t for g in groups for t in g})
+    scores = exact_scores(cand, terms, postings, idfs, avgdl, k1, b)
+    order = np.lexsort((cand, -scores))
+    if k is not None:
+        order = order[:k]
+    return cand[order], scores[order]
+
+
 def topk_conjunctive(
     terms: list[str],
     postings: dict[str, TermPostings],

@@ -287,3 +287,126 @@ def test_repetition_stats_handcomputed(spark):
         assert got[d]["top_bigram_share"] == 0.0
     assert got[5]["dup_bigram_frac"] == 0.0
     assert got[5]["top_bigram_share"] == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# clause-level boolean groups + query strings
+# ---------------------------------------------------------------------------
+
+
+def test_group_conjunctive_vs_bruteforce(index):
+    # docs matching (the) AND (join OR data); scores sum matched terms
+    per_term = {
+        t: {r["doc_id"]: r["score"] for r in index.search([t], k=None).collect()}
+        for t in ("the", "join", "data")
+    }
+    want = {}
+    for d in per_term["the"]:
+        if d in per_term["join"] or d in per_term["data"]:
+            want[d] = sum(per_term[t].get(d, 0.0) for t in per_term)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in index.search(
+            None, k=None, mode="and", groups=[["the"], ["join", "data"]]
+        ).collect()
+    }
+    assert set(got) == set(want) and want
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_group_singletons_equal_flat_and(index):
+    flat = index.search(["the", "join"], k=None, mode="and").collect()
+    grp = index.search(
+        None, k=None, mode="and", groups=[["the"], ["join"]]
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in flat] == [
+        (r["doc_id"], r["score"]) for r in grp
+    ]
+
+
+def test_group_serving_and_cogroup_parity(spark, corpus, index):
+    groups = [["the"], ["join", "data"]]
+    dist = index.search(None, k=15, mode="and", groups=groups).collect()
+    loc = index.search_local(None, k=15, mode="and", groups=groups)
+    assert [(r["doc_id"], r["score"]) for r in dist] == loc
+    filt = corpus.where(F.col("doc_id") % 2 == 0)
+    cg = index.search_filtered(
+        [], filt, k=15, mode="and", strategy="cogroup", groups=groups
+    ).collect()
+    bc = index.search_filtered(
+        [], filt, k=15, mode="and", strategy="broadcast", groups=groups
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in cg] == [
+        (r["doc_id"], r["score"]) for r in bc
+    ]
+    evens = {r["doc_id"] for r in cg}
+    assert evens and all(d % 2 == 0 for d in evens)
+
+
+def test_group_with_all_terms_missing_is_empty(index):
+    got = index.search(
+        None, k=None, mode="and", groups=[["the"], ["zzzznope"]]
+    )
+    assert got.count() == 0
+
+
+def test_querystring_routes_and_matches_manual_composition(spark, corpus, index):
+    got = index.search_querystring(
+        "the AND jo* AND doc_id:>=600", corpus, k=12
+    ).collect()
+    groups = [["the"], index.expand_prefix("jo")]
+    manual = index.search_filtered(
+        [], corpus.where(F.col("doc_id") >= 600), k=12, mode="and",
+        groups=groups,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in manual
+    ] and got
+
+
+def test_querystring_unsupported_shapes_raise(corpus, index, pos_index):
+    with pytest.raises(NotImplementedError, match="OR of a text clause"):
+        index.search_querystring("the OR doc_id:>=5", corpus)
+    with pytest.raises(NotImplementedError, match="phrase"):
+        pos_index.search_querystring('"the join" AND spark', corpus)
+    with pytest.raises(ValueError, match="no scoring clause"):
+        index.search_querystring("doc_id:>=5", corpus)
+    with pytest.raises(ValueError, match="corpus"):
+        index.search_querystring("the AND doc_id:>=5")
+
+
+def test_querystring_phrase_plus_filter(spark, corpus, pos_index):
+    got = pos_index.search_querystring(
+        '"the join" AND doc_id:[0 TO 700]', corpus, k=None
+    ).collect()
+    import numpy as np
+
+    allowed = np.arange(0, 701, dtype=np.int64)
+    want = pos_index.search_phrase(["the", "join"], k=None, allowed=allowed)
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want.collect()
+    ] and got
+
+
+def test_fuzzy_ast_parse_and_filter(spark):
+    from elasticsearch_assets_spark.query.lucene import (
+        Fuzzy,
+        Term,
+        compile_filter,
+        parse_lucene,
+    )
+
+    assert parse_lucene("spark~1") == Fuzzy(None, "spark", 1)
+    assert parse_lucene("spark~") == Fuzzy(None, "spark", 2)
+    assert parse_lucene("name:spark~2") == Fuzzy("name", "spark", 2)
+    assert parse_lucene(r"spark\~1") == Term(None, "spark~1")
+    df = spark.createDataFrame(
+        [(1, "sparky stuff"), (2, "nothing here"), (3, "spark")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in df.where(compile_filter(parse_lucene("spark~1"))).collect()
+    )
+    assert got == [1, 3]
