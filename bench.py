@@ -104,6 +104,16 @@ def main() -> None:
     extras["index_tokens_per_sec"] = round(meta.total_tokens / build_sec, 1)
     extras["n_pages"] = N_PAGES
 
+    # positional variant (phrase/proximity support): same corpus, positions
+    # ride as one extra binary column — the delta vs index_build_pages is
+    # the cost of the positional stream
+    t0 = time.monotonic()
+    build_index(
+        spark, corpus, f"/tmp/esa_bench_idx_{N_PAGES}_pos",
+        num_chunks=1, positions=True,
+    )
+    queries["index_build_pages_pos"] = round(time.monotonic() - t0, 3)
+
     # --- query latencies over the pages index ------------------------------
     idx = InvertedIndex(spark, f"/tmp/esa_bench_idx_{N_PAGES}")
     lats: list[float] = []
@@ -134,6 +144,33 @@ def main() -> None:
     # NOTE: thread-pooled QPS was measured and removed — py4j + the GIL
     # serialize driver-side jobs, so concurrent-thread numbers just restate
     # p50. Horizontal serving scale = multiple driver processes per index.
+
+    # --- round-3 surface: positional queries, rewrites, query strings ------
+    pidx = InvertedIndex(spark, f"/tmp/esa_bench_idx_{N_PAGES}_pos")
+
+    def q_best(name, fn, reps: int = 3) -> None:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        queries[name] = round(best, 3)
+
+    q_best("q_phrase", lambda: pidx.search_phrase("the join", k=10).collect())
+    q_best(
+        "q_near",
+        lambda: pidx.search_near("the", "join", slop=3, k=10).collect(),
+    )
+    # 100-term dictionary rewrite (term12xx) run as a scored OR
+    q_best("q_prefix100", lambda: idx.search_prefix("term12", k=10).collect())
+    # full query-string composition: term AND 100-term rewrite AND filter,
+    # structured part restricted through the cogrouped distributed path
+    q_best(
+        "q_querystring",
+        lambda: idx.search_querystring(
+            f"the AND term12* AND doc_id:>={N_PAGES // 2}", corpus, k=10
+        ).collect(),
+    )
 
     # --- training-data pipeline operators over the sf tables ----------------
     from elasticsearch_assets_spark.operators import dedup as OD
@@ -174,6 +211,9 @@ def main() -> None:
         lambda: OD.simhash_pairs(docs, max_bucket=1_000_000).count(),
     )
     op_best("op_ann_bruteforce", lambda: OS.cosine_topk(emb, qv, k=10).collect())
+    from elasticsearch_assets_spark.operators.textstats import repetition_stats
+
+    op_best("op_repetition_stats", lambda: repetition_stats(docs).count())
 
     # filtered search on the documents index (cogrouped executor-side path)
     didx = InvertedIndex(spark, "/tmp/esa_bench_idx_documents")
