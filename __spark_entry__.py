@@ -638,6 +638,68 @@ _QS_OR_SQL = _bm25_sql(
 )
 
 
+def _significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms aggregation: terms over-represented in the
+    match set (docs containing 'spark') vs the background corpus, scored
+    by the percentage heuristic (fg rate / bg rate), min_doc_count=3."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.significant_terms(matches, docs, n=10)
+    return out.select(
+        "term", "fg_df", "bg_df",
+        (F.floor(F.col("score") * 10000.0 + 0.5) / 10000.0).alias("score"),
+    )
+
+
+_SIGTERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+fg_total AS (SELECT count(*)::DOUBLE AS n FROM m),
+bg_total AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df FROM dt JOIN m USING (doc_id)
+  GROUP BY term HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dt GROUP BY term)
+SELECT term, fg_df, bg_df,
+       floor((fg_df / fg_total.n) / (bg_df / bg_total.n) * 10000.0 + 0.5)
+         / 10000.0 AS score
+FROM fg JOIN bg USING (term), fg_total, bg_total
+ORDER BY (fg_df / fg_total.n) / (bg_df / bg_total.n) DESC, term ASC
+LIMIT 10
+"""
+
+
+_HL_TERMS = ["spark", "join"]
+
+
+def _highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight (fragment) shape: snippet window around the first
+    query-term occurrence for the top-10 docs of a conjunctive query —
+    broadcast top-k join + one JVM projection (operators/highlight.py)."""
+    from elasticsearch_assets_spark.operators.highlight import highlight_first
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    topk = idx.search(_HL_TERMS, k=10, mode="and")
+    return highlight_first(topk, docs, _HL_TERMS, before=30, width=80)
+
+
+def _highlight_sql() -> str:
+    from elasticsearch_assets_spark.operators.highlight import highlight_sql
+
+    return highlight_sql(
+        _HL_TERMS, before=30, width=80,
+        match_sql=_bm25_sql(_HL_TERMS, "and", 10),
+    )
+
+
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals (duplicate-bigram
     fraction, top-bigram share) — one O(n) JVM aggregate pass per doc,
@@ -1401,6 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _repetition_stats,
         "querystring_search": _querystring_search,
         "querystring_or": _querystring_or,
+        "significant_terms": _significant_terms,
+        "highlight": _highlight,
         "bm25_after_delete": _bm25_after_delete,
         "bm25_materialize": _bm25_materialize,
         "date_sort_topk": _date_sort_topk,
@@ -1467,6 +1531,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_stats_sql(),
         "querystring_search": _QS_SQL,
         "querystring_or": _QS_OR_SQL,
+        "significant_terms": _SIGTERMS_SQL,
+        "highlight": _highlight_sql(),
         "bm25_after_delete": _bm25_sql(
             ["spark", "join"], "or", None, where=_DELETE_PRED_SQL
         ),

@@ -66,6 +66,63 @@ def facet_histogram(
     )
 
 
+def significant_terms(
+    matches: DataFrame,
+    corpus: DataFrame,
+    n: int | None = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES significant_terms aggregation: terms over-represented in the
+    match set vs the background corpus.
+
+    Foreground df comes from tokenizing the matched docs (semi join +
+    explode — one shuffle of the matched docs' distinct terms); background
+    df from the full corpus the same way. Score is the foreground/
+    background rate ratio (ES's `percentage` significance heuristic):
+        score = (fg_df / fg_total) / (bg_df / bg_total)
+    ordered (score DESC, term ASC), `min_doc_count` pruning the noise
+    floor like ES. Deterministic, exact SQL oracle."""
+    from elasticsearch_assets_spark.operators.texthash import tokens_expr
+
+    ids = matches.select(F.col(id_col)).distinct()
+    fg_docs = corpus.join(ids, id_col, "left_semi")
+    fg_total = fg_docs.count()
+    bg_total = corpus.count()
+    if fg_total == 0:
+        return fg_docs.select(
+            F.lit("").alias("term"),
+            F.lit(0).cast("long").alias("fg_df"),
+            F.lit(0).cast("long").alias("bg_df"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+
+    def doc_terms(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens_expr(text_col))).alias("term"),
+        )
+
+    fg = doc_terms(fg_docs).groupBy("term").agg(F.count("*").alias("fg_df"))
+    bg = doc_terms(corpus).groupBy("term").agg(F.count("*").alias("bg_df"))
+    out = (
+        fg.where(F.col("fg_df") >= min_doc_count)
+        .join(bg, "term")
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            (
+                (F.col("fg_df") / F.lit(float(fg_total)))
+                / (F.col("bg_df") / F.lit(float(bg_total)))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+    )
+    return out.limit(n) if n is not None else out
+
+
 def facet_top_hits(
     scored: DataFrame,
     corpus: DataFrame,

@@ -141,6 +141,25 @@ def main() -> None:
         pidx.search_phrase("spark join", k=10),
     )
     add(
+        "Dictionary expansion for prefix/wildcard/fuzzy rewrites",
+        "Multi-term rewrites enumerate the term dictionary = the "
+        "distributed stats table. A prefix expansion must show "
+        "StringStartsWith in PushedFilters (parquet-level pruning of the "
+        "vocabulary scan); only matched (term, df) rows reach the driver "
+        "— vocabulary-level, never a corpus scan.",
+        idx.stats.where(F.col("term").startswith("sp")).select("term", "df"),
+    )
+    add(
+        "Query string: rewrite + structured filter (search_querystring)",
+        "`spark AND jo* AND doc_id:>=250` — the jo* clause expands against "
+        "the dictionary, the structured clause filters the corpus with a "
+        "pushed-down predicate, and ranking restriction runs through the "
+        "cogrouped filtered-search plan (FlatMapCoGroupsInPandas, filter "
+        "ids shuffled by segment, clause-level boolean groups in the "
+        "kernel). No driver materialization of the filter.",
+        idx.search_querystring("spark AND jo* AND doc_id:>=250", docs, k=10),
+    )
+    add(
         "Embedding brute-force cosine top-k (similarity baseline)",
         "A single narrow projection + TakeOrderedAndProject: the global "
         "top-k never shuffles vectors.",

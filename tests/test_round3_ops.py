@@ -410,3 +410,56 @@ def test_fuzzy_ast_parse_and_filter(spark):
         for r in df.where(compile_filter(parse_lucene("spark~1"))).collect()
     )
     assert got == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# significant terms + highlighting
+# ---------------------------------------------------------------------------
+
+
+def test_significant_terms_matches_bruteforce(spark, corpus, index):
+    matches = index.search(["spark"], k=None, mode="and")
+    out = OFA.significant_terms(matches, corpus, n=5, min_doc_count=2)
+    got = [(r["term"], r["fg_df"], r["bg_df"]) for r in out.collect()]
+    pdf = corpus.select("doc_id", "text").toPandas()
+    toks = tokenize_series(pdf["text"])
+    ids = {r["doc_id"] for r in matches.collect()}
+    fg, bg = {}, {}
+    for d, ts in zip(pdf["doc_id"], toks):
+        for t in set(ts):
+            bg[t] = bg.get(t, 0) + 1
+            if int(d) in ids:
+                fg[t] = fg.get(t, 0) + 1
+    fgt, bgt = len(ids), len(pdf)
+    scored = sorted(
+        (
+            (-(c / fgt) / (bg[t] / bgt), t, c, bg[t])
+            for t, c in fg.items()
+            if c >= 2
+        ),
+    )[:5]
+    want = [(t, c, b) for _, t, c, b in scored]
+    assert got == want and got
+
+
+def test_highlight_window_and_absent(spark):
+    from elasticsearch_assets_spark.operators.highlight import highlight_first
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "x" * 50 + " spark rules"),
+            (2, "Spark at the very start"),
+            (3, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+    matches = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["pos"], r["snippet"])
+        for r in highlight_first(
+            matches, corpus, ["spark"], before=10, width=20
+        ).collect()
+    }
+    assert got[1][0] == 52 and got[1][1] == ("x" * 50 + " spark rules")[41:61]
+    assert got[2][0] == 1 and got[2][1] == "Spark at the very st"
+    assert got[3] == (None, None)
