@@ -152,6 +152,8 @@ def _bm25_sql(
     where: str | None = None,
     offset: int | None = None,
     term_cond: str | None = None,
+    min_match: int | None = None,
+    boost_case: str | None = None,
 ) -> str:
     """`where` restricts RANKING to matching docs — collection stats (df, N,
     avgdl) stay global, exactly the engine's search_filtered / tombstone
@@ -159,10 +161,17 @@ def _bm25_sql(
     `offset` models keyset pagination (the engine's search_after cursor ==
     OFFSET under the deterministic (s DESC, doc_id ASC) order).
     `term_cond` replaces the IN-list with a dictionary predicate — the
-    oracle twin of the engine's prefix/wildcard/fuzzy expansion."""
+    oracle twin of the engine's prefix/wildcard/fuzzy expansion.
+    `min_match` (mode="or") keeps only docs matching >= that many distinct
+    query terms — the minimum_should_match oracle. `boost_case` is a SQL
+    expression over `tf.term` multiplying each term's idf — the `term^boost`
+    oracle (Lucene folds boosts into the scorer exactly there)."""
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     nterms = len(set(terms))
     having = f"HAVING count(*) = {nterms}" if mode == "and" else ""
+    if min_match is not None:
+        having = f"HAVING count(*) >= {min_match}"
+    boost = f" * ({boost_case})" if boost_case else ""
     final_where = f"WHERE {where}" if where else ""
     limit = (
         f"ORDER BY s DESC, doc_id ASC LIMIT {k}" if k is not None else ""
@@ -182,7 +191,7 @@ tf AS (
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)){boost}
               * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
   FROM stats, tf
   JOIN df USING (term) JOIN dl USING (doc_id)
@@ -583,6 +592,306 @@ ranked AS (
 )
 SELECT bucket, doc_id, round(s, 4) AS score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 2 ORDER BY bucket ASC, rank ASC
+"""
+
+
+def _f4(col: str):
+    """floor(x*1e4+0.5)/1e4 — the cross-engine rounding protocol (engines'
+    round() differ at representation boundaries, CLAUDE.md)."""
+    return F.floor(F.col(col) * 10000.0 + 0.5) / 10000.0
+
+
+_MSM_TERMS, _MSM_M = ["spark", "join", "merge"], 2
+
+
+def _bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene BooleanQuery minimum_should_match: OR scoring restricted to
+    docs matching >= 2 of the 3 query terms (wand.topk_min_should_match —
+    one counting pass over docID streams, exact-score only the survivors)."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search(_MSM_TERMS, k=None, mode="or", min_should_match=_MSM_M)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_BOOST_TERMS, _BOOSTS = ["spark", "join"], {"spark": 2.5}
+
+
+def _bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene `term^boost`: the boost multiplies the term's idf (exactly
+    where Lucene folds boosts into the scorer), so every kernel picks it
+    up through the idfs dict unchanged."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search(_BOOST_TERMS, k=None, mode="or", boosts=_BOOSTS)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_REGEXP_PAT = ".*(ow|up)"
+
+
+def _bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES regexp query (Lucene RegexpQuery, whole-term anchored): the
+    pattern — deliberately prefix-less, exercising the pure rlike
+    dictionary scan — expands against the distributed term dictionary and
+    scores as an OR."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search_regexp(_REGEXP_PAT, k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_RESCORE_Q, _RESCORE_RQ = ["spark", "join"], ["table"]
+_RESCORE_W, _RESCORE_K, _RESCORE_QW, _RESCORE_RW = 20, 10, 1.0, 0.5
+
+
+def _bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore: the global top-20 AND hits re-ranked by a secondary OR
+    query scored ONLY over the window (`allowed` restriction — never a
+    second corpus-wide scan); combine = 1.0*primary + 0.5*secondary,
+    missing secondary keeps the weighted primary (ES `total` mode)."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.rescore(
+        _RESCORE_Q, _RESCORE_RQ, window_size=_RESCORE_W, k=_RESCORE_K,
+        mode="and", query_weight=_RESCORE_QW,
+        rescore_query_weight=_RESCORE_RW, score_mode="total",
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_rescore_sql() -> str:
+    exact_p = _bm25_sql(_RESCORE_Q, "and", _RESCORE_W).replace(
+        "SELECT doc_id, round(s, 4) AS score", "SELECT doc_id, s"
+    )
+    exact_s = _bm25_sql(_RESCORE_RQ, "or", None).replace(
+        "SELECT doc_id, round(s, 4) AS score", "SELECT doc_id, s"
+    )
+    return f"""
+WITH prim AS ({exact_p}),
+sec AS ({exact_s}),
+comb AS (
+  SELECT p.doc_id,
+         p.s * {_RESCORE_QW} + coalesce(c.s, 0) * {_RESCORE_RW} AS c
+  FROM prim p LEFT JOIN sec c USING (doc_id)
+)
+SELECT doc_id, round(c, 4) AS score FROM comb
+ORDER BY c DESC, doc_id ASC LIMIT {_RESCORE_K}
+"""
+
+
+_PP_FIXED, _PP_PREFIX = ["table"], "s"
+
+
+def _bm25_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix: 'table' immediately followed by any
+    dictionary term starting with 's' — positional intersection with the
+    last slot a UNION of the expansions' occurrence keys
+    (query/phrase.py phrase_prefix_match); scores are the scoring_boolean
+    BM25 sum over every matched term, restricted to phrase-matching docs."""
+    idx = _docs_index_pos(spark, sf_dir)
+    res = idx.search_phrase_prefix([*_PP_FIXED, _PP_PREFIX], k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_phrase_prefix_sql() -> str:
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+toks AS (SELECT doc_id, term FROM ptoks),
+pmatch AS (
+  SELECT DISTINCT t0.doc_id
+  FROM ptoks t0 JOIN ptoks t1
+    ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.term = '{_PP_FIXED[0]}' AND t1.term LIKE '{_PP_PREFIX}%'
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term = '{_PP_FIXED[0]}' OR term LIKE '{_PP_PREFIX}%'
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM pmatch)
+"""
+
+
+def _facet_date_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram (calendar interval 'day') over a match set — here
+    the click events; buckets snap to calendar boundaries via date_trunc,
+    the same truncation DuckDB applies."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    return OFA.facet_date_histogram(matches, ev, "ts", "day", id_col="event_id")
+
+
+_FACET_DATE_HIST_SQL = """
+SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY bucket ASC
+"""
+
+_RANGE_EDGES = [150.0, 300.0, 450.0]
+
+
+def _facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation over the 'spark' match set: half-open buckets
+    from the edge list with open ends; empty buckets kept (the ES
+    contract)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_range(matches, docs, "n_chars", _RANGE_EDGES)
+
+
+_FACET_RANGE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.n_chars::DOUBLE AS v FROM documents d JOIN m USING (doc_id)),
+ranges(bucket_lo, bucket_hi) AS (VALUES
+  (NULL::DOUBLE, 150.0), (150.0, 300.0), (300.0, 450.0), (450.0, NULL::DOUBLE)
+)
+SELECT r.bucket_lo, r.bucket_hi,
+       (SELECT count(*) FROM mt
+        WHERE (r.bucket_lo IS NULL OR mt.v >= r.bucket_lo)
+          AND (r.bucket_hi IS NULL OR mt.v < r.bucket_hi))::BIGINT AS doc_count
+FROM ranges r ORDER BY bucket_lo ASC NULLS FIRST
+"""
+
+
+def _facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation (count/min/max/sum/avg) over the 'spark' match
+    set — one partial-aggregated pass."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_stats(matches, docs, "n_chars")
+    return out.select(
+        "count", "min", "max",
+        _f4("sum").alias("sum"), _f4("avg").alias("avg"),
+    )
+
+
+_FACET_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.n_chars::DOUBLE AS v FROM documents d JOIN m USING (doc_id))
+SELECT count(v)::BIGINT AS "count", min(v) AS "min", max(v) AS "max",
+       floor(sum(v) * 10000.0 + 0.5) / 10000.0 AS "sum",
+       floor(avg(v) * 10000.0 + 0.5) / 10000.0 AS "avg"
+FROM mt
+"""
+
+_PCTS = [25.0, 50.0, 75.0, 95.0]
+
+
+def _facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation, exact linear-interpolation variant
+    (Spark `percentile` == DuckDB `quantile_cont`); the 100 TB swap-in is
+    percentile_approx with an identical plan shape (operators/facets.py)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_percentiles(matches, docs, "n_chars", _PCTS)
+    return out.select("percent", _f4("value").alias("value"))
+
+
+def _facet_percentiles_sql() -> str:
+    parts = [
+        f"SELECT {p}::DOUBLE AS percent, "
+        f"floor(quantile_cont(v, {p / 100.0}) * 10000.0 + 0.5) / 10000.0 AS value "
+        f"FROM mt"
+        for p in _PCTS
+    ]
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.n_chars::DOUBLE AS v FROM documents d JOIN m USING (doc_id))
+{union}
+ORDER BY percent ASC
+"""
+
+
+def _facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation, exact distinct-count variant (the 100 TB
+    swap-in is approx_count_distinct / HLL++ with the same plan)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_cardinality(matches, docs, "source")
+
+
+_FACET_CARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT count(DISTINCT d.source)::BIGINT AS value
+FROM documents d JOIN m USING (doc_id)
+"""
+
+_COLLAPSE_K = 5
+
+
+def _collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing: best-scored doc per `source` represents its
+    group, then the global (score DESC, doc_id ASC) top-5 over the
+    representatives (grouped-top-k window + TakeOrderedAndProject)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    scored = idx.search(["spark", "table"], k=None, mode="or")
+    out = OFA.collapse_topk(scored, docs, "source", k=_COLLAPSE_K)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("ckey").alias("bucket"),
+    )
+
+
+def _collapse_topk_sql() -> str:
+    exact = _bm25_sql(["spark", "table"], "or", None).replace(
+        "SELECT doc_id, round(s, 4) AS score", "SELECT doc_id, s"
+    )
+    return f"""
+WITH scored_x AS ({exact}),
+ranked AS (
+  SELECT s.doc_id, s.s, d.source,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY s.s DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored_x s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, round(s, 4) AS score, source AS bucket
+FROM ranked WHERE rn = 1
+ORDER BY s DESC, doc_id ASC LIMIT {_COLLAPSE_K}
 """
 
 
@@ -1455,11 +1764,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _bm25_prefix,
         "bm25_wildcard": _bm25_wildcard,
         "bm25_fuzzy": _bm25_fuzzy,
+        "bm25_msm": _bm25_msm,
+        "bm25_boosted": _bm25_boosted,
+        "bm25_regexp": _bm25_regexp,
+        "bm25_rescore": _bm25_rescore,
+        "bm25_phrase_prefix": _bm25_phrase_prefix,
         "search_after_page2": _search_after_page2,
         "more_like_this": _more_like_this,
         "facet_terms": _facet_terms,
         "facet_histogram": _facet_histogram,
         "facet_top_hits": _facet_top_hits,
+        "facet_date_hist": _facet_date_hist,
+        "facet_range": _facet_range,
+        "facet_stats": _facet_stats,
+        "facet_percentiles": _facet_percentiles,
+        "facet_cardinality": _facet_cardinality,
+        "collapse_topk": _collapse_topk,
         "repetition_stats": _repetition_stats,
         "querystring_search": _querystring_search,
         "querystring_or": _querystring_or,
@@ -1523,11 +1843,28 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy": _bm25_sql(
             [], "or", None, term_cond="levenshtein(term, 'grow') <= 2"
         ),
+        "bm25_msm": _bm25_sql(_MSM_TERMS, "or", None, min_match=_MSM_M),
+        "bm25_boosted": _bm25_sql(
+            _BOOST_TERMS, "or", None,
+            boost_case="CASE WHEN tf.term = 'spark' THEN 2.5 ELSE 1.0 END",
+        ),
+        "bm25_regexp": _bm25_sql(
+            [], "or", None,
+            term_cond=f"regexp_full_match(term, '{_REGEXP_PAT}')",
+        ),
+        "bm25_rescore": _bm25_rescore_sql(),
+        "bm25_phrase_prefix": _bm25_phrase_prefix_sql(),
         "search_after_page2": _bm25_sql(_AFTER_TERMS, "or", 10, offset=10),
         "more_like_this": _more_like_this_sql(),
         "facet_terms": _FACET_TERMS_SQL,
         "facet_histogram": _FACET_HIST_SQL,
         "facet_top_hits": _facet_top_hits_sql(),
+        "facet_date_hist": _FACET_DATE_HIST_SQL,
+        "facet_range": _FACET_RANGE_SQL,
+        "facet_stats": _FACET_STATS_SQL,
+        "facet_percentiles": _facet_percentiles_sql(),
+        "facet_cardinality": _FACET_CARD_SQL,
+        "collapse_topk": _collapse_topk_sql(),
         "repetition_stats": _repetition_stats_sql(),
         "querystring_search": _QS_SQL,
         "querystring_or": _QS_OR_SQL,

@@ -123,6 +123,185 @@ def significant_terms(
     return out.limit(n) if n is not None else out
 
 
+def facet_date_histogram(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    interval: str = "month",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES date_histogram aggregation with a CALENDAR interval (month /
+    week / day / hour — buckets snap to calendar boundaries, unlike the
+    fixed-width numeric histogram). Bucket key = date_trunc(interval, ts),
+    the same truncation DuckDB applies — exact oracle. Empty buckets are
+    absent (min_doc_count=1 shape)."""
+    if interval not in ("year", "quarter", "month", "week", "day", "hour", "minute"):
+        raise ValueError(f"unsupported calendar interval {interval!r}")
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    return (
+        joined.groupBy(
+            F.date_trunc(interval, F.col(date_col)).alias("bucket")
+        )
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+def facet_range(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    edges: list[float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES range aggregation: half-open buckets [lo, hi) from the sorted
+    edge list, with open ends (*-e0, e0-e1, ..., en-*). Buckets are keyed
+    by numeric (bucket_lo, bucket_hi) — null = unbounded — instead of
+    ES's formatted label strings, so the SQL oracle never depends on
+    float formatting. Empty buckets are kept (the ES range-agg contract:
+    every requested range appears)."""
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly increasing")
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    # bucket index = #edges <= v, computed in ONE column expression pass
+    # (never a theta-join against the corpus); the tiny static ranges
+    # table joins onto the ≤len(edges)+1 aggregated counts afterwards to
+    # restore empty buckets (the ES contract: every requested range
+    # appears)
+    v = F.col(col).cast("double")
+    idx = sum(
+        (F.when(v >= F.lit(float(e)), 1).otherwise(0) for e in edges),
+        F.lit(0),
+    )
+    counts = joined.groupBy(idx.alias("bidx")).agg(
+        F.count("*").alias("doc_count")
+    )
+    bounds = [(0, None, edges[0])] + [
+        (i + 1, edges[i], edges[i + 1]) for i in range(len(edges) - 1)
+    ] + [(len(edges), edges[-1], None)]
+    ranges = corpus.sparkSession.createDataFrame(
+        bounds, "bidx int, bucket_lo double, bucket_hi double"
+    )
+    return (
+        ranges.join(counts, "bidx", "left")
+        .select(
+            "bucket_lo",
+            "bucket_hi",
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+        )
+        .orderBy(F.col("bucket_lo").asc_nulls_first())
+    )
+
+
+def facet_stats(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES stats aggregation (count / min / max / sum / avg) over the match
+    set — one partial-aggregated pass, zero extra shuffle beyond the semi
+    join."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    v = F.col(col).cast("double")
+    return joined.agg(
+        F.count(v).alias("count"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.sum(v).alias("sum"),
+        F.avg(v).alias("avg"),
+    )
+
+
+def facet_percentiles(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    percents: list[float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES percentiles aggregation, EXACT variant: linear interpolation at
+    rank p*(n-1) — Spark's `percentile` and DuckDB's `quantile_cont` share
+    that definition, so the oracle is exact. (ES's t-digest is approximate
+    and seed-dependent; at 100 TB swap in percentile_approx and drop the
+    oracle to rows-only — the plan shape is identical.) One row per
+    requested percent, (percent, value)."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    v = F.col(col).cast("double")
+    aggs = [
+        F.percentile(v, F.lit(p / 100.0)).alias(f"p{i}")
+        for i, p in enumerate(percents)
+    ]
+    row = joined.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(float(p)).alias("percent"), F.col(f"p{i}").alias("value")
+        )
+        for i, p in enumerate(percents)
+    ])
+    return (
+        row.select(F.explode(pairs).alias("x"))
+        .select("x.percent", "x.value")
+        .orderBy("percent")
+    )
+
+
+def facet_cardinality(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES cardinality aggregation, EXACT variant: distinct-count over the
+    match set (partial-aggregated distinct — two-phase hash agg, no
+    driver work). ES uses HyperLogLog++; at 100 TB swap in
+    approx_count_distinct (same plan, bounded memory) and drop the oracle
+    to rows-only — documented deviation for oracle exactness."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    return joined.agg(F.count_distinct(F.col(col)).alias("value"))
+
+
+def collapse_topk(
+    scored: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    k: int | None = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES field collapsing (`collapse` on a search request): at most ONE
+    result per distinct `col` value — the best-scored doc (score DESC,
+    doc_id ASC) represents its group — then the usual global (score DESC,
+    doc_id ASC) top-k over the representatives.
+
+    Plan: join scores to the collapse key, bucket-partitioned row_number
+    window keeps the group winner (Spark rewrites the rank<=1 filter into
+    a group-limit inside the window sort — no full per-group
+    materialization), then TakeOrderedAndProject for the global cut."""
+    joined = corpus.select(F.col(id_col), F.col(col).alias("ckey")).join(
+        scored.select(F.col(id_col), "score"), id_col
+    )
+    w = Window.partitionBy("ckey").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    out = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), "score", "ckey")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+    return out.limit(k) if k is not None else out
+
+
 def facet_top_hits(
     scored: DataFrame,
     corpus: DataFrame,

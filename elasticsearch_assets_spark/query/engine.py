@@ -31,6 +31,7 @@ from elasticsearch_assets_spark.query.wand import (
     topk_conjunctive,
     topk_disjunctive_pruned,
     topk_group_conjunctive,
+    topk_min_should_match,
 )
 
 TOPK_SCHEMA = "doc_id long, score double"
@@ -49,6 +50,7 @@ def _score_segment(
     allowed: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
     groups: list[list[str]] | None = None,
+    min_should_match: int | None = None,
 ) -> pd.DataFrame:
     """Score one segment's posting lists for the query. `terms` is sorted.
 
@@ -84,6 +86,11 @@ def _score_segment(
                 docs, score = topk_conjunctive(
                     terms, postings, idfs, avgdl, k1, b, None, excluded, allowed
                 )
+        elif min_should_match is not None:
+            docs, score = topk_min_should_match(
+                terms, min_should_match, postings, idfs, avgdl, k1, b, None,
+                excluded, allowed,
+            )
         else:
             present = [t for t in terms if t in postings]
             if not present:
@@ -114,6 +121,11 @@ def _score_segment(
             docs, score = topk_conjunctive(
                 terms, postings, idfs, avgdl, k1, b, k, excluded, allowed
             )
+    elif min_should_match is not None:
+        docs, score = topk_min_should_match(
+            terms, min_should_match, postings, idfs, avgdl, k1, b, k,
+            excluded, allowed,
+        )
     elif k is not None:
         docs, score = topk_disjunctive_pruned(
             terms, postings, idfs, avgdl, k1, b, k, excluded, allowed
@@ -202,6 +214,8 @@ class InvertedIndex:
         allowed: "np.ndarray | None" = None,
         after: tuple[float, int] | None = None,
         groups: list[list[str]] | None = None,
+        min_should_match: int | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """Top-k BM25. `query` is a raw text (tokenized with the index
         analyzer) or a pre-tokenized term list. Returns (doc_id, score),
@@ -218,7 +232,19 @@ class InvertedIndex:
         `groups` (clause-level boolean semantics, Lucene BooleanQuery of
         rewritten MultiTermQueries): with mode="and" a doc must match ≥ 1
         term of EVERY group; scores still sum every matched term. Flat
-        `query` is the all-singleton-groups special case."""
+        `query` is the all-singleton-groups special case.
+
+        `min_should_match` (mode="or" only — Lucene BooleanQuery
+        minimum_should_match): only docs matching at least that many
+        distinct query terms rank; 1 == plain OR, len(terms) == AND
+        (tested bit-identical to both).
+
+        `boosts` maps term -> multiplicative weight (Lucene `term^boost`):
+        a boost multiplies the term's idf, which is exactly how Lucene
+        folds boosts into the scorer — every kernel picks it up through
+        the idfs dict unchanged."""
+        if min_should_match is not None and (mode != "or" or groups is not None):
+            raise ValueError("min_should_match applies to mode='or' flat queries")
         if groups is not None:
             terms = sorted({t for g in groups for t in g})
         else:
@@ -233,14 +259,18 @@ class InvertedIndex:
             elif len(dfs) != len(terms):
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
         meta = self.meta
-        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
+        idfs = {
+            t: idf(meta.n_docs, dfs.get(t, 0)) * (boosts or {}).get(t, 1.0)
+            for t in terms
+        }
         avgdl, k1, b = meta.avgdl, meta.k1, meta.b
         excluded = self.tombstones
+        msm = min_should_match
 
         def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             return _score_segment(
                 pdf, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed,
-                after, groups,
+                after, groups, msm,
             )
 
         per_seg = (
@@ -259,6 +289,8 @@ class InvertedIndex:
         allowed: "np.ndarray | None" = None,
         after: tuple[float, int] | None = None,
         groups: list[list[str]] | None = None,
+        min_should_match: int | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Low-latency serving path: ONE Spark job (the pushed-down `term IN`
         scan collects the few matching posting rows), then the same scoring
@@ -271,7 +303,10 @@ class InvertedIndex:
 
         Right when the query's posting lists are driver-small (typical
         serving); `search()` remains the distributed path for huge head
-        terms or k=None analytics."""
+        terms or k=None analytics. `min_should_match` / `boosts` carry the
+        same contracts as `search` (tested identical)."""
+        if min_should_match is not None and (mode != "or" or groups is not None):
+            raise ValueError("min_should_match applies to mode='or' flat queries")
         if groups is not None:
             terms = sorted({t for g in groups for t in g})
         else:
@@ -291,7 +326,10 @@ class InvertedIndex:
             elif len(dfs) != len(terms):
                 return []
         meta = self.meta
-        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
+        idfs = {
+            t: idf(meta.n_docs, dfs.get(t, 0)) * (boosts or {}).get(t, 1.0)
+            for t in terms
+        }
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
         from elasticsearch_assets_spark.query.wand import restrict
@@ -307,6 +345,11 @@ class InvertedIndex:
                 d, s = topk_conjunctive(
                     terms, postings, idfs, meta.avgdl, meta.k1, meta.b, seg_k,
                     self.tombstones, allowed,
+                )
+            elif min_should_match is not None:
+                d, s = topk_min_should_match(
+                    terms, min_should_match, postings, idfs, meta.avgdl,
+                    meta.k1, meta.b, seg_k, self.tombstones, allowed,
                 )
             elif seg_k is not None:
                 d, s = topk_disjunctive_pruned(
@@ -405,6 +448,83 @@ class InvertedIndex:
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.search(terms, k=k, mode="or")
+
+    def expand_regexp(self, pattern: str, max_expansions: int | None = None) -> list[str]:
+        from elasticsearch_assets_spark.query.expand import (
+            expand_terms,
+            regexp_condition,
+        )
+
+        return expand_terms(self.stats, regexp_condition(pattern), max_expansions)
+
+    def search_regexp(
+        self, pattern: str, k: int | None = 10, max_expansions: int | None = None
+    ) -> DataFrame:
+        """ES regexp query (Lucene RegexpQuery): the pattern matches WHOLE
+        dictionary terms (implicit anchors); matches run as a scored OR.
+        The literal prefix (if any) is parquet-pushed (query/expand.py)."""
+        terms = self.expand_regexp(pattern, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.search(terms, k=k, mode="or")
+
+    # -- rescoring ------------------------------------------------------------
+
+    def rescore(
+        self,
+        query: str | list[str],
+        rescore_query: str | list[str],
+        window_size: int = 50,
+        k: int | None = 10,
+        mode: str = "and",
+        query_weight: float = 1.0,
+        rescore_query_weight: float = 1.0,
+        score_mode: str = "total",
+    ) -> DataFrame:
+        """ES rescore: re-rank the top `window_size` primary hits with a
+        second (usually costlier) query, combining
+        `query_weight * primary + rescore_query_weight * secondary` per
+        `score_mode` ("total" sum / "multiply" / "max" — ES's modes; docs
+        the rescore query misses keep their weighted primary score alone,
+        the ES contract). The secondary query scores ONLY the window docs
+        (`allowed` restriction — never a second corpus-wide scan).
+
+        Deviation from ES, documented: ES rescores a window PER SHARD; this
+        engine takes the GLOBAL top-`window_size` window (deterministic and
+        segment-count-independent — per-shard windows would break the rank
+        identity invariant).
+
+        The window ids are a bounded driver-side planning set (≤
+        window_size rows, for the `allowed` restriction); the combine
+        itself is a broadcast join + column expression — no driver loop."""
+        if score_mode not in ("total", "multiply", "max"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        primary = self.search(query, k=window_size, mode=mode)
+        ids = [r["doc_id"] for r in primary.select("doc_id").collect()]
+        if not ids:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        allowed = np.sort(np.array(ids, dtype=np.int64))
+        secondary = self.search(
+            rescore_query, k=None, mode="or", allowed=allowed
+        ).withColumnRenamed("score", "rescore_score")
+        p = F.col("score") * F.lit(query_weight)
+        s = F.col("rescore_score") * F.lit(rescore_query_weight)
+        combined = (
+            p + s if score_mode == "total"
+            else p * s if score_mode == "multiply"
+            else F.greatest(p, s)
+        )
+        out = (
+            primary.join(F.broadcast(secondary), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("rescore_score").isNull(), p)
+                .otherwise(combined)
+                .alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
 
     # -- proximity ----------------------------------------------------------
 
@@ -728,6 +848,76 @@ class InvertedIndex:
         if k is not None:
             order = order[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
+
+    def search_phrase_prefix(
+        self,
+        phrase: str | list[str],
+        k: int | None = 10,
+        max_expansions: int | None = None,
+        allowed: "np.ndarray | None" = None,
+    ) -> DataFrame:
+        """ES match_phrase_prefix: the LAST token is a prefix — docs match
+        iff they contain the fixed tokens consecutively, immediately
+        followed by any dictionary term starting with the prefix
+        (query/phrase.py phrase_prefix_match; expansion via the same
+        pushed-down dictionary scan as search_prefix, highest-df-first
+        under `max_expansions`).
+
+        Scoring contract (exact SQL oracle): BM25 sum over every matched
+        term among (fixed terms ∪ expansions) present in the doc —
+        expansions contribute wherever they occur, the scoring_boolean
+        shape shared with search_prefix. A single-token phrase degenerates
+        to search_prefix (the ES contract)."""
+        from elasticsearch_assets_spark.query.phrase import phrase_prefix_match
+        from elasticsearch_assets_spark.query.wand import restrict
+
+        toks = tokenize(phrase) if isinstance(phrase, str) else list(phrase)
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        fixed = toks[:-1]
+        if not fixed:
+            return self.search_prefix(toks[-1], k=k, max_expansions=max_expansions)
+        if not self.meta.positions:
+            raise ValueError(
+                "index was built without positions=True — match_phrase_prefix "
+                "needs the positional stream (build_index(positions=True))"
+            )
+        expansions = self.expand_prefix(toks[-1], max_expansions)
+        if not expansions:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        distinct_fixed = sorted(set(fixed))
+        all_terms = sorted(set(distinct_fixed) | set(expansions))
+        dfs = self.term_stats(all_terms)
+        if any(t not in dfs for t in distinct_fixed):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        terms = sorted(t for t in all_terms if t in dfs)
+        meta = self.meta
+        idfs = {t: idf(meta.n_docs, dfs[t]) for t in terms}
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            docs = restrict(
+                phrase_prefix_match(postings, fixed, expansions),
+                excluded, allowed,
+            )
+            score = exact_scores(docs, terms, postings, idfs, avgdl, k1, b)
+            order = np.lexsort((docs, -score))
+            if k is not None:
+                order = order[:k]
+            return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
+
+        per_seg = (
+            self.segments.where(F.col("term").isin(terms))
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
+        )
+        ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered.limit(k) if k is not None else ordered
 
     def _filter_with_seg(self, ids: DataFrame) -> DataFrame | None:
         """Map a filter-id DataFrame to (seg_id, doc_id) executor-side.

@@ -72,6 +72,34 @@ def wildcard_condition(pattern: str) -> Column:
     return cond
 
 
+def regexp_literal_prefix(pattern: str) -> str:
+    """Longest leading run of plain literal chars (letters/digits) before
+    the first regex metacharacter — pushable as StartsWith. Conservative: a
+    literal followed by `*`/`?`/`{` quantifies the previous char, so the
+    char before a quantifier is excluded too."""
+    lit = []
+    for i, ch in enumerate(pattern):
+        if not ch.isalnum():
+            break
+        nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+        if nxt and nxt in "*?+{":
+            break
+        lit.append(ch)
+    return "".join(lit)
+
+
+def regexp_condition(pattern: str) -> Column:
+    """ES regexp query: the pattern is implicitly anchored to the WHOLE
+    term (Lucene RegexpQuery semantics — `jo.*` matches `join`, `o.*`
+    does not). Non-capturing anchor wrap keeps alternations whole; the
+    literal prefix (if any) narrows the pushed-down dictionary scan."""
+    cond = F.col("term").rlike(f"^(?:{pattern})$")
+    lit = regexp_literal_prefix(pattern)
+    if lit:
+        cond = F.col("term").startswith(lit) & cond
+    return cond
+
+
 def fuzzy_condition(term: str, max_edits: int = 1, prefix_length: int = 0) -> Column:
     """Terms within `max_edits` Levenshtein distance (includes distance 0,
     the ES contract). The |len| band is a pushable pre-filter; the distance

@@ -79,6 +79,97 @@ def phrase_match(
     return cand[np.unique(result // M)]
 
 
+def phrase_prefix_match(
+    postings: dict[str, TermPostings],
+    fixed: list[str],
+    last_options: list[str],
+) -> np.ndarray:
+    """Sorted doc ids (of one segment) containing `fixed` consecutively,
+    immediately followed by ANY of `last_options` — the positional kernel
+    behind ES match_phrase_prefix (the last token is a prefix, expanded
+    against the term dictionary by the caller; see
+    InvertedIndex.search_phrase_prefix).
+
+    Same key algebra as `phrase_match` (occurrences -> dense_doc * M +
+    anchor keys, intersect per slot); the last slot contributes the UNION
+    of its options' occurrence keys instead of a single term's."""
+    empty = np.array([], dtype=np.int64)
+    distinct_fixed = sorted(set(fixed))
+    if any(t not in postings for t in distinct_fixed):
+        return empty
+    opts = sorted({t for t in last_options if t in postings})
+    if not opts:
+        return empty
+    # candidate docs: contain every fixed term AND at least one option
+    opt_union = (
+        postings[opts[0]].doc_ids
+        if len(opts) == 1
+        else np.unique(np.concatenate([postings[t].doc_ids for t in opts]))
+    )
+    cand = opt_union
+    for t in distinct_fixed:
+        cand = _sorted_intersect(cand, postings[t].doc_ids)
+        if cand.size == 0:
+            return empty
+    if not fixed:  # bare prefix: any doc containing any option
+        return cand
+
+    def occurrences(t: str) -> tuple[np.ndarray, np.ndarray]:
+        tp = postings[t]
+        tfs, _ = tp.full()
+        pos = tp.positions()
+        hit = np.isin(tp.doc_ids, cand, assume_unique=True)
+        keep = np.repeat(hit, tfs)
+        return np.repeat(tp.doc_ids, tfs)[keep], pos[keep]
+
+    occ = {t: occurrences(t) for t in distinct_fixed}
+    opt_occ = [occurrences(t) for t in opts]
+    maxpos = 0
+    for docs_o, pos_o in list(occ.values()) + opt_occ:
+        if pos_o.size:
+            maxpos = max(maxpos, int(pos_o.max()))
+    M = np.int64(maxpos + 2)
+    result: np.ndarray | None = None
+    for i, t in enumerate(fixed):
+        docs_o, pos_o = occ[t]
+        if pos_o.size == 0:
+            return empty
+        shifted = pos_o - i
+        ok = shifted >= 0
+        dense = np.searchsorted(cand, docs_o[ok])
+        keys = dense * M + shifted[ok]
+        result = (
+            keys
+            if result is None
+            else np.intersect1d(result, keys, assume_unique=True)
+        )
+        if result.size == 0:
+            return empty
+    # last slot: union of the options' keys (unique per option; the union
+    # may repeat a key only if two options shared an occurrence — distinct
+    # terms can't, so concatenate + unique keeps assume_unique valid)
+    i = len(fixed)
+    last_keys: list[np.ndarray] = []
+    for docs_o, pos_o in opt_occ:
+        shifted = pos_o - i
+        ok = shifted >= 0
+        if not ok.any():
+            continue
+        dense = np.searchsorted(cand, docs_o[ok])
+        last_keys.append(dense * M + shifted[ok])
+    if not last_keys:
+        return empty
+    union_keys = (
+        last_keys[0]
+        if len(last_keys) == 1
+        else np.unique(np.concatenate(last_keys))
+    )
+    result = np.intersect1d(result, union_keys, assume_unique=True)
+    if result.size == 0:
+        return empty
+    return cand[np.unique(result // M)]
+
+
 def near_match(
     postings: dict[str, TermPostings],
     t1: str,

@@ -208,6 +208,54 @@ def topk_disjunctive_pruned(
     return cand[order], scores[order]
 
 
+def topk_min_should_match(
+    terms: list[str],
+    m: int,
+    postings: dict[str, TermPostings],
+    idfs: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    excluded: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OR scoring restricted to docs matching >= `m` distinct query terms —
+    Lucene BooleanQuery minimum_should_match (ES minimum_should_match on a
+    bool/match query). m=1 degenerates to the exhaustive OR and
+    m=len(terms) to the AND kernel (both tested bit-identical).
+
+    One counting pass over the docID streams (no tf/dl decode) selects the
+    candidates; only they are exact-scored — the same
+    restriction-before-top-k shape as `restrict`, rank-safe because the
+    match count is a per-doc property (doc-bucketed segments hold each doc
+    exactly once, so the per-segment count IS the global count)."""
+    e = np.array([], dtype=np.int64)
+    present = [t for t in terms if t in postings]
+    if len(present) < m or m < 1:
+        return e, np.array([], dtype=np.float64)
+    union = restrict(
+        np.unique(np.concatenate([postings[t].doc_ids for t in present])),
+        excluded, allowed,
+    )
+    if union.size == 0:
+        return e, np.array([], dtype=np.float64)
+    nmatch = np.zeros(union.size, dtype=np.int64)
+    for t in present:
+        ids = postings[t].doc_ids
+        at = np.searchsorted(union, ids)
+        valid = (at < union.size) & (union[np.minimum(at, union.size - 1)] == ids)
+        nmatch[at[valid]] += 1  # each doc once per term (postings unique)
+    cand = union[nmatch >= m]
+    if cand.size == 0:
+        return e, np.array([], dtype=np.float64)
+    scores = exact_scores(cand, terms, postings, idfs, avgdl, k1, b)
+    order = np.lexsort((cand, -scores))
+    if k is not None:
+        order = order[:k]
+    return cand[order], scores[order]
+
+
 def topk_group_conjunctive(
     groups: list[list[str]],
     postings: dict[str, TermPostings],

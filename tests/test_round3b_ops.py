@@ -1,0 +1,368 @@
+"""Round-3 second batch: minimum_should_match, term boosts, regexp queries,
+rescoring, match_phrase_prefix, and the remaining ES search aggregations
+(date_histogram / range / stats / percentiles / cardinality) plus field
+collapsing.
+
+Reference surface: all of these are ES query-DSL / agg capabilities the
+reference's deployments exercise through its pass-through query facade
+(/root/reference/asset/elasticsearch_reader/index.js builds the query
+bodies; the DSL semantics come from the ES/Lucene docs), re-expressed as
+dictionary scans + DataFrame plans."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.analysis.tokenizer import tokenize_series
+from elasticsearch_assets_spark.datagen.pages import pages_df
+from elasticsearch_assets_spark.index.build import build_index
+from elasticsearch_assets_spark.operators import facets as OFA
+from elasticsearch_assets_spark.query.engine import InvertedIndex
+from elasticsearch_assets_spark.query.expand import regexp_literal_prefix
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return pages_df(spark, 1200, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "plain")
+    build_index(spark, corpus, d, num_segments=8, num_chunks=2)
+    return InvertedIndex(spark, d)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "pos")
+    build_index(spark, corpus, d, num_segments=8, num_chunks=2, positions=True)
+    return InvertedIndex(spark, d)
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match
+# ---------------------------------------------------------------------------
+
+_MSM_TERMS = ["spark", "join", "merge"]
+
+
+def test_msm_degenerates_to_or_and_and(index):
+    base_or = _pairs(index.search(_MSM_TERMS, k=None, mode="or"))
+    got_1 = _pairs(index.search(_MSM_TERMS, k=None, mode="or", min_should_match=1))
+    assert got_1 == base_or
+    base_and = _pairs(index.search(_MSM_TERMS, k=None, mode="and"))
+    got_all = _pairs(
+        index.search(_MSM_TERMS, k=None, mode="or", min_should_match=3)
+    )
+    assert got_all == base_and
+
+
+def test_msm_counting_matches_bruteforce(corpus, index):
+    pdf = corpus.select("doc_id", "text").toPandas()
+    toks = tokenize_series(pdf["text"])
+    want = sorted(
+        int(d)
+        for d, ts in zip(pdf["doc_id"], toks)
+        if sum(t in ts for t in _MSM_TERMS) >= 2
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in index.search(
+            _MSM_TERMS, k=None, mode="or", min_should_match=2
+        ).collect()
+    )
+    assert got == want and want
+    # and the >=2 scores equal the plain OR scores on the same docs
+    or_scores = dict(_pairs(index.search(_MSM_TERMS, k=None, mode="or")))
+    for d, s in _pairs(
+        index.search(_MSM_TERMS, k=None, mode="or", min_should_match=2)
+    ):
+        assert s == or_scores[d]
+
+
+def test_msm_serving_parity_and_validation(index):
+    dist = _pairs(
+        index.search(_MSM_TERMS, k=7, mode="or", min_should_match=2)
+    )
+    loc = index.search_local(_MSM_TERMS, k=7, mode="or", min_should_match=2)
+    assert dist == loc and loc
+    with pytest.raises(ValueError, match="min_should_match"):
+        index.search(_MSM_TERMS, mode="and", min_should_match=2)
+    # m larger than the query is unsatisfiable
+    assert (
+        index.search(_MSM_TERMS, k=None, mode="or", min_should_match=4).count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# term boosts
+# ---------------------------------------------------------------------------
+
+
+def test_boost_one_is_identity_and_scales_idf(index):
+    terms = ["spark", "join"]
+    base = _pairs(index.search(terms, k=None, mode="or"))
+    noop = _pairs(index.search(terms, k=None, mode="or", boosts={"spark": 1.0}))
+    assert noop == base
+    # boosting a term scales exactly its contribution: score_boosted ==
+    # score(other) + boost * score(boosted), verified via single-term runs
+    only_spark = dict(_pairs(index.search(["spark"], k=None, mode="or")))
+    only_join = dict(_pairs(index.search(["join"], k=None, mode="or")))
+    boosted = _pairs(
+        index.search(terms, k=None, mode="or", boosts={"spark": 2.5})
+    )
+    for d, s in boosted:
+        want = 2.5 * only_spark.get(d, 0.0) + only_join.get(d, 0.0)
+        assert abs(s - want) < 1e-9
+
+
+def test_boost_serving_parity(index):
+    terms = ["spark", "join"]
+    dist = _pairs(
+        index.search(terms, k=8, mode="and", boosts={"join": 3.0})
+    )
+    loc = index.search_local(terms, k=8, mode="and", boosts={"join": 3.0})
+    assert dist == loc and loc
+
+
+# ---------------------------------------------------------------------------
+# regexp queries
+# ---------------------------------------------------------------------------
+
+
+def test_regexp_expansion_matches_python_re(index):
+    vocab = [r["term"] for r in index.stats.select("term").collect()]
+    pat = ".*(ow|up)"
+    want = sorted(t for t in vocab if re.fullmatch(pat, t))
+    assert sorted(index.expand_regexp(pat)) == want and want
+
+
+def test_regexp_is_whole_term_anchored(index):
+    # 'o.*' must NOT match 'join' (Lucene RegexpQuery anchors both ends)
+    got = index.expand_regexp("o.*")
+    assert all(t.startswith("o") for t in got)
+
+
+def test_regexp_literal_prefix_extraction():
+    assert regexp_literal_prefix("join.*") == "join"  # '*' quantifies '.'
+    assert regexp_literal_prefix("jon*") == "jo"  # '*' quantifies 'n'
+    assert regexp_literal_prefix("jo(in|bs)") == "jo"
+    assert regexp_literal_prefix(".*x") == ""
+    assert regexp_literal_prefix("abc") == "abc"
+
+
+def test_regexp_search_equals_or_over_expansion(index):
+    pat = ".*(ow|up)"
+    terms = index.expand_regexp(pat)
+    want = _pairs(index.search(terms, k=None, mode="or"))
+    got = _pairs(index.search_regexp(pat, k=None))
+    assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# rescore
+# ---------------------------------------------------------------------------
+
+
+def test_rescore_total_matches_manual_combine(index):
+    primary = _pairs(index.search(["spark", "join"], k=20, mode="and"))
+    ids = np.sort(np.array([d for d, _ in primary], dtype=np.int64))
+    sec = dict(
+        _pairs(index.search(["table"], k=None, mode="or", allowed=ids))
+    )
+    want = sorted(
+        ((d, 1.0 * p + 0.5 * sec.get(d, 0.0)) for d, p in primary),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = _pairs(
+        index.rescore(
+            ["spark", "join"], ["table"], window_size=20, k=10, mode="and",
+            rescore_query_weight=0.5,
+        )
+    )
+    assert [(d, pytest.approx(s)) for d, s in want] == got and got
+
+
+@pytest.mark.parametrize("score_mode", ["multiply", "max"])
+def test_rescore_modes(index, score_mode):
+    primary = _pairs(index.search(["spark", "join"], k=15, mode="and"))
+    ids = np.sort(np.array([d for d, _ in primary], dtype=np.int64))
+    sec = dict(
+        _pairs(index.search(["table"], k=None, mode="or", allowed=ids))
+    )
+
+    def comb(p, s):
+        if s is None:  # ES: docs the rescore query misses keep primary
+            return p
+        return p * s if score_mode == "multiply" else max(p, s)
+
+    want = sorted(
+        ((d, comb(p, sec.get(d))) for d, p in primary),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = _pairs(
+        index.rescore(
+            ["spark", "join"], ["table"], window_size=15, k=10, mode="and",
+            score_mode=score_mode,
+        )
+    )
+    assert [(d, pytest.approx(s)) for d, s in want] == got
+
+
+def test_rescore_validation_and_empty_primary(index):
+    with pytest.raises(ValueError, match="score_mode"):
+        index.rescore(["spark"], ["table"], score_mode="sum")
+    assert index.rescore(["qqqzzz"], ["table"], k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix
+# ---------------------------------------------------------------------------
+
+
+def _phrase_prefix_truth(corpus, fixed, prefix):
+    pdf = corpus.select("doc_id", "text").toPandas()
+    toks = tokenize_series(pdf["text"])
+    out = []
+    n = len(fixed)
+    for d, ts in zip(pdf["doc_id"], toks):
+        hit = any(
+            list(ts[i : i + n]) == fixed and ts[i + n].startswith(prefix)
+            for i in range(len(ts) - n)
+        )
+        if hit:
+            out.append(int(d))
+    return sorted(out)
+
+
+def test_phrase_prefix_matches_bruteforce(corpus, pos_index):
+    got = sorted(
+        r["doc_id"]
+        for r in pos_index.search_phrase_prefix(["the", "s"], k=None).collect()
+    )
+    assert got == _phrase_prefix_truth(corpus, ["the"], "s") and got
+
+
+def test_phrase_prefix_multi_fixed(corpus, pos_index):
+    # two fixed tokens then a prefix — exercises the slot-intersection path
+    pdf = corpus.select("text").toPandas()
+    toks = tokenize_series(pdf["text"])
+    # find a real trigram in the corpus to anchor the test
+    t = next(ts for ts in toks if len(ts) >= 3)
+    fixed, prefix = [t[0], t[1]], t[2][:1]
+    got = sorted(
+        r["doc_id"]
+        for r in pos_index.search_phrase_prefix(
+            [*fixed, prefix], k=None
+        ).collect()
+    )
+    assert got == _phrase_prefix_truth(corpus, fixed, prefix) and got
+
+
+def test_phrase_prefix_single_token_is_prefix_query(pos_index):
+    want = _pairs(pos_index.search_prefix("s", k=None))
+    got = _pairs(pos_index.search_phrase_prefix(["s"], k=None))
+    assert got == want
+
+
+def test_phrase_prefix_requires_positions_and_handles_empty(index, pos_index):
+    with pytest.raises(ValueError, match="positions"):
+        index.search_phrase_prefix(["the", "s"])
+    assert (
+        pos_index.search_phrase_prefix(["the", "qqqzzz"], k=None).count() == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations + collapse
+# ---------------------------------------------------------------------------
+
+
+def test_facet_date_histogram_calendar_buckets(spark, corpus, index):
+    matches = index.search(["spark"], k=None, mode="and")
+    ids = {r["doc_id"] for r in matches.collect()}
+    sub = corpus.where(F.col("doc_id").isin(list(ids))).toPandas()
+    got = {
+        (r["bucket"], r["doc_count"])
+        for r in OFA.facet_date_histogram(
+            matches, corpus, "warc_ts", "day"
+        ).collect()
+    }
+    want = set(sub["warc_ts"].dt.floor("D").value_counts().items())
+    assert got == want and got
+    with pytest.raises(ValueError, match="interval"):
+        OFA.facet_date_histogram(matches, corpus, "warc_ts", "fortnight")
+
+
+def test_facet_range_keeps_empty_buckets(spark, corpus, index):
+    matches = index.search(["spark"], k=None, mode="and")
+    ids = {r["doc_id"] for r in matches.collect()}
+    sub = corpus.where(F.col("doc_id").isin(list(ids))).toPandas()
+    edges = [100.0, 600.0, 1_000_000.0]  # last bucket deliberately empty
+    rows = OFA.facet_range(matches, corpus, "doc_id", edges).collect()
+    assert [(r["bucket_lo"], r["bucket_hi"]) for r in rows] == [
+        (None, 100.0), (100.0, 600.0), (600.0, 1_000_000.0),
+        (1_000_000.0, None),
+    ]
+    v = sub["doc_id"].astype(float)
+    want = [
+        int((v < 100).sum()),
+        int(((v >= 100) & (v < 600)).sum()),
+        int(((v >= 600) & (v < 1_000_000)).sum()),
+        0,
+    ]
+    assert [r["doc_count"] for r in rows] == want
+    with pytest.raises(ValueError, match="increasing"):
+        OFA.facet_range(matches, corpus, "doc_id", [5.0, 5.0])
+
+
+def test_facet_stats_percentiles_cardinality(spark, corpus, index):
+    matches = index.search(["spark"], k=None, mode="and")
+    ids = {r["doc_id"] for r in matches.collect()}
+    sub = corpus.where(F.col("doc_id").isin(list(ids))).toPandas()
+    v = sub["doc_id"].astype(float)
+    st = OFA.facet_stats(matches, corpus, "doc_id").collect()[0]
+    assert st["count"] == len(v) and st["min"] == v.min() and st["max"] == v.max()
+    assert st["sum"] == pytest.approx(v.sum())
+    assert st["avg"] == pytest.approx(v.mean())
+    pct = OFA.facet_percentiles(
+        matches, corpus, "doc_id", [25.0, 50.0, 90.0]
+    ).collect()
+    for row, p in zip(pct, [25.0, 50.0, 90.0]):
+        assert row["percent"] == p
+        assert row["value"] == pytest.approx(
+            float(np.percentile(v, p, method="linear"))
+        )
+    card = OFA.facet_cardinality(matches, corpus, "lang").collect()[0]
+    assert card["value"] == sub["lang"].nunique()
+
+
+def test_collapse_is_best_per_group_then_topk(spark, corpus, index):
+    scored = index.search(["spark", "the"], k=None, mode="or")
+    sdf = scored.join(corpus.select("doc_id", "lang"), "doc_id").toPandas()
+    best = (
+        sdf.sort_values(["score", "doc_id"], ascending=[False, True])
+        .groupby("lang", as_index=False)
+        .first()
+    )
+    want = [
+        (int(r.doc_id), r.lang)
+        for r in best.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(3).itertuples()
+    ]
+    got = [
+        (r["doc_id"], r["ckey"])
+        for r in OFA.collapse_topk(scored, corpus, "lang", k=3).collect()
+    ]
+    assert got == want and len(got) == 3
