@@ -676,6 +676,89 @@ ORDER BY c DESC, doc_id ASC LIMIT {_RESCORE_K}
 """
 
 
+def _bm25_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool must_not: docs containing 'join' are excluded before
+    ranking, index-assisted (the not-term's postings ride the same pushed
+    `term IN` scan and feed the kernels' excluded set — never a corpus
+    scan); scores and collection stats are untouched."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search(["spark"], k=None, mode="and", must_not=["join"])
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_DISMAX_SUBS, _DISMAX_TIE = [["spark", "join"], ["table", "merge"]], 0.3
+
+
+def _bm25_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dis_max: per doc, best subquery score + 0.3 * (sum of the other
+    matching subqueries) — Lucene DisjunctionMaxQuery. One hash agg on
+    doc_id over the subquery union; no driver materialization."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.dis_max(_DISMAX_SUBS, tie_breaker=_DISMAX_TIE, k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_dismax_sql() -> str:
+    subs = []
+    for terms in _DISMAX_SUBS:
+        subs.append(
+            _bm25_sql(terms, "or", None).replace(
+                "SELECT doc_id, round(s, 4) AS score", "SELECT doc_id, s"
+            )
+        )
+    return f"""
+WITH s1 AS ({subs[0]}),
+s2 AS ({subs[1]}),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+c AS (
+  SELECT doc_id, max(s) + {_DISMAX_TIE} * (sum(s) - max(s)) AS c
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, round(c, 4) AS score FROM c
+"""
+
+
+def _constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score (filter context): every doc matching
+    `spark OR table` gets exactly boost=1.5."""
+    idx = _docs_index(spark, sf_dir)
+    return idx.constant_score(["spark", "table"], boost=1.5, k=None)
+
+
+_CONSTANT_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT DISTINCT doc_id, 1.5::DOUBLE AS score FROM toks
+WHERE term IN ('spark', 'table')
+ORDER BY doc_id ASC
+"""
+
+
+def _function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score + field_value_factor: BM25('spark') *
+    log1p(n_chars * 0.1) — the factor is a pure JVM column expression
+    joined on doc_id (enrich-join shape)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    res = idx.function_score(
+        ["spark"], docs, "n_chars", factor=0.1, modifier="log1p",
+        boost_mode="multiply", k=None, mode="and",
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _function_score_sql() -> str:
+    exact = _bm25_sql(["spark"], "and", None).replace(
+        "SELECT doc_id, round(s, 4) AS score", "SELECT doc_id, s"
+    )
+    return f"""
+WITH base AS ({exact})
+SELECT b.doc_id, round(b.s * ln(1 + d.n_chars * 0.1), 4) AS score
+FROM base b JOIN documents d USING (doc_id)
+"""
+
+
 _PP_FIXED, _PP_PREFIX = ["table"], "s"
 
 
@@ -1766,6 +1849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy": _bm25_fuzzy,
         "bm25_msm": _bm25_msm,
         "bm25_boosted": _bm25_boosted,
+        "bm25_must_not": _bm25_must_not,
+        "bm25_dismax": _bm25_dismax,
+        "constant_score": _constant_score,
+        "function_score": _function_score,
         "bm25_regexp": _bm25_regexp,
         "bm25_rescore": _bm25_rescore,
         "bm25_phrase_prefix": _bm25_phrase_prefix,
@@ -1844,6 +1931,16 @@ def oracle_sql() -> dict[str, str]:
             [], "or", None, term_cond="levenshtein(term, 'grow') <= 2"
         ),
         "bm25_msm": _bm25_sql(_MSM_TERMS, "or", None, min_match=_MSM_M),
+        "bm25_must_not": _bm25_sql(
+            ["spark"], "and", None,
+            where=(
+                "doc_id NOT IN "
+                "(SELECT DISTINCT doc_id FROM toks WHERE term = 'join')"
+            ),
+        ),
+        "bm25_dismax": _bm25_dismax_sql(),
+        "constant_score": _CONSTANT_SCORE_SQL,
+        "function_score": _function_score_sql(),
         "bm25_boosted": _bm25_sql(
             _BOOST_TERMS, "or", None,
             boost_case="CASE WHEN tf.term = 'spark' THEN 2.5 ELSE 1.0 END",

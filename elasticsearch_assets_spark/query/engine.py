@@ -51,6 +51,7 @@ def _score_segment(
     after: tuple[float, int] | None = None,
     groups: list[list[str]] | None = None,
     min_should_match: int | None = None,
+    not_terms: list[str] | None = None,
 ) -> pd.DataFrame:
     """Score one segment's posting lists for the query. `terms` is sorted.
 
@@ -76,6 +77,19 @@ def _score_segment(
         row["term"]: TermPostings(row)
         for row in (t._asdict() for t in pdf.itertuples(index=False))
     }
+    if not_terms:
+        # ES bool must_not: docs containing ANY excluded term are dropped
+        # BEFORE ranking, index-assisted (the not-terms' postings ride the
+        # same pushed `term IN` scan; they never contribute to scores).
+        # Doc-bucketed segments hold each doc's postings in exactly one
+        # segment, so per-segment exclusion IS global exclusion.
+        hits = [postings[t].doc_ids for t in not_terms if t in postings]
+        if hits:
+            seg_excl = hits[0] if len(hits) == 1 else np.unique(np.concatenate(hits))
+            excluded = (
+                seg_excl if excluded is None or excluded.size == 0
+                else np.union1d(excluded, seg_excl)
+            )
     if after is not None:
         if mode == "and":
             if groups is not None:
@@ -216,6 +230,7 @@ class InvertedIndex:
         groups: list[list[str]] | None = None,
         min_should_match: int | None = None,
         boosts: dict[str, float] | None = None,
+        must_not: "str | list[str] | None" = None,
     ) -> DataFrame:
         """Top-k BM25. `query` is a raw text (tokenized with the index
         analyzer) or a pre-tokenized term list. Returns (doc_id, score),
@@ -242,7 +257,13 @@ class InvertedIndex:
         `boosts` maps term -> multiplicative weight (Lucene `term^boost`):
         a boost multiplies the term's idf, which is exactly how Lucene
         folds boosts into the scorer — every kernel picks it up through
-        the idfs dict unchanged."""
+        the idfs dict unchanged.
+
+        `must_not` (ES bool must_not): docs containing ANY of these terms
+        are excluded before ranking, index-assisted — the not-terms'
+        postings ride the same pushed `term IN` segment scan and feed the
+        kernels' `excluded` set; they never contribute to scores or to the
+        AND-satisfiability check."""
         if min_should_match is not None and (mode != "or" or groups is not None):
             raise ValueError("min_should_match applies to mode='or' flat queries")
         if groups is not None:
@@ -251,6 +272,9 @@ class InvertedIndex:
             terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        not_terms = sorted(
+            set(tokenize(must_not) if isinstance(must_not, str) else must_not or [])
+        )
         dfs = self.term_stats(terms)
         if mode == "and":
             if groups is not None:
@@ -270,11 +294,12 @@ class InvertedIndex:
         def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             return _score_segment(
                 pdf, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed,
-                after, groups, msm,
+                after, groups, msm, not_terms,
             )
 
+        fetch = sorted(set(terms) | set(not_terms))
         per_seg = (
-            self.segments.where(F.col("term").isin(terms))
+            self.segments.where(F.col("term").isin(fetch))
             .groupBy("seg_id")
             .applyInPandas(score_fn, TOPK_SCHEMA)
         )
@@ -291,6 +316,7 @@ class InvertedIndex:
         groups: list[list[str]] | None = None,
         min_should_match: int | None = None,
         boosts: dict[str, float] | None = None,
+        must_not: "str | list[str] | None" = None,
     ) -> list[tuple[int, float]]:
         """Low-latency serving path: ONE Spark job (the pushed-down `term IN`
         scan collects the few matching posting rows), then the same scoring
@@ -313,7 +339,11 @@ class InvertedIndex:
             terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return []
-        rows = self.segments.where(F.col("term").isin(terms)).collect()
+        not_terms = sorted(
+            set(tokenize(must_not) if isinstance(must_not, str) else must_not or [])
+        )
+        fetch = sorted(set(terms) | set(not_terms))
+        rows = self.segments.where(F.col("term").isin(fetch)).collect()
         dfs: dict[str, int] = {}
         by_seg: dict[int, dict[str, object]] = {}
         for r in rows:
@@ -323,7 +353,7 @@ class InvertedIndex:
             if groups is not None:
                 if any(all(t not in dfs for t in g) for g in groups):
                     return []
-            elif len(dfs) != len(terms):
+            elif any(t not in dfs for t in terms):
                 return []
         meta = self.meta
         idfs = {
@@ -336,31 +366,43 @@ class InvertedIndex:
 
         seg_k = None if after is not None else k  # cursor filters pre-cut
         for postings in by_seg.values():
+            excl = self.tombstones
+            if not_terms:  # same per-segment exclusion as _score_segment
+                hits = [postings[t].doc_ids for t in not_terms if t in postings]
+                if hits:
+                    seg_excl = (
+                        hits[0] if len(hits) == 1
+                        else np.unique(np.concatenate(hits))
+                    )
+                    excl = (
+                        seg_excl if excl is None or excl.size == 0
+                        else np.union1d(excl, seg_excl)
+                    )
             if mode == "and" and groups is not None:
                 d, s = topk_group_conjunctive(
                     groups, postings, idfs, meta.avgdl, meta.k1, meta.b, seg_k,
-                    self.tombstones, allowed,
+                    excl, allowed,
                 )
             elif mode == "and":
                 d, s = topk_conjunctive(
                     terms, postings, idfs, meta.avgdl, meta.k1, meta.b, seg_k,
-                    self.tombstones, allowed,
+                    excl, allowed,
                 )
             elif min_should_match is not None:
                 d, s = topk_min_should_match(
                     terms, min_should_match, postings, idfs, meta.avgdl,
-                    meta.k1, meta.b, seg_k, self.tombstones, allowed,
+                    meta.k1, meta.b, seg_k, excl, allowed,
                 )
             elif seg_k is not None:
                 d, s = topk_disjunctive_pruned(
                     terms, postings, idfs, meta.avgdl, meta.k1, meta.b, seg_k,
-                    self.tombstones, allowed,
+                    excl, allowed,
                 )
             else:
                 present = [t for t in terms if t in postings]
                 d = np.unique(np.concatenate([postings[t].doc_ids for t in present])) \
                     if present else np.array([], dtype=np.int64)
-                d = restrict(d, self.tombstones, allowed)
+                d = restrict(d, excl, allowed)
                 s = exact_scores(d, terms, postings, idfs, meta.avgdl, meta.k1, meta.b)
             if after is not None and d.size:
                 s_a, d_a = after
@@ -522,6 +564,104 @@ class InvertedIndex:
                 .otherwise(combined)
                 .alias("score"),
             )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+
+    # -- compound queries ---------------------------------------------------
+
+    def dis_max(
+        self,
+        subqueries: list,
+        tie_breaker: float = 0.0,
+        k: int | None = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES dis_max query: per doc, score = best subquery score +
+        tie_breaker * (sum of the other matching subqueries' scores) —
+        Lucene's DisjunctionMaxQuery formula, max + tie * (total - max).
+
+        Plan: each subquery is its own distributed search (k=None — the
+        combine needs every matching doc); the union is ONE hash
+        aggregation on doc_id (partial map-side combine, single shuffle),
+        then TakeOrderedAndProject for the cut. No driver materialization
+        at any point, so it scales with the corpus, not with k."""
+        if not subqueries:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        subs = [self.search(q, k=None, mode=mode) for q in subqueries]
+        u = subs[0]
+        for s in subs[1:]:
+            u = u.unionByName(s)
+        agg = u.groupBy("doc_id").agg(
+            (
+                F.max("score")
+                + F.lit(tie_breaker) * (F.sum("score") - F.max("score"))
+            ).alias("score")
+        )
+        out = agg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return out.limit(k) if k is not None else out
+
+    def constant_score(
+        self,
+        query: str | list[str],
+        boost: float = 1.0,
+        k: int | None = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES constant_score: every matching doc gets exactly `boost` —
+        the filter-context query (no tf/idf work needed beyond the match
+        set; ties break doc_id ASC, the engine's deterministic order)."""
+        matched = self.search(query, k=None, mode=mode).select("doc_id")
+        out = matched.withColumn("score", F.lit(float(boost))).orderBy(
+            F.col("doc_id").asc()
+        )
+        return out.limit(k) if k is not None else out
+
+    def function_score(
+        self,
+        query: str | list[str],
+        corpus: DataFrame,
+        field: str,
+        factor: float = 1.0,
+        modifier: str = "none",
+        missing: float = 1.0,
+        boost_mode: str = "multiply",
+        k: int | None = 10,
+        mode: str = "and",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES function_score with a field_value_factor function:
+        fv = modifier(field * factor) (modifier in none/log1p/sqrt, ES's
+        common ones; `missing` substitutes for null fields), combined with
+        the BM25 score per `boost_mode` (multiply / sum / max / replace).
+
+        Plan: distributed search (k=None) joined to the corpus projection
+        on doc_id — the standard enrich-join shape (shuffle hash join on
+        the id; at serving k the scored side is broadcast-small). The
+        factor is a pure JVM column expression — no Python in the combine."""
+        if modifier not in ("none", "log1p", "sqrt"):
+            raise ValueError(f"unknown modifier {modifier!r}")
+        if boost_mode not in ("multiply", "sum", "max", "replace"):
+            raise ValueError(f"unknown boost_mode {boost_mode!r}")
+        scored = self.search(query, k=None, mode=mode)
+        v = F.coalesce(F.col(field).cast("double"), F.lit(float(missing)))
+        v = v * F.lit(float(factor))
+        fv = (
+            F.log1p(v) if modifier == "log1p"
+            else F.sqrt(v) if modifier == "sqrt"
+            else v
+        )
+        proj = corpus.select(F.col(id_col).alias("doc_id"), fv.alias("fv"))
+        s, f_ = F.col("score"), F.col("fv")
+        combined = (
+            s * f_ if boost_mode == "multiply"
+            else s + f_ if boost_mode == "sum"
+            else F.greatest(s, f_) if boost_mode == "max"
+            else f_
+        )
+        out = (
+            scored.join(proj, "doc_id")
+            .select("doc_id", combined.alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )
         return out.limit(k) if k is not None else out

@@ -366,3 +366,109 @@ def test_collapse_is_best_per_group_then_topk(spark, corpus, index):
         for r in OFA.collapse_topk(scored, corpus, "lang", k=3).collect()
     ]
     assert got == want and len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# bool must_not / dis_max / constant_score / function_score
+# ---------------------------------------------------------------------------
+
+
+def test_must_not_matches_bruteforce(corpus, index):
+    pdf = corpus.select("doc_id", "text").toPandas()
+    toks = tokenize_series(pdf["text"])
+    want = sorted(
+        int(d)
+        for d, ts in zip(pdf["doc_id"], toks)
+        if "spark" in ts and "join" not in ts
+    )
+    got = index.search(["spark"], k=None, mode="and", must_not=["join"])
+    assert sorted(r["doc_id"] for r in got.collect()) == want and want
+    # scores on survivors identical to the unrestricted query's
+    base = dict(_pairs(index.search(["spark"], k=None, mode="and")))
+    for d, s in _pairs(got):
+        assert s == base[d]
+
+
+def test_must_not_serving_parity_and_composition(index):
+    dist = _pairs(
+        index.search(["spark", "table"], k=8, mode="or", must_not=["join", "merge"])
+    )
+    loc = index.search_local(
+        ["spark", "table"], k=8, mode="or", must_not=["join", "merge"]
+    )
+    assert dist == loc and loc
+    # absent not-term is a no-op
+    assert _pairs(
+        index.search(["spark"], k=5, must_not=["qqqzzz"])
+    ) == _pairs(index.search(["spark"], k=5))
+    # composes with min_should_match
+    msm = _pairs(
+        index.search(
+            ["spark", "join", "merge"], k=None, mode="or",
+            min_should_match=2, must_not=["table"],
+        )
+    )
+    base = _pairs(
+        index.search(["spark", "join", "merge"], k=None, mode="or",
+                     min_should_match=2)
+    )
+    dropped = {d for d, _ in index.search_local(["table"], k=None, mode="or")}
+    assert msm == [(d, s) for d, s in base if d not in dropped] and msm
+
+
+def test_dismax_combines_max_plus_tie(index):
+    s1 = dict(_pairs(index.search(["spark", "join"], k=None, mode="or")))
+    s2 = dict(_pairs(index.search(["table", "merge"], k=None, mode="or")))
+    got = dict(
+        _pairs(index.dis_max([["spark", "join"], ["table", "merge"]],
+                             tie_breaker=0.3, k=None))
+    )
+    assert set(got) == set(s1) | set(s2)
+    for d, v in got.items():
+        vals = [m[d] for m in (s1, s2) if d in m]
+        want = max(vals) + 0.3 * (sum(vals) - max(vals))
+        assert v == pytest.approx(want)
+    # tie_breaker=0 is the pure DisMax
+    got0 = dict(
+        _pairs(index.dis_max([["spark", "join"], ["table", "merge"]],
+                             tie_breaker=0.0, k=None))
+    )
+    for d, v in got0.items():
+        assert v == pytest.approx(max(m[d] for m in (s1, s2) if d in m))
+    assert index.dis_max([], k=5).count() == 0
+
+
+def test_constant_score_gives_boost_to_all_matches(index):
+    matched = {d for d, _ in _pairs(index.search(["spark"], k=None, mode="or"))}
+    rows = index.constant_score(["spark"], boost=2.25, k=None).collect()
+    assert {r["doc_id"] for r in rows} == matched
+    assert all(r["score"] == 2.25 for r in rows)
+    ids = [r["doc_id"] for r in rows]
+    assert ids == sorted(ids)
+
+
+def test_function_score_modes_and_validation(corpus, index):
+    base = dict(_pairs(index.search(["spark"], k=None, mode="and")))
+    fv = {
+        int(r["doc_id"]): float(np.log1p(r["doc_id"] * 0.5))
+        for r in corpus.select("doc_id").collect()
+    }
+    for bm, comb in [
+        ("multiply", lambda s, f: s * f),
+        ("sum", lambda s, f: s + f),
+        ("max", max),
+        ("replace", lambda s, f: f),
+    ]:
+        got = _pairs(
+            index.function_score(
+                ["spark"], corpus, "doc_id", factor=0.5, modifier="log1p",
+                boost_mode=bm, k=None, mode="and",
+            )
+        )
+        assert dict(got) == pytest.approx(
+            {d: comb(s, fv[d]) for d, s in base.items()}
+        )
+    with pytest.raises(ValueError, match="modifier"):
+        index.function_score(["spark"], corpus, "doc_id", modifier="square")
+    with pytest.raises(ValueError, match="boost_mode"):
+        index.function_score(["spark"], corpus, "doc_id", boost_mode="avg")
