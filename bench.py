@@ -171,6 +171,23 @@ def main() -> None:
             f"the AND term12* AND doc_id:>={N_PAGES // 2}", corpus, k=10
         ).collect(),
     )
+    # compound queries: msm counting pass, head-term exclusion, dis_max agg
+    q_best(
+        "q_msm",
+        lambda: idx.search(
+            ["spark", "join", "merge"], k=10, mode="or", min_should_match=2
+        ).collect(),
+    )
+    q_best(
+        "q_mustnot",
+        lambda: idx.search(["spark", "join"], k=10, must_not=["the"]).collect(),
+    )
+    q_best(
+        "q_dismax",
+        lambda: idx.dis_max(
+            [["spark", "join"], ["index", "web"]], tie_breaker=0.3, k=10
+        ).collect(),
+    )
 
     # --- training-data pipeline operators over the sf tables ----------------
     from elasticsearch_assets_spark.operators import dedup as OD
