@@ -759,6 +759,76 @@ FROM base b JOIN documents d USING (doc_id)
 """
 
 
+_SUGGEST_TEXT = "grow"  # not a dictionary term: exercises correction
+
+
+def _term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester: nearest dictionary terms to the typo 'grow',
+    (distance ASC, df DESC, term ASC), top-5 — one pushed-down stats-table
+    scan + TakeOrderedAndProject."""
+    idx = _docs_index(spark, sf_dir)
+    return idx.suggest(_SUGGEST_TEXT, max_edits=2, size=5)
+
+
+_TERM_SUGGEST_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term)
+SELECT term AS suggestion, df,
+       levenshtein(term, '{_SUGGEST_TEXT}')::INTEGER AS distance
+FROM d
+WHERE levenshtein(term, '{_SUGGEST_TEXT}') <= 2
+ORDER BY distance ASC, df DESC, suggestion ASC LIMIT 5
+"""
+
+
+def _facet_terms_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg with nested metric sub-aggs: per-source doc count +
+    sum/avg of n_chars over the 'spark' match set, one grouped pass."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_terms_metrics(matches, docs, "source", "n_chars")
+    return out.select(
+        "bucket", "doc_count", _f4("sum").alias("sum"), _f4("avg").alias("avg")
+    )
+
+
+_FACET_TERMS_METRICS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.source AS bucket, count(*)::BIGINT AS doc_count,
+       floor(sum(d.n_chars::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS "sum",
+       floor(avg(d.n_chars::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS "avg"
+FROM documents d JOIN m USING (doc_id)
+GROUP BY 1 ORDER BY doc_count DESC, bucket ASC
+"""
+
+
+def _match_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-field on a search: docs matching 'spark' ordered by
+    n_chars DESC (doc_id ASC ties), top-15 — field sort replaces _score."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return idx.search_sorted(["spark"], docs, "n_chars", ascending=False, k=15)
+
+
+_MATCH_SORTED_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 15
+"""
+
+
 _PP_FIXED, _PP_PREFIX = ["table"], "s"
 
 
@@ -1853,6 +1923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax": _bm25_dismax,
         "constant_score": _constant_score,
         "function_score": _function_score,
+        "term_suggest": _term_suggest,
+        "facet_terms_metrics": _facet_terms_metrics,
+        "match_sorted": _match_sorted,
         "bm25_regexp": _bm25_regexp,
         "bm25_rescore": _bm25_rescore,
         "bm25_phrase_prefix": _bm25_phrase_prefix,
@@ -1941,6 +2014,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax": _bm25_dismax_sql(),
         "constant_score": _CONSTANT_SCORE_SQL,
         "function_score": _function_score_sql(),
+        "term_suggest": _TERM_SUGGEST_SQL,
+        "facet_terms_metrics": _FACET_TERMS_METRICS_SQL,
+        "match_sorted": _MATCH_SORTED_SQL,
         "bm25_boosted": _bm25_sql(
             _BOOST_TERMS, "or", None,
             boost_case="CASE WHEN tf.term = 'spark' THEN 2.5 ELSE 1.0 END",

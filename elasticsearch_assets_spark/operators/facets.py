@@ -302,6 +302,35 @@ def collapse_topk(
     return out.limit(k) if k is not None else out
 
 
+def facet_terms_metrics(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    metric_col: str,
+    n: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES terms aggregation WITH metric sub-aggregations (the nested
+    `aggs: {avg: ..., sum: ...}` shape): doc count + sum/avg of
+    `metric_col` per bucket, in ONE grouped pass (the sub-metrics are
+    extra partial aggregates on the same shuffle — nested aggs cost no
+    extra pass, exactly how ES computes them per bucket)."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    v = F.col(metric_col).cast("double")
+    out = (
+        joined.groupBy(F.col(col).alias("bucket"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(v).alias("sum"),
+            F.avg(v).alias("avg"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col("bucket").asc())
+    )
+    return out.limit(n) if n is not None else out
+
+
 def facet_top_hits(
     scored: DataFrame,
     corpus: DataFrame,

@@ -666,6 +666,75 @@ class InvertedIndex:
         )
         return out.limit(k) if k is not None else out
 
+    def suggest(
+        self,
+        text: str,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        size: int | None = 5,
+    ) -> DataFrame:
+        """ES term suggester: dictionary terms within `max_edits`
+        Levenshtein distance of the (possibly misspelled) input, ordered
+        (distance ASC, df DESC, term ASC) — ES's candidate ranking with a
+        deterministic tie-break. Distance 0 is included when the input is
+        itself a dictionary term (suggest_mode="always").
+
+        Plan: one pushed-down scan of the distributed stats table (length
+        band + optional prefix are pushable pre-filters; the distance is
+        Spark's JVM levenshtein), then TakeOrderedAndProject — the
+        dictionary never leaves the executors."""
+        from elasticsearch_assets_spark.query.expand import fuzzy_condition
+
+        out = (
+            self.stats.where(fuzzy_condition(text, max_edits, prefix_length))
+            .select(
+                F.col("term").alias("suggestion"),
+                F.col("df"),
+                F.levenshtein(F.col("term"), F.lit(text))
+                .cast("int")
+                .alias("distance"),
+            )
+            .orderBy(
+                F.col("distance").asc(),
+                F.col("df").desc(),
+                F.col("suggestion").asc(),
+            )
+        )
+        return out.limit(size) if size is not None else out
+
+    def search_sorted(
+        self,
+        query: str | list[str],
+        corpus: DataFrame,
+        sort_col: str,
+        ascending: bool = False,
+        k: int | None = 10,
+        mode: str = "and",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES sort-by-field on a search: the query's match set ordered by a
+        document field instead of _score (`sort: [{field: ...}]`). Returns
+        (doc_id, <sort_col>), ties broken doc_id ASC.
+
+        Plan: index-assisted match set (k=None — the sort needs every
+        match) semi-joined to the corpus projection, then
+        TakeOrderedAndProject; only (doc_id, sort_col) ever shuffles."""
+        matched = self.search(query, k=None, mode=mode).select("doc_id")
+        if sort_col == id_col:
+            # sorting by the id itself: no extra column to carry
+            out = matched.join(
+                corpus.select(F.col(id_col).alias("doc_id")), "doc_id"
+            ).orderBy(F.col("doc_id").asc() if ascending else F.col("doc_id").desc())
+            return out.limit(k) if k is not None else out
+        proj = corpus.select(F.col(id_col).alias("doc_id"), F.col(sort_col))
+        direction = (
+            F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+        )
+        out = matched.join(proj, "doc_id").orderBy(
+            direction, F.col("doc_id").asc()
+        )
+        return out.limit(k) if k is not None else out
+
     # -- proximity ----------------------------------------------------------
 
     def _near_prep(self, t1: str, t2: str):

@@ -472,3 +472,68 @@ def test_function_score_modes_and_validation(corpus, index):
         index.function_score(["spark"], corpus, "doc_id", modifier="square")
     with pytest.raises(ValueError, match="boost_mode"):
         index.function_score(["spark"], corpus, "doc_id", boost_mode="avg")
+
+
+# ---------------------------------------------------------------------------
+# term suggester / nested-metric terms agg / sort-by-field
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_orders_by_distance_then_df(index):
+    vocab = {r["term"]: r["df"] for r in index.stats.collect()}
+    text = "spork"
+    cand = sorted(
+        ((t, df, _lev(t, text)) for t, df in vocab.items() if _lev(t, text) <= 2),
+        key=lambda x: (x[2], -x[1], x[0]),
+    )[:5]
+    got = [
+        (r["suggestion"], r["df"], r["distance"])
+        for r in index.suggest(text, max_edits=2, size=5).collect()
+    ]
+    assert got == cand and got
+    # exact dictionary term comes back at distance 0 first
+    first = index.suggest("spark", max_edits=1, size=3).collect()[0]
+    assert first["suggestion"] == "spark" and first["distance"] == 0
+
+
+def test_facet_terms_metrics_one_pass(spark, corpus, index):
+    matches = index.search(["spark"], k=None, mode="and")
+    ids = {r["doc_id"] for r in matches.collect()}
+    sub = corpus.where(F.col("doc_id").isin(list(ids))).toPandas()
+    got = {
+        r["bucket"]: (r["doc_count"], r["sum"], r["avg"])
+        for r in OFA.facet_terms_metrics(
+            matches, corpus, "lang", "doc_id"
+        ).collect()
+    }
+    for lang, grp in sub.groupby("lang"):
+        n, s = len(grp), float(grp["doc_id"].sum())
+        assert got[lang][0] == n
+        assert got[lang][1] == pytest.approx(s)
+        assert got[lang][2] == pytest.approx(s / n)
+    # ordered by doc_count DESC then bucket ASC
+    rows = OFA.facet_terms_metrics(matches, corpus, "lang", "doc_id").collect()
+    keys = [(-r["doc_count"], r["bucket"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_search_sorted_by_field(spark, corpus, index):
+    matched = {r["doc_id"] for r in index.search(["spark"], k=None).collect()}
+    rows = index.search_sorted(
+        ["spark"], corpus, "doc_id", ascending=True, k=7
+    ).collect()
+    assert [r["doc_id"] for r in rows] == sorted(matched)[:7]
+    rows_d = index.search_sorted(
+        ["spark"], corpus, "doc_id", ascending=False, k=7
+    ).collect()
+    assert [r["doc_id"] for r in rows_d] == sorted(matched, reverse=True)[:7]
