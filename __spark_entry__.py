@@ -829,6 +829,146 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 15
 """
 
 
+_COMPOSITE_AFTER, _COMPOSITE_SIZE = ("en", "src3"), 10
+
+
+def _facet_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite agg page after after_key ('en','src3'): (lang, source)
+    buckets in key order, keyset-filtered BEFORE the grouped shuffle."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OFA.facet_composite(
+        docs, ["lang", "source"], size=_COMPOSITE_SIZE, after=_COMPOSITE_AFTER
+    )
+
+
+_FACET_COMPOSITE_SQL = f"""
+SELECT lang, source, count(*)::BIGINT AS doc_count
+FROM documents
+WHERE lang > '{_COMPOSITE_AFTER[0]}'
+   OR (lang = '{_COMPOSITE_AFTER[0]}' AND source > '{_COMPOSITE_AFTER[1]}')
+GROUP BY lang, source
+ORDER BY lang ASC, source ASC LIMIT {_COMPOSITE_SIZE}
+"""
+
+
+def _facet_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters agg over the 'spark' match set: three named predicate
+    buckets counted in ONE pass (overlapping membership allowed)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_filters(
+        docs,
+        {
+            "english": F.col("lang") == "en",
+            "long": F.col("n_chars") >= 200,
+            "short": F.col("n_chars") < 200,
+        },
+        matches=matches,
+    )
+
+
+_FACET_FILTERS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.* FROM documents d JOIN m USING (doc_id))
+SELECT * FROM (
+  SELECT 'english' AS bucket, count(*) FILTER (lang = 'en')::BIGINT AS doc_count FROM mt
+  UNION ALL
+  SELECT 'long', count(*) FILTER (n_chars >= 200)::BIGINT FROM mt
+  UNION ALL
+  SELECT 'short', count(*) FILTER (n_chars < 200)::BIGINT FROM mt
+) ORDER BY bucket ASC
+"""
+
+
+def _facet_terms_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested terms-in-terms agg over the 'spark' match set: (lang →
+    source) buckets with parent totals, one grouped pass + bucket-level
+    window."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_terms_nested(matches, docs, "lang", "source")
+
+
+_FACET_TERMS_NESTED_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.* FROM documents d JOIN m USING (doc_id)),
+leaves AS (
+  SELECT lang AS bucket, source AS sub_bucket, count(*)::BIGINT AS doc_count
+  FROM mt GROUP BY 1, 2
+)
+SELECT bucket, sum(doc_count) OVER (PARTITION BY bucket)::BIGINT AS outer_count,
+       sub_bucket, doc_count
+FROM leaves
+ORDER BY outer_count DESC, bucket ASC, doc_count DESC, sub_bucket ASC
+"""
+
+
+def _facet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggs (cumulative_sum + derivative + moving_fn avg,
+    window 3) over the daily click histogram — window pass runs over
+    bucket cardinality only."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_pipeline(
+        matches, ev, "ts", "day", moving_window=3, id_col="event_id"
+    )
+    return out.select(
+        "bucket", "doc_count", "cum_count", "derivative",
+        _f4("moving_avg").alias("moving_avg"),
+    )
+
+
+_FACET_PIPELINE_SQL = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT bucket, doc_count,
+       sum(doc_count) OVER (ORDER BY bucket)::BIGINT AS cum_count,
+       (doc_count - lag(doc_count) OVER (ORDER BY bucket))::BIGINT AS derivative,
+       floor(avg(doc_count) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             * 10000.0 + 0.5) / 10000.0 AS moving_avg
+FROM h ORDER BY bucket ASC
+"""
+
+
+_COMPLETION_PREFIX = "sp"
+
+
+def _suggest_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester: dictionary terms starting with 'sp' by
+    (df DESC, term ASC), top-5 — sargable prefix on the stats scan."""
+    idx = _docs_index(spark, sf_dir)
+    return idx.suggest_completion(_COMPLETION_PREFIX, size=5)
+
+
+_SUGGEST_COMPLETION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term)
+SELECT term AS suggestion, df FROM d
+WHERE term LIKE '{_COMPLETION_PREFIX}%'
+ORDER BY df DESC, suggestion ASC LIMIT 5
+"""
+
+
 _PP_FIXED, _PP_PREFIX = ["table"], "s"
 
 
@@ -1926,6 +2066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": _term_suggest,
         "facet_terms_metrics": _facet_terms_metrics,
         "match_sorted": _match_sorted,
+        "facet_composite": _facet_composite,
+        "facet_filters": _facet_filters,
+        "facet_terms_nested": _facet_terms_nested,
+        "facet_pipeline": _facet_pipeline,
+        "suggest_completion": _suggest_completion,
         "bm25_regexp": _bm25_regexp,
         "bm25_rescore": _bm25_rescore,
         "bm25_phrase_prefix": _bm25_phrase_prefix,
@@ -2017,6 +2162,11 @@ def oracle_sql() -> dict[str, str]:
         "term_suggest": _TERM_SUGGEST_SQL,
         "facet_terms_metrics": _FACET_TERMS_METRICS_SQL,
         "match_sorted": _MATCH_SORTED_SQL,
+        "facet_composite": _FACET_COMPOSITE_SQL,
+        "facet_filters": _FACET_FILTERS_SQL,
+        "facet_terms_nested": _FACET_TERMS_NESTED_SQL,
+        "facet_pipeline": _FACET_PIPELINE_SQL,
+        "suggest_completion": _SUGGEST_COMPLETION_SQL,
         "bm25_boosted": _bm25_sql(
             _BOOST_TERMS, "or", None,
             boost_case="CASE WHEN tf.term = 'spark' THEN 2.5 ELSE 1.0 END",

@@ -355,3 +355,151 @@ def facet_top_hits(
         .select("bucket", F.col(id_col), "score", "rank")
         .orderBy(F.col("bucket").asc(), F.col("rank").asc())
     )
+
+
+def facet_composite(
+    corpus: DataFrame,
+    keys: list[str],
+    size: int | None = None,
+    after: tuple | None = None,
+    matches: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES composite aggregation: doc counts over the cross-product of
+    `keys` source values, ordered by the key tuple ASC, paginated with an
+    `after` key (exclusive keyset, ES's after_key contract).
+
+    This is the ES agg built for UNBOUNDED bucket spaces — at 100 TB a
+    terms agg with millions of buckets can't return in one response, so
+    composite pages through them deterministically. The Spark plan keeps
+    that property: the keyset predicate `(k1,..,kn) > after` is a plain
+    column conjunction evaluated BEFORE the grouped shuffle (rows of
+    already-seen pages never shuffle), the count is partial-aggregated,
+    and the page cut is TakeOrderedAndProject — no driver-side bucket
+    materialization at any page.
+    """
+    if not keys:
+        raise ValueError("composite needs at least one source key")
+    src = corpus
+    if matches is not None:
+        src = corpus.join(
+            matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError("after key arity != source arity")
+        # lexicographic tuple > : OR over prefixes, pure column exprs
+        cond = F.lit(False)
+        for i in range(len(keys)):
+            eq = F.lit(True)
+            for j in range(i):
+                eq = eq & (F.col(keys[j]) == F.lit(after[j]))
+            cond = cond | (eq & (F.col(keys[i]) > F.lit(after[i])))
+        src = src.where(cond)
+    out = (
+        src.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(*[F.col(k).asc() for k in keys])
+    )
+    return out.limit(size) if size is not None else out
+
+
+def facet_filters(
+    corpus: DataFrame,
+    filters: dict,
+    matches: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES filters aggregation: one named bucket per predicate, all counted
+    in a SINGLE aggregated pass (each filter is a conditional partial
+    count on the same scan — N filters never cost N scans), then unpivoted
+    to (bucket, doc_count) rows ordered by bucket ASC. A document can land
+    in several buckets, exactly the ES contract."""
+    if not filters:
+        raise ValueError("filters agg needs at least one named filter")
+    src = corpus
+    if matches is not None:
+        src = corpus.join(
+            matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
+    aggs = [
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(name)
+        for name, cond in filters.items()
+    ]
+    one = src.agg(*aggs)
+    names = list(filters.keys())
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return (
+        one.selectExpr(
+            f"stack({len(names)}, {stack}) as (bucket, doc_count)"
+        ).orderBy(F.col("bucket").asc())
+    )
+
+
+def facet_terms_nested(
+    matches: DataFrame,
+    corpus: DataFrame,
+    outer: str,
+    inner: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES nested bucket aggs (`terms` inside `terms`): doc counts per
+    (outer, inner) pair plus the parent bucket's total, flattened to rows.
+    ONE grouped shuffle computes the leaf counts; the parent totals are a
+    window sum over the leaves (bucket-count cardinality, not doc
+    cardinality) — ES's nested shape without a second pass over the data.
+    Ordered (outer_count DESC, outer ASC, doc_count DESC, inner ASC) — the
+    ES ordering: parent buckets by size, children by size within each."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    leaves = joined.groupBy(
+        F.col(outer).alias("bucket"), F.col(inner).alias("sub_bucket")
+    ).agg(F.count("*").alias("doc_count"))
+    w = Window.partitionBy("bucket")
+    return (
+        leaves.withColumn("outer_count", F.sum("doc_count").over(w))
+        .select("bucket", "outer_count", "sub_bucket", "doc_count")
+        .orderBy(
+            F.col("outer_count").desc(),
+            F.col("bucket").asc(),
+            F.col("doc_count").desc(),
+            F.col("sub_bucket").asc(),
+        )
+    )
+
+
+def facet_pipeline(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    interval: str = "day",
+    moving_window: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES pipeline aggregations over a date_histogram: cumulative_sum,
+    derivative, and moving_fn(avg) of the bucket doc counts, in one plan.
+
+    Pipeline aggs operate on the BUCKET SERIES, not the documents: the
+    expensive part (the histogram) is the usual partial-aggregated
+    grouped pass over the match set; the window functions then run over
+    bucket cardinality only (for a 'day' histogram that's ~365 rows/year
+    even at 100 TB), so the single unpartitioned window sort is over a
+    provably tiny input — the one place a global window is safe by
+    construction. Derivative of the first bucket is null (ES contract);
+    moving_fn averages the trailing `moving_window` buckets including
+    the current one."""
+    hist = facet_date_histogram(matches, corpus, date_col, interval, id_col)
+    w = Window.orderBy(F.col("bucket").asc())
+    wm = w.rowsBetween(-(moving_window - 1), 0)
+    return (
+        hist.withColumn("cum_count", F.sum("doc_count").over(w))
+        .withColumn(
+            "derivative",
+            (F.col("doc_count") - F.lag("doc_count", 1).over(w)).cast("long"),
+        )
+        .withColumn("moving_avg", F.avg("doc_count").over(wm))
+        .orderBy(F.col("bucket").asc())
+    )

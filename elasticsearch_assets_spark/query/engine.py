@@ -702,6 +702,24 @@ class InvertedIndex:
         )
         return out.limit(size) if size is not None else out
 
+    def suggest_completion(
+        self, prefix: str, size: int | None = 5
+    ) -> DataFrame:
+        """ES completion suggester over the index dictionary: terms
+        starting with `prefix`, ranked by popularity (df DESC, term ASC).
+        ES backs this with a dedicated FST; here the distributed stats
+        table plays that role — the prefix is a sargable `startswith`
+        pushed into the term-sorted stats scan, then
+        TakeOrderedAndProject. Returns (suggestion, df)."""
+        from elasticsearch_assets_spark.query.expand import prefix_condition
+
+        out = (
+            self.stats.where(prefix_condition(prefix))
+            .select(F.col("term").alias("suggestion"), F.col("df"))
+            .orderBy(F.col("df").desc(), F.col("suggestion").asc())
+        )
+        return out.limit(size) if size is not None else out
+
     def search_sorted(
         self,
         query: str | list[str],

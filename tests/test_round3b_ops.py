@@ -537,3 +537,107 @@ def test_search_sorted_by_field(spark, corpus, index):
         ["spark"], corpus, "doc_id", ascending=False, k=7
     ).collect()
     assert [r["doc_id"] for r in rows_d] == sorted(matched, reverse=True)[:7]
+
+
+# ---------------------------------------------------------------------------
+# composite / filters / nested-terms / pipeline aggs, completion suggester
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def kv_df(spark):
+    rows = [
+        (i, ["a", "b", "c"][i % 3], f"g{i % 5}", float(i))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, k1 string, k2 string, v double")
+
+
+def test_facet_composite_pages_concatenate(kv_df):
+    full = OFA.facet_composite(kv_df, ["k1", "k2"]).collect()
+    assert [(r["k1"], r["k2"]) for r in full] == sorted(
+        (r["k1"], r["k2"]) for r in full
+    )
+    # walk pages of 4 using the last key of each page as after_key
+    walked, after = [], None
+    while True:
+        page = OFA.facet_composite(kv_df, ["k1", "k2"], size=4, after=after).collect()
+        if not page:
+            break
+        walked.extend(page)
+        after = (page[-1]["k1"], page[-1]["k2"])
+    assert walked == full
+    with pytest.raises(ValueError):
+        OFA.facet_composite(kv_df, ["k1", "k2"], after=("a",))
+    with pytest.raises(ValueError):
+        OFA.facet_composite(kv_df, [])
+
+
+def test_facet_filters_overlapping_buckets(kv_df):
+    got = {
+        r["bucket"]: r["doc_count"]
+        for r in OFA.facet_filters(
+            kv_df,
+            {"small": F.col("v") < 30, "is_a": F.col("k1") == "a", "all": F.lit(True)},
+        ).collect()
+    }
+    assert got == {"small": 30, "is_a": 20, "all": 60}
+    # match-set restriction applies before counting
+    m = kv_df.where(F.col("doc_id") < 10).select("doc_id")
+    got2 = {
+        r["bucket"]: r["doc_count"]
+        for r in OFA.facet_filters(kv_df, {"all": F.lit(True)}, matches=m).collect()
+    }
+    assert got2 == {"all": 10}
+    with pytest.raises(ValueError):
+        OFA.facet_filters(kv_df, {})
+
+
+def test_facet_terms_nested_counts_and_order(kv_df):
+    m = kv_df.select("doc_id")
+    rows = OFA.facet_terms_nested(m, kv_df, "k1", "k2").collect()
+    pdf = kv_df.toPandas()
+    for r in rows:
+        grp = pdf[(pdf.k1 == r["bucket"]) & (pdf.k2 == r["sub_bucket"])]
+        assert r["doc_count"] == len(grp)
+        assert r["outer_count"] == len(pdf[pdf.k1 == r["bucket"]])
+    keys = [
+        (-r["outer_count"], r["bucket"], -r["doc_count"], r["sub_bucket"])
+        for r in rows
+    ]
+    assert keys == sorted(keys)
+    assert len(rows) == pdf.groupby(["k1", "k2"]).ngroups
+
+
+def test_facet_pipeline_window_math(spark):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 6), 12, 0, 0)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp")
+    out = OFA.facet_pipeline(
+        df.select("doc_id"), df, "ts", "day", moving_window=3
+    ).collect()
+    counts = [r["doc_count"] for r in out]
+    assert sum(counts) == 40 and len(out) == 6
+    cums = np.cumsum(counts)
+    for i, r in enumerate(out):
+        assert r["cum_count"] == cums[i]
+        expect_d = None if i == 0 else counts[i] - counts[i - 1]
+        assert r["derivative"] == expect_d
+        lo = max(0, i - 2)
+        assert r["moving_avg"] == pytest.approx(float(np.mean(counts[lo : i + 1])))
+
+
+def test_suggest_completion_ranks_by_df(index):
+    vocab = {r["term"]: r["df"] for r in index.stats.collect()}
+    want = sorted(
+        ((t, df) for t, df in vocab.items() if t.startswith("s")),
+        key=lambda x: (-x[1], x[0]),
+    )[:8]
+    got = [
+        (r["suggestion"], r["df"])
+        for r in index.suggest_completion("s", size=8).collect()
+    ]
+    assert got == want and got
