@@ -28,6 +28,7 @@ from elasticsearch_assets_spark.operators.texthash import (
     MH_PRIME,
     MINHASH_PERMS,
     hash60_sql,
+    shingles_sql,
     simhash_sql,
     token_hashes_sql,
     tokens_sql,
@@ -107,6 +108,47 @@ def _docs_index_pos(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             build_index(
                 spark, docs, idx_dir, id_col="doc_id", text_col="text",
                 num_segments=8, num_chunks=1, positions=True,
+            )
+        _INDEX_CACHE[key] = InvertedIndex(spark, idx_dir)
+    return _INDEX_CACHE[key]
+
+
+_TITLE_TOKENS = 8  # derived title field = first 8 tokens of text
+
+
+def _docs_index_title(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Second-field index backing the multi_match contract rows: 'title' =
+    the first `_TITLE_TOKENS` tokens of each document (the corpus ships one
+    text field; a deterministic derived field exercises the real multi-field
+    machinery — each field's index carries its own df/avgdl stats, the ES
+    per-field scoring contract)."""
+    key = os.path.abspath(sf_dir) + "#title"
+    if key not in _INDEX_CACHE:
+        idx_dir = _idx_dir(sf_dir, "_documents_title")
+        import json
+
+        from elasticsearch_assets_spark.analysis.tokenizer import TOKENIZER_VERSION
+        from elasticsearch_assets_spark.index.codec import CODEC_VERSION
+
+        meta_path = os.path.join(idx_dir, "meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                m = json.load(fh)
+            stale = (
+                m.get("codec_version") != CODEC_VERSION
+                or m.get("tokenizer_version") != TOKENIZER_VERSION
+            )
+        if stale:
+            docs = load_sf_table(spark, sf_dir, "documents").select(
+                "doc_id",
+                F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), 1, _TITLE_TOKENS)
+                ).alias("title"),
+            )
+            build_index(
+                spark, docs, idx_dir, id_col="doc_id", text_col="title",
+                num_segments=8, num_chunks=1,
             )
         _INDEX_CACHE[key] = InvertedIndex(spark, idx_dir)
     return _INDEX_CACHE[key]
@@ -966,6 +1008,193 @@ d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term)
 SELECT term AS suggestion, df FROM d
 WHERE term LIKE '{_COMPLETION_PREFIX}%'
 ORDER BY df DESC, suggestion ASC LIMIT 5
+"""
+
+
+_MM_TERMS = ["spark", "join"]
+_MM_TIE, _MM_TITLE_BOOST, _MM_K = 0.3, 2.0, 15
+
+
+def _multi_match(spark, sf_dir, match_type):
+    from elasticsearch_assets_spark.query.engine import multi_match as MM
+
+    fields = {
+        "title": (_docs_index_title(spark, sf_dir), _MM_TITLE_BOOST),
+        "text": (_docs_index(spark, sf_dir), 1.0),
+    }
+    out = MM(fields, _MM_TERMS, match_type=match_type,
+             tie_breaker=_MM_TIE, k=_MM_K, mode="or")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match best_fields (dis_max across title^2.0 and text, tie
+    0.3): per-field BM25 with per-field collection stats, one hash-agg
+    combine."""
+    return _multi_match(spark, sf_dir, "best_fields")
+
+
+def _multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match most_fields: per-field scores summed."""
+    return _multi_match(spark, sf_dir, "most_fields")
+
+
+def _mm_field_chain(pfx: str, toks_select: str, terms: list[str] | None = None) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms or _MM_TERMS)))
+    return f"""
+{pfx}toks AS ({toks_select}),
+{pfx}dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {pfx}toks GROUP BY doc_id),
+{pfx}stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM {pfx}dl),
+{pfx}tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {pfx}toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+{pfx}df AS (SELECT term, count(*)::DOUBLE AS df FROM {pfx}tf GROUP BY term),
+{pfx}scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS s
+  FROM {pfx}stats s, {pfx}tf tf
+  JOIN {pfx}df df USING (term) JOIN {pfx}dl dl USING (doc_id)
+  GROUP BY tf.doc_id
+)"""
+
+
+def _multi_match_sql(match_type: str) -> str:
+    combine = (
+        f"max(s) + {_MM_TIE} * (sum(s) - max(s))"
+        if match_type == "best_fields" else "sum(s)"
+    )
+    title = _mm_field_chain(
+        "t",
+        "SELECT doc_id, unnest(string_split(text, ' ')"
+        f"[1:{_TITLE_TOKENS}]) AS term FROM documents",
+    )
+    body = _mm_field_chain(
+        "b", "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+    )
+    return f"""
+WITH {title},
+{body},
+u AS (
+  SELECT doc_id, s * {_MM_TITLE_BOOST} AS s FROM tscored
+  UNION ALL
+  SELECT doc_id, s FROM bscored
+)
+SELECT doc_id, round({combine}, 4) AS score
+FROM u GROUP BY doc_id
+ORDER BY {combine} DESC, doc_id ASC LIMIT {_MM_K}
+"""
+
+
+_SCRIPT = "_score * (1 + ln(1 + n_chars))"
+
+
+def _script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score: arbitrary expression over _score and doc fields —
+    compiled to a JVM column expression, joined on doc_id."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = idx.script_score(["spark"], docs, _SCRIPT, k=15, mode="and")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _script_score_sql() -> str:
+    chain = _mm_field_chain(
+        "b",
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents",
+        terms=["spark"],
+    )
+    return f"""
+WITH {chain}
+SELECT s.doc_id, round(s.s * (1 + ln(1 + d.n_chars)), 4) AS score
+FROM bscored s JOIN documents d USING (doc_id)
+ORDER BY s.s * (1 + ln(1 + d.n_chars)) DESC, s.doc_id ASC LIMIT 15
+"""
+
+
+_RS_SEED = 7
+
+
+def _random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES random_score with a seed: deterministic md5-based uniform score
+    per (seed, doc_id) — reproducible match-set sampling, engine-portable."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.random_score(["spark"], seed=_RS_SEED, k=20, mode="and")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_RANDOM_SCORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+r AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('{_RS_SEED}:' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS s
+  FROM m
+)
+SELECT doc_id, round(s, 4) AS score FROM r
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
+
+
+_PASSAGE_N = 4
+
+
+def _dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Gopher passage-level dedup: disjoint 4-token passages, first
+    corpus-wide occurrence kept, documents rebuilt from survivors."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OD.dedup_passages(docs, n=_PASSAGE_N).orderBy("doc_id")
+
+
+_DEDUP_PASSAGES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql("text")} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i:i+{_PASSAGE_N - 1}], ' ') AS chunk
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1, {_PASSAGE_N})) AS i)
+  WHERE array_to_string(t[i:i+{_PASSAGE_N - 1}], ' ') <> ''
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*)::BIGINT AS total_chunks,
+       (count(*) FILTER (rn = 1))::BIGINT AS kept_chunks,
+       string_agg(chunk, ' ' ORDER BY pos) FILTER (rn = 1) AS cleaned_text
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_DECON_N, _DECON_MOD = 8, 101
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): docs sharing
+    any 8-gram with the synthetic eval set (doc_id % 101 == 0), with
+    distinct-overlap counts; benchmark side broadcast."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % _DECON_MOD == 0)
+    return OD.decontaminate(docs, bench, n=_DECON_N).orderBy("doc_id")
+
+
+_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql("text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({shingles_sql('t', _DECON_N)})) AS sh FROM toks
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_DECON_MOD} = 0)
+SELECT s.doc_id, count(*)::BIGINT AS overlap
+FROM sh s JOIN bench USING (sh)
+GROUP BY s.doc_id ORDER BY s.doc_id
 """
 
 
@@ -2071,6 +2300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_terms_nested": _facet_terms_nested,
         "facet_pipeline": _facet_pipeline,
         "suggest_completion": _suggest_completion,
+        "multi_match_best": _multi_match_best,
+        "multi_match_most": _multi_match_most,
+        "script_score": _script_score,
+        "random_score": _random_score,
+        "dedup_passages": _dedup_passages,
+        "decontaminate": _decontaminate,
         "bm25_regexp": _bm25_regexp,
         "bm25_rescore": _bm25_rescore,
         "bm25_phrase_prefix": _bm25_phrase_prefix,
@@ -2167,6 +2402,12 @@ def oracle_sql() -> dict[str, str]:
         "facet_terms_nested": _FACET_TERMS_NESTED_SQL,
         "facet_pipeline": _FACET_PIPELINE_SQL,
         "suggest_completion": _SUGGEST_COMPLETION_SQL,
+        "multi_match_best": _multi_match_sql("best_fields"),
+        "multi_match_most": _multi_match_sql("most_fields"),
+        "script_score": _script_score_sql(),
+        "random_score": _RANDOM_SCORE_SQL,
+        "dedup_passages": _DEDUP_PASSAGES_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "bm25_boosted": _bm25_sql(
             _BOOST_TERMS, "or", None,
             boost_case="CASE WHEN tf.term = 'spark' THEN 2.5 ELSE 1.0 END",

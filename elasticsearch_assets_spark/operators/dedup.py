@@ -516,3 +516,105 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup (CCNet/Gopher-style) and benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def dedup_passages(
+    df: DataFrame,
+    *,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide passage dedup, the CCNet/Gopher web-text cleanup: split
+    each document into DISJOINT n-token passages and keep only the FIRST
+    occurrence of each distinct passage across the whole corpus (first =
+    smallest (doc_id, position)); later repeats are cut out of their
+    documents. The corpus here has no newlines, so fixed n-token chunks
+    stand in for CCNet's line/paragraph unit — the plan is identical.
+
+    Returns (doc_id, total_chunks, kept_chunks, cleaned_text); cleaned_text
+    is the surviving passages rejoined in document order, NULL when the
+    whole document was duplicate material.
+
+    Plan: one tokenize pass -> inline-exploded (pos, passage) pairs -> the
+    keep-first decision is a row_number window PARTITIONED BY the passage
+    hash (high cardinality: one tiny group per distinct passage, so the
+    window shuffle is skew-free by construction and moves 32-byte hashes,
+    never documents) -> reassembly is a grouped sort_array(collect_list)
+    on doc_id. Two shuffles total, both on compact keys, regardless of
+    corpus size."""
+    toks = tokens_expr(text_col)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(n)),
+        lambda i: F.struct(
+            i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, n)).alias("chunk")
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.inline(chunks)
+    ).where(F.col("chunk") != "")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+        F.col("doc_id").asc(), F.col("pos").asc()
+    )
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("chunk"))
+    )
+    agg = ranked.groupBy("doc_id").agg(
+        F.count("*").alias("total_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("kept_chunks"),
+        F.sort_array(F.collect_list(kept_struct)).alias("_kept"),
+    )
+    cleaned = F.when(
+        F.col("kept_chunks") > 0,
+        F.array_join(F.transform(F.col("_kept"), lambda s: s["chunk"]), " "),
+    )
+    return agg.select(
+        "doc_id", "total_chunks", "kept_chunks", cleaned.alias("cleaned_text")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination for training corpora: flag every corpus
+    document sharing at least one word n-gram with any benchmark/eval
+    document (the n-gram-overlap rule used by GPT-3/PaLM-style dataset
+    curation; n=13 is the GPT-3 convention). Returns (doc_id, overlap) —
+    the number of DISTINCT contaminated n-grams per flagged doc; join
+    anti against it to drop them.
+
+    Plan: the benchmark side is tiny by definition (an eval set), so its
+    distinct shingle set broadcasts; the corpus side is ONE tokenize+
+    explode pass hash-joined against that broadcast — no self-join, no
+    shuffle of the corpus text, cost linear in corpus tokens at any
+    scale."""
+    def sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(shingles_expr(tokens_expr(text_col), n))
+            ).alias("sh"),
+        )
+
+    bench = F.broadcast(sh(benchmark).select("sh").distinct())
+    return (
+        sh(corpus)
+        .join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap"))
+    )

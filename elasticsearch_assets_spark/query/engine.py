@@ -666,6 +666,66 @@ class InvertedIndex:
         )
         return out.limit(k) if k is not None else out
 
+    def script_score(
+        self,
+        query: str | list[str],
+        corpus: DataFrame,
+        script: str,
+        k: int | None = 10,
+        mode: str = "and",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES script_score: replace the BM25 score with an arbitrary
+        expression over `_score` and document fields (the painless-script
+        contract, re-expressed as a Spark SQL expression so it stays a JVM
+        column computation — never a Python UDF).
+
+        Plan: distributed search (k=None) joined to the corpus on doc_id;
+        the script compiles via F.expr into whole-stage codegen. Column
+        `_score` is bound to the query's BM25 score."""
+        scored = self.search(query, k=None, mode=mode).withColumnRenamed(
+            "score", "_score"
+        )
+        joined = scored.join(
+            corpus.withColumnRenamed(id_col, "doc_id"), "doc_id"
+        )
+        out = (
+            joined.select(
+                "doc_id", F.expr(script).cast("double").alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+
+    def random_score(
+        self,
+        query: str | list[str],
+        seed: int = 0,
+        k: int | None = 10,
+        mode: str = "and",
+    ) -> DataFrame:
+        """ES function_score random_score with a seed: a deterministic,
+        uniformly-distributed pseudo-score per (seed, doc_id) — reproducible
+        sampling of a match set (ES uses a seeded hash of _seq_no; here
+        md5(seed:doc_id), first 32 bits, scaled to [0,1)). Fully
+        engine-portable: the same formula is expressible in ANSI SQL, so
+        the oracle reproduces scores bit-for-bit after 4-decimal rounding."""
+        matched = self.search(query, k=None, mode=mode).select("doc_id")
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        out = (
+            matched.withColumn(
+                "score", (h / F.lit(float(2 ** 32))).cast("double")
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+
     def suggest(
         self,
         text: str,
@@ -1313,3 +1373,51 @@ class InvertedIndex:
         return corpus.join(F.broadcast(topk), on=on, how="inner").orderBy(
             F.col("score").desc(), F.col(on).asc()
         )
+
+
+def multi_match(
+    field_indexes: dict,
+    query: str | list[str],
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    k: int | None = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """ES multi_match across fields: the same query scored independently
+    per field (each field's index carries its OWN df/doclen/avgdl
+    statistics, exactly ES's per-field Lucene scoring), then combined:
+
+      best_fields  — dis_max over fields: max + tie_breaker * (sum - max)
+      most_fields  — sum of the per-field scores
+
+    `field_indexes` maps field name -> (InvertedIndex, boost). Plan: one
+    distributed search per field (k=None), a unionByName, then ONE hash
+    aggregation on doc_id (map-side partial combine, single shuffle) and
+    TakeOrderedAndProject — same shuffle shape as dis_max regardless of
+    field count.
+
+    Reference surface: the reader facade passes multi-field query bodies
+    straight to ES (/root/reference/asset/elasticsearch_reader/index.js
+    builds the request; field semantics from the ES multi_match docs)."""
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown multi_match type {match_type!r}")
+    if not field_indexes:
+        raise ValueError("multi_match needs at least one field index")
+    subs = []
+    for _field, (idx, boost) in field_indexes.items():
+        s = idx.search(query, k=None, mode=mode)
+        subs.append(
+            s.select("doc_id", (F.col("score") * F.lit(float(boost))).alias("score"))
+        )
+    u = subs[0]
+    for s in subs[1:]:
+        u = u.unionByName(s)
+    if match_type == "best_fields":
+        combined = F.max("score") + F.lit(tie_breaker) * (
+            F.sum("score") - F.max("score")
+        )
+    else:
+        combined = F.sum("score")
+    agg = u.groupBy("doc_id").agg(combined.alias("score"))
+    out = agg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return out.limit(k) if k is not None else out

@@ -641,3 +641,126 @@ def test_suggest_completion_ranks_by_df(index):
         for r in index.suggest_completion("s", size=8).collect()
     ]
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# multi_match / script_score / random_score
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def title_index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "title")
+    titled = corpus.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6)).alias("text"),
+    )
+    build_index(spark, titled, d, num_segments=4, num_chunks=1)
+    return InvertedIndex(spark, d)
+
+
+def test_multi_match_best_and_most(index, title_index):
+    from elasticsearch_assets_spark.query.engine import multi_match
+
+    q = ["spark", "join"]
+    t = {r["doc_id"]: r["score"] for r in title_index.search(q, k=None, mode="or").collect()}
+    b = {r["doc_id"]: r["score"] for r in index.search(q, k=None, mode="or").collect()}
+    tie, boost = 0.25, 3.0
+    want = {}
+    for d in set(t) | set(b):
+        ss = [v for v in (t.get(d, None) and t[d] * boost, b.get(d)) if v is not None]
+        want[d] = max(ss) + tie * (sum(ss) - max(ss))
+    got = multi_match(
+        {"title": (title_index, boost), "text": (index, 1.0)},
+        q, match_type="best_fields", tie_breaker=tie, k=None,
+    ).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert r["score"] == pytest.approx(want[r["doc_id"]])
+    got_m = multi_match(
+        {"title": (title_index, boost), "text": (index, 1.0)},
+        q, match_type="most_fields", k=None,
+    ).collect()
+    for r in got_m:
+        ss = [v for v in (t.get(r["doc_id"], None) and t[r["doc_id"]] * boost,
+                          b.get(r["doc_id"])) if v is not None]
+        assert r["score"] == pytest.approx(sum(ss))
+    with pytest.raises(ValueError):
+        multi_match({"x": (index, 1.0)}, q, match_type="cross_fields")
+    with pytest.raises(ValueError):
+        multi_match({}, q)
+
+
+def test_script_score_matches_manual(index, corpus):
+    base = {r["doc_id"]: r["score"] for r in index.search(["spark"], k=None).collect()}
+    lens = {
+        r["doc_id"]: len(r["text"])
+        for r in corpus.select("doc_id", "text").collect()
+    }
+    got = index.script_score(
+        ["spark"], corpus.withColumn("n_chars", F.length("text")),
+        "_score * (1 + ln(1 + n_chars))", k=20,
+    ).collect()
+    import math
+
+    want = sorted(
+        ((d, s * (1 + math.log(1 + lens[d]))) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    for r, w in zip(got, want):
+        assert r["doc_id"] == w[0] and r["score"] == pytest.approx(w[1])
+
+
+def test_random_score_deterministic_uniform(index):
+    a = index.random_score(["spark"], seed=3, k=None).collect()
+    b = index.random_score(["spark"], seed=3, k=None).collect()
+    assert a == b
+    assert all(0.0 <= r["score"] < 1.0 for r in a)
+    c = index.random_score(["spark"], seed=4, k=None).collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in c]
+    matched = {r["doc_id"] for r in index.search(["spark"], k=None).collect()}
+    assert {r["doc_id"] for r in a} == matched
+
+
+# ---------------------------------------------------------------------------
+# passage dedup / decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_passages_keeps_first_occurrence(spark):
+    from elasticsearch_assets_spark.operators.dedup import dedup_passages
+
+    rows = [
+        (1, "a b c d e f"),        # chunks: "a b c", "d e f"
+        (2, "a b c x y z"),        # "a b c" dup of doc1 pos1
+        (3, "d e f d e f"),        # first "d e f" dup of doc1; second dup too
+        (4, "q r"),                # single short chunk, unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_passages(df, n=3).collect()}
+    assert got[1]["total_chunks"] == 2 and got[1]["kept_chunks"] == 2
+    assert got[1]["cleaned_text"] == "a b c d e f"
+    assert got[2]["kept_chunks"] == 1 and got[2]["cleaned_text"] == "x y z"
+    assert got[3]["kept_chunks"] == 0 and got[3]["cleaned_text"] is None
+    assert got[4]["kept_chunks"] == 1 and got[4]["cleaned_text"] == "q r"
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from elasticsearch_assets_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here only nothing shared"),
+            (3, "quick brown fox jumps over the lazy cat"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["overlap"] for r in decontaminate(corpus, bench, n=5).collect()}
+    assert 1 in got and 3 in got and 2 not in got
+    assert got[1] == 5  # all 5 of doc1's 5-grams are benchmark 5-grams
+    assert got[3] >= 1  # shares 'quick brown fox jumps over' etc.
