@@ -231,6 +231,38 @@ def main() -> None:
     from elasticsearch_assets_spark.operators.textstats import repetition_stats
 
     op_best("op_repetition_stats", lambda: repetition_stats(docs).count())
+    # passage-level dedup + benchmark decontamination (round-3 webtext ops)
+    op_best("op_dedup_passages", lambda: OD.dedup_passages(docs, n=4).count())
+    op_best(
+        "op_decontaminate",
+        lambda: OD.decontaminate(
+            docs, docs.where(F.col("doc_id") % 101 == 0), n=8
+        ).count(),
+    )
+
+    # multi_match: two per-field searches + one hash-agg combine (both
+    # fields backed by same-corpus indexes here — the timing exercises the
+    # real two-search union plan)
+    from elasticsearch_assets_spark.query.engine import multi_match as MM
+
+    q_best(
+        "q_multi_match",
+        lambda: MM(
+            {"text": (idx, 1.0), "pos": (pidx, 2.0)},
+            ["spark", "join"], match_type="best_fields", tie_breaker=0.3, k=10,
+        ).collect(),
+    )
+    # term suggester: full-dictionary levenshtein scan + TakeOrdered
+    q_best("q_suggest", lambda: idx.suggest("spork", max_edits=2, size=5).collect())
+    # composite agg page (keyset filter before the grouped shuffle)
+    from elasticsearch_assets_spark.operators.facets import facet_composite
+
+    q_best(
+        "q_composite_page",
+        lambda: facet_composite(
+            corpus, ["lang", "doc_key"], size=100, after=("de", "k")
+        ).collect(),
+    )
 
     # filtered search on the documents index (cogrouped executor-side path)
     didx = InvertedIndex(spark, "/tmp/esa_bench_idx_documents")
