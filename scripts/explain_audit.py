@@ -168,6 +168,47 @@ def main() -> None:
         ).cosine_topk(emb, [0.1] * 64, k=10),
     )
 
+    from elasticsearch_assets_spark.operators import facets as OFA
+    from elasticsearch_assets_spark.query.engine import multi_match
+
+    add(
+        "Composite agg page (keyset pagination)",
+        "The after-key predicate is a plain column disjunction evaluated "
+        "BEFORE the grouped shuffle — `PushedFilters` carries the "
+        "lang/source comparisons into the parquet scan, so rows belonging "
+        "to already-returned pages are pruned at the source, and the page "
+        "cut is TakeOrderedAndProject. No driver-side bucket state at any "
+        "page depth.",
+        OFA.facet_composite(
+            docs, ["lang", "source"], size=10, after=("en", "src3")
+        ),
+    )
+    add(
+        "Benchmark decontamination (broadcast eval-set shingles)",
+        "The benchmark side (an eval set — small by definition) broadcasts; "
+        "the corpus side is ONE tokenize+explode projection hash-joined "
+        "against it (BroadcastHashJoin). No self-join, no shuffle of "
+        "corpus text — cost is linear in corpus tokens.",
+        OD.decontaminate(docs, docs.where(F.col("doc_id") % 101 == 0), n=8),
+    )
+    add(
+        "Passage-level dedup (keep-first window on passage hash)",
+        "The keep-first decision is a row_number window PARTITIONED BY "
+        "md5(passage) — the Exchange key is the 32-byte hash (high "
+        "cardinality, one tiny group per distinct passage: skew-free by "
+        "construction), never the document text. Reassembly groups by "
+        "doc_id — two compact-key shuffles total at any corpus size.",
+        OD.dedup_passages(docs, n=4),
+    )
+    add(
+        "multi_match combine (per-field searches, ONE hash agg)",
+        "Each field contributes its own pushed-down posting scan + kernel; "
+        "the combine is a unionByName feeding a single HashAggregate on "
+        "doc_id (partial map-side combine) and TakeOrderedAndProject — "
+        "the shuffle shape does not grow with the number of fields.",
+        multi_match({"a": (idx, 2.0), "b": (idx, 1.0)}, ["spark", "join"], k=10),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "
