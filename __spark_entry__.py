@@ -1198,6 +1198,78 @@ GROUP BY s.doc_id ORDER BY s.doc_id
 """
 
 
+_RRF_K, _RRF_N, _RRF_CONST = 10, 20, 60
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 hybrid search (`rrf` retriever): BM25 top-20 for 'spark' fused
+    with cosine-kNN top-20 (query = vec 0) by reciprocal rank fusion,
+    rank_constant 60 — each retriever's window is bounded by its own k."""
+    idx = _docs_index(spark, sf_dir)
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    bm = idx.search(["spark"], k=_RRF_N, mode="and")
+    knn = OS.cosine_topk(emb, qv, k=_RRF_N).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    out = OS.rrf_fuse([bm, knn], k_const=_RRF_CONST, k=_RRF_K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _hybrid_rrf_sql() -> str:
+    chain = _mm_field_chain(
+        "b",
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents",
+        terms=["spark"],
+    )
+    return f"""
+WITH {chain},
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM bscored QUALIFY r <= {_RRF_N}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+knn AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+  FROM (SELECT a.vec_id, {_COS_AB} AS cos FROM embeddings a, q b)
+  QUALIFY r <= {_RRF_N}
+),
+u AS (
+  SELECT doc_id, 1.0 / ({_RRF_CONST} + r) AS contrib FROM bm
+  UNION ALL
+  SELECT doc_id, 1.0 / ({_RRF_CONST} + r) AS contrib FROM knn
+)
+SELECT doc_id, round(sum(contrib), 4) AS score
+FROM u GROUP BY doc_id
+ORDER BY sum(contrib) DESC, doc_id ASC LIMIT {_RRF_K}
+"""
+
+
+_ANN_FILTER_LABEL = 3
+
+
+def _ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filtered kNN (`knn` with `filter`): exact cosine top-k restricted
+    to label == 3 — the predicate composes BEFORE the scorer, pushed to the
+    vector scan (pre-filtering, ES's semantics: the k results all satisfy
+    the filter)."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    out = OS.cosine_topk(emb.where(F.col("label") == _ANN_FILTER_LABEL), qv, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def _ann_filtered_sql() -> str:
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id, {_COS_AB} AS cos
+  FROM embeddings a, q b WHERE a.label = {_ANN_FILTER_LABEL}
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 _PP_FIXED, _PP_PREFIX = ["table"], "s"
 
 
@@ -2306,6 +2378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_score": _random_score,
         "dedup_passages": _dedup_passages,
         "decontaminate": _decontaminate,
+        "hybrid_rrf": _hybrid_rrf,
+        "ann_topk_filtered": _ann_topk_filtered,
         "bm25_regexp": _bm25_regexp,
         "bm25_rescore": _bm25_rescore,
         "bm25_phrase_prefix": _bm25_phrase_prefix,
@@ -2408,6 +2482,8 @@ def oracle_sql() -> dict[str, str]:
         "random_score": _RANDOM_SCORE_SQL,
         "dedup_passages": _DEDUP_PASSAGES_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "hybrid_rrf": _hybrid_rrf_sql(),
+        "ann_topk_filtered": _ann_filtered_sql(),
         "bm25_boosted": _bm25_sql(
             _BOOST_TERMS, "or", None,
             boost_case="CASE WHEN tf.term = 'spark' THEN 2.5 ELSE 1.0 END",

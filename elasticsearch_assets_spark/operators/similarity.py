@@ -255,3 +255,48 @@ def ann_topk_lsh(
         "bucket", bucket_code_expr(F.col(vec_col), n_planes, dim)
     ).where(F.col("bucket").isin(sorted(probes)))
     return cosine_topk(bucketed, query_vec, k, vec_col=vec_col, id_col=id_col)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    k: int | None = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid search via Reciprocal Rank Fusion (ES 8's `rrf` retriever):
+    fuse N ranked result lists (typically BM25 and kNN) into one ranking,
+    score(doc) = sum over lists of 1 / (k_const + rank_in_list), ranks
+    1-based by (score DESC, id ASC) — the standard RRF formula with ES's
+    default rank_constant 60.
+
+    Inputs are RESULT lists (each already cut to its retriever's top-N),
+    so the per-list rank window runs over at most N rows — bounded by the
+    query's k budget, never by corpus size; the only unbounded-input work
+    happened inside the retrievers. The combine is one unionByName + hash
+    agg on the id + TakeOrderedAndProject, independent of list count."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from pyspark.sql import Window
+
+    ranked = []
+    for r in rankings:
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        ranked.append(
+            r.select(F.col(id_col), "score")
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                id_col,
+                (F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank"))).alias(
+                    "contrib"
+                ),
+            )
+        )
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    out = (
+        u.groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+    return out.limit(k) if k is not None else out

@@ -764,3 +764,28 @@ def test_decontaminate_flags_overlapping_docs(spark):
     assert 1 in got and 3 in got and 2 not in got
     assert got[1] == 5  # all 5 of doc1's 5-grams are benchmark 5-grams
     assert got[3] >= 1  # shares 'quick brown fox jumps over' etc.
+
+
+def test_rrf_fuse_formula_and_bounds(spark, index):
+    from elasticsearch_assets_spark.operators.similarity import rrf_fuse
+
+    a = index.search(["spark"], k=15, mode="and")
+    b = index.search(["join"], k=15, mode="and")
+    ra = {r["doc_id"]: i + 1 for i, r in enumerate(a.collect())}
+    rb = {r["doc_id"]: i + 1 for i, r in enumerate(b.collect())}
+    want = {}
+    for d in set(ra) | set(rb):
+        want[d] = sum(1.0 / (60 + r[d]) for r in (ra, rb) if d in r)
+    got = rrf_fuse([a, b], k_const=60, k=None).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert r["score"] == pytest.approx(want[r["doc_id"]])
+    # ordered, and a doc in both lists outranks docs in only one
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    both = [d for d in want if d in ra and d in rb]
+    if both:
+        top = got[0]["doc_id"]
+        assert top in both
+    with pytest.raises(ValueError):
+        rrf_fuse([])
