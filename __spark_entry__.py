@@ -1260,6 +1260,72 @@ def _ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+_PS_TEXT, _PS_EDITS, _PS_PER, _PS_SIZE = "spork jion", 2, 3, 5
+
+
+def _phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester: per-token top-3 corrections (edit<=2, original
+    kept), cross product scored by unigram LM minus an edit penalty."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.suggest_phrase(
+        _PS_TEXT, max_edits=_PS_EDITS, per_token=_PS_PER, size=_PS_SIZE
+    )
+    return out.select("suggestion", F.round("score", 4).alias("score"))
+
+
+def _phrase_suggest_sql() -> str:
+    def cand(i: int, tok: str) -> str:
+        return f"""
+c{i} AS (
+  SELECT term, max(df) AS df, min(d) AS d FROM (
+    SELECT term, df, levenshtein(term, '{tok}') AS d FROM dict
+    WHERE levenshtein(term, '{tok}') <= {_PS_EDITS}
+    UNION ALL SELECT '{tok}' AS term, 0::BIGINT AS df, 0 AS d
+  ) GROUP BY term
+  ORDER BY d ASC, df DESC, term ASC LIMIT {_PS_PER}
+)"""
+
+    toks = _PS_TEXT.split()
+    cands = ",".join(cand(i, t) for i, t in enumerate(toks))
+    contrib = " + ".join(
+        f"(ln((c{i}.df + 1) / n.n) - c{i}.d * ln(10))" for i in range(len(toks))
+    )
+    phrase = " || ' ' || ".join(f"c{i}.term" for i in range(len(toks)))
+    froms = ", ".join(f"c{i}" for i in range(len(toks)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+{cands},
+x AS (SELECT {phrase} AS suggestion, {contrib} AS s FROM {froms}, n)
+SELECT suggestion, round(s, 4) AS score FROM x
+ORDER BY s DESC, suggestion ASC LIMIT {_PS_SIZE}
+"""
+
+
+def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _stats/_cat surface: collection-level doc/term/token counts and
+    avgdl from the distributed stats table (the BM25 scorer's constants)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.index_stats()
+    return out.select("n_docs", "n_terms", "n_tokens", _f4("avgdl").alias("avgdl"))
+
+
+_INDEX_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS n_tokens,
+       floor(count(*)::DOUBLE / (SELECT count(*) FROM documents)
+             * 10000.0 + 0.5) / 10000.0 AS avgdl
+FROM toks
+"""
+
+
 def _ann_filtered_sql() -> str:
     return f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
@@ -2380,6 +2446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "hybrid_rrf": _hybrid_rrf,
         "ann_topk_filtered": _ann_topk_filtered,
+        "phrase_suggest": _phrase_suggest,
+        "index_stats": _index_stats,
         "bm25_regexp": _bm25_regexp,
         "bm25_rescore": _bm25_rescore,
         "bm25_phrase_prefix": _bm25_phrase_prefix,
@@ -2484,6 +2552,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "hybrid_rrf": _hybrid_rrf_sql(),
         "ann_topk_filtered": _ann_filtered_sql(),
+        "phrase_suggest": _phrase_suggest_sql(),
+        "index_stats": _INDEX_STATS_SQL,
         "bm25_boosted": _bm25_sql(
             _BOOST_TERMS, "or", None,
             boost_case="CASE WHEN tf.term = 'spark' THEN 2.5 ELSE 1.0 END",

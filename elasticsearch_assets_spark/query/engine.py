@@ -780,6 +780,97 @@ class InvertedIndex:
         )
         return out.limit(size) if size is not None else out
 
+    def suggest_phrase(
+        self,
+        text: str,
+        max_edits: int = 2,
+        per_token: int = 3,
+        size: int | None = 5,
+    ) -> DataFrame:
+        """ES phrase suggester ("did you mean" on the whole input): per
+        input token, the best `per_token` dictionary corrections within
+        `max_edits` (the original token always survives as a candidate,
+        ES's suggest_mode="always"); candidate phrases are the cross
+        product, scored with a unigram language model plus an edit
+        penalty:
+
+            score(phrase) = Σ_token [ ln((df+1)/N) − dist·ln(10) ]
+
+        (each edit costs one order of magnitude of likelihood — the
+        direct-generator shape of ES's phrase suggester, deterministic and
+        oracle-expressible). Returns (suggestion, score), best first.
+
+        Plan: ONE pushed-down stats scan per token (length-band prefilter +
+        JVM levenshtein), per-token top-N via a window over candidates
+        (≤ vocabulary-band rows); the cross join multiplies per_token^n_tok
+        rows — bounded by the query, never by the corpus."""
+        toks = tokenize(text)
+        if not toks:
+            return self.spark.createDataFrame(
+                [], "suggestion string, score double"
+            )
+        from elasticsearch_assets_spark.query.expand import fuzzy_condition
+
+        n = float(self.meta.n_docs)
+        ln10 = 2.302585092994046
+        parts = []
+        for i, t in enumerate(toks):
+            scan = self.stats.where(
+                fuzzy_condition(t, max_edits, 0)
+            ).select(
+                F.col("term"),
+                F.col("df").cast("long").alias("df"),
+                F.levenshtein(F.col("term"), F.lit(t)).cast("int").alias("d"),
+            )
+            fallback = self.spark.createDataFrame(
+                [(t, 0, 0)], "term string, df long, d int"
+            )
+            cand = (
+                scan.unionByName(fallback)
+                .groupBy("term")
+                .agg(F.max("df").alias("df"), F.min("d").alias("d"))
+            )
+            # per-token top-N = TakeOrderedAndProject (distributed partial
+            # top-N per partition, never a single-partition window)
+            top = (
+                cand.orderBy(
+                    F.col("d").asc(), F.col("df").desc(), F.col("term").asc()
+                )
+                .limit(per_token)
+                .select(
+                    F.col("term").alias(f"t{i}"),
+                    (
+                        F.log((F.col("df") + 1) / F.lit(n))
+                        - F.col("d") * F.lit(ln10)
+                    ).alias(f"s{i}"),
+                )
+            )
+            parts.append(top)
+        cur = parts[0]
+        for p in parts[1:]:
+            cur = cur.crossJoin(p)
+        phrase = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(len(toks))])
+        total = sum(
+            (F.col(f"s{i}") for i in range(1, len(toks))), F.col("s0")
+        )
+        out = cur.select(
+            phrase.alias("suggestion"), total.alias("score")
+        ).orderBy(F.col("score").desc(), F.col("suggestion").asc())
+        return out.limit(size) if size is not None else out
+
+    def index_stats(self) -> DataFrame:
+        """ES `_stats`/`_cat/indices` surface: one row of collection-level
+        statistics — doc count, distinct terms, total tokens, average doc
+        length — aggregated from the distributed stats table (the n_docs/
+        avgdl figures are the same constants the BM25 scorer uses, so this
+        doubles as a scorer-inputs probe)."""
+        return self.stats.agg(
+            F.lit(int(self.meta.n_docs)).alias("n_docs"),
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("cf").cast("long").alias("n_tokens"),
+            (F.sum("cf") / F.lit(float(self.meta.n_docs))).alias("avgdl"),
+        )
+
     def search_sorted(
         self,
         query: str | list[str],

@@ -789,3 +789,32 @@ def test_rrf_fuse_formula_and_bounds(spark, index):
         assert top in both
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_suggest_phrase_corrects_both_tokens(index):
+    rows = index.suggest_phrase("spork jion", max_edits=2, per_token=3, size=5).collect()
+    assert rows and rows[0]["suggestion"] == "spark join"
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the original (possibly unseen) phrase survives as a candidate pool
+    # member: every suggestion has one candidate per input token
+    assert all(len(r["suggestion"].split()) == 2 for r in rows)
+    # empty input -> empty frame with the right schema
+    empty = index.suggest_phrase("", size=5)
+    assert empty.count() == 0 and empty.columns == ["suggestion", "score"]
+
+
+def test_index_stats_matches_corpus(index, corpus):
+    from elasticsearch_assets_spark.analysis.tokenizer import tokenize_series
+
+    row = index.index_stats().collect()[0]
+    pdf = corpus.select("text").toPandas()
+    toks = tokenize_series(pdf["text"])
+    n_tokens = int(sum(len(t) for t in toks))
+    vocab = set()
+    for t in toks:
+        vocab.update(t)
+    assert row["n_docs"] == corpus.count()
+    assert row["n_terms"] == len(vocab)
+    assert row["n_tokens"] == n_tokens
+    assert row["avgdl"] == pytest.approx(n_tokens / corpus.count())
