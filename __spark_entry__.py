@@ -2403,6 +2403,451 @@ _MEDIA_STATS_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Round-3 batch 4: boosting / span queries / inspection APIs / remaining aggs
+# ---------------------------------------------------------------------------
+
+_BM25_CORE_CTES = """
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl)
+"""
+
+_PTOKS_CTE = """
+ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+toks AS (SELECT doc_id, term FROM ptoks)
+"""
+
+
+def _bm25_scored_cte(terms: list[str], mode: str = "or") -> str:
+    """The tf/df/scored CTE tail of the standard BM25 template (assumes
+    toks/dl/stats are already defined)."""
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    return f"""
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+  {having}
+)
+"""
+
+
+_BOOSTING_POS, _BOOSTING_NEG, _BOOSTING_NB = ["spark", "join"], ["merge"], 0.3
+
+
+def _bm25_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: 'spark join' (OR) demoted ×0.3 for docs that also
+    contain 'merge' — negative side is filter-context (demotes, never
+    scores)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.boosting(_BOOSTING_POS, _BOOSTING_NEG, _BOOSTING_NB, k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_boosting_sql() -> str:
+    return f"""
+WITH {_BM25_CORE_CTES.strip()},
+{_bm25_scored_cte(_BOOSTING_POS).strip()},
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{_BOOSTING_NEG[0]}'),
+adj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+              THEN s * {_BOOSTING_NB} ELSE s END AS s2
+  FROM scored
+)
+SELECT doc_id, round(s2, 4) AS score FROM adj
+ORDER BY s2 DESC, doc_id ASC LIMIT 10
+"""
+
+
+_SPAN_FIRST_TERM, _SPAN_FIRST_END = "spark", 3
+
+
+def _bm25_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_first: 'spark' within the first 3 token positions,
+    index-assisted over positional postings; single-term BM25 restricted
+    to matching docs."""
+    idx = _docs_index_pos(spark, sf_dir)
+    out = idx.search_span_first(_SPAN_FIRST_TERM, _SPAN_FIRST_END, k=None)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_span_first_sql() -> str:
+    return f"""
+WITH {_PTOKS_CTE.strip()},
+m AS (
+  SELECT DISTINCT doc_id FROM ptoks
+  WHERE term = '{_SPAN_FIRST_TERM}' AND pos < {_SPAN_FIRST_END}
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+{_bm25_scored_cte([_SPAN_FIRST_TERM]).strip()}
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM m)
+"""
+
+
+_SPAN_NOT_INC, _SPAN_NOT_EXC, _SPAN_NOT_WIN = "spark", "join", 2
+
+
+def _bm25_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_not: an occurrence of 'spark' with NO 'join' within ±2
+    positions — index-assisted over positional postings."""
+    idx = _docs_index_pos(spark, sf_dir)
+    out = idx.search_span_not(
+        _SPAN_NOT_INC, _SPAN_NOT_EXC,
+        pre=_SPAN_NOT_WIN, post=_SPAN_NOT_WIN, k=None,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_span_not_sql() -> str:
+    w = _SPAN_NOT_WIN
+    return f"""
+WITH {_PTOKS_CTE.strip()},
+m AS (
+  SELECT DISTINCT p.doc_id FROM ptoks p
+  WHERE p.term = '{_SPAN_NOT_INC}' AND NOT EXISTS (
+    SELECT 1 FROM ptoks q
+    WHERE q.doc_id = p.doc_id AND q.term = '{_SPAN_NOT_EXC}'
+      AND q.pos BETWEEN p.pos - {w} AND p.pos + {w}
+  )
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+{_bm25_scored_cte([_SPAN_NOT_INC]).strip()}
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM m)
+"""
+
+
+_EXPLAIN_QUERY, _EXPLAIN_DOC = ["join", "spark"], 1
+
+
+def _explain_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain API: per-term BM25 breakdown for ('spark join', doc 1);
+    the weights sum to the engine's search() score (tested)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.explain(_EXPLAIN_QUERY, _EXPLAIN_DOC)
+    return out.select(
+        "term", "tf", "dl", "df",
+        F.round("idf", 4).alias("idf"),
+        F.round("weight", 4).alias("weight"),
+    )
+
+
+def _explain_doc_sql() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(_EXPLAIN_QUERY))
+    idf = "ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))"
+    return f"""
+WITH {_BM25_CORE_CTES.strip()},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) AND doc_id = {_EXPLAIN_DOC}
+  GROUP BY doc_id, term
+),
+dfx AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+  WHERE term IN ({tlist}) GROUP BY term
+)
+SELECT tf.term, tf.tf::BIGINT AS tf, dl.dl::BIGINT AS dl,
+       dfx.df::BIGINT AS df,
+       round({idf}, 4) AS idf,
+       round({idf} * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)), 4)
+         AS weight
+FROM stats, tf
+JOIN dfx USING (term) JOIN dl USING (doc_id)
+ORDER BY tf.term ASC
+"""
+
+
+_TV_DOC = 1
+
+
+def _termvectors_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors API: every term of doc 1 with within-doc tf and
+    collection df; the posting scan prunes to the doc's segment via the
+    durable seg_map."""
+    idx = _docs_index(spark, sf_dir)
+    return idx.termvectors(_TV_DOC)
+
+
+_TERMVECTORS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tv AS (
+  SELECT term, count(*)::BIGINT AS tf FROM toks
+  WHERE doc_id = {_TV_DOC} GROUP BY term
+),
+dfx AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+  WHERE term IN (SELECT term FROM tv) GROUP BY term
+)
+SELECT tv.term, tv.tf, dfx.df FROM tv JOIN dfx USING (term)
+ORDER BY tv.term ASC
+"""
+
+
+def _facet_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats over the 'spark' match set: stats + sum_of_squares
+    + population variance/std + sigma bounds, one partial-aggregated
+    pass."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_extended_stats(matches, docs, "n_chars", sigma=2.0)
+    return out.select(
+        "count", "min", "max", _f4("sum").alias("sum"),
+        _f4("avg").alias("avg"),
+        _f4("sum_of_squares").alias("sum_of_squares"),
+        _f4("variance").alias("variance"),
+        _f4("std_deviation").alias("std_deviation"),
+        _f4("std_upper").alias("std_upper"),
+        _f4("std_lower").alias("std_lower"),
+    )
+
+
+_FACET_EXT_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.n_chars::DOUBLE AS v FROM documents d JOIN m USING (doc_id))
+SELECT count(v)::BIGINT AS "count", min(v) AS "min", max(v) AS "max",
+       floor(sum(v) * 10000.0 + 0.5) / 10000.0 AS "sum",
+       floor(avg(v) * 10000.0 + 0.5) / 10000.0 AS "avg",
+       floor(sum(v * v) * 10000.0 + 0.5) / 10000.0 AS sum_of_squares,
+       floor(var_pop(v) * 10000.0 + 0.5) / 10000.0 AS variance,
+       floor(stddev_pop(v) * 10000.0 + 0.5) / 10000.0 AS std_deviation,
+       floor((avg(v) + 2.0 * stddev_pop(v)) * 10000.0 + 0.5) / 10000.0 AS std_upper,
+       floor((avg(v) - 2.0 * stddev_pop(v)) * 10000.0 + 0.5) / 10000.0 AS std_lower
+FROM mt
+"""
+
+_PCT_RANK_VALUES = [150.0, 300.0, 450.0]
+
+
+def _facet_pct_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks (exact cumulative-frequency variant) at n_chars
+    150/300/450 over the 'spark' match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_percentile_ranks(matches, docs, "n_chars", _PCT_RANK_VALUES)
+    return out.select("value", _f4("percent").alias("percent"))
+
+
+def _facet_pct_ranks_sql() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT {v}::DOUBLE AS value, "
+        f"floor(100.0 * (SELECT count(*) FROM mt WHERE v <= {v}) "
+        f"/ (SELECT count(*) FROM mt) * 10000.0 + 0.5) / 10000.0 AS percent"
+        for v in _PCT_RANK_VALUES
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.n_chars::DOUBLE AS v FROM documents d JOIN m USING (doc_id))
+{parts}
+ORDER BY value ASC
+"""
+
+
+def _facet_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg: n_chars weighted by (doc_id % 10 + 1) over the
+    'spark' match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents").withColumn(
+        "w", (F.col("doc_id") % 10 + 1).cast("double")
+    )
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_weighted_avg(matches, docs, "n_chars", "w")
+    return out.select(_f4("value").alias("value"))
+
+
+_FACET_WAVG_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (
+  SELECT d.n_chars::DOUBLE AS v, (d.doc_id % 10 + 1)::DOUBLE AS w
+  FROM documents d JOIN m USING (doc_id)
+)
+SELECT floor(sum(v * w) / sum(w) * 10000.0 + 0.5) / 10000.0 AS value
+FROM mt
+"""
+
+
+def _facet_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms (max_doc_count=1): the n_chars values held by exactly
+    one matching doc — the long-tail buckets, rare-first order."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_rare_terms(matches, docs, "n_chars", max_doc_count=1)
+
+
+_FACET_RARE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.n_chars AS bucket, count(*)::BIGINT AS doc_count
+FROM documents d JOIN m USING (doc_id)
+GROUP BY 1 HAVING count(*) <= 1
+ORDER BY doc_count ASC, bucket ASC
+"""
+
+
+def _facet_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix over the 'spark' match set: named filters en /
+    long / src with pairwise intersections, one array-expression pass."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_adjacency_matrix(
+        matches,
+        docs,
+        {
+            "en": F.col("lang") == "en",
+            "long": F.col("n_chars") >= 300,
+            "src": F.col("source").isin("src0", "src1", "src2", "src3"),
+        },
+    )
+
+
+_FACET_ADJ_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+md AS (
+  SELECT lang = 'en' AS f_en, n_chars >= 300 AS f_long,
+         source IN ('src0', 'src1', 'src2', 'src3') AS f_src
+  FROM documents d JOIN m USING (doc_id)
+),
+b AS (
+  SELECT 'en' AS key, count(*)::BIGINT AS doc_count FROM md WHERE f_en
+  UNION ALL SELECT 'long', count(*)::BIGINT FROM md WHERE f_long
+  UNION ALL SELECT 'src', count(*)::BIGINT FROM md WHERE f_src
+  UNION ALL SELECT 'en&long', count(*)::BIGINT FROM md WHERE f_en AND f_long
+  UNION ALL SELECT 'en&src', count(*)::BIGINT FROM md WHERE f_en AND f_src
+  UNION ALL SELECT 'long&src', count(*)::BIGINT FROM md WHERE f_long AND f_src
+)
+SELECT key, doc_count FROM b WHERE doc_count > 0 ORDER BY key ASC
+"""
+
+_GEOTILE_ZOOM = 3
+
+
+def _facet_geotile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid at zoom 3 over the click events (slippy-tile keys
+    z/x/y, Web-Mercator formula, pure JVM column math)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = _geo_events(spark, sf_dir)
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    return OFA.facet_geotile_grid(
+        matches, ev, "lat", "lon", zoom=_GEOTILE_ZOOM, id_col="event_id"
+    )
+
+
+def _facet_geotile_sql() -> str:
+    z2 = float(2 ** _GEOTILE_ZOOM)
+    maxi = int(z2) - 1
+    return f"""
+WITH g AS (
+  SELECT ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT radians(greatest(-85.05112878, least(85.05112878, lat))) AS latr,
+         lon
+  FROM g
+),
+t AS (
+  SELECT
+    least(greatest(floor((lon + 180.0) / 360.0 * {z2}), 0), {maxi})::BIGINT AS x,
+    least(greatest(
+      floor((1.0 - ln(tan(latr) + 1.0 / cos(latr)) / pi()) / 2.0 * {z2}),
+      0), {maxi})::BIGINT AS y
+  FROM p
+)
+SELECT concat('{_GEOTILE_ZOOM}', '/', x, '/', y) AS key,
+       count(*)::BIGINT AS doc_count
+FROM t GROUP BY 1 ORDER BY doc_count DESC, key ASC
+"""
+
+
+_AUTO_DH_TARGET = 12
+
+
+def _facet_auto_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram over the click events: smallest calendar
+    interval from the minute→year ladder with ≤ 12 non-empty buckets."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    return OFA.facet_auto_date_histogram(
+        matches, ev, "ts", target_buckets=_AUTO_DH_TARGET, id_col="event_id"
+    )
+
+
+def _facet_auto_dh_sql() -> str:
+    ladder = ("minute", "hour", "day", "week", "month", "quarter", "year")
+    counts = ", ".join(
+        f"count(DISTINCT date_trunc('{iv}', ts)) AS c_{iv}" for iv in ladder
+    )
+    sel = " ".join(
+        f"WHEN c_{iv} <= {_AUTO_DH_TARGET} THEN '{iv}'" for iv in ladder[:-1]
+    )
+    trunc = " ".join(
+        f"WHEN '{iv}' THEN date_trunc('{iv}', ts)" for iv in ladder
+    )
+    return f"""
+WITH m AS (SELECT ts FROM events WHERE event_type = 'click'),
+c AS (SELECT {counts} FROM m),
+sel AS (SELECT CASE {sel} ELSE 'year' END AS iv FROM c)
+SELECT (SELECT iv FROM sel) AS interval,
+       CASE (SELECT iv FROM sel) {trunc} END AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM m GROUP BY bucket ORDER BY bucket ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -2448,6 +2893,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_filtered": _ann_topk_filtered,
         "phrase_suggest": _phrase_suggest,
         "index_stats": _index_stats,
+        "bm25_boosting": _bm25_boosting,
+        "bm25_span_first": _bm25_span_first,
+        "bm25_span_not": _bm25_span_not,
+        "explain_doc": _explain_doc,
+        "termvectors_doc": _termvectors_doc,
+        "facet_ext_stats": _facet_ext_stats,
+        "facet_pct_ranks": _facet_pct_ranks,
+        "facet_weighted_avg": _facet_weighted_avg,
+        "facet_rare_terms": _facet_rare_terms,
+        "facet_adjacency": _facet_adjacency,
+        "facet_geotile": _facet_geotile,
+        "facet_auto_dh": _facet_auto_dh,
         "bm25_regexp": _bm25_regexp,
         "bm25_rescore": _bm25_rescore,
         "bm25_phrase_prefix": _bm25_phrase_prefix,
@@ -2554,6 +3011,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_filtered": _ann_filtered_sql(),
         "phrase_suggest": _phrase_suggest_sql(),
         "index_stats": _INDEX_STATS_SQL,
+        "bm25_boosting": _bm25_boosting_sql(),
+        "bm25_span_first": _bm25_span_first_sql(),
+        "bm25_span_not": _bm25_span_not_sql(),
+        "explain_doc": _explain_doc_sql(),
+        "termvectors_doc": _TERMVECTORS_SQL,
+        "facet_ext_stats": _FACET_EXT_STATS_SQL,
+        "facet_pct_ranks": _facet_pct_ranks_sql(),
+        "facet_weighted_avg": _FACET_WAVG_SQL,
+        "facet_rare_terms": _FACET_RARE_SQL,
+        "facet_adjacency": _FACET_ADJ_SQL,
+        "facet_geotile": _facet_geotile_sql(),
+        "facet_auto_dh": _facet_auto_dh_sql(),
         "bm25_boosted": _bm25_sql(
             _BOOST_TERMS, "or", None,
             boost_case="CASE WHEN tf.term = 'spark' THEN 2.5 ELSE 1.0 END",

@@ -17,6 +17,8 @@ Determinism contract (shared with the DuckDB oracles): counts order by
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -501,5 +503,245 @@ def facet_pipeline(
             (F.col("doc_count") - F.lag("doc_count", 1).over(w)).cast("long"),
         )
         .withColumn("moving_avg", F.avg("doc_count").over(wm))
+        .orderBy(F.col("bucket").asc())
+    )
+
+def facet_extended_stats(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    sigma: float = 2.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES extended_stats aggregation: the `stats` fields plus
+    sum_of_squares, POPULATION variance / std_deviation (the ES default),
+    and the sigma-scaled std-deviation bounds (avg ± sigma·std). Still one
+    partial-aggregated pass — the extra moments are more partial aggregates
+    on the same shuffle."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    v = F.col(col).cast("double")
+    row = joined.agg(
+        F.count(v).alias("count"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.sum(v).alias("sum"),
+        F.avg(v).alias("avg"),
+        F.sum(v * v).alias("sum_of_squares"),
+        F.var_pop(v).alias("variance"),
+        F.stddev_pop(v).alias("std_deviation"),
+    )
+    return row.select(
+        "*",
+        (F.col("avg") + F.lit(float(sigma)) * F.col("std_deviation")).alias(
+            "std_upper"
+        ),
+        (F.col("avg") - F.lit(float(sigma)) * F.col("std_deviation")).alias(
+            "std_lower"
+        ),
+    )
+
+
+def facet_percentile_ranks(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    values: list[float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES percentile_ranks aggregation, EXACT cumulative-frequency variant:
+    rank(v) = 100 · |{x ≤ v}| / n. (ES interpolates from a t-digest — an
+    approximation of exactly this quantity; the exact form is deterministic
+    and engine-portable, so the oracle matches bit-for-bit. At 100 TB the
+    plan is unchanged: the ranks are `sum(when(x<=v,1))` partial aggregates
+    on one pass, no sort.) One row per requested value, (value, percent),
+    value ASC."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    x = F.col(col).cast("double")
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.when(x <= F.lit(float(v)), 1).otherwise(0)).alias(f"c{i}")
+        for i, v in enumerate(values)
+    ]
+    row = joined.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(float(v)).alias("value"),
+            (F.col(f"c{i}") * 100.0 / F.col("n")).alias("percent"),
+        )
+        for i, v in enumerate(values)
+    ])
+    return (
+        row.select(F.explode(pairs).alias("x"))
+        .select("x.value", "x.percent")
+        .orderBy("value")
+    )
+
+
+def facet_weighted_avg(
+    matches: DataFrame,
+    corpus: DataFrame,
+    value_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES weighted_avg aggregation: sum(value·weight) / sum(weight) over
+    the match set — one partial-aggregated pass."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    return joined.agg((F.sum(v * w) / F.sum(w)).alias("value"))
+
+
+def facet_rare_terms(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    max_doc_count: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES rare_terms aggregation: the long tail — buckets whose doc count
+    is ≤ max_doc_count, ordered (doc_count ASC, bucket ASC) (ES's
+    rare-first order). Same grouped pass as the terms agg with the
+    post-aggregation count filter; ES's CuckooFilter-based pruning is an
+    approximation of exactly this — the exact form keeps the oracle, and
+    the count filter runs AFTER the partial agg so only (bucket, count)
+    pairs ever shuffle."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    return (
+        joined.groupBy(F.col(col).alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .where(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.col("doc_count").asc(), F.col("bucket").asc())
+    )
+
+
+def facet_adjacency_matrix(
+    matches: DataFrame,
+    corpus: DataFrame,
+    filters: dict,
+    sep: str = "&",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES adjacency_matrix aggregation: named filter predicates; one bucket
+    per filter (docs matching it) and one per filter PAIR "a&b" (docs
+    matching both), empty buckets absent (the ES contract). Buckets order
+    key ASC (deterministic; ES renders a keyed map).
+
+    Plan: per doc, ONE array-of-keys column expression (singles + pair
+    conjunctions), array_compact + explode + counted group — a single pass
+    and one (key, partial_count) shuffle regardless of the number of
+    filters; never one scan per filter."""
+    items = sorted(filters.items())
+    keys = [F.when(cond, F.lit(name)) for name, cond in items]
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            ni, ci = items[i]
+            nj, cj = items[j]
+            keys.append(F.when(ci & cj, F.lit(f"{ni}{sep}{nj}")))
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    return (
+        joined.select(
+            F.explode(F.array_compact(F.array(*keys))).alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("key").asc())
+    )
+
+
+_GEOTILE_MAX_LAT = 85.05112878  # Web-Mercator latitude bound (slippy tiles)
+
+
+def facet_geotile_grid(
+    matches: DataFrame,
+    corpus: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    zoom: int = 5,
+    n: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES geotile_grid aggregation: doc counts per Web-Mercator map tile
+    "z/x/y" at the requested zoom (the slippy-tile formula ES uses:
+    x = ⌊(lon+180)/360·2^z⌋, y from the Mercator projection of the
+    clamped latitude). Pure JVM column math — one grouped pass, one
+    (tile, partial_count) shuffle. Order (doc_count DESC, key ASC) with
+    ES's size cut."""
+    if not 0 <= zoom <= 29:
+        raise ValueError(f"zoom {zoom} outside [0, 29]")
+    z2 = float(2 ** zoom)
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    lat = F.greatest(
+        F.lit(-_GEOTILE_MAX_LAT),
+        F.least(F.lit(_GEOTILE_MAX_LAT), F.col(lat_col).cast("double")),
+    )
+    lon = F.col(lon_col).cast("double")
+    latr = F.radians(lat)
+    x = F.floor((lon + 180.0) / 360.0 * F.lit(z2))
+    y = F.floor(
+        (1.0 - F.log(F.tan(latr) + 1.0 / F.cos(latr)) / F.lit(math.pi))
+        / 2.0
+        * F.lit(z2)
+    )
+    maxi = F.lit(int(z2) - 1)
+    x = F.least(F.greatest(x, F.lit(0)), maxi).cast("long")
+    y = F.least(F.greatest(y, F.lit(0)), maxi).cast("long")
+    key = F.concat_ws("/", F.lit(str(zoom)), x, y)
+    out = (
+        joined.groupBy(key.alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+    )
+    return out.limit(n) if n is not None else out
+
+
+_AUTO_DH_LADDER = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def facet_auto_date_histogram(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    target_buckets: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES auto_date_histogram: pick the smallest calendar interval from the
+    minute→year ladder yielding at most `target_buckets` NON-EMPTY buckets,
+    then the usual date_histogram at that interval. Output carries the
+    chosen interval per row (the ES response's `interval` field).
+
+    Plan: ONE planning-level pass computes every ladder rung's distinct
+    bucket count as parallel partial aggregates (a single 7-column agg row
+    collected to the driver — planning data, like the slicer histograms);
+    the chosen rung then runs as the normal grouped histogram. Two passes
+    total, both distributed."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    counts = joined.agg(*[
+        F.count_distinct(F.date_trunc(iv, F.col(date_col))).alias(iv)
+        for iv in _AUTO_DH_LADDER
+    ]).collect()[0]
+    interval = next(
+        (iv for iv in _AUTO_DH_LADDER if counts[iv] <= target_buckets),
+        "year",
+    )
+    return (
+        joined.groupBy(
+            F.date_trunc(interval, F.col(date_col)).alias("bucket")
+        )
+        .agg(F.count("*").alias("doc_count"))
+        .select(F.lit(interval).alias("interval"), "bucket", "doc_count")
         .orderBy(F.col("bucket").asc())
     )

@@ -726,6 +726,267 @@ class InvertedIndex:
         )
         return out.limit(k) if k is not None else out
 
+    def boosting(
+        self,
+        positive: str | list[str],
+        negative: str | list[str],
+        negative_boost: float = 0.5,
+        k: int | None = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES boosting query: positive matches score normally; docs ALSO
+        matching the negative query stay in the results but with their
+        score multiplied by `negative_boost` (the negative side is
+        filter-context — it demotes, never excludes or contributes score;
+        must_not is the exclusion variant).
+
+        Plan: positive distributed search (k=None), left join to the
+        negative MATCH SET (ids only — no scoring work on the negative
+        side), one column expression, TakeOrderedAndProject. The join is
+        on doc_id, so it rides the same hash exchange the combine would
+        need anyway."""
+        if not 0.0 <= negative_boost <= 1.0:
+            raise ValueError("negative_boost must be in [0, 1]")
+        pos = self.search(positive, k=None, mode=mode)
+        neg = (
+            self.search(negative, k=None, mode="or")
+            .select("doc_id")
+            .withColumn("neg", F.lit(True))
+        )
+        out = (
+            pos.join(neg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.coalesce(F.col("neg"), F.lit(False)),
+                    F.col("score") * F.lit(float(negative_boost)),
+                )
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+
+    # -- span queries (positional) -------------------------------------------
+
+    def search_span_first(
+        self,
+        term: str,
+        end: int,
+        k: int | None = 10,
+        allowed: "np.ndarray | None" = None,
+    ) -> DataFrame:
+        """ES span_first query: docs where `term` occurs within the first
+        `end` token positions (query/phrase.py span_first_match), scored
+        BM25 on the term restricted to matching docs — the engine's
+        span-composition contract (same as search_near/search_phrase)."""
+        from elasticsearch_assets_spark.query.phrase import span_first_match
+        from elasticsearch_assets_spark.query.wand import restrict
+
+        prep = self._near_prep(term, term)
+        if prep is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        distinct, idfs = prep
+        meta = self.meta
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            docs = restrict(
+                span_first_match(postings, term, end), excluded, allowed
+            )
+            score = exact_scores(docs, distinct, postings, idfs, avgdl, k1, b)
+            order = np.lexsort((docs, -score))
+            if k is not None:
+                order = order[:k]
+            return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
+
+        per_seg = (
+            self.segments.where(F.col("term") == term)
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
+        )
+        ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered.limit(k) if k is not None else ordered
+
+    def search_span_not(
+        self,
+        include: str,
+        exclude: str,
+        pre: int = 0,
+        post: int = 0,
+        k: int | None = 10,
+        allowed: "np.ndarray | None" = None,
+    ) -> DataFrame:
+        """ES span_not query (two-term form): docs with an occurrence of
+        `include` that has NO `exclude` occurrence within `pre` positions
+        before / `post` after it (query/phrase.py span_not_match). Scoring:
+        BM25 on the include term restricted to matching docs. A missing
+        exclude term matches every include doc (the span_not contract)."""
+        from elasticsearch_assets_spark.query.phrase import span_not_match
+        from elasticsearch_assets_spark.query.wand import restrict
+
+        if not self.meta.positions:
+            raise ValueError(
+                "index was built without positions=True — span queries "
+                "need the positional stream (build_index(positions=True))"
+            )
+        dfs = self.term_stats([include])
+        if include not in dfs:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        meta = self.meta
+        idfs = {include: idf(meta.n_docs, dfs[include])}
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            docs = restrict(
+                span_not_match(postings, include, exclude, pre, post),
+                excluded, allowed,
+            )
+            score = exact_scores(
+                docs, [include], postings, idfs, avgdl, k1, b
+            )
+            order = np.lexsort((docs, -score))
+            if k is not None:
+                order = order[:k]
+            return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
+
+        per_seg = (
+            self.segments.where(F.col("term").isin([include, exclude]))
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
+        )
+        ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered.limit(k) if k is not None else ordered
+
+    # -- inspection APIs ----------------------------------------------------
+
+    EXPLAIN_SCHEMA = (
+        "term string, tf long, dl long, df long, idf double, weight double"
+    )
+
+    def explain(self, query: str | list[str], doc_id: int) -> DataFrame:
+        """ES _explain API: the per-term BM25 breakdown for one (query,
+        document) pair — (term, tf, dl, df, idf, weight) rows, term ASC;
+        weight = idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)). The weights
+        sum to exactly the engine's search() score for the doc (tested), a
+        tombstoned or non-matching doc explains to zero rows.
+
+        Plan: the same pushed `term IN` segment scan as search, decoded per
+        segment and restricted to the doc (one searchsorted per posting
+        row); df/idf are the scorer's own global stats."""
+        terms = sorted(
+            set(tokenize(query) if isinstance(query, str) else query)
+        )
+        if not terms:
+            return self.spark.createDataFrame([], self.EXPLAIN_SCHEMA)
+        dfs = self.term_stats(terms)
+        meta = self.meta
+        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        did = int(doc_id)
+        tombstoned = bool(np.isin(did, self.tombstones).any())
+
+        def explain_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {
+                "term": [], "tf": [], "dl": [], "df": [], "idf": [],
+                "weight": [],
+            }
+            if not tombstoned:
+                # one row per posting row of the query's terms in this
+                # segment (≤ n_terms rows — bounded by the query)
+                for r in pdf.itertuples(index=False):
+                    tp = TermPostings(r._asdict())
+                    i = int(np.searchsorted(tp.doc_ids, did))
+                    if i >= tp.doc_ids.size or tp.doc_ids[i] != did:
+                        continue
+                    tfs, dls = tp.full()
+                    tf, dl = int(tfs[i]), int(dls[i])
+                    w = idfs[r.term] * (
+                        tf * (k1 + 1.0)
+                        / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    )
+                    out["term"].append(r.term)
+                    out["tf"].append(tf)
+                    out["dl"].append(dl)
+                    out["df"].append(int(dfs.get(r.term, 0)))
+                    out["idf"].append(idfs[r.term])
+                    out["weight"].append(w)
+            return pd.DataFrame(out)
+
+        return (
+            self.segments.where(F.col("term").isin(terms))
+            .groupBy("seg_id")
+            .applyInPandas(explain_fn, self.EXPLAIN_SCHEMA)
+            .orderBy(F.col("term").asc())
+        )
+
+    def termvectors(self, doc_id: int) -> DataFrame:
+        """ES _termvectors API: every term of one document with its
+        within-doc tf and collection df — (term, tf, df) rows, term ASC.
+        A tombstoned doc returns zero rows.
+
+        Plan: the doc's segment resolves through the same durable seg_map
+        the cogrouped filter path uses, so the posting scan PRUNES to one
+        segment per chunk (falls back to a full segment scan only for
+        unmappable layouts); the decode emits only the doc's rows, then df
+        joins from the stats table (the termvector side is tiny — AQE
+        broadcasts it)."""
+        did = int(doc_id)
+        if bool(np.isin(did, self.tombstones).any()):
+            return self.spark.createDataFrame([], "term string, tf long, df long")
+        ids = self.spark.createDataFrame([(did,)], "doc_id long")
+        seg_scan = self.segments
+        with_seg = self._filter_with_seg(ids)
+        if with_seg is not None:
+            # ≤ one seg per chunk — a bounded planning-level collect
+            sids = [
+                r["seg_id"]
+                for r in with_seg.select("seg_id").distinct().collect()
+            ]
+            if not sids:
+                return self.spark.createDataFrame(
+                    [], "term string, tf long, df long"
+                )
+            seg_scan = seg_scan.where(F.col("seg_id").isin(sids))
+
+        def tv_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"term": [], "tf": []}
+            for r in pdf.itertuples(index=False):  # per posting row
+                tp = TermPostings(r._asdict())
+                i = int(np.searchsorted(tp.doc_ids, did))
+                if i >= tp.doc_ids.size or tp.doc_ids[i] != did:
+                    continue
+                tfs, _ = tp.full()
+                out["term"].append(r.term)
+                out["tf"].append(int(tfs[i]))
+            return pd.DataFrame(out)
+
+        tv = (
+            seg_scan.groupBy("seg_id")
+            .applyInPandas(tv_fn, "term string, tf long")
+        )
+        return (
+            tv.join(
+                self.stats.select(
+                    "term", F.col("df").cast("long").alias("df")
+                ),
+                "term",
+                "left",
+            )
+            .orderBy(F.col("term").asc())
+        )
+
     def suggest(
         self,
         text: str,

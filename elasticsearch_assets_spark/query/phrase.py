@@ -222,3 +222,63 @@ def near_match(
     if not hit2.any():
         return empty
     return cand[np.unique(dense2[hit2])]
+
+def span_first_match(
+    postings: dict[str, TermPostings], term: str, end: int
+) -> np.ndarray:
+    """Sorted doc ids (of one segment) where `term` occurs within the
+    first `end` token positions — Lucene's span_first (the span must end
+    at position ≤ `end`; a single-term span of width 1 ends at pos+1, so
+    the test is pos < end)."""
+    empty = np.array([], dtype=np.int64)
+    if term not in postings or end <= 0:
+        return empty
+    tp = postings[term]
+    tfs, _ = tp.full()
+    pos = tp.positions()
+    docs_o = np.repeat(tp.doc_ids, tfs)
+    return np.unique(docs_o[pos < end])
+
+
+def span_not_match(
+    postings: dict[str, TermPostings],
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+) -> np.ndarray:
+    """Sorted doc ids (of one segment) with an occurrence of `include`
+    that has NO occurrence of `exclude` within `pre` positions before or
+    `post` after it — Lucene's span_not with pre/post slop (pre=post=0
+    rejects only same-position overlap, impossible for distinct terms
+    under this analyzer, so callers pass a window).
+
+    Same key algebra as near_match: exclude occurrences become sorted
+    doc-block keys; ONE searchsorted pair per include occurrence asks
+    whether its window is empty."""
+    empty = np.array([], dtype=np.int64)
+    if include == exclude:
+        raise ValueError("span_not_match needs two distinct terms")
+    if include not in postings:
+        return empty
+    tp = postings[include]
+    tfs, _ = tp.full()
+    p1 = tp.positions()
+    d1 = np.repeat(tp.doc_ids, tfs)
+    if exclude not in postings:
+        return np.unique(d1)
+    te = postings[exclude]
+    tfs2, _ = te.full()
+    p2 = te.positions()
+    d2 = np.repeat(te.doc_ids, tfs2)
+    alldocs = np.union1d(tp.doc_ids, te.doc_ids)
+    maxpos = max(int(p1.max()), int(p2.max()))
+    M = np.int64(maxpos + pre + post + 2)  # window stays inside the block
+    k2 = np.searchsorted(alldocs, d2) * M + p2  # built sorted (doc, pos)
+    dense1 = np.searchsorted(alldocs, d1)
+    lo = dense1 * M + np.maximum(p1 - pre, 0)
+    hi = dense1 * M + (p1 + post)
+    left = np.searchsorted(k2, lo, side="left")
+    right = np.searchsorted(k2, hi, side="right")
+    ok = right == left  # no exclude occurrence inside the window
+    return np.unique(d1[ok])
