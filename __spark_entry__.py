@@ -2848,6 +2848,307 @@ FROM m GROUP BY bucket ORDER BY bucket ASC
 
 
 # ---------------------------------------------------------------------------
+# Round-3 batch 5: terms_set / exists / matrix-stats / remaining agg family
+# ---------------------------------------------------------------------------
+
+_TERMS_SET_TERMS = ["spark", "join", "merge"]
+
+
+def _terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query: docs containing at least (doc_id % 2 + 1)
+    distinct terms of {spark, join, merge} — the per-doc
+    minimum_should_match_field variant; qualifying docs score as the OR
+    query (routed through the cogrouped filtered-search path)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents").withColumn(
+        "required", (F.col("doc_id") % 2 + 1).cast("int")
+    )
+    out = idx.terms_set(_TERMS_SET_TERMS, docs, "required", k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _terms_set_sql() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(_TERMS_SET_TERMS))
+    return f"""
+WITH {_BM25_CORE_CTES.strip()},
+{_bm25_scored_cte(_TERMS_SET_TERMS).strip()},
+mc AS (
+  SELECT doc_id, count(DISTINCT term) AS c FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id
+),
+q AS (
+  SELECT mc.doc_id FROM mc JOIN documents d USING (doc_id)
+  WHERE mc.c >= (d.doc_id % 2 + 1)
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM q)
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _lucene_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES exists query via the `_exists_:field` query-string pseudo-field:
+    IsNotNull compiled from the Lucene surface, pushable to the scan. The
+    nullable column is derived (the testdata has no nulls) — the compile
+    path is what's under test."""
+    from elasticsearch_assets_spark.query.lucene import compile_filter, parse_lucene
+
+    ev = load_sf_table(spark, sf_dir, "events").withColumn(
+        "maybe", F.when(F.col("value") < 50, None).otherwise(F.col("props"))
+    )
+    ast = parse_lucene("_exists_:maybe AND event_type:click")
+    pred = compile_filter(ast, analyzed_fields=set())
+    return ev.where(pred).select("event_id", "value")
+
+
+_LUCENE_EXISTS_SQL = """
+SELECT event_id, value FROM events
+WHERE (CASE WHEN value < 50 THEN NULL ELSE props END) IS NOT NULL
+  AND event_type = 'click'
+"""
+
+
+def _facet_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats (two-field): moments + population covariance /
+    correlation between n_chars and a derived numeric field over the
+    'spark' match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("doc_id") % 97).cast("double")
+    )
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_matrix_stats(matches, docs, "n_chars", "y")
+    return out.select(
+        "count",
+        _f4("mean_x").alias("mean_x"), _f4("mean_y").alias("mean_y"),
+        _f4("var_x").alias("var_x"), _f4("var_y").alias("var_y"),
+        _f4("covariance").alias("covariance"),
+        _f4("correlation").alias("correlation"),
+    )
+
+
+_FACET_MATRIX_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (
+  SELECT d.n_chars::DOUBLE AS x, (d.doc_id % 97)::DOUBLE AS y
+  FROM documents d JOIN m USING (doc_id)
+)
+SELECT count(*)::BIGINT AS "count",
+       floor(avg(x) * 10000.0 + 0.5) / 10000.0 AS mean_x,
+       floor(avg(y) * 10000.0 + 0.5) / 10000.0 AS mean_y,
+       floor(var_pop(x) * 10000.0 + 0.5) / 10000.0 AS var_x,
+       floor(var_pop(y) * 10000.0 + 0.5) / 10000.0 AS var_y,
+       floor(covar_pop(x, y) * 10000.0 + 0.5) / 10000.0 AS covariance,
+       floor(covar_pop(x, y) / sqrt(var_pop(x) * var_pop(y))
+             * 10000.0 + 0.5) / 10000.0 AS correlation
+FROM mt
+"""
+
+
+def _facet_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation (exact medians) of n_chars over the
+    'spark' match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_mad(matches, docs, "n_chars")
+    return out.select(_f4("value").alias("value"))
+
+
+_FACET_MAD_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.n_chars::DOUBLE AS v FROM documents d JOIN m USING (doc_id)),
+med AS (SELECT quantile_cont(v, 0.5) AS med FROM mt)
+SELECT floor(quantile_cont(abs(v - med.med), 0.5) * 10000.0 + 0.5) / 10000.0
+         AS value
+FROM mt, med
+"""
+
+
+def _facet_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms: buckets keyed by (lang, source) over the 'spark'
+    match set, top 10 by (doc_count DESC, keys ASC)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_multi_terms(matches, docs, ["lang", "source"], n=10)
+
+
+_FACET_MULTI_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.lang AS key_lang, d.source AS key_source,
+       count(*)::BIGINT AS doc_count
+FROM documents d JOIN m USING (doc_id)
+GROUP BY 1, 2
+ORDER BY doc_count DESC, key_lang ASC, key_source ASC LIMIT 10
+"""
+
+
+def _facet_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics under a terms agg: per lang bucket, the doc_id of
+    the longest doc (sort n_chars DESC, ties doc_id ASC)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_top_metrics(matches, docs, "lang", "n_chars", "doc_id")
+
+
+_FACET_TOP_METRICS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+r AS (
+  SELECT d.lang AS bucket, d.n_chars AS sort_val, d.doc_id AS metric_val,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY d.n_chars DESC, d.doc_id ASC
+         ) AS rn
+  FROM documents d JOIN m USING (doc_id)
+)
+SELECT bucket, sort_val, metric_val FROM r WHERE rn = 1
+ORDER BY bucket ASC
+"""
+
+_GEO_DIST_EDGES_KM = [3000.0, 6000.0, 9000.0]
+
+
+def _facet_geo_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance aggregation: haversine-km ring buckets from
+    (10, 20) over the click events, empty buckets kept."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = _geo_events(spark, sf_dir)
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    return OFA.facet_geo_distance(
+        matches, ev, "lat", "lon", "10,20", _GEO_DIST_EDGES_KM,
+        id_col="event_id",
+    )
+
+
+def _facet_geo_dist_sql() -> str:
+    km = _HAVERSINE_SQL.format(plat=10.0, plon=20.0) + " / 1000.0"
+    e = _GEO_DIST_EDGES_KM
+    return f"""
+WITH g AS (
+  SELECT ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon
+  FROM events WHERE event_type = 'click'
+),
+d AS (SELECT ({km}) AS km FROM g),
+ranges(bidx, bucket_lo, bucket_hi) AS (VALUES
+  (0, NULL::DOUBLE, {e[0]}), (1, {e[0]}, {e[1]}),
+  (2, {e[1]}, {e[2]}), (3, {e[2]}, NULL::DOUBLE)
+)
+SELECT r.bucket_lo, r.bucket_hi,
+       (SELECT count(*) FROM d
+        WHERE (r.bucket_lo IS NULL OR d.km >= r.bucket_lo)
+          AND (r.bucket_hi IS NULL OR d.km < r.bucket_hi))::BIGINT
+         AS doc_count
+FROM ranges r ORDER BY bucket_lo ASC NULLS FIRST
+"""
+
+
+def _facet_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_centroid: arithmetic mean lat/lon + count of the click
+    events."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = _geo_events(spark, sf_dir)
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_geo_centroid(matches, ev, "lat", "lon", id_col="event_id")
+    return out.select(
+        _f4("lat").alias("lat"), _f4("lon").alias("lon"), "count"
+    )
+
+
+_FACET_GEO_CENTROID_SQL = f"""
+SELECT floor(avg(({_LAT_SQL})::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS lat,
+       floor(avg(({_LON_SQL})::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS lon,
+       count(*)::BIGINT AS "count"
+FROM events WHERE event_type = 'click'
+"""
+
+_SAMPLER_SIZE = 50
+
+
+def _facet_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler agg (deterministic md5-smallest variant): lang term
+    counts over a 50-doc pseudo-random sample of the 'spark' match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_sampler(matches, docs, "lang", shard_size=_SAMPLER_SIZE)
+
+
+_FACET_SAMPLER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+s AS (
+  SELECT doc_id FROM m ORDER BY md5(doc_id::VARCHAR) ASC
+  LIMIT {_SAMPLER_SIZE}
+)
+SELECT d.lang AS bucket, count(*)::BIGINT AS doc_count
+FROM documents d JOIN s USING (doc_id)
+GROUP BY 1 ORDER BY doc_count DESC, bucket ASC
+"""
+
+_BSCRIPT_MIN_COUNT = 70
+
+
+def _facet_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script + bucket_selector over a daily date_histogram of
+    the click events: ratio = sum(value)/doc_count per bucket, buckets
+    with doc_count ≤ 70 dropped."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_bucket_script(
+        matches, ev, "ts", "value", "day",
+        min_count=_BSCRIPT_MIN_COUNT, id_col="event_id",
+    )
+    return out.select(
+        "bucket", "doc_count",
+        _f4("total").alias("total"), _f4("ratio").alias("ratio"),
+    )
+
+
+_FACET_BSCRIPT_SQL = f"""
+WITH m AS (SELECT ts, value FROM events WHERE event_type = 'click'),
+h AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count,
+         sum(value) AS total
+  FROM m GROUP BY 1
+)
+SELECT bucket, doc_count,
+       floor(total * 10000.0 + 0.5) / 10000.0 AS total,
+       floor(total / doc_count * 10000.0 + 0.5) / 10000.0 AS ratio
+FROM h WHERE doc_count > {_BSCRIPT_MIN_COUNT}
+ORDER BY bucket ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -2905,6 +3206,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_adjacency": _facet_adjacency,
         "facet_geotile": _facet_geotile,
         "facet_auto_dh": _facet_auto_dh,
+        "terms_set": _terms_set,
+        "lucene_exists": _lucene_exists,
+        "facet_matrix_stats": _facet_matrix_stats,
+        "facet_mad": _facet_mad,
+        "facet_multi_terms": _facet_multi_terms,
+        "facet_top_metrics": _facet_top_metrics,
+        "facet_geo_dist": _facet_geo_dist,
+        "facet_geo_centroid": _facet_geo_centroid,
+        "facet_sampler": _facet_sampler,
+        "facet_bucket_script": _facet_bucket_script,
         "bm25_regexp": _bm25_regexp,
         "bm25_rescore": _bm25_rescore,
         "bm25_phrase_prefix": _bm25_phrase_prefix,
@@ -3023,6 +3334,16 @@ def oracle_sql() -> dict[str, str]:
         "facet_adjacency": _FACET_ADJ_SQL,
         "facet_geotile": _facet_geotile_sql(),
         "facet_auto_dh": _facet_auto_dh_sql(),
+        "terms_set": _terms_set_sql(),
+        "lucene_exists": _LUCENE_EXISTS_SQL,
+        "facet_matrix_stats": _FACET_MATRIX_SQL,
+        "facet_mad": _FACET_MAD_SQL,
+        "facet_multi_terms": _FACET_MULTI_TERMS_SQL,
+        "facet_top_metrics": _FACET_TOP_METRICS_SQL,
+        "facet_geo_dist": _facet_geo_dist_sql(),
+        "facet_geo_centroid": _FACET_GEO_CENTROID_SQL,
+        "facet_sampler": _FACET_SAMPLER_SQL,
+        "facet_bucket_script": _FACET_BSCRIPT_SQL,
         "bm25_boosted": _bm25_sql(
             _BOOST_TERMS, "or", None,
             boost_case="CASE WHEN tf.term = 'spark' THEN 2.5 ELSE 1.0 END",

@@ -745,3 +745,252 @@ def facet_auto_date_histogram(
         .select(F.lit(interval).alias("interval"), "bucket", "doc_count")
         .orderBy(F.col("bucket").asc())
     )
+
+def facet_matrix_stats(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col_x: str,
+    col_y: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES matrix_stats aggregation (two-field form): count, means,
+    POPULATION variances, covariance, and correlation between two numeric
+    fields over the match set — one partial-aggregated pass (the moments
+    are parallel partials on the same shuffle). ES streams sample moments;
+    the population form is deterministic and engine-portable (documented
+    deviation; correlation is scale-free so pop vs sample only shifts the
+    variance rows by n/(n−1))."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    row = joined.agg(
+        F.count("*").alias("count"),
+        F.avg(x).alias("mean_x"),
+        F.avg(y).alias("mean_y"),
+        F.var_pop(x).alias("var_x"),
+        F.var_pop(y).alias("var_y"),
+        F.covar_pop(x, y).alias("covariance"),
+    )
+    return row.select(
+        "*",
+        (
+            F.col("covariance")
+            / F.sqrt(F.col("var_x") * F.col("var_y"))
+        ).alias("correlation"),
+    )
+
+
+def facet_mad(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES median_absolute_deviation aggregation, EXACT variant:
+    median(|x − median(x)|) with exact interpolated medians (ES uses
+    t-digest approximations of the same definition). Two grouped passes,
+    both distributed — the one-row median frame cross-joins back (a
+    broadcast of one row), never a driver collect."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    v = F.col(col).cast("double")
+    med = joined.agg(F.percentile(v, F.lit(0.5)).alias("med"))
+    return (
+        joined.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(v - F.col("med")), F.lit(0.5)).alias("value")
+        )
+    )
+
+
+def facet_multi_terms(
+    matches: DataFrame,
+    corpus: DataFrame,
+    cols: list,
+    n: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES multi_terms aggregation: buckets keyed by a COMPOSITE of several
+    fields, doc_count per key tuple, ordered (doc_count DESC, keys ASC) —
+    one grouped pass, identical plan shape to the terms agg."""
+    if not cols:
+        raise ValueError("multi_terms needs at least one key column")
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    keys = [F.col(c).alias(f"key_{c}") for c in cols]
+    out = (
+        joined.groupBy(*keys)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(
+            F.col("doc_count").desc(),
+            *[F.col(f"key_{c}").asc() for c in cols],
+        )
+    )
+    return out.limit(n) if n is not None else out
+
+
+def facet_top_metrics(
+    matches: DataFrame,
+    corpus: DataFrame,
+    bucket_col: str,
+    sort_col: str,
+    metric_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES top_metrics aggregation under a terms agg: per bucket, the
+    `metric_col` value of the row with the LARGEST `sort_col` (ties broken
+    id ASC — deterministic). Same grouped-top-1 window shape as field
+    collapsing (Spark rewrites rank<=1 into a group-limit)."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    w = Window.partitionBy(bucket_col).orderBy(
+        F.col(sort_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(bucket_col).alias("bucket"),
+            F.col(sort_col).alias("sort_val"),
+            F.col(metric_col).alias("metric_val"),
+        )
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+def facet_geo_distance(
+    matches: DataFrame,
+    corpus: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    origin: str,
+    edges_km: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES geo_distance aggregation: ring buckets [lo, hi) of haversine
+    distance (km) from `origin` ("lat,lon"), open-ended like the range agg,
+    empty buckets kept. The distance is the same pure-JVM haversine the
+    geo operators use (operators/geo.py); bucketing is the range agg's
+    single column-expression pass."""
+    from elasticsearch_assets_spark.operators.geo import (
+        haversine_m,
+        parse_geo_point,
+    )
+
+    if sorted(edges_km) != list(edges_km) or len(set(edges_km)) != len(edges_km):
+        raise ValueError("edges must be strictly increasing")
+    plat, plon = parse_geo_point(origin)
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    km = haversine_m(
+        F.col(lat_col).cast("double"), F.col(lon_col).cast("double"),
+        plat, plon,
+    ) / 1000.0
+    idx = sum(
+        (F.when(km >= F.lit(float(e)), 1).otherwise(0) for e in edges_km),
+        F.lit(0),
+    )
+    counts = joined.groupBy(idx.alias("bidx")).agg(
+        F.count("*").alias("doc_count")
+    )
+    bounds = [(0, None, edges_km[0])] + [
+        (i + 1, edges_km[i], edges_km[i + 1])
+        for i in range(len(edges_km) - 1)
+    ] + [(len(edges_km), edges_km[-1], None)]
+    ranges = corpus.sparkSession.createDataFrame(
+        bounds, "bidx int, bucket_lo double, bucket_hi double"
+    )
+    return (
+        ranges.join(counts, "bidx", "left")
+        .select(
+            "bucket_lo",
+            "bucket_hi",
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+        )
+        .orderBy(F.col("bucket_lo").asc_nulls_first())
+    )
+
+
+def facet_geo_centroid(
+    matches: DataFrame,
+    corpus: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES geo_centroid aggregation: the arithmetic mean of the match set's
+    lat/lon (ES's definition) plus the count — one pass."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    return joined.agg(
+        F.avg(F.col(lat_col).cast("double")).alias("lat"),
+        F.avg(F.col(lon_col).cast("double")).alias("lon"),
+        F.count("*").alias("count"),
+    )
+
+
+def facet_sampler(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    shard_size: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES sampler aggregation, DETERMINISTIC variant: restrict the
+    sub-aggregation to a fixed-size pseudo-random sample of the match set
+    — the md5(id)-smallest `shard_size` docs (a seedable, engine-portable
+    stand-in for ES's per-shard first-N, which is arrival-order dependent
+    and unreproducible). Sub-agg here: terms counts over `col`.
+
+    Plan: the sample cut is ONE TakeOrderedAndProject on the hash (top-N
+    per partition, no global sort), then the usual grouped count."""
+    ids = matches.select(F.col(id_col)).distinct()
+    sample = (
+        ids.orderBy(F.md5(F.col(id_col).cast("string")).asc())
+        .limit(shard_size)
+    )
+    joined = corpus.join(sample, id_col, "left_semi")
+    return (
+        joined.groupBy(F.col(col).alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("bucket").asc())
+    )
+
+
+def facet_bucket_script(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    metric_col: str,
+    interval: str = "day",
+    min_count: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES bucket_script + bucket_selector pipeline aggs over a
+    date_histogram: per calendar bucket, doc_count and sum(metric), a
+    script-computed ratio (bucket_script: total/doc_count), and buckets
+    failing `doc_count > min_count` dropped (bucket_selector). Pipeline
+    work is pure column math over the bucket series — no second pass over
+    the documents."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    return (
+        joined.groupBy(
+            F.date_trunc(interval, F.col(date_col)).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.col(metric_col).cast("double")).alias("total"),
+        )
+        .withColumn("ratio", F.col("total") / F.col("doc_count"))
+        .where(F.col("doc_count") > min_count)
+        .orderBy(F.col("bucket").asc())
+    )

@@ -768,6 +768,57 @@ class InvertedIndex:
         )
         return out.limit(k) if k is not None else out
 
+    def terms_set(
+        self,
+        terms: list[str],
+        corpus: DataFrame,
+        msm_col: str,
+        k: int | None = 10,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES terms_set query: a doc matches when it contains at least
+        `msm_col`-many DISTINCT query terms, where the minimum is a PER-DOC
+        field (minimum_should_match_field — the dynamic-m variant of
+        minimum_should_match). Matching docs score as the OR query
+        restricted to them.
+
+        Plan: per segment, ONE docID-only counting pass over the query
+        terms' postings (no tf/dl decode) → (doc_id, match_count); joined
+        to the corpus' msm projection, filtered count ≥ m, then the
+        qualifying ids feed search_filtered — which routes through the
+        cogrouped executor-side scorer on mappable indexes. Never a
+        driver-side id materialization on that path."""
+        distinct = sorted(set(terms))
+        if not distinct:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+
+        def count_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            arrs = [
+                TermPostings(row).doc_ids
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            ]
+            if not arrs:
+                return pd.DataFrame({"doc_id": [], "match_count": []})
+            allv = np.concatenate(arrs)
+            docs, counts = np.unique(allv, return_counts=True)
+            return pd.DataFrame({"doc_id": docs, "match_count": counts})
+
+        counted = (
+            self.segments.where(F.col("term").isin(distinct))
+            .groupBy("seg_id")
+            .applyInPandas(count_fn, "doc_id long, match_count long")
+        )
+        qualifying = counted.join(
+            corpus.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(msm_col).cast("long").alias("_msm"),
+            ),
+            "doc_id",
+        ).where(F.col("match_count") >= F.col("_msm"))
+        return self.search_filtered(
+            distinct, qualifying, k=k, mode="or", id_col="doc_id"
+        )
+
     # -- span queries (positional) -------------------------------------------
 
     def search_span_first(

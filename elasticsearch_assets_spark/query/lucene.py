@@ -347,6 +347,12 @@ def compile_filter(
         if isinstance(n, Not):
             return ~go(n.child)
         if isinstance(n, Term):
+            if n.field == "_exists_":
+                # ES `_exists_:field` pseudo-field (the query-string form
+                # of the exists query): matches docs where the named field
+                # has a non-null value — an IsNotNull Catalyst pushes to
+                # the scan
+                return F.col(n.value).isNotNull()
             if n.field is None or n.field in analyzed:
                 col = n.field if n.field is not None and n.field != text_col else text_col
                 return F.array_contains(_tokens_col(col), n.value.lower())

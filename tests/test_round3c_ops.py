@@ -305,3 +305,162 @@ def test_auto_date_histogram_picks_smallest_fitting(spark, spark_matches, corpus
     assert sum(r["doc_count"] for r in rows_h) == sum(
         r["doc_count"] for r in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 5: terms_set / exists / matrix stats family
+# ---------------------------------------------------------------------------
+
+
+def test_terms_set_per_doc_threshold(index, corpus, doc_tokens):
+    terms = ["spark", "join", "merge"]
+    c2 = corpus.withColumn("req", (F.col("doc_id") % 3 + 1).cast("int"))
+    got = dict(_pairs(index.terms_set(terms, c2, "req", k=None)))
+    want_or = dict(_pairs(index.search(terms, k=None, mode="or")))
+    want_ids = set()
+    for d, toks in doc_tokens.items():
+        matched = len(set(terms) & set(toks))
+        if matched >= (d % 3 + 1):
+            want_ids.add(d)
+    assert set(got) == want_ids
+    for d, s in got.items():  # scores are the OR scores, restricted
+        assert s == pytest.approx(want_or[d])
+    assert index.terms_set([], c2, "req").count() == 0
+
+
+def test_lucene_exists_pseudo_field(spark, corpus):
+    from elasticsearch_assets_spark.query.lucene import compile_filter, parse_lucene
+
+    ev = corpus.withColumn(
+        "maybe", F.when(F.col("doc_id") % 4 == 0, None).otherwise(F.col("doc_id"))
+    )
+    pred = compile_filter(parse_lucene("_exists_:maybe"), analyzed_fields=set())
+    got = ev.where(pred).count()
+    assert got == ev.where(F.col("maybe").isNotNull()).count()
+    assert got == corpus.where(F.col("doc_id") % 4 != 0).count()
+
+
+def test_matrix_stats_matches_numpy(spark_matches, corpus, match_vals):
+    c2 = corpus.withColumn("y", ((F.col("doc_id") * 13) % 101).cast("double"))
+    row = OFA.facet_matrix_stats(spark_matches, c2, "doc_id", "y").collect()[0]
+    x = match_vals
+    y = (match_vals * 13) % 101
+    assert row["count"] == x.size
+    assert row["var_x"] == pytest.approx(float(x.var()))
+    assert row["var_y"] == pytest.approx(float(y.var()))
+    cov = float(((x - x.mean()) * (y - y.mean())).mean())
+    assert row["covariance"] == pytest.approx(cov)
+    assert row["correlation"] == pytest.approx(cov / (x.std() * y.std()))
+
+
+def test_mad_matches_numpy(spark_matches, corpus, match_vals):
+    row = OFA.facet_mad(spark_matches, corpus, "doc_id").collect()[0]
+    med = float(np.median(match_vals))
+    assert row["value"] == pytest.approx(float(np.median(np.abs(match_vals - med))))
+
+
+def test_multi_terms_composite_buckets(spark_matches, corpus, match_vals):
+    c2 = corpus.withColumn("a", F.col("doc_id") % 3).withColumn(
+        "b", F.col("doc_id") % 2
+    )
+    rows = OFA.facet_multi_terms(spark_matches, c2, ["a", "b"], n=None).collect()
+    got = {(r["key_a"], r["key_b"]): r["doc_count"] for r in rows}
+    want = {}
+    for d in match_vals.astype(np.int64):
+        want[(d % 3, d % 2)] = want.get((d % 3, d % 2), 0) + 1
+    assert got == want
+    with pytest.raises(ValueError):
+        OFA.facet_multi_terms(spark_matches, c2, [])
+
+
+def test_top_metrics_grouped_top1(spark_matches, corpus, match_vals):
+    c2 = corpus.withColumn("b", F.col("doc_id") % 5)
+    rows = OFA.facet_top_metrics(spark_matches, c2, "b", "doc_id", "doc_id").collect()
+    for r in rows:
+        in_bucket = match_vals.astype(np.int64)[
+            match_vals.astype(np.int64) % 5 == r["bucket"]
+        ]
+        assert r["sort_val"] == int(in_bucket.max())
+        assert r["metric_val"] == r["sort_val"]
+    assert [r["bucket"] for r in rows] == sorted(r["bucket"] for r in rows)
+
+
+def test_geo_distance_rings(spark_matches, corpus, match_vals):
+    import math as _m
+
+    geo = corpus.withColumn(
+        "lat", ((F.col("doc_id") * 3) % 170 - 85).cast("double")
+    ).withColumn("lon", ((F.col("doc_id") * 11) % 360 - 180).cast("double"))
+    edges = [3000.0, 9000.0]
+    rows = OFA.facet_geo_distance(
+        spark_matches, geo, "lat", "lon", "10,20", edges
+    ).collect()
+
+    def hav_km(lat, lon):
+        r = 6371008.8
+        p1, p2 = _m.radians(10.0), _m.radians(lat)
+        dl = _m.radians(lon - 20.0)
+        a = (
+            _m.sin((p2 - p1) / 2) ** 2
+            + _m.cos(p1) * _m.cos(p2) * _m.sin(dl / 2) ** 2
+        )
+        return 2 * r * _m.asin(_m.sqrt(a)) / 1000.0
+
+    kms = [
+        hav_km(float((d * 3) % 170 - 85), float((d * 11) % 360 - 180))
+        for d in match_vals.astype(np.int64)
+    ]
+    want = [
+        sum(1 for v in kms if v < 3000.0),
+        sum(1 for v in kms if 3000.0 <= v < 9000.0),
+        sum(1 for v in kms if v >= 9000.0),
+    ]
+    assert [r["doc_count"] for r in rows] == want
+    assert rows[0]["bucket_lo"] is None and rows[-1]["bucket_hi"] is None
+    with pytest.raises(ValueError):
+        OFA.facet_geo_distance(spark_matches, geo, "lat", "lon", "10,20", [5.0, 5.0])
+
+
+def test_geo_centroid_mean(spark_matches, corpus, match_vals):
+    geo = corpus.withColumn("lat", (F.col("doc_id") % 90).cast("double")).withColumn(
+        "lon", (F.col("doc_id") % 180).cast("double")
+    )
+    row = OFA.facet_geo_centroid(spark_matches, geo, "lat", "lon").collect()[0]
+    assert row["count"] == match_vals.size
+    assert row["lat"] == pytest.approx(float((match_vals % 90).mean()))
+    assert row["lon"] == pytest.approx(float((match_vals % 180).mean()))
+
+
+def test_sampler_deterministic_and_bounded(spark_matches, corpus):
+    c2 = corpus.withColumn("b", F.col("doc_id") % 4)
+    r1 = OFA.facet_sampler(spark_matches, c2, "b", shard_size=60).collect()
+    r2 = OFA.facet_sampler(spark_matches, c2, "b", shard_size=60).collect()
+    assert r1 == r2  # md5 ordering is reproducible
+    assert sum(r["doc_count"] for r in r1) == 60
+    # shard_size larger than the match set degrades to the full terms agg
+    full = OFA.facet_sampler(spark_matches, c2, "b", shard_size=10_000_000).collect()
+    whole = OFA.facet_counts(spark_matches, c2, "b").collect()
+    assert {(r["bucket"], r["doc_count"]) for r in full} == {
+        (r["bucket"], r["doc_count"]) for r in whole
+    }
+
+
+def test_bucket_script_and_selector(spark, spark_matches, corpus, match_vals):
+    dated = corpus.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+        + F.make_interval(hours=(F.col("doc_id") % 72).cast("int")),
+    ).withColumn("v", (F.col("doc_id") % 50).cast("double"))
+    rows = OFA.facet_bucket_script(
+        spark_matches, dated, "ts", "v", "day", min_count=0
+    ).collect()
+    assert len(rows) == 3  # 72 hours -> 3 days
+    for r in rows:
+        assert r["ratio"] == pytest.approx(r["total"] / r["doc_count"])
+    total_docs = sum(r["doc_count"] for r in rows)
+    assert total_docs == match_vals.size
+    # selector drops buckets at or below the floor
+    kept = OFA.facet_bucket_script(
+        spark_matches, dated, "ts", "v", "day", min_count=rows[0]["doc_count"]
+    ).collect()
+    assert all(r["doc_count"] > rows[0]["doc_count"] for r in kept)
