@@ -220,15 +220,26 @@ def _bm25_sql(
     )
     if offset is not None:
         limit += f" OFFSET {offset}"
+    body = _bm25_body(term_cond or f"term IN ({tlist})", having, boost)
     return f"""
-WITH toks AS (
+WITH {body}
+SELECT doc_id, round(s, 4) AS score FROM scored {final_where} {limit}
+"""
+
+
+def _bm25_body(term_cond: str, having: str = "", boost: str = "") -> str:
+    """The shared BM25 CTE chain (toks → dl → stats → tf → df → scored)
+    so composite oracles (pinned ranks, feature boosts) can attach their
+    own final SELECT over the EXACT score column `s` — rounding only at
+    the very end, like the Spark side."""
+    return f"""toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
 tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
-  WHERE {term_cond or f"term IN ({tlist})"} GROUP BY doc_id, term
+  WHERE {term_cond} GROUP BY doc_id, term
 ),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 scored AS (
@@ -239,9 +250,7 @@ scored AS (
   JOIN df USING (term) JOIN dl USING (doc_id)
   GROUP BY tf.doc_id
   {having}
-)
-SELECT doc_id, round(s, 4) AS score FROM scored {final_where} {limit}
-"""
+)"""
 
 
 _PHRASE_TERMS = ["table", "hash"]
@@ -3149,6 +3158,158 @@ ORDER BY bucket ASC
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 6: ids / pinned / feature boosts / match_bool_prefix /
+# percolate (ES query-DSL surface the reference reaches through its ES
+# pass-through facade; semantics from the ES/Lucene docs)
+# ---------------------------------------------------------------------------
+
+_IDS_LIST = [3, 7, 11, 499, 10**9]  # last one absent at every sf
+
+
+def _ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ids query: filter-context id lookup, every live match scores
+    exactly the boost; unknown ids are silently dropped."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return idx.ids_query(_IDS_LIST, docs, boost=1.5)
+
+
+_IDS_SQL = f"""
+SELECT doc_id, 1.5::DOUBLE AS score FROM documents
+WHERE doc_id IN ({", ".join(str(i) for i in _IDS_LIST)})
+ORDER BY doc_id ASC
+"""
+
+_PIN_IDS = [41, 7]
+_PIN_ORGANIC = ["spark", "table"]
+
+
+def _pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query: promoted ids take ranks 1..p in the order given;
+    the organic query fills the rest (pinned ids deduped out)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return idx.pinned(_PIN_IDS, _PIN_ORGANIC, k=10, mode="or", corpus=docs)
+
+
+def _pinned_sql() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(_PIN_ORGANIC)))
+    pins = ", ".join(
+        f"({i}::BIGINT, {r + 1}::BIGINT)" for r, i in enumerate(_PIN_IDS)
+    )
+    plist = ", ".join(str(i) for i in _PIN_IDS)
+    return f"""
+WITH {_bm25_body(f"term IN ({tlist})")},
+organic AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) + {len(_PIN_IDS)}
+           AS rank
+  FROM scored WHERE doc_id NOT IN ({plist})
+),
+pins(doc_id, rank) AS (VALUES {pins})
+SELECT doc_id, rank FROM (
+  SELECT * FROM pins UNION ALL SELECT * FROM organic
+) ORDER BY rank ASC LIMIT 10
+"""
+
+
+def _rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature (saturation): BM25 + 2·n_chars/(n_chars+500) over
+    the 'spark' AND match set."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = idx.rank_feature(
+        ["spark"], docs, "n_chars", function="saturation",
+        pivot=500.0, boost=2.0, k=None,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_RANK_FEATURE_SQL = f"""
+WITH {_bm25_body("term IN ('spark')")}
+SELECT s.doc_id,
+       round(s.s + 2.0 * (d.n_chars / (d.n_chars + 500.0)), 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+"""
+
+
+def _distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature: BM25 + 1.5·100/(100+|n_chars−800|) decay
+    toward the origin, over the 'spark' AND match set."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = idx.distance_feature(
+        ["spark"], docs, "n_chars", origin=800.0, pivot=100.0,
+        boost=1.5, k=None,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_DISTANCE_FEATURE_SQL = f"""
+WITH {_bm25_body("term IN ('spark')")}
+SELECT s.doc_id,
+       round(s.s + 1.5 * 100.0 / (100.0 + abs(d.n_chars - 800.0)), 4)
+         AS score
+FROM scored s JOIN documents d USING (doc_id)
+"""
+
+
+def _match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix 'spark jo': term clause + trailing prefix,
+    OR-combined (the type-ahead query without the positional constraint
+    of match_phrase_prefix)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.match_bool_prefix("spark jo", k=None, operator="or")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_MATCH_BOOL_PREFIX_SQL = _bm25_sql(
+    [], "or", None, term_cond="(term = 'spark' OR term LIKE 'jo%')"
+)
+
+# stored percolator queries: (query_id, terms, msm); msm == len(terms)
+# is the AND query, 1 the OR query
+_PERC_SPECS = [
+    (1, ["spark", "join"], 2),
+    (2, ["table", "scan", "filter"], 1),
+    (3, ["query", "merge"], 2),
+    (4, ["spark"], 1),
+]
+
+
+def _percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolate query: the documents table probed against 4 stored
+    queries — (doc_id, query_id) matches, one corpus tokenize pass, the
+    query table broadcast."""
+    from elasticsearch_assets_spark.operators import percolate as OP
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    qs = OP.make_queries(spark, _PERC_SPECS)
+    return OP.percolate(qs, docs)
+
+
+def _percolate_sql() -> str:
+    rows = ", ".join(
+        f"({qid}::BIGINT, '{t}', {msm})"
+        for qid, terms, msm in _PERC_SPECS
+        for t in sorted(set(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+q(query_id, term, msm) AS (VALUES {rows}),
+m AS (
+  SELECT dt.doc_id, q.query_id, count(*) AS n, min(q.msm) AS msm
+  FROM dt JOIN q ON dt.term = q.term GROUP BY 1, 2
+)
+SELECT doc_id, query_id FROM m WHERE n >= msm
+ORDER BY doc_id ASC, query_id ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -3208,6 +3369,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_auto_dh": _facet_auto_dh,
         "terms_set": _terms_set,
         "lucene_exists": _lucene_exists,
+        "ids_query": _ids_query,
+        "pinned_query": _pinned_query,
+        "rank_feature": _rank_feature,
+        "distance_feature": _distance_feature,
+        "match_bool_prefix": _match_bool_prefix,
+        "percolate": _percolate,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -3336,6 +3503,12 @@ def oracle_sql() -> dict[str, str]:
         "facet_auto_dh": _facet_auto_dh_sql(),
         "terms_set": _terms_set_sql(),
         "lucene_exists": _LUCENE_EXISTS_SQL,
+        "ids_query": _IDS_SQL,
+        "pinned_query": _pinned_sql(),
+        "rank_feature": _RANK_FEATURE_SQL,
+        "distance_feature": _DISTANCE_FEATURE_SQL,
+        "match_bool_prefix": _MATCH_BOOL_PREFIX_SQL,
+        "percolate": _percolate_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

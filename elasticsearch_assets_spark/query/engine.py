@@ -768,6 +768,223 @@ class InvertedIndex:
         )
         return out.limit(k) if k is not None else out
 
+    def ids_query(
+        self,
+        ids: list[int],
+        corpus: DataFrame,
+        boost: float = 1.0,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES ids query: the docs with the given ids, filter-context
+        (every match scores exactly `boost`). Deleted (tombstoned) docs
+        don't match — the ES contract for a post-delete ids lookup.
+
+        Plan: the id list is a tiny literal DataFrame, broadcast into a
+        semi join against the corpus' id projection (never the reverse —
+        the corpus side stays distributed); tombstones are a driver-side
+        numpy filter applied to the literal list BEFORE the join."""
+        live = [int(i) for i in ids]
+        if self.tombstones.size:
+            live = [i for i in live if not np.isin(i, self.tombstones)]
+        if not live:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        wanted = self.spark.createDataFrame(
+            [(i,) for i in sorted(set(live))], "doc_id long"
+        )
+        return (
+            corpus.select(F.col(id_col).alias("doc_id"))
+            .join(F.broadcast(wanted), "doc_id", "left_semi")
+            .withColumn("score", F.lit(float(boost)))
+            .orderBy(F.col("doc_id").asc())
+        )
+
+    def pinned(
+        self,
+        pinned_ids: list[int],
+        organic: str | list[str],
+        k: int | None = 10,
+        mode: str = "or",
+        corpus: DataFrame | None = None,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES pinned query: the given ids occupy the top ranks in the
+        order supplied; organic query results fill the remaining slots
+        (pinned ids deduplicated out of the organic tail). Returns
+        (doc_id, rank) — ES fakes this with enormous synthetic scores;
+        rank is the portable form of the same contract.
+
+        Plan: pins are a tiny literal frame with their explicit rank;
+        the organic search runs with k + |pins| (so dropping pinned
+        overlaps can never starve the page), anti-joins the broadcast
+        pin list, and takes rank |pins| + row_number. The rank window
+        runs over ≤ k + |pins| rows — k-bounded, same cost class as the
+        engine's global TakeOrderedAndProject merge. When `corpus` is
+        given, pinned ids absent from it are dropped (ES drops unknown
+        ids silently)."""
+        from pyspark.sql import Window
+
+        pins = [int(i) for i in pinned_ids]
+        if self.tombstones.size:
+            pins = [i for i in pins if not np.isin(i, self.tombstones)]
+        seen: set[int] = set()
+        pins = [i for i in pins if not (i in seen or seen.add(i))]
+        if corpus is not None and pins:
+            # unknown ids drop BEFORE ranks are assigned (ES drops them
+            # silently; survivors keep their relative order). The check
+            # is a ≤|pins|-row planning-level collect.
+            wanted = self.spark.createDataFrame(
+                [(i,) for i in pins], "doc_id long"
+            )
+            live = {
+                r["doc_id"]
+                for r in wanted.join(
+                    corpus.select(F.col(id_col).alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                ).collect()
+            }
+            pins = [i for i in pins if i in live]
+        pin_df = self.spark.createDataFrame(
+            [(i, r + 1) for r, i in enumerate(pins)] or [],
+            "doc_id long, rank long",
+        )
+        n_org = None if k is None else k + len(pins)
+        org = self.search(organic, k=n_org, mode=mode)
+        if pins:
+            org = org.join(F.broadcast(pin_df.select("doc_id")), "doc_id", "left_anti")
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        org_ranked = org.select(
+            "doc_id", (F.row_number().over(w) + F.lit(len(pins))).alias("rank")
+        )
+        out = pin_df.select("doc_id", "rank").unionByName(org_ranked).orderBy(
+            F.col("rank").asc()
+        )
+        return out.limit(k) if k is not None else out
+
+    def rank_feature(
+        self,
+        query: str | list[str],
+        corpus: DataFrame,
+        field: str,
+        function: str = "saturation",
+        pivot: float = 1.0,
+        boost: float = 1.0,
+        exponent: float = 1.0,
+        scaling_factor: float = 1.0,
+        k: int | None = 10,
+        mode: str = "and",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES rank_feature query (as a bool `should` clause): adds
+        boost · S(f) to the BM25 score, with S the saturation
+        f/(f+pivot), log ln(scaling_factor + f), or sigmoid
+        f^exp/(f^exp + pivot^exp) function over a per-doc numeric
+        feature. Docs whose feature is null get no contribution (the
+        rank_feature clause simply doesn't match them).
+
+        Plan: distributed search (k=None) left-joined to the corpus'
+        (id, feature) projection — the enrich-join shape; S compiles to
+        a pure JVM column expression inside whole-stage codegen."""
+        if function not in ("saturation", "log", "sigmoid"):
+            raise ValueError(f"unknown rank_feature function {function!r}")
+        scored = self.search(query, k=None, mode=mode)
+        f_ = F.col(field).cast("double")
+        if function == "saturation":
+            s = f_ / (f_ + F.lit(float(pivot)))
+        elif function == "log":
+            s = F.log(F.lit(float(scaling_factor)) + f_)
+        else:
+            fp = F.pow(f_, F.lit(float(exponent)))
+            s = fp / (fp + F.lit(float(pivot) ** float(exponent)))
+        proj = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(float(boost)) * s).alias("_feat"),
+        )
+        out = (
+            scored.join(proj, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("score") + F.coalesce(F.col("_feat"), F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+
+    def distance_feature(
+        self,
+        query: str | list[str],
+        corpus: DataFrame,
+        field: str,
+        origin: float,
+        pivot: float,
+        boost: float = 1.0,
+        k: int | None = 10,
+        mode: str = "and",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES distance_feature query: adds
+        boost · pivot / (pivot + |field − origin|) to the BM25 score —
+        the decay-toward-an-origin booster (ES supports date and geo
+        origins; any numeric axis reduces to this formula once distance
+        is |field − origin|, which is how the engine exposes it). Null
+        fields contribute nothing.
+
+        Plan: identical enrich-join shape to rank_feature — one left
+        join on doc_id, the decay a JVM column expression."""
+        if pivot <= 0:
+            raise ValueError("pivot must be positive")
+        scored = self.search(query, k=None, mode=mode)
+        dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+        decay = F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+        proj = corpus.select(
+            F.col(id_col).alias("doc_id"), decay.alias("_feat")
+        )
+        out = (
+            scored.join(proj, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("score") + F.coalesce(F.col("_feat"), F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+
+    def match_bool_prefix(
+        self,
+        text: str,
+        k: int | None = 10,
+        operator: str = "or",
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """ES match_bool_prefix: analyze the text; every token but the
+        last becomes a term clause, the last a prefix query — the
+        type-ahead cousin of match_phrase_prefix without the positional
+        constraint. operator="or" (the ES default) scores docs matching
+        ANY clause; operator="and" requires every clause, where the
+        prefix clause is satisfied by ANY of its dictionary expansions
+        (clause-level group semantics, wand.topk_group_conjunctive).
+        Expansion scoring is scoring_boolean (per-term idf; the ES
+        blended-df deviation is documented in query/expand.py)."""
+        toks = tokenize(text)
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        expansions = self.expand_prefix(toks[-1], max_expansions)
+        if operator == "or":
+            terms = sorted(set(toks[:-1]) | set(expansions))
+            if not terms:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self.search(terms, k=k, mode="or")
+        if operator != "and":
+            raise ValueError(f"unknown operator {operator!r}")
+        if not expansions:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        groups = [[t] for t in dict.fromkeys(toks[:-1])] + [expansions]
+        return self.search(None, k=k, mode="and", groups=groups)
+
     def terms_set(
         self,
         terms: list[str],

@@ -1,0 +1,259 @@
+"""Round-3 batch 6: ids query, pinned query, rank_feature /
+distance_feature boosts, match_bool_prefix, and the percolator.
+
+Reference surface: ES query-DSL shapes the reference's deployments reach
+through its pass-through facade (semantics from the ES/Lucene docs),
+re-expressed as broadcast joins + enrich joins + one-pass token joins."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.analysis.tokenizer import tokenize_series
+from elasticsearch_assets_spark.datagen.pages import pages_df
+from elasticsearch_assets_spark.index.build import build_index
+from elasticsearch_assets_spark.operators import percolate as OP
+from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return pages_df(spark, 800, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "plain")
+    build_index(spark, corpus, d, num_segments=8, num_chunks=2)
+    return InvertedIndex(spark, d)
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(corpus):
+    pdf = corpus.select("doc_id", "text").toPandas()
+    toks = tokenize_series(pdf["text"])
+    return dict(zip(pdf["doc_id"].tolist(), [list(t) for t in toks]))
+
+
+def _common_term(doc_tokens, rank=0):
+    from collections import Counter
+
+    c = Counter(t for toks in doc_tokens.values() for t in set(toks))
+    return c.most_common()[rank][0]
+
+
+# ---------------------------------------------------------------------------
+# ids query
+# ---------------------------------------------------------------------------
+
+
+def test_ids_query_matches_and_scores(index, corpus):
+    ids = [1, 5, 9, 10**9]  # last absent
+    out = index.ids_query(ids, corpus, boost=2.0).collect()
+    assert [r["doc_id"] for r in out] == [1, 5, 9]
+    assert all(r["score"] == 2.0 for r in out)
+
+
+def test_ids_query_empty_and_dedup(index, corpus):
+    assert index.ids_query([], corpus).count() == 0
+    out = index.ids_query([4, 4, 2], corpus).collect()
+    assert [r["doc_id"] for r in out] == [2, 4]
+
+
+# ---------------------------------------------------------------------------
+# pinned query
+# ---------------------------------------------------------------------------
+
+
+def test_pinned_structure(index, corpus, doc_tokens):
+    term = _common_term(doc_tokens)
+    pins = [33, 11]
+    out = index.pinned(pins, [term], k=10, mode="or", corpus=corpus).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    assert [r["doc_id"] for r in out[:2]] == pins
+    # organic tail == plain search with the pins dropped
+    organic = [
+        r["doc_id"]
+        for r in index.search([term], k=12, mode="or").collect()
+        if r["doc_id"] not in pins
+    ][: 10 - len(pins)]
+    assert [r["doc_id"] for r in out[2:]] == organic
+
+
+def test_pinned_overlap_dedup(index, corpus, doc_tokens):
+    term = _common_term(doc_tokens)
+    top = index.search([term], k=1, mode="or").collect()[0]["doc_id"]
+    out = index.pinned([top], [term], k=5, mode="or", corpus=corpus).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == top and len(ids) == len(set(ids)) == 5
+
+
+def test_pinned_unknown_id_dropped(index, corpus, doc_tokens):
+    term = _common_term(doc_tokens)
+    out = index.pinned([10**9, 3], [term], k=5, corpus=corpus).collect()
+    assert out[0]["doc_id"] == 3 and out[0]["rank"] == 1
+
+
+# ---------------------------------------------------------------------------
+# rank_feature / distance_feature
+# ---------------------------------------------------------------------------
+
+
+def _scores(df):
+    return {r["doc_id"]: r["score"] for r in df.collect()}
+
+
+def test_rank_feature_saturation_formula(index, corpus, doc_tokens):
+    term = _common_term(doc_tokens)
+    base = _scores(index.search([term], k=None, mode="and"))
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in corpus.select(
+            "doc_id", F.length("text").alias("n")
+        ).collect()
+    }
+    feat = corpus.select("doc_id", F.length("text").alias("tl"))
+    out = _scores(
+        index.rank_feature(
+            [term], feat, "tl", pivot=100.0, boost=3.0, k=None
+        )
+    )
+    assert set(out) == set(base)
+    for d, s in out.items():
+        expect = base[d] + 3.0 * lens[d] / (lens[d] + 100.0)
+        assert math.isclose(s, expect, rel_tol=1e-9)
+
+
+def test_rank_feature_log_and_sigmoid(index, corpus, doc_tokens):
+    term = _common_term(doc_tokens)
+    base = _scores(index.search([term], k=None, mode="and"))
+    feat = corpus.select("doc_id", F.length("text").alias("tl"))
+    lens = {r["doc_id"]: r["tl"] for r in feat.collect()}
+    out_log = _scores(
+        index.rank_feature(
+            [term], feat, "tl", function="log", scaling_factor=2.0, k=None
+        )
+    )
+    out_sig = _scores(
+        index.rank_feature(
+            [term], feat, "tl", function="sigmoid", pivot=50.0,
+            exponent=0.5, k=None,
+        )
+    )
+    for d in base:
+        assert math.isclose(
+            out_log[d], base[d] + math.log(2.0 + lens[d]), rel_tol=1e-9
+        )
+        fp = lens[d] ** 0.5
+        assert math.isclose(
+            out_sig[d], base[d] + fp / (fp + 50.0 ** 0.5), rel_tol=1e-9
+        )
+    with pytest.raises(ValueError):
+        index.rank_feature([term], feat, "tl", function="nope")
+
+
+def test_distance_feature_formula_and_null(index, corpus, doc_tokens):
+    term = _common_term(doc_tokens)
+    base = _scores(index.search([term], k=None, mode="and"))
+    # feature present only for even ids — odd ids must keep plain BM25
+    feat = corpus.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.length("text")).alias("tl"),
+    )
+    lens = {r["doc_id"]: r["tl"] for r in feat.collect()}
+    out = _scores(
+        index.distance_feature(
+            [term], feat, "tl", origin=200.0, pivot=10.0, boost=2.0, k=None
+        )
+    )
+    for d in base:
+        if lens[d] is None:
+            assert math.isclose(out[d], base[d], rel_tol=1e-9)
+        else:
+            dist = abs(lens[d] - 200.0)
+            assert math.isclose(
+                out[d], base[d] + 2.0 * 10.0 / (10.0 + dist), rel_tol=1e-9
+            )
+    with pytest.raises(ValueError):
+        index.distance_feature([term], feat, "tl", origin=0.0, pivot=0.0)
+
+
+# ---------------------------------------------------------------------------
+# match_bool_prefix
+# ---------------------------------------------------------------------------
+
+
+def test_match_bool_prefix_or_equals_expanded_or(index, doc_tokens):
+    term = _common_term(doc_tokens)
+    prefix = term[:2]
+    expansions = index.expand_prefix(prefix)
+    assert term in expansions
+    got = index.match_bool_prefix(f"{term} {prefix}", k=None).collect()
+    want = index.search(
+        sorted({term} | set(expansions)), k=None, mode="or"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_match_bool_prefix_and_semantics(index, doc_tokens):
+    t1 = _common_term(doc_tokens, 0)
+    t2 = _common_term(doc_tokens, 1)
+    prefix = t2[:2]
+    got = {
+        r["doc_id"]
+        for r in index.match_bool_prefix(
+            f"{t1} {prefix}", k=None, operator="and"
+        ).collect()
+    }
+    expansions = set(index.expand_prefix(prefix))
+    want = {
+        d
+        for d, toks in doc_tokens.items()
+        if t1 in toks and expansions & set(toks)
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        index.match_bool_prefix("a b", operator="nor")
+
+
+# ---------------------------------------------------------------------------
+# percolate
+# ---------------------------------------------------------------------------
+
+
+def test_percolate_brute_force(spark, corpus, doc_tokens):
+    t1 = _common_term(doc_tokens, 0)
+    t2 = _common_term(doc_tokens, 1)
+    t3 = _common_term(doc_tokens, 5)
+    specs = [
+        (1, [t1, t2], 2),       # AND
+        (2, [t2, t3], 1),       # OR
+        (3, [t1, t2, t3], 2),   # 2-of-3
+        (4, ["zzz_no_such_term"], 1),
+    ]
+    qs = OP.make_queries(spark, specs)
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in OP.percolate(qs, corpus).collect()
+    }
+    want = set()
+    for d, toks in doc_tokens.items():
+        s = set(toks)
+        for qid, terms, msm in specs:
+            need = msm if msm > 0 else len(set(terms))
+            if len(set(terms) & s) >= need:
+                want.add((d, qid))
+    assert got == want
+    assert not any(q == 4 for _, q in got)
+
+
+def test_percolate_msm_zero_means_all(spark):
+    qs = OP.make_queries(spark, [(9, ["a", "b", "a"], 0)])
+    row = qs.collect()[0]
+    assert row["msm"] == 2 and sorted(row["terms"]) == ["a", "b"]
