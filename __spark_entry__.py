@@ -3310,6 +3310,238 @@ ORDER BY doc_id ASC, query_id ASC
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 7a: remaining ES metric aggregations
+# ---------------------------------------------------------------------------
+
+
+def _facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES missing agg: docs in the 'spark' match set whose (derived,
+    nullable) field is null. The base table has no nulls, so the field is
+    lang masked out on doc_id % 7 == 0 — both engines derive the same
+    column."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents").withColumn(
+        "maybe_lang", F.when(F.col("doc_id") % 7 != 0, F.col("lang"))
+    )
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_missing(matches, docs, "maybe_lang")
+
+
+_FACET_MISSING_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT count(*) FILTER (WHERE d.doc_id % 7 = 0) AS doc_count
+FROM documents d JOIN m USING (doc_id)
+"""
+
+
+def _facet_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES value_count agg over the same masked field (the dual of
+    missing)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents").withColumn(
+        "maybe_lang", F.when(F.col("doc_id") % 7 != 0, F.col("lang"))
+    )
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_value_count(matches, docs, "maybe_lang")
+
+
+_FACET_VALUE_COUNT_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT count(*) FILTER (WHERE d.doc_id % 7 <> 0) AS value
+FROM documents d JOIN m USING (doc_id)
+"""
+
+
+def _facet_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES global agg wrapping a terms agg: lang counts over the WHOLE
+    corpus, ignoring any query context."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OFA.facet_global_counts(docs, "lang")
+
+
+_FACET_GLOBAL_SQL = """
+SELECT lang AS bucket, count(*)::BIGINT AS doc_count
+FROM documents GROUP BY 1 ORDER BY doc_count DESC, bucket ASC
+"""
+
+
+def _facet_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot agg (exact quartiles) of n_chars over the 'spark'
+    match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_boxplot(matches, docs, "n_chars")
+    return out.select(
+        _f4("min").alias("min"), _f4("q1").alias("q1"),
+        _f4("q2").alias("q2"), _f4("q3").alias("q3"),
+        _f4("max").alias("max"),
+    )
+
+
+_FACET_BOXPLOT_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.n_chars::DOUBLE AS v FROM documents d JOIN m USING (doc_id))
+SELECT floor(min(v) * 10000.0 + 0.5) / 10000.0 AS min,
+       floor(quantile_cont(v, 0.25) * 10000.0 + 0.5) / 10000.0 AS q1,
+       floor(quantile_cont(v, 0.5) * 10000.0 + 0.5) / 10000.0 AS q2,
+       floor(quantile_cont(v, 0.75) * 10000.0 + 0.5) / 10000.0 AS q3,
+       floor(max(v) * 10000.0 + 0.5) / 10000.0 AS max
+FROM mt
+"""
+
+
+def _facet_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats agg over the text field of the 'spark' match set
+    (count / min / max / avg length + base-2 Shannon entropy of the char
+    distribution)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_string_stats(matches, docs, "text")
+    return out.select(
+        "count", "min_length", "max_length",
+        _f4("avg_length").alias("avg_length"),
+        _f4("entropy").alias("entropy"),
+    )
+
+
+_FACET_STRING_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.text AS v FROM documents d JOIN m USING (doc_id)),
+chars AS (
+  SELECT ch, count(*)::DOUBLE AS n
+  FROM (SELECT unnest(string_split(v, '')) AS ch FROM mt)
+  WHERE length(ch) > 0 GROUP BY ch
+),
+ent AS (
+  SELECT log2(sum(n)) - sum(n * log2(n)) / sum(n) AS entropy FROM chars
+)
+SELECT count(*)::BIGINT AS count,
+       min(length(v))::INT AS min_length,
+       max(length(v))::INT AS max_length,
+       floor(avg(length(v)) * 10000.0 + 0.5) / 10000.0 AS avg_length,
+       floor(ent.entropy * 10000.0 + 0.5) / 10000.0 AS entropy
+FROM mt, ent GROUP BY ent.entropy
+"""
+
+
+def _facet_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test agg (Welch's): click vs view event values."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    out = OFA.facet_t_test(
+        ev, "value",
+        F.col("event_type") == "click", F.col("event_type") == "view",
+    )
+    return out.select(
+        _f4("ma").alias("ma"), _f4("mb").alias("mb"), "na", "nb",
+        _f4("t_value").alias("t_value"),
+    )
+
+
+_FACET_TTEST_SQL = """
+WITH s AS (
+  SELECT avg(value) FILTER (event_type = 'click') AS ma,
+         var_samp(value) FILTER (event_type = 'click') AS va,
+         count(value) FILTER (event_type = 'click') AS na,
+         avg(value) FILTER (event_type = 'view') AS mb,
+         var_samp(value) FILTER (event_type = 'view') AS vb,
+         count(value) FILTER (event_type = 'view') AS nb
+  FROM events
+)
+SELECT floor(ma * 10000.0 + 0.5) / 10000.0 AS ma,
+       floor(mb * 10000.0 + 0.5) / 10000.0 AS mb,
+       na, nb,
+       floor((ma - mb) / sqrt(va / na + vb / nb) * 10000.0 + 0.5) / 10000.0
+         AS t_value
+FROM s
+"""
+
+
+def _facet_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rate agg: per calendar month of click events, sum(value)
+    rescaled to a per-day rate by that month's actual day count."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_rate(
+        matches, ev, "ts", "value", bucket_unit="month", rate_unit="day",
+        id_col="event_id",
+    )
+    return out.select(
+        "bucket", _f4("total").alias("total"), _f4("rate").alias("rate")
+    )
+
+
+_FACET_RATE_SQL = """
+WITH m AS (SELECT ts, value FROM events WHERE event_type = 'click'),
+h AS (
+  SELECT date_trunc('month', ts) AS bucket, sum(value) AS total
+  FROM m GROUP BY 1
+)
+SELECT bucket,
+       floor(total * 10000.0 + 0.5) / 10000.0 AS total,
+       floor(total / date_part('day', last_day(bucket::DATE))
+             * 10000.0 + 0.5) / 10000.0 AS rate
+FROM h ORDER BY bucket ASC
+"""
+
+
+def _facet_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds agg: the bounding box of the click events'
+    points."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = _geo_events(spark, sf_dir)
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_geo_bounds(matches, ev, "lat", "lon", id_col="event_id")
+    return out.select(
+        _f4("top_left_lat").alias("top_left_lat"),
+        _f4("top_left_lon").alias("top_left_lon"),
+        _f4("bottom_right_lat").alias("bottom_right_lat"),
+        _f4("bottom_right_lon").alias("bottom_right_lon"),
+    )
+
+
+_FACET_GEO_BOUNDS_SQL = f"""
+WITH g AS (
+  SELECT ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon
+  FROM events WHERE event_type = 'click'
+)
+SELECT floor(max(lat) * 10000.0 + 0.5) / 10000.0 AS top_left_lat,
+       floor(min(lon) * 10000.0 + 0.5) / 10000.0 AS top_left_lon,
+       floor(min(lat) * 10000.0 + 0.5) / 10000.0 AS bottom_right_lat,
+       floor(max(lon) * 10000.0 + 0.5) / 10000.0 AS bottom_right_lon
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -3375,6 +3607,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature": _distance_feature,
         "match_bool_prefix": _match_bool_prefix,
         "percolate": _percolate,
+        "facet_missing": _facet_missing,
+        "facet_value_count": _facet_value_count,
+        "facet_global": _facet_global,
+        "facet_boxplot": _facet_boxplot,
+        "facet_string_stats": _facet_string_stats,
+        "facet_t_test": _facet_t_test,
+        "facet_rate": _facet_rate,
+        "facet_geo_bounds": _facet_geo_bounds,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -3509,6 +3749,14 @@ def oracle_sql() -> dict[str, str]:
         "distance_feature": _DISTANCE_FEATURE_SQL,
         "match_bool_prefix": _MATCH_BOOL_PREFIX_SQL,
         "percolate": _percolate_sql(),
+        "facet_missing": _FACET_MISSING_SQL,
+        "facet_value_count": _FACET_VALUE_COUNT_SQL,
+        "facet_global": _FACET_GLOBAL_SQL,
+        "facet_boxplot": _FACET_BOXPLOT_SQL,
+        "facet_string_stats": _FACET_STRING_STATS_SQL,
+        "facet_t_test": _FACET_TTEST_SQL,
+        "facet_rate": _FACET_RATE_SQL,
+        "facet_geo_bounds": _FACET_GEO_BOUNDS_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -994,3 +994,209 @@ def facet_bucket_script(
         .where(F.col("doc_count") > min_count)
         .orderBy(F.col("bucket").asc())
     )
+
+
+def _match_join(
+    matches: DataFrame, corpus: DataFrame, id_col: str
+) -> DataFrame:
+    return corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+
+
+def facet_missing(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES missing aggregation: docs in the match set whose field is null
+    — one conditional partial count, no extra shuffle beyond the semi
+    join."""
+    return _match_join(matches, corpus, id_col).agg(
+        F.count_if(F.col(col).isNull()).alias("doc_count")
+    )
+
+
+def facet_value_count(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES value_count aggregation: non-null field values in the match
+    set (the dual of `missing`)."""
+    return _match_join(matches, corpus, id_col).agg(
+        F.count(F.col(col)).alias("value")
+    )
+
+
+def facet_global_counts(
+    corpus: DataFrame, col: str, n: int | None = None
+) -> DataFrame:
+    """ES global aggregation wrapping a terms agg: bucket counts over the
+    WHOLE corpus, ignoring the surrounding query's match set — the
+    background-comparison agg. Same partial-agg plan as facet_counts,
+    minus the semi join."""
+    out = (
+        corpus.groupBy(F.col(col).alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("bucket").asc())
+    )
+    return out.limit(n) if n is not None else out
+
+
+def facet_boxplot(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES boxplot aggregation, EXACT variant: min / q1 / q2 / q3 / max
+    with linear-interpolation quartiles (Spark `percentile` ==
+    DuckDB `quantile_cont`; ES's t-digest is the approximate production
+    form — swap percentile_approx at 100 TB, same plan shape). One
+    partial-agg pass."""
+    v = F.col(col).cast("double")
+    return _match_join(matches, corpus, id_col).agg(
+        F.min(v).alias("min"),
+        F.percentile(v, F.lit(0.25)).alias("q1"),
+        F.percentile(v, F.lit(0.5)).alias("q2"),
+        F.percentile(v, F.lit(0.75)).alias("q3"),
+        F.max(v).alias("max"),
+    )
+
+
+def facet_string_stats(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES string_stats aggregation: count, min/max/avg length, and the
+    Shannon entropy (base 2) of the CHARACTER distribution across all
+    values of the field in the match set.
+
+    Plan: lengths are one partial-agg pass. Entropy needs the character
+    histogram: explode the char array and count per char — the shuffle
+    carries (char, partial_count) pairs only, bounded by the alphabet,
+    then the entropy reduces the ≤|alphabet| histogram rows. Two small
+    aggs, one cross join of two 1-row frames."""
+    joined = _match_join(matches, corpus, id_col)
+    v = F.col(col)
+    lens = joined.agg(
+        F.count(v).alias("count"),
+        F.min(F.length(v)).alias("min_length"),
+        F.max(F.length(v)).alias("max_length"),
+        F.avg(F.length(v)).alias("avg_length"),
+    )
+    chars = (
+        joined.select(F.explode(F.split(v, "")).alias("ch"))
+        .where(F.length("ch") > 0)
+        .groupBy("ch")
+        .agg(F.count("*").alias("n"))
+    )
+    # -Σ (n/N)·log2(n/N) = log2(N) − Σ n·log2(n) / N — one aggregate,
+    # no window pass over the histogram
+    ent = chars.agg(
+        (
+            F.log2(F.sum("n"))
+            - F.sum(F.col("n") * F.log2(F.col("n"))) / F.sum("n")
+        ).alias("entropy")
+    )
+    return lens.crossJoin(ent)
+
+
+def facet_t_test(
+    corpus: DataFrame,
+    metric_col: str,
+    cond_a,
+    cond_b,
+) -> DataFrame:
+    """ES t_test aggregation (heteroscedastic / Welch's, the ES default):
+    t = (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b) between two
+    filter populations, with SAMPLE variances. One conditional
+    partial-agg pass over the corpus — both populations' moments
+    accumulate in the same scan (a doc may satisfy both filters, like
+    ES's filter pair)."""
+    v = F.col(metric_col).cast("double")
+    row = corpus.agg(
+        F.avg(F.when(cond_a, v)).alias("ma"),
+        F.var_samp(F.when(cond_a, v)).alias("va"),
+        F.count(F.when(cond_a, v)).alias("na"),
+        F.avg(F.when(cond_b, v)).alias("mb"),
+        F.var_samp(F.when(cond_b, v)).alias("vb"),
+        F.count(F.when(cond_b, v)).alias("nb"),
+    )
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    )
+    return row.select(
+        "ma", "mb", "na", "nb", t.alias("t_value")
+    )
+
+
+def facet_rate(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    metric_col: str | None = None,
+    bucket_unit: str = "month",
+    rate_unit: str = "day",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES rate aggregation under a date_histogram: per calendar bucket,
+    sum(metric) (or doc count when metric_col is None) rescaled to
+    `rate_unit` — e.g. month buckets reported as a per-day rate divide
+    by the ACTUAL day count of that month (ES's calendar-aware scaling).
+    Supported pairs: month→day, week→day, day→hour. Pure JVM date math
+    on the bucket series."""
+    joined = _match_join(matches, corpus, id_col)
+    val = (
+        F.count("*").cast("double")
+        if metric_col is None
+        else F.sum(F.col(metric_col).cast("double"))
+    )
+    b = F.date_trunc(bucket_unit, F.col(date_col))
+    agg = joined.groupBy(b.alias("bucket")).agg(val.alias("total"))
+    if (bucket_unit, rate_unit) == ("month", "day"):
+        divisor = F.dayofmonth(F.last_day(F.col("bucket"))).cast("double")
+    elif (bucket_unit, rate_unit) == ("week", "day"):
+        divisor = F.lit(7.0)
+    elif (bucket_unit, rate_unit) == ("day", "hour"):
+        divisor = F.lit(24.0)
+    else:
+        raise ValueError(
+            f"unsupported rate pair {bucket_unit!r} -> {rate_unit!r}"
+        )
+    return (
+        agg.select(
+            "bucket",
+            "total",
+            (F.col("total") / divisor).alias("rate"),
+        )
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+def facet_geo_bounds(
+    matches: DataFrame,
+    corpus: DataFrame,
+    lat_col,
+    lon_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES geo_bounds aggregation: the bounding box of the match set's
+    points — top_left = (max lat, min lon), bottom_right = (min lat,
+    max lon). One partial-agg pass. (ES also handles wrap-around
+    longitude; this engine reports the non-wrapping box, the form its
+    geo operators consume — documented deviation.)"""
+    joined = _match_join(matches, corpus, id_col)
+    la = F.col(lat_col).cast("double") if isinstance(lat_col, str) else lat_col
+    lo = F.col(lon_col).cast("double") if isinstance(lon_col, str) else lon_col
+    return joined.agg(
+        F.max(la).alias("top_left_lat"),
+        F.min(lo).alias("top_left_lon"),
+        F.min(la).alias("bottom_right_lat"),
+        F.max(lo).alias("bottom_right_lon"),
+    )

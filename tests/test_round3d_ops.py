@@ -257,3 +257,135 @@ def test_percolate_msm_zero_means_all(spark):
     qs = OP.make_queries(spark, [(9, ["a", "b", "a"], 0)])
     row = qs.collect()[0]
     assert row["msm"] == 2 and sorted(row["terms"]) == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# batch 7a aggregations (missing / value_count / global / boxplot /
+# string_stats / t_test / rate / geo_bounds)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def match_pdf(index, corpus, doc_tokens):
+    term = _common_term(doc_tokens)
+    matches = index.search([term], k=None, mode="and")
+    pdf = (
+        corpus.join(matches.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    return matches, pdf
+
+
+def test_missing_and_value_count(corpus, match_pdf):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    matches, pdf = match_pdf
+    c2 = corpus.withColumn(
+        "maybe", F.when(F.col("doc_id") % 3 != 0, F.col("text"))
+    )
+    miss = OFA.facet_missing(matches, c2, "maybe").collect()[0]["doc_count"]
+    vc = OFA.facet_value_count(matches, c2, "maybe").collect()[0]["value"]
+    n_null = int((pdf["doc_id"] % 3 == 0).sum())
+    assert miss == n_null
+    assert vc == len(pdf) - n_null
+    assert miss + vc == len(pdf)
+
+
+def test_global_counts_ignores_matches(spark, corpus):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    c2 = corpus.withColumn("b", (F.col("doc_id") % 5).cast("string"))
+    got = {
+        r["bucket"]: r["doc_count"]
+        for r in OFA.facet_global_counts(c2, "b").collect()
+    }
+    pdf = c2.select("b").toPandas()
+    assert got == pdf["b"].value_counts().to_dict()
+
+
+def test_boxplot_vs_numpy(corpus, match_pdf):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    matches, pdf = match_pdf
+    c2 = corpus.withColumn("v", F.length("text").cast("double"))
+    row = OFA.facet_boxplot(matches, c2, "v").collect()[0]
+    vals = pdf["text"].str.len().to_numpy(dtype=float)
+    assert row["min"] == vals.min() and row["max"] == vals.max()
+    for name, q in (("q1", 25), ("q2", 50), ("q3", 75)):
+        assert math.isclose(
+            row[name], float(np.percentile(vals, q)), rel_tol=1e-9
+        )
+
+
+def test_string_stats_vs_python(corpus, match_pdf):
+    from collections import Counter
+
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    matches, pdf = match_pdf
+    row = OFA.facet_string_stats(matches, corpus, "text").collect()[0]
+    lens = pdf["text"].str.len()
+    assert row["count"] == len(pdf)
+    assert row["min_length"] == lens.min()
+    assert row["max_length"] == lens.max()
+    assert math.isclose(row["avg_length"], lens.mean(), rel_tol=1e-9)
+    c = Counter("".join(pdf["text"]))
+    n = sum(c.values())
+    ent = -sum((v / n) * math.log2(v / n) for v in c.values())
+    assert math.isclose(row["entropy"], ent, rel_tol=1e-9)
+
+
+def test_t_test_vs_numpy(corpus):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    c2 = corpus.withColumn("v", F.length("text").cast("double"))
+    row = OFA.facet_t_test(
+        c2, "v", F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1
+    ).collect()[0]
+    pdf = c2.select("doc_id", "v").toPandas()
+    a = pdf[pdf["doc_id"] % 2 == 0]["v"].to_numpy()
+    b = pdf[pdf["doc_id"] % 2 == 1]["v"].to_numpy()
+    t = (a.mean() - b.mean()) / math.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert row["na"] == len(a) and row["nb"] == len(b)
+    assert math.isclose(row["t_value"], t, rel_tol=1e-9)
+
+
+def test_rate_scaling_pairs(spark):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-05 00:00:00", 31.0),
+            (2, "2024-01-20 00:00:00", 31.0),
+            (3, "2024-02-10 00:00:00", 29.0),  # 2024 is a leap year
+        ],
+        "id long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    matches = df.select("id")
+    out = OFA.facet_rate(
+        matches, df, "ts", "v", "month", "day", id_col="id"
+    ).collect()
+    assert [(r["total"], r["rate"]) for r in out] == [(62.0, 2.0), (29.0, 1.0)]
+    day = OFA.facet_rate(
+        matches, df, "ts", None, "day", "hour", id_col="id"
+    ).collect()
+    assert all(math.isclose(r["rate"], r["total"] / 24.0) for r in day)
+    with pytest.raises(ValueError):
+        OFA.facet_rate(matches, df, "ts", "v", "year", "day", id_col="id")
+
+
+def test_geo_bounds(spark):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    df = spark.createDataFrame(
+        [(1, 10.0, -20.0), (2, -5.0, 170.0), (3, 45.0, 3.0)],
+        "id long, lat double, lon double",
+    )
+    row = OFA.facet_geo_bounds(
+        df.select("id"), df, "lat", "lon", id_col="id"
+    ).collect()[0]
+    assert (row["top_left_lat"], row["top_left_lon"]) == (45.0, -20.0)
+    assert (row["bottom_right_lat"], row["bottom_right_lon"]) == (-5.0, 170.0)
