@@ -3542,6 +3542,343 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 7b: bucketing / sampling / pipeline aggregations
+# ---------------------------------------------------------------------------
+
+_DATE_RANGE_EDGES = [
+    "2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00",
+]
+
+
+def _facet_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_range agg: weekly half-open buckets over the click
+    events, open ends, empty buckets kept."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    return OFA.facet_date_range(
+        matches, ev, "ts", _DATE_RANGE_EDGES, id_col="event_id"
+    )
+
+
+def _facet_date_range_sql() -> str:
+    e = [f"TIMESTAMP '{x}'" for x in _DATE_RANGE_EDGES]
+    return f"""
+WITH m AS (SELECT ts FROM events WHERE event_type = 'click'),
+ranges(bidx, bucket_lo, bucket_hi) AS (VALUES
+  (0, NULL::TIMESTAMP, {e[0]}), (1, {e[0]}, {e[1]}),
+  (2, {e[1]}, {e[2]}), (3, {e[2]}, NULL::TIMESTAMP)
+)
+SELECT r.bucket_lo, r.bucket_hi,
+       (SELECT count(*) FROM m
+        WHERE (r.bucket_lo IS NULL OR m.ts >= r.bucket_lo)
+          AND (r.bucket_hi IS NULL OR m.ts < r.bucket_hi))::BIGINT
+         AS doc_count
+FROM ranges r ORDER BY bucket_lo ASC NULLS FIRST
+"""
+
+
+_IP_SQL = (
+    "concat((user_id * 7) % 256, '.', (user_id * 13) % 256, '.', "
+    "(user_id * 29) % 256, '.', user_id % 256)"
+)
+_IP_EDGES = ["64.0.0.0", "128.0.0.0", "192.0.0.0"]
+
+
+def _facet_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_range agg over a deterministically derived IPv4 column
+    (both engines derive the same dotted quad from user_id)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            (F.col("user_id") * 7) % 256,
+            (F.col("user_id") * 13) % 256,
+            (F.col("user_id") * 29) % 256,
+            F.col("user_id") % 256,
+        ),
+    )
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    return OFA.facet_ip_range(matches, ev, "ip", _IP_EDGES, id_col="event_id")
+
+
+def _facet_ip_range_sql() -> str:
+    def key(ip: str) -> int:
+        a, b, c, d = (int(x) for x in ip.split("."))
+        return ((a * 256 + b) * 256 + c) * 256 + d
+
+    e = _IP_EDGES
+    return f"""
+WITH m AS (
+  SELECT (string_split({_IP_SQL}, '.')[1]::BIGINT * 16777216
+        + string_split({_IP_SQL}, '.')[2]::BIGINT * 65536
+        + string_split({_IP_SQL}, '.')[3]::BIGINT * 256
+        + string_split({_IP_SQL}, '.')[4]::BIGINT) AS ipn
+  FROM events WHERE event_type = 'click'
+),
+ranges(bidx, bucket_lo, bucket_hi, lo_n, hi_n) AS (VALUES
+  (0, NULL, '{e[0]}', NULL::BIGINT, {key(e[0])}),
+  (1, '{e[0]}', '{e[1]}', {key(e[0])}, {key(e[1])}),
+  (2, '{e[1]}', '{e[2]}', {key(e[1])}, {key(e[2])}),
+  (3, '{e[2]}', NULL, {key(e[2])}, NULL::BIGINT)
+)
+SELECT r.bucket_lo, r.bucket_hi,
+       (SELECT count(*) FROM m
+        WHERE (r.lo_n IS NULL OR m.ipn >= r.lo_n)
+          AND (r.hi_n IS NULL OR m.ipn < r.hi_n))::BIGINT AS doc_count
+FROM ranges r ORDER BY bucket_lo ASC NULLS FIRST
+"""
+
+
+_GEOHASH_PRECISION = 3
+
+
+def _facet_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohash_grid agg: click events per geohash cell (precision 3)
+    — the cell expression is ONE engine-portable SQL string evaluated by
+    both Spark (F.expr) and the DuckDB oracle."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = _geo_events(spark, sf_dir)
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    return OFA.facet_geohash_grid(
+        matches, ev, "lat", "lon", precision=_GEOHASH_PRECISION,
+        id_col="event_id",
+    )
+
+
+def _facet_geohash_sql() -> str:
+    from elasticsearch_assets_spark.operators.facets import geohash_sql
+
+    cell = geohash_sql("lat", "lon", _GEOHASH_PRECISION)
+    return f"""
+WITH g AS (
+  SELECT ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon
+  FROM events WHERE event_type = 'click'
+)
+SELECT {cell} AS bucket, count(*)::BIGINT AS doc_count
+FROM g GROUP BY 1 ORDER BY doc_count DESC, bucket ASC
+"""
+
+
+_DIV_SHARD = 50
+_DIV_MAX_PER = 5
+
+
+def _facet_div_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler agg (deterministic md5 variant): at most 5
+    docs per lang, md5-smallest 50 overall, then source term counts."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_diversified_sampler(
+        matches, docs, "lang", "source",
+        shard_size=_DIV_SHARD, max_docs_per_value=_DIV_MAX_PER,
+    )
+
+
+_FACET_DIV_SAMPLER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+ranked AS (
+  SELECT d.doc_id, d.lang, d.source, md5(d.doc_id::VARCHAR) AS h,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY md5(d.doc_id::VARCHAR) ASC
+         ) AS rn
+  FROM documents d JOIN m USING (doc_id)
+),
+sample AS (
+  SELECT * FROM ranked WHERE rn <= {_DIV_MAX_PER}
+  ORDER BY h ASC LIMIT {_DIV_SHARD}
+)
+SELECT source AS bucket, count(*)::BIGINT AS doc_count
+FROM sample GROUP BY 1 ORDER BY doc_count DESC, bucket ASC
+"""
+
+
+def _facet_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES serial_diff + normalize pipeline aggs over a daily
+    date_histogram of sum(value) on the click events."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_serial_diff(
+        matches, ev, "ts", "value", interval="day", lag=1, id_col="event_id"
+    )
+    return out.select(
+        "bucket", _f4("value").alias("value"), _f4("diff").alias("diff"),
+        _f4("pct_of_sum").alias("pct_of_sum"),
+    )
+
+
+_FACET_SERIAL_DIFF_SQL = """
+WITH m AS (SELECT ts, value FROM events WHERE event_type = 'click'),
+h AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS value
+  FROM m GROUP BY 1
+)
+SELECT bucket,
+       floor(value * 10000.0 + 0.5) / 10000.0 AS value,
+       floor((value - lag(value, 1) OVER (ORDER BY bucket ASC))
+             * 10000.0 + 0.5) / 10000.0 AS diff,
+       floor(value * 100.0 / sum(value) OVER () * 10000.0 + 0.5) / 10000.0
+         AS pct_of_sum
+FROM h ORDER BY bucket ASC
+"""
+
+
+def _facet_cum_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_cardinality pipeline agg: running count of distinct
+    users per day over all events."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    return OFA.facet_cumulative_cardinality(
+        ev.select("event_id"), ev, "ts", "user_id", interval="day",
+        id_col="event_id",
+    )
+
+
+_FACET_CUM_CARD_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS bucket
+  FROM events GROUP BY 1
+),
+nk AS (SELECT bucket, count(*)::BIGINT AS new_keys FROM firsts GROUP BY 1),
+b AS (SELECT DISTINCT date_trunc('day', ts) AS bucket FROM events)
+SELECT b.bucket, coalesce(nk.new_keys, 0) AS new_keys,
+       sum(coalesce(nk.new_keys, 0))
+         OVER (ORDER BY b.bucket ASC)::BIGINT AS cumulative_cardinality
+FROM b LEFT JOIN nk USING (bucket)
+ORDER BY b.bucket ASC
+"""
+
+
+def _facet_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_sort pipeline agg: event_type buckets by sum(value),
+    page from=1 size=2."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    out = OFA.facet_bucket_sort(
+        ev.select("event_id"), ev, "event_type", "value",
+        size=2, from_=1, id_col="event_id",
+    )
+    return out.select("bucket", "doc_count", _f4("total").alias("total"))
+
+
+_FACET_BUCKET_SORT_SQL = """
+WITH h AS (
+  SELECT event_type AS bucket, count(*)::BIGINT AS doc_count,
+         sum(value) AS total
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY total DESC, bucket ASC) AS rn
+  FROM h
+)
+SELECT bucket, doc_count,
+       floor(total * 10000.0 + 0.5) / 10000.0 AS total
+FROM r WHERE rn > 1 AND rn <= 3
+ORDER BY total DESC, bucket ASC
+"""
+
+_SIG_TEXT_SAMPLE = 100
+
+
+def _facet_sig_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_text agg: significant terms re-analyzed from a
+    deterministic 100-doc sample of the 'spark' match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_significant_text(
+        matches, docs, n=10, sample_size=_SIG_TEXT_SAMPLE
+    )
+    return out.select(
+        "term", "fg_df", "bg_df", _f4("score").alias("score")
+    )
+
+
+_FACET_SIG_TEXT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m0 AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+m AS (
+  SELECT doc_id FROM m0 ORDER BY md5(doc_id::VARCHAR) ASC
+  LIMIT {_SIG_TEXT_SAMPLE}
+),
+fg_total AS (SELECT count(*)::DOUBLE AS n FROM m),
+bg_total AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df FROM dt JOIN m USING (doc_id)
+  GROUP BY term HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dt GROUP BY term)
+SELECT term, fg_df, bg_df,
+       floor((fg_df / fg_total.n) / (bg_df / bg_total.n) * 10000.0 + 0.5)
+         / 10000.0 AS score
+FROM fg JOIN bg USING (term), fg_total, bg_total
+ORDER BY (fg_df / fg_total.n) / (bg_df / bg_total.n) DESC, term ASC
+LIMIT 10
+"""
+
+_VWH_BUCKETS = 4
+
+
+def _facet_vw_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES variable_width_histogram (deterministic equal-frequency
+    variant): 4 quantile-split clusters of n_chars over the 'spark'
+    match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_variable_width_histogram(
+        matches, docs, "n_chars", _VWH_BUCKETS
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        _f4("min").alias("min"), _f4("max").alias("max"),
+        _f4("avg").alias("avg"), "doc_count",
+    )
+
+
+_FACET_VWH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+mt AS (SELECT d.n_chars::DOUBLE AS v FROM documents d JOIN m USING (doc_id)),
+e AS (
+  SELECT quantile_cont(v, 0.25) AS e1, quantile_cont(v, 0.5) AS e2,
+         quantile_cont(v, 0.75) AS e3
+  FROM mt
+)
+SELECT ((v >= e.e1)::INT + (v >= e.e2)::INT + (v >= e.e3)::INT)::BIGINT
+         AS bucket,
+       floor(min(v) * 10000.0 + 0.5) / 10000.0 AS min,
+       floor(max(v) * 10000.0 + 0.5) / 10000.0 AS max,
+       floor(avg(v) * 10000.0 + 0.5) / 10000.0 AS avg,
+       count(*)::BIGINT AS doc_count
+FROM mt, e GROUP BY 1 ORDER BY bucket ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -3615,6 +3952,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_t_test": _facet_t_test,
         "facet_rate": _facet_rate,
         "facet_geo_bounds": _facet_geo_bounds,
+        "facet_date_range": _facet_date_range,
+        "facet_ip_range": _facet_ip_range,
+        "facet_geohash": _facet_geohash,
+        "facet_div_sampler": _facet_div_sampler,
+        "facet_serial_diff": _facet_serial_diff,
+        "facet_cum_card": _facet_cum_card,
+        "facet_bucket_sort": _facet_bucket_sort,
+        "facet_sig_text": _facet_sig_text,
+        "facet_vw_hist": _facet_vw_hist,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -3757,6 +4103,15 @@ def oracle_sql() -> dict[str, str]:
         "facet_t_test": _FACET_TTEST_SQL,
         "facet_rate": _FACET_RATE_SQL,
         "facet_geo_bounds": _FACET_GEO_BOUNDS_SQL,
+        "facet_date_range": _facet_date_range_sql(),
+        "facet_ip_range": _facet_ip_range_sql(),
+        "facet_geohash": _facet_geohash_sql(),
+        "facet_div_sampler": _FACET_DIV_SAMPLER_SQL,
+        "facet_serial_diff": _FACET_SERIAL_DIFF_SQL,
+        "facet_cum_card": _FACET_CUM_CARD_SQL,
+        "facet_bucket_sort": _FACET_BUCKET_SORT_SQL,
+        "facet_sig_text": _FACET_SIG_TEXT_SQL,
+        "facet_vw_hist": _FACET_VWH_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

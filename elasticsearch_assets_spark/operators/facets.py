@@ -1200,3 +1200,389 @@ def facet_geo_bounds(
         F.min(la).alias("bottom_right_lat"),
         F.max(lo).alias("bottom_right_lon"),
     )
+
+
+def facet_date_range(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    edges: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES date_range aggregation: half-open timestamp buckets [lo, hi)
+    from the sorted ISO edge list, open at both ends, empty buckets kept
+    — the range agg's plan (one bucket-index column pass + a tiny static
+    ranges join) on the time axis. Buckets are keyed by (bucket_lo,
+    bucket_hi) timestamps, null = unbounded."""
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly increasing")
+    joined = _match_join(matches, corpus, id_col)
+    v = F.col(date_col).cast("timestamp")
+    idx = sum(
+        (
+            F.when(v >= F.lit(e).cast("timestamp"), 1).otherwise(0)
+            for e in edges
+        ),
+        F.lit(0),
+    )
+    counts = joined.groupBy(idx.alias("bidx")).agg(
+        F.count("*").alias("doc_count")
+    )
+    bounds = [(0, None, edges[0])] + [
+        (i + 1, edges[i], edges[i + 1]) for i in range(len(edges) - 1)
+    ] + [(len(edges), edges[-1], None)]
+    ranges = corpus.sparkSession.createDataFrame(
+        bounds, "bidx int, lo string, hi string"
+    ).select(
+        "bidx",
+        F.col("lo").cast("timestamp").alias("bucket_lo"),
+        F.col("hi").cast("timestamp").alias("bucket_hi"),
+    )
+    return (
+        ranges.join(counts, "bidx", "left")
+        .select(
+            "bucket_lo",
+            "bucket_hi",
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+        )
+        .orderBy(F.col("bucket_lo").asc_nulls_first())
+    )
+
+
+def ipv4_to_long(col) -> "F.Column":
+    """Dotted-quad IPv4 string -> numeric (pure JVM split + casts) — the
+    comparison form ES's ip fields use under ip_range."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, r"\.")
+    return (
+        F.element_at(parts, 1).cast("long") * F.lit(16777216)
+        + F.element_at(parts, 2).cast("long") * F.lit(65536)
+        + F.element_at(parts, 3).cast("long") * F.lit(256)
+        + F.element_at(parts, 4).cast("long")
+    )
+
+
+def facet_ip_range(
+    matches: DataFrame,
+    corpus: DataFrame,
+    ip_col: str,
+    edges: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ip_range aggregation: half-open buckets [lo, hi) over dotted-
+    quad IPv4 edges, open ends, empty buckets kept. The ip parses to a
+    numeric in one JVM expression (ipv4_to_long); then it is exactly the
+    range agg's bucket-index plan. Buckets keyed by the edge STRINGS
+    (bucket_lo/bucket_hi, null = unbounded) so no formatting round-trip."""
+    def key(ip: str) -> int:
+        a, b, c, d = (int(x) for x in ip.split("."))
+        return ((a * 256 + b) * 256 + c) * 256 + d
+
+    nums = [key(e) for e in edges]
+    if sorted(nums) != nums or len(set(nums)) != len(nums):
+        raise ValueError("edges must be strictly increasing")
+    joined = _match_join(matches, corpus, id_col)
+    v = ipv4_to_long(ip_col)
+    idx = sum(
+        (F.when(v >= F.lit(n), 1).otherwise(0) for n in nums), F.lit(0)
+    )
+    counts = joined.groupBy(idx.alias("bidx")).agg(
+        F.count("*").alias("doc_count")
+    )
+    bounds = [(0, None, edges[0])] + [
+        (i + 1, edges[i], edges[i + 1]) for i in range(len(edges) - 1)
+    ] + [(len(edges), edges[-1], None)]
+    ranges = corpus.sparkSession.createDataFrame(
+        bounds, "bidx int, bucket_lo string, bucket_hi string"
+    )
+    return (
+        ranges.join(counts, "bidx", "left")
+        .select(
+            "bucket_lo",
+            "bucket_hi",
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+        )
+        .orderBy(F.col("bucket_lo").asc_nulls_first())
+    )
+
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lat_sql: str, lon_sql: str, precision: int) -> str:
+    """ONE engine-portable SQL expression computing the geohash cell of
+    (lat, lon) at `precision` chars — floor/%/substr/concat only, so the
+    IDENTICAL string runs as a Spark JVM column (via F.expr) and as the
+    DuckDB oracle: bit-parity by construction instead of by reimplementation.
+
+    Geohash = base32 of the bit-interleaved (lon, lat) cell indices, lon
+    first; total bits 5·precision, lon gets the ceiling half."""
+    if not 1 <= precision <= 8:
+        raise ValueError("precision must be in [1, 8]")
+    nbits = 5 * precision
+    lonbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    lon_cell = (
+        f"LEAST(CAST(floor((({lon_sql}) + 180.0) / 360.0 * {1 << lonbits}) "
+        f"AS BIGINT), {(1 << lonbits) - 1})"
+    )
+    lat_cell = (
+        f"LEAST(CAST(floor((({lat_sql}) + 90.0) / 180.0 * {1 << latbits}) "
+        f"AS BIGINT), {(1 << latbits) - 1})"
+    )
+
+    def bit(cell: str, b: int) -> str:  # bit b (0 = LSB) of the cell
+        return f"(CAST(floor({cell} / {1 << b}) AS BIGINT) % 2)"
+
+    chars = []
+    for g in range(precision):
+        terms = []
+        for k in range(5):  # bit position j (0 = MSB of the interleave)
+            j = 5 * g + k
+            src, b = (
+                (lon_cell, lonbits - 1 - j // 2)
+                if j % 2 == 0
+                else (lat_cell, latbits - 1 - (j - 1) // 2)
+            )
+            terms.append(f"{bit(src, b)} * {1 << (4 - k)}")
+        idx = " + ".join(terms)
+        chars.append(f"substr('{_GEOHASH_B32}', CAST({idx} AS INT) + 1, 1)")
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def facet_geohash_grid(
+    matches: DataFrame,
+    corpus: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int = 4,
+    n: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES geohash_grid aggregation: doc counts per geohash cell. The cell
+    key is pure JVM column math (geohash_sql via F.expr — floor/%/substr
+    only), then one grouped partial-agg pass; counts order
+    (doc_count DESC, bucket ASC) like the terms agg."""
+    joined = _match_join(matches, corpus, id_col)
+    cell = F.expr(geohash_sql(lat_col, lon_col, precision))
+    out = (
+        joined.groupBy(cell.alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("bucket").asc())
+    )
+    return out.limit(n) if n is not None else out
+
+
+def facet_diversified_sampler(
+    matches: DataFrame,
+    corpus: DataFrame,
+    div_col: str,
+    col: str,
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES diversified_sampler aggregation, DETERMINISTIC variant: like
+    the sampler, but at most `max_docs_per_value` docs per `div_col`
+    value survive (de-biasing the sample), chosen md5(id)-smallest within
+    each value; then the md5-smallest `shard_size` of the survivors feed
+    the sub-agg (terms counts over `col`).
+
+    Plan: one bucket-partitioned row_number window (group-limit rewrite —
+    no full per-group sort materialization), one TakeOrderedAndProject
+    for the global cut, then the grouped count."""
+    joined = _match_join(matches, corpus, id_col).select(
+        F.col(id_col),
+        F.col(div_col).alias("_div"),
+        F.col(col).alias("_sub"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    w = Window.partitionBy("_div").orderBy(F.col("_h").asc())
+    sample = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_docs_per_value)
+        .orderBy(F.col("_h").asc())
+        .limit(shard_size)
+    )
+    return (
+        sample.groupBy(F.col("_sub").alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("bucket").asc())
+    )
+
+
+def facet_serial_diff(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    metric_col: str,
+    interval: str = "day",
+    lag: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES serial_diff + normalize (percent_of_sum) pipeline aggs over a
+    date_histogram of sum(metric): per bucket, value, value − value[−lag]
+    (null for the first `lag` buckets, the ES shape), and value as a
+    percentage of the series total. Window math over the BUCKET series
+    only — the document pass happens once."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    joined = _match_join(matches, corpus, id_col)
+    h = joined.groupBy(
+        F.date_trunc(interval, F.col(date_col)).alias("bucket")
+    ).agg(F.sum(F.col(metric_col).cast("double")).alias("value"))
+    w = Window.orderBy(F.col("bucket").asc())
+    return (
+        h.select(
+            "bucket",
+            "value",
+            (F.col("value") - F.lag("value", lag).over(w)).alias("diff"),
+            (
+                F.col("value") * 100.0
+                / F.sum("value").over(
+                    w.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+            ).alias("pct_of_sum"),
+        )
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+def facet_cumulative_cardinality(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    key_col: str,
+    interval: str = "day",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES cumulative_cardinality pipeline agg: per calendar bucket, the
+    running count of DISTINCT keys seen so far (e.g. total unique users
+    to date). Exact re-expression: a key contributes at its FIRST bucket,
+    so one grouped min() pass per key, a count per first-bucket, and a
+    cumulative window over the bucket series — never a distinct-union
+    across buckets. Buckets with no activity keep the running total."""
+    joined = _match_join(matches, corpus, id_col)
+    b = F.date_trunc(interval, F.col(date_col))
+    buckets = joined.groupBy(b.alias("bucket")).agg(
+        F.count("*").alias("_n")
+    ).select("bucket")
+    firsts = (
+        joined.groupBy(F.col(key_col).alias("_k"))
+        .agg(F.min(b).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_keys"))
+    )
+    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        buckets.join(firsts, "bucket", "left")
+        .select(
+            "bucket", F.coalesce(F.col("new_keys"), F.lit(0)).alias("new_keys")
+        )
+        .withColumn("cumulative_cardinality", F.sum("new_keys").over(w))
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+def facet_bucket_sort(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    metric_col: str,
+    size: int = 10,
+    from_: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES bucket_sort pipeline agg: terms buckets with sum(metric),
+    re-sorted by the metric (DESC, bucket ASC ties) and truncated with
+    from/size — pagination over the BUCKET series (a window rank over
+    aggregated buckets, never a second document pass)."""
+    joined = _match_join(matches, corpus, id_col)
+    h = joined.groupBy(F.col(col).alias("bucket")).agg(
+        F.count("*").alias("doc_count"),
+        F.sum(F.col(metric_col).cast("double")).alias("total"),
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col("bucket").asc())
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") > from_) & (F.col("_rn") <= from_ + size))
+        .select("bucket", "doc_count", "total")
+        .orderBy(F.col("total").desc(), F.col("bucket").asc())
+    )
+
+
+def facet_significant_text(
+    matches: DataFrame,
+    corpus: DataFrame,
+    n: int | None = 10,
+    sample_size: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES significant_text aggregation: significant_terms re-analyzed
+    from the text of a SAMPLED foreground (ES recommends it under a
+    sampler agg because re-analysis is costly; the deterministic
+    md5-smallest sample makes that composition reproducible). Background
+    stays the full corpus. Same percentage-score heuristic and ordering
+    as significant_terms."""
+    ids = matches.select(F.col(id_col)).distinct()
+    sample = (
+        ids.orderBy(F.md5(F.col(id_col).cast("string")).asc())
+        .limit(sample_size)
+    )
+    return significant_terms(
+        sample, corpus, n=n, text_col=text_col, id_col=id_col,
+        min_doc_count=min_doc_count,
+    )
+
+
+def facet_variable_width_histogram(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    buckets: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES variable_width_histogram, DETERMINISTIC variant: ES's one-pass
+    clustering is arrival-order dependent and unreproducible, so this
+    engine defines the bucketing as equal-frequency clusters split at the
+    exact interpolated i/k quantiles (documented deviation — same output
+    shape: per-cluster min/max/avg/doc_count). Edge rule: value v lands
+    in bucket #{edges <= v}.
+
+    Plan: one tiny quantile agg (k−1 edge values to the driver —
+    planning-level), then one bucket-index column pass + grouped
+    moments."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    joined = _match_join(matches, corpus, id_col)
+    v = F.col(col).cast("double")
+    qs = [i / buckets for i in range(1, buckets)]
+    edges = (
+        list(
+            joined.agg(
+                F.percentile(v, F.array(*[F.lit(q) for q in qs])).alias("e")
+            ).collect()[0]["e"]
+        )
+        if qs
+        else []
+    )
+    idx = sum(
+        (F.when(v >= F.lit(float(e)), 1).otherwise(0) for e in edges),
+        F.lit(0),
+    )
+    return (
+        joined.groupBy(idx.alias("bucket"))
+        .agg(
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.avg(v).alias("avg"),
+            F.count("*").alias("doc_count"),
+        )
+        .orderBy(F.col("bucket").asc())
+    )

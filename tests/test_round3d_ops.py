@@ -389,3 +389,182 @@ def test_geo_bounds(spark):
     ).collect()[0]
     assert (row["top_left_lat"], row["top_left_lon"]) == (45.0, -20.0)
     assert (row["bottom_right_lat"], row["bottom_right_lon"]) == (-5.0, 170.0)
+
+
+# ---------------------------------------------------------------------------
+# batch 7b aggregations (date_range / ip_range / geohash_grid /
+# diversified_sampler / serial_diff / cumulative_cardinality /
+# bucket_sort / significant_text / variable_width_histogram)
+# ---------------------------------------------------------------------------
+
+
+def _pygeohash(lat, lon, precision):
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_i = [-90.0, 90.0]
+    lon_i = [-180.0, 180.0]
+    bits, even, ch, out = 0, True, 0, []
+    while len(out) < precision:
+        iv = lon_i if even else lat_i
+        x = lon if even else lat
+        mid = (iv[0] + iv[1]) / 2
+        if x >= mid:
+            ch = ch * 2 + 1
+            iv[0] = mid
+        else:
+            ch = ch * 2
+            iv[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(b32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_grid_vs_python(spark):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    rows = [
+        (i, ((i * 37) % 1800) / 10.0 - 90.0, ((i * 53) % 3600) / 10.0 - 180.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    for p in (1, 4):
+        got = {
+            r["bucket"]: r["doc_count"]
+            for r in OFA.facet_geohash_grid(
+                df.select("id"), df, "lat", "lon", precision=p, id_col="id"
+            ).collect()
+        }
+        from collections import Counter
+
+        want = Counter(_pygeohash(la, lo, p) for _, la, lo in rows)
+        assert got == dict(want)
+    with pytest.raises(ValueError):
+        OFA.geohash_sql("lat", "lon", 9)
+
+
+def test_ipv4_to_long(spark):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    df = spark.createDataFrame(
+        [("0.0.0.1",), ("10.0.0.0",), ("255.255.255.255",)], "ip string"
+    )
+    got = [r["n"] for r in df.select(OFA.ipv4_to_long("ip").alias("n")).collect()]
+    assert got == [1, 10 * 16777216, 2**32 - 1]
+
+
+def test_date_and_ip_range_cover_all(spark, corpus):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    df = corpus.withColumn(
+        "ip",
+        F.concat_ws(
+            ".", (F.col("doc_id") * 3) % 256, F.lit(0), F.lit(0),
+            F.col("doc_id") % 256,
+        ),
+    )
+    out = OFA.facet_ip_range(
+        df.select("doc_id"), df, "ip", ["100.0.0.0", "200.0.0.0"]
+    ).collect()
+    assert sum(r["doc_count"] for r in out) == df.count()
+    assert [r["bucket_lo"] for r in out] == [None, "100.0.0.0", "200.0.0.0"]
+    with pytest.raises(ValueError):
+        OFA.facet_ip_range(df.select("doc_id"), df, "ip", ["2.0.0.0", "1.0.0.0"])
+
+
+def test_diversified_sampler_constraints(corpus, match_pdf):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    matches, pdf = match_pdf
+    c2 = corpus.withColumn("g", (F.col("doc_id") % 4).cast("string"))
+    cap, size = 3, 8
+    out = OFA.facet_diversified_sampler(
+        matches, c2, "g", "g", shard_size=size, max_docs_per_value=cap
+    ).collect()
+    assert sum(r["doc_count"] for r in out) == min(size, len(pdf))
+    assert all(r["doc_count"] <= cap for r in out)
+
+
+def test_serial_diff_and_normalize(spark):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    rows = [
+        (i, f"2024-01-{d:02d} 03:00:00", float(v))
+        for i, (d, v) in enumerate([(1, 10), (1, 20), (2, 5), (3, 25)])
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = OFA.facet_serial_diff(
+        df.select("id"), df, "ts", "v", "day", 1, id_col="id"
+    ).collect()
+    assert [r["value"] for r in out] == [30.0, 5.0, 25.0]
+    assert out[0]["diff"] is None
+    assert [r["diff"] for r in out[1:]] == [-25.0, 20.0]
+    assert [r["pct_of_sum"] for r in out] == [50.0, 25.0 / 3, 125.0 / 3]
+    with pytest.raises(ValueError):
+        OFA.facet_serial_diff(df.select("id"), df, "ts", "v", "day", 0, id_col="id")
+
+
+def test_cumulative_cardinality_brute(spark):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 100),
+        (2, "2024-01-01 01:00:00", 200),
+        (3, "2024-01-02 00:00:00", 100),  # no new key that day
+        (4, "2024-01-03 00:00:00", 300),
+        (5, "2024-01-03 05:00:00", 100),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string, u long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = OFA.facet_cumulative_cardinality(
+        df.select("id"), df, "ts", "u", "day", id_col="id"
+    ).collect()
+    assert [(r["new_keys"], r["cumulative_cardinality"]) for r in out] == [
+        (2, 2), (0, 2), (1, 3),
+    ]
+
+
+def test_bucket_sort_paging(spark, corpus):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    c2 = corpus.withColumn("g", (F.col("doc_id") % 5).cast("string")).withColumn(
+        "v", F.length("text").cast("double")
+    )
+    full = OFA.facet_bucket_sort(
+        c2.select("doc_id"), c2, "g", "v", size=100, from_=0
+    ).collect()
+    page = OFA.facet_bucket_sort(
+        c2.select("doc_id"), c2, "g", "v", size=2, from_=1
+    ).collect()
+    assert [r["bucket"] for r in page] == [r["bucket"] for r in full[1:3]]
+
+
+def test_significant_text_sample_restriction(index, corpus, doc_tokens):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    term = _common_term(doc_tokens)
+    matches = index.search([term], k=None, mode="and")
+    small = OFA.facet_significant_text(
+        matches, corpus, n=None, sample_size=10, min_doc_count=1
+    )
+    # fg_df can never exceed the sample size
+    assert small.agg(F.max("fg_df")).collect()[0][0] <= 10
+
+
+def test_variable_width_histogram(corpus, match_pdf):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    matches, pdf = match_pdf
+    c2 = corpus.withColumn("v", F.length("text").cast("double"))
+    out = OFA.facet_variable_width_histogram(matches, c2, "v", 4).collect()
+    assert sum(r["doc_count"] for r in out) == len(pdf)
+    assert len(out) <= 4
+    # clusters are ordered and non-overlapping
+    for a, b in zip(out, out[1:]):
+        assert a["max"] <= b["min"]
+    with pytest.raises(ValueError):
+        OFA.facet_variable_width_histogram(matches, c2, "v", 0)
