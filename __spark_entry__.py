@@ -3879,6 +3879,153 @@ FROM mt, e GROUP BY 1 ORDER BY bucket ASC
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 8: span algebra, intervals query, simple_query_string
+# ---------------------------------------------------------------------------
+
+_PTOKS_CTE = """ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+)"""
+
+
+def _bm25_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_or: ordered near(table, hash, slop 3) OR term(merge);
+    BM25 over the distinct involved terms restricted to matching docs
+    (the engine's span-composition contract)."""
+    idx = _docs_index_pos(spark, sf_dir)
+    out = idx.search_span_or(
+        [("near", "table", "hash", 3, True), ("term", "merge")], k=None
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_BM25_SPAN_OR_SQL = f"""
+WITH {_PTOKS_CTE},
+{_bm25_body("term IN ('hash', 'merge', 'table')")},
+nearm AS (
+  SELECT DISTINCT a.doc_id FROM ptoks a
+  JOIN ptoks b ON a.doc_id = b.doc_id
+  WHERE a.term = 'table' AND b.term = 'hash'
+    AND b.pos > a.pos AND b.pos - a.pos <= 3
+),
+orm AS (
+  SELECT doc_id FROM nearm
+  UNION
+  SELECT DISTINCT doc_id FROM ptoks WHERE term = 'merge'
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM orm)
+"""
+
+
+def _bm25_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_containing: an ordered near(table, hash, slop 6) span
+    enclosing an occurrence of merge."""
+    idx = _docs_index_pos(spark, sf_dir)
+    out = idx.search_span_containing(
+        ("near", "table", "hash", 6, True), ("term", "merge"), k=None
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_BM25_SPAN_CONTAINING_SQL = f"""
+WITH {_PTOKS_CTE},
+{_bm25_body("term IN ('hash', 'merge', 'table')")},
+m AS (
+  SELECT DISTINCT a.doc_id FROM ptoks a
+  JOIN ptoks b ON a.doc_id = b.doc_id
+  JOIN ptoks c ON c.doc_id = a.doc_id
+  WHERE a.term = 'table' AND b.term = 'hash' AND c.term = 'merge'
+    AND b.pos > a.pos AND b.pos - a.pos <= 6
+    AND c.pos >= a.pos AND c.pos <= b.pos
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM m)
+"""
+
+_INTERVALS_TERMS = ["spark", "query", "table"]
+_INTERVALS_GAPS = 8
+
+
+def _bm25_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals query (ordered match, max_gaps): spark … query …
+    table in order with ≤ 8 interleaved positions."""
+    idx = _docs_index_pos(spark, sf_dir)
+    out = idx.search_intervals(
+        _INTERVALS_TERMS, max_gaps=_INTERVALS_GAPS, k=None
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_intervals_sql() -> str:
+    t1, t2, t3 = _INTERVALS_TERMS
+    tlist = ", ".join(f"'{t}'" for t in sorted(_INTERVALS_TERMS))
+    return f"""
+WITH {_PTOKS_CTE},
+{_bm25_body(f"term IN ({tlist})")},
+m AS (
+  SELECT DISTINCT a.doc_id FROM ptoks a
+  JOIN ptoks b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  JOIN ptoks c ON c.doc_id = a.doc_id AND c.pos > b.pos
+  WHERE a.term = '{t1}' AND b.term = '{t2}' AND c.term = '{t3}'
+    AND c.pos - a.pos - 2 <= {_INTERVALS_GAPS}
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM m)
+"""
+
+
+_SQS_QUERY = "spark tab* jo|scan -merge"
+
+
+def _sqs_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES simple_query_string, default_operator=and: every clause must
+    match (prefix + alternation clauses group-wise), -merge excluded
+    index-assisted."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search_simple_query_string(
+        _SQS_QUERY, k=None, default_operator="and"
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_SQS_SQL = f"""
+WITH {_bm25_body(
+    "(term IN ('jo', 'scan', 'spark') OR term LIKE 'tab%')"
+)},
+g1 AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+g2 AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'tab%'),
+g3 AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('jo', 'scan')),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+SELECT s.doc_id, round(s.s, 4) AS score
+FROM scored s
+JOIN g1 USING (doc_id) JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+WHERE s.doc_id NOT IN (SELECT doc_id FROM neg)
+"""
+
+
+def _sqs_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES simple_query_string, default_operator=or: scored union with a
+    negated clause."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search_simple_query_string(
+        "spark scan -merge", k=None, default_operator="or"
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_SQS_OR_SQL = _bm25_sql(
+    ["spark", "scan"], "or", None,
+    where=(
+        "doc_id NOT IN "
+        "(SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -3961,6 +4108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_bucket_sort": _facet_bucket_sort,
         "facet_sig_text": _facet_sig_text,
         "facet_vw_hist": _facet_vw_hist,
+        "bm25_span_or": _bm25_span_or,
+        "bm25_span_containing": _bm25_span_containing,
+        "bm25_intervals": _bm25_intervals,
+        "sqs_search": _sqs_search,
+        "sqs_or": _sqs_or,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4112,6 +4264,11 @@ def oracle_sql() -> dict[str, str]:
         "facet_bucket_sort": _FACET_BUCKET_SORT_SQL,
         "facet_sig_text": _FACET_SIG_TEXT_SQL,
         "facet_vw_hist": _FACET_VWH_SQL,
+        "bm25_span_or": _BM25_SPAN_OR_SQL,
+        "bm25_span_containing": _BM25_SPAN_CONTAINING_SQL,
+        "bm25_intervals": _bm25_intervals_sql(),
+        "sqs_search": _SQS_SQL,
+        "sqs_or": _SQS_OR_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

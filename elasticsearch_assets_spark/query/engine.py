@@ -34,6 +34,32 @@ from elasticsearch_assets_spark.query.wand import (
     topk_min_should_match,
 )
 
+def _span_expr_terms(expr) -> list:
+    """Terms referenced by a span expr: ("term", t) | ("near", t1, t2,
+    slop[, ordered])."""
+    kind = expr[0]
+    if kind == "term":
+        return [expr[1]]
+    if kind == "near":
+        return [expr[1], expr[2]]
+    raise ValueError(f"unknown span expr {kind!r}")
+
+
+def _span_expr_eval(expr, postings):
+    """Evaluate a span expr to (docs, starts, ends) over one segment's
+    postings (module-level so worker closures never capture the index
+    handle)."""
+    from elasticsearch_assets_spark.query.phrase import near_spans, term_spans
+
+    kind = expr[0]
+    if kind == "term":
+        return term_spans(postings, expr[1])
+    return near_spans(
+        postings, expr[1], expr[2], expr[3],
+        expr[4] if len(expr) > 4 else False,
+    )
+
+
 TOPK_SCHEMA = "doc_id long, score double"
 
 
@@ -1136,6 +1162,180 @@ class InvertedIndex:
         )
         ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return ordered.limit(k) if k is not None else ordered
+
+    # -- simple_query_string ----------------------------------------------------
+
+    def search_simple_query_string(
+        self,
+        q: str,
+        k: int | None = 10,
+        default_operator: str = "and",
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """ES simple_query_string (query/simplestring.py for the
+        grammar): clauses become clause-level boolean groups under
+        default_operator=and (doc must match ≥ 1 alternative of every
+        clause), a flat scored union under =or; `-` negations ride the
+        index-assisted must_not path; `*` prefixes expand against the
+        distributed dictionary; a whole-query phrase delegates to the
+        positional phrase plan."""
+        from elasticsearch_assets_spark.query.simplestring import parse_sqs
+
+        if default_operator not in ("and", "or"):
+            raise ValueError(f"unknown default_operator {default_operator!r}")
+        parsed = parse_sqs(q)
+        if parsed.phrase is not None:
+            return self.search_phrase(parsed.phrase, k=k)
+
+        def expand(alts: list) -> list[str]:
+            terms: set[str] = set()
+            for tok, is_prefix in alts:
+                if is_prefix:
+                    terms.update(self.expand_prefix(tok, max_expansions))
+                else:
+                    terms.add(tok)
+            return sorted(terms)
+
+        groups = [expand(alts) for alts in parsed.groups]
+        nots = expand(parsed.nots)
+        if not groups:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if default_operator == "and":
+            if any(not g for g in groups):  # a clause with zero expansions
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self.search(
+                None, k=k, mode="and", groups=groups, must_not=nots
+            )
+        flat = sorted({t for g in groups for t in g})
+        if not flat:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.search(flat, k=k, mode="or", must_not=nots)
+
+    # -- span algebra + intervals ---------------------------------------------
+
+    def _span_search(self, exprs: list, doc_fn, k: int | None) -> DataFrame:
+        """Shared distributed driver for span compositions: fetch the
+        involved terms' postings per segment (one pushed `term IN` scan),
+        let `doc_fn(postings) -> sorted doc ids` decide membership, score
+        BM25 over the DISTINCT involved terms restricted to matching docs
+        (the engine's span-composition contract, same as search_near /
+        search_phrase), merge via TakeOrderedAndProject."""
+        from elasticsearch_assets_spark.query.wand import restrict
+
+        if not self.meta.positions:
+            raise ValueError(
+                "index was built without positions=True — span queries "
+                "need the positional stream (build_index(positions=True))"
+            )
+        terms = sorted({t for e in exprs for t in _span_expr_terms(e)})
+        dfs = self.term_stats(terms)
+        meta = self.meta
+        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            docs = restrict(doc_fn(postings), excluded, None)
+            score = exact_scores(docs, terms, postings, idfs, avgdl, k1, b)
+            order = np.lexsort((docs, -score))
+            if k is not None:
+                order = order[:k]
+            return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
+
+        per_seg = (
+            self.segments.where(F.col("term").isin(terms))
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
+        )
+        ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered.limit(k) if k is not None else ordered
+
+    def search_span_or(self, spans: list, k: int | None = 10) -> DataFrame:
+        """ES span_or query: docs with an occurrence of ANY sub-span.
+        Span exprs: ("term", t) | ("near", t1, t2, slop[, ordered]).
+        Scoring: BM25 over the distinct involved terms restricted to
+        matching docs (span-composition contract)."""
+
+        def doc_fn(postings):
+            from elasticsearch_assets_spark.query.phrase import span_or_spans
+
+            docs, _, _ = span_or_spans(
+                [_span_expr_eval(e, postings) for e in spans]
+            )
+            return np.unique(docs)
+
+        return self._span_search(spans, doc_fn, k)
+
+    def search_span_containing(
+        self, big, little, k: int | None = 10
+    ) -> DataFrame:
+        """ES span_containing query: docs where an occurrence of `big`
+        fully encloses an occurrence of `little` (little must be a
+        ("term", t) span — see phrase.span_containing_spans)."""
+
+        def doc_fn(postings):
+            from elasticsearch_assets_spark.query.phrase import (
+                span_containing_spans,
+            )
+
+            docs, _, _ = span_containing_spans(
+                _span_expr_eval(big, postings),
+                _span_expr_eval(little, postings),
+            )
+            return np.unique(docs)
+
+        return self._span_search([big, little], doc_fn, k)
+
+    def search_span_within(
+        self, little, big, k: int | None = 10
+    ) -> DataFrame:
+        """ES span_within query: docs where an occurrence of `little`
+        (a ("term", t) span) lies inside an occurrence of `big`. Doc-set
+        equal to span_containing over the same pair; the kernels differ
+        in WHICH spans they emit, which matters for further composition
+        (tested)."""
+
+        def doc_fn(postings):
+            from elasticsearch_assets_spark.query.phrase import (
+                span_within_spans,
+            )
+
+            docs, _, _ = span_within_spans(
+                _span_expr_eval(little, postings),
+                _span_expr_eval(big, postings),
+            )
+            return np.unique(docs)
+
+        return self._span_search([little, big], doc_fn, k)
+
+    def search_intervals(
+        self, terms: list[str], max_gaps: int = 0, k: int | None = 10
+    ) -> DataFrame:
+        """ES intervals query (ordered `match` rule): the terms appear
+        in order with at most `max_gaps` other positions inside the
+        window (phrase.intervals_match — greedy minimal chain, exact for
+        existence). max_gaps=0 with adjacent terms degrades to the
+        phrase query (tested). Scoring: BM25 over the distinct terms
+        restricted to matching docs."""
+        if len(terms) < 2:
+            raise ValueError("intervals needs >= 2 terms")
+        if len(set(terms)) != len(terms):
+            raise ValueError("intervals terms must be distinct")
+
+        def doc_fn(postings):
+            from elasticsearch_assets_spark.query.phrase import (
+                intervals_match,
+            )
+
+            return intervals_match(postings, terms, max_gaps)
+
+        return self._span_search(
+            [("term", t) for t in terms], doc_fn, k
+        )
 
     # -- inspection APIs ----------------------------------------------------
 

@@ -282,3 +282,230 @@ def span_not_match(
     right = np.searchsorted(k2, hi, side="right")
     ok = right == left  # no exclude occurrence inside the window
     return np.unique(d1[ok])
+
+
+# ---------------------------------------------------------------------------
+# span algebra (occurrence-level): term / near spans composed by
+# or / containing / within, plus the intervals query's ordered chain.
+# A span is (docs, starts, ends) with end EXCLUSIVE (the Lucene span
+# contract); all kernels are numpy-vectorized over one segment.
+# ---------------------------------------------------------------------------
+
+
+def term_spans(
+    postings: dict[str, TermPostings], term: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Width-1 spans: every occurrence of `term` -> [pos, pos+1)."""
+    empty = np.array([], dtype=np.int64)
+    if term not in postings:
+        return empty, empty, empty
+    tp = postings[term]
+    tfs, _ = tp.full()
+    pos = tp.positions()
+    docs = np.repeat(tp.doc_ids, tfs)
+    return docs, pos, pos + 1
+
+
+def near_spans(
+    postings: dict[str, TermPostings],
+    t1: str,
+    t2: str,
+    slop: int,
+    ordered: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ENUMERATED two-term near spans (the span-producing sibling of
+    near_match, which only answers doc membership): every (p1, p2)
+    occurrence pair within the slop window becomes the span
+    [min(p1,p2), max(p1,p2)+1). Vectorized: one searchsorted window per
+    t2 occurrence, pairs materialized by a repeat+cumsum range expansion
+    — output size is the true number of matching pairs."""
+    empty = np.array([], dtype=np.int64)
+    if t1 == t2:
+        raise ValueError("near_spans needs two distinct terms")
+    if t1 not in postings or t2 not in postings:
+        return empty, empty, empty
+    cand = _sorted_intersect(postings[t1].doc_ids, postings[t2].doc_ids)
+    if cand.size == 0:
+        return empty, empty, empty
+    occ = {}
+    maxpos = 0
+    for t in (t1, t2):
+        tp = postings[t]
+        tfs, _ = tp.full()
+        pos = tp.positions()
+        hit = np.isin(tp.doc_ids, cand, assume_unique=True)
+        keep = np.repeat(hit, tfs)
+        docs_o = np.repeat(tp.doc_ids, tfs)[keep]
+        pos_o = pos[keep]
+        if pos_o.size == 0:
+            return empty, empty, empty
+        occ[t] = (docs_o, pos_o)
+        maxpos = max(maxpos, int(pos_o.max()))
+    M = np.int64(maxpos + slop + 2)
+    d1, p1 = occ[t1]
+    d2, p2 = occ[t2]
+    k1 = np.searchsorted(cand, d1) * M + p1  # sorted (doc, pos)
+    dense2 = np.searchsorted(cand, d2)
+    lo = dense2 * M + np.maximum(p2 - slop, 0)
+    hi = dense2 * M + (p2 - 1 if ordered else p2 + slop)
+    left = np.searchsorted(k1, lo, side="left")
+    right = np.searchsorted(k1, hi, side="right")
+    counts = right - left
+    total = int(counts.sum())
+    if total == 0:
+        return empty, empty, empty
+    # expand each [left_i, right_i) into explicit pair indices
+    base = np.repeat(left, counts)
+    csum = np.cumsum(counts) - counts
+    offsets = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+    p1_sel = k1[base + offsets] % M
+    p2_sel = np.repeat(p2, counts)
+    docs = cand[np.repeat(dense2, counts)]
+    starts = np.minimum(p1_sel, p2_sel)
+    ends = np.maximum(p1_sel, p2_sel) + 1
+    return docs, starts, ends
+
+
+def _span_sort(docs, starts, ends):
+    order = np.lexsort((ends, starts, docs))
+    return docs[order], starts[order], ends[order]
+
+
+def span_or_spans(
+    span_list: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lucene span_or: the union of the sub-spans' occurrences."""
+    empty = np.array([], dtype=np.int64)
+    keep = [s for s in span_list if s[0].size]
+    if not keep:
+        return empty, empty, empty
+    docs = np.concatenate([s[0] for s in keep])
+    starts = np.concatenate([s[1] for s in keep])
+    ends = np.concatenate([s[2] for s in keep])
+    return _span_sort(docs, starts, ends)
+
+
+def span_containing_spans(
+    big: tuple[np.ndarray, np.ndarray, np.ndarray],
+    little: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lucene span_containing: big spans that fully contain at least one
+    little span. `little` must be width-1 (term spans) — the engine's
+    supported composition (Lucene's tested surface: a term inside a
+    near/phrase window); general little spans would need a range-min
+    structure instead of one searchsorted pair.
+
+    Kernel: little occurrences become sorted doc-block keys; a big span
+    [s, e) contains one iff a key lies in [doc·M + s, doc·M + e-1]."""
+    empty = np.array([], dtype=np.int64)
+    bd, bs, be = big
+    ld, ls, le = little
+    if bd.size == 0 or ld.size == 0:
+        return empty, empty, empty
+    if not np.array_equal(le, ls + 1):
+        raise ValueError("span_containing: little spans must be width 1")
+    alldocs = np.union1d(np.unique(bd), np.unique(ld))
+    M = np.int64(max(int(be.max()), int(le.max())) + 2)
+    lkey = np.sort(np.searchsorted(alldocs, ld) * M + ls)
+    dense_b = np.searchsorted(alldocs, bd)
+    lo = dense_b * M + bs
+    hi = dense_b * M + (be - 1)  # little pos q needs s <= q <= e-1
+    left = np.searchsorted(lkey, lo, side="left")
+    right = np.searchsorted(lkey, hi, side="right")
+    ok = right > left
+    return _span_sort(bd[ok], bs[ok], be[ok])
+
+
+def span_within_spans(
+    little: tuple[np.ndarray, np.ndarray, np.ndarray],
+    big: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lucene span_within: little spans enclosed by at least one big
+    span. Little must be width-1 (see span_containing_spans).
+
+    Kernel: big spans sorted by (doc, start) with a prefix-max over
+    doc-block END keys — for a little position q, some big span has
+    start <= q iff its key sorts before q's, and encloses it iff the
+    prefix max end reaches q+1. Doc blocks can't leak: an earlier doc's
+    end key is always below the current doc's block base."""
+    empty = np.array([], dtype=np.int64)
+    bd, bs, be = big
+    ld, ls, le = little
+    if bd.size == 0 or ld.size == 0:
+        return empty, empty, empty
+    if not np.array_equal(le, ls + 1):
+        raise ValueError("span_within: little spans must be width 1")
+    alldocs = np.union1d(np.unique(bd), np.unique(ld))
+    M = np.int64(max(int(be.max()), int(le.max())) + 2)
+    dense_b = np.searchsorted(alldocs, bd)
+    bkey = dense_b * M + bs
+    order = np.argsort(bkey, kind="stable")
+    bkey = bkey[order]
+    emax = np.maximum.accumulate((dense_b * M + be)[order])
+    dense_l = np.searchsorted(alldocs, ld)
+    r = np.searchsorted(bkey, dense_l * M + ls, side="right")
+    ok = r > 0
+    ok[ok] = emax[r[ok] - 1] >= dense_l[ok] * M + le[ok]
+    return _span_sort(ld[ok], ls[ok], le[ok])
+
+
+def intervals_match(
+    postings: dict[str, TermPostings],
+    terms: list[str],
+    max_gaps: int,
+) -> np.ndarray:
+    """Sorted doc ids (of one segment) containing the terms IN ORDER
+    with at most `max_gaps` non-matching positions inside the window —
+    the ES intervals query's ordered `match` rule (match_all_terms).
+
+    Kernel: greedy minimal chain, fully vectorized — anchors are every
+    occurrence of terms[0]; for each subsequent term ONE searchsorted
+    finds the smallest same-doc occurrence strictly after the current
+    chain position. Greedy is exact for existence: the minimal chain end
+    from an anchor minimizes the window, so if any ordered tuple from
+    that anchor satisfies the gap bound, the greedy one does."""
+    empty = np.array([], dtype=np.int64)
+    if len(terms) < 2:
+        raise ValueError("intervals_match needs >= 2 terms")
+    if len(set(terms)) != len(terms):
+        raise ValueError("intervals_match terms must be distinct")
+    if any(t not in postings for t in terms):
+        return empty
+    cand = postings[terms[0]].doc_ids
+    for t in terms[1:]:
+        cand = _sorted_intersect(cand, postings[t].doc_ids)
+        if cand.size == 0:
+            return empty
+    occ = {}
+    maxpos = 0
+    for t in terms:
+        tp = postings[t]
+        tfs, _ = tp.full()
+        pos = tp.positions()
+        hit = np.isin(tp.doc_ids, cand, assume_unique=True)
+        keep = np.repeat(hit, tfs)
+        docs_o = np.repeat(tp.doc_ids, tfs)[keep]
+        pos_o = pos[keep]
+        if pos_o.size == 0:
+            return empty
+        occ[t] = (docs_o, pos_o)
+        maxpos = max(maxpos, int(pos_o.max()))
+    M = np.int64(maxpos + 2)
+    d0, p0 = occ[terms[0]]
+    dense = np.searchsorted(cand, d0)
+    cur = dense * M + p0  # chain positions as doc-block keys
+    alive = np.ones(cur.shape, dtype=bool)
+    for t in terms[1:]:
+        dt, pt = occ[t]
+        kt = np.searchsorted(cand, dt) * M + pt  # sorted (doc, pos)
+        idx = np.searchsorted(kt, cur, side="right")
+        ok = idx < kt.size
+        nxt = np.where(ok, kt[np.minimum(idx, kt.size - 1)], 0)
+        ok &= (nxt // M) == (cur // M)  # same doc
+        alive &= ok
+        cur = np.where(alive, nxt, cur)
+    if not alive.any():
+        return empty
+    width = (cur % M) - p0 + 1
+    hit = alive & (width - len(terms) <= max_gaps)
+    return np.unique(d0[hit])

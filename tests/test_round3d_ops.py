@@ -568,3 +568,253 @@ def test_variable_width_histogram(corpus, match_pdf):
         assert a["max"] <= b["min"]
     with pytest.raises(ValueError):
         OFA.facet_variable_width_histogram(matches, c2, "v", 0)
+
+
+# ---------------------------------------------------------------------------
+# batch 8: span algebra / intervals / simple_query_string
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "pos")
+    build_index(spark, corpus, d, num_segments=8, num_chunks=2, positions=True)
+    return InvertedIndex(spark, d)
+
+
+def _near_pairs_py(toks, t1, t2, slop, ordered):
+    """Brute-force (start, end) span pairs of a token list."""
+    out = []
+    for i, a in enumerate(toks):
+        if a != t1:
+            continue
+        for j, b in enumerate(toks):
+            if b != t2 or j == i:
+                continue
+            if ordered and not (j > i and j - i <= slop):
+                continue
+            if not ordered and abs(j - i) > slop:
+                continue
+            out.append((min(i, j), max(i, j) + 1))
+    return out
+
+
+def _pick_near_terms(doc_tokens, slop):
+    """Two mid-frequency terms that co-occur within the slop window."""
+    from collections import Counter
+
+    c = Counter(t for toks in doc_tokens.values() for t in set(toks))
+    common = [t for t, _ in c.most_common(12)]
+    for t1 in common:
+        for t2 in common:
+            if t1 == t2:
+                continue
+            n = sum(
+                1
+                for toks in doc_tokens.values()
+                if _near_pairs_py(toks, t1, t2, slop, True)
+            )
+            if n >= 3:
+                return t1, t2
+    pytest.skip("no co-occurring term pair in the synthetic corpus")
+
+
+def test_span_or_brute(pos_index, doc_tokens):
+    t1, t2 = _pick_near_terms(doc_tokens, 4)
+    t3 = _common_term(doc_tokens, 6)
+    got = {
+        r["doc_id"]
+        for r in pos_index.search_span_or(
+            [("near", t1, t2, 4, True), ("term", t3)], k=None
+        ).collect()
+    }
+    want = {
+        d
+        for d, toks in doc_tokens.items()
+        if _near_pairs_py(toks, t1, t2, 4, True) or t3 in toks
+    }
+    assert got == want
+
+
+def test_span_containing_and_within_brute(pos_index, doc_tokens):
+    t1, t2 = _pick_near_terms(doc_tokens, 6)
+    # pick a little term that actually falls inside some window
+    from collections import Counter
+
+    c = Counter(t for toks in doc_tokens.values() for t in set(toks))
+    little = None
+    want = set()
+    for cand, _ in c.most_common(30):
+        if cand in (t1, t2):
+            continue
+        hits = set()
+        for d, toks in doc_tokens.items():
+            spans = _near_pairs_py(toks, t1, t2, 6, True)
+            pos = [i for i, t in enumerate(toks) if t == cand]
+            if any(s <= q < e for s, e in spans for q in pos):
+                hits.add(d)
+        if hits:
+            little, want = cand, hits
+            break
+    if little is None:
+        pytest.skip("no containing composition in the synthetic corpus")
+    big = ("near", t1, t2, 6, True)
+    got_c = {
+        r["doc_id"]
+        for r in pos_index.search_span_containing(
+            big, ("term", little), k=None
+        ).collect()
+    }
+    got_w = {
+        r["doc_id"]
+        for r in pos_index.search_span_within(
+            ("term", little), big, k=None
+        ).collect()
+    }
+    assert got_c == want
+    assert got_w == want  # doc sets coincide; emitted spans differ
+
+
+def test_span_kernels_emit_different_spans(doc_tokens):
+    """Containing returns BIG spans, within returns LITTLE spans."""
+    import numpy as np
+
+    from elasticsearch_assets_spark.query.phrase import (
+        span_containing_spans,
+        span_within_spans,
+    )
+
+    big = (
+        np.array([1, 1], dtype=np.int64),
+        np.array([0, 10], dtype=np.int64),
+        np.array([5, 15], dtype=np.int64),
+    )
+    little = (
+        np.array([1, 1], dtype=np.int64),
+        np.array([2, 30], dtype=np.int64),
+        np.array([3, 31], dtype=np.int64),
+    )
+    c = span_containing_spans(big, little)
+    w = span_within_spans(little, big)
+    assert (c[1].tolist(), c[2].tolist()) == ([0], [5])    # the big span
+    assert (w[1].tolist(), w[2].tolist()) == ([2], [3])    # the little span
+    with pytest.raises(ValueError):
+        span_containing_spans(big, big)  # little must be width 1
+
+
+def test_intervals_brute_and_phrase_degeneration(pos_index, doc_tokens, corpus):
+    from collections import Counter
+
+    c = Counter(t for toks in doc_tokens.values() for t in set(toks))
+    t1, t2, t3 = [t for t, _ in c.most_common(3)]
+
+    def ordered_hit(toks, terms, gaps):
+        # greedy existence check
+        best = None
+        for i, t in enumerate(toks):
+            if t != terms[0]:
+                continue
+            cur = i
+            ok = True
+            for nxt in terms[1:]:
+                found = next(
+                    (j for j in range(cur + 1, len(toks)) if toks[j] == nxt),
+                    None,
+                )
+                if found is None:
+                    ok = False
+                    break
+                cur = found
+            if ok and cur - i + 1 - len(terms) <= gaps:
+                best = True
+                break
+        return bool(best)
+
+    for gaps in (0, 5, 50):
+        got = {
+            r["doc_id"]
+            for r in pos_index.search_intervals(
+                [t1, t2, t3], max_gaps=gaps, k=None
+            ).collect()
+        }
+        want = {
+            d for d, toks in doc_tokens.items()
+            if ordered_hit(toks, [t1, t2, t3], gaps)
+        }
+        assert got == want, f"gaps={gaps}"
+    with pytest.raises(ValueError):
+        pos_index.search_intervals([t1], max_gaps=0)
+    with pytest.raises(ValueError):
+        pos_index.search_intervals([t1, t1], max_gaps=0)
+
+
+def test_intervals_zero_gaps_equals_phrase(pos_index, doc_tokens):
+    t1, t2 = _pick_near_terms(doc_tokens, 1)
+    got = {
+        r["doc_id"]
+        for r in pos_index.search_intervals([t1, t2], max_gaps=0, k=None).collect()
+    }
+    phr = {
+        r["doc_id"]
+        for r in pos_index.search_phrase([t1, t2], k=None).collect()
+    }
+    assert got == phr
+
+
+def test_sqs_parser():
+    from elasticsearch_assets_spark.query.simplestring import parse_sqs
+
+    p = parse_sqs("spark tab* jo|scan -merge +query")
+    assert p.groups == [
+        [("spark", False)], [("tab", True)],
+        [("jo", False), ("scan", False)], [("query", False)],
+    ]
+    assert p.nots == [("merge", False)]
+    assert parse_sqs('"a b"').phrase == ["a", "b"]
+    with pytest.raises(ValueError):
+        parse_sqs('spark "a b"')
+
+
+def test_sqs_and_equals_groups(index, doc_tokens):
+    t1 = _common_term(doc_tokens, 0)
+    t2 = _common_term(doc_tokens, 1)
+    prefix = t2[:3]
+    got = index.search_simple_query_string(
+        f"{t1} {prefix}*", k=None, default_operator="and"
+    ).collect()
+    want = index.search(
+        None, k=None, mode="and",
+        groups=[[t1], index.expand_prefix(prefix)],
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_sqs_or_with_negation(index, doc_tokens):
+    t1 = _common_term(doc_tokens, 0)
+    t2 = _common_term(doc_tokens, 1)
+    t3 = _common_term(doc_tokens, 2)
+    got = index.search_simple_query_string(
+        f"{t1}|{t2} -{t3}", k=None, default_operator="or"
+    ).collect()
+    want = index.search(
+        [t1, t2], k=None, mode="or", must_not=[t3]
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_sqs_phrase_delegates(pos_index, doc_tokens):
+    t1, t2 = _pick_near_terms(doc_tokens, 1)
+    got = {
+        r["doc_id"]
+        for r in pos_index.search_simple_query_string(
+            f'"{t1} {t2}"', k=None
+        ).collect()
+    }
+    want = {
+        r["doc_id"] for r in pos_index.search_phrase([t1, t2], k=None).collect()
+    }
+    assert got == want
