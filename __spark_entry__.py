@@ -3882,7 +3882,7 @@ FROM mt, e GROUP BY 1 ORDER BY bucket ASC
 # round-3 batch 8: span algebra, intervals query, simple_query_string
 # ---------------------------------------------------------------------------
 
-_PTOKS_CTE = """ptoks AS (
+_PTOKS_ONLY_CTE = """ptoks AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS term,
          unnest(range(len(string_split(text, ' ')))) AS pos
@@ -3902,7 +3902,7 @@ def _bm25_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_SPAN_OR_SQL = f"""
-WITH {_PTOKS_CTE},
+WITH {_PTOKS_ONLY_CTE},
 {_bm25_body("term IN ('hash', 'merge', 'table')")},
 nearm AS (
   SELECT DISTINCT a.doc_id FROM ptoks a
@@ -3931,7 +3931,7 @@ def _bm25_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_SPAN_CONTAINING_SQL = f"""
-WITH {_PTOKS_CTE},
+WITH {_PTOKS_ONLY_CTE},
 {_bm25_body("term IN ('hash', 'merge', 'table')")},
 m AS (
   SELECT DISTINCT a.doc_id FROM ptoks a
@@ -3963,7 +3963,7 @@ def _bm25_intervals_sql() -> str:
     t1, t2, t3 = _INTERVALS_TERMS
     tlist = ", ".join(f"'{t}'" for t in sorted(_INTERVALS_TERMS))
     return f"""
-WITH {_PTOKS_CTE},
+WITH {_PTOKS_ONLY_CTE},
 {_bm25_body(f"term IN ({tlist})")},
 m AS (
   SELECT DISTINCT a.doc_id FROM ptoks a
@@ -4023,6 +4023,76 @@ _SQS_OR_SQL = _bm25_sql(
         "(SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# round-3 batch 9: PII scrubbing (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over a salted corpus: both engines append the
+    SAME deterministic PII fragments (email on doc_id%3, phone on %2,
+    SSN on %5, IP on %7) to the clean synthetic text, then scrub."""
+    from elasticsearch_assets_spark.operators.textstats import pii_scrub
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    piece = lambda cond, col: F.when(cond, col).otherwise(F.lit(""))  # noqa: E731
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            piece(
+                did % 3 == 0,
+                F.concat(F.lit(" u"), did.cast("string"), F.lit("@example.com")),
+            ),
+            piece(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" 555-123-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ),
+            piece(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ),
+            piece(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" 10.0."), (did % 256).cast("string"), F.lit(".1")
+                ),
+            ),
+        ).alias("text"),
+    )
+    return pii_scrub(salted)
+
+
+def _pii_scrub_sql() -> str:
+    from elasticsearch_assets_spark.operators.textstats import pii_scrub_sql
+
+    inner = pii_scrub_sql("text", "doc_id")
+    salted = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 = 0
+       THEN ' u' || doc_id || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 2 = 0
+       THEN ' 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+       ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN ' 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+       ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+       THEN ' 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+  AS text
+FROM documents
+"""
+    return inner.replace("FROM documents", f"FROM ({salted})")
 
 
 # ---------------------------------------------------------------------------
@@ -4113,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_intervals": _bm25_intervals,
         "sqs_search": _sqs_search,
         "sqs_or": _sqs_or,
+        "pii_scrub": _pii_scrub,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4269,6 +4340,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_intervals": _bm25_intervals_sql(),
         "sqs_search": _SQS_SQL,
         "sqs_or": _SQS_OR_SQL,
+        "pii_scrub": _pii_scrub_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -188,6 +188,27 @@ def main() -> None:
             [["spark", "join"], ["index", "web"]], tie_breaker=0.3, k=10
         ).collect(),
     )
+    # simple_query_string: groups + prefix rewrite + index-assisted negation
+    q_best(
+        "q_sqs",
+        lambda: idx.search_simple_query_string(
+            "spark term12* index|web -the", k=10
+        ).collect(),
+    )
+    # intervals: ordered 3-term chain over positional postings
+    q_best(
+        "q_intervals",
+        lambda: pidx.search_intervals(
+            ["the", "join", "web"], max_gaps=12, k=10
+        ).collect(),
+    )
+    # span_or of an enumerated near window and a term
+    q_best(
+        "q_span_or",
+        lambda: pidx.search_span_or(
+            [("near", "the", "join", 3, True), ("term", "crawl")], k=10
+        ).collect(),
+    )
 
     # --- training-data pipeline operators over the sf tables ----------------
     from elasticsearch_assets_spark.operators import dedup as OD
@@ -231,6 +252,22 @@ def main() -> None:
     from elasticsearch_assets_spark.operators.textstats import repetition_stats
 
     op_best("op_repetition_stats", lambda: repetition_stats(docs).count())
+    # PII scrub: map-only regexp pass over the full pages corpus
+    from elasticsearch_assets_spark.operators.textstats import pii_scrub
+
+    op_best("op_pii_scrub", lambda: pii_scrub(corpus).count())
+    # percolator: 32 stored queries vs the full pages corpus in one
+    # tokenize pass + broadcast join
+    from elasticsearch_assets_spark.operators.percolate import (
+        make_queries,
+        percolate,
+    )
+
+    perc_specs = [
+        (i, [f"term{i:04d}", "the"], 2) for i in range(16)
+    ] + [(100 + i, [f"term1{i:03d}"], 1) for i in range(16)]
+    perc_qs = make_queries(spark, perc_specs)
+    op_best("op_percolate", lambda: percolate(perc_qs, corpus).count())
     # passage-level dedup + benchmark decontamination (round-3 webtext ops)
     op_best("op_dedup_passages", lambda: OD.dedup_passages(docs, n=4).count())
     op_best(

@@ -272,3 +272,54 @@ def doc_fingerprint_sql(text: str = "text", id_col: str = "doc_id") -> str:
         f"SELECT {id_col}, md5(array_to_string(list_sort(list_distinct({toks})), ' ')) "
         f"AS fingerprint FROM documents"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data-pipeline extension)
+# ---------------------------------------------------------------------------
+
+# One pattern dialect, two engines: Java regex (Spark) and RE2 (DuckDB)
+# agree on these constructs (char classes, bounded repeats, \b, \d) —
+# no lookarounds, no backrefs. Replacement ORDER is part of the contract
+# (earlier categories consume their text before later ones scan).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + redaction: per doc, the match count per category
+    (email / SSN / phone / IPv4) and the text with every match replaced
+    by its placeholder, applied in PII_PATTERNS order.
+
+    Pure JVM regexp column expressions (regexp_count + chained
+    regexp_replace) — zero shuffle, scales as a map-only pass; the
+    patterns are the standard scrubbing set a C4/CCNet-style pipeline
+    applies before training."""
+    cols = [F.col(id_col)]
+    cur = F.col(text_col)
+    for name, pat, _ in PII_PATTERNS:
+        cols.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+    for _, pat, repl in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, repl)
+    cols.append(cur.alias("clean_text"))
+    return df.select(*cols)
+
+
+def pii_scrub_sql(text: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of pii_scrub (RE2 spelling of the same patterns)."""
+    counts = ", ".join(
+        f"len(regexp_extract_all({text}, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    cur = text
+    for _, pat, repl in PII_PATTERNS:
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return f"SELECT {id_col}, {counts}, {cur} AS clean_text FROM documents"

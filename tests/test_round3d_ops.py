@@ -818,3 +818,32 @@ def test_sqs_phrase_delegates(pos_index, doc_tokens):
         r["doc_id"] for r in pos_index.search_phrase([t1, t2], k=None).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# batch 9: PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from elasticsearch_assets_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to a.b+c@ex.co.uk and bob@x.io now"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 alt 555.123.4567"),
+            (3, "host 10.0.255.1 clean words only"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_email"] == 2 and "<EMAIL>" in rows[1]["clean_text"]
+    assert "@" not in rows[1]["clean_text"]
+    assert rows[2]["n_ssn"] == 1 and rows[2]["n_phone"] == 2
+    assert "123-45-6789" not in rows[2]["clean_text"]
+    assert rows[3]["n_ipv4"] == 1 and "<IP>" in rows[3]["clean_text"]
+    assert rows[4]["clean_text"] == "nothing sensitive here"
+    assert all(
+        rows[4][f"n_{c}"] == 0 for c in ("email", "ssn", "phone", "ipv4")
+    )
