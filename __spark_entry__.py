@@ -4096,6 +4096,79 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 10: combined_fields (BM25F)
+# ---------------------------------------------------------------------------
+
+_CF_TERMS = ["spark", "table"]
+_CF_TITLE_W = 2.0
+
+
+def _combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES combined_fields (Lucene CombinedFieldQuery / BM25F): text w=1
+    and the derived 8-token title w=2 scored as ONE synthetic field —
+    tf/dl combine weighted, df is any-field presence."""
+    from elasticsearch_assets_spark.query.engine import combined_fields
+
+    idx = _docs_index(spark, sf_dir)
+    tidx = _docs_index_title(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents").withColumn(
+        "title",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, _TITLE_TOKENS)),
+    )
+    out = combined_fields(
+        {"text": (idx, 1.0), "title": (tidx, _CF_TITLE_W)},
+        docs,
+        {"text": "text", "title": "title"},
+        _CF_TERMS,
+        k=None,
+        mode="or",
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _combined_fields_sql() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(_CF_TERMS)))
+    w = _CF_TITLE_W
+    return f"""
+WITH toksA AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+toksB AS (
+  SELECT doc_id, unnest(string_split(text, ' ')[1:{_TITLE_TOKENS}]) AS term
+  FROM documents
+),
+u AS (
+  SELECT term, doc_id, count(*)::DOUBLE * 1.0 AS wtf FROM toksA
+  WHERE term IN ({tlist}) GROUP BY term, doc_id
+  UNION ALL
+  SELECT term, doc_id, count(*)::DOUBLE * {w} AS wtf FROM toksB
+  WHERE term IN ({tlist}) GROUP BY term, doc_id
+),
+tfc AS (SELECT term, doc_id, sum(wtf) AS tfc FROM u GROUP BY 1, 2),
+dfc AS (SELECT term, count(*)::DOUBLE AS dfc FROM tfc GROUP BY 1),
+lens AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) * 1.0
+           + least(len(string_split(text, ' ')), {_TITLE_TOKENS}) * {w}
+           AS dlc
+  FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dlc) AS avgdl FROM lens),
+scored AS (
+  SELECT tfc.doc_id,
+         sum( ln(1 + (stats.n - dfc.dfc + 0.5) / (dfc.dfc + 0.5))
+              * tfc.tfc * ({K1} + 1)
+              / (tfc.tfc + {K1} * (1 - {B} + {B} * lens.dlc / stats.avgdl)) )
+           AS s
+  FROM stats, tfc
+  JOIN dfc USING (term) JOIN lens USING (doc_id)
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -4184,6 +4257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sqs_search": _sqs_search,
         "sqs_or": _sqs_or,
         "pii_scrub": _pii_scrub,
+        "combined_fields": _combined_fields,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4341,6 +4415,7 @@ def oracle_sql() -> dict[str, str]:
         "sqs_search": _SQS_SQL,
         "sqs_or": _SQS_OR_SQL,
         "pii_scrub": _pii_scrub_sql(),
+        "combined_fields": _combined_fields_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

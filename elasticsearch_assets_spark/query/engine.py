@@ -1163,6 +1163,39 @@ class InvertedIndex:
         ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return ordered.limit(k) if k is not None else ordered
 
+    # -- posting decode (doc-granularity surface for cross-field scoring) -----
+
+    DECODE_SCHEMA = "term string, doc_id long, tf long"
+
+    def decode_postings(self, terms: list[str]) -> DataFrame:
+        """The query terms' postings decoded to (term, doc_id, tf) rows —
+        the doc-granularity surface cross-field scorers (combined_fields)
+        aggregate over. Same pushed `term IN` segment scan as search;
+        volume is exactly the postings the scorer would read. Tombstoned
+        docs are dropped in the decode kernel."""
+        distinct = sorted(set(terms))
+        if not distinct:
+            return self.spark.createDataFrame([], self.DECODE_SCHEMA)
+        excluded = self.tombstones
+
+        def decode_fn(it):
+            for pdf in it:
+                for row in (t._asdict() for t in pdf.itertuples(index=False)):
+                    tp = TermPostings(row)
+                    tfs, _ = tp.full()
+                    docs = tp.doc_ids
+                    if excluded.size:
+                        keep = ~np.isin(docs, excluded)
+                        docs, tfs = docs[keep], tfs[keep]
+                    yield pd.DataFrame(
+                        {"term": row["term"], "doc_id": docs, "tf": tfs}
+                    )
+
+        return (
+            self.segments.where(F.col("term").isin(distinct))
+            .mapInPandas(decode_fn, self.DECODE_SCHEMA)
+        )
+
     # -- simple_query_string ----------------------------------------------------
 
     def search_simple_query_string(
@@ -2240,4 +2273,107 @@ def multi_match(
         combined = F.sum("score")
     agg = u.groupBy("doc_id").agg(combined.alias("score"))
     out = agg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return out.limit(k) if k is not None else out
+
+
+def combined_fields(
+    field_indexes: dict,
+    corpus: DataFrame,
+    field_cols: dict,
+    query: "str | list[str]",
+    k: int | None = 10,
+    mode: str = "or",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES combined_fields query — principled BM25F ("BM25F as simple as
+    possible", the Lucene CombinedFieldQuery model): the fields are scored
+    as ONE synthetic field with
+        tf_c(t,d)  = Σ_f w_f · tf_f(t,d)
+        dl_c(d)    = Σ_f w_f · dl_f(d)
+        avgdl_c    = mean_d dl_c(d)
+        df_c(t)    = |{d : t ∈ any field of d}|
+    then plain BM25 over those pseudo-stats — unlike multi_match, a term's
+    occurrences REINFORCE across fields instead of competing.
+
+    Plan: per field, the pushed `term IN` segment scan decoded to
+    (term, doc, tf) rows (decode_postings — volume = the postings the
+    scorer reads anyway), weighted and union-aggregated in ONE hash agg;
+    df_c is a distinct-count over the same union; dl_c is a pure JVM
+    tokens-size expression over the column-pruned corpus projection (ES
+    reads it from per-doc norms — at 100 TB persist the equivalent
+    doclens sidecar at build time instead of re-deriving). k1/b come from
+    the first field's index (shared analyzer contract).
+
+    `field_cols` maps field -> corpus text column backing dl_f."""
+    from elasticsearch_assets_spark.analysis.tokenizer import tokenize
+    from elasticsearch_assets_spark.operators.texthash import tokens_expr
+
+    if not field_indexes:
+        raise ValueError("combined_fields needs at least one field index")
+    if set(field_indexes) != set(field_cols):
+        raise ValueError("field_indexes and field_cols must name the same fields")
+    if mode not in ("or", "and"):
+        raise ValueError(f"unknown mode {mode!r}")
+    terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+    first_idx = next(iter(field_indexes.values()))[0]
+    spark = first_idx.spark
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    k1, b = first_idx.meta.k1, first_idx.meta.b
+
+    # weighted tf rows from every field's index, one union + one hash agg
+    parts = []
+    for f, (idx, w) in field_indexes.items():
+        parts.append(
+            idx.decode_postings(terms).select(
+                "term", "doc_id",
+                (F.col("tf").cast("double") * F.lit(float(w))).alias("wtf"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    tfc = u.groupBy("term", "doc_id").agg(F.sum("wtf").alias("tfc"))
+
+    # pseudo collection stats: df over the union, N/avgdl from the corpus
+    dfc = tfc.groupBy("term").agg(F.count("*").alias("dfc"))
+    dl_expr = sum(
+        (
+            F.size(tokens_expr(col)).cast("double") * F.lit(float(w))
+            for f, (idx, w) in field_indexes.items()
+            for col in [field_cols[f]]
+        ),
+        F.lit(0.0),
+    )
+    lens = corpus.select(F.col(id_col).alias("doc_id"), dl_expr.alias("dlc"))
+    stats_row = lens.agg(
+        F.count("*").alias("n"), F.avg("dlc").alias("avgdl")
+    ).collect()[0]  # planning-level: one row
+    n_docs, avgdl = float(stats_row["n"]), float(stats_row["avgdl"])
+
+    idf_c = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("dfc") + F.lit(0.5)) / (F.col("dfc") + F.lit(0.5))
+    )
+    weight = idf_c * (
+        F.col("tfc") * F.lit(k1 + 1.0)
+        / (
+            F.col("tfc")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dlc") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(lens, "doc_id")
+        .select("doc_id", "term", weight.alias("w"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("w").alias("score"), F.count("*").alias("_nt")
+    )
+    if mode == "and":
+        agg = agg.where(F.col("_nt") == len(terms))
+    out = agg.select("doc_id", "score").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
     return out.limit(k) if k is not None else out

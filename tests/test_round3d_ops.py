@@ -847,3 +847,102 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert all(
         rows[4][f"n_{c}"] == 0 for c in ("email", "ssn", "phone", "ipv4")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 10: combined_fields (BM25F)
+# ---------------------------------------------------------------------------
+
+
+def test_combined_fields_single_field_equals_or_search(index, corpus, doc_tokens):
+    """With one field at weight 1.0 the pseudo-stats collapse to the plain
+    collection stats, so BM25F == the flat OR search (float-path delta
+    only)."""
+    from elasticsearch_assets_spark.query.engine import combined_fields
+
+    t1 = _common_term(doc_tokens, 0)
+    t2 = _common_term(doc_tokens, 3)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields(
+            {"text": (index, 1.0)}, corpus, {"text": "text"},
+            [t1, t2], k=None, mode="or",
+        ).collect()
+    }
+    want = _scores(index.search([t1, t2], k=None, mode="or"))
+    assert set(got) == set(want)
+    for d in got:
+        assert math.isclose(got[d], want[d], rel_tol=1e-9)
+
+
+def test_combined_fields_brute_force(spark, tmp_path_factory):
+    from elasticsearch_assets_spark.index.stats import B, K1
+    from elasticsearch_assets_spark.query.engine import combined_fields
+
+    rows = [
+        (0, "alpha beta gamma", "alpha"),
+        (1, "beta beta delta epsilon", "delta zeta"),
+        (2, "alpha delta", "beta"),
+        (3, "zeta eta theta iota kappa", "alpha beta"),
+        (4, "gamma gamma gamma", "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string, head string")
+    d = tmp_path_factory.mktemp("cfidx")
+    build_index(spark, df, str(d / "body"), text_col="body",
+                num_segments=2, num_chunks=1)
+    build_index(spark, df, str(d / "head"), text_col="head",
+                num_segments=2, num_chunks=1)
+    bidx = InvertedIndex(spark, str(d / "body"))
+    hidx = InvertedIndex(spark, str(d / "head"))
+    terms = ["alpha", "beta"]
+    w_head = 3.0
+    got = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields(
+            {"body": (bidx, 1.0), "head": (hidx, w_head)},
+            df, {"body": "body", "head": "head"}, terms, k=None, mode="or",
+        ).collect()
+    }
+    # brute force BM25F
+    toks = {r[0]: (r[1].split(), r[2].split()) for r in rows}
+    dlc = {d_: len(b) + w_head * len(h) for d_, (b, h) in toks.items()}
+    avgdl = sum(dlc.values()) / len(dlc)
+    n = len(rows)
+    want = {}
+    for t in terms:
+        dfc = sum(
+            1 for b, h in toks.values() if t in b or t in h
+        )
+        if dfc == 0:
+            continue
+        idf = math.log(1 + (n - dfc + 0.5) / (dfc + 0.5))
+        for d_, (b, h) in toks.items():
+            tfc = b.count(t) + w_head * h.count(t)
+            if tfc == 0:
+                continue
+            w = idf * tfc * (K1 + 1) / (
+                tfc + K1 * (1 - B + B * dlc[d_] / avgdl)
+            )
+            want[d_] = want.get(d_, 0.0) + w
+    assert set(got) == set(want)
+    for d_ in got:
+        assert math.isclose(got[d_], want[d_], rel_tol=1e-9)
+    # AND mode keeps only docs matching every term in SOME field
+    got_and = {
+        r["doc_id"]
+        for r in combined_fields(
+            {"body": (bidx, 1.0), "head": (hidx, w_head)},
+            df, {"body": "body", "head": "head"}, terms, k=None, mode="and",
+        ).collect()
+    }
+    want_and = {
+        d_ for d_, (b, h) in toks.items()
+        if all(t in b or t in h for t in terms)
+    }
+    assert got_and == want_and
+    with pytest.raises(ValueError):
+        combined_fields({}, df, {}, terms)
+    with pytest.raises(ValueError):
+        combined_fields(
+            {"body": (bidx, 1.0)}, df, {"other": "body"}, terms
+        )
