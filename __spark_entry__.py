@@ -4169,6 +4169,40 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 10b: geo_polygon query
+# ---------------------------------------------------------------------------
+
+_POLY = [
+    (60.0, -120.0), (70.0, 30.0), (0.0, 150.0), (-60.0, 60.0), (-50.0, -90.0),
+]
+
+
+def _geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_polygon query: events inside a 5-vertex polygon — the
+    even-odd ray cast as ONE portable SQL expression shared verbatim
+    with the oracle (operators/geo.py point_in_polygon_sql)."""
+    from elasticsearch_assets_spark.operators.geo import polygon_predicate
+
+    ev = _geo_events(spark, sf_dir)
+    return ev.where(polygon_predicate("lat", "lon", _POLY)).select(
+        "event_id", "lat", "lon"
+    )
+
+
+def _geo_polygon_sql() -> str:
+    from elasticsearch_assets_spark.operators.geo import point_in_polygon_sql
+
+    pred = point_in_polygon_sql("lat", "lon", _POLY)
+    return f"""
+WITH g AS (
+  SELECT event_id, ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon
+  FROM events
+)
+SELECT event_id, lat, lon FROM g WHERE {pred}
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -4258,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sqs_or": _sqs_or,
         "pii_scrub": _pii_scrub,
         "combined_fields": _combined_fields,
+        "geo_polygon": _geo_polygon,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4416,6 +4451,7 @@ def oracle_sql() -> dict[str, str]:
         "sqs_or": _SQS_OR_SQL,
         "pii_scrub": _pii_scrub_sql(),
         "combined_fields": _combined_fields_sql(),
+        "geo_polygon": _geo_polygon_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

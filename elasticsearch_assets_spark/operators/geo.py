@@ -117,3 +117,43 @@ def distance_col(
         )
     plat, plon = parse_geo_point(point)
     return haversine_m(lat, lon, plat, plon) / F.lit(UNIT_METERS[unit])
+
+
+def point_in_polygon_sql(
+    lat_sql: str, lon_sql: str, vertices: list[tuple[float, float]]
+) -> str:
+    """ONE engine-portable SQL boolean for ES's geo_polygon query: the
+    even-odd ray cast (a horizontal ray from the point crosses an odd
+    number of polygon edges), unrolled per edge — CASE/comparison
+    arithmetic only, so the IDENTICAL string runs as a Spark JVM column
+    (F.expr) and as the DuckDB oracle. Vertices are (lat, lon) pairs,
+    closed implicitly (last connects to first); points exactly on an
+    edge follow the half-open crossing rule (deterministic, both
+    engines). Wrap-around polygons (crossing the antimeridian) are not
+    supported — the non-wrapping contract the geo operators share."""
+    if len(vertices) < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    terms = []
+    n = len(vertices)
+    for i in range(n):
+        y1, x1 = (float(v) for v in vertices[i])
+        y2, x2 = (float(v) for v in vertices[(i + 1) % n])
+        if y1 == y2:
+            continue  # horizontal edge never crosses the horizontal ray
+        cross = (
+            f"(CASE WHEN (({y1} > ({lat_sql})) <> ({y2} > ({lat_sql}))) "
+            f"AND (({lon_sql}) < ({x2} - {x1}) * (({lat_sql}) - {y1}) "
+            f"/ ({y2} - {y1}) + {x1}) THEN 1 ELSE 0 END)"
+        )
+        terms.append(cross)
+    if not terms:
+        return "FALSE"
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def polygon_predicate(
+    lat_sql: str, lon_sql: str, vertices: list[tuple[float, float]]
+) -> Column:
+    """point_in_polygon_sql compiled to a Spark column (whole-stage
+    codegen; pushes as far as the expression allows)."""
+    return F.expr(point_in_polygon_sql(lat_sql, lon_sql, vertices))

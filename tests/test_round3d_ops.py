@@ -946,3 +946,38 @@ def test_combined_fields_brute_force(spark, tmp_path_factory):
         combined_fields(
             {"body": (bidx, 1.0)}, df, {"other": "body"}, terms
         )
+
+
+def test_polygon_predicate_vs_python(spark):
+    from elasticsearch_assets_spark.operators.geo import (
+        point_in_polygon_sql,
+        polygon_predicate,
+    )
+
+    poly = [(0.0, 0.0), (10.0, 5.0), (8.0, 12.0), (-2.0, 9.0), (-4.0, 4.0)]
+
+    def ray_cast(py, px):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (
+                y2 - y1
+            ) + x1:
+                inside = not inside
+        return inside
+
+    rows = [
+        (i, ((i * 37) % 200) / 10.0 - 10.0, ((i * 53) % 250) / 10.0 - 5.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = {
+        r["id"]
+        for r in df.where(polygon_predicate("lat", "lon", poly)).collect()
+    }
+    want = {i for i, la, lo in rows if ray_cast(la, lo)}
+    assert got == want and got  # non-degenerate
+    with pytest.raises(ValueError):
+        point_in_polygon_sql("lat", "lon", poly[:2])
