@@ -209,6 +209,75 @@ def main() -> None:
         multi_match({"a": (idx, 2.0), "b": (idx, 1.0)}, ["spark", "join"], k=10),
     )
 
+    from elasticsearch_assets_spark.operators.percolate import (
+        make_queries,
+        percolate,
+    )
+
+    add(
+        "Percolate (stored queries vs corpus, broadcast join)",
+        "The stored-query table explodes and BROADCASTS (percolator sets "
+        "are KBs–MBs); the corpus tokenizes ONCE into a projection that "
+        "hash-joins against it (BroadcastHashJoin), and the only Exchange "
+        "carries matched (doc, query) partial counts — map-side combined. "
+        "Query count never changes the corpus-side plan.",
+        percolate(
+            make_queries(spark, [(1, ["spark", "join"], 2), (2, ["scan"], 1)]),
+            docs,
+        ),
+    )
+    from elasticsearch_assets_spark.query.engine import combined_fields
+
+    add(
+        "combined_fields / BM25F (weighted tf union, ONE hash agg)",
+        "Each field's postings ride the same pushed `term IN` segment "
+        "scan as search, decoded to (term, doc, tf) rows; the cross-field "
+        "combine is a unionByName into ONE HashAggregate on (term, doc) "
+        "(map-side partial), df_c a second agg over the same exchange, "
+        "dl_c a column-pruned corpus projection (persist a doclens "
+        "sidecar at 100 TB). No per-field rescans, no driver work.",
+        combined_fields(
+            {"text": (idx, 1.0)}, docs, {"text": "text"},
+            ["spark", "join"], k=10,
+        ),
+    )
+    add(
+        "geohash_grid agg (portable cell expression, one grouped pass)",
+        "The geohash cell is a pure column expression (floor/%/substr — "
+        "whole-stage codegen), so the agg is scan → project → "
+        "HashAggregate with map-side partials; the Exchange carries "
+        "(cell, partial_count) pairs bounded by the grid, never raw "
+        "coordinates.",
+        OFA.facet_geohash_grid(
+            ev.select("event_id"), ev.select(
+                "event_id",
+                (F.col("event_id") % 160 - 80).cast("double").alias("lat"),
+                (F.col("event_id") % 340 - 170).cast("double").alias("lon"),
+            ), "lat", "lon", precision=4, id_col="event_id",
+        ),
+    )
+    add(
+        "PII scrub (map-only, zero shuffle)",
+        "Chained regexp_count/regexp_replace column expressions over the "
+        "reading scan — the plan has NO Exchange; scrubbing 100 TB is "
+        "embarrassingly parallel.",
+        __import__(
+            "elasticsearch_assets_spark.operators.textstats",
+            fromlist=["pii_scrub"],
+        ).pii_scrub(docs),
+    )
+    add(
+        "cumulative_cardinality (first-bucket trick, no distinct-union)",
+        "A key contributes at its FIRST bucket: one grouped min() per key "
+        "(partial-agg), a count per bucket, and a cumulative window over "
+        "the BUCKET series only — the plan never builds per-bucket "
+        "distinct sets, so state is O(buckets), not O(keys × buckets).",
+        OFA.facet_cumulative_cardinality(
+            ev.select("event_id"), ev, "ts", "user_id", "day",
+            id_col="event_id",
+        ),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "
