@@ -4203,6 +4203,46 @@ SELECT event_id, lat, lon FROM g WHERE {pred}
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 10c: URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------------
+
+# three surface variants of the same logical URL (case/port/fragment/
+# trailing slash) — both engines derive the identical strings
+_URL_DERIVE_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'HTTP://Site' || (doc_id % 100) || '.COM:80/p/' || (doc_id % 20) "
+    "|| '#frag' "
+    "WHEN doc_id % 3 = 1 THEN "
+    "'http://site' || (doc_id % 100) || '.com/p/' || (doc_id % 20) || '/' "
+    "ELSE 'http://SITE' || (doc_id % 100) || '.com/p/' || (doc_id % 20) END"
+)
+
+
+def _url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (CCNet/C4 first pass): canonicalize (case,
+    default port, fragment, trailing slash) then keep-first per
+    canonical URL — one hash agg keyed by the canonical string."""
+    from elasticsearch_assets_spark.operators.urls import dedup_by_url
+
+    docs = load_sf_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_DERIVE_SQL)
+    )
+    return dedup_by_url(docs, "url")
+
+
+def _url_dedup_sql() -> str:
+    from elasticsearch_assets_spark.operators.urls import canonical_url_sql
+
+    canon = canonical_url_sql("url")
+    return f"""
+WITH u AS (SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents)
+SELECT {canon} AS canonical_url, min(doc_id) AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM u GROUP BY 1 ORDER BY canonical_url ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -4293,6 +4333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "combined_fields": _combined_fields,
         "geo_polygon": _geo_polygon,
+        "url_dedup": _url_dedup,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4452,6 +4493,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "combined_fields": _combined_fields_sql(),
         "geo_polygon": _geo_polygon_sql(),
+        "url_dedup": _url_dedup_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -1,0 +1,91 @@
+"""URL canonicalization + URL-level dedup (training-data pipeline).
+
+Common-Crawl-style pipelines dedup by canonical URL before any content
+hashing (the cheapest dedup pass: one key shuffle, no text touched).
+The canonicalization is ONE engine-portable SQL expression — the same
+string runs as a Spark JVM column (F.expr) and as the DuckDB oracle —
+built from LIKE/substr/lower/regexp_extract only (no regexp replacement
+backrefs, whose syntax differs between Java and RE2).
+
+Canonical form (documented, deterministic):
+  1. trim surrounding whitespace
+  2. drop the #fragment
+  3. lowercase the scheme://host[:port] prefix (path/query untouched)
+  4. drop default ports (http :80, https :443)
+  5. drop ONE trailing slash when a path exists and there is no query
+
+Non-URL strings pass through steps 1-2 unchanged (no scheme prefix ->
+nothing to lowercase), which keeps the op total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_PREFIX_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*"
+
+
+def canonical_url_sql(col: str) -> str:
+    """Portable SQL computing the canonical URL of `col`."""
+    u = (
+        f"CASE WHEN instr(trim({col}), '#') > 0 "
+        f"THEN substr(trim({col}), 1, instr(trim({col}), '#') - 1) "
+        f"ELSE trim({col}) END"
+    )
+    p = f"lower(regexp_extract({u}, '{_PREFIX_RE}', 0))"
+    rest = f"substr({u}, length({p}) + 1)"
+    p2 = (
+        f"CASE WHEN {p} LIKE 'http://%:80' "
+        f"THEN substr({p}, 1, length({p}) - 3) "
+        f"WHEN {p} LIKE 'https://%:443' "
+        f"THEN substr({p}, 1, length({p}) - 4) "
+        f"ELSE {p} END"
+    )
+    rest2 = (
+        f"CASE WHEN length({rest}) > 1 AND {rest} LIKE '%/' "
+        f"AND instr({rest}, '?') = 0 "
+        f"THEN substr({rest}, 1, length({rest}) - 1) "
+        f"ELSE {rest} END"
+    )
+    return f"concat({p2}, {rest2})"
+
+
+def url_host_sql(col: str) -> str:
+    """Portable SQL extracting the lowercased host (no port) of `col`."""
+    return f"lower(regexp_extract(trim({col}), '://([^/:?#]+)', 1))"
+
+
+def canonical_url(col: str) -> Column:
+    return F.expr(canonical_url_sql(col))
+
+
+def url_host(col: str) -> Column:
+    return F.expr(url_host_sql(col))
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Append canonical_url + host columns — a map-only zero-shuffle
+    pass (whole-stage codegen)."""
+    return df.withColumn(
+        "canonical_url", canonical_url(url_col)
+    ).withColumn("host", url_host(url_col))
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup: one row per canonical URL, keeping the
+    smallest id (deterministic keep-first). ONE hash agg keyed by the
+    canonical url — the shuffle carries (url, partial min/count) pairs,
+    never the documents."""
+    c = canonical_url(url_col)
+    return (
+        df.groupBy(c.alias("canonical_url"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy(F.col("canonical_url").asc())
+    )

@@ -1163,6 +1163,30 @@ class InvertedIndex:
         ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return ordered.limit(k) if k is not None else ordered
 
+    # -- delete_by_query (ES document API over the tombstone machinery) -------
+
+    def delete_by_query(
+        self, query: "str | list[str]", mode: str = "or", refresh: bool = True
+    ) -> int:
+        """ES _delete_by_query: tombstone every LIVE doc matching the
+        query; returns the deleted count (already-deleted docs never
+        match — the engine excludes tombstones before ranking, so the
+        second identical call deletes 0, the ES contract). Stats stay
+        untouched until compaction (`merge_segments(apply_tombstones=
+        True)` purges physically), exactly like ES deletes.
+
+        The matched ids funnel through the tombstone writer (driver-side
+        atomic files); tombstone cardinality is bounded by compaction
+        cadence — the documented scale contract of the delete path."""
+        from elasticsearch_assets_spark.index.tombstones import add_tombstones
+
+        matched = self.search(query, k=None, mode=mode).select("doc_id")
+        ids = [r["doc_id"] for r in matched.collect()]
+        n = add_tombstones(self.index_dir, ids)
+        if refresh:
+            self.refresh_tombstones()
+        return n
+
     # -- posting decode (doc-granularity surface for cross-field scoring) -----
 
     DECODE_SCHEMA = "term string, doc_id long, tf long"

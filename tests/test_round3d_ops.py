@@ -981,3 +981,87 @@ def test_polygon_predicate_vs_python(spark):
     assert got == want and got  # non-degenerate
     with pytest.raises(ValueError):
         point_in_polygon_sql("lat", "lon", poly[:2])
+
+
+# ---------------------------------------------------------------------------
+# batch 10c: URL canonicalization / delete_by_query
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_rules(spark):
+    from elasticsearch_assets_spark.operators.urls import canonicalize_urls
+
+    cases = [
+        (" HTTP://Example.COM:80/Path/x#frag ", "http://example.com/Path/x", "example.com"),
+        ("https://A.B.c:443/", "https://a.b.c/", "a.b.c"),
+        ("https://a.b:8443/q?x=1#y", "https://a.b:8443/q?x=1", "a.b"),
+        ("http://host/path/", "http://host/path", "host"),
+        ("not a url", "not a url", ""),
+        ("http://h:8080/", "http://h:8080/", "h"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], "id long, url string"
+    )
+    rows = {r["id"]: r for r in canonicalize_urls(df).collect()}
+    for i, (_, canon, host) in enumerate(cases):
+        assert rows[i]["canonical_url"] == canon, rows[i]
+        assert rows[i]["host"] == host
+
+
+def test_dedup_by_url_groups(spark):
+    from elasticsearch_assets_spark.operators.urls import dedup_by_url
+
+    df = spark.createDataFrame(
+        [
+            (3, "HTTP://X.COM:80/a#z"),
+            (1, "http://x.com/a/"),
+            (7, "http://X.com/a"),
+            (2, "http://y.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["canonical_url"]: r for r in dedup_by_url(df).collect()}
+    assert out["http://x.com/a"]["keep_id"] == 1
+    assert out["http://x.com/a"]["n_copies"] == 3
+    assert out["http://y.com/b"]["n_copies"] == 1
+
+
+def test_delete_by_query_semantics(spark, corpus, doc_tokens, tmp_path_factory):
+    import shutil
+
+    term = _common_term(doc_tokens, 4)
+    d = str(tmp_path_factory.mktemp("delq") / "idx")
+    build_index(spark, corpus, d, num_segments=4, num_chunks=1)
+    idx = InvertedIndex(spark, d)
+    before = {r["doc_id"] for r in idx.search([term], k=None).collect()}
+    assert before
+    n = idx.delete_by_query([term])
+    assert n == len(before)
+    # deleted docs vanish from every query immediately
+    assert idx.search([term], k=None).count() == 0
+    other = _common_term(doc_tokens, 0)
+    assert not before & {
+        r["doc_id"] for r in idx.search([other], k=None).collect()
+    }
+    # second call deletes nothing (already-tombstoned docs never match)
+    assert idx.delete_by_query([term]) == 0
+    # stats untouched until compaction (the ES deleted-docs contract)
+    assert idx.count_term(term) == len(before)
+
+
+def test_many_term_or_exhaustive_switch_rank_identical(index, doc_tokens):
+    """≥ MANY_TERMS_EXHAUSTIVE present terms flips the pruned OR kernel
+    to exhaustive-then-cut; results must be bit-identical to k=None
+    scoring (and the switch threshold must actually engage)."""
+    from collections import Counter
+
+    from elasticsearch_assets_spark.query.wand import MANY_TERMS_EXHAUSTIVE
+
+    c = Counter(t for toks in doc_tokens.values() for t in set(toks))
+    terms = sorted(t for t, _ in c.most_common(MANY_TERMS_EXHAUSTIVE + 8))
+    assert len(terms) >= MANY_TERMS_EXHAUSTIVE
+    topk = index.search(terms, k=15, mode="or").collect()
+    full = index.search(terms, k=None, mode="or").collect()
+    assert [(r["doc_id"], r["score"]) for r in topk] == [
+        (r["doc_id"], r["score"]) for r in full[:15]
+    ]
