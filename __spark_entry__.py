@@ -4243,6 +4243,53 @@ FROM u GROUP BY 1 ORDER BY canonical_url ASC
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 10d: exact-substring duplicate spans (Lee et al.)
+# ---------------------------------------------------------------------------
+
+_DSPAN_L = 8
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate regions: maximal merged spans of 8-token
+    windows occurring ≥ 2 times corpus-wide (operators/dedup.py
+    duplicate_spans)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OD.duplicate_spans(docs, L=_DSPAN_L)
+
+
+_DUP_SPANS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+w AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(tk[i : i + {_DSPAN_L - 1}], ' ')) AS h
+  FROM t, unnest(range(1, len(tk) - {_DSPAN_L} + 2)) AS g(i)
+  WHERE len(tk) >= {_DSPAN_L}
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n FROM w
+  ) WHERE n >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {_DSPAN_L}
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM marked
+  )
+)
+SELECT doc_id, min(pos)::INT AS span_start,
+       (max(pos) + {_DSPAN_L})::INT AS span_end,
+       (max(pos) + {_DSPAN_L} - min(pos))::INT AS span_len
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id ASC, span_start ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -4334,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields": _combined_fields,
         "geo_polygon": _geo_polygon,
         "url_dedup": _url_dedup,
+        "dup_spans": _dup_spans,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4494,6 +4542,7 @@ def oracle_sql() -> dict[str, str]:
         "combined_fields": _combined_fields_sql(),
         "geo_polygon": _geo_polygon_sql(),
         "url_dedup": _url_dedup_sql(),
+        "dup_spans": _DUP_SPANS_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -618,3 +618,80 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").alias("overlap"))
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    L: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate-region detection (the overlapping-window
+    form of Lee et al.'s "Deduplicating Training Data Makes Language
+    Models Better" exact-substring dedup, re-expressed over token
+    windows instead of a suffix array): every L-token window whose text
+    occurs >= `min_occurrences` times in the corpus marks its positions;
+    per document, overlapping/adjacent marked windows merge into maximal
+    duplicated spans [span_start, span_end) (1-based token positions).
+
+    Returns (doc_id, span_start, span_end, span_len), ordered.
+
+    Plan: one tokenize pass -> inline-exploded (pos, md5(window)) pairs
+    (a JVM transform over the token array — no Python); duplication is a
+    COUNT window PARTITIONED BY the 32-byte hash (high cardinality,
+    skew-free, ONE shuffle); span merging is a grouped
+    sort_array(collect_list) + one JVM `aggregate` fold per doc (windows
+    share length L, so ends are monotone and the fold is exact). Two
+    compact-key shuffles total at any corpus size — never a suffix
+    array, never document text on the wire."""
+    from pyspark.sql import Window
+
+    toks = tokens_expr(text_col)
+    windows = F.when(
+        F.size(toks) >= L,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(L - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, L))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.inline(windows))
+    cnt = F.count("*").over(Window.partitionBy("h"))
+    marked = exploded.withColumn("_n", cnt).where(
+        F.col("_n") >= min_occurrences
+    )
+    merged = marked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"""
+            aggregate(
+              ps,
+              cast(array() as array<struct<s:int,e:int>>),
+              (acc, p) -> if(
+                size(acc) > 0 AND p <= element_at(acc, -1).e,
+                concat(
+                  slice(acc, 1, size(acc) - 1),
+                  array(named_struct(
+                    's', element_at(acc, -1).s,
+                    'e', greatest(element_at(acc, -1).e, p + {L})))),
+                concat(acc, array(named_struct('s', p, 'e', p + {L}))))
+            )
+            """
+        ).alias("spans"),
+    )
+    return (
+        merged.select("doc_id", F.explode("spans").alias("sp"))
+        .select(
+            "doc_id",
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+            (F.col("sp.e") - F.col("sp.s")).alias("span_len"),
+        )
+        .orderBy(F.col("doc_id").asc(), F.col("span_start").asc())
+    )

@@ -1065,3 +1065,49 @@ def test_many_term_or_exhaustive_switch_rank_identical(index, doc_tokens):
     assert [(r["doc_id"], r["score"]) for r in topk] == [
         (r["doc_id"], r["score"]) for r in full[:15]
     ]
+
+
+def test_duplicate_spans_brute(spark):
+    from collections import Counter
+
+    from elasticsearch_assets_spark.operators import dedup as OD
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, f"{boiler} one two three {boiler}"),
+        (1, f"intro words here {boiler} tail"),
+        (2, "completely unique text with no repeats at all whatsoever"),
+        (3, "short"),
+        (4, f"x {boiler} y {boiler} z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 4
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in OD.duplicate_spans(df, L=L).collect()
+    ]
+
+    # brute force
+    toks = {d: t.split() for d, t in rows}
+    cnt = Counter()
+    for t in toks.values():
+        for i in range(len(t) - L + 1):
+            cnt[" ".join(t[i : i + L])] += 1
+    want = []
+    for d, t in sorted(toks.items()):
+        marks = [
+            i + 1
+            for i in range(len(t) - L + 1)
+            if cnt[" ".join(t[i : i + L])] >= 2
+        ]
+        spans = []
+        for p in marks:
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + L))
+            else:
+                spans.append((p, p + L))
+        want.extend((d, s, e) for s, e in spans)
+    assert got == want
+    assert any(d == 0 for d, _, _ in got)      # boilerplate found
+    assert not any(d == 2 for d, _, _ in got)  # unique doc clean
+    assert not any(d == 3 for d, _, _ in got)  # shorter than L
