@@ -4290,6 +4290,74 @@ ORDER BY doc_id ASC, span_start ASC
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 10e: update_by_query + significance heuristics
+# ---------------------------------------------------------------------------
+
+
+def _update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _update_by_query: docs matching 'spark' get n_chars doubled
+    and lang rewritten; everyone else untouched — one conditional
+    projection over the corpus."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = idx.update_by_query(
+        docs, ["spark"], {"n_chars": "n_chars * 2", "lang": "'xx'"}
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+_UPDATE_BY_QUERY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM m) THEN 'xx' ELSE lang END
+         AS lang,
+       CASE WHEN doc_id IN (SELECT doc_id FROM m) THEN n_chars * 2
+            ELSE n_chars END AS n_chars
+FROM documents
+"""
+
+
+def _sigterms_jlh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms with the JLH heuristic ((fgp−bgp)·(fgp/bgp))
+    over the 'spark' match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.significant_terms(matches, docs, n=10, heuristic="jlh")
+    return out.select("term", "fg_df", "bg_df", _f4("score").alias("score"))
+
+
+_SIGTERMS_JLH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+fg_total AS (SELECT count(*)::DOUBLE AS n FROM m),
+bg_total AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df FROM dt JOIN m USING (doc_id)
+  GROUP BY term HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dt GROUP BY term),
+s AS (
+  SELECT term, fg_df, bg_df,
+         (fg_df / fg_total.n - bg_df / bg_total.n)
+           * ((fg_df / fg_total.n) / (bg_df / bg_total.n)) AS score
+  FROM fg JOIN bg USING (term), fg_total, bg_total
+)
+SELECT term, fg_df, bg_df,
+       floor(score * 10000.0 + 0.5) / 10000.0 AS score
+FROM s ORDER BY s.score DESC, term ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -4382,6 +4450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygon": _geo_polygon,
         "url_dedup": _url_dedup,
         "dup_spans": _dup_spans,
+        "update_by_query": _update_by_query,
+        "sigterms_jlh": _sigterms_jlh,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4543,6 +4613,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_polygon": _geo_polygon_sql(),
         "url_dedup": _url_dedup_sql(),
         "dup_spans": _DUP_SPANS_SQL,
+        "update_by_query": _UPDATE_BY_QUERY_SQL,
+        "sigterms_jlh": _SIGTERMS_JLH_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

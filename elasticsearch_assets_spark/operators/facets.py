@@ -75,6 +75,7 @@ def significant_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_doc_count: int = 3,
+    heuristic: str = "percentage",
 ) -> DataFrame:
     """ES significant_terms aggregation: terms over-represented in the
     match set vs the background corpus.
@@ -108,21 +109,51 @@ def significant_terms(
 
     fg = doc_terms(fg_docs).groupBy("term").agg(F.count("*").alias("fg_df"))
     bg = doc_terms(corpus).groupBy("term").agg(F.count("*").alias("bg_df"))
+    score = significance_score(
+        heuristic, F.col("fg_df"), F.col("bg_df"), fg_total, bg_total
+    )
     out = (
         fg.where(F.col("fg_df") >= min_doc_count)
         .join(bg, "term")
-        .select(
-            "term",
-            "fg_df",
-            "bg_df",
-            (
-                (F.col("fg_df") / F.lit(float(fg_total)))
-                / (F.col("bg_df") / F.lit(float(bg_total)))
-            ).alias("score"),
-        )
+        .select("term", "fg_df", "bg_df", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("term").asc())
     )
     return out.limit(n) if n is not None else out
+
+
+def significance_score(
+    heuristic: str, fg_df, bg_df, fg_total: float, bg_total: float
+):
+    """ES significance heuristics as pure column math over the
+    (fg_df, bg_df, fg_total, bg_total) 2×2 table — background IS a
+    superset of the foreground (the ES default):
+
+      percentage  fgp / bgp                       (rate ratio)
+      jlh         (fgp − bgp) · (fgp / bgp)       (absolute × relative)
+      chi_square  superset-adjusted 2×2 χ² (Manning et al.), signed 0
+                  when the term is UNDER-represented (ES's
+                  include_negatives=false shape)
+    """
+    fgp = fg_df / F.lit(float(fg_total))
+    bgp = bg_df / F.lit(float(bg_total))
+    if heuristic == "percentage":
+        return fgp / bgp
+    if heuristic == "jlh":
+        return (fgp - bgp) * (fgp / bgp)
+    if heuristic == "chi_square":
+        # background superset: the out-of-foreground cell counts exclude
+        # the foreground's contribution
+        n11 = fg_df.cast("double")
+        n01 = (bg_df - fg_df).cast("double")
+        n10 = F.lit(float(fg_total)) - n11
+        n00 = F.lit(float(bg_total - fg_total)) - n01
+        n = F.lit(float(bg_total))
+        chi2 = (
+            n * F.pow(n11 * n00 - n10 * n01, F.lit(2.0))
+            / ((n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00))
+        )
+        return F.when(fgp > bgp, chi2).otherwise(F.lit(0.0))
+    raise ValueError(f"unknown significance heuristic {heuristic!r}")
 
 
 def facet_date_histogram(

@@ -1187,6 +1187,57 @@ class InvertedIndex:
             self.refresh_tombstones()
         return n
 
+    def update_by_query(
+        self,
+        corpus: DataFrame,
+        query: "str | list[str]",
+        update_exprs: dict[str, str],
+        mode: str = "or",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES _update_by_query: apply script-style column updates to every
+        doc matching the query, leaving non-matching rows untouched —
+        returns the updated corpus DataFrame (compose with
+        sinks/keyed_table for the persisted upsert form; the script
+        contract matches its `update_exprs`: SQL expressions over the
+        current row, compiled via F.expr into codegen, never a Python
+        UDF). Unknown target columns raise (the reference's script update
+        fails loudly; round-2 advice fix #4 made the sink strict — same
+        rule here).
+
+        Plan: the match set semi-joins as a broadcast-able id frame; the
+        update is one conditional projection over the corpus scan."""
+        bad = sorted(set(update_exprs) - set(corpus.columns))
+        if bad:
+            raise ValueError(f"update_by_query: unknown columns {bad}")
+        matched = self.search(query, k=None, mode=mode).select(
+            F.col("doc_id").alias(id_col)
+        )
+        hit = matched.withColumn("_hit", F.lit(True))
+        joined = corpus.join(hit, id_col, "left")
+        cols = []
+        for c in corpus.columns:
+            if c in update_exprs:
+                cols.append(
+                    F.when(
+                        F.coalesce(F.col("_hit"), F.lit(False)),
+                        F.expr(update_exprs[c]),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return joined.select(*cols)
+
+    def analyze(self, text: str) -> list[tuple[int, str]]:
+        """ES _analyze API: the (position, token) sequence the engine's
+        analyzer produces for a text — the same frozen tokenizer contract
+        (analysis/tokenizer.py) build, query, and oracle share. Driver-
+        side by design (analyze is a debugging endpoint, not a data
+        path)."""
+        return list(enumerate(tokenize(text)))
+
     # -- posting decode (doc-granularity surface for cross-field scoring) -----
 
     DECODE_SCHEMA = "term string, doc_id long, tf long"

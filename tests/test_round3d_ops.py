@@ -1111,3 +1111,65 @@ def test_duplicate_spans_brute(spark):
     assert any(d == 0 for d, _, _ in got)      # boilerplate found
     assert not any(d == 2 for d, _, _ in got)  # unique doc clean
     assert not any(d == 3 for d, _, _ in got)  # shorter than L
+
+
+def test_update_by_query_semantics(index, corpus, doc_tokens):
+    term = _common_term(doc_tokens, 2)
+    matched = {
+        r["doc_id"] for r in index.search([term], k=None, mode="or").collect()
+    }
+    c2 = corpus.withColumn("flag", F.lit(0))
+    out = index.update_by_query(
+        c2, [term], {"flag": "flag + 7", "doc_key": "upper(doc_key)"}
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    base = {r["doc_id"]: r for r in c2.collect()}
+    assert set(rows) == set(base)  # row count preserved
+    for d, r in rows.items():
+        if d in matched:
+            assert r["flag"] == 7
+            assert r["doc_key"] == base[d]["doc_key"].upper()
+        else:
+            assert r["flag"] == 0 and r["doc_key"] == base[d]["doc_key"]
+    with pytest.raises(ValueError):
+        index.update_by_query(c2, [term], {"nope": "1"})
+
+
+def test_analyze_api(index):
+    assert index.analyze("Hello, World! 42") == [
+        (0, "hello"), (1, "world"), (2, "42"),
+    ]
+
+
+def test_significance_heuristics(index, corpus, doc_tokens):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    term = _common_term(doc_tokens, 0)
+    matches = index.search([term], k=None, mode="and")
+    fg_total = matches.count()
+    bg_total = corpus.count()
+    for h in ("percentage", "jlh", "chi_square"):
+        out = OFA.significant_terms(
+            matches, corpus, n=None, heuristic=h, min_doc_count=2
+        ).collect()
+        assert out
+        for r in out[:20]:
+            fgp = r["fg_df"] / fg_total
+            bgp = r["bg_df"] / bg_total
+            if h == "percentage":
+                want = fgp / bgp
+            elif h == "jlh":
+                want = (fgp - bgp) * (fgp / bgp)
+            else:
+                n11 = r["fg_df"]
+                n01 = r["bg_df"] - r["fg_df"]
+                n10 = fg_total - n11
+                n00 = (bg_total - fg_total) - n01
+                n = bg_total
+                want = (
+                    n * (n11 * n00 - n10 * n01) ** 2
+                    / ((n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00))
+                ) if fgp > bgp else 0.0
+            assert math.isclose(r["score"], want, rel_tol=1e-9), (h, r)
+    with pytest.raises(ValueError):
+        OFA.significant_terms(matches, corpus, heuristic="nope").collect()
