@@ -4358,6 +4358,86 @@ FROM s ORDER BY s.score DESC, term ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 11: document relations (has_child / has_parent / nested)
+# ---------------------------------------------------------------------------
+
+
+def _has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child (min_children=3): customers with ≥ 3 orders over
+    100k — child side filtered + ONE hash agg on the parent key."""
+    from elasticsearch_assets_spark.operators import relations as OR
+
+    cust = load_sf_table(spark, sf_dir, "customer")
+    orders = load_sf_table(spark, sf_dir, "orders")
+    return OR.has_child(
+        cust, orders, "c_custkey", "o_custkey",
+        F.col("o_totalprice") > 100000.0, min_children=3,
+    )
+
+
+_HAS_CHILD_SQL = """
+SELECT c.c_custkey, count(*)::BIGINT AS n_matching
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 100000.0
+GROUP BY 1 HAVING count(*) >= 3
+ORDER BY c.c_custkey ASC
+"""
+
+
+def _has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent: orders whose customer is in the BUILDING segment
+    — semi join against the broadcast-able matching-parent keys."""
+    from elasticsearch_assets_spark.operators import relations as OR
+
+    cust = load_sf_table(spark, sf_dir, "customer")
+    orders = load_sf_table(spark, sf_dir, "orders")
+    return OR.has_parent(
+        cust, orders, "c_custkey", "o_custkey",
+        F.col("c_mktsegment") == "BUILDING",
+        child_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+
+_HAS_PARENT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+"""
+
+_NESTED_TERMS = ["spark", "join"]
+_NESTED_N = 10
+
+
+def _nested_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested query semantics: docs where a single 10-token nested
+    object contains BOTH terms (a flattened AND is wrong exactly when
+    the terms only co-occur across different objects — the reason the
+    nested type exists)."""
+    from elasticsearch_assets_spark.operators import relations as OR
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return docs.where(
+        OR.nested_co_match("text", _NESTED_TERMS, n=_NESTED_N)
+    ).select("doc_id")
+
+
+def _nested_match_sql() -> str:
+    conds = " AND ".join(
+        f"list_contains(tk[i : i + {_NESTED_N - 1}], '{t}')"
+        for t in _NESTED_TERMS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+SELECT DISTINCT doc_id FROM t,
+  unnest(range(1, greatest(len(tk), 1) + 1, {_NESTED_N})) AS g(i)
+WHERE {conds}
+ORDER BY doc_id ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -4452,6 +4532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _dup_spans,
         "update_by_query": _update_by_query,
         "sigterms_jlh": _sigterms_jlh,
+        "has_child": _has_child,
+        "has_parent": _has_parent,
+        "nested_match": _nested_match,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4615,6 +4698,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "update_by_query": _UPDATE_BY_QUERY_SQL,
         "sigterms_jlh": _SIGTERMS_JLH_SQL,
+        "has_child": _HAS_CHILD_SQL,
+        "has_parent": _HAS_PARENT_SQL,
+        "nested_match": _nested_match_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

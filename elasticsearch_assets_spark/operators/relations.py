@@ -1,0 +1,98 @@
+"""Document-relation queries: has_child / has_parent (ES join field) and
+the nested query's same-object co-occurrence semantics.
+
+Elasticsearch models parent/child with a `join` field inside one index and
+nested objects as hidden sub-documents; the relational re-expression is a
+pair of tables (parent key on both sides) and an array column. The plans
+are the classic shapes Catalyst already optimizes:
+
+  has_child   parent <- semi/count-join of matching children (ONE hash agg
+              on the parent key, partial map-side; min_children is a HAVING)
+  has_parent  child <- semi join of matching parents (broadcast when the
+              matching-parent side is small — AQE decides)
+  nested      F.exists over the object array — terms must co-occur in the
+              SAME nested object, which a flattened match would get wrong
+              (the whole reason ES nested exists); pure JVM lambda, no
+              shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def has_child(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    child_pred: Column,
+    min_children: int = 1,
+) -> DataFrame:
+    """ES has_child query (+min_children): parents with at least
+    `min_children` children matching the predicate. Returns
+    (parent_key, n_matching), parent_key ASC. One filtered hash agg on
+    the child side, then a semi-ish inner join to the parent keys."""
+    if min_children < 1:
+        raise ValueError("min_children must be >= 1")
+    counts = (
+        children.where(child_pred)
+        .groupBy(F.col(child_key).alias(parent_key))
+        .agg(F.count("*").alias("n_matching"))
+        .where(F.col("n_matching") >= min_children)
+    )
+    return (
+        parents.select(parent_key)
+        .join(counts, parent_key)
+        .orderBy(F.col(parent_key).asc())
+    )
+
+
+def has_parent(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_pred: Column,
+    child_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES has_parent query: children whose parent matches the predicate.
+    Left-semi join against the matching-parent keys (broadcast-able)."""
+    matching = parents.where(parent_pred).select(
+        F.col(parent_key).alias(child_key)
+    )
+    out = children.join(matching, child_key, "left_semi")
+    if child_cols is not None:
+        out = out.select(*child_cols)
+    return out
+
+
+def nested_chunks(text_col: str, n: int) -> Column:
+    """Split a text into an array of disjoint n-token 'nested objects'
+    (the corpus has no natural object arrays; fixed chunks stand in —
+    the co-occurrence semantics are what's under test)."""
+    from elasticsearch_assets_spark.operators.texthash import tokens_expr
+
+    toks = tokens_expr(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(n)),
+        lambda i: F.slice(toks, i, n),
+    )
+
+
+def nested_co_match(text_col: str, terms: list[str], n: int = 10) -> Column:
+    """ES nested-query semantics: TRUE iff some single n-token nested
+    object contains EVERY term — a flattened (whole-document) AND match
+    is wrong exactly when the terms appear only in different objects.
+    Pure JVM exists/forall lambdas over the chunk array, zero shuffle."""
+    if not terms:
+        raise ValueError("nested_co_match needs at least one term")
+    chunks = nested_chunks(text_col, n)
+    return F.exists(chunks, lambda c: _all_in(c, terms))
+
+
+def _all_in(chunk: Column, terms: list[str]) -> Column:
+    cond = F.array_contains(chunk, terms[0])
+    for t in terms[1:]:
+        cond = cond & F.array_contains(chunk, t)
+    return cond

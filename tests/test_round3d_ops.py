@@ -1173,3 +1173,57 @@ def test_significance_heuristics(index, corpus, doc_tokens):
             assert math.isclose(r["score"], want, rel_tol=1e-9), (h, r)
     with pytest.raises(ValueError):
         OFA.significant_terms(matches, corpus, heuristic="nope").collect()
+
+
+# ---------------------------------------------------------------------------
+# batch 11: document relations
+# ---------------------------------------------------------------------------
+
+
+def test_has_child_and_parent(spark):
+    from elasticsearch_assets_spark.operators import relations as OR
+
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "c")], "pk long, seg string"
+    )
+    children = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 1, 15.0), (12, 1, 25.0),
+         (13, 2, 50.0), (14, 3, 1.0), (15, 9, 99.0)],
+        "ck long, fk long, v double",
+    )
+    hc = OR.has_child(
+        parents, children, "pk", "fk", F.col("v") > 10.0, min_children=2
+    ).collect()
+    assert [(r["pk"], r["n_matching"]) for r in hc] == [(1, 2)]
+    hp = OR.has_parent(
+        parents, children, "pk", "fk", F.col("seg") == "a",
+        child_cols=["ck"],
+    ).collect()
+    assert sorted(r["ck"] for r in hp) == [10, 11, 12, 14]
+    with pytest.raises(ValueError):
+        OR.has_child(parents, children, "pk", "fk", F.col("v") > 0, 0)
+
+
+def test_nested_co_match_vs_flattened(spark):
+    from elasticsearch_assets_spark.operators import relations as OR
+
+    rows = [
+        (0, "spark join extra words here pad pad pad pad pad"),   # same chunk
+        (1, "spark " + "pad " * 12 + "join end"),                 # different chunks
+        (2, "no relevant terms at all"),
+        (3, "pad pad join spark tail"),                           # same chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in df.where(
+            OR.nested_co_match("text", ["spark", "join"], n=10)
+        ).collect()
+    }
+    assert got == {0, 3}  # doc 1 flattened-matches but nested-misses
+    flat = {
+        d for d, t in rows if "spark" in t.split() and "join" in t.split()
+    }
+    assert 1 in flat and 1 not in got
+    with pytest.raises(ValueError):
+        OR.nested_co_match("text", [])
