@@ -4437,6 +4437,38 @@ ORDER BY doc_id ASC
 """
 
 
+def _facet_moving_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_percentiles: trailing-7-day median of daily click value
+    sums."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_moving_percentiles(
+        matches, ev, "ts", "value", "day", window=7, percent=50.0,
+        id_col="event_id",
+    )
+    return out.select(
+        "bucket", _f4("value").alias("value"),
+        _f4("moving_pct").alias("moving_pct"),
+    )
+
+
+_FACET_MOVING_PCT_SQL = """
+WITH m AS (SELECT ts, value FROM events WHERE event_type = 'click'),
+h AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS value
+  FROM m GROUP BY 1
+)
+SELECT bucket,
+       floor(value * 10000.0 + 0.5) / 10000.0 AS value,
+       floor(quantile_cont(value, 0.5) OVER (
+               ORDER BY bucket ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+             ) * 10000.0 + 0.5) / 10000.0 AS moving_pct
+FROM h ORDER BY bucket ASC
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4535,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child": _has_child,
         "has_parent": _has_parent,
         "nested_match": _nested_match,
+        "facet_moving_pct": _facet_moving_pct,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4701,6 +4734,7 @@ def oracle_sql() -> dict[str, str]:
         "has_child": _HAS_CHILD_SQL,
         "has_parent": _HAS_PARENT_SQL,
         "nested_match": _nested_match_sql(),
+        "facet_moving_pct": _FACET_MOVING_PCT_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

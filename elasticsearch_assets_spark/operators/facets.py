@@ -1617,3 +1617,44 @@ def facet_variable_width_histogram(
         )
         .orderBy(F.col("bucket").asc())
     )
+
+
+def facet_moving_percentiles(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    metric_col: str,
+    interval: str = "day",
+    window: int = 7,
+    percent: float = 50.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES moving_percentiles pipeline agg, EXACT variant: per calendar
+    bucket of sum(metric), the interpolated percentile over the trailing
+    `window` buckets (current + window−1 preceding; partial at the
+    series head, the moving_fn shape). ES computes it over t-digests —
+    the exact interpolation here matches DuckDB's quantile_cont for the
+    oracle; at 100 TB the same plan runs with percentile_approx.
+
+    Window math over the BUCKET series only (one document pass, then a
+    frame-bounded window aggregate)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    joined = _match_join(matches, corpus, id_col)
+    h = joined.groupBy(
+        F.date_trunc(interval, F.col(date_col)).alias("bucket")
+    ).agg(F.sum(F.col(metric_col).cast("double")).alias("value"))
+    w = (
+        Window.orderBy(F.col("bucket").asc())
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return (
+        h.select(
+            "bucket",
+            "value",
+            F.percentile(F.col("value"), F.lit(percent / 100.0))
+            .over(w)
+            .alias("moving_pct"),
+        )
+        .orderBy(F.col("bucket").asc())
+    )

@@ -1227,3 +1227,31 @@ def test_nested_co_match_vs_flattened(spark):
     assert 1 in flat and 1 not in got
     with pytest.raises(ValueError):
         OR.nested_co_match("text", [])
+
+
+def test_moving_percentiles_vs_numpy(spark):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    rows = [
+        (i, f"2024-01-{d:02d} 01:00:00", float(v))
+        for i, (d, v) in enumerate(
+            [(1, 10), (2, 40), (3, 20), (4, 80), (5, 30), (6, 60)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = OFA.facet_moving_percentiles(
+        df.select("id"), df, "ts", "v", "day", window=3, percent=50.0,
+        id_col="id",
+    ).collect()
+    vals = [10.0, 40.0, 20.0, 80.0, 30.0, 60.0]
+    for i, r in enumerate(out):
+        w = vals[max(0, i - 2) : i + 1]
+        assert math.isclose(
+            r["moving_pct"], float(np.percentile(w, 50)), rel_tol=1e-9
+        )
+    with pytest.raises(ValueError):
+        OFA.facet_moving_percentiles(
+            df.select("id"), df, "ts", "v", window=0, id_col="id"
+        )
