@@ -607,24 +607,89 @@ class InvertedIndex:
         tie_breaker * (sum of the other matching subqueries' scores) —
         Lucene's DisjunctionMaxQuery formula, max + tie * (total - max).
 
-        Plan: each subquery is its own distributed search (k=None — the
-        combine needs every matching doc); the union is ONE hash
-        aggregation on doc_id (partial map-side combine, single shuffle),
-        then TakeOrderedAndProject for the cut. No driver materialization
-        at any point, so it scales with the corpus, not with k."""
+        Plan: ONE fused segment scan (`term IN` over the union of all
+        subqueries' terms, pushed down); the kernel scores every
+        subquery over the same decoded postings and combines PER
+        SEGMENT — correct because doc-bucketed segments hold each doc's
+        postings in exactly one segment, so per-segment subquery scores
+        ARE the global scores. The global merge is the usual
+        TakeOrderedAndProject. (The previous plan ran one distributed
+        search per subquery + a hash-agg combine: N posting scans and an
+        extra shuffle — at cluster scale each extra pass re-reads the
+        postings, so the fused scan is the 100 TB shape. Results are
+        identical; the oracle row pins them.)"""
         if not subqueries:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        subs = [self.search(q, k=None, mode=mode) for q in subqueries]
-        u = subs[0]
-        for s in subs[1:]:
-            u = u.unionByName(s)
-        agg = u.groupBy("doc_id").agg(
-            (
-                F.max("score")
-                + F.lit(tie_breaker) * (F.sum("score") - F.max("score"))
-            ).alias("score")
+        sub_terms: list[list[str]] = []
+        for q in subqueries:
+            t = sorted(set(tokenize(q) if isinstance(q, str) else q))
+            sub_terms.append(t)
+        all_terms = sorted({t for ts in sub_terms for t in ts})
+        if not all_terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        dfs = self.term_stats(all_terms)
+        meta = self.meta
+        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in all_terms}
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+        tie = float(tie_breaker)
+        and_mode = mode == "and"
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            from elasticsearch_assets_spark.query.wand import (
+                _sorted_intersect,
+                restrict,
+            )
+
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            per_sub: list[tuple[np.ndarray, np.ndarray]] = []
+            for ts in sub_terms:
+                present = [t for t in ts if t in postings]
+                if not present or (and_mode and len(present) < len(ts)):
+                    continue
+                if and_mode:
+                    docs = postings[present[0]].doc_ids
+                    for t in present[1:]:
+                        docs = _sorted_intersect(docs, postings[t].doc_ids)
+                else:
+                    docs = np.unique(
+                        np.concatenate([postings[t].doc_ids for t in present])
+                    )
+                docs = restrict(docs, excluded, None)
+                if docs.size == 0:
+                    continue
+                s = exact_scores(docs, ts, postings, idfs, avgdl, k1, b)
+                per_sub.append((docs, s))
+            if not per_sub:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            union = (
+                per_sub[0][0]
+                if len(per_sub) == 1
+                else np.unique(np.concatenate([d for d, _ in per_sub]))
+            )
+            best = np.zeros(union.size, dtype=np.float64)
+            total = np.zeros(union.size, dtype=np.float64)
+            for docs, s in per_sub:
+                at = np.searchsorted(union, docs)
+                np.maximum.at(best, at, s)
+                total[at] += s
+            score = best + tie * (total - best)
+            order = np.lexsort((union, -score))
+            if k is not None:
+                order = order[:k]
+            return pd.DataFrame(
+                {"doc_id": union[order], "score": score[order]}
+            )
+
+        per_seg = (
+            self.segments.where(F.col("term").isin(all_terms))
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
         )
-        out = agg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        out = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return out.limit(k) if k is not None else out
 
     def constant_score(

@@ -1255,3 +1255,27 @@ def test_moving_percentiles_vs_numpy(spark):
         OFA.facet_moving_percentiles(
             df.select("id"), df, "ts", "v", window=0, id_col="id"
         )
+
+
+def test_dis_max_fused_parity_with_per_search_combine(index, doc_tokens):
+    """The fused single-scan dis_max must equal the naive per-subquery
+    search + driver combine, in both OR and AND subquery modes."""
+    t1 = _common_term(doc_tokens, 0)
+    t2 = _common_term(doc_tokens, 1)
+    t3 = _common_term(doc_tokens, 2)
+    subs = [[t1, t2], [t3], ["zz_no_such_term"]]
+    for mode in ("or", "and"):
+        got = {
+            r["doc_id"]: r["score"]
+            for r in index.dis_max(subs, tie_breaker=0.4, k=None, mode=mode).collect()
+        }
+        per = [
+            _scores(index.search(q, k=None, mode=mode)) for q in subs
+        ]
+        want = {}
+        for d in set().union(*[set(p) for p in per]):
+            ss = [p[d] for p in per if d in p]
+            want[d] = max(ss) + 0.4 * (sum(ss) - max(ss))
+        assert set(got) == set(want)
+        for d in got:
+            assert math.isclose(got[d], want[d], rel_tol=1e-9), (mode, d)
