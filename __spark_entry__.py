@@ -880,6 +880,33 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 15
 """
 
 
+def _match_sorted_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after under a FIELD sort: page 2 of the n_chars-DESC
+    'spark' match — the cursor is page 1's last (n_chars, doc_id),
+    filtered BEFORE the top-k cut (== OFFSET under the deterministic
+    order, the oracle contract)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    last = idx.search_sorted(
+        ["spark"], docs, "n_chars", ascending=False, k=15
+    ).collect()[-1]
+    return idx.search_sorted(
+        ["spark"], docs, "n_chars", ascending=False, k=15,
+        after=(last["n_chars"], last["doc_id"]),
+    )
+
+
+_MATCH_SORTED_PAGE2_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 15 OFFSET 15
+"""
+
+
 _COMPOSITE_AFTER, _COMPOSITE_SIZE = ("en", "src3"), 10
 
 
@@ -4568,6 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent": _has_parent,
         "nested_match": _nested_match,
         "facet_moving_pct": _facet_moving_pct,
+        "match_sorted_page2": _match_sorted_page2,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4735,6 +4763,7 @@ def oracle_sql() -> dict[str, str]:
         "has_parent": _HAS_PARENT_SQL,
         "nested_match": _nested_match_sql(),
         "facet_moving_pct": _FACET_MOVING_PCT_SQL,
+        "match_sorted_page2": _MATCH_SORTED_PAGE2_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -1782,10 +1782,18 @@ class InvertedIndex:
         k: int | None = 10,
         mode: str = "and",
         id_col: str = "doc_id",
+        after: tuple | None = None,
     ) -> DataFrame:
         """ES sort-by-field on a search: the query's match set ordered by a
         document field instead of _score (`sort: [{field: ...}]`). Returns
         (doc_id, <sort_col>), ties broken doc_id ASC.
+
+        `after` = (sort_value, doc_id) of the previous page's last row —
+        ES search_after under a field sort: only rows STRICTLY after that
+        position in the (field dir, doc_id ASC) order are returned, as a
+        plain filter applied BEFORE the top-k cut (so k suffices at any
+        page depth; the page-walk == OFFSET under the deterministic order
+        is the oracle contract).
 
         Plan: index-assisted match set (k=None — the sort needs every
         match) semi-joined to the corpus projection, then
@@ -1795,15 +1803,32 @@ class InvertedIndex:
             # sorting by the id itself: no extra column to carry
             out = matched.join(
                 corpus.select(F.col(id_col).alias("doc_id")), "doc_id"
-            ).orderBy(F.col("doc_id").asc() if ascending else F.col("doc_id").desc())
+            )
+            if after is not None:
+                _, d_a = after if isinstance(after, tuple) else (None, after)
+                cursor = (
+                    F.col("doc_id") > F.lit(d_a)
+                    if ascending
+                    else F.col("doc_id") < F.lit(d_a)
+                )
+                out = out.where(cursor)
+            out = out.orderBy(
+                F.col("doc_id").asc() if ascending else F.col("doc_id").desc()
+            )
             return out.limit(k) if k is not None else out
         proj = corpus.select(F.col(id_col).alias("doc_id"), F.col(sort_col))
         direction = (
             F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
         )
-        out = matched.join(proj, "doc_id").orderBy(
-            direction, F.col("doc_id").asc()
-        )
+        out = matched.join(proj, "doc_id")
+        if after is not None:
+            v_a, d_a = after
+            v = F.col(sort_col)
+            strict = v > F.lit(v_a) if ascending else v < F.lit(v_a)
+            out = out.where(
+                strict | ((v == F.lit(v_a)) & (F.col("doc_id") > F.lit(d_a)))
+            )
+        out = out.orderBy(direction, F.col("doc_id").asc())
         return out.limit(k) if k is not None else out
 
     # -- proximity ----------------------------------------------------------

@@ -1279,3 +1279,23 @@ def test_dis_max_fused_parity_with_per_search_combine(index, doc_tokens):
         assert set(got) == set(want)
         for d in got:
             assert math.isclose(got[d], want[d], rel_tol=1e-9), (mode, d)
+
+
+def test_search_sorted_after_walks_pages(index, corpus, doc_tokens):
+    term = _common_term(doc_tokens, 1)
+    c2 = corpus.withColumn("v", F.length("text").cast("long"))
+    full = index.search_sorted(
+        [term], c2, "v", ascending=True, k=None
+    ).collect()
+    pages, after = [], None
+    while True:
+        p = index.search_sorted(
+            [term], c2, "v", ascending=True, k=7, after=after
+        ).collect()
+        if not p:
+            break
+        pages.extend(p)
+        after = (p[-1]["v"], p[-1]["doc_id"])
+    assert [(r["doc_id"], r["v"]) for r in pages] == [
+        (r["doc_id"], r["v"]) for r in full
+    ]
