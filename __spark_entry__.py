@@ -1282,6 +1282,64 @@ ORDER BY sum(contrib) DESC, doc_id ASC LIMIT {_RRF_K}
 """
 
 
+_LIN_N, _LIN_K, _LIN_W = 20, 10, 2.0
+
+
+def _hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.16 `linear` retriever: BM25 top-20 for 'spark' and cosine-kNN
+    top-20 minmax-normalized, summed with weights (1.0, 2.0)."""
+    idx = _docs_index(spark, sf_dir)
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    bm = idx.search(["spark"], k=_LIN_N, mode="and")
+    knn = OS.cosine_topk(emb, qv, k=_LIN_N).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    out = OS.linear_fuse(
+        [bm, knn], weights=[1.0, _LIN_W], normalizer="minmax", k=_LIN_K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _hybrid_linear_sql() -> str:
+    chain = _mm_field_chain(
+        "b",
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents",
+        terms=["spark"],
+    )
+    return f"""
+WITH {chain},
+bm0 AS (
+  SELECT doc_id, s FROM bscored ORDER BY s DESC, doc_id ASC LIMIT {_LIN_N}
+),
+bmn AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+              ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+         END AS contrib
+  FROM bm0
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+knn0 AS (
+  SELECT vec_id AS doc_id, cos FROM (
+    SELECT a.vec_id, {_COS_AB} AS cos FROM embeddings a, q b
+  ) ORDER BY cos DESC, doc_id ASC LIMIT {_LIN_N}
+),
+knnn AS (
+  SELECT doc_id,
+         {_LIN_W} * CASE WHEN max(cos) OVER () = min(cos) OVER () THEN 1.0
+              ELSE (cos - min(cos) OVER ())
+                   / (max(cos) OVER () - min(cos) OVER ())
+         END AS contrib
+  FROM knn0
+),
+u AS (SELECT * FROM bmn UNION ALL SELECT * FROM knnn)
+SELECT doc_id, round(sum(contrib), 4) AS score
+FROM u GROUP BY doc_id
+ORDER BY sum(contrib) DESC, doc_id ASC LIMIT {_LIN_K}
+"""
+
+
 _ANN_FILTER_LABEL = 3
 
 
@@ -4596,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_match": _nested_match,
         "facet_moving_pct": _facet_moving_pct,
         "match_sorted_page2": _match_sorted_page2,
+        "hybrid_linear": _hybrid_linear,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4764,6 +4823,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_match": _nested_match_sql(),
         "facet_moving_pct": _FACET_MOVING_PCT_SQL,
         "match_sorted_page2": _MATCH_SORTED_PAGE2_SQL,
+        "hybrid_linear": _hybrid_linear_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -300,3 +300,57 @@ def rrf_fuse(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
     )
     return out.limit(k) if k is not None else out
+
+
+def linear_fuse(
+    rankings: list,
+    weights: list[float] | None = None,
+    normalizer: str = "minmax",
+    k: int | None = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid search via weighted linear combination (ES 8.16's `linear`
+    retriever): each result list's scores are normalized — minmax
+    (score−min)/(max−min), or `none` — then summed with per-list
+    weights; docs missing from a list contribute 0 there (the retriever
+    contract). A degenerate list (max == min) normalizes to 1.0 for its
+    members, matching ES's minmax edge rule.
+
+    Same cost shape as rrf_fuse: per-list normalization is a 1-row agg
+    crossJoined back (lists are already k-bounded retriever OUTPUTS),
+    the combine one unionByName + hash agg + TakeOrderedAndProject."""
+    if not rankings:
+        raise ValueError("linear_fuse needs at least one ranking")
+    if normalizer not in ("minmax", "none"):
+        raise ValueError(f"unknown normalizer {normalizer!r}")
+    ws = weights if weights is not None else [1.0] * len(rankings)
+    if len(ws) != len(rankings):
+        raise ValueError("weights must match rankings length")
+    parts = []
+    for r, w in zip(rankings, ws):
+        r = r.select(F.col(id_col), "score")
+        if normalizer == "minmax":
+            mm = r.agg(
+                F.min("score").alias("_lo"), F.max("score").alias("_hi")
+            )
+            norm = F.when(
+                F.col("_hi") == F.col("_lo"), F.lit(1.0)
+            ).otherwise(
+                (F.col("score") - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo"))
+            )
+            r = r.crossJoin(F.broadcast(mm)).select(
+                id_col, norm.alias("score")
+            )
+        parts.append(
+            r.select(id_col, (F.col("score") * F.lit(float(w))).alias("contrib"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out = (
+        u.groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+    return out.limit(k) if k is not None else out

@@ -1299,3 +1299,38 @@ def test_search_sorted_after_walks_pages(index, corpus, doc_tokens):
     assert [(r["doc_id"], r["v"]) for r in pages] == [
         (r["doc_id"], r["v"]) for r in full
     ]
+
+
+def test_linear_fuse_formula(spark):
+    from elasticsearch_assets_spark.operators.similarity import linear_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 2.0), (4, 1.0)], "doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in linear_fuse([a, b], weights=[1.0, 3.0], k=None).collect()
+    }
+    # minmax: a -> {1:1.0, 2:0.5, 3:0.0}; b -> {2:1.0, 4:0.0}
+    assert out == {1: 1.0, 2: 0.5 + 3.0, 3: 0.0, 4: 0.0}
+    # degenerate list (one score) normalizes to 1.0
+    c = spark.createDataFrame([(9, 42.0)], "doc_id long, score double")
+    got = linear_fuse([c], k=None).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [(9, 1.0)]
+    # normalizer "none" keeps raw scores
+    raw = {
+        r["doc_id"]: r["score"]
+        for r in linear_fuse(
+            [a, b], weights=[1.0, 1.0], normalizer="none", k=None
+        ).collect()
+    }
+    assert raw == {1: 10.0, 2: 7.0, 3: 0.0, 4: 1.0}
+    with pytest.raises(ValueError):
+        linear_fuse([])
+    with pytest.raises(ValueError):
+        linear_fuse([a], weights=[1.0, 2.0])
+    with pytest.raises(ValueError):
+        linear_fuse([a], normalizer="zscore")
