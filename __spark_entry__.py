@@ -4554,6 +4554,32 @@ FROM h ORDER BY bucket ASC
 """
 
 
+def _facet_scripted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted_metric: sum of a per-doc script value
+    (n_chars * ln(1 + n_chars)) over the 'spark' match set — map script
+    as a SQL expression, combine/reduce as the partial aggregation."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_scripted_metric(
+        matches, docs, "n_chars * ln(1 + n_chars)", combine="sum"
+    )
+    return out.select(_f4("value").alias("value"))
+
+
+_FACET_SCRIPTED_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT floor(sum(d.n_chars * ln(1 + d.n_chars)) * 10000.0 + 0.5) / 10000.0
+         AS value
+FROM documents d JOIN m USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4655,6 +4681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_moving_pct": _facet_moving_pct,
         "match_sorted_page2": _match_sorted_page2,
         "hybrid_linear": _hybrid_linear,
+        "facet_scripted": _facet_scripted,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4824,6 +4851,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_moving_pct": _FACET_MOVING_PCT_SQL,
         "match_sorted_page2": _MATCH_SORTED_PAGE2_SQL,
         "hybrid_linear": _hybrid_linear_sql(),
+        "facet_scripted": _FACET_SCRIPTED_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -1658,3 +1658,29 @@ def facet_moving_percentiles(
         )
         .orderBy(F.col("bucket").asc())
     )
+
+
+def facet_scripted_metric(
+    matches: DataFrame,
+    corpus: DataFrame,
+    map_expr: str,
+    combine: str = "sum",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES scripted_metric aggregation, re-expressed with the engine's
+    script contract (same as script_score / update_by_query): `map_expr`
+    is a SQL expression evaluated per matching document (the map_script),
+    `combine` one of sum/avg/min/max/count (the combine+reduce scripts —
+    Spark's partial aggregation IS the per-shard combine + coordinator
+    reduce). Compiles via F.expr into whole-stage codegen — never a
+    Python UDF; one partial-agg pass."""
+    aggs = {
+        "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+        "count": F.count,
+    }
+    if combine not in aggs:
+        raise ValueError(f"unknown combine {combine!r}")
+    joined = _match_join(matches, corpus, id_col)
+    return joined.agg(
+        aggs[combine](F.expr(map_expr).cast("double")).alias("value")
+    )
