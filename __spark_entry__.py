@@ -4580,6 +4580,116 @@ FROM documents d JOIN m USING (doc_id)
 """
 
 
+_MSEARCH_SPECS = [
+    {"query": ["spark", "join"], "mode": "and", "k": 10},
+    {"query": ["hash", "merge"], "mode": "or", "k": 8},
+    {
+        "query": ["table", "scan", "batch"],
+        "mode": "or",
+        "min_should_match": 2,
+        "k": 12,
+    },
+]
+
+
+def _msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _msearch: M heterogeneous queries answered by ONE fused segment
+    scan — each segment's postings decoded once, every query's kernel run
+    against the same dict (engine.msearch; per-query results bit-identical
+    to search() alone, tested). At 10^12 docs M queries cost ~1 scan."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.msearch(_MSEARCH_SPECS)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _msearch_sql() -> str:
+    parts = []
+    for qid, s in enumerate(_MSEARCH_SPECS):
+        sub = _bm25_sql(
+            s["query"], s.get("mode", "and"), s["k"],
+            min_match=s.get("min_should_match"),
+        )
+        parts.append(f"SELECT {qid} AS query_id, * FROM ({sub})")
+    return " UNION ALL ".join(parts)
+
+
+_MGET_IDS = [2, 7, 14, 21, 33, 999999]  # 7/14/21 tombstoned, 999999 absent
+
+
+def _mget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mget over the tombstoned index: deleted docs and unknown ids
+    don't appear (the found=false rows); surviving ids broadcast into a
+    semi join — the corpus side never shuffles (engine.mget)."""
+    idx = _docs_index_tombstoned(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return idx.mget(_MGET_IDS, docs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_MGET_SQL = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN ({', '.join(str(i) for i in _MGET_IDS)}) AND {_DELETE_PRED_SQL}
+"""
+
+
+def _terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-lookup query: the filter values are fetched from ONE
+    stored document at query time (customer 42's market segment), then
+    applied as a literal IN pushed to the corpus scan
+    (operators/relations.py terms_lookup)."""
+    from elasticsearch_assets_spark.operators.relations import terms_lookup
+
+    cust = load_sf_table(spark, sf_dir, "customer")
+    out = terms_lookup(
+        cust, "c_mktsegment", cust, F.col("c_custkey") == 42, "c_mktsegment"
+    )
+    return out.select("c_custkey", "c_mktsegment")
+
+
+_TERMS_LOOKUP_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_mktsegment IN (SELECT c_mktsegment FROM customer WHERE c_custkey = 42)
+"""
+
+
+def _script_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script query (filter context) composed with ranking: BM25 among
+    docs where the script — a Catalyst-compiled SQL expression, the
+    engine's one script contract — evaluates true (engine.script_query →
+    search_filtered; collection stats stay global)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = idx.script_query(
+        docs, "n_chars % 3 = 0", query=["spark", "table"], k=None, mode="or"
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_SCRIPT_FILTER_SQL = _bm25_sql(
+    ["spark", "table"], "or", None,
+    where="doc_id IN (SELECT doc_id FROM documents WHERE n_chars % 3 = 0)",
+)
+
+
+_WRAPPER_Q = "spark AND jo* AND n_chars:>=400"  # == the querystring row
+
+
+def _wrapper_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wrapper query: a base64-encoded query decoded server-side then
+    executed through the string surface — transport, not semantics
+    (engine.search_wrapper; oracle shared with querystring_search)."""
+    import base64
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    b64 = base64.b64encode(_WRAPPER_Q.encode()).decode()
+    res = idx.search_wrapper(b64, docs, k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4682,6 +4792,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_sorted_page2": _match_sorted_page2,
         "hybrid_linear": _hybrid_linear,
         "facet_scripted": _facet_scripted,
+        "msearch": _msearch,
+        "mget_docs": _mget_docs,
+        "terms_lookup": _terms_lookup,
+        "script_filter": _script_filter,
+        "wrapper_query": _wrapper_query,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4852,6 +4967,11 @@ def oracle_sql() -> dict[str, str]:
         "match_sorted_page2": _MATCH_SORTED_PAGE2_SQL,
         "hybrid_linear": _hybrid_linear_sql(),
         "facet_scripted": _FACET_SCRIPTED_SQL,
+        "msearch": _msearch_sql(),
+        "mget_docs": _MGET_SQL,
+        "terms_lookup": _TERMS_LOOKUP_SQL,
+        "script_filter": _SCRIPT_FILTER_SQL,
+        "wrapper_query": _QS_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

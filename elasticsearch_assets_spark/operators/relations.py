@@ -96,3 +96,35 @@ def _all_in(chunk: Column, terms: list[str]) -> Column:
     for t in terms[1:]:
         cond = cond & F.array_contains(chunk, t)
     return cond
+
+
+def terms_lookup(
+    corpus: DataFrame,
+    field: str,
+    lookup: DataFrame,
+    lookup_pred: Column,
+    path,
+) -> DataFrame:
+    """ES terms-lookup query: the terms list is fetched from ONE stored
+    document at query time (GET lookup-index/_doc/id → `path`), then the
+    query behaves like a literal terms filter over `corpus[field]`.
+
+    The lookup fetch is planning-level and bounded — exactly one document
+    (ES's contract; `lookup_pred` should select by unique id). The fetched
+    values become a literal IN predicate pushed into the corpus scan: at
+    10^12 docs nothing shuffles and the filter prunes at the parquet
+    reader. `path` (a column name or Column expr) may evaluate to a scalar
+    or an array — ES's path always yields an array; values de-duplicate.
+
+    Reference surface: the reader facade passes terms-lookup bodies to ES
+    verbatim (/root/reference/asset/elasticsearch_reader/index.js builds
+    the request; semantics from the ES terms-lookup docs)."""
+    col = F.expr(path) if isinstance(path, str) else path
+    rows = lookup.where(lookup_pred).select(col.alias("v")).limit(1).collect()
+    if not rows or rows[0]["v"] is None:
+        return corpus.where(F.lit(False))
+    v = rows[0]["v"]
+    vals = sorted({x for x in v if x is not None}) if isinstance(v, (list, tuple)) else [v]
+    if not vals:
+        return corpus.where(F.lit(False))
+    return corpus.where(F.col(field).isin(vals))

@@ -20,7 +20,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from elasticsearch_assets_spark.analysis.tokenizer import tokenize
 from elasticsearch_assets_spark.index.stats import IndexMeta, load_meta
@@ -61,6 +61,7 @@ def _span_expr_eval(expr, postings):
 
 
 TOPK_SCHEMA = "doc_id long, score double"
+MSEARCH_SCHEMA = "query_id int, doc_id long, score double"
 
 
 def _score_segment(
@@ -97,12 +98,38 @@ def _score_segment(
     matching docs exhaustively — the block-max pruning θ-bound would need
     cursor-filtered seeds; exhaustive keeps it rank-safe.
     """
-    from elasticsearch_assets_spark.query.wand import restrict
-
     postings = {
         row["term"]: TermPostings(row)
         for row in (t._asdict() for t in pdf.itertuples(index=False))
     }
+    return _score_postings(
+        postings, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed,
+        after, groups, min_should_match, not_terms,
+    )
+
+
+def _score_postings(
+    postings: dict,
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    mode: str,
+    k: int | None,
+    excluded: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
+    groups: list[list[str]] | None = None,
+    min_should_match: int | None = None,
+    not_terms: list[str] | None = None,
+) -> pd.DataFrame:
+    """`_score_segment`'s kernel over a prebuilt {term: TermPostings} dict —
+    factored out so `msearch` can decode one segment's postings ONCE and run
+    every query's kernel against the same dict (same code path = the
+    rank-identity invariant holds per query by construction)."""
+    from elasticsearch_assets_spark.query.wand import restrict
+
     if not_terms:
         # ES bool must_not: docs containing ANY excluded term are dropped
         # BEFORE ranking, index-assisted (the not-terms' postings ride the
@@ -2391,6 +2418,173 @@ class InvertedIndex:
         return corpus.join(F.broadcast(topk), on=on, how="inner").orderBy(
             F.col("score").desc(), F.col(on).asc()
         )
+
+    def msearch(self, searches: list, k: int | None = 10) -> DataFrame:
+        """ES _msearch: M queries answered by ONE fused segment scan.
+
+        Each element of `searches` is a query (raw text / term list) or a
+        dict {query, mode="and", k, boosts, min_should_match, must_not}.
+        Returns (query_id, doc_id, score): per-query global top-k, every
+        query's rows bit-identical to search() run alone (tested) — the
+        kernels are literally the same (_score_postings).
+
+        Scale rationale: the reference's facade batches request bodies so
+        ES amortizes one index pass over many queries
+        (/root/reference/asset/elasticsearch_reader/index.js pass-through
+        search body); here the fusion is one pushed
+        `term IN (union of all queries' terms)` parquet scan + one
+        applyInPandas pass that decodes each segment's postings ONCE and
+        runs every query's kernel against the same dict. At 10^12 docs the
+        scan/shuffle dominates, so M queries cost ~1 scan instead of M; the
+        per-query global cut is a window rank over ≤ segments × k × M rows
+        (never raw postings)."""
+        specs = []
+        score_terms: set[str] = set()
+        for qid, s in enumerate(searches):
+            if not isinstance(s, dict):
+                s = {"query": s}
+            q = s["query"]
+            terms = sorted(set(tokenize(q) if isinstance(q, str) else q))
+            mode = s.get("mode", "and")
+            msm = s.get("min_should_match")
+            if msm is not None and mode != "or":
+                raise ValueError("min_should_match applies to mode='or'")
+            mn = s.get("must_not")
+            not_terms = sorted(
+                set(tokenize(mn) if isinstance(mn, str) else mn or [])
+            )
+            specs.append(
+                (qid, terms, mode, s.get("k", k), s.get("boosts"), msm, not_terms)
+            )
+            score_terms |= set(terms)
+        if not score_terms:
+            return self.spark.createDataFrame([], MSEARCH_SCHEMA)
+        dfs = self.term_stats(sorted(score_terms))
+        meta = self.meta
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+        kspecs = []
+        fetch: set[str] = set()
+        for qid, terms, mode, kq, boosts, msm, not_terms in specs:
+            if not terms:
+                continue
+            if mode == "and" and any(t not in dfs for t in terms):
+                continue  # unsatisfiable AND — search() returns empty too
+            idfs = {
+                t: idf(meta.n_docs, dfs.get(t, 0)) * (boosts or {}).get(t, 1.0)
+                for t in terms
+            }
+            kspecs.append((qid, terms, idfs, mode, kq, msm, not_terms))
+            fetch |= set(terms) | set(not_terms)
+        if not kspecs:
+            return self.spark.createDataFrame([], MSEARCH_SCHEMA)
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            frames = []
+            for qid, terms, idfs, mode, kq, msm, not_terms in kspecs:
+                out = _score_postings(
+                    postings, terms, idfs, avgdl, k1, b, mode, kq, excluded,
+                    None, None, None, msm, not_terms,
+                )
+                if len(out):
+                    out.insert(0, "query_id", np.int32(qid))
+                    frames.append(out)
+            if not frames:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype="int32"),
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "score": pd.Series([], dtype="float64"),
+                    }
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        per_seg = (
+            self.segments.where(F.col("term").isin(sorted(fetch)))
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, MSEARCH_SCHEMA)
+        )
+        ks = {qid: kq for qid, _, _, _, kq, _, _ in kspecs if kq is not None}
+        if ks:
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+            kmap = F.create_map(*[F.lit(x) for qk in ks.items() for x in qk])
+            per_seg = (
+                per_seg.withColumn("rn", F.row_number().over(w))
+                .where(
+                    F.element_at(kmap, F.col("query_id")).isNull()
+                    | (F.col("rn") <= F.element_at(kmap, F.col("query_id")))
+                )
+                .drop("rn")
+            )
+        return per_seg.orderBy(
+            F.col("query_id").asc(), F.col("score").desc(), F.col("doc_id").asc()
+        )
+
+    def mget(
+        self, ids: list[int], corpus: DataFrame, id_col: str = "doc_id"
+    ) -> DataFrame:
+        """ES _mget: fetch documents by id, tombstone-aware. Returns the
+        corpus columns of FOUND live docs; missing ids and deleted docs
+        simply don't appear (the found=false rows of the ES response).
+
+        Plan: same shape as ids_query — tombstones drop from the literal
+        list driver-side, the surviving ids broadcast into a semi join
+        against the corpus scan (ES routes each id to its shard; here the
+        10^12-doc side never shuffles and the id set prunes at the scan)."""
+        live = sorted({int(i) for i in ids})
+        if self.tombstones.size:
+            live = [i for i in live if not np.isin(i, self.tombstones)]
+        if not live:
+            return corpus.where(F.lit(False))
+        wanted = self.spark.createDataFrame([(i,) for i in live], f"{id_col} long")
+        return corpus.join(F.broadcast(wanted), id_col, "left_semi").orderBy(
+            F.col(id_col).asc()
+        )
+
+    def script_query(
+        self,
+        corpus: DataFrame,
+        script_sql: str,
+        query: str | list[str] | None = None,
+        k: int | None = 10,
+        mode: str = "and",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES script query (filter context): docs where the boolean script
+        evaluates true. The script dialect is a Spark SQL expression (the
+        engine's one script contract, same as script_score /
+        update_by_query) — compiled by Catalyst into the corpus scan
+        (prunable, whole-stage codegen), never a per-row Python UDF.
+        Alone it returns the filtered corpus; with `query` it ranks the
+        matches via search_filtered (the ES bool {filter: script, must:
+        match} composition)."""
+        filtered = corpus.where(F.expr(script_sql))
+        if query is None:
+            return filtered
+        return self.search_filtered(query, filtered, k=k, mode=mode, id_col=id_col)
+
+    def search_wrapper(
+        self,
+        b64_query: str,
+        corpus: DataFrame | None = None,
+        k: int | None = 10,
+        **kwargs,
+    ) -> DataFrame:
+        """ES wrapper query: a base64-encoded query submitted through
+        clients that can't ship structured bodies. Decodes to the engine's
+        query-string surface and delegates to search_querystring — the
+        wrapper adds transport, not semantics (ES parses the decoded JSON
+        body; here the decoded payload IS the Lucene query string)."""
+        import base64
+
+        q = base64.b64decode(b64_query).decode("utf-8")
+        return self.search_querystring(q, corpus, k=k, **kwargs)
 
 
 def multi_match(
