@@ -196,6 +196,7 @@ def _bm25_sql(
     term_cond: str | None = None,
     min_match: int | None = None,
     boost_case: str | None = None,
+    corpus_where: str | None = None,
 ) -> str:
     """`where` restricts RANKING to matching docs — collection stats (df, N,
     avgdl) stay global, exactly the engine's search_filtered / tombstone
@@ -220,20 +221,31 @@ def _bm25_sql(
     )
     if offset is not None:
         limit += f" OFFSET {offset}"
-    body = _bm25_body(term_cond or f"term IN ({tlist})", having, boost)
+    body = _bm25_body(
+        term_cond or f"term IN ({tlist})", having, boost, corpus_where
+    )
     return f"""
 WITH {body}
 SELECT doc_id, round(s, 4) AS score FROM scored {final_where} {limit}
 """
 
 
-def _bm25_body(term_cond: str, having: str = "", boost: str = "") -> str:
+def _bm25_body(
+    term_cond: str,
+    having: str = "",
+    boost: str = "",
+    corpus_where: str | None = None,
+) -> str:
     """The shared BM25 CTE chain (toks → dl → stats → tf → df → scored)
     so composite oracles (pinned ranks, feature boosts) can attach their
     own final SELECT over the EXACT score column `s` — rounding only at
-    the very end, like the Spark side."""
+    the very end, like the Spark side. `corpus_where` filters the corpus
+    BEFORE stats — the reindex oracle (a fresh index's N/df/avgdl are the
+    subset's), as opposed to `where` in _bm25_sql which restricts ranking
+    under GLOBAL stats (filtered search / aliases / tombstones)."""
+    cw = f" WHERE {corpus_where}" if corpus_where else ""
     return f"""toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents{cw}
 ),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
@@ -4690,6 +4702,204 @@ def _wrapper_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
+_RE_QUERIES = [["spark", "join"], ["hash", "merge"]]
+_RE_K = 10
+
+
+def _rank_eval_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval: precision@k / recall@k / MRR / NDCG@k per query over
+    msearch's ranked results and a graded judgment set (deterministic
+    rule: even doc_ids judged, grade = #query-terms present). All window +
+    hash-agg math over ≤ M×k result rows (operators/rankeval.py)."""
+    from elasticsearch_assets_spark.operators.rankeval import rank_eval
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    results = idx.msearch(
+        [{"query": q, "mode": "or", "k": _RE_K} for q in _RE_QUERIES]
+    )
+    toks = F.split(F.col("text"), " ")
+    parts = []
+    for qid, q in enumerate(_RE_QUERIES):
+        grade = sum(F.array_contains(toks, t).cast("int") for t in q)
+        parts.append(
+            docs.where(F.col("doc_id") % 2 == 0)
+            .select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                grade.alias("grade"),
+            )
+            .where(F.col("grade") > 0)
+        )
+    judgments = parts[0].unionByName(parts[1])
+    out = rank_eval(results, judgments, k=_RE_K)
+    return out.select(
+        "query_id",
+        _f4("precision_k").alias("precision_k"),
+        _f4("recall_k").alias("recall_k"),
+        _f4("mrr").alias("mrr"),
+        _f4("ndcg").alias("ndcg"),
+    )
+
+
+def _rank_eval_sql() -> str:
+    union_terms = sorted({t for q in _RE_QUERIES for t in q})
+    tlist = ", ".join(f"'{t}'" for t in union_terms)
+    res_parts, jud_parts = [], []
+    for qid, q in enumerate(_RE_QUERIES):
+        ql = ", ".join(f"'{t}'" for t in q)
+        res_parts.append(f"""
+  SELECT {qid} AS query_id, tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf JOIN df USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({ql})
+  GROUP BY tf.doc_id""")
+        grade_sum = " + ".join(
+            f"max(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)" for t in q
+        )
+        jud_parts.append(f"""
+  SELECT {qid} AS query_id, doc_id, {grade_sum} AS grade
+  FROM toks WHERE doc_id % 2 = 0 GROUP BY doc_id
+  HAVING ({grade_sum}) > 0""")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+res AS ({" UNION ALL ".join(res_parts)}),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+  FROM res
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {_RE_K}),
+jud AS ({" UNION ALL ".join(jud_parts)}),
+jt AS (
+  SELECT t.query_id, t.rank, coalesce(j.grade, 0) AS grade
+  FROM topk t LEFT JOIN jud j ON t.query_id = j.query_id AND t.doc_id = j.doc_id
+),
+met AS (
+  SELECT query_id,
+         sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) / {_RE_K}.0 AS precision_k,
+         sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)::DOUBLE AS hits,
+         coalesce(max(CASE WHEN grade > 0 THEN 1.0 / rank END), 0) AS mrr,
+         sum((pow(2, grade) - 1) / log2(rank + 1)) AS dcg
+  FROM jt GROUP BY query_id
+),
+nrel AS (SELECT query_id, count(*)::DOUBLE AS n_rel FROM jud GROUP BY query_id),
+ideal AS (
+  SELECT query_id, sum((pow(2, grade) - 1) / log2(irank + 1)) AS idcg
+  FROM (
+    SELECT query_id, grade,
+           row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id ASC) AS irank
+    FROM jud
+  ) WHERE irank <= {_RE_K} GROUP BY query_id
+)
+SELECT m.query_id,
+       floor(m.precision_k * 10000.0 + 0.5) / 10000.0 AS precision_k,
+       floor(m.hits / n.n_rel * 10000.0 + 0.5) / 10000.0 AS recall_k,
+       floor(m.mrr * 10000.0 + 0.5) / 10000.0 AS mrr,
+       floor(m.dcg / i.idcg * 10000.0 + 0.5) / 10000.0 AS ndcg
+FROM met m JOIN nrel n USING (query_id) JOIN ideal i USING (query_id)
+"""
+
+
+_SPARSE_W = {"spark": 1.0, "join": 0.5, "merge": 0.25}
+
+
+def _sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector / text_expansion (learned sparse retrieval): query
+    = {token: weight}, doc side = tf·idf stand-in weights; score = sparse
+    dot product over matching tokens. One pushed scan + one hash agg on
+    doc_id (engine.search_sparse); absent query tokens contribute 0."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search_sparse({**_SPARSE_W, "zzabsenttoken": 2.0}, k=None)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _sparse_vector_sql() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(_SPARSE_W))
+    qw = " ".join(
+        f"WHEN '{t}' THEN {w}" for t, w in sorted(_SPARSE_W.items())
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( (CASE tf.term {qw} END)
+                  * tf.tf * ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) ), 4) AS score
+FROM n, tf JOIN df USING (term)
+GROUP BY tf.doc_id
+"""
+
+
+def _alias_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filtered alias: the alias' stored filter (lang = 'en') applies
+    to every search through it; collection stats stay GLOBAL — an alias
+    is a view, not a reindex (contrast reindex_search)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    idx.add_alias("english", "lang = 'en'")
+    out = idx.search_alias("english", ["spark", "table"], docs, k=None, mode="and")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_ALIAS_SQL = _bm25_sql(
+    ["spark", "table"], "and", None,
+    where="doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+)
+
+
+def _reindexed_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    key = os.path.abspath(sf_dir) + "#reindex"
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        from elasticsearch_assets_spark.index.build import reindex
+
+        src = _docs_index_tombstoned(spark, sf_dir)
+        docs = load_sf_table(spark, sf_dir, "documents")
+        dst = _idx_dir(sf_dir, "_documents_reindex")
+        shutil.rmtree(dst, ignore_errors=True)
+        reindex(
+            spark, src, docs, dst, where="n_chars < 400",
+            num_segments=4, num_chunks=1,
+        )
+        _INDEX_CACHE[key] = InvertedIndex(spark, dst)
+    return _INDEX_CACHE[key]
+
+
+def _reindex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _reindex: live docs (tombstones excluded, no compaction wait)
+    with n_chars < 400 copied into a FRESH index; BM25 over it uses the
+    SUBSET's collection stats — the oracle recomputes N/df/avgdl over the
+    filtered corpus, which is exactly what distinguishes reindex from a
+    filtered alias (index/build.py reindex)."""
+    idx = _reindexed_index(spark, sf_dir)
+    out = idx.search(["spark", "join"], k=None, mode="or")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_REINDEX_SQL = _bm25_sql(
+    ["spark", "join"], "or", None,
+    corpus_where=f"({_DELETE_PRED_SQL}) AND n_chars < 400",
+)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4797,6 +5007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_lookup": _terms_lookup,
         "script_filter": _script_filter,
         "wrapper_query": _wrapper_query,
+        "rank_eval": _rank_eval_row,
+        "sparse_vector": _sparse_vector,
+        "alias_search": _alias_search,
+        "reindex_search": _reindex_search,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -4972,6 +5186,10 @@ def oracle_sql() -> dict[str, str]:
         "terms_lookup": _TERMS_LOOKUP_SQL,
         "script_filter": _SCRIPT_FILTER_SQL,
         "wrapper_query": _QS_SQL,
+        "rank_eval": _rank_eval_sql(),
+        "sparse_vector": _sparse_vector_sql(),
+        "alias_search": _ALIAS_SQL,
+        "reindex_search": _REINDEX_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -537,3 +537,54 @@ def finalize_index(
     )
     meta.save(index_dir)
     return meta
+
+
+def reindex(
+    spark: SparkSession,
+    src,
+    corpus: DataFrame,
+    dst_dir: str,
+    where: str | None = None,
+    transform: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **build_kw,
+) -> IndexMeta:
+    """ES _reindex: copy LIVE source documents (tombstones excluded — the
+    delete purge without waiting for compaction) matching `where` into a
+    brand-new index at `dst_dir`, optionally rewriting fields with
+    `transform` (column -> SQL expression, the engine's one script
+    contract; unknown names raise, like update_by_query). The destination
+    is a FRESH index: its collection stats (N, df, avgdl) are the
+    subset's — the ES contract, oracle-verified by the reindex_search
+    contract row.
+
+    `src` is the source index handle (duck-typed: only `.tombstones` is
+    read); `corpus` its stored-fields table. Plan: the `where` predicate
+    is a Catalyst filter pushed into the corpus scan, the tombstone list
+    (small by the compaction invariant) broadcast anti-joins, then the
+    standard range-partitioned chunked build runs — same codec, same
+    resumability.
+
+    Reference surface: the reader→sender copy pipeline
+    (/root/reference/asset/elasticsearch_reader +
+    /root/reference/asset/elasticsearch_bulk form exactly this move); its
+    ES-native equivalent is _reindex."""
+    df = corpus
+    if where is not None:
+        df = df.where(F.expr(where))
+    ts = getattr(src, "tombstones", None)
+    if ts is not None and getattr(ts, "size", 0):
+        tomb = spark.createDataFrame(
+            [(int(i),) for i in ts], f"{id_col} long"
+        )
+        df = df.join(F.broadcast(tomb), id_col, "left_anti")
+    if transform:
+        unknown = sorted(set(transform) - set(df.columns))
+        if unknown:
+            raise ValueError(f"transform names unknown columns: {unknown}")
+        for c, e in transform.items():
+            df = df.withColumn(c, F.expr(e))
+    return build_index(
+        spark, df, dst_dir, id_col=id_col, text_col=text_col, **build_kw
+    )

@@ -236,6 +236,8 @@ class InvertedIndex:
         # deletions: excluded before ranking; df/N/avgdl still include them
         # until compaction — the ES/Lucene deleted-docs contract
         self.tombstones: np.ndarray = load_tombstones(index_dir)
+        # ES filtered aliases: name -> stored filter SQL (None = plain view)
+        self._aliases: dict[str, str | None] = {}
 
     def refresh_tombstones(self) -> None:
         from elasticsearch_assets_spark.index.tombstones import load_tombstones
@@ -2568,6 +2570,78 @@ class InvertedIndex:
         if query is None:
             return filtered
         return self.search_filtered(query, filtered, k=k, mode=mode, id_col=id_col)
+
+    def search_sparse(
+        self, query_weights: dict[str, float], k: int | None = 10
+    ) -> DataFrame:
+        """ES sparse_vector / text_expansion query (learned sparse
+        retrieval, ELSER-shaped): the query is a {token: weight} map, each
+        document a sparse token vector, score = Σ_t q_w(t) · d_w(t) over
+        matching tokens. The document-side weight here is tf·idf — the
+        deterministic stand-in for model-emitted expansion weights (a real
+        expansion model would write a learned-weight posting stream; the
+        query plan below is identical either way, which is the point).
+
+        Plan: the weights ride the SAME pushed `term IN` segment scan as
+        search (decode_postings — tombstones dropped in the kernel), the
+        dot product is one JVM map-lookup × column multiply, and the
+        per-doc sum is ONE hash agg on doc_id (map-side partials) +
+        TakeOrderedAndProject. No driver materialization; absent query
+        tokens contribute nothing (the ES contract)."""
+        terms = sorted(query_weights)
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        dfs = self.term_stats(terms)
+        present = [t for t in terms if t in dfs]
+        if not present:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        n = self.meta.n_docs
+        wmap = F.create_map(
+            *[
+                F.lit(x)
+                for t in present
+                for x in (t, float(query_weights[t]) * idf(n, dfs[t]))
+            ]
+        )
+        out = (
+            self.decode_postings(present)
+            .withColumn("w", F.element_at(wmap, F.col("term")) * F.col("tf"))
+            .groupBy("doc_id")
+            .agg(F.sum("w").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+
+    def add_alias(self, name: str, filter_sql: str | None = None) -> None:
+        """ES filtered alias: a named view over this index whose stored
+        filter applies to every search through it. The filter is a SQL
+        expression, Catalyst-compiled into the corpus scan at query time
+        (prunable); `None` makes a plain (unfiltered) alias."""
+        self._aliases[name] = filter_sql
+
+    def search_alias(
+        self,
+        name: str,
+        query: str | list[str],
+        corpus: DataFrame | None = None,
+        k: int | None = 10,
+        mode: str = "and",
+        **kwargs,
+    ) -> DataFrame:
+        """Search through a registered alias: the stored filter restricts
+        ranking exactly like the reference's `range AND (query)`
+        composition — via search_filtered's distributed machinery.
+        Collection stats stay global (an alias is a view, not a reindex —
+        contrast index/build.py reindex, where stats become the
+        subset's)."""
+        if name not in self._aliases:
+            raise KeyError(f"unknown alias {name!r}")
+        f = self._aliases[name]
+        if f is None:
+            return self.search(query, k=k, mode=mode)
+        if corpus is None:
+            raise ValueError("filtered alias needs the corpus DataFrame")
+        return self.script_query(corpus, f, query=query, k=k, mode=mode, **kwargs)
 
     def search_wrapper(
         self,

@@ -190,3 +190,172 @@ def test_terms_lookup_missing_doc_matches_nothing(spark):
     corpus = spark.createDataFrame([(10, "a")], "doc long, tag string")
     out = terms_lookup(corpus, "tag", lookup, F.col("id") == 99, "tag")
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# rank_eval
+# ---------------------------------------------------------------------------
+
+
+def test_rank_eval_known_metrics(spark):
+    from elasticsearch_assets_spark.operators.rankeval import rank_eval
+
+    # q0: ranks 1..4 = docs 10,11,12,13; relevant = 11 (g1), 13 (g2), 99 (g1, unretrieved)
+    results = spark.createDataFrame(
+        [(0, 10, 4.0), (0, 11, 3.0), (0, 12, 2.0), (0, 13, 1.0)],
+        "query_id int, doc_id long, score double",
+    )
+    judgments = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 99, 1)],
+        "query_id int, doc_id long, grade int",
+    )
+    r = rank_eval(results, judgments, k=3).collect()[0]
+    assert r["precision_k"] == pytest.approx(1 / 3)
+    assert r["recall_k"] == pytest.approx(1 / 3)
+    assert r["mrr"] == pytest.approx(1 / 2)
+    import math
+
+    dcg = (2**1 - 1) / math.log2(2 + 1)  # doc 11 at rank 2
+    idcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3) + (
+        2**1 - 1
+    ) / math.log2(4)
+    assert r["ndcg"] == pytest.approx(dcg / idcg)
+
+
+def test_rank_eval_no_judgments_query_zeroes(spark):
+    from elasticsearch_assets_spark.operators.rankeval import rank_eval
+
+    results = spark.createDataFrame(
+        [(0, 1, 1.0)], "query_id int, doc_id long, score double"
+    )
+    judgments = spark.createDataFrame(
+        [], "query_id int, doc_id long, grade int"
+    )
+    r = rank_eval(results, judgments, k=5).collect()[0]
+    assert (r["precision_k"], r["recall_k"], r["mrr"], r["ndcg"]) == (0, 0, 0, 0)
+
+
+def test_rank_eval_perfect_ranking(spark):
+    from elasticsearch_assets_spark.operators.rankeval import rank_eval
+
+    results = spark.createDataFrame(
+        [(1, 5, 9.0), (1, 6, 8.0)], "query_id int, doc_id long, score double"
+    )
+    judgments = spark.createDataFrame(
+        [(1, 5, 2), (1, 6, 1)], "query_id int, doc_id long, grade int"
+    )
+    r = rank_eval(results, judgments, k=2).collect()[0]
+    assert r["ndcg"] == pytest.approx(1.0)
+    assert r["mrr"] == 1.0
+    assert r["recall_k"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# sparse_vector (text expansion)
+# ---------------------------------------------------------------------------
+
+
+def test_search_sparse_matches_manual_tfidf(index, corpus):
+    import math
+
+    weights = {"spark": 1.0, "join": 0.5, "zzzznotaterm": 3.0}
+    got = {r["doc_id"]: r["score"] for r in index.search_sparse(weights, k=None).collect()}
+    pdf = corpus.select("doc_id", "text").toPandas()
+    n = index.meta.n_docs
+    dfs = index.term_stats(["spark", "join"])
+    exp = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = text.split()
+        s = 0.0
+        for t, w in [("spark", 1.0), ("join", 0.5)]:
+            tf = toks.count(t)
+            if tf:
+                s += w * tf * math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        if s:
+            exp[doc_id] = s
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], rel=1e-9)
+
+
+def test_search_sparse_topk_and_empty(index):
+    assert index.search_sparse({}, k=5).count() == 0
+    assert index.search_sparse({"zzzznotaterm": 1.0}).count() == 0
+    assert index.search_sparse({"spark": 1.0}, k=5).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# aliases
+# ---------------------------------------------------------------------------
+
+
+def test_filtered_alias_matches_search_filtered(index, corpus):
+    index.add_alias("recent", "doc_id >= 300")
+    got = index.search_alias("recent", ["spark", "join"], corpus, k=8, mode="or")
+    exp = index.search_filtered(
+        ["spark", "join"], corpus.where("doc_id >= 300"), k=8, mode="or"
+    )
+    assert _rows(got) == _rows(exp)
+    with pytest.raises(KeyError):
+        index.search_alias("nope", ["spark"], corpus)
+
+
+def test_plain_alias_is_passthrough(index, corpus):
+    index.add_alias("all", None)
+    got = index.search_alias("all", ["spark"], k=6)
+    exp = index.search(["spark"], k=6)
+    assert _rows(got) == _rows(exp)
+
+
+# ---------------------------------------------------------------------------
+# reindex
+# ---------------------------------------------------------------------------
+
+
+def test_reindex_excludes_tombstones_and_refreshes_stats(
+    spark, corpus, tmp_path_factory
+):
+    from elasticsearch_assets_spark.index.build import reindex
+    from elasticsearch_assets_spark.index.tombstones import add_tombstones
+
+    base = tmp_path_factory.mktemp("idx_reix")
+    src_dir, dst_dir, ref_dir = (
+        str(base / "src"), str(base / "dst"), str(base / "ref")
+    )
+    build_index(spark, corpus, src_dir, num_segments=4, num_chunks=1)
+    add_tombstones(src_dir, [0, 2, 4])
+    src = InvertedIndex(spark, src_dir)
+
+    reindex(spark, src, corpus, dst_dir, where="doc_id < 100",
+            num_segments=4, num_chunks=1)
+    dst = InvertedIndex(spark, dst_dir)
+    # fresh stats: N is the live subset size (source stats kept deleted docs)
+    assert dst.meta.n_docs == 97
+    assert dst.tombstones.size == 0
+    # rank parity vs an index built directly on the live subset
+    live = corpus.where("doc_id < 100 AND doc_id NOT IN (0, 2, 4)")
+    build_index(spark, live, ref_dir, num_segments=4, num_chunks=1)
+    ref = InvertedIndex(spark, ref_dir)
+    assert _rows(dst.search(["spark", "join"], k=None, mode="or")) == _rows(
+        ref.search(["spark", "join"], k=None, mode="or")
+    )
+
+
+def test_reindex_transform_rewrites_fields(spark, corpus, tmp_path_factory):
+    from elasticsearch_assets_spark.index.build import reindex
+    from elasticsearch_assets_spark.index.tombstones import add_tombstones
+
+    base = tmp_path_factory.mktemp("idx_reix2")
+    src_dir, dst_dir = str(base / "src"), str(base / "dst")
+    build_index(spark, corpus, src_dir, num_segments=2, num_chunks=1)
+    src = InvertedIndex(spark, src_dir)
+    reindex(
+        spark, src, corpus, dst_dir, where="doc_id < 50",
+        transform={"text": "concat(text, ' reindexmarker')"},
+        num_segments=2, num_chunks=1,
+    )
+    dst = InvertedIndex(spark, dst_dir)
+    assert dst.count_term("reindexmarker") == 50
+    with pytest.raises(ValueError, match="unknown columns"):
+        reindex(spark, src, corpus, str(base / "bad"),
+                transform={"nope": "1"})
