@@ -4900,6 +4900,126 @@ _REINDEX_SQL = _bm25_sql(
 )
 
 
+def _facet_sibling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggs (stats_bucket shape: avg/sum/min/max_bucket)
+    over the click-events daily histogram — one row, the sibling reduction
+    runs over bucket cardinality only."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_sibling_stats(matches, ev, "ts", "day", id_col="event_id")
+    return out.select(
+        "n_buckets",
+        _f4("avg_bucket").alias("avg_bucket"),
+        "sum_bucket", "min_bucket", "max_bucket",
+    )
+
+
+_FACET_SIBLING_SQL = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_buckets,
+       floor(avg(doc_count) * 10000.0 + 0.5) / 10000.0 AS avg_bucket,
+       sum(doc_count)::BIGINT AS sum_bucket,
+       min(doc_count)::BIGINT AS min_bucket,
+       max(doc_count)::BIGINT AS max_bucket
+FROM h
+"""
+
+
+_IP_PREFIX_LEN = 20
+
+
+def _facet_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_prefix agg (/20 IPv4 subnets) over the click events' derived
+    ip column — subnet number by integer floor division, display key from
+    ONE portable SQL text both engines evaluate (ip_prefix_key_sql)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            (F.col("user_id") * 7) % 256,
+            (F.col("user_id") * 13) % 256,
+            (F.col("user_id") * 29) % 256,
+            F.col("user_id") % 256,
+        ),
+    )
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    return OFA.facet_ip_prefix(
+        matches, ev, "ip", _IP_PREFIX_LEN, id_col="event_id"
+    )
+
+
+def _facet_ip_prefix_sql() -> str:
+    from elasticsearch_assets_spark.operators.facets import ip_prefix_key_sql
+
+    block = 2 ** (32 - _IP_PREFIX_LEN)
+    key = ip_prefix_key_sql("subnet_num", _IP_PREFIX_LEN)
+    return f"""
+WITH m AS (
+  SELECT (string_split({_IP_SQL}, '.')[1]::BIGINT * 16777216
+        + string_split({_IP_SQL}, '.')[2]::BIGINT * 65536
+        + string_split({_IP_SQL}, '.')[3]::BIGINT * 256
+        + string_split({_IP_SQL}, '.')[4]::BIGINT) AS ipn
+  FROM events WHERE event_type = 'click'
+),
+g AS (
+  SELECT (floor(ipn / {block}) * {block})::BIGINT AS subnet_num,
+         count(*)::BIGINT AS doc_count
+  FROM m GROUP BY 1
+)
+SELECT {key} AS subnet, subnet_num, doc_count FROM g ORDER BY subnet_num ASC
+"""
+
+
+def _facet_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES children agg: market-segment buckets over PARENT customers
+    (join-field hop), metrics aggregated over their child orders; the
+    parent filter (positive balance) applies before the hop."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    cust = load_sf_table(spark, sf_dir, "customer")
+    orders = load_sf_table(spark, sf_dir, "orders")
+    out = OFA.facet_children(
+        cust, orders, "c_custkey", "o_custkey", "c_mktsegment",
+        "o_totalprice", parent_pred=F.col("c_acctbal") > 0,
+    )
+    return out.select(
+        "c_mktsegment", "child_count", _f4("sum_value").alias("sum_value")
+    )
+
+
+_FACET_CHILDREN_SQL = """
+SELECT c_mktsegment, count(*)::BIGINT AS child_count,
+       floor(sum(o_totalprice) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE c_acctbal > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _facet_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES reverse_nested: return-flag buckets over NESTED lineitems, each
+    reporting doc_count (nested docs) and parent_count (distinct parent
+    orders owning them)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    li = load_sf_table(spark, sf_dir, "lineitem")
+    return OFA.facet_reverse_nested(li, "l_returnflag", "l_orderkey")
+
+
+_FACET_REVERSE_NESTED_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS doc_count,
+       count(DISTINCT l_orderkey)::BIGINT AS parent_count
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5011,6 +5131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_vector": _sparse_vector,
         "alias_search": _alias_search,
         "reindex_search": _reindex_search,
+        "facet_sibling": _facet_sibling,
+        "facet_ip_prefix": _facet_ip_prefix,
+        "facet_children": _facet_children,
+        "facet_reverse_nested": _facet_reverse_nested,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5190,6 +5314,10 @@ def oracle_sql() -> dict[str, str]:
         "sparse_vector": _sparse_vector_sql(),
         "alias_search": _ALIAS_SQL,
         "reindex_search": _REINDEX_SQL,
+        "facet_sibling": _FACET_SIBLING_SQL,
+        "facet_ip_prefix": _facet_ip_prefix_sql(),
+        "facet_children": _FACET_CHILDREN_SQL,
+        "facet_reverse_nested": _FACET_REVERSE_NESTED_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

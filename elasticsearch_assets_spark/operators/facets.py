@@ -1684,3 +1684,123 @@ def facet_scripted_metric(
     return joined.agg(
         aggs[combine](F.expr(map_expr).cast("double")).alias("value")
     )
+
+
+def facet_sibling_stats(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    interval: str = "day",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES sibling pipeline aggregations — avg_bucket / sum_bucket /
+    min_bucket / max_bucket / stats_bucket — over a date_histogram's
+    doc counts, collapsed to ONE row (stats_bucket's shape; the four
+    single-value siblings are its fields). The histogram is the usual
+    partial-aggregated grouped pass over the match set; the sibling
+    reduction is a second agg over BUCKET cardinality only (~365 rows a
+    year even at 100 TB), so it adds no data-scale work."""
+    hist = facet_date_histogram(matches, corpus, date_col, interval, id_col)
+    return hist.agg(
+        F.count("*").alias("n_buckets"),
+        F.avg("doc_count").alias("avg_bucket"),
+        F.sum("doc_count").alias("sum_bucket"),
+        F.min("doc_count").alias("min_bucket"),
+        F.max("doc_count").alias("max_bucket"),
+    )
+
+
+def ip_prefix_key_sql(subnet_sql: str, prefix_len: int) -> str:
+    """Dotted-quad/len display key for an IPv4 subnet number — ONE
+    portable SQL text evaluated verbatim by Spark (F.expr) and DuckDB,
+    so the oracle matches bit-for-bit by construction (the geohash_sql
+    pattern)."""
+    return (
+        f"concat(cast(floor(({subnet_sql}) / 16777216) % 256 as int), '.', "
+        f"cast(floor(({subnet_sql}) / 65536) % 256 as int), '.', "
+        f"cast(floor(({subnet_sql}) / 256) % 256 as int), '.', "
+        f"cast(({subnet_sql}) % 256 as int), '/{prefix_len}')"
+    )
+
+
+def facet_ip_prefix(
+    matches: DataFrame,
+    corpus: DataFrame,
+    ip_col: str,
+    prefix_len: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ip_prefix aggregation (IPv4): buckets keyed by the
+    `prefix_len`-bit network prefix. ipv4_to_long → one integer floor
+    division gives the subnet number; the agg is ONE hash agg on the
+    derived prefix (map-side partials; subnets partition the address
+    space, so no inherent skew). Returns (subnet, subnet_num, doc_count),
+    subnet_num ASC."""
+    if not (0 < prefix_len <= 32):
+        raise ValueError("prefix_len must be in 1..32")
+    block = 2 ** (32 - prefix_len)
+    joined = _match_join(matches, corpus, id_col)
+    ipn = ipv4_to_long(F.col(ip_col))
+    return (
+        joined.withColumn(
+            "subnet_num", (F.floor(ipn / block) * block).cast("long")
+        )
+        .groupBy("subnet_num")
+        .agg(F.count("*").alias("doc_count"))
+        .withColumn(
+            "subnet", F.expr(ip_prefix_key_sql("subnet_num", prefix_len))
+        )
+        .select("subnet", "subnet_num", "doc_count")
+        .orderBy(F.col("subnet_num").asc())
+    )
+
+
+def facet_children(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    group_col: str,
+    value_col: str,
+    parent_pred: "F.Column | None" = None,
+) -> DataFrame:
+    """ES children aggregation: parent buckets (terms on `group_col`)
+    whose metrics aggregate over their CHILD documents — the join-field
+    hop from parent to child. Plan: one equi-join parent→children on the
+    parent key (AQE broadcasts the smaller side) + ONE hash agg on the
+    bucket key; both partial-aggregated. Returns
+    (group_col, child_count, sum_value), group ASC."""
+    p = parents.where(parent_pred) if parent_pred is not None else parents
+    j = p.select(F.col(parent_key), F.col(group_col)).join(
+        children.select(
+            F.col(child_key).alias(parent_key), F.col(value_col)
+        ),
+        parent_key,
+    )
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count("*").alias("child_count"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .orderBy(F.col(group_col).asc())
+    )
+
+
+def facet_reverse_nested(
+    nested: DataFrame, group_col: str, parent_key: str
+) -> DataFrame:
+    """ES reverse_nested: buckets over NESTED documents (terms on
+    `group_col`) each also reporting the reverse_nested parent_count —
+    how many distinct PARENT documents own those nested docs. One hash
+    agg with an exact count-distinct (Spark expands it to two partial
+    aggs; approx_count_distinct is the documented 100 TB swap-in, same
+    as facet_cardinality)."""
+    return (
+        nested.groupBy(group_col)
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.countDistinct(parent_key).alias("parent_count"),
+        )
+        .orderBy(F.col(group_col).asc())
+    )

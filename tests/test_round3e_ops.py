@@ -359,3 +359,67 @@ def test_reindex_transform_rewrites_fields(spark, corpus, tmp_path_factory):
     with pytest.raises(ValueError, match="unknown columns"):
         reindex(spark, src, corpus, str(base / "bad"),
                 transform={"nope": "1"})
+
+
+# ---------------------------------------------------------------------------
+# agg completion: sibling buckets, ip_prefix, children, reverse_nested
+# ---------------------------------------------------------------------------
+
+
+def test_facet_sibling_stats(spark):
+    from elasticsearch_assets_spark.operators.facets import facet_sibling_stats
+
+    corpus = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d} 00:00:00") for i in range(10)],
+        "doc_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    matches = corpus.select("doc_id")
+    r = facet_sibling_stats(matches, corpus, "ts", "day").collect()[0]
+    # buckets: day1=4 (0,3,6,9), day2=3, day3=3
+    assert (r["n_buckets"], r["sum_bucket"]) == (3, 10)
+    assert (r["min_bucket"], r["max_bucket"]) == (3, 4)
+    assert r["avg_bucket"] == pytest.approx(10 / 3)
+
+
+def test_facet_ip_prefix_buckets(spark):
+    from elasticsearch_assets_spark.operators.facets import facet_ip_prefix
+
+    corpus = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.15.200"), (3, "10.0.16.1"), (4, "192.168.1.1")],
+        "doc_id long, ip string",
+    )
+    out = facet_ip_prefix(corpus.select("doc_id"), corpus, "ip", 20).collect()
+    got = {r["subnet"]: r["doc_count"] for r in out}
+    # /20 blocks: 10.0.0.0/20 covers .0-.15 third octet
+    assert got == {"10.0.0.0/20": 2, "10.0.16.0/20": 1, "192.168.0.0/20": 1}
+    with pytest.raises(ValueError):
+        facet_ip_prefix(corpus.select("doc_id"), corpus, "ip", 0)
+
+
+def test_facet_children_and_reverse_nested(spark):
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_children,
+        facet_reverse_nested,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", -1.0), (3, "b", 2.0)],
+        "pk long, seg string, bal double",
+    )
+    children = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 99.0), (3, 5.0)], "fk long, v double"
+    )
+    out = facet_children(
+        parents, children, "pk", "fk", "seg", "v",
+        parent_pred=F.col("bal") > 0,
+    ).collect()
+    got = {r["seg"]: (r["child_count"], r["sum_value"]) for r in out}
+    assert got == {"a": (2, 30.0), "b": (1, 5.0)}  # parent 2 filtered out
+
+    nested = spark.createDataFrame(
+        [(100, "x"), (100, "x"), (200, "x"), (200, "y")],
+        "parent long, flag string",
+    )
+    rn = {r["flag"]: (r["doc_count"], r["parent_count"])
+          for r in facet_reverse_nested(nested, "flag", "parent").collect()}
+    assert rn == {"x": (3, 2), "y": (1, 1)}
