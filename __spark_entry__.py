@@ -5020,6 +5020,144 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 """
 
 
+def _categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES categorize_text (deterministic log-template variant): event_type
+    + props messages, digit-bearing tokens collapsed to <num>, keyed by
+    the first 4 normalized tokens — one JVM lambda pass + one hash agg."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events").withColumn(
+        "msg", F.concat_ws(" ", "event_type", "props")
+    )
+    return OFA.facet_categorize_text(
+        ev.select("event_id"), ev, "msg", 4, id_col="event_id"
+    )
+
+
+_CATEGORIZE_SQL = """
+WITH m AS (SELECT concat(event_type, ' ', props) AS msg FROM events)
+SELECT array_to_string(
+         list_transform(
+           string_split(msg, ' ')[1:4],
+           x -> CASE WHEN regexp_matches(x, '[0-9]') THEN '<num>' ELSE x END
+         ), ' ') AS category,
+       count(*)::BIGINT AS doc_count
+FROM m GROUP BY 1 ORDER BY doc_count DESC, category ASC
+"""
+
+
+def _change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES change_point (deterministic step detector): the split of the
+    click events' daily value series maximizing |mean(before) −
+    mean(after)| — prefix-sum window math over bucket cardinality only."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_change_point(
+        matches, ev, "ts", "value", "day", id_col="event_id"
+    )
+    return out.select(
+        "bucket",
+        _f4("left_mean").alias("left_mean"),
+        _f4("right_mean").alias("right_mean"),
+        _f4("delta").alias("delta"),
+    )
+
+
+_CHANGE_POINT_SQL = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS v,
+         count(*)::DOUBLE AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+t AS (SELECT sum(v) AS tv, sum(c) AS tc FROM h),
+s AS (
+  SELECT bucket, v, c,
+         sum(v) OVER w AS lv, sum(c) OVER w AS lc
+  FROM h
+  WINDOW w AS (ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+d AS (
+  SELECT bucket, lv / lc AS left_mean,
+         (t.tv - lv) / (t.tc - lc) AS right_mean
+  FROM s, t WHERE lc IS NOT NULL
+)
+SELECT bucket,
+       floor(left_mean * 10000.0 + 0.5) / 10000.0 AS left_mean,
+       floor(right_mean * 10000.0 + 0.5) / 10000.0 AS right_mean,
+       floor(abs(right_mean - left_mean) * 10000.0 + 0.5) / 10000.0 AS delta
+FROM d
+ORDER BY abs(right_mean - left_mean) DESC, bucket ASC LIMIT 1
+"""
+
+
+_GEO_LINE_GROUPS, _GEO_LINE_CAP = 25, 5
+
+
+def _geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_line: per user-group track of (lon lat) points ordered by
+    ts, truncated to 5 by that order BEFORE the collect (window rank —
+    the agg never materializes unbounded tracks), rendered as WKT."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = _geo_events(spark, sf_dir).withColumn(
+        "grp", F.col("user_id") % _GEO_LINE_GROUPS
+    )
+    return OFA.facet_geo_line(ev, "grp", "lat", "lon", "ts", _GEO_LINE_CAP)
+
+
+_GEO_LINE_SQL = f"""
+WITH g AS (
+  SELECT user_id % {_GEO_LINE_GROUPS} AS grp, ts,
+         ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon
+  FROM events
+),
+r AS (
+  SELECT grp, ts, lat, lon,
+         row_number() OVER (PARTITION BY grp ORDER BY ts ASC, lon ASC, lat ASC) AS rn
+  FROM g
+),
+k AS (SELECT * FROM r WHERE rn <= {_GEO_LINE_CAP})
+SELECT grp,
+       concat('LINESTRING (',
+              string_agg(concat(lon::VARCHAR, ' ', lat::VARCHAR), ', '
+                         ORDER BY ts ASC, lon ASC, lat ASC),
+              ')') AS line,
+       count(*)::BIGINT AS n_points
+FROM k GROUP BY grp ORDER BY grp ASC
+"""
+
+
+_FREQ_PAIRS_SUPPORT = 150
+
+
+def _frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets at size 2 as exact Apriori: level-1 prune
+    (items under min_support can't appear in a frequent pair) bounds the
+    per-doc arrays BEFORE the JVM pair expansion; support = docs
+    containing both (operators/itemsets.py)."""
+    from elasticsearch_assets_spark.operators.itemsets import frequent_pairs
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return frequent_pairs(
+        docs, "doc_id", "split(text, ' ')", _FREQ_PAIRS_SUPPORT
+    )
+
+
+_FREQ_PAIRS_SQL = f"""
+WITH it AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS item
+  FROM documents
+),
+freq AS (SELECT item FROM it GROUP BY item HAVING count(*) >= {_FREQ_PAIRS_SUPPORT}),
+kept AS (SELECT doc_id, item FROM it WHERE item IN (SELECT item FROM freq))
+SELECT a.item AS item1, b.item AS item2, count(*)::BIGINT AS support
+FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.item < b.item
+GROUP BY 1, 2 HAVING count(*) >= {_FREQ_PAIRS_SUPPORT}
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5135,6 +5273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_ip_prefix": _facet_ip_prefix,
         "facet_children": _facet_children,
         "facet_reverse_nested": _facet_reverse_nested,
+        "categorize_text": _categorize_text,
+        "change_point": _change_point,
+        "geo_line": _geo_line,
+        "frequent_pairs": _frequent_pairs,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5318,6 +5460,10 @@ def oracle_sql() -> dict[str, str]:
         "facet_ip_prefix": _facet_ip_prefix_sql(),
         "facet_children": _FACET_CHILDREN_SQL,
         "facet_reverse_nested": _FACET_REVERSE_NESTED_SQL,
+        "categorize_text": _CATEGORIZE_SQL,
+        "change_point": _CHANGE_POINT_SQL,
+        "geo_line": _GEO_LINE_SQL,
+        "frequent_pairs": _FREQ_PAIRS_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -1804,3 +1804,129 @@ def facet_reverse_nested(
         )
         .orderBy(F.col(group_col).asc())
     )
+
+
+def facet_categorize_text(
+    matches: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    max_tokens: int = 4,
+    min_doc_count: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES categorize_text aggregation, deterministic re-expression
+    (documented deviation, same spirit as variable_width_histogram: ES
+    runs a drain-style ML categorizer; a distributed engine needs a
+    reproducible one). Tokens bearing any digit collapse to '<num>' and
+    each message is keyed by its first `max_tokens` normalized tokens —
+    the classic log-template signature. Pure JVM array lambdas + ONE
+    hash agg on the category key. Returns (category, doc_count),
+    doc_count DESC, category ASC."""
+    joined = _match_join(matches, corpus, id_col)
+    toks = F.split(F.col(text_col), " ")
+    norm = F.transform(
+        toks, lambda x: F.when(x.rlike("[0-9]"), F.lit("<num>")).otherwise(x)
+    )
+    cat = F.concat_ws(" ", F.slice(norm, 1, max_tokens))
+    return (
+        joined.groupBy(cat.alias("category"))
+        .agg(F.count("*").alias("doc_count"))
+        .where(F.col("doc_count") >= min_doc_count)
+        .orderBy(F.col("doc_count").desc(), F.col("category").asc())
+    )
+
+
+def facet_change_point(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    value_col: str,
+    interval: str = "day",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES change_point aggregation (deterministic re-expression of its
+    step-change detector): over the per-bucket series of `value_col`,
+    find the split maximizing |mean(before) − mean(after)| (pooled
+    means). Returns ONE row (bucket = first bucket of the AFTER side,
+    left_mean, right_mean, delta); ties break to the earliest bucket.
+
+    The corpus-scale work is the bucket aggregation (partial-agged); the
+    candidate scan is prefix-sum window math over BUCKET cardinality only
+    (the facet_pipeline safety argument), and the totals side is a
+    one-row cross join, not a driver collect."""
+    hist = (
+        _match_join(matches, corpus, id_col)
+        .groupBy(F.date_trunc(interval, F.col(date_col)).alias("bucket"))
+        .agg(F.sum(value_col).alias("v"), F.count("*").alias("c"))
+    )
+    w = (
+        Window.orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = hist.agg(F.sum("v").alias("tv"), F.sum("c").alias("tc"))
+    return (
+        hist.withColumn("lv", F.sum("v").over(w))
+        .withColumn("lc", F.sum("c").over(w))
+        .where(F.col("lc").isNotNull())
+        .crossJoin(totals)
+        .withColumn("left_mean", F.col("lv") / F.col("lc"))
+        .withColumn(
+            "right_mean",
+            (F.col("tv") - F.col("lv")) / (F.col("tc") - F.col("lc")),
+        )
+        .withColumn("delta", F.abs(F.col("right_mean") - F.col("left_mean")))
+        .orderBy(F.col("delta").desc(), F.col("bucket").asc())
+        .limit(1)
+        .select("bucket", "left_mean", "right_mean", "delta")
+    )
+
+
+def facet_geo_line(
+    df: DataFrame,
+    group_col: str,
+    lat_col: str,
+    lon_col: str,
+    sort_col: str,
+    max_points: int = 10,
+) -> DataFrame:
+    """ES geo_line aggregation: per group, the track of (lon lat) points
+    ordered by `sort_col`, truncated to `max_points` by that order (the
+    ES size contract), rendered as WKT LINESTRING. Plan: the cap is a
+    per-group window rank BEFORE the collect — the agg never
+    materializes an unbounded track — then ONE hash agg collecting the
+    bounded structs; array_sort on (sort, rank, lon, lat) fixes a
+    deterministic point order. All JVM expressions."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(sort_col).asc(), F.col(lon_col).asc(), F.col(lat_col).asc()
+    )
+    pts = df.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_points
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(sort_col).alias("s"),
+                F.col("rn").alias("rn"),
+                F.col(lon_col).alias("x"),
+                F.col(lat_col).alias("y"),
+            )
+        )
+    )
+    line = F.concat(
+        F.lit("LINESTRING ("),
+        F.concat_ws(
+            ", ",
+            F.transform(
+                arr,
+                lambda p: F.concat_ws(
+                    " ", p["x"].cast("string"), p["y"].cast("string")
+                ),
+            ),
+        ),
+        F.lit(")"),
+    )
+    return (
+        pts.groupBy(group_col)
+        .agg(line.alias("line"), F.count("*").alias("n_points"))
+        .orderBy(F.col(group_col).asc())
+    )

@@ -423,3 +423,88 @@ def test_facet_children_and_reverse_nested(spark):
     rn = {r["flag"]: (r["doc_count"], r["parent_count"])
           for r in facet_reverse_nested(nested, "flag", "parent").collect()}
     assert rn == {"x": (3, 2), "y": (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# categorize_text / change_point / geo_line / frequent_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_categorize_text_templates(spark):
+    from elasticsearch_assets_spark.operators.facets import facet_categorize_text
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "error code 500 at node"),
+            (2, "error code 404 at node"),
+            (3, "login ok for user42 now"),
+        ],
+        "doc_id long, msg string",
+    )
+    out = facet_categorize_text(corpus.select("doc_id"), corpus, "msg", 4)
+    got = {r["category"]: r["doc_count"] for r in out.collect()}
+    assert got == {"error code <num> at": 2, "login ok for <num>": 1}
+
+
+def test_change_point_finds_step(spark):
+    from elasticsearch_assets_spark.operators.facets import facet_change_point
+
+    rows = []
+    # 4 days at value 10, then 3 days at value 50 — step after day 4
+    for d in range(1, 5):
+        rows += [(d, f"2024-03-{d:02d} 10:00:00", 10.0)] * 2
+    for d in range(5, 8):
+        rows += [(d * 10, f"2024-03-{d:02d} 10:00:00", 50.0)] * 2
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = facet_change_point(
+        corpus.select("doc_id"), corpus, "ts", "value", "day"
+    ).collect()[0]
+    assert str(r["bucket"]).startswith("2024-03-05")
+    assert r["left_mean"] == 10.0 and r["right_mean"] == 50.0
+    assert r["delta"] == 40.0
+
+
+def test_geo_line_orders_and_caps(spark):
+    from elasticsearch_assets_spark.operators.facets import facet_geo_line
+
+    corpus = spark.createDataFrame(
+        [
+            ("a", 3, 1.0, 10.0),
+            ("a", 1, 2.0, 20.0),
+            ("a", 2, 3.0, 30.0),
+            ("b", 1, 5.0, 50.0),
+        ],
+        "grp string, t long, lat double, lon double",
+    )
+    out = {r["grp"]: (r["line"], r["n_points"])
+           for r in facet_geo_line(corpus, "grp", "lat", "lon", "t", 2).collect()}
+    # group a: ordered by t → (20 2), (30 3); capped at 2 (drops t=3)
+    assert out["a"] == ("LINESTRING (20.0 2.0, 30.0 3.0)", 2)
+    assert out["b"] == ("LINESTRING (50.0 5.0)", 1)
+
+
+def test_frequent_pairs_apriori(spark):
+    from elasticsearch_assets_spark.operators.itemsets import frequent_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b"),
+            (3, "a b d"),
+            (4, "c d d"),  # duplicate d counts once
+        ],
+        "doc_id long, txt string",
+    )
+    out = frequent_pairs(corpus, "doc_id", "split(txt, ' ')", 2).collect()
+    got = {(r["item1"], r["item2"]): r["support"] for r in out}
+    # supports: a=3 b=3 c=2 d=2; pairs >= 2: (a,b)=3; (c,d)=1 < 2 dropped
+    assert got == {("a", "b"): 3}
+    # ordering: support DESC, items ASC
+    out2 = frequent_pairs(corpus, "doc_id", "split(txt, ' ')", 1).collect()
+    assert [r["support"] for r in out2] == sorted(
+        [r["support"] for r in out2], reverse=True
+    )
+    with pytest.raises(ValueError):
+        frequent_pairs(corpus, "doc_id", "split(txt, ' ')", 0)
