@@ -5158,6 +5158,90 @@ GROUP BY 1, 2 HAVING count(*) >= {_FREQ_PAIRS_SUPPORT}
 """
 
 
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup: per near-dup cluster keep the HIGHEST-quality
+    member (ties → smallest id) — the selection step after clustering
+    every production dedup pipeline runs (operators/dedup.dedup_keep_best
+    = one join + one window rank partitioned by cluster rep)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    pairs = OD.ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    clusters = OD.dedup_clusters(docs.select("doc_id"), pairs, max_iter=50)
+    out = OD.dedup_keep_best(clusters, OT.quality_score(docs))
+    return out.select("doc_id", "rep", _f4("quality").alias("quality"))
+
+
+def _dedup_keep_best_sql() -> str:
+    # clusters (recursive CTE) ⋈ quality, QUALIFY the per-rep best
+    return f"""
+WITH clusters AS ({_DEDUP_CLUSTERS_SQL}),
+q AS ({OT.quality_score_sql()})
+SELECT c.doc_id, c.rep,
+       floor(q.quality * 10000.0 + 0.5) / 10000.0 AS quality
+FROM clusters c JOIN q USING (doc_id)
+QUALIFY row_number() OVER (
+  PARTITION BY c.rep ORDER BY q.quality DESC, c.doc_id ASC
+) = 1
+ORDER BY c.doc_id ASC
+"""
+
+
+_MIX_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.0}
+
+
+def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling: per-language keep rates
+    decided by a salted md5 hex-prefix cut — reproducible across engines
+    and retries, zero shuffle (operators/sampling.stratified_sample);
+    the training-mixture weighting step of a corpus pipeline."""
+    from elasticsearch_assets_spark.operators.sampling import stratified_sample
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", _MIX_RATES)
+    return out.select("doc_id", "lang")
+
+
+def _mixture_sample_sql() -> str:
+    from elasticsearch_assets_spark.operators.sampling import sample_filter_sql
+
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + sample_filter_sql("lang", _MIX_RATES)
+    )
+
+
+def _ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized ANN: per-vector max-abs scalar quantization (4×
+    smaller vectors), top-k by quantized cosine — integer dot/norm sums
+    (engine-exact), scales cancel; the memory-bound scale path next to
+    the exact float baseline ann_topk (operators/similarity.py)."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    out = OS.quantized_cosine_topk(emb, qv, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+_ANN_INT8_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) AS sc
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(floor(x::DOUBLE / sc * 127.0 + 0.5) AS INTEGER)) AS q
+  FROM s
+),
+b AS (SELECT q FROM qv WHERE vec_id = 0)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id,
+         list_dot_product(a.q, b.q)
+         / greatest(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)), 1e-30) AS cos
+  FROM qv a, b
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5277,6 +5361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_point": _change_point,
         "geo_line": _geo_line,
         "frequent_pairs": _frequent_pairs,
+        "dedup_keep_best": _dedup_keep_best,
+        "mixture_sample": _mixture_sample,
+        "ann_topk_int8": _ann_topk_int8,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5464,6 +5551,9 @@ def oracle_sql() -> dict[str, str]:
         "change_point": _CHANGE_POINT_SQL,
         "geo_line": _GEO_LINE_SQL,
         "frequent_pairs": _FREQ_PAIRS_SQL,
+        "dedup_keep_best": _dedup_keep_best_sql(),
+        "mixture_sample": _mixture_sample_sql(),
+        "ann_topk_int8": _ANN_INT8_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

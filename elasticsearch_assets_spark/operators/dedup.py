@@ -695,3 +695,34 @@ def duplicate_spans(
         )
         .orderBy(F.col("doc_id").asc(), F.col("span_start").asc())
     )
+
+
+def dedup_keep_best(
+    clusters: DataFrame,
+    quality: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-best representative selection — the step every production
+    dedup pipeline runs AFTER clustering: for each near-dup component,
+    keep the member with the highest quality score (ties → smallest id),
+    not an arbitrary one. `clusters` is dedup_clusters' (id, rep) output;
+    `quality` any (id, quality) score (operators/textstats.quality_score).
+
+    Plan: one equi-join on the id + one window rank partitioned by `rep`
+    — rep keys partition the doc space, and partition width is the
+    cluster size, already bounded upstream by the near-dup caps, so no
+    skew. Returns one row per cluster: (id, rep, quality) of the
+    survivor, id ASC."""
+    from pyspark.sql import Window
+
+    j = clusters.join(quality, id_col)
+    w = Window.partitionBy("rep").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "rep", "quality")
+        .orderBy(F.col(id_col).asc())
+    )

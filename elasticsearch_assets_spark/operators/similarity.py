@@ -354,3 +354,81 @@ def linear_fuse(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
     )
     return out.limit(k) if k is not None else out
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scalar int8 quantization with a per-vector max-abs scale:
+    q_i = floor(x_i / s · 127 + 0.5), s = max|x_i| — so q ∈ [−127, 127].
+    4× smaller vectors + integer kernels: the standard ANN memory move at
+    10^12-vector scale (a 64-dim float corpus drops from 256 B to 64 B +
+    8 B scale per vector).
+
+    Determinism: arithmetic is promoted to float64 (exactly-rounded IEEE
+    ops — bit-identical across engines) and rounding is the repo's
+    portable floor(x + 0.5) (engines' round() differ at representation
+    boundaries). Pure JVM array lambdas, zero shuffle.
+    Returns (id, qvec array<int>, scale double)."""
+    x = F.col(vec_col)
+    s = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))),
+        F.lit(1e-30),
+    )
+    return (
+        df.select(F.col(id_col), x.alias("_v"), s.alias("scale"))
+        .withColumn(
+            "qvec",
+            F.transform(
+                F.col("_v"),
+                lambda v: F.floor(
+                    v.cast("double") / F.col("scale") * 127.0 + 0.5
+                ).cast("int"),
+            ),
+        )
+        .select(id_col, "qvec", "scale")
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by QUANTIZED cosine: cos_q = Σ qa·qb / (√Σqa² · √Σqb²) —
+    the per-vector scales cancel in cosine, so the kernel is pure integer
+    dot/norm sums (exact, engine-independent) with one final float64
+    division. This is the memory-bound scale path; cosine_topk is the
+    exact float baseline it is measured against (recall test in
+    tests/test_round3e_ops.py).
+
+    Plan: quantize + score are JVM array lambdas over the scan (zero
+    shuffle), global cut is TakeOrderedAndProject — the same shape as
+    cosine_topk, on quarter-width data."""
+    import math as _math
+
+    qe = quantize_embeddings(df, vec_col, id_col)
+    s = max(max(abs(float(v)) for v in query), 1e-30)
+    qq = [_math.floor(float(v) / s * 127.0 + 0.5) for v in query]
+    qn = _math.sqrt(sum(v * v for v in qq))
+    arr = F.array(*[F.lit(int(v)) for v in qq])
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), arr, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.aggregate(
+        F.transform(F.col("qvec"), lambda a: (a * a).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    out = qe.select(
+        F.col(id_col),
+        (
+            dot.cast("double")
+            / F.greatest(F.sqrt(nrm.cast("double")) * qn, F.lit(1e-30))
+        ).alias("score"),
+    ).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return out.limit(k) if k is not None else out

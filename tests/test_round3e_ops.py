@@ -508,3 +508,109 @@ def test_frequent_pairs_apriori(spark):
     )
     with pytest.raises(ValueError):
         frequent_pairs(corpus, "doc_id", "split(txt, ' ')", 0)
+
+
+# ---------------------------------------------------------------------------
+# keep-best dedup / stratified sampling / int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_keep_best_picks_highest_quality(spark):
+    from elasticsearch_assets_spark.operators.dedup import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, rep long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1), (6, 0.7)],
+        "doc_id long, quality double",
+    )
+    out = dedup_keep_best(clusters, quality).collect()
+    # cluster 1: tie 2 vs 3 at 0.9 -> smallest id 2; cluster 4: itself; 5: doc 6
+    assert [(r["doc_id"], r["rep"]) for r in out] == [(2, 1), (4, 4), (6, 5)]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "hi" if i % 2 == 0 else "lo") for i in range(4000)],
+        "doc_id long, band string",
+    )
+    rates = {"hi": 0.9, "lo": 0.1}
+    out = stratified_sample(df, "band", rates)
+    counts = {r["band"]: r["n"] for r in out.groupBy("band").agg(F.count("*").alias("n")).collect()}
+    assert 1600 < counts["hi"] < 2000  # 2000 * 0.9
+    assert 120 < counts["lo"] < 280    # 2000 * 0.1
+    # deterministic: same call -> identical row set
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, "band", rates).collect())
+    assert a == b
+    # unknown stratum -> default_rate 0 drops everything
+    df2 = spark.createDataFrame([(1, "xx")], "doc_id long, band string")
+    assert stratified_sample(df2, "band", rates).count() == 0
+    assert rate_threshold_hex(1.0) == "g"
+    assert rate_threshold_hex(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        rate_threshold_hex(1.5)
+
+
+def test_sample_filter_sql_matches_spark(spark):
+    import duckdb
+
+    from elasticsearch_assets_spark.operators.sampling import (
+        sample_filter_sql,
+        stratified_sample,
+    )
+
+    pdf = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(500)],
+        "doc_id long, band string",
+    ).toPandas()
+    rates = {"a": 0.4, "b": 0.75}
+    spark_ids = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            spark.createDataFrame(pdf), "band", rates
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck_ids = sorted(
+        r[0]
+        for r in con.sql(
+            f"SELECT doc_id FROM t WHERE {sample_filter_sql('band', rates)}"
+        ).fetchall()
+    )
+    assert spark_ids == duck_ids and len(spark_ids) > 0
+
+
+def test_quantized_cosine_recall_vs_exact(spark):
+    from elasticsearch_assets_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).head()["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()]
+    quant = [r["vec_id"] for r in quantized_cosine_topk(emb, qv, k=10).collect()]
+    assert quant[0] == exact[0] == 7  # self-match survives quantization
+    assert len(set(exact) & set(quant)) >= 8  # recall@10 >= 0.8
+
+
+def test_quantize_embeddings_range_and_scale(spark):
+    from elasticsearch_assets_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert rows[1]["qvec"] == [64, -127, 32]  # floor(x/1.0*127+0.5)
+    assert rows[1]["scale"] == 1.0
+    assert rows[2]["qvec"] == [0, 0, 0]  # zero vector safe (eps scale)
