@@ -5242,6 +5242,71 @@ SELECT vec_id, round(cos, 4) AS score FROM (
 """
 
 
+_PIT_CUT = 250
+
+
+def _pit_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """PIT handle opened between two streaming epochs: epoch 1 commits
+    doc_id < _PIT_CUT, the PIT opens, epoch 2 commits the rest."""
+    key = os.path.abspath(sf_dir) + "#pit"
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        from elasticsearch_assets_spark.streaming.index_stream import (
+            index_stream,
+        )
+
+        base = _idx_dir(sf_dir, "_documents_pitstream")
+        src = os.path.join(base, "src")
+        idx_dir = os.path.join(base, "idx")
+        ckpt = os.path.join(base, "ckpt")
+        shutil.rmtree(base, ignore_errors=True)
+        docs = load_sf_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        schema = "doc_id long, text string"
+        docs.where(f"doc_id < {_PIT_CUT}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q, w = index_stream(
+            spark.readStream.schema(schema).parquet(src), idx_dir,
+            checkpoint_dir=ckpt, segs_per_batch=4,
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        w.refresh(spark)
+        pit = InvertedIndex(spark, idx_dir).pit()
+        docs.where(f"doc_id >= {_PIT_CUT}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q2, w2 = index_stream(
+            spark.readStream.schema(schema).parquet(src), idx_dir,
+            checkpoint_dir=ckpt, segs_per_batch=4,
+            trigger_available_now=True,
+        )
+        q2.awaitTermination()
+        w2.refresh(spark)
+        _INDEX_CACHE[key] = pit
+    return _INDEX_CACHE[key]
+
+
+def _pit_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES point-in-time: a search through a PIT opened after streaming
+    epoch 1 (doc_id < 250), executed AFTER epoch 2 committed the rest of
+    the corpus — the oracle is BM25 over the epoch-1 subset with the
+    SUBSET's collection stats, which is exactly snapshot isolation
+    (engine.pit; immutable chunk files make the listing a consistent
+    snapshot)."""
+    idx = _pit_index(spark, sf_dir)
+    out = idx.search(["spark", "join"], k=None, mode="or")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_PIT_SQL = _bm25_sql(
+    ["spark", "join"], "or", None, corpus_where=f"doc_id < {_PIT_CUT}"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5364,6 +5429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _dedup_keep_best,
         "mixture_sample": _mixture_sample,
         "ann_topk_int8": _ann_topk_int8,
+        "pit_search": _pit_search,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5554,6 +5620,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _dedup_keep_best_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "ann_topk_int8": _ANN_INT8_SQL,
+        "pit_search": _PIT_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -301,6 +301,58 @@ def main() -> None:
         ).collect(),
     )
 
+    # _msearch fusion: all 8 headline queries in ONE segment scan vs run
+    # separately — the amortization a batched query front-end gets (the
+    # per-query results are bit-identical to search(), tested)
+    msearch_specs = [
+        {"query": terms, "mode": mode, "k": k or 10}
+        for _, terms, mode, k in BENCH_QUERIES
+    ]
+    q_best("q_msearch8_fused", lambda: idx.msearch(msearch_specs).collect())
+    q_best(
+        "q_msearch8_separate",
+        lambda: [
+            idx.search(t, k=k or 10, mode=m).collect()
+            for _, t, m, k in BENCH_QUERIES
+        ],
+    )
+    # learned-sparse (text_expansion) scoring: weighted 6-token query,
+    # one pushed scan + one hash agg on doc_id
+    q_best(
+        "q_sparse",
+        lambda: idx.search_sparse(
+            {"spark": 1.0, "join": 0.7, "index": 0.5, "web": 0.4,
+             "crawl": 0.3, "term1234": 1.5},
+            k=10,
+        ).collect(),
+    )
+    # int8-quantized ANN vs the float brute-force baseline above
+    op_best(
+        "op_ann_int8", lambda: OS.quantized_cosine_topk(emb, qv, k=10).collect()
+    )
+    # deterministic mixture sampling over the full pages corpus (pure JVM
+    # filter on the scan — zero shuffle)
+    from elasticsearch_assets_spark.operators.sampling import stratified_sample
+
+    op_best(
+        "op_mixture_sample",
+        lambda: stratified_sample(
+            corpus, "lang", {"en": 0.5, "de": 0.9, "fr": 0.1},
+            default_rate=0.25,
+        ).count(),
+    )
+    # Apriori frequent pairs over the documents table (level-1 prune then
+    # JVM pair expansion); support scales with the table
+    from elasticsearch_assets_spark.operators.itemsets import frequent_pairs
+
+    n_docs_sf = docs.count()
+    op_best(
+        "op_frequent_pairs",
+        lambda: frequent_pairs(
+            docs, "doc_id", "split(text, ' ')", max(int(n_docs_sf * 0.3), 2)
+        ).count(),
+    )
+
     # filtered search on the documents index (cogrouped executor-side path)
     didx = InvertedIndex(spark, "/tmp/esa_bench_idx_documents")
     filt = docs.where(F.col("doc_id") % 3 == 0)

@@ -2528,6 +2528,19 @@ class InvertedIndex:
             F.col("query_id").asc(), F.col("score").desc(), F.col("doc_id").asc()
         )
 
+    def pit(self) -> "PinnedIndex":
+        """ES point-in-time (PIT): a search handle pinned to the CURRENT
+        committed snapshot — appends committed after the PIT opens
+        (streaming epochs, resumed chunk builds) and later deletes do not
+        change its results; a fresh handle sees them (tested). Opening
+        hard-links the committed snapshot's files (metadata-only, no
+        block copy — the filesystem becomes the segment refcount ES
+        implements in Lucene), so the snapshot survives even stats
+        rewrites and compaction deletes; close() releases it (the ES
+        keep_alive expiry). On object-store/Iceberg deployments the
+        equivalent is pinning the table snapshot id."""
+        return PinnedIndex(self)
+
     def mget(
         self, ids: list[int], corpus: DataFrame, id_col: str = "doc_id"
     ) -> DataFrame:
@@ -2659,6 +2672,82 @@ class InvertedIndex:
 
         q = base64.b64decode(b64_query).decode("utf-8")
         return self.search_querystring(q, corpus, k=k, **kwargs)
+
+
+class PinnedIndex(InvertedIndex):
+    """A point-in-time snapshot handle (InvertedIndex.pit): the SAME
+    kernels and plans — only the data files, collection stats, and
+    tombstones are frozen at pit() time.
+
+    Pinning mechanism: every committed segment/stats parquet file is
+    HARD-LINKED into `<index>/pits/<token>/` at open — metadata-only
+    (no block copy, O(files) inode ops), and the filesystem then acts as
+    the refcount: later epoch finalizes that rewrite stats, and even
+    compactions that delete chunk files, cannot take blocks away from the
+    snapshot (ES pins with segment refcounts + keep_alive; same idea).
+    On an object store / Iceberg deployment the equivalent is pinning the
+    table snapshot id — hard links are the local-FS spelling of it.
+    Call close() to release the snapshot (the ES keep_alive expiry)."""
+
+    def __init__(self, base: InvertedIndex):
+        import glob
+        import shutil
+        import uuid
+
+        from elasticsearch_assets_spark.index.tombstones import load_tombstones
+
+        self.spark = base.spark
+        self.index_dir = base.index_dir
+        self.meta = load_meta(base.index_dir)
+        self._driver_stats_rows = base._driver_stats_rows
+        self._stats_cache = None
+        self.tombstones = load_tombstones(base.index_dir)
+        self._aliases = dict(base._aliases)
+        seg_dirs = sorted(
+            glob.glob(os.path.join(base.index_dir, "segments", "chunk=*"))
+        )
+        stats_files = sorted(
+            glob.glob(os.path.join(base.index_dir, "stats", "*.parquet"))
+        )
+        if not seg_dirs or not stats_files:
+            raise ValueError(f"no committed snapshot at {base.index_dir!r}")
+        self.pit_dir = os.path.join(
+            base.index_dir, "pits", uuid.uuid4().hex[:12]
+        )
+
+        def link(src: str, dst: str) -> None:
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device / FS without hard links
+                shutil.copy2(src, dst)
+
+        self._seg_root = os.path.join(self.pit_dir, "segments")
+        for d in seg_dirs:
+            dd = os.path.join(self._seg_root, os.path.basename(d))
+            os.makedirs(dd, exist_ok=True)
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                link(f, os.path.join(dd, os.path.basename(f)))
+        self._stats_root = os.path.join(self.pit_dir, "stats")
+        os.makedirs(self._stats_root, exist_ok=True)
+        for f in stats_files:
+            link(f, os.path.join(self._stats_root, os.path.basename(f)))
+
+    def close(self) -> None:
+        """Release the snapshot (the ES PIT keep_alive expiry)."""
+        import shutil
+
+        shutil.rmtree(self.pit_dir, ignore_errors=True)
+
+    def refresh_tombstones(self) -> None:
+        raise TypeError("a PIT handle is a snapshot — open a new handle")
+
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(self._seg_root)
+
+    @property
+    def stats(self) -> DataFrame:
+        return self.spark.read.parquet(self._stats_root)
 
 
 def multi_match(

@@ -278,6 +278,50 @@ def main() -> None:
         ),
     )
 
+    add(
+        "_msearch fused multi-query scan",
+        "M queries, ONE segment scan: the pushed `term IN` carries the "
+        "UNION of all queries' terms into a single FlatMapGroupsInPandas "
+        "(postings decoded once per segment, every query's kernel over "
+        "the same dict); the per-query global cut is a window rank over "
+        "<= segments x k x M rows — no second scan, no raw-posting "
+        "shuffle. At 10^12 docs M queries cost ~1 scan instead of M.",
+        idx.msearch(
+            [{"query": ["spark", "join"], "k": 5},
+             {"query": ["hash"], "mode": "or", "k": 5}]
+        ),
+    )
+    add(
+        "sparse_vector / text_expansion scoring",
+        "The weighted-token dot product rides the SAME pushed `term IN` "
+        "scan (decode kernel), then ONE hash aggregate on doc_id — "
+        "HashAggregate appears twice (map-side partial + final), and the "
+        "global top-k is TakeOrderedAndProject, never a full sort.",
+        idx.search_sparse({"spark": 1.0, "join": 0.5}, k=10),
+    )
+    add(
+        "int8-quantized ANN (quantized cosine top-k)",
+        "Quantization and the integer dot/norm sums are JVM array lambdas "
+        "inside the projection over the scan — NO Exchange anywhere in "
+        "the plan; the only gather is TakeOrderedAndProject. The same "
+        "shape as float cosine_topk on quarter-width data.",
+        __import__(
+            "elasticsearch_assets_spark.operators.similarity",
+            fromlist=["quantized_cosine_topk"],
+        ).quantized_cosine_topk(emb, [0.1] * 64, k=10),
+    )
+    add(
+        "Deterministic mixture sampling (zero shuffle)",
+        "The md5 hex-prefix cut compiles to a Filter directly over the "
+        "scan — the plan has NO Exchange; sampling 100 TB is "
+        "embarrassingly parallel and exactly reproducible (hash-cut, not "
+        "rand()).",
+        __import__(
+            "elasticsearch_assets_spark.operators.sampling",
+            fromlist=["stratified_sample"],
+        ).stratified_sample(docs, "lang", {"en": 0.5}, default_rate=0.1),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "

@@ -614,3 +614,76 @@ def test_quantize_embeddings_range_and_scale(spark):
     assert rows[1]["qvec"] == [64, -127, 32]  # floor(x/1.0*127+0.5)
     assert rows[1]["scale"] == 1.0
     assert rows[2]["qvec"] == [0, 0, 0]  # zero vector safe (eps scale)
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (PIT)
+# ---------------------------------------------------------------------------
+
+
+def test_pit_snapshot_survives_appends_and_deletes(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from elasticsearch_assets_spark.index.tombstones import add_tombstones
+    from elasticsearch_assets_spark.streaming.index_stream import index_stream
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta doc{i}") for i in range(40)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    idx_dir, ckpt = str(tmp_path / "sidx"), str(tmp_path / "ckpt")
+    q, writer = index_stream(
+        spark.readStream.schema(schema).parquet(src), idx_dir,
+        checkpoint_dir=ckpt, segs_per_batch=2, trigger_available_now=True,
+    )
+    q.awaitTermination()
+    writer.refresh(spark)
+
+    live = InvertedIndex(spark, idx_dir)
+    pit = live.pit()
+    before = [(r["doc_id"], r["score"])
+              for r in pit.search(["alpha"], k=None).collect()]
+    assert len(before) == 40
+
+    # epoch 2 appends 20 docs with a new term
+    spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"alpha gamma doc{100+i}") for i in range(20)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2, writer2 = index_stream(
+        spark.readStream.schema(schema).parquet(src), idx_dir,
+        checkpoint_dir=ckpt, segs_per_batch=2, trigger_available_now=True,
+    )
+    q2.awaitTermination()
+    writer2.refresh(spark)
+
+    fresh = InvertedIndex(spark, idx_dir)
+    assert fresh.search(["alpha"], k=None).count() == 60
+    assert fresh.count_term("gamma") == 20
+    # the PIT is bit-identical to its snapshot: same docs, same scores
+    after = [(r["doc_id"], r["score"])
+             for r in pit.search(["alpha"], k=None).collect()]
+    assert after == before
+    assert pit.count_term("gamma") == 0
+
+    # deletes after the PIT don't reach it either (tombstones are
+    # per-handle); a fresh handle sees them
+    add_tombstones(idx_dir, [0, 1])
+    assert InvertedIndex(spark, idx_dir).search(["alpha"], k=None).count() == 58
+    assert pit.search(["alpha"], k=None).count() == 40
+    with pytest.raises(TypeError):
+        pit.refresh_tombstones()
+
+    # compaction rewrites the whole segment tree (purging the deletes);
+    # the PIT's hard-linked snapshot is untouched — the refcount claim
+    from elasticsearch_assets_spark.index.merge import merge_segments
+
+    merge_segments(spark, idx_dir, target_segments=2)
+    assert InvertedIndex(spark, idx_dir).search(["alpha"], k=None).count() == 58
+    assert [(r["doc_id"], r["score"])
+            for r in pit.search(["alpha"], k=None).collect()] == before
+    pit.close()
+    import os as _os
+
+    assert not _os.path.exists(pit.pit_dir)
