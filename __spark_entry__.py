@@ -5307,6 +5307,78 @@ _PIT_SQL = _bm25_sql(
 )
 
 
+def _span_multi_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_multi: a prefix multiterm query ('mer*') wrapped as a span
+    clause and used as span_containing's little — the dictionary rewrite
+    happens once at plan time, occurrences are the union of the
+    expansions' positions (engine.span_multi → ("any", terms) expr)."""
+    idx = _docs_index_pos(spark, sf_dir)
+    little = idx.span_multi("mer", kind="prefix")
+    out = idx.search_span_containing(
+        ("near", "table", "hash", 6, True), little, k=None
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_SPAN_MULTI_SQL = f"""
+WITH {_PTOKS_ONLY_CTE},
+{_bm25_body("term IN ('hash', 'table') OR term LIKE 'mer%'")},
+m AS (
+  SELECT DISTINCT a.doc_id FROM ptoks a
+  JOIN ptoks b ON a.doc_id = b.doc_id
+  JOIN ptoks c ON c.doc_id = a.doc_id
+  WHERE a.term = 'table' AND b.term = 'hash'
+    AND b.pos > a.pos AND b.pos - a.pos <= 6
+    AND c.term LIKE 'mer%'
+    AND c.pos >= a.pos AND c.pos <= b.pos
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM m)
+"""
+
+
+_COLLAPSE_IH_K, _COLLAPSE_IH_N = 5, 3
+
+
+def _collapse_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing with inner_hits: top-5 source groups by their
+    best 'spark' hit, each expanded to its best 3 members — one window
+    pass ranks members, winners take the global cut, inner hits attach by
+    a broadcast semi join (operators/facets.collapse_inner_hits)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    scored = idx.search(["spark"], k=None, mode="and")
+    out = OFA.collapse_inner_hits(
+        scored, docs, "source", k=_COLLAPSE_IH_K, inner_size=_COLLAPSE_IH_N
+    )
+    return out.select(
+        "ckey", "doc_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+_COLLAPSE_IH_SQL = f"""
+WITH {_bm25_body("term IN ('spark')")},
+j AS (
+  SELECT s.doc_id, d.source AS ckey, s.s
+  FROM scored s JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT ckey, doc_id, s,
+         row_number() OVER (PARTITION BY ckey ORDER BY s DESC, doc_id ASC) AS rank
+  FROM j
+),
+hits AS (SELECT * FROM r WHERE rank <= {_COLLAPSE_IH_N}),
+w AS (
+  SELECT ckey FROM r WHERE rank = 1
+  ORDER BY s DESC, doc_id ASC LIMIT {_COLLAPSE_IH_K}
+)
+SELECT h.ckey, h.doc_id, round(h.s, 4) AS score, h.rank
+FROM hits h JOIN w USING (ckey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5430,6 +5502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _mixture_sample,
         "ann_topk_int8": _ann_topk_int8,
         "pit_search": _pit_search,
+        "span_multi_containing": _span_multi_containing,
+        "collapse_inner": _collapse_inner,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5621,6 +5695,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _mixture_sample_sql(),
         "ann_topk_int8": _ANN_INT8_SQL,
         "pit_search": _PIT_SQL,
+        "span_multi_containing": _SPAN_MULTI_SQL,
+        "collapse_inner": _COLLAPSE_IH_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

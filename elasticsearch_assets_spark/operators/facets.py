@@ -1930,3 +1930,52 @@ def facet_geo_line(
         .agg(line.alias("line"), F.count("*").alias("n_points"))
         .orderBy(F.col(group_col).asc())
     )
+
+
+def collapse_inner_hits(
+    scored: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    k: int | None = 10,
+    inner_size: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES field collapsing WITH inner_hits: the global top-k collapsed
+    groups (as collapse_topk), each expanded to its best `inner_size`
+    members — (ckey, doc_id, score, rank), ordered by the group winner's
+    (score DESC, doc_id ASC) then rank.
+
+    Plan: ONE bucket-partitioned window pass ranks members inside every
+    group (Spark's group-limit rewrite keeps it bounded — rank <=
+    inner_size filters inside the window sort, no per-group
+    materialization); the winners (rank 1) take the global
+    TakeOrderedAndProject cut, and the inner hits attach by a broadcast
+    semi join on the ≤ k winning keys — the corpus-scale side is ranked
+    exactly once."""
+    joined = corpus.select(F.col(id_col), F.col(col).alias("ckey")).join(
+        scored.select(F.col(id_col), "score"), id_col
+    )
+    w = Window.partitionBy("ckey").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    ranked = joined.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= inner_size
+    )
+    winners = ranked.where(F.col("rank") == 1).select(
+        "ckey",
+        F.col("score").alias("_gscore"),
+        F.col(id_col).alias("_gdoc"),
+    )
+    if k is not None:
+        winners = winners.orderBy(
+            F.col("_gscore").desc(), F.col("_gdoc").asc()
+        ).limit(k)
+    return (
+        ranked.join(F.broadcast(winners), "ckey")
+        .orderBy(
+            F.col("_gscore").desc(),
+            F.col("_gdoc").asc(),
+            F.col("rank").asc(),
+        )
+        .select("ckey", id_col, "score", "rank")
+    )

@@ -35,11 +35,13 @@ from elasticsearch_assets_spark.query.wand import (
 )
 
 def _span_expr_terms(expr) -> list:
-    """Terms referenced by a span expr: ("term", t) | ("near", t1, t2,
-    slop[, ordered])."""
+    """Terms referenced by a span expr: ("term", t) | ("any", [t, ...])
+    (a rewritten span_multi) | ("near", t1, t2, slop[, ordered])."""
     kind = expr[0]
     if kind == "term":
         return [expr[1]]
+    if kind == "any":
+        return list(expr[1])
     if kind == "near":
         return [expr[1], expr[2]]
     raise ValueError(f"unknown span expr {kind!r}")
@@ -48,12 +50,19 @@ def _span_expr_terms(expr) -> list:
 def _span_expr_eval(expr, postings):
     """Evaluate a span expr to (docs, starts, ends) over one segment's
     postings (module-level so worker closures never capture the index
-    handle)."""
-    from elasticsearch_assets_spark.query.phrase import near_spans, term_spans
+    handle). ("any", terms) — the span_multi rewrite — is the union of
+    the terms' width-1 occurrence spans."""
+    from elasticsearch_assets_spark.query.phrase import (
+        near_spans,
+        span_or_spans,
+        term_spans,
+    )
 
     kind = expr[0]
     if kind == "term":
         return term_spans(postings, expr[1])
+    if kind == "any":
+        return span_or_spans([term_spans(postings, t) for t in expr[1]])
     return near_spans(
         postings, expr[1], expr[2], expr[3],
         expr[4] if len(expr) > 4 else False,
@@ -1456,9 +1465,35 @@ class InvertedIndex:
         ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return ordered.limit(k) if k is not None else ordered
 
+    def span_multi(
+        self,
+        pattern: str,
+        kind: str = "prefix",
+        max_expansions: int | None = None,
+    ) -> tuple:
+        """ES span_multi: wrap a multiterm query (prefix / wildcard /
+        regexp / fuzzy) so it composes anywhere a span clause is expected
+        — span_or, span_containing's little, span_within, via the
+        ("any", terms) span expr. The dictionary rewrite happens ONCE at
+        plan time (the same pushed stats-table scan as search_prefix);
+        the expr's occurrences are the UNION of the expansions' width-1
+        positions, so it stays valid as a `little`
+        (phrase.span_containing_spans' width contract)."""
+        expanders = {
+            "prefix": self.expand_prefix,
+            "wildcard": self.expand_wildcard,
+            "regexp": self.expand_regexp,
+            "fuzzy": self.expand_fuzzy,
+        }
+        if kind not in expanders:
+            raise ValueError(f"unknown multiterm kind {kind!r}")
+        terms = expanders[kind](pattern, max_expansions=max_expansions)
+        return ("any", sorted(terms))
+
     def search_span_or(self, spans: list, k: int | None = 10) -> DataFrame:
         """ES span_or query: docs with an occurrence of ANY sub-span.
-        Span exprs: ("term", t) | ("near", t1, t2, slop[, ordered]).
+        Span exprs: ("term", t) | ("any", [t, ...]) (span_multi) |
+        ("near", t1, t2, slop[, ordered]).
         Scoring: BM25 over the distinct involved terms restricted to
         matching docs (span-composition contract)."""
 

@@ -687,3 +687,65 @@ def test_pit_snapshot_survives_appends_and_deletes(spark, tmp_path):
     import os as _os
 
     assert not _os.path.exists(pit.pit_dir)
+
+
+# ---------------------------------------------------------------------------
+# span_multi / collapse inner_hits
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pindex(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_e") / "pos")
+    build_index(spark, corpus, d, num_segments=4, num_chunks=1, positions=True)
+    return InvertedIndex(spark, d)
+
+
+def test_span_multi_single_expansion_equals_term(pindex):
+    # a prefix that expands to exactly one term behaves like that term
+    expr = pindex.span_multi("crawl", kind="prefix")
+    assert expr[0] == "any" and "crawl" in expr[1]
+    if expr[1] == ["crawl"]:
+        got = pindex.search_span_or([expr], k=None)
+        exp = pindex.search_span_or([("term", "crawl")], k=None)
+        assert _rows(got) == _rows(exp)
+
+
+def test_span_multi_or_union_equals_expansion_terms(pindex):
+    expr = pindex.span_multi("jo", kind="prefix")
+    assert len(expr[1]) >= 1
+    got = pindex.search_span_or([expr], k=None)
+    exp = pindex.search_span_or([("term", t) for t in expr[1]], k=None)
+    assert _rows(got) == _rows(exp)
+
+
+def test_span_multi_as_containing_little(pindex):
+    expr = pindex.span_multi("jo", kind="prefix")
+    big = ("near", "the", "data", 8, False)
+    got = {r["doc_id"] for r in
+           pindex.search_span_containing(big, expr, k=None).collect()}
+    # union of per-term containing results == multiterm containing
+    exp = set()
+    for t in expr[1]:
+        exp |= {r["doc_id"] for r in
+                pindex.search_span_containing(big, ("term", t), k=None).collect()}
+    assert got == exp
+    with pytest.raises(ValueError):
+        pindex.span_multi("jo", kind="nope")
+
+
+def test_collapse_inner_hits(spark):
+    from elasticsearch_assets_spark.operators.facets import collapse_inner_hits
+
+    corpus = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(9)], "doc_id long, grp string"
+    )
+    scored = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(9)], "doc_id long, score double"
+    )
+    out = collapse_inner_hits(scored, corpus, "grp", k=2, inner_size=2).collect()
+    # winners: doc 0 (g0, 100), doc 1 (g1, 99) -> top-2 groups g0, g1
+    # inner hits: g0 -> docs 0,3; g1 -> docs 1,4
+    assert [(r["ckey"], r["doc_id"], r["rank"]) for r in out] == [
+        ("g0", 0, 1), ("g0", 3, 2), ("g1", 1, 1), ("g1", 4, 2),
+    ]
