@@ -5379,6 +5379,46 @@ FROM hits h JOIN w USING (ckey)
 """
 
 
+def _terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _terms_enum: index-sorted 'jo'-prefixed terms with doc
+    frequencies — one pushed StringStartsWith scan over the distributed
+    term dictionary (the stats table), bounded ordered cut."""
+    idx = _docs_index(spark, sf_dir)
+    return idx.terms_enum("jo", size=10)
+
+
+_TERMS_ENUM_SQL = """
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term LIKE 'jo%' GROUP BY term ORDER BY term ASC LIMIT 10
+"""
+
+
+def _search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search template: {{param}} substitution into a stored template,
+    executed through the query-string surface (strict unbound-parameter
+    errors); oracle shared with querystring_search."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    res = idx.search_template(
+        "spark AND jo* AND n_chars:>={{min_chars}}", {"min_chars": 400},
+        docs, k=None,
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _min_score_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES min_score: hits under the threshold dropped before the global
+    cut — a plain Filter over the per-segment candidates (score filters
+    can't prune postings; scores aren't known until scored, same as ES)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search(["spark", "table"], k=None, mode="or", min_score=0.9)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_MIN_SCORE_SQL = _bm25_sql(["spark", "table"], "or", None, where="s >= 0.9")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5504,6 +5544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_search": _pit_search,
         "span_multi_containing": _span_multi_containing,
         "collapse_inner": _collapse_inner,
+        "terms_enum": _terms_enum,
+        "search_template": _search_template,
+        "min_score_search": _min_score_search,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5697,6 +5740,9 @@ def oracle_sql() -> dict[str, str]:
         "pit_search": _PIT_SQL,
         "span_multi_containing": _SPAN_MULTI_SQL,
         "collapse_inner": _COLLAPSE_IH_SQL,
+        "terms_enum": _TERMS_ENUM_SQL,
+        "search_template": _QS_SQL,
+        "min_score_search": _MIN_SCORE_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -396,6 +396,7 @@ def quantized_cosine_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    prequantized: bool = False,
 ) -> DataFrame:
     """Top-k by QUANTIZED cosine: cos_q = Σ qa·qb / (√Σqa² · √Σqb²) —
     the per-vector scales cancel in cosine, so the kernel is pure integer
@@ -406,10 +407,18 @@ def quantized_cosine_topk(
 
     Plan: quantize + score are JVM array lambdas over the scan (zero
     shuffle), global cut is TakeOrderedAndProject — the same shape as
-    cosine_topk, on quarter-width data."""
+    cosine_topk, on quarter-width data.
+
+    `prequantized=True` takes `df` as quantize_embeddings' output
+    (id, qvec, scale) — the production shape: materialize the quantized
+    table ONCE and every query scans 4× less data; quantizing inline per
+    query (the default, used by the oracle row) only demonstrates the
+    math."""
     import math as _math
 
-    qe = quantize_embeddings(df, vec_col, id_col)
+    qe = (
+        df if prequantized else quantize_embeddings(df, vec_col, id_col)
+    )
     s = max(max(abs(float(v)) for v in query), 1e-30)
     qq = [_math.floor(float(v) / s * 127.0 + 0.5) for v in query]
     qn = _math.sqrt(sum(v * v for v in qq))

@@ -295,6 +295,7 @@ class InvertedIndex:
         min_should_match: int | None = None,
         boosts: dict[str, float] | None = None,
         must_not: "str | list[str] | None" = None,
+        min_score: float | None = None,
     ) -> DataFrame:
         """Top-k BM25. `query` is a raw text (tokenized with the index
         analyzer) or a pre-tokenized term list. Returns (doc_id, score),
@@ -327,7 +328,13 @@ class InvertedIndex:
         are excluded before ranking, index-assisted — the not-terms'
         postings ride the same pushed `term IN` segment scan and feed the
         kernels' `excluded` set; they never contribute to scores or to the
-        AND-satisfiability check."""
+        AND-satisfiability check.
+
+        `min_score` (the ES search-body knob): drop hits scoring below the
+        threshold — applied to each segment's candidates BEFORE the global
+        cut (a plain Filter over ≤ segments × k rows; score filtering
+        can't prune postings because BM25 scores aren't known until
+        scored, same as ES)."""
         if min_should_match is not None and (mode != "or" or groups is not None):
             raise ValueError("min_should_match applies to mode='or' flat queries")
         if groups is not None:
@@ -367,6 +374,8 @@ class InvertedIndex:
             .groupBy("seg_id")
             .applyInPandas(score_fn, TOPK_SCHEMA)
         )
+        if min_score is not None:
+            per_seg = per_seg.where(F.col("score") >= float(min_score))
         ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return ordered.limit(k) if k is not None else ordered
 
@@ -2563,6 +2572,37 @@ class InvertedIndex:
             F.col("query_id").asc(), F.col("score").desc(), F.col("doc_id").asc()
         )
 
+    def terms_enum(self, prefix: str, size: int = 10) -> DataFrame:
+        """ES _terms_enum: index-sorted terms matching a prefix (the
+        autocomplete surface) with their document frequencies. One pushed
+        StringStartsWith scan over the distributed stats table — the term
+        dictionary IS a table here, so the enumeration prunes at the
+        parquet reader exactly like search_prefix's rewrite — then a
+        bounded ordered cut. Returns (term, df), term ASC, ≤ size rows."""
+        return (
+            self.stats.where(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.col("term").asc())
+            .limit(size)
+        )
+
+    def search_template(
+        self,
+        template: str,
+        params: dict,
+        corpus: DataFrame | None = None,
+        k: int | None = 10,
+        **kwargs,
+    ) -> DataFrame:
+        """ES search template: {{param}} placeholders substituted into the
+        stored template, then executed through the query-string surface.
+        Strict: an unbound placeholder raises (ES renders empty and then
+        usually fails obscurely at parse; failing loudly at render is the
+        engine's script-contract stance)."""
+        return self.search_querystring(
+            render_template(template, params), corpus, k=k, **kwargs
+        )
+
     def pit(self) -> "PinnedIndex":
         """ES point-in-time (PIT): a search handle pinned to the CURRENT
         committed snapshot — appends committed after the PIT opens
@@ -2707,6 +2747,22 @@ class InvertedIndex:
 
         q = base64.b64decode(b64_query).decode("utf-8")
         return self.search_querystring(q, corpus, k=k, **kwargs)
+
+
+def render_template(template: str, params: dict) -> str:
+    """Substitute {{name}} placeholders (the mustache subset ES search
+    templates actually use for scalar params). Unknown placeholders raise;
+    unused params are fine (ES allows both — strictness here is the
+    deliberate deviation, documented in search_template)."""
+    import re
+
+    def sub(m):
+        k = m.group(1)
+        if k not in params:
+            raise KeyError(f"unbound template parameter {k!r}")
+        return str(params[k])
+
+    return re.sub(r"\{\{\s*(\w+)\s*\}\}", sub, template)
 
 
 class PinnedIndex(InvertedIndex):

@@ -749,3 +749,65 @@ def test_collapse_inner_hits(spark):
     assert [(r["ckey"], r["doc_id"], r["rank"]) for r in out] == [
         ("g0", 0, 1), ("g0", 3, 2), ("g1", 1, 1), ("g1", 4, 2),
     ]
+
+
+# ---------------------------------------------------------------------------
+# terms_enum / search templates / min_score / prequantized ANN
+# ---------------------------------------------------------------------------
+
+
+def test_terms_enum_prefix_and_size(index):
+    out = index.terms_enum("jo", size=5).collect()
+    assert 1 <= len(out) <= 5
+    assert all(r["term"].startswith("jo") for r in out)
+    terms = [r["term"] for r in out]
+    assert terms == sorted(terms)
+    # df values agree with count_term
+    for r in out:
+        assert r["df"] == index.count_term(r["term"])
+
+
+def test_render_template_strict():
+    from elasticsearch_assets_spark.query.engine import render_template
+
+    assert (
+        render_template("a AND {{p}} AND n:>={{ n }}", {"p": "b", "n": 4})
+        == "a AND b AND n:>=4"
+    )
+    with pytest.raises(KeyError, match="unbound"):
+        render_template("{{missing}}", {})
+
+
+def test_search_template_matches_querystring(index, corpus):
+    got = index.search_template(
+        "spark AND jo* AND doc_id:>={{cut}}", {"cut": 300}, corpus, k=8
+    )
+    exp = index.search_querystring("spark AND jo* AND doc_id:>=300", corpus, k=8)
+    assert _rows(got) == _rows(exp)
+
+
+def test_min_score_filters_before_cut(index):
+    full = _rows(index.search(["spark", "join"], k=None, mode="or"))
+    thr = full[len(full) // 2][1]  # a score in the middle of the range
+    got = _rows(index.search(["spark", "join"], k=None, mode="or", min_score=thr))
+    exp = [(d, s) for d, s in full if s >= thr]
+    assert got == exp
+    # with k: top-k of the thresholded set
+    got_k = _rows(index.search(["spark", "join"], k=5, mode="or", min_score=thr))
+    assert got_k == exp[:5]
+
+
+def test_prequantized_topk_matches_inline(spark):
+    from elasticsearch_assets_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).head()["embedding"]]
+    inline = quantized_cosine_topk(emb, qv, k=10).collect()
+    stored = quantize_embeddings(emb)
+    pre = quantized_cosine_topk(stored, qv, k=10, prequantized=True).collect()
+    assert [(r["vec_id"], r["score"]) for r in inline] == [
+        (r["vec_id"], r["score"]) for r in pre
+    ]
