@@ -5419,6 +5419,83 @@ def _min_score_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIN_SCORE_SQL = _bm25_sql(["spark", "table"], "or", None, where="s >= 0.9")
 
 
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token windows every 48 — the standard
+    pre-embedding segmentation): one JVM sequence→posexplode pass, no
+    Python, no shuffle (textstats.chunk_documents). chunk_text is hashed
+    so the compared payload stays small; the text itself is what's
+    hashed, so parity still proves the chunk contents."""
+    from elasticsearch_assets_spark.operators.textstats import chunk_documents
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, window=_CHUNK_W, stride=_CHUNK_S)
+    return out.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+_DOC_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, {_CHUNK_S})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) / {_CHUNK_S} AS INT) AS chunk_id,
+       len(toks[start : start + {_CHUNK_W} - 1])::INT AS n_tokens,
+       md5(array_to_string(toks[start : start + {_CHUNK_W} - 1], ' ')) AS chunk_md5
+FROM s
+"""
+
+
+_INCR_CUT = 5  # new = doc_id % 5 == 0, base = the rest
+
+
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus near-dup: today's increment (doc_id % 5
+    == 0) LSH-banded against the standing corpus, candidates strictly
+    NEW × BASE, verified with candidate-local Jaccard >= 0.8
+    (dedup.dedup_against — identical bucket keys to lsh_candidates by
+    shared banding)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % _INCR_CUT == 0)
+    base = docs.where(F.col("doc_id") % _INCR_CUT != 0)
+    out = OD.dedup_against(new, base, n=1, k=8, bands=4, threshold=0.8)
+    return out.select(
+        "new_id", "base_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    return f"""
+WITH sig AS ({_MINHASH_SQL}),
+banded AS (
+  SELECT doc_id, band, md5(bucket_key) AS bucket FROM (
+    SELECT doc_id, 0 AS band, h0 || ',' || h1 AS bucket_key FROM sig
+    UNION ALL SELECT doc_id, 1, h2 || ',' || h3 FROM sig
+    UNION ALL SELECT doc_id, 2, h4 || ',' || h5 FROM sig
+    UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM sig
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id % {_INCR_CUT} = 0 AND b.doc_id % {_INCR_CUT} <> 0
+),
+t AS (SELECT doc_id, {_UNIGRAMS} AS s FROM documents)
+SELECT new_id, base_id, round(jac, 4) AS jaccard FROM (
+  SELECT new_id, base_id,
+         len(list_intersect(x.s, y.s))::DOUBLE
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+  FROM cand JOIN t x ON x.doc_id = new_id JOIN t y ON y.doc_id = base_id
+) WHERE jac >= 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5547,6 +5624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum": _terms_enum,
         "search_template": _search_template,
         "min_score_search": _min_score_search,
+        "doc_chunks": _doc_chunks,
+        "dedup_incremental": _dedup_incremental,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5743,6 +5822,8 @@ def oracle_sql() -> dict[str, str]:
         "terms_enum": _TERMS_ENUM_SQL,
         "search_template": _QS_SQL,
         "min_score_search": _MIN_SCORE_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "dedup_incremental": _dedup_incremental_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -176,6 +176,42 @@ def minhash_signatures(
     return hashed.select("id", F.array(*sig).alias("sig"))
 
 
+def _lsh_banded(
+    df: DataFrame,
+    *,
+    n: int,
+    k: int,
+    bands: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, band, bucket) rows: the k minhash values cut into `bands`
+    bands, bucket = md5 of the band's values — shared by the self-join
+    (lsh_candidate_pairs) and cross-corpus (dedup_against) paths so the
+    bucket keys are identical by construction."""
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(df, n=n, k=k, text_col=text_col, id_col=id_col)
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.slice("sig", bi * r + 1, r)[i] for i in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     *,
@@ -195,27 +231,7 @@ def lsh_candidate_pairs(
     (ngram_jaccard semantics) and filtered. `max_bucket` drops degenerate
     buckets (skew guard) before the pair blow-up.
     """
-    assert k % bands == 0
-    r = k // bands
-    sigs = minhash_signatures(df, n=n, k=k, text_col=text_col, id_col=id_col)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", *[F.slice("sig", bi * r + 1, r)[i] for i in range(r)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _lsh_banded(df, n=n, k=k, bands=bands, text_col=text_col, id_col=id_col)
     # one shuffle on the join key -> both self-join sides reuse the same
     # exchange (signatures computed once), co-partitioned join
     banded = banded.repartition("band", "bucket")
@@ -725,4 +741,71 @@ def dedup_keep_best(
         .where(F.col("_rn") == 1)
         .select(id_col, "rep", "quality")
         .orderBy(F.col(id_col).asc())
+    )
+
+
+def dedup_against(
+    new: DataFrame,
+    base: DataFrame,
+    *,
+    n: int = 1,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float | None = None,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (cross-corpus) near-dup detection: candidates between
+    NEW documents and the existing BASE corpus — the 'dedupe today's
+    crawl against the standing 100 TB corpus' shape every continuously
+    ingesting pipeline runs. Same MinHash-LSH banding as
+    lsh_candidate_pairs (identical bucket keys — _lsh_banded is shared),
+    but the bucket join is strictly NEW × BASE: no new×new or base×base
+    pairs, so re-ingesting never re-pairs the base against itself and
+    the pair blow-up is bounded by the increment's size, not the
+    corpus'. `max_bucket` caps degenerate BASE buckets (the skew guard —
+    boilerplate buckets in a web corpus) BEFORE the join.
+
+    Returns (new_id, base_id) candidates; with `threshold`, verified
+    (new_id, base_id, jaccard >= threshold) via candidate-local shingle
+    intersection — O(candidates), never a corpus-wide Jaccard join."""
+    bn = _lsh_banded(new, n=n, k=k, bands=bands, text_col=text_col, id_col=id_col)
+    bb = _lsh_banded(base, n=n, k=k, bands=bands, text_col=text_col, id_col=id_col)
+    bb = bb.repartition("band", "bucket")
+    if max_bucket is not None:
+        ok = (
+            bb.groupBy("band", "bucket")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") <= max_bucket)
+            .drop("c")
+        )
+        bb = bb.join(ok, ["band", "bucket"], "left_semi")
+    cand = (
+        bn.withColumnRenamed("id", "new_id")
+        .join(bb.withColumnRenamed("id", "base_id"), ["band", "bucket"])
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    if threshold is None:
+        return cand
+    new_sets = new.select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(shingles_expr(tokens_expr(text_col), n)).alias("sh_a"),
+    )
+    base_sets = base.select(
+        F.col(id_col).alias("base_id"),
+        F.array_distinct(shingles_expr(tokens_expr(text_col), n)).alias("sh_b"),
+    )
+    return (
+        cand.join(new_sets, "new_id")
+        .join(base_sets, "base_id")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .where((F.col("common") > 0) & (F.col("jaccard") >= threshold))
+        .select("new_id", "base_id", "jaccard")
     )

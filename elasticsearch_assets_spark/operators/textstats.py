@@ -323,3 +323,41 @@ def pii_scrub_sql(text: str = "text", id_col: str = "doc_id") -> str:
     for _, pat, repl in PII_PATTERNS:
         cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
     return f"SELECT {id_col}, {counts}, {cur} AS clean_text FROM documents"
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    `window`-token chunks every `stride` tokens (overlap = window −
+    stride; stride defaults to window = disjoint chunks) — the standard
+    segmentation step before embedding or sequence training, where models
+    consume fixed-length windows of a long document.
+
+    Plan: one JVM sequence→transform→posexplode over the token array —
+    no Python, no shuffle; output rows ≈ tokens/stride per doc, each
+    carrying (doc_id, chunk_id, n_tokens, chunk_text). The final
+    (possibly short) chunk is kept — training pipelines pad it; filter
+    `n_tokens == window` for strict fixed-length units."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    stride = window if stride is None else stride
+    if not (1 <= stride <= window):
+        raise ValueError("stride must be in 1..window")
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, window))
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_toks")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size("_toks").alias("n_tokens"),
+        F.concat_ws(" ", "_toks").alias("chunk_text"),
+    )

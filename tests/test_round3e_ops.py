@@ -811,3 +811,78 @@ def test_prequantized_topk_matches_inline(spark):
     assert [(r["vec_id"], r["score"]) for r in inline] == [
         (r["vec_id"], r["score"]) for r in pre
     ]
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents / dedup_against
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from elasticsearch_assets_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, window=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+           for r in out}
+    # doc 1: starts 1,4,7 -> [a b c d], [d e f g], [g]
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "d e f g")
+    assert got[(1, 2)] == (1, "g")
+    assert got[(2, 0)] == (1, "x")
+    # disjoint default: stride == window
+    dis = chunk_documents(df, window=3).where("doc_id = 1").collect()
+    assert [r["chunk_text"] for r in dis] == ["a b c", "d e f", "g"]
+    with pytest.raises(ValueError):
+        chunk_documents(df, window=2, stride=3)
+
+
+def test_dedup_against_cross_only_and_parity(spark):
+    from elasticsearch_assets_spark.operators.dedup import (
+        dedup_against,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),        # dup of 1
+            (3, "alpha beta gamma delta epsilon"),  # near-dup of 1
+            (4, "totally different words here"),
+            (11, "alpha beta gamma delta"),        # new: dup of 1/2
+            (12, "unrelated new content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    new = docs.where("doc_id >= 10")
+    base = docs.where("doc_id < 10")
+    cand = dedup_against(new, base, n=1, k=8, bands=4).collect()
+    pairs = {(r["new_id"], r["base_id"]) for r in cand}
+    # cross pairs only — new ids on the left, base on the right
+    assert all(a >= 10 and b < 10 for a, b in pairs)
+    assert (11, 1) in pairs and (11, 2) in pairs
+    # verified variant agrees with the self-join run on the union,
+    # restricted to cross pairs
+    ver = dedup_against(new, base, n=1, k=8, bands=4, threshold=0.8)
+    got = {(r["new_id"], r["base_id"]): r["jaccard"] for r in ver.collect()}
+    full = lsh_candidate_pairs(docs, n=1, k=8, bands=4, threshold=0.8)
+    exp = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["jaccard"]
+        for r in full.collect()
+        if (r["id_a"] >= 10) != (r["id_b"] >= 10)
+    }
+    assert got == exp and (11, 1) in got and got[(11, 1)] == 1.0
+
+
+def test_dedup_against_max_bucket_caps_base(spark):
+    from elasticsearch_assets_spark.operators.dedup import dedup_against
+
+    rows = [(i, "same same same") for i in range(1, 9)]  # degenerate bucket
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "same same same")], "doc_id long, text string"
+    )
+    assert dedup_against(new, docs, max_bucket=4).count() == 0
+    assert dedup_against(new, docs, max_bucket=None).count() == 8
