@@ -5496,6 +5496,32 @@ SELECT new_id, base_id, round(jac, 4) AS jaccard FROM (
 """
 
 
+def _facet_pct_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles_bucket: exact interpolated percentiles of the click
+    events' daily doc counts — a bucket-cardinality sibling reduction."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_percentiles_bucket(
+        matches, ev, "ts", [25.0, 50.0, 90.0], "day", id_col="event_id"
+    )
+    return out.select("percent", _f4("value").alias("value"))
+
+
+_FACET_PCT_BUCKET_SQL = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*)::DOUBLE AS doc_count
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT percent, floor(value * 10000.0 + 0.5) / 10000.0 AS value FROM (
+  SELECT 25.0 AS percent, quantile_cont(doc_count, 0.25) AS value FROM h
+  UNION ALL SELECT 50.0, quantile_cont(doc_count, 0.50) FROM h
+  UNION ALL SELECT 90.0, quantile_cont(doc_count, 0.90) FROM h
+) ORDER BY percent
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5626,6 +5652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_score_search": _min_score_search,
         "doc_chunks": _doc_chunks,
         "dedup_incremental": _dedup_incremental,
+        "facet_pct_bucket": _facet_pct_bucket,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5824,6 +5851,7 @@ def oracle_sql() -> dict[str, str]:
         "min_score_search": _MIN_SCORE_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "dedup_incremental": _dedup_incremental_sql(),
+        "facet_pct_bucket": _FACET_PCT_BUCKET_SQL,
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -1979,3 +1979,37 @@ def collapse_inner_hits(
         )
         .select("ckey", id_col, "score", "rank")
     )
+
+
+def facet_percentiles_bucket(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    percents: list[float],
+    interval: str = "day",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES percentiles_bucket sibling pipeline agg: exact interpolated
+    percentiles of a date_histogram's doc counts — like
+    facet_sibling_stats, the reduction runs over BUCKET cardinality only
+    (tiny by construction); the interpolation is facet_percentiles'
+    (Spark `percentile` == DuckDB `quantile_cont`). One row per requested
+    percent, (percent, value), percent ASC."""
+    hist = facet_date_histogram(matches, corpus, date_col, interval, id_col)
+    v = F.col("doc_count").cast("double")
+    aggs = [
+        F.percentile(v, F.lit(p / 100.0)).alias(f"p{i}")
+        for i, p in enumerate(percents)
+    ]
+    row = hist.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(float(p)).alias("percent"), F.col(f"p{i}").alias("value")
+        )
+        for i, p in enumerate(percents)
+    ])
+    return (
+        row.select(F.explode(pairs).alias("x"))
+        .select("x.percent", "x.value")
+        .orderBy("percent")
+    )

@@ -886,3 +886,33 @@ def test_dedup_against_max_bucket_caps_base(spark):
     )
     assert dedup_against(new, docs, max_bucket=4).count() == 0
     assert dedup_against(new, docs, max_bucket=None).count() == 8
+
+
+# ---------------------------------------------------------------------------
+# msearch property fuzz: fused == per-query, for arbitrary spec batches
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import given, settings, strategies as st
+
+_VOCAB = ["spark", "join", "the", "data", "merge", "hash", "table", "web",
+          "index", "crawl", "zzznope"]
+
+_spec = st.fixed_dictionaries(
+    {
+        "query": st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=4),
+        "mode": st.sampled_from(["and", "or"]),
+        "k": st.sampled_from([3, 7, None]),
+    }
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(specs=st.lists(_spec, min_size=1, max_size=4))
+def test_msearch_fuzz_bit_identical(index, specs):
+    got = {}
+    for r in index.msearch(specs).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, s in enumerate(specs):
+        alone = _rows(index.search(s["query"], k=s["k"], mode=s["mode"]))
+        assert got.get(qid, []) == alone, (qid, s)
