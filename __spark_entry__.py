@@ -5522,6 +5522,73 @@ SELECT percent, floor(value * 10000.0 + 0.5) / 10000.0 AS value FROM (
 """
 
 
+_QSMF_TIE, _QSMF_TBOOST = 0.3, 2.0
+
+
+def _qs_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query_string with fields=["text", "title^2"]: the string planned
+    PER FIELD (each field's dictionary drives its own jo* rewrite, each
+    index its own stats), per-field scores × boosts combined dis_max with
+    tie 0.3 (engine.querystring_multi_field)."""
+    from elasticsearch_assets_spark.query.engine import querystring_multi_field
+
+    idx = _docs_index(spark, sf_dir)
+    tidx = _docs_index_title(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = querystring_multi_field(
+        {"text": (idx, 1.0), "title": (tidx, _QSMF_TBOOST)},
+        "spark AND jo*", docs, k=10, tie_breaker=_QSMF_TIE,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _qs_mf_chain(pfx: str, toks_select: str) -> str:
+    return f"""
+{pfx}toks AS ({toks_select}),
+{pfx}dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {pfx}toks GROUP BY doc_id),
+{pfx}stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM {pfx}dl),
+{pfx}tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {pfx}toks
+  WHERE term = 'spark' OR term LIKE 'jo%' GROUP BY doc_id, term
+),
+{pfx}df AS (SELECT term, count(*)::DOUBLE AS df FROM {pfx}tf GROUP BY term),
+{pfx}scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS s
+  FROM {pfx}stats s, {pfx}tf tf
+  JOIN {pfx}df df USING (term) JOIN {pfx}dl dl USING (doc_id)
+  GROUP BY tf.doc_id
+  HAVING max(CASE WHEN tf.term = 'spark' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN tf.term LIKE 'jo%' THEN 1 ELSE 0 END) = 1
+)"""
+
+
+def _qs_multi_field_sql() -> str:
+    title = _qs_mf_chain(
+        "t",
+        "SELECT doc_id, unnest(string_split(text, ' ')"
+        f"[1:{_TITLE_TOKENS}]) AS term FROM documents",
+    )
+    body = _qs_mf_chain(
+        "b",
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents",
+    )
+    combine = f"max(s) + {_QSMF_TIE} * (sum(s) - max(s))"
+    return f"""
+WITH {title},
+{body},
+u AS (
+  SELECT doc_id, s * {_QSMF_TBOOST} AS s FROM tscored
+  UNION ALL
+  SELECT doc_id, s FROM bscored
+)
+SELECT doc_id, round({combine}, 4) AS score
+FROM u GROUP BY doc_id
+ORDER BY {combine} DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5653,6 +5720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "dedup_incremental": _dedup_incremental,
         "facet_pct_bucket": _facet_pct_bucket,
+        "qs_multi_field": _qs_multi_field,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5852,6 +5920,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _DOC_CHUNKS_SQL,
         "dedup_incremental": _dedup_incremental_sql(),
         "facet_pct_bucket": _FACET_PCT_BUCKET_SQL,
+        "qs_multi_field": _qs_multi_field_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

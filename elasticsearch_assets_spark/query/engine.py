@@ -2841,6 +2841,55 @@ class PinnedIndex(InvertedIndex):
         return self.spark.read.parquet(self._stats_root)
 
 
+def querystring_multi_field(
+    field_indexes: dict,
+    q: str,
+    corpus: DataFrame | None = None,
+    k: int | None = 10,
+    tie_breaker: float = 0.0,
+    field_text_cols: dict | None = None,
+) -> DataFrame:
+    """ES query_string with `fields` (the default best_fields combine):
+    the query string is planned PER FIELD — each field's dictionary
+    drives its own multiterm rewrites and each field's index carries its
+    own collection stats, exactly ES's per-field Lucene scoring — then
+    the per-field scores × field boosts combine dis_max with
+    `tie_breaker`. Structured clauses restrict each field's ranking
+    through the same search_filtered machinery.
+
+    `field_indexes` maps field name -> (InvertedIndex, boost);
+    `field_text_cols` overrides the analyzed column name per field
+    (defaults to the field name... the corpus column that field's index
+    was built from). Plan: one search per field (k=None) + a unionByName
+    + ONE hash agg on doc_id (map-side partials) + TakeOrderedAndProject
+    — the multi_match/dis_max shuffle shape regardless of field count."""
+    if not field_indexes:
+        raise ValueError("field_indexes must not be empty")
+    parts = []
+    for fname, (fidx, boost) in sorted(field_indexes.items()):
+        tcol = (field_text_cols or {}).get(fname, fname)
+        scored = fidx.search_querystring(q, corpus, k=None, text_col=tcol)
+        parts.append(
+            scored.select(
+                "doc_id", (F.col("score") * float(boost)).alias("s")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    tie = float(tie_breaker)
+    combined = (
+        u.groupBy("doc_id")
+        .agg(F.max("s").alias("mx"), F.sum("s").alias("sm"))
+        .select(
+            "doc_id",
+            (F.col("mx") + tie * (F.col("sm") - F.col("mx"))).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    return combined.limit(k) if k is not None else combined
+
+
 def multi_match(
     field_indexes: dict,
     query: str | list[str],

@@ -916,3 +916,47 @@ def test_msearch_fuzz_bit_identical(index, specs):
     for qid, s in enumerate(specs):
         alone = _rows(index.search(s["query"], k=s["k"], mode=s["mode"]))
         assert got.get(qid, []) == alone, (qid, s)
+
+
+# ---------------------------------------------------------------------------
+# multi-field query_string
+# ---------------------------------------------------------------------------
+
+
+def test_querystring_multi_field_single_is_boosted_passthrough(index, corpus):
+    from elasticsearch_assets_spark.query.engine import querystring_multi_field
+
+    got = querystring_multi_field(
+        {"text": (index, 2.0)}, "spark AND jo*", corpus, k=8, tie_breaker=0.3
+    ).collect()
+    exp = index.search_querystring("spark AND jo*", corpus, k=8).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"] * 2.0) for r in exp
+    ]
+
+
+def test_querystring_multi_field_dismax_combine(index, pindex, corpus):
+    from elasticsearch_assets_spark.query.engine import querystring_multi_field
+
+    tie, boost = 0.4, 1.5
+    got = {
+        r["doc_id"]: r["score"]
+        for r in querystring_multi_field(
+            {"text": (index, 1.0), "pos": (pindex, boost)},
+            "spark AND jo*", corpus, k=None, tie_breaker=tie,
+            field_text_cols={"pos": "text"},
+        ).collect()
+    }
+    a = {r["doc_id"]: r["score"]
+         for r in index.search_querystring("spark AND jo*", corpus, k=None).collect()}
+    b = {r["doc_id"]: r["score"] * boost
+         for r in pindex.search_querystring("spark AND jo*", corpus, k=None).collect()}
+    exp = {}
+    for d in set(a) | set(b):
+        ss = [s for s in (a.get(d), b.get(d)) if s is not None]
+        exp[d] = max(ss) + tie * (sum(ss) - max(ss))
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], rel=1e-12)
+    with pytest.raises(ValueError):
+        querystring_multi_field({}, "spark")
