@@ -5589,6 +5589,39 @@ ORDER BY {combine} DESC, doc_id ASC LIMIT 10
 """
 
 
+def _corpus_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting for mixture design: per (lang, source) — docs,
+    tokens, mean quality — the table training-mixture weights are sized
+    from before stratified_sample applies them
+    (textstats.corpus_accounting: per-doc stats ride the scan, one hash
+    agg on the tiny strata key)."""
+    from elasticsearch_assets_spark.operators.textstats import (
+        corpus_accounting,
+    )
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = corpus_accounting(docs, ["lang", "source"])
+    return out.select(
+        "lang", "source", "n_docs", "total_tokens",
+        _f4("avg_tokens").alias("avg_tokens"),
+        _f4("avg_quality").alias("avg_quality"),
+    )
+
+
+def _corpus_accounting_sql() -> str:
+    return f"""
+WITH ts AS ({OT.token_stats_sql()}),
+q AS ({OT.quality_score_sql()})
+SELECT d.lang, d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(ts.n_tokens)::BIGINT AS total_tokens,
+       floor(avg(ts.n_tokens) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
+       floor(avg(q.quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
+FROM documents d JOIN ts USING (doc_id) JOIN q USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5721,6 +5754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "facet_pct_bucket": _facet_pct_bucket,
         "qs_multi_field": _qs_multi_field,
+        "corpus_accounting": _corpus_accounting,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5921,6 +5955,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _dedup_incremental_sql(),
         "facet_pct_bucket": _FACET_PCT_BUCKET_SQL,
         "qs_multi_field": _qs_multi_field_sql(),
+        "corpus_accounting": _corpus_accounting_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

@@ -361,3 +361,39 @@ def chunk_documents(
         F.size("_toks").alias("n_tokens"),
         F.concat_ws(" ", "_toks").alias("chunk_text"),
     )
+
+
+def corpus_accounting(
+    df: DataFrame,
+    strata_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus accounting for training-mixture design: per stratum (e.g.
+    language × source) — document count, total/mean token counts, and
+    mean quality score. This is the table mixture weights are sized FROM
+    (how many tokens does each slice actually hold?) before
+    sampling.stratified_sample applies them.
+
+    Plan: the per-doc stats ride the reading scan (token_stats /
+    quality_score are staged column expressions), one join on the id, and
+    ONE hash agg on the strata key (map-side partials; strata cardinality
+    is tiny). Returns (strata..., n_docs, total_tokens, avg_tokens,
+    avg_quality), strata ASC."""
+    stats = token_stats(df, text_col, id_col)
+    qual = quality_score(df, text_col, id_col)
+    per_doc = (
+        df.select(F.col(id_col), *[F.col(c) for c in strata_cols])
+        .join(stats.select(id_col, "n_tokens"), id_col)
+        .join(qual, id_col)
+    )
+    return (
+        per_doc.groupBy(*strata_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.avg("n_tokens").alias("avg_tokens"),
+            F.avg("quality").alias("avg_quality"),
+        )
+        .orderBy(*[F.col(c).asc() for c in strata_cols])
+    )
