@@ -4804,10 +4804,11 @@ ideal AS (
 )
 SELECT m.query_id,
        floor(m.precision_k * 10000.0 + 0.5) / 10000.0 AS precision_k,
-       floor(m.hits / n.n_rel * 10000.0 + 0.5) / 10000.0 AS recall_k,
+       floor(coalesce(m.hits / n.n_rel, 0) * 10000.0 + 0.5) / 10000.0 AS recall_k,
        floor(m.mrr * 10000.0 + 0.5) / 10000.0 AS mrr,
-       floor(m.dcg / i.idcg * 10000.0 + 0.5) / 10000.0 AS ndcg
-FROM met m JOIN nrel n USING (query_id) JOIN ideal i USING (query_id)
+       floor(coalesce(m.dcg / i.idcg, 0) * 10000.0 + 0.5) / 10000.0 AS ndcg
+FROM met m
+LEFT JOIN nrel n USING (query_id) LEFT JOIN ideal i USING (query_id)
 """
 
 

@@ -1967,11 +1967,16 @@ def collapse_inner_hits(
         F.col(id_col).alias("_gdoc"),
     )
     if k is not None:
-        winners = winners.orderBy(
-            F.col("_gscore").desc(), F.col("_gdoc").asc()
-        ).limit(k)
+        # ≤ k winners — broadcast the tiny side; with k=None the winner
+        # set is one row PER GROUP (unbounded at scale), so leave the
+        # join strategy to AQE rather than forcing a broadcast
+        winners = F.broadcast(
+            winners.orderBy(
+                F.col("_gscore").desc(), F.col("_gdoc").asc()
+            ).limit(k)
+        )
     return (
-        ranked.join(F.broadcast(winners), "ckey")
+        ranked.join(winners, "ckey")
         .orderBy(
             F.col("_gscore").desc(),
             F.col("_gdoc").asc(),

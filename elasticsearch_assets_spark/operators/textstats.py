@@ -32,13 +32,21 @@ _EN_STOPWORDS = LANG_MARKERS["en"]
 # ---------------------------------------------------------------------------
 
 
-def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, n_tokens, n_unique, avg_token_len, stopword_ratio).
+def token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(id[, extra_cols...], n_tokens, n_unique, avg_token_len,
+    stopword_ratio).
 
     The token array is staged in its own projection so the regex extraction
-    runs once per row, not once per derived stat.
-    """
-    df = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    runs once per row, not once per derived stat. `extra_cols` pass through
+    untouched — downstream groupings (corpus_accounting) stay on the ONE
+    reading scan instead of joining stats back to the corpus."""
+    keep = [F.col(c) for c in extra_cols]
+    df = df.select(F.col(id_col), *keep, tokens_expr(text_col).alias("__toks"))
     toks = F.col("__toks")
     n = F.size(toks)
     total_len = F.aggregate(
@@ -49,6 +57,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
     return df.select(
         F.col(id_col),
+        *keep,
         n.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.when(n > 0, total_len / n).otherwise(F.lit(0.0)).alias("avg_token_len"),
@@ -86,14 +95,21 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
           + 0.3*min(stopword_ratio*5, 1);  0 for empty docs.
     """
     s = token_stats(df, text_col, id_col)
+    return s.select(F.col(id_col), _quality_expr().alias("quality"))
+
+
+def _quality_expr() -> "F.Column":
+    """The quality formula over token_stats' output columns — one
+    definition shared by quality_score and corpus_accounting (which
+    inlines it on the same scan instead of joining)."""
     n = F.col("n_tokens")
-    return s.select(
-        F.col(id_col),
-        F.when(n > 0,
+    return (
+        F.when(
+            n > 0,
             F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
             + F.lit(0.3) * (F.col("n_unique") / n)
             + F.lit(0.3) * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)),
-        ).otherwise(F.lit(0.0)).alias("quality"),
+        ).otherwise(F.lit(0.0))
     )
 
 
@@ -375,18 +391,15 @@ def corpus_accounting(
     (how many tokens does each slice actually hold?) before
     sampling.stratified_sample applies them.
 
-    Plan: the per-doc stats ride the reading scan (token_stats /
-    quality_score are staged column expressions), one join on the id, and
-    ONE hash agg on the strata key (map-side partials; strata cardinality
-    is tiny). Returns (strata..., n_docs, total_tokens, avg_tokens,
-    avg_quality), strata ASC."""
-    stats = token_stats(df, text_col, id_col)
-    qual = quality_score(df, text_col, id_col)
-    per_doc = (
-        df.select(F.col(id_col), *[F.col(c) for c in strata_cols])
-        .join(stats.select(id_col, "n_tokens"), id_col)
-        .join(qual, id_col)
-    )
+    Plan: the per-doc stats AND the quality formula are column
+    expressions on the ONE reading scan (token_stats with strata
+    passthrough — no join back to the corpus), then ONE hash agg on the
+    strata key (map-side partials; strata cardinality is tiny). Returns
+    (strata..., n_docs, total_tokens, avg_tokens, avg_quality),
+    strata ASC."""
+    per_doc = token_stats(
+        df, text_col, id_col, extra_cols=tuple(strata_cols)
+    ).withColumn("quality", _quality_expr())
     return (
         per_doc.groupBy(*strata_cols)
         .agg(

@@ -921,9 +921,10 @@ class InvertedIndex:
         semi join against the corpus' id projection (never the reverse —
         the corpus side stays distributed); tombstones are a driver-side
         numpy filter applied to the literal list BEFORE the join."""
-        live = [int(i) for i in ids]
-        if self.tombstones.size:
-            live = [i for i in live if not np.isin(i, self.tombstones)]
+        live_arr = np.array([int(i) for i in ids], dtype=np.int64)
+        if self.tombstones.size and live_arr.size:
+            live_arr = live_arr[~np.isin(live_arr, self.tombstones)]
+        live = [int(i) for i in live_arr]
         if not live:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         wanted = self.spark.createDataFrame(
@@ -2627,9 +2628,10 @@ class InvertedIndex:
         list driver-side, the surviving ids broadcast into a semi join
         against the corpus scan (ES routes each id to its shard; here the
         10^12-doc side never shuffles and the id set prunes at the scan)."""
-        live = sorted({int(i) for i in ids})
-        if self.tombstones.size:
-            live = [i for i in live if not np.isin(i, self.tombstones)]
+        live_arr = np.array(sorted({int(i) for i in ids}), dtype=np.int64)
+        if self.tombstones.size and live_arr.size:
+            live_arr = live_arr[~np.isin(live_arr, self.tombstones)]
+        live = [int(i) for i in live_arr]
         if not live:
             return corpus.where(F.lit(False))
         wanted = self.spark.createDataFrame([(i,) for i in live], f"{id_col} long")
@@ -2726,7 +2728,10 @@ class InvertedIndex:
             raise KeyError(f"unknown alias {name!r}")
         f = self._aliases[name]
         if f is None:
-            return self.search(query, k=k, mode=mode)
+            # forward kwargs so plain and filtered aliases behave alike —
+            # an option search() doesn't support fails LOUDLY here instead
+            # of being silently dropped on one path only
+            return self.search(query, k=k, mode=mode, **kwargs)
         if corpus is None:
             raise ValueError("filtered alias needs the corpus DataFrame")
         return self.script_query(corpus, f, query=query, k=k, mode=mode, **kwargs)
@@ -2787,13 +2792,6 @@ class PinnedIndex(InvertedIndex):
 
         from elasticsearch_assets_spark.index.tombstones import load_tombstones
 
-        self.spark = base.spark
-        self.index_dir = base.index_dir
-        self.meta = load_meta(base.index_dir)
-        self._driver_stats_rows = base._driver_stats_rows
-        self._stats_cache = None
-        self.tombstones = load_tombstones(base.index_dir)
-        self._aliases = dict(base._aliases)
         seg_dirs = sorted(
             glob.glob(os.path.join(base.index_dir, "segments", "chunk=*"))
         )
@@ -2812,16 +2810,43 @@ class PinnedIndex(InvertedIndex):
             except OSError:  # cross-device / FS without hard links
                 shutil.copy2(src, dst)
 
-        self._seg_root = os.path.join(self.pit_dir, "segments")
+        def link_glob(pattern: str, dst_dir: str) -> None:
+            files = glob.glob(os.path.join(base.index_dir, pattern))
+            if files:
+                os.makedirs(dst_dir, exist_ok=True)
+                for f in files:
+                    link(f, os.path.join(dst_dir, os.path.basename(f)))
+
+        # the snapshot is a full hard-link CLONE of the index layout —
+        # segments, stats, meta, seg_map, manifest, tombstones — so every
+        # inherited read path (including the cogrouped filtered-search
+        # routing, which reads seg_map.json + manifest from index_dir)
+        # resolves against the pinned state, never the live dir. A pinned
+        # seg map matches the pinned chunks by construction; the live one
+        # may have been remapped by a compaction (silently wrong routing —
+        # the bug this clone design fixed).
         for d in seg_dirs:
-            dd = os.path.join(self._seg_root, os.path.basename(d))
-            os.makedirs(dd, exist_ok=True)
-            for f in glob.glob(os.path.join(d, "*.parquet")):
-                link(f, os.path.join(dd, os.path.basename(f)))
-        self._stats_root = os.path.join(self.pit_dir, "stats")
-        os.makedirs(self._stats_root, exist_ok=True)
-        for f in stats_files:
-            link(f, os.path.join(self._stats_root, os.path.basename(f)))
+            link_glob(
+                os.path.join("segments", os.path.basename(d), "*.parquet"),
+                os.path.join(self.pit_dir, "segments", os.path.basename(d)),
+            )
+        link_glob(os.path.join("stats", "*.parquet"),
+                  os.path.join(self.pit_dir, "stats"))
+        link_glob(os.path.join("manifest", "*.json"),
+                  os.path.join(self.pit_dir, "manifest"))
+        link_glob(os.path.join("tombstones", "*.json"),
+                  os.path.join(self.pit_dir, "tombstones"))
+        for f in ("meta.json", "seg_map.json", "build_params.json"):
+            if os.path.exists(os.path.join(base.index_dir, f)):
+                link(os.path.join(base.index_dir, f),
+                     os.path.join(self.pit_dir, f))
+        self.spark = base.spark
+        self.index_dir = self.pit_dir  # all inherited paths read the clone
+        self.meta = load_meta(self.pit_dir)
+        self._driver_stats_rows = base._driver_stats_rows
+        self._stats_cache = None
+        self.tombstones = load_tombstones(self.pit_dir)
+        self._aliases = dict(base._aliases)
 
     def close(self) -> None:
         """Release the snapshot (the ES PIT keep_alive expiry)."""
@@ -2832,13 +2857,13 @@ class PinnedIndex(InvertedIndex):
     def refresh_tombstones(self) -> None:
         raise TypeError("a PIT handle is a snapshot — open a new handle")
 
-    @property
-    def segments(self) -> DataFrame:
-        return self.spark.read.parquet(self._seg_root)
+    def delete_by_query(self, *a, **kw) -> DataFrame:
+        # guard BEFORE any mutation: the inherited method would write
+        # tombstones into the snapshot dir (a mutated snapshot)
+        raise TypeError("a PIT handle is read-only — delete on the live handle")
 
-    @property
-    def stats(self) -> DataFrame:
-        return self.spark.read.parquet(self._stats_root)
+    def pit(self) -> "PinnedIndex":
+        raise TypeError("already a snapshot — open PITs from the live handle")
 
 
 def querystring_multi_field(

@@ -683,6 +683,20 @@ def test_pit_snapshot_survives_appends_and_deletes(spark, tmp_path):
     assert InvertedIndex(spark, idx_dir).search(["alpha"], k=None).count() == 58
     assert [(r["doc_id"], r["score"])
             for r in pit.search(["alpha"], k=None).collect()] == before
+
+    # the cogrouped FILTERED path must route with the PINNED seg map, not
+    # the live one the compaction just remapped (regression: the live map
+    # silently dropped docs — 17/40 — before the clone design)
+    ids = spark.range(0, 1000).toDF("doc_id")
+    filtered = pit.search_filtered(["alpha"], ids, k=None)
+    assert filtered.count() == 40
+    assert [(r["doc_id"], r["score"]) for r in filtered.collect()] == before
+
+    # a snapshot is read-only and not re-pinnable
+    with pytest.raises(TypeError):
+        pit.delete_by_query(["alpha"])
+    with pytest.raises(TypeError):
+        pit.pit()
     pit.close()
     import os as _os
 
