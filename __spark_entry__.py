@@ -5623,6 +5623,26 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _bm25_phrase_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase + structured filter through the cogrouped executor-side
+    ladder (forced strategy='cogroup' — no driver id materialization, the
+    path that closes the old phrase+filter collect_cap ceiling):
+    positional phrase match restricted to doc_id % 3 = 0, global stats."""
+    idx = _docs_index_pos(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = idx.search_phrase_filtered(
+        _PHRASE_TERMS, docs.where("doc_id % 3 = 0"), k=None,
+        strategy="cogroup",
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_phrase_filtered_sql() -> str:
+    return f"""
+SELECT * FROM ({_bm25_phrase_sql(_PHRASE_TERMS)}) WHERE doc_id % 3 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5756,6 +5776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pct_bucket": _facet_pct_bucket,
         "qs_multi_field": _qs_multi_field,
         "corpus_accounting": _corpus_accounting,
+        "bm25_phrase_filtered": _bm25_phrase_filtered,
         "facet_matrix_stats": _facet_matrix_stats,
         "facet_mad": _facet_mad,
         "facet_multi_terms": _facet_multi_terms,
@@ -5957,6 +5978,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_pct_bucket": _FACET_PCT_BUCKET_SQL,
         "qs_multi_field": _qs_multi_field_sql(),
         "corpus_accounting": _corpus_accounting_sql(),
+        "bm25_phrase_filtered": _bm25_phrase_filtered_sql(),
         "facet_matrix_stats": _FACET_MATRIX_SQL,
         "facet_mad": _FACET_MAD_SQL,
         "facet_multi_terms": _FACET_MULTI_TERMS_SQL,

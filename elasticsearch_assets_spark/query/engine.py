@@ -2058,20 +2058,12 @@ class InvertedIndex:
             )
             filtered = corpus.where(pred)
             if plan.phrase is not None:
-                # phrase + filter: restrict via the collected id set (the
-                # broadcast path; phrases don't flow through cogroup yet)
-                sample = filtered.select(
-                    F.col(id_col).cast("long").alias("doc_id")
-                ).limit(collect_cap + 1).collect()
-                if len(sample) > collect_cap:
-                    raise ValueError(
-                        "filter matches too many docs for the phrase+filter "
-                        f"path (> {collect_cap}); tighten the filter"
-                    )
-                allowed = np.sort(
-                    np.array([r["doc_id"] for r in sample], dtype=np.int64)
+                # phrase + filter: the cogrouped executor-side ladder —
+                # no collect_cap ceiling anymore (search_phrase_filtered)
+                return self.search_phrase_filtered(
+                    plan.phrase, filtered, k=k,
+                    id_col=id_col, collect_cap=collect_cap,
                 )
-                return self.search_phrase(plan.phrase, k=k, allowed=allowed)
             return self.search_filtered(
                 [], filtered, k=k, mode=plan.mode,
                 id_col=id_col, collect_cap=collect_cap, groups=plan.groups,
@@ -2184,6 +2176,92 @@ class InvertedIndex:
         )
         ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return ordered.limit(k) if k is not None else ordered
+
+    def search_phrase_filtered(
+        self,
+        phrase: str | list[str],
+        filtered: DataFrame,
+        k: int | None = 10,
+        *,
+        id_col: str = "doc_id",
+        collect_cap: int = 5_000_000,
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Phrase query restricted to a structured filter — the phrase
+        sibling of search_filtered, with the same path ladder:
+        (1) cogrouped executor-side restriction via the durable seg_map
+        (any filter size, no driver materialization — this closes the
+        collect_cap ceiling the query-string phrase+filter path used to
+        raise at), (2) broadcast id set, (3) exhaustive phrase + semi
+        join. All rank-identical (tested)."""
+        from elasticsearch_assets_spark.query.phrase import phrase_match
+        from elasticsearch_assets_spark.query.wand import restrict
+
+        prep = self._phrase_prep(phrase)
+        if prep is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        toks, distinct, idfs = prep
+        ids = filtered.select(F.col(id_col).cast("long").alias("doc_id"))
+        if strategy in ("auto", "cogroup"):
+            with_seg = self._filter_with_seg(ids)
+            if with_seg is not None:
+                meta = self.meta
+                avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+                excluded = self.tombstones
+
+                def score_fn(
+                    left: pd.DataFrame, right: pd.DataFrame
+                ) -> pd.DataFrame:
+                    if len(left) == 0 or len(right) == 0:
+                        return pd.DataFrame(
+                            {"doc_id": [], "score": []}
+                        ).astype({"doc_id": "int64", "score": "float64"})
+                    allowed = np.unique(right["doc_id"].to_numpy(np.int64))
+                    postings = {
+                        row["term"]: TermPostings(row)
+                        for row in (
+                            t._asdict() for t in left.itertuples(index=False)
+                        )
+                    }
+                    docs = restrict(
+                        phrase_match(postings, toks), excluded, allowed
+                    )
+                    score = exact_scores(
+                        docs, distinct, postings, idfs, avgdl, k1, b
+                    )
+                    order = np.lexsort((docs, -score))
+                    if k is not None:
+                        order = order[:k]
+                    return pd.DataFrame(
+                        {"doc_id": docs[order], "score": score[order]}
+                    )
+
+                per_seg = (
+                    self.segments.where(F.col("term").isin(distinct))
+                    .groupBy("seg_id")
+                    .cogroup(with_seg.groupBy("seg_id"))
+                    .applyInPandas(score_fn, TOPK_SCHEMA)
+                )
+                ordered = per_seg.orderBy(
+                    F.col("score").desc(), F.col("doc_id").asc()
+                )
+                return ordered.limit(k) if k is not None else ordered
+            if strategy == "cogroup":
+                raise ValueError(
+                    "doc->segment mapping unavailable (meta.partitioning="
+                    f"{self.meta.partitioning!r})"
+                )
+        if strategy in ("auto", "broadcast"):
+            sample = ids.limit(collect_cap + 1).collect()
+            if len(sample) <= collect_cap:
+                allowed = np.sort(
+                    np.array([r["doc_id"] for r in sample], dtype=np.int64)
+                )
+                return self.search_phrase(phrase, k=k, allowed=allowed)
+        scored = self.search_phrase(phrase, k=None)
+        out = scored.join(ids.distinct(), "doc_id", "left_semi")
+        out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return out.limit(k) if k is not None else out
 
     def search_phrase_local(
         self,

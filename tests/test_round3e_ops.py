@@ -974,3 +974,35 @@ def test_querystring_multi_field_dismax_combine(index, pindex, corpus):
         assert got[d] == pytest.approx(exp[d], rel=1e-12)
     with pytest.raises(ValueError):
         querystring_multi_field({}, "spark")
+
+
+# ---------------------------------------------------------------------------
+# phrase + filter through the cogrouped ladder
+# ---------------------------------------------------------------------------
+
+
+def test_search_phrase_filtered_all_strategies_identical(pindex, corpus):
+    filt = corpus.where("doc_id % 3 = 0")
+    outs = {}
+    for strat in ("cogroup", "broadcast", "exhaustive"):
+        outs[strat] = _rows(
+            pindex.search_phrase_filtered(
+                "the join", filt, k=None, strategy=strat
+            )
+        )
+    assert outs["cogroup"] == outs["broadcast"] == outs["exhaustive"]
+    assert len(outs["cogroup"]) > 0
+    # restriction is real: unfiltered phrase returns a superset
+    full = _rows(pindex.search_phrase("the join", k=None))
+    assert set(outs["cogroup"]) < set(full)
+    assert all(d % 3 == 0 for d, _ in outs["cogroup"])
+
+
+def test_querystring_phrase_filter_uses_ladder(pindex, corpus):
+    got = pindex.search_querystring(
+        '"the join" AND doc_id:>=100', corpus, k=None
+    )
+    exp = pindex.search_phrase_filtered(
+        "the join", corpus.where("doc_id >= 100"), k=None
+    )
+    assert _rows(got) == _rows(exp)
