@@ -301,6 +301,17 @@ def main() -> None:
         ).collect(),
     )
 
+    # phrase + WIDE filter (90% of the corpus) through the cogrouped
+    # ladder — the regime where the old phrase+filter path raised at
+    # collect_cap; ids ship executor-side instead
+    q_best(
+        "q_phrase_filtered_wide",
+        lambda: pidx.search_phrase_filtered(
+            "the join", corpus.where(F.col("doc_id") % 10 != 0),
+            k=10, strategy="cogroup",
+        ).collect(),
+    )
+
     # _msearch fusion: all 8 headline queries in ONE segment scan vs run
     # separately — the amortization a batched query front-end gets (the
     # per-query results are bit-identical to search(), tested)
