@@ -2682,6 +2682,54 @@ class InvertedIndex:
             render_template(template, params), corpus, k=k, **kwargs
         )
 
+    def validate_query(self, q: str) -> tuple[bool, str]:
+        """ES _validate/query: parse + plan the query string without
+        executing it. Returns (valid, explanation) — the explanation is
+        the planner's routing summary on success, the parse/plan error on
+        failure (ES's response shape, driver-side: validation is a
+        planning step, not a data path)."""
+        from elasticsearch_assets_spark.query.querystring import (
+            plan_querystring,
+        )
+
+        try:
+            plan = plan_querystring(q, self, {"text"})
+        except Exception as e:  # noqa: BLE001 — ES reports any parse error
+            return False, f"{type(e).__name__}: {e}"
+        bits = []
+        if plan.groups:
+            bits.append(
+                f"{len(plan.groups)} scoring clause group(s), mode={plan.mode}"
+            )
+        if plan.phrase is not None:
+            bits.append(f"phrase({' '.join(plan.phrase)})")
+        if plan.filters:
+            bits.append(f"{len(plan.filters)} structured filter(s)")
+        return True, "; ".join(bits) if bits else "match_none"
+
+    def field_caps(self, corpus: DataFrame, text_col: str = "text") -> list[dict]:
+        """ES _field_caps: per-field type + searchability over the corpus
+        schema. A field is 'searchable' here when it is the indexed text
+        column (full-text) or a scalar the Lucene-subset filter compiler
+        can push (numeric / string / timestamp / boolean — the structured
+        surface). Driver-side schema introspection, not a data path."""
+        pushable = {
+            "bigint", "int", "smallint", "tinyint", "double", "float",
+            "string", "timestamp", "date", "boolean", "decimal",
+        }
+        out = []
+        for f in corpus.schema.fields:
+            t = f.dataType.simpleString()
+            out.append(
+                {
+                    "field": f.name,
+                    "type": t,
+                    "searchable": f.name == text_col or t in pushable,
+                    "aggregatable": t in pushable,
+                }
+            )
+        return out
+
     def pit(self) -> "PinnedIndex":
         """ES point-in-time (PIT): a search handle pinned to the CURRENT
         committed snapshot — appends committed after the PIT opens

@@ -1006,3 +1006,23 @@ def test_querystring_phrase_filter_uses_ladder(pindex, corpus):
         "the join", corpus.where("doc_id >= 100"), k=None
     )
     assert _rows(got) == _rows(exp)
+
+
+# ---------------------------------------------------------------------------
+# _validate/query and _field_caps
+# ---------------------------------------------------------------------------
+
+
+def test_validate_query(index):
+    ok, expl = index.validate_query("spark AND jo* AND doc_id:>=100")
+    assert ok and "clause group" in expl and "structured filter" in expl
+    ok2, expl2 = index.validate_query('"the join"')
+    assert ok2 and "phrase" in expl2
+    bad, expl3 = index.validate_query("field:(unclosed")
+    assert not bad and expl3
+
+
+def test_field_caps(index, corpus):
+    caps = {c["field"]: c for c in index.field_caps(corpus)}
+    assert caps["text"]["searchable"] and caps["text"]["type"] == "string"
+    assert caps["doc_id"]["aggregatable"] and caps["doc_id"]["type"] == "bigint"
