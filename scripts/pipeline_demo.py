@@ -1,0 +1,98 @@
+"""End-to-end training-data pipeline over a web-text corpus — every stage
+is an operator from this repo, composed the way a production corpus build
+would chain them:
+
+  read → language ID → quality score → exact dedup → near-dup (LSH) →
+  keep-best representative → decontaminate vs a benchmark set →
+  stratified mixture sample → context-window chunking → corpus accounting
+
+Run:  python scripts/pipeline_demo.py [sf_dir]   (default /root/testdata/sf0.01)
+
+Each stage is lazy; the script materializes counts per stage so the whole
+chain executes. At 100 TB the same composition holds: every stage is
+either a zero-shuffle column pass (lang/quality/sample/chunk) or a
+bucketed join documented in docs/SCALE.md (dedup family).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.operators import dedup as OD
+from elasticsearch_assets_spark.operators import textstats as OT
+from elasticsearch_assets_spark.operators.sampling import stratified_sample
+from elasticsearch_assets_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="pipeline_demo", master="local[8]",
+                      shuffle_partitions=16)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+    print(f"[0] raw corpus: {n0} docs")
+
+    # 1. language ID + quality, both zero-shuffle column passes
+    lang = OT.lang_id(docs)
+    qual = OT.quality_score(docs)
+    enriched = (
+        docs.join(lang.withColumnRenamed("doc_id", "doc_id"), "doc_id")
+        .join(qual, "doc_id")
+    )
+    keep = enriched.where((F.col("quality") >= 0.3) & (F.col("pred_lang") != "und"))
+    n1 = keep.count()
+    print(f"[1] lang+quality filter: {n1} docs kept")
+
+    # 2. exact dedup (hash groupBy)
+    exact = OD.exact_dedup_filter(keep)
+    n2 = exact.count()
+    print(f"[2] exact dedup: {n2} docs")
+
+    # 3. near-dup clustering (LSH candidates -> verify -> components);
+    # 2-gram shingles — unigram sets are too coarse on short synthetic docs
+    pairs = OD.lsh_candidate_pairs(exact, n=2, k=8, bands=4, threshold=0.8)
+    clusters = OD.dedup_clusters(exact.select("doc_id"), pairs, max_iter=50)
+    best = OD.dedup_keep_best(clusters, qual)
+    survivors = exact.join(best.select("doc_id"), "doc_id", "left_semi")
+    n3 = survivors.count()
+    print(f"[3] near-dup keep-best: {n3} docs")
+
+    # 4. decontaminate vs a held-out benchmark sample (n-gram rule):
+    # decontaminate() returns the FLAGGED docs — anti-join to drop them
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    flagged = OD.decontaminate(survivors, bench, n=8)
+    clean = survivors.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    n4 = clean.count()
+    print(f"[4] decontaminated: {n4} docs ({survivors.count() - n4} flagged)")
+
+    # 5. mixture sampling by language (deterministic hash cut)
+    mixed = stratified_sample(
+        clean, "lang", {"en": 0.9, "de": 0.6, "fr": 0.6, "es": 0.6, "zh": 0.4}
+    )
+    n5 = mixed.count()
+    print(f"[5] mixture sample: {n5} docs")
+
+    # 6. context-window chunking into training units
+    chunks = OT.chunk_documents(mixed, window=64, stride=48)
+    n6 = chunks.count()
+    print(f"[6] chunks (64/48): {n6} training units")
+
+    # 7. accounting: what did we end up with, per stratum?
+    acct = OT.corpus_accounting(mixed, ["lang"])
+    print("[7] final mixture accounting:")
+    for r in acct.collect():
+        print(
+            f"    {r['lang']}: {r['n_docs']} docs, "
+            f"{r['total_tokens']} tokens, avg quality "
+            f"{r['avg_quality']:.3f}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
