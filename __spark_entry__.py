@@ -5644,6 +5644,166 @@ SELECT * FROM ({_bm25_phrase_sql(_PHRASE_TERMS)}) WHERE doc_id % 3 = 0
 
 
 # ---------------------------------------------------------------------------
+# Batch 3f: data-management APIs (sliced scroll, transforms, rollover,
+# snapshot/restore)
+# ---------------------------------------------------------------------------
+
+_SLICE_ID, _SLICE_MAX = 3, 8
+
+
+def _sliced_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sliced scroll (`slice: {id: 3, max: 8}`): worker 3 of 8 reads its
+    deterministic hash partition of the events scan — disjoint-and-covering
+    across workers (tested), zero coordination. The reference's
+    multi-worker scroll re-expressed as a pushed hash predicate."""
+    from elasticsearch_assets_spark.sources.reader import DateReader, ReaderConfig
+
+    cfg = ReaderConfig(
+        path=os.path.join(sf_dir, "events.parquet"),
+        date_field_name="ts",
+        slice_id=_SLICE_ID,
+        slice_max=_SLICE_MAX,
+        slice_field="event_id",
+        fields=["event_id", "event_type"],
+    )
+    return DateReader(spark, cfg).dataframe().select("event_id", "event_type")
+
+
+def _sliced_scan_sql() -> str:
+    from elasticsearch_assets_spark.sources.reader import slice_predicate_sql
+
+    return f"""
+SELECT event_id, event_type FROM events
+WHERE {slice_predicate_sql('event_id', _SLICE_ID, _SLICE_MAX)}
+"""
+
+
+def _transform_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES latest transform: newest event per user (sort ts desc, event_id
+    tie-break) — one window rank keyed by user_id, no join."""
+    from elasticsearch_assets_spark.operators.transforms import transform_latest
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    out = transform_latest(ev, "user_id", "ts", tiebreak="event_id")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+_TRANSFORM_LATEST_SQL = """
+SELECT user_id, event_id, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def _transform_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pivot transform: group_by event_type with value_count / avg /
+    max / cardinality aggregations — one hash agg, map-side partials."""
+    from elasticsearch_assets_spark.operators.transforms import transform_pivot
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    out = transform_pivot(
+        ev,
+        "event_type",
+        {
+            "n": ("value_count", "event_id"),
+            "avg_value": ("avg", "value"),
+            "max_value": ("max", "value"),
+            "n_users": ("cardinality", "user_id"),
+        },
+    )
+    return out.select(
+        "event_type", "n", _f4("avg_value").alias("avg_value"),
+        _f4("max_value").alias("max_value"), "n_users",
+    )
+
+
+_TRANSFORM_PIVOT_SQL = """
+SELECT event_type,
+       count(event_id)::BIGINT AS n,
+       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+       floor(max(value) * 10000.0 + 0.5) / 10000.0 AS max_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+"""
+
+_RO_MAX_DOCS, _RO_MAX_AGE = 1000, 5
+
+
+def _rollover_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rollover / ILM hot phase: assign every daily batch its write
+    index `logs-NNNNNN` under max_docs=1000 OR max_age=5d conditions
+    (check-after-write fold over the per-day batch table — planning-level,
+    one row per day)."""
+    from elasticsearch_assets_spark.operators.transforms import plan_rollover
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    out = plan_rollover(
+        ev, "ts", "logs", max_docs=_RO_MAX_DOCS, max_age_days=_RO_MAX_AGE
+    )
+    # day as ISO string: pandas widens DATE to timestamp asymmetrically
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_docs", "generation", "index_name",
+    )
+
+
+_ROLLOVER_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_docs
+  FROM events GROUP BY 1
+),
+seq AS (
+  SELECT day, n_docs, row_number() OVER (ORDER BY day) AS rn FROM daily
+),
+fold AS (
+  SELECT rn, day, n_docs, 1 AS generation, n_docs AS gdocs, day AS gstart
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.rn, s.day, s.n_docs,
+         CASE WHEN f.gdocs >= {_RO_MAX_DOCS} OR f.day - f.gstart >= {_RO_MAX_AGE}
+              THEN f.generation + 1 ELSE f.generation END,
+         CASE WHEN f.gdocs >= {_RO_MAX_DOCS} OR f.day - f.gstart >= {_RO_MAX_AGE}
+              THEN s.n_docs ELSE f.gdocs + s.n_docs END,
+         CASE WHEN f.gdocs >= {_RO_MAX_DOCS} OR f.day - f.gstart >= {_RO_MAX_AGE}
+              THEN s.day ELSE f.gstart END
+  FROM fold f JOIN seq s ON s.rn = f.rn + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_docs, generation::INT AS generation,
+       printf('logs-%06d', generation) AS index_name
+FROM fold ORDER BY day
+"""
+
+
+def _snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES snapshot + restore: snapshot the committed documents index into
+    a repository dir (hard-link clone), restore it as a NEW independent
+    index, and search the restored index — results identical to the
+    source at snapshot time (isolation from later writes is tested in
+    tests/test_round3f_ops.py)."""
+    import shutil
+    import uuid
+
+    from elasticsearch_assets_spark.query.engine import restore_snapshot
+
+    idx = _docs_index(spark, sf_dir)
+    scratch = os.path.join("/tmp", "esa_snap_repo", uuid.uuid4().hex[:12])
+    repo = os.path.join(scratch, "repo")
+    try:
+        idx.snapshot(repo, "snap1")
+        restored = restore_snapshot(
+            spark, repo, "snap1", os.path.join(scratch, "restored")
+        )
+        out = restored.search(["vector", "group"], k=None, mode="and")
+        res = out.select("doc_id", F.round("score", 4).alias("score"))
+        res = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return res
+
+
+_SNAPSHOT_RESTORE_SQL = _bm25_sql(["vector", "group"], "and", None)
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -5841,6 +6001,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_index": _timeseries_index,
         "bulk_route": _bulk_route,
         "scripted_upsert": _scripted_upsert,
+        "sliced_scan": _sliced_scan,
+        "transform_latest": _transform_latest,
+        "transform_pivot": _transform_pivot,
+        "rollover_plan": _rollover_plan,
+        "snapshot_restore": _snapshot_restore,
     }
 
 
@@ -6078,6 +6243,11 @@ FROM topk JOIN documents USING (doc_id)
         "timeseries_index": _TIMESERIES_SQL,
         "bulk_route": _BULK_ROUTE_SQL,
         "scripted_upsert": _SCRIPTED_UPSERT_SQL,
+        "sliced_scan": _sliced_scan_sql(),
+        "transform_latest": _TRANSFORM_LATEST_SQL,
+        "transform_pivot": _TRANSFORM_PIVOT_SQL,
+        "rollover_plan": _ROLLOVER_SQL,
+        "snapshot_restore": _SNAPSHOT_RESTORE_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -2743,6 +2743,20 @@ class InvertedIndex:
         equivalent is pinning the table snapshot id."""
         return PinnedIndex(self)
 
+    def snapshot(self, repo_dir: str, name: str) -> str:
+        """ES `PUT _snapshot/<repo>/<name>`: persist the current committed
+        state into a named repository entry (hard-link clone — O(files),
+        restorable any number of times via restore_snapshot). Unlike a PIT
+        (a transient handle under the index's own dir, gone on close), a
+        snapshot lives in an external repository and survives the index
+        itself being deleted. Refuses to overwrite an existing snapshot
+        (the ES snapshot-already-exists contract)."""
+        dst = os.path.join(repo_dir, name)
+        if os.path.exists(dst):
+            raise ValueError(f"snapshot {name!r} already exists in {repo_dir!r}")
+        clone_index_files(self.index_dir, dst)
+        return dst
+
     def mget(
         self, ids: list[int], corpus: DataFrame, id_col: str = "doc_id"
     ) -> DataFrame:
@@ -2896,6 +2910,65 @@ def render_template(template: str, params: dict) -> str:
     return re.sub(r"\{\{\s*(\w+)\s*\}\}", sub, template)
 
 
+def clone_index_files(src_dir: str, dst_dir: str) -> None:
+    """Hard-link clone of a committed index layout (segments, stats,
+    manifest, tombstones, meta/seg_map/build_params) into `dst_dir` —
+    metadata-only (no block copy, O(files) inode ops; falls back to copy2
+    across devices). The filesystem then acts as the segment refcount ES
+    implements in Lucene: later epoch finalizes and compaction deletes in
+    either tree cannot take blocks away from the other. Backs both PIT
+    handles and the snapshot/restore API; on an object store / Iceberg
+    deployment the equivalent is pinning/forking the table snapshot id."""
+    import glob
+    import shutil
+
+    seg_dirs = sorted(glob.glob(os.path.join(src_dir, "segments", "chunk=*")))
+    stats_files = sorted(glob.glob(os.path.join(src_dir, "stats", "*.parquet")))
+    if not seg_dirs or not stats_files:
+        raise ValueError(f"no committed snapshot at {src_dir!r}")
+
+    def link(src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device / FS without hard links
+            shutil.copy2(src, dst)
+
+    def link_glob(pattern: str, dst_sub: str) -> None:
+        files = glob.glob(os.path.join(src_dir, pattern))
+        if files:
+            os.makedirs(os.path.join(dst_dir, dst_sub), exist_ok=True)
+            for f in files:
+                link(f, os.path.join(dst_dir, dst_sub, os.path.basename(f)))
+
+    for d in seg_dirs:
+        sub = os.path.join("segments", os.path.basename(d))
+        link_glob(os.path.join(sub, "*.parquet"), sub)
+    link_glob(os.path.join("stats", "*.parquet"), "stats")
+    link_glob(os.path.join("manifest", "*.json"), "manifest")
+    link_glob(os.path.join("tombstones", "*.json"), "tombstones")
+    os.makedirs(dst_dir, exist_ok=True)
+    for f in ("meta.json", "seg_map.json", "build_params.json"):
+        if os.path.exists(os.path.join(src_dir, f)):
+            link(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+
+
+def restore_snapshot(
+    spark: SparkSession, repo_dir: str, name: str, dest_dir: str
+) -> InvertedIndex:
+    """ES `_snapshot/<repo>/<name>/_restore`: materialize the named
+    snapshot as a NEW independent index at `dest_dir` and open it.
+    Hard-link restore — O(files), no data copy; the restored index is
+    fully live (writes/deletes/compaction on it never touch the snapshot,
+    and vice versa — the refcount argument in clone_index_files)."""
+    src = os.path.join(repo_dir, name)
+    if not os.path.exists(os.path.join(src, "meta.json")):
+        raise ValueError(f"no snapshot {name!r} in repository {repo_dir!r}")
+    if os.path.exists(dest_dir):
+        raise ValueError(f"restore target {dest_dir!r} already exists")
+    clone_index_files(src, dest_dir)
+    return InvertedIndex(spark, dest_dir)
+
+
 class PinnedIndex(InvertedIndex):
     """A point-in-time snapshot handle (InvertedIndex.pit): the SAME
     kernels and plans — only the data files, collection stats, and
@@ -2912,37 +2985,13 @@ class PinnedIndex(InvertedIndex):
     Call close() to release the snapshot (the ES keep_alive expiry)."""
 
     def __init__(self, base: InvertedIndex):
-        import glob
-        import shutil
         import uuid
 
         from elasticsearch_assets_spark.index.tombstones import load_tombstones
 
-        seg_dirs = sorted(
-            glob.glob(os.path.join(base.index_dir, "segments", "chunk=*"))
-        )
-        stats_files = sorted(
-            glob.glob(os.path.join(base.index_dir, "stats", "*.parquet"))
-        )
-        if not seg_dirs or not stats_files:
-            raise ValueError(f"no committed snapshot at {base.index_dir!r}")
         self.pit_dir = os.path.join(
             base.index_dir, "pits", uuid.uuid4().hex[:12]
         )
-
-        def link(src: str, dst: str) -> None:
-            try:
-                os.link(src, dst)
-            except OSError:  # cross-device / FS without hard links
-                shutil.copy2(src, dst)
-
-        def link_glob(pattern: str, dst_dir: str) -> None:
-            files = glob.glob(os.path.join(base.index_dir, pattern))
-            if files:
-                os.makedirs(dst_dir, exist_ok=True)
-                for f in files:
-                    link(f, os.path.join(dst_dir, os.path.basename(f)))
-
         # the snapshot is a full hard-link CLONE of the index layout —
         # segments, stats, meta, seg_map, manifest, tombstones — so every
         # inherited read path (including the cogrouped filtered-search
@@ -2951,21 +3000,7 @@ class PinnedIndex(InvertedIndex):
         # seg map matches the pinned chunks by construction; the live one
         # may have been remapped by a compaction (silently wrong routing —
         # the bug this clone design fixed).
-        for d in seg_dirs:
-            link_glob(
-                os.path.join("segments", os.path.basename(d), "*.parquet"),
-                os.path.join(self.pit_dir, "segments", os.path.basename(d)),
-            )
-        link_glob(os.path.join("stats", "*.parquet"),
-                  os.path.join(self.pit_dir, "stats"))
-        link_glob(os.path.join("manifest", "*.json"),
-                  os.path.join(self.pit_dir, "manifest"))
-        link_glob(os.path.join("tombstones", "*.json"),
-                  os.path.join(self.pit_dir, "tombstones"))
-        for f in ("meta.json", "seg_map.json", "build_params.json"):
-            if os.path.exists(os.path.join(base.index_dir, f)):
-                link(os.path.join(base.index_dir, f),
-                     os.path.join(self.pit_dir, f))
+        clone_index_files(base.index_dir, self.pit_dir)
         self.spark = base.spark
         self.index_dir = self.pit_dir  # all inherited paths read the clone
         self.meta = load_meta(self.pit_dir)

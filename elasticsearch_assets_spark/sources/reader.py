@@ -74,6 +74,13 @@ class ReaderConfig:
     # (subslice_key_threshold default: elasticsearch_reader/index.js:154)
     subslice_by_key: bool = False
     subslice_key_threshold: int = 50_000
+    # ES sliced scroll (`slice: {id, max}`): deterministic hash partition of
+    # the scan by a key column — worker w of W reads slice_id=w, slice_max=W.
+    # ES hashes _id with murmur; the engine contract is the cross-engine
+    # 60-bit md5 hash (operators/texthash.py), same split every run.
+    slice_id: int | None = None
+    slice_max: int | None = None
+    slice_field: str | None = None  # defaults to key_field
     # analysis
     text_col: str = "text"
 
@@ -98,6 +105,34 @@ class ReaderConfig:
             geo_ops.parse_distance(self.geo_distance)
         if self.time_resolution not in ("s", "ms"):
             raise ValueError("time_resolution must be 's' or 'ms'")
+        if (self.slice_id is None) != (self.slice_max is None):
+            raise ValueError("sliced scroll needs both slice_id and slice_max")
+        if self.slice_id is not None:
+            if self.slice_max < 2:
+                raise ValueError("slice_max must be >= 2 (the ES contract)")
+            if not (0 <= self.slice_id < self.slice_max):
+                raise ValueError("slice_id must be in [0, slice_max)")
+            if self.slice_field is None and self.key_field is None:
+                raise ValueError("sliced scroll needs slice_field or key_field")
+
+
+def slice_predicate_col(field: str, slice_id: int, slice_max: int) -> Column:
+    """ES sliced-scroll partition predicate: doc belongs to slice s of W iff
+    hash60(field) % W == s. Slices are disjoint and cover the table by
+    construction (tested), so W independent jobs can split one scan with no
+    coordination — the reference's multi-worker scroll contract. Stays a
+    pushable-adjacent JVM expression (md5+conv in codegen; the scan itself
+    still prunes on any conjoined range predicates)."""
+    from elasticsearch_assets_spark.operators.texthash import hash60_expr
+
+    return (hash60_expr(F.col(field).cast("string")) % slice_max) == slice_id
+
+
+def slice_predicate_sql(field: str, slice_id: int, slice_max: int) -> str:
+    """DuckDB twin of slice_predicate_col (value-identical hash)."""
+    from elasticsearch_assets_spark.operators.texthash import hash60_sql
+
+    return f"({hash60_sql(f'CAST({field} AS VARCHAR)')} % {slice_max}) = {slice_id}"
 
 
 def attach_metadata(
@@ -173,6 +208,11 @@ class BaseReader:
                     pred,
                     geo_ops.distance_predicate(lat, lon, c.geo_point, c.geo_distance),
                 )
+        if c.slice_id is not None:
+            fieldname = c.slice_field or c.key_field
+            pred = conj(
+                pred, slice_predicate_col(fieldname, c.slice_id, c.slice_max)
+            )
         return pred
 
     def _project(self, df: DataFrame) -> DataFrame:
