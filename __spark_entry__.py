@@ -5804,6 +5804,210 @@ _SNAPSHOT_RESTORE_SQL = _bm25_sql(["vector", "group"], "and", None)
 
 
 # ---------------------------------------------------------------------------
+# Batch 3g: decay scoring, n-term span_near, synonyms, EQL sequences,
+# bucket_correlation, kNN outliers
+# ---------------------------------------------------------------------------
+
+_DECAY_ORIGIN, _DECAY_SCALE, _DECAY_DECAY = 500.0, 300.0, 0.5
+# the exact constant the engine multiplies with (2·sigma²) — embedded into
+# the oracle so both engines share ONE float, not two formula spellings
+_DECAY_2S2 = repr(-(_DECAY_SCALE**2) / __import__("math").log(_DECAY_DECAY))
+
+
+def _decay_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score gauss decay on n_chars (origin 500, scale 300,
+    decay 0.5) × BM25('spark') — the decay is a pure JVM expression over
+    the corpus projection (enrich-join shape, no Python)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = idx.decay_score(
+        ["spark"], docs, "n_chars",
+        origin=_DECAY_ORIGIN, scale=_DECAY_SCALE, decay=_DECAY_DECAY,
+        fn="gauss", boost_mode="multiply", k=None, mode="and",
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _decay_gauss_sql() -> str:
+    exact = _bm25_sql(["spark"], "and", None).replace(
+        "SELECT doc_id, round(s, 4) AS score", "SELECT doc_id, s"
+    )
+    d = f"greatest(0.0, abs(d.n_chars::DOUBLE - {_DECAY_ORIGIN}))"
+    return f"""
+WITH base AS ({exact})
+SELECT b.doc_id,
+       round(b.s * exp(-({d} * {d}) / {_DECAY_2S2}), 4) AS score
+FROM base b JOIN documents d USING (doc_id)
+"""
+
+
+_NEAR3_TERMS, _NEAR3_SLOP = ["table", "hash", "row"], 4
+
+
+def _bm25_span_near3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause unordered span_near (slop 4): all three terms inside
+    a window of width <= 3 + slop in any order — the minimal-covering-
+    window positional kernel (phrase.near_any_match), scored as BM25 AND
+    restricted to matching docs."""
+    idx = _docs_index_pos(spark, sf_dir)
+    out = idx.search_span_near(
+        _NEAR3_TERMS, slop=_NEAR3_SLOP, in_order=False, k=None
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_span_near3_sql() -> str:
+    t1, t2, t3 = _NEAR3_TERMS
+    w = len(_NEAR3_TERMS) + _NEAR3_SLOP
+    exact = _bm25_sql(list(_NEAR3_TERMS), "and", None)
+    # brute-force positional witness: any (p1, p2, p3) with
+    # greatest - least + 1 <= window
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+hits AS (
+  SELECT DISTINCT a.doc_id FROM ptoks a
+  JOIN ptoks b ON b.doc_id = a.doc_id AND b.term = '{t2}'
+  JOIN ptoks c ON c.doc_id = a.doc_id AND c.term = '{t3}'
+  WHERE a.term = '{t1}'
+    AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) + 1 <= {w}
+)
+SELECT * FROM ({exact}) WHERE doc_id IN (SELECT doc_id FROM hits)
+"""
+
+
+_SYN_MAP = {"join": ["merge"]}
+
+
+def _synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion: `spark AND join` with join≡merge —
+    clause groups [[spark], [join, merge]] through the group-conjunctive
+    kernel; every matched variant scores with its own idf
+    (scoring_boolean, the engine's documented SynonymQuery deviation)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search_synonyms(["spark", "join"], _SYN_MAP, k=None, mode="and")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_SYNONYM_SQL = f"""
+WITH {_bm25_body(
+    "term IN ('spark', 'join', 'merge')",
+    having=(
+        "HAVING max(CASE WHEN tf.term = 'spark' THEN 1 ELSE 0 END) = 1 "
+        "AND max(CASE WHEN tf.term IN ('join', 'merge') THEN 1 ELSE 0 END) = 1"
+    ),
+)}
+SELECT doc_id, round(s, 4) AS score FROM scored
+"""
+
+_EQL_SPAN_S = 3600
+
+
+def _eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL `sequence by user_id with maxspan=1h [view] [error]`: per user,
+    each view event chained to the EARLIEST following error within the
+    span — one window pass (min of a conditional doc-blocked key over the
+    following frame), ids decoded from the key, no self-join."""
+    from elasticsearch_assets_spark.operators.sequences import eql_sequence
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    return eql_sequence(
+        ev, "user_id",
+        ["event_type = 'view'", "event_type = 'error'"],
+        maxspan_seconds=_EQL_SPAN_S,
+    )
+
+
+_EQL_SQL = f"""
+WITH keyed AS (
+  SELECT user_id, event_type,
+         date_diff('millisecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+           * 1000000 + event_id AS k
+  FROM events
+),
+nxt AS (
+  SELECT user_id, event_type, k,
+         min(CASE WHEN event_type = 'error' THEN k END) OVER (
+           PARTITION BY user_id ORDER BY k
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS n1
+  FROM keyed
+)
+SELECT user_id, (k % 1000000)::BIGINT AS id_0, (n1 % 1000000)::BIGINT AS id_1,
+       ((n1 // 1000000) - (k // 1000000))::BIGINT AS span_ms
+FROM nxt
+WHERE event_type = 'view' AND n1 IS NOT NULL
+  AND (n1 // 1000000) - (k // 1000000) <= {_EQL_SPAN_S * 1000}
+"""
+
+_BC_INDICATOR = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+
+
+def _bucket_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_correlation pipeline agg: Pearson correlation between the
+    'spark' match set's n_chars-histogram bucket counts (interval 200,
+    absent buckets 0) and a 10-entry indicator — one semi-joined hash agg
+    + a corr over bucket cardinality."""
+    from elasticsearch_assets_spark.operators.facets import bucket_correlation
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = bucket_correlation(matches, docs, "n_chars", 200.0, _BC_INDICATOR)
+    return out.select(_f4("correlation").alias("correlation"))
+
+
+_BUCKET_CORR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+hist AS (
+  SELECT floor(d.n_chars / 200.0)::BIGINT AS b, count(*)::DOUBLE AS cnt
+  FROM documents d JOIN m USING (doc_id)
+  WHERE floor(d.n_chars / 200.0) >= 0 AND floor(d.n_chars / 200.0) < 10
+  GROUP BY 1
+),
+ind AS (
+  SELECT i AS b, (i + 1)::DOUBLE AS ind FROM range(0, 10) r(i)
+),
+dense AS (
+  SELECT ind.b, coalesce(hist.cnt, 0.0) AS cnt, ind.ind
+  FROM ind LEFT JOIN hist USING (b)
+)
+SELECT floor(corr(cnt, ind) * 10000.0 + 0.5) / 10000.0 AS correlation FROM dense
+"""
+
+_KNN_OUT_K, _KNN_OUT_N = 5, 10
+
+
+def _knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ML outlier detection (distance to the k-th nearest neighbor,
+    cosine distance, k=5): top-10 most isolated embeddings — the labeled
+    exact O(n²) verification baseline (the scale path probes IVF/LSH
+    buckets; see operators/similarity.py)."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    out = OS.knn_outlier_scores(emb, k=_KNN_OUT_K, top_n=_KNN_OUT_N)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+_KNN_OUTLIERS_SQL = f"""
+SELECT vec_id, round(score, 4) AS score FROM (
+  SELECT a_id AS vec_id, dist AS score FROM (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, 1.0 - {_COS_AB} AS dist
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  )
+  QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY dist ASC, b_id ASC) = {_KNN_OUT_K}
+)
+ORDER BY score DESC, vec_id ASC LIMIT {_KNN_OUT_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -6006,6 +6210,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_pivot": _transform_pivot,
         "rollover_plan": _rollover_plan,
         "snapshot_restore": _snapshot_restore,
+        "decay_gauss": _decay_gauss,
+        "bm25_span_near3": _bm25_span_near3,
+        "synonym_search": _synonym_search,
+        "eql_sequence": _eql_sequence,
+        "bucket_corr": _bucket_corr,
+        "knn_outliers": _knn_outliers,
     }
 
 
@@ -6248,6 +6458,12 @@ FROM topk JOIN documents USING (doc_id)
         "transform_pivot": _TRANSFORM_PIVOT_SQL,
         "rollover_plan": _ROLLOVER_SQL,
         "snapshot_restore": _SNAPSHOT_RESTORE_SQL,
+        "decay_gauss": _decay_gauss_sql(),
+        "bm25_span_near3": _bm25_span_near3_sql(),
+        "synonym_search": _SYNONYM_SQL,
+        "eql_sequence": _EQL_SQL,
+        "bucket_corr": _BUCKET_CORR_SQL,
+        "knn_outliers": _KNN_OUTLIERS_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

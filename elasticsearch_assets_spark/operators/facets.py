@@ -2018,3 +2018,40 @@ def facet_percentiles_bucket(
         .select("x.percent", "x.value")
         .orderBy("percent")
     )
+
+
+def bucket_correlation(
+    matches: DataFrame,
+    corpus: DataFrame,
+    value_col: str,
+    interval: float,
+    indicator: list[float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES bucket_correlation pipeline agg (count_correlation function):
+    Pearson correlation between a histogram's per-bucket doc counts and a
+    caller-supplied indicator array of the SAME length — the ES contract
+    (indicator[i] pairs with bucket i; fewer/more buckets than indicator
+    entries is an error there, here absent buckets count 0).
+
+    Plan: one semi-join-restricted histogram (hash agg on the bucket key)
+    densified against the indicator's index range (tiny literal range,
+    no shuffle), then Spark's corr aggregate over BUCKET cardinality."""
+    if len(indicator) < 2:
+        raise ValueError("indicator needs >= 2 entries")
+    spark = matches.sparkSession
+    hist = (
+        corpus.join(matches.select(id_col), id_col, "left_semi")
+        .select(F.floor(F.col(value_col) / F.lit(float(interval))).alias("b"))
+        .where((F.col("b") >= 0) & (F.col("b") < len(indicator)))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ind = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(indicator)], "b bigint, ind double"
+    )
+    dense = ind.join(hist, "b", "left").select(
+        "b", F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("cnt"),
+        "ind",
+    )
+    return dense.agg(F.corr("cnt", "ind").alias("correlation"))

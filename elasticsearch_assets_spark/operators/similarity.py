@@ -441,3 +441,51 @@ def quantized_cosine_topk(
         ).alias("score"),
     ).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return out.limit(k) if k is not None else out
+
+
+def knn_outlier_scores(
+    df: DataFrame,
+    k: int = 5,
+    top_n: int | None = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ES ML outlier detection (distance_kth_nn feature): each vector's
+    outlier score is its COSINE DISTANCE (1 - cosine) to its k-th nearest
+    neighbor — isolated points score high. Returns the top_n outliers
+    (score DESC, id ASC), or all scores when top_n is None.
+
+    Scale contract: this is the EXACT O(n²) verification baseline (like
+    dedup.embedding_neardup) — a labeled range-join over normalized
+    vectors with the k-th distance taken by one window rank. The 100 TB
+    path replaces the cross join with the IVF/LSH candidate generation in
+    this module (probe each vector's own buckets, score = k-th NN within
+    the probed candidates — an upper bound that converges with nprobe)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = df.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
+    pairs = a.join(b, F.col("a_id") != F.col("b_id"))
+    dist = (
+        F.lit(1.0)
+        - dot_expr(F.col("a_vec"), F.col("b_vec"))
+        / (norm_expr(F.col("a_vec")) * norm_expr(F.col("b_vec")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("dist").asc(), F.col("b_id").asc()
+    )
+    kth = (
+        pairs.select("a_id", "b_id", dist.alias("dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == k)
+        .select(F.col("a_id").alias(id_col), F.col("dist").alias("score"))
+    )
+    out = kth.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return out.limit(top_n) if top_n is not None else out

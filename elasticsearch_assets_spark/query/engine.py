@@ -1584,6 +1584,127 @@ class InvertedIndex:
             [("term", t) for t in terms], doc_fn, k
         )
 
+    def search_span_near(
+        self,
+        terms: list[str],
+        slop: int = 0,
+        in_order: bool = False,
+        k: int | None = 10,
+    ) -> DataFrame:
+        """ES span_near with n width-1 clauses: all terms inside a token
+        window of width <= len(terms) + slop (the Lucene slop contract),
+        ordered when in_order. Ordered delegates to the intervals kernel
+        (identical width bound with order enforced); unordered uses the
+        minimal-covering-window kernel (phrase.near_any_match). Scoring:
+        BM25 over the distinct terms restricted to matching docs — the
+        engine's uniform span-scoring contract."""
+        if len(terms) < 2:
+            raise ValueError("span_near needs >= 2 terms")
+
+        def doc_fn(postings):
+            from elasticsearch_assets_spark.query.phrase import (
+                intervals_match,
+                near_any_match,
+            )
+
+            if in_order:
+                return intervals_match(postings, terms, slop)
+            return near_any_match(postings, terms, slop)
+
+        return self._span_search([("term", t) for t in terms], doc_fn, k)
+
+    def search_synonyms(
+        self,
+        query: str | list[str],
+        synonyms: dict[str, list[str]],
+        k: int | None = 10,
+        mode: str = "and",
+        **kwargs,
+    ) -> DataFrame:
+        """Query-time synonym expansion (ES synonym_graph filter on the
+        search analyzer): each query term becomes the OR-group
+        {term} ∪ synonyms[term], combined per `mode` — AND-of-groups rides
+        the clause-level group kernel (any group member matches the
+        clause), OR flattens to one disjunction. Scoring deviation,
+        documented: ES's SynonymQuery blends the group's df and scores it
+        as one pseudo-term; this engine scores each matched variant with
+        its own idf (scoring_boolean — the same deviation as the
+        multiterm rewrites, so synonym results stay rank-identical across
+        every build/partition path and have an exact SQL oracle)."""
+        from elasticsearch_assets_spark.query.expand import synonym_groups
+
+        terms = query.split() if isinstance(query, str) else list(query)
+        groups = synonym_groups(terms, synonyms)
+        if mode == "or":
+            flat = sorted({t for g in groups for t in g})
+            return self.search(flat, k=k, mode="or", **kwargs)
+        return self.search(terms, k=k, mode="and", groups=groups, **kwargs)
+
+    def decay_score(
+        self,
+        query: str | list[str],
+        corpus: DataFrame,
+        field: str,
+        origin: float,
+        scale: float,
+        offset: float = 0.0,
+        decay: float = 0.5,
+        fn: str = "gauss",
+        boost_mode: str = "multiply",
+        k: int | None = 10,
+        mode: str = "and",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES function_score decay functions (gauss / exp / linear) on a
+        numeric field: d = max(0, |field - origin| - offset), then
+          gauss:  exp(-d² / 2σ²),  σ² = -scale² / (2·ln decay)
+          exp:    exp(d · ln(decay) / scale)
+          linear: max(0, (s - d) / s),  s = scale / (1 - decay)
+        — ES's exact formulas (decay reached at distance `scale`).
+        Combined with BM25 per boost_mode like function_score. The decay
+        is a pure JVM column expression over the corpus projection
+        (enrich-join shape); date fields pass their numeric encoding
+        (epoch millis/days) as `field` via a prior projection."""
+        import math as _math
+
+        if fn not in ("gauss", "exp", "linear"):
+            raise ValueError(f"unknown decay function {fn!r}")
+        if boost_mode not in ("multiply", "sum", "max", "replace"):
+            raise ValueError(f"unknown boost_mode {boost_mode!r}")
+        if not (0.0 < decay < 1.0):
+            raise ValueError("decay must be in (0, 1)")
+        if scale <= 0:
+            raise ValueError("scale must be positive")
+        scored = self.search(query, k=None, mode=mode)
+        d = F.greatest(
+            F.lit(0.0),
+            F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+            - F.lit(float(offset)),
+        )
+        if fn == "gauss":
+            sigma2 = -(float(scale) ** 2) / (2.0 * _math.log(decay))
+            fv = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+        elif fn == "exp":
+            lam = _math.log(decay) / float(scale)
+            fv = F.exp(d * F.lit(lam))
+        else:
+            s = float(scale) / (1.0 - decay)
+            fv = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+        proj = corpus.select(F.col(id_col).alias("doc_id"), fv.alias("fv"))
+        sc, f_ = F.col("score"), F.col("fv")
+        combined = (
+            sc * f_ if boost_mode == "multiply"
+            else sc + f_ if boost_mode == "sum"
+            else F.greatest(sc, f_) if boost_mode == "max"
+            else f_
+        )
+        out = (
+            scored.join(proj, "doc_id")
+            .select("doc_id", combined.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+
     # -- inspection APIs ----------------------------------------------------
 
     EXPLAIN_SCHEMA = (

@@ -124,3 +124,24 @@ def expand_terms(stats, cond: Column, max_expansions: int | None = None) -> list
             max_expansions
         )
     return sorted(r["term"] for r in sdf.collect())
+
+
+def synonym_groups(
+    terms: list[str], synonyms: dict[str, list[str]]
+) -> list[list[str]]:
+    """Query-time synonym expansion (the ES synonym_graph token filter as
+    applied by the search analyzer): each query term becomes the clause
+    group {term} ∪ synonyms[term] — one Lucene BooleanQuery clause whose
+    members are interchangeable. Groups feed the engine's clause-level
+    group kernel (wand.topk_group_conjunctive). Expansion is symmetric
+    only if the caller's map is (ES equivalent-synonyms lists expand every
+    direction; a one-way `a => b` map is the contraction form)."""
+    if not terms:
+        raise ValueError("synonym expansion needs at least one query term")
+    groups: list[list[str]] = []
+    for t in terms:
+        alts = synonyms.get(t, [])
+        if any(not isinstance(a, str) or not a for a in alts):
+            raise ValueError(f"invalid synonym list for {t!r}")
+        groups.append(sorted({t, *alts}))
+    return groups

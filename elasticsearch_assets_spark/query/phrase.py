@@ -449,6 +449,73 @@ def span_within_spans(
     return _span_sort(ld[ok], ls[ok], le[ok])
 
 
+def near_any_match(
+    postings: dict[str, TermPostings],
+    terms: list[str],
+    slop: int,
+) -> np.ndarray:
+    """Sorted doc ids (of one segment) containing ALL `terms` in ANY order
+    inside a token window of width <= len(terms) + slop — Lucene's n-term
+    SpanNearQuery(inOrder=false) over width-1 clauses (Lucene's slop is
+    window width minus the number of clauses). The ordered variant is
+    intervals_match (identical width bound, order enforced).
+
+    Kernel: minimal covering window per anchor. Every minimal window
+    covering all terms starts at some term occurrence, and the smallest
+    window starting at anchor position p ends at max over t of the first
+    occurrence of t at position >= p — so one searchsorted per term over
+    the doc-blocked key space decides every anchor, fully vectorized
+    (O(k · occ · log occ), no per-doc Python loop)."""
+    empty = np.array([], dtype=np.int64)
+    if len(terms) < 2:
+        raise ValueError("near_any_match needs >= 2 terms")
+    if len(set(terms)) != len(terms):
+        raise ValueError("near_any_match terms must be distinct")
+    if any(t not in postings for t in terms):
+        return empty
+    cand = postings[terms[0]].doc_ids
+    for t in terms[1:]:
+        cand = _sorted_intersect(cand, postings[t].doc_ids)
+        if cand.size == 0:
+            return empty
+    occ: dict[str, np.ndarray] = {}  # doc-blocked occurrence keys, sorted
+    maxpos = 0
+    pos_by_t: dict[str, np.ndarray] = {}
+    docs_by_t: dict[str, np.ndarray] = {}
+    for t in terms:
+        tp = postings[t]
+        tfs, _ = tp.full()
+        pos = tp.positions()
+        hit = np.isin(tp.doc_ids, cand, assume_unique=True)
+        keep = np.repeat(hit, tfs)
+        docs_o = np.repeat(tp.doc_ids, tfs)[keep]
+        pos_o = pos[keep]
+        if pos_o.size == 0:
+            return empty
+        docs_by_t[t] = docs_o
+        pos_by_t[t] = pos_o
+        maxpos = max(maxpos, int(pos_o.max()))
+    M = np.int64(maxpos + 2)
+    for t in terms:
+        occ[t] = np.searchsorted(cand, docs_by_t[t]) * M + pos_by_t[t]
+    anchors = np.sort(np.concatenate([occ[t] for t in terms]))
+    end = anchors.copy()  # max over terms of next-occurrence key
+    alive = np.ones(anchors.shape, dtype=bool)
+    for t in terms:
+        kt = occ[t]
+        idx = np.searchsorted(kt, anchors, side="left")
+        ok = idx < kt.size
+        nxt = kt[np.minimum(idx, kt.size - 1)]
+        ok &= (nxt // M) == (anchors // M)  # same doc
+        alive &= ok
+        end = np.maximum(end, np.where(ok, nxt, end))
+    width = (end % M) - (anchors % M) + 1
+    hit = alive & (width <= len(terms) + slop)
+    if not hit.any():
+        return empty
+    return cand[np.unique(anchors[hit] // M)]
+
+
 def intervals_match(
     postings: dict[str, TermPostings],
     terms: list[str],
