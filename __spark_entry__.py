@@ -2041,12 +2041,12 @@ def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, n_planes: int = 8, seed_offset: int = 0) -> str:
     """Sign-LSH bucket code in SQL with the same deterministic hyperplanes.
     (float() before repr: numpy >= 2 scalar repr is 'np.float64(x)'.)"""
-    planes = OS._planes(8, 64)
+    planes = OS._planes(n_planes, 64, seed_offset)
     terms = []
-    for i in range(8):
+    for i in range(n_planes):
         dot = " + ".join(
             f"{vec}[{d + 1}]::DOUBLE * {float(planes[i][d])!r}" for d in range(64)
         )
@@ -6008,6 +6008,152 @@ ORDER BY score DESC, vec_id ASC LIMIT {_KNN_OUT_N}
 
 
 # ---------------------------------------------------------------------------
+# Batch 3h: corpus-LM quality, hashed classifier, LSH near-dup pairs,
+# parent agg, KS-test agg
+# ---------------------------------------------------------------------------
+
+
+def _unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus's own unigram LM — the
+    order-0 KenLM quality proxy (textstats.unigram_lm_score: one term
+    hash agg + one join back + one doc hash agg)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OT.unigram_lm_score(docs)
+    return out.select("doc_id", "n_tokens", _f4("xent").alias("xent"))
+
+
+def _unigram_lm_sql() -> str:
+    return f"""
+SELECT doc_id, n_tokens,
+       floor(xent * 10000.0 + 0.5) / 10000.0 AS xent
+FROM ({OT.unigram_lm_sql()})
+"""
+
+
+def _hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed linear classifier (deterministic stand-in
+    weights, declared model boundary): sigmoid of the mean hashed-bucket
+    weight — pure JVM fold, zero shuffle."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OT.hash_classifier_score(docs, n_buckets=4096)
+    return out.select("doc_id", "n_tokens", _f4("score").alias("score"))
+
+
+def _hash_classifier_sql() -> str:
+    return f"""
+SELECT doc_id, n_tokens,
+       floor(score * 10000.0 + 0.5) / 10000.0 AS score
+FROM ({OT.hash_classifier_sql(n_buckets=4096)})
+"""
+
+
+_LSH_ND_PLANES, _LSH_ND_TABLES = 4, 8
+
+
+def _emb_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs THROUGH banded sign-LSH tables (the scale
+    path for the exact emb_neardup baseline): candidates agree on all 4
+    plane signs in >= 1 of 8 tables (band-OR, ~0.80 expected recall at
+    this corpus's pair angles), exact cosine >= 0.45 verify."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    out = OS.lsh_neardup_pairs(
+        emb, tau=0.45, n_planes=_LSH_ND_PLANES, n_tables=_LSH_ND_TABLES
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _emb_lsh_neardup_sql() -> str:
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{_bucket_sql('embedding', _LSH_ND_PLANES, t)} AS c FROM embeddings"
+        for t in range(_LSH_ND_TABLES)
+    )
+    return f"""
+WITH coded AS ({tables}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM coded a JOIN coded b ON a.t = b.t AND a.c = b.c AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
+  SELECT id_a, id_b, {_COS_AB.replace('a.embedding', 'va.embedding').replace('b.embedding', 'vb.embedding')} AS cos
+  FROM cand JOIN embeddings va ON va.vec_id = id_a
+            JOIN embeddings vb ON vb.vec_id = id_b
+) WHERE cos >= 0.45
+"""
+
+
+def _facet_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent agg (children's inverse hop): return-flag buckets on
+    CHILD lineitems, metrics over the DISTINCT parent orders — a parent
+    reached via several children counts once."""
+    from elasticsearch_assets_spark.operators.facets import facet_parent
+
+    li = load_sf_table(spark, sf_dir, "lineitem")
+    orders = load_sf_table(spark, sf_dir, "orders")
+    out = facet_parent(
+        li, orders, "l_returnflag", "l_orderkey", "o_orderkey", "o_totalprice"
+    )
+    return out.select(
+        "l_returnflag", "parent_count", _f4("sum_value").alias("sum_value")
+    )
+
+
+_FACET_PARENT_SQL = """
+WITH uniq AS (
+  SELECT DISTINCT l.l_returnflag, o.o_orderkey, o.o_totalprice
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT l_returnflag, count(*)::BIGINT AS parent_count,
+       floor(sum(o_totalprice) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM uniq GROUP BY 1 ORDER BY 1
+"""
+
+
+def _facet_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_count_ks_test: KS statistics (less / greater /
+    two_sided) of the 'spark' match set's n_chars histogram against the
+    uniform expectation over 10 buckets."""
+    from elasticsearch_assets_spark.operators.facets import bucket_count_ks_test
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = bucket_count_ks_test(matches, docs, "n_chars", 200.0, 10)
+    return out.select(
+        _f4("less").alias("less"),
+        _f4("greater").alias("greater"),
+        _f4("two_sided").alias("two_sided"),
+    )
+
+
+_FACET_KS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+hist AS (
+  SELECT floor(d.n_chars / 200.0)::BIGINT AS b, count(*)::DOUBLE AS cnt
+  FROM documents d JOIN m USING (doc_id)
+  WHERE floor(d.n_chars / 200.0) >= 0 AND floor(d.n_chars / 200.0) < 10
+  GROUP BY 1
+),
+dense AS (
+  SELECT i AS b, coalesce(hist.cnt, 0.0) AS cnt, 0.1 AS frac
+  FROM range(0, 10) r(i) LEFT JOIN hist ON hist.b = i
+),
+diffs AS (
+  SELECT (sum(cnt) OVER (ORDER BY b) / sum(cnt) OVER ())
+         - sum(frac) OVER (ORDER BY b) AS d
+  FROM dense
+)
+SELECT floor(-min(d) * 10000.0 + 0.5) / 10000.0 AS less,
+       floor(max(d) * 10000.0 + 0.5) / 10000.0 AS greater,
+       floor(max(abs(d)) * 10000.0 + 0.5) / 10000.0 AS two_sided
+FROM diffs
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -6216,6 +6362,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence": _eql_sequence,
         "bucket_corr": _bucket_corr,
         "knn_outliers": _knn_outliers,
+        "unigram_lm": _unigram_lm,
+        "hash_classifier": _hash_classifier,
+        "emb_lsh_neardup": _emb_lsh_neardup,
+        "facet_parent": _facet_parent,
+        "facet_ks_test": _facet_ks_test,
     }
 
 
@@ -6464,6 +6615,11 @@ FROM topk JOIN documents USING (doc_id)
         "eql_sequence": _EQL_SQL,
         "bucket_corr": _BUCKET_CORR_SQL,
         "knn_outliers": _KNN_OUTLIERS_SQL,
+        "unigram_lm": _unigram_lm_sql(),
+        "hash_classifier": _hash_classifier_sql(),
+        "emb_lsh_neardup": _emb_lsh_neardup_sql(),
+        "facet_parent": _FACET_PARENT_SQL,
+        "facet_ks_test": _FACET_KS_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

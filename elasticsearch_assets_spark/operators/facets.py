@@ -2055,3 +2055,90 @@ def bucket_correlation(
         "ind",
     )
     return dense.agg(F.corr("cnt", "ind").alias("correlation"))
+
+
+def facet_parent(
+    children: DataFrame,
+    parents: DataFrame,
+    group_col: str,
+    child_key: str,
+    parent_key: str,
+    value_col: str,
+) -> DataFrame:
+    """ES parent aggregation (the children agg's inverse hop): buckets on
+    a CHILD field, metrics over the DISTINCT parent documents of each
+    bucket's children — a parent reached through several children counts
+    once (the ES join-field contract, same dedup rule as reverse_nested).
+
+    Plan: equi-join child→parent on the key, ONE distinct-reduce on
+    (bucket, parent) — the exact-dedup shuffle — then ONE hash agg on the
+    bucket. Returns (group_col, parent_count, sum_value), group ASC."""
+    j = children.select(F.col(group_col), F.col(child_key).alias("__pk")).join(
+        parents.select(
+            F.col(parent_key).alias("__pk"), F.col(value_col).alias("__v")
+        ),
+        "__pk",
+    )
+    uniq = j.select(group_col, "__pk", "__v").distinct()
+    return (
+        uniq.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("parent_count"),
+            F.sum("__v").alias("sum_value"),
+        )
+        .orderBy(F.col(group_col).asc())
+    )
+
+
+def bucket_count_ks_test(
+    matches: DataFrame,
+    corpus: DataFrame,
+    value_col: str,
+    interval: float,
+    n_buckets: int,
+    fractions: list[float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES bucket_count_ks_test pipeline agg: the Kolmogorov–Smirnov
+    statistic between a histogram's bucket-count distribution and an
+    expected `fractions` distribution (uniform when omitted — the ES
+    default), for the three alternatives (less / greater / two_sided =
+    signed min / signed max / max abs ECDF difference).
+
+    Plan: one semi-joined hash agg to bucket counts, densified over the
+    literal bucket range, then window prefix-sums over BUCKET cardinality
+    (tiny by construction) — no second pass over the corpus."""
+    if fractions is None:
+        fractions = [1.0 / n_buckets] * n_buckets
+    if len(fractions) != n_buckets:
+        raise ValueError("fractions must have one entry per bucket")
+    tot_f = float(sum(fractions))
+    if tot_f <= 0:
+        raise ValueError("fractions must sum to a positive mass")
+    spark = matches.sparkSession
+    hist = (
+        corpus.join(matches.select(id_col), id_col, "left_semi")
+        .select(F.floor(F.col(value_col) / F.lit(float(interval))).alias("b"))
+        .where((F.col("b") >= 0) & (F.col("b") < n_buckets))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    exp = spark.createDataFrame(
+        [(i, float(f) / tot_f) for i, f in enumerate(fractions)],
+        "b bigint, frac double",
+    )
+    dense = exp.join(hist, "b", "left").select(
+        "b", F.coalesce(F.col("cnt"), F.lit(0.0)).alias("cnt"), "frac"
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    ecdf = (F.sum("cnt").over(w) / F.sum("cnt").over(total)).alias("ecdf")
+    ccdf = F.sum("frac").over(w).alias("ccdf")
+    diffs = dense.select(ecdf, ccdf).select(
+        (F.col("ecdf") - F.col("ccdf")).alias("d")
+    )
+    return diffs.agg(
+        (-F.min("d")).alias("less"),
+        F.max("d").alias("greater"),
+        F.max(F.abs(F.col("d"))).alias("two_sided"),
+    )

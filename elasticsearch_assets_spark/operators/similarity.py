@@ -25,8 +25,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 _PLANE_SEED = 0x5EED
 
 
-def _planes(n_planes: int, dim: int) -> np.ndarray:
-    rng = np.random.default_rng(_PLANE_SEED)
+def _planes(n_planes: int, dim: int, seed_offset: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(_PLANE_SEED + seed_offset)
     return rng.standard_normal((n_planes, dim))
 
 
@@ -73,9 +73,12 @@ def cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
-def bucket_code_expr(vec: Column, n_planes: int, dim: int) -> Column:
-    """Sign-LSH bucket code: bit_i = 1 iff dot(vec, plane_i) >= 0."""
-    planes = _planes(n_planes, dim)
+def bucket_code_expr(
+    vec: Column, n_planes: int, dim: int, seed_offset: int = 0
+) -> Column:
+    """Sign-LSH bucket code: bit_i = 1 iff dot(vec, plane_i) >= 0.
+    `seed_offset` selects an independent plane set (banding tables)."""
+    planes = _planes(n_planes, dim, seed_offset)
     code = F.lit(0).cast("long")
     for i in range(n_planes):
         p = F.array(*[F.lit(float(w)) for w in planes[i]])
@@ -489,3 +492,61 @@ def knn_outlier_scores(
     )
     out = kth.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return out.limit(top_n) if top_n is not None else out
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    tau: float = 0.45,
+    *,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs THROUGH banded sign-LSH tables: the
+    scale path for dedup.embedding_neardup's exact O(n²) baseline.
+    Candidates are pairs agreeing on all n_planes hyperplane signs in AT
+    LEAST ONE of n_tables independent plane sets (MinHash-LSH's band-OR
+    structure transplanted to cosine space), then verified by exact
+    cosine >= tau. Precision is exact — the verify never lies; recall is
+    1 - (1 - p^n_planes)^n_tables with p = 1 - θ/π per pair (documented;
+    tune n_planes ≈ log2(n / target_bucket_size) for candidate volume and
+    n_tables for recall).
+
+    Plan: candidate generation is ONE equi-join on (table, code) over
+    KEY-ONLY projections (ids never carry vectors through the join), one
+    distinct on the pair, then the vectors join back for the verify —
+    pair volume is bounded per bucket per table, never corpus-wide."""
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    codes = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                bucket_code_expr(F.col(vec_col), n_planes, dim, t).alias("c"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    keys = df.select(F.col(id_col), F.explode(codes).alias("tc")).select(
+        F.col(id_col), F.col("tc.t").alias("t"), F.col("tc.c").alias("c")
+    )
+    cand = (
+        keys.select(F.col(id_col).alias("id_a"), "t", "c")
+        .join(keys.select(F.col(id_col).alias("id_b"), "t", "c"), ["t", "c"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = dot_expr(F.col("va"), F.col("vb")) / (
+        norm_expr(F.col("va")) * norm_expr(F.col("vb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= float(tau))
+    )

@@ -410,3 +410,118 @@ def corpus_accounting(
         )
         .orderBy(*[F.col(c).asc() for c in strata_cols])
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM quality + hashed linear classifier
+# ---------------------------------------------------------------------------
+
+
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's OWN unigram language
+    model (MLE: p(t) = cf(t)/T) — the KenLM-perplexity quality proxy of
+    CCNet/Gopher pipelines reduced to its order-0 form, trainable from the
+    corpus itself with no external model. Low xent = boilerplate-typical
+    text, high xent = rare-token soup; both tails get filtered.
+
+    Plan: one tokenize scan exploded to (doc, term); collection counts are
+    ONE hash agg on term (map-side partials absorb head-term skew exactly
+    like the index build's df pass); per-doc scoring joins terms back to
+    their counts (broadcast when the vocabulary is small, shuffle-hash
+    otherwise — Zipf keeps vocab << corpus) and reduces with ONE hash agg
+    on doc. Returns (id, n_tokens, xent), xent in nats."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cf"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        toks.join(cf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(-F.log(F.col("cf") / F.col("t"))).alias("xent"),
+        )
+    )
+
+
+def unigram_lm_sql(text: str = "text", id_col: str = "doc_id") -> str:
+    toks = tokens_sql(text)
+    return f"""
+SELECT {id_col}, count(*)::BIGINT AS n_tokens,
+       avg(-ln(cf.cf / tot.t)) AS xent
+FROM (SELECT {id_col}, unnest({toks}) AS term FROM documents) tk
+JOIN (
+  SELECT term, count(*)::DOUBLE AS cf
+  FROM (SELECT unnest({toks}) AS term FROM documents) GROUP BY term
+) cf USING (term),
+(SELECT count(*)::DOUBLE AS t
+ FROM (SELECT unnest({toks}) AS term FROM documents)) tot
+GROUP BY {id_col}
+"""
+
+
+# deterministic stand-in weight lattice for the hashed classifier:
+# w(bucket) = ((bucket % _HC_MOD) - (_HC_MOD - 1)/2) / ((_HC_MOD - 1)/2),
+# uniform in [-1, 1]. A trained fastText-style model would broadcast a
+# learned weight array instead; the plan below (one per-row JVM fold, zero
+# shuffle) is identical either way — that is the declared boundary.
+_HC_MOD = 1999
+_HC_HALF = (_HC_MOD - 1) // 2
+
+
+def hash_classifier_score(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-shaped linear quality classifier with the hashing trick:
+    score = sigmoid(bias + mean over tokens of w[hash(token) % n_buckets]).
+    Feature hashing is the cross-engine 60-bit md5 (texthash.hash60) so
+    the DuckDB twin is value-identical; weights are the deterministic
+    lattice above. Per-row JVM expressions only — no shuffle, no Python."""
+    from elasticsearch_assets_spark.operators.texthash import hash60_expr
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    df = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    w = lambda t: (  # noqa: E731
+        ((hash60_expr(t) % n_buckets) % _HC_MOD - F.lit(_HC_HALF))
+        / F.lit(float(_HC_HALF))
+    )
+    s = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w(t))
+    n = F.size(toks)
+    x = F.lit(float(bias)) + F.when(n > 0, s / n).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-x))).alias("score"),
+    )
+
+
+def hash_classifier_sql(
+    n_buckets: int = 4096,
+    bias: float = 0.0,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from elasticsearch_assets_spark.operators.texthash import hash60_sql
+
+    toks = tokens_sql(text)
+    w = (
+        f"((({hash60_sql('x')} % {n_buckets}) % {_HC_MOD}) - {_HC_HALF})"
+        f" / {float(_HC_HALF)!r}"
+    )
+    return f"""
+SELECT {id_col},
+       len(t)::BIGINT AS n_tokens,
+       1.0 / (1.0 + exp(-({float(bias)!r} + CASE WHEN len(t) > 0
+         THEN list_sum(list_apply(t, x -> {w})) / len(t) ELSE 0.0 END))) AS score
+FROM (SELECT {id_col}, {toks} AS t FROM documents)
+"""

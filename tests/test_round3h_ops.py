@@ -1,0 +1,153 @@
+"""Round-3 batch 16: corpus-LM quality scoring, hashed linear classifier,
+LSH-bucketed embedding near-dup, parent agg, bucket_count_ks_test.
+
+Reference surface: CCNet/Gopher LM-perplexity filtering (order-0 form),
+fastText-style quality classifiers (hashing trick; weights are the declared
+model boundary), the scale path for embedding near-dup, and the ES
+parent / bucket_count_ks_test aggregations."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.analysis.tokenizer import tokenize_series
+from elasticsearch_assets_spark.operators.facets import (
+    bucket_count_ks_test,
+    facet_parent,
+)
+from elasticsearch_assets_spark.operators.similarity import lsh_neardup_pairs
+from elasticsearch_assets_spark.operators.textstats import (
+    hash_classifier_score,
+    unigram_lm_score,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_unigram_lm_bruteforce(spark, docs):
+    pdf = docs.select("doc_id", "text").toPandas()
+    toks = tokenize_series(pdf["text"])
+    from collections import Counter
+
+    cf = Counter(t for ts in toks for t in ts)
+    total = sum(cf.values())
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["xent"])
+        for r in unigram_lm_score(docs).collect()
+    }
+    assert set(got) == set(int(d) for d in pdf["doc_id"])
+    for d, ts in zip(pdf["doc_id"], toks):
+        n, xent = got[int(d)]
+        assert n == len(ts)
+        want = sum(-math.log(cf[t] / total) for t in ts) / len(ts)
+        assert xent == pytest.approx(want, rel=1e-9)
+    # boilerplate-typical docs (head terms only) score LOWER than average
+    xents = [v[1] for v in got.values()]
+    assert min(xents) < sum(xents) / len(xents) < max(xents)
+
+
+def test_hash_classifier_bounds_and_determinism(spark, docs):
+    a = {r["doc_id"]: r["score"] for r in hash_classifier_score(docs).collect()}
+    b = {r["doc_id"]: r["score"] for r in hash_classifier_score(docs).collect()}
+    assert a == b  # deterministic
+    assert all(0.0 < s < 1.0 for s in a.values())
+    # bias shifts every score upward monotonically
+    c = {
+        r["doc_id"]: r["score"]
+        for r in hash_classifier_score(docs, bias=2.0).collect()
+    }
+    assert all(c[d] > a[d] for d in a)
+    # empty text scores exactly sigmoid(bias)
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    s = hash_classifier_score(empty, bias=0.5).collect()[0]
+    assert s["n_tokens"] == 0
+    assert s["score"] == pytest.approx(1.0 / (1.0 + math.exp(-0.5)))
+    with pytest.raises(ValueError, match="n_buckets"):
+        hash_classifier_score(docs, n_buckets=1)
+
+
+def test_lsh_neardup_subset_of_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_neardup_pairs(
+            emb, tau=0.45, n_planes=4, n_tables=8
+        ).collect()
+    }
+    # exact brute-force pairs
+    pdf = emb.toPandas()
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    exact = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = int(ids[i]), int(ids[j])
+            if a > b:
+                a, b = b, a
+            if sims[i, j] >= 0.45:
+                exact[(a, b)] = sims[i, j]
+    # precision exact: every returned pair is a true near-dup
+    for p, c in got.items():
+        assert p in exact
+        assert c == pytest.approx(exact[p], rel=1e-9)
+    # recall through 8 sign-planes: nonzero and bounded by the candidates
+    assert 0 < len(got) <= len(exact)
+    assert len(got) >= max(1, len(exact) // 10)
+
+
+def test_facet_parent_dedups_parents(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = {
+        r["l_returnflag"]: (r["parent_count"], r["sum_value"])
+        for r in facet_parent(
+            li, orders, "l_returnflag", "l_orderkey", "o_orderkey", "o_totalprice"
+        ).collect()
+    }
+    price = {
+        r["o_orderkey"]: r["o_totalprice"] for r in orders.collect()
+    }
+    brute: dict = {}
+    for r in li.select("l_returnflag", "l_orderkey").collect():
+        brute.setdefault(r["l_returnflag"], set()).add(r["l_orderkey"])
+    for flag, keys in brute.items():
+        keys = {k for k in keys if k in price}
+        assert out[flag][0] == len(keys)
+        assert out[flag][1] == pytest.approx(
+            sum(price[k] for k in keys), rel=1e-9
+        )
+
+
+def test_ks_test_known_distributions(spark):
+    # uniform counts over 4 buckets -> all statistics 0
+    rows = [(i, float(b * 10)) for b in range(4) for i in range(25)]
+    df = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(rows)], "doc_id long, x double"
+    )
+    out = bucket_count_ks_test(df.select("doc_id"), df, "x", 10.0, 4).collect()[0]
+    assert out["two_sided"] == pytest.approx(0.0, abs=1e-12)
+    # all mass in bucket 0 vs uniform over 4: max diff after bucket 0 = 0.75
+    df2 = spark.createDataFrame(
+        [(i, 0.0) for i in range(40)], "doc_id long, x double"
+    )
+    out2 = bucket_count_ks_test(df2.select("doc_id"), df2, "x", 10.0, 4).collect()[0]
+    assert out2["two_sided"] == pytest.approx(0.75)
+    assert out2["greater"] == pytest.approx(0.75)
+    # ecdf never dips below the expected cdf here (last-bucket diff is 0)
+    assert out2["less"] == pytest.approx(0.0, abs=1e-12)
+    with pytest.raises(ValueError, match="one entry per bucket"):
+        bucket_count_ks_test(df.select("doc_id"), df, "x", 10.0, 4, [0.5, 0.5])
+    with pytest.raises(ValueError, match="positive mass"):
+        bucket_count_ks_test(df.select("doc_id"), df, "x", 10.0, 2, [0.0, 0.0])
