@@ -6154,6 +6154,131 @@ FROM diffs
 
 
 # ---------------------------------------------------------------------------
+# Batch 3i: dup-span removal, text normalization, stemmed search,
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. exact-substring dedup, APPLY step: tokens covered by
+    corpus-duplicated L-windows are dropped and the doc fingerprinted
+    from the survivors (dedup.remove_duplicate_spans — the detect step's
+    two compact shuffles + one doc-keyed join, text never shuffled)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OD.remove_duplicate_spans(docs, L=_DSPAN_L)
+
+
+_DUP_REMOVAL_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+w AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(tk[i : i + {_DSPAN_L - 1}], ' ')) AS h
+  FROM t, unnest(range(1, len(tk) - {_DSPAN_L} + 2)) AS g(i)
+  WHERE len(tk) >= {_DSPAN_L}
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n FROM w
+  ) WHERE n >= 2
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_DSPAN_L} AS e FROM (
+    SELECT doc_id, pos,
+           sum(CASE WHEN prev IS NULL OR pos - prev > {_DSPAN_L}
+               THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM marked
+    )
+  ) GROUP BY doc_id, island
+),
+pos AS (
+  SELECT doc_id, i AS pos, tk[i] AS term
+  FROM t, unnest(range(1, len(tk) + 1)) AS g(i)
+),
+kept AS (
+  SELECT p.* FROM pos p WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id AND p.pos >= s.s AND p.pos < s.e
+  )
+)
+SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+       (len(t.tk) - count(k.pos))::BIGINT AS n_removed,
+       md5(coalesce(string_agg(k.term, ' ' ORDER BY k.pos), '')) AS clean_fp
+FROM t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id, len(t.tk)
+"""
+
+
+def _normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass (control/format strip + whitespace collapse +
+    trim) with the md5 identity downstream exact-dedup keys on — one JVM
+    regexp chain, zero shuffle."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OT.normalize_text(docs)
+
+
+def _bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed matching: `joins AND tables` — neither surface form exists
+    in the dictionary, but their S-stems map to dictionary classes
+    {join} and {table} (query/expand.py s_stem, the SAME CASE text in
+    both engines), scored group-conjunctively."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search_stemmed(["joins", "tables"], k=None, mode="and")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_stemmed_sql() -> str:
+    from elasticsearch_assets_spark.query.expand import s_stem_sql
+
+    stem = s_stem_sql("tf.term")
+    return f"""
+WITH {_bm25_body(
+    f"{s_stem_sql('term')} IN ('join', 'table')",
+    having=(
+        "HAVING max(CASE WHEN __STEM__ = 'join' THEN 1 ELSE 0 END) = 1 "
+        "AND max(CASE WHEN __STEM__ = 'table' THEN 1 ELSE 0 END) = 1"
+    ).replace("__STEM__", stem),
+)}
+SELECT doc_id, round(s, 4) AS score FROM scored
+"""
+
+
+_PACK_WINDOW = 2048
+
+
+def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing under a 2048-token context: each doc's
+    global token offset via a DISTRIBUTED prefix sum (per-bucket
+    subtotals folded planning-level + within-bucket window), bin/offset
+    derived with integer div."""
+    from elasticsearch_assets_spark.operators.packing import pack_documents
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return pack_documents(docs, _PACK_WINDOW, bucket_width=100)
+
+
+_PACKED_SQL = f"""
+WITH n AS (
+  SELECT doc_id, len({tokens_sql('text')})::BIGINT AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS global_offset
+  FROM n
+)
+SELECT doc_id, n_tokens, global_offset,
+       (global_offset // {_PACK_WINDOW})::BIGINT AS bin,
+       (global_offset % {_PACK_WINDOW})::BIGINT AS bin_offset
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -6367,6 +6492,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_neardup": _emb_lsh_neardup,
         "facet_parent": _facet_parent,
         "facet_ks_test": _facet_ks_test,
+        "dup_span_removal": _dup_span_removal,
+        "normalized_text": _normalized_text,
+        "bm25_stemmed": _bm25_stemmed,
+        "packed_docs": _packed_docs,
     }
 
 
@@ -6620,6 +6749,10 @@ FROM topk JOIN documents USING (doc_id)
         "emb_lsh_neardup": _emb_lsh_neardup_sql(),
         "facet_parent": _FACET_PARENT_SQL,
         "facet_ks_test": _FACET_KS_SQL,
+        "dup_span_removal": _DUP_REMOVAL_SQL,
+        "normalized_text": OT.normalize_text_sql(),
+        "bm25_stemmed": _bm25_stemmed_sql(),
+        "packed_docs": _PACKED_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

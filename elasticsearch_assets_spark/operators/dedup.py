@@ -809,3 +809,54 @@ def dedup_against(
         .where((F.col("common") > 0) & (F.col("jaccard") >= threshold))
         .select("new_id", "base_id", "jaccard")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    L: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (the apply step of Lee et al.
+    2022's exact-substring dedup; duplicate_spans is the detect step):
+    every token covered by a corpus-duplicated span is dropped and the
+    document rebuilt from the survivors. Returns
+    (doc_id, n_tokens, n_removed, clean_fp) where clean_fp is the md5 of
+    the space-joined kept tokens ('' when everything was duplicated) —
+    text never leaves the executors; downstream readers re-derive the
+    cleaned text from (doc, kept-span) metadata the same way.
+
+    Plan: the detect step's two compact-key shuffles, then the span lists
+    rejoin the corpus on doc_id (one equi-join; docs without duplicated
+    spans pass through the left join untouched) and the token filter is
+    one JVM lambda over (token, index) — no Python, no text shuffle."""
+    spans = duplicate_spans(
+        df, L=L, text_col=text_col, id_col=id_col,
+        min_occurrences=min_occurrences,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__spans")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__toks")
+    ).join(per_doc, "doc_id", "left")
+    spans_arr = F.coalesce(
+        F.col("__spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            spans_arr, lambda sp: (i + 1 >= sp["s"]) & (i + 1 < sp["e"])
+        ),
+    )
+    n = F.size(F.col("__toks"))
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
+    )

@@ -525,3 +525,60 @@ SELECT {id_col},
          THEN list_sum(list_apply(t, x -> {w})) / len(t) ELSE 0.0 END))) AS score
 FROM (SELECT {id_col}, {toks} AS t FROM documents)
 """
+
+
+# ---------------------------------------------------------------------------
+# text normalization
+# ---------------------------------------------------------------------------
+
+# portable regex classes (Java regex == RE2 for these): control/format
+# chars strip, whitespace runs collapse
+_NORM_STRIP = r"[\p{Cc}\p{Cf}]"
+_NORM_WS = r"\s+"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Deterministic text normalization (the canonicalize step every
+    web-text pipeline runs before hashing/dedup): strip control/format
+    characters, collapse whitespace runs to single spaces, trim, and
+    optionally lowercase. Returns (id, n_chars_raw, n_chars_norm,
+    norm_fp) with norm_fp = md5 of the normalized text — the byte
+    identity downstream exact-dedup keys on.
+
+    One JVM regexp chain per row — zero shuffle, zero Python. (Full NFKC
+    needs ICU, which Spark SQL doesn't expose; the regex chain above is
+    the portable subset and the declared normalization contract.)"""
+    c = F.col(text_col)
+    # controls/format chars become SPACES first (not ''): a tab or
+    # zero-width between words must stay a separator, never merge them
+    norm = F.regexp_replace(c, _NORM_STRIP, " ")
+    norm = F.trim(F.regexp_replace(norm, _NORM_WS, " "))
+    if lowercase:
+        norm = F.lower(norm)
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_fp"),
+    )
+
+
+def normalize_text_sql(
+    text: str = "text", id_col: str = "doc_id", lowercase: bool = False
+) -> str:
+    norm = f"regexp_replace({text}, '{_NORM_STRIP}', ' ', 'g')"
+    norm = f"trim(regexp_replace({norm}, '{_NORM_WS}', ' ', 'g'))"
+    if lowercase:
+        norm = f"lower({norm})"
+    return f"""
+SELECT {id_col},
+       length({text})::BIGINT AS n_chars_raw,
+       length({norm})::BIGINT AS n_chars_norm,
+       md5({norm}) AS norm_fp
+FROM documents
+"""

@@ -1640,6 +1640,46 @@ class InvertedIndex:
             return self.search(flat, k=k, mode="or", **kwargs)
         return self.search(terms, k=k, mode="and", groups=groups, **kwargs)
 
+    def search_stemmed(
+        self,
+        query: str | list[str],
+        k: int | None = 10,
+        mode: str = "and",
+        max_expansions: int | None = 200,
+        **kwargs,
+    ) -> DataFrame:
+        """Stemmed matching (the ES analyzer's `stemmer` token filter,
+        applied at QUERY time as dictionary equivalence classes so the
+        frozen index analyzer never changes): each query term becomes the
+        group of dictionary terms sharing its S-stem (Harman 1991 3-rule
+        stemmer; query/expand.py s_stem — the stem runs as the SAME
+        CASE-expression text over the distributed stats table and in the
+        DuckDB oracle). AND = group-conjunctive clause kernel, OR = flat
+        scored disjunction; each matched surface form scores with its own
+        idf (scoring_boolean, the engine's uniform rewrite deviation)."""
+        from elasticsearch_assets_spark.query.expand import (
+            expand_terms,
+            s_stem,
+            s_stem_col,
+        )
+
+        terms = query.split() if isinstance(query, str) else list(query)
+        if not terms:
+            raise ValueError("stemmed search needs at least one term")
+        groups = []
+        for t in terms:
+            cond = s_stem_col("term") == s_stem(t)
+            groups.append(expand_terms(self.stats, cond, max_expansions))
+        if mode == "or":
+            flat = sorted({t for g in groups for t in g})
+            if not flat:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self.search(flat, k=k, mode="or", **kwargs)
+        if any(not g for g in groups):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        flat = sorted({t for g in groups for t in g})
+        return self.search(flat, k=k, mode="and", groups=groups, **kwargs)
+
     def decay_score(
         self,
         query: str | list[str],

@@ -145,3 +145,46 @@ def synonym_groups(
             raise ValueError(f"invalid synonym list for {t!r}")
         groups.append(sorted({t, *alts}))
     return groups
+
+
+# ---------------------------------------------------------------------------
+# S-stemmer (Harman 1991, "How effective is suffixing?")
+# ---------------------------------------------------------------------------
+
+
+def s_stem(term: str) -> str:
+    """The three-rule S-stemmer: ies->y (not aies/eies), es->e (not
+    aes/ees/oes), trailing s dropped (not us/ss). Deterministic and
+    cheap enough to run as a column expression over the whole dictionary."""
+    if term.endswith("ies") and not term.endswith(("aies", "eies")):
+        return term[:-3] + "y"
+    if term.endswith("es") and not term.endswith(("aes", "ees", "oes")):
+        return term[:-1]
+    if term.endswith("s") and not term.endswith(("us", "ss")):
+        return term[:-1]
+    return term
+
+
+def s_stem_col(colname: str) -> Column:
+    """JVM column twin of s_stem: the SAME CASE-chain SQL text compiled by
+    Catalyst (s_stem_sql is valid in both dialects — that shared text IS
+    the bit-parity argument, same trick as geohash_sql/ip_prefix_key_sql)."""
+    return F.expr(s_stem_sql(colname))
+
+
+def s_stem_sql(col: str) -> str:
+    """Shared CASE-expression text: valid Spark SQL AND DuckDB SQL, so
+    engine and oracle stem with byte-identical logic."""
+    return (
+        f"CASE "
+        f"WHEN {col} LIKE '%ies' AND {col} NOT LIKE '%aies' "
+        f"AND {col} NOT LIKE '%eies' "
+        f"THEN substr({col}, 1, length({col}) - 3) || 'y' "
+        f"WHEN {col} LIKE '%es' AND {col} NOT LIKE '%aes' "
+        f"AND {col} NOT LIKE '%ees' AND {col} NOT LIKE '%oes' "
+        f"THEN substr({col}, 1, length({col}) - 1) "
+        f"WHEN {col} LIKE '%s' AND {col} NOT LIKE '%us' "
+        f"AND {col} NOT LIKE '%ss' "
+        f"THEN substr({col}, 1, length({col}) - 1) "
+        f"ELSE {col} END"
+    )
