@@ -6279,6 +6279,66 @@ FROM o
 
 
 # ---------------------------------------------------------------------------
+# Batch 3j: ES|QL pipes
+# ---------------------------------------------------------------------------
+
+_ESQL_STATS_Q = (
+    "FROM events"
+    ' | WHERE event_type == "click" AND value > 5'
+    " | EVAL day = date_format(ts, 'yyyy-MM-dd')"
+    " | STATS n = count(*), avg_v = avg(value) BY day"
+    " | SORT day"
+    " | LIMIT 10"
+)
+
+
+def _esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL analytics pipe (FROM | WHERE | EVAL | STATS BY | SORT |
+    LIMIT) compiled to ONE Catalyst plan — the filter pushes into the
+    scan, STATS partial-aggregates, SORT+LIMIT collapses to
+    TakeOrderedAndProject (query/esql.py)."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(_ESQL_STATS_Q, spark=spark, sf_dir=sf_dir)
+    return out.select("day", "n", _f4("avg_v").alias("avg_v"))
+
+
+_ESQL_STATS_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n,
+       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_v
+FROM events WHERE event_type = 'click' AND value > 5
+GROUP BY 1 ORDER BY day LIMIT 10
+"""
+
+_ESQL_ROW_Q = (
+    "FROM documents"
+    " | WHERE n_chars >= 300"
+    " | EVAL ratio = CAST(n_chars AS DOUBLE) / 100.0"
+    " | RENAME lang AS language"
+    " | KEEP doc_id, language, ratio"
+    " | SORT ratio DESC, doc_id ASC"
+    " | LIMIT 15"
+)
+
+
+def _esql_rowpipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ES|QL pipe (EVAL / RENAME / KEEP / multi-key SORT):
+    stays one projection + TakeOrderedAndProject, no shuffle beyond the
+    top-k merge."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    return esql(_ESQL_ROW_Q, spark=spark, sf_dir=sf_dir)
+
+
+_ESQL_ROW_SQL = """
+SELECT doc_id, lang AS language, n_chars::DOUBLE / 100.0::DOUBLE AS ratio
+FROM documents WHERE n_chars >= 300
+ORDER BY ratio DESC, doc_id ASC LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -6496,6 +6556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_text": _normalized_text,
         "bm25_stemmed": _bm25_stemmed,
         "packed_docs": _packed_docs,
+        "esql_stats": _esql_stats,
+        "esql_rowpipe": _esql_rowpipe,
     }
 
 
@@ -6753,6 +6815,8 @@ FROM topk JOIN documents USING (doc_id)
         "normalized_text": OT.normalize_text_sql(),
         "bm25_stemmed": _bm25_stemmed_sql(),
         "packed_docs": _PACKED_SQL,
+        "esql_stats": _ESQL_STATS_SQL,
+        "esql_rowpipe": _ESQL_ROW_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -1,0 +1,108 @@
+"""ES|QL pipe compiler (query/esql.py): command semantics, expression
+sugar, plan shape, and error contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.query.esql import _split_commas, _split_pipes, esql
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_split_helpers():
+    assert _split_pipes('FROM a | WHERE x == "p|q" | LIMIT 3') == [
+        "FROM a", 'WHERE x == "p|q"', "LIMIT 3",
+    ]
+    assert _split_commas("a = f(x, y), b = g(z)") == ["a = f(x, y)", "b = g(z)"]
+    assert _split_commas("a = 'x,y', b") == ["a = 'x,y'", "b"]
+
+
+def test_where_eval_stats(events):
+    out = esql(
+        "FROM events | WHERE event_type == 'click'"
+        " | STATS n = count(*), mx = max(value) BY user_id"
+        " | SORT user_id",
+        tables={"events": events},
+    ).collect()
+    brute: dict = {}
+    for r in events.where(F.col("event_type") == "click").collect():
+        n, mx = brute.get(r["user_id"], (0, float("-inf")))
+        brute[r["user_id"]] = (n + 1, max(mx, r["value"]))
+    assert {r["user_id"]: (r["n"], r["mx"]) for r in out} == brute
+    assert [r["user_id"] for r in out] == sorted(brute)
+
+
+def test_global_stats_and_rename_keep_drop(events):
+    row = esql(
+        "FROM events | STATS total = count(*)", tables={"events": events}
+    ).collect()[0]
+    assert row["total"] == events.count()
+    out = esql(
+        "FROM events | RENAME value AS v | KEEP event_id, v | LIMIT 5",
+        tables={"events": events},
+    )
+    assert out.columns == ["event_id", "v"]
+    assert out.count() == 5
+    out2 = esql("FROM events | DROP props, value", tables={"events": events})
+    assert "props" not in out2.columns and "value" not in out2.columns
+
+
+def test_sort_directions_and_eval_chain(events):
+    out = esql(
+        "FROM events | EVAL v2 = value * 2, v3 = v2 + 1"
+        " | SORT v3 DESC, event_id ASC | KEEP event_id, v3 | LIMIT 3",
+        tables={"events": events},
+    ).collect()
+    brute = sorted(
+        ((r["value"] * 2 + 1), r["event_id"]) for r in events.collect()
+    )
+    want = sorted(brute, key=lambda t: (-t[0], t[1]))[:3]
+    assert [(r["v3"], r["event_id"]) for r in out] == want
+
+
+def test_filter_pushdown_plan(spark, events):
+    plan = esql(
+        "FROM events | WHERE event_type == 'click' | KEEP event_id",
+        spark=spark, sf_dir=SF,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_error_contracts(events):
+    t = {"events": events}
+    with pytest.raises(ValueError, match="must start with FROM"):
+        esql("WHERE x = 1", tables=t)
+    with pytest.raises(ValueError, match="unknown index"):
+        esql("FROM nope", tables=t)
+    with pytest.raises(ValueError, match="not supported"):
+        esql("FROM events | GROK props '%{WORD:w}'", tables=t)
+    with pytest.raises(ValueError, match="unknown ES\\|QL command"):
+        esql("FROM events | FOO bar", tables=t)
+    with pytest.raises(ValueError, match="LIMIT needs an integer"):
+        esql("FROM events | LIMIT ten", tables=t)
+    with pytest.raises(ValueError, match="needs `name = expr`"):
+        esql("FROM events | EVAL 3x = 1", tables=t)
+    with pytest.raises(ValueError, match="at least one aggregation"):
+        esql("FROM events | STATS BY user_id", tables=t)
+    with pytest.raises(ValueError, match="bad SORT direction"):
+        esql("FROM events | SORT value SIDEWAYS", tables=t)
+    with pytest.raises(ValueError, match="RENAME needs"):
+        esql("FROM events | RENAME value TO v", tables=t)
+
+
+def test_eq_sugar_leaves_operators_alone(events):
+    # == becomes =, but !=, <=, >= survive
+    a = esql(
+        "FROM events | WHERE value != 1.0 AND value >= 2.0 AND value <= 90.0"
+        " | STATS n = count(*)",
+        tables={"events": events},
+    ).collect()[0]["n"]
+    b = events.where("value <> 1.0 AND value >= 2.0 AND value <= 90.0").count()
+    assert a == b
