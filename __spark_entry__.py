@@ -6339,6 +6339,178 @@ ORDER BY ratio DESC, doc_id ASC LIMIT 15
 
 
 # ---------------------------------------------------------------------------
+# Batch 3k: GROK/DISSECT, fuzzy completion, _count, indices_boost
+# ---------------------------------------------------------------------------
+
+_GROK_PAT = '"k": %{NUMBER:k:int}'
+
+
+def _esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL GROK: typed field extraction from the events props JSON-ish
+    string via the compiled pattern regex (one JVM regexp_extract),
+    aggregated per event type."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        f"FROM events | GROK props '{_GROK_PAT}'"
+        " | STATS n = count(*), mx = max(k), s = sum(k) BY event_type"
+        " | SORT event_type",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("event_type", "n", "mx", "s")
+
+
+def _esql_grok_sql() -> str:
+    from elasticsearch_assets_spark.query.esql import grok_compile
+
+    regex, _ = grok_compile(_GROK_PAT)
+    return f"""
+SELECT event_type, count(*)::BIGINT AS n,
+       max(k)::INT AS mx, sum(k)::BIGINT AS s
+FROM (
+  SELECT event_type,
+         nullif(regexp_extract(props, '{regex}', 1), '')::INT AS k
+  FROM events
+) GROUP BY event_type ORDER BY event_type
+"""
+
+
+_DISSECT_PAT = '{{"k": %{{v}}}}'.replace("{{", "{").replace("}}", "}")
+
+
+def _esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DISSECT: anchored literal-layout extraction (the whole
+    props string must match the template), extracted hole cast and
+    summed."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        f"FROM events | DISSECT props '{_DISSECT_PAT}'"
+        " | EVAL vi = CAST(v AS INT)"
+        " | STATS n_matched = count(vi), total = sum(vi)",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("n_matched", "total")
+
+
+def _esql_dissect_sql() -> str:
+    from elasticsearch_assets_spark.query.esql import dissect_compile
+
+    regex, _ = dissect_compile(_DISSECT_PAT)
+    return f"""
+SELECT count(vi)::BIGINT AS n_matched, sum(vi)::BIGINT AS total FROM (
+  SELECT nullif(regexp_extract(props, '{regex}', 1), '')::INT AS vi
+  FROM events
+)
+"""
+
+
+_FUZZY_PREFIX = "quary"  # typo of 'query' — no exact dictionary prefix
+
+
+def _completion_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester with fuzzy=1: typo-tolerant type-ahead —
+    dictionary terms whose leading |prefix| chars are within one edit,
+    exact prefixes ranked first, then df DESC, term ASC."""
+    idx = _docs_index(spark, sf_dir)
+    return idx.suggest_completion_fuzzy(_FUZZY_PREFIX, size=5, fuzziness=1)
+
+
+_COMPLETION_FUZZY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+)
+SELECT term AS suggestion, df,
+       (term LIKE '{_FUZZY_PREFIX}%') AS exact
+FROM dict
+WHERE length(term) >= {len(_FUZZY_PREFIX) - 1}
+  AND levenshtein(substr(term, 1, {len(_FUZZY_PREFIX)}), '{_FUZZY_PREFIX}') <= 1
+ORDER BY exact DESC, df DESC, suggestion ASC LIMIT 5
+"""
+
+
+def _count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _count: live-doc count for a query string (filter context —
+    the ranking cut disabled, structured clauses pruned at the scan)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    n = idx.count_query("spark AND jo* AND n_chars:>=400", docs)
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
+_COUNT_QUERY_SQL = f"""
+SELECT count(*)::BIGINT AS cnt FROM ({_QS_SQL})
+"""
+
+
+def _docs_shards(spark: SparkSession, sf_dir: str):
+    """Two-shard split of the documents corpus (doc_id parity), cached
+    like _docs_index — backs the indices_boost row and mirrors the
+    docs/SCALE.md sharded-serving topology."""
+    from elasticsearch_assets_spark.query.sharded import ShardedIndex
+
+    key = os.path.abspath(sf_dir) + "#shards"
+    if key not in _INDEX_CACHE:
+        import json
+
+        from elasticsearch_assets_spark.analysis.tokenizer import TOKENIZER_VERSION
+        from elasticsearch_assets_spark.index.codec import CODEC_VERSION
+
+        dirs = []
+        for p in (0, 1):
+            d = _idx_dir(sf_dir, f"_shard{p}")
+            meta_path = os.path.join(d, "meta.json")
+            stale = True
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    m = json.load(fh)
+                stale = (
+                    m.get("codec_version") != CODEC_VERSION
+                    or m.get("tokenizer_version") != TOKENIZER_VERSION
+                )
+            if stale:
+                docs = load_sf_table(spark, sf_dir, "documents")
+                build_index(
+                    spark, docs.where(F.col("doc_id") % 2 == p), d,
+                    id_col="doc_id", text_col="text",
+                    num_segments=4, num_chunks=1,
+                )
+            dirs.append(d)
+        _INDEX_CACHE[key] = ShardedIndex(spark, dirs)
+    return _INDEX_CACHE[key]
+
+
+_IB_BOOSTS = [1.0, 1.5]
+
+
+def _indices_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES indices_boost: per-index score multipliers applied before the
+    coordinator's global merge (monotone within a shard, so per-shard
+    top-k cuts are unchanged). Two parity shards with GLOBAL collection
+    stats — scores are the monolithic BM25 × the shard's boost."""
+    sharded = _docs_shards(spark, sf_dir)
+    out = sharded.search(["spark", "join"], k=None, mode="and",
+                         boosts=_IB_BOOSTS)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _indices_boost_sql() -> str:
+    exact = _bm25_sql(["spark", "join"], "and", None).replace(
+        "SELECT doc_id, round(s, 4) AS score", "SELECT doc_id, s"
+    )
+    return f"""
+WITH base AS ({exact})
+SELECT doc_id,
+       round(s * CASE WHEN doc_id % 2 = 0 THEN {_IB_BOOSTS[0]!r}
+                      ELSE {_IB_BOOSTS[1]!r} END, 4) AS score
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -6558,6 +6730,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_docs": _packed_docs,
         "esql_stats": _esql_stats,
         "esql_rowpipe": _esql_rowpipe,
+        "esql_grok": _esql_grok,
+        "esql_dissect": _esql_dissect,
+        "completion_fuzzy": _completion_fuzzy,
+        "count_query": _count_query,
+        "indices_boost": _indices_boost,
     }
 
 
@@ -6817,6 +6994,11 @@ FROM topk JOIN documents USING (doc_id)
         "packed_docs": _PACKED_SQL,
         "esql_stats": _ESQL_STATS_SQL,
         "esql_rowpipe": _ESQL_ROW_SQL,
+        "esql_grok": _esql_grok_sql(),
+        "esql_dissect": _esql_dissect_sql(),
+        "completion_fuzzy": _COMPLETION_FUZZY_SQL,
+        "count_query": _COUNT_QUERY_SQL,
+        "indices_boost": _indices_boost_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

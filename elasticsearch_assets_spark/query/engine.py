@@ -1917,6 +1917,51 @@ class InvertedIndex:
         )
         return out.limit(size) if size is not None else out
 
+    def suggest_completion_fuzzy(
+        self, prefix: str, size: int | None = 5, fuzziness: int = 1
+    ) -> DataFrame:
+        """ES completion suggester with `fuzzy` (typo-tolerant
+        search-as-you-type): a dictionary term is a candidate when ITS
+        OWN leading len(prefix) characters are within `fuzziness` edits
+        of the typed prefix. Exact-prefix matches rank first (the ES
+        contract), then popularity (df DESC, term ASC). The length band
+        pre-filter keeps the dictionary scan sargable before the
+        levenshtein; returns (suggestion, df, exact)."""
+        if not prefix:
+            raise ValueError("completion needs a non-empty prefix")
+        if fuzziness < 0:
+            raise ValueError("fuzziness must be >= 0")
+        n = len(prefix)
+        head = F.substring(F.col("term"), 1, n)
+        cond = (F.length("term") >= n - fuzziness) & (
+            F.levenshtein(head, F.lit(prefix)) <= fuzziness
+        )
+        out = (
+            self.stats.where(cond)
+            .select(
+                F.col("term").alias("suggestion"),
+                F.col("df"),
+                F.col("term").startswith(prefix).alias("exact"),
+            )
+            .orderBy(
+                F.col("exact").desc(),
+                F.col("df").desc(),
+                F.col("suggestion").asc(),
+            )
+        )
+        return out.limit(size) if size is not None else out
+
+    def count_query(
+        self, q: str, corpus: DataFrame | None = None, **kwargs
+    ) -> int:
+        """ES `_count`: how many live documents match the query string —
+        filter context, result is the bare count (the ES response's
+        `count` field). Rides the same pushed posting/corpus plan as
+        search_querystring with the ranking cut disabled (k=None), so
+        structured clauses prune at the scan and tombstones are excluded
+        exactly like a search."""
+        return self.search_querystring(q, corpus, k=None, **kwargs).count()
+
     def suggest_phrase(
         self,
         text: str,

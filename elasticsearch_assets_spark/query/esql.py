@@ -12,14 +12,17 @@ Supported subset — the analytics core of the language:
   | KEEP <col> [, ...]
   | DROP <col> [, ...]
   | RENAME <old> AS <new> [, ...]
+  | GROK <col> "<pattern>"      (subset pattern dictionary, typed fields)
+  | DISSECT <col> "<pattern>"   (anchored literal-layout extraction)
 
 Expression dialect: expressions compile through `F.expr`, i.e. Spark SQL —
 the engine's ONE script dialect (the same contract as script_score /
 script queries / update_by_query), with ES|QL's `==` accepted as sugar
 for `=`. Every command is declarative, so Catalyst sees the whole pipe as
 one plan: WHERE pushes into the scan, STATS is a partial-aggregated hash
-agg, SORT+LIMIT collapses to TakeOrderedAndProject. Unsupported commands
-(DISSECT, GROK, ENRICH, MV_EXPAND, ...) raise with guidance.
+agg, SORT+LIMIT collapses to TakeOrderedAndProject, GROK/DISSECT are one
+JVM regexp_extract per field. Unsupported commands (ENRICH, MV_EXPAND,
+LOOKUP, ...) raise with guidance.
 
 Reference behavior: the ES|QL docs' command semantics; the reference repo
 predates ES|QL but its users' Kibana-side aggregations are exactly the
@@ -34,11 +37,92 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _SUPPORTED = (
     "FROM", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP", "DROP",
-    "RENAME",
+    "RENAME", "GROK", "DISSECT",
 )
 _KNOWN_UNSUPPORTED = (
-    "DISSECT", "GROK", "ENRICH", "MV_EXPAND", "LOOKUP", "ROW", "SHOW",
+    "ENRICH", "MV_EXPAND", "LOOKUP", "ROW", "SHOW",
 )
+
+_RE_SPECIAL = set(".^$*+?()[]{}|\\")
+
+
+def _re_escape(s: str) -> str:
+    """Portable regex escape: backslash ONLY the metacharacters both
+    Java regex and RE2 define. `re.escape` escapes every non-word char,
+    and RE2 rejects unknown escapes like '\\ ' — this stays in the
+    common dialect so the same regex text runs in Spark and DuckDB."""
+    return "".join("\\" + c if c in _RE_SPECIAL else c for c in s)
+
+
+# grok pattern subset (inner groups non-capturing so field group indexes
+# stay 1:1 with %{...} order); all portable Java-regex == RE2 syntax
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+}
+_GROK_TYPES = {"keyword": "string", "int": "int", "long": "long", "float": "float", "double": "double"}
+
+
+def grok_compile(pattern: str) -> "tuple[str, list[tuple[str, str]]]":
+    """Compile a grok pattern to (regex, [(field, type), ...]) — field i
+    is capture group i+1. `%{PAT}` without a field name matches without
+    extracting. Same regex text drives Spark and the DuckDB oracle."""
+    out_re: list[str] = []
+    fields: list[tuple[str, str]] = []
+    pos = 0
+    for m in re.finditer(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}", pattern):
+        out_re.append(_re_escape(pattern[pos:m.start()]))
+        pname, fname, ftype = m.groups()
+        if pname not in _GROK_PATTERNS:
+            raise ValueError(
+                f"unknown grok pattern %{{{pname}}} "
+                f"(supported: {', '.join(sorted(_GROK_PATTERNS))})"
+            )
+        if fname:
+            if (ftype or "keyword") not in _GROK_TYPES:
+                raise ValueError(f"unknown grok type {ftype!r}")
+            out_re.append("(" + _GROK_PATTERNS[pname] + ")")
+            fields.append((fname, _GROK_TYPES[ftype or "keyword"]))
+        else:
+            out_re.append("(?:" + _GROK_PATTERNS[pname] + ")")
+        pos = m.end()
+    out_re.append(_re_escape(pattern[pos:]))
+    if not fields:
+        raise ValueError("grok pattern extracts no fields")
+    return "".join(out_re), fields
+
+
+def dissect_compile(pattern: str) -> "tuple[str, list[str]]":
+    """Compile a dissect pattern (literal separators + %{field} holes) to
+    an ANCHORED regex — dissect is exact-layout matching, unlike grok's
+    search semantics. Non-final holes match lazily up to their literal."""
+    parts = re.split(r"%\{(\w*)\}", pattern)
+    # parts = [lit0, name1, lit1, name2, lit2, ...]
+    fields = [parts[i] for i in range(1, len(parts), 2) if parts[i]]
+    if not fields:
+        raise ValueError("dissect pattern extracts no fields")
+    out: list[str] = ["^", _re_escape(parts[0])]
+    holes = list(range(1, len(parts), 2))
+    for j, i in enumerate(holes):
+        name = parts[i]
+        body = ".*" if j == len(holes) - 1 else ".*?"
+        out.append(f"({body})" if name else f"(?:{body})")
+        out.append(_re_escape(parts[i + 1]))
+    out.append("$")
+    return "".join(out), fields
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"'):
+        return s[1:-1]
+    raise ValueError(f"pattern must be quoted: {s!r}")
 
 
 def _split_pipes(q: str) -> list[str]:
@@ -172,6 +256,24 @@ def esql(
                 if not rm:
                     raise ValueError(f"RENAME needs `old AS new`: {spec!r}")
                 df = df.withColumnRenamed(rm.group(1), rm.group(2))
+        elif kw in ("GROK", "DISSECT"):
+            gm = re.match(r"^\s*(\w+)\s+(.+)$", body, re.S)
+            if not gm:
+                raise ValueError(f"{kw} needs `<column> \"<pattern>\"`")
+            src, pattern = gm.group(1), _unquote(gm.group(2))
+            if kw == "GROK":
+                regex, grok_fields = grok_compile(pattern)
+                typed = grok_fields
+            else:
+                regex, names = dissect_compile(pattern)
+                typed = [(n, "string") for n in names]
+            for i, (fname, ftype) in enumerate(typed):
+                ext = F.regexp_extract(F.col(src), regex, i + 1)
+                # ES sets unmatched fields to null (regexp_extract gives '')
+                col = F.when(ext != "", ext)
+                if ftype != "string":
+                    col = col.cast(ftype)
+                df = df.withColumn(fname, col)
         elif kw in _KNOWN_UNSUPPORTED:
             raise ValueError(
                 f"ES|QL command {kw} is not supported by this engine "

@@ -46,10 +46,21 @@ class ShardedIndex:
         return self.term_stats([term]).get(term, 0)
 
     def search_local(
-        self, query: str | list[str], k: int | None = 10, mode: str = "and"
+        self,
+        query: str | list[str],
+        k: int | None = 10,
+        mode: str = "and",
+        boosts: list[float] | None = None,
     ) -> list[tuple[int, float]]:
         """Coordinating-node search: global idfs -> per-shard kernel scoring
-        -> k-way merge with the canonical (score DESC, doc_id ASC) order."""
+        -> k-way merge with the canonical (score DESC, doc_id ASC) order.
+
+        `boosts` is ES `indices_boost`: one multiplier per shard applied
+        to that shard's scores BEFORE the global merge. The multiplier is
+        monotone within a shard, so the per-shard top-k cut is unchanged
+        and the boost composes exactly with block-max pruning."""
+        if boosts is not None and len(boosts) != len(self.shards):
+            raise ValueError("indices_boost needs one multiplier per shard")
         terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return []
@@ -58,10 +69,12 @@ class ShardedIndex:
             return []
         idfs = {t: idf(self.n_docs, dfs.get(t, 0)) for t in terms}
         allhits: list[tuple[int, float]] = []
-        for s in self.shards:
-            allhits.extend(
-                self._shard_local(s, terms, idfs, k, mode)
-            )
+        for i, s in enumerate(self.shards):
+            hits = self._shard_local(s, terms, idfs, k, mode)
+            if boosts is not None:
+                b = float(boosts[i])
+                hits = [(d, sc * b) for d, sc in hits]
+            allhits.extend(hits)
         allhits.sort(key=lambda ds: (-ds[1], ds[0]))
         return allhits[:k] if k is not None else allhits
 
@@ -108,8 +121,12 @@ class ShardedIndex:
         return out
 
     def search(
-        self, query: str | list[str], k: int | None = 10, mode: str = "and"
+        self,
+        query: str | list[str],
+        k: int | None = 10,
+        mode: str = "and",
+        boosts: list[float] | None = None,
     ) -> DataFrame:
         """DataFrame result for parity with InvertedIndex.search."""
-        hits = self.search_local(query, k=k, mode=mode)
+        hits = self.search_local(query, k=k, mode=mode, boosts=boosts)
         return self.spark.createDataFrame(hits or [], TOPK_SCHEMA)

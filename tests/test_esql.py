@@ -82,7 +82,7 @@ def test_error_contracts(events):
     with pytest.raises(ValueError, match="unknown index"):
         esql("FROM nope", tables=t)
     with pytest.raises(ValueError, match="not supported"):
-        esql("FROM events | GROK props '%{WORD:w}'", tables=t)
+        esql("FROM events | MV_EXPAND props", tables=t)
     with pytest.raises(ValueError, match="unknown ES\\|QL command"):
         esql("FROM events | FOO bar", tables=t)
     with pytest.raises(ValueError, match="LIMIT needs an integer"):
@@ -106,3 +106,62 @@ def test_eq_sugar_leaves_operators_alone(events):
     ).collect()[0]["n"]
     b = events.where("value <> 1.0 AND value >= 2.0 AND value <= 90.0").count()
     assert a == b
+
+
+def test_grok_typed_extraction(spark, events):
+    out = esql(
+        "FROM events | GROK props '\"k\": %{NUMBER:k:int}'"
+        " | KEEP event_id, k | SORT event_id | LIMIT 5",
+        tables={"events": events},
+    ).collect()
+    import json
+
+    want = {
+        r["event_id"]: json.loads(r["props"])["k"]
+        for r in events.orderBy("event_id").limit(5).collect()
+    }
+    assert {r["event_id"]: r["k"] for r in out} == want
+    assert all(isinstance(r["k"], int) for r in out)
+
+
+def test_grok_no_match_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, "x=5"), (2, "no digits here")], "id long, s string"
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in esql(
+            "FROM t | GROK s 'x=%{INT:v:int}'", tables={"t": df}
+        ).collect()
+    }
+    assert out == {1: 5, 2: None}
+
+
+def test_dissect_anchored(spark):
+    df = spark.createDataFrame(
+        [(1, "a - b"), (2, "a - b - extra"), (3, "nope")],
+        "id long, s string",
+    )
+    out = {
+        r["id"]: (r["x"], r["y"])
+        for r in esql(
+            "FROM t | DISSECT s '%{x} - %{y}'", tables={"t": df}
+        ).collect()
+    }
+    assert out[1] == ("a", "b")
+    assert out[2] == ("a", "b - extra")  # last hole is greedy
+    assert out[3] == (None, None)  # anchored: whole string must fit
+
+
+def test_grok_dissect_errors(events):
+    t = {"events": events}
+    with pytest.raises(ValueError, match="unknown grok pattern"):
+        esql("FROM events | GROK props '%{NOPE:x}'", tables=t)
+    with pytest.raises(ValueError, match="unknown grok type"):
+        esql("FROM events | GROK props '%{INT:x:complex}'", tables=t)
+    with pytest.raises(ValueError, match="extracts no fields"):
+        esql("FROM events | GROK props '%{INT}'", tables=t)
+    with pytest.raises(ValueError, match="must be quoted"):
+        esql("FROM events | DISSECT props %{x}", tables=t)
+    with pytest.raises(ValueError, match="not supported"):
+        esql("FROM events | ENRICH policy", tables=t)
