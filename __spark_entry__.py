@@ -6511,6 +6511,127 @@ FROM base
 
 
 # ---------------------------------------------------------------------------
+# Batch 3l: ES|QL joins/expansion/literals, terminate_after, terms
+# partitioning
+# ---------------------------------------------------------------------------
+
+
+def _esql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL LOOKUP JOIN (ES 8.18): broadcast left join against a lookup
+    index, then an aggregation — the classic fact-to-dim enrichment as
+    one pipe."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM lineitem"
+        " | RENAME l_orderkey AS o_orderkey"
+        " | LOOKUP JOIN orders ON o_orderkey"
+        " | STATS revenue = sum(l_extendedprice), n = count(*) BY o_orderpriority"
+        " | SORT o_orderpriority",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select(
+        "o_orderpriority", _f4("revenue").alias("revenue"), "n"
+    )
+
+
+_ESQL_LOOKUP_SQL = """
+SELECT o.o_orderpriority,
+       floor(sum(l.l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _esql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL MV_EXPAND: multivalued column to rows (explode_outer), then
+    scalar stats over the expanded values."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM embeddings | MV_EXPAND embedding"
+        " | STATS n = count(*), mn = min(embedding), mx = max(embedding)",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("n", _f4("mn").alias("mn"), _f4("mx").alias("mx"))
+
+
+_ESQL_MV_SQL = """
+SELECT count(*)::BIGINT AS n,
+       floor(min(v)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS mn,
+       floor(max(v)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS mx
+FROM (SELECT unnest(embedding) AS v FROM embeddings)
+"""
+
+
+def _esql_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ROW: a literal one-row source piped through EVAL."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    return esql("ROW a = 1, b = 'x' | EVAL c = a * 10", spark=spark, sf_dir=sf_dir)
+
+
+_ESQL_ROW_LIT_SQL = "SELECT 1 AS a, 'x' AS b, 10 AS c"
+
+_TA_N = 50
+
+
+def _terminate_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terminate_after: rank only the first N collected matches —
+    deterministic contract: the N smallest matching doc_ids (a doc-id
+    top-N cut, no full sort), then the usual score order."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search_terminate_after(["spark"], _TA_N, k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _terminate_after_sql() -> str:
+    exact = _bm25_sql(["spark"], "and", None).replace(
+        "SELECT doc_id, round(s, 4) AS score", "SELECT doc_id, s"
+    )
+    return f"""
+WITH base AS ({exact}),
+firstn AS (SELECT doc_id, s FROM base ORDER BY doc_id ASC LIMIT {_TA_N})
+SELECT doc_id, round(s, 4) AS score FROM firstn
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+
+_FTP_PART, _FTP_NUM = 1, 4
+
+
+def _facet_terms_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg with include.partition: worker 1 of 4 aggregates only
+    its hash partition of the keyspace — P coordinated requests cover
+    every term exactly once (pre-shuffle predicate, 1/P of the pairs
+    move)."""
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_terms_partition,
+    )
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return facet_terms_partition(
+        matches, docs, "text", _FTP_PART, _FTP_NUM, n=10
+    )
+
+
+def _facet_terms_part_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+dt AS (SELECT DISTINCT doc_id, term FROM toks JOIN m USING (doc_id))
+SELECT term, count(*)::BIGINT AS doc_count FROM dt
+WHERE ({hash60_sql('term')} % {_FTP_NUM}) = {_FTP_PART}
+GROUP BY term ORDER BY doc_count DESC, term ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -6735,6 +6856,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_fuzzy": _completion_fuzzy,
         "count_query": _count_query,
         "indices_boost": _indices_boost,
+        "esql_lookup": _esql_lookup,
+        "esql_mv_expand": _esql_mv_expand,
+        "esql_row": _esql_row,
+        "terminate_after": _terminate_after,
+        "facet_terms_part": _facet_terms_part,
     }
 
 
@@ -6999,6 +7125,11 @@ FROM topk JOIN documents USING (doc_id)
         "completion_fuzzy": _COMPLETION_FUZZY_SQL,
         "count_query": _COUNT_QUERY_SQL,
         "indices_boost": _indices_boost_sql(),
+        "esql_lookup": _ESQL_LOOKUP_SQL,
+        "esql_mv_expand": _ESQL_MV_SQL,
+        "esql_row": _ESQL_ROW_LIT_SQL,
+        "terminate_after": _terminate_after_sql(),
+        "facet_terms_part": _facet_terms_part_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

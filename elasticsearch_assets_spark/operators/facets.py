@@ -2142,3 +2142,41 @@ def bucket_count_ks_test(
         F.max("d").alias("greater"),
         F.max(F.abs(F.col("d"))).alias("two_sided"),
     )
+
+
+def facet_terms_partition(
+    matches: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    partition: int,
+    num_partitions: int,
+    n: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES terms agg with `include: {partition, num_partitions}` — the
+    paginate-a-huge-keyspace contract: worker p of P aggregates only the
+    terms hashing to its partition, so P coordinated requests cover every
+    term exactly once with bounded per-response size. ES hashes with
+    murmur; the engine contract is the cross-engine 60-bit md5
+    (operators/texthash.py), deterministic across runs and engines.
+
+    Plan: the partition predicate filters AFTER tokenization but BEFORE
+    the count shuffle — only 1/P of the (doc, term) pairs move."""
+    from elasticsearch_assets_spark.operators.texthash import (
+        hash60_expr,
+        tokens_expr,
+    )
+
+    if not (0 <= partition < num_partitions):
+        raise ValueError("partition must be in [0, num_partitions)")
+    toks = (
+        corpus.join(matches.select(id_col), id_col, "left_semi")
+        .select(F.explode(F.array_distinct(tokens_expr(text_col))).alias("term"))
+        .where((hash60_expr(F.col("term")) % num_partitions) == partition)
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("term").asc())
+        .limit(n)
+    )

@@ -1962,6 +1962,29 @@ class InvertedIndex:
         exactly like a search."""
         return self.search_querystring(q, corpus, k=None, **kwargs).count()
 
+    def search_terminate_after(
+        self,
+        query: str | list[str],
+        terminate_after: int,
+        k: int | None = 10,
+        mode: str = "and",
+    ) -> DataFrame:
+        """ES `terminate_after`: bound the work per query by collecting at
+        most N matching documents, then rank only those. ES collects the
+        first N per shard in doc order (non-deterministic across runs);
+        the engine's DETERMINISTIC contract is the N smallest matching
+        doc_ids globally, so results are reproducible and oracle-checkable
+        while keeping the same cost-bounding intent. Plan: the match set's
+        id cut is TakeOrderedAndProject on doc_id (no full sort), ranking
+        restricts to the cut via a broadcast semi join; collection stats
+        stay global (like every restriction in this engine)."""
+        if terminate_after < 1:
+            raise ValueError("terminate_after must be >= 1")
+        matches = self.search(query, k=None, mode=mode)
+        first_n = matches.orderBy(F.col("doc_id").asc()).limit(terminate_after)
+        out = first_n.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return out.limit(k) if k is not None else out
+
     def suggest_phrase(
         self,
         text: str,

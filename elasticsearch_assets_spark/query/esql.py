@@ -14,6 +14,10 @@ Supported subset — the analytics core of the language:
   | RENAME <old> AS <new> [, ...]
   | GROK <col> "<pattern>"      (subset pattern dictionary, typed fields)
   | DISSECT <col> "<pattern>"   (anchored literal-layout extraction)
+  | MV_EXPAND <col>             (multivalue -> rows, explode_outer)
+  | LOOKUP JOIN <index> ON <f>  (broadcast left join, ES lookup indexes)
+
+ROW <name> = <expr> [, ...] may replace FROM as the literal source.
 
 Expression dialect: expressions compile through `F.expr`, i.e. Spark SQL —
 the engine's ONE script dialect (the same contract as script_score /
@@ -36,11 +40,11 @@ import re
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _SUPPORTED = (
-    "FROM", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP", "DROP",
-    "RENAME", "GROK", "DISSECT",
+    "FROM", "ROW", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP",
+    "DROP", "RENAME", "GROK", "DISSECT", "MV_EXPAND", "LOOKUP JOIN",
 )
 _KNOWN_UNSUPPORTED = (
-    "ENRICH", "MV_EXPAND", "LOOKUP", "ROW", "SHOW",
+    "ENRICH", "SHOW", "METRICS", "FORK", "RERANK",
 )
 
 _RE_SPECIAL = set(".^$*+?()[]{}|\\")
@@ -186,29 +190,75 @@ def esql(
 ) -> DataFrame:
     """Run an ES|QL pipe. `tables` maps index names to DataFrames; or pass
     (spark, sf_dir) to resolve FROM against the standard test tables."""
-    cmds = _split_pipes(query)
-    if not cmds:
-        raise ValueError("empty ES|QL query")
-    head = cmds[0].split(None, 1)
-    if head[0].upper() != "FROM":
-        raise ValueError("an ES|QL query must start with FROM")
-    if len(head) != 2 or not head[1].strip():
-        raise ValueError("FROM needs an index name")
-    name = head[1].strip()
-    if tables is not None:
-        if name not in tables:
-            raise ValueError(f"unknown index {name!r}")
-        df = tables[name]
-    else:
+    def resolve(name: str) -> DataFrame:
+        if tables is not None:
+            if name not in tables:
+                raise ValueError(f"unknown index {name!r}")
+            return tables[name]
         if spark is None or sf_dir is None:
             raise ValueError("pass `tables` or (spark, sf_dir)")
         from elasticsearch_assets_spark.sources.tables import load_sf_table
 
-        df = load_sf_table(spark, sf_dir, name)
+        return load_sf_table(spark, sf_dir, name)
+
+    cmds = _split_pipes(query)
+    if not cmds:
+        raise ValueError("empty ES|QL query")
+    head = cmds[0].split(None, 1)
+    if head[0].upper() == "ROW":
+        # ROW a = 1, b = "x": a literal one-row source
+        s = spark
+        if s is None and tables:
+            s = next(iter(tables.values())).sparkSession
+        if s is None:
+            raise ValueError("ROW needs a SparkSession (pass spark or tables)")
+        df = s.range(1).select()
+        if len(head) != 2:
+            raise ValueError("ROW needs at least one `name = expr`")
+        for assign in _split_commas(head[1]):
+            m = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", assign, re.S)
+            if not m:
+                raise ValueError(f"ROW needs `name = expr`: {assign!r}")
+            df = df.withColumn(m.group(1), _expr(m.group(2)))
+    elif head[0].upper() == "FROM":
+        if len(head) != 2 or not head[1].strip():
+            raise ValueError("FROM needs an index name")
+        df = resolve(head[1].strip())
+    else:
+        raise ValueError("an ES|QL query must start with FROM or ROW")
 
     for cmd in cmds[1:]:
         kw = cmd.split(None, 1)[0].upper()
         body = cmd[len(kw):].strip()
+        if kw == "LOOKUP":
+            lm = re.match(r"^JOIN\s+(\w+)\s+ON\s+(\w+)\s*$", body, re.I)
+            if not lm:
+                raise ValueError("LOOKUP needs `JOIN <index> ON <field>`")
+            lookup = resolve(lm.group(1))
+            field = lm.group(2)
+            if field not in df.columns or field not in lookup.columns:
+                raise ValueError(
+                    f"LOOKUP JOIN field {field!r} must exist on both sides"
+                )
+            # ES lookup indexes are single-shard small tables: broadcast,
+            # left-outer (unmatched rows keep nulls, the ES contract)
+            df = df.join(F.broadcast(lookup), field, "left")
+            continue
+        if kw == "MV_EXPAND":
+            col = body.strip()
+            if not col or len(col.split()) != 1:
+                raise ValueError("MV_EXPAND needs exactly one column")
+            if col not in df.columns:
+                raise ValueError(f"MV_EXPAND column {col!r} does not exist")
+            # null/empty arrays keep their row with a null (explode_outer,
+            # the ES multivalue-expansion contract); column order preserved
+            df = df.select(
+                *[
+                    F.explode_outer(F.col(c)).alias(c) if c == col else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            continue
         if kw == "WHERE":
             df = df.where(_expr(body))
         elif kw == "EVAL":

@@ -82,7 +82,7 @@ def test_error_contracts(events):
     with pytest.raises(ValueError, match="unknown index"):
         esql("FROM nope", tables=t)
     with pytest.raises(ValueError, match="not supported"):
-        esql("FROM events | MV_EXPAND props", tables=t)
+        esql("FROM events | SHOW INFO", tables=t)
     with pytest.raises(ValueError, match="unknown ES\\|QL command"):
         esql("FROM events | FOO bar", tables=t)
     with pytest.raises(ValueError, match="LIMIT needs an integer"):
@@ -165,3 +165,51 @@ def test_grok_dissect_errors(events):
         esql("FROM events | DISSECT props %{x}", tables=t)
     with pytest.raises(ValueError, match="not supported"):
         esql("FROM events | ENRICH policy", tables=t)
+
+
+def test_lookup_join_left_semantics(spark):
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    out = {
+        r["k"]: r["name"]
+        for r in esql(
+            "FROM facts | LOOKUP JOIN dim ON k",
+            tables={"facts": facts, "dim": dim},
+        ).collect()
+    }
+    assert out == {1: "a", 2: "b", 3: None}  # left join keeps unmatched
+    with pytest.raises(ValueError, match="must exist on both sides"):
+        esql("FROM facts | LOOKUP JOIN dim ON missing",
+             tables={"facts": facts, "dim": dim})
+    with pytest.raises(ValueError, match="LOOKUP needs"):
+        esql("FROM facts | LOOKUP dim ON k",
+             tables={"facts": facts, "dim": dim})
+
+
+def test_mv_expand_outer(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, None)],
+        "id long, xs array<int>",
+    )
+    out = sorted(
+        (r["id"], r["xs"])
+        for r in esql("FROM t | MV_EXPAND xs", tables={"t": df}).collect()
+    )
+    assert out == [(1, 10), (1, 20), (2, None), (3, None)]
+    assert esql("FROM t | MV_EXPAND xs", tables={"t": df}).columns == ["id", "xs"]
+    with pytest.raises(ValueError, match="does not exist"):
+        esql("FROM t | MV_EXPAND nope", tables={"t": df})
+
+
+def test_row_literal_source(spark, events):
+    out = esql("ROW a = 1, b = 'x' | EVAL c = a + 1", spark=spark).collect()
+    assert out == [(1, "x", 2)] or (
+        out[0]["a"], out[0]["b"], out[0]["c"]
+    ) == (1, "x", 2)
+    # ROW also resolves spark from the tables dict
+    out2 = esql("ROW z = 41 + 1", tables={"events": events}).collect()
+    assert out2[0]["z"] == 42
+    with pytest.raises(ValueError, match="ROW needs `name = expr`"):
+        esql("ROW 1x = 2", spark=spark)

@@ -73,3 +73,47 @@ def test_indices_boost_rank_and_scores(spark, corpus, index, tmp_path_factory):
         assert s == pytest.approx(mono[d], rel=1e-12)
     with pytest.raises(ValueError, match="one multiplier per shard"):
         sharded.search_local(["spark"], boosts=[1.0])
+
+
+def test_terminate_after_contract(index):
+    full = index.search(["spark"], k=None).collect()
+    first_ids = sorted(r["doc_id"] for r in full)[:30]
+    scores = {r["doc_id"]: r["score"] for r in full}
+    got = index.search_terminate_after(["spark"], 30, k=None).collect()
+    assert sorted(r["doc_id"] for r in got) == first_ids
+    for r in got:
+        assert r["score"] == scores[r["doc_id"]]  # global stats untouched
+    got10 = index.search_terminate_after(["spark"], 30, k=10).collect()
+    want10 = sorted(
+        ((scores[d], d) for d in first_ids), key=lambda t: (-t[0], t[1])
+    )[:10]
+    assert [(r["score"], r["doc_id"]) for r in got10] == want10
+    with pytest.raises(ValueError, match="terminate_after"):
+        index.search_terminate_after(["spark"], 0)
+
+
+def test_facet_terms_partition_covers_keyspace(spark, index, corpus):
+    from collections import Counter
+
+    from elasticsearch_assets_spark.analysis.tokenizer import tokenize_series
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_terms_partition,
+    )
+
+    matches = index.search(["spark"], k=None)
+    parts: dict = {}
+    for p in range(3):
+        for r in facet_terms_partition(
+            matches, corpus, "text", p, 3, n=10_000
+        ).collect():
+            assert r["term"] not in parts  # disjoint
+            parts[r["term"]] = r["doc_count"]
+    ids = {r["doc_id"] for r in matches.select("doc_id").collect()}
+    pdf = corpus.select("doc_id", "text").toPandas()
+    full: Counter = Counter()
+    for d, ts in zip(pdf["doc_id"], tokenize_series(pdf["text"])):
+        if int(d) in ids:
+            full.update(set(ts))
+    assert parts == dict(full)  # covering with identical doc counts
+    with pytest.raises(ValueError, match="partition must"):
+        facet_terms_partition(matches, corpus, "text", 5, 3)
