@@ -6632,6 +6632,184 @@ GROUP BY term ORDER BY doc_count DESC, term ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Batch 3m: optimistic concurrency, late interaction, knn similarity,
+# ILM retention
+# ---------------------------------------------------------------------------
+
+
+def _occ_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES optimistic concurrency (if_seq_no): a versioned keyed table takes
+    a batch where even keys carry the CORRECT expected seq (0) and odd
+    keys a stale one (7) — even rows update and bump _seq_no, odd rows
+    stay untouched (the conflict report carries them), one brand-new key
+    inserts at seq 0."""
+    import shutil
+    import uuid
+
+    from elasticsearch_assets_spark.sinks.keyed_table import KeyedParquetTable
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    scratch = os.path.join("/tmp", "esa_occ", uuid.uuid4().hex[:12])
+    try:
+        t = KeyedParquetTable(spark, scratch, key="doc_id", num_buckets=8)
+        t.create(
+            docs.select(
+                "doc_id", "n_chars", F.lit(0).cast("long").alias("_seq_no")
+            )
+        )
+        batch = docs.where(F.col("doc_id") < 100).select(
+            "doc_id",
+            (F.col("n_chars") * 2).alias("n_chars"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(0))
+            .otherwise(F.lit(7)).cast("long").alias("_if_seq_no"),
+        )
+        newrow = spark.createDataFrame(
+            [(999999, 42, 0)], "doc_id long, n_chars long, _if_seq_no long"
+        )
+        conflicts = t.upsert_occ(batch.unionByName(newrow))
+        n_conflicts = conflicts.count()
+        out = (
+            t.read()
+            .where((F.col("doc_id") < 100) | (F.col("doc_id") == 999999))
+            .withColumn("n_conflicts", F.lit(n_conflicts).cast("long"))
+            .select("doc_id", "n_chars", "_seq_no", "n_conflicts")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+_OCC_SQL = """
+WITH nconf AS (
+  SELECT count(*)::BIGINT AS n FROM documents
+  WHERE doc_id < 100 AND doc_id % 2 = 1
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 2 = 0 THEN d.n_chars * 2 ELSE d.n_chars END AS n_chars,
+       CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END::BIGINT AS _seq_no,
+       nconf.n AS n_conflicts
+FROM documents d, nconf WHERE d.doc_id < 100
+UNION ALL
+SELECT 999999, 42, 0::BIGINT, nconf.n FROM nconf
+"""
+
+_MAXSIM_CHUNKS, _MAXSIM_DIM = 4, 16
+
+
+def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_vectors maxSimDotProduct (late interaction / ColBERT):
+    docs are multi-vector (the flat embedding chunked 4×16 — synthetic
+    stand-in), score = Σ over query vectors of max over doc vectors of
+    the dot product; one scan + TakeOrderedAndProject."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    qvecs = [
+        qv[i * _MAXSIM_DIM : (i + 1) * _MAXSIM_DIM]
+        for i in range(_MAXSIM_CHUNKS)
+    ]
+    docs_mv = OS.chunk_vectors(emb, _MAXSIM_CHUNKS)
+    out = OS.maxsim_topk(docs_mv, qvecs, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def _maxsim_sql() -> str:
+    d = _MAXSIM_DIM
+
+    def dot(qi: int, di: int) -> str:
+        return (
+            f"(SELECT sum(b.embedding[{d * qi}+i]::DOUBLE * "
+            f"a.embedding[{d * di}+i]::DOUBLE) FROM range(1,{d + 1}) r(i))"
+        )
+
+    terms = " + ".join(
+        "greatest(" + ", ".join(dot(qi, di) for di in range(_MAXSIM_CHUNKS)) + ")"
+        for qi in range(_MAXSIM_CHUNKS)
+    )
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(s, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id, {terms} AS s
+  FROM embeddings a, q b
+) ORDER BY s DESC, vec_id ASC LIMIT 10
+"""
+
+
+_SIM_THRESHOLD = 0.3
+
+
+def _ann_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES knn `similarity` threshold (8.8): hits below the cosine floor
+    are pruned even inside the top k — the filter composes into the scan
+    before the top-k cut."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    out = OS.cosine_topk(emb, qv, k=10, similarity=_SIM_THRESHOLD)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def _ann_topk_sim_sql() -> str:
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id, {_COS_AB} AS cos
+  FROM embeddings a, q b
+) WHERE cos >= {_SIM_THRESHOLD}
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+_ILM_RETENTION_DAYS = 10
+
+
+def _ilm_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ILM delete phase over the rollover plan: indexes whose last written
+    day is > 10 days behind the newest day get action 'delete' — the
+    retention decision every rollover-managed deployment runs."""
+    from elasticsearch_assets_spark.operators.transforms import (
+        plan_retention,
+        plan_rollover,
+    )
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    plan = plan_rollover(
+        ev, "ts", "logs", max_docs=_RO_MAX_DOCS, max_age_days=_RO_MAX_AGE
+    )
+    out = plan_retention(plan, _ILM_RETENTION_DAYS)
+    return out.select(
+        "index_name",
+        F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        "n_docs", "action",
+    )
+
+
+def _ilm_retention_sql() -> str:
+    fold = _ROLLOVER_SQL.strip().rstrip()
+    # reuse the rollover recursion as a CTE body (strip its final SELECT)
+    body = fold[: fold.index("SELECT strftime")].rstrip()
+    return f"""{body},
+plan AS (
+  SELECT day, n_docs, printf('logs-%06d', generation) AS index_name
+  FROM fold
+),
+per_idx AS (
+  SELECT index_name, min(day) AS first_day, max(day) AS last_day,
+         sum(n_docs)::BIGINT AS n_docs
+  FROM plan GROUP BY index_name
+),
+newest AS (SELECT max(day) AS mx FROM plan)
+SELECT index_name,
+       strftime(first_day, '%Y-%m-%d') AS first_day,
+       strftime(last_day, '%Y-%m-%d') AS last_day,
+       n_docs,
+       CASE WHEN newest.mx - last_day > {_ILM_RETENTION_DAYS}
+            THEN 'delete' ELSE 'keep' END AS action
+FROM per_idx, newest ORDER BY index_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -6861,6 +7039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_row": _esql_row,
         "terminate_after": _terminate_after,
         "facet_terms_part": _facet_terms_part,
+        "occ_upsert": _occ_upsert,
+        "maxsim_topk": _maxsim_topk,
+        "ann_topk_sim": _ann_topk_sim,
+        "ilm_retention": _ilm_retention,
     }
 
 
@@ -7130,6 +7312,10 @@ FROM topk JOIN documents USING (doc_id)
         "esql_row": _ESQL_ROW_LIT_SQL,
         "terminate_after": _terminate_after_sql(),
         "facet_terms_part": _facet_terms_part_sql(),
+        "occ_upsert": _OCC_SQL,
+        "maxsim_topk": _maxsim_sql(),
+        "ann_topk_sim": _ann_topk_sim_sql(),
+        "ilm_retention": _ilm_retention_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -388,6 +388,58 @@ def main() -> None:
         reps.append(time.monotonic() - t0)
     queries["q_filtered_cogroup_wide"] = round(min(reps), 3)
 
+    # --- round-3 session-4 ops: corpus-curation + query surface ----------
+    from elasticsearch_assets_spark.operators.packing import pack_documents
+    from elasticsearch_assets_spark.operators.textstats import (
+        hash_classifier_score,
+        normalize_text,
+        unigram_lm_score,
+    )
+    from elasticsearch_assets_spark.query.esql import esql as esql_run
+
+    # exact-substring dup removal over the full pages corpus (detect's two
+    # compact shuffles + one doc-keyed join; text never shuffles)
+    op_best(
+        "op_dup_span_removal",
+        lambda: OD.remove_duplicate_spans(corpus, L=8).count(),
+    )
+    # corpus-LM quality: term agg + join-back + doc agg over pages
+    op_best("op_unigram_lm", lambda: unigram_lm_score(corpus).count())
+    # hashed classifier + normalization: zero-shuffle JVM passes
+    op_best(
+        "op_hash_classifier", lambda: hash_classifier_score(corpus).count()
+    )
+    op_best("op_normalize_text", lambda: normalize_text(corpus).count())
+    # banded sign-LSH embedding near-dup (key-only candidate join + verify)
+    op_best(
+        "op_lsh_neardup",
+        lambda: OS.lsh_neardup_pairs(
+            emb, tau=0.45, n_planes=4, n_tables=8
+        ).count(),
+    )
+    # distributed-prefix-sum sequence packing over pages
+    op_best(
+        "op_pack_documents",
+        lambda: pack_documents(corpus, 2048, bucket_width=10_000).count(),
+    )
+    # ES|QL stats pipe over the events table (one declarative plan)
+    q_best(
+        "q_esql_stats",
+        lambda: esql_run(
+            "FROM events | WHERE event_type == 'click' AND value > 5"
+            " | EVAL day = date_format(ts, 'yyyy-MM-dd')"
+            " | STATS n = count(*), avg_v = avg(value) BY day | SORT day",
+            spark=spark, sf_dir=SF_DIR,
+        ).collect(),
+    )
+    # three-clause unordered span_near through the positional kernel
+    q_best(
+        "q_span_near3",
+        lambda: pidx.search_span_near(
+            ["the", "join", "data"], slop=3, in_order=False, k=10
+        ).collect(),
+    )
+
     total = time.monotonic() - t_total
     print(
         json.dumps(

@@ -58,10 +58,14 @@ def cosine_topk(
     query_vec: list[float],
     k: int = 10,
     *,
+    similarity: float | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k by cosine to `query_vec`, (score DESC, id ASC) tie-break."""
+    """Exact top-k by cosine to `query_vec`, (score DESC, id ASC) tie-break.
+    `similarity` is the ES knn similarity threshold (ES 8.8): hits below
+    it are pruned even inside the top k — the filter composes into the
+    same scan, before the top-k cut."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     scored = df.select(
@@ -70,6 +74,8 @@ def cosine_topk(
             "score"
         ),
     )
+    if similarity is not None:
+        scored = scored.where(F.col("score") >= float(similarity))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -550,3 +556,51 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= float(tau))
     )
+
+
+def chunk_vectors(
+    df: DataFrame,
+    n_chunks: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Derive a multi-vector (rank_vectors) column by chunking a flat
+    embedding into n_chunks equal subvectors — the synthetic stand-in for
+    a real late-interaction corpus that stores array<array<float>>
+    per-token vectors. Pure JVM slice expressions."""
+    if n_chunks < 1:
+        raise ValueError("n_chunks must be >= 1")
+    size = F.size(F.col(vec_col))
+    chunk = (size / n_chunks).cast("int")
+    vecs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+        lambda i: F.slice(F.col(vec_col), i * chunk + 1, chunk),
+    )
+    return df.select(F.col(id_col), vecs.alias("vectors"))
+
+
+def maxsim_topk(
+    df: DataFrame,
+    query_vecs: list[list[float]],
+    k: int = 10,
+    *,
+    vecs_col: str = "vectors",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ES `rank_vectors` maxSimDotProduct scoring (late interaction /
+    ColBERT): the document field is MULTIPLE vectors; score =
+    Σ over query vectors of max over document vectors of the dot product.
+    Every (query_vec × doc_vec) dot is a JVM zip_with fold and the max/sum
+    collapse per row — zero shuffle before the global top-k
+    (TakeOrderedAndProject), the same scan shape as cosine_topk."""
+    if not query_vecs:
+        raise ValueError("maxsim needs at least one query vector")
+    score = F.lit(0.0)
+    for q in query_vecs:
+        qa = F.array(*[F.lit(float(x)) for x in q])
+        score = score + F.array_max(
+            F.transform(F.col(vecs_col), lambda dv: dot_expr(dv, qa))
+        )
+    out = df.select(F.col(id_col), score.alias("score"))
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

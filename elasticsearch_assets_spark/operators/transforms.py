@@ -143,3 +143,30 @@ def plan_rollover(
         "day date, n_docs bigint, generation int, index_name string",
     )
     return out.orderBy("day")
+
+
+def plan_retention(
+    rollover: DataFrame, delete_after_days: int
+) -> DataFrame:
+    """ILM delete phase over a rollover plan (plan_rollover's output):
+    an index whose LAST written day is more than `delete_after_days`
+    before the newest day in the plan gets action 'delete', else 'keep' —
+    the age clock starts at rollover, exactly ILM's phase timing.
+    One hash agg over O(days) rows + a scalar max broadcast."""
+    if delete_after_days < 0:
+        raise ValueError("delete_after_days must be >= 0")
+    per_idx = rollover.groupBy("index_name").agg(
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.sum("n_docs").alias("n_docs"),
+    )
+    newest = rollover.agg(F.max("day").alias("_newest"))
+    out = per_idx.crossJoin(F.broadcast(newest)).select(
+        "index_name", "first_day", "last_day", "n_docs",
+        F.when(
+            F.datediff(F.col("_newest"), F.col("last_day"))
+            > delete_after_days,
+            F.lit("delete"),
+        ).otherwise(F.lit("keep")).alias("action"),
+    )
+    return out.orderBy("index_name")

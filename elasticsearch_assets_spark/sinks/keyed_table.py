@@ -238,6 +238,69 @@ class KeyedParquetTable:
         strict = update_exprs is not None or update_fields is not None
         self._apply_merge(df, exprs, insert_missing=False, strict=strict)
 
+    SEQ_COL = "_seq_no"
+
+    def upsert_occ(
+        self, df: DataFrame, expected_col: str = "_if_seq_no"
+    ) -> DataFrame:
+        """ES optimistic concurrency control (`if_seq_no`): each source row
+        names the sequence number it read (`expected_col`); a matched row
+        updates ONLY when the target's current _seq_no equals it, and a
+        successful update bumps _seq_no by one (the ES per-operation seq).
+        Mismatched rows are left untouched and RETURNED as the conflict
+        report (key, expected, current) — the set-oriented spelling of the
+        ES 409 version_conflict_engine_exception, for the caller's
+        read-retry loop (the reference retries update conflicts the same
+        way). Unmatched source rows insert at seq 0 (upsert semantics;
+        pass only known keys for strict ES if_seq_no behavior).
+
+        The merge itself rides the same bucket-pruned MERGE machinery as
+        every other write: one full-outer join per affected bucket, no
+        driver materialization beyond the bucket list."""
+        seq = self.SEQ_COL
+        if not self.exists():
+            raise ValueError("versioned upsert needs an existing table")
+        if expected_col not in df.columns:
+            raise ValueError(f"source is missing {expected_col!r}")
+        sample = self.read().columns
+        if seq not in sample:
+            raise ValueError(
+                f"table has no {seq!r} column — create it with seq 0 rows"
+            )
+        src = self._bucket(df).dropDuplicates([self.key])
+        buckets = [
+            r["bucket"] for r in src.select("bucket").distinct().collect()
+        ]
+        tgt = self._read_buckets(buckets)
+        # conflict report BEFORE the merge (collected by the caller)
+        conflicts = (
+            tgt.drop("bucket").alias("t")
+            .join(src.drop("bucket").alias("s"), self.key)
+            .where(F.col(f"t.{seq}") != F.col(f"s.{expected_col}"))
+            .select(
+                F.col(self.key),
+                F.col(f"s.{expected_col}").alias("expected"),
+                F.col(f"t.{seq}").alias("current"),
+            )
+        )
+        conflicts = self.spark.createDataFrame(
+            conflicts.collect(), f"{self.key} long, expected long, current long"
+        )
+        ok = f"t.{seq} = s.{expected_col}"
+        exprs = {
+            c: f"CASE WHEN {ok} THEN s.{c} ELSE t.{c} END"
+            for c in df.columns
+            if c not in (self.key, expected_col, seq)
+        }
+        exprs[seq] = f"CASE WHEN {ok} THEN t.{seq} + 1 ELSE t.{seq} END"
+        src_seeded = src.withColumn(seq, F.lit(0).cast("long"))
+        merged = self._merge_exprs(
+            self._read_buckets(buckets), src_seeded, exprs,
+            insert_missing=True, strict=True,
+        )
+        self._overwrite_buckets(merged)
+        return conflicts
+
     def delete(self, keys: DataFrame) -> None:
         """Remove rows whose key appears in `keys`."""
         if not self.exists():
