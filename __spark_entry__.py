@@ -6810,6 +6810,159 @@ FROM per_idx, newest ORDER BY index_name
 
 
 # ---------------------------------------------------------------------------
+# Batch 3n: term ranges, parent_id, msearch templates, mixture math
+# ---------------------------------------------------------------------------
+
+_TR_LO, _TR_HI = "sl", "sp"
+
+
+def _bm25_term_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene TermRangeQuery over the analyzed field: dictionary terms in
+    [sl, sp] (sargable range on the term-sorted stats scan) scored as an
+    OR query."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search_term_range(_TR_LO, _TR_HI, k=None)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_TERM_RANGE_SQL = _bm25_sql(
+    [], "or", None,
+    term_cond=f"term >= '{_TR_LO}' AND term <= '{_TR_HI}'",
+)
+
+
+def _parent_id_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent_id query: the child docs of ONE parent — a sargable
+    equality on the join field (partition-pruned under ES-style routing;
+    the parent key is probed planning-level, one min() agg)."""
+    from elasticsearch_assets_spark.operators.relations import parent_id
+
+    li = load_sf_table(spark, sf_dir, "lineitem")
+    parent = li.agg(F.min("l_orderkey")).head()[0]
+    out = parent_id(li, "l_orderkey", parent)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+_PARENT_ID_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+"""
+
+_MST_TEMPLATES = [
+    ({"query": "spark {{extra}}", "mode": "and", "k": 5}, {"extra": "join"}),
+    ({"query": "{{t1}} {{t2}}", "mode": "or", "k": 7},
+     {"t1": "hash", "t2": "merge"}),
+]
+
+
+def _msearch_template_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _msearch/template: two parameterized spec templates rendered
+    then executed through the FUSED msearch scan (one postings decode
+    for both)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.msearch_template(_MST_TEMPLATES)
+    return out.select("query_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def _msearch_template_sql() -> str:
+    rendered = [
+        (["spark", "join"], "and", 5),
+        (["hash", "merge"], "or", 7),
+    ]
+    parts = []
+    for qid, (terms, mode, k) in enumerate(rendered):
+        parts.append(
+            f"SELECT {qid} AS query_id, * FROM ({_bm25_sql(terms, mode, k)})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_MT_TAU, _MT_BUDGET = 0.5, 30_000
+
+
+def _mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture reweighting (tau=0.5 flattens toward uniform):
+    per-language sampling weights/rates from the corpus-accounting token
+    totals — the numbers stratified_sample/upsample then apply."""
+    from elasticsearch_assets_spark.operators.sampling import temperature_rates
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    acct = OT.corpus_accounting(docs, ["lang"]).select("lang", "total_tokens")
+    out = temperature_rates(acct, "lang", "total_tokens", _MT_TAU, _MT_BUDGET)
+    return out.select(
+        "lang", "total_tokens", _f4("weight").alias("weight"),
+        _f4("target_tokens").alias("target_tokens"), _f4("rate").alias("rate"),
+    )
+
+
+def _mixture_temperature_sql() -> str:
+    return f"""
+WITH ts AS ({OT.token_stats_sql()}),
+acct AS (
+  SELECT d.lang, sum(ts.n_tokens)::BIGINT AS total_tokens
+  FROM documents d JOIN ts USING (doc_id) GROUP BY 1
+),
+w AS (
+  SELECT lang, total_tokens,
+         pow(total_tokens::DOUBLE, {_MT_TAU})
+           / sum(pow(total_tokens::DOUBLE, {_MT_TAU})) OVER () AS weight
+  FROM acct
+)
+SELECT lang, total_tokens,
+       floor(weight * 10000.0 + 0.5) / 10000.0 AS weight,
+       floor(weight * {float(_MT_BUDGET)!r} * 10000.0 + 0.5) / 10000.0
+         AS target_tokens,
+       floor(weight * {float(_MT_BUDGET)!r} / total_tokens::DOUBLE
+             * 10000.0 + 0.5) / 10000.0 AS rate
+FROM w
+"""
+
+
+_UP_RATES = {"en": 2.5, "es": 1.0, "fr": 0.4}
+_UP_DEFAULT = 1.0
+
+
+def _mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional replication (the upsampling half of
+    mixture application): en docs emit 2 copies plus an md5-decided
+    third half the time, fr docs survive 40%, everything else passes
+    through once — expected copies == rate, replayable under retries."""
+    from elasticsearch_assets_spark.operators.sampling import upsample
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = upsample(docs, "lang", _UP_RATES, default_rate=_UP_DEFAULT)
+    return out.select("doc_id", "lang", "copy")
+
+
+def _mixture_upsample_sql() -> str:
+    import math
+
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+
+    base_case, thr_case = [], []
+    for s, r in _UP_RATES.items():
+        b = int(math.floor(r))
+        base_case.append(f"WHEN '{s}' THEN {b}")
+        thr_case.append(f"WHEN '{s}' THEN '{rate_threshold_hex(r - b)}'")
+    dbase = int(math.floor(_UP_DEFAULT))
+    dthr = rate_threshold_hex(_UP_DEFAULT - dbase)
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         (CASE lang {' '.join(base_case)} ELSE {dbase} END
+          + CASE WHEN substr(md5('up|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < CASE lang {' '.join(thr_case)} ELSE '{dthr}' END
+                 THEN 1 ELSE 0 END) AS n
+  FROM documents
+)
+SELECT doc_id, lang, i::INT AS copy
+FROM r, unnest(range(0, n)) g(i) WHERE n >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -7043,6 +7196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": _maxsim_topk,
         "ann_topk_sim": _ann_topk_sim,
         "ilm_retention": _ilm_retention,
+        "bm25_term_range": _bm25_term_range,
+        "parent_id_children": _parent_id_children,
+        "msearch_template": _msearch_template_row,
+        "mixture_temperature": _mixture_temperature,
+        "mixture_upsample": _mixture_upsample,
     }
 
 
@@ -7316,6 +7474,11 @@ FROM topk JOIN documents USING (doc_id)
         "maxsim_topk": _maxsim_sql(),
         "ann_topk_sim": _ann_topk_sim_sql(),
         "ilm_retention": _ilm_retention_sql(),
+        "bm25_term_range": _TERM_RANGE_SQL,
+        "parent_id_children": _PARENT_ID_SQL,
+        "msearch_template": _msearch_template_sql(),
+        "mixture_temperature": _mixture_temperature_sql(),
+        "mixture_upsample": _mixture_upsample_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -128,3 +128,14 @@ def terms_lookup(
     if not vals:
         return corpus.where(F.lit(False))
     return corpus.where(F.col(field).isin(vals))
+
+
+def parent_id(
+    children: DataFrame, join_field: str, parent: "int | str"
+) -> DataFrame:
+    """ES parent_id query: the child documents of ONE parent (filter
+    context). A single sargable equality on the join field — Catalyst
+    pushes it into the child scan, and on a corpus bucketed/partitioned
+    by the join field (the ES routing invariant: children live on the
+    parent's shard) the read prunes to one partition."""
+    return children.where(F.col(join_field) == F.lit(parent))

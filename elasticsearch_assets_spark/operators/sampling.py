@@ -74,3 +74,94 @@ def sample_filter_sql(
         f"substr(md5(concat('{salt}', '|', {id_col}::VARCHAR)), 1, 8) < "
         f"(CASE {strata_col} {cases} ELSE '{rate_threshold_hex(default_rate)}' END)"
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col: str,
+    tau: float,
+    token_budget: int,
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual/domain
+    rebalancing rule of modern LM data recipes): stratum s gets sampling
+    weight n_s^tau / Σ n^tau — tau=1 is natural proportions, tau→0 is
+    uniform — and a per-stratum rate = weight · budget / n_s that feeds
+    stratified_sample (rate <= 1) or upsample (rate > 1).
+
+    Runs over the corpus-accounting table (O(strata) rows): one window
+    normalization, planning-scale."""
+    from pyspark.sql import Window
+
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    n = F.col(tokens_col).cast("double")
+    w = Window.partitionBy()
+    weight = F.pow(n, F.lit(float(tau))) / F.sum(
+        F.pow(n, F.lit(float(tau)))
+    ).over(w)
+    target = weight * F.lit(float(token_budget))
+    return df.select(
+        F.col(strata_col),
+        F.col(tokens_col),
+        weight.alias("weight"),
+        target.alias("target_tokens"),
+        (target / n).alias("rate"),
+    )
+
+
+def upsample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "up",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic fractional REPLICATION (rates may exceed 1 — the
+    upsampling half of mixture application; stratified_sample is the
+    downsampling half): a row in stratum s with rate r emits floor(r)
+    copies plus one more iff md5(salt|id)[0:8] < the hex threshold of
+    frac(r) — so expected copies = r exactly, per-row decisions are a
+    pure function of (salt, id), and retries/repartitions replay
+    identically. Output adds a `copy` index column (0-based); rows whose
+    count lands on 0 disappear (r < 1 behaves like sampling).
+
+    Plan: one JVM expression computes the per-row count, one posexplode
+    materializes the copies — no shuffle, no Python. Hex thresholds are
+    PRECOMPUTED strings per stratum (CLAUDE.md: never convert hex in
+    SQL), so the DuckDB twin is verbatim."""
+    import math
+
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate for stratum {s!r}")
+    if default_rate < 0:
+        raise ValueError("negative default_rate")
+
+    def parts(r: float) -> tuple[int, str]:
+        base = int(math.floor(r))
+        return base, rate_threshold_hex(r - base)
+
+    base_map, thr_map = {}, {}
+    for s, r in rates.items():
+        base_map[s], thr_map[s] = parts(r)
+    dbase, dthr = parts(default_rate)
+    bmap = F.create_map(*[F.lit(x) for kv in base_map.items() for x in kv])
+    tmap = F.create_map(*[F.lit(x) for kv in thr_map.items() for x in kv])
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        1, 8,
+    )
+    base = F.coalesce(
+        F.element_at(bmap, F.col(strata_col)), F.lit(dbase)
+    ).cast("int")
+    thr = F.coalesce(F.element_at(tmap, F.col(strata_col)), F.lit(dthr))
+    n_copies = base + F.when(h < thr, 1).otherwise(0)
+    out = df.withColumn("_n", n_copies).where(F.col("_n") >= 1)
+    return out.select(
+        "*", F.posexplode(F.sequence(F.lit(1), F.col("_n"))).alias("copy", "_x")
+    ).drop("_n", "_x")

@@ -2911,6 +2911,57 @@ class InvertedIndex:
             render_template(template, params), corpus, k=k, **kwargs
         )
 
+    def msearch_template(
+        self, templates: "list[tuple[dict, dict]]", k: int | None = 10
+    ) -> DataFrame:
+        """ES _msearch/template: each entry is (spec_template, params) —
+        an msearch spec whose string values (and string list elements)
+        carry {{param}} placeholders. Rendered specs execute through the
+        FUSED msearch scan (one postings decode for all M queries), so
+        templated dashboards pay one scan like hand-written msearch.
+        Render strictness matches search_template (unbound raises)."""
+        specs = []
+        for spec_t, params in templates:
+            spec = {}
+            for key, v in spec_t.items():
+                if isinstance(v, str):
+                    v = render_template(v, params)
+                elif isinstance(v, list):
+                    v = [
+                        render_template(x, params) if isinstance(x, str) else x
+                        for x in v
+                    ]
+                spec[key] = v
+            if isinstance(spec.get("query"), str):
+                spec["query"] = spec["query"].split()
+            specs.append(spec)
+        return self.msearch(specs, k=k)
+
+    def search_term_range(
+        self,
+        lo: str,
+        hi: str,
+        include_lower: bool = True,
+        include_upper: bool = True,
+        k: int | None = 10,
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """Lucene TermRangeQuery (the query-string `field:[a TO b]` form
+        over an ANALYZED field): dictionary terms lexicographically inside
+        [lo, hi], scored as an OR query (scoring_boolean — the engine's
+        uniform multiterm rewrite). The range predicate is sargable
+        against the term-sorted stats scan (min/max pushdown)."""
+        from elasticsearch_assets_spark.query.expand import expand_terms
+
+        if lo > hi:
+            raise ValueError("term range needs lo <= hi")
+        lo_c = F.col("term") >= lo if include_lower else F.col("term") > lo
+        hi_c = F.col("term") <= hi if include_upper else F.col("term") < hi
+        terms = expand_terms(self.stats, lo_c & hi_c, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.search(terms, k=k, mode="or")
+
     def validate_query(self, q: str) -> tuple[bool, str]:
         """ES _validate/query: parse + plan the query string without
         executing it. Returns (valid, explanation) — the explanation is
