@@ -6963,6 +6963,151 @@ FROM r, unnest(range(0, n)) g(i) WHERE n >= 1
 
 
 # ---------------------------------------------------------------------------
+# Batch 3o: cross-cluster search, index templates, scripted reindex
+# ---------------------------------------------------------------------------
+
+_CCS_TERMS = ["spark", "join"]
+
+
+def _ccs_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cross-cluster search (default minimize-roundtrips): the 'local'
+    cluster's body index and the 'remote' cluster's title index each rank
+    with their OWN collection stats, the coordinator merges by score —
+    no cross-cluster shuffle (engine.cross_cluster_search)."""
+    from elasticsearch_assets_spark.query.engine import cross_cluster_search
+
+    clusters = {
+        "local": _docs_index(spark, sf_dir),
+        "remote": _docs_index_title(spark, sf_dir),
+    }
+    out = cross_cluster_search(clusters, _CCS_TERMS, k=15, mode="and")
+    return out.select(
+        "cluster", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _ccs_sql() -> str:
+    title = _mm_field_chain(
+        "t",
+        "SELECT doc_id, unnest(string_split(text, ' ')"
+        f"[1:{_TITLE_TOKENS}]) AS term FROM documents",
+        terms=_CCS_TERMS,
+    )
+    body = _mm_field_chain(
+        "b",
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents",
+        terms=_CCS_TERMS,
+    )
+    n = len(set(_CCS_TERMS))
+    return f"""
+WITH {title},
+{body},
+u AS (
+  SELECT 'local' AS cluster, b.doc_id, b.s FROM bscored b
+  WHERE (SELECT count(*) FROM btf WHERE btf.doc_id = b.doc_id) = {n}
+  UNION ALL
+  SELECT 'remote' AS cluster, t.doc_id, t.s FROM tscored t
+  WHERE (SELECT count(*) FROM ttf WHERE ttf.doc_id = t.doc_id) = {n}
+)
+SELECT cluster, doc_id, round(s, 4) AS score FROM u
+ORDER BY s DESC, cluster ASC, doc_id ASC LIMIT 15
+"""
+
+
+_TEMPLATES = [("logs-*", 10, "logs_tpl"), ("logs-0000*", 20, "hot_tpl"),
+              ("*", 0, "default_tpl")]
+
+
+def _index_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composable index templates: per rollover-plan index name, the
+    highest-priority matching pattern wins (shared CASE text in both
+    engines — parity by construction)."""
+    from elasticsearch_assets_spark.operators.transforms import plan_rollover
+    from elasticsearch_assets_spark.sinks.index_selector import (
+        resolve_templates,
+    )
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    plan = plan_rollover(
+        ev, "ts", "logs", max_docs=_RO_MAX_DOCS, max_age_days=_RO_MAX_AGE
+    ).select("index_name").distinct()
+    extra = spark.createDataFrame(
+        [("metrics-000001",), ("other",)], "index_name string"
+    )
+    out = resolve_templates(plan.unionByName(extra), "index_name", _TEMPLATES)
+    return out.orderBy("index_name")
+
+
+def _index_templates_sql() -> str:
+    from elasticsearch_assets_spark.sinks.index_selector import (
+        template_match_sql,
+    )
+
+    fold = _ROLLOVER_SQL.strip()
+    body = fold[: fold.index("SELECT strftime")].rstrip()
+    case = template_match_sql(_TEMPLATES, "index_name")
+    return f"""{body},
+names AS (
+  SELECT DISTINCT printf('logs-%06d', generation) AS index_name FROM fold
+  UNION ALL SELECT 'metrics-000001' UNION ALL SELECT 'other'
+)
+SELECT index_name, {case} AS template FROM names ORDER BY index_name
+"""
+
+
+def _reindex_scripted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _reindex with a script: the text field is rewritten (truncated
+    to its first 10 tokens) DURING the copy, so the destination's
+    postings, doc lengths, and collection stats all reflect the
+    transformed corpus — the oracle retokenizes the transformed text
+    under subset-free full-corpus stats of the NEW index."""
+    import shutil
+    import uuid
+
+    from elasticsearch_assets_spark.index.build import reindex
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    scratch = os.path.join("/tmp", "esa_reidx", uuid.uuid4().hex[:12])
+    try:
+        reindex(
+            spark, idx, docs, scratch,
+            transform={"text": "array_join(slice(split(text, ' '), 1, 10), ' ')"},
+            num_segments=4, num_chunks=1,
+        )
+        new_idx = InvertedIndex(spark, scratch)
+        out = new_idx.search(["spark", "join"], k=None, mode="or")
+        res = out.select("doc_id", F.round("score", 4).alias("score"))
+        res = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return res
+
+
+_REINDEX_SCRIPTED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')[1:10]) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('join', 'spark') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -7201,6 +7346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch_template": _msearch_template_row,
         "mixture_temperature": _mixture_temperature,
         "mixture_upsample": _mixture_upsample,
+        "ccs_search": _ccs_search,
+        "index_templates": _index_templates,
+        "reindex_scripted": _reindex_scripted,
     }
 
 
@@ -7479,6 +7627,9 @@ FROM topk JOIN documents USING (doc_id)
         "msearch_template": _msearch_template_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
         "mixture_upsample": _mixture_upsample_sql(),
+        "ccs_search": _ccs_sql(),
+        "index_templates": _index_templates_sql(),
+        "reindex_scripted": _REINDEX_SCRIPTED_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

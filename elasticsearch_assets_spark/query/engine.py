@@ -3505,3 +3505,39 @@ def combined_fields(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return out.limit(k) if k is not None else out
+
+
+def cross_cluster_search(
+    clusters: "dict[str, InvertedIndex]",
+    query: "str | list[str]",
+    k: int | None = 10,
+    mode: str = "and",
+) -> DataFrame:
+    """ES cross-cluster search with the DEFAULT ccs_minimize_roundtrips:
+    each remote cluster ranks with its OWN collection statistics and the
+    coordinator merges per-cluster top-k by score — exactly ES's default
+    (per-cluster scoring; the global-stats DFS mode is what ShardedIndex
+    implements for co-managed shards, so both CCS modes exist). Results
+    carry the `cluster` qualifier like ES's `cluster:index` hit ids.
+
+    Plan: one independent search per cluster (each its own pruned
+    segment scan) + a unionByName + one global TakeOrderedAndProject —
+    no cross-cluster shuffle, which is the whole point of the
+    minimize-roundtrips contract."""
+    if not clusters:
+        raise ValueError("cross-cluster search needs at least one cluster")
+    parts = []
+    for name in sorted(clusters):
+        r = clusters[name].search(query, k=k, mode=mode)
+        parts.append(
+            r.select(
+                F.lit(name).alias("cluster"), F.col("doc_id"), F.col("score")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.orderBy(
+        F.col("score").desc(), F.col("cluster").asc(), F.col("doc_id").asc()
+    )
+    return out.limit(k) if k is not None else out

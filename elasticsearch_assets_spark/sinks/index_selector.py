@@ -100,3 +100,40 @@ def assign_actions(
     else:
         id_expr = F.sha1(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
     return df.withColumn(out_action, F.lit(action)).withColumn(out_id, id_expr)
+
+
+def template_match_sql(
+    templates: "list[tuple[str, int, str]]", name_col: str
+) -> str:
+    """ES composable index templates as ONE shared CASE-expression text
+    (valid Spark SQL and DuckDB — bit parity by construction, the
+    geohash_sql trick): `templates` is (index_pattern, priority,
+    template_name); the highest-priority matching pattern wins, `*`
+    wildcards become LIKE `%`. ES forbids equal priorities on
+    overlapping patterns; this resolver enforces unique priorities
+    outright (the deterministic superset of that rule)."""
+    if not templates:
+        raise ValueError("need at least one template")
+    prios = [p for _, p, _ in templates]
+    if len(set(prios)) != len(prios):
+        raise ValueError("template priorities must be unique")
+    arms = []
+    for pattern, _, tname in sorted(templates, key=lambda t: -t[1]):
+        if "%" in pattern or "_" in pattern:
+            raise ValueError(f"pattern {pattern!r} may only use * wildcards")
+        like = pattern.replace("*", "%")
+        arms.append(f"WHEN {name_col} LIKE '{like}' THEN '{tname}'")
+    return "CASE " + " ".join(arms) + " ELSE NULL END"
+
+
+def resolve_templates(
+    df, name_col: str, templates: "list[tuple[str, int, str]]"
+):
+    """Distributed template resolution: adds a `template` column naming
+    the winning index template per row (NULL when nothing matches — ES
+    then applies no template). Pure codegen'd CASE, zero shuffle."""
+    from pyspark.sql import functions as FF
+
+    return df.withColumn(
+        "template", FF.expr(template_match_sql(templates, name_col))
+    )
