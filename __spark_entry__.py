@@ -7108,6 +7108,126 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 
 
 # ---------------------------------------------------------------------------
+# Batch 3p: ES|QL enrich/sample, script sort, bounded histogram
+# ---------------------------------------------------------------------------
+
+
+def _esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ENRICH: the enrich policy as a broadcast keyed lookup
+    projecting only the policy's enrich_fields, then the classic
+    revenue-by-segment aggregation."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM orders"
+        " | RENAME o_custkey AS c_custkey"
+        " | ENRICH customer ON c_custkey WITH c_mktsegment"
+        " | STATS revenue = sum(o_totalprice), n = count(*) BY c_mktsegment"
+        " | SORT c_mktsegment",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select(
+        "c_mktsegment", _f4("revenue").alias("revenue"), "n"
+    )
+
+
+_ESQL_ENRICH_SQL = """
+SELECT c.c_mktsegment,
+       floor(sum(o.o_totalprice) * 10000.0 + 0.5) / 10000.0 AS revenue,
+       count(*)::BIGINT AS n
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+_ESQL_SAMPLE_P = 0.3
+
+
+def _esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL SAMPLE (deterministic variant, documented deviation from the
+    random original): md5 hex-prefix cut keyed by event_id — replayable
+    under retries/pages, the mixture-sampling machinery in the pipe."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        f"FROM events | SAMPLE {_ESQL_SAMPLE_P} BY event_id"
+        " | STATS n = count(*), s = sum(value)",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("n", _f4("s").alias("s"))
+
+
+def _esql_sample_sql() -> str:
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+
+    thr = rate_threshold_hex(_ESQL_SAMPLE_P)
+    return f"""
+SELECT count(*)::BIGINT AS n,
+       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS s
+FROM events
+WHERE substr(md5('esql|' || CAST(event_id AS VARCHAR)), 1, 8) < '{thr}'
+"""
+
+
+def _script_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-script (`sort: {_script: ...}`): documents ordered by a
+    script expression (the engine's one script dialect) with the id
+    tie-break, top 20 — Catalyst collapses it to TakeOrderedAndProject."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    key = F.expr("n_chars % 97")
+    return (
+        docs.select("doc_id", key.alias("sort_key"))
+        .orderBy(F.col("sort_key").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+_SCRIPT_SORT_SQL = """
+SELECT doc_id, n_chars % 97 AS sort_key FROM documents
+ORDER BY sort_key ASC, doc_id ASC LIMIT 20
+"""
+
+
+def _facet_hist_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram with offset + extended_bounds + min_doc_count=0:
+    every bucket in [0, 2000) appears (zero rows included), keys shifted
+    by offset 50 — the dense-spine LEFT join over the counted histogram."""
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_histogram_bounds,
+    )
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = facet_histogram_bounds(
+        matches, docs, "n_chars", 200.0,
+        offset=50.0, extended_lo=0.0, extended_hi=1999.0,
+    )
+    return out.select("bucket", "doc_count")
+
+
+_FACET_HIST_BOUNDS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+hist AS (
+  SELECT (floor((d.n_chars - 50.0) / 200.0) * 200.0 + 50.0)::DOUBLE AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM documents d JOIN m USING (doc_id) GROUP BY 1
+),
+spine AS (
+  SELECT (k * 200.0 + 50.0)::DOUBLE AS bucket
+  FROM range(CAST(floor(-50.0 / 200.0) AS BIGINT),
+             CAST(floor(1949.0 / 200.0) AS BIGINT) + 1) r(k)
+)
+SELECT s.bucket, coalesce(h.doc_count, 0)::BIGINT AS doc_count
+FROM spine s LEFT JOIN hist h USING (bucket) ORDER BY s.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -7349,6 +7469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccs_search": _ccs_search,
         "index_templates": _index_templates,
         "reindex_scripted": _reindex_scripted,
+        "esql_enrich": _esql_enrich,
+        "esql_sample": _esql_sample,
+        "script_sort": _script_sort,
+        "facet_hist_bounds": _facet_hist_bounds,
     }
 
 
@@ -7630,6 +7754,10 @@ FROM topk JOIN documents USING (doc_id)
         "ccs_search": _ccs_sql(),
         "index_templates": _index_templates_sql(),
         "reindex_scripted": _REINDEX_SCRIPTED_SQL,
+        "esql_enrich": _ESQL_ENRICH_SQL,
+        "esql_sample": _esql_sample_sql(),
+        "script_sort": _SCRIPT_SORT_SQL,
+        "facet_hist_bounds": _FACET_HIST_BOUNDS_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

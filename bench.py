@@ -410,11 +410,18 @@ def main() -> None:
         "op_hash_classifier", lambda: hash_classifier_score(corpus).count()
     )
     op_best("op_normalize_text", lambda: normalize_text(corpus).count())
-    # banded sign-LSH embedding near-dup (key-only candidate join + verify)
+    # banded sign-LSH embedding near-dup (key-only candidate join + verify).
+    # planes sized to the corpus: ~log2(n / target_bucket) keeps per-bucket
+    # candidate volume bounded (4 planes = 16 buckets is right for 500
+    # vectors but quadratic-ish at 2k+ — the documented tuning rule)
+    import math as _math
+
+    n_emb = emb.count()
+    planes = max(4, int(_math.log2(max(n_emb, 2) / 32)))
     op_best(
         "op_lsh_neardup",
         lambda: OS.lsh_neardup_pairs(
-            emb, tau=0.45, n_planes=4, n_tables=8
+            emb, tau=0.45, n_planes=planes, n_tables=8
         ).count(),
     )
     # distributed-prefix-sum sequence packing over pages

@@ -2180,3 +2180,58 @@ def facet_terms_partition(
         .orderBy(F.col("doc_count").desc(), F.col("term").asc())
         .limit(n)
     )
+
+
+def facet_histogram_bounds(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    interval: float,
+    *,
+    offset: float = 0.0,
+    extended_lo: float,
+    extended_hi: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES histogram with `offset`, `extended_bounds`, and min_doc_count=0:
+    bucket key = floor((value - offset) / interval) * interval + offset,
+    and EVERY bucket between the extended bounds appears (zero-count rows
+    included) — the Kibana-chart contract facet_histogram's
+    min_doc_count=1 shape can't give.
+
+    Plan: the counted histogram is the usual semi-join + hash agg; the
+    dense bucket spine is a literal sequence (O(buckets) rows, broadcast)
+    LEFT-joined to it — no second corpus pass."""
+    if interval <= 0:
+        raise ValueError("interval must be positive")
+    if extended_hi < extended_lo:
+        raise ValueError("extended bounds must be ordered")
+    spark = matches.sparkSession
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    key = (
+        F.floor((F.col(col) - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
+        + F.lit(offset)
+    ).cast("double")
+    hist = joined.groupBy(key.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    import math
+
+    lo_k = math.floor((extended_lo - offset) / interval)
+    hi_k = math.floor((extended_hi - offset) / interval)
+    spine = spark.createDataFrame(
+        [(float(k * interval + offset),) for k in range(lo_k, hi_k + 1)],
+        "bucket double",
+    )
+    return (
+        spine.join(hist, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("doc_count"), F.lit(0)).cast("long").alias(
+                "doc_count"
+            ),
+        )
+        .orderBy(F.col("bucket").asc())
+    )

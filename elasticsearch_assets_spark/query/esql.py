@@ -42,9 +42,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _SUPPORTED = (
     "FROM", "ROW", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "GROK", "DISSECT", "MV_EXPAND", "LOOKUP JOIN",
+    "ENRICH", "SAMPLE",
 )
 _KNOWN_UNSUPPORTED = (
-    "ENRICH", "SHOW", "METRICS", "FORK", "RERANK",
+    "SHOW", "METRICS", "FORK", "RERANK", "COMPLETION",
 )
 
 _RE_SPECIAL = set(".^$*+?()[]{}|\\")
@@ -230,6 +231,54 @@ def esql(
     for cmd in cmds[1:]:
         kw = cmd.split(None, 1)[0].upper()
         body = cmd[len(kw):].strip()
+        if kw == "ENRICH":
+            # ENRICH <policy> ON <match_field> WITH f1 [, f2 ...]
+            em = re.match(
+                r"^(\w+)\s+ON\s+(\w+)\s+WITH\s+(.+)$", body, re.I | re.S
+            )
+            if not em:
+                raise ValueError(
+                    "ENRICH needs `<policy> ON <field> WITH <fields>`"
+                )
+            policy = resolve(em.group(1))
+            field = em.group(2)
+            fields = [c.strip() for c in _split_commas(em.group(3))]
+            if field not in df.columns or field not in policy.columns:
+                raise ValueError(
+                    f"ENRICH match field {field!r} must exist on both sides"
+                )
+            missing = [c for c in fields if c not in policy.columns]
+            if missing:
+                raise ValueError(f"ENRICH WITH fields {missing} not in policy")
+            # an enrich policy is a small keyed lookup: broadcast left join
+            # projecting ONLY the requested enrich fields (the ES policy's
+            # enrich_fields list)
+            df = df.join(
+                F.broadcast(policy.select(field, *fields)), field, "left"
+            )
+            continue
+        if kw == "SAMPLE":
+            # SAMPLE <p> BY <col> — DETERMINISTIC variant of ES|QL's
+            # random SAMPLE (documented deviation): row kept iff
+            # md5('esql|'||col) hex prefix < the precomputed threshold, so
+            # retries/pages replay identically (operators/sampling.py)
+            sm = re.match(r"^([0-9.]+)\s+BY\s+(\w+)\s*$", body, re.I)
+            if not sm:
+                raise ValueError("SAMPLE needs `<probability> BY <column>`")
+            p = float(sm.group(1))
+            if not (0.0 <= p <= 1.0):
+                raise ValueError("SAMPLE probability must be in [0, 1]")
+            from elasticsearch_assets_spark.operators.sampling import (
+                rate_threshold_hex,
+            )
+
+            key = sm.group(2)
+            h = F.substring(
+                F.md5(F.concat_ws("|", F.lit("esql"), F.col(key).cast("string"))),
+                1, 8,
+            )
+            df = df.where(h < rate_threshold_hex(p))
+            continue
         if kw == "LOOKUP":
             lm = re.match(r"^JOIN\s+(\w+)\s+ON\s+(\w+)\s*$", body, re.I)
             if not lm:

@@ -164,7 +164,7 @@ def test_grok_dissect_errors(events):
     with pytest.raises(ValueError, match="must be quoted"):
         esql("FROM events | DISSECT props %{x}", tables=t)
     with pytest.raises(ValueError, match="not supported"):
-        esql("FROM events | ENRICH policy", tables=t)
+        esql("FROM events | FORK (WHERE a = 1)", tables=t)
 
 
 def test_lookup_join_left_semantics(spark):
@@ -213,3 +213,52 @@ def test_row_literal_source(spark, events):
     assert out2[0]["z"] == 42
     with pytest.raises(ValueError, match="ROW needs `name = expr`"):
         esql("ROW 1x = 2", spark=spark)
+
+
+def test_enrich_policy_join(spark):
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 5.0)], "k long, v double"
+    )
+    pol = spark.createDataFrame(
+        [(1, "gold", "x"), (2, "silver", "y")],
+        "k long, tier string, junk string",
+    )
+    out = esql(
+        "FROM facts | ENRICH pol ON k WITH tier",
+        tables={"facts": facts, "pol": pol},
+    )
+    assert "junk" not in out.columns  # only the WITH fields project
+    got = {r["k"]: r["tier"] for r in out.collect()}
+    assert got == {1: "gold", 2: "silver", 3: None}
+    with pytest.raises(ValueError, match="ENRICH needs"):
+        esql("FROM facts | ENRICH pol", tables={"facts": facts, "pol": pol})
+    with pytest.raises(ValueError, match="not in policy"):
+        esql("FROM facts | ENRICH pol ON k WITH nope",
+             tables={"facts": facts, "pol": pol})
+    with pytest.raises(ValueError, match="both sides"):
+        esql("FROM facts | ENRICH pol ON v WITH tier",
+             tables={"facts": facts, "pol": pol})
+
+
+def test_sample_deterministic(events):
+    a = esql(
+        "FROM events | SAMPLE 0.5 BY event_id | STATS n = count(*)",
+        tables={"events": events},
+    ).collect()[0]["n"]
+    b = esql(
+        "FROM events | SAMPLE 0.5 BY event_id | STATS n = count(*)",
+        tables={"events": events},
+    ).collect()[0]["n"]
+    assert a == b  # replayable
+    total = events.count()
+    assert abs(a / total - 0.5) < 0.05  # calibrated
+    assert esql(
+        "FROM events | SAMPLE 0.0 BY event_id", tables={"events": events}
+    ).count() == 0
+    assert esql(
+        "FROM events | SAMPLE 1.0 BY event_id", tables={"events": events}
+    ).count() == total
+    with pytest.raises(ValueError, match="probability"):
+        esql("FROM events | SAMPLE 1.5 BY event_id", tables={"events": events})
+    with pytest.raises(ValueError, match="SAMPLE needs"):
+        esql("FROM events | SAMPLE 0.5", tables={"events": events})

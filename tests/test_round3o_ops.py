@@ -90,3 +90,34 @@ def test_scripted_reindex_rewrites_stats(spark, corpus, index, tmp_path):
     with pytest.raises(ValueError, match="unknown columns"):
         reindex(spark, index, corpus, str(tmp_path / "re2"),
                 transform={"nope": "1"})
+
+
+def test_facet_histogram_bounds(spark):
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_histogram_bounds,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 60.0), (2, 260.0), (3, 270.0), (4, 950.0)],
+        "doc_id long, x double",
+    )
+    out = [
+        (r["bucket"], r["doc_count"])
+        for r in facet_histogram_bounds(
+            df.select("doc_id"), df, "x", 200.0,
+            offset=50.0, extended_lo=0.0, extended_hi=999.0,
+        ).collect()
+    ]
+    # offset 50 -> bucket keys ...,-150,50,250,...; empties kept
+    assert out == [
+        (-150.0, 0), (50.0, 1), (250.0, 2), (450.0, 0), (650.0, 0),
+        (850.0, 1),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="interval"):
+        facet_histogram_bounds(df.select("doc_id"), df, "x", 0,
+                               extended_lo=0, extended_hi=1)
+    with _pt.raises(ValueError, match="ordered"):
+        facet_histogram_bounds(df.select("doc_id"), df, "x", 1,
+                               extended_lo=5, extended_hi=1)
