@@ -7183,6 +7183,37 @@ def _script_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL per-aggregation filters (8.16: `agg(...) WHERE cond`) —
+    compiled to SQL aggregate FILTER clauses, still ONE hash agg."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        " | STATS clicks = count(*) WHERE event_type == 'click',"
+        " big = count(*) WHERE value > 50,"
+        " total = count(*),"
+        " s_click = sum(value) WHERE event_type == 'click'"
+        " BY user_id"
+        " | SORT user_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select(
+        "user_id", "clicks", "big", "total", _f4("s_click").alias("s_click")
+    )
+
+
+_ESQL_STATS_WHERE_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS clicks,
+       count(*) FILTER (WHERE value > 50)::BIGINT AS big,
+       count(*)::BIGINT AS total,
+       floor(sum(value) FILTER (WHERE event_type = 'click')
+             * 10000.0 + 0.5) / 10000.0 AS s_click
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 _SCRIPT_SORT_SQL = """
 SELECT doc_id, n_chars % 97 AS sort_key FROM documents
 ORDER BY sort_key ASC, doc_id ASC LIMIT 20
@@ -7471,6 +7502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_scripted": _reindex_scripted,
         "esql_enrich": _esql_enrich,
         "esql_sample": _esql_sample,
+        "esql_stats_where": _esql_stats_where,
         "script_sort": _script_sort,
         "facet_hist_bounds": _facet_hist_bounds,
     }
@@ -7756,6 +7788,7 @@ FROM topk JOIN documents USING (doc_id)
         "reindex_scripted": _REINDEX_SCRIPTED_SQL,
         "esql_enrich": _ESQL_ENRICH_SQL,
         "esql_sample": _esql_sample_sql(),
+        "esql_stats_where": _ESQL_STATS_WHERE_SQL,
         "script_sort": _SCRIPT_SORT_SQL,
         "facet_hist_bounds": _FACET_HIST_BOUNDS_SQL,
     }

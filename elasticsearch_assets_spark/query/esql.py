@@ -327,26 +327,63 @@ def esql(
                 am = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", assign, re.S)
                 if not am:
                     raise ValueError(f"STATS needs `name = agg(...)`: {assign!r}")
-                aggs.append(_expr(am.group(2)).alias(am.group(1)))
+                agg_body = am.group(2)
+                # ES|QL 8.16 per-agg filters: `agg(...) WHERE cond` maps to
+                # SQL's aggregate FILTER clause (still one hash agg)
+                wm = re.search(r"\bWHERE\b", agg_body, re.I)
+                if wm:
+                    cond = re.sub(
+                        r"(?<![!<>=])==", "=", agg_body[wm.end():].strip()
+                    )
+                    agg_body = (
+                        f"{agg_body[: wm.start()].strip()} "
+                        f"FILTER (WHERE {cond})"
+                    )
+                aggs.append(_expr(agg_body).alias(am.group(1)))
             if not aggs:
                 raise ValueError("STATS needs at least one aggregation")
             df = df.groupBy(*[F.col(c) for c in by]).agg(*aggs) if by else df.agg(*aggs)
         elif kw == "SORT":
             order = []
             for spec in _split_commas(body):
-                toks = spec.split()
-                col = F.col(toks[0])
-                desc = len(toks) > 1 and toks[1].upper() == "DESC"
-                if len(toks) > 1 and toks[1].upper() not in ("ASC", "DESC"):
+                sm = re.match(
+                    r"^(\w+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+                    spec.strip(), re.I,
+                )
+                if not sm:
                     raise ValueError(f"bad SORT direction: {spec!r}")
-                order.append(col.desc() if desc else col.asc())
+                col = F.col(sm.group(1))
+                desc = (sm.group(2) or "ASC").upper() == "DESC"
+                nulls = (sm.group(3) or "").upper()
+                if desc:
+                    c = col.desc_nulls_first() if nulls == "FIRST" else (
+                        col.desc_nulls_last() if nulls == "LAST" else col.desc()
+                    )
+                else:
+                    c = col.asc_nulls_first() if nulls == "FIRST" else (
+                        col.asc_nulls_last() if nulls == "LAST" else col.asc()
+                    )
+                order.append(c)
             df = df.orderBy(*order)
         elif kw == "LIMIT":
             if not body.isdigit():
                 raise ValueError(f"LIMIT needs an integer: {body!r}")
             df = df.limit(int(body))
         elif kw == "KEEP":
-            df = df.select(*[c.strip() for c in _split_commas(body)])
+            # ES|QL KEEP supports * wildcards; order follows the pattern
+            # list, first match wins (dedup)
+            import fnmatch
+
+            cols: list[str] = []
+            for pat in (c.strip() for c in _split_commas(body)):
+                if "*" in pat:
+                    hits = [c for c in df.columns if fnmatch.fnmatchcase(c, pat)]
+                    if not hits:
+                        raise ValueError(f"KEEP pattern {pat!r} matches nothing")
+                    cols.extend(h for h in hits if h not in cols)
+                elif pat not in cols:
+                    cols.append(pat)
+            df = df.select(*cols)
         elif kw == "DROP":
             df = df.drop(*[c.strip() for c in _split_commas(body)])
         elif kw == "RENAME":

@@ -322,6 +322,71 @@ def main() -> None:
         ).stratified_sample(docs, "lang", {"en": 0.5}, default_rate=0.1),
     )
 
+    add(
+        "ES|QL pipe (WHERE + EVAL + STATS BY + SORT + LIMIT)",
+        "The whole pipe is ONE Catalyst plan: the WHERE predicate reaches "
+        "PushedFilters on the scan, STATS is a partial-aggregated "
+        "HashAggregate pair, and SORT+LIMIT collapses to "
+        "TakeOrderedAndProject — a pipe language with zero interpretive "
+        "overhead at execution time.",
+        __import__(
+            "elasticsearch_assets_spark.query.esql", fromlist=["esql"]
+        ).esql(
+            "FROM events | WHERE event_type == 'click'"
+            " | EVAL day = date_format(ts, 'yyyy-MM-dd')"
+            " | STATS n = count(*) BY day | SORT day | LIMIT 10",
+            spark=spark, sf_dir=SF,
+        ),
+    )
+    add(
+        "Sequence packing (distributed prefix sum)",
+        "The global token offset never needs a single-partition window: "
+        "the emitted plan shows exactly one BroadcastExchange (the "
+        "O(buckets) offset table) and one bucket-keyed Exchange feeding "
+        "the Window — per-partition window state is bounded by the "
+        "bucket width at any corpus size (the subtotal aggregate ran at "
+        "planning time, one row per bucket).",
+        __import__(
+            "elasticsearch_assets_spark.operators.packing",
+            fromlist=["pack_documents"],
+        ).pack_documents(docs, 2048, bucket_width=100),
+    )
+    add(
+        "Deterministic upsampling (zero shuffle)",
+        "The per-row copy count is one JVM expression over the scan and "
+        "the replication is a Generate (posexplode) — NO Exchange; "
+        "upsampling 100 TB is map-only and exactly reproducible.",
+        __import__(
+            "elasticsearch_assets_spark.operators.sampling",
+            fromlist=["upsample"],
+        ).upsample(docs, "lang", {"en": 2.5}, default_rate=1.0),
+    )
+    add(
+        "Banded-LSH embedding near-dup (key-only candidate join)",
+        "Candidate generation joins KEY-ONLY projections on (table, "
+        "code) — vectors never ride the candidate shuffle; they join "
+        "back only for the bounded verify set. The plan shows the "
+        "narrow id/t/c exchange and the two vector fetch joins after "
+        "the distinct.",
+        __import__(
+            "elasticsearch_assets_spark.operators.similarity",
+            fromlist=["lsh_neardup_pairs"],
+        ).lsh_neardup_pairs(emb, tau=0.45, n_planes=4, n_tables=4),
+    )
+    add(
+        "EQL sequence (one window pass)",
+        "The earliest-following-match columns are ONE Window over the "
+        "per-key sort — a single Exchange on the sequence key; no "
+        "self-join for two-step sequences.",
+        __import__(
+            "elasticsearch_assets_spark.operators.sequences",
+            fromlist=["eql_sequence"],
+        ).eql_sequence(
+            ev, "user_id",
+            ["event_type = 'view'", "event_type = 'error'"], 3600,
+        ),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "

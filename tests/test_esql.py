@@ -262,3 +262,36 @@ def test_sample_deterministic(events):
         esql("FROM events | SAMPLE 1.5 BY event_id", tables={"events": events})
     with pytest.raises(ValueError, match="SAMPLE needs"):
         esql("FROM events | SAMPLE 0.5", tables={"events": events})
+
+
+def test_stats_per_agg_filter(events):
+    out = esql(
+        "FROM events"
+        " | STATS clicks = count(*) WHERE event_type == 'click',"
+        " errors = count(*) WHERE event_type == 'error',"
+        " total = count(*)",
+        tables={"events": events},
+    ).collect()[0]
+    assert out["clicks"] == events.where("event_type = 'click'").count()
+    assert out["errors"] == events.where("event_type = 'error'").count()
+    assert out["total"] == events.count()
+
+
+def test_keep_wildcards_and_sort_nulls(spark, events):
+    out = esql(
+        "FROM events | KEEP event_*, value", tables={"events": events}
+    )
+    assert out.columns == ["event_id", "event_type", "value"]
+    with pytest.raises(ValueError, match="matches nothing"):
+        esql("FROM events | KEEP zz*", tables={"events": events})
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "id long, v double"
+    )
+    first = esql(
+        "FROM t | SORT v DESC NULLS FIRST | KEEP id", tables={"t": df}
+    ).collect()
+    assert [r["id"] for r in first] == [2, 1, 3]
+    last = esql(
+        "FROM t | SORT v ASC NULLS LAST | KEEP id", tables={"t": df}
+    ).collect()
+    assert [r["id"] for r in last] == [3, 1, 2]
