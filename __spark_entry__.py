@@ -7259,6 +7259,68 @@ FROM spine s LEFT JOIN hist h USING (bucket) ORDER BY s.bucket
 
 
 # ---------------------------------------------------------------------------
+# Batch 3q: TSDB downsampling, balanced shard export
+# ---------------------------------------------------------------------------
+
+
+def _downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _downsample: raw event samples rolled up to one doc per
+    (day, event_type series) with min/max/sum/value_count per metric —
+    one partial-aggregated hash agg keyed by (bucket, series)."""
+    from elasticsearch_assets_spark.operators.transforms import downsample
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    out = downsample(ev, "ts", "day", ["event_type"], ["value"])
+    return out.select(
+        F.date_format("tbucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        _f4("value_min").alias("value_min"),
+        _f4("value_max").alias("value_max"),
+        _f4("value_sum").alias("value_sum"),
+        "value_value_count",
+    )
+
+
+_DOWNSAMPLE_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       floor(min(value) * 10000.0 + 0.5) / 10000.0 AS value_min,
+       floor(max(value) * 10000.0 + 0.5) / 10000.0 AS value_max,
+       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS value_sum,
+       count(value)::BIGINT AS value_value_count
+FROM events GROUP BY 1, 2
+"""
+
+_BS_SHARDS = 4
+
+
+def _balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced export sharding: docs ranked by size take shards in
+    snake order (LPT-flavored, deterministic) — the writer-side dual of
+    sequence packing."""
+    from elasticsearch_assets_spark.operators.packing import balanced_shards
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return balanced_shards(docs, _BS_SHARDS)
+
+
+def _balanced_shards_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, len({tokens_sql('text')})::BIGINT AS n_tokens FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS rk
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN (rk // {_BS_SHARDS}) % 2 = 0 THEN rk % {_BS_SHARDS}
+            ELSE {_BS_SHARDS - 1} - (rk % {_BS_SHARDS}) END::INT AS shard
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -7505,6 +7567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_stats_where": _esql_stats_where,
         "script_sort": _script_sort,
         "facet_hist_bounds": _facet_hist_bounds,
+        "downsample": _downsample,
+        "balanced_shards": _balanced_shards,
     }
 
 
@@ -7791,6 +7855,8 @@ FROM topk JOIN documents USING (doc_id)
         "esql_stats_where": _ESQL_STATS_WHERE_SQL,
         "script_sort": _SCRIPT_SORT_SQL,
         "facet_hist_bounds": _FACET_HIST_BOUNDS_SQL,
+        "downsample": _DOWNSAMPLE_SQL,
+        "balanced_shards": _balanced_shards_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -78,3 +78,41 @@ def pack_documents(
         F.expr(f"global_offset div {int(window)}").alias("bin"),
         (F.col("global_offset") % window).alias("bin_offset"),
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-balanced shard assignment for corpus export (the writer-side
+    dual of pack_documents): documents sorted by token count descending
+    take shards round-robin in boustrophedon (snake) order — the
+    parallel-friendly approximation of LPT scheduling (largest first,
+    alternating direction evens out the tail), deterministic under
+    retries. Returns (id, n_tokens, shard).
+
+    Plan: one global rank window over (n_tokens DESC, id ASC) — at
+    10^12 docs replace with the distributed range-rank (two-pass
+    histogram) the packing op uses for offsets; the snake assignment
+    itself is a pure expression over the rank."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col(id_col).asc())
+    ranked = toks.withColumn("_r", (F.row_number().over(w) - 1).cast("long"))
+    pos = F.col("_r") % n_shards
+    rounds = F.expr(f"_r div {n_shards}")  # integer div: ranks exceed 2^53
+    shard = F.when(rounds % 2 == 0, pos).otherwise(
+        F.lit(n_shards - 1) - pos
+    )
+    return ranked.select(
+        id_col, "n_tokens", shard.cast("int").alias("shard")
+    )

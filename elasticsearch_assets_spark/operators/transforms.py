@@ -170,3 +170,34 @@ def plan_retention(
         ).otherwise(F.lit("keep")).alias("action"),
     )
     return out.orderBy("index_name")
+
+
+def downsample(
+    df: DataFrame,
+    ts_col: str,
+    interval: str,
+    series_keys: list[str],
+    metrics: list[str],
+) -> DataFrame:
+    """ES _downsample (TSDB rollups): replace raw samples with one
+    document per (time bucket, series) carrying min/max/sum/value_count
+    per metric — the fixed ES downsample shape. `interval` is a
+    date_trunc unit (hour/day/week/...). ONE hash agg with map-side
+    partials; at 10^12 samples this is the same shuffle as any rollup,
+    keyed by (bucket, series) so series skew spreads across buckets."""
+    if not metrics:
+        raise ValueError("downsample needs at least one metric")
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("_tbucket")
+    aggs = []
+    for m in metrics:
+        aggs += [
+            F.min(m).alias(f"{m}_min"),
+            F.max(m).alias(f"{m}_max"),
+            F.sum(m).alias(f"{m}_sum"),
+            F.count(F.col(m)).alias(f"{m}_value_count"),
+        ]
+    return (
+        df.groupBy(bucket, *[F.col(k) for k in series_keys])
+        .agg(*aggs)
+        .withColumnRenamed("_tbucket", "tbucket")
+    )

@@ -135,3 +135,45 @@ def test_upsample_deterministic_and_calibrated(spark):
     assert {c for d, c in a if d % 2 == 0} <= {0, 1, 2}
     with pytest.raises(ValueError, match="negative rate"):
         upsample(df, "lang", {"en": -1})
+
+
+def test_downsample_rollup(spark):
+    from elasticsearch_assets_spark.operators.transforms import downsample
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = downsample(ev, "ts", "day", ["event_type"], ["value"]).collect()
+    brute: dict = {}
+    for r in ev.collect():
+        key = (r["ts"].date(), r["event_type"])
+        mn, mx, s, c = brute.get(key, (float("inf"), float("-inf"), 0.0, 0))
+        brute[key] = (min(mn, r["value"]), max(mx, r["value"]),
+                      s + r["value"], c + 1)
+    assert len(out) == len(brute)
+    for r in out:
+        key = (r["tbucket"].date(), r["event_type"])
+        mn, mx, s, c = brute[key]
+        assert r["value_min"] == mn and r["value_max"] == mx
+        assert r["value_sum"] == pytest.approx(s, rel=1e-12)
+        assert r["value_value_count"] == c
+    with pytest.raises(ValueError, match="at least one metric"):
+        downsample(ev, "ts", "day", ["event_type"], [])
+
+
+def test_balanced_shards_snake(spark):
+    from elasticsearch_assets_spark.operators.packing import balanced_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = balanced_shards(docs, 4).collect()
+    assert {r["shard"] for r in out} == {0, 1, 2, 3}
+    # balance: shard token totals within a few percent of each other
+    totals: dict = {}
+    for r in out:
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_tokens"]
+    lo, hi = min(totals.values()), max(totals.values())
+    assert (hi - lo) / hi < 0.05
+    # snake order: the 4 largest docs land on 0,1,2,3 and the next 4
+    # reverse to 3,2,1,0
+    ranked = sorted(out, key=lambda r: (-r["n_tokens"], r["doc_id"]))
+    assert [r["shard"] for r in ranked[:8]] == [0, 1, 2, 3, 3, 2, 1, 0]
+    with pytest.raises(ValueError, match="n_shards"):
+        balanced_shards(docs, 0)
