@@ -7321,6 +7321,124 @@ FROM r
 
 
 # ---------------------------------------------------------------------------
+# Batch 3r: crawl-snapshot drift, n-gram diversity
+# ---------------------------------------------------------------------------
+
+
+def _url_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot drift: the new snapshot re-crawls the same URL
+    space, every doc_id % 5 == 0 page changed content, doc_id % 97 == 0
+    pages vanished, and one new page appeared — the report drives the
+    refetch queue (one full-outer join on the canonical URL)."""
+    from elasticsearch_assets_spark.operators.urls import snapshot_drift
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.expr(_URL_DERIVE_SQL).alias("url"),
+        F.md5(F.col("text")).alias("fp"),
+        "doc_id",
+    )
+    # snapshots are URL-deduped first (keep-first per canonical url =
+    # min doc_id, the url_dedup contract)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.expr("lower(url)")).orderBy(F.col("doc_id").asc())
+    old = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1").drop("_rn")
+        .where("doc_id % 97 <> 0")  # removed in... present only in old
+    )
+    docs2 = docs.select("doc_id", "text")
+    new = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1").drop("_rn")
+        .join(docs2, "doc_id")
+        .withColumn(
+            "fp",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.md5(F.concat(F.col("text"), F.lit("!"))),
+            ).otherwise(F.md5(F.col("text"))),
+        )
+    )
+    newrow = spark.createDataFrame(
+        [("http://brandnew.example/x", "cafebabe", -1)],
+        "url string, fp string, doc_id long",
+    )
+    out = snapshot_drift(
+        old.select("url", "fp"),
+        new.select("url", "fp").unionByName(newrow.select("url", "fp")),
+    )
+    return out.select("curl", "old_fp", "new_fp", "status")
+
+
+def _url_drift_sql() -> str:
+    from elasticsearch_assets_spark.operators.urls import canonical_url_sql
+
+    canon = canonical_url_sql("url")
+    return f"""
+WITH base AS (
+  SELECT {_URL_DERIVE_SQL} AS url, md5(text) AS fp, doc_id, text
+  FROM documents
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lower(url) ORDER BY doc_id ASC
+    ) AS rn FROM base
+  ) WHERE rn = 1
+),
+old AS (
+  SELECT {canon} AS curl, fp AS old_fp FROM dedup WHERE doc_id % 97 <> 0
+),
+new AS (
+  SELECT {canon} AS curl,
+         CASE WHEN doc_id % 5 = 0 THEN md5(text || '!') ELSE md5(text) END
+           AS new_fp
+  FROM dedup
+  UNION ALL
+  SELECT {canonical_url_sql("'http://brandnew.example/x'")}, 'cafebabe'
+)
+SELECT coalesce(old.curl, new.curl) AS curl, old_fp, new_fp,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp = new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.curl = new.curl
+"""
+
+
+_ND_N = 3
+
+
+def _ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity diagnostic: distinct-trigram ratio per language —
+    the corpus-level repetition signal mixture designers check before
+    weighting a stratum up."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OT.ngram_diversity(docs, n=_ND_N, strata_cols=["lang"])
+    return out.select(
+        "lang", "distinct_ngrams", "total_ngrams",
+        _f4("diversity").alias("diversity"),
+    )
+
+
+def _ngram_diversity_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT lang, unnest({shingles_sql(tokens_sql('text'), _ND_N)}) AS gram
+  FROM documents
+)
+SELECT lang,
+       count(DISTINCT gram)::BIGINT AS distinct_ngrams,
+       count(*)::BIGINT AS total_ngrams,
+       floor(count(DISTINCT gram)::DOUBLE / count(*) * 10000.0 + 0.5)
+         / 10000.0 AS diversity
+FROM g GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -7569,6 +7687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_hist_bounds": _facet_hist_bounds,
         "downsample": _downsample,
         "balanced_shards": _balanced_shards,
+        "url_drift": _url_drift,
+        "ngram_diversity": _ngram_diversity,
     }
 
 
@@ -7857,6 +7977,8 @@ FROM topk JOIN documents USING (doc_id)
         "facet_hist_bounds": _FACET_HIST_BOUNDS_SQL,
         "downsample": _DOWNSAMPLE_SQL,
         "balanced_shards": _balanced_shards_sql(),
+        "url_drift": _url_drift_sql(),
+        "ngram_diversity": _ngram_diversity_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -83,15 +83,32 @@ def bucket_code_expr(
     vec: Column, n_planes: int, dim: int, seed_offset: int = 0
 ) -> Column:
     """Sign-LSH bucket code: bit_i = 1 iff dot(vec, plane_i) >= 0.
-    `seed_offset` selects an independent plane set (banding tables)."""
+    `seed_offset` selects an independent plane set (banding tables).
+
+    Shape note: the planes ride as ONE nested-array literal and the per-
+    plane dot/sign runs inside a single `transform` lambda — n_planes
+    unrolled aggregate trees made the generated code large enough to hurt
+    (measured on the banded near-dup bench); the sign decisions and the
+    resulting codes are bit-identical either way (same dot_expr
+    accumulation order, verified by the unchanged LSH oracles)."""
     planes = _planes(n_planes, dim, seed_offset)
-    code = F.lit(0).cast("long")
-    for i in range(n_planes):
-        p = F.array(*[F.lit(float(w)) for w in planes[i]])
-        code = code + F.when(dot_expr(vec, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(w)) for w in row]) for row in planes]
+    )
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(n_planes)]
+    )
+    signs = F.transform(
+        planes_lit,
+        lambda p: F.when(dot_expr(vec, p) >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
-        )
-    return code
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(signs, powers, lambda s, w: s * w),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def hyperplane_lsh_buckets(

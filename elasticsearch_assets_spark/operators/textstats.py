@@ -435,15 +435,24 @@ def unigram_lm_score(
     toks = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
     )
-    cf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cf"))
-    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    # reduce to (doc, term, tf) BEFORE the cf join: the join input shrinks
+    # from token occurrences to distinct pairs (Zipf: typically 5-10x),
+    # and xent = Σ tf·(-ln cf/T) / n is identical
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = cf.agg(F.sum("cf").alias("t"))
     return (
-        toks.join(cf, "term")
+        tf.join(cf, "term")
         .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.avg(-F.log(F.col("cf") / F.col("t"))).alias("xent"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * -F.log(F.col("cf") / F.col("t")))
+                / F.sum("tf")
+            ).alias("xent"),
         )
     )
 
@@ -582,3 +591,38 @@ SELECT {id_col},
        md5({norm}) AS norm_fp
 FROM documents
 """
+
+
+def ngram_diversity(
+    df: DataFrame,
+    n: int = 3,
+    strata_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus diversity diagnostic: distinct-n-gram ratio per stratum
+    (distinct token n-grams / total n-gram occurrences — the corpus-level
+    analogue of per-doc repetition_stats; low ratios flag template-heavy
+    strata before they dominate a training mixture).
+
+    Plan: one tokenize scan -> shingle explode -> ONE hash agg per
+    stratum with count + approx-free exact distinct (two-level agg:
+    distinct shuffles on (stratum, shingle hash-sized keys), then the
+    stratum rollup — the exact-dedup shuffle shape)."""
+    from elasticsearch_assets_spark.operators.texthash import shingles_expr
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    keys = strata_cols or []
+    toks = tokens_expr(text_col)
+    rows = df.select(
+        *[F.col(c) for c in keys],
+        F.explode(shingles_expr(toks, n)).alias("__g"),
+    )
+    grouped = rows.groupBy(*[F.col(c) for c in keys]).agg(
+        F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+        F.countDistinct("__g").cast("long").alias("distinct_ngrams"),
+    )
+    return grouped.select(
+        *keys, "distinct_ngrams", "total_ngrams",
+        (F.col("distinct_ngrams") / F.col("total_ngrams")).alias("diversity"),
+    )

@@ -89,3 +89,35 @@ def dedup_by_url(
         )
         .orderBy(F.col("canonical_url").asc())
     )
+
+
+def snapshot_drift(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Crawl-snapshot drift report: per canonical URL, compare the two
+    snapshots' content fingerprints — `unchanged` / `changed` (recrawl
+    candidates) / `added` / `removed`. The incremental-crawl bookkeeping
+    every recurring web pipeline runs before deciding what to refetch.
+
+    Inputs carry one row per URL (canonicalize + dedup first —
+    dedup_by_url); plan: ONE full-outer equi-join on the canonical URL
+    (AQE-balanced; URLs are high-cardinality, skew-free keys), status is
+    a pure projection."""
+    o = old.select(
+        canonical_url(url_col).alias("curl"), F.col(fp_col).alias("old_fp")
+    )
+    n = new.select(
+        canonical_url(url_col).alias("curl"), F.col(fp_col).alias("new_fp")
+    )
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "curl", "full_outer").select(
+        "curl", "old_fp", "new_fp", status.alias("status")
+    )
