@@ -7439,6 +7439,150 @@ FROM g GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# Batch 3s: search-as-you-type index, winnowing fingerprints,
+# polygon-with-holes
+# ---------------------------------------------------------------------------
+
+
+def _docs_index_sayt(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """search_as_you_type field: the corpus re-analyzed with index-time
+    edge n-grams (prefix lengths 2..4 plus the full token) so bare
+    prefixes match INSTANTLY with no dictionary expansion — the ES
+    _index_prefix subfield re-expressed as a derived analyzed column."""
+    from elasticsearch_assets_spark.operators.texthash import (
+        edge_ngrams_expr,
+        tokens_expr,
+    )
+
+    key = os.path.abspath(sf_dir) + "#sayt"
+    if key not in _INDEX_CACHE:
+        idx_dir = _idx_dir(sf_dir, "_documents_sayt")
+        import json
+
+        from elasticsearch_assets_spark.analysis.tokenizer import TOKENIZER_VERSION
+        from elasticsearch_assets_spark.index.codec import CODEC_VERSION
+
+        meta_path = os.path.join(idx_dir, "meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                m = json.load(fh)
+            stale = (
+                m.get("codec_version") != CODEC_VERSION
+                or m.get("tokenizer_version") != TOKENIZER_VERSION
+            )
+        if stale:
+            docs = load_sf_table(spark, sf_dir, "documents").select(
+                "doc_id",
+                F.concat_ws(
+                    " ", edge_ngrams_expr(tokens_expr("text"), 2, 4)
+                ).alias("sayt"),
+            )
+            build_index(
+                spark, docs, idx_dir, id_col="doc_id", text_col="sayt",
+                num_segments=4, num_chunks=1,
+            )
+        _INDEX_CACHE[key] = InvertedIndex(spark, idx_dir)
+    return _INDEX_CACHE[key]
+
+
+def _bm25_sayt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-ahead over the search_as_you_type index: the bare prefix
+    'qu' is a TERM of the edge-ngram field — one posting lookup, no
+    dictionary scan, BM25 under the expanded field's own stats."""
+    idx = _docs_index_sayt(spark, sf_dir)
+    out = idx.search(["qu"], k=None, mode="and")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_sayt_sql() -> str:
+    from elasticsearch_assets_spark.operators.texthash import edge_ngrams_sql
+
+    toks = edge_ngrams_sql("string_split(text, ' ')", 2, 4)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('qu') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+"""
+
+
+_WN_K, _WN_W = 5, 4
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003): min hash of
+    every w-window of token k-gram hashes — any shared run of
+    >= w+k-1 tokens shares a fingerprint at ~2/(w+1) storage."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OD.winnow_fingerprints(docs, k=_WN_K, w=_WN_W)
+
+
+def _winnow_sql() -> str:
+    sh = shingles_sql("tk", _WN_K)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+h AS (
+  SELECT doc_id,
+         list_apply({sh}, s -> {hash60_sql('s')}) AS hs
+  FROM t
+),
+w AS (
+  SELECT doc_id, i AS win, list_min(hs[i : i + {_WN_W - 1}]) AS fp
+  FROM h, unnest(range(1, len(hs) - {_WN_W} + 2)) AS g(i)
+  WHERE len(hs) >= {_WN_W}
+)
+SELECT doc_id, fp AS fingerprint, min(win)::INT AS first_window
+FROM w GROUP BY 1, 2
+"""
+
+
+_POLY_HOLE = [(30.0, -30.0), (40.0, 30.0), (0.0, 60.0), (-20.0, 0.0)]
+
+
+def _geo_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_shape polygon WITH A HOLE: inside the outer ring, outside
+    the inner ring — both rings the same shared ray-cast SQL text."""
+    from elasticsearch_assets_spark.operators.geo import (
+        polygon_with_holes_predicate,
+    )
+
+    ev = _geo_events(spark, sf_dir)
+    pred = polygon_with_holes_predicate("lat", "lon", _POLY, [_POLY_HOLE])
+    return ev.where(pred).select("event_id", "lat", "lon")
+
+
+def _geo_polygon_holes_sql() -> str:
+    from elasticsearch_assets_spark.operators.geo import (
+        polygon_with_holes_sql,
+    )
+
+    pred = polygon_with_holes_sql("lat", "lon", _POLY, [_POLY_HOLE])
+    return f"""
+WITH g AS (
+  SELECT event_id, ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon
+  FROM events
+)
+SELECT event_id, lat, lon FROM g WHERE {pred}
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -7689,6 +7833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_shards": _balanced_shards,
         "url_drift": _url_drift,
         "ngram_diversity": _ngram_diversity,
+        "bm25_sayt": _bm25_sayt,
+        "winnow_fps": _winnow_fps,
+        "geo_polygon_holes": _geo_polygon_holes,
     }
 
 
@@ -7979,6 +8126,9 @@ FROM topk JOIN documents USING (doc_id)
         "balanced_shards": _balanced_shards_sql(),
         "url_drift": _url_drift_sql(),
         "ngram_diversity": _ngram_diversity_sql(),
+        "bm25_sayt": _bm25_sayt_sql(),
+        "winnow_fps": _winnow_sql(),
+        "geo_polygon_holes": _geo_polygon_holes_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -860,3 +860,53 @@ def remove_duplicate_spans(
         (n - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local-fingerprinting scheme): hash every token k-gram,
+    then from every window of w consecutive hashes keep the MINIMUM.
+    Guarantee: any shared run of >= w + k - 1 tokens shares at least one
+    fingerprint, while only ~2/(w+1) of the hashes are stored — the
+    compact sketch for plagiarism-style overlap detection between the
+    all-pairs MinHash estimate and the exact dup_spans scan.
+
+    Returns (doc_id, fingerprint, first_window) — distinct fingerprints
+    per doc with the earliest selecting window. Plan: shingle hashes and
+    per-window minima are JVM array lambdas on the scan; ONE hash agg on
+    (doc, fingerprint) does the distinct+earliest."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    from elasticsearch_assets_spark.operators.texthash import hash60_expr
+
+    toks = tokens_expr(text_col)
+    hashes = F.transform(
+        shingles_expr(toks, k),
+        lambda s: hash60_expr(s),
+    )
+    n = F.size(hashes)
+    wins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.struct(
+                F.array_min(F.slice(hashes, i, w)).alias("fp"),
+                i.alias("win"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<fp:bigint,win:int>>"))
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.inline(wins))
+    return (
+        exploded.groupBy("doc_id", "fp")
+        .agg(F.min("win").alias("first_window"))
+        .select(
+            "doc_id", F.col("fp").alias("fingerprint"), "first_window"
+        )
+    )

@@ -157,3 +157,30 @@ def polygon_predicate(
     """point_in_polygon_sql compiled to a Spark column (whole-stage
     codegen; pushes as far as the expression allows)."""
     return F.expr(point_in_polygon_sql(lat_sql, lon_sql, vertices))
+
+
+def polygon_with_holes_sql(
+    lat: str,
+    lon: str,
+    outer: list[tuple[float, float]],
+    holes: list[list[tuple[float, float]]] | None = None,
+) -> str:
+    """ES geo_shape polygon-with-holes containment as ONE shared SQL
+    boolean: inside the outer ring AND outside every hole ring — each
+    ring is the same unrolled ray-cast as point_in_polygon_sql, so the
+    combined text stays engine-portable (parity by construction)."""
+    parts = [f"({point_in_polygon_sql(lat, lon, outer)})"]
+    for h in holes or []:
+        parts.append(f"NOT ({point_in_polygon_sql(lat, lon, h)})")
+    return " AND ".join(parts)
+
+
+def polygon_with_holes_predicate(
+    lat_sql: str,
+    lon_sql: str,
+    outer: list[tuple[float, float]],
+    holes: list[list[tuple[float, float]]] | None = None,
+) -> Column:
+    """polygon_with_holes_sql compiled to a Spark column (the SAME text —
+    parity by construction, like polygon_predicate)."""
+    return F.expr(polygon_with_holes_sql(lat_sql, lon_sql, outer, holes))

@@ -139,3 +139,33 @@ def simhash_sql(hashes: str, n_bits: int = 32) -> str:
 
 def token_hashes_sql(toks: str) -> str:
     return f"list_apply({toks}, t -> {hash60_sql('t')})"
+
+
+def edge_ngrams_expr(toks: Column, lo: int = 2, hi: int = 4) -> Column:
+    """Search-as-you-type index-time analyzer: each token expands to its
+    distinct leading prefixes of length lo..hi plus the full token
+    (substr caps at the token length in BOTH engines, so short tokens
+    collapse into themselves — identical expansion by construction)."""
+    if not (1 <= lo <= hi):
+        raise ValueError("need 1 <= lo <= hi")
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.array_distinct(
+                F.concat(
+                    F.array(
+                        *[F.substring(t, 1, n) for n in range(lo, hi + 1)]
+                    ),
+                    F.array(t),
+                )
+            ),
+        )
+    )
+
+
+def edge_ngrams_sql(toks: str, lo: int = 2, hi: int = 4) -> str:
+    subs = ", ".join(f"t[1:{n}]" for n in range(lo, hi + 1))
+    return (
+        f"flatten(list_apply({toks}, "
+        f"t -> list_distinct(list_append([{subs}], t))))"
+    )

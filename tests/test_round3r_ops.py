@@ -68,3 +68,71 @@ def test_ngram_diversity_bruteforce(spark):
     assert (r["distinct_ngrams"], r["total_ngrams"]) == (9, 14)
     with pytest.raises(ValueError, match="n must"):
         ngram_diversity(rep, n=0)
+
+
+def test_winnow_guarantee_and_density(spark):
+    from elasticsearch_assets_spark.operators.dedup import winnow_fingerprints
+
+    run = " ".join(f"s{i}" for i in range(10))  # shared 10-token run
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {run} delta"),
+            (2, f"{run} epsilon zeta eta theta iota"),
+            (3, "totally different words here with no overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs, k=5, w=4)
+    by_doc: dict = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # guarantee: a shared run of >= w+k-1 = 8 tokens shares >= 1 fp
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[3] & by_doc[1])
+    # density: selected fingerprints are far fewer than all k-grams
+    n_grams_1 = len(docs.where("doc_id=1").head()["text"].split()) - 4
+    assert len(by_doc[1]) < n_grams_1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k and w"):
+        winnow_fingerprints(docs, k=0, w=4)
+
+
+def test_sayt_edge_ngrams(spark):
+    from elasticsearch_assets_spark.operators.texthash import (
+        edge_ngrams_expr,
+        tokens_expr,
+    )
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame([("query a huge",)], "text string")
+    got = df.select(
+        edge_ngrams_expr(tokens_expr("text"), 2, 4).alias("e")
+    ).head()["e"]
+    assert sorted(got) == sorted(
+        ["qu", "que", "quer", "query", "a", "hu", "hug", "huge"]
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="lo <= hi"):
+        edge_ngrams_expr(FF.col("x"), 3, 2)
+
+
+def test_polygon_with_holes(spark):
+    from elasticsearch_assets_spark.operators.geo import (
+        polygon_with_holes_predicate,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 0.5, 0.5), (3, 20.0, 20.0)],
+        "id long, lat double, lon double",
+    )
+    outer = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    hole = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    out = sorted(
+        r["id"]
+        for r in pts.where(
+            polygon_with_holes_predicate("lat", "lon", outer, [hole])
+        ).collect()
+    )
+    assert out == [1]  # 2 falls in the hole, 3 outside the outer ring
