@@ -7583,6 +7583,67 @@ SELECT event_id, lat, lon FROM g WHERE {pred}
 
 
 # ---------------------------------------------------------------------------
+# Batch 3t: ES|QL CATEGORIZE, leakage-free cluster split
+# ---------------------------------------------------------------------------
+
+
+def _esql_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 8.18 `STATS ... BY CATEGORIZE(field)`: log messages grouped
+    by the deterministic template signature inside the pipe."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        " | EVAL msg = concat(event_type, ' ', props)"
+        " | STATS doc_count = count(*) BY CATEGORIZE(msg)"
+        " | SORT doc_count DESC, category ASC",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("category", "doc_count")
+
+
+_ESQL_CATEGORIZE_SQL = """
+WITH m AS (SELECT concat(event_type, ' ', props) AS msg FROM events)
+SELECT array_to_string(
+         list_transform(
+           string_split(msg, ' ')[1:4],
+           x -> CASE WHEN regexp_matches(x, '[0-9]') THEN '<num>' ELSE x END
+         ), ' ') AS category,
+       count(*)::BIGINT AS doc_count
+FROM m GROUP BY 1 ORDER BY doc_count DESC, category ASC
+"""
+
+_CS_RATE = 0.2
+
+
+def _cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/holdout split: the md5 cut keys on the near-dup
+    cluster representative, so duplicate clusters never straddle splits —
+    the eval-hygiene step after dedup clustering."""
+    from elasticsearch_assets_spark.operators.sampling import cluster_split
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    pairs = OD.ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    clusters = OD.dedup_clusters(docs.select("doc_id"), pairs, max_iter=50)
+    return cluster_split(clusters, _CS_RATE)
+
+
+def _cluster_split_sql() -> str:
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+
+    thr = rate_threshold_hex(_CS_RATE)
+    return f"""
+WITH clusters AS ({_DEDUP_CLUSTERS_SQL})
+SELECT doc_id, rep,
+       CASE WHEN substr(md5('split|' || CAST(rep AS VARCHAR)), 1, 8) < '{thr}'
+            THEN 'holdout' ELSE 'train' END AS split
+FROM clusters
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -7836,6 +7897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sayt": _bm25_sayt,
         "winnow_fps": _winnow_fps,
         "geo_polygon_holes": _geo_polygon_holes,
+        "esql_categorize": _esql_categorize,
+        "cluster_split": _cluster_split,
     }
 
 
@@ -8129,6 +8192,8 @@ FROM topk JOIN documents USING (doc_id)
         "bm25_sayt": _bm25_sayt_sql(),
         "winnow_fps": _winnow_sql(),
         "geo_polygon_holes": _geo_polygon_holes_sql(),
+        "esql_categorize": _ESQL_CATEGORIZE_SQL,
+        "cluster_split": _cluster_split_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -165,3 +165,34 @@ def upsample(
     return out.select(
         "*", F.posexplode(F.sequence(F.lit(1), F.col("_n"))).alias("copy", "_x")
     ).drop("_n", "_x")
+
+
+def cluster_split(
+    clusters: DataFrame,
+    holdout_rate: float,
+    *,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    rep_col: str = "rep",
+) -> DataFrame:
+    """Leakage-free train/holdout split: the deterministic md5 cut keys
+    on the near-dup CLUSTER REPRESENTATIVE, never the document — every
+    member of a duplicate cluster lands in the SAME split, closing the
+    train/eval contamination channel a per-document split leaves open
+    (a holdout doc's near-copy sitting in train). `clusters` is
+    dedup_clusters' (id, rep) output (singletons carry rep = own id).
+    Adds `split` in {'train','holdout'}; pure expression, zero shuffle,
+    replayable under retries like every md5 cut in this module."""
+    if not (0.0 <= holdout_rate <= 1.0):
+        raise ValueError("holdout_rate must be in [0, 1]")
+    thr = rate_threshold_hex(holdout_rate)
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(rep_col).cast("string"))),
+        1, 8,
+    )
+    return clusters.select(
+        F.col(id_col), F.col(rep_col),
+        F.when(h < thr, F.lit("holdout")).otherwise(F.lit("train")).alias(
+            "split"
+        ),
+    )

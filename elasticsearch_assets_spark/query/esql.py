@@ -342,7 +342,26 @@ def esql(
                 aggs.append(_expr(agg_body).alias(am.group(1)))
             if not aggs:
                 raise ValueError("STATS needs at least one aggregation")
-            df = df.groupBy(*[F.col(c) for c in by]).agg(*aggs) if by else df.agg(*aggs)
+            by_cols = []
+            for c in by:
+                cm = re.match(r"^CATEGORIZE\(\s*(\w+)\s*\)$", c, re.I)
+                if cm:
+                    # ES|QL 8.18 STATS BY CATEGORIZE(field): the engine's
+                    # deterministic log-template signature (digit tokens
+                    # collapse to <num>, keyed by the first 4 normalized
+                    # tokens — facets.facet_categorize_text, documented
+                    # deviation from ES's drain-style ML categorizer)
+                    src = cm.group(1)
+                    by_cols.append(
+                        F.expr(
+                            f"concat_ws(' ', slice(transform(split({src}, ' '), "
+                            "x -> CASE WHEN x RLIKE '[0-9]' THEN '<num>' "
+                            "ELSE x END), 1, 4))"
+                        ).alias("category")
+                    )
+                else:
+                    by_cols.append(F.col(c))
+            df = df.groupBy(*by_cols).agg(*aggs) if by else df.agg(*aggs)
         elif kw == "SORT":
             order = []
             for spec in _split_commas(body):

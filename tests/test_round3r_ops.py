@@ -136,3 +136,46 @@ def test_polygon_with_holes(spark):
         ).collect()
     )
     assert out == [1]  # 2 falls in the hole, 3 outside the outer ring
+
+
+def test_esql_categorize_by(spark):
+    from elasticsearch_assets_spark.query.esql import esql
+
+    df = spark.createDataFrame(
+        [
+            (1, "error code 500 at node7"),
+            (2, "error code 404 at node3"),
+            (3, "login ok user42 fine"),
+        ],
+        "id long, msg string",
+    )
+    out = {
+        r["category"]: r["n"]
+        for r in esql(
+            "FROM t | STATS n = count(*) BY CATEGORIZE(msg)", tables={"t": df}
+        ).collect()
+    }
+    assert out == {"error code <num> at": 2, "login ok <num> fine": 1}
+
+
+def test_cluster_split_no_leakage(spark):
+    from elasticsearch_assets_spark.operators.sampling import cluster_split
+
+    clusters = spark.createDataFrame(
+        [(i, i % 20) for i in range(400)], "doc_id long, rep long"
+    )
+    out = cluster_split(clusters, 0.5)
+    by_rep: dict = {}
+    for r in out.collect():
+        by_rep.setdefault(r["rep"], set()).add(r["split"])
+    # every cluster is entirely on one side
+    assert all(len(s) == 1 for s in by_rep.values())
+    splits = {rep: next(iter(s)) for rep, s in by_rep.items()}
+    assert set(splits.values()) == {"train", "holdout"}
+    # deterministic
+    again = {r["doc_id"]: r["split"] for r in cluster_split(clusters, 0.5).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out.collect())
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="holdout_rate"):
+        cluster_split(clusters, 1.5)
