@@ -2,9 +2,11 @@
 is an operator from this repo, composed the way a production corpus build
 would chain them:
 
-  read → language ID → quality score → exact dedup → near-dup (LSH) →
-  keep-best representative → decontaminate vs a benchmark set →
-  stratified mixture sample → context-window chunking → corpus accounting
+  read → normalize → language ID → quality (heuristic + corpus-LM +
+  hashed classifier) → exact dedup → near-dup (LSH) → keep-best →
+  exact-substring span removal → decontaminate vs a benchmark set →
+  leakage-free cluster split → temperature mixture → sample/upsample →
+  context-window packing → balanced shards → corpus accounting
 
 Run:  python scripts/pipeline_demo.py [sf_dir]   (default /root/testdata/sf0.01)
 
@@ -82,9 +84,56 @@ def main() -> None:
     n6 = chunks.count()
     print(f"[6] chunks (64/48): {n6} training units")
 
-    # 7. accounting: what did we end up with, per stratum?
+    # 7. exact-substring duplicate-span removal (Lee et al. apply step)
+    removed = OD.remove_duplicate_spans(mixed, L=8)
+    n_rem = removed.agg(F.sum("n_removed")).head()[0] or 0
+    print(f"[7] dup-span removal: {n_rem} tokens dropped corpus-wide")
+
+    # 8. corpus-LM + hashed-classifier quality signals (zero/one-shuffle)
+    lm = OT.unigram_lm_score(mixed)
+    hc = OT.hash_classifier_score(mixed)
+    q_join = lm.join(hc.select("doc_id", "score"), "doc_id")
+    n8 = q_join.where((F.col("xent") > 1.0) & (F.col("score") > 0.2)).count()
+    print(f"[8] LM+classifier band: {n8} docs inside the keep band")
+
+    # 9. leakage-free train/holdout split on the near-dup clusters
+    from elasticsearch_assets_spark.operators.sampling import cluster_split
+
+    split = cluster_split(clusters, 0.1)
+    n_hold = split.where("split = 'holdout'").count()
+    print(f"[9] cluster split: {n_hold} docs held out (cluster-atomic)")
+
+    # 10. temperature mixture -> per-stratum rates -> deterministic
+    # upsampling of the under-represented strata
+    from elasticsearch_assets_spark.operators.sampling import (
+        temperature_rates,
+        upsample,
+    )
+
+    acct0 = OT.corpus_accounting(mixed, ["lang"]).select("lang", "total_tokens")
+    rates_df = temperature_rates(acct0, "lang", "total_tokens", 0.7, 30_000)
+    rates = {r["lang"]: min(r["rate"], 3.0) for r in rates_df.collect()}
+    balanced = upsample(mixed, "lang", rates, default_rate=1.0)
+    n10 = balanced.count()
+    print(f"[10] temperature-balanced corpus: {n10} rows (with copies)")
+
+    # 11. pack into 2048-token context windows + token-balanced shards
+    from elasticsearch_assets_spark.operators.packing import (
+        balanced_shards,
+        pack_documents,
+    )
+
+    packed = pack_documents(mixed, 2048, bucket_width=100)
+    n_bins = packed.agg(F.max("bin")).head()[0] + 1
+    shards = balanced_shards(mixed, 8)
+    spread = shards.groupBy("shard").agg(F.sum("n_tokens").alias("t"))
+    ts = [r["t"] for r in spread.collect()]
+    print(f"[11] packed into {n_bins} windows; 8 shards within "
+          f"{(max(ts) - min(ts)) / max(ts):.1%} token spread")
+
+    # 12. accounting: what did we end up with, per stratum?
     acct = OT.corpus_accounting(mixed, ["lang"])
-    print("[7] final mixture accounting:")
+    print("[12] final mixture accounting:")
     for r in acct.collect():
         print(
             f"    {r['lang']}: {r['n_docs']} docs, "
