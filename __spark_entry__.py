@@ -7644,6 +7644,41 @@ FROM clusters
 
 
 # ---------------------------------------------------------------------------
+# Batch 3u: ES|QL MATCH full-text filter
+# ---------------------------------------------------------------------------
+
+
+def _esql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 8.17 `WHERE MATCH(field, query)`: the analyzed full-text
+    filter inside the pipe (AND over the query's terms, exact w.r.t. the
+    tokenizer contract), composed with a structured predicate and an
+    aggregation."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM documents"
+        " | WHERE MATCH(text, 'spark join') AND n_chars >= 300"
+        " | STATS n = count(*), avg_chars = avg(n_chars) BY lang"
+        " | SORT lang",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("lang", "n", _f4("avg_chars").alias("avg_chars"))
+
+
+_ESQL_MATCH_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n,
+       floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+FROM t
+WHERE list_contains(tk, 'spark') AND list_contains(tk, 'join')
+  AND n_chars >= 300
+GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -7899,6 +7934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygon_holes": _geo_polygon_holes,
         "esql_categorize": _esql_categorize,
         "cluster_split": _cluster_split,
+        "esql_match": _esql_match,
     }
 
 
@@ -8194,6 +8230,7 @@ FROM topk JOIN documents USING (doc_id)
         "geo_polygon_holes": _geo_polygon_holes_sql(),
         "esql_categorize": _ESQL_CATEGORIZE_SQL,
         "cluster_split": _cluster_split_sql(),
+        "esql_match": _ESQL_MATCH_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -178,9 +178,34 @@ def _split_commas(s: str) -> list[str]:
     return out
 
 
+_TOKEN_RE_SQL = r"[\\p{L}\\p{N}]+"  # tokenizer contract, SQL-literal escaped
+
+
+def _rewrite_match(text: str) -> str:
+    """ES|QL 8.17 full-text functions in WHERE: `MATCH(col, 'q terms')`
+    compiles to an AND over the analyzed terms of
+    array_contains(tokens(col), term) — filter context, exact w.r.t. the
+    engine tokenizer (analysis contract), no index required. For RANKED
+    full-text, route through InvertedIndex.search_* — ES|QL METADATA
+    _score is deliberately out of scope (documented)."""
+
+    def sub(m: "re.Match[str]") -> str:
+        col, q = m.group(1), m.group(2)
+        terms = sorted({t for t in re.findall(r"[a-z0-9]+", q.lower())})
+        if not terms:
+            raise ValueError("MATCH needs at least one analyzable term")
+        toks = f"regexp_extract_all(lower({col}), '{_TOKEN_RE_SQL}', 0)"
+        conds = " AND ".join(
+            f"array_contains({toks}, '{t}')" for t in terms
+        )
+        return f"({conds})"
+
+    return re.sub(r"\bMATCH\(\s*(\w+)\s*,\s*'([^']*)'\s*\)", sub, text, flags=re.I)
+
+
 def _expr(text: str) -> F.Column:
     # ES|QL `==` is SQL `=`; `!=` passes through unchanged
-    return F.expr(re.sub(r"(?<![!<>=])==", "=", text))
+    return F.expr(re.sub(r"(?<![!<>=])==", "=", _rewrite_match(text)))
 
 
 def esql(

@@ -295,3 +295,31 @@ def test_keep_wildcards_and_sort_nulls(spark, events):
         "FROM t | SORT v ASC NULLS LAST | KEEP id", tables={"t": df}
     ).collect()
     assert [r["id"] for r in last] == [3, 1, 2]
+
+
+def test_match_fulltext_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Spark JOIN tables fast"),
+            (2, "spark alone here"),
+            (3, "join without the other term"),
+            (4, "spark and join together again"),
+        ],
+        "id long, text string",
+    )
+    out = sorted(
+        r["id"]
+        for r in esql(
+            "FROM t | WHERE MATCH(text, 'spark join') | KEEP id",
+            tables={"t": df},
+        ).collect()
+    )
+    assert out == [1, 4]  # analyzed (lowercased), AND semantics
+    # composes with structured predicates
+    out2 = esql(
+        "FROM t | WHERE MATCH(text, 'spark') AND id > 1 | KEEP id",
+        tables={"t": df},
+    ).collect()
+    assert sorted(r["id"] for r in out2) == [2, 4]
+    with pytest.raises(ValueError, match="analyzable term"):
+        esql("FROM t | WHERE MATCH(text, '!!!')", tables={"t": df})
