@@ -7679,6 +7679,83 @@ GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Batch 3v: query rules, _mtermvectors
+# ---------------------------------------------------------------------------
+
+_RULESET = [
+    {"rule_id": "promo", "type": "pinned",
+     "criteria": [{"type": "contains", "metadata": "user_query",
+                   "values": ["spark"]}],
+     "ids": [14, 2]},
+    {"rule_id": "ban", "type": "exclude",
+     "criteria": [{"type": "prefix", "metadata": "user_query",
+                   "values": ["spark"]}],
+     "ids": [21, 33]},
+    {"rule_id": "other", "type": "pinned",
+     "criteria": [{"type": "exact", "metadata": "user_query",
+                   "values": ["something else"]}],
+     "ids": [999]},
+]
+
+
+def _rule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query rules (rule retriever): the fired rules pin [14, 2] and
+    exclude [21, 33] around the organic 'spark join' query — rule
+    matching is O(rules) planning, pins/exclusions broadcast around the
+    distributed search (query/rules.py)."""
+    from elasticsearch_assets_spark.query.rules import search_with_rules
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return search_with_rules(
+        idx, "spark join", _RULESET, k=10, mode="or", corpus=docs
+    )
+
+
+def _rule_query_sql() -> str:
+    return f"""
+WITH {_bm25_body("term IN ('join', 'spark')")},
+organic AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) + 2 AS rank
+  FROM scored WHERE doc_id NOT IN (14, 2, 21, 33)
+),
+pins(doc_id, rank) AS (VALUES (14::BIGINT, 1::BIGINT), (2::BIGINT, 2::BIGINT))
+SELECT doc_id, rank FROM (
+  SELECT * FROM pins UNION ALL SELECT * FROM organic
+) ORDER BY rank ASC LIMIT 10
+"""
+
+
+_MTV_IDS = [3, 11, 999999]
+
+
+def _mtermvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mtermvectors: termvectors for several docs in ONE fused decode
+    pass (unknown ids contribute nothing)."""
+    idx = _docs_index(spark, sf_dir)
+    return idx.mtermvectors(_MTV_IDS)
+
+
+_MTERMVECTORS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+  WHERE doc_id IN ({', '.join(str(i) for i in _MTV_IDS)})
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+)
+SELECT tf.doc_id, tf.term, tf.tf, df.df
+FROM tf JOIN df USING (term)
+ORDER BY tf.doc_id ASC, tf.term ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -7935,6 +8012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_categorize": _esql_categorize,
         "cluster_split": _cluster_split,
         "esql_match": _esql_match,
+        "rule_query": _rule_query,
+        "mtermvectors": _mtermvectors,
     }
 
 
@@ -8231,6 +8310,8 @@ FROM topk JOIN documents USING (doc_id)
         "esql_categorize": _ESQL_CATEGORIZE_SQL,
         "cluster_split": _cluster_split_sql(),
         "esql_match": _ESQL_MATCH_SQL,
+        "rule_query": _rule_query_sql(),
+        "mtermvectors": _MTERMVECTORS_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

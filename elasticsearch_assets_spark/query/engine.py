@@ -1863,6 +1863,70 @@ class InvertedIndex:
             .orderBy(F.col("term").asc())
         )
 
+    def mtermvectors(self, doc_ids: list[int]) -> DataFrame:
+        """ES _mtermvectors: termvectors for M documents in ONE fused
+        decode pass (the msearch idea applied to the termvector surface)
+        — every segment's postings decode once and emit rows for every
+        requested live id, instead of M separate jobs. Tombstoned and
+        unknown ids contribute no rows (the found=false contract).
+        Returns (doc_id, term, tf, df), (doc_id ASC, term ASC)."""
+        want = np.array(sorted({int(i) for i in doc_ids}), dtype=np.int64)
+        if self.tombstones.size and want.size:
+            want = want[~np.isin(want, self.tombstones)]
+        if want.size == 0:
+            return self.spark.createDataFrame(
+                [], "doc_id long, term string, tf long, df long"
+            )
+        ids = self.spark.createDataFrame(
+            [(int(i),) for i in want], "doc_id long"
+        )
+        seg_scan = self.segments
+        with_seg = self._filter_with_seg(ids)
+        if with_seg is not None:
+            sids = [
+                r["seg_id"]
+                for r in with_seg.select("seg_id").distinct().collect()
+            ]
+            if not sids:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, term string, tf long, df long"
+                )
+            seg_scan = seg_scan.where(F.col("seg_id").isin(sids))
+        want_local = want  # closure capture for the Arrow batches
+
+        def mtv_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"doc_id": [], "term": [], "tf": []}
+            for r in pdf.itertuples(index=False):  # per posting row
+                tp = TermPostings(r._asdict())
+                idx = np.searchsorted(tp.doc_ids, want_local)
+                ok = (idx < tp.doc_ids.size) & (
+                    tp.doc_ids[np.minimum(idx, tp.doc_ids.size - 1)]
+                    == want_local
+                )
+                if not ok.any():
+                    continue
+                tfs, _ = tp.full()
+                hit_pos = idx[ok]
+                for d, p in zip(want_local[ok], hit_pos):
+                    out["doc_id"].append(int(d))
+                    out["term"].append(r.term)
+                    out["tf"].append(int(tfs[p]))
+            return pd.DataFrame(out)
+
+        tv = seg_scan.groupBy("seg_id").applyInPandas(
+            mtv_fn, "doc_id long, term string, tf long"
+        )
+        return (
+            tv.join(
+                self.stats.select(
+                    "term", F.col("df").cast("long").alias("df")
+                ),
+                "term",
+                "left",
+            )
+            .orderBy(F.col("doc_id").asc(), F.col("term").asc())
+        )
+
     def suggest(
         self,
         text: str,

@@ -1,0 +1,85 @@
+"""Round-3 batch 31: query rules, _mtermvectors."""
+
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_assets_spark.datagen.pages import pages_df
+from elasticsearch_assets_spark.index.build import build_index
+from elasticsearch_assets_spark.query.engine import InvertedIndex
+from elasticsearch_assets_spark.query.rules import (
+    match_rules,
+    search_with_rules,
+)
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_v") / "i")
+    build_index(spark, pages_df(spark, 500, partitions=4), d,
+                num_segments=4, num_chunks=1)
+    return InvertedIndex(spark, d)
+
+
+RULES = [
+    {"rule_id": "r1", "type": "pinned",
+     "criteria": [{"type": "contains", "metadata": "user_query",
+                   "values": ["spark"]}],
+     "ids": [7, 3]},
+    {"rule_id": "r2", "type": "pinned",
+     "criteria": [{"type": "always"}],
+     "ids": [3, 9]},  # 3 already pinned -> keeps rank from r1
+    {"rule_id": "r3", "type": "exclude",
+     "criteria": [{"type": "prefix", "metadata": "user_query",
+                   "values": ["spark"]}],
+     "ids": [11, 3]},  # 3 is pinned -> pin wins
+    {"rule_id": "r4", "type": "exclude",
+     "criteria": [{"type": "exact", "metadata": "user_query",
+                   "values": ["nope"]}],
+     "ids": [999]},
+]
+
+
+def test_match_rules_semantics():
+    pins, excl = match_rules(RULES, {"user_query": "spark join"})
+    assert pins == [7, 3, 9]
+    assert excl == {11}
+    pins2, excl2 = match_rules(RULES, {"user_query": "other"})
+    assert pins2 == [3, 9] and excl2 == set()
+    with pytest.raises(ValueError, match="unknown rule type"):
+        match_rules([{"type": "boost", "criteria": [{"type": "always"}]}], {})
+    with pytest.raises(ValueError, match="unknown criteria type"):
+        match_rules([{"type": "pinned",
+                      "criteria": [{"type": "regex"}]}], {})
+    with pytest.raises(ValueError, match="at least one criterion"):
+        match_rules([{"type": "pinned", "criteria": []}], {})
+
+
+def test_search_with_rules_pins_and_excludes(index):
+    organic = [r["doc_id"] for r in index.search("spark join", k=12, mode="or").collect()]
+    out = search_with_rules(index, "spark join", RULES, k=10, mode="or").collect()
+    got = [(r["rank"], r["doc_id"]) for r in out]
+    assert [d for _, d in got[:3]] == [7, 3, 9]      # pins in rule order
+    tail = [d for _, d in got[3:]]
+    assert 11 not in tail                            # excluded
+    assert all(d not in (7, 3, 9) for d in tail)     # pins deduped
+    want_tail = [d for d in organic if d not in (7, 3, 9, 11)][:7]
+    assert tail == want_tail                         # organic order kept
+    assert [r for r, _ in got] == list(range(1, 11))
+
+
+def test_mtermvectors_fused(index):
+    single = {
+        (3, r["term"]): (r["tf"], r["df"])
+        for r in index.termvectors(3).collect()
+    }
+    single.update({
+        (9, r["term"]): (r["tf"], r["df"])
+        for r in index.termvectors(9).collect()
+    })
+    multi = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"])
+        for r in index.mtermvectors([3, 9, 10**9]).collect()
+    }
+    assert multi == single  # unknown id contributes nothing
+    assert index.mtermvectors([10**9]).count() == 0
