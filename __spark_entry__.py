@@ -7755,6 +7755,41 @@ ORDER BY tf.doc_id ASC, tf.term ASC
 """
 
 
+def _analyze_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _analyze with a custom filter chain (stop → s_stem → unique)
+    over one corpus document — positions renumber per stage, first
+    surface wins the dedup (driver-side debug endpoint by design)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    text = docs.where("doc_id = 0").head()["text"]
+    toks = idx.analyze(text, filters=["stop", "s_stem", "unique"])
+    return spark.createDataFrame(
+        [(int(p), t) for p, t in toks], "position long, token string"
+    )
+
+
+def _analyze_chain_sql() -> str:
+    from elasticsearch_assets_spark.operators.textstats import _EN_STOPWORDS
+    from elasticsearch_assets_spark.query.expand import s_stem_sql
+
+    stops = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id = 0
+),
+stopped AS (
+  SELECT list_filter(tk, x -> NOT list_contains([{stops}], x)) AS tk FROM t
+),
+pos AS (
+  SELECT {s_stem_sql('tk[i]')} AS token, i
+  FROM stopped, unnest(range(1, len(tk) + 1)) AS g(i)
+),
+firsts AS (SELECT token, min(i) AS mi FROM pos GROUP BY token)
+SELECT row_number() OVER (ORDER BY mi ASC) - 1 AS position, token
+FROM firsts
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -8014,6 +8049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_match": _esql_match,
         "rule_query": _rule_query,
         "mtermvectors": _mtermvectors,
+        "analyze_chain": _analyze_chain,
     }
 
 
@@ -8312,6 +8348,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_match": _ESQL_MATCH_SQL,
         "rule_query": _rule_query_sql(),
         "mtermvectors": _MTERMVECTORS_SQL,
+        "analyze_chain": _analyze_chain_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

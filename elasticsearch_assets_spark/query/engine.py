@@ -1343,13 +1343,57 @@ class InvertedIndex:
                 cols.append(F.col(c))
         return joined.select(*cols)
 
-    def analyze(self, text: str) -> list[tuple[int, str]]:
+    def analyze(
+        self, text: str, filters: "list[str] | None" = None
+    ) -> list[tuple[int, str]]:
         """ES _analyze API: the (position, token) sequence the engine's
         analyzer produces for a text — the same frozen tokenizer contract
         (analysis/tokenizer.py) build, query, and oracle share. Driver-
         side by design (analyze is a debugging endpoint, not a data
-        path)."""
-        return list(enumerate(tokenize(text)))
+        path).
+
+        `filters` composes the engine's token filters in order, the ES
+        custom-analyzer chain: `stop` (the lang_id English stopword
+        list), `s_stem` (the Harman S-stemmer behind search_stemmed),
+        `edge_ngram` (the search_as_you_type expansion, lengths 2..4 +
+        the full token), `unique` (positions keep their first surface).
+        Positions re-number after each stage, the ES _analyze display
+        convention for chains that drop or expand tokens."""
+        toks = list(tokenize(text))
+        for f in filters or []:
+            if f == "stop":
+                from elasticsearch_assets_spark.operators.textstats import (
+                    _EN_STOPWORDS,
+                )
+
+                toks = [t for t in toks if t not in _EN_STOPWORDS]
+            elif f == "s_stem":
+                from elasticsearch_assets_spark.query.expand import s_stem
+
+                toks = [s_stem(t) for t in toks]
+            elif f == "edge_ngram":
+                out: list[str] = []
+                for t in toks:
+                    seen: set[str] = set()
+                    for n in (2, 3, 4):
+                        p = t[:n]
+                        if p not in seen:
+                            seen.add(p)
+                            out.append(p)
+                    if t not in seen:
+                        out.append(t)
+                toks = out
+            elif f == "unique":
+                seen2: set[str] = set()
+                toks = [
+                    t for t in toks if not (t in seen2 or seen2.add(t))
+                ]
+            else:
+                raise ValueError(
+                    f"unknown token filter {f!r} "
+                    "(have: stop, s_stem, edge_ngram, unique)"
+                )
+        return list(enumerate(toks))
 
     # -- posting decode (doc-granularity surface for cross-field scoring) -----
 

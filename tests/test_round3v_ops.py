@@ -83,3 +83,22 @@ def test_mtermvectors_fused(index):
     }
     assert multi == single  # unknown id contributes nothing
     assert index.mtermvectors([10**9]).count() == 0
+
+
+def test_analyze_filter_chain(index):
+    toks = index.analyze("The Tables JOINS the queries", filters=[])
+    assert toks == list(enumerate(["the", "tables", "joins", "the", "queries"]))
+    stopped = index.analyze(
+        "The Tables JOINS the queries", filters=["stop"]
+    )
+    assert [t for _, t in stopped] == ["tables", "joins", "queries"]
+    stemmed = index.analyze(
+        "The Tables JOINS the queries", filters=["stop", "s_stem"]
+    )
+    assert [t for _, t in stemmed] == ["table", "join", "query"]
+    uniq = index.analyze("a b a b c", filters=["unique"])
+    assert [t for _, t in uniq] == ["a", "b", "c"]
+    edge = index.analyze("query", filters=["edge_ngram"])
+    assert [t for _, t in edge] == ["qu", "que", "quer", "query"]
+    with pytest.raises(ValueError, match="unknown token filter"):
+        index.analyze("x", filters=["reverse"])
