@@ -7755,6 +7755,34 @@ ORDER BY tf.doc_id ASC, tf.term ASC
 """
 
 
+def _bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned incremental exact dedup: the new snapshot's exact
+    duplicates of the base corpus drop; genuinely novel docs (suffixed
+    variants) survive. The bloom only prunes the anti-join's input —
+    the output is exact, so the oracle is the plain anti-join."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    new = docs.where("doc_id % 2 = 0").select("doc_id", "text").unionByName(
+        docs.where("doc_id % 2 = 1").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" novelsuffix")).alias("text"),
+        )
+    )
+    out = OD.bloom_prejoin_dedup(new, docs, m_bits=1 << 16, k_hashes=4)
+    return out.select("doc_id")
+
+
+_BLOOM_DEDUP_SQL = """
+WITH newdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' novelsuffix' FROM documents
+  WHERE doc_id % 2 = 1
+)
+SELECT n.doc_id FROM newdocs n
+WHERE n.text NOT IN (SELECT text FROM documents)
+"""
+
+
 def _analyze_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _analyze with a custom filter chain (stop → s_stem → unique)
     over one corpus document — positions renumber per stage, first
@@ -8050,6 +8078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_query": _rule_query,
         "mtermvectors": _mtermvectors,
         "analyze_chain": _analyze_chain,
+        "bloom_dedup": _bloom_dedup,
     }
 
 
@@ -8349,6 +8378,7 @@ FROM topk JOIN documents USING (doc_id)
         "rule_query": _rule_query_sql(),
         "mtermvectors": _MTERMVECTORS_SQL,
         "analyze_chain": _analyze_chain_sql(),
+        "bloom_dedup": _BLOOM_DEDUP_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -102,3 +102,40 @@ def test_analyze_filter_chain(index):
     assert [t for _, t in edge] == ["qu", "que", "quer", "query"]
     with pytest.raises(ValueError, match="unknown token filter"):
         index.analyze("x", filters=["reverse"])
+
+
+def test_bloom_prejoin_dedup_exact_and_pruning(spark):
+    from elasticsearch_assets_spark.operators.dedup import bloom_prejoin_dedup
+
+    base = spark.createDataFrame(
+        [(i, f"base document number {i} content") for i in range(500)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        # 100 exact dups of base + 400 novel docs
+        [(i, f"base document number {i} content") for i in range(100)]
+        + [(10_000 + i, f"fresh text {i} never seen") for i in range(400)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in bloom_prejoin_dedup(new, base, m_bits=1 << 14).collect()
+    )
+    assert out == sorted(10_000 + i for i in range(400))  # exact output
+    # tiny filter (high FP) still yields the exact result — the verify
+    # join corrects every false positive
+    out2 = sorted(
+        r["doc_id"]
+        for r in bloom_prejoin_dedup(new, base, m_bits=1 << 8).collect()
+    )
+    assert out2 == out
+    # determinism across runs
+    out3 = sorted(
+        r["doc_id"]
+        for r in bloom_prejoin_dedup(new, base, m_bits=1 << 14).collect()
+    )
+    assert out3 == out
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_prejoin_dedup(new, base, m_bits=1000)
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_prejoin_dedup(new, base, k_hashes=0)
