@@ -446,6 +446,14 @@ def main() -> None:
             ["the", "join", "data"], slop=3, in_order=False, k=10
         ).collect(),
     )
+    # warm-cache serving: segments+stats pinned in executor memory (the
+    # ES page-cache warm-up) — same query, no parquet IO per request
+    idx.warm()
+    q_best(
+        "q_and2_warm",
+        lambda: idx.search(["spark", "join"], k=10, mode="and").collect(),
+    )
+    idx.cool()
 
     total = time.monotonic() - t_total
     print(

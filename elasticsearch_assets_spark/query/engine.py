@@ -255,11 +255,53 @@ class InvertedIndex:
 
     @property
     def segments(self) -> DataFrame:
+        warm = getattr(self, "_warm_segments", None)
+        if warm is not None:
+            return warm
         return self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
 
     @property
     def stats(self) -> DataFrame:
+        warm = getattr(self, "_warm_stats", None)
+        if warm is not None:
+            return warm
         return self.spark.read.parquet(os.path.join(self.index_dir, "stats"))
+
+    def warm(self, materialize: bool = True) -> "InvertedIndex":
+        """Pin the segment and stats scans in executor memory
+        (MEMORY_AND_DISK) — the ES page-cache / warm-tier warm-up:
+        subsequent queries skip the parquet read + decompression and go
+        straight to the posting decode kernels. `materialize` forces the
+        load now (one full scan each) instead of on first query.
+
+        Snapshot contract: a warmed handle serves the snapshot it warmed
+        (like a PIT, but in memory) — after writes, epoch finalizes, or
+        compaction, call cool() and re-warm (a compaction that deletes
+        chunk files would otherwise break lazy block recovery). Sized for
+        serving tiers: pin only indexes that fit the cluster's storage
+        memory; the OS page cache covers the rest."""
+        from pyspark import StorageLevel
+
+        if getattr(self, "_warm_segments", None) is None:
+            self._warm_segments = self.spark.read.parquet(
+                os.path.join(self.index_dir, "segments")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            self._warm_stats = self.spark.read.parquet(
+                os.path.join(self.index_dir, "stats")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            if materialize:
+                self._warm_segments.count()
+                self._warm_stats.count()
+        return self
+
+    def cool(self) -> None:
+        """Release the warm() pins (unpersist, lazily)."""
+        warm = getattr(self, "_warm_segments", None)
+        if warm is not None:
+            warm.unpersist()
+            self._warm_stats.unpersist()
+            self._warm_segments = None
+            self._warm_stats = None
 
     def _maybe_cache_stats(self) -> dict[str, int] | None:
         if self._stats_cache is None and self._driver_stats_rows > 0:

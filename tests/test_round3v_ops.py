@@ -139,3 +139,32 @@ def test_bloom_prejoin_dedup_exact_and_pruning(spark):
         bloom_prejoin_dedup(new, base, m_bits=1000)
     with pytest.raises(ValueError, match="k_hashes"):
         bloom_prejoin_dedup(new, base, k_hashes=0)
+
+
+def test_warm_cache_identity_and_staleness_contract(index):
+    cold = [(r["doc_id"], r["score"])
+            for r in index.search(["spark", "join"], k=20).collect()]
+    index.warm()
+    warm = [(r["doc_id"], r["score"])
+            for r in index.search(["spark", "join"], k=20).collect()]
+    assert warm == cold  # bit-identical through the pinned scans
+    # warm() is idempotent
+    index.warm()
+    # a warmed handle serves the warmed snapshot; cool() returns to live
+    from elasticsearch_assets_spark.index.tombstones import (
+        add_tombstones,
+        clear_tombstones,
+    )
+
+    victim = cold[0][0]
+    try:
+        add_tombstones(index.index_dir, [victim])
+        index.refresh_tombstones()
+        # tombstones are handle state, not scan state: visible even warm
+        got = {r["doc_id"] for r in index.search(["spark", "join"], k=20).collect()}
+        assert victim not in got
+    finally:
+        index.cool()
+        clear_tombstones(index.index_dir)
+        index.refresh_tombstones()
+    assert index.search(["spark", "join"], k=20).collect()[0]["doc_id"] == victim
