@@ -7755,6 +7755,29 @@ ORDER BY tf.doc_id ASC, tf.term ASC
 """
 
 
+def _esql_from_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multi-index FROM (`FROM region,nation`): heterogeneous
+    schemas union by name with null fill — the ES cross-index mapping
+    behavior — then one aggregation over the union."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM region,nation"
+        " | STATS n = count(*), regions = count(r_regionkey),"
+        " nations = count(n_nationkey)",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("n", "regions", "nations")
+
+
+_ESQL_FROM_MULTI_SQL = """
+SELECT (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+         AS n,
+       (SELECT count(*) FROM region)::BIGINT AS regions,
+       (SELECT count(*) FROM nation)::BIGINT AS nations
+"""
+
+
 def _bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned incremental exact dedup: the new snapshot's exact
     duplicates of the base corpus drop; genuinely novel docs (suffixed
@@ -8079,6 +8102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtermvectors": _mtermvectors,
         "analyze_chain": _analyze_chain,
         "bloom_dedup": _bloom_dedup,
+        "esql_from_multi": _esql_from_multi,
     }
 
 
@@ -8379,6 +8403,7 @@ FROM topk JOIN documents USING (doc_id)
         "mtermvectors": _MTERMVECTORS_SQL,
         "analyze_chain": _analyze_chain_sql(),
         "bloom_dedup": _BLOOM_DEDUP_SQL,
+        "esql_from_multi": _ESQL_FROM_MULTI_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -3,8 +3,8 @@ DataFrame plans.
 
 Supported subset — the analytics core of the language:
 
-    FROM <index>
-  | WHERE <expr>
+    FROM <index>[, <index> | pattern*]   (multi-index unionByName, null fill)
+  | WHERE <expr>                          (incl. MATCH(col, 'terms'))
   | EVAL <name> = <expr> [, <name> = <expr> ...]
   | STATS <name> = <agg>(<expr>) [, ...] [BY <col> [, ...]]
   | SORT <col> [ASC|DESC] [, ...]
@@ -25,8 +25,8 @@ script queries / update_by_query), with ES|QL's `==` accepted as sugar
 for `=`. Every command is declarative, so Catalyst sees the whole pipe as
 one plan: WHERE pushes into the scan, STATS is a partial-aggregated hash
 agg, SORT+LIMIT collapses to TakeOrderedAndProject, GROK/DISSECT are one
-JVM regexp_extract per field. Unsupported commands (ENRICH, MV_EXPAND,
-LOOKUP, ...) raise with guidance.
+JVM regexp_extract per field. Unsupported commands (SHOW, METRICS,
+FORK, ...) raise with guidance.
 
 Reference behavior: the ES|QL docs' command semantics; the reference repo
 predates ES|QL but its users' Kibana-side aggregations are exactly the
@@ -227,6 +227,34 @@ def esql(
 
         return load_sf_table(spark, sf_dir, name)
 
+    def resolve_from(spec: str) -> DataFrame:
+        """FROM accepts ES's comma lists and * patterns (`FROM a,logs-*`):
+        every matching index unions by name, columns missing on a side
+        fill with null (the ES cross-index mapping behavior)."""
+        import fnmatch
+
+        names: list[str] = []
+        for part in (p.strip() for p in spec.split(",")):
+            if "*" in part:
+                if tables is None:
+                    raise ValueError(
+                        "FROM patterns need a `tables` dict to match against"
+                    )
+                hits = sorted(
+                    n for n in tables if fnmatch.fnmatchcase(n, part)
+                )
+                if not hits:
+                    raise ValueError(f"FROM pattern {part!r} matches nothing")
+                names.extend(n for n in hits if n not in names)
+            elif part and part not in names:
+                names.append(part)
+        if not names:
+            raise ValueError("FROM needs an index name")
+        out = resolve(names[0])
+        for n in names[1:]:
+            out = out.unionByName(resolve(n), allowMissingColumns=True)
+        return out
+
     cmds = _split_pipes(query)
     if not cmds:
         raise ValueError("empty ES|QL query")
@@ -249,7 +277,7 @@ def esql(
     elif head[0].upper() == "FROM":
         if len(head) != 2 or not head[1].strip():
             raise ValueError("FROM needs an index name")
-        df = resolve(head[1].strip())
+        df = resolve_from(head[1].strip())
     else:
         raise ValueError("an ES|QL query must start with FROM or ROW")
 

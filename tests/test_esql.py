@@ -323,3 +323,19 @@ def test_match_fulltext_filter(spark):
     assert sorted(r["id"] for r in out2) == [2, 4]
     with pytest.raises(ValueError, match="analyzable term"):
         esql("FROM t | WHERE MATCH(text, '!!!')", tables={"t": df})
+
+
+def test_from_multi_index_and_patterns(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(2, 9.5)], "id long, b double")
+    t = {"logs-a": a, "logs-b": b, "metrics": a}
+    out = esql("FROM logs-a,logs-b | SORT id", tables=t).collect()
+    assert [(r["id"], r["a"], r["b"]) for r in out] == [
+        (1, "x", None), (2, None, 9.5),
+    ]
+    pat = esql("FROM logs-* | STATS n = count(*)", tables=t).collect()
+    assert pat[0]["n"] == 2
+    with pytest.raises(ValueError, match="matches nothing"):
+        esql("FROM zz-*", tables=t)
+    with pytest.raises(ValueError, match="unknown index"):
+        esql("FROM nope,logs-a", tables=t)
