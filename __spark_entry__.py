@@ -7842,6 +7842,95 @@ FROM firsts
 
 
 # ---------------------------------------------------------------------------
+# Batch 3w: ES|QL analytics — BUCKET, named BY keys, INLINESTATS
+# ---------------------------------------------------------------------------
+
+
+def _esql_bucket_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL BUCKET with a fixed 6-hour span as a named grouping key:
+    compiles to tz-free epoch-floor column math (timestampdiff/
+    timestampadd against one literal origin, so the session zone
+    cancels) — one hash aggregate, filter pushed to the scan."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        ' | WHERE event_type == "view"'
+        " | STATS n = count(*), total = sum(value)"
+        " BY h6 = BUCKET(ts, 6 hours)"
+        " | SORT h6",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select(
+        F.date_format("h6", "yyyy-MM-dd HH:mm:ss").alias("h6"),
+        "n", _f4("total").alias("total"),
+    )
+
+
+_ESQL_BUCKET_TIME_SQL = """
+SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+         + (floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  / 21600) * 21600)::BIGINT * INTERVAL 1 SECOND,
+         '%Y-%m-%d %H:%M:%S') AS h6,
+       count(*)::BIGINT AS n,
+       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total
+FROM events WHERE event_type = 'view'
+GROUP BY 1 ORDER BY h6
+"""
+
+
+def _esql_bucket_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL BUCKET with a numeric span (floor(v/25)*25 bucket keys as
+    DOUBLE on both engines — bare decimals parse as DECIMAL, so the
+    compiler inserts the casts)."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        " | STATS n = count(*), av = avg(value) BY b = BUCKET(value, 25)"
+        " | SORT b",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("b", "n", _f4("av").alias("av"))
+
+
+_ESQL_BUCKET_NUM_SQL = """
+SELECT floor(value::DOUBLE / 25.0::DOUBLE) * 25.0::DOUBLE AS b,
+       count(*)::BIGINT AS n,
+       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS av
+FROM events GROUP BY 1 ORDER BY b
+"""
+
+
+def _esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL INLINESTATS: per-group aggregates attached to every row
+    (window aggregate over the BY keys — one Window node, one exchange,
+    no self-join), then used as an ordinary column in WHERE: the
+    argmax-per-group idiom."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        " | INLINESTATS mx = max(value) BY event_type"
+        " | WHERE value == mx"
+        " | KEEP event_type, event_id, value"
+        " | SORT event_type, event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out
+
+
+_ESQL_INLINESTATS_SQL = """
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         max(value) OVER (PARTITION BY event_type) AS mx
+  FROM events
+) WHERE value = mx
+ORDER BY event_type, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -8103,6 +8192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_chain": _analyze_chain,
         "bloom_dedup": _bloom_dedup,
         "esql_from_multi": _esql_from_multi,
+        "esql_bucket_time": _esql_bucket_time,
+        "esql_bucket_num": _esql_bucket_num,
+        "esql_inlinestats": _esql_inlinestats,
     }
 
 
@@ -8404,6 +8496,9 @@ FROM topk JOIN documents USING (doc_id)
         "analyze_chain": _analyze_chain_sql(),
         "bloom_dedup": _BLOOM_DEDUP_SQL,
         "esql_from_multi": _ESQL_FROM_MULTI_SQL,
+        "esql_bucket_time": _ESQL_BUCKET_TIME_SQL,
+        "esql_bucket_num": _ESQL_BUCKET_NUM_SQL,
+        "esql_inlinestats": _ESQL_INLINESTATS_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

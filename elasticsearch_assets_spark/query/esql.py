@@ -16,6 +16,12 @@ Supported subset — the analytics core of the language:
   | DISSECT <col> "<pattern>"   (anchored literal-layout extraction)
   | MV_EXPAND <col>             (multivalue -> rows, explode_outer)
   | LOOKUP JOIN <index> ON <f>  (broadcast left join, ES lookup indexes)
+  | INLINESTATS <n> = <agg>(<e>) [BY <col> ...]   (window agg, rows kept)
+
+STATS/INLINESTATS grouping keys may be named expressions
+(`BY day = BUCKET(ts, 1 day)`), and the `BUCKET(field, span)` grouping
+function (ES|QL 8.13) compiles to date_trunc / epoch-floor / numeric
+floor column math — see `_rewrite_bucket`.
 
 ROW <name> = <expr> [, ...] may replace FROM as the literal source.
 
@@ -42,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _SUPPORTED = (
     "FROM", "ROW", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "GROK", "DISSECT", "MV_EXPAND", "LOOKUP JOIN",
-    "ENRICH", "SAMPLE",
+    "ENRICH", "SAMPLE", "INLINESTATS",
 )
 _KNOWN_UNSUPPORTED = (
     "SHOW", "METRICS", "FORK", "RERANK", "COMPLETION",
@@ -203,9 +209,76 @@ def _rewrite_match(text: str) -> str:
     return re.sub(r"\bMATCH\(\s*(\w+)\s*,\s*'([^']*)'\s*\)", sub, text, flags=re.I)
 
 
+# ES|QL time-span literals (BUCKET's second argument). Calendar units
+# with N == 1 truncate (date_trunc); fixed-width units floor the
+# seconds-since-epoch. The epoch math is written as a
+# timestampdiff/timestampadd pair against one literal origin so the
+# session timezone CANCELS on both engines (CLAUDE.md's tz-free key).
+_FIXED_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+_CALENDAR_UNITS = {
+    "minute", "minutes", "hour", "hours", "day", "days", "week", "weeks",
+    "month", "months", "year", "years",
+}
+
+
+def _bucket_sql(col: str, spec: str) -> str:
+    """Compile ES|QL `BUCKET(col, span)` to Spark SQL text.
+
+    Time spans: `BUCKET(ts, 1 hour)` -> date_trunc; `BUCKET(ts, 6 hours)`
+    -> epoch-floor (tz-free timestampdiff/timestampadd form). Numeric
+    spans: `BUCKET(v, 50)` -> floor(v/50)*50 as DOUBLE (both engines
+    parse bare decimals as DECIMAL — the cast keeps them comparable).
+    The 4-arg auto form picks an interval from a target bucket COUNT;
+    that ladder is Kibana-driven and unsupported here (raise)."""
+    spec = spec.strip()
+    tm = re.match(r"^(\d+)\s+([A-Za-z]+)$", spec)
+    if tm:
+        n, unit = int(tm.group(1)), tm.group(2).lower()
+        if n == 1 and unit in _CALENDAR_UNITS:
+            return f"date_trunc('{unit.rstrip('s')}', {col})"
+        if unit in _FIXED_SECONDS:
+            s = n * _FIXED_SECONDS[unit]
+            origin = "TIMESTAMP '1970-01-01 00:00:00'"
+            return (
+                f"timestampadd(SECOND, CAST(floor(timestampdiff(SECOND, "
+                f"{origin}, {col}) / {s}) * {s} AS BIGINT), {origin})"
+            )
+        raise ValueError(
+            f"BUCKET span {spec!r}: multi-unit calendar spans (e.g. "
+            "'3 months') are not fixed-width; use a fixed unit or 1 <unit>"
+        )
+    if re.match(r"^[0-9.]+$", spec):
+        return (
+            f"floor(CAST({col} AS DOUBLE) / CAST({spec} AS DOUBLE)) "
+            f"* CAST({spec} AS DOUBLE)"
+        )
+    raise ValueError(
+        f"BUCKET needs `(field, N unit)` or `(field, span)`: got {spec!r} "
+        "(the 4-arg auto-interval form is not supported)"
+    )
+
+
+def _rewrite_bucket(text: str) -> str:
+    def sub(m: "re.Match[str]") -> str:
+        args = _split_commas(m.group(1))
+        if len(args) != 2:
+            raise ValueError(
+                "BUCKET takes (field, span) — the 4-arg auto form is "
+                "not supported"
+            )
+        return _bucket_sql(args[0], args[1])
+
+    return re.sub(r"\bBUCKET\(([^()]*)\)", sub, text, flags=re.I)
+
+
 def _expr(text: str) -> F.Column:
     # ES|QL `==` is SQL `=`; `!=` passes through unchanged
-    return F.expr(re.sub(r"(?<![!<>=])==", "=", _rewrite_match(text)))
+    return F.expr(
+        re.sub(r"(?<![!<>=])==", "=", _rewrite_match(_rewrite_bucket(text)))
+    )
 
 
 def esql(
@@ -361,6 +434,34 @@ def esql(
                 ]
             )
             continue
+        if kw == "INLINESTATS":
+            # ES|QL INLINESTATS (8.16): STATS results joined back onto the
+            # input rows. Compiled as window aggregates over the BY keys
+            # (empty BY = one global window) — ONE pass, no self-join, and
+            # Catalyst keeps it a single Window node over a hash-partition
+            # exchange on the keys.
+            by = []
+            m = re.search(r"\bBY\b", body, re.I)
+            if m:
+                by = [c.strip() for c in _split_commas(body[m.end():])]
+                body = body[: m.start()].strip()
+            for c in by:
+                if not re.match(r"^[A-Za-z_]\w*$", c):
+                    raise ValueError(
+                        "INLINESTATS BY takes plain columns (EVAL a named "
+                        f"expression first): {c!r}"
+                    )
+            part = f" PARTITION BY {', '.join(by)}" if by else ""
+            for assign in _split_commas(body):
+                am = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", assign, re.S)
+                if not am:
+                    raise ValueError(
+                        f"INLINESTATS needs `name = agg(...)`: {assign!r}"
+                    )
+                df = df.withColumn(
+                    am.group(1), _expr(f"{am.group(2)} OVER ({part.strip()})")
+                )
+            continue
         if kw == "WHERE":
             df = df.where(_expr(body))
         elif kw == "EVAL":
@@ -397,6 +498,11 @@ def esql(
                 raise ValueError("STATS needs at least one aggregation")
             by_cols = []
             for c in by:
+                nm = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$", c, re.S)
+                if nm:
+                    # ES|QL named grouping keys: BY day = BUCKET(ts, 1 day)
+                    by_cols.append(_expr(nm.group(2)).alias(nm.group(1)))
+                    continue
                 cm = re.match(r"^CATEGORIZE\(\s*(\w+)\s*\)$", c, re.I)
                 if cm:
                     # ES|QL 8.18 STATS BY CATEGORIZE(field): the engine's

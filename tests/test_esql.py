@@ -339,3 +339,85 @@ def test_from_multi_index_and_patterns(spark):
         esql("FROM zz-*", tables=t)
     with pytest.raises(ValueError, match="unknown index"):
         esql("FROM nope,logs-a", tables=t)
+
+
+def test_bucket_time_fixed_and_calendar(events):
+    # 6-hour fixed span: tz-free epoch floor
+    out = esql(
+        "FROM events | STATS n = count(*) BY h = BUCKET(ts, 6 hours) | SORT h",
+        tables={"events": events},
+    ).collect()
+    brute: dict = {}
+    for r in events.collect():
+        ep = int(r["ts"].timestamp())
+        brute[ep // 21600 * 21600] = brute.get(ep // 21600 * 21600, 0) + 1
+    assert [r["n"] for r in out] == [
+        brute[k] for k in sorted(brute)
+    ]
+    for r in out:
+        assert r["h"].minute == 0 and r["h"].hour % 6 == 0
+    # calendar unit with N=1 truncates exactly like date_trunc
+    cal = esql(
+        "FROM events | STATS n = count(*) BY d = BUCKET(ts, 1 day) | SORT d",
+        tables={"events": events},
+    )
+    ref = (
+        events.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .count().orderBy("d").collect()
+    )
+    assert [(r["d"], r["n"]) for r in cal.collect()] == [
+        (r["d"], r["count"]) for r in ref
+    ]
+
+
+def test_bucket_numeric_and_errors(events):
+    out = esql(
+        "FROM events | STATS n = count(*) BY b = BUCKET(value, 50) | SORT b",
+        tables={"events": events},
+    ).collect()
+    brute: dict = {}
+    for r in events.collect():
+        k = r["value"] // 50 * 50
+        brute[k] = brute.get(k, 0) + 1
+    assert {r["b"]: r["n"] for r in out} == brute
+    with pytest.raises(ValueError, match="auto"):
+        esql(
+            "FROM events | STATS n = count(*) BY b = BUCKET(value, 10, 0, 100)",
+            tables={"events": events},
+        )
+    with pytest.raises(ValueError, match="fixed-width"):
+        esql(
+            "FROM events | STATS n = count(*) BY b = BUCKET(ts, 3 months)",
+            tables={"events": events},
+        )
+
+
+def test_inlinestats_window(events):
+    # argmax per group: INLINESTATS column usable downstream
+    out = esql(
+        "FROM events | INLINESTATS mx = max(value) BY event_type"
+        " | WHERE value == mx | KEEP event_type, value",
+        tables={"events": events},
+    ).collect()
+    ref = {
+        r["event_type"]: r["mx"]
+        for r in events.groupBy("event_type").agg(F.max("value").alias("mx")).collect()
+    }
+    assert {r["event_type"]: r["value"] for r in out} == ref
+    # global (no BY) window
+    g = esql(
+        "FROM events | INLINESTATS tot = sum(value) | LIMIT 1 | KEEP tot",
+        tables={"events": events},
+    ).collect()
+    assert abs(g[0]["tot"] - events.agg(F.sum("value")).head()[0]) < 1e-6
+    # rows are KEPT (unlike STATS)
+    n = esql(
+        "FROM events | INLINESTATS m = avg(value) BY user_id",
+        tables={"events": events},
+    ).count()
+    assert n == events.count()
+    with pytest.raises(ValueError, match="plain columns"):
+        esql(
+            "FROM events | INLINESTATS m = max(value) BY d = BUCKET(ts, 1 day)",
+            tables={"events": events},
+        )
