@@ -7930,6 +7930,77 @@ ORDER BY event_type, event_id
 """
 
 
+def _esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FORK: two branch pipes over the same frame, unioned with the
+    _fork discriminator — one Union plan, each branch's WHERE pushed to
+    its own pruned scan."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        ' | FORK (WHERE event_type == "click" | STATS n = count(*),'
+        " v = sum(value))"
+        " (WHERE value > 100 | STATS n = count(*), v = sum(value))"
+        " | SORT _fork",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("_fork", "n", _f4("v").alias("v"))
+
+
+_ESQL_FORK_SQL = """
+SELECT * FROM (
+  SELECT 'fork1' AS _fork, count(*)::BIGINT AS n,
+         floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS v
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'fork2', count(*)::BIGINT,
+         floor(sum(value) * 10000.0 + 0.5) / 10000.0
+  FROM events WHERE value > 100
+) ORDER BY _fork
+"""
+
+
+def _esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL CHANGE_POINT over a STATS series: the pooled-mean step
+    detector flags exactly one bucket (argmax |mean_after - mean_before|,
+    earliest-bucket tiebreak); window math over bucket cardinality only."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        " | STATS v = sum(value) BY day = BUCKET(ts, 1 day)"
+        " | CHANGE_POINT v ON day"
+        " | WHERE type IS NOT NULL"
+        " | KEEP day, type, pvalue",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "type", _f4("pvalue").alias("pvalue"),
+    )
+
+
+_ESQL_CHANGE_POINT_SQL = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day, sum(value) AS v FROM events GROUP BY 1
+),
+w AS (
+  SELECT day,
+    sum(v) OVER (ORDER BY day ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv,
+    count(v) OVER (ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc,
+    sum(v) OVER () AS tv, count(v) OVER () AS tc
+  FROM h
+),
+d AS (SELECT day, abs((tv - lv) / (tc - lc) - lv / lc) AS delta FROM w)
+SELECT strftime(day, '%Y-%m-%d') AS day, 'step_change' AS type,
+       floor(delta * 10000.0 + 0.5) / 10000.0 AS pvalue
+FROM d WHERE delta IS NOT NULL
+ORDER BY delta DESC, day ASC LIMIT 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -8195,6 +8266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_bucket_time": _esql_bucket_time,
         "esql_bucket_num": _esql_bucket_num,
         "esql_inlinestats": _esql_inlinestats,
+        "esql_fork": _esql_fork,
+        "esql_change_point": _esql_change_point,
     }
 
 
@@ -8499,6 +8572,8 @@ FROM topk JOIN documents USING (doc_id)
         "esql_bucket_time": _ESQL_BUCKET_TIME_SQL,
         "esql_bucket_num": _ESQL_BUCKET_NUM_SQL,
         "esql_inlinestats": _ESQL_INLINESTATS_SQL,
+        "esql_fork": _ESQL_FORK_SQL,
+        "esql_change_point": _ESQL_CHANGE_POINT_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

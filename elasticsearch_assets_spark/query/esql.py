@@ -17,6 +17,8 @@ Supported subset — the analytics core of the language:
   | MV_EXPAND <col>             (multivalue -> rows, explode_outer)
   | LOOKUP JOIN <index> ON <f>  (broadcast left join, ES lookup indexes)
   | INLINESTATS <n> = <agg>(<e>) [BY <col> ...]   (window agg, rows kept)
+  | FORK (pipe) (pipe) ...      (branch pipes unioned, _fork discriminator)
+  | CHANGE_POINT <val> [ON <key>]  (step detector, type/pvalue columns)
 
 STATS/INLINESTATS grouping keys may be named expressions
 (`BY day = BUCKET(ts, 1 day)`), and the `BUCKET(field, span)` grouping
@@ -32,7 +34,7 @@ for `=`. Every command is declarative, so Catalyst sees the whole pipe as
 one plan: WHERE pushes into the scan, STATS is a partial-aggregated hash
 agg, SORT+LIMIT collapses to TakeOrderedAndProject, GROK/DISSECT are one
 JVM regexp_extract per field. Unsupported commands (SHOW, METRICS,
-FORK, ...) raise with guidance.
+RERANK, ...) raise with guidance.
 
 Reference behavior: the ES|QL docs' command semantics; the reference repo
 predates ES|QL but its users' Kibana-side aggregations are exactly the
@@ -48,10 +50,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _SUPPORTED = (
     "FROM", "ROW", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "GROK", "DISSECT", "MV_EXPAND", "LOOKUP JOIN",
-    "ENRICH", "SAMPLE", "INLINESTATS",
+    "ENRICH", "SAMPLE", "INLINESTATS", "FORK", "CHANGE_POINT",
 )
 _KNOWN_UNSUPPORTED = (
-    "SHOW", "METRICS", "FORK", "RERANK", "COMPLETION",
+    "SHOW", "METRICS", "RERANK", "COMPLETION",
 )
 
 _RE_SPECIAL = set(".^$*+?()[]{}|\\")
@@ -137,9 +139,9 @@ def _unquote(s: str) -> str:
 
 
 def _split_pipes(q: str) -> list[str]:
-    """Split on top-level `|` (quotes respected; ES|QL has no nested
-    pipes)."""
-    parts, buf, in_str = [], [], None
+    """Split on top-level `|` (quotes AND parens respected — FORK nests
+    whole pipes inside parenthesized branches)."""
+    parts, buf, depth, in_str = [], [], 0, None
     for ch in q:
         if in_str:
             if ch == in_str:
@@ -148,13 +150,54 @@ def _split_pipes(q: str) -> list[str]:
         elif ch in ("'", '"'):
             in_str = ch
             buf.append(ch)
-        elif ch == "|":
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "|" and depth == 0:
             parts.append("".join(buf).strip())
             buf = []
         else:
             buf.append(ch)
     parts.append("".join(buf).strip())
     return [p for p in parts if p]
+
+
+def _split_parens(s: str) -> list[str]:
+    """Split `(branch) (branch) ...` into top-level paren groups (quotes
+    and nested parens respected) — the FORK branch syntax."""
+    out, buf, depth, in_str = [], [], 0, None
+    for ch in s:
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            buf.append(ch)
+        elif ch in ("'", '"'):
+            in_str = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            if depth > 1:
+                buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced parens in FORK: {s!r}")
+            if depth == 0:
+                out.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+        elif depth == 0:
+            if ch.strip():
+                raise ValueError(f"FORK branches must be parenthesized: {s!r}")
+        else:
+            buf.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced parens in FORK: {s!r}")
+    return [b for b in out if b]
 
 
 def _split_commas(s: str) -> list[str]:
@@ -354,9 +397,68 @@ def esql(
     else:
         raise ValueError("an ES|QL query must start with FROM or ROW")
 
-    for cmd in cmds[1:]:
+    def _step(df: DataFrame, cmd: str) -> DataFrame:
         kw = cmd.split(None, 1)[0].upper()
         body = cmd[len(kw):].strip()
+        if kw == "FORK":
+            # ES|QL FORK (8.19): run each parenthesized branch pipe over
+            # the CURRENT frame and union the results by name (null fill),
+            # discriminated by _fork = "fork<i>" in branch order. Catalyst
+            # sees one Union plan; the shared prefix's scan is planned
+            # once per branch but pruned/pushed identically.
+            branches = _split_parens(body)
+            if len(branches) < 2:
+                raise ValueError("FORK needs at least two (branch) pipes")
+            if len(branches) > 8:
+                raise ValueError("FORK allows at most 8 branches (ES limit)")
+            outs = []
+            for i, br in enumerate(branches, start=1):
+                b = df
+                for sub in _split_pipes(br):
+                    b = _step(b, sub)
+                outs.append(b.withColumn("_fork", F.lit(f"fork{i}")))
+            out = outs[0]
+            for b in outs[1:]:
+                out = out.unionByName(b, allowMissingColumns=True)
+            return out
+        if kw == "CHANGE_POINT":
+            # ES|QL CHANGE_POINT (8.18): `CHANGE_POINT <value> [ON <key>]`
+            # appends `type`/`pvalue` columns, non-null only on the
+            # detected row. Deterministic re-expression of the step
+            # detector (facets.facet_change_point's pooled-mean argmax as
+            # window math over the pipe frame — O(rows) window state, no
+            # extra shuffle beyond the global sort). Documented deviation:
+            # `pvalue` carries the mean-shift delta (the detector's
+            # strength statistic), not an ML-estimated p-value.
+            cm = re.match(r"^(\w+)(?:\s+ON\s+(\w+))?\s*$", body, re.I)
+            if not cm:
+                raise ValueError("CHANGE_POINT needs `<value> [ON <key>]`")
+            val, key = cm.group(1), cm.group(2) or "@timestamp"
+            for c in (val, key):
+                if c not in df.columns:
+                    raise ValueError(f"CHANGE_POINT column {c!r} does not exist")
+            pre = (
+                f"OVER (ORDER BY {key} ASC ROWS BETWEEN UNBOUNDED "
+                "PRECEDING AND 1 PRECEDING)"
+            )
+            delta = (
+                f"abs((sum({val}) OVER () - sum({val}) {pre})"
+                f" / (count({val}) OVER () - count({val}) {pre})"
+                f" - sum({val}) {pre} / count({val}) {pre})"
+            )
+            df = df.withColumn("_cp_delta", F.expr(delta)).withColumn(
+                "_cp_rn",
+                F.expr(
+                    "row_number() OVER "
+                    f"(ORDER BY _cp_delta DESC NULLS LAST, {key} ASC)"
+                ),
+            )
+            flag = (F.col("_cp_rn") == 1) & F.col("_cp_delta").isNotNull()
+            return (
+                df.withColumn("type", F.when(flag, F.lit("step_change")))
+                .withColumn("pvalue", F.when(flag, F.col("_cp_delta")))
+                .drop("_cp_delta", "_cp_rn")
+            )
         if kw == "ENRICH":
             # ENRICH <policy> ON <match_field> WITH f1 [, f2 ...]
             em = re.match(
@@ -382,7 +484,7 @@ def esql(
             df = df.join(
                 F.broadcast(policy.select(field, *fields)), field, "left"
             )
-            continue
+            return df
         if kw == "SAMPLE":
             # SAMPLE <p> BY <col> — DETERMINISTIC variant of ES|QL's
             # random SAMPLE (documented deviation): row kept iff
@@ -404,7 +506,7 @@ def esql(
                 1, 8,
             )
             df = df.where(h < rate_threshold_hex(p))
-            continue
+            return df
         if kw == "LOOKUP":
             lm = re.match(r"^JOIN\s+(\w+)\s+ON\s+(\w+)\s*$", body, re.I)
             if not lm:
@@ -418,7 +520,7 @@ def esql(
             # ES lookup indexes are single-shard small tables: broadcast,
             # left-outer (unmatched rows keep nulls, the ES contract)
             df = df.join(F.broadcast(lookup), field, "left")
-            continue
+            return df
         if kw == "MV_EXPAND":
             col = body.strip()
             if not col or len(col.split()) != 1:
@@ -433,7 +535,7 @@ def esql(
                     for c in df.columns
                 ]
             )
-            continue
+            return df
         if kw == "INLINESTATS":
             # ES|QL INLINESTATS (8.16): STATS results joined back onto the
             # input rows. Compiled as window aggregates over the BY keys
@@ -461,7 +563,7 @@ def esql(
                 df = df.withColumn(
                     am.group(1), _expr(f"{am.group(2)} OVER ({part.strip()})")
                 )
-            continue
+            return df
         if kw == "WHERE":
             df = df.where(_expr(body))
         elif kw == "EVAL":
@@ -595,4 +697,8 @@ def esql(
             )
         else:
             raise ValueError(f"unknown ES|QL command {kw!r}")
+        return df
+
+    for cmd in cmds[1:]:
+        df = _step(df, cmd)
     return df

@@ -164,7 +164,7 @@ def test_grok_dissect_errors(events):
     with pytest.raises(ValueError, match="must be quoted"):
         esql("FROM events | DISSECT props %{x}", tables=t)
     with pytest.raises(ValueError, match="not supported"):
-        esql("FROM events | FORK (WHERE a = 1)", tables=t)
+        esql("FROM events | RERANK x ON y", tables=t)
 
 
 def test_lookup_join_left_semantics(spark):
@@ -421,3 +421,46 @@ def test_inlinestats_window(events):
             "FROM events | INLINESTATS m = max(value) BY d = BUCKET(ts, 1 day)",
             tables={"events": events},
         )
+
+
+def test_fork_branches(events):
+    out = esql(
+        'FROM events | FORK (WHERE event_type == "click" | STATS n = count(*))'
+        " (WHERE value > 100 | STATS n = count(*))"
+        " (STATS n = count(*)) | SORT _fork",
+        tables={"events": events},
+    ).collect()
+    n_click = events.where("event_type = 'click'").count()
+    n_big = events.where("value > 100").count()
+    assert [(r["_fork"], r["n"]) for r in out] == [
+        ("fork1", n_click), ("fork2", n_big), ("fork3", events.count()),
+    ]
+    # heterogeneous branch schemas union by name with null fill
+    het = esql(
+        "FROM events | FORK (STATS n = count(*)) (STATS m = max(value))",
+        tables={"events": events},
+    ).collect()
+    assert {r["_fork"]: (r["n"], r["m"]) for r in het} == {
+        "fork1": (events.count(), None),
+        "fork2": (None, events.agg(F.max("value")).head()[0]),
+    }
+    with pytest.raises(ValueError, match="at least two"):
+        esql("FROM events | FORK (LIMIT 1)", tables={"events": events})
+    with pytest.raises(ValueError, match="parenthesized"):
+        esql("FROM events | FORK LIMIT 1 (LIMIT 2)", tables={"events": events})
+
+
+def test_change_point(spark):
+    # a clean step: 10 then 50 — detector must flag the first high bucket
+    rows = [(i, 10.0 if i < 6 else 50.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = esql(
+        "FROM t | CHANGE_POINT v ON k", tables={"t": df}
+    ).orderBy("k").collect()
+    assert len(out) == 12
+    flagged = [r for r in out if r["type"] is not None]
+    assert len(flagged) == 1
+    assert flagged[0]["k"] == 6 and flagged[0]["type"] == "step_change"
+    assert flagged[0]["pvalue"] == pytest.approx(40.0)
+    with pytest.raises(ValueError, match="does not exist"):
+        esql("FROM t | CHANGE_POINT nope ON k", tables={"t": df})
