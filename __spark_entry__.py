@@ -8001,6 +8001,44 @@ ORDER BY delta DESC, day ASC LIMIT 1
 """
 
 
+_VK_SCRIPT = (
+    "CASE WHEN value >= 100 THEN 'high' WHEN value >= 50 THEN 'mid' "
+    "ELSE 'low' END"
+)
+
+
+def _runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime fields (runtime_mappings): a search-time computed
+    column in the engine's one script dialect, queryable through the
+    Lucene surface (`vk:high` compiles to an equality on the runtime
+    column), chainable (`is_high` references `vk`), and projectable via
+    `fields`. Mapped-column predicates keep their parquet pushdown; the
+    runtime predicate evaluates JVM-side — the ES cost model."""
+    from elasticsearch_assets_spark.sources.reader import (
+        DateReader, ReaderConfig,
+    )
+
+    cfg = ReaderConfig(
+        path=f"{sf_dir}/events.parquet",
+        date_field_name="ts",
+        query="vk:high AND event_type:click",
+        fields=["event_id", "event_type", "vk", "is_high"],
+        runtime_mappings={"vk": _VK_SCRIPT, "is_high": "vk = 'high'"},
+    )
+    return DateReader(spark, cfg).dataframe().select(
+        "event_id", "event_type", "vk", "is_high"
+    )
+
+
+_RUNTIME_FIELD_SQL = f"""
+WITH r AS (
+  SELECT *, {_VK_SCRIPT} AS vk FROM events
+)
+SELECT event_id, event_type, vk, vk = 'high' AS is_high
+FROM r WHERE vk = 'high' AND event_type = 'click'
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -8268,6 +8306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_inlinestats": _esql_inlinestats,
         "esql_fork": _esql_fork,
         "esql_change_point": _esql_change_point,
+        "runtime_field": _runtime_field,
     }
 
 
@@ -8574,6 +8613,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_inlinestats": _ESQL_INLINESTATS_SQL,
         "esql_fork": _ESQL_FORK_SQL,
         "esql_change_point": _ESQL_CHANGE_POINT_SQL,
+        "runtime_field": _RUNTIME_FIELD_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

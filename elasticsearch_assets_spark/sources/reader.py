@@ -83,6 +83,16 @@ class ReaderConfig:
     slice_field: str | None = None  # defaults to key_field
     # analysis
     text_col: str = "text"
+    # ES runtime fields (runtime_mappings): search-time computed columns
+    # in the engine's one script dialect (Spark SQL expressions — the same
+    # contract as script_score / scripted updates). Applied to the scan
+    # BEFORE predicates/projection/sort, so runtime fields are queryable
+    # in the Lucene surface, projectable via `fields`, and sortable —
+    # exactly the ES contract. They may shadow mapped columns (ES
+    # shadowing semantics). Predicates on runtime fields evaluate in the
+    # JVM (no parquet pushdown — true in ES too: runtime fields cost at
+    # query time); all other predicates keep their pushdown.
+    runtime_mappings: "dict[str, str] | None" = None
 
     def __post_init__(self) -> None:
         box = self.geo_box_top_left or self.geo_box_bottom_right
@@ -105,6 +115,14 @@ class ReaderConfig:
             geo_ops.parse_distance(self.geo_distance)
         if self.time_resolution not in ("s", "ms"):
             raise ValueError("time_resolution must be 's' or 'ms'")
+        if self.runtime_mappings:
+            import re as _re
+
+            for name in self.runtime_mappings:
+                if not _re.match(r"^[A-Za-z_]\w*$", name):
+                    raise ValueError(
+                        f"runtime field name must be an identifier: {name!r}"
+                    )
         if (self.slice_id is None) != (self.slice_max is None):
             raise ValueError("sliced scroll needs both slice_id and slice_max")
         if self.slice_id is not None:
@@ -166,6 +184,15 @@ def attach_metadata(
     return out
 
 
+def apply_runtime_mappings(df: DataFrame, mappings: "dict[str, str]") -> DataFrame:
+    """ES runtime fields: one withColumn(F.expr(script)) per field, in
+    insertion order (later scripts may reference earlier runtime fields,
+    the ES `emit`-chain composition)."""
+    for name, script in mappings.items():
+        df = df.withColumn(name, F.expr(script))
+    return df
+
+
 class BaseReader:
     def __init__(self, spark: SparkSession, config: ReaderConfig):
         self.spark = spark
@@ -175,7 +202,10 @@ class BaseReader:
     # -- scan assembly ------------------------------------------------------
 
     def _base(self) -> DataFrame:
-        return load_table(self.spark, self.config.path)
+        df = load_table(self.spark, self.config.path)
+        if self.config.runtime_mappings:
+            df = apply_runtime_mappings(df, self.config.runtime_mappings)
+        return df
 
     def _predicates(self) -> Column | None:
         c = self.config
