@@ -8039,6 +8039,89 @@ FROM r WHERE vk = 'high' AND event_type = 'click'
 """
 
 
+def _shrink_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _shrink: two doc-disjoint shard indexes recombine into one
+    (segment tables re-homed with offset seg_ids, stats re-finalized from
+    the union — no re-tokenization). BM25 over the shrunk index is
+    rank-identical to a monolithic index over the union corpus, so the
+    oracle is the plain global BM25 (index/reshard.py)."""
+    import shutil
+    import uuid
+
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.index.reshard import shrink_shards
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    docs = load_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = os.path.join("/tmp", "esa_shrink", uuid.uuid4().hex[:12])
+    try:
+        build_index(
+            spark, docs.where("doc_id % 2 = 0"),
+            os.path.join(scratch, "a"), num_segments=4, num_chunks=2,
+        )
+        build_index(
+            spark, docs.where("doc_id % 2 = 1"),
+            os.path.join(scratch, "b"), num_segments=4, num_chunks=2,
+        )
+        shrink_shards(
+            spark,
+            [os.path.join(scratch, "a"), os.path.join(scratch, "b")],
+            os.path.join(scratch, "out"),
+        )
+        idx = InvertedIndex(spark, os.path.join(scratch, "out"))
+        out = idx.search(["spark", "join"], k=None, mode="or")
+        res = out.select("doc_id", F.round("score", 4).alias("score"))
+        res = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return res
+
+
+_SHRINK_SEARCH_SQL = _bm25_sql(["spark", "join"], "or", None)
+
+
+def _split_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _split: the source index hard-link-clones into each target and
+    non-routed docs (hash60(_id) % 2 != t) become tombstones. Target 0's
+    ranking == the source ranking RESTRICTED to its routed docs under
+    GLOBAL stats (deleted docs keep counting until merge — the ES
+    contract); the oracle reproduces routing verbatim via the shared
+    hash60 SQL text."""
+    import shutil
+    import uuid
+
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.index.reshard import split_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    docs = load_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = os.path.join("/tmp", "esa_split", uuid.uuid4().hex[:12])
+    try:
+        build_index(
+            spark, docs, os.path.join(scratch, "src"),
+            num_segments=8, num_chunks=2,
+        )
+        targets = [os.path.join(scratch, "t0"), os.path.join(scratch, "t1")]
+        split_index(spark, os.path.join(scratch, "src"), targets,
+                    doc_ids=docs)
+        idx = InvertedIndex(spark, targets[0])
+        out = idx.search(["spark", "join"], k=None, mode="or")
+        res = out.select("doc_id", F.round("score", 4).alias("score"))
+        res = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return res
+
+
+def _split_search_sql() -> str:
+    from elasticsearch_assets_spark.index.reshard import split_routing_sql
+
+    return _bm25_sql(
+        ["spark", "join"], "or", None,
+        where=split_routing_sql("doc_id", 2, 0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -8307,6 +8390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_fork": _esql_fork,
         "esql_change_point": _esql_change_point,
         "runtime_field": _runtime_field,
+        "shrink_search": _shrink_search,
+        "split_search": _split_search,
     }
 
 
@@ -8614,6 +8699,8 @@ FROM topk JOIN documents USING (doc_id)
         "esql_fork": _ESQL_FORK_SQL,
         "esql_change_point": _ESQL_CHANGE_POINT_SQL,
         "runtime_field": _RUNTIME_FIELD_SQL,
+        "shrink_search": _SHRINK_SEARCH_SQL,
+        "split_search": _split_search_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

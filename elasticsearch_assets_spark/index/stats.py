@@ -46,8 +46,15 @@ class IndexMeta:
     positions: bool = False
 
     def save(self, index_dir: str) -> None:
-        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        # temp + os.replace (new inode), like every other metadata writer:
+        # hard-link clones (PIT / snapshot / _split) share meta.json's
+        # inode, so an in-place "w" truncate-write here would leak the
+        # clone's post-merge stats back into the source index.
+        path = os.path.join(index_dir, "meta.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(asdict(self), f, indent=2)
+        os.replace(tmp, path)
 
 
 def load_meta(index_dir: str) -> IndexMeta:
