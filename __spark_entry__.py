@@ -8122,6 +8122,140 @@ def _split_search_sql() -> str:
     )
 
 
+def _esql_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FUSE (9.1): RRF-merge FORK branches that found the same _id.
+    Per-branch rank over _score (deterministic _id tiebreak), fused
+    score = sum 1/(60 + rank) — pure window math over two exchanges,
+    no self-join."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM documents"
+        " | EVAL _id = doc_id"
+        " | FORK (WHERE lang == 'en' | EVAL _score = TO_DOUBLE(n_chars)"
+        "         | SORT _score DESC, _id ASC | LIMIT 20)"
+        "        (WHERE STARTS_WITH(source, 'src1')"
+        "         | EVAL _score = TO_DOUBLE(doc_id * 37 % 101)"
+        "         | SORT _score DESC, _id ASC | LIMIT 20)"
+        " | FUSE rrf KEY BY _id RANK_CONSTANT 60"
+        " | SORT _score DESC, _id ASC | LIMIT 15",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select(
+        F.col("_id").alias("doc_id"), _f4("_score").alias("score")
+    )
+
+
+_ESQL_FUSE_SQL = """
+WITH b1 AS (
+  SELECT doc_id AS _id, CAST(n_chars AS DOUBLE) AS s
+  FROM documents WHERE lang = 'en' ORDER BY s DESC, _id LIMIT 20
+), b2 AS (
+  SELECT doc_id AS _id, CAST(doc_id * 37 % 101 AS DOUBLE) AS s
+  FROM documents WHERE starts_with(source, 'src1')
+  ORDER BY s DESC, _id LIMIT 20
+), u AS (
+  SELECT _id, s, 1 AS fork FROM b1
+  UNION ALL SELECT _id, s, 2 AS fork FROM b2
+), r AS (
+  SELECT _id, row_number() OVER (PARTITION BY fork ORDER BY s DESC, _id)
+         AS rnk
+  FROM u
+), f AS (
+  SELECT _id, sum(CAST(1 AS DOUBLE) / (60 + rnk)) AS fused
+  FROM r GROUP BY _id
+)
+SELECT _id AS doc_id, floor(fused * 10000.0 + 0.5) / 10000.0 AS score
+FROM f ORDER BY fused DESC, _id LIMIT 15
+"""
+
+
+def _esql_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL scalar-function battery (TO_* casts, CASE, MV_* multivalue
+    math, STARTS_WITH/ENDS_WITH/LOCATE) through the uppercase rewrite
+    layer — every function compiles to a JVM column expression, one
+    projection, zero shuffle before the sort."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM documents"
+        " | WHERE doc_id % 7 == 0"
+        " | EVAL up = TO_UPPER(source),"
+        "   eng = CASE(lang == 'en', 1, 0),"
+        "   arr = MV_SORT(array(n_chars, doc_id, 3)),"
+        "   s = MV_SUM(arr), a = MV_AVG(arr),"
+        "   mx = MV_MAX(arr), mn = MV_MIN(arr),"
+        "   fst = MV_FIRST(arr), lst = MV_LAST(arr),"
+        "   nv = MV_COUNT(MV_DEDUPE(arr)),"
+        "   head = STARTS_WITH(text, 'the'),"
+        "   loc = LOCATE(text, 'data')"
+        " | KEEP doc_id, up, eng, s, a, mx, mn, fst, lst, nv, head, loc"
+        " | SORT doc_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.withColumn("a", _f4("a"))
+
+
+_ESQL_SCALAR_FUNCS_SQL = """
+SELECT doc_id,
+       upper(source) AS up,
+       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS eng,
+       CAST(n_chars + doc_id + 3 AS DOUBLE) AS s,
+       floor(CAST(n_chars + doc_id + 3 AS DOUBLE) / 3 * 10000.0 + 0.5)
+         / 10000.0 AS a,
+       greatest(n_chars, doc_id, 3) AS mx,
+       least(n_chars, doc_id, 3) AS mn,
+       least(n_chars, doc_id, 3) AS fst,
+       greatest(n_chars, doc_id, 3) AS lst,
+       CAST(len(list_distinct([n_chars, doc_id, 3])) AS INT) AS nv,
+       starts_with(text, 'the') AS head,
+       CAST(strpos(text, 'data') AS INT) AS loc
+FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+"""
+
+
+def _esql_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL date functions + CIDR_MATCH: DATE_FORMAT/DATE_DIFF take
+    ES|QL argument order (format first; unit literal -> timestampdiff
+    keyword), CIDR blocks fold to integer [lo, hi] ranges at compile
+    time so the filter is pushable column math. MEDIAN/COUNT_DISTINCT
+    spellings ride the same rewrite into one hash aggregate."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        " | EVAL ip = concat('10.', TO_STRING(user_id % 200), '.0.1')"
+        " | WHERE CIDR_MATCH(ip, '10.0.0.0/9', '10.160.0.0/11')"
+        " | EVAL d = DATE_FORMAT('yyyy-MM-dd', ts),"
+        "   dd = DATE_DIFF('day', TIMESTAMP '2024-01-01 00:00:00', ts)"
+        " | STATS n = count(*), users = COUNT_DISTINCT(user_id),"
+        "   md = MEDIAN(value), mxd = max(dd) BY d"
+        " | SORT d",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("d", "n", "users", _f4("md").alias("md"), "mxd")
+
+
+# the CIDR blocks fold to second-octet ranges 0-127 and 160-191; the
+# oracle restates the same integer bounds over the derived ip numeric
+_ESQL_DATE_FUNCS_SQL = """
+WITH e AS (
+  SELECT *,
+         10 * 16777216 + (user_id % 200) * 65536 + 1 AS ipn
+  FROM events
+)
+SELECT strftime(ts, '%Y-%m-%d') AS d,
+       count(*) AS n,
+       count(DISTINCT user_id) AS users,
+       floor(median(value) * 10000.0 + 0.5) / 10000.0 AS md,
+       max(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts)) AS mxd
+FROM e
+WHERE (ipn BETWEEN 167772160 AND 176160767)
+   OR (ipn BETWEEN 178257920 AND 180355071)
+GROUP BY 1 ORDER BY d
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -8392,6 +8526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_field": _runtime_field,
         "shrink_search": _shrink_search,
         "split_search": _split_search,
+        "esql_fuse": _esql_fuse,
+        "esql_scalar_funcs": _esql_scalar_funcs,
+        "esql_date_funcs": _esql_date_funcs,
     }
 
 
@@ -8701,6 +8838,9 @@ FROM topk JOIN documents USING (doc_id)
         "runtime_field": _RUNTIME_FIELD_SQL,
         "shrink_search": _SHRINK_SEARCH_SQL,
         "split_search": _split_search_sql(),
+        "esql_fuse": _ESQL_FUSE_SQL,
+        "esql_scalar_funcs": _ESQL_SCALAR_FUNCS_SQL,
+        "esql_date_funcs": _ESQL_DATE_FUNCS_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -317,10 +317,176 @@ def _rewrite_bucket(text: str) -> str:
     return re.sub(r"\bBUCKET\(([^()]*)\)", sub, text, flags=re.I)
 
 
+# ---------------------------------------------------------------------------
+# ES|QL scalar functions -> Spark SQL (the names that differ; names Spark
+# already defines — LENGTH, SUBSTRING, CONCAT, COALESCE, ABS, ROUND, POW,
+# GREATEST, TRIM, ... — pass through _expr untouched)
+# ---------------------------------------------------------------------------
+
+def _h_rename(fn: str, arity: int):
+    def h(a: "list[str]") -> str:
+        if len(a) != arity:
+            raise ValueError(f"{fn} takes {arity} argument(s), got {len(a)}")
+        return f"{fn}({', '.join(a)})"
+    return h
+
+
+def _h_cast(sql_type: str):
+    def h(a: "list[str]") -> str:
+        if len(a) != 1:
+            raise ValueError(f"TO_* conversions take 1 argument, got {len(a)}")
+        return f"CAST({a[0]} AS {sql_type})"
+    return h
+
+
+def _h_case(a: "list[str]") -> str:
+    # ES|QL CASE(c1, v1, c2, v2, ..., [default]) -> CASE WHEN ... END
+    if len(a) < 2:
+        raise ValueError("CASE needs at least (condition, value)")
+    pairs, default = (a, None) if len(a) % 2 == 0 else (a[:-1], a[-1])
+    whens = " ".join(
+        f"WHEN {pairs[i]} THEN {pairs[i + 1]}" for i in range(0, len(pairs), 2)
+    )
+    return f"(CASE {whens}{f' ELSE {default}' if default else ''} END)"
+
+
+_DATE_DIFF_UNITS = {
+    "second", "seconds", "minute", "minutes", "hour", "hours",
+    "day", "days", "week", "weeks", "month", "months",
+    "quarter", "quarters", "year", "years",
+}
+
+
+def _h_date_diff(a: "list[str]") -> str:
+    # ES|QL DATE_DIFF("unit", start, end) -> timestampdiff(UNIT, start, end)
+    if len(a) != 3:
+        raise ValueError("DATE_DIFF takes (unit, start, end)")
+    um = re.match(r"^['\"](\w+)['\"]$", a[0].strip())
+    if not um or um.group(1).lower() not in _DATE_DIFF_UNITS:
+        raise ValueError(
+            f"DATE_DIFF unit must be a literal from {sorted(_DATE_DIFF_UNITS)}"
+        )
+    return f"timestampdiff({um.group(1).rstrip('sS').upper()}, {a[1]}, {a[2]})"
+
+
+def _ipv4_sql(e: str) -> str:
+    """Dotted-quad -> BIGINT, pure SQL text (the ipv4_to_long column
+    expression from operators/facets.py as shareable SQL)."""
+    p = f"split({e}, '\\\\.')"
+    return (
+        f"(CAST({p}[0] AS BIGINT) * 16777216 + CAST({p}[1] AS BIGINT) * 65536"
+        f" + CAST({p}[2] AS BIGINT) * 256 + CAST({p}[3] AS BIGINT))"
+    )
+
+
+def _h_cidr_match(a: "list[str]") -> str:
+    # CIDR_MATCH(ip, "a.b.c.d/n", ...) — blocks must be literals, so the
+    # [lo, hi] bounds fold at compile time (the predicate stays a pure
+    # integer range AND/OR — Catalyst can push it)
+    if len(a) < 2:
+        raise ValueError("CIDR_MATCH takes (ip, block, ...)")
+    ip = _ipv4_sql(a[0])
+    tests = []
+    for blk in a[1:]:
+        bm = re.match(
+            r"^['\"](\d+)\.(\d+)\.(\d+)\.(\d+)/(\d+)['\"]$", blk.strip()
+        )
+        if not bm:
+            raise ValueError(f"CIDR_MATCH block must be a literal: {blk!r}")
+        o = [int(x) for x in bm.groups()[:4]]
+        bits = int(bm.group(5))
+        if bits > 32 or any(x > 255 for x in o):
+            raise ValueError(f"bad CIDR block {blk!r}")
+        base = (o[0] << 24) + (o[1] << 16) + (o[2] << 8) + o[3]
+        mask = ((1 << bits) - 1) << (32 - bits) if bits else 0
+        lo = base & mask
+        hi = lo + (1 << (32 - bits)) - 1
+        tests.append(f"{ip} BETWEEN {lo} AND {hi}")
+    return "(" + " OR ".join(tests) + ")"
+
+
+def _h_mv_sum(a: "list[str]") -> str:
+    if len(a) != 1:
+        raise ValueError("MV_SUM takes 1 argument")
+    return f"aggregate({a[0]}, 0D, (a, v) -> a + CAST(v AS DOUBLE))"
+
+
+_FUNC_HANDLERS: "dict[str, object]" = {
+    "TO_UPPER": _h_rename("upper", 1),
+    "TO_LOWER": _h_rename("lower", 1),
+    "TO_STRING": _h_cast("STRING"),
+    "TO_INTEGER": _h_cast("INT"),
+    "TO_LONG": _h_cast("BIGINT"),
+    "TO_DOUBLE": _h_cast("DOUBLE"),
+    "TO_BOOLEAN": _h_cast("BOOLEAN"),
+    "MV_COUNT": _h_rename("size", 1),
+    "MV_MIN": _h_rename("array_min", 1),
+    "MV_MAX": _h_rename("array_max", 1),
+    "MV_DEDUPE": _h_rename("array_distinct", 1),
+    "MV_SORT": _h_rename("sort_array", 1),
+    "MV_SUM": _h_mv_sum,
+    "MV_AVG": lambda a: f"({_h_mv_sum(a)} / size({a[0]}))",
+    "MV_FIRST": lambda a: f"get({a[0]}, 0)",
+    "MV_LAST": lambda a: f"get({a[0]}, size({a[0]}) - 1)",
+    "CASE": _h_case,
+    "STARTS_WITH": _h_rename("startswith", 2),
+    "ENDS_WITH": _h_rename("endswith", 2),
+    "DATE_EXTRACT": lambda a: f"date_part({a[0]}, {a[1]})",
+    "DATE_DIFF": _h_date_diff,
+    # ES|QL's arg order is (format, date); Spark's is (date, format)
+    "DATE_FORMAT": lambda a: f"date_format({a[1]}, {a[0]})",
+    # ES|QL LOCATE(string, substring[, start]); Spark locate(substr, str...)
+    "LOCATE": lambda a: f"locate({a[1]}, {a[0]}"
+    + (f", {a[2]}" if len(a) == 3 else "") + ")",
+    "CIDR_MATCH": _h_cidr_match,
+    # ES|QL aggregate spellings (usable in STATS bodies)
+    "COUNT_DISTINCT": lambda a: f"count(DISTINCT {a[0]})",
+    "MEDIAN": lambda a: f"percentile({a[0]}, 0.5)",
+}
+_FUNC_RE = re.compile(r"(?<![\w.])(" + "|".join(_FUNC_HANDLERS) + r")\s*\(")
+
+
+def _rewrite_funcs(text: str) -> str:
+    """Rewrite ES|QL function spellings to Spark SQL, innermost-included
+    (arguments are rewritten recursively; balanced parens and quoted
+    strings respected). The ES|QL spellings are recognized UPPERCASE only
+    — lowercase names pass through as Spark SQL, so `date_format(ts, f)`
+    keeps Spark's argument order while `DATE_FORMAT(f, ts)` gets ES|QL's
+    (documented deviation: ES|QL itself is case-insensitive).
+    MV_SUM/MV_AVG promote to DOUBLE (documented deviation from ES's
+    type-preserving multivalue math)."""
+    m = _FUNC_RE.search(text)
+    if not m:
+        return text
+    depth, j, in_str = 1, m.end(), None
+    while j < len(text):
+        ch = text[j]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:
+        raise ValueError(f"unbalanced parens in {m.group(1)}(...)")
+    args = [_rewrite_funcs(x) for x in _split_commas(text[m.end():j])]
+    repl = _FUNC_HANDLERS[m.group(1).upper()](args)
+    return text[: m.start()] + repl + _rewrite_funcs(text[j + 1:])
+
+
 def _expr(text: str) -> F.Column:
     # ES|QL `==` is SQL `=`; `!=` passes through unchanged
     return F.expr(
-        re.sub(r"(?<![!<>=])==", "=", _rewrite_match(_rewrite_bucket(text)))
+        re.sub(
+            r"(?<![!<>=])==", "=",
+            _rewrite_match(_rewrite_bucket(_rewrite_funcs(text))),
+        )
     )
 
 
@@ -421,6 +587,71 @@ def esql(
             for b in outs[1:]:
                 out = out.unionByName(b, allowMissingColumns=True)
             return out
+        if kw == "FUSE":
+            # ES|QL FUSE (9.1, tech preview): merge FORK branches that
+            # found the same document into one row with an RRF score —
+            # `FUSE [rrf] [KEY BY col[, ...]] [RANK_CONSTANT n]`.
+            # Per-branch rank = dense order of the branch's _score
+            # (ties broken by key, deterministic); fused
+            # _score = sum over branches of 1 / (rank_constant + rank);
+            # the surviving row's other columns come from the
+            # best-ranked branch (lowest rank, then branch order). All
+            # window math over two exchanges (_fork then key) — no
+            # self-join, no driver materialization.
+            fm = re.match(
+                r"^(?:(\w+)\s*)?(?:KEY\s+BY\s+([\w,\s]+?)\s*)?"
+                r"(?:RANK_CONSTANT\s+(\d+)\s*)?$",
+                body, re.I,
+            )
+            if not fm:
+                raise ValueError(
+                    "FUSE syntax: FUSE [rrf] [KEY BY col[, ...]] "
+                    "[RANK_CONSTANT n]"
+                )
+            method = (fm.group(1) or "rrf").lower()
+            if method != "rrf":
+                raise ValueError(
+                    f"FUSE method {method!r} not supported (rrf only; "
+                    "for linear fusion use similarity.linear_fuse)"
+                )
+            keys = (
+                [c.strip() for c in fm.group(2).split(",")]
+                if fm.group(2) else ["_id"]
+            )
+            rc = int(fm.group(3) or 60)
+            for need in ("_fork", "_score", *keys):
+                if need not in df.columns:
+                    raise ValueError(
+                        f"FUSE needs column {need!r} (branches must EVAL "
+                        "_score and the key before FORK unions them)"
+                    )
+            ks = ", ".join(keys)
+            df = df.withColumn(
+                "_rank",
+                F.expr(
+                    "row_number() OVER (PARTITION BY _fork "
+                    f"ORDER BY _score DESC, {ks})"
+                ),
+            )
+            df = df.withColumn(
+                "_fused",
+                F.expr(
+                    # CAST: bare 1.0 parses as DECIMAL in Spark AND DuckDB
+                    f"sum(CAST(1 AS DOUBLE) / ({rc} + _rank)) "
+                    f"OVER (PARTITION BY {ks})"
+                ),
+            ).withColumn(
+                "_keep",
+                F.expr(
+                    f"row_number() OVER (PARTITION BY {ks} "
+                    "ORDER BY _rank, _fork)"
+                ),
+            )
+            return (
+                df.where("_keep = 1")
+                .drop("_score", "_fork", "_rank", "_keep")
+                .withColumnRenamed("_fused", "_score")
+            )
         if kw == "CHANGE_POINT":
             # ES|QL CHANGE_POINT (8.18): `CHANGE_POINT <value> [ON <key>]`
             # appends `type`/`pvalue` columns, non-null only on the

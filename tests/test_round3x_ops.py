@@ -1,0 +1,145 @@
+"""Round-3 batch: ES|QL FUSE + the scalar-function rewrite layer.
+
+Reference behavior: ES|QL FUSE (ES 9.1, tech preview) merges FORK
+branches that retrieved the same document, assigning an RRF score;
+ES|QL scalar/aggregate functions (TO_*, MV_*, CASE, DATE_*, CIDR_MATCH,
+STARTS_WITH, LOCATE, COUNT_DISTINCT, MEDIAN) per the ES|QL function
+reference. All compile to JVM column expressions via esql._rewrite_funcs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.query.esql import _rewrite_funcs, esql
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the data pipeline", "en", "src1", 17),
+        (1, "ein anderes dokument", "de", "src2", 20),
+        (2, "the spark join data", "en", "src1", 19),
+        (3, "third doc here", "en", "src3", 14),
+        (4, "vier datenpunkte", "de", "src1", 16),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+# --- rewrite layer -------------------------------------------------------
+
+def test_rewrite_nested_and_case_insensitivity_contract():
+    # uppercase = ES|QL spelling, lowercase passes through as Spark SQL
+    assert _rewrite_funcs("TO_UPPER(x)") == "upper(x)"
+    assert _rewrite_funcs("date_format(ts, 'y')") == "date_format(ts, 'y')"
+    assert _rewrite_funcs("DATE_FORMAT('y', ts)") == "date_format(ts, 'y')"
+    assert (
+        _rewrite_funcs("STARTS_WITH(TO_LOWER(a), TO_STRING(b))")
+        == "startswith(lower(a), CAST(b AS STRING))"
+    )
+
+
+def test_rewrite_case_odd_even_args():
+    assert "ELSE 0" in _rewrite_funcs("CASE(a == 1, 2, 0)")
+    assert "ELSE" not in _rewrite_funcs("CASE(a == 1, 2)")
+    with pytest.raises(ValueError):
+        _rewrite_funcs("CASE(a)")
+
+
+def test_rewrite_cidr_folds_literal_bounds():
+    out = _rewrite_funcs("CIDR_MATCH(ip, '192.168.1.0/24')")
+    assert "BETWEEN 3232235776 AND 3232236031" in out
+    with pytest.raises(ValueError):
+        _rewrite_funcs("CIDR_MATCH(ip, block_col)")  # must be a literal
+
+
+def test_rewrite_date_diff_unit_validation():
+    assert _rewrite_funcs("DATE_DIFF('hour', a, b)").startswith(
+        "timestampdiff(HOUR"
+    )
+    with pytest.raises(ValueError):
+        _rewrite_funcs("DATE_DIFF('fortnight', a, b)")
+
+
+def test_mv_functions_match_python(spark, docs):
+    out = esql(
+        "FROM d | EVAL arr = MV_SORT(array(n_chars, doc_id, 3)),"
+        " s = MV_SUM(arr), a = MV_AVG(arr), f = MV_FIRST(arr),"
+        " l = MV_LAST(arr), n = MV_COUNT(MV_DEDUPE(arr))"
+        " | KEEP doc_id, s, a, f, l, n | SORT doc_id",
+        tables={"d": docs},
+    ).collect()
+    for r in out:
+        vals = sorted([r["doc_id"], 3])  # n_chars added below
+    for r, (doc_id, _, _, _, n_chars) in zip(out, sorted(
+        [(0, 0, 0, 0, 17), (1, 0, 0, 0, 20), (2, 0, 0, 0, 19),
+         (3, 0, 0, 0, 14), (4, 0, 0, 0, 16)]
+    )):
+        vals = sorted([n_chars, doc_id, 3])
+        assert r["s"] == pytest.approx(sum(vals))
+        assert r["a"] == pytest.approx(sum(vals) / 3)
+        assert r["f"] == vals[0] and r["l"] == vals[-1]
+        assert r["n"] == len(set(vals))
+
+
+# --- FUSE ----------------------------------------------------------------
+
+def _fuse_frame(spark, docs, rc=60):
+    return esql(
+        "FROM d | EVAL _id = doc_id"
+        " | FORK (WHERE lang == 'en' | EVAL _score = TO_DOUBLE(n_chars)"
+        "          | SORT _score DESC, _id ASC | LIMIT 10)"
+        "        (WHERE source == 'src1' | EVAL _score = TO_DOUBLE(doc_id)"
+        "          | SORT _score DESC, _id ASC | LIMIT 10)"
+        f" | FUSE rrf KEY BY _id RANK_CONSTANT {rc}"
+        " | SORT _score DESC, _id ASC",
+        tables={"d": docs},
+    )
+
+
+def test_fuse_rrf_matches_hand_computation(spark, docs):
+    got = {r["_id"]: r["_score"] for r in _fuse_frame(spark, docs).collect()}
+    # branch1 (en, by n_chars desc): 2(19), 0(17), 3(14) -> ranks 1..3
+    # branch2 (src1, by doc_id desc): 4, 2, 0 -> ranks 1..3
+    want = {
+        2: 1 / 61 + 1 / 62,
+        0: 1 / 62 + 1 / 63,
+        3: 1 / 63,
+        4: 1 / 61,
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v)
+
+
+def test_fuse_drops_fork_and_branch_score_columns(spark, docs):
+    cols = _fuse_frame(spark, docs).columns
+    assert "_fork" not in cols and "_rank" not in cols
+    assert "_score" in cols
+
+
+def test_fuse_validation(spark, docs):
+    with pytest.raises(ValueError, match="rrf only"):
+        esql("FROM d | FUSE linear", tables={"d": docs})
+    with pytest.raises(ValueError, match="_fork"):
+        esql("FROM d | EVAL _id = doc_id, _score = 1.0 | FUSE",
+             tables={"d": docs})
+
+
+def test_fuse_rank_constant_changes_scores(spark, docs):
+    a = {r["_id"]: r["_score"] for r in _fuse_frame(spark, docs, 60).collect()}
+    b = {r["_id"]: r["_score"] for r in _fuse_frame(spark, docs, 10).collect()}
+    assert set(a) == set(b)
+    assert all(b[k] > a[k] for k in a)
+
+
+def test_aggregate_spellings(spark, docs):
+    out = esql(
+        "FROM d | STATS u = COUNT_DISTINCT(lang), m = MEDIAN(n_chars)",
+        tables={"d": docs},
+    ).collect()[0]
+    assert out["u"] == 2
+    assert out["m"] == pytest.approx(17.0)
