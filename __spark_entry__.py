@@ -8122,6 +8122,43 @@ def _split_search_sql() -> str:
     )
 
 
+def _ann_topk_bbq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES BBQ (bbq_flat, 8.16): 1-bit sign codes -> hamming-distance
+    candidate generation (8 bytes of state per vector, no shuffle,
+    TakeOrderedAndProject cut) -> exact float64 cosine re-scoring of the
+    oversampled 128 candidates. The packing SQL comes from ONE generator
+    for both engines (only the subscript base differs), so codes agree
+    bit-for-bit by construction."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    out = OS.ann_topk_binary(emb, qv, k=10, rerank=128)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def _ann_topk_bbq_sql() -> str:
+    from elasticsearch_assets_spark.operators.similarity import (
+        binary_code_sql, hamming_sql,
+    )
+
+    code_a = binary_code_sql("a.embedding", 64, "duckdb")
+    code_q = binary_code_sql("b.embedding", 64, "duckdb")
+    ham = hamming_sql(code_a, "qc.code", "duckdb")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qc AS (SELECT {code_q} AS code FROM q b),
+cand AS (
+  SELECT a.vec_id, a.embedding
+  FROM embeddings a, qc
+  ORDER BY {ham} ASC, a.vec_id ASC
+  LIMIT 128
+)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id, {_COS_AB} AS cos
+  FROM cand a, q b
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 def _esql_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL FUSE (9.1): RRF-merge FORK branches that found the same _id.
     Per-branch rank over _score (deterministic _id tiebreak), fused
@@ -8529,6 +8566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_fuse": _esql_fuse,
         "esql_scalar_funcs": _esql_scalar_funcs,
         "esql_date_funcs": _esql_date_funcs,
+        "ann_topk_bbq": _ann_topk_bbq,
     }
 
 
@@ -8841,6 +8879,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_fuse": _ESQL_FUSE_SQL,
         "esql_scalar_funcs": _ESQL_SCALAR_FUNCS_SQL,
         "esql_date_funcs": _ESQL_DATE_FUNCS_SQL,
+        "ann_topk_bbq": _ann_topk_bbq_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

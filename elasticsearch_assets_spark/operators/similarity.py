@@ -621,3 +621,109 @@ def maxsim_topk(
         )
     out = df.select(F.col(id_col), score.alias("score"))
     return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization + hamming prefilter — ES dense_vector BBQ
+# ---------------------------------------------------------------------------
+
+_I64_MIN = -(1 << 63)
+
+
+def binary_code_sql(vec: str, dim: int, engine: str) -> str:
+    """SQL text packing a <=64-dim vector's sign bits into ONE BIGINT:
+    bit_i = 1 iff vec[i] > 0 (ES's BBQ sign rule at its simplest). The
+    same generator emits both engines' text (only the subscript base
+    differs: Spark arrays are 0-based, DuckDB 1-based), so the packed
+    codes agree bit-for-bit by construction — the repo's shared-SQL-text
+    oracle pattern. Bit 63 uses the INT64 sign-bit constant so dim=64
+    packs without overflow (partial sums stay in range: positives are
+    disjoint bits summing <= 2^63-1, the negative constant lands last).
+
+    Reference behavior: ES 8.16 bbq_hnsw / bbq_flat index types — 32x
+    compression, hamming-distance candidate generation, exact re-scoring
+    of an oversampled candidate set.
+    """
+    if not 1 <= dim <= 64:
+        raise ValueError("binary codes pack at most 64 dims per BIGINT")
+    if engine not in ("spark", "duckdb"):
+        raise ValueError(f"unknown engine {engine!r}")
+    base = 0 if engine == "spark" else 1
+    terms = []
+    for i in range(dim):
+        c = _I64_MIN if i == 63 else (1 << i)
+        terms.append(
+            f"(CASE WHEN {vec}[{i + base}] > 0 THEN "
+            f"CAST({c} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    # bit 63's negative constant added LAST keeps every partial sum in
+    # int64 range under ANSI overflow checking
+    return "(" + " + ".join(terms) + ")"
+
+
+def binary_code_expr(vec_col: str, dim: int = 64) -> Column:
+    return F.expr(binary_code_sql(vec_col, dim, "spark"))
+
+
+def binary_query_code(query: "list[float]") -> int:
+    """The same packing for a driver-side query vector (signed int64)."""
+    if not 1 <= len(query) <= 64:
+        raise ValueError("binary codes pack at most 64 dims per BIGINT")
+    u = sum(1 << i for i, v in enumerate(query) if float(v) > 0)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def hamming_sql(a: str, b: str, engine: str) -> str:
+    """Portable hamming distance between packed codes: Spark spells XOR
+    `a ^ b`, DuckDB `xor(a, b)`; bit_count exists in both."""
+    x = f"({a} ^ {b})" if engine == "spark" else f"xor({a}, {b})"
+    return f"CAST(bit_count({x}) AS INT)"
+
+
+def ann_topk_binary(
+    df: DataFrame,
+    query: "list[float]",
+    k: int = 10,
+    *,
+    rerank: int = 128,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ES BBQ-shaped ANN: hamming distance on 1-bit codes generates
+    `rerank` candidates (oversampling), exact float64 cosine re-scores
+    them, top-k wins.
+
+    Plan shape (the 100 TB argument): stage 1 is a pure projection over
+    the scan — 8 bytes/vector of distance state — cut by
+    TakeOrderedAndProject(rerank); stage 2 re-scores only `rerank` rows.
+    No shuffle anywhere; the scan reads the (code, id, vec) columns once.
+    In production the code column is materialized at write time (32x
+    smaller than the float vectors), exactly ES's bbq_flat layout; here
+    it is computed inline to keep the oracle row self-contained."""
+    dim = len(query)
+    qc = binary_query_code(query)
+    import math as _math
+
+    qn = _math.sqrt(sum(float(v) * float(v) for v in query))
+    qa = F.array(*[F.lit(float(v)) for v in query])
+    cand = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(
+                hamming_sql(
+                    binary_code_sql(vec_col, dim, "spark"), str(qc), "spark"
+                )
+            ).alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    out = cand.select(
+        F.col(id_col),
+        (
+            dot_expr(F.col(vec_col), qa)
+            / F.greatest(norm_expr(F.col(vec_col)) * F.lit(qn), F.lit(1e-30))
+        ).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

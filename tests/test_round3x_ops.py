@@ -143,3 +143,67 @@ def test_aggregate_spellings(spark, docs):
     ).collect()[0]
     assert out["u"] == 2
     assert out["m"] == pytest.approx(17.0)
+
+
+# --- binary (1-bit) quantization ANN — ES BBQ ---------------------------
+
+def test_binary_codes_cross_engine_bit_parity(spark):
+    import duckdb
+
+    from elasticsearch_assets_spark.operators import similarity as S
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    sp = {
+        r["vec_id"]: r["code"]
+        for r in emb.select(
+            "vec_id", S.binary_code_expr("embedding").alias("code")
+        ).collect()
+    }
+    dk = dict(
+        duckdb.sql(
+            f"SELECT vec_id, {S.binary_code_sql('embedding', 64, 'duckdb')} "
+            f"FROM '{path}'"
+        ).fetchall()
+    )
+    assert sp == dk
+
+
+def test_binary_query_code_matches_column_packing(spark):
+    from elasticsearch_assets_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = emb.where("vec_id = 7").select(
+        "embedding", S.binary_code_expr("embedding").alias("code")
+    ).head()
+    assert S.binary_query_code([float(x) for x in row["embedding"]]) == row["code"]
+    # bit 63 set -> negative int64 (the sign-bit constant path)
+    assert S.binary_query_code([1.0] * 64) == -1
+    assert S.binary_query_code([-1.0] * 64) == 0
+
+
+def test_binary_dim_validation():
+    from elasticsearch_assets_spark.operators import similarity as S
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        S.binary_code_sql("e", 65, "spark")
+    with _pt.raises(ValueError):
+        S.binary_query_code([0.0] * 65)
+    with _pt.raises(ValueError):
+        S.binary_code_sql("e", 8, "postgres")
+
+
+def test_bbq_recall_and_exhaustive_rerank_is_exact(spark):
+    from elasticsearch_assets_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 3").head()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qv, k=10).collect()]
+    got = [r["vec_id"] for r in S.ann_topk_binary(emb, qv, k=10, rerank=128).collect()]
+    assert len(set(exact) & set(got)) >= 8  # oversampled hamming recall
+    # rerank >= corpus -> candidate set is the whole corpus -> exact
+    n = emb.count()
+    full = [r["vec_id"] for r in S.ann_topk_binary(emb, qv, k=10, rerank=n).collect()]
+    assert full == exact
