@@ -8293,6 +8293,145 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _completion_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester with category contexts: suggestions
+    restricted to the requested contexts (here the document language),
+    scored df x context boost. One scan -> tokenize -> prefix filter ->
+    hash agg on (context, term) (operators/suggesters.py)."""
+    from elasticsearch_assets_spark.operators.suggesters import (
+        completion_contexts,
+    )
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = completion_contexts(
+        docs, "s", ["en", "de"], boosts={"de": 2.0}, size=12
+    )
+    return out.select(
+        "suggestion", "context", "df", _f4("score").alias("score")
+    )
+
+
+def _completion_ctx_sql() -> str:
+    from elasticsearch_assets_spark.operators.texthash import tokens_sql
+
+    return f"""
+WITH t AS (
+  SELECT lang AS context,
+         unnest(list_distinct({tokens_sql('text')})) AS suggestion
+  FROM documents WHERE lang IN ('en', 'de')
+)
+SELECT suggestion, context, count(*)::BIGINT AS df,
+       floor(count(*)::DOUBLE
+             * (CASE WHEN context = 'de' THEN CAST(2.0 AS DOUBLE)
+                ELSE CAST(1.0 AS DOUBLE) END) * 10000.0 + 0.5) / 10000.0
+         AS score
+FROM t WHERE suggestion LIKE 's%'
+GROUP BY suggestion, context
+ORDER BY score DESC, suggestion ASC, context ASC LIMIT 12
+"""
+
+
+def _rank_eval_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval expected_reciprocal_rank (the cascade metric the
+    plain rank_eval row doesn't carry): sequential fold over the
+    rank-sorted grade list per query — exact float64 in rank order, so
+    the oracle's recursive CTE multiplying in the same order is
+    bit-identical before rounding."""
+    from elasticsearch_assets_spark.operators.rankeval import (
+        expected_reciprocal_rank,
+    )
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    results = idx.msearch(
+        [{"query": q, "mode": "or", "k": _RE_K} for q in _RE_QUERIES]
+    )
+    toks = F.split(F.col("text"), " ")
+    parts = []
+    for qid, q in enumerate(_RE_QUERIES):
+        grade = sum(F.array_contains(toks, t).cast("int") for t in q)
+        parts.append(
+            docs.where(F.col("doc_id") % 2 == 0)
+            .select(
+                F.lit(qid).alias("query_id"), "doc_id", grade.alias("grade")
+            )
+            .where(F.col("grade") > 0)
+        )
+    judgments = parts[0].unionByName(parts[1])
+    out = expected_reciprocal_rank(results, judgments, k=_RE_K, max_grade=3)
+    return out.select("query_id", _f4("err").alias("err"))
+
+
+def _rank_eval_err_sql() -> str:
+    # same corpus-derived results/judgments as _rank_eval_sql, then the
+    # ERR cascade as a recursive CTE walking ranks in order (the proven
+    # WITH-RECURSIVE-under-a-CTE DuckDB pattern)
+    base = _rank_eval_sql()
+    prefix = base[: base.index("met AS (")]
+    return f"""{prefix}seq AS (
+  WITH RECURSIVE walk(query_id, rank, err, p) AS (
+    SELECT query_id, 0, CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+    FROM (SELECT DISTINCT query_id FROM jt)
+    UNION ALL
+    SELECT w.query_id, w.rank + 1,
+           w.err + w.p * ((pow(2, j.grade) - 1) / CAST(8 AS DOUBLE))
+                 / (w.rank + 1),
+           w.p * (1 - (pow(2, j.grade) - 1) / CAST(8 AS DOUBLE))
+    FROM walk w JOIN jt j
+      ON j.query_id = w.query_id AND j.rank = w.rank + 1
+  )
+  SELECT * FROM walk
+)
+SELECT query_id, floor(max_by(err, rank) * 10000.0 + 0.5) / 10000.0 AS err
+FROM seq GROUP BY query_id ORDER BY query_id
+"""
+
+
+def _facet_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn builtins beyond avg: linearWeightedAvg + ewma(0.5)
+    over the daily event-count series, trailing window 3. Pipeline aggs
+    see the bucket series only, so the window sort is over bucket
+    cardinality (operators/facets.py moving_fn)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    events = load_sf_table(spark, sf_dir, "events")
+    ser = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("bucket")
+    ).agg(F.count("*").alias("doc_count"))
+    out = OFA.moving_fn(ser, "linearWeightedAvg", window=3)
+    out = OFA.moving_fn(out, "ewma", window=3, alpha=0.5)
+    return out.select(
+        "bucket", "doc_count",
+        _f4("linearWeightedAvg").alias("lwa"), _f4("ewma").alias("ewma"),
+    )
+
+
+# ewma alpha = 0.5: every product is an exact dyadic float, so the
+# closed-form sum equals the engine's sequential fold bit-for-bit
+_FACET_MOVING_FN_SQL = """
+WITH s AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS bucket, count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT bucket, doc_count,
+         list(doc_count::DOUBLE)
+           OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS l
+  FROM s
+)
+SELECT bucket, doc_count,
+       floor((SELECT sum(l[i] * i) FROM range(1, 4) r(i) WHERE i <= len(l))
+             / (CAST(len(l) * (len(l) + 1) AS DOUBLE) / 2)
+             * 10000.0 + 0.5) / 10000.0 AS lwa,
+       floor((SELECT sum(CASE WHEN i = 1 THEN power(0.5, len(l) - 1) * l[1]
+                         ELSE 0.5 * power(0.5, len(l) - i) * l[i] END)
+              FROM range(1, 4) r(i) WHERE i <= len(l))
+             * 10000.0 + 0.5) / 10000.0 AS ewma
+FROM f ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -8567,6 +8706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_scalar_funcs": _esql_scalar_funcs,
         "esql_date_funcs": _esql_date_funcs,
         "ann_topk_bbq": _ann_topk_bbq,
+        "completion_ctx": _completion_ctx,
+        "rank_eval_err": _rank_eval_err,
+        "facet_moving_fn": _facet_moving_fn,
     }
 
 
@@ -8880,6 +9022,9 @@ FROM topk JOIN documents USING (doc_id)
         "esql_scalar_funcs": _ESQL_SCALAR_FUNCS_SQL,
         "esql_date_funcs": _ESQL_DATE_FUNCS_SQL,
         "ann_topk_bbq": _ann_topk_bbq_sql(),
+        "completion_ctx": _completion_ctx_sql(),
+        "rank_eval_err": _rank_eval_err_sql(),
+        "facet_moving_fn": _FACET_MOVING_FN_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -2235,3 +2235,60 @@ def facet_histogram_bounds(
         )
         .orderBy(F.col("bucket").asc())
     )
+
+
+def moving_fn(
+    series: DataFrame,
+    fn: str = "linearWeightedAvg",
+    window: int = 3,
+    alpha: float = 0.5,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+) -> DataFrame:
+    """ES moving_fn pipeline agg (the MovingFunctions builtins beyond the
+    plain avg facet_pipeline carries): linearWeightedAvg and ewma over a
+    trailing window of the bucket series, current bucket included.
+
+      linearWeightedAvg = sum(v_i * i) / sum(i),  i = 1..n oldest-first
+      ewma              = fold: first value, then a*v + (1-a)*acc
+
+    `series` is any (order_col, value_col) bucket frame (ES buckets_path
+    semantics — pipeline aggs see the bucket series, not the documents).
+    The window list is collected per row over a rows-frame and folded
+    with F.aggregate — sequential float64, so an oracle folding the same
+    order is bit-identical (alpha = 0.5 keeps every product exactly
+    representable, which the contract row exploits). Bucket cardinality
+    bounds the window input, so the single global sort is safe by the
+    same argument as facet_pipeline."""
+    if fn not in ("linearWeightedAvg", "ewma"):
+        raise ValueError(f"unsupported moving_fn {fn!r}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = Window.orderBy(F.col(order_col).asc()).rowsBetween(-(window - 1), 0)
+    v = F.col(value_col).cast("double")
+    frame = F.collect_list(v).over(w)
+    if fn == "linearWeightedAvg":
+        n = F.size(F.col("_frame")).cast("double")
+        num = F.aggregate(
+            F.zip_with(
+                F.col("_frame"),
+                F.sequence(F.lit(1), F.size(F.col("_frame"))),
+                lambda x, i: x * i.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out_col = num / (n * (n + 1.0) / 2.0)
+    else:
+        a = float(alpha)
+        out_col = F.aggregate(
+            F.col("_frame"),
+            F.lit(None).cast("double"),
+            lambda acc, x: F.coalesce(a * x + (1.0 - a) * acc, x),
+        )
+    return (
+        series.withColumn("_frame", frame)
+        .withColumn(fn, out_col)
+        .drop("_frame")
+        .orderBy(F.col(order_col).asc())
+    )

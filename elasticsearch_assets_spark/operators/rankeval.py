@@ -94,3 +94,57 @@ def rank_eval(
         )
         .orderBy(F.col("query_id").asc())
     )
+
+
+def expected_reciprocal_rank(
+    results: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    max_grade: int = 3,
+) -> DataFrame:
+    """ES _rank_eval's expected_reciprocal_rank (Chapelle et al. 2009):
+
+        R_r  = (2^grade_r - 1) / 2^max_grade
+        ERR  = sum_r (1/r) * R_r * prod_{i<r} (1 - R_i)
+
+    `max_grade` is ES's maximum_relevance. Unjudged docs grade 0
+    (R = 0 — they keep the continuation probability intact).
+
+    Determinism note: the cascade is a SEQUENTIAL fold, so it is computed
+    as one F.aggregate over the rank-sorted per-query grade array —
+    exact float64 multiply/add in rank order, bit-identical to any
+    engine folding the same sequence (the DuckDB oracle's recursive CTE
+    multiplies in the same order). Per-query arrays are <= k elements;
+    the window + collect stays partitioned by query_id."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    topk = (
+        results.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(
+            judgments.select("query_id", "doc_id", "grade"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
+    )
+    denom = float(1 << max_grade)
+    per = topk.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rank"), F.col("grade")))
+        ).alias("hits")
+    )
+    state0 = F.struct(
+        F.lit(0.0).alias("err"), F.lit(1.0).alias("p")
+    )
+    def step(acc, x):
+        r = (F.pow(F.lit(2.0), x["grade"].cast("double")) - 1.0) / F.lit(denom)
+        return F.struct(
+            (acc["err"] + acc["p"] * r / x["rank"].cast("double")).alias("err"),
+            (acc["p"] * (1.0 - r)).alias("p"),
+        )
+    return per.select(
+        "query_id",
+        F.aggregate(F.col("hits"), state0, step)["err"].alias("err"),
+    ).orderBy(F.col("query_id").asc())

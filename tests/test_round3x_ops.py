@@ -207,3 +207,88 @@ def test_bbq_recall_and_exhaustive_rerank_is_exact(spark):
     n = emb.count()
     full = [r["vec_id"] for r in S.ann_topk_binary(emb, qv, k=10, rerank=n).collect()]
     assert full == exact
+
+
+# --- completion contexts / ERR / moving_fn -------------------------------
+
+def test_completion_contexts_filters_and_boosts(spark, docs):
+    from elasticsearch_assets_spark.operators.suggesters import (
+        completion_contexts,
+    )
+
+    out = completion_contexts(
+        docs, "d", ["en", "de"], boosts={"de": 3.0},
+        ctx_col="lang", size=None,
+    ).collect()
+    by = {(r["suggestion"], r["context"]): r for r in out}
+    # 'data' appears in en docs 0 and 2; 'datenpunkte' in de doc 4
+    assert by[("data", "en")]["df"] == 2
+    assert by[("data", "en")]["score"] == pytest.approx(2.0)
+    assert by[("datenpunkte", "de")]["score"] == pytest.approx(3.0)
+    assert all(r["context"] in ("en", "de") for r in out)
+    with pytest.raises(ValueError):
+        completion_contexts(docs, "", ["en"], ctx_col="lang")
+    with pytest.raises(ValueError):
+        completion_contexts(docs, "d", ["en"], boosts={"fr": 2.0},
+                            ctx_col="lang")
+
+
+def test_err_hand_computed(spark):
+    from elasticsearch_assets_spark.operators.rankeval import (
+        expected_reciprocal_rank,
+    )
+
+    results = spark.createDataFrame(
+        [(0, 10, 3.0), (0, 11, 2.0), (0, 12, 1.0)],
+        "query_id int, doc_id long, score double",
+    )
+    judgments = spark.createDataFrame(
+        [(0, 10, 3), (0, 12, 2)], "query_id int, doc_id long, grade int"
+    )
+    got = expected_reciprocal_rank(results, judgments, k=3, max_grade=3)
+    r1, r3 = 7 / 8, 3 / 8
+    want = r1 / 1 + (1 - r1) * 0 / 2 + (1 - r1) * 1 * r3 / 3
+    assert got.collect()[0]["err"] == pytest.approx(want)
+
+
+def test_err_no_relevant_is_zero(spark):
+    from elasticsearch_assets_spark.operators.rankeval import (
+        expected_reciprocal_rank,
+    )
+
+    results = spark.createDataFrame(
+        [(0, 1, 1.0)], "query_id int, doc_id long, score double"
+    )
+    judgments = spark.createDataFrame(
+        [], "query_id int, doc_id long, grade int"
+    )
+    assert expected_reciprocal_rank(results, judgments).collect()[0][
+        "err"
+    ] == pytest.approx(0.0)
+
+
+def test_moving_fn_hand_computed(spark):
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ser = spark.createDataFrame(
+        [("a", 2), ("b", 4), ("c", 6), ("d", 8)],
+        "bucket string, doc_count long",
+    )
+    out = OFA.moving_fn(ser, "linearWeightedAvg", window=3)
+    out = OFA.moving_fn(out, "ewma", window=3, alpha=0.5)
+    rows = {r["bucket"]: r for r in out.collect()}
+    assert rows["a"]["linearWeightedAvg"] == pytest.approx(2.0)
+    assert rows["b"]["linearWeightedAvg"] == pytest.approx((2 + 8) / 3)
+    assert rows["c"]["linearWeightedAvg"] == pytest.approx(
+        (2 * 1 + 4 * 2 + 6 * 3) / 6
+    )
+    assert rows["d"]["linearWeightedAvg"] == pytest.approx(
+        (4 * 1 + 6 * 2 + 8 * 3) / 6
+    )
+    # ewma fold: a; .5*4+.5*2=3; .5*6+.5*3=4.5 (window c = [2,4,6])
+    assert rows["a"]["ewma"] == pytest.approx(2.0)
+    assert rows["b"]["ewma"] == pytest.approx(3.0)
+    assert rows["c"]["ewma"] == pytest.approx(4.5)
+    assert rows["d"]["ewma"] == pytest.approx(0.5 * 8 + 0.5 * (0.5 * 6 + 0.5 * 4))
+    with pytest.raises(ValueError):
+        OFA.moving_fn(ser, "holtWinters")
