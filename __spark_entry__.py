@@ -8293,6 +8293,61 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _ccr_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES CCR: a follower bootstraps from the leader's committed
+    snapshot, the leader then grows by one committed chunk (the
+    streaming-epoch shape), and an incremental sync links ONLY the new
+    chunk (O(new files) inode ops). The caught-up follower's BM25 is
+    rank-identical to a monolithic index over the full corpus, so the
+    oracle is the plain global BM25 (index/ccr.py)."""
+    import shutil
+    import uuid
+
+    from elasticsearch_assets_spark.index.build import (
+        build_chunk, build_index, finalize_index,
+    )
+    from elasticsearch_assets_spark.index.ccr import sync_follower
+    from elasticsearch_assets_spark.index.seg_map import (
+        SegMapEntry, upsert_chunk_entry,
+    )
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    docs = load_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = os.path.join("/tmp", "esa_ccr", uuid.uuid4().hex[:12])
+    leader = os.path.join(scratch, "leader")
+    follower = os.path.join(scratch, "follower")
+    try:
+        build_index(
+            spark, docs.where("doc_id % 2 = 0"), leader,
+            num_segments=8, num_chunks=2,
+        )
+        rep = sync_follower(spark, leader, follower)
+        assert rep["mode"] == "bootstrap"
+        build_chunk(
+            spark, docs.where("doc_id % 2 = 1"), leader,
+            chunk_id=2, seg_base=8, segs_per_chunk=4, nparts=4,
+        )
+        upsert_chunk_entry(
+            leader, SegMapEntry(chunk=2, spc=4, segs=[8, 9, 10, 11])
+        )
+        finalize_index(
+            spark, leader, num_segments=12, num_chunks=3,
+            partitioning="doc_hash", segs_per_chunk=4,
+        )
+        rep = sync_follower(spark, leader, follower)
+        assert rep["chunks_added"] == ["chunk=2"]
+        idx = InvertedIndex(spark, follower)
+        out = idx.search(["spark", "join"], k=None, mode="or")
+        res = out.select("doc_id", F.round("score", 4).alias("score"))
+        res = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return res
+
+
+_CCR_FOLLOW_SQL = _bm25_sql(["spark", "join"], "or", None)
+
+
 def _completion_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES completion suggester with category contexts: suggestions
     restricted to the requested contexts (here the document language),
@@ -8709,6 +8764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_ctx": _completion_ctx,
         "rank_eval_err": _rank_eval_err,
         "facet_moving_fn": _facet_moving_fn,
+        "ccr_follow": _ccr_follow,
     }
 
 
@@ -9025,6 +9081,7 @@ FROM topk JOIN documents USING (doc_id)
         "completion_ctx": _completion_ctx_sql(),
         "rank_eval_err": _rank_eval_err_sql(),
         "facet_moving_fn": _FACET_MOVING_FN_SQL,
+        "ccr_follow": _CCR_FOLLOW_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check
