@@ -8293,6 +8293,79 @@ GROUP BY 1 ORDER BY d
 """
 
 
+_SEMDEDUP_NC = 16
+_SEMDEDUP_TAU = 0.45
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters bound the pair
+    expansion, high-cosine within-cluster pairs prune to the
+    lower-centroid-cosine member (similarity.semdedup). The scale path
+    the O(n^2) emb_neardup baseline points at."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    out = OS.semdedup(
+        emb, n_centroids=_SEMDEDUP_NC, threshold=_SEMDEDUP_TAU,
+        sample=_IVF_SAMPLE,
+    )
+    return out.select("vec_id", "centroid", "is_dup")
+
+
+def _semdedup_sql() -> "str | None":
+    """DuckDB twin: same ordered-sample kmeans (identical float32 parquet
+    input -> bit-identical centroids), assignment + centroid-cosine as
+    the same sequential dot chains, pair pruning restated relationally."""
+    import duckdb
+    import numpy as np
+
+    path = os.path.join(_ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT embedding FROM read_parquet('{path}') "
+        f"ORDER BY vec_id LIMIT {_IVF_SAMPLE}"
+    ).df()
+    x = np.stack(pdf["embedding"].to_numpy())
+    cents = OS.kmeans_fit(x, n_centroids=_SEMDEDUP_NC, iters=10)
+    dim = cents.shape[1]
+
+    def dot_chain(vec: str, c: "np.ndarray") -> str:
+        return "(0.0 + " + " + ".join(
+            f"{vec}[{d + 1}]::DOUBLE * {float(c[d])!r}" for d in range(dim)
+        ) + ")"
+
+    dots = "[" + ", ".join(
+        dot_chain("embedding", cents[i]) for i in range(len(cents))
+    ) + "]"
+    sq = (
+        "sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) "
+        "FROM range(1, 65) r(i)))"
+    )
+    dot_ab = (
+        "(SELECT sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) "
+        "FROM range(1, 65) r(i))"
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding,
+         list_position(dots, list_max(dots)) - 1 AS centroid,
+         list_max(dots) / nrm AS ccos, nrm
+  FROM (SELECT vec_id, embedding, {dots} AS dots, {sq} AS nrm
+        FROM embeddings)
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid = b.centroid AND a.vec_id != b.vec_id
+   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+  WHERE {dot_ab} / (a.nrm * b.nrm) >= {_SEMDEDUP_TAU}
+)
+SELECT s.vec_id, s.centroid, (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+ORDER BY s.vec_id
+"""
+
+
 def _ccr_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES CCR: a follower bootstraps from the leader's committed
     snapshot, the leader then grows by one committed chunk (the
@@ -8765,6 +8838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval_err": _rank_eval_err,
         "facet_moving_fn": _facet_moving_fn,
         "ccr_follow": _ccr_follow,
+        "semdedup": _semdedup,
     }
 
 
@@ -9086,4 +9160,7 @@ FROM topk JOIN documents USING (doc_id)
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check
         out["ann_topk_ivf"] = ivf
+    sdd = _semdedup_sql()
+    if sdd is not None:
+        out["semdedup"] = sdd
     return out

@@ -727,3 +727,73 @@ def ann_topk_binary(
         ).alias("score"),
     )
     return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    n_centroids: int = 16,
+    threshold: float = 0.45,
+    sample: int = 10_000,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    embeddings with k-means and pruning high-cosine pairs WITHIN each
+    cluster — pair generation is bounded by cluster size instead of the
+    corpus-wide O(n²) that embedding_neardup_pairs documents as its
+    verification baseline.
+
+    Keep rule (the paper's): within a duplicate pair, the example with
+    LOWER cosine to its centroid survives (diversity-preserving); ties
+    break on id. A point is a duplicate iff some tau-neighbor in its
+    cluster has strictly higher keep-priority.
+
+    Returns (id, centroid, is_dup), id ASC. Determinism: centroids come
+    from the ordered-sample trainer (bit-identical across runs and
+    engines), assignment and centroid-cosine are sequential float64
+    chains (the IVF oracle argument), so a DuckDB twin with the centroid
+    constants reproduces every keep decision.
+
+    Scale shape: one broadcast-free self-join keyed on centroid — the
+    shuffle carries (centroid, id, vec); cluster cardinality bounds the
+    per-key pair expansion, and n_centroids scales with corpus size to
+    keep clusters O(corpus/n_centroids)."""
+    cents = train_ivf_centroids(
+        df, n_centroids=n_centroids, sample=sample, iters=iters,
+        vec_col=vec_col, id_col=id_col,
+    )
+    dots = centroid_dots_expr(F.col(vec_col), cents)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias(
+            "centroid"
+        ),
+        (F.array_max(dots) / norm_expr(F.col(vec_col))).alias("_ccos"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    ai, bi = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    higher_priority = (F.col("a._ccos") < F.col("b._ccos")) | (
+        (F.col("a._ccos") == F.col("b._ccos")) & (ai < bi)
+    )
+    pair_cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    dups = (
+        a.join(
+            b,
+            (F.col("a.centroid") == F.col("b.centroid"))
+            & (ai != bi)
+            & higher_priority,
+        )
+        .where(pair_cos >= float(threshold))
+        .select(bi.alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "centroid")
+        .join(dups, id_col, "left")
+        .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
+        .orderBy(F.col(id_col).asc())
+    )

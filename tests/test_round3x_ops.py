@@ -292,3 +292,43 @@ def test_moving_fn_hand_computed(spark):
     assert rows["d"]["ewma"] == pytest.approx(0.5 * 8 + 0.5 * (0.5 * 6 + 0.5 * 4))
     with pytest.raises(ValueError):
         OFA.moving_fn(ser, "holtWinters")
+
+
+# --- SemDeDup ------------------------------------------------------------
+
+def test_semdedup_keep_rule_and_pair_coverage(spark):
+    from elasticsearch_assets_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.semdedup(emb, n_centroids=8, threshold=0.45, sample=10_000)
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == sorted(r["vec_id"] for r in rows)
+    flags = {r["vec_id"]: r["is_dup"] for r in rows}
+    cent = {r["vec_id"]: r["centroid"] for r in rows}
+
+    # brute-force reference: same centroids (deterministic trainer), so
+    # recompute priorities + pairs in python and compare every decision
+    import numpy as np
+
+    cents = S.train_ivf_centroids(emb, n_centroids=8, sample=10_000)
+    pdf = emb.orderBy("vec_id").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    dots = x @ cents.T
+    assign = np.argmax(dots, axis=1)
+    nrm = np.linalg.norm(x, axis=1)
+    ccos = dots[np.arange(len(x)), assign] / nrm
+    xs = x / nrm[:, None]
+    want_dup = set()
+    for c in range(8):
+        idx = np.where(assign == c)[0]
+        sims = xs[idx] @ xs[idx].T
+        for ii, i in enumerate(idx):
+            for jj, j in enumerate(idx):
+                if i == j or sims[ii, jj] < 0.45:
+                    continue
+                if (ccos[i], ids[i]) < (ccos[j], ids[j]):
+                    want_dup.add(int(ids[j]))
+    assert {v for v, f in flags.items() if f} == want_dup
+    assert all(cent[int(ids[i])] == int(assign[i]) for i in range(len(ids)))
+    assert 0 < len(want_dup) < len(ids)  # threshold actually bites
