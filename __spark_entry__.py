@@ -8293,6 +8293,50 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES custom routing: docs shard by hash(routing_value) % n (here
+    routed on `source`), search with routing=v fans out to ONE shard
+    under GLOBAL stats (the ShardedIndex DFS contract) — so the result
+    is the global ranking restricted to that shard's docs, which the
+    oracle restates with the shared hash60 routing SQL
+    (query/routing.py)."""
+    import shutil
+    import uuid
+
+    from elasticsearch_assets_spark.query.routing import (
+        RoutedIndex, build_routed_shards,
+    )
+
+    docs = load_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    scratch = os.path.join("/tmp", "esa_routed", uuid.uuid4().hex[:12])
+    try:
+        build_routed_shards(
+            spark, docs, scratch, 3, "source", num_segments=4,
+        )
+        idx = RoutedIndex(spark, scratch)
+        out = idx.search(
+            ["spark", "join"], k=None, mode="or", routing="src3"
+        )
+        res = out.select("doc_id", F.round("score", 4).alias("score"))
+        res = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return res
+
+
+def _routed_search_sql() -> str:
+    from elasticsearch_assets_spark.index.reshard import split_routing_sql
+    from elasticsearch_assets_spark.query.routing import routing_shard
+
+    routed = split_routing_sql("source", 3, routing_shard("src3", 3))
+    return _bm25_sql(
+        ["spark", "join"], "or", None,
+        where=f"doc_id IN (SELECT doc_id FROM documents WHERE {routed})",
+    )
+
+
 _SEMDEDUP_NC = 16
 _SEMDEDUP_TAU = 0.45
 
@@ -8839,6 +8883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_moving_fn": _facet_moving_fn,
         "ccr_follow": _ccr_follow,
         "semdedup": _semdedup,
+        "routed_search": _routed_search,
     }
 
 
@@ -9156,6 +9201,7 @@ FROM topk JOIN documents USING (doc_id)
         "rank_eval_err": _rank_eval_err_sql(),
         "facet_moving_fn": _FACET_MOVING_FN_SQL,
         "ccr_follow": _CCR_FOLLOW_SQL,
+        "routed_search": _routed_search_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check
