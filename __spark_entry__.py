@@ -8293,6 +8293,57 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest pipeline: a processor chain (set/rename/gsub/uppercase/
+    script/convert/fingerprint/date/drop) compiled into ONE Catalyst
+    projection chain + a filter — no per-document loop anywhere
+    (sinks/ingest.py). The oracle restates each processor as SQL over
+    the same rows."""
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    events = load_sf_table(spark, sf_dir, "events").where(
+        "event_id % 3 = 0"
+    )
+    out = run_pipeline(events, [
+        {"set": {"field": "pipeline_tag", "value": "v1"}},
+        {"rename": {"field": "props", "target_field": "meta"}},
+        {"gsub": {"field": "event_type", "pattern": "[aeiou]",
+                  "replacement": "_", "target_field": "et_gsub"}},
+        {"uppercase": {"field": "event_type", "target_field": "et_up"}},
+        {"script": {"target_field": "value_sq",
+                    "source": "CAST(value * value AS DOUBLE)"}},
+        {"convert": {"field": "user_id", "type": "string",
+                     "target_field": "uid_s"}},
+        {"fingerprint": {"fields": ["event_id", "event_type"],
+                         "target_field": "fp"}},
+        {"script": {"target_field": "day_s",
+                    "source": "date_format(ts, 'yyyy-MM-dd')"}},
+        {"date": {"field": "day_s", "formats": ["yyyy-MM-dd"],
+                  "target_field": "day_ts"}},
+        {"drop": {"if": "event_type = 'error'"}},
+    ], on_failure="fail")
+    return out.select(
+        "event_id", "pipeline_tag", "et_gsub", "et_up",
+        _f4("value_sq").alias("value_sq"), "uid_s", "fp",
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+    ).orderBy("event_id")
+
+
+_INGEST_PIPELINE_SQL = """
+SELECT event_id,
+       'v1' AS pipeline_tag,
+       regexp_replace(event_type, '[aeiou]', '_', 'g') AS et_gsub,
+       upper(event_type) AS et_up,
+       floor(value * value * 10000.0 + 0.5) / 10000.0 AS value_sq,
+       user_id::VARCHAR AS uid_s,
+       md5(event_id::VARCHAR || '|' || event_type) AS fp,
+       strftime(ts, '%Y-%m-%d') AS day
+FROM events
+WHERE event_id % 3 = 0 AND event_type != 'error'
+ORDER BY event_id
+"""
+
+
 def _routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES custom routing: docs shard by hash(routing_value) % n (here
     routed on `source`), search with routing=v fans out to ONE shard
@@ -8884,6 +8935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccr_follow": _ccr_follow,
         "semdedup": _semdedup,
         "routed_search": _routed_search,
+        "ingest_pipeline": _ingest_pipeline,
     }
 
 
@@ -9202,6 +9254,7 @@ FROM topk JOIN documents USING (doc_id)
         "facet_moving_fn": _FACET_MOVING_FN_SQL,
         "ccr_follow": _CCR_FOLLOW_SQL,
         "routed_search": _routed_search_sql(),
+        "ingest_pipeline": _INGEST_PIPELINE_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check
