@@ -8293,6 +8293,44 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _watcher_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES Watcher: input search (filter + aggs) -> condition over the
+    payload -> actions fired iff met. One filter + hash-agg plan; the
+    condition is a projection over the single payload row
+    (operators/watcher.py). Scheduling is the orchestrator's, as ES's
+    trigger is the watcher scheduler's."""
+    import math
+
+    from elasticsearch_assets_spark.operators.watcher import execute_watch
+
+    events = load_sf_table(spark, sf_dir, "events")
+    rec = execute_watch(events, {
+        "input": {
+            "filter": "event_type = 'error'",
+            "aggs": {"n": "count(*)", "av": "avg(value)"},
+        },
+        "condition": "n >= 10 AND av > 0",
+        "actions": ["log", "notify"],
+    })
+    av = rec["payload"]["av"]
+    av4 = math.floor(av * 10000.0 + 0.5) / 10000.0 if av is not None else None
+    return spark.createDataFrame(
+        [(rec["payload"]["n"], av4, rec["condition_met"],
+          ",".join(rec["actions_fired"]))],
+        "n long, av double, met boolean, fired string",
+    )
+
+
+_WATCHER_CHECK_SQL = """
+SELECT count(*)::BIGINT AS n,
+       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS av,
+       (count(*) >= 10 AND avg(value) > 0) AS met,
+       CASE WHEN count(*) >= 10 AND avg(value) > 0
+            THEN 'log,notify' ELSE '' END AS fired
+FROM events WHERE event_type = 'error'
+"""
+
+
 def _ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ingest pipeline: a processor chain (set/rename/gsub/uppercase/
     script/convert/fingerprint/date/drop) compiled into ONE Catalyst
@@ -8936,6 +8974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _semdedup,
         "routed_search": _routed_search,
         "ingest_pipeline": _ingest_pipeline,
+        "watcher_check": _watcher_check,
     }
 
 
@@ -9255,6 +9294,7 @@ FROM topk JOIN documents USING (doc_id)
         "ccr_follow": _CCR_FOLLOW_SQL,
         "routed_search": _routed_search_sql(),
         "ingest_pipeline": _INGEST_PIPELINE_SQL,
+        "watcher_check": _WATCHER_CHECK_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

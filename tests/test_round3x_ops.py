@@ -332,3 +332,45 @@ def test_semdedup_keep_rule_and_pair_coverage(spark):
     assert {v for v, f in flags.items() if f} == want_dup
     assert all(cent[int(ids[i])] == int(assign[i]) for i in range(len(ids)))
     assert 0 < len(want_dup) < len(ids)  # threshold actually bites
+
+
+# --- watcher + validate_query --------------------------------------------
+
+def test_watcher_fires_and_suppresses(spark):
+    from elasticsearch_assets_spark.operators.watcher import execute_watch
+
+    df = spark.createDataFrame(
+        [(1, "err"), (2, "err"), (3, "ok")], "id long, kind string"
+    )
+    fired = execute_watch(df, {
+        "input": {"filter": "kind = 'err'", "aggs": {"n": "count(*)"}},
+        "condition": "n >= 2",
+        "actions": ["page"],
+    })
+    assert fired["condition_met"] and fired["actions_fired"] == ["page"]
+    assert fired["payload"]["n"] == 2
+    quiet = execute_watch(df, {
+        "input": {"filter": "kind = 'err'", "aggs": {"n": "count(*)"}},
+        "condition": "n >= 5",
+        "actions": ["page"],
+    })
+    assert not quiet["condition_met"] and quiet["actions_fired"] == []
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="condition"):
+        execute_watch(df, {"input": {"aggs": {"n": "count(*)"}}})
+
+
+def test_validate_query(spark):
+    import os
+
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    # reuse the entry's cached docs index at the test scale
+    import __spark_entry__ as E
+
+    idx = E._docs_index(spark, "/root/testdata/sf0.001")
+    ok, expl = idx.validate_query("spark AND join")
+    assert ok and "scoring clause" in expl
+    bad, msg = idx.validate_query("spark AND (join")
+    assert not bad and "unexpected end" in msg
