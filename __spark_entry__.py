@@ -8293,6 +8293,47 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _sorted_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES index.sort + early termination: the table is materialized
+    range-partitioned/sorted on ts, so top-k-by-ts reads only the
+    covering file PREFIX (footer min/max planning, disjoint ranges make
+    the prune exact — sources/sorted_scan.py). The oracle is the plain
+    full-scan ORDER BY LIMIT the prefix must reproduce bit-for-bit."""
+    import shutil
+    import uuid
+
+    from elasticsearch_assets_spark.sources.sorted_scan import (
+        plan_sorted_topk, sorted_topk, write_sorted,
+    )
+
+    events = load_sf_table(spark, sf_dir, "events")
+    scratch = os.path.join("/tmp", "esa_sorted", uuid.uuid4().hex[:12])
+    try:
+        write_sorted(events, scratch, "ts", num_files=8)
+        picked, total = plan_sorted_topk(scratch, "ts", 25)
+        assert len(picked) < total  # the prune actually prunes
+        out = sorted_topk(
+            spark, scratch, "ts", 25,
+            where="event_type = 'view'", tiebreak="event_id",
+        )
+        res = out.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+        )
+        res = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return res
+
+
+_SORTED_SCAN_TOPK_SQL = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
+FROM events WHERE event_type = 'view'
+ORDER BY ts DESC, event_id ASC LIMIT 25
+"""
+
+
 def _watcher_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES Watcher: input search (filter + aggs) -> condition over the
     payload -> actions fired iff met. One filter + hash-agg plan; the
@@ -8975,6 +9016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_search": _routed_search,
         "ingest_pipeline": _ingest_pipeline,
         "watcher_check": _watcher_check,
+        "sorted_scan_topk": _sorted_scan_topk,
     }
 
 
@@ -9295,6 +9337,7 @@ FROM topk JOIN documents USING (doc_id)
         "routed_search": _routed_search_sql(),
         "ingest_pipeline": _INGEST_PIPELINE_SQL,
         "watcher_check": _WATCHER_CHECK_SQL,
+        "sorted_scan_topk": _SORTED_SCAN_TOPK_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check
