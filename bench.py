@@ -404,7 +404,9 @@ def main() -> None:
         lambda: OD.remove_duplicate_spans(corpus, L=8).count(),
     )
     # corpus-LM quality: term agg + join-back + doc agg over pages
-    op_best("op_unigram_lm", lambda: unigram_lm_score(corpus).count())
+    # reps=3: this op's large agg expression tree JITs over the first two
+    # runs (9.5 -> 8.1 -> 4.8 s measured solo); best-of-2 reports warm-up
+    op_best("op_unigram_lm", lambda: unigram_lm_score(corpus).count(), reps=3)
     # hashed classifier + normalization: zero-shuffle JVM passes
     op_best(
         "op_hash_classifier", lambda: hash_classifier_score(corpus).count()
@@ -454,6 +456,75 @@ def main() -> None:
         lambda: idx.search(["spark", "join"], k=10, mode="and").collect(),
     )
     idx.cool()
+
+    # --- round-3 session-5 ops ------------------------------------------
+    # binary-quantized ANN: hamming prefilter + exact rerank vs the float
+    # brute-force op_ann_bruteforce above
+    op_best(
+        "op_ann_bbq",
+        lambda: OS.ann_topk_binary(emb, qv, k=10, rerank=128).collect(),
+    )
+    # SemDeDup: cluster-bounded semantic dedup (the scale path next to the
+    # O(n^2) emb near-dup baseline)
+    op_best(
+        "op_semdedup",
+        lambda: OS.semdedup(emb, n_centroids=16, threshold=0.45).count(),
+    )
+    # ES|QL FORK + FUSE: two branch pipes RRF-merged by key
+    q_best(
+        "q_esql_fuse",
+        lambda: esql_run(
+            "FROM documents | EVAL _id = doc_id"
+            " | FORK (WHERE lang == 'en' | EVAL _score = TO_DOUBLE(n_chars)"
+            "         | SORT _score DESC, _id ASC | LIMIT 100)"
+            "        (WHERE STARTS_WITH(source, 'src1')"
+            "         | EVAL _score = TO_DOUBLE(doc_id * 37 % 101)"
+            "         | SORT _score DESC, _id ASC | LIMIT 100)"
+            " | FUSE rrf KEY BY _id | SORT _score DESC, _id ASC | LIMIT 10",
+            spark=spark, sf_dir=SF_DIR,
+        ).collect(),
+    )
+    # ingest pipeline: 8-processor chain fused into one projection + filter
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    events_tbl = load_sf_table(spark, SF_DIR, "events")
+    op_best(
+        "op_ingest_pipeline",
+        lambda: run_pipeline(events_tbl, [
+            {"set": {"field": "tag", "value": "v1"}},
+            {"gsub": {"field": "event_type", "pattern": "[aeiou]",
+                      "replacement": "_", "target_field": "etg"}},
+            {"uppercase": {"field": "event_type", "target_field": "etu"}},
+            {"script": {"target_field": "v2", "source": "value * value"}},
+            {"convert": {"field": "user_id", "type": "string",
+                         "target_field": "uid"}},
+            {"fingerprint": {"fields": ["event_id", "event_type"]}},
+            {"drop": {"if": "event_type = 'error'"}},
+        ]).count(),
+    )
+    # sorted top-k: footer-pruned prefix scan vs the full TakeOrdered scan
+    import shutil as _sh
+    import uuid as _uuid
+
+    from elasticsearch_assets_spark.sources.sorted_scan import (
+        sorted_topk, write_sorted,
+    )
+
+    _sorted_dir = f"/tmp/esa_bench_sorted_{_uuid.uuid4().hex[:8]}"
+    write_sorted(events_tbl, _sorted_dir, "ts", num_files=32)
+    q_best(
+        "q_sorted_topk",
+        lambda: sorted_topk(
+            spark, _sorted_dir, "ts", 100, tiebreak="event_id"
+        ).collect(),
+    )
+    q_best(
+        "q_fullscan_topk",
+        lambda: events_tbl.orderBy(
+            F.col("ts").desc(), F.col("event_id").asc()
+        ).limit(100).collect(),
+    )
+    _sh.rmtree(_sorted_dir, ignore_errors=True)
 
     total = time.monotonic() - t_total
     print(
