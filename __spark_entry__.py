@@ -8293,6 +8293,147 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _wrapped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus has no line structure, so the Gopher/C4 rows
+    derive one deterministically: ' a ' becomes a '.'-terminated line
+    break, ' the ' an ellipsis-terminated break opening a bullet line —
+    the same two regex replaces run verbatim in the oracle."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", " a ", ".\n"), " the ", "…\n- "
+        ).alias("text"),
+    )
+
+
+_WRAPPED_CTE = (
+    "SELECT doc_id, regexp_replace(regexp_replace(text, ' a ', "
+    "'.' || chr(10), 'g'), ' the ', '…' || chr(10) || '- ', 'g') AS t "
+    "FROM documents"
+)
+
+
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter signals (Rae et al. 2021 A1.1) over the
+    line-wrapped corpus: word/line array higher-order expressions, zero
+    shuffle (textstats.gopher_rules)."""
+    from elasticsearch_assets_spark.operators.textstats import gopher_rules
+
+    out = gopher_rules(_wrapped_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_words", _f4("mean_word_len").alias("mean_word_len"),
+        _f4("symbol_ratio").alias("symbol_ratio"),
+        _f4("frac_bullet_lines").alias("frac_bullet_lines"),
+        _f4("frac_ellipsis_lines").alias("frac_ellipsis_lines"),
+        _f4("frac_alpha_words").alias("frac_alpha_words"),
+        "n_stopwords", "passes_gopher",
+    ).orderBy("doc_id")
+
+
+_GOPHER_RULES_SQL = f"""
+WITH w AS ({_WRAPPED_CTE}),
+s AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(t, '\\s+'), x -> x != '')
+           AS words,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    l -> trim(l)), l -> l != '') AS lines
+  FROM w
+),
+m AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         CASE WHEN len(words) > 0 THEN
+           list_aggregate(list_transform(words, x -> length(x)),
+                          'sum')::DOUBLE / len(words)
+         ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(words) > 0 THEN
+           (length(t) - length(replace(t, '#', ''))
+            + length(t) - length(replace(t, '…', '')))::DOUBLE
+           / len(words)
+         ELSE 0.0 END AS symbol_ratio,
+         len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
+                                   OR l LIKE '• %'))::DOUBLE
+           / greatest(len(lines), 1) AS frac_bullet_lines,
+         len(list_filter(lines, l -> l LIKE '%…' OR l LIKE '%...'))::DOUBLE
+           / greatest(len(lines), 1) AS frac_ellipsis_lines,
+         CASE WHEN len(words) > 0 THEN
+           len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / len(words)
+         ELSE 0.0 END AS frac_alpha_words,
+         ({" + ".join(
+             "(list_contains(list_transform(words, x -> lower(x)), "
+             f"'{sw}'))::BIGINT"
+             for sw in (
+                 "the", "be", "to", "of", "and", "that", "have", "with"
+             )
+         )}) AS n_stopwords
+  FROM s
+)
+SELECT doc_id, n_words,
+       floor(mean_word_len * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+       floor(symbol_ratio * 10000.0 + 0.5) / 10000.0 AS symbol_ratio,
+       floor(frac_bullet_lines * 10000.0 + 0.5) / 10000.0
+         AS frac_bullet_lines,
+       floor(frac_ellipsis_lines * 10000.0 + 0.5) / 10000.0
+         AS frac_ellipsis_lines,
+       floor(frac_alpha_words * 10000.0 + 0.5) / 10000.0
+         AS frac_alpha_words,
+       n_stopwords,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio <= 0.1
+        AND frac_bullet_lines <= 0.9
+        AND frac_ellipsis_lines <= 0.3
+        AND frac_alpha_words >= 0.8
+        AND n_stopwords >= 2) AS passes_gopher
+FROM m ORDER BY doc_id
+"""
+
+
+def _c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line cleaning (Raffel et al. 2020 2.2) over the line-wrapped
+    corpus: terminal-punctuation + min-words line retention, page flags,
+    page keep decision — nested higher-order expressions, text never
+    shuffles (textstats.c4_line_filter)."""
+    from elasticsearch_assets_spark.operators.textstats import c4_line_filter
+
+    out = c4_line_filter(_wrapped_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "cleaned_text", "n_lines", "n_kept",
+        "has_brace", "has_lorem", "keep",
+    ).orderBy("doc_id")
+
+
+_C4_FILTERS_SQL = f"""
+WITH w AS ({_WRAPPED_CTE}),
+s AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    l -> trim(l)), l -> l != '') AS lines
+  FROM w
+),
+k AS (
+  SELECT doc_id, t, lines,
+         list_filter(lines, l ->
+           right(l, 1) IN ('.', '!', '?', '"')
+           AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                               x -> x != '')) >= 3) AS kept
+  FROM s
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       contains(t, '{{') AS has_brace,
+       contains(lower(t), 'lorem ipsum') AS has_lorem,
+       (len(kept) >= 3 AND NOT contains(t, '{{')
+        AND NOT contains(lower(t), 'lorem ipsum')) AS keep
+FROM k ORDER BY doc_id
+"""
+
+
 def _sorted_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES index.sort + early termination: the table is materialized
     range-partitioned/sorted on ts, so top-k-by-ts reads only the
@@ -9017,6 +9158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_pipeline": _ingest_pipeline,
         "watcher_check": _watcher_check,
         "sorted_scan_topk": _sorted_scan_topk,
+        "gopher_rules": _gopher_rules,
+        "c4_filters": _c4_filters,
     }
 
 
@@ -9338,6 +9481,8 @@ FROM topk JOIN documents USING (doc_id)
         "ingest_pipeline": _INGEST_PIPELINE_SQL,
         "watcher_check": _WATCHER_CHECK_SQL,
         "sorted_scan_topk": _SORTED_SCAN_TOPK_SQL,
+        "gopher_rules": _GOPHER_RULES_SQL,
+        "c4_filters": _C4_FILTERS_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -626,3 +626,137 @@ def ngram_diversity(
         *keys, "distinct_ngrams", "total_ngrams",
         (F.col("distinct_ngrams") / F.col("total_ngrams")).alias("diversity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules + C4 line cleaning (web-corpus curation classics)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText quality-filter signals (Rae et al. 2021 §A1.1)
+    beyond the repetition family repetition_stats carries:
+
+      n_words            whitespace-split word count
+      mean_word_len      mean characters per word
+      symbol_ratio       ('#' + '…' occurrences) / n_words
+      frac_bullet_lines  lines starting '- ', '* ' or '• '
+      frac_ellipsis_lines lines ending '…' or '...'
+      frac_alpha_words   words containing an ASCII letter
+      n_stopwords        how many of the 8 Gopher stopwords appear
+      passes_gopher      the paper's bounds, ANDed:
+                         50 <= words <= 100k, 3 <= mean <= 10,
+                         symbol_ratio <= 0.1, bullets <= 0.9,
+                         ellipsis <= 0.3, alpha >= 0.8, stopwords >= 2
+
+    Pure JVM higher-order-function expressions over the words/lines
+    arrays — zero shuffle, one projection."""
+    words = F.expr(
+        f"filter(split({text_col}, '\\\\s+'), w -> w != '')"
+    )
+    lines = F.expr(
+        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)),"
+        " l -> l != '')"
+    )
+    staged = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        words.alias("__w"), lines.alias("__l"),
+    )
+    nw = F.size("__w").cast("long")
+    nl = F.greatest(F.size("__l").cast("long"), F.lit(1).cast("long"))
+    mean_len = F.when(
+        nw > 0,
+        F.expr("aggregate(__w, 0L, (a, w) -> a + length(w))") / nw,
+    ).otherwise(F.lit(0.0))
+    n_sym = (
+        F.length("__t") - F.length(F.replace(F.col("__t"), F.lit("#")))
+        + F.length("__t") - F.length(F.replace(F.col("__t"), F.lit("…")))
+    ).cast("long")
+    sym_ratio = F.when(nw > 0, n_sym / nw).otherwise(F.lit(0.0))
+    bullets = F.expr(
+        "size(filter(__l, l -> l LIKE '- %' OR l LIKE '* %'"
+        " OR l LIKE '• %'))"
+    ).cast("long")
+    ellipsis = F.expr(
+        "size(filter(__l, l -> l LIKE '%…' OR l LIKE '%...'))"
+    ).cast("long")
+    alpha = F.expr(
+        "size(filter(__w, w -> w RLIKE '[A-Za-z]'))"
+    ).cast("long")
+    frac_alpha = F.when(nw > 0, alpha / nw).otherwise(F.lit(0.0))
+    stops = sum(
+        F.array_contains(
+            F.expr(f"transform(__w, w -> lower(w))"), s
+        ).cast("int")
+        for s in GOPHER_STOPWORDS
+    ).cast("long")
+    out = staged.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        (bullets / nl).alias("frac_bullet_lines"),
+        (ellipsis / nl).alias("frac_ellipsis_lines"),
+        frac_alpha.alias("frac_alpha_words"),
+        stops.alias("n_stopwords"),
+    )
+    return out.withColumn(
+        "passes_gopher",
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_stopwords") >= 2),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2), line-level + page-level:
+
+      * keep only lines ending in terminal punctuation (. ! ? ")
+        with >= `min_words_per_line` words;
+      * flag pages containing '{' (code) or 'lorem ipsum';
+      * a page survives (keep=true) iff >= `min_lines` lines remain and
+        neither flag fires. (C4 uses sentences >= 5; the line/word
+        thresholds are the parameters — documented mapping.)
+
+    Returns (id, cleaned_text, n_lines, n_kept, has_brace, has_lorem,
+    keep). One projection of nested higher-order functions — line
+    filtering never explodes rows, text never shuffles."""
+    lines = F.expr(
+        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)),"
+        " l -> l != '')"
+    )
+    staged = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"), lines.alias("__l")
+    )
+    kept = F.expr(
+        "filter(__l, l -> right(l, 1) IN ('.', '!', '?', '\"') AND "
+        f"size(filter(split(l, '\\\\s+'), w -> w != '')) >= "
+        f"{int(min_words_per_line)})"
+    )
+    out = staged.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+        F.size("__l").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.col("__t").contains("{").alias("has_brace"),
+        F.lower("__t").contains("lorem ipsum").alias("has_lorem"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_kept") >= int(min_lines))
+        & ~F.col("has_brace") & ~F.col("has_lorem"),
+    )

@@ -374,3 +374,53 @@ def test_validate_query(spark):
     assert ok and "scoring clause" in expl
     bad, msg = idx.validate_query("spark AND (join")
     assert not bad and "unexpected end" in msg
+
+
+# --- Gopher rules + C4 line filters --------------------------------------
+
+def test_gopher_rules_hand_computed(spark):
+    from elasticsearch_assets_spark.operators.textstats import gopher_rules
+
+    good = ("the quick data pipeline should be useful to most of the "
+            "folks and that they have plenty with it " * 5).strip()
+    words = good.split()
+    assert sum(len(w) for w in words) / len(words) >= 3.0  # fixture sanity
+    rows = {r["doc_id"]: r for r in gopher_rules(spark.createDataFrame(
+        [(0, good),
+         (1, "# # # tiny"),
+         (2, "- bullet one\n- bullet two\nplain line…")],
+        "doc_id long, text string",
+    )).collect()}
+    g = rows[0]
+    assert g["n_words"] == len(words) and g["passes_gopher"]
+    assert g["n_stopwords"] == 8
+    assert g["frac_alpha_words"] == pytest.approx(1.0)
+    b = rows[1]
+    assert b["symbol_ratio"] == pytest.approx(3 / 4)
+    assert not b["passes_gopher"]  # too short, too symbol-heavy
+    c = rows[2]
+    assert c["frac_bullet_lines"] == pytest.approx(2 / 3)
+    assert c["frac_ellipsis_lines"] == pytest.approx(1 / 3)
+
+
+def test_c4_line_filter_branches(spark):
+    from elasticsearch_assets_spark.operators.textstats import c4_line_filter
+
+    rows = {r["doc_id"]: r for r in c4_line_filter(spark.createDataFrame(
+        [(0, "one good sentence here.\ntwo more words follow!\n"
+             "is this kept?\nno terminal punct\nshort."),
+         (1, "good line number one.\nlorem ipsum filler text.\n"
+             "third full line here."),
+         (2, "calls function() { return 1; }\na fine line indeed.\n"
+             "b fine line indeed.\nc fine line indeed.")],
+        "doc_id long, text string",
+    )).collect()}
+    a = rows[0]
+    # 'no terminal punct' dropped (no punct); 'short.' dropped (<3 words)
+    assert a["n_lines"] == 5 and a["n_kept"] == 3 and a["keep"]
+    assert a["cleaned_text"].split("\n") == [
+        "one good sentence here.", "two more words follow!",
+        "is this kept?",
+    ]
+    assert rows[1]["has_lorem"] and not rows[1]["keep"]
+    assert rows[2]["has_brace"] and not rows[2]["keep"]
