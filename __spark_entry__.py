@@ -8293,6 +8293,108 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL RERANK with the engine's deterministic stand-in scorer
+    (models are the declared boundary; the plan — one projection, no
+    shuffle — is identical whichever scorer fills _score):
+    overlap/|q| + tf/(100|q|), analyzed by the one tokenizer contract."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM documents | WHERE doc_id % 11 == 0"
+        ' | RERANK "spark join data table" ON text'
+        " | KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 20",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("doc_id", _f4("_score").alias("score"))
+
+
+def _esql_rerank_sql() -> str:
+    from elasticsearch_assets_spark.operators.texthash import tokens_sql
+
+    terms = "['data', 'join', 'spark', 'table']"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS tk FROM documents
+  WHERE doc_id % 11 = 0
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(list_intersect(list_distinct(tk), {terms})) AS DOUBLE)
+           / 4
+         + CAST(len(list_filter(tk, x -> list_contains({terms}, x)))
+                AS DOUBLE) / 400 AS sc
+  FROM t
+)
+SELECT doc_id, floor(sc * 10000.0 + 0.5) / 10000.0 AS score
+FROM s ORDER BY sc DESC, doc_id ASC LIMIT 20
+"""
+
+
+def _counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES TSDB rate over a counter metric: per (series, hour bucket),
+    reset-compensated increase / seconds (facets.counter_rate). The
+    counter is derived deterministically (windowed cumsum mod) so both
+    engines see identical resets."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    events = load_sf_table(spark, sf_dir, "events")
+    staged = events.withColumn(
+        "sid", F.col("user_id") % 5
+    ).withColumn(
+        "c",
+        F.expr(
+            "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER "
+            "(PARTITION BY sid ORDER BY ts, event_id) % 50000"
+        ),
+    )
+    out = OFA.counter_rate(
+        staged, "ts", "c", ["sid"], bucket_seconds=3600,
+        order_tiebreak="event_id",
+    )
+    return out.select(
+        "sid",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_samples",
+        _f4("increase").alias("increase"),
+        _f4("rate").alias("rate"),
+    )
+
+
+_COUNTER_RATE_SQL = """
+WITH s AS (SELECT *, user_id % 5 AS sid FROM events),
+c AS (
+  SELECT sid, ts, event_id,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY sid ORDER BY ts, event_id) % 50000 AS c
+  FROM s
+),
+b AS (
+  SELECT sid, ts, event_id, c,
+         TIMESTAMP '1970-01-01 00:00:00'
+         + (floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  / 3600) * 3600)::BIGINT * INTERVAL 1 SECOND AS bucket
+  FROM c
+),
+d AS (
+  SELECT sid, bucket, c::DOUBLE AS v,
+         c::DOUBLE - lag(c::DOUBLE)
+           OVER (PARTITION BY sid, bucket ORDER BY ts, event_id) AS delta
+  FROM b
+),
+a AS (
+  SELECT sid, bucket, count(*)::BIGINT AS n_samples,
+         sum(CASE WHEN delta IS NULL THEN 0
+                  WHEN delta >= 0 THEN delta ELSE v END) AS inc
+  FROM d GROUP BY 1, 2
+)
+SELECT sid, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n_samples,
+       floor(inc * 10000.0 + 0.5) / 10000.0 AS increase,
+       floor(inc / 3600 * 10000.0 + 0.5) / 10000.0 AS rate
+FROM a ORDER BY sid, bucket
+"""
+
+
 def _wrapped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus has no line structure, so the Gopher/C4 rows
     derive one deterministically: ' a ' becomes a '.'-terminated line
@@ -9160,6 +9262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_scan_topk": _sorted_scan_topk,
         "gopher_rules": _gopher_rules,
         "c4_filters": _c4_filters,
+        "esql_rerank": _esql_rerank,
+        "counter_rate": _counter_rate,
     }
 
 
@@ -9483,6 +9587,8 @@ FROM topk JOIN documents USING (doc_id)
         "sorted_scan_topk": _SORTED_SCAN_TOPK_SQL,
         "gopher_rules": _GOPHER_RULES_SQL,
         "c4_filters": _C4_FILTERS_SQL,
+        "esql_rerank": _esql_rerank_sql(),
+        "counter_rate": _COUNTER_RATE_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

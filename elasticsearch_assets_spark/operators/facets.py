@@ -2292,3 +2292,59 @@ def moving_fn(
         .drop("_frame")
         .orderBy(F.col(order_col).asc())
     )
+
+
+def counter_rate(
+    df: DataFrame,
+    ts_col: str,
+    counter_col: str,
+    series_cols: "list[str]",
+    bucket_seconds: int = 3600,
+    order_tiebreak: "str | None" = None,
+) -> DataFrame:
+    """ES TSDB `rate` over a counter metric (8.7 time-series aggs), the
+    Prometheus counter contract: per time series and time bucket, the
+    counter's increase per second with RESETS compensated — a drop in
+    the counter means it restarted, so the post-reset value IS the
+    increase across that step.
+
+      delta_i    = v_i - v_{i-1} within (series, bucket), ts order
+      increase   = sum( delta_i if delta_i >= 0 else v_i ), first
+                   sample of the bucket contributes 0
+      rate       = increase / bucket_seconds
+
+    One window pass partitioned by (series, bucket) + one hash agg on
+    the same key — the shuffle is keyed by series x bucket, so a
+    million-series corpus spreads evenly; no global sort anywhere.
+    The bucket is the tz-free epoch floor (timestampdiff/timestampadd
+    against a literal origin — the session zone cancels, CLAUDE.md)."""
+    if not series_cols:
+        raise ValueError("counter_rate needs at least one series column")
+    origin = "TIMESTAMP '1970-01-01 00:00:00'"
+    bucket = (
+        f"timestampadd(SECOND, CAST(floor(timestampdiff(SECOND, {origin}, "
+        f"{ts_col}) / {int(bucket_seconds)}) * {int(bucket_seconds)} AS "
+        f"BIGINT), {origin})"
+    )
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    staged = df.withColumn("_bucket", F.expr(bucket))
+    w = Window.partitionBy(*series_cols, "_bucket").orderBy(*order)
+    v = F.col(counter_col).cast("double")
+    delta = v - F.lag(v, 1).over(w)
+    contrib = (
+        F.when(delta.isNull(), F.lit(0.0))
+        .when(delta >= 0, delta)
+        .otherwise(v)  # reset: the restarted counter's value
+    )
+    return (
+        staged.withColumn("_contrib", contrib)
+        .groupBy(*series_cols, F.col("_bucket").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("_contrib").alias("increase"),
+            (F.sum("_contrib") / float(bucket_seconds)).alias("rate"),
+        )
+        .orderBy(*series_cols, "bucket")
+    )

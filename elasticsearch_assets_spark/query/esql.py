@@ -18,6 +18,8 @@ Supported subset — the analytics core of the language:
   | LOOKUP JOIN <index> ON <f>  (broadcast left join, ES lookup indexes)
   | INLINESTATS <n> = <agg>(<e>) [BY <col> ...]   (window agg, rows kept)
   | FORK (pipe) (pipe) ...      (branch pipes unioned, _fork discriminator)
+  | FUSE [rrf] [KEY BY c] [RANK_CONSTANT n]   (RRF-merge FORK branches)
+  | RERANK "query" ON <col>     (deterministic stand-in scorer -> _score)
   | CHANGE_POINT <val> [ON <key>]  (step detector, type/pvalue columns)
 
 STATS/INLINESTATS grouping keys may be named expressions
@@ -50,10 +52,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _SUPPORTED = (
     "FROM", "ROW", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "GROK", "DISSECT", "MV_EXPAND", "LOOKUP JOIN",
-    "ENRICH", "SAMPLE", "INLINESTATS", "FORK", "CHANGE_POINT",
+    "ENRICH", "SAMPLE", "INLINESTATS", "FORK", "CHANGE_POINT", "FUSE",
+    "RERANK",
 )
 _KNOWN_UNSUPPORTED = (
-    "SHOW", "METRICS", "RERANK", "COMPLETION",
+    "SHOW", "METRICS", "COMPLETION",
 )
 
 _RE_SPECIAL = set(".^$*+?()[]{}|\\")
@@ -651,6 +654,42 @@ def esql(
                 df.where("_keep = 1")
                 .drop("_score", "_fork", "_rank", "_keep")
                 .withColumnRenamed("_fused", "_score")
+            )
+        if kw == "RERANK":
+            # ES|QL RERANK (9.x, tech preview): `RERANK "query" ON <col>`
+            # re-scores the current frame's rows against the query text.
+            # ES calls an inference endpoint; models are out of scope here
+            # by the engine's declared boundary, so the scorer is the
+            # DETERMINISTIC stand-in (same pattern as search_sparse's
+            # tf-idf weights): _score = |query_terms ∩ doc_terms| / |query_terms|
+            # + tf_sum / (100 * |query_terms|) — overlap-dominant with a
+            # tf tiebreak, analyzed by the ONE tokenizer contract. The
+            # PLAN is identical whichever scorer fills the column: one
+            # projection, no shuffle. Documented deviation.
+            rm = re.match(r"^(['\"])(.+?)\1\s+ON\s+(\w+)\s*$", body, re.S)
+            if not rm:
+                raise ValueError('RERANK needs `"query text" ON <column>`')
+            qtext, col = rm.group(2), rm.group(3)
+            if col not in df.columns:
+                raise ValueError(f"RERANK column {col!r} does not exist")
+            terms = sorted({t for t in re.findall(r"[a-z0-9]+", qtext.lower())})
+            if not terms:
+                raise ValueError("RERANK needs at least one analyzable term")
+            toks = f"regexp_extract_all(lower({col}), '{_TOKEN_RE_SQL}', 0)"
+            tlist = "array(" + ", ".join(f"'{t}'" for t in terms) + ")"
+            n = len(terms)
+            overlap = (
+                f"size(array_intersect(array_distinct({toks}), {tlist}))"
+            )
+            tf_sum = (
+                f"size(filter({toks}, x -> array_contains({tlist}, x)))"
+            )
+            return df.withColumn(
+                "_score",
+                F.expr(
+                    f"CAST({overlap} AS DOUBLE) / {n}"
+                    f" + CAST({tf_sum} AS DOUBLE) / {100 * n}"
+                ),
             )
         if kw == "CHANGE_POINT":
             # ES|QL CHANGE_POINT (8.18): `CHANGE_POINT <value> [ON <key>]`

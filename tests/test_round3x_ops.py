@@ -424,3 +424,51 @@ def test_c4_line_filter_branches(spark):
     ]
     assert rows[1]["has_lorem"] and not rows[1]["keep"]
     assert rows[2]["has_brace"] and not rows[2]["keep"]
+
+
+# --- ES|QL RERANK + counter rate -----------------------------------------
+
+def test_rerank_stand_in_scorer(spark, docs):
+    out = {r["doc_id"]: r["_score"] for r in esql(
+        'FROM d | RERANK "spark data" ON text | KEEP doc_id, _score',
+        tables={"d": docs},
+    ).collect()}
+    # doc 2 'the spark join data' -> overlap 2/2 + tf 2/200
+    assert out[2] == pytest.approx(1.0 + 2 / 200)
+    # doc 0 'the data pipeline' -> overlap 1/2 + tf 1/200
+    assert out[0] == pytest.approx(0.5 + 1 / 200)
+    assert out[1] == pytest.approx(0.0)
+    with pytest.raises(ValueError, match="analyzable"):
+        esql('FROM d | RERANK "..." ON text', tables={"d": docs})
+    with pytest.raises(ValueError, match="does not exist"):
+        esql('FROM d | RERANK "x" ON zzz', tables={"d": docs})
+
+
+def test_counter_rate_reset_compensation(spark):
+    from elasticsearch_assets_spark.operators.facets import counter_rate
+
+    rows = [
+        # series A, one hour bucket: 10 -> 25 -> 5 (reset) -> 12
+        ("2024-01-01 10:00:00", "A", 10.0, 1),
+        ("2024-01-01 10:10:00", "A", 25.0, 2),
+        ("2024-01-01 10:20:00", "A", 5.0, 3),
+        ("2024-01-01 10:30:00", "A", 12.0, 4),
+        # series A, next bucket: single sample -> increase 0
+        ("2024-01-01 11:10:00", "A", 20.0, 5),
+        # series B: monotone
+        ("2024-01-01 10:05:00", "B", 100.0, 6),
+        ("2024-01-01 10:45:00", "B", 160.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s string, sid string, c double, eid long"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = {(r["sid"], str(r["bucket"])): r for r in counter_rate(
+        df, "ts", "c", ["sid"], 3600, order_tiebreak="eid"
+    ).collect()}
+    a = out[("A", "2024-01-01 10:00:00")]
+    # increase = 15 + (reset -> 5) + 7 = 27
+    assert a["increase"] == pytest.approx(27.0)
+    assert a["rate"] == pytest.approx(27.0 / 3600)
+    assert a["n_samples"] == 4
+    assert out[("A", "2024-01-01 11:00:00")]["increase"] == pytest.approx(0.0)
+    assert out[("B", "2024-01-01 10:00:00")]["increase"] == pytest.approx(60.0)
