@@ -8293,6 +8293,53 @@ GROUP BY 1 ORDER BY d
 """
 
 
+_GEO_ENV_BOX = (-20.0, 30.0, -60.0, 40.0)
+# doc boxes: center at the derived (lat, lon), half-sizes keyed on the id
+_GEO_ENV_COLS = {
+    "minlat": f"(({_LAT_SQL}) - (event_id % 5 + 1) * 2.0)",
+    "maxlat": f"(({_LAT_SQL}) + (event_id % 5 + 1) * 2.0)",
+    "minlon": f"(({_LON_SQL}) - (event_id % 7 + 1) * 3.0)",
+    "maxlon": f"(({_LON_SQL}) + (event_id % 7 + 1) * 3.0)",
+}
+
+
+def _geo_shape_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_shape over shape DOCUMENTS (each doc an envelope) vs a
+    query envelope, all four relations as one shared interval-algebra
+    SQL text per relation (operators/geo.py envelope_relation_sql —
+    bit parity by construction, like the polygon ray-cast)."""
+    from elasticsearch_assets_spark.operators.geo import envelope_relation_sql
+
+    ev = load_sf_table(spark, sf_dir, "events").where("event_id % 7 = 0")
+    c = _GEO_ENV_COLS
+    sel = [F.col("event_id")]
+    for rel in ("intersects", "disjoint", "within", "contains"):
+        sel.append(
+            F.expr(
+                envelope_relation_sql(
+                    c["minlat"], c["maxlat"], c["minlon"], c["maxlon"],
+                    _GEO_ENV_BOX, rel,
+                )
+            ).alias(rel)
+        )
+    return ev.select(*sel).orderBy("event_id")
+
+
+def _geo_shape_envelope_sql() -> str:
+    from elasticsearch_assets_spark.operators.geo import envelope_relation_sql
+
+    c = _GEO_ENV_COLS
+    rels = ",\n       ".join(
+        f"{envelope_relation_sql(c['minlat'], c['maxlat'], c['minlon'], c['maxlon'], _GEO_ENV_BOX, rel)} AS {rel}"
+        for rel in ("intersects", "disjoint", "within", "contains")
+    )
+    return f"""
+SELECT event_id,
+       {rels}
+FROM events WHERE event_id % 7 = 0 ORDER BY event_id
+"""
+
+
 def _esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL RERANK with the engine's deterministic stand-in scorer
     (models are the declared boundary; the plan — one projection, no
@@ -9264,6 +9311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _c4_filters,
         "esql_rerank": _esql_rerank,
         "counter_rate": _counter_rate,
+        "geo_shape_envelope": _geo_shape_envelope,
     }
 
 
@@ -9589,6 +9637,7 @@ FROM topk JOIN documents USING (doc_id)
         "c4_filters": _C4_FILTERS_SQL,
         "esql_rerank": _esql_rerank_sql(),
         "counter_rate": _COUNTER_RATE_SQL,
+        "geo_shape_envelope": _geo_shape_envelope_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -184,3 +184,58 @@ def polygon_with_holes_predicate(
     """polygon_with_holes_sql compiled to a Spark column (the SAME text —
     parity by construction, like polygon_predicate)."""
     return F.expr(polygon_with_holes_sql(lat_sql, lon_sql, outer, holes))
+
+
+def envelope_relation_sql(
+    minlat: str, maxlat: str, minlon: str, maxlon: str,
+    qbox: "tuple[float, float, float, float]",
+    relation: str,
+) -> str:
+    """ES geo_shape envelope relations over shape DOCUMENTS (each doc a
+    lat/lon box) vs a query envelope — pure interval algebra per axis,
+    ONE SQL text evaluated verbatim by Spark and DuckDB (bit parity by
+    construction, the shared-SQL-text pattern).
+
+    `qbox` = (qminlat, qmaxlat, qminlon, qmaxlon). Relations follow the
+    ES geo_shape query: intersects (default), disjoint, within (doc
+    inside query), contains (doc contains query). Boxes are closed; the
+    anti-meridian is out of scope (documented, as in the engine's other
+    geo predicates)."""
+    a, b, c, d = (float(x) for x in qbox)
+    if a > b or c > d:
+        raise ValueError("query envelope needs min <= max per axis")
+    inter = (
+        f"(NOT ({maxlat} < {a} OR {minlat} > {b} "
+        f"OR {maxlon} < {c} OR {minlon} > {d}))"
+    )
+    if relation == "intersects":
+        return inter
+    if relation == "disjoint":
+        return f"(NOT {inter})"
+    if relation == "within":
+        return (
+            f"({minlat} >= {a} AND {maxlat} <= {b} "
+            f"AND {minlon} >= {c} AND {maxlon} <= {d})"
+        )
+    if relation == "contains":
+        return (
+            f"({minlat} <= {a} AND {maxlat} >= {b} "
+            f"AND {minlon} <= {c} AND {maxlon} >= {d})"
+        )
+    raise ValueError(
+        f"unknown geo_shape relation {relation!r} "
+        "(intersects | disjoint | within | contains)"
+    )
+
+
+def envelope_relation_predicate(
+    minlat: "str | Column", maxlat, minlon, maxlon,
+    qbox: "tuple[float, float, float, float]",
+    relation: str = "intersects",
+) -> Column:
+    """Spark twin of envelope_relation_sql (same text through F.expr when
+    given column names; composes with pushed scans)."""
+    cols = [minlat, maxlat, minlon, maxlon]
+    if all(isinstance(x, str) for x in cols):
+        return F.expr(envelope_relation_sql(*cols, qbox, relation))
+    raise ValueError("pass column NAMES so the one SQL text drives both engines")

@@ -472,3 +472,42 @@ def test_counter_rate_reset_compensation(spark):
     assert a["n_samples"] == 4
     assert out[("A", "2024-01-01 11:00:00")]["increase"] == pytest.approx(0.0)
     assert out[("B", "2024-01-01 10:00:00")]["increase"] == pytest.approx(60.0)
+
+
+# --- geo_shape envelope relations ----------------------------------------
+
+def test_envelope_relations_hand_cases(spark):
+    from elasticsearch_assets_spark.operators.geo import (
+        envelope_relation_predicate, envelope_relation_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, 0.0, 10.0, 0.0, 10.0),    # inside the query box
+            (1, -5.0, 25.0, -5.0, 25.0),  # contains the query box
+            (2, 15.0, 25.0, 15.0, 25.0),  # overlaps the corner
+            (3, 40.0, 50.0, 40.0, 50.0),  # disjoint
+        ],
+        "id long, minlat double, maxlat double, minlon double, maxlon double",
+    )
+    q = (-1.0, 20.0, -1.0, 20.0)
+    got = {}
+    for rel in ("intersects", "disjoint", "within", "contains"):
+        got[rel] = {
+            r["id"]
+            for r in df.where(
+                envelope_relation_predicate(
+                    "minlat", "maxlat", "minlon", "maxlon", q, rel
+                )
+            ).collect()
+        }
+    assert got["intersects"] == {0, 1, 2}
+    assert got["disjoint"] == {3}
+    assert got["within"] == {0}
+    assert got["contains"] == {1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown geo_shape relation"):
+        envelope_relation_sql("a", "b", "c", "d", q, "touches")
+    with _pt.raises(ValueError, match="min <= max"):
+        envelope_relation_sql("a", "b", "c", "d", (5, 1, 0, 1), "within")
