@@ -387,6 +387,57 @@ def main() -> None:
         ),
     )
 
+    from elasticsearch_assets_spark.operators import similarity as OS
+
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    add(
+        "Binary-quantized ANN (BBQ: hamming prefilter + exact rerank)",
+        "Stage 1 is a pure projection over the scan (the packed sign "
+        "code + one bit_count — 8 bytes of distance state per vector) "
+        "cut by TakeOrderedAndProject(rerank); stage 2 re-scores only "
+        "the rerank rows. NO Exchange anywhere in the plan.",
+        OS.ann_topk_binary(emb, qv, k=10, rerank=64),
+    )
+    add(
+        "SemDeDup (cluster-bounded pair generation)",
+        "Every wide operation is keyed on the centroid assignment (the "
+        "pair join + its sort) or on the duplicate-id set (distinct + "
+        "broadcast back) — pair expansion is bounded per key by cluster "
+        "size, never corpus-wide, and the dup set rides a "
+        "BroadcastExchange. Assignment and centroid-cosine are "
+        "codegen'd column chains over the scan.",
+        OS.semdedup(emb, n_centroids=8, threshold=0.45),
+    )
+    add(
+        "Ingest pipeline (processor chain fuses into one stage)",
+        "Nine ES processors compile to a single Project (+ one Filter "
+        "for drop) over the scan — the whole pipeline is one "
+        "WholeStageCodegen span; no Exchange, no Python workers.",
+        __import__(
+            "elasticsearch_assets_spark.sinks.ingest",
+            fromlist=["run_pipeline"],
+        ).run_pipeline(ev, [
+            {"set": {"field": "tag", "value": "v1"}},
+            {"gsub": {"field": "event_type", "pattern": "[aeiou]",
+                      "replacement": "_", "target_field": "etg"}},
+            {"script": {"target_field": "v2", "source": "value * value"}},
+            {"convert": {"field": "user_id", "type": "string",
+                         "target_field": "uid"}},
+            {"fingerprint": {"fields": ["event_id", "event_type"]}},
+            {"drop": {"if": "event_type = 'error'"}},
+        ]),
+    )
+    add(
+        "Gopher rules / C4 cleaning (zero-shuffle curation)",
+        "Word/line array higher-order functions over the scan — one "
+        "Project, no Exchange; text never shuffles. The 100 TB cost is "
+        "exactly one pass over the corpus.",
+        __import__(
+            "elasticsearch_assets_spark.operators.textstats",
+            fromlist=["gopher_rules"],
+        ).gopher_rules(docs),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "
