@@ -8293,6 +8293,47 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _esql_scalar_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second ES|QL function battery: REPLACE (regex), SPLIT (literal
+    delimiter -> escaped regex), MV_MEDIAN (sorted-middle, DOUBLE
+    promotion), DATE_TRUNC via the BUCKET span compiler, DATE_PARSE
+    (ES argument order), TAU — all through the uppercase rewrite into
+    JVM column expressions."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 13 == 0"
+        " | EVAL rep = REPLACE(event_type, '[aeiou]', '*'),"
+        "   np = MV_COUNT(SPLIT(props, ':')),"
+        "   md = MV_MEDIAN(array(value, value * 3, value * 2)),"
+        "   d6 = DATE_FORMAT('yyyy-MM-dd HH:mm:ss', DATE_TRUNC(6 hours, ts)),"
+        "   dd = DATE_FORMAT('yyyy-MM-dd', DATE_PARSE('yyyy-MM-dd',"
+        "        concat('2024-03-0', TO_STRING(event_id % 9 + 1)))),"
+        "   t = TAU()"
+        " | KEEP event_id, rep, np, md, d6, dd, t | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.withColumn("md", _f4("md"))
+
+
+# median of (v, 3v, 2v) is 2v for every sign of v — the oracle states it
+_ESQL_SCALAR_FUNCS2_SQL = """
+SELECT event_id,
+       regexp_replace(event_type, '[aeiou]', '*', 'g') AS rep,
+       CAST(len(string_split(props, ':')) AS INT) AS np,
+       floor(value * 2 * 10000.0 + 0.5) / 10000.0 AS md,
+       strftime(TIMESTAMP '1970-01-01 00:00:00'
+                + (floor(date_diff('second',
+                         TIMESTAMP '1970-01-01 00:00:00', ts) / 21600)
+                   * 21600)::BIGINT * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS d6,
+       strftime(strptime('2024-03-0' || CAST(event_id % 9 + 1 AS VARCHAR),
+                         '%Y-%m-%d'), '%Y-%m-%d') AS dd,
+       2 * pi() AS t
+FROM events WHERE event_id % 13 = 0 ORDER BY event_id
+"""
+
+
 _GEO_ENV_BOX = (-20.0, 30.0, -60.0, 40.0)
 # doc boxes: center at the derived (lat, lon), half-sizes keyed on the id
 _GEO_ENV_COLS = {
@@ -9312,6 +9353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_rerank": _esql_rerank,
         "counter_rate": _counter_rate,
         "geo_shape_envelope": _geo_shape_envelope,
+        "esql_scalar_funcs2": _esql_scalar_funcs2,
     }
 
 
@@ -9638,6 +9680,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_rerank": _esql_rerank_sql(),
         "counter_rate": _COUNTER_RATE_SQL,
         "geo_shape_envelope": _geo_shape_envelope_sql(),
+        "esql_scalar_funcs2": _ESQL_SCALAR_FUNCS2_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

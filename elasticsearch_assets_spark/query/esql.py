@@ -442,10 +442,55 @@ _FUNC_HANDLERS: "dict[str, object]" = {
     "LOCATE": lambda a: f"locate({a[1]}, {a[0]}"
     + (f", {a[2]}" if len(a) == 3 else "") + ")",
     "CIDR_MATCH": _h_cidr_match,
+    # ES|QL REPLACE is regex-based with Spark's argument order already
+    "REPLACE": _h_rename("regexp_replace", 3),
+    # ES|QL DATE_PARSE(format, string); Spark to_timestamp(string, format)
+    "DATE_PARSE": lambda a: f"to_timestamp({a[1]}, {a[0]})",
+    "TAU": lambda a: "(2 * pi())",
     # ES|QL aggregate spellings (usable in STATS bodies)
     "COUNT_DISTINCT": lambda a: f"count(DISTINCT {a[0]})",
     "MEDIAN": lambda a: f"percentile({a[0]}, 0.5)",
 }
+
+
+def _h_split(a: "list[str]") -> str:
+    # ES|QL SPLIT's delimiter is a LITERAL string; Spark's split takes a
+    # regex — escape the literal so both agree. Non-literal delimiters
+    # would need runtime escaping; raise (keeps the portable contract).
+    if len(a) != 2:
+        raise ValueError("SPLIT takes (string, delimiter)")
+    dm = re.match(r"^['\"](.*)['\"]$", a[1].strip(), re.S)
+    if not dm:
+        raise ValueError("SPLIT delimiter must be a string literal")
+    # regex-escape the literal, then double the backslashes for the SQL
+    # string literal (Spark parses '\.' as '.', losing the escape)
+    esc = _re_escape(dm.group(1)).replace("\\", "\\\\")
+    return f"split({a[0]}, '{esc}')"
+
+
+def _h_date_trunc(a: "list[str]") -> str:
+    # ES|QL DATE_TRUNC(1 day, ts) / DATE_TRUNC(6 hours, ts): exactly the
+    # BUCKET span grammar — reuse its calendar/fixed-width compiler
+    if len(a) != 2:
+        raise ValueError("DATE_TRUNC takes (interval, date)")
+    return _bucket_sql(a[1], a[0])
+
+
+def _h_mv_median(a: "list[str]") -> str:
+    # sorted middle; even counts average the two middle values. Result is
+    # DOUBLE (documented deviation, same promotion as MV_AVG/MV_SUM)
+    if len(a) != 1:
+        raise ValueError("MV_MEDIAN takes 1 argument")
+    s = f"sort_array({a[0]})"
+    n = f"size({a[0]})"
+    lo = f"get({s}, CAST(({n} - 1) / 2 AS INT))"
+    hi = f"get({s}, CAST({n} / 2 AS INT))"
+    return f"((CAST({lo} AS DOUBLE) + CAST({hi} AS DOUBLE)) / 2)"
+
+
+_FUNC_HANDLERS["SPLIT"] = _h_split
+_FUNC_HANDLERS["DATE_TRUNC"] = _h_date_trunc
+_FUNC_HANDLERS["MV_MEDIAN"] = _h_mv_median
 _FUNC_RE = re.compile(r"(?<![\w.])(" + "|".join(_FUNC_HANDLERS) + r")\s*\(")
 
 

@@ -511,3 +511,25 @@ def test_envelope_relations_hand_cases(spark):
         envelope_relation_sql("a", "b", "c", "d", q, "touches")
     with _pt.raises(ValueError, match="min <= max"):
         envelope_relation_sql("a", "b", "c", "d", (5, 1, 0, 1), "within")
+
+
+def test_scalar_funcs_batch2(spark):
+    out = esql(
+        "ROW a = 1 | EVAL m3 = MV_MEDIAN(array(9, 1, 2)),"
+        " m4 = MV_MEDIAN(array(1, 2, 9, 100)),"
+        " sp = SPLIT('a.b.c', '.'),"
+        " rep = REPLACE('banana', 'an', 'X'),"
+        " t = TAU()",
+        spark=spark,
+    ).collect()[0]
+    assert out["m3"] == pytest.approx(2.0)
+    assert out["m4"] == pytest.approx(5.5)
+    assert out["sp"] == ["a", "b", "c"]  # literal dot, not regex any-char
+    assert out["rep"] == "bXXa"
+    import math
+
+    assert out["t"] == pytest.approx(math.tau)
+    with pytest.raises(ValueError, match="literal"):
+        _rewrite_funcs("SPLIT(x, col)")
+    with pytest.raises(ValueError, match="DATE_TRUNC"):
+        _rewrite_funcs("DATE_TRUNC(ts)")
