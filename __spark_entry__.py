@@ -8293,6 +8293,53 @@ GROUP BY 1 ORDER BY d
 """
 
 
+_DISK_USAGE_DIR = "/tmp/esa_disk_usage_idx"
+
+
+def _disk_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _disk_usage: per-field on-disk footprint straight from the
+    parquet footers (driver-side metadata, no data pages —
+    index/stats.py disk_usage). The oracle reads the SAME files through
+    DuckDB's parquet_metadata(), so the byte accounting cross-checks
+    two independent footer readers."""
+    import shutil
+
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.index.stats import disk_usage
+
+    docs = load_sf_table(spark, sf_dir, "documents").where(
+        "doc_id % 4 = 0"
+    ).select("doc_id", "text")
+    shutil.rmtree(_DISK_USAGE_DIR, ignore_errors=True)
+    build_index(spark, docs, _DISK_USAGE_DIR, num_segments=4, num_chunks=1)
+    rows = disk_usage(_DISK_USAGE_DIR)
+    return spark.createDataFrame(
+        [(r["section"], r["column"], r["compressed_bytes"],
+          r["uncompressed_bytes"], r["n_values"]) for r in rows],
+        "section string, column string, compressed_bytes long, "
+        "uncompressed_bytes long, n_values long",
+    )
+
+
+_DISK_USAGE_SQL = f"""
+SELECT section, "column",
+       sum(total_compressed_size)::BIGINT AS compressed_bytes,
+       sum(total_uncompressed_size)::BIGINT AS uncompressed_bytes,
+       sum(num_values)::BIGINT AS n_values
+FROM (
+  SELECT 'segments' AS section,
+         replace(path_in_schema, ', ', '.') AS "column",
+         total_compressed_size, total_uncompressed_size, num_values
+  FROM parquet_metadata('{_DISK_USAGE_DIR}/segments/*/*.parquet')
+  UNION ALL
+  SELECT 'stats', replace(path_in_schema, ', ', '.'),
+         total_compressed_size, total_uncompressed_size, num_values
+  FROM parquet_metadata('{_DISK_USAGE_DIR}/stats/*.parquet')
+)
+GROUP BY 1, 2 ORDER BY section, "column"
+"""
+
+
 def _esql_scalar_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second ES|QL function battery: REPLACE (regex), SPLIT (literal
     delimiter -> escaped regex), MV_MEDIAN (sorted-middle, DOUBLE
@@ -9354,6 +9401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": _counter_rate,
         "geo_shape_envelope": _geo_shape_envelope,
         "esql_scalar_funcs2": _esql_scalar_funcs2,
+        "disk_usage": _disk_usage,
     }
 
 
@@ -9681,6 +9729,7 @@ FROM topk JOIN documents USING (doc_id)
         "counter_rate": _COUNTER_RATE_SQL,
         "geo_shape_envelope": _geo_shape_envelope_sql(),
         "esql_scalar_funcs2": _ESQL_SCALAR_FUNCS2_SQL,
+        "disk_usage": _DISK_USAGE_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -60,3 +60,49 @@ class IndexMeta:
 def load_meta(index_dir: str) -> IndexMeta:
     with open(os.path.join(index_dir, "meta.json")) as f:
         return IndexMeta(**json.load(f))
+
+
+def disk_usage(index_dir: str) -> "list[dict]":
+    """ES `_disk_usage`: per-field on-disk footprint of the index.
+
+    Reference behavior: ES analyzes each field's contribution to the
+    shard's disk usage (inverted index, doc values, ...). Here the index
+    IS columnar parquet, so the answer comes straight from the file
+    footers: per section (segments / stats) and column, the compressed
+    and uncompressed byte totals and value counts — driver-side metadata
+    only, no data pages read (the same O(files) planning cost as
+    sorted_scan's pruning; a table format serves this from its
+    manifest).
+
+    Returns rows sorted (section, column):
+      {"section", "column", "compressed_bytes", "uncompressed_bytes",
+       "n_values"}
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out: "dict[tuple[str, str], list[int]]" = {}
+    for section, pattern in (
+        ("segments", os.path.join(index_dir, "segments", "*", "*.parquet")),
+        ("stats", os.path.join(index_dir, "stats", "*.parquet")),
+    ):
+        for f in _glob.glob(pattern):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    col = rg.column(i)
+                    key = (section, col.path_in_schema)
+                    acc = out.setdefault(key, [0, 0, 0])
+                    acc[0] += col.total_compressed_size
+                    acc[1] += col.total_uncompressed_size
+                    acc[2] += col.num_values
+    return [
+        {
+            "section": s, "column": c,
+            "compressed_bytes": v[0], "uncompressed_bytes": v[1],
+            "n_values": v[2],
+        }
+        for (s, c), v in sorted(out.items())
+    ]

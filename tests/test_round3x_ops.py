@@ -533,3 +533,28 @@ def test_scalar_funcs_batch2(spark):
         _rewrite_funcs("SPLIT(x, col)")
     with pytest.raises(ValueError, match="DATE_TRUNC"):
         _rewrite_funcs("DATE_TRUNC(ts)")
+
+
+def test_disk_usage_accounting(spark, tmp_path):
+    from elasticsearch_assets_spark.datagen.pages import pages_df
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.index.stats import disk_usage
+
+    d = str(tmp_path / "idx")
+    build_index(spark, pages_df(spark, 500, partitions=4), d,
+                num_segments=4, num_chunks=1)
+    rows = disk_usage(d)
+    by = {(r["section"], r["column"]): r for r in rows}
+    assert ("stats", "term") in by and ("segments", "term") in by
+    # every byte count positive; compression actually compresses the
+    # posting streams (delta-varint columns are binary blobs)
+    assert all(r["compressed_bytes"] > 0 for r in rows)
+    total = sum(r["compressed_bytes"] for r in rows)
+    import glob as g
+    import os as o
+
+    on_disk = sum(
+        o.path.getsize(f)
+        for f in g.glob(f"{d}/segments/*/*.parquet") + g.glob(f"{d}/stats/*.parquet")
+    )
+    assert 0 < total <= on_disk  # column bytes <= file bytes (footers etc.)
