@@ -8293,6 +8293,128 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _term_suggest_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term-suggester suggest_mode: 'missing' suggests only when the
+    input is absent from the dictionary (present input -> zero rows),
+    'popular' keeps only suggestions MORE frequent than the input.
+    One planning-level input-df probe + the same pushed stats scan."""
+    idx = _docs_index(spark, sf_dir)
+    parts = [
+        ("missing_absent", idx.suggest("spork", 2, size=5,
+                                       suggest_mode="missing")),
+        ("missing_present", idx.suggest("spark", 2, size=5,
+                                        suggest_mode="missing")),
+        ("popular", idx.suggest("sort", 2, size=5,
+                                suggest_mode="popular")),
+    ]
+    out = None
+    for label, df_ in parts:
+        x = df_.select(
+            F.lit(label).alias("mode"), "suggestion", "df", "distance"
+        )
+        out = x if out is None else out.unionByName(x)
+    return out.orderBy("mode", "distance", F.col("df").desc(), "suggestion")
+
+
+_TERM_SUGGEST_MODES_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+      GROUP BY term)
+SELECT * FROM (
+  SELECT 'missing_absent' AS mode, term AS suggestion, df,
+         levenshtein(term, 'spork')::INTEGER AS distance
+  FROM d WHERE levenshtein(term, 'spork') <= 2
+  ORDER BY distance, df DESC, suggestion LIMIT 5
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'popular', term, df, levenshtein(term, 'sort')::INTEGER
+  FROM d
+  WHERE levenshtein(term, 'sort') <= 2
+    AND df > (SELECT coalesce(max(df), 0) FROM d WHERE term = 'sort')
+  ORDER BY 4, df DESC, term LIMIT 5
+)
+ORDER BY mode, distance, df DESC, suggestion
+"""
+
+
+def _stored_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stored scripts: a named script (PUT-validated through the
+    parser) referenced by id in a script query — transport-level
+    indirection over the same filter-context plan (state/scripts.py +
+    engine.script_query)."""
+    import shutil
+    import uuid
+
+    from elasticsearch_assets_spark.state.scripts import (
+        get_script, put_script,
+    )
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    store = os.path.join("/tmp", "esa_scripts", uuid.uuid4().hex[:12])
+    try:
+        put_script(store, "len-mod-7", "n_chars % 7 = 1")
+        put_script(store, "unused", "n_chars > 0")
+        out = idx.script_query(
+            docs, get_script(store, "len-mod-7"),
+            query=["spark", "table"], k=None, mode="or",
+        )
+        res = out.select("doc_id", F.round("score", 4).alias("score"))
+        res = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return res
+
+
+_STORED_SCRIPT_SQL = _bm25_sql(
+    ["spark", "table"], "or", None,
+    where="doc_id IN (SELECT doc_id FROM documents WHERE n_chars % 7 = 1)",
+)
+
+
+_CAT_SEGMENTS_DIR = "/tmp/esa_cat_segments_idx"
+
+
+def _cat_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _cat/segments: per-segment posting-list counts and df/cf
+    totals — one grouped pass over the segment table (the introspection
+    a capacity planner reads; at scale it is a metadata-sized agg over
+    the term-sorted scan). Oracle reads the SAME committed files
+    directly."""
+    import shutil
+
+    from elasticsearch_assets_spark.index.build import build_index
+
+    docs = load_sf_table(spark, sf_dir, "documents").where(
+        "doc_id % 5 = 0"
+    ).select("doc_id", "text")
+    shutil.rmtree(_CAT_SEGMENTS_DIR, ignore_errors=True)
+    build_index(spark, docs, _CAT_SEGMENTS_DIR, num_segments=4, num_chunks=2)
+    seg = spark.read.parquet(os.path.join(_CAT_SEGMENTS_DIR, "segments"))
+    return (
+        seg.groupBy("chunk", "seg_id")
+        .agg(
+            F.count("*").alias("n_lists"),
+            F.sum("df").alias("sum_df"),
+            F.sum("cf").alias("sum_cf"),
+        )
+        .orderBy("chunk", "seg_id")
+    )
+
+
+_CAT_SEGMENTS_SQL = f"""
+SELECT CAST(chunk AS INT) AS chunk, seg_id,
+       count(*)::BIGINT AS n_lists,
+       sum(df)::BIGINT AS sum_df, sum(cf)::BIGINT AS sum_cf
+FROM read_parquet('{_CAT_SEGMENTS_DIR}/segments/*/*.parquet',
+                  hive_partitioning = true)
+GROUP BY 1, 2 ORDER BY chunk, seg_id
+"""
+
+
 _DISK_USAGE_DIR = "/tmp/esa_disk_usage_idx"
 
 
@@ -9402,6 +9524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_envelope": _geo_shape_envelope,
         "esql_scalar_funcs2": _esql_scalar_funcs2,
         "disk_usage": _disk_usage,
+        "term_suggest_modes": _term_suggest_modes,
+        "cat_segments": _cat_segments,
+        "stored_script": _stored_script,
     }
 
 
@@ -9730,6 +9855,9 @@ FROM topk JOIN documents USING (doc_id)
         "geo_shape_envelope": _geo_shape_envelope_sql(),
         "esql_scalar_funcs2": _ESQL_SCALAR_FUNCS2_SQL,
         "disk_usage": _DISK_USAGE_SQL,
+        "term_suggest_modes": _TERM_SUGGEST_MODES_SQL,
+        "cat_segments": _CAT_SEGMENTS_SQL,
+        "stored_script": _STORED_SCRIPT_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

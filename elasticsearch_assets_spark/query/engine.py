@@ -2019,6 +2019,7 @@ class InvertedIndex:
         max_edits: int = 2,
         prefix_length: int = 0,
         size: int | None = 5,
+        suggest_mode: str = "always",
     ) -> DataFrame:
         """ES term suggester: dictionary terms within `max_edits`
         Levenshtein distance of the (possibly misspelled) input, ordered
@@ -2026,14 +2027,32 @@ class InvertedIndex:
         deterministic tie-break. Distance 0 is included when the input is
         itself a dictionary term (suggest_mode="always").
 
+        `suggest_mode` follows ES: "always" (default), "missing" —
+        suggest only when the input term is NOT in the dictionary,
+        "popular" — keep only suggestions MORE frequent than the input
+        (df > input's df; an absent input has df 0). The input-df probe
+        is one planning-level term lookup.
+
         Plan: one pushed-down scan of the distributed stats table (length
         band + optional prefix are pushable pre-filters; the distance is
         Spark's JVM levenshtein), then TakeOrderedAndProject — the
         dictionary never leaves the executors."""
         from elasticsearch_assets_spark.query.expand import fuzzy_condition
 
+        if suggest_mode not in ("always", "missing", "popular"):
+            raise ValueError(
+                f"suggest_mode must be always | missing | popular, "
+                f"got {suggest_mode!r}"
+            )
+        base = self.stats.where(fuzzy_condition(text, max_edits, prefix_length))
+        if suggest_mode != "always":
+            input_df = int(self.term_stats([text]).get(text, 0))
+            if suggest_mode == "missing" and input_df > 0:
+                base = base.where(F.lit(False))
+            elif suggest_mode == "popular":
+                base = base.where(F.col("df") > input_df)
         out = (
-            self.stats.where(fuzzy_condition(text, max_edits, prefix_length))
+            base
             .select(
                 F.col("term").alias("suggestion"),
                 F.col("df"),

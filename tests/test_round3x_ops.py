@@ -558,3 +558,44 @@ def test_disk_usage_accounting(spark, tmp_path):
         for f in g.glob(f"{d}/segments/*/*.parquet") + g.glob(f"{d}/stats/*.parquet")
     )
     assert 0 < total <= on_disk  # column bytes <= file bytes (footers etc.)
+
+
+# --- suggest modes / stored scripts --------------------------------------
+
+def test_suggest_modes(spark):
+    import __spark_entry__ as E
+
+    idx = E._docs_index(spark, "/root/testdata/sf0.001")
+    # present input: missing-mode suppresses everything
+    assert idx.suggest("spark", 2, suggest_mode="missing").count() == 0
+    absent = idx.suggest("spork", 2, suggest_mode="missing")
+    assert absent.count() > 0
+    pop = idx.suggest("sort", 2, suggest_mode="popular").collect()
+    sort_df = idx.term_stats(["sort"]).get("sort", 0)
+    assert all(r["df"] > sort_df for r in pop)
+    assert all(r["suggestion"] != "sort" for r in pop)
+    with pytest.raises(ValueError, match="suggest_mode"):
+        idx.suggest("x", suggest_mode="weird")
+
+
+def test_stored_scripts_crud(spark, tmp_path):
+    from elasticsearch_assets_spark.state.scripts import (
+        delete_script, get_script, list_scripts, put_script,
+    )
+
+    d = str(tmp_path / "scripts")
+    put_script(d, "s1", "n_chars % 3 = 0")
+    put_script(d, "s2", "value > 5")
+    assert get_script(d, "s1") == "n_chars % 3 = 0"
+    assert set(list_scripts(d)) == {"s1", "s2"}
+    put_script(d, "s1", "n_chars % 4 = 0")  # overwrite
+    assert get_script(d, "s1") == "n_chars % 4 = 0"
+    delete_script(d, "s2")
+    with pytest.raises(KeyError):
+        get_script(d, "s2")
+    with pytest.raises(ValueError, match="bad script id"):
+        put_script(d, "no/slash", "1 = 1")
+    from pyspark.errors import ParseException
+
+    with pytest.raises(ParseException):
+        put_script(d, "broken", "n_chars %% = (")
