@@ -8673,6 +8673,58 @@ _WRAPPED_CTE = (
 )
 
 
+def _boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/RefinedWeb boilerplate line removal over the line-wrapped
+    corpus: lines in >= 40 distinct docs (the synthetic corpus repeats
+    short lines heavily) are stripped everywhere, order preserved —
+    posexplode + one line-keyed agg + broadcast anti-join + ordered
+    re-assembly (textstats.remove_boilerplate_lines)."""
+    from elasticsearch_assets_spark.operators.textstats import (
+        remove_boilerplate_lines,
+    )
+
+    out = remove_boilerplate_lines(
+        _wrapped_docs(spark, sf_dir), min_doc_freq=40
+    )
+    return out.select("doc_id", "cleaned_text", "n_lines", "n_removed")
+
+
+_BOILERPLATE_REMOVAL_SQL = f"""
+WITH w AS ({_WRAPPED_CTE}),
+s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    l -> trim(l)), l -> l != '') AS lines
+  FROM w
+),
+e AS (
+  SELECT doc_id, unnest(lines) AS line,
+         generate_subscripts(lines, 1) AS pos
+  FROM s
+),
+freq AS (
+  SELECT line FROM e GROUP BY line
+  HAVING count(DISTINCT doc_id) >= 40
+),
+kept AS (
+  SELECT e.doc_id, e.pos, e.line FROM e
+  LEFT JOIN freq USING (line) WHERE freq.line IS NULL
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(r.cleaned_text, '') AS cleaned_text,
+       len(s.lines)::BIGINT AS n_lines,
+       (len(s.lines) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM s LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
 def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter signals (Rae et al. 2021 A1.1) over the
     line-wrapped corpus: word/line array higher-order expressions, zero
@@ -9527,6 +9579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest_modes": _term_suggest_modes,
         "cat_segments": _cat_segments,
         "stored_script": _stored_script,
+        "boilerplate_removal": _boilerplate_removal,
     }
 
 
@@ -9858,6 +9911,7 @@ FROM topk JOIN documents USING (doc_id)
         "term_suggest_modes": _TERM_SUGGEST_MODES_SQL,
         "cat_segments": _CAT_SEGMENTS_SQL,
         "stored_script": _STORED_SCRIPT_SQL,
+        "boilerplate_removal": _BOILERPLATE_REMOVAL_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -760,3 +760,60 @@ def c4_line_filter(
         (F.col("n_kept") >= int(min_lines))
         & ~F.col("has_brace") & ~F.col("has_lorem"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_doc_freq: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the Dolma/RefinedWeb line-dedup
+    pass): a LINE that appears in >= `min_doc_freq` DISTINCT documents
+    is navigation/footer/cookie boilerplate — strip it from every doc,
+    preserving the order of the surviving lines.
+
+    Plan: posexplode the trimmed lines (the only place text fans out —
+    rows, not copies), ONE hash agg on the line string for the
+    distinct-doc counts, an anti-join back (broadcast when the frequent
+    set is small — it is vocabulary-of-boilerplate-sized, not
+    corpus-sized), then per-doc re-assembly via sort_array over
+    (pos, line) structs — no window, no per-row Python.
+
+    Returns (id, cleaned_text, n_lines, n_removed)."""
+    lines = F.expr(
+        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)),"
+        " l -> l != '')"
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    frequent = (
+        exploded.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("docs"))
+        .where(F.col("docs") >= int(min_doc_freq))
+        .select("line")
+    )
+    kept = exploded.join(F.broadcast(frequent), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(pos, line))),"
+                   " s -> s.line)"),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(lines).cast("long").alias("n_lines")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
+        )
+        .orderBy(F.col(id_col).asc())
+    )

@@ -599,3 +599,38 @@ def test_stored_scripts_crud(spark, tmp_path):
 
     with pytest.raises(ParseException):
         put_script(d, "broken", "n_chars %% = (")
+
+
+def test_boilerplate_removal_hand_case(spark):
+    from elasticsearch_assets_spark.operators.textstats import (
+        remove_boilerplate_lines,
+    )
+
+    bp = "accept cookies to continue"
+    rows = [
+        (0, f"{bp}\nunique zero content here\nfooter menu"),
+        (1, f"intro one\n{bp}\nfooter menu"),
+        (2, f"{bp}\nbody two\nfooter menu"),
+        (3, "totally unique document"),
+    ]
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_doc_freq=3,
+    ).collect()}
+    # bp + footer appear in 3 docs -> stripped; unique lines survive in order
+    assert out[0]["cleaned_text"] == "unique zero content here"
+    assert out[1]["cleaned_text"] == "intro one"
+    assert out[2]["cleaned_text"] == "body two"
+    assert out[3]["cleaned_text"] == "totally unique document"
+    assert out[0]["n_removed"] == 2 and out[3]["n_removed"] == 0
+    # multi-line survivor keeps order
+    out2 = remove_boilerplate_lines(
+        spark.createDataFrame(
+            [(9, "alpha first\nbeta second\ngamma third")],
+            "doc_id long, text string",
+        ),
+        min_doc_freq=2,
+    ).collect()[0]
+    assert out2["cleaned_text"].split("\n") == [
+        "alpha first", "beta second", "gamma third"
+    ]
