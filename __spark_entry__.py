@@ -1751,6 +1751,52 @@ LIMIT 10
 """
 
 
+def _sigterms_bgfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms with background_filter: the background
+    statistics come from corpus ∩ filter (here English docs) instead of
+    the whole corpus — compare against a peer group, the ES docs'
+    motivating case. Same two-agg plan, one extra semi join on the
+    background side."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.significant_terms(
+        matches, docs, n=10, background=docs.where("lang = 'en'")
+    )
+    return out.select(
+        "term", "fg_df", "bg_df",
+        (F.floor(F.col("score") * 10000.0 + 0.5) / 10000.0).alias("score"),
+    )
+
+
+_SIGTERMS_BGFILTER_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+bgd AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+fg_total AS (SELECT count(*)::DOUBLE AS n FROM m),
+bg_total AS (SELECT count(*)::DOUBLE AS n FROM bgd),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df FROM dt JOIN m USING (doc_id)
+  GROUP BY term HAVING count(*) >= 3
+),
+bg AS (
+  SELECT term, count(*)::BIGINT AS bg_df
+  FROM dt JOIN bgd USING (doc_id) GROUP BY term
+)
+SELECT term, fg_df, bg_df,
+       floor((fg_df / fg_total.n) / (bg_df / bg_total.n) * 10000.0 + 0.5)
+         / 10000.0 AS score
+FROM fg JOIN bg USING (term), fg_total, bg_total
+ORDER BY (fg_df / fg_total.n) / (bg_df / bg_total.n) DESC, term ASC
+LIMIT 10
+"""
+
+
 _HL_TERMS = ["spark", "join"]
 
 
@@ -8673,6 +8719,30 @@ _WRAPPED_CTE = (
 )
 
 
+def _esql_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL LIKE wildcards: double-quoted patterns use * / ? (compiled
+    to an anchored portable RLIKE); single-quoted stays SQL LIKE — the
+    coexistence mirrors the uppercase function layer."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM documents"
+        ' | WHERE source LIKE "src1*" AND text NOT LIKE "*vector*"'
+        " | STATS n = count(*), nc = sum(n_chars) BY source"
+        " | SORT source",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("source", "n", "nc")
+
+
+_ESQL_LIKE_SQL = """
+SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS nc
+FROM documents
+WHERE source LIKE 'src1%' AND text NOT LIKE '%vector%'
+GROUP BY source ORDER BY source
+"""
+
+
 def _boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma/RefinedWeb boilerplate line removal over the line-wrapped
     corpus: lines in >= 40 distinct docs (the synthetic corpus repeats
@@ -9580,6 +9650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_segments": _cat_segments,
         "stored_script": _stored_script,
         "boilerplate_removal": _boilerplate_removal,
+        "esql_like": _esql_like,
+        "sigterms_bgfilter": _sigterms_bgfilter,
     }
 
 
@@ -9912,6 +9984,8 @@ FROM topk JOIN documents USING (doc_id)
         "cat_segments": _CAT_SEGMENTS_SQL,
         "stored_script": _STORED_SCRIPT_SQL,
         "boilerplate_removal": _BOILERPLATE_REMOVAL_SQL,
+        "esql_like": _ESQL_LIKE_SQL,
+        "sigterms_bgfilter": _SIGTERMS_BGFILTER_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -76,6 +76,7 @@ def significant_terms(
     id_col: str = "doc_id",
     min_doc_count: int = 3,
     heuristic: str = "percentage",
+    background: "DataFrame | None" = None,
 ) -> DataFrame:
     """ES significant_terms aggregation: terms over-represented in the
     match set vs the background corpus.
@@ -86,12 +87,21 @@ def significant_terms(
     background rate ratio (ES's `percentage` significance heuristic):
         score = (fg_df / fg_total) / (bg_df / bg_total)
     ordered (score DESC, term ASC), `min_doc_count` pruning the noise
-    floor like ES. Deterministic, exact SQL oracle."""
+    floor like ES. Deterministic, exact SQL oracle.
+
+    `background` is ES's background_filter: any frame with the id column;
+    the background statistics are computed over corpus ∩ background
+    instead of the whole corpus (compare against a peer group, not the
+    world — the ES docs' motivating example)."""
     from elasticsearch_assets_spark.operators.texthash import tokens_expr
 
     ids = matches.select(F.col(id_col)).distinct()
     fg_docs = corpus.join(ids, id_col, "left_semi")
     fg_total = fg_docs.count()
+    if background is not None:
+        corpus = corpus.join(
+            background.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
     bg_total = corpus.count()
     if fg_total == 0:
         return fg_docs.select(

@@ -528,12 +528,30 @@ def _rewrite_funcs(text: str) -> str:
     return text[: m.start()] + repl + _rewrite_funcs(text[j + 1:])
 
 
+def _rewrite_like(text: str) -> str:
+    """ES|QL LIKE uses * / ? wildcards on DOUBLE-quoted patterns
+    (`source LIKE "src1*"`); SQL's % / _ spelling with single quotes
+    passes through untouched (the same uppercase-vs-lowercase style of
+    coexistence as the function layer). Compiles to an anchored RLIKE in
+    the portable regex dialect."""
+
+    def sub(m: "re.Match[str]") -> str:
+        pat = m.group(2)
+        body = "".join(
+            ".*" if c == "*" else "." if c == "?" else _re_escape(c)
+            for c in pat
+        ).replace("\\", "\\\\")
+        return f"{m.group(1) or ''}RLIKE '^{body}$'"
+
+    return re.sub(r"\b(NOT\s+)?LIKE\s+\"([^\"]*)\"", sub, text, flags=re.I)
+
+
 def _expr(text: str) -> F.Column:
     # ES|QL `==` is SQL `=`; `!=` passes through unchanged
     return F.expr(
         re.sub(
             r"(?<![!<>=])==", "=",
-            _rewrite_match(_rewrite_bucket(_rewrite_funcs(text))),
+            _rewrite_match(_rewrite_bucket(_rewrite_like(_rewrite_funcs(text)))),
         )
     )
 

@@ -634,3 +634,43 @@ def test_boilerplate_removal_hand_case(spark):
     assert out2["cleaned_text"].split("\n") == [
         "alpha first", "beta second", "gamma third"
     ]
+
+
+def test_esql_like_wildcards(spark):
+    df = spark.createDataFrame(
+        [("src1",), ("src10",), ("src2",), ("a.c",), ("abc",)], "s string"
+    )
+    got = sorted(
+        r["s"] for r in esql('FROM t | WHERE s LIKE "src1*"',
+                             tables={"t": df}).collect()
+    )
+    assert got == ["src1", "src10"]
+    # ? is exactly one char; . is literal (portable escape)
+    got2 = sorted(
+        r["s"] for r in esql('FROM t | WHERE s LIKE "a.?"',
+                             tables={"t": df}).collect()
+    )
+    assert got2 == ["a.c"]
+    # single-quoted = SQL LIKE untouched
+    got3 = sorted(
+        r["s"] for r in esql("FROM t | WHERE s LIKE 'src%'",
+                             tables={"t": df}).collect()
+    )
+    assert got3 == ["src1", "src10", "src2"]
+
+
+def test_sigterms_background_filter_changes_scores(spark):
+    from elasticsearch_assets_spark.operators.facets import significant_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    matches = docs.where("text LIKE '%spark%'").select("doc_id")
+    full = {r["term"]: r for r in significant_terms(
+        matches, docs, n=None, min_doc_count=2
+    ).collect()}
+    bg = {r["term"]: r for r in significant_terms(
+        matches, docs, n=None, min_doc_count=2,
+        background=docs.where("lang = 'en'"),
+    ).collect()}
+    assert set(bg) <= set(full)  # bg df can only shrink the term set
+    some = next(iter(bg))
+    assert bg[some]["bg_df"] <= full[some]["bg_df"]
