@@ -8719,6 +8719,82 @@ _WRAPPED_CTE = (
 )
 
 
+def _facet_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg ordered by a metric SUB-AGG (order: {avg: asc}) —
+    same one-pass grouped plan, only the final TakeOrdered key changes
+    (facets.facet_terms_metrics order_by/ascending)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.facet_terms_metrics(
+        matches, docs, "source", "n_chars", n=5,
+        order_by="avg", ascending=True,
+    )
+    return out.select(
+        "bucket", "doc_count", _f4("sum").alias("sum"), _f4("avg").alias("avg")
+    )
+
+
+_FACET_TERMS_ORDER_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT source AS bucket, count(*)::BIGINT AS doc_count,
+       floor(sum(n_chars::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum,
+       floor(avg(n_chars::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg
+FROM documents JOIN m USING (doc_id)
+GROUP BY source
+ORDER BY avg(n_chars::DOUBLE) ASC, bucket ASC LIMIT 5
+"""
+
+
+_LTR_WEIGHTS = {"f_len": 0.5, "f_mod": 2.0}
+
+
+def _ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES LTR rescorer: top-40 BM25 window re-ranked by a linear feature
+    model (the classic baseline AND the declared model boundary — any
+    scorer fills the same column; the plan is window join + one
+    projection). combined = 0.3 * bm25 + model."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / F.lit(100.0)).alias("f_len"),
+        (F.col("doc_id") % 7).cast("double").alias("f_mod"),
+    )
+    out = idx.ltr_rescore(
+        ["spark", "table"], feats, _LTR_WEIGHTS,
+        window_size=40, k=10, mode="or",
+        query_weight=0.3, model_weight=1.0,
+    )
+    return out.select("doc_id", _f4("score").alias("score"))
+
+
+def _ltr_rescore_sql() -> str:
+    # _bm25_body keeps the window's primary score FULL-precision (the
+    # rounded _bm25_sql output would diverge from the engine's combine)
+    body = _bm25_body("term IN ('spark', 'table')")
+    return f"""
+WITH {body},
+w AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id ASC LIMIT 40),
+ltr AS (
+  SELECT w.doc_id,
+         w.s * CAST(0.3 AS DOUBLE)
+         + (CAST(n_chars AS DOUBLE) / CAST(100.0 AS DOUBLE)
+              * CAST(0.5 AS DOUBLE)
+            + CAST(doc_id % 7 AS DOUBLE) * CAST(2.0 AS DOUBLE))
+           AS s2
+  FROM w JOIN documents USING (doc_id)
+)
+SELECT doc_id, floor(s2 * 10000.0 + 0.5) / 10000.0 AS score
+FROM ltr ORDER BY s2 DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _esql_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL LIKE wildcards: double-quoted patterns use * / ? (compiled
     to an anchored portable RLIKE); single-quoted stays SQL LIKE — the
@@ -9652,6 +9728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": _boilerplate_removal,
         "esql_like": _esql_like,
         "sigterms_bgfilter": _sigterms_bgfilter,
+        "facet_terms_order": _facet_terms_order,
+        "ltr_rescore": _ltr_rescore,
     }
 
 
@@ -9986,6 +10064,8 @@ FROM topk JOIN documents USING (doc_id)
         "boilerplate_removal": _BOILERPLATE_REMOVAL_SQL,
         "esql_like": _ESQL_LIKE_SQL,
         "sigterms_bgfilter": _SIGTERMS_BGFILTER_SQL,
+        "facet_terms_order": _FACET_TERMS_ORDER_SQL,
+        "ltr_rescore": _ltr_rescore_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

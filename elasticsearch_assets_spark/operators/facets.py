@@ -352,16 +352,28 @@ def facet_terms_metrics(
     metric_col: str,
     n: int | None = None,
     id_col: str = "doc_id",
+    order_by: str = "count",
+    ascending: bool = False,
 ) -> DataFrame:
     """ES terms aggregation WITH metric sub-aggregations (the nested
     `aggs: {avg: ..., sum: ...}` shape): doc count + sum/avg of
     `metric_col` per bucket, in ONE grouped pass (the sub-metrics are
     extra partial aggregates on the same shuffle — nested aggs cost no
-    extra pass, exactly how ES computes them per bucket)."""
+    extra pass, exactly how ES computes them per bucket).
+
+    `order_by` is ES's terms-agg `order`: "count" (_count, the default)
+    or a sub-agg name ("sum" / "avg"); `ascending` flips it. The bucket
+    tie-break stays ASC either way (the ES _key secondary)."""
+    keys = {"count": "doc_count", "sum": "sum", "avg": "avg"}
+    if order_by not in keys:
+        raise ValueError(
+            f"order_by must be one of {sorted(keys)}, got {order_by!r}"
+        )
     joined = corpus.join(
         matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
     )
     v = F.col(metric_col).cast("double")
+    key = F.col(keys[order_by])
     out = (
         joined.groupBy(F.col(col).alias("bucket"))
         .agg(
@@ -369,7 +381,9 @@ def facet_terms_metrics(
             F.sum(v).alias("sum"),
             F.avg(v).alias("avg"),
         )
-        .orderBy(F.col("doc_count").desc(), F.col("bucket").asc())
+        .orderBy(
+            key.asc() if ascending else key.desc(), F.col("bucket").asc()
+        )
     )
     return out.limit(n) if n is not None else out
 

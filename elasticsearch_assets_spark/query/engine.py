@@ -683,6 +683,66 @@ class InvertedIndex:
         )
         return out.limit(k) if k is not None else out
 
+    def ltr_rescore(
+        self,
+        query: "str | list[str]",
+        features: DataFrame,
+        weights: "dict[str, float]",
+        window_size: int = 50,
+        k: "int | None" = 10,
+        mode: str = "and",
+        query_weight: float = 0.0,
+        model_weight: float = 1.0,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES learning-to-rank rescorer (8.12 `ltr` rescore): the top
+        `window_size` primary hits re-ranked by a feature model. The
+        model here is linear — score = Σ w_f · feature_f over the
+        `features` frame's columns — which is both the classic LTR
+        baseline and the declared model boundary (a GBDT/neural scorer
+        would fill the same column; the plan — window join + one
+        projection — is identical). Missing features contribute 0 (the
+        ES feature-extraction default). Combined score =
+        query_weight · primary + model_weight · model (ES defaults:
+        model replaces).
+
+        Same global-window deviation as rescore (documented there);
+        the feature join touches only the ≤ window_size hit rows
+        (broadcast of the window side)."""
+        if not weights:
+            raise ValueError("ltr_rescore needs at least one feature weight")
+        missing = sorted(set(weights) - set(features.columns))
+        if missing:
+            raise ValueError(f"features frame lacks columns: {missing}")
+        primary = self.search(query, k=window_size, mode=mode)
+        feats = features.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c).cast("double").alias(f"_f_{c}") for c in weights],
+        )
+        # restrict the (corpus-sized) feature frame to the window first —
+        # the broadcast ships only doc ids; the surviving <= window_size
+        # feature rows then broadcast back onto the hits, so a doc absent
+        # from the feature frame keeps score 0 instead of vanishing
+        feats = feats.join(
+            F.broadcast(primary.select("doc_id")), "doc_id"
+        )
+        model = None
+        for c, w in sorted(weights.items()):
+            term = F.coalesce(F.col(f"_f_{c}"), F.lit(0.0)) * F.lit(float(w))
+            model = term if model is None else model + term
+        out = (
+            primary.join(F.broadcast(feats), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("score") * F.lit(float(query_weight))
+                    + model * F.lit(float(model_weight))
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+
     # -- compound queries ---------------------------------------------------
 
     def dis_max(

@@ -674,3 +674,53 @@ def test_sigterms_background_filter_changes_scores(spark):
     assert set(bg) <= set(full)  # bg df can only shrink the term set
     some = next(iter(bg))
     assert bg[some]["bg_df"] <= full[some]["bg_df"]
+
+
+def test_ltr_rescore_hand_computed(spark):
+    import __spark_entry__ as E
+
+    idx = E._docs_index(spark, "/root/testdata/sf0.001")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = docs.select(
+        "doc_id", (F.col("n_chars") * 0).cast("double").alias("f_zero")
+    )
+    # zero features + query_weight 1, model_weight 1 -> primary ranking
+    base = idx.search(["spark"], k=10, mode="or").collect()
+    ltr = idx.ltr_rescore(
+        ["spark"], feats, {"f_zero": 5.0}, window_size=10, k=10,
+        mode="or", query_weight=1.0, model_weight=1.0,
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in base] == [
+        (r["doc_id"], round(r["score"], 9)) for r in ltr
+    ]
+    # model replaces by default: score == the linear feature value
+    feats2 = docs.select(
+        "doc_id", (F.col("doc_id") % 3).cast("double").alias("f_m")
+    )
+    out = idx.ltr_rescore(
+        ["spark"], feats2, {"f_m": 2.0}, window_size=10, k=10, mode="or"
+    ).collect()
+    win = {r["doc_id"] for r in idx.search(["spark"], k=10, mode="or").collect()}
+    assert {r["doc_id"] for r in out} == win
+    assert all(r["score"] == pytest.approx((r["doc_id"] % 3) * 2.0) for r in out)
+    with pytest.raises(ValueError, match="lacks columns"):
+        idx.ltr_rescore(["spark"], feats2, {"nope": 1.0})
+
+
+def test_terms_order_by_subagg(spark):
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_terms_metrics,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "a", 10), (1, "a", 20), (2, "b", 100), (3, "c", 1)],
+        "doc_id long, g string, v long",
+    )
+    matches = corpus.select("doc_id")
+    by_avg = [r["bucket"] for r in facet_terms_metrics(
+        corpus.select("doc_id"), corpus, "g", "v",
+        order_by="avg", ascending=True,
+    ).collect()]
+    assert by_avg == ["c", "a", "b"]
+    with pytest.raises(ValueError, match="order_by"):
+        facet_terms_metrics(matches, corpus, "g", "v", order_by="median")
