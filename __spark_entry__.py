@@ -138,6 +138,10 @@ def _docs_index_title(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             stale = (
                 m.get("codec_version") != CODEC_VERSION
                 or m.get("tokenizer_version") != TOKENIZER_VERSION
+                # positional since the multi_match type=phrase row —
+                # positions are a pruned-away extra column for the
+                # non-phrase rows, so one index serves both
+                or not m.get("positions", False)
             )
         if stale:
             docs = load_sf_table(spark, sf_dir, "documents").select(
@@ -148,7 +152,7 @@ def _docs_index_title(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             )
             build_index(
                 spark, docs, idx_dir, id_col="doc_id", text_col="title",
-                num_segments=8, num_chunks=1,
+                num_segments=8, num_chunks=1, positions=True,
             )
         _INDEX_CACHE[key] = InvertedIndex(spark, idx_dir)
     return _INDEX_CACHE[key]
@@ -1128,6 +1132,74 @@ u AS (
   SELECT doc_id, s * {_MM_TITLE_BOOST} AS s FROM tscored
   UNION ALL
   SELECT doc_id, s FROM bscored
+)
+SELECT doc_id, round({combine}, 4) AS score
+FROM u GROUP BY doc_id
+ORDER BY {combine} DESC, doc_id ASC LIMIT {_MM_K}
+"""
+
+
+def _multi_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=phrase: match_phrase per field over the
+    positional indexes (title^2.0 + text), a doc matches when the phrase
+    occurs in ANY field, per-field scores combined dis_max-style with
+    tie 0.3 — the same one-hash-agg combine as best_fields."""
+    from elasticsearch_assets_spark.query.engine import multi_match as MM
+
+    tidx = _docs_index_title(spark, sf_dir)
+    pidx = _docs_index_pos(spark, sf_dir)
+    out = MM(
+        {"title": (tidx, _MM_TITLE_BOOST), "text": (pidx, 1.0)},
+        _PHRASE_TERMS, match_type="phrase", tie_breaker=_MM_TIE, k=_MM_K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _multi_match_phrase_sql() -> str:
+    w1, w2 = _PHRASE_TERMS
+    combine = f"max(s) + {_MM_TIE} * (sum(s) - max(s))"
+    title = _mm_field_chain(
+        "t",
+        "SELECT doc_id, unnest(string_split(text, ' ')"
+        f"[1:{_TITLE_TOKENS}]) AS term FROM documents",
+        terms=_PHRASE_TERMS,
+    )
+    body = _mm_field_chain(
+        "b",
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term"
+        " FROM documents",
+        terms=_PHRASE_TERMS,
+    )
+    return f"""
+WITH {title},
+{body},
+tpos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')[1:{_TITLE_TOKENS}]) AS term,
+         generate_subscripts(string_split(text, ' ')[1:{_TITLE_TOKENS}], 1)
+           AS pos
+  FROM documents
+),
+tpm AS (
+  SELECT DISTINCT a.doc_id FROM tpos a JOIN tpos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+   AND a.term = '{w1}' AND b.term = '{w2}'
+),
+bpos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+bpm AS (
+  SELECT DISTINCT a.doc_id FROM bpos a JOIN bpos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+   AND a.term = '{w1}' AND b.term = '{w2}'
+),
+u AS (
+  SELECT doc_id, s * {_MM_TITLE_BOOST} AS s FROM tscored
+  WHERE doc_id IN (SELECT doc_id FROM tpm)
+  UNION ALL
+  SELECT doc_id, s FROM bscored
+  WHERE doc_id IN (SELECT doc_id FROM bpm)
 )
 SELECT doc_id, round({combine}, 4) AS score
 FROM u GROUP BY doc_id
@@ -9730,6 +9802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sigterms_bgfilter": _sigterms_bgfilter,
         "facet_terms_order": _facet_terms_order,
         "ltr_rescore": _ltr_rescore,
+        "multi_match_phrase": _multi_match_phrase,
     }
 
 
@@ -10066,6 +10139,7 @@ FROM topk JOIN documents USING (doc_id)
         "sigterms_bgfilter": _SIGTERMS_BGFILTER_SQL,
         "facet_terms_order": _FACET_TERMS_ORDER_SQL,
         "ltr_rescore": _ltr_rescore_sql(),
+        "multi_match_phrase": _multi_match_phrase_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

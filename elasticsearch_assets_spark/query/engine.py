@@ -3599,6 +3599,9 @@ def multi_match(
 
       best_fields  — dis_max over fields: max + tie_breaker * (sum - max)
       most_fields  — sum of the per-field scores
+      phrase       — match_phrase per field (positional indexes
+                     required), combined like best_fields; a doc matches
+                     when the phrase occurs in ANY field (ES contract)
 
     `field_indexes` maps field name -> (InvertedIndex, boost). Plan: one
     distributed search per field (k=None), a unionByName, then ONE hash
@@ -3609,20 +3612,23 @@ def multi_match(
     Reference surface: the reader facade passes multi-field query bodies
     straight to ES (/root/reference/asset/elasticsearch_reader/index.js
     builds the request; field semantics from the ES multi_match docs)."""
-    if match_type not in ("best_fields", "most_fields"):
+    if match_type not in ("best_fields", "most_fields", "phrase"):
         raise ValueError(f"unknown multi_match type {match_type!r}")
     if not field_indexes:
         raise ValueError("multi_match needs at least one field index")
     subs = []
     for _field, (idx, boost) in field_indexes.items():
-        s = idx.search(query, k=None, mode=mode)
+        if match_type == "phrase":
+            s = idx.search_phrase(query, k=None)
+        else:
+            s = idx.search(query, k=None, mode=mode)
         subs.append(
             s.select("doc_id", (F.col("score") * F.lit(float(boost))).alias("score"))
         )
     u = subs[0]
     for s in subs[1:]:
         u = u.unionByName(s)
-    if match_type == "best_fields":
+    if match_type in ("best_fields", "phrase"):
         combined = F.max("score") + F.lit(tie_breaker) * (
             F.sum("score") - F.max("score")
         )

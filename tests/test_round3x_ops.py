@@ -724,3 +724,34 @@ def test_terms_order_by_subagg(spark):
     assert by_avg == ["c", "a", "b"]
     with pytest.raises(ValueError, match="order_by"):
         facet_terms_metrics(matches, corpus, "g", "v", order_by="median")
+
+
+def test_multi_match_phrase_any_field(spark):
+    import __spark_entry__ as E
+    from elasticsearch_assets_spark.query.engine import multi_match as MM
+
+    sf = "/root/testdata/sf0.001"
+    tidx = E._docs_index_title(spark, sf)
+    pidx = E._docs_index_pos(spark, sf)
+    out = MM(
+        {"title": (tidx, 2.0), "text": (pidx, 1.0)},
+        ["table", "hash"], match_type="phrase", tie_breaker=0.3, k=None,
+    ).collect()
+    text_hits = {r["doc_id"] for r in pidx.search_phrase(
+        ["table", "hash"], k=None
+    ).collect()}
+    title_hits = {r["doc_id"] for r in tidx.search_phrase(
+        ["table", "hash"], k=None
+    ).collect()}
+    assert {r["doc_id"] for r in out} == text_hits | title_hits
+    assert title_hits <= text_hits  # title is a prefix of text
+    # a doc matching only in text scores its unboosted text score
+    only_text = text_hits - title_hits
+    if only_text:
+        d = min(only_text)
+        ts = dict(
+            (r["doc_id"], r["score"])
+            for r in pidx.search_phrase(["table", "hash"], k=None).collect()
+        )
+        got = {r["doc_id"]: r["score"] for r in out}
+        assert got[d] == pytest.approx(ts[d])
