@@ -164,6 +164,8 @@ def test_grok_dissect_errors(events):
     with pytest.raises(ValueError, match="must be quoted"):
         esql("FROM events | DISSECT props %{x}", tables=t)
     with pytest.raises(ValueError, match="not supported"):
+        esql("FROM events | COMPLETION x WITH y", tables=t)
+    with pytest.raises(ValueError, match="RERANK needs"):
         esql("FROM events | RERANK x ON y", tables=t)
 
 
