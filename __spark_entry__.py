@@ -8791,6 +8791,38 @@ _WRAPPED_CTE = (
 )
 
 
+def _esql_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL aggregate spellings batch 2: WEIGHTED_AVG (float64
+    promotion) and TOP (top-N values as a multivalue — collect + sort +
+    slice; the order literal folds at compile time). TOP's array ships
+    as exact-integer strings so the cross-engine compare is
+    representation-free."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        " | STATS wa = WEIGHTED_AVG(value, user_id + 1),"
+        "   tp = TOP(value, 3, 'desc') BY event_type"
+        " | EVAL tps = array_join(transform(tp,"
+        "     x -> CAST(floor(x * 100 + 0.5) AS BIGINT)), ',')"
+        " | KEEP event_type, wa, tps | SORT event_type",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("event_type", _f4("wa").alias("wa"), "tps")
+
+
+_ESQL_AGG_FUNCS_SQL = """
+SELECT event_type,
+       floor(sum(value::DOUBLE * (user_id + 1)::DOUBLE)
+             / sum((user_id + 1)::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS wa,
+       array_to_string(
+         list_transform(list_sort(list(value), 'DESC')[1:3],
+                        x -> CAST(floor(x * 100 + 0.5) AS BIGINT)),
+         ',') AS tps
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _facet_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms agg ordered by a metric SUB-AGG (order: {avg: asc}) —
     same one-pass grouped plan, only the final TakeOrdered key changes
@@ -9803,6 +9835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_terms_order": _facet_terms_order,
         "ltr_rescore": _ltr_rescore,
         "multi_match_phrase": _multi_match_phrase,
+        "esql_agg_funcs": _esql_agg_funcs,
     }
 
 
@@ -10140,6 +10173,7 @@ FROM topk JOIN documents USING (doc_id)
         "facet_terms_order": _FACET_TERMS_ORDER_SQL,
         "ltr_rescore": _ltr_rescore_sql(),
         "multi_match_phrase": _multi_match_phrase_sql(),
+        "esql_agg_funcs": _ESQL_AGG_FUNCS_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

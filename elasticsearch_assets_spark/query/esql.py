@@ -450,7 +450,30 @@ _FUNC_HANDLERS: "dict[str, object]" = {
     # ES|QL aggregate spellings (usable in STATS bodies)
     "COUNT_DISTINCT": lambda a: f"count(DISTINCT {a[0]})",
     "MEDIAN": lambda a: f"percentile({a[0]}, 0.5)",
+    # WEIGHTED_AVG(value, weight) — float64-promoted like the MV_* family
+    "WEIGHTED_AVG": lambda a: (
+        f"(sum(CAST({a[0]} AS DOUBLE) * CAST({a[1]} AS DOUBLE))"
+        f" / sum(CAST({a[1]} AS DOUBLE)))"
+    ),
 }
+
+
+def _h_top(a: "list[str]") -> str:
+    # ES|QL TOP(field, limit, order): the top-N values as a multivalue —
+    # collect + sort + slice (order literal folds at compile time)
+    if len(a) != 3:
+        raise ValueError('TOP takes (field, limit, "asc"|"desc")')
+    om = re.match(r"^['\"](asc|desc)['\"]$", a[2].strip(), re.I)
+    if not om or not re.match(r"^\d+$", a[1].strip()):
+        raise ValueError('TOP takes (field, limit, "asc"|"desc")')
+    asc = om.group(1).lower() == "asc"
+    return (
+        f"slice(sort_array(collect_list({a[0]}), "
+        f"{'true' if asc else 'false'}), 1, {int(a[1])})"
+    )
+
+
+_FUNC_HANDLERS["TOP"] = _h_top
 
 
 def _h_split(a: "list[str]") -> str:
@@ -998,7 +1021,23 @@ def esql(
                     cols.append(pat)
             df = df.select(*cols)
         elif kw == "DROP":
-            df = df.drop(*[c.strip() for c in _split_commas(body)])
+            # DROP supports * wildcards like KEEP (ES|QL contract)
+            import fnmatch
+
+            drop: list[str] = []
+            for pat in (c.strip() for c in _split_commas(body)):
+                if "*" in pat:
+                    hits = [
+                        c for c in df.columns if fnmatch.fnmatchcase(c, pat)
+                    ]
+                    if not hits:
+                        raise ValueError(
+                            f"DROP pattern {pat!r} matches nothing"
+                        )
+                    drop.extend(h for h in hits if h not in drop)
+                elif pat not in drop:
+                    drop.append(pat)
+            df = df.drop(*drop)
         elif kw == "RENAME":
             for spec in _split_commas(body):
                 rm = re.match(r"^\s*(\w+)\s+AS\s+(\w+)\s*$", spec, re.I)

@@ -755,3 +755,22 @@ def test_multi_match_phrase_any_field(spark):
         )
         got = {r["doc_id"]: r["score"] for r in out}
         assert got[d] == pytest.approx(ts[d])
+
+
+def test_esql_weighted_avg_top_and_drop_wildcard(spark, docs):
+    out = esql(
+        "FROM d | STATS wa = WEIGHTED_AVG(n_chars, doc_id + 1),"
+        " tp = TOP(n_chars, 2, 'desc'), bt = TOP(n_chars, 2, 'asc')",
+        tables={"d": docs},
+    ).collect()[0]
+    vals = [(17, 1), (20, 2), (19, 3), (14, 4), (16, 5)]
+    want = sum(v * w for v, w in vals) / sum(w for _, w in vals)
+    assert out["wa"] == pytest.approx(want)
+    assert out["tp"] == [20, 19] and out["bt"] == [14, 16]
+    with pytest.raises(ValueError, match="TOP takes"):
+        _rewrite_funcs("TOP(x, n, 'desc')")
+    # DROP wildcards
+    cols = esql("FROM d | DROP n_*, lang", tables={"d": docs}).columns
+    assert cols == ["doc_id", "text", "source"]
+    with pytest.raises(ValueError, match="matches nothing"):
+        esql("FROM d | DROP zz*", tables={"d": docs})
