@@ -8791,6 +8791,84 @@ _WRAPPED_CTE = (
 )
 
 
+def _es_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SQL (_sql): ANSI SQL over the index tables with the MATCH
+    full-text predicate compiled through the tokenizer contract —
+    a thin facade over Catalyst (query/essql.py); SCORE() routes to the
+    ranked engine by design."""
+    from elasticsearch_assets_spark.query.essql import es_sql
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return es_sql(
+        "SELECT lang, count(*) AS n, sum(n_chars) AS nc"
+        " FROM documents WHERE MATCH(text, 'spark join')"
+        " GROUP BY lang ORDER BY lang",
+        {"documents": docs},
+    )
+
+
+def _es_sql_query_sql() -> str:
+    from elasticsearch_assets_spark.operators.texthash import tokens_sql
+
+    toks = tokens_sql("text")
+    return f"""
+SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS nc
+FROM documents
+WHERE list_contains({toks}, 'spark') AND list_contains({toks}, 'join')
+GROUP BY lang ORDER BY lang
+"""
+
+
+def _graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _graph/explore, one hop: top-5 significant co-occurring terms
+    of the 'spark' seed (the Graph API's significance ranking = the
+    significant_terms percentage heuristic) + seed<->vertex edges
+    weighted by document overlap — one tokenize pass, two hash aggs,
+    one bounded join (operators/graph.py)."""
+    from elasticsearch_assets_spark.operators.graph import graph_explore
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = graph_explore(docs, ["spark"], vertices=5, min_doc_count=3)
+    return out.select(
+        "source", "target", "doc_count",
+        _f4("vertex_score").alias("vertex_score"),
+    )
+
+
+def _graph_explore_sql() -> str:
+    from elasticsearch_assets_spark.operators.texthash import tokens_sql
+
+    toks = tokens_sql("text")
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({toks})) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'spark'),
+fg_total AS (SELECT count(*)::DOUBLE AS n FROM m),
+bg_total AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df FROM dt JOIN m USING (doc_id)
+  WHERE term != 'spark' GROUP BY term HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dt GROUP BY term),
+top AS (
+  SELECT term AS target,
+         (fg_df / fg_total.n) / (bg_df / bg_total.n) AS vertex_score
+  FROM fg JOIN bg USING (term), fg_total, bg_total
+  ORDER BY vertex_score DESC, term ASC LIMIT 5
+),
+sd AS (SELECT doc_id, term AS source FROM dt WHERE term = 'spark'),
+vd AS (SELECT dt.doc_id, top.target, top.vertex_score
+       FROM dt JOIN top ON dt.term = top.target)
+SELECT sd.source, vd.target, count(*)::BIGINT AS doc_count,
+       floor(vd.vertex_score * 10000.0 + 0.5) / 10000.0 AS vertex_score
+FROM sd JOIN vd USING (doc_id)
+GROUP BY sd.source, vd.target, vd.vertex_score
+ORDER BY vd.vertex_score DESC, vd.target ASC, sd.source ASC
+"""
+
+
 def _esql_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL aggregate spellings batch 2: WEIGHTED_AVG (float64
     promotion) and TOP (top-N values as a multivalue — collect + sort +
@@ -9836,6 +9914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_rescore": _ltr_rescore,
         "multi_match_phrase": _multi_match_phrase,
         "esql_agg_funcs": _esql_agg_funcs,
+        "es_sql_query": _es_sql_query,
+        "graph_explore": _graph_explore,
     }
 
 
@@ -10174,6 +10254,8 @@ FROM topk JOIN documents USING (doc_id)
         "ltr_rescore": _ltr_rescore_sql(),
         "multi_match_phrase": _multi_match_phrase_sql(),
         "esql_agg_funcs": _ESQL_AGG_FUNCS_SQL,
+        "es_sql_query": _es_sql_query_sql(),
+        "graph_explore": _graph_explore_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -774,3 +774,41 @@ def test_esql_weighted_avg_top_and_drop_wildcard(spark, docs):
     assert cols == ["doc_id", "text", "source"]
     with pytest.raises(ValueError, match="matches nothing"):
         esql("FROM d | DROP zz*", tables={"d": docs})
+
+
+def test_es_sql_match_and_boundaries(spark, docs):
+    from elasticsearch_assets_spark.query.essql import es_sql
+
+    out = es_sql(
+        "SELECT doc_id FROM d WHERE MATCH(text, 'data') ORDER BY doc_id",
+        {"d": docs},
+    ).collect()
+    assert [r["doc_id"] for r in out] == [0, 2]
+    # view is dropped after the call
+    assert spark.catalog.tableExists("d") is False
+    # returned plan still executes after the drop
+    df = es_sql("SELECT count(*) AS n FROM d", {"d": docs})
+    assert df.collect()[0]["n"] == 5
+    with pytest.raises(ValueError, match="SCORE"):
+        es_sql("SELECT SCORE() FROM d", {"d": docs})
+    with pytest.raises(ValueError, match="bad table name"):
+        es_sql("SELECT 1", {"b;ad": docs})
+
+
+def test_graph_explore_edges(spark):
+    from elasticsearch_assets_spark.operators.graph import graph_explore
+
+    corpus = spark.createDataFrame(
+        [(0, "spark fast engine"), (1, "spark fast engine"),
+         (2, "spark fast cluster"), (3, "slow other things"),
+         (4, "spark fast engine extra")],
+        "doc_id long, text string",
+    )
+    out = graph_explore(corpus, ["spark"], vertices=3, min_doc_count=3)
+    rows = {(r["source"], r["target"]): r for r in out.collect()}
+    # 'fast' co-occurs in all 4 seed docs, 'engine' in 3
+    assert ("spark", "fast") in rows and rows[("spark", "fast")]["doc_count"] == 4
+    assert rows[("spark", "engine")]["doc_count"] == 3
+    # 'slow'/'other' never reach min_doc_count in the foreground
+    assert all(t not in ("slow", "other", "spark") for _, t in rows)
+    assert graph_explore(corpus, ["absentterm"]).count() == 0
