@@ -584,6 +584,33 @@ ORDER BY s DESC, doc_id ASC LIMIT {_MLT_K}
 """
 
 
+_MLT_UNLIKE_DOC = 12
+
+
+def _mlt_unlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this with `unlike`: the negative example's terms are
+    subtracted from the candidate set BEFORE the top-max_terms cut
+    ("similar to A but not like B") — one extra single-row planning
+    fetch, unchanged query plan."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = idx.more_like_this(
+        _MLT_DOC, docs, max_terms=_MLT_TERMS, k=_MLT_K,
+        unlike=_MLT_UNLIKE_DOC,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _mlt_unlike_sql() -> str:
+    base = _more_like_this_sql()
+    return base.replace(
+        "sel AS (\n  SELECT s.term FROM src s JOIN gdf g USING (term)\n",
+        "sel AS (\n  SELECT s.term FROM src s JOIN gdf g USING (term)\n"
+        "  WHERE s.term NOT IN (SELECT term FROM toks "
+        f"WHERE doc_id = {_MLT_UNLIKE_DOC})\n",
+    )
+
+
 def _facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms aggregation over a query's match set (operators/facets.py):
     doc counts per `source` bucket, (count DESC, bucket ASC) order."""
@@ -9916,6 +9943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_agg_funcs": _esql_agg_funcs,
         "es_sql_query": _es_sql_query,
         "graph_explore": _graph_explore,
+        "mlt_unlike": _mlt_unlike,
     }
 
 
@@ -10256,6 +10284,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_agg_funcs": _ESQL_AGG_FUNCS_SQL,
         "es_sql_query": _es_sql_query_sql(),
         "graph_explore": _graph_explore_sql(),
+        "mlt_unlike": _mlt_unlike_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

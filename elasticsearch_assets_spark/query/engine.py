@@ -2540,6 +2540,7 @@ class InvertedIndex:
         id_col: str = "doc_id",
         max_terms: int = 10,
         k: int | None = 10,
+        unlike: "int | None" = None,
     ) -> DataFrame:
         """ES more_like_this: select the source doc's most characteristic
         terms, run them as a scored OR query, exclude the source doc.
@@ -2548,7 +2549,12 @@ class InvertedIndex:
         exact): by (tf in source DESC, global df ASC, term ASC), top
         `max_terms` — rare-but-frequent-in-doc first, the tf-idf ordering
         with integer tie-breaks. The source text fetch is a planning-level
-        single-row lookup; everything after is the standard OR plan."""
+        single-row lookup; everything after is the standard OR plan.
+
+        `unlike` (ES's mlt `unlike` docs list): a doc id whose terms are
+        SUBTRACTED from the candidate set before the top-`max_terms` cut
+        — "similar to A but not like B". One more single-row planning
+        fetch; the query plan is unchanged."""
         row = (
             corpus.where(F.col(id_col) == doc_id).select(text_col).head()
         )
@@ -2557,12 +2563,19 @@ class InvertedIndex:
         toks = tokenize(row[0])
         if not toks:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        banned: set = set()
+        if unlike is not None:
+            urow = (
+                corpus.where(F.col(id_col) == unlike).select(text_col).head()
+            )
+            if urow is not None:
+                banned = set(tokenize(urow[0]))
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
         dfs = self.term_stats(sorted(tf))
         sel = sorted(
-            (t for t in tf if t in dfs),
+            (t for t in tf if t in dfs and t not in banned),
             key=lambda t: (-tf[t], dfs[t], t),
         )[:max_terms]
         if not sel:

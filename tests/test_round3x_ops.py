@@ -812,3 +812,22 @@ def test_graph_explore_edges(spark):
     # 'slow'/'other' never reach min_doc_count in the foreground
     assert all(t not in ("slow", "other", "spark") for _, t in rows)
     assert graph_explore(corpus, ["absentterm"]).count() == 0
+
+
+def test_mlt_unlike_subtracts_terms(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    idx = E._docs_index(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    base = idx.more_like_this(7, docs, max_terms=5, k=None).collect()
+    neg = idx.more_like_this(7, docs, max_terms=5, k=None, unlike=7).collect()
+    # unlike == the source doc bans every source term -> empty result
+    assert base and not neg
+    # an absent unlike id is a no-op
+    same = idx.more_like_this(
+        7, docs, max_terms=5, k=None, unlike=10**9
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in base] == [
+        (r["doc_id"], r["score"]) for r in same
+    ]
