@@ -1510,6 +1510,39 @@ ORDER BY s DESC, suggestion ASC LIMIT {_PS_SIZE}
 """
 
 
+def _phrase_suggest_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester with collate (prune=true): every candidate
+    phrase carries collate_match = do all its terms co-occur in at least
+    one live document — ONE posting decode over the union of candidate
+    terms + a grouped co-occurrence check instead of ES's
+    query-per-candidate loop."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.suggest_phrase(
+        _PS_TEXT, max_edits=_PS_EDITS, per_token=_PS_PER, size=_PS_SIZE,
+        collate=True, collate_prune=True,
+    )
+    return out.select(
+        "suggestion", F.round("score", 4).alias("score"), "collate_match"
+    )
+
+
+def _phrase_suggest_collate_sql() -> str:
+    base = _phrase_suggest_sql()
+    head, tail = base.split("SELECT suggestion, round(s, 4) AS score", 1)
+    # re-derive the candidate pair columns + the co-occurrence EXISTS
+    head = head.replace(
+        "x AS (SELECT", "x AS (SELECT c0.term AS t0, c1.term AS t1,", 1
+    )
+    return f"""{head}SELECT suggestion, round(s, 4) AS score,
+       CASE WHEN t0 = t1 THEN
+            EXISTS (SELECT 1 FROM toks WHERE term = x.t0)
+       ELSE EXISTS (SELECT 1 FROM toks a JOIN toks b USING (doc_id)
+                    WHERE a.term = x.t0 AND b.term = x.t1)
+       END AS collate_match
+FROM x
+{tail.split("FROM x", 1)[1]}"""
+
+
 def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _stats/_cat surface: collection-level doc/term/token counts and
     avgdl from the distributed stats table (the BM25 scorer's constants)."""
@@ -9944,6 +9977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_sql_query": _es_sql_query,
         "graph_explore": _graph_explore,
         "mlt_unlike": _mlt_unlike,
+        "phrase_suggest_collate": _phrase_suggest_collate,
     }
 
 
@@ -10285,6 +10319,7 @@ FROM topk JOIN documents USING (doc_id)
         "es_sql_query": _es_sql_query_sql(),
         "graph_explore": _graph_explore_sql(),
         "mlt_unlike": _mlt_unlike_sql(),
+        "phrase_suggest_collate": _phrase_suggest_collate_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -2220,6 +2220,8 @@ class InvertedIndex:
         max_edits: int = 2,
         per_token: int = 3,
         size: int | None = 5,
+        collate: bool = False,
+        collate_prune: bool = False,
     ) -> DataFrame:
         """ES phrase suggester ("did you mean" on the whole input): per
         input token, the best `per_token` dictionary corrections within
@@ -2237,7 +2239,15 @@ class InvertedIndex:
         Plan: ONE pushed-down stats scan per token (length-band prefilter +
         JVM levenshtein), per-token top-N via a window over candidates
         (≤ vocabulary-band rows); the cross join multiplies per_token^n_tok
-        rows — bounded by the query, never by the corpus."""
+        rows — bounded by the query, never by the corpus.
+
+        `collate` (ES collate query): a candidate phrase must MATCH —
+        here, all its terms co-occur in at least one live document.
+        Instead of ES's query-per-candidate loop, ONE posting decode over
+        the union of candidate terms + a grouped co-occurrence check
+        covers every candidate. `collate_prune` mirrors ES's prune flag:
+        False (default) drops non-matching candidates; True keeps them
+        all with a `collate_match` column."""
         toks = tokenize(text)
         if not toks:
             return self.spark.createDataFrame(
@@ -2287,9 +2297,48 @@ class InvertedIndex:
         total = sum(
             (F.col(f"s{i}") for i in range(1, len(toks))), F.col("s0")
         )
-        out = cur.select(
-            phrase.alias("suggestion"), total.alias("score")
-        ).orderBy(F.col("score").desc(), F.col("suggestion").asc())
+        if not collate:
+            out = cur.select(
+                phrase.alias("suggestion"), total.alias("score")
+            ).orderBy(F.col("score").desc(), F.col("suggestion").asc())
+            return out.limit(size) if size is not None else out
+        # candidate terms are a bounded planning set (per_token per slot)
+        cand_terms = sorted({
+            r[0]
+            for i, p in enumerate(parts)
+            for r in p.select(f"t{i}").collect()
+        })
+        post = self.decode_postings(cand_terms).select("term", "doc_id")
+        su = cur.select(
+            phrase.alias("suggestion"),
+            total.alias("score"),
+            F.array_distinct(
+                F.array(*[F.col(f"t{i}") for i in range(len(toks))])
+            ).alias("_terms"),
+        )
+        ex = su.select(
+            "suggestion",
+            F.size("_terms").alias("_nt"),
+            F.explode("_terms").alias("term"),
+        )
+        matched = (
+            ex.join(post, "term")
+            .groupBy("suggestion", "doc_id", "_nt")
+            .agg(F.count_distinct("term").alias("_c"))
+            .where(F.col("_c") == F.col("_nt"))
+            .select("suggestion")
+            .distinct()
+            .withColumn("collate_match", F.lit(True))
+        )
+        out = su.join(matched, "suggestion", "left").select(
+            "suggestion", "score",
+            F.coalesce(F.col("collate_match"), F.lit(False)).alias(
+                "collate_match"
+            ),
+        )
+        if not collate_prune:
+            out = out.where(F.col("collate_match")).drop("collate_match")
+        out = out.orderBy(F.col("score").desc(), F.col("suggestion").asc())
         return out.limit(size) if size is not None else out
 
     def index_stats(self) -> DataFrame:

@@ -831,3 +831,26 @@ def test_mlt_unlike_subtracts_terms(spark):
     assert [(r["doc_id"], r["score"]) for r in base] == [
         (r["doc_id"], r["score"]) for r in same
     ]
+
+
+def test_phrase_suggest_collate(spark):
+    import __spark_entry__ as E
+
+    idx = E._docs_index(spark, "/root/testdata/sf0.001")
+    flagged = idx.suggest_phrase(
+        "spork jion", size=None, collate=True, collate_prune=True
+    ).collect()
+    assert any(r["collate_match"] for r in flagged)
+    pruned = idx.suggest_phrase(
+        "spork jion", size=None, collate=True
+    ).collect()
+    assert "collate_match" not in (pruned[0].asDict() if pruned else {})
+    assert {r["suggestion"] for r in pruned} == {
+        r["suggestion"] for r in flagged if r["collate_match"]
+    }
+    # scores unchanged by collate for surviving phrases
+    base = {r["suggestion"]: r["score"] for r in idx.suggest_phrase(
+        "spork jion", size=None
+    ).collect()}
+    for r in pruned:
+        assert r["score"] == pytest.approx(base[r["suggestion"]])
