@@ -8851,6 +8851,52 @@ _WRAPPED_CTE = (
 )
 
 
+def _ilm_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ILM warm phase: shrink the shards into one index, forcemerge
+    with tombstone purge — after the purge the collection stats tighten
+    to the survivors, so the warmed index ranks exactly like a fresh
+    build over the live docs (oracle: subset-stats BM25,
+    index/reshard.py ilm_warm_action)."""
+    import shutil
+    import uuid
+
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.index.reshard import ilm_warm_action
+    from elasticsearch_assets_spark.index.tombstones import add_tombstones
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    docs = load_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = os.path.join("/tmp", "esa_ilm_warm", uuid.uuid4().hex[:12])
+    try:
+        shards = []
+        for i, pred in enumerate(["doc_id % 2 = 0", "doc_id % 2 = 1"]):
+            d = os.path.join(scratch, f"s{i}")
+            build_index(
+                spark, docs.where(pred), d, num_segments=4, num_chunks=1,
+            )
+            dead = [
+                r["doc_id"]
+                for r in docs.where(pred).where("doc_id % 9 = 0").collect()
+            ]
+            add_tombstones(d, dead)
+            shards.append(d)
+        warm = os.path.join(scratch, "warm")
+        ilm_warm_action(spark, shards, warm, segs_out=4)
+        idx = InvertedIndex(spark, warm)
+        out = idx.search(["spark", "join"], k=None, mode="or")
+        res = out.select("doc_id", F.round("score", 4).alias("score"))
+        res = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return res
+
+
+# post-purge stats are the survivors' (corpus_where, not where)
+_ILM_WARM_SQL = _bm25_sql(
+    ["spark", "join"], "or", None, corpus_where="doc_id % 9 <> 0"
+)
+
+
 def _es_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES SQL (_sql): ANSI SQL over the index tables with the MATCH
     full-text predicate compiled through the tokenizer contract —
@@ -9978,6 +10024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_explore": _graph_explore,
         "mlt_unlike": _mlt_unlike,
         "phrase_suggest_collate": _phrase_suggest_collate,
+        "ilm_warm": _ilm_warm,
     }
 
 
@@ -10320,6 +10367,7 @@ FROM topk JOIN documents USING (doc_id)
         "graph_explore": _graph_explore_sql(),
         "mlt_unlike": _mlt_unlike_sql(),
         "phrase_suggest_collate": _phrase_suggest_collate_sql(),
+        "ilm_warm": _ILM_WARM_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

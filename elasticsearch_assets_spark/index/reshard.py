@@ -190,3 +190,22 @@ def split_index(
             ~split_routing_col(F.col(id_col), n, t)
         ).collect()
         add_tombstones(d, (r[id_col] for r in masked))
+
+
+def ilm_warm_action(
+    spark: SparkSession,
+    src_dirs: "list[str]",
+    out_dir: str,
+    segs_out: int = 4,
+) -> None:
+    """ES ILM warm phase for a read-mostly index: shrink (recombine the
+    shards, shrink_shards) then forcemerge (tiered merge with tombstone
+    purge — index/merge.py). After the purge, collection stats tighten
+    to the survivors, so the warmed index ranks exactly like a fresh
+    build over the live docs (the deleted-docs contract's other side;
+    tested + oracle-checked). Both steps are the metadata/segment-table
+    operations documented on their functions — no re-tokenization."""
+    from elasticsearch_assets_spark.index.merge import merge_segments
+
+    shrink_shards(spark, src_dirs, out_dir)
+    merge_segments(spark, out_dir, segs_out, apply_tombstones=True)

@@ -133,3 +133,34 @@ def test_split_merge_purges_and_tightens_stats(spark, setup):
     assert _ranked(InvertedIndex(spark, targets[0]), ["spark", "join"]) == _ranked(
         InvertedIndex(spark, fresh), ["spark", "join"]
     )
+
+
+def test_ilm_warm_action_equals_fresh_build(spark, setup):
+    from elasticsearch_assets_spark.index.reshard import ilm_warm_action
+    from elasticsearch_assets_spark.index.tombstones import add_tombstones
+
+    corpus, mono, shard_dirs, base = setup
+    # fresh shard copies (the fixture shards are shared by other tests)
+    import shutil
+
+    shards = []
+    for i, d in enumerate(shard_dirs):
+        c = str(base / f"warm_src{i}")
+        shutil.copytree(d, c)
+        dead = [
+            r["doc_id"]
+            for r in corpus.where(f"doc_id % 2 = {i}")
+            .where("doc_id % 11 = 0").collect()
+        ]
+        add_tombstones(c, dead)
+        shards.append(c)
+    warm = str(base / "warmed")
+    ilm_warm_action(spark, shards, warm, segs_out=4)
+    fresh = str(base / "warm_fresh")
+    build_index(
+        spark, corpus.where("doc_id % 11 <> 0"), fresh, num_segments=4,
+    )
+    assert _ranked(InvertedIndex(spark, warm), ["spark", "join"]) == _ranked(
+        InvertedIndex(spark, fresh), ["spark", "join"]
+    )
+    assert load_meta(warm).n_docs == corpus.where("doc_id % 11 <> 0").count()
