@@ -8851,6 +8851,73 @@ _WRAPPED_CTE = (
 )
 
 
+def _facet_filters_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters agg with other_bucket: docs matching NONE of the named
+    filters count under _other_ — one more conditional partial on the
+    same single-pass aggregate (facets.facet_filters)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OFA.facet_filters(
+        docs,
+        {
+            "long": F.col("n_chars") >= 450,
+            "english": F.col("lang") == "en",
+        },
+        other_bucket=True,
+    )
+    return out.select("bucket", "doc_count")
+
+
+_FACET_FILTERS_OTHER_SQL = """
+SELECT bucket, doc_count FROM (
+  SELECT 'long' AS bucket,
+         sum(CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END)::BIGINT
+           AS doc_count
+  FROM documents
+  UNION ALL
+  SELECT 'english',
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+  FROM documents
+  UNION ALL
+  SELECT '_other_',
+         sum(CASE WHEN NOT coalesce(n_chars >= 450, false)
+                   AND NOT coalesce(lang = 'en', false)
+              THEN 1 ELSE 0 END)::BIGINT
+  FROM documents
+) ORDER BY bucket
+"""
+
+
+def _facet_terms_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg `missing` parameter: docs whose bucket value is null
+    count under the literal instead of dropping (a coalesce before the
+    same grouped pass). Nulls are derived deterministically (source
+    'src3' nulled) since the corpus ships none."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    docs = load_sf_table(spark, sf_dir, "documents").withColumn(
+        "source2", F.expr("nullif(source, 'src3')")
+    )
+    out = OFA.facet_terms_metrics(
+        docs.select("doc_id"), docs, "source2", "n_chars", n=None,
+        missing="(none)",
+    )
+    return out.select(
+        "bucket", "doc_count", _f4("sum").alias("sum"), _f4("avg").alias("avg")
+    )
+
+
+_FACET_TERMS_MISSING_SQL = """
+SELECT coalesce(nullif(source, 'src3'), '(none)') AS bucket,
+       count(*)::BIGINT AS doc_count,
+       floor(sum(n_chars::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum,
+       floor(avg(n_chars::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg
+FROM documents
+GROUP BY 1 ORDER BY count(*) DESC, bucket ASC
+"""
+
+
 def _ilm_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ILM warm phase: shrink the shards into one index, forcemerge
     with tombstone purge — after the purge the collection stats tighten
@@ -10025,6 +10092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_unlike": _mlt_unlike,
         "phrase_suggest_collate": _phrase_suggest_collate,
         "ilm_warm": _ilm_warm,
+        "facet_filters_other": _facet_filters_other,
+        "facet_terms_missing": _facet_terms_missing,
     }
 
 
@@ -10368,6 +10437,8 @@ FROM topk JOIN documents USING (doc_id)
         "mlt_unlike": _mlt_unlike_sql(),
         "phrase_suggest_collate": _phrase_suggest_collate_sql(),
         "ilm_warm": _ILM_WARM_SQL,
+        "facet_filters_other": _FACET_FILTERS_OTHER_SQL,
+        "facet_terms_missing": _FACET_TERMS_MISSING_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -354,6 +354,7 @@ def facet_terms_metrics(
     id_col: str = "doc_id",
     order_by: str = "count",
     ascending: bool = False,
+    missing: "str | None" = None,
 ) -> DataFrame:
     """ES terms aggregation WITH metric sub-aggregations (the nested
     `aggs: {avg: ..., sum: ...}` shape): doc count + sum/avg of
@@ -363,7 +364,11 @@ def facet_terms_metrics(
 
     `order_by` is ES's terms-agg `order`: "count" (_count, the default)
     or a sub-agg name ("sum" / "avg"); `ascending` flips it. The bucket
-    tie-break stays ASC either way (the ES _key secondary)."""
+    tie-break stays ASC either way (the ES _key secondary).
+
+    `missing` is ES's terms-agg missing parameter: docs with a null
+    bucket value count under that literal instead of being dropped —
+    a coalesce before the grouping, same single pass."""
     keys = {"count": "doc_count", "sum": "sum", "avg": "avg"}
     if order_by not in keys:
         raise ValueError(
@@ -374,8 +379,14 @@ def facet_terms_metrics(
     )
     v = F.col(metric_col).cast("double")
     key = F.col(keys[order_by])
+    if missing is not None:
+        bucket = F.coalesce(F.col(col), F.lit(missing))
+    else:
+        # ES drops docs missing the field unless `missing` is set
+        joined = joined.where(F.col(col).isNotNull())
+        bucket = F.col(col)
     out = (
-        joined.groupBy(F.col(col).alias("bucket"))
+        joined.groupBy(bucket.alias("bucket"))
         .agg(
             F.count("*").alias("doc_count"),
             F.sum(v).alias("sum"),
@@ -466,14 +477,25 @@ def facet_filters(
     filters: dict,
     matches: DataFrame | None = None,
     id_col: str = "doc_id",
+    other_bucket: bool = False,
+    other_bucket_key: str = "_other_",
 ) -> DataFrame:
     """ES filters aggregation: one named bucket per predicate, all counted
     in a SINGLE aggregated pass (each filter is a conditional partial
     count on the same scan — N filters never cost N scans), then unpivoted
     to (bucket, doc_count) rows ordered by bucket ASC. A document can land
-    in several buckets, exactly the ES contract."""
+    in several buckets, exactly the ES contract.
+
+    `other_bucket` adds ES's catch-all: docs matching NONE of the named
+    filters count under `other_bucket_key` — one more conditional partial
+    on the same pass (null predicate results count as non-matching,
+    the ES filter-context behavior)."""
     if not filters:
         raise ValueError("filters agg needs at least one named filter")
+    if other_bucket and other_bucket_key in filters:
+        raise ValueError(
+            f"other_bucket_key {other_bucket_key!r} collides with a filter"
+        )
     src = corpus
     if matches is not None:
         src = corpus.join(
@@ -485,8 +507,19 @@ def facet_filters(
         .alias(name)
         for name, cond in filters.items()
     ]
-    one = src.agg(*aggs)
     names = list(filters.keys())
+    if other_bucket:
+        none_match = None
+        for cond in filters.values():
+            miss = ~F.coalesce(cond, F.lit(False))
+            none_match = miss if none_match is None else (none_match & miss)
+        aggs.append(
+            F.sum(F.when(none_match, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(other_bucket_key)
+        )
+        names.append(other_bucket_key)
+    one = src.agg(*aggs)
     stack = ", ".join(f"'{n}', `{n}`" for n in names)
     return (
         one.selectExpr(

@@ -854,3 +854,37 @@ def test_phrase_suggest_collate(spark):
     ).collect()}
     for r in pruned:
         assert r["score"] == pytest.approx(base[r["suggestion"]])
+
+
+def test_filters_other_bucket_and_terms_missing(spark):
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_filters, facet_terms_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 5), (1, "b", 50), (2, None, 500), (3, "a", None)],
+        "doc_id long, g string, v long",
+    )
+    out = {r["bucket"]: r["doc_count"] for r in facet_filters(
+        df, {"big": F.col("v") >= 50, "is_a": F.col("g") == "a"},
+        other_bucket=True,
+    ).collect()}
+    # doc 1: big; doc 2: big; doc 0,3: is_a; none match neither -> 0
+    assert out == {"big": 2, "is_a": 2, "_other_": 0}
+    out2 = {r["bucket"]: r["doc_count"] for r in facet_filters(
+        df, {"big": F.col("v") >= 500}, other_bucket=True,
+    ).collect()}
+    # null v counts as non-matching (filter context) -> lands in other
+    assert out2 == {"big": 1, "_other_": 3}
+    with pytest.raises(ValueError, match="collides"):
+        facet_filters(df, {"_other_": F.lit(True)}, other_bucket=True)
+
+    m = df.select("doc_id")
+    t = {r["bucket"]: r["doc_count"] for r in facet_terms_metrics(
+        m, df, "g", "v", missing="(none)"
+    ).collect()}
+    assert t == {"a": 2, "b": 1, "(none)": 1}
+    t2 = {r["bucket"]: r["doc_count"] for r in facet_terms_metrics(
+        m, df, "g", "v"
+    ).collect()}
+    assert t2 == {"a": 2, "b": 1}  # ES drops missing without the param
