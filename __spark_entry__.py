@@ -9788,6 +9788,76 @@ FROM f ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# Batch 3z: training-pipeline selection — tokenizer fertility, DSIR
+# importance weights, CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def _fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility accounting (GPT-2-style pre-tokens per
+    whitespace word / bytes per pre-token) — the tokens-per-dollar lever
+    for a 100 TB training corpus. Pure JVM regexp pass, zero shuffle
+    (textstats.fertility_stats; the portable-RE2 pre-tokenizer deviation
+    is documented there)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OT.fertility_stats(docs)
+    return out.select(
+        "doc_id", "n_bytes", "n_chars", "n_words", "n_subwords",
+        _f4("fertility").alias("fertility"),
+        _f4("bytes_per_token").alias("bpt"),
+    )
+
+
+def _fertility_stats_sql() -> str:
+    return f"""
+SELECT doc_id, n_bytes, n_chars, n_words, n_subwords,
+       floor(fertility * 10000.0 + 0.5) / 10000.0 AS fertility,
+       floor(bytes_per_token * 10000.0 + 0.5) / 10000.0 AS bpt
+FROM ({OT.fertility_stats_sql()})
+"""
+
+
+_DSIR_BUCKETS = 1024
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) hashed-ngram importance weights: target =
+    the src0 slice of the corpus, raw = the whole corpus; log w(x) =
+    sum_b c_b(x)(ln p_b - ln q_b) over 1024 hashed unigram+bigram
+    buckets. One tokenize scan, one dual-distribution hash agg, one
+    broadcast ratio join (textstats.dsir_importance). The paper's Gumbel
+    top-k resample adds sampling noise; ordering on logw is the
+    deterministic, reproducible variant."""
+    docs = load_sf_table(spark, sf_dir, "documents").withColumn(
+        "_is_tgt", F.col("source") == "src0"
+    )
+    out = OT.dsir_importance(docs, "_is_tgt", n_buckets=_DSIR_BUCKETS)
+    return out.select("doc_id", "n_feats", _f4("logw").alias("logw"))
+
+
+def _dsir_weights_sql() -> str:
+    inner = OT.dsir_importance_sql(
+        "source = 'src0'", n_buckets=_DSIR_BUCKETS
+    )
+    return f"""
+SELECT doc_id, n_feats, floor(logw * 10000.0 + 0.5) / 10000.0 AS logw
+FROM ({inner})
+"""
+
+
+def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity thirds under the corpus's own
+    unigram LM (textstats.ccnet_buckets). Cut order is
+    (rounded xent, doc_id) so the split is bit-stable cross-engine;
+    thresholds='approx' (percentile_approx, no global sort) is the
+    10^12-doc path, exercised in the unit test."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OT.ccnet_buckets(docs).select(
+        "doc_id", "n_tokens", "xent_r", "bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -10094,6 +10164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ilm_warm": _ilm_warm,
         "facet_filters_other": _facet_filters_other,
         "facet_terms_missing": _facet_terms_missing,
+        "fertility_stats": _fertility_stats,
+        "dsir_weights": _dsir_weights,
+        "ccnet_buckets": _ccnet_buckets,
     }
 
 
@@ -10439,6 +10512,9 @@ FROM topk JOIN documents USING (doc_id)
         "ilm_warm": _ILM_WARM_SQL,
         "facet_filters_other": _FACET_FILTERS_OTHER_SQL,
         "facet_terms_missing": _FACET_TERMS_MISSING_SQL,
+        "fertility_stats": _fertility_stats_sql(),
+        "dsir_weights": _dsir_weights_sql(),
+        "ccnet_buckets": OT.ccnet_buckets_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -10,7 +10,7 @@ extensions over the same documents table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from elasticsearch_assets_spark.operators.texthash import tokens_expr, tokens_sql
 
@@ -817,3 +817,260 @@ def remove_boilerplate_lines(
         )
         .orderBy(F.col(id_col).asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility, DSIR importance weights, CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, PORTABLE variant: the original
+# (gpt2/encoder.py) uses a lookahead (`\s+(?!\S)`) that RE2 (DuckDB)
+# rejects, so trailing-space runs segment slightly differently here —
+# deterministic in both engines, documented deviation. Contractions first
+# (longest-alternative order matters), then space-attached letter / number /
+# punctuation runs, then whitespace runs.
+PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def fertility_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tokenizer-fertility accounting for training-data budgeting: how many
+    subword pre-tokens a tokenizer family will spend per whitespace word /
+    per byte of this corpus (fertility is THE lever on tokens-per-dollar at
+    100 TB). Subword units are GPT-2-style pre-tokens (PRETOKEN_RE above);
+    whitespace-only matches don't count as units.
+
+    Pure per-row JVM expressions (one regexp pass + arithmetic) — zero
+    shuffle, scan-bound at any scale."""
+    pre = F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), 0)
+    units = F.filter(pre, lambda m: m.rlike(r"\S"))
+    n_sub = F.size(units).cast("long")
+    n_words = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    ).cast("long")
+    n_bytes = F.octet_length(text_col).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_bytes.alias("n_bytes"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_sub.alias("n_subwords"),
+        F.when(n_words > 0, n_sub.cast("double") / n_words)
+        .alias("fertility"),
+        F.when(n_sub > 0, n_bytes.cast("double") / n_sub)
+        .alias("bytes_per_token"),
+    )
+
+
+def fertility_stats_sql(text: str = "text", id_col: str = "doc_id") -> str:
+    # '' doubles the apostrophe for the SQL literal; DuckDB standard
+    # strings pass backslashes through to RE2 untouched
+    pat = PRETOKEN_RE.replace("'", "''")
+    units = (
+        f"list_filter(regexp_extract_all({text}, '{pat}'), "
+        f"m -> regexp_matches(m, '\\S'))"
+    )
+    return f"""
+SELECT {id_col},
+       strlen({text})::BIGINT AS n_bytes,
+       length({text})::BIGINT AS n_chars,
+       len(regexp_extract_all({text}, '\\S+'))::BIGINT AS n_words,
+       len({units})::BIGINT AS n_subwords,
+       CASE WHEN len(regexp_extract_all({text}, '\\S+')) > 0
+            THEN len({units})::DOUBLE
+                 / len(regexp_extract_all({text}, '\\S+'))
+       END AS fertility,
+       CASE WHEN len({units}) > 0
+            THEN strlen({text})::DOUBLE / len({units})
+       END AS bytes_per_token
+FROM documents
+"""
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_col: str,
+    n_buckets: int = 1024,
+    lam: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") log importance weights over hashed n-gram
+    features: unigrams + word bigrams hash to `n_buckets` buckets, the
+    target (`target_col` true) and raw (whole-corpus) bucket distributions
+    are smoothed with `lam`, and a document's weight is
+
+        log w(x) = sum_b c_b(x) * [ln p_b - ln q_b],
+        p_b = (cnt_target(b) + lam) / (T + lam*B)   (q_b likewise over all)
+
+    Plan: one tokenize+hash scan exploded to (doc, bucket) and reduced
+    map-side to per-doc bucket counts; BOTH distributions come from one
+    hash agg over that frame (target = conditional sum, no second scan);
+    the <=B-row log-ratio table broadcasts back onto the per-doc counts
+    and one hash agg on doc finishes. Head-bucket skew is absorbed by the
+    map-side partials exactly like the index build's df pass. Docs with
+    zero features drop (no evidence, no weight) — documented.
+
+    Returns (id, n_feats, logw). Select by ordering on logw (the paper's
+    Gumbel top-k adds sampling noise; deterministic top-k is the
+    reproducible variant, noted in the docstring of the contract row)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    from elasticsearch_assets_spark.operators.texthash import (
+        hash60_expr,
+        shingles_expr,
+    )
+
+    toks = tokens_expr(text_col)
+    feats = F.concat(toks, shingles_expr(toks, 2))
+    exploded = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("_t"),
+        F.explode(feats).alias("_f"),
+    ).select(
+        id_col, "_t", (hash60_expr(F.col("_f")) % n_buckets).alias("b")
+    )
+    doc_b = exploded.groupBy(id_col, "_t", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    dist = doc_b.groupBy("b").agg(
+        F.sum("c").alias("q"),
+        F.sum(F.when(F.col("_t"), F.col("c")).otherwise(F.lit(0.0))).alias("p"),
+    )
+    tot = dist.agg(F.sum("q").alias("tq"), F.sum("p").alias("tp"))
+    lamb = float(lam)
+    ratio = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("p") + lamb) / (F.col("tp") + lamb * n_buckets))
+            - F.log((F.col("q") + lamb) / (F.col("tq") + lamb * n_buckets))
+        ).alias("r"),
+    )
+    return (
+        doc_b.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("r")).alias("logw"),
+        )
+    )
+
+
+def dsir_importance_sql(
+    target_where: str,
+    n_buckets: int = 1024,
+    lam: float = 0.5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin; `target_where` is the SQL predicate matching target_col."""
+    from elasticsearch_assets_spark.operators.texthash import (
+        hash60_sql,
+        shingles_sql,
+    )
+
+    toks = tokens_sql(text)
+    feats = f"({toks} || {shingles_sql(toks, 2)})"
+    lamb = float(lam)
+    return f"""
+WITH fe AS (
+  SELECT {id_col}, ({target_where}) AS t,
+         {hash60_sql('f')} % {n_buckets} AS b
+  FROM (SELECT *, unnest({feats}) AS f FROM documents)
+),
+db AS (
+  SELECT {id_col}, t, b, count(*)::DOUBLE AS c FROM fe GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT b, sum(c) AS q, sum(CASE WHEN t THEN c ELSE 0.0 END) AS p
+  FROM db GROUP BY b
+),
+tot AS (SELECT sum(q) AS tq, sum(p) AS tp FROM dist),
+ratio AS (
+  SELECT b, ln((p + {lamb!r}) / (tp + {lamb!r} * {n_buckets}))
+           - ln((q + {lamb!r}) / (tq + {lamb!r} * {n_buckets})) AS r
+  FROM dist, tot
+)
+SELECT {id_col}, sum(c)::BIGINT AS n_feats, sum(c * r) AS logw
+FROM db JOIN ratio USING (b) GROUP BY {id_col}
+"""
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    thresholds: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    document under the corpus's own unigram LM (unigram_lm_score — the
+    order-0 KenLM stand-in, declared model boundary) and split the corpus
+    into head / middle / tail thirds by ascending cross-entropy. CCNet
+    keeps `head` (+ often `middle`) as the pretraining cut.
+
+    Ties and float parity: ordering is on the 4-decimal-rounded xent then
+    id, so the cut is bit-stable across engines (CLAUDE.md float rule).
+
+    thresholds="exact" ranks with ONE global row_number over the per-doc
+    stats frame — fine up to ~10^9 docs (the frame is 16 bytes/doc), the
+    contract/oracle path. thresholds="approx" computes the two cuts with
+    percentile_approx (one partial-aggregable pass, NO global sort) and
+    assigns buckets with a broadcast-filter pass — the 10^12-doc path,
+    where a +-epsilon boundary error on a corpus cut is immaterial."""
+    scored = unigram_lm_score(df, text_col=text_col, id_col=id_col)
+    xr = (F.floor(F.col("xent") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+        "xent_r"
+    )
+    scored = scored.select(id_col, "n_tokens", xr)
+    if thresholds == "approx":
+        cuts = scored.agg(
+            F.percentile_approx("xent_r", [1.0 / 3.0, 2.0 / 3.0], 10000)
+            .alias("c")
+        )
+        bucket = (
+            F.when(F.col("xent_r") <= F.col("c")[0], F.lit("head"))
+            .when(F.col("xent_r") <= F.col("c")[1], F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        return scored.crossJoin(F.broadcast(cuts)).select(
+            id_col, "n_tokens", "xent_r", bucket.alias("bucket")
+        )
+    if thresholds != "exact":
+        raise ValueError("thresholds must be 'exact' or 'approx'")
+    w = Window.orderBy(F.col("xent_r").asc(), F.col(id_col).asc())
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    bucket = (
+        F.when(rn * 3 <= n, F.lit("head"))
+        .when(rn * 3 <= n * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        id_col, "n_tokens", "xent_r", bucket.alias("bucket")
+    )
+
+
+def ccnet_buckets_sql(text: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH s AS (
+  SELECT {id_col}, n_tokens,
+         floor(xent * 10000.0 + 0.5) / 10000.0 AS xent_r
+  FROM ({unigram_lm_sql(text, id_col)})
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY xent_r ASC, {id_col} ASC) AS rn,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT {id_col}, n_tokens, xent_r,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+"""
