@@ -9858,6 +9858,133 @@ def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 3z2: runtime fields, _field_caps, filtered kNN
+# ---------------------------------------------------------------------------
+
+# one definition feeds BOTH engines: the runtime-field script dialect is
+# Spark SQL, and these expressions parse identically in DuckDB (the
+# shared-SQL-text oracle pattern; CAST..DOUBLE per the DECIMAL gotcha)
+_RUNTIME_MAPPINGS = {
+    "chars_kb": "CAST(n_chars AS DOUBLE) / 1024.0",
+    "lang_src": "concat(lang, '/', source)",
+    "is_long": "n_chars > 150",
+}
+
+
+def _runtime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime_mappings: search-time computed fields used in a filter
+    AND an aggregation without reindexing (query/runtime_fields.py).
+    The mapping compiles to one projection inside the scan's codegen
+    span; the filter on the runtime field still prunes before the agg
+    shuffle."""
+    from elasticsearch_assets_spark.query.runtime_fields import (
+        apply_runtime_mappings,
+    )
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    rt = apply_runtime_mappings(docs, _RUNTIME_MAPPINGS)
+    return (
+        rt.where(F.col("is_long"))
+        .groupBy("lang_src")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.avg("chars_kb").alias("avg_kb"),
+        )
+        .select("lang_src", "doc_count", _f4("avg_kb").alias("avg_kb"))
+        .orderBy("lang_src")
+    )
+
+
+_RUNTIME_FIELDS_SQL = f"""
+WITH rt AS (
+  SELECT *, {_RUNTIME_MAPPINGS['chars_kb']} AS chars_kb,
+         {_RUNTIME_MAPPINGS['lang_src']} AS lang_src,
+         {_RUNTIME_MAPPINGS['is_long']} AS is_long
+  FROM documents
+)
+SELECT lang_src, count(*)::BIGINT AS doc_count,
+       floor(avg(chars_kb) * 10000.0 + 0.5) / 10000.0 AS avg_kb
+FROM rt WHERE is_long GROUP BY lang_src ORDER BY lang_src
+"""
+
+
+def _field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _field_caps across three indices (documents/events/embeddings):
+    pure footer metadata through Spark's schema reader; the oracle
+    re-derives the same table from DuckDB's independent DESCRIBE over
+    the same parquet files (two footer readers cross-check, the
+    disk_usage pattern)."""
+    from elasticsearch_assets_spark.sources.field_caps import field_caps
+
+    tables = {
+        name: load_sf_table(spark, sf_dir, name)
+        for name in ("documents", "events", "embeddings")
+    }
+    return field_caps(spark, tables)
+
+
+# the CASE mirrors sources/field_caps.py's documented type mapping; the
+# driver's oracle runs at sf0.01 (TESTDATA.md), matching the fixed paths
+_FIELD_CAPS_SQL = """
+WITH cols AS (
+  SELECT 'documents' AS idx, column_name, column_type
+  FROM (DESCRIBE SELECT * FROM '/root/testdata/sf0.01/documents.parquet')
+  UNION ALL
+  SELECT 'events', column_name, column_type
+  FROM (DESCRIBE SELECT * FROM '/root/testdata/sf0.01/events.parquet')
+  UNION ALL
+  SELECT 'embeddings', column_name, column_type
+  FROM (DESCRIBE SELECT * FROM '/root/testdata/sf0.01/embeddings.parquet')
+),
+typed AS (
+  SELECT idx, column_name AS field,
+         CASE
+           WHEN column_type = 'VARCHAR' AND column_name = 'text' THEN 'text'
+           WHEN column_type = 'VARCHAR' THEN 'keyword'
+           WHEN column_type IN ('FLOAT[]', 'DOUBLE[]') THEN 'dense_vector'
+           WHEN column_type = 'BIGINT' THEN 'long'
+           WHEN column_type = 'INTEGER' THEN 'integer'
+           WHEN column_type = 'SMALLINT' THEN 'short'
+           WHEN column_type = 'TINYINT' THEN 'byte'
+           WHEN column_type = 'FLOAT' THEN 'float'
+           WHEN column_type = 'DOUBLE' THEN 'double'
+           WHEN column_type = 'BOOLEAN' THEN 'boolean'
+           WHEN column_type = 'DATE' THEN 'date'
+           WHEN column_type LIKE 'TIMESTAMP%' THEN 'date'
+           WHEN column_type = 'BLOB' THEN 'binary'
+         END AS es_type
+  FROM cols
+)
+SELECT field, es_type,
+       es_type NOT IN ('binary') AS searchable,
+       es_type NOT IN ('text', 'dense_vector', 'binary') AS aggregatable,
+       count(*)::BIGINT AS n_indices,
+       string_agg(idx, ',' ORDER BY idx) AS indices
+FROM typed GROUP BY field, es_type ORDER BY field, es_type
+"""
+
+
+def _ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN with a filter: top-10 among label%3=0 vectors only — the
+    filter applies DURING the search (similarity.knn_filtered), never as
+    a post-filter that could return short. Exact method here; the IVF
+    variant's parity is unit-tested."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    out = OS.knn_filtered(emb, qv, k=10, filter="label % 3 = 0")
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+_ANN_TOPK_FILTERED_SQL = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id, {_COS_AB} AS cos
+  FROM embeddings a, q b WHERE a.label % 3 = 0
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -10167,6 +10294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fertility_stats": _fertility_stats,
         "dsir_weights": _dsir_weights,
         "ccnet_buckets": _ccnet_buckets,
+        "runtime_fields": _runtime_fields,
+        "field_caps": _field_caps,
+        "ann_topk_filtered": _ann_topk_filtered,
     }
 
 
@@ -10515,6 +10645,9 @@ FROM topk JOIN documents USING (doc_id)
         "fertility_stats": _fertility_stats_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "ccnet_buckets": OT.ccnet_buckets_sql(),
+        "runtime_fields": _RUNTIME_FIELDS_SQL,
+        "field_caps": _FIELD_CAPS_SQL,
+        "ann_topk_filtered": _ANN_TOPK_FILTERED_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -797,3 +797,55 @@ def semdedup(
         .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
         .orderBy(F.col(id_col).asc())
     )
+
+
+def knn_filtered(
+    df: DataFrame,
+    query_vec: "list[float]",
+    k: int = 10,
+    *,
+    filter: "Column | str",
+    method: str = "exact",
+    centroids: "np.ndarray | None" = None,
+    nprobe: int = 4,
+    similarity: "float | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ES kNN search with a `filter` (the knn clause's filter option):
+    the filter applies DURING the search, so the result is the top k
+    among documents PASSING the filter — never a post-filter of an
+    unfiltered top k (which can return < k or miss qualifying docs).
+
+    method="exact": the filter composes into the same scan as the score
+    expression (predicate pushdown + one TakeOrderedAndProject) — the
+    verification baseline and the right plan whenever the filter is
+    selective enough that brute force over survivors beats probing.
+
+    method="ivf": the filter is applied INSIDE the nprobe probed cells
+    (partition-pruned when the table is stored partitionBy('centroid')),
+    mirroring ES's filtered-HNSW contract of traversing until k
+    filter-passing hits. Recall caveat is the same as unfiltered IVF —
+    a qualifying doc outside the probed cells is missed; raise `nprobe`
+    as filter selectivity rises (ES widens its candidate exploration the
+    same way). Exact-vs-ivf parity on probed cells is tested."""
+    cond = F.expr(filter) if isinstance(filter, str) else filter
+    if method == "exact":
+        return cosine_topk(
+            df.where(cond), query_vec, k,
+            similarity=similarity, vec_col=vec_col, id_col=id_col,
+        )
+    if method != "ivf":
+        raise ValueError("method must be 'exact' or 'ivf'")
+    if centroids is None:
+        raise ValueError("method='ivf' needs centroids")
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ q), kind="stable")[:nprobe].tolist()
+    probed = df.withColumn(
+        "centroid", centroid_assign_expr(F.col(vec_col), centroids)
+    ).where(F.col("centroid").isin(probes))
+    return cosine_topk(
+        probed.where(cond), query_vec, k,
+        similarity=similarity, vec_col=vec_col, id_col=id_col,
+    )

@@ -194,3 +194,143 @@ def test_ccnet_approx_path_no_global_sort(docs):
 def test_ccnet_rejects_unknown_thresholds(docs):
     with pytest.raises(ValueError):
         T.ccnet_buckets(docs, thresholds="nope")
+
+
+# --- runtime fields --------------------------------------------------------
+
+from elasticsearch_assets_spark.query.runtime_fields import (  # noqa: E402
+    apply_runtime_mappings,
+    validate_runtime_mappings,
+)
+
+
+def test_runtime_fields_chain_and_shadow(spark):
+    df = spark.createDataFrame([(1, 10), (2, 300)], "id long, n long")
+    out = apply_runtime_mappings(
+        df,
+        {
+            "kb": "CAST(n AS DOUBLE) / 1024.0",
+            "kb2": "kb * 2",          # later field references earlier one
+            "n": "n + 1",             # shadows the mapped field (ES semantics)
+        },
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["kb2"] == pytest.approx(2 * 10 / 1024.0)
+    assert rows[1]["n"] == 11
+
+
+def test_runtime_fields_validation_is_loud(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(Exception):
+        validate_runtime_mappings({"bad": "SELECT FROM WHERE"})
+    with pytest.raises(ValueError):
+        validate_runtime_mappings({"empty": "   "})
+    # valid parse but unresolvable column fails at resolution, loudly
+    with pytest.raises(Exception):
+        apply_runtime_mappings(df, {"x": "no_such_col + 1"}).collect()
+
+
+def test_runtime_field_filter_pushes_to_scan(spark, tmp_path):
+    p = str(tmp_path / "rt.parquet")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id long, n long"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = apply_runtime_mappings(df, {"big": "n > 500"}).where("big")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n), GreaterThan(n,500)]" in plan
+
+
+# --- field_caps ------------------------------------------------------------
+
+from elasticsearch_assets_spark.sources.field_caps import (  # noqa: E402
+    field_caps,
+)
+
+
+def test_field_caps_merges_and_maps_types(spark):
+    a = spark.createDataFrame([], "doc_id long, text string, lang string")
+    b = spark.createDataFrame([], "doc_id long, vec array<float>, ok boolean")
+    out = {
+        (r["field"], r["es_type"]): r
+        for r in field_caps(spark, {"ia": a, "ib": b}).collect()
+    }
+    assert out[("doc_id", "long")]["n_indices"] == 2
+    assert out[("doc_id", "long")]["indices"] == "ia,ib"
+    t = out[("text", "text")]
+    assert t["searchable"] and not t["aggregatable"]
+    v = out[("vec", "dense_vector")]
+    assert v["searchable"] and not v["aggregatable"]
+    assert out[("lang", "keyword")]["aggregatable"]
+    assert out[("ok", "boolean")]["indices"] == "ib"
+
+
+def test_field_caps_same_field_different_types_two_rows(spark):
+    a = spark.createDataFrame([], "x long")
+    b = spark.createDataFrame([], "x string")
+    rows = field_caps(spark, {"ia": a, "ib": b}).collect()
+    got = {(r["field"], r["es_type"]): r["indices"] for r in rows}
+    assert got == {("x", "long"): "ia", ("x", "keyword"): "ib"}
+
+
+def test_field_caps_unmapped_type_raises(spark):
+    bad = spark.createDataFrame([], "m map<string,string>")
+    with pytest.raises(ValueError, match="no ES type mapping"):
+        field_caps(spark, {"i": bad})
+    with pytest.raises(ValueError):
+        field_caps(spark, {})
+
+
+# --- filtered kNN ----------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from elasticsearch_assets_spark.operators import similarity as S  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)], i % 4) for i in range(80)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_knn_filtered_is_not_a_post_filter(vecs):
+    qv = [1.0] + [0.0] * 7
+    unfiltered = [r["vec_id"] for r in S.cosine_topk(vecs, qv, k=10).collect()]
+    filtered = S.knn_filtered(vecs, qv, k=10, filter="label = 3").collect()
+    assert len(filtered) == 10
+    assert all(r["vec_id"] % 4 == 3 for r in filtered)
+    # a post-filter of the unfiltered top-10 would keep ~2-3 rows only
+    post = [v for v in unfiltered if v % 4 == 3]
+    assert len(post) < 10
+
+
+def test_knn_filtered_short_result_when_few_qualify(vecs):
+    qv = [1.0] + [0.0] * 7
+    out = S.knn_filtered(vecs, qv, k=10, filter="vec_id < 3").collect()
+    assert len(out) == 3  # all qualifying docs, never padded
+
+
+def test_knn_filtered_ivf_parity_on_probed_cells(vecs):
+    qv = [1.0] + [0.0] * 7
+    cents = S.train_ivf_centroids(vecs, n_centroids=4, sample=80)
+    ivf = S.knn_filtered(
+        vecs, qv, k=5, filter="label % 2 = 0", method="ivf",
+        centroids=cents, nprobe=4,  # all cells probed -> exact
+    ).collect()
+    exact = S.knn_filtered(vecs, qv, k=5, filter="label % 2 = 0").collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in ivf] == [
+        (r["vec_id"], round(r["score"], 9)) for r in exact
+    ]
+
+
+def test_knn_filtered_validation(vecs):
+    with pytest.raises(ValueError, match="method"):
+        S.knn_filtered(vecs, [0.0] * 8, filter="label = 0", method="hnsw")
+    with pytest.raises(ValueError, match="centroids"):
+        S.knn_filtered(vecs, [0.0] * 8, filter="label = 0", method="ivf")
