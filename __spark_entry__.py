@@ -9984,6 +9984,146 @@ SELECT vec_id, round(cos, 4) AS score FROM (
 """
 
 
+def _moving_fn_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn holt (double exponential smoothing, window 4,
+    alpha=beta=0.5): level/trend fold over the trailing daily-count
+    window, one-step forecast s+b out. alpha=beta=0.5 keeps every fold
+    product dyadic, and the DuckDB oracle replays the IDENTICAL fold
+    via list_reduce with struct state — bit parity by construction."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    events = load_sf_table(spark, sf_dir, "events")
+    ser = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("bucket")
+    ).agg(F.count("*").alias("doc_count"))
+    out = OFA.moving_fn(ser, "holt", window=4, alpha=0.5, beta=0.5)
+    return out.select("bucket", "doc_count", _f4("holt").alias("holt"))
+
+
+_MOVING_FN_HOLT_SQL = """
+WITH s AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS bucket, count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT bucket, doc_count,
+         list(doc_count::DOUBLE)
+           OVER (ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           AS l
+  FROM s
+),
+r AS (
+  -- state is a [level, trend] LIST: DuckDB 1.0's list_reduce evaluates
+  -- STRUCT lambda fields sequentially (the second field sees the first
+  -- field's UPDATED value), so struct state miscomputes chained folds;
+  -- list state folds correctly (probed; CLAUDE.md gotcha)
+  SELECT bucket, doc_count,
+         list_reduce(
+           list_prepend([l[1], 0.0::DOUBLE],
+                        list_apply(l[2:], v -> [v, 0.0::DOUBLE])),
+           (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                        0.25 * (x[1] - acc[1]) + 0.75 * acc[2]]
+         ) AS st
+  FROM f
+)
+SELECT bucket, doc_count,
+       floor((st[1] + st[2]) * 10000.0 + 0.5) / 10000.0 AS holt
+FROM r ORDER BY bucket
+"""
+
+
+def _sigterms_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms with the mutual_information heuristic (2×2 MI
+    in bits, include_negatives=false shape) over the 'spark' match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.significant_terms(
+        matches, docs, n=10, heuristic="mutual_information"
+    )
+    return out.select("term", "fg_df", "bg_df", _f4("score").alias("score"))
+
+
+_SIGTERMS_MI_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+fg_total AS (SELECT count(*)::DOUBLE AS n FROM m),
+bg_total AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df FROM dt JOIN m USING (doc_id)
+  GROUP BY term HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dt GROUP BY term),
+cells AS (
+  SELECT term, fg_df, bg_df,
+         fg_df::DOUBLE AS t1, (bg_df - fg_df)::DOUBLE AS t0,
+         fg_total.n - fg_df AS o1,
+         (bg_total.n - fg_total.n) - (bg_df - fg_df) AS o0,
+         bg_total.n AS nn, fg_total.n AS fgn
+  FROM fg JOIN bg USING (term), fg_total, bg_total
+),
+s AS (
+  SELECT term, fg_df, bg_df,
+    CASE WHEN fg_df / fgn > bg_df / nn THEN
+      (CASE WHEN t1 > 0 THEN (t1/nn) * log2(t1*nn/((t1+t0)*(t1+o1))) ELSE 0 END)
+    + (CASE WHEN t0 > 0 THEN (t0/nn) * log2(t0*nn/((t1+t0)*(t0+o0))) ELSE 0 END)
+    + (CASE WHEN o1 > 0 THEN (o1/nn) * log2(o1*nn/((o1+o0)*(t1+o1))) ELSE 0 END)
+    + (CASE WHEN o0 > 0 THEN (o0/nn) * log2(o0*nn/((o1+o0)*(t0+o0))) ELSE 0 END)
+    ELSE 0.0 END AS score
+  FROM cells
+)
+SELECT term, fg_df, bg_df,
+       floor(score * 10000.0 + 0.5) / 10000.0 AS score
+FROM s ORDER BY s.score DESC, term ASC LIMIT 10
+"""
+
+
+def _sigterms_gnd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms with the gnd heuristic (normalized Google
+    distance, exp(-2·gnd) inversion) over the 'spark' match set."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.significant_terms(matches, docs, n=10, heuristic="gnd")
+    return out.select("term", "fg_df", "bg_df", _f4("score").alias("score"))
+
+
+_SIGTERMS_GND_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+fg_total AS (SELECT count(*)::DOUBLE AS n FROM m),
+bg_total AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df FROM dt JOIN m USING (doc_id)
+  GROUP BY term HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dt GROUP BY term),
+s AS (
+  SELECT term, fg_df, bg_df,
+    CASE WHEN ln(bg_total.n) - least(ln(bg_df::DOUBLE), ln(fg_total.n)) > 0
+    THEN exp(-2.0 * (greatest(ln(bg_df::DOUBLE), ln(fg_total.n))
+                     - ln(fg_df::DOUBLE))
+                  / (ln(bg_total.n)
+                     - least(ln(bg_df::DOUBLE), ln(fg_total.n))))
+    ELSE 1.0 END AS score
+  FROM fg JOIN bg USING (term), fg_total, bg_total
+)
+SELECT term, fg_df, bg_df,
+       floor(score * 10000.0 + 0.5) / 10000.0 AS score
+FROM s ORDER BY s.score DESC, term ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10297,6 +10437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_fields": _runtime_fields,
         "field_caps": _field_caps,
         "ann_topk_filtered": _ann_topk_filtered,
+        "moving_fn_holt": _moving_fn_holt,
+        "sigterms_mi": _sigterms_mi,
+        "sigterms_gnd": _sigterms_gnd,
     }
 
 
@@ -10648,6 +10791,9 @@ FROM topk JOIN documents USING (doc_id)
         "runtime_fields": _RUNTIME_FIELDS_SQL,
         "field_caps": _FIELD_CAPS_SQL,
         "ann_topk_filtered": _ANN_TOPK_FILTERED_SQL,
+        "moving_fn_holt": _MOVING_FN_HOLT_SQL,
+        "sigterms_mi": _SIGTERMS_MI_SQL,
+        "sigterms_gnd": _SIGTERMS_GND_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -143,6 +143,14 @@ def significance_score(
       chi_square  superset-adjusted 2×2 χ² (Manning et al.), signed 0
                   when the term is UNDER-represented (ES's
                   include_negatives=false shape)
+      mutual_information  2×2 MI in bits (Manning et al. §13.5.1),
+                  0·log0 cells contribute 0; 0 when under-represented
+                  (the same include_negatives=false shape as chi_square)
+      gnd         normalized Google distance (Cilibrasi & Vitányi 2007)
+                  over (term df, fg size, co-occurrence) counts, returned
+                  as exp(-2·gnd) so larger = more associated (a monotone
+                  inversion; raw distance 0 maps to 1). Degenerate
+                  denominator (a term in EVERY background doc) scores 1.
     """
     fgp = fg_df / F.lit(float(fg_total))
     bgp = bg_df / F.lit(float(bg_total))
@@ -163,6 +171,30 @@ def significance_score(
             / ((n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00))
         )
         return F.when(fgp > bgp, chi2).otherwise(F.lit(0.0))
+    if heuristic == "mutual_information":
+        n = F.lit(float(bg_total))
+        n_t1 = fg_df.cast("double")                      # term & fg
+        n_t0 = (bg_df - fg_df).cast("double")            # term & not-fg
+        n_o1 = F.lit(float(fg_total)) - n_t1             # no-term & fg
+        n_o0 = F.lit(float(bg_total - fg_total)) - n_t0  # no-term & not-fg
+        nt, no = n_t1 + n_t0, n_o1 + n_o0
+        n1, n0 = n_t1 + n_o1, n_t0 + n_o0
+        cell = lambda c, r, k: F.when(  # noqa: E731
+            c > 0, (c / n) * F.log2(c * n / (r * k))
+        ).otherwise(F.lit(0.0))
+        mi = (
+            cell(n_t1, nt, n1) + cell(n_t0, nt, n0)
+            + cell(n_o1, no, n1) + cell(n_o0, no, n0)
+        )
+        return F.when(fgp > bgp, mi).otherwise(F.lit(0.0))
+    if heuristic == "gnd":
+        fx = bg_df.cast("double")            # term df in the background
+        fy = F.lit(float(fg_total))          # foreground size
+        fxy = fg_df.cast("double")           # co-occurrence
+        n = F.lit(float(bg_total))
+        num = F.greatest(F.log(fx), F.log(fy)) - F.log(fxy)
+        den = F.log(n) - F.least(F.log(fx), F.log(fy))
+        return F.when(den > 0, F.exp(-2.0 * num / den)).otherwise(F.lit(1.0))
     raise ValueError(f"unknown significance heuristic {heuristic!r}")
 
 
@@ -2299,6 +2331,7 @@ def moving_fn(
     fn: str = "linearWeightedAvg",
     window: int = 3,
     alpha: float = 0.5,
+    beta: float = 0.5,
     value_col: str = "doc_count",
     order_col: str = "bucket",
 ) -> DataFrame:
@@ -2309,15 +2342,24 @@ def moving_fn(
       linearWeightedAvg = sum(v_i * i) / sum(i),  i = 1..n oldest-first
       ewma              = fold: first value, then a*v + (1-a)*acc
 
+    holt (double exponential smoothing, linear trend) folds the window
+    oldest-first with level/trend state and returns the one-step forecast
+    s_n + b_n; initialization is s_1 = v_1, b_1 = 0 (documented contract —
+    with beta=0 holt therefore reduces exactly to ewma):
+
+      s_i = a*v_i + (1-a)*(s_{i-1} + b_{i-1})
+      b_i = beta*(s_i - s_{i-1}) + (1-beta)*b_{i-1}
+
     `series` is any (order_col, value_col) bucket frame (ES buckets_path
     semantics — pipeline aggs see the bucket series, not the documents).
     The window list is collected per row over a rows-frame and folded
     with F.aggregate — sequential float64, so an oracle folding the same
     order is bit-identical (alpha = 0.5 keeps every product exactly
-    representable, which the contract row exploits). Bucket cardinality
-    bounds the window input, so the single global sort is safe by the
-    same argument as facet_pipeline."""
-    if fn not in ("linearWeightedAvg", "ewma"):
+    representable, which the contract row exploits; DuckDB's list_reduce
+    carries the same struct state). Bucket cardinality bounds the window
+    input, so the single global sort is safe by the same argument as
+    facet_pipeline."""
+    if fn not in ("linearWeightedAvg", "ewma", "holt"):
         raise ValueError(f"unsupported moving_fn {fn!r}")
     if window < 1:
         raise ValueError("window must be >= 1")
@@ -2336,6 +2378,32 @@ def moving_fn(
             lambda acc, x: acc + x,
         )
         out_col = num / (n * (n + 1.0) / 2.0)
+    elif fn == "holt":
+        a, bt = float(alpha), float(beta)
+        init = F.struct(
+            F.element_at(F.col("_frame"), 1).alias("s"),
+            F.lit(0.0).alias("b"),
+        )
+        rest = F.slice(
+            F.col("_frame"),
+            F.lit(2),
+            F.greatest(F.size(F.col("_frame")) - 1, F.lit(0)),
+        )
+        # trend folds in the algebraically-reduced one-multiply form
+        # b' = a*bt*(x - s) + (1 - a*bt)*b  (== bt*(s' - s) + (1-bt)*b in
+        # exact arithmetic) — both engines share this op order exactly,
+        # and it sidesteps a DuckDB 1.0 list_reduce miscompute when a
+        # struct lambda field repeats the other field's subexpression
+        ab = a * bt
+        folded = F.aggregate(
+            rest,
+            init,
+            lambda acc, x: F.struct(
+                (a * x + (1.0 - a) * (acc["s"] + acc["b"])).alias("s"),
+                (ab * (x - acc["s"]) + (1.0 - ab) * acc["b"]).alias("b"),
+            ),
+        )
+        out_col = folded["s"] + folded["b"]
     else:
         a = float(alpha)
         out_col = F.aggregate(

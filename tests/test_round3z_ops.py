@@ -334,3 +334,106 @@ def test_knn_filtered_validation(vecs):
         S.knn_filtered(vecs, [0.0] * 8, filter="label = 0", method="hnsw")
     with pytest.raises(ValueError, match="centroids"):
         S.knn_filtered(vecs, [0.0] * 8, filter="label = 0", method="ivf")
+
+
+# --- moving_fn holt --------------------------------------------------------
+
+from elasticsearch_assets_spark.operators import facets as OFA  # noqa: E402
+
+
+def _py_holt(vals, a=0.5, b=0.5):
+    s, tr = vals[0], 0.0
+    for v in vals[1:]:
+        s_new = a * v + (1 - a) * (s + tr)
+        tr = b * (s_new - s) + (1 - b) * tr
+        s = s_new
+    return s + tr
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    vals = [364, 339, 333, 326, 353, 331, 302, 312]
+    return spark.createDataFrame(
+        [(f"b{i:02d}", v) for i, v in enumerate(vals)],
+        "bucket string, doc_count long",
+    )
+
+
+def test_holt_matches_sequential_fold(series):
+    out = {
+        r["bucket"]: r["holt"]
+        for r in OFA.moving_fn(series, "holt", window=4).collect()
+    }
+    vals = [r["doc_count"] for r in series.orderBy("bucket").collect()]
+    for i in range(len(vals)):
+        w = [float(v) for v in vals[max(0, i - 3) : i + 1]]
+        assert out[f"b{i:02d}"] == pytest.approx(_py_holt(w), abs=0), (i, w)
+
+
+def test_holt_beta_zero_reduces_to_ewma(series):
+    h = OFA.moving_fn(series, "holt", window=5, alpha=0.5, beta=0.0)
+    e = OFA.moving_fn(series, "ewma", window=5, alpha=0.5)
+    got_h = {r["bucket"]: r["holt"] for r in h.collect()}
+    got_e = {r["bucket"]: r["ewma"] for r in e.collect()}
+    assert got_h == got_e  # bit-identical: b stays 0, s == ewma fold
+
+
+def test_holt_single_value_window_is_identity(series):
+    out = OFA.moving_fn(series, "holt", window=1).collect()
+    for r in out:
+        assert r["holt"] == float(r["doc_count"])
+
+
+# --- significance heuristics ------------------------------------------------
+
+def test_mutual_information_matches_manual(spark):
+    import math
+
+    fg_df, bg_df, fg_total, bg_total = 8.0, 20.0, 50.0, 500.0
+    n = bg_total
+    t1, t0 = fg_df, bg_df - fg_df
+    o1, o0 = fg_total - t1, (bg_total - fg_total) - t0
+    exp = sum(
+        (c / n) * math.log2(c * n / (r * k))
+        for c, r, k in [
+            (t1, t1 + t0, t1 + o1), (t0, t1 + t0, t0 + o0),
+            (o1, o1 + o0, t1 + o1), (o0, o1 + o0, t0 + o0),
+        ]
+        if c > 0
+    )
+    got = _score_one(spark, "mutual_information", fg_df, bg_df, fg_total, bg_total)
+    assert got == pytest.approx(exp, rel=1e-12)
+
+
+def test_gnd_matches_manual_and_degenerate(spark):
+    import math
+
+    fg_df, bg_df, fg_total, bg_total = 8.0, 20.0, 50.0, 500.0
+    num = max(math.log(bg_df), math.log(fg_total)) - math.log(fg_df)
+    den = math.log(bg_total) - min(math.log(bg_df), math.log(fg_total))
+    exp = math.exp(-2.0 * num / den)
+    got = _score_one(spark, "gnd", fg_df, bg_df, fg_total, bg_total)
+    assert got == pytest.approx(exp, rel=1e-12)
+    # denominator degenerates only when the term is in EVERY background
+    # doc AND the foreground IS the background (ln N == min) -> 1.0
+    assert _score_one(spark, "gnd", 500.0, 500.0, 500.0, 500.0) == 1.0
+
+
+def test_mi_under_represented_is_zero(spark):
+    # fgp (1/50) < bgp (400/500)
+    assert _score_one(spark, "mutual_information", 1.0, 400.0, 50.0, 500.0) == 0.0
+
+
+def _score_one(spark, heuristic, fg_df, bg_df, fg_total, bg_total):
+    df = spark.createDataFrame(
+        [(fg_df, bg_df)], "fg_df double, bg_df double"
+    )
+    col = OFA.significance_score(
+        heuristic, F.col("fg_df"), F.col("bg_df"), fg_total, bg_total
+    )
+    return df.select(col.alias("s")).collect()[0]["s"]
+
+
+def test_unknown_heuristic_raises():
+    with pytest.raises(ValueError, match="heuristic"):
+        OFA.significance_score("nope", F.lit(1), F.lit(1), 1.0, 2.0)
