@@ -10124,6 +10124,105 @@ FROM s ORDER BY s.score DESC, term ASC LIMIT 10
 """
 
 
+_NDJSON_DIR = "/tmp/esa_ndjson_scan"
+_CSV_DIR = "/tmp/esa_csv_scan"
+
+
+def _ndjson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ndjson ingestion source (sources/files.py read_ndjson): stage the
+    events table as newline-delimited JSON (timestamps as ISO strings —
+    the tz-free cross-engine protocol), then read it back with an
+    explicit schema, projection, and the [start, end) predicate. The
+    oracle parses the SAME files through DuckDB's independent JSON
+    reader."""
+    from elasticsearch_assets_spark.sources import files as FSRC
+
+    events = load_sf_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_iso"),
+        "event_type",
+        "user_id",
+    )
+    events.coalesce(4).write.mode("overwrite").json(_NDJSON_DIR)
+    out = FSRC.read_ndjson(
+        spark,
+        _NDJSON_DIR,
+        "event_id bigint, ts_iso string, event_type string, user_id bigint",
+        fields=["event_id", "event_type"],
+        date_field="ts_iso",
+        start="2024-01-10 00:00:00",
+        end="2024-01-20 00:00:00",
+    )
+    return out.orderBy("event_id")
+
+
+_NDJSON_SCAN_SQL = f"""
+SELECT event_id, event_type, ts_iso
+FROM read_json('{_NDJSON_DIR}/*.json', format='newline_delimited',
+               columns={{'event_id': 'BIGINT', 'ts_iso': 'VARCHAR',
+                         'event_type': 'VARCHAR'}})
+WHERE ts_iso >= '2024-01-10 00:00:00' AND ts_iso < '2024-01-20 00:00:00'
+ORDER BY event_id
+"""
+
+
+def _csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion source (sources/files.py read_csv): documents staged
+    as RFC-4180 CSV, read back with explicit schema + projection, then a
+    post-read predicate (the composition a real ingest job does before
+    to_parquet). Oracle = DuckDB's independent CSV parser on the same
+    files."""
+    from elasticsearch_assets_spark.sources import files as FSRC
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    docs.coalesce(2).write.mode("overwrite").option("header", "true").csv(
+        _CSV_DIR
+    )
+    out = FSRC.read_csv(
+        spark,
+        _CSV_DIR,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+        fields=["doc_id", "lang", "source", "n_chars"],
+    )
+    return out.where(F.col("n_chars") >= 150).orderBy("doc_id")
+
+
+_CSV_SCAN_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM read_csv('{_CSV_DIR}/*.csv', header=true,
+              columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                        'lang': 'VARCHAR', 'source': 'VARCHAR',
+                        'n_chars': 'BIGINT'}})
+WHERE n_chars >= 150 ORDER BY doc_id
+"""
+
+
+def _esql_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL COMPLETION with the deterministic stand-in (models are the
+    declared boundary, the RERANK pattern): target column = inference-id
+    tag + the prompt's first 8 analyzed tokens; prompt built from row
+    columns by a scalar expression. One projection, no shuffle."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    return esql(
+        "FROM documents | WHERE doc_id % 17 == 0"
+        " | COMPLETION summary = CONCAT('sum: ', text) WITH test_model"
+        " | KEEP doc_id, summary | SORT doc_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+
+
+_ESQL_COMPLETION_SQL = r"""
+SELECT doc_id,
+       concat('[test_model] ',
+              array_to_string(
+                regexp_extract_all(lower(concat('sum: ', text)),
+                                   '[\p{L}\p{N}]+')[1:8], ' ')) AS summary
+FROM documents WHERE doc_id % 17 = 0 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10440,6 +10539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_fn_holt": _moving_fn_holt,
         "sigterms_mi": _sigterms_mi,
         "sigterms_gnd": _sigterms_gnd,
+        "ndjson_scan": _ndjson_scan,
+        "csv_scan": _csv_scan,
+        "esql_completion": _esql_completion,
     }
 
 
@@ -10794,6 +10896,9 @@ FROM topk JOIN documents USING (doc_id)
         "moving_fn_holt": _MOVING_FN_HOLT_SQL,
         "sigterms_mi": _SIGTERMS_MI_SQL,
         "sigterms_gnd": _SIGTERMS_GND_SQL,
+        "ndjson_scan": _NDJSON_SCAN_SQL,
+        "csv_scan": _CSV_SCAN_SQL,
+        "esql_completion": _ESQL_COMPLETION_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

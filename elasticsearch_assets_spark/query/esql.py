@@ -20,6 +20,7 @@ Supported subset — the analytics core of the language:
   | FORK (pipe) (pipe) ...      (branch pipes unioned, _fork discriminator)
   | FUSE [rrf] [KEY BY c] [RANK_CONSTANT n]   (RRF-merge FORK branches)
   | RERANK "query" ON <col>     (deterministic stand-in scorer -> _score)
+  | COMPLETION <t> = <expr> WITH <id>  (deterministic stand-in completion)
   | CHANGE_POINT <val> [ON <key>]  (step detector, type/pvalue columns)
 
 STATS/INLINESTATS grouping keys may be named expressions
@@ -53,10 +54,10 @@ _SUPPORTED = (
     "FROM", "ROW", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "GROK", "DISSECT", "MV_EXPAND", "LOOKUP JOIN",
     "ENRICH", "SAMPLE", "INLINESTATS", "FORK", "CHANGE_POINT", "FUSE",
-    "RERANK",
+    "RERANK", "COMPLETION",
 )
 _KNOWN_UNSUPPORTED = (
-    "SHOW", "METRICS", "COMPLETION",
+    "SHOW", "METRICS",
 )
 
 _RE_SPECIAL = set(".^$*+?()[]{}|\\")
@@ -775,6 +776,35 @@ def esql(
                 F.expr(
                     f"CAST({overlap} AS DOUBLE) / {n}"
                     f" + CAST({tf_sum} AS DOUBLE) / {100 * n}"
+                ),
+            )
+        if kw == "COMPLETION":
+            # ES|QL COMPLETION (9.x, tech preview):
+            #   `COMPLETION <target> = <prompt_expr> WITH <inference_id>`
+            # ES calls an LLM inference endpoint; models are out of scope
+            # by the engine's declared boundary (same as RERANK), so the
+            # completion is the DETERMINISTIC stand-in: the inference id
+            # tag + the prompt's first 8 analyzed tokens. The PLAN is the
+            # real thing either way — one projection, no shuffle, prompt
+            # built from row columns by any scalar expression.
+            cm = re.match(
+                r"^(\w+)\s*=\s*(.+?)\s+WITH\s+(\w+)\s*$", body, re.S
+            )
+            if not cm:
+                raise ValueError(
+                    "COMPLETION needs `<target> = <prompt_expr> WITH "
+                    "<inference_id>`"
+                )
+            target, prompt_src, inference_id = cm.groups()
+            prompt = _rewrite_funcs(prompt_src)
+            toks = (
+                f"regexp_extract_all(lower({prompt}), '{_TOKEN_RE_SQL}', 0)"
+            )
+            return df.withColumn(
+                target,
+                F.expr(
+                    f"concat('[{inference_id}] ', "
+                    f"array_join(slice({toks}, 1, 8), ' '))"
                 ),
             )
         if kw == "CHANGE_POINT":

@@ -163,8 +163,10 @@ def test_grok_dissect_errors(events):
         esql("FROM events | GROK props '%{INT}'", tables=t)
     with pytest.raises(ValueError, match="must be quoted"):
         esql("FROM events | DISSECT props %{x}", tables=t)
-    with pytest.raises(ValueError, match="not supported"):
+    with pytest.raises(ValueError, match="COMPLETION needs"):
         esql("FROM events | COMPLETION x WITH y", tables=t)
+    with pytest.raises(ValueError, match="not supported"):
+        esql("FROM events | SHOW INFO", tables=t)
     with pytest.raises(ValueError, match="RERANK needs"):
         esql("FROM events | RERANK x ON y", tables=t)
 

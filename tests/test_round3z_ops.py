@@ -437,3 +437,97 @@ def _score_one(spark, heuristic, fg_df, bg_df, fg_total, bg_total):
 def test_unknown_heuristic_raises():
     with pytest.raises(ValueError, match="heuristic"):
         OFA.significance_score("nope", F.lit(1), F.lit(1), 1.0, 2.0)
+
+
+# --- file sources -----------------------------------------------------------
+
+from elasticsearch_assets_spark.sources import files as FSRC  # noqa: E402
+
+
+def test_ndjson_roundtrip_with_date_slice(spark, tmp_path):
+    src = str(tmp_path / "nd")
+    df = spark.createDataFrame(
+        [(1, "2024-01-05", "a"), (2, "2024-01-10", "b"), (3, "2024-01-20", "c")],
+        "id long, d string, v string",
+    )
+    df.coalesce(1).write.mode("overwrite").json(src)
+    out = FSRC.read_ndjson(
+        spark, src, "id long, d string, v string",
+        fields=["id", "v"], date_field="d",
+        start="2024-01-10", end="2024-01-20",
+    )
+    rows = out.collect()
+    assert [r["id"] for r in rows] == [2]
+    # forced date field rides along even when not projected (reader.py contract)
+    assert set(out.columns) == {"id", "v", "d"}
+
+
+def test_csv_roundtrip_and_projection(spark, tmp_path):
+    src = str(tmp_path / "csv")
+    df = spark.createDataFrame(
+        [(1, "hello world", 11), (2, "x", 1)], "id long, t string, n long"
+    )
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(src)
+    out = FSRC.read_csv(spark, src, "id long, t string, n long", fields=["id", "n"])
+    assert sorted((r["id"], r["n"]) for r in out.collect()) == [(1, 11), (2, 1)]
+    assert out.columns == ["id", "n"]
+
+
+def test_file_sources_require_schema(spark):
+    with pytest.raises(ValueError, match="schema"):
+        FSRC.read_ndjson(spark, "/tmp/x", "")
+    with pytest.raises(ValueError, match="schema"):
+        FSRC.read_csv(spark, "/tmp/x", None)  # type: ignore[arg-type]
+
+
+def test_to_parquet_conversion(spark, tmp_path):
+    src, dst = str(tmp_path / "nd2"), str(tmp_path / "pq")
+    spark.createDataFrame(
+        [(i, f"t{i}", "en" if i % 2 else "de") for i in range(20)],
+        "id long, t string, lang string",
+    ).coalesce(1).write.mode("overwrite").json(src)
+    df = FSRC.read_ndjson(spark, src, "id long, t string, lang string")
+    FSRC.to_parquet(df, dst, partition_by=["lang"], repartition=2)
+    back = spark.read.parquet(dst)
+    assert back.count() == 20
+    import os
+    assert sorted(
+        d for d in os.listdir(dst) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en"]
+
+
+# --- ES|QL COMPLETION -------------------------------------------------------
+
+from elasticsearch_assets_spark.query.esql import esql  # noqa: E402
+
+
+def test_esql_completion_stand_in(spark):
+    df = spark.createDataFrame(
+        [(1, "Alpha Beta gamma delta epsilon zeta eta theta iota kappa")],
+        "id long, text string",
+    )
+    out = esql(
+        "FROM t | COMPLETION s = CONCAT('sum: ', text) WITH m1 | KEEP id, s",
+        tables={"t": df},
+    ).collect()
+    # first 8 analyzed tokens of the PROMPT (prefix included), id-tagged
+    assert out[0]["s"] == "[m1] sum alpha beta gamma delta epsilon zeta eta"
+
+
+def test_esql_completion_column_usable_downstream(spark):
+    df = spark.createDataFrame([(1, "x y"), (2, "z")], "id long, text string")
+    out = esql(
+        "FROM t | COMPLETION s = text WITH m | WHERE LOCATE(s, 'z') > 0"
+        " | KEEP id",
+        tables={"t": df},
+    ).collect()
+    assert [r["id"] for r in out] == [2]
+
+
+def test_esql_completion_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError, match="COMPLETION"):
+        esql("FROM t | COMPLETION text", tables={"t": df})
+    # SHOW stays known-unsupported with guidance
+    with pytest.raises(ValueError, match="not supported"):
+        esql("FROM t | SHOW INFO", tables={"t": df})
