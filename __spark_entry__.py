@@ -10223,6 +10223,104 @@ FROM documents WHERE doc_id % 17 = 0 ORDER BY doc_id
 """
 
 
+def _moving_fn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn order-free builtins (min/max/sum/unweightedAvg/
+    stdDev): each compiles to the window aggregate directly — no frame
+    materialization. stdDev is population std over the window (the ES
+    MovingFunctions contract)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    events = load_sf_table(spark, sf_dir, "events")
+    ser = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("bucket")
+    ).agg(F.count("*").alias("doc_count"))
+    out = ser
+    for f in ("min", "max", "sum", "unweightedAvg", "stdDev"):
+        out = OFA.moving_fn(out, f, window=4)
+    return out.select(
+        "bucket", "doc_count", F.col("min").cast("long").alias("w_min"),
+        F.col("max").cast("long").alias("w_max"),
+        F.col("sum").cast("long").alias("w_sum"),
+        _f4("unweightedAvg").alias("w_avg"), _f4("stdDev").alias("w_std"),
+    )
+
+
+_MOVING_FN_STATS_SQL = """
+WITH s AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS bucket, count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket, doc_count,
+  CAST(min(doc_count::DOUBLE) OVER w AS BIGINT) AS w_min,
+  CAST(max(doc_count::DOUBLE) OVER w AS BIGINT) AS w_max,
+  CAST(sum(doc_count::DOUBLE) OVER w AS BIGINT) AS w_sum,
+  floor(avg(doc_count::DOUBLE) OVER w * 10000.0 + 0.5) / 10000.0 AS w_avg,
+  floor(coalesce(stddev_pop(doc_count::DOUBLE) OVER w, 0.0)
+        * 10000.0 + 0.5) / 10000.0 AS w_std
+FROM s
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY bucket
+"""
+
+
+def _hw_oracle_sql(p: int = 3) -> str:
+    """Additive Holt-Winters fold as a DuckDB list_reduce with flat LIST
+    state [i, s, b, c_1..c_p] — the same recurrence text (PRE-step state
+    only) as facets.moving_fn's holtWinters branch, so the fold is
+    bit-identical. alpha=beta=gamma=0.5, window 6."""
+    j = f"(CAST(acc[1] AS BIGINT) % {p} + 4)"  # 1-based seasonal slot
+    s_new = f"0.5 * (x[1] - acc[{j}]) + 0.5 * (acc[2] + acc[3])"
+    b_new = f"0.25 * (x[1] - acc[{j}] - acc[2]) + 0.75 * acc[3]"
+    c_new = f"0.5 * (x[1] - ({s_new})) + 0.5 * acc[{j}]"
+    zeros = ", ".join(["0.0::DOUBLE"] * p)
+    jf = f"(CAST(st[1] AS BIGINT) % {p} + 4)"
+    return f"""
+WITH s AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS bucket, count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT bucket, doc_count,
+         list(doc_count::DOUBLE)
+           OVER (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+           AS l
+  FROM s
+),
+r AS (
+  SELECT bucket, doc_count,
+         list_reduce(
+           list_prepend([1.0::DOUBLE, l[1], 0.0::DOUBLE, {zeros}],
+                        list_apply(l[2:], v -> [v])),
+           (acc, x) -> list_concat(
+             [acc[1] + 1.0, {s_new}, {b_new}],
+             list_concat(
+               list_concat(acc[4:{j} - 1], [{c_new}]),
+               acc[{j} + 1:{p + 3}]))
+         ) AS st
+  FROM f
+)
+SELECT bucket, doc_count,
+       floor((st[2] + st[3] + st[{jf}]) * 10000.0 + 0.5) / 10000.0 AS hw
+FROM r ORDER BY bucket
+"""
+
+
+def _moving_fn_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn holtWinters (ADDITIVE, zero-init seasonal — the
+    documented deviation from ES's padded multiplicative default) over
+    the daily-count series, window 6, period 3, alpha=beta=gamma=0.5
+    (every fold product dyadic). The oracle replays the identical
+    list-state fold (_hw_oracle_sql)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    events = load_sf_table(spark, sf_dir, "events")
+    ser = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("bucket")
+    ).agg(F.count("*").alias("doc_count"))
+    out = OFA.moving_fn(ser, "holtWinters", window=6, period=3)
+    return out.select("bucket", "doc_count", _f4("holtWinters").alias("hw"))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10542,6 +10640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndjson_scan": _ndjson_scan,
         "csv_scan": _csv_scan,
         "esql_completion": _esql_completion,
+        "moving_fn_stats": _moving_fn_stats,
+        "moving_fn_hw": _moving_fn_hw,
     }
 
 
@@ -10899,6 +10999,8 @@ FROM topk JOIN documents USING (doc_id)
         "ndjson_scan": _NDJSON_SCAN_SQL,
         "csv_scan": _CSV_SCAN_SQL,
         "esql_completion": _ESQL_COMPLETION_SQL,
+        "moving_fn_stats": _MOVING_FN_STATS_SQL,
+        "moving_fn_hw": _hw_oracle_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -2332,6 +2332,8 @@ def moving_fn(
     window: int = 3,
     alpha: float = 0.5,
     beta: float = 0.5,
+    gamma: float = 0.5,
+    period: int = 3,
     value_col: str = "doc_count",
     order_col: str = "bucket",
 ) -> DataFrame:
@@ -2359,12 +2361,28 @@ def moving_fn(
     carries the same struct state). Bucket cardinality bounds the window
     input, so the single global sort is safe by the same argument as
     facet_pipeline."""
-    if fn not in ("linearWeightedAvg", "ewma", "holt"):
+    _SIMPLE_FNS = {
+        "min": F.min,
+        "max": F.max,
+        "sum": F.sum,
+        "unweightedAvg": F.avg,
+        "stdDev": F.stddev_pop,
+    }
+    if fn not in (
+        "linearWeightedAvg", "ewma", "holt", "holtWinters", *_SIMPLE_FNS
+    ):
         raise ValueError(f"unsupported moving_fn {fn!r}")
     if window < 1:
         raise ValueError("window must be >= 1")
     w = Window.orderBy(F.col(order_col).asc()).rowsBetween(-(window - 1), 0)
     v = F.col(value_col).cast("double")
+    if fn in _SIMPLE_FNS:
+        # order-free builtins compile to the window aggregate directly —
+        # no frame materialization, one WindowExec pass
+        return (
+            series.withColumn(fn, _SIMPLE_FNS[fn](v).over(w))
+            .orderBy(F.col(order_col).asc())
+        )
     frame = F.collect_list(v).over(w)
     if fn == "linearWeightedAvg":
         n = F.size(F.col("_frame")).cast("double")
@@ -2404,6 +2422,52 @@ def moving_fn(
             ),
         )
         out_col = folded["s"] + folded["b"]
+    elif fn == "holtWinters":
+        # ADDITIVE Holt-Winters (ES type="add"), zero-initialized seasonal
+        # indices (documented deviation from ES's padded multiplicative
+        # default — zero init makes multiplicative degenerate anyway).
+        # State is a flat array<double> [i, s, b, c_0..c_{p-1}] so the
+        # DuckDB twin can replay the identical fold with list state; every
+        # recurrence references PRE-step state only (the reduced trend
+        # form from holt; c expands s_new inline), so both engines share
+        # the op order exactly:
+        #   s' = a*(v - c_j) + (1-a)*(s + b)
+        #   b' = a*bt*(v - c_j - s) + (1 - a*bt)*b
+        #   c_j' = g*(v - (a*(v - c_j) + (1-a)*(s + b))) + (1-g)*c_j
+        # forecast (returned) = s + b + c_{n mod p}
+        a, bt, g, p = float(alpha), float(beta), float(gamma), int(period)
+        if p < 1:
+            raise ValueError("period must be >= 1")
+        ab = a * bt
+        init = F.concat(
+            F.array(F.lit(1.0), F.element_at(F.col("_frame"), 1), F.lit(0.0)),
+            F.array_repeat(F.lit(0.0), p),
+        )
+        rest = F.slice(
+            F.col("_frame"), F.lit(2),
+            F.greatest(F.size(F.col("_frame")) - 1, F.lit(0)),
+        )
+
+        def _hw_merge(acc, x):
+            i = F.element_at(acc, 1)
+            s, b = F.element_at(acc, 2), F.element_at(acc, 3)
+            j = (i.cast("long") % p).cast("int")  # 0-based seasonal slot
+            c = F.element_at(acc, j + F.lit(4))
+            s_new = a * (x - c) + (1.0 - a) * (s + b)
+            b_new = ab * (x - c - s) + (1.0 - ab) * b
+            c_new = g * (x - (a * (x - c) + (1.0 - a) * (s + b))) + (1.0 - g) * c
+            seas = F.transform(
+                F.slice(acc, 4, p),
+                lambda cv, k: F.when(k == j, c_new).otherwise(cv),
+            )
+            return F.concat(F.array(i + 1.0, s_new, b_new), seas)
+
+        folded = F.aggregate(rest, init, _hw_merge)
+        n_mod = (F.element_at(folded, 1).cast("long") % p).cast("int")
+        out_col = (
+            F.element_at(folded, 2) + F.element_at(folded, 3)
+            + F.element_at(folded, n_mod + F.lit(4))
+        )
     else:
         a = float(alpha)
         out_col = F.aggregate(

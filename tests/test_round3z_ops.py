@@ -531,3 +531,60 @@ def test_esql_completion_validation(spark):
     # SHOW stays known-unsupported with guidance
     with pytest.raises(ValueError, match="not supported"):
         esql("FROM t | SHOW INFO", tables={"t": df})
+
+
+# --- moving_fn: simple builtins + holtWinters --------------------------------
+
+def _py_hw(ws, a=0.5, bt=0.5, g=0.5, p=3):
+    s, b, c, i = ws[0], 0.0, [0.0] * p, 1
+    for v in ws[1:]:
+        j = i % p
+        s_new = a * (v - c[j]) + (1 - a) * (s + b)
+        b_new = a * bt * (v - c[j] - s) + (1 - a * bt) * b
+        c_new = g * (v - (a * (v - c[j]) + (1 - a) * (s + b))) + (1 - g) * c[j]
+        s, b, c[j] = s_new, b_new, c_new
+        i += 1
+    return s + b + c[i % p]
+
+
+def test_holt_winters_matches_sequential_fold(series):
+    out = {
+        r["bucket"]: r["holtWinters"]
+        for r in OFA.moving_fn(series, "holtWinters", window=6, period=3).collect()
+    }
+    vals = [r["doc_count"] for r in series.orderBy("bucket").collect()]
+    for i in range(len(vals)):
+        w = [float(v) for v in vals[max(0, i - 5) : i + 1]]
+        assert out[f"b{i:02d}"] == pytest.approx(_py_hw(w), abs=0), (i, w)
+
+
+def test_holt_winters_gamma_zero_reduces_to_holt(series):
+    hw = OFA.moving_fn(series, "holtWinters", window=5, gamma=0.0, period=3)
+    h = OFA.moving_fn(series, "holt", window=5)
+    got_hw = {r["bucket"]: r["holtWinters"] for r in hw.collect()}
+    got_h = {r["bucket"]: r["holt"] for r in h.collect()}
+    assert got_hw == got_h  # seasonal stays 0 -> identical fold
+
+
+def test_moving_fn_simple_builtins(series):
+    import numpy as np
+
+    vals = [r["doc_count"] for r in series.orderBy("bucket").collect()]
+    out = series
+    for f in ("min", "max", "sum", "unweightedAvg", "stdDev"):
+        out = OFA.moving_fn(out, f, window=4)
+    rows = {r["bucket"]: r for r in out.collect()}
+    for i in range(len(vals)):
+        w = vals[max(0, i - 3) : i + 1]
+        r = rows[f"b{i:02d}"]
+        assert r["min"] == min(w) and r["max"] == max(w)
+        assert r["sum"] == sum(w)
+        assert r["unweightedAvg"] == pytest.approx(sum(w) / len(w))
+        assert r["stdDev"] == pytest.approx(float(np.std(w)), rel=1e-12)
+
+
+def test_moving_fn_validation(series):
+    with pytest.raises(ValueError, match="unsupported"):
+        OFA.moving_fn(series, "nope")
+    with pytest.raises(ValueError, match="period"):
+        OFA.moving_fn(series, "holtWinters", period=0)
