@@ -10321,6 +10321,37 @@ def _moving_fn_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bucket", "doc_count", _f4("holtWinters").alias("hw"))
 
 
+def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution after near-dup clustering (dedup.resolve_keepers,
+    the RedPajama keep-one step): keep the LONGEST doc per cluster
+    (priority = -n_chars, doc_id tie-break). One min-struct hash agg on
+    rep + one join back."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    pairs = OD.ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    clusters = OD.dedup_clusters(docs.select("doc_id"), pairs, max_iter=50)
+    meta = docs.select("doc_id", (-F.col("n_chars")).alias("prio"))
+    out = OD.resolve_keepers(clusters, meta, priority_col="prio")
+    return out.orderBy("doc_id")
+
+
+_DEDUP_KEEPERS_SQL = f"""
+WITH clusters AS ({_DEDUP_CLUSTERS_SQL}),
+j AS (
+  SELECT c.doc_id, c.rep, -d.n_chars AS prio
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+w AS (
+  SELECT rep, doc_id AS keeper,
+         row_number() OVER (PARTITION BY rep
+                            ORDER BY prio ASC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT j.doc_id, j.rep, w.keeper, j.doc_id = w.keeper AS keep, j.prio
+FROM j JOIN w ON j.rep = w.rep AND w.rn = 1
+ORDER BY j.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10642,6 +10673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_completion": _esql_completion,
         "moving_fn_stats": _moving_fn_stats,
         "moving_fn_hw": _moving_fn_hw,
+        "dedup_keepers": _dedup_keepers,
     }
 
 
@@ -11001,6 +11033,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_completion": _ESQL_COMPLETION_SQL,
         "moving_fn_stats": _MOVING_FN_STATS_SQL,
         "moving_fn_hw": _hw_oracle_sql(),
+        "dedup_keepers": _DEDUP_KEEPERS_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

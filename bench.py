@@ -407,6 +407,26 @@ def main() -> None:
     # reps=3: this op's large agg expression tree JITs over the first two
     # runs (9.5 -> 8.1 -> 4.8 s measured solo); best-of-2 reports warm-up
     op_best("op_unigram_lm", lambda: unigram_lm_score(corpus).count(), reps=3)
+    # session-6 curation ops: DSIR importance weights (tokenize + dual-
+    # distribution hash agg + broadcast ratio join), CCNet perplexity
+    # buckets on the approx path (percentile_approx thresholds — the
+    # no-global-sort 10^12-doc plan), tokenizer fertility (zero-shuffle)
+    from elasticsearch_assets_spark.operators.textstats import (
+        ccnet_buckets,
+        dsir_importance,
+        fertility_stats,
+    )
+
+    dsir_in = corpus.withColumn("_t", F.col("doc_id") % 10 == 0)
+    op_best(
+        "op_dsir",
+        lambda: dsir_importance(dsir_in, "_t", n_buckets=4096).count(),
+    )
+    op_best(
+        "op_ccnet_buckets",
+        lambda: ccnet_buckets(corpus, thresholds="approx").count(),
+    )
+    op_best("op_fertility", lambda: fertility_stats(corpus).count())
     # hashed classifier + normalization: zero-shuffle JVM passes
     op_best(
         "op_hash_classifier", lambda: hash_classifier_score(corpus).count()

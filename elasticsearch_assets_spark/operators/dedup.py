@@ -995,3 +995,42 @@ def bloom_prejoin_dedup(
         base_h.withColumnRenamed("h", "__h").distinct(), "__h", "left_anti"
     )
     return definitely_new.unionByName(verified).drop("__h", "__maybe")
+
+
+def resolve_keepers(
+    clusters: DataFrame,
+    meta: DataFrame,
+    *,
+    priority_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Post-clustering keep/drop resolution — the step a RedPajama/
+    SlimPajama-style pipeline runs after near-dup clustering: within each
+    cluster keep exactly ONE document, the (priority, id)-minimum (so
+    callers encode "keep longest" as priority = -length, "keep preferred
+    source" as a source rank; id breaks ties deterministically).
+
+    `clusters` is dedup_clusters' (id, rep) output; `meta` carries the
+    priority. ONE hash agg on rep (min over a (priority, id) struct —
+    map-side partials absorb big clusters) + one join back keyed by rep.
+    Cluster count <= doc count, so the winners side is the smaller join
+    input at any scale.
+
+    Returns (id, rep, keeper, keep, priority)."""
+    j = clusters.join(
+        meta.select(F.col(id_col), F.col(priority_col)), id_col
+    )
+    winners = (
+        j.groupBy("rep")
+        .agg(
+            F.min(F.struct(F.col(priority_col), F.col(id_col))).alias("_w")
+        )
+        .select("rep", F.col(f"_w.{id_col}").alias("keeper"))
+    )
+    return j.join(winners, "rep").select(
+        F.col(id_col),
+        "rep",
+        "keeper",
+        (F.col(id_col) == F.col("keeper")).alias("keep"),
+        F.col(priority_col),
+    )

@@ -915,7 +915,10 @@ def dsir_importance(
     the <=B-row log-ratio table broadcasts back onto the per-doc counts
     and one hash agg on doc finishes. Head-bucket skew is absorbed by the
     map-side partials exactly like the index build's df pass. Docs with
-    zero features drop (no evidence, no weight) — documented.
+    zero features drop (no evidence, no weight) — documented. The feature
+    hash is the oracle-matched 60-bit md5 (texthash.hash60); production
+    swaps it for F.xxhash64 — same plan, ~4x less hash CPU (the md5 cost
+    dominates this op's bench row).
 
     Returns (id, n_feats, logw). Select by ordering on logw (the paper's
     Gumbel top-k adds sampling noise; deterministic top-k is the
@@ -927,12 +930,19 @@ def dsir_importance(
         shingles_expr,
     )
 
-    toks = tokens_expr(text_col)
-    feats = F.concat(toks, shingles_expr(toks, 2))
-    exploded = df.select(
+    # stage the token array in its OWN projection: referenced as a bare
+    # column, the shingle lambda reuses it per element; inlined, Catalyst
+    # would re-run the regexp per shingle (O(tokens^2) — measured 20x on
+    # the bench corpus, the simhash staging rule from texthash.py)
+    staged = df.select(
         F.col(id_col),
         F.col(target_col).cast("boolean").alias("_t"),
-        F.explode(feats).alias("_f"),
+        tokens_expr(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    feats = F.concat(toks, shingles_expr(toks, 2))
+    exploded = staged.select(
+        F.col(id_col), F.col("_t"), F.explode(feats).alias("_f")
     ).select(
         id_col, "_t", (hash60_expr(F.col("_f")) % n_buckets).alias("b")
     )

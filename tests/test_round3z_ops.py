@@ -588,3 +588,46 @@ def test_moving_fn_validation(series):
         OFA.moving_fn(series, "nope")
     with pytest.raises(ValueError, match="period"):
         OFA.moving_fn(series, "holtWinters", period=0)
+
+
+# --- dedup cluster resolution ------------------------------------------------
+
+from elasticsearch_assets_spark.operators import dedup as D  # noqa: E402
+
+
+def test_resolve_keepers_priority_and_ties(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, rep long",
+    )
+    meta = spark.createDataFrame(
+        # cluster 1: doc 2 wins on priority; cluster 5: tie -> lower id
+        [(1, 5), (2, 1), (3, 9), (4, 7), (5, 3), (6, 3)],
+        "doc_id long, prio long",
+    )
+    out = {r["doc_id"]: r for r in
+           D.resolve_keepers(clusters, meta, priority_col="prio").collect()}
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    assert all(out[i]["keeper"] == 2 for i in (1, 2, 3))
+    assert out[4]["keep"]  # singleton keeps itself
+    assert out[5]["keep"] and not out[6]["keep"]  # tie -> lower doc_id
+
+
+def test_resolve_keepers_exactly_one_per_cluster(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, i % 7) for i in range(70)]
+    clusters = spark.createDataFrame(rows, "doc_id long, rep long")
+    meta = spark.createDataFrame(
+        [(i, rng.randint(0, 5)) for i in range(70)], "doc_id long, prio long"
+    )
+    out = D.resolve_keepers(clusters, meta, priority_col="prio").collect()
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r["rep"], []).append(r)
+    for rep, members in by_rep.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1
+        best = min(members, key=lambda m: (m["prio"], m["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
