@@ -438,6 +438,44 @@ def main() -> None:
         ).gopher_rules(docs),
     )
 
+    _ts = __import__(
+        "elasticsearch_assets_spark.operators.textstats",
+        fromlist=["dsir_importance", "ccnet_buckets", "fertility_stats"],
+    )
+    add(
+        "DSIR importance weights (session 6)",
+        "One tokenize+hash scan exploded to (doc, bucket) with the token "
+        "array staged in its OWN projection (inlined, the shingle lambda "
+        "re-runs the regexp per element — the measured 6x bug); both "
+        "distributions from ONE hash agg; the <=B-row ratio table comes "
+        "back as a BroadcastHashJoin. No global sort anywhere.",
+        _ts.dsir_importance(
+            docs.withColumn("_t", F.col("doc_id") % 10 == 0), "_t",
+            n_buckets=256,
+        ),
+    )
+    add(
+        "CCNet buckets, approx path (session 6)",
+        "The 10^12-doc plan: percentile_approx thresholds are ONE "
+        "partial-aggregable pass (ObjectHashAggregate) broadcast back — "
+        "no Sort operator before the first Exchange, no global "
+        "row_number.",
+        _ts.ccnet_buckets(docs, thresholds="approx"),
+    )
+    add(
+        "Runtime fields: filter pushes through the projection (session 6)",
+        "A WHERE on a runtime field whose expression folds to a "
+        "deterministic input predicate reaches the scan as "
+        "PushedFilters — the runtime mapping costs nothing at plan "
+        "level (one collapsed Project).",
+        __import__(
+            "elasticsearch_assets_spark.query.runtime_fields",
+            fromlist=["apply_runtime_mappings"],
+        ).apply_runtime_mappings(
+            docs, {"big": "n_chars > 150"}
+        ).where("big"),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "
