@@ -10352,6 +10352,24 @@ ORDER BY j.doc_id
 """
 
 
+def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus's own BIGRAM LM with stupid
+    backoff (Brants et al. 2007) — the order-1 KenLM proxy upgrading the
+    unigram_lm row (textstats.bigram_lm_score: one staged tokenize scan,
+    Zipf-bounded count joins, one doc hash agg)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OT.bigram_lm_score(docs)
+    return out.select("doc_id", "n_bigrams", _f4("xent").alias("xent"))
+
+
+def _bigram_lm_sql() -> str:
+    return f"""
+SELECT doc_id, n_bigrams,
+       floor(xent * 10000.0 + 0.5) / 10000.0 AS xent
+FROM ({OT.bigram_lm_sql()})
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10674,6 +10692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_fn_stats": _moving_fn_stats,
         "moving_fn_hw": _moving_fn_hw,
         "dedup_keepers": _dedup_keepers,
+        "bigram_lm": _bigram_lm,
     }
 
 
@@ -11034,6 +11053,7 @@ FROM topk JOIN documents USING (doc_id)
         "moving_fn_stats": _MOVING_FN_STATS_SQL,
         "moving_fn_hw": _hw_oracle_sql(),
         "dedup_keepers": _DEDUP_KEEPERS_SQL,
+        "bigram_lm": _bigram_lm_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

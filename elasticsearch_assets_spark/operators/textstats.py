@@ -1084,3 +1084,125 @@ SELECT {id_col}, n_tokens, xent_r,
             ELSE 'tail' END AS bucket
 FROM r
 """
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+    counts_from: "DataFrame | None" = None,
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's OWN bigram LM with
+    stupid backoff (Brants et al. 2007) — the order-1 upgrade of
+    unigram_lm_score toward the CCNet/Gopher KenLM proxy:
+
+        p(w | v) = cnt(v w) / ctx(v)            when cnt(v w) > 0
+                 = backoff * cf(w) / T           otherwise
+        xent     = -(1/m) * sum over a doc's bigrams ln p(w | v)
+
+    (ctx(v) = occurrences of v as a bigram LEFT context, so p(.|v) sums
+    to 1 over observed continuations. Counts come from `counts_from`
+    when given — the frozen-reference-corpus / held-out-scoring mode,
+    where the backoff arm fires on unseen bigrams; unseen CONTEXTS
+    likewise back off to the unigram arm. Scoring the corpus against
+    itself (counts_from=None) never reaches the backoff arm by
+    construction.)
+
+    Plan: one tokenize scan staged once, exploded to (doc, bigram) and
+    reduced to per-doc bigram tfs BEFORE any join (the unigram_lm Zipf
+    argument); bigram corpus counts and left-context counts come from
+    the SAME aggregated frame (one extra hash agg on the split context,
+    not a second scan); joins are shuffle-hash on Zipf-bounded vocab
+    tables; ONE final hash agg on doc. Docs with < 2 tokens drop
+    (no bigram evidence) — documented."""
+    from elasticsearch_assets_spark.operators.texthash import shingles_expr
+
+    staged = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    ).where(F.size("_toks") >= 2)
+    grams = staged.select(
+        F.col(id_col),
+        F.explode(shingles_expr(F.col("_toks"), 2)).alias("bg"),
+    )
+    tf = grams.groupBy(id_col, "bg").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    ref = counts_from if counts_from is not None else df
+    if counts_from is None:
+        # self-scoring: derive counts from the already-reduced tf frame
+        bg_cnt = tf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
+    else:
+        ref_staged = ref.select(
+            tokens_expr(text_col).alias("_toks")
+        ).where(F.size("_toks") >= 2)
+        bg_cnt = (
+            ref_staged.select(
+                F.explode(shingles_expr(F.col("_toks"), 2)).alias("bg")
+            )
+            .groupBy("bg")
+            .agg(F.count(F.lit(1)).cast("double").alias("cbg"))
+        )
+    ctx_cnt = bg_cnt.groupBy(
+        F.substring_index("bg", " ", 1).alias("_v")
+    ).agg(F.sum("cbg").alias("cctx"))
+    uni = ref.select(
+        F.explode(tokens_expr(text_col)).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("cw"))
+    tot = uni.agg(F.sum("cw").alias("t"))
+    b = float(backoff)
+    scored = (
+        tf.join(bg_cnt, "bg", "left")
+        .withColumn("_v", F.substring_index("bg", " ", 1))
+        .withColumn("_w", F.substring_index("bg", " ", -1))
+        .join(ctx_cnt, "_v", "left")
+        .join(uni.withColumnRenamed("w", "_w"), "_w", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_p",
+            F.when(
+                F.col("cbg").isNotNull() & (F.col("cbg") > 0),
+                F.col("cbg") / F.col("cctx"),
+            # OOV words get an add-one count floor so held-out xent stays
+            # finite (stupid backoff leaves OOV undefined; documented)
+            ).otherwise(b * F.coalesce(F.col("cw"), F.lit(1.0)) / F.col("t")),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        (F.sum(F.col("tf") * -F.log("_p")) / F.sum("tf")).alias("xent"),
+    )
+
+
+def bigram_lm_sql(text: str = "text", id_col: str = "doc_id", backoff: float = 0.4) -> str:
+    from elasticsearch_assets_spark.operators.texthash import shingles_sql
+
+    toks = tokens_sql(text)
+    grams = shingles_sql(toks, 2)
+    return f"""
+WITH tf AS (
+  SELECT {id_col}, bg, count(*)::DOUBLE AS tf
+  FROM (SELECT {id_col}, unnest({grams}) AS bg FROM documents)
+  GROUP BY 1, 2
+),
+bgc AS (SELECT bg, sum(tf) AS cbg FROM tf GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS v, sum(cbg) AS cctx FROM bgc GROUP BY 1
+),
+uni AS (
+  SELECT w, count(*)::DOUBLE AS cw
+  FROM (SELECT unnest({toks}) AS w FROM documents) GROUP BY w
+),
+tot AS (SELECT sum(cw) AS t FROM uni)
+SELECT {id_col}, sum(tf)::BIGINT AS n_bigrams,
+       sum(tf * -ln(CASE WHEN cbg IS NOT NULL AND cbg > 0
+                         THEN cbg / cctx
+                         ELSE {float(backoff)!r} * coalesce(cw, 1.0) / t END))
+         / sum(tf) AS xent
+FROM tf
+LEFT JOIN bgc USING (bg)
+LEFT JOIN ctx ON ctx.v = split_part(bg, ' ', 1)
+LEFT JOIN uni ON uni.w = split_part(bg, ' ', 2)
+CROSS JOIN tot
+GROUP BY {id_col}
+"""

@@ -631,3 +631,84 @@ def test_resolve_keepers_exactly_one_per_cluster(spark):
         assert len(keepers) == 1
         best = min(members, key=lambda m: (m["prio"], m["doc_id"]))
         assert keepers[0]["doc_id"] == best["doc_id"]
+
+
+# --- bigram LM (stupid backoff) ----------------------------------------------
+
+def test_bigram_lm_matches_brute_force(spark):
+    import hashlib  # noqa: F401  (parallel with the DSIR brute force)
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, "a dog sat"),
+        (3, "solo"),          # < 2 tokens -> drops
+        (4, "the cat sat on the mat again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent"])
+        for r in T.bigram_lm_score(df).collect()
+    }
+    # brute force
+    tok = lambda s: re.findall(r"[^\W_]+", s.lower())  # noqa: E731
+    bgs, unis = {}, {}
+    for _, text in rows:
+        ts = tok(text)
+        for w in ts:
+            unis[w] = unis.get(w, 0) + 1
+        for i in range(len(ts) - 1):
+            bgs[(ts[i], ts[i + 1])] = bgs.get((ts[i], ts[i + 1]), 0) + 1
+    ctx = {}
+    for (v, _), c in bgs.items():
+        ctx[v] = ctx.get(v, 0) + c
+    t = sum(unis.values())
+    exp = {}
+    for doc_id, text in rows:
+        ts = tok(text)
+        if len(ts) < 2:
+            continue
+        lps = []
+        for i in range(len(ts) - 1):
+            v, w = ts[i], ts[i + 1]
+            p = bgs[(v, w)] / ctx[v]  # in-corpus: always observed
+            lps.append(-math.log(p))
+        exp[doc_id] = (len(lps), sum(lps) / len(lps))
+    assert set(got) == set(exp)
+    for d, (n, x) in exp.items():
+        assert got[d][0] == n
+        assert got[d][1] == pytest.approx(x, rel=1e-12)
+
+
+def test_bigram_lm_backoff_arm_on_held_out(spark):
+    # freeze counts on a train corpus (counts_from), score held-out docs:
+    # seen bigram -> cnt/ctx arm; unseen bigram of seen words -> backoff
+    # 0.4*cf(w)/T; OOV word -> add-one floor 0.4*1/T
+    train = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma"), (2, "beta delta"),
+         (3, "beta gamma")],
+        "doc_id long, text string",
+    )
+    # ctx(beta) = 3 (left-context occurrences), cnt(beta gamma) = 2,
+    # unigram T = 8, cf(gamma) = 2
+    held = spark.createDataFrame(
+        [(10, "beta gamma"),     # seen bigram: p = 2/3
+         (11, "alpha gamma"),    # unseen bigram, seen w: p = 0.4*2/8
+         (12, "alpha qqq")],     # OOV word (add-one floor): p = 0.4*1/8
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["xent"]
+        for r in T.bigram_lm_score(held, counts_from=train).collect()
+    }
+    assert got[10] == pytest.approx(-math.log(2 / 3), rel=1e-12)
+    assert got[11] == pytest.approx(-math.log(0.4 * 2 / 8), rel=1e-12)
+    assert got[12] == pytest.approx(-math.log(0.4 * 1 / 8), rel=1e-12)
+
+
+def test_bigram_lm_rare_continuations_score_higher(spark):
+    corpus = spark.createDataFrame(
+        [(0, "x y x y x y x y"), (1, "x z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["xent"] for r in T.bigram_lm_score(corpus).collect()}
+    assert got[0] < got[1]
