@@ -10370,6 +10370,71 @@ FROM ({OT.bigram_lm_sql()})
 """
 
 
+_TBP_WEIGHTS = {"src0": 6.0, "src1": 1.0, "src2": 1.0}
+_TBP_BUDGET, _TBP_EPOCHS = 100_000, 3.0
+
+
+def _token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe sizing (sampling.token_budget_plan): explicit mixture
+    weights over three sources, a 100k-token budget and a 3-epoch
+    repetition cap — src0's oversized weight drives it into the cap so
+    both arms (capped + uncapped) appear; deficits are reported, never
+    silently redistributed."""
+    from elasticsearch_assets_spark.operators.sampling import (
+        token_budget_plan,
+    )
+    from elasticsearch_assets_spark.operators.textstats import (
+        corpus_accounting,
+    )
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    acct = corpus_accounting(docs, ["source"]).withColumnRenamed(
+        "total_tokens", "n_tokens"
+    )
+    out = token_budget_plan(
+        acct, _TBP_WEIGHTS, _TBP_BUDGET, max_epochs=_TBP_EPOCHS
+    )
+    return out.select(
+        "source", "n_tokens", _f4("weight").alias("weight"),
+        _f4("target_tokens").alias("target"), _f4("rate").alias("rate"),
+        _f4("achieved_tokens").alias("achieved"),
+        _f4("deficit_tokens").alias("deficit"),
+    ).orderBy("source")
+
+
+def _token_budget_plan_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w!r}" for s, w in _TBP_WEIGHTS.items()
+    )
+    names = ", ".join(f"'{s}'" for s in _TBP_WEIGHTS)
+    wsum = float(sum(_TBP_WEIGHTS.values()))
+    return f"""
+WITH acct AS (
+  SELECT source, sum(n_tokens)::BIGINT AS n_tokens FROM (
+    SELECT doc_id, source FROM documents
+  ) d JOIN ({OT.token_stats_sql()}) USING (doc_id)
+  GROUP BY source
+),
+p AS (
+  SELECT source, n_tokens,
+         (CASE source {cases} END) / {wsum!r} AS w,
+         (CASE source {cases} END) / {wsum!r} * {float(_TBP_BUDGET)!r}
+           AS target,
+         least((CASE source {cases} END) / {wsum!r} * {float(_TBP_BUDGET)!r}
+               / n_tokens::DOUBLE, {float(_TBP_EPOCHS)!r}) AS rate
+  FROM acct WHERE source IN ({names})
+)
+SELECT source, n_tokens,
+       floor(w * 10000.0 + 0.5) / 10000.0 AS weight,
+       floor(target * 10000.0 + 0.5) / 10000.0 AS target,
+       floor(rate * 10000.0 + 0.5) / 10000.0 AS rate,
+       floor(rate * n_tokens::DOUBLE * 10000.0 + 0.5) / 10000.0 AS achieved,
+       floor((target - rate * n_tokens::DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS deficit
+FROM p ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10693,6 +10758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_fn_hw": _moving_fn_hw,
         "dedup_keepers": _dedup_keepers,
         "bigram_lm": _bigram_lm,
+        "token_budget_plan": _token_budget_plan,
     }
 
 
@@ -11054,6 +11120,7 @@ FROM topk JOIN documents USING (doc_id)
         "moving_fn_hw": _hw_oracle_sql(),
         "dedup_keepers": _DEDUP_KEEPERS_SQL,
         "bigram_lm": _bigram_lm_sql(),
+        "token_budget_plan": _token_budget_plan_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -112,6 +112,63 @@ def temperature_rates(
     )
 
 
+def token_budget_plan(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    token_budget: int,
+    *,
+    max_epochs: float = 5.0,
+    strata_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """The data-recipe sizing step (Llama/GPT-style): given the corpus
+    accounting table, EXPLICIT target mixture weights, a total token
+    budget, and a repetition cap, compute per-source sampling rates:
+
+      target_s  = budget * w_s / sum(w)
+      rate_s    = min(target_s / avail_s, max_epochs)   (epoch cap —
+                  repeating a small source past a few epochs stops
+                  helping; Muennighoff et al. 2023)
+      achieved  = rate_s * avail_s,  deficit = target_s - achieved
+
+    Single-pass by design: a deficit is REPORTED, not silently
+    redistributed — re-run with adjusted weights to rebalance (silent
+    redistribution changes the recipe the caller asked for). Rates feed
+    stratified_sample (rate <= 1) / upsample (rate > 1). O(strata) rows,
+    planning-scale; unknown sources in `weights` raise."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    known = {r[0] for r in df.select(strata_col).distinct().collect()}
+    unknown = sorted(set(weights) - known)
+    if unknown:
+        raise ValueError(f"weights name unknown strata: {unknown}")
+    wsum = float(sum(weights.values()))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    w = mapping[F.col(strata_col)].cast("double") / wsum
+    avail = F.col(tokens_col).cast("double")
+    target = w * float(token_budget)
+    rate = F.least(target / avail, F.lit(float(max_epochs)))
+    achieved = rate * avail
+    return (
+        df.where(F.col(strata_col).isin(list(weights)))
+        .select(
+            F.col(strata_col),
+            F.col(tokens_col),
+            w.alias("weight"),
+            target.alias("target_tokens"),
+            rate.alias("rate"),
+            achieved.alias("achieved_tokens"),
+            (target - achieved).alias("deficit_tokens"),
+        )
+    )
+
+
 def upsample(
     df: DataFrame,
     strata_col: str,

@@ -290,8 +290,10 @@ def test_moving_fn_hand_computed(spark):
     assert rows["b"]["ewma"] == pytest.approx(3.0)
     assert rows["c"]["ewma"] == pytest.approx(4.5)
     assert rows["d"]["ewma"] == pytest.approx(0.5 * 8 + 0.5 * (0.5 * 6 + 0.5 * 4))
+    # holtWinters graduated to a supported builtin in session 6
+    # (test_round3z_ops.py); unknown names still raise
     with pytest.raises(ValueError):
-        OFA.moving_fn(ser, "holtWinters")
+        OFA.moving_fn(ser, "movavg9000")
 
 
 # --- SemDeDup ------------------------------------------------------------

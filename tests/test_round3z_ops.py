@@ -712,3 +712,40 @@ def test_bigram_lm_rare_continuations_score_higher(spark):
     )
     got = {r["doc_id"]: r["xent"] for r in T.bigram_lm_score(corpus).collect()}
     assert got[0] < got[1]
+
+
+# --- token budget plan --------------------------------------------------------
+
+from elasticsearch_assets_spark.operators.sampling import (  # noqa: E402
+    token_budget_plan,
+)
+
+
+def test_token_budget_plan_caps_and_deficit(spark):
+    acct = spark.createDataFrame(
+        [("a", 100), ("b", 1000), ("c", 500)], "source string, n_tokens long"
+    )
+    out = {
+        r["source"]: r
+        for r in token_budget_plan(
+            acct, {"a": 1.0, "b": 1.0}, 2000, max_epochs=3.0
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}  # unweighted strata drop
+    # a: target 1000 over 100 avail -> capped at 3 epochs, deficit 700
+    assert out["a"]["rate"] == pytest.approx(3.0)
+    assert out["a"]["achieved_tokens"] == pytest.approx(300.0)
+    assert out["a"]["deficit_tokens"] == pytest.approx(700.0)
+    # b: target 1000 over 1000 avail -> rate 1, no deficit
+    assert out["b"]["rate"] == pytest.approx(1.0)
+    assert out["b"]["deficit_tokens"] == pytest.approx(0.0)
+
+
+def test_token_budget_plan_validation(spark):
+    acct = spark.createDataFrame([("a", 100)], "source string, n_tokens long")
+    with pytest.raises(ValueError, match="unknown strata"):
+        token_budget_plan(acct, {"zz": 1.0}, 100)
+    with pytest.raises(ValueError, match="positive"):
+        token_budget_plan(acct, {"a": 1.0}, 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        token_budget_plan(acct, {}, 100)
