@@ -1454,11 +1454,12 @@ ORDER BY sum(contrib) DESC, doc_id ASC LIMIT {_LIN_K}
 _ANN_FILTER_LABEL = 3
 
 
-def _ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES filtered kNN (`knn` with `filter`): exact cosine top-k restricted
-    to label == 3 — the predicate composes BEFORE the scorer, pushed to the
-    vector scan (pre-filtering, ES's semantics: the k results all satisfy
-    the filter)."""
+def _ann_topk_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filtered kNN (`knn` with `filter`), pre-filter composition: exact
+    cosine top-k restricted to label == 3 — the predicate composes BEFORE
+    the scorer, pushed to the vector scan (pre-filtering, ES's semantics:
+    the k results all satisfy the filter). The during-search variant is
+    `ann_topk_filtered` (similarity.knn_filtered)."""
     emb = load_sf_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
     out = OS.cosine_topk(emb.where(F.col("label") == _ANN_FILTER_LABEL), qv, k=10)
@@ -10478,7 +10479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": _dedup_passages,
         "decontaminate": _decontaminate,
         "hybrid_rrf": _hybrid_rrf,
-        "ann_topk_filtered": _ann_topk_filtered,
+        "ann_topk_prefilter": _ann_topk_prefilter,
         "phrase_suggest": _phrase_suggest,
         "index_stats": _index_stats,
         "bm25_boosting": _bm25_boosting,
@@ -10806,7 +10807,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_passages": _DEDUP_PASSAGES_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "hybrid_rrf": _hybrid_rrf_sql(),
-        "ann_topk_filtered": _ann_filtered_sql(),
+        "ann_topk_prefilter": _ann_filtered_sql(),
         "phrase_suggest": _phrase_suggest_sql(),
         "index_stats": _INDEX_STATS_SQL,
         "bm25_boosting": _bm25_boosting_sql(),

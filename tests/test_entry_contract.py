@@ -67,3 +67,25 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) == 10
     assert rows[0]["score"] >= rows[-1]["score"]
+
+
+def test_no_duplicate_contract_keys():
+    """A repeated dict key in queries()/oracle_sql() silently shadows the
+    earlier row (found once: two sessions both registered
+    'ann_topk_filtered'). Parse the AST and reject duplicates."""
+    import ast
+    import collections
+
+    tree = ast.parse(open(entry_mod.__file__).read())
+    for fn in ast.walk(tree):
+        if not (isinstance(fn, ast.FunctionDef) and fn.name in ("queries", "oracle_sql")):
+            continue
+        keys = [
+            k.value
+            for node in ast.walk(fn)
+            if isinstance(node, ast.Dict)
+            for k in node.keys
+            if isinstance(k, ast.Constant) and isinstance(k.value, str)
+        ]
+        dupes = [k for k, n in collections.Counter(keys).items() if n > 1]
+        assert not dupes, f"duplicate contract keys in {fn.name}(): {dupes}"
