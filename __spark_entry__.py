@@ -10437,6 +10437,153 @@ FROM p ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+def _esql_scalar_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third ES|QL function battery — string/bytes/hash: REVERSE, REPEAT,
+    BIT_LENGTH (passthrough spellings), BYTE_LENGTH (octet_length),
+    TO_BASE64/FROM_BASE64 round-trip, MD5, SHA256 (sha2), HASH with a
+    literal algorithm. All compile to JVM column expressions."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    return esql(
+        "FROM events | WHERE event_id % 17 == 0"
+        " | EVAL rv = REVERSE(event_type), rp = REPEAT(event_type, 2),"
+        "   bl = BIT_LENGTH(event_type), byl = BYTE_LENGTH(event_type),"
+        "   b64 = TO_BASE64(event_type),"
+        "   rt = FROM_BASE64(TO_BASE64(event_type)),"
+        "   h1 = MD5(event_type), h2 = SHA256(event_type),"
+        "   h3 = HASH('md5', props)"
+        " | KEEP event_id, rv, rp, bl, byl, b64, rt, h1, h2, h3"
+        " | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+
+
+_ESQL_SCALAR_FUNCS3_SQL = """
+SELECT event_id,
+       reverse(event_type) AS rv,
+       repeat(event_type, 2) AS rp,
+       bit_length(event_type) AS bl,
+       octet_length(event_type::BLOB) AS byl,
+       to_base64(event_type::BLOB) AS b64,
+       event_type AS rt,
+       md5(event_type) AS h1,
+       sha256(event_type) AS h2,
+       md5(props) AS h3
+FROM events WHERE event_id % 17 = 0 ORDER BY event_id
+"""
+
+
+def _esql_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL math battery over a small deterministic integer-derived
+    domain (x in [-3, 3] so EXP/SINH stay in range): CBRT, EXP, SIGNUM,
+    ATAN2, SINH, COSH, TANH, HYPOT, 2-arg LOG (base spelling matches
+    Spark), LOG10, E(), PI() — all passthrough Spark spellings; the
+    oracle rebuilds the missing DuckDB ones (sinh/cosh/tanh/hypot/E)
+    from exp/sqrt."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 23 == 0"
+        " | EVAL x = TO_DOUBLE(event_id % 7) - 3.0,"
+        "   cb = CBRT(ABS(x) + 1.0), ex = EXP(x), sg = SIGNUM(x),"
+        "   at = ATAN2(x, 2.0), sh = SINH(x), ch = COSH(x), th = TANH(x),"
+        "   hy = HYPOT(x, 3.0), lg = LOG(2.0, ABS(x) + 1.0),"
+        "   l10 = LOG10(ABS(x) + 1.0), ee = E(), p = PI()"
+        " | KEEP event_id, x, cb, ex, sg, at, sh, ch, th, hy, lg, l10, ee, p"
+        " | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    for c in ["cb", "ex", "at", "sh", "ch", "th", "hy", "lg", "l10", "ee", "p"]:
+        out = out.withColumn(c, _f4(c))
+    return out
+
+
+_ESQL_MATH_FUNCS_SQL = """
+WITH b AS (
+  SELECT event_id, (event_id % 7)::DOUBLE - 3.0 AS x
+  FROM events WHERE event_id % 23 = 0
+)
+SELECT event_id, x,
+       floor(cbrt(abs(x) + 1.0) * 1e4 + 0.5) / 1e4 AS cb,
+       floor(exp(x) * 1e4 + 0.5) / 1e4 AS ex,
+       sign(x)::DOUBLE AS sg,
+       floor(atan2(x, 2.0) * 1e4 + 0.5) / 1e4 AS at,
+       floor((exp(x) - exp(-x)) / 2 * 1e4 + 0.5) / 1e4 AS sh,
+       floor((exp(x) + exp(-x)) / 2 * 1e4 + 0.5) / 1e4 AS ch,
+       floor((exp(x) - exp(-x)) / (exp(x) + exp(-x)) * 1e4 + 0.5) / 1e4 AS th,
+       floor(sqrt(x * x + 9.0) * 1e4 + 0.5) / 1e4 AS hy,
+       floor(ln(abs(x) + 1.0) / ln(2.0) * 1e4 + 0.5) / 1e4 AS lg,
+       floor(log10(abs(x) + 1.0) * 1e4 + 0.5) / 1e4 AS l10,
+       floor(exp(1.0) * 1e4 + 0.5) / 1e4 AS ee,
+       floor(pi() * 1e4 + 0.5) / 1e4 AS p
+FROM b ORDER BY event_id
+"""
+
+
+def _esql_mv_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multivalue battery 2 over constructed 3-element arrays:
+    MV_SLICE (0-based inclusive ES semantics incl. negative indices),
+    MV_APPEND, MV_ZIP (custom delimiter), MV_PERCENTILE (linear
+    interpolation), MV_PSERIES_WEIGHTED_SUM (1-based p-series weights,
+    array order), IP_PREFIX (literal mask, folds to an integer AND)."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 29 == 0"
+        " | EVAL a = array(value, value * 2, value * 3),"
+        "   ip = CONCAT('10.', TO_STRING(event_id % 200), '.',"
+        "        TO_STRING(user_id % 250), '.', TO_STRING(event_id % 251))"
+        " | EVAL sl = MV_SLICE(a, 1, 2), sneg = MV_SLICE(a, -2, -1),"
+        "   ap = MV_COUNT(MV_APPEND(a, a)),"
+        "   z = MV_ZIP(array(event_type, 'x'), array('y', event_type), '-'),"
+        "   pct = MV_PERCENTILE(a, 50), p25 = MV_PERCENTILE(a, 25),"
+        "   ps = MV_PSERIES_WEIGHTED_SUM(a, 1.5),"
+        "   ipp = IP_PREFIX(ip, 12, 0)"
+        " | EVAL sl1 = MV_FIRST(sl), sn1 = MV_FIRST(sneg)"
+        " | KEEP event_id, sl1, sn1, ap, z, pct, p25, ps, ipp"
+        " | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    for c in ["sl1", "sn1", "pct", "p25", "ps"]:
+        out = out.withColumn(c, _f4(c))
+    return out.withColumn("z", F.array_join("z", "|"))
+
+
+_ESQL_MV_FUNCS2_SQL = """
+WITH b AS (
+  SELECT event_id, event_type,
+         [value, value * 2, value * 3] AS a,
+         '10.' || (event_id % 200)::VARCHAR || '.'
+              || (user_id % 250)::VARCHAR || '.'
+              || (event_id % 251)::VARCHAR AS ip
+  FROM events WHERE event_id % 29 = 0
+),
+m AS (
+  SELECT event_id, event_type, a, ip,
+         list_sort(a) AS s,
+         (string_split(ip, '.')[1]::BIGINT * 16777216
+          + string_split(ip, '.')[2]::BIGINT * 65536
+          + string_split(ip, '.')[3]::BIGINT * 256
+          + string_split(ip, '.')[4]::BIGINT) & 4293918720 AS masked
+  FROM b
+)
+SELECT event_id,
+       floor(a[2] * 1e4 + 0.5) / 1e4 AS sl1,
+       floor(a[2] * 1e4 + 0.5) / 1e4 AS sn1,
+       6 AS ap,
+       event_type || '-y|x-' || event_type AS z,
+       floor(s[2] * 1e4 + 0.5) / 1e4 AS pct,
+       floor((s[1] + 0.5 * (s[2] - s[1])) * 1e4 + 0.5) / 1e4 AS p25,
+       floor((a[1] / pow(1, 1.5) + a[2] / pow(2, 1.5) + a[3] / pow(3, 1.5))
+             * 1e4 + 0.5) / 1e4 AS ps,
+       (masked // 16777216)::VARCHAR || '.'
+         || (masked // 65536 % 256)::VARCHAR || '.'
+         || (masked // 256 % 256)::VARCHAR || '.'
+         || (masked % 256)::VARCHAR AS ipp
+FROM m ORDER BY event_id
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -10725,6 +10872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": _counter_rate,
         "geo_shape_envelope": _geo_shape_envelope,
         "esql_scalar_funcs2": _esql_scalar_funcs2,
+        "esql_scalar_funcs3": _esql_scalar_funcs3,
+        "esql_math_funcs": _esql_math_funcs,
+        "esql_mv_funcs2": _esql_mv_funcs2,
         "disk_usage": _disk_usage,
         "term_suggest_modes": _term_suggest_modes,
         "cat_segments": _cat_segments,
@@ -11087,6 +11237,9 @@ FROM topk JOIN documents USING (doc_id)
         "counter_rate": _COUNTER_RATE_SQL,
         "geo_shape_envelope": _geo_shape_envelope_sql(),
         "esql_scalar_funcs2": _ESQL_SCALAR_FUNCS2_SQL,
+        "esql_scalar_funcs3": _ESQL_SCALAR_FUNCS3_SQL,
+        "esql_math_funcs": _ESQL_MATH_FUNCS_SQL,
+        "esql_mv_funcs2": _ESQL_MV_FUNCS2_SQL,
         "disk_usage": _DISK_USAGE_SQL,
         "term_suggest_modes": _TERM_SUGGEST_MODES_SQL,
         "cat_segments": _CAT_SEGMENTS_SQL,

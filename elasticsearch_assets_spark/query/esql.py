@@ -515,6 +515,102 @@ def _h_mv_median(a: "list[str]") -> str:
 _FUNC_HANDLERS["SPLIT"] = _h_split
 _FUNC_HANDLERS["DATE_TRUNC"] = _h_date_trunc
 _FUNC_HANDLERS["MV_MEDIAN"] = _h_mv_median
+
+
+def _h_hash(a: "list[str]") -> str:
+    # ES|QL HASH("algorithm", input) — literal algorithm, hex output
+    if len(a) != 2:
+        raise ValueError('HASH takes ("algorithm", input)')
+    hm = re.match(r"^['\"](\w+)['\"]$", a[0].strip())
+    algs = {"md5": "md5({x})", "sha256": "sha2({x}, 256)",
+            "sha1": "sha1({x})", "sha512": "sha2({x}, 512)"}
+    if not hm or hm.group(1).lower() not in algs:
+        raise ValueError(f"HASH algorithm must be a literal in {sorted(algs)}")
+    return algs[hm.group(1).lower()].format(x=a[1])
+
+
+def _h_mv_slice(a: "list[str]") -> str:
+    # ES|QL MV_SLICE(field, start[, end]): 0-based, end INCLUSIVE,
+    # negatives count from the end (-1 = last). Spark slice() is 1-based
+    # (start, length) — translate with size()-relative CASEs so column
+    # (non-literal) bounds work too; literal bounds constant-fold.
+    if len(a) not in (2, 3):
+        raise ValueError("MV_SLICE takes (field, start[, end])")
+    arr, s, e = a[0], a[1], (a[2] if len(a) == 3 else a[1])
+    def pos(i: str) -> str:
+        return (f"(CASE WHEN ({i}) < 0 THEN size({arr}) + ({i})"
+                f" ELSE ({i}) END)")
+    return f"slice({arr}, {pos(s)} + 1, {pos(e)} - {pos(s)} + 1)"
+
+
+def _h_mv_zip(a: "list[str]") -> str:
+    # ES|QL MV_ZIP(a, b[, delim]) — pairwise string join, delim default ","
+    if len(a) not in (2, 3):
+        raise ValueError("MV_ZIP takes (a, b[, delimiter])")
+    d = a[2] if len(a) == 3 else "','"
+    return f"zip_with({a[0]}, {a[1]}, (x, y) -> concat(x, {d}, y))"
+
+
+def _h_mv_percentile(a: "list[str]") -> str:
+    # ES|QL MV_PERCENTILE(field, p): linear interpolation over the sorted
+    # values at rank p/100*(n-1) — the same formula ES and numpy use.
+    # DOUBLE promotion (same documented deviation as MV_AVG/MV_MEDIAN).
+    if len(a) != 2:
+        raise ValueError("MV_PERCENTILE takes (field, percentile)")
+    s, n = f"sort_array({a[0]})", f"size({a[0]})"
+    r = f"(CAST(({a[1]}) AS DOUBLE) / 100.0 * ({n} - 1))"
+    lo = f"CAST(get({s}, CAST(floor({r}) AS INT)) AS DOUBLE)"
+    hi = f"CAST(get({s}, CAST(ceil({r}) AS INT)) AS DOUBLE)"
+    return f"({lo} + ({r} - floor({r})) * ({hi} - {lo}))"
+
+
+def _h_mv_pseries(a: "list[str]") -> str:
+    # MV_PSERIES_WEIGHTED_SUM(field, p): sum(v_i / i^p), i 1-based in
+    # multivalue order — one indexed transform + fold, JVM-side
+    if len(a) != 2:
+        raise ValueError("MV_PSERIES_WEIGHTED_SUM takes (field, p)")
+    return (
+        f"aggregate(transform({a[0]},"
+        f" (x, i) -> CAST(x AS DOUBLE) / pow(i + 1, CAST({a[1]} AS DOUBLE))),"
+        f" 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _h_ip_prefix(a: "list[str]") -> str:
+    # IP_PREFIX(ip, v4_bits, v6_bits) — IPv4 only here (the corpus
+    # derivation is v4); bits must be a literal so the mask folds
+    if len(a) != 3:
+        raise ValueError("IP_PREFIX takes (ip, prefixLengthV4, prefixLengthV6)")
+    if not re.match(r"^\d+$", a[1].strip()):
+        raise ValueError("IP_PREFIX v4 prefix length must be a literal")
+    bits = int(a[1])
+    if bits > 32:
+        raise ValueError("IP_PREFIX v4 prefix length must be <= 32")
+    mask = ((1 << bits) - 1) << (32 - bits) if bits else 0
+    m = f"({_ipv4_sql(a[0])} & {mask})"
+    return (
+        f"concat(CAST({m} DIV 16777216 AS STRING), '.',"
+        f" CAST({m} DIV 65536 % 256 AS STRING), '.',"
+        f" CAST({m} DIV 256 % 256 AS STRING), '.',"
+        f" CAST({m} % 256 AS STRING))"
+    )
+
+
+# names whose Spark spelling differs (the same-spelling ES|QL functions —
+# REVERSE, REPEAT, BIT_LENGTH, CBRT, EXP, SIGNUM, ATAN2, SINH/COSH/TANH,
+# HYPOT, LOG, LOG10, POW, PI, E, SPACE, MD5 — pass through untouched)
+_FUNC_HANDLERS["BYTE_LENGTH"] = _h_rename("octet_length", 1)
+_FUNC_HANDLERS["TO_BASE64"] = _h_rename("base64", 1)
+_FUNC_HANDLERS["FROM_BASE64"] = lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
+_FUNC_HANDLERS["SHA256"] = lambda a: f"sha2({a[0]}, 256)"
+_FUNC_HANDLERS["SHA1"] = _h_rename("sha1", 1)
+_FUNC_HANDLERS["HASH"] = _h_hash
+_FUNC_HANDLERS["MV_SLICE"] = _h_mv_slice
+_FUNC_HANDLERS["MV_APPEND"] = _h_rename("concat", 2)
+_FUNC_HANDLERS["MV_ZIP"] = _h_mv_zip
+_FUNC_HANDLERS["MV_PERCENTILE"] = _h_mv_percentile
+_FUNC_HANDLERS["MV_PSERIES_WEIGHTED_SUM"] = _h_mv_pseries
+_FUNC_HANDLERS["IP_PREFIX"] = _h_ip_prefix
 _FUNC_RE = re.compile(r"(?<![\w.])(" + "|".join(_FUNC_HANDLERS) + r")\s*\(")
 
 
