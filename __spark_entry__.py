@@ -10584,6 +10584,87 @@ FROM m ORDER BY event_id
 """
 
 
+_SPAT_LAT = "(event_id % 160)::DOUBLE - 80.0 + 0.5"
+_SPAT_LON = "((event_id * 7) % 360)::DOUBLE - 180.0 + 0.5"
+
+
+def _esql_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL spatial scalars over WKT geo_points: TO_GEOPOINT, ST_X/ST_Y
+    (substring/split parse, no regex), ST_DISTANCE (haversine meters via
+    the shared portable SQL text st_distance_sql — bit parity by
+    construction), ST_GEOHASH (reuses operators/facets.geohash_sql, the
+    proven shared text)."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 19 == 0"
+        " | EVAL lat = TO_DOUBLE(event_id % 160) - 80.0 + 0.5,"
+        "   lon = TO_DOUBLE(event_id * 7 % 360) - 180.0 + 0.5"
+        " | EVAL p = TO_GEOPOINT(CONCAT('POINT (', TO_STRING(lon), ' ',"
+        "   TO_STRING(lat), ')'))"
+        " | EVAL gx = ST_X(p), gy = ST_Y(p),"
+        "   d = ST_DISTANCE(p, TO_GEOPOINT('POINT (10.0 20.0)')),"
+        "   gh = ST_GEOHASH(p, 5)"
+        " | KEEP event_id, gx, gy, d, gh | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.withColumn("d", _f4("d"))
+
+
+def _esql_spatial_sql() -> str:
+    from elasticsearch_assets_spark.operators.facets import geohash_sql
+    from elasticsearch_assets_spark.query.esql import st_distance_sql
+
+    d = st_distance_sql("lon", "lat", "10.0", "20.0")
+    gh = geohash_sql("lat", "lon", 5)
+    return f"""
+WITH b AS (
+  SELECT event_id, {_SPAT_LAT} AS lat, {_SPAT_LON} AS lon
+  FROM events WHERE event_id % 19 = 0
+)
+SELECT event_id, lon AS gx, lat AS gy,
+       floor({d} * 1e4 + 0.5) / 1e4 AS d,
+       {gh} AS gh
+FROM b ORDER BY event_id
+"""
+
+
+def _esql_spatial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL spatial aggregates: ST_CENTROID_AGG / ST_EXTENT_AGG per
+    event_type, unpacked back to numbers with ST_X/ST_Y and the BBOX
+    accessors (ST_XMIN/XMAX/YMAX/YMIN). The WKT round-trip through the
+    aggregate string is exact (shortest-repr double formatting)."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 11 == 0"
+        " | EVAL lat = TO_DOUBLE(event_id % 160) - 80.0 + 0.5,"
+        "   lon = TO_DOUBLE(event_id * 7 % 360) - 180.0 + 0.5"
+        " | EVAL p = CONCAT('POINT (', TO_STRING(lon), ' ', TO_STRING(lat), ')')"
+        " | STATS c = ST_CENTROID_AGG(p), e = ST_EXTENT_AGG(p) BY event_type"
+        " | EVAL cx = ST_X(c), cy = ST_Y(c), xmin = ST_XMIN(e),"
+        "   xmax = ST_XMAX(e), ymax = ST_YMAX(e), ymin = ST_YMIN(e)"
+        " | KEEP event_type, cx, cy, xmin, xmax, ymax, ymin"
+        " | SORT event_type",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.withColumn("cx", _f4("cx")).withColumn("cy", _f4("cy"))
+
+
+_ESQL_SPATIAL_AGG_SQL = f"""
+WITH b AS (
+  SELECT event_id, event_type, {_SPAT_LAT} AS lat, {_SPAT_LON} AS lon
+  FROM events WHERE event_id % 11 = 0
+)
+SELECT event_type,
+       floor(avg(lon) * 1e4 + 0.5) / 1e4 AS cx,
+       floor(avg(lat) * 1e4 + 0.5) / 1e4 AS cy,
+       min(lon) AS xmin, max(lon) AS xmax,
+       max(lat) AS ymax, min(lat) AS ymin
+FROM b GROUP BY event_type ORDER BY event_type
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -10875,6 +10956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_scalar_funcs3": _esql_scalar_funcs3,
         "esql_math_funcs": _esql_math_funcs,
         "esql_mv_funcs2": _esql_mv_funcs2,
+        "esql_spatial": _esql_spatial,
+        "esql_spatial_agg": _esql_spatial_agg,
         "disk_usage": _disk_usage,
         "term_suggest_modes": _term_suggest_modes,
         "cat_segments": _cat_segments,
@@ -11240,6 +11323,8 @@ FROM topk JOIN documents USING (doc_id)
         "esql_scalar_funcs3": _ESQL_SCALAR_FUNCS3_SQL,
         "esql_math_funcs": _ESQL_MATH_FUNCS_SQL,
         "esql_mv_funcs2": _ESQL_MV_FUNCS2_SQL,
+        "esql_spatial": _esql_spatial_sql(),
+        "esql_spatial_agg": _ESQL_SPATIAL_AGG_SQL,
         "disk_usage": _DISK_USAGE_SQL,
         "term_suggest_modes": _TERM_SUGGEST_MODES_SQL,
         "cat_segments": _CAT_SEGMENTS_SQL,

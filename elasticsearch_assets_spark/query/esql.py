@@ -596,6 +596,92 @@ def _h_ip_prefix(a: "list[str]") -> str:
     )
 
 
+# --- ES|QL spatial layer over WKT geo_point strings -----------------------
+# geo_point columns are WKT 'POINT (lon lat)' strings (the ES|QL text
+# encoding); parsing is substring/split arithmetic, no regex (portable,
+# no escaping divergence). Aggregates return WKT/BBOX strings; the
+# double->string->double round-trip is exact (shortest-repr), so chained
+# ST_X(ST_CENTROID_AGG(...)) stays bit-stable.
+
+def st_distance_sql(x1: str, y1: str, x2: str, y2: str) -> str:
+    """Haversine meters between (lon, lat) pairs as ONE engine-portable
+    SQL text (radians/sin/cos/asin/sqrt/pow only) — the same string runs
+    as the Spark column and the DuckDB oracle (bit parity by
+    construction, like operators/facets.geohash_sql). Mirrors
+    operators/geo.haversine_m (EARTH_RADIUS_M)."""
+    from elasticsearch_assets_spark.operators.geo import EARTH_RADIUS_M
+
+    a = (
+        f"(pow(sin((radians({y2}) - radians({y1})) / 2), 2)"
+        f" + cos(radians({y1})) * cos(radians({y2}))"
+        f" * pow(sin((radians({x2}) - radians({x1})) / 2), 2))"
+    )
+    return f"({2.0 * EARTH_RADIUS_M} * asin(sqrt({a})))"
+
+
+def _wkt_coord(p: str, idx: int) -> str:
+    # 'POINT (lon lat)' -> coordinate idx (1 = lon, 2 = lat)
+    body = f"substring({p}, 8, length({p}) - 8)"
+    return f"CAST(element_at(split({body}, ' '), {idx}) AS DOUBLE)"
+
+
+def _bbox_coord(e: str, idx: int) -> str:
+    # 'BBOX (minx, maxx, maxy, miny)' -> field idx
+    body = f"substring({e}, 7, length({e}) - 7)"
+    return f"CAST(element_at(split({body}, ', '), {idx}) AS DOUBLE)"
+
+
+def _h_st_distance(a: "list[str]") -> str:
+    if len(a) != 2:
+        raise ValueError("ST_DISTANCE takes (geo_point, geo_point)")
+    return st_distance_sql(
+        _wkt_coord(a[0], 1), _wkt_coord(a[0], 2),
+        _wkt_coord(a[1], 1), _wkt_coord(a[1], 2),
+    )
+
+
+def _h_st_centroid(a: "list[str]") -> str:
+    if len(a) != 1:
+        raise ValueError("ST_CENTROID_AGG takes 1 argument")
+    x, y = _wkt_coord(a[0], 1), _wkt_coord(a[0], 2)
+    return (
+        f"concat('POINT (', CAST(avg({x}) AS STRING), ' ',"
+        f" CAST(avg({y}) AS STRING), ')')"
+    )
+
+
+def _h_st_extent(a: "list[str]") -> str:
+    if len(a) != 1:
+        raise ValueError("ST_EXTENT_AGG takes 1 argument")
+    x, y = _wkt_coord(a[0], 1), _wkt_coord(a[0], 2)
+    return (
+        f"concat('BBOX (', CAST(min({x}) AS STRING), ', ',"
+        f" CAST(max({x}) AS STRING), ', ', CAST(max({y}) AS STRING), ', ',"
+        f" CAST(min({y}) AS STRING), ')')"
+    )
+
+
+def _h_st_geohash(a: "list[str]") -> str:
+    # ST_GEOHASH(point, precision): precision literal so the bit plan folds
+    from elasticsearch_assets_spark.operators.facets import geohash_sql
+
+    if len(a) != 2 or not re.match(r"^\d+$", a[1].strip()):
+        raise ValueError("ST_GEOHASH takes (geo_point, literal precision)")
+    return geohash_sql(_wkt_coord(a[0], 2), _wkt_coord(a[0], 1), int(a[1]))
+
+
+_FUNC_HANDLERS["TO_GEOPOINT"] = lambda a: f"({a[0]})"
+_FUNC_HANDLERS["ST_X"] = lambda a: _wkt_coord(a[0], 1)
+_FUNC_HANDLERS["ST_Y"] = lambda a: _wkt_coord(a[0], 2)
+_FUNC_HANDLERS["ST_XMIN"] = lambda a: _bbox_coord(a[0], 1)
+_FUNC_HANDLERS["ST_XMAX"] = lambda a: _bbox_coord(a[0], 2)
+_FUNC_HANDLERS["ST_YMAX"] = lambda a: _bbox_coord(a[0], 3)
+_FUNC_HANDLERS["ST_YMIN"] = lambda a: _bbox_coord(a[0], 4)
+_FUNC_HANDLERS["ST_DISTANCE"] = _h_st_distance
+_FUNC_HANDLERS["ST_CENTROID_AGG"] = _h_st_centroid
+_FUNC_HANDLERS["ST_EXTENT_AGG"] = _h_st_extent
+_FUNC_HANDLERS["ST_GEOHASH"] = _h_st_geohash
+
 # names whose Spark spelling differs (the same-spelling ES|QL functions —
 # REVERSE, REPEAT, BIT_LENGTH, CBRT, EXP, SIGNUM, ATAN2, SINH/COSH/TANH,
 # HYPOT, LOG, LOG10, POW, PI, E, SPACE, MD5 — pass through untouched)

@@ -122,3 +122,58 @@ def test_math_passthroughs(spark):
     assert r["lg"] == pytest.approx(3.0)
     assert r["sh"] == 0.0
     assert r["e"] == pytest.approx(math.e)
+
+
+# --- spatial layer (contract twins: esql_spatial / esql_spatial_agg) ------
+
+
+def test_st_distance_matches_geo_kernel(spark):
+    from elasticsearch_assets_spark.operators.geo import haversine_m
+    from pyspark.sql import functions as F
+
+    r = _one(
+        spark,
+        "ROW p = 'POINT (2.5 48.8)'"
+        " | EVAL d = ST_DISTANCE(p, TO_GEOPOINT('POINT (-0.1 51.5)'))",
+    )
+    df = spark.range(1).select(
+        haversine_m(F.lit(48.8), F.lit(2.5), 51.5, -0.1).alias("d")
+    )
+    assert r["d"] == pytest.approx(df.head()["d"], rel=1e-12)
+    # Paris -> London is ~344 km
+    assert 330_000 < r["d"] < 360_000
+
+
+def test_st_xy_and_geohash(spark):
+    r = _one(
+        spark,
+        "ROW p = 'POINT (-5.25 40.5)'"
+        " | EVAL x = ST_X(p), y = ST_Y(p), gh = ST_GEOHASH(p, 5)",
+    )
+    assert r["x"] == -5.25 and r["y"] == 40.5
+    # cross-check against the proven facet geohash expression
+    from elasticsearch_assets_spark.operators.facets import geohash_sql
+    from pyspark.sql import functions as F
+
+    ref = spark.range(1).select(
+        F.expr(geohash_sql("40.5", "-5.25", 5)).alias("gh")
+    ).head()["gh"]
+    assert r["gh"] == ref and len(r["gh"]) == 5
+    with pytest.raises(ValueError, match="literal"):
+        esql("ROW n = 3 | EVAL g = ST_GEOHASH('POINT (0 0)', n)", spark=spark)
+
+
+def test_centroid_and_extent_roundtrip(spark):
+    rows = esql(
+        "ROW x = array(0, 1, 2) | MV_EXPAND x"
+        " | EVAL p = CONCAT('POINT (', TO_STRING(TO_DOUBLE(x) * 10.0 - 5.0),"
+        "   ' ', TO_STRING(TO_DOUBLE(x) * 2.0 + 0.25), ')')"
+        " | STATS c = ST_CENTROID_AGG(p), e = ST_EXTENT_AGG(p)"
+        " | EVAL cx = ST_X(c), cy = ST_Y(c), x0 = ST_XMIN(e), x1 = ST_XMAX(e),"
+        "   y1 = ST_YMAX(e), y0 = ST_YMIN(e)",
+        spark=spark,
+    ).collect()
+    r = rows[0].asDict()
+    # lons -5, 5, 15 -> centroid 5; lats 0.25, 2.25, 4.25 -> centroid 2.25
+    assert r["cx"] == pytest.approx(5.0) and r["cy"] == pytest.approx(2.25)
+    assert (r["x0"], r["x1"], r["y1"], r["y0"]) == (-5.0, 15.0, 4.25, 0.25)
