@@ -10665,6 +10665,245 @@ FROM b GROUP BY event_type ORDER BY event_type
 """
 
 
+# rich URL for uri_parts: userinfo + multi-label host + PSL suffix + port
+# + extension + query + fragment, all doc_id-derived so the oracle
+# recomputes every part from the CONSTRUCTION, not by re-parsing
+_UP_URL_SQL = (
+    "'https://u' || (doc_id % 5) || '@www.site' || (doc_id % 50)"
+    " || '.co.uk:' || (8080 + doc_id % 3) || '/a/b/file' || (doc_id % 7)"
+    " || '.html?x=' || (doc_id % 11) || '&y=2#s' || (doc_id % 4)"
+)
+
+
+def _ingest_uri_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES uri_parts + registered_domain processors: URL decomposition via
+    the JVM parse_url kernel (scheme/domain/port/path/query/fragment/
+    user_info/extension), then PSL longest-suffix-match splitting the
+    host into top_level_domain / registered_domain / subdomain
+    (sinks/ingest.py; embedded deterministic PSL subset)."""
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    docs = (
+        load_sf_table(spark, sf_dir, "documents")
+        .where("doc_id % 13 = 0")
+        .withColumn("url", F.expr(_UP_URL_SQL))
+    )
+    out = run_pipeline(docs, [
+        {"uri_parts": {"field": "url"}},
+        {"registered_domain": {"field": "url_domain"}},
+    ], on_failure="fail")
+    return out.select(
+        "doc_id", "url_scheme", "url_domain", "url_port", "url_path",
+        "url_query", "url_fragment", "url_user_info", "url_extension",
+        "url_top_level_domain", "url_registered_domain", "url_subdomain",
+    ).orderBy("doc_id")
+
+
+_INGEST_URI_PARTS_SQL = """
+SELECT doc_id,
+       'https' AS url_scheme,
+       'www.site' || (doc_id % 50) || '.co.uk' AS url_domain,
+       (8080 + doc_id % 3)::INT AS url_port,
+       '/a/b/file' || (doc_id % 7) || '.html' AS url_path,
+       'x=' || (doc_id % 11) || '&y=2' AS url_query,
+       's' || (doc_id % 4) AS url_fragment,
+       'u' || (doc_id % 5) AS url_user_info,
+       'html' AS url_extension,
+       'co.uk' AS url_top_level_domain,
+       'site' || (doc_id % 50) || '.co.uk' AS url_registered_domain,
+       'www' AS url_subdomain
+FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id
+"""
+
+
+def _ingest_kv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kv + json processors: str_to_map pair splitting with
+    include_keys flattening, and schema-declared JSON parsing (schema is
+    REQUIRED — inference would be a second full pass at 100 TB)."""
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    ev = (
+        load_sf_table(spark, sf_dir, "events")
+        .where("event_id % 7 = 0")
+        .withColumn("qs", F.expr(
+            "'a=' || (event_id % 7) || ';b=' || event_type"
+            " || ';c=' || (user_id % 5)"
+        ))
+    )
+    out = run_pipeline(ev, [
+        {"json": {"field": "props", "schema": "k INT",
+                  "target_field": "props_o"}},
+        {"kv": {"field": "qs", "field_split": ";", "value_split": "=",
+                "include_keys": ["a", "c"], "prefix": "kv_"}},
+    ], on_failure="fail")
+    return out.select(
+        "event_id", F.col("props_o.k").alias("pk"), "kv_a", "kv_c"
+    ).orderBy("event_id")
+
+
+_INGEST_KV_JSON_SQL = """
+SELECT event_id,
+       (props::JSON ->> 'k')::INT AS pk,
+       (event_id % 7)::VARCHAR AS kv_a,
+       (user_id % 5)::VARCHAR AS kv_c
+FROM events WHERE event_id % 7 = 0 ORDER BY event_id
+"""
+
+
+def _ingest_net_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES network_direction (CIDR membership via the ES|QL block compiler
+    — masks fold to integer ranges) + date_index_name (resolved
+    prefix + truncated-date name, the processor form of the
+    time-series index selector)."""
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    ev = (
+        load_sf_table(spark, sf_dir, "events")
+        .where("event_id % 11 = 0")
+        .withColumn("src_ip", F.expr(
+            "CASE WHEN event_id % 4 < 2 THEN"
+            " '10.1.' || (event_id % 200) || '.' || (user_id % 250)"
+            " ELSE '172.32.' || (event_id % 200) || '.' || (user_id % 250)"
+            " END"
+        ))
+        .withColumn("dst_ip", F.expr(
+            "CASE WHEN event_id % 3 = 0 THEN"
+            " '192.168.' || (event_id % 250) || '.9'"
+            " ELSE '8.8.' || (event_id % 250) || '.9' END"
+        ))
+    )
+    out = run_pipeline(ev, [
+        {"network_direction": {
+            "source_ip": "src_ip", "destination_ip": "dst_ip",
+            "internal_networks": ["10.0.0.0/8", "192.168.0.0/16"],
+        }},
+        {"date_index_name": {
+            "field": "ts", "date_rounding": "M",
+            "index_name_prefix": "ev-", "index_name_format": "yyyy-MM",
+        }},
+    ], on_failure="fail")
+    return out.select(
+        "event_id", "network_direction", F.col("_index").alias("idx")
+    ).orderBy("event_id")
+
+
+_INGEST_NET_DIR_SQL = """
+SELECT event_id,
+       CASE WHEN event_id % 4 < 2 AND event_id % 3 = 0 THEN 'internal'
+            WHEN event_id % 4 < 2 THEN 'outbound'
+            WHEN event_id % 3 = 0 THEN 'inbound'
+            ELSE 'external' END AS network_direction,
+       'ev-' || strftime(date_trunc('month', ts), '%Y-%m') AS idx
+FROM events WHERE event_id % 11 = 0 ORDER BY event_id
+"""
+
+
+def _ingest_bytes_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bytes (unit suffix -> long, ES floor semantics) + html_strip
+    (tag removal + common entities) + csv (no-quote split path, trim) +
+    append (array promote + order-stable dedup) processors."""
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    ev = (
+        load_sf_table(spark, sf_dir, "events")
+        .where("event_id % 17 = 0")
+        .withColumn("sz", F.expr(
+            "CASE event_id % 4 WHEN 0 THEN '512b' WHEN 1 THEN '2kb'"
+            " WHEN 2 THEN '1.5MB' ELSE '3 gb' END"
+        ))
+        .withColumn("html", F.expr(
+            "'<p>Hello &amp; <b>' || event_type || '</b></p><br/>'"
+        ))
+        .withColumn("line", F.expr(
+            "event_id || ', ' || event_type || ' ,x'"
+        ))
+    )
+    out = run_pipeline(ev, [
+        {"bytes": {"field": "sz", "target_field": "sz_b"}},
+        {"html_strip": {"field": "html", "target_field": "text_plain"}},
+        {"csv": {"field": "line", "target_fields": ["c1", "c2", "c3"],
+                 "trim": True}},
+        {"append": {"field": "tags", "value": ["a", "b", "a"],
+                    "allow_duplicates": False}},
+    ], on_failure="fail")
+    return out.select(
+        "event_id", "sz_b", "text_plain", "c1", "c2", "c3",
+        F.array_join("tags", "|").alias("tags"),
+    ).orderBy("event_id")
+
+
+_INGEST_BYTES_HTML_SQL = """
+SELECT event_id,
+       CASE event_id % 4 WHEN 0 THEN 512 WHEN 1 THEN 2048
+            WHEN 2 THEN 1572864 ELSE 3221225472 END::BIGINT AS sz_b,
+       'Hello & ' || event_type AS text_plain,
+       event_id::VARCHAR AS c1, event_type AS c2, 'x' AS c3,
+       'a|b' AS tags
+FROM events WHERE event_id % 17 = 0 ORDER BY event_id
+"""
+
+
+_UA_CASES = [
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+     " (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+     ("Chrome", "120.0.0.0", "Windows", "Desktop")),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15"
+     " (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+     ("Safari", "17.1", "macOS", "Desktop")),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101"
+     " Firefox/119.0",
+     ("Firefox", "119.0", "Linux", "Desktop")),
+    ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36"
+     " (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
+     ("Chrome", "120.0.6099.43", "Android", "Mobile")),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+     " (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+     " Edg/120.0.2210.91",
+     ("Edge", "120.0.2210.91", "Windows", "Desktop")),
+]
+
+
+def _ingest_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES user_agent processor: browser family/version, OS, device class
+    via deterministic regexp CASE chains over the major families (the
+    uap-core regex db is a declared out-of-scope subset, like the PSL).
+    The oracle maps each constructed UA back to its expected parse."""
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    ua_case = "CASE event_id % 5 " + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, (s, _) in enumerate(_UA_CASES)
+    ) + " END"
+    ev = (
+        load_sf_table(spark, sf_dir, "events")
+        .where("event_id % 19 = 0")
+        .withColumn("ua", F.expr(ua_case))
+    )
+    out = run_pipeline(
+        ev, [{"user_agent": {"field": "ua"}}], on_failure="fail"
+    )
+    return out.select(
+        "event_id", "user_agent_name", "user_agent_version",
+        "user_agent_os", "user_agent_device",
+    ).orderBy("event_id")
+
+
+def _ingest_user_agent_sql() -> str:
+    def case(idx: int) -> str:
+        return "CASE event_id % 5 " + " ".join(
+            f"WHEN {i} THEN '{exp[idx]}'"
+            for i, (_, exp) in enumerate(_UA_CASES)
+        ) + " END"
+
+    return f"""
+SELECT event_id,
+       {case(0)} AS user_agent_name,
+       {case(1)} AS user_agent_version,
+       {case(2)} AS user_agent_os,
+       {case(3)} AS user_agent_device
+FROM events WHERE event_id % 19 = 0 ORDER BY event_id
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -10958,6 +11197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_mv_funcs2": _esql_mv_funcs2,
         "esql_spatial": _esql_spatial,
         "esql_spatial_agg": _esql_spatial_agg,
+        "ingest_uri_parts": _ingest_uri_parts,
+        "ingest_kv_json": _ingest_kv_json,
+        "ingest_net_dir": _ingest_net_dir,
+        "ingest_bytes_html": _ingest_bytes_html,
+        "ingest_user_agent": _ingest_user_agent,
         "disk_usage": _disk_usage,
         "term_suggest_modes": _term_suggest_modes,
         "cat_segments": _cat_segments,
@@ -11325,6 +11569,11 @@ FROM topk JOIN documents USING (doc_id)
         "esql_mv_funcs2": _ESQL_MV_FUNCS2_SQL,
         "esql_spatial": _esql_spatial_sql(),
         "esql_spatial_agg": _ESQL_SPATIAL_AGG_SQL,
+        "ingest_uri_parts": _INGEST_URI_PARTS_SQL,
+        "ingest_kv_json": _INGEST_KV_JSON_SQL,
+        "ingest_net_dir": _INGEST_NET_DIR_SQL,
+        "ingest_bytes_html": _INGEST_BYTES_HTML_SQL,
+        "ingest_user_agent": _ingest_user_agent_sql(),
         "disk_usage": _DISK_USAGE_SQL,
         "term_suggest_modes": _TERM_SUGGEST_MODES_SQL,
         "cat_segments": _CAT_SEGMENTS_SQL,

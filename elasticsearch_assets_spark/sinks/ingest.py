@@ -233,7 +233,302 @@ def _apply(df: DataFrame, ptype: str, cfg: dict) -> DataFrame:
     if ptype == "drop":
         cond = _req(cfg, "if", "drop")
         return df.where(~F.coalesce(F.expr(cond), F.lit(False)))
+    if ptype == "json":
+        # ES json processor infers the object shape; Spark requires the
+        # schema up front (schema-on-read inference is a second full pass
+        # at 100 TB) — `schema` is REQUIRED, e.g. "k INT, tag STRING"
+        field = _req(cfg, "field", "json")
+        schema = _req(cfg, "schema", "json")
+        if not _have(df, cfg, field, "json"):
+            return df
+        # PERMISSIVE from_json returns a null-FIELDED struct on malformed
+        # input, never NULL — route the raw text into a corrupt-record
+        # field so "cannot parse" is detectable without a second pass
+        full = F.from_json(
+            F.col(field), f"{schema}, _corrupt_record STRING",
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": "_corrupt_record"},
+        )
+        bad = full.getField("_corrupt_record").isNotNull()
+        df = _tag_error(df, bad, f"json: cannot parse {field}")
+        parsed = F.when(~bad, full.dropFields("_corrupt_record"))
+        return _gate(df, cfg, cfg.get("target_field", field), parsed)
+    if ptype == "kv":
+        # ES kv: split "a=1 b=2" pairs into fields. One str_to_map JVM
+        # expression; include_keys materializes <prefix><key> columns
+        # (ES's target_field-as-object, flattened — the engine's column
+        # model), exclude_keys drops map entries.
+        field = _req(cfg, "field", "kv")
+        if not _have(df, cfg, field, "kv"):
+            return df
+        fs = _req(cfg, "field_split", "kv")
+        vs = _req(cfg, "value_split", "kv")
+        from elasticsearch_assets_spark.query.esql import _re_escape
+
+        m = F.expr(
+            f"str_to_map({field}, '{_re_escape(fs)}', '{_re_escape(vs)}')"
+        )
+        if cfg.get("exclude_keys"):
+            m = F.map_filter(m, lambda k, v: ~k.isin(*cfg["exclude_keys"]))
+        prefix = cfg.get("prefix", "")
+        if "include_keys" in cfg:
+            for k in cfg["include_keys"]:
+                df = df.withColumn(prefix + k, m.getItem(k))
+            return df
+        return _gate(df, cfg, cfg.get("target_field", field), m)
+    if ptype == "uri_parts":
+        # ES uri_parts -> url.* fields. parse_url is the JVM kernel
+        # (whole-stage codegen); extension comes off the path.
+        field = _req(cfg, "field", "uri_parts")
+        if not _have(df, cfg, field, "uri_parts"):
+            return df
+        u = F.col(field).cast("string")
+        prefix = cfg.get("target_field", "url") + "_"
+        parts = {
+            "scheme": F.parse_url(u, F.lit("PROTOCOL")),
+            "domain": F.parse_url(u, F.lit("HOST")),
+            "path": F.parse_url(u, F.lit("PATH")),
+            "query": F.parse_url(u, F.lit("QUERY")),
+            "fragment": F.parse_url(u, F.lit("REF")),
+            "user_info": F.parse_url(u, F.lit("USERINFO")),
+            # F.get, not getItem: no-port authorities split to one
+            # element and strict mode makes [1] an error, not NULL
+            "port": F.get(
+                F.split(F.parse_url(u, F.lit("AUTHORITY")), ":"), F.lit(1)
+            ).try_cast("int"),
+            "extension": F.nullif(
+                F.regexp_extract(
+                    F.parse_url(u, F.lit("PATH")), r"\.([^./]+)$", 1
+                ),
+                F.lit(""),
+            ),
+        }
+        for name, col in parts.items():
+            df = df.withColumn(prefix + name, col)
+        return df
+    if ptype == "registered_domain":
+        # ES registered_domain uses the public suffix list; the embedded
+        # default is a small deterministic PSL subset (override with
+        # cfg["suffixes"], longest-match-first like the PSL algorithm)
+        field = _req(cfg, "field", "registered_domain")
+        if not _have(df, cfg, field, "registered_domain"):
+            return df
+        suffixes = cfg.get("suffixes", _PSL_SUBSET)
+        host = F.col(field)
+        prefix = cfg.get("target_field", "url") + "_"
+        tld = F.lit(None).cast("string")
+        for s in sorted(suffixes, key=len):  # longest checked LAST wins
+            tld = F.when(
+                host.endswith("." + s) | (host == s), F.lit(s)
+            ).otherwise(tld)
+        # registered domain = last label before the suffix + the suffix
+        stem = F.expr(
+            f"substring({field}, 1, length({field}) - length(_rd_tld) - 1)"
+        )
+        df = df.withColumn("_rd_tld", tld)
+        reg = F.when(
+            tld.isNotNull() & (F.col("_rd_tld") != host) & (stem != ""),
+            F.concat(F.element_at(F.split(stem, r"\."), -1),
+                     F.lit("."), F.col("_rd_tld")),
+        )
+        sub = F.when(
+            reg.isNotNull()
+            & (F.length(host) > F.length(reg)),
+            F.expr(
+                f"substring({field}, 1,"
+                f" length({field}) - length(_rd_reg) - 1)"
+            ),
+        )
+        df = df.withColumn("_rd_reg", reg)
+        df = (
+            df.withColumn(prefix + "top_level_domain", F.col("_rd_tld"))
+            .withColumn(prefix + "registered_domain", F.col("_rd_reg"))
+            .withColumn(prefix + "subdomain", sub)
+            .drop("_rd_tld", "_rd_reg")
+        )
+        return df
+    if ptype == "network_direction":
+        # direction from source/destination membership in the internal
+        # CIDR set — reuses the ES|QL CIDR compiler so the blocks fold
+        # to integer ranges (one pushed-down predicate per side)
+        from elasticsearch_assets_spark.query.esql import _h_cidr_match
+
+        src = _req(cfg, "source_ip", "network_direction")
+        dst = _req(cfg, "destination_ip", "network_direction")
+        nets = _req(cfg, "internal_networks", "network_direction")
+        blocks = [f"'{b}'" for b in nets]
+        s_in = F.expr(_h_cidr_match([src] + blocks))
+        d_in = F.expr(_h_cidr_match([dst] + blocks))
+        direction = (
+            F.when(s_in & d_in, F.lit("internal"))
+            .when(s_in, F.lit("outbound"))
+            .when(d_in, F.lit("inbound"))
+            .otherwise(F.lit("external"))
+        )
+        return _gate(df, cfg, cfg.get("target_field", "network_direction"),
+                     direction)
+    if ptype == "date_index_name":
+        # resolved index name: prefix + date_format(trunc(rounding, ts))
+        field = _req(cfg, "field", "date_index_name")
+        if not _have(df, cfg, field, "date_index_name"):
+            return df
+        rounding = _req(cfg, "date_rounding", "date_index_name")
+        trunc_unit = {
+            "y": "year", "M": "month", "w": "week", "d": "day",
+            "h": "hour", "m": "minute", "s": "second",
+        }.get(rounding)
+        if trunc_unit is None:
+            raise ValueError(
+                f"date_index_name: date_rounding must be y/M/w/d/h/m/s,"
+                f" got {rounding!r}"
+            )
+        fmt = cfg.get("index_name_format", "yyyy-MM-dd")
+        name = F.concat(
+            F.lit(cfg.get("index_name_prefix", "")),
+            F.date_format(F.date_trunc(trunc_unit, F.col(field)), fmt),
+        )
+        return _gate(df, cfg, cfg.get("target_field", "_index"), name)
+    if ptype == "bytes":
+        # "1.5kb" -> 1536 (b/kb/mb/gb/tb/pb, case-insensitive, ES floors
+        # the final value to a long)
+        field = _req(cfg, "field", "bytes")
+        if not _have(df, cfg, field, "bytes"):
+            return df
+        s = F.lower(F.trim(F.col(field)))
+        num = F.regexp_extract(s, r"^([0-9.]+)\s*(b|kb|mb|gb|tb|pb)$", 1)
+        unit = F.regexp_extract(s, r"^([0-9.]+)\s*(b|kb|mb|gb|tb|pb)$", 2)
+        mult = (
+            F.when(unit == "b", F.lit(1))
+            .when(unit == "kb", F.lit(1024))
+            .when(unit == "mb", F.lit(1024 ** 2))
+            .when(unit == "gb", F.lit(1024 ** 3))
+            .when(unit == "tb", F.lit(1024 ** 4))
+            .when(unit == "pb", F.lit(1024 ** 5))
+        )
+        val = F.floor(num.try_cast("double") * mult).cast("bigint")
+        df = _tag_error(
+            df, F.col(field).isNotNull() & val.isNull(),
+            f"bytes: cannot parse {field}",
+        )
+        return _gate(df, cfg, cfg.get("target_field", field), val)
+    if ptype == "html_strip":
+        # Lucene HTMLStripCharFilter approximation: drop tags, decode the
+        # common entities (the full entity table is out of scope)
+        field = _req(cfg, "field", "html_strip")
+        if not _have(df, cfg, field, "html_strip"):
+            return df
+        col = F.regexp_replace(F.col(field), r"<[^>]*>", "")
+        for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+            col = F.replace(col, F.lit(ent), F.lit(ch))
+        return _gate(df, cfg, cfg.get("target_field", field), col)
+    if ptype == "csv":
+        # ES csv processor: one delimited line -> target_fields. The
+        # no-quote fast path is a split projection; quoted input needs
+        # the file-level reader (sources/files.py), declared out of scope
+        field = _req(cfg, "field", "csv")
+        if not _have(df, cfg, field, "csv"):
+            return df
+        targets = _req(cfg, "target_fields", "csv")
+        if cfg.get("quote") not in (None, ""):
+            raise ValueError(
+                "csv processor: quoted values need the file reader"
+                " (sources/files.py); quote must be empty"
+            )
+        from elasticsearch_assets_spark.query.esql import _re_escape
+
+        sep = _re_escape(cfg.get("separator", ","))
+        parts = F.split(F.col(field), sep)
+        arity_ok = F.size(parts) >= len(targets)
+        df = _tag_error(
+            df, F.col(field).isNotNull() & ~arity_ok,
+            f"csv: fewer than {len(targets)} fields in {field}",
+        )
+        trim = cfg.get("trim", False)
+        for i, t in enumerate(targets):
+            v = F.get(parts, F.lit(i))  # NULL (not error) on short lines
+            df = df.withColumn(t, F.trim(v) if trim else v)
+        return df
+    if ptype == "append":
+        # ES append: target becomes an array; scalars promote, existing
+        # arrays extend; allow_duplicates=False dedups (order-stable)
+        field = _req(cfg, "field", "append")
+        values = _req(cfg, "value", "append")
+        values = values if isinstance(values, list) else [values]
+        lits = F.array(*[F.lit(v) for v in values])
+        if field in df.columns:
+            base = df.schema[field].dataType.typeName()
+            cur = (
+                F.col(field) if base == "array"
+                else F.array(F.col(field))
+            )
+            new = F.concat(cur, lits)
+        else:
+            new = lits
+        if not cfg.get("allow_duplicates", True):
+            new = F.array_distinct(new)
+        return _gate(df, cfg, field, new)
+    if ptype == "user_agent":
+        # minimal deterministic UA parser: browser family + version, OS,
+        # device class — regexp CASE chains over the major families (the
+        # full uap-core regex db is out of scope; same declared-subset
+        # contract as the PSL above)
+        field = _req(cfg, "field", "user_agent")
+        if not _have(df, cfg, field, "user_agent"):
+            return df
+        ua = F.col(field)
+        prefix = cfg.get("target_field", "user_agent") + "_"
+        def named(pattern: str, name: str):
+            return F.when(ua.rlike(pattern), F.lit(name))
+        browser = F.coalesce(
+            named(r"Edg/", "Edge"),
+            named(r"OPR/", "Opera"),
+            named(r"Chrome/", "Chrome"),
+            named(r"Firefox/", "Firefox"),
+            named(r"Safari/", "Safari"),
+            F.lit("Other"),
+        )
+        version = (
+            F.when(browser == "Edge",
+                   F.regexp_extract(ua, r"Edg/([0-9.]+)", 1))
+            .when(browser == "Opera",
+                  F.regexp_extract(ua, r"OPR/([0-9.]+)", 1))
+            .when(browser == "Chrome",
+                  F.regexp_extract(ua, r"Chrome/([0-9.]+)", 1))
+            .when(browser == "Firefox",
+                  F.regexp_extract(ua, r"Firefox/([0-9.]+)", 1))
+            .when(browser == "Safari",
+                  F.regexp_extract(ua, r"Version/([0-9.]+)", 1))
+        )
+        os_name = F.coalesce(
+            named(r"Windows NT", "Windows"),
+            named(r"Android", "Android"),
+            named(r"(iPhone|iPad) OS|iOS", "iOS"),
+            named(r"Mac OS X", "macOS"),
+            named(r"Linux", "Linux"),
+            F.lit("Other"),
+        )
+        device = F.coalesce(
+            named(r"iPad|Tablet", "Tablet"),
+            named(r"Mobile|iPhone|Android", "Mobile"),
+            F.lit("Desktop"),
+        )
+        return (
+            df.withColumn(prefix + "name", browser)
+            .withColumn(prefix + "version", F.nullif(version, F.lit("")))
+            .withColumn(prefix + "os", os_name)
+            .withColumn(prefix + "device", device)
+        )
     raise ValueError(f"unknown ingest processor {ptype!r}")
+
+
+# deterministic public-suffix subset for registered_domain (the real PSL
+# is ~9k rules; the embedded default keeps behavior reproducible offline,
+# override with cfg["suffixes"])
+_PSL_SUBSET = [
+    "com", "org", "net", "io", "edu", "gov", "dev",
+    "co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br",
+]
 
 
 def simulate_pipeline(

@@ -108,3 +108,103 @@ def test_simulate_roundtrip(spark):
     ])
     assert out[0]["uid"] == 7 and out[0]["etype"] == "click"
     assert out[1]["uid"] == 9 and out[1]["etype"] == "view"
+
+
+def test_json_schema_required_and_error_tag(spark):
+    df = spark.createDataFrame(
+        [("a", '{"k": 3}'), ("b", "{not json"), ("c", None)],
+        "id string, payload string",
+    )
+    with pytest.raises(ValueError, match="json"):
+        run_pipeline(df, [{"json": {"field": "payload"}}])
+    out = {r["id"]: r for r in run_pipeline(df, [
+        {"json": {"field": "payload", "schema": "k INT",
+                  "target_field": "o"}},
+    ]).collect()}
+    assert out["a"]["o"]["k"] == 3
+    assert out["b"]["o"] is None and "json" in out["b"][ERROR_COL]
+    assert out["c"][ERROR_COL] is None  # null input is not a parse error
+
+
+def test_kv_exclude_and_map_target(spark):
+    df = spark.createDataFrame([("a", "x=1&y=2&z=3")], "id string, qs string")
+    out = run_pipeline(df, [
+        {"kv": {"field": "qs", "field_split": "&", "value_split": "=",
+                "exclude_keys": ["y"], "target_field": "m"}},
+    ]).collect()[0]
+    assert out["m"] == {"x": "1", "z": "3"}
+
+
+def test_uri_parts_missing_components_null(spark):
+    df = spark.createDataFrame(
+        [("a", "https://example.com/plain")], "id string, url string",
+    )
+    r = run_pipeline(df, [{"uri_parts": {"field": "url"}}]).collect()[0]
+    assert r["url_domain"] == "example.com" and r["url_path"] == "/plain"
+    for c in ("url_port", "url_query", "url_fragment", "url_user_info",
+              "url_extension"):
+        assert r[c] is None, c
+
+
+def test_registered_domain_edges(spark):
+    df = spark.createDataFrame(
+        [("a", "co.uk"), ("b", "site.co.uk"), ("c", "localhost")],
+        "id string, host string",
+    )
+    out = {r["id"]: r for r in run_pipeline(
+        df, [{"registered_domain": {"field": "host"}}]
+    ).collect()}
+    # host IS the suffix: tld set, no registered domain / subdomain
+    assert out["a"]["url_top_level_domain"] == "co.uk"
+    assert out["a"]["url_registered_domain"] is None
+    assert out["b"]["url_registered_domain"] == "site.co.uk"
+    assert out["b"]["url_subdomain"] is None
+    # unknown suffix: everything null
+    assert out["c"]["url_top_level_domain"] is None
+    assert out["c"]["url_registered_domain"] is None
+
+
+def test_bytes_and_csv_error_tags(spark):
+    df = spark.createDataFrame(
+        [("a", "1.5kb", "1,2,3"), ("b", "weird", "only,two")],
+        "id string, sz string, line string",
+    )
+    out = {r["id"]: r for r in run_pipeline(df, [
+        {"bytes": {"field": "sz", "target_field": "n"}},
+        {"csv": {"field": "line", "target_fields": ["c1", "c2", "c3"]}},
+    ]).collect()}
+    assert out["a"]["n"] == 1536 and out["a"]["c3"] == "3"
+    assert out["b"]["n"] is None
+    # first failing processor wins the tag (ES aborts the doc's pipeline)
+    assert "bytes" in out["b"][ERROR_COL]
+    assert out["b"]["c3"] is None  # short line -> NULL, not an index error
+    with pytest.raises(ValueError, match="quote"):
+        run_pipeline(df, [{"csv": {"field": "line", "quote": '"',
+                                   "target_fields": ["a"]}}])
+
+
+def test_date_index_name_bad_rounding(spark, df):
+    with pytest.raises(ValueError, match="date_rounding"):
+        run_pipeline(df, [{"date_index_name": {
+            "field": "day", "date_rounding": "q"}}])
+
+
+def test_append_promote_extend_dedup(spark):
+    df = spark.createDataFrame([("a", "t0")], "id string, tag string")
+    r1 = run_pipeline(df, [
+        {"append": {"field": "tag", "value": "t1"}},
+        {"append": {"field": "tag", "value": ["t0", "t2"],
+                    "allow_duplicates": False}},
+        {"append": {"field": "fresh", "value": "n"}},
+    ]).collect()[0]
+    assert r1["tag"] == ["t0", "t1", "t2"]
+    assert r1["fresh"] == ["n"]
+
+
+def test_user_agent_other_fallback(spark):
+    df = spark.createDataFrame([("a", "curl/8.4.0")], "id string, ua string")
+    r = run_pipeline(df, [{"user_agent": {"field": "ua"}}]).collect()[0]
+    assert r["user_agent_name"] == "Other"
+    assert r["user_agent_version"] is None
+    assert r["user_agent_os"] == "Other"
+    assert r["user_agent_device"] == "Desktop"
