@@ -10904,6 +10904,143 @@ FROM events WHERE event_id % 19 = 0 ORDER BY event_id
 """
 
 
+def _delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _delete_by_query: tombstone every live doc matching a query
+    (query/engine.py delete_by_query — matched ids through the tombstone
+    writer, stats untouched until compaction), then a follow-up search
+    excludes them under GLOBAL stats. Output carries the deleted count
+    alongside the post-delete ranking. The scratch index copy is rebuilt
+    every call so the count is the first-delete count (the API is
+    idempotent — second identical call deletes 0, unit-tested in
+    tests/test_round3d_ops.py)."""
+    import shutil
+
+    base = _docs_index(spark, sf_dir)
+    dbq_dir = _idx_dir(sf_dir, "_documents_dbq")
+    shutil.rmtree(dbq_dir, ignore_errors=True)
+    shutil.copytree(base.index_dir, dbq_dir)
+    idx = InvertedIndex(spark, dbq_dir)
+    n = idx.delete_by_query(["vector"], mode="or")
+    res = idx.search(["scan", "filter"], k=None, mode="or")
+    return res.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.lit(n).cast("bigint").alias("deleted"),
+    )
+
+
+_DELETE_BY_QUERY_SQL = f"""
+WITH {_bm25_body("term IN ('filter', 'scan')")},
+del AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'vector')
+SELECT doc_id, round(s, 4) AS score,
+       (SELECT count(*) FROM del)::BIGINT AS deleted
+FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM del)
+"""
+
+
+def _bm25_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_within: an occurrence of term(join) inside an ordered
+    near(spark, table, slop 7) span (query/engine.py search_span_within;
+    doc set equals span_containing over the same pair, emitted spans
+    differ — kernel contract in query/phrase.py)."""
+    idx = _docs_index_pos(spark, sf_dir)
+    out = idx.search_span_within(
+        ("term", "join"), ("near", "spark", "table", 7, True), k=None
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_BM25_SPAN_WITHIN_SQL = f"""
+WITH {_PTOKS_ONLY_CTE},
+{_bm25_body("term IN ('join', 'spark', 'table')")},
+m AS (
+  SELECT DISTINCT a.doc_id FROM ptoks a
+  JOIN ptoks b ON a.doc_id = b.doc_id
+  JOIN ptoks c ON c.doc_id = a.doc_id
+  WHERE a.term = 'spark' AND b.term = 'table' AND c.term = 'join'
+    AND b.pos > a.pos AND b.pos - a.pos <= 7
+    AND c.pos >= a.pos AND c.pos <= b.pos
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM m)
+"""
+
+
+_NAMED_CLAUSES = {
+    "big_joins": ["big", "join"],
+    "fast_scan": ["fast", "scan"],
+    "spark": ["spark"],
+}
+
+
+def _named_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES named queries (`_name` on bool clauses → per-hit
+    matched_queries): OR-BM25 over the union of clause terms; each hit
+    lists the names of clauses whose terms all match
+    (query/engine.py search_named — one pruned AND lookup per clause,
+    left-joined distributed; concat_ws('|') flattens the array with
+    identical NULL-skip semantics in both engines)."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search_named(_NAMED_CLAUSES, k=None)
+    return res.select(
+        "doc_id", F.round("score", 4).alias("score"), "matched_queries"
+    )
+
+
+def _named_queries_sql() -> str:
+    all_terms = sorted({t for ts in _NAMED_CLAUSES.values() for t in ts})
+    tlist = ", ".join(f"'{t}'" for t in all_terms)
+    clauses, cases = [], []
+    for i, name in enumerate(sorted(_NAMED_CLAUSES)):
+        terms = sorted(set(_NAMED_CLAUSES[name]))
+        cl = ", ".join(f"'{t}'" for t in terms)
+        clauses.append(
+            f"c{i} AS (SELECT doc_id FROM tf WHERE term IN ({cl})"
+            f" GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)})"
+        )
+        cases.append(
+            f"CASE WHEN doc_id IN (SELECT doc_id FROM c{i})"
+            f" THEN '{name}' END"
+        )
+    return f"""
+WITH {_bm25_body(f"term IN ({tlist})")},
+{", ".join(clauses)}
+SELECT doc_id, round(s, 4) AS score,
+       concat_ws('|', {", ".join(cases)}) AS matched_queries
+FROM scored
+"""
+
+
+_GEO_GRID_CELLS = ["2s", "u5"]
+
+
+def _geo_grid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_grid query (geohash form): filter events to two
+    precision-2 geohash cells (operators/geo.py geo_grid_filter — the
+    cell expression is the SAME SQL text as the geohash_grid agg and
+    ST_GEOHASH, so query/agg cell assignment is bit-identical; at scale
+    the persisted cell column makes this partition pruning)."""
+    from elasticsearch_assets_spark.operators.geo import geo_grid_filter
+
+    ev = _geo_events(spark, sf_dir)
+    out = geo_grid_filter(ev, "lat", "lon", 2, _GEO_GRID_CELLS)
+    return out.select("event_id", "lat", "lon").orderBy("event_id")
+
+
+def _geo_grid_query_sql() -> str:
+    from elasticsearch_assets_spark.operators.facets import geohash_sql
+
+    cell = geohash_sql("lat", "lon", 2)
+    in_list = ", ".join(f"'{c}'" for c in _GEO_GRID_CELLS)
+    return f"""
+WITH g AS (
+  SELECT event_id, ({_LAT_SQL})::DOUBLE AS lat, ({_LON_SQL})::DOUBLE AS lon
+  FROM events
+)
+SELECT event_id, lat, lon FROM g
+WHERE ({cell}) IN ({in_list}) ORDER BY event_id
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -11202,6 +11339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_net_dir": _ingest_net_dir,
         "ingest_bytes_html": _ingest_bytes_html,
         "ingest_user_agent": _ingest_user_agent,
+        "delete_by_query": _delete_by_query,
+        "bm25_span_within": _bm25_span_within,
+        "named_queries": _named_queries,
+        "geo_grid_query": _geo_grid_query,
         "disk_usage": _disk_usage,
         "term_suggest_modes": _term_suggest_modes,
         "cat_segments": _cat_segments,
@@ -11574,6 +11715,10 @@ FROM topk JOIN documents USING (doc_id)
         "ingest_net_dir": _INGEST_NET_DIR_SQL,
         "ingest_bytes_html": _INGEST_BYTES_HTML_SQL,
         "ingest_user_agent": _ingest_user_agent_sql(),
+        "delete_by_query": _DELETE_BY_QUERY_SQL,
+        "bm25_span_within": _BM25_SPAN_WITHIN_SQL,
+        "named_queries": _named_queries_sql(),
+        "geo_grid_query": _geo_grid_query_sql(),
         "disk_usage": _DISK_USAGE_SQL,
         "term_suggest_modes": _TERM_SUGGEST_MODES_SQL,
         "cat_segments": _CAT_SEGMENTS_SQL,

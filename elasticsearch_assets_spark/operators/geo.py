@@ -239,3 +239,22 @@ def envelope_relation_predicate(
     if all(isinstance(x, str) for x in cols):
         return F.expr(envelope_relation_sql(*cols, qbox, relation))
     raise ValueError("pass column NAMES so the one SQL text drives both engines")
+
+
+def geo_grid_filter(df, lat_col: str, lon_col: str, precision: int,
+                    cells: "list[str]"):
+    """ES geo_grid query (geohash form): keep rows whose precision-P
+    geohash cell is one of `cells`. The cell expression is the shared
+    SQL-text kernel (operators/facets.geohash_sql) that also drives the
+    geohash_grid agg and ST_GEOHASH, so query-vs-agg cell assignment is
+    bit-identical by construction. At 100 TB the cell is a natural
+    partition/bucket column: persisting it turns this filter into
+    partition pruning instead of a full scan (cf. the reference's
+    geo query support, elasticsearch_reader/index.js geo handling)."""
+    from elasticsearch_assets_spark.operators.facets import geohash_sql
+
+    if not cells:
+        raise ValueError("geo_grid_filter: cells must be non-empty")
+    cell = geohash_sql(lat_col, lon_col, precision)
+    in_list = ", ".join(f"'{c}'" for c in cells)
+    return df.where(F.expr(f"({cell}) IN ({in_list})"))

@@ -1445,6 +1445,41 @@ class InvertedIndex:
                 cols.append(F.col(c))
         return joined.select(*cols)
 
+    def search_named(
+        self, named: "dict[str, list[str]]", k: int | None = 10
+    ) -> DataFrame:
+        """ES named queries (`_name` on bool should clauses): score is
+        the OR-BM25 over the union of every clause's terms; each output
+        row carries `matched_queries` — the '|'-joined (name-sorted) list
+        of clauses whose terms ALL match the doc, ES's per-hit
+        matched_queries array flattened to the engine's column model.
+
+        Plan: one scored OR search plus one pruned AND posting lookup
+        per clause, left-joined on doc_id (clause match sets stay
+        distributed — no driver collect, broadcast left to AQE since a
+        clause can match most of a 100 TB corpus). concat_ws skips the
+        NULL flags, so the empty match list is '' in both engines."""
+        if not named:
+            raise ValueError("search_named: need at least one named clause")
+        all_terms = sorted({t for ts in named.values() for t in ts})
+        res = self.search(all_terms, k=None, mode="or")
+        flags = []
+        for name in sorted(named):
+            terms = sorted(set(named[name]))
+            flag_col = f"_m_{name}"
+            clause = (
+                self.search(terms, k=None, mode="and")
+                .select("doc_id")
+                .withColumn(flag_col, F.lit(True))
+            )
+            res = res.join(clause, "doc_id", "left")
+            flags.append(F.when(F.col(flag_col), F.lit(name)))
+        res = res.withColumn(
+            "matched_queries", F.concat_ws("|", *flags)
+        ).drop(*[f"_m_{n}" for n in sorted(named)])
+        ordered = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered.limit(k) if k is not None else ordered
+
     def analyze(
         self, text: str, filters: "list[str] | None" = None
     ) -> list[tuple[int, str]]:
