@@ -7857,6 +7857,92 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `WHERE QSTR(...)` (8.17 full-text functions): the Lucene
+    query-string compiler (query/lucene.py) runs inside the pipe —
+    analyzed field groups + structured fields in one string — composed
+    with a second `| WHERE` step (ES|QL's full-text functions are
+    restricted to WHERE; conjunction = chained Filter nodes, one
+    Catalyst plan)."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM documents"
+        " | WHERE QSTR('text:(spark AND join) OR lang:zh')"
+        " | WHERE n_chars >= 200"
+        " | STATS n = COUNT(*) BY source"
+        " | SORT source",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out
+
+
+_ESQL_QSTR_SQL = """
+WITH t AS (
+  SELECT source, lang, n_chars, string_split(text, ' ') AS tk FROM documents
+)
+SELECT n, source FROM (
+  SELECT source, count(*)::BIGINT AS n
+  FROM t
+  WHERE ((list_contains(tk, 'spark') AND list_contains(tk, 'join'))
+         OR lang = 'zh')
+    AND n_chars >= 200
+  GROUP BY source
+) ORDER BY source
+"""
+
+
+def _esql_kql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `WHERE KQL(...)`: KQL's lowercase word operators, spaced
+    colons, field groups, and bare comparators translate onto the
+    Lucene-subset AST (lucene.parse_kql) and compile to the same pushed
+    Column predicates."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        " | WHERE KQL('event_type: (click or view) and value >= 30.5')"
+        " | STATS n = COUNT(*), av = AVG(value) BY event_type"
+        " | SORT event_type",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("n", _f4("av").alias("av"), "event_type")
+
+
+_ESQL_KQL_SQL = """
+SELECT count(*)::BIGINT AS n,
+       floor(avg(value) * 1e4 + 0.5) / 1e4 AS av,
+       event_type
+FROM events
+WHERE (event_type = 'click' OR event_type = 'view') AND value >= 30.5
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _esql_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `WHERE MATCH_PHRASE(field, phrase)`: filter-context phrase
+    as the adjacency-regex plan (analyzed tokens adjacent in raw text,
+    tokenizer-contract analysis) — the same division as MATCH: ranked
+    phrase goes through InvertedIndex.search_phrase's positional
+    postings."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    return esql(
+        "FROM documents"
+        " | WHERE MATCH_PHRASE(text, 'hash join')"
+        " | KEEP doc_id, source"
+        " | SORT doc_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+
+
+_ESQL_MATCH_PHRASE_SQL = r"""
+SELECT doc_id, source FROM documents
+WHERE regexp_matches(text, '(?i)hash[^\p{L}\p{N}]+join')
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Batch 3v: query rules, _mtermvectors
 # ---------------------------------------------------------------------------
@@ -10473,6 +10559,89 @@ FROM events WHERE event_id % 17 = 0 ORDER BY event_id
 """
 
 
+def _esql_scalar_funcs4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth ES|QL function battery — angle conversions and fixed-point
+    rounding: TO_DEGREES, TO_RADIANS, COPY_SIGN, SCALB, ROUND_TO (round
+    down to nearest of literal points, clamp below the smallest), plus
+    the same-spelling passthroughs COALESCE / GREATEST / LEAST. All fold
+    to JVM column expressions; ROUND_TO's point array folds at compile
+    time."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 23 == 0"
+        " | EVAL x = TO_DOUBLE(event_id % 7) - 3.0"
+        " | EVAL dg = TO_DEGREES(x), rd = TO_RADIANS(x),"
+        "   cs = COPY_SIGN(3.5, x - 0.5), sb = SCALB(x, 3),"
+        "   rt = ROUND_TO(value, 0.0, 10.0, 100.0, 500.0),"
+        "   co = COALESCE(NULL, event_type, 'zz'),"
+        "   gr = GREATEST(event_id % 7, user_id % 5),"
+        "   ls = LEAST(event_id % 7, user_id % 5)"
+        " | KEEP event_id, dg, rd, cs, sb, rt, co, gr, ls"
+        " | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    for c in ["dg", "rd", "cs", "sb", "rt"]:
+        out = out.withColumn(c, _f4(c))
+    return out
+
+
+_ESQL_SCALAR_FUNCS4_SQL = """
+WITH b AS (
+  SELECT event_id, user_id, event_type, value,
+         (event_id % 7)::DOUBLE - 3.0 AS x
+  FROM events WHERE event_id % 23 = 0
+)
+SELECT event_id,
+       floor(degrees(x) * 1e4 + 0.5) / 1e4 AS dg,
+       floor(radians(x) * 1e4 + 0.5) / 1e4 AS rd,
+       CASE WHEN x - 0.5 < 0 THEN -3.5 ELSE 3.5 END AS cs,
+       floor(x * 8.0 * 1e4 + 0.5) / 1e4 AS sb,
+       floor(coalesce(
+         list_max(list_filter([0.0, 10.0, 100.0, 500.0]::DOUBLE[],
+                              v -> v <= value)),
+         0.0) * 1e4 + 0.5) / 1e4 AS rt,
+       coalesce(NULL, event_type, 'zz') AS co,
+       greatest(event_id % 7, user_id % 5) AS gr,
+       least(event_id % 7, user_id % 5) AS ls
+FROM b ORDER BY event_id
+"""
+
+
+def _esql_stats_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL STATS aggregate battery 3: PERCENTILE (0-100 scale; exact
+    linear interpolation == DuckDB quantile_cont, documented deviation
+    from ES's t-digest), MEDIAN, STD_DEV (population), VALUES (distinct
+    set, sorted for determinism), COUNT_DISTINCT — one hash-agg pass,
+    partial aggregation map-side."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        " | EVAL dec = user_id % 10"
+        " | STATS p90 = PERCENTILE(value, 90), md = MEDIAN(value),"
+        "   sd = STD_DEV(value), vs = VALUES(dec),"
+        "   cd = COUNT_DISTINCT(dec) BY event_type"
+        " | EVAL vss = array_join(transform(vs, x -> CAST(x AS STRING)), ',')"
+        " | KEEP event_type, p90, md, sd, vss, cd | SORT event_type",
+        spark=spark, sf_dir=sf_dir,
+    )
+    for c in ["p90", "md", "sd"]:
+        out = out.withColumn(c, _f4(c))
+    return out
+
+
+_ESQL_STATS_FUNCS2_SQL = """
+SELECT event_type,
+       floor(quantile_cont(value, 0.90) * 1e4 + 0.5) / 1e4 AS p90,
+       floor(quantile_cont(value, 0.50) * 1e4 + 0.5) / 1e4 AS md,
+       floor(stddev_pop(value) * 1e4 + 0.5) / 1e4 AS sd,
+       array_to_string(list_sort(list(DISTINCT user_id % 10)), ',') AS vss,
+       count(DISTINCT user_id % 10) AS cd
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _esql_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL math battery over a small deterministic integer-derived
     domain (x in [-3, 3] so EXP/SINH stay in range): CBRT, EXP, SIGNUM,
@@ -11330,6 +11499,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_envelope": _geo_shape_envelope,
         "esql_scalar_funcs2": _esql_scalar_funcs2,
         "esql_scalar_funcs3": _esql_scalar_funcs3,
+        "esql_scalar_funcs4": _esql_scalar_funcs4,
+        "esql_stats_funcs2": _esql_stats_funcs2,
+        "esql_qstr": _esql_qstr,
+        "esql_kql": _esql_kql,
+        "esql_match_phrase": _esql_match_phrase,
         "esql_math_funcs": _esql_math_funcs,
         "esql_mv_funcs2": _esql_mv_funcs2,
         "esql_spatial": _esql_spatial,
@@ -11706,6 +11880,11 @@ FROM topk JOIN documents USING (doc_id)
         "geo_shape_envelope": _geo_shape_envelope_sql(),
         "esql_scalar_funcs2": _ESQL_SCALAR_FUNCS2_SQL,
         "esql_scalar_funcs3": _ESQL_SCALAR_FUNCS3_SQL,
+        "esql_scalar_funcs4": _ESQL_SCALAR_FUNCS4_SQL,
+        "esql_stats_funcs2": _ESQL_STATS_FUNCS2_SQL,
+        "esql_qstr": _ESQL_QSTR_SQL,
+        "esql_kql": _ESQL_KQL_SQL,
+        "esql_match_phrase": _ESQL_MATCH_PHRASE_SQL,
         "esql_math_funcs": _ESQL_MATH_FUNCS_SQL,
         "esql_mv_funcs2": _ESQL_MV_FUNCS2_SQL,
         "esql_spatial": _esql_spatial_sql(),

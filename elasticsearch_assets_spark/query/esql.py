@@ -697,6 +697,49 @@ _FUNC_HANDLERS["MV_ZIP"] = _h_mv_zip
 _FUNC_HANDLERS["MV_PERCENTILE"] = _h_mv_percentile
 _FUNC_HANDLERS["MV_PSERIES_WEIGHTED_SUM"] = _h_mv_pseries
 _FUNC_HANDLERS["IP_PREFIX"] = _h_ip_prefix
+
+
+def _h_round_to(a: "list[str]") -> str:
+    # ES|QL ROUND_TO(field, p1, p2, ...): round DOWN to the nearest of the
+    # fixed points; values below every point clamp to the smallest point.
+    # Points are literals in every documented use, so both the array and
+    # the fallback min fold at compile time. Everything is promoted to
+    # DOUBLE (the literals would otherwise parse as DECIMAL — CLAUDE.md's
+    # cross-engine float gotcha).
+    if len(a) < 2:
+        raise ValueError("ROUND_TO takes (field, point, [point, ...])")
+    pts = ", ".join(f"CAST({p} AS DOUBLE)" for p in a[1:])
+    x = f"CAST({a[0]} AS DOUBLE)"
+    return (
+        f"coalesce(array_max(filter(array({pts}), v -> v <= {x})), "
+        f"array_min(array({pts})))"
+    )
+
+
+# math/trig conversions (Spark spells these degrees/radians)
+_FUNC_HANDLERS["TO_DEGREES"] = _h_rename("degrees", 1)
+_FUNC_HANDLERS["TO_RADIANS"] = _h_rename("radians", 1)
+# COPY_SIGN(magnitude, sign): Java Math.copySign minus the -0.0/NaN edge
+# (documented deviation; test domain is finite non-zero)
+_FUNC_HANDLERS["COPY_SIGN"] = lambda a: (
+    f"(CASE WHEN CAST({a[1]} AS DOUBLE) < 0 THEN -abs({a[0]}) "
+    f"ELSE abs({a[0]}) END)"
+)
+# SCALB(d, n) = d * 2^n (exact for the in-range integer n's ES|QL allows)
+_FUNC_HANDLERS["SCALB"] = lambda a: (
+    f"(CAST({a[0]} AS DOUBLE) * power(CAST(2.0 AS DOUBLE), {a[1]}))"
+)
+_FUNC_HANDLERS["ROUND_TO"] = _h_round_to
+# aggregate spellings (STATS bodies): PERCENTILE is 0-100 scaled; Spark's
+# percentile() is exact linear interpolation == DuckDB quantile_cont
+# (documented deviation from ES's t-digest approximation). STD_DEV is the
+# population form (ES std_deviation). VALUES returns the distinct set
+# sorted for determinism (ES documents the order as unspecified).
+_FUNC_HANDLERS["PERCENTILE"] = lambda a: (
+    f"percentile({a[0]}, CAST({a[1]} AS DOUBLE) / 100.0)"
+)
+_FUNC_HANDLERS["STD_DEV"] = _h_rename("stddev_pop", 1)
+_FUNC_HANDLERS["VALUES"] = lambda a: f"sort_array(collect_set({a[0]}))"
 _FUNC_RE = re.compile(r"(?<![\w.])(" + "|".join(_FUNC_HANDLERS) + r")\s*\(")
 
 
@@ -750,6 +793,63 @@ def _rewrite_like(text: str) -> str:
         return f"{m.group(1) or ''}RLIKE '^{body}$'"
 
     return re.sub(r"\b(NOT\s+)?LIKE\s+\"([^\"]*)\"", sub, text, flags=re.I)
+
+
+_FULLTEXT_RE = re.compile(
+    r"^\s*(QSTR|KQL|MATCH_PHRASE)\s*\((.*)\)\s*$", re.I | re.S
+)
+
+
+def _fulltext_filter(body: str):
+    """ES|QL full-text functions in WHERE (8.17+): QSTR (Lucene query
+    string), KQL, MATCH_PHRASE. ES restricts these to WHERE clauses; this
+    engine supports the single top-level call per WHERE — compose
+    conjunctions as chained `| WHERE` steps (each is one Catalyst Filter;
+    the plan is identical to an AND). Returns a Column, or None when the
+    body contains no full-text call (the SQL-text path handles it).
+
+    QSTR/KQL analyzed-field semantics follow the engine tokenizer
+    contract over the default `text` column, exactly like the standalone
+    query-string compiler (query/lucene.py). MATCH_PHRASE(col, phrase)
+    compiles to the adjacency-regex plan of the filter-context phrase
+    (positional-index-assisted RANKED phrase goes through
+    InvertedIndex.search_phrase — same division as MATCH vs METADATA
+    _score, documented)."""
+    m = _FULLTEXT_RE.match(body)
+    if m is None:
+        if re.search(r"(?<![\w.])(QSTR|KQL|MATCH_PHRASE)\s*\(", body, re.I):
+            raise ValueError(
+                "full-text functions (QSTR/KQL/MATCH_PHRASE) must be the "
+                "entire WHERE condition; compose with other predicates as "
+                "chained `| WHERE` steps"
+            )
+        return None
+    from elasticsearch_assets_spark.query.lucene import (
+        Phrase, compile_filter, parse_kql, parse_lucene,
+    )
+
+    fn = m.group(1).upper()
+    args = _split_commas(m.group(2))
+
+    def lit(s: str) -> str:
+        sm = re.match(r"^\s*(['\"])(.*)\1\s*$", s, re.S)
+        if not sm:
+            raise ValueError(f"{fn} needs a string literal, got {s!r}")
+        return sm.group(2)
+
+    if fn == "MATCH_PHRASE":
+        if len(args) != 2:
+            raise ValueError("MATCH_PHRASE takes (field, phrase)")
+        col = args[0].strip()
+        return compile_filter(
+            Phrase(field=col, value=lit(args[1])),
+            text_col=col, analyzed_fields={col},
+        )
+    if len(args) != 1:
+        raise ValueError(f"{fn} takes one query-string argument")
+    q = lit(args[0])
+    ast = parse_kql(q) if fn == "KQL" else parse_lucene(q)
+    return compile_filter(ast)
 
 
 def _expr(text: str) -> F.Column:
@@ -1133,7 +1233,11 @@ def esql(
                 )
             return df
         if kw == "WHERE":
-            df = df.where(_expr(body))
+            ft = _fulltext_filter(body)
+            if ft is not None:
+                df = df.where(ft)
+            else:
+                df = df.where(_expr(body))
         elif kw == "EVAL":
             for assign in _split_commas(body):
                 m = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", assign, re.S)

@@ -273,6 +273,67 @@ def parse_lucene(q: str):
     return _Parser(_tokenize_query(q)).parse()
 
 
+def parse_kql(q: str):
+    """Parse the KQL (Kibana Query Language) subset that maps onto the
+    Lucene-subset AST by spelling translation
+    (ref: /root/reference uses query strings; KQL is the ES|QL `KQL()`
+    function's dialect):
+
+    - lowercase word operators `and` / `or` / `not` (KQL's spelling) ->
+      uppercase Lucene operators,
+    - `field : value` with optional whitespace around the colon ->
+      `field:value` (KQL allows the space, Lucene's grammar does not),
+    - `field > 5` / `field >= 5` comparator spacing -> `field:>5`,
+    - quoted phrases, wildcards, parenthesized field groups
+      (`field: (a or b)`) pass through — the Lucene parser already
+      accepts those shapes.
+
+    Unsupported KQL-only constructs (nested-field `{}` syntax,
+    `field: *` existence shorthand) raise with guidance."""
+    if re.search(r"\{", q):
+        raise ValueError(
+            "KQL nested-field `{...}` syntax is not supported; flatten "
+            "the field path"
+        )
+    out = []
+    i, in_str = 0, False
+    while i < len(q):
+        ch = q[i]
+        if ch == '"':
+            in_str = not in_str
+            out.append(ch)
+            i += 1
+            continue
+        if in_str:
+            out.append(ch)
+            i += 1
+            continue
+        m = re.match(r"(and|or|not)(?![\w])", q[i:], re.I)
+        if m and (not out or not (out[-1].isalnum() or out[-1] in "._")):
+            out.append(m.group(1).upper())
+            i += len(m.group(1))
+            continue
+        m = re.match(r"\s*:\s*", q[i:])
+        if m and out and (out[-1].isalnum() or out[-1] in "._"):
+            out.append(":")
+            i += len(m.group(0))
+            continue
+        m = re.match(r"\s*(>=|<=|>|<)\s*", q[i:])
+        if m and out and (out[-1].isalnum() or out[-1] in "._"):
+            out.append(":" + m.group(1))
+            i += len(m.group(0))
+            continue
+        out.append(ch)
+        i += 1
+    s = "".join(out)
+    if re.search(r":\s*\*(?![\w?*])", s):
+        raise ValueError(
+            "KQL `field: *` existence shorthand is not supported; use "
+            "Lucene's `_exists_:field` via QSTR"
+        )
+    return parse_lucene(s)
+
+
 # ---------------------------------------------------------------------------
 # compiler: AST -> Spark Column predicate
 # ---------------------------------------------------------------------------

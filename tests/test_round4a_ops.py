@@ -1,0 +1,163 @@
+"""Round-3 session-7 batch: ES|QL function battery 4 (TO_DEGREES /
+TO_RADIANS / COPY_SIGN / SCALB / ROUND_TO), STATS battery 3 (PERCENTILE /
+STD_DEV / VALUES), and the 8.17 full-text WHERE functions (QSTR / KQL /
+MATCH_PHRASE) wired through the Lucene-subset compiler.
+
+Contract twins: esql_scalar_funcs4, esql_stats_funcs2, esql_qstr,
+esql_kql, esql_match_phrase.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from elasticsearch_assets_spark.query.esql import esql
+from elasticsearch_assets_spark.query.lucene import (
+    And, Cmp, Or, Term, parse_kql,
+)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        (0, "click", 5.0, "the quick brown fox"),
+        (1, "view", 25.0, "quick start guide"),
+        (2, "click", 120.0, "hash join plan"),
+        (3, "error", 600.0, "rehash join fallback"),
+        (4, "view", -3.0, "fox hash  join spaced"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, text string"
+    )
+
+
+# --- scalar battery 4 ------------------------------------------------------
+
+def test_degrees_radians_roundtrip(ev):
+    out = esql(
+        "FROM t | EVAL d = TO_DEGREES(PI()), r = TO_RADIANS(180.0)"
+        " | KEEP event_id, d, r | SORT event_id",
+        tables={"t": ev},
+    ).collect()
+    assert out[0].d == pytest.approx(180.0)
+    assert out[0].r == pytest.approx(math.pi)
+
+
+def test_copy_sign_and_scalb(ev):
+    out = esql(
+        "FROM t | EVAL c1 = COPY_SIGN(3.5, -2.0), c2 = COPY_SIGN(-3.5, 2.0),"
+        " s = SCALB(value, 2) | KEEP event_id, c1, c2, s | SORT event_id",
+        tables={"t": ev},
+    ).collect()
+    assert out[0].c1 == -3.5 and out[0].c2 == 3.5
+    assert out[0].s == 20.0 and out[4].s == -12.0
+
+
+def test_round_to_clamps_and_rounds_down(ev):
+    out = esql(
+        "FROM t | EVAL r = ROUND_TO(value, 0.0, 10.0, 100.0, 500.0)"
+        " | KEEP event_id, r | SORT event_id",
+        tables={"t": ev},
+    ).collect()
+    # 5 -> 0, 25 -> 10, 120 -> 100, 600 -> 500, -3 -> clamp to smallest
+    assert [r.r for r in out] == [0.0, 10.0, 100.0, 500.0, 0.0]
+
+
+def test_round_to_requires_points(ev):
+    with pytest.raises(ValueError, match="ROUND_TO"):
+        esql("FROM t | EVAL r = ROUND_TO(value)", tables={"t": ev})
+
+
+def test_stats_percentile_stddev_values(ev):
+    out = esql(
+        "FROM t | STATS p50 = PERCENTILE(value, 50), sd = STD_DEV(value),"
+        " vs = VALUES(event_type) | EVAL v = array_join(vs, ',')"
+        " | KEEP p50, sd, v",
+        tables={"t": ev},
+    ).collect()[0]
+    vals = [5.0, 25.0, 120.0, 600.0, -3.0]
+    mean = sum(vals) / 5
+    assert out.p50 == 25.0  # exact interpolation == the sorted middle
+    assert out.sd == pytest.approx(
+        math.sqrt(sum((v - mean) ** 2 for v in vals) / 5)
+    )
+    assert out.v == "click,error,view"  # distinct, sorted determinism
+
+
+# --- KQL translation -------------------------------------------------------
+
+def test_parse_kql_word_operators_and_spaced_colon():
+    ast = parse_kql("event_type : click and value >= 10")
+    assert ast == And(
+        children=(
+            Term(field="event_type", value="click"),
+            Cmp(field="value", op=">=", value="10"),
+        )
+    )
+
+
+def test_parse_kql_field_group_or():
+    ast = parse_kql("event_type: (click or view)")
+    assert ast == Or(
+        children=(
+            Term(field="event_type", value="click"),
+            Term(field="event_type", value="view"),
+        )
+    )
+
+
+def test_parse_kql_terms_starting_with_operator_words():
+    # "orange" / "android" must not be eaten by the or/and rewrites
+    ast = parse_kql("orange and android")
+    assert ast == And(
+        children=(Term(None, "orange"), Term(None, "android"))
+    )
+
+
+def test_parse_kql_rejects_nested_and_existence():
+    with pytest.raises(ValueError, match="nested-field"):
+        parse_kql("parent: { child: x }")
+    with pytest.raises(ValueError, match="existence"):
+        parse_kql("field: *")
+
+
+# --- full-text WHERE functions ---------------------------------------------
+
+def test_where_kql_filters(ev):
+    out = esql(
+        "FROM t | WHERE KQL('event_type: (click or view) and value >= 10')"
+        " | KEEP event_id | SORT event_id",
+        tables={"t": ev},
+    ).collect()
+    assert [r.event_id for r in out] == [1, 2]
+
+
+def test_where_qstr_analyzed_text(ev):
+    out = esql(
+        "FROM t | WHERE QSTR('text:(quick AND fox) OR event_type:error')"
+        " | KEEP event_id | SORT event_id",
+        tables={"t": ev},
+    ).collect()
+    assert [r.event_id for r in out] == [0, 3]
+
+
+def test_where_match_phrase_adjacency(ev):
+    out = esql(
+        "FROM t | WHERE MATCH_PHRASE(text, 'hash join')"
+        " | KEEP event_id | SORT event_id",
+        tables={"t": ev},
+    ).collect()
+    # matches the adjacent pair, the multi-space pair, AND the
+    # substring-boundary case (no word boundary in filter-context
+    # phrases — same contract as the query-string Phrase plan)
+    assert [r.event_id for r in out] == [2, 3, 4]
+
+
+def test_fulltext_must_be_whole_condition(ev):
+    with pytest.raises(ValueError, match="entire WHERE condition"):
+        esql(
+            "FROM t | WHERE QSTR('quick') AND value > 0",
+            tables={"t": ev},
+        )
