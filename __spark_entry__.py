@@ -1393,6 +1393,94 @@ ORDER BY sum(contrib) DESC, doc_id ASC LIMIT {_RRF_K}
 """
 
 
+def _retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.18 retriever TREE: rescorer( rrf(standard-bm25, knn) ) — the
+    inner rrf fuses BM25 top-20 for 'spark' with cosine-kNN top-20, the
+    wrapping rescorer re-ranks that 10-doc window by score + 0.01 *
+    ln(1 + n_chars) (operators/similarity.rescore_with). The window side
+    broadcasts; the corpus-sized feature table is window-restricted
+    before the join."""
+    idx = _docs_index(spark, sf_dir)
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    docs = load_sf_table(spark, sf_dir, "documents")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    bm = idx.search(["spark"], k=_RRF_N, mode="and")
+    knn = OS.cosine_topk(emb, qv, k=_RRF_N).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    fused = OS.rrf_fuse([bm, knn], k_const=_RRF_CONST, k=_RRF_K)
+    out = OS.rescore_with(
+        fused, docs, "log(1 + n_chars)", k=5, feature_weight=0.01
+    )
+    return out.select("doc_id", _f4("score").alias("score"))
+
+
+def _retriever_tree_sql() -> str:
+    chain = _mm_field_chain(
+        "b",
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents",
+        terms=["spark"],
+    )
+    return f"""
+WITH {chain},
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM bscored QUALIFY r <= {_RRF_N}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+knn AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+  FROM (SELECT a.vec_id, {_COS_AB} AS cos FROM embeddings a, q b)
+  QUALIFY r <= {_RRF_N}
+),
+u AS (
+  SELECT doc_id, 1.0 / ({_RRF_CONST} + r) AS contrib FROM bm
+  UNION ALL
+  SELECT doc_id, 1.0 / ({_RRF_CONST} + r) AS contrib FROM knn
+),
+fused AS (
+  SELECT doc_id, sum(contrib) AS score
+  FROM u GROUP BY doc_id
+  ORDER BY sum(contrib) DESC, doc_id ASC LIMIT {_RRF_K}
+)
+SELECT doc_id,
+       floor((f.score + 0.01 * ln(1 + d.n_chars)) * 1e4 + 0.5) / 1e4 AS score
+FROM fused f JOIN documents d USING (doc_id)
+ORDER BY (f.score + 0.01 * ln(1 + d.n_chars)) DESC, doc_id ASC LIMIT 5
+"""
+
+
+_SCROLL_SIZE = 100
+
+
+def _scroll_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scroll API: third 100-row batch of the lang='en' export in
+    (n_chars, doc_id) order — each batch is a pushed keyset filter +
+    TakeOrderedAndProject (sources/scroll.py), page N costing the same
+    scan as page 1 (never OFFSET's skip-and-discard)."""
+    from elasticsearch_assets_spark.sources.scroll import (
+        scroll_page, scroll_pages,
+    )
+
+    docs = load_sf_table(spark, sf_dir, "documents").where(
+        F.col("lang") == "en"
+    ).select("doc_id", "n_chars")
+    pages = scroll_pages(docs, ["n_chars", "doc_id"], _SCROLL_SIZE)
+    next(pages)
+    p2 = next(pages)
+    cursor = (p2[-1]["n_chars"], p2[-1]["doc_id"])
+    return scroll_page(
+        docs, ["n_chars", "doc_id"], _SCROLL_SIZE, after=cursor
+    )
+
+
+_SCROLL_PAGE3_SQL = f"""
+SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+ORDER BY n_chars, doc_id LIMIT {_SCROLL_SIZE} OFFSET {2 * _SCROLL_SIZE}
+"""
+
+
 _LIN_N, _LIN_K, _LIN_W = 20, 10, 2.0
 
 
@@ -5223,6 +5311,41 @@ SELECT array_to_string(
          ), ' ') AS category,
        count(*)::BIGINT AS doc_count
 FROM m GROUP BY 1 ORDER BY doc_count DESC, category ASC
+"""
+
+
+def _anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ML single-metric anomaly detection (record_score shape):
+    per-season robust baseline — hour-of-day median + MAD, score =
+    modified z-ratio, flag >= 3.5 (Iglewicz-Hoaglin). Two tiny-key agg
+    passes + two broadcast joins (operators/anomaly.py)."""
+    from elasticsearch_assets_spark.operators.anomaly import mad_outliers
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    out = mad_outliers(ev, "value", F.hour("ts").cast("int"))
+    return out.select(
+        "event_id", "season",
+        _f4("med").alias("med"), _f4("mad").alias("mad"),
+        _f4("score").alias("score"),
+    )
+
+
+_ANOMALY_MAD_SQL = """
+WITH b AS (
+  SELECT event_id, value, date_part('hour', ts)::INT AS season FROM events
+),
+med AS (SELECT season, quantile_cont(value, 0.5) AS med FROM b GROUP BY season),
+d AS (
+  SELECT b.event_id, b.season, med, abs(value - med) AS absdev
+  FROM b JOIN med USING (season)
+),
+mad AS (SELECT season, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY season)
+SELECT event_id, season,
+       floor(med * 1e4 + 0.5) / 1e4 AS med,
+       floor(mad * 1e4 + 0.5) / 1e4 AS mad,
+       floor(absdev / mad * 1e4 + 0.5) / 1e4 AS score
+FROM d JOIN mad USING (season)
+WHERE mad > 0 AND absdev / mad >= 3.5
 """
 
 
@@ -11252,6 +11375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": _dedup_passages,
         "decontaminate": _decontaminate,
         "hybrid_rrf": _hybrid_rrf,
+        "retriever_tree": _retriever_tree,
+        "scroll_page3": _scroll_page3,
         "ann_topk_prefilter": _ann_topk_prefilter,
         "phrase_suggest": _phrase_suggest,
         "index_stats": _index_stats,
@@ -11326,6 +11451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_reverse_nested": _facet_reverse_nested,
         "categorize_text": _categorize_text,
         "change_point": _change_point,
+        "anomaly_mad": _anomaly_mad,
         "geo_line": _geo_line,
         "frequent_pairs": _frequent_pairs,
         "dedup_keep_best": _dedup_keep_best,
@@ -11599,6 +11725,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_passages": _DEDUP_PASSAGES_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "retriever_tree": _retriever_tree_sql(),
+        "scroll_page3": _SCROLL_PAGE3_SQL,
         "ann_topk_prefilter": _ann_filtered_sql(),
         "phrase_suggest": _phrase_suggest_sql(),
         "index_stats": _INDEX_STATS_SQL,
@@ -11673,6 +11801,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_reverse_nested": _FACET_REVERSE_NESTED_SQL,
         "categorize_text": _CATEGORIZE_SQL,
         "change_point": _CHANGE_POINT_SQL,
+        "anomaly_mad": _ANOMALY_MAD_SQL,
         "geo_line": _GEO_LINE_SQL,
         "frequent_pairs": _FREQ_PAIRS_SQL,
         "dedup_keep_best": _dedup_keep_best_sql(),

@@ -849,3 +849,50 @@ def knn_filtered(
         probed.where(cond), query_vec, k,
         similarity=similarity, vec_col=vec_col, id_col=id_col,
     )
+
+
+def rescore_with(
+    hits: DataFrame,
+    features: DataFrame,
+    feature_expr,
+    *,
+    k: int = 10,
+    query_weight: float = 1.0,
+    feature_weight: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES 8.18 `rescorer` retriever: wrap ANY inner retriever's result
+    list (already cut to its rank window) and re-rank it by combining the
+    retriever score with a feature computed from the document table —
+    combined = query_weight * score + feature_weight * feature, final
+    order (combined DESC, id ASC), top-k.
+
+    The inner result list IS the rescore window (bounded by the inner
+    retriever's k, never corpus size), so the feature join broadcasts the
+    window side; docs missing from `features` keep their weighted
+    retriever score alone (the rescore contract shared with
+    engine.rescore). Composes into retriever trees:
+    rescore_with(rrf_fuse([bm25, knn]), docs, expr)."""
+    feat = F.expr(feature_expr) if isinstance(feature_expr, str) else feature_expr
+    fdf = features.select(F.col(id_col), feat.cast("double").alias("_feat"))
+    combined = (
+        F.col("score") * F.lit(float(query_weight))
+        + F.col("_feat") * F.lit(float(feature_weight))
+    )
+    # restrict the corpus-sized feature table to the window FIRST (inner
+    # broadcast semi-shape), then left-join back so window docs missing a
+    # feature row survive with their retriever score
+    window_ids = hits.select(id_col)
+    fdf_window = fdf.join(F.broadcast(window_ids), id_col)
+    return (
+        hits.select(id_col, "score")
+        .join(F.broadcast(fdf_window), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_feat").isNull(),
+                   F.col("score") * F.lit(float(query_weight)))
+            .otherwise(combined).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,132 @@
+"""Round-3 session-7 batch: scroll facade (keyset batches), rescorer
+retriever tree (rescore_with over rrf_fuse), and seasonal MAD anomaly
+scoring.
+
+Contract twins: scroll_page3, retriever_tree, anomaly_mad.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.operators.anomaly import mad_outliers
+from elasticsearch_assets_spark.operators.similarity import (
+    rescore_with, rrf_fuse,
+)
+from elasticsearch_assets_spark.sources.scroll import (
+    scroll_page, scroll_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    # 2 sort-key duplicates per n value force the tiebreak column to matter
+    rows = [(i, i // 2) for i in range(23)]
+    return spark.createDataFrame(rows, "id long, n long")
+
+
+# --- scroll -----------------------------------------------------------------
+
+def test_scroll_pages_cover_everything_once(nums):
+    seen = []
+    for page in scroll_pages(nums, ["n", "id"], 5):
+        assert len(page) <= 5
+        seen.extend(r["id"] for r in page)
+    assert seen == list(range(23))  # id order == (n, id) order here
+
+
+def test_scroll_page_equals_offset(nums):
+    pages = scroll_pages(nums, ["n", "id"], 5)
+    next(pages)
+    p2 = next(pages)
+    cursor = (p2[-1]["n"], p2[-1]["id"])
+    got = [r["id"] for r in
+           scroll_page(nums, ["n", "id"], 5, after=cursor).collect()]
+    assert got == [10, 11, 12, 13, 14]
+
+
+def test_scroll_descending_and_short_last_page(nums):
+    pages = list(scroll_pages(nums, ["n", "id"], 10, ascending=False))
+    assert [len(p) for p in pages] == [10, 10, 3]
+    assert pages[0][0]["id"] == 22 and pages[-1][-1]["id"] == 0
+
+
+def test_scroll_cursor_arity_checked(nums):
+    with pytest.raises(ValueError, match="arity"):
+        scroll_page(nums, ["n", "id"], 5, after=(3,))
+
+
+def test_scroll_max_pages_bounds(nums):
+    assert len(list(scroll_pages(nums, ["n", "id"], 5, max_pages=2))) == 2
+
+
+# --- rescorer retriever ------------------------------------------------------
+
+def test_rescore_with_reranks_window(spark):
+    hits = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 8.0)], "doc_id long, score double"
+    )
+    feats = spark.createDataFrame(
+        [(1, 0), (2, 500), (3, 100), (99, 9999)], "doc_id long, n long"
+    )
+    out = rescore_with(hits, feats, "n / 100.0", k=3).collect()
+    # combined: 1 -> 10.0, 2 -> 14.0, 3 -> 9.0; doc 99 not in window
+    assert [(r.doc_id, r.score) for r in out] == [
+        (2, 14.0), (1, 10.0), (3, 9.0)
+    ]
+
+
+def test_rescore_with_missing_feature_keeps_weighted_score(spark):
+    hits = spark.createDataFrame(
+        [(1, 4.0), (2, 3.0)], "doc_id long, score double"
+    )
+    feats = spark.createDataFrame([(2, 50)], "doc_id long, n long")
+    out = rescore_with(
+        hits, feats, "n / 10.0", k=2, query_weight=0.5
+    ).collect()
+    # doc 1 has no feature row: 0.5*4 = 2.0; doc 2: 0.5*3 + 5 = 6.5
+    assert [(r.doc_id, r.score) for r in out] == [(2, 6.5), (1, 2.0)]
+
+
+def test_rescore_composes_with_rrf(spark):
+    a = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 9.0), (2, 1.0)], "doc_id long, score double"
+    )
+    fused = rrf_fuse([a, b], k_const=60, k=3)
+    feats = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, n long"
+    )
+    out = rescore_with(fused, feats, "0.0", k=3).collect()
+    # rescore with zero feature == the rrf order itself
+    assert [r.doc_id for r in out] == [
+        r.doc_id for r in fused.collect()
+    ]
+
+
+# --- MAD anomaly -------------------------------------------------------------
+
+def test_mad_outliers_flags_the_planted_spike(spark):
+    rows = [(i, i % 2, 10.0 + (i % 5)) for i in range(40)]
+    rows.append((100, 0, 500.0))  # planted anomaly in season 0
+    df = spark.createDataFrame(rows, "id long, season_src int, v double")
+    out = mad_outliers(df, "v", F.col("season_src")).collect()
+    assert [r.id for r in out] == [100]
+    assert out[0].score > 100
+
+
+def test_mad_outliers_constant_season_yields_nothing(spark):
+    df = spark.createDataFrame(
+        [(i, 0, 7.0) for i in range(10)] + [(99, 0, 7.0)],
+        "id long, season_src int, v double",
+    )
+    assert mad_outliers(df, "v", F.col("season_src")).count() == 0
+
+
+def test_mad_outliers_threshold_validated(spark):
+    df = spark.createDataFrame([(1, 0, 1.0)], "id long, s int, v double")
+    with pytest.raises(ValueError, match="threshold"):
+        mad_outliers(df, "v", F.col("s"), threshold=0.0)
