@@ -10765,6 +10765,64 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _esql_convert_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL type-conversion battery: TO_IP (dotted-quad validation,
+    null on malformed — octets > 255 here), TO_VERSION (the version
+    field's sort key: zero-padded numerics, prerelease before release),
+    TO_DATETIME (epoch millis, tz-free timestampadd form). The SORT runs
+    on the version key — the observable ES `sort on a version field`
+    order."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 31 == 0"
+        " | EVAL oct1 = TO_STRING(event_id % 300),"
+        "   ips = CONCAT(oct1, '.', TO_STRING(user_id % 256), '.0.',"
+        "         TO_STRING(event_id % 256)),"
+        "   ver = CONCAT(TO_STRING(event_id % 3), '.',"
+        "         TO_STRING(user_id % 12), '.', TO_STRING(event_id % 5),"
+        "         CASE WHEN event_id % 7 == 0 THEN '-beta' ELSE '' END)"
+        " | EVAL ip = TO_IP(ips), vk = TO_VERSION(ver),"
+        "   dt = DATE_FORMAT('yyyy-MM-dd HH:mm:ss',"
+        "        TO_DATETIME(event_id * 86400123))"
+        " | KEEP event_id, ip, ver, vk, dt"
+        " | SORT vk, event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out
+
+
+_ESQL_CONVERT_FUNCS_SQL = r"""
+WITH b AS (
+  SELECT event_id,
+         (event_id % 300)::VARCHAR || '.' || (user_id % 256)::VARCHAR
+           || '.0.' || (event_id % 256)::VARCHAR AS ips,
+         (event_id % 3)::VARCHAR || '.' || (user_id % 12)::VARCHAR
+           || '.' || (event_id % 5)::VARCHAR
+           || CASE WHEN event_id % 7 = 0 THEN '-beta' ELSE '' END AS ver
+  FROM events WHERE event_id % 31 = 0
+),
+k AS (
+  SELECT event_id, ips, ver,
+         CASE WHEN regexp_matches(ips,
+           '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$')
+           THEN ips ELSE NULL END AS ip,
+         lpad(coalesce(nullif(regexp_extract(ver, '^([0-9]+)', 1), ''), '0'), 10, '0')
+           || '.' ||
+         lpad(coalesce(nullif(regexp_extract(ver, '^[0-9]+\.([0-9]+)', 1), ''), '0'), 10, '0')
+           || '.' ||
+         lpad(coalesce(nullif(regexp_extract(ver, '^[0-9]+\.[0-9]+\.([0-9]+)', 1), ''), '0'), 10, '0')
+           || CASE WHEN ver LIKE '%-%'
+                THEN '-' || regexp_extract(ver, '-(.*)$', 1) ELSE '~' END AS vk,
+         strftime(TIMESTAMP '1970-01-01 00:00:00'
+                  + to_milliseconds(event_id * 86400123),
+                  '%Y-%m-%d %H:%M:%S') AS dt
+  FROM b
+)
+SELECT event_id, ip, ver, vk, dt FROM k ORDER BY vk, event_id
+"""
+
+
 def _esql_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL math battery over a small deterministic integer-derived
     domain (x in [-3, 3] so EXP/SINH stay in range): CBRT, EXP, SIGNUM,
@@ -11627,6 +11685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_scalar_funcs3": _esql_scalar_funcs3,
         "esql_scalar_funcs4": _esql_scalar_funcs4,
         "esql_stats_funcs2": _esql_stats_funcs2,
+        "esql_convert_funcs": _esql_convert_funcs,
         "esql_qstr": _esql_qstr,
         "esql_kql": _esql_kql,
         "esql_match_phrase": _esql_match_phrase,
@@ -12011,6 +12070,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_scalar_funcs3": _ESQL_SCALAR_FUNCS3_SQL,
         "esql_scalar_funcs4": _ESQL_SCALAR_FUNCS4_SQL,
         "esql_stats_funcs2": _ESQL_STATS_FUNCS2_SQL,
+        "esql_convert_funcs": _ESQL_CONVERT_FUNCS_SQL,
         "esql_qstr": _ESQL_QSTR_SQL,
         "esql_kql": _ESQL_KQL_SQL,
         "esql_match_phrase": _ESQL_MATCH_PHRASE_SQL,

@@ -740,6 +740,50 @@ _FUNC_HANDLERS["PERCENTILE"] = lambda a: (
 )
 _FUNC_HANDLERS["STD_DEV"] = _h_rename("stddev_pop", 1)
 _FUNC_HANDLERS["VALUES"] = lambda a: f"sort_array(collect_set({a[0]}))"
+
+# type-conversion battery: TO_IP validates dotted-quad IPv4 (ES returns
+# null + warning on a malformed ip; the null carries here, warnings are
+# out of scope). TO_VERSION produces the SORTABLE canonical key of the
+# semver-ish grammar ES's version field orders by — numeric fields
+# zero-padded, prerelease (-suffix) ordered BEFORE release ('~' > '-' in
+# ASCII); ES renders the original string while sorting by the key, so
+# rows that KEEP the original and SORT by TO_VERSION observe ES order
+# (documented deviation: the value itself is the key). TO_DATETIME takes
+# epoch milliseconds (the ES long->datetime conversion); ISO strings go
+# through DATE_PARSE. The epoch math is the tz-free timestampadd form.
+_IPV4_OCTET = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_FUNC_HANDLERS["TO_IP"] = lambda a: (
+    f"(CASE WHEN {a[0]} RLIKE '^{_IPV4_OCTET}(\\\\.{_IPV4_OCTET}){{3}}$' "
+    f"THEN {a[0]} ELSE NULL END)"
+)
+
+
+def _h_to_version(a: "list[str]") -> str:
+    if len(a) != 1:
+        raise ValueError("TO_VERSION takes 1 argument")
+    v = f"({a[0]})"
+
+    def num(pat: str) -> str:
+        return (
+            f"lpad(coalesce(nullif(regexp_extract({v}, '{pat}', 1), ''), "
+            f"'0'), 10, '0')"
+        )
+
+    maj = num("^([0-9]+)")
+    mnr = num("^[0-9]+\\\\.([0-9]+)")
+    pat = num("^[0-9]+\\\\.[0-9]+\\\\.([0-9]+)")
+    pre = (
+        f"CASE WHEN {v} RLIKE '-' THEN "
+        f"concat('-', regexp_extract({v}, '-(.*)$', 1)) ELSE '~' END"
+    )
+    return f"concat({maj}, '.', {mnr}, '.', {pat}, {pre})"
+
+
+_FUNC_HANDLERS["TO_VERSION"] = _h_to_version
+_FUNC_HANDLERS["TO_DATETIME"] = lambda a: (
+    f"timestampadd(MILLISECOND, CAST({a[0]} AS BIGINT), "
+    f"TIMESTAMP '1970-01-01 00:00:00')"
+)
 _FUNC_RE = re.compile(r"(?<![\w.])(" + "|".join(_FUNC_HANDLERS) + r")\s*\(")
 
 

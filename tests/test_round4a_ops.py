@@ -161,3 +161,40 @@ def test_fulltext_must_be_whole_condition(ev):
             "FROM t | WHERE QSTR('quick') AND value > 0",
             tables={"t": ev},
         )
+
+
+# --- conversion battery ------------------------------------------------------
+
+def test_to_ip_validates_octets(ev):
+    out = esql(
+        "FROM t | EVAL a = TO_IP('10.0.255.1'), b = TO_IP('256.1.1.1'),"
+        " c = TO_IP('1.2.3'), d = TO_IP('01.2.3.4')"
+        " | KEEP event_id, a, b, c, d | SORT event_id",
+        tables={"t": ev},
+    ).collect()[0]
+    assert out.a == "10.0.255.1"
+    assert out.b is None and out.c is None and out.d is None
+
+
+def test_to_version_orders_semver_not_lexicographic(ev):
+    out = esql(
+        "FROM t | EVAL v = CASE(event_id == 0, '1.10.0',"
+        " event_id == 1, '1.9.2', event_id == 2, '1.10.0-beta',"
+        " event_id == 3, '0.9', '2.0.0')"
+        " | EVAL vk = TO_VERSION(v) | KEEP v | SORT vk",
+        tables={"t": ev},
+    ).collect()
+    # semver: 0.9 < 1.9.2 < 1.10.0-beta < 1.10.0 < 2.0.0
+    assert [r.v for r in out] == [
+        "0.9", "1.9.2", "1.10.0-beta", "1.10.0", "2.0.0"
+    ]
+
+
+def test_to_datetime_epoch_millis(ev):
+    out = esql(
+        "FROM t | WHERE event_id == 0"
+        " | EVAL d = DATE_FORMAT('yyyy-MM-dd HH:mm:ss.SSS',"
+        "   TO_DATETIME(86400500)) | KEEP d",
+        tables={"t": ev},
+    ).collect()[0]
+    assert out.d == "1970-01-02 00:00:00.500"
