@@ -6182,6 +6182,48 @@ SELECT * FROM ({exact}) WHERE doc_id IN (SELECT doc_id FROM hits)
 """
 
 
+_SNM_TERMS = ("scan", "slow", "small", "sort", "spark", "stream")
+
+
+def _span_near_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near with GENERAL sub-clauses: span_multi(prefix s*) near
+    span_near(hash, join, slop 2), outer slop 1 — the two-clause
+    enumerated-spans kernel (phrase.near_span_pairs, Lucene cover −
+    widths <= slop contract, variable widths on the inner near). The
+    same kernel carries field_masking_span (masked clause = the other
+    analyzer's term-class spans)."""
+    idx = _docs_index_pos(spark, sf_dir)
+    clause_a = idx.span_multi("s", kind="prefix")
+    assert clause_a == ("any", list(_SNM_TERMS)), clause_a
+    out = idx.search_span_near_spans(
+        clause_a, ("near", "hash", "join", 2, False), slop=1,
+        in_order=False, k=None,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _span_near_multi_sql() -> str:
+    tlist = ", ".join(f"'{t}'" for t in _SNM_TERMS)
+    return f"""
+WITH {_PTOKS_ONLY_CTE},
+{_bm25_body(f"term IN ({tlist}, 'hash', 'join')")},
+spans_b AS (
+  SELECT a.doc_id, least(a.pos, b.pos) AS s, greatest(a.pos, b.pos) + 1 AS e
+  FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id
+  WHERE a.term = 'hash' AND b.term = 'join' AND abs(a.pos - b.pos) <= 2
+),
+hits AS (
+  SELECT DISTINCT sb.doc_id
+  FROM ptoks t JOIN spans_b sb ON t.doc_id = sb.doc_id
+  WHERE t.term IN ({tlist})
+    AND greatest(sb.e, t.pos + 1) - least(sb.s, t.pos)
+        - (1 + (sb.e - sb.s)) <= 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM hits)
+"""
+
+
 _SYN_MAP = {"join": ["merge"]}
 
 
@@ -11476,6 +11518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_sig_text": _facet_sig_text,
         "facet_vw_hist": _facet_vw_hist,
         "bm25_span_or": _bm25_span_or,
+        "span_near_multi": _span_near_multi,
         "bm25_span_containing": _bm25_span_containing,
         "bm25_intervals": _bm25_intervals,
         "sqs_search": _sqs_search,
@@ -11827,6 +11870,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_sig_text": _FACET_SIG_TEXT_SQL,
         "facet_vw_hist": _FACET_VWH_SQL,
         "bm25_span_or": _BM25_SPAN_OR_SQL,
+        "span_near_multi": _span_near_multi_sql(),
         "bm25_span_containing": _BM25_SPAN_CONTAINING_SQL,
         "bm25_intervals": _bm25_intervals_sql(),
         "sqs_search": _SQS_SQL,

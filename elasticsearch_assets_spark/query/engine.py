@@ -1740,6 +1740,42 @@ class InvertedIndex:
 
         return self._span_search([little, big], doc_fn, k)
 
+    def search_span_near_spans(
+        self,
+        clause_a,
+        clause_b,
+        slop: int = 0,
+        in_order: bool = False,
+        k: int | None = 10,
+    ) -> DataFrame:
+        """ES span_near with two GENERAL span clauses (term / any / near
+        exprs — the shape field_masking_span composes into: the masked
+        clause is typically ("any", <other-analyzer term class>) whose
+        positions are compared against this field's, valid because the
+        masked field analyzes the SAME source text, ES's documented
+        use). Lucene slop contract via phrase.near_span_pairs; scoring:
+        BM25 over the distinct involved terms restricted to matching
+        docs (the uniform span-composition contract).
+
+        Ref: /root/reference exposes query-string search only; span
+        composition parity is against the ES query DSL the reference
+        drives."""
+
+        def doc_fn(postings):
+            from elasticsearch_assets_spark.query.phrase import (
+                near_span_pairs,
+            )
+
+            docs, _, _ = near_span_pairs(
+                _span_expr_eval(clause_a, postings),
+                _span_expr_eval(clause_b, postings),
+                slop,
+                ordered=in_order,
+            )
+            return np.unique(docs)
+
+        return self._span_search([clause_a, clause_b], doc_fn, k)
+
     def search_intervals(
         self, terms: list[str], max_gaps: int = 0, k: int | None = 10
     ) -> DataFrame:

@@ -385,6 +385,69 @@ def span_or_spans(
     return _span_sort(docs, starts, ends)
 
 
+def near_span_pairs(
+    a: tuple[np.ndarray, np.ndarray, np.ndarray],
+    b: tuple[np.ndarray, np.ndarray, np.ndarray],
+    slop: int,
+    ordered: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lucene NearSpans over two ENUMERATED span sets (the general
+    two-clause span_near — term/any/near sub-clauses all compose here,
+    which is what field_masking_span needs): a pair matches when the
+    covering window minus the two span widths is <= slop
+    (Lucene's SpanNearQuery slop contract — for width-1 clauses this
+    degrades to |p1 - p2| - 1 <= slop, the existing near kernels'
+    bound); `ordered` additionally requires the b span to start at or
+    after the a span's end (NearSpansOrdered's non-overlap-in-order).
+    Emits the covering spans [min(start), max(end)).
+
+    Vectorized like near_spans: per b span, one searchsorted window over
+    the (doc, start)-sorted a spans using the conservative bound
+    slop + max_width_a + width_b, pairs expanded by repeat+cumsum, then
+    the exact width mask — output work is proportional to true
+    candidate pairs inside windows, never |a| * |b|."""
+    empty = np.array([], dtype=np.int64)
+    if a[0].size == 0 or b[0].size == 0:
+        return empty, empty, empty
+    cand = _sorted_intersect(np.unique(a[0]), np.unique(b[0]))
+    if cand.size == 0:
+        return empty, empty, empty
+    ka = np.isin(a[0], cand)
+    kb = np.isin(b[0], cand)
+    docs_a, s_a, e_a = a[0][ka], a[1][ka], a[2][ka]
+    docs_b, s_b, e_b = b[0][kb], b[1][kb], b[2][kb]
+    order_a = np.lexsort((s_a, docs_a))
+    docs_a, s_a, e_a = docs_a[order_a], s_a[order_a], e_a[order_a]
+    w_a = e_a - s_a
+    w_b = e_b - s_b
+    reach = int(slop) + int(w_a.max()) + w_b  # per-b conservative radius
+    maxpos = int(max(e_a.max(), e_b.max()))
+    M = np.int64(maxpos + int(reach.max()) + 2)
+    dense_a = np.searchsorted(cand, docs_a)
+    dense_b = np.searchsorted(cand, docs_b)
+    key_a = dense_a * M + s_a
+    lo = dense_b * M + np.maximum(s_b - reach, 0)
+    hi = dense_b * M + s_b + reach
+    left = np.searchsorted(key_a, lo, side="left")
+    right = np.searchsorted(key_a, hi, side="right")
+    counts = right - left
+    total = int(counts.sum())
+    if total == 0:
+        return empty, empty, empty
+    base = np.repeat(left, counts)
+    csum = np.cumsum(counts) - counts
+    idx_a = base + (np.arange(total, dtype=np.int64) - np.repeat(csum, counts))
+    idx_b = np.repeat(np.arange(docs_b.size, dtype=np.int64), counts)
+    cover_s = np.minimum(s_a[idx_a], s_b[idx_b])
+    cover_e = np.maximum(e_a[idx_a], e_b[idx_b])
+    ok = (cover_e - cover_s) - (w_a[idx_a] + w_b[idx_b]) <= slop
+    if ordered:
+        ok &= s_b[idx_b] >= e_a[idx_a]
+    if not ok.any():
+        return empty, empty, empty
+    return _span_sort(docs_b[idx_b][ok], cover_s[ok], cover_e[ok])
+
+
 def span_containing_spans(
     big: tuple[np.ndarray, np.ndarray, np.ndarray],
     little: tuple[np.ndarray, np.ndarray, np.ndarray],

@@ -130,3 +130,54 @@ def test_mad_outliers_threshold_validated(spark):
     df = spark.createDataFrame([(1, 0, 1.0)], "id long, s int, v double")
     with pytest.raises(ValueError, match="threshold"):
         mad_outliers(df, "v", F.col("s"), threshold=0.0)
+
+
+# --- general spans-near-spans kernel -----------------------------------------
+
+def _spans(*triples):
+    import numpy as np
+    if not triples:
+        e = np.array([], dtype="int64")
+        return e, e, e
+    d, s, e = zip(*triples)
+    import numpy as np
+    return (np.array(d, dtype="int64"), np.array(s, dtype="int64"),
+            np.array(e, dtype="int64"))
+
+
+def test_near_span_pairs_width_aware_slop():
+    from elasticsearch_assets_spark.query.phrase import near_span_pairs
+    # a: width-2 span [2,4) in doc 1; b: width-1 [5,6) -> cover 4, widths 3
+    a = _spans((1, 2, 4))
+    b = _spans((1, 5, 6))
+    d, s, e = near_span_pairs(a, b, slop=1)
+    assert list(d) == [1] and list(s) == [2] and list(e) == [6]
+    d, s, e = near_span_pairs(a, b, slop=0)
+    assert d.size == 0  # gap of 1 needs slop >= 1
+
+
+def test_near_span_pairs_ordered_requires_non_overlap_in_order():
+    from elasticsearch_assets_spark.query.phrase import near_span_pairs
+    a = _spans((1, 5, 6))
+    b = _spans((1, 2, 3))
+    # unordered matches (cover 4 - widths 2 = 2)
+    assert near_span_pairs(a, b, slop=2)[0].size == 1
+    # ordered: b starts before a ends -> no match
+    assert near_span_pairs(a, b, slop=2, ordered=True)[0].size == 0
+    assert near_span_pairs(b, a, slop=2, ordered=True)[0].size == 1
+
+
+def test_near_span_pairs_overlap_matches_any_slop():
+    from elasticsearch_assets_spark.query.phrase import near_span_pairs
+    a = _spans((3, 2, 5))
+    b = _spans((3, 3, 4))  # nested inside a: cover 3 - widths 4 = -1
+    assert near_span_pairs(a, b, slop=0)[0].size == 1
+
+
+def test_near_span_pairs_doc_isolation_and_empty():
+    from elasticsearch_assets_spark.query.phrase import near_span_pairs
+    a = _spans((1, 0, 1), (2, 10, 11))
+    b = _spans((2, 11, 12), (3, 0, 1))
+    d, s, e = near_span_pairs(a, b, slop=0)
+    assert list(d) == [2] and list(s) == [10] and list(e) == [12]
+    assert near_span_pairs(_spans(), b, slop=5)[0].size == 0
