@@ -5314,6 +5314,17 @@ FROM m GROUP BY 1 ORDER BY doc_count DESC, category ASC
 """
 
 
+def _bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-training merge step (Sennrich 2016) over the documents corpus:
+    top-20 adjacent character pairs weighted by word frequency — corpus
+    reduces to the vocabulary FIRST (the real-BPE-trainer scale trick),
+    pairs generated per distinct word as a JVM transform."""
+    from elasticsearch_assets_spark.operators import textstats as OT
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OT.bpe_pair_counts(docs, n=20)
+
+
 def _anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ML single-metric anomaly detection (record_score shape):
     per-season robust baseline — hour-of-day median + MAD, score =
@@ -11553,6 +11564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorize_text": _categorize_text,
         "change_point": _change_point,
         "anomaly_mad": _anomaly_mad,
+        "bpe_pairs": _bpe_pairs,
         "geo_line": _geo_line,
         "frequent_pairs": _frequent_pairs,
         "dedup_keep_best": _dedup_keep_best,
@@ -11905,6 +11917,7 @@ def oracle_sql() -> dict[str, str]:
         "categorize_text": _CATEGORIZE_SQL,
         "change_point": _CHANGE_POINT_SQL,
         "anomaly_mad": _ANOMALY_MAD_SQL,
+        "bpe_pairs": OT.bpe_pair_counts_sql(20),
         "geo_line": _GEO_LINE_SQL,
         "frequent_pairs": _FREQ_PAIRS_SQL,
         "dedup_keep_best": _dedup_keep_best_sql(),

@@ -1206,3 +1206,59 @@ LEFT JOIN uni ON uni.w = split_part(bg, ' ', 2)
 CROSS JOIN tot
 GROUP BY {id_col}
 """
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """One BPE-training merge step (Sennrich et al. 2016) at corpus
+    scale: count adjacent CHARACTER pairs across all words, weighted by
+    word frequency, and return the top-n merge candidates
+    (pair, cnt) ordered (cnt DESC, pair ASC).
+
+    Scale shape — the classic BPE trick done distributively: the corpus
+    reduces to the VOCABULARY first (one word-count hash agg with
+    map-side partials; vocab is sublinear in corpus size), pairs are
+    then generated per DISTINCT word via a JVM transform over a
+    sequence() index array (no explode of corpus-sized data, no Python),
+    and the final agg shuffles only vocab * avg_word_len rows. A 100 TB
+    corpus with a 10M-type vocabulary shuffles ~100M tiny rows — the
+    same reason real BPE trainers count over the vocab, not the text."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    words = df.select(
+        F.explode(tokens_expr(text_col)).alias("wd")
+    ).where(F.length("wd") >= 2)
+    vocab = words.groupBy("wd").agg(F.count("*").alias("c"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(wd) - 1),"
+                " i -> substring(wd, i, 2))"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(n)
+    )
+
+
+def bpe_pair_counts_sql(n: int = 20, text: str = "text") -> str:
+    """DuckDB twin of bpe_pair_counts (constant range + length guard —
+    DuckDB's range() rejects lateral column bounds)."""
+    return f"""
+WITH w AS (SELECT unnest({tokens_sql(text)}) AS wd FROM documents),
+wc AS (SELECT wd, count(*)::BIGINT AS c FROM w WHERE length(wd) >= 2 GROUP BY wd),
+p AS (
+  SELECT substr(wd, i::INT, 2) AS pair, c
+  FROM wc, range(1, 64) r(i) WHERE i <= length(wd) - 1
+)
+SELECT pair, sum(c)::BIGINT AS cnt FROM p
+GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT {n}
+"""

@@ -181,3 +181,37 @@ def test_near_span_pairs_doc_isolation_and_empty():
     d, s, e = near_span_pairs(a, b, slop=0)
     assert list(d) == [2] and list(s) == [10] and list(e) == [12]
     assert near_span_pairs(_spans(), b, slop=5)[0].size == 0
+
+
+# --- BPE merge-pair counting ---------------------------------------------------
+
+def test_bpe_pair_counts_hand_checked(spark):
+    from elasticsearch_assets_spark.operators.textstats import bpe_pair_counts
+    df = spark.createDataFrame(
+        [(0, "low low lower"), (1, "NEW low")], "doc_id long, text string"
+    )
+    out = {r.pair: r.cnt for r in bpe_pair_counts(df, n=10).collect()}
+    # words: low x3, lower x1, new x1 (lowercased)
+    assert out["lo"] == 4 and out["ow"] == 4
+    assert out["we"] == 1 and out["er"] == 1
+    assert out["ne"] == 1 and out["ew"] == 1
+    assert len(out) == 6
+
+
+def test_bpe_pair_counts_orders_and_limits(spark):
+    from elasticsearch_assets_spark.operators.textstats import bpe_pair_counts
+    df = spark.createDataFrame(
+        [(0, "ab ab ac")], "doc_id long, text string"
+    )
+    rows = bpe_pair_counts(df, n=1).collect()
+    assert [(r.pair, r.cnt) for r in rows] == [("ab", 2)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bpe_pair_counts(df, n=0)
+
+
+def test_bpe_pair_counts_skips_single_char_words(spark):
+    from elasticsearch_assets_spark.operators.textstats import bpe_pair_counts
+    df = spark.createDataFrame([(0, "a a a bc")], "doc_id long, text string")
+    out = {r.pair: r.cnt for r in bpe_pair_counts(df).collect()}
+    assert out == {"bc": 1}
