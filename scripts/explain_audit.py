@@ -476,6 +476,29 @@ def main() -> None:
         ).where("big"),
     )
 
+    add(
+        "Scroll page (session 7): keyset cursor pushes to the scan",
+        "A mid-export scroll batch plans as PushedFilters on the "
+        "lexicographic strict-greater cursor predicate + "
+        "TakeOrderedAndProject — page N never pays OFFSET's "
+        "skip-and-discard, the property that keeps a full-corpus export "
+        "O(N) at 10^12 docs.",
+        __import__(
+            "elasticsearch_assets_spark.sources.scroll",
+            fromlist=["scroll_page"],
+        ).scroll_page(
+            docs.select("doc_id", "n_chars"),
+            ["n_chars", "doc_id"], 100, after=(150, 42),
+        ),
+    )
+    add(
+        "BPE pair counts (session 7): corpus reduces to vocabulary first",
+        "Two hash aggregates (word count, then pair count) with "
+        "map-side partials; the pair generation is a JVM transform over "
+        "DISTINCT words — no corpus-sized explode, no Python.",
+        _ts.bpe_pair_counts(docs, n=20),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "
