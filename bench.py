@@ -468,6 +468,26 @@ def main() -> None:
             ["the", "join", "data"], slop=3, in_order=False, k=10
         ).collect(),
     )
+    # session-7 ops: general spans-near-spans (span_multi inside near),
+    # seasonal MAD anomaly scan, BPE vocab-first pair counting
+    q_best(
+        "q_span_near_multi",
+        lambda: pidx.search_span_near_spans(
+            pidx.span_multi("term1", kind="prefix", max_expansions=50),
+            ("near", "the", "data", 2, False),
+            slop=2, in_order=False, k=10,
+        ).collect(),
+    )
+    from elasticsearch_assets_spark.operators.anomaly import mad_outliers
+
+    ev_mad = load_sf_table(spark, SF_DIR, "events")
+    op_best(
+        "op_anomaly_mad",
+        lambda: mad_outliers(ev_mad, "value", F.hour("ts")).count(),
+    )
+    from elasticsearch_assets_spark.operators.textstats import bpe_pair_counts
+
+    op_best("op_bpe_pairs", lambda: bpe_pair_counts(corpus, n=20).collect())
     # warm-cache serving: segments+stats pinned in executor memory (the
     # ES page-cache warm-up) — same query, no parquet IO per request
     idx.warm()
