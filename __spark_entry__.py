@@ -5115,6 +5115,46 @@ GROUP BY tf.doc_id
 """
 
 
+_SPARSE_PRUNE_W = {"dup": 1.0, "spark": 0.8, "the": 0.1}
+
+
+def _sparse_vector_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.13 sparse_vector token pruning: 'the' (df 382 > 1.2 × the
+    matched tokens' avg df ~264, weight 0.1 < 0.4 × best 1.0) is pruned;
+    'spark' is equally frequent but keeps its strong weight (the ES
+    both-conditions rule). The oracle scores the KEPT set {dup, spark} —
+    the pruned plan's exact semantics; the pruning decision itself is
+    planning math over the same stats probe (unit-tested)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search_sparse(
+        _SPARSE_PRUNE_W, k=None, prune=True,
+        tokens_freq_ratio_threshold=1.2,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _sparse_vector_pruned_sql() -> str:
+    kept = {t: w for t, w in _SPARSE_PRUNE_W.items() if t != "the"}
+    tlist = ", ".join(f"'{t}'" for t in sorted(kept))
+    qw = " ".join(f"WHEN '{t}' THEN {w}" for t, w in sorted(kept.items()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( (CASE tf.term {qw} END)
+                  * tf.tf * ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) ), 4) AS score
+FROM n, tf JOIN df USING (term)
+GROUP BY tf.doc_id
+"""
+
+
 def _alias_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES filtered alias: the alias' stored filter (lang = 'en') applies
     to every search through it; collection stats stay GLOBAL — an alias
@@ -5312,6 +5352,20 @@ SELECT array_to_string(
        count(*)::BIGINT AS doc_count
 FROM m GROUP BY 1 ORDER BY doc_count DESC, category ASC
 """
+
+
+_SWEEP_TS = [0.35, 0.55, 0.75, 0.95]
+
+
+def _filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter threshold calibration (FineWeb-style ablation
+    report): docs/tokens retained at 4 candidate cuts in ONE
+    conditional-aggregate pass (textstats.filter_sweep); the cut runs on
+    the 4-decimal-quantized score for cross-engine bit stability."""
+    from elasticsearch_assets_spark.operators import textstats as OT2
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OT2.filter_sweep(docs, _SWEEP_TS)
 
 
 def _bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10346,6 +10400,55 @@ FROM s ORDER BY s.score DESC, term ASC LIMIT 10
 """
 
 
+def _sigterms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms with the chi_square heuristic (superset-adjusted
+    2×2 χ², Manning et al.; include_negatives=false shape) over the
+    'spark' match set — completes the heuristic set (jlh / mi / gnd /
+    percentage / chi_square)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = OFA.significant_terms(matches, docs, n=10, heuristic="chi_square")
+    return out.select("term", "fg_df", "bg_df", _f4("score").alias("score"))
+
+
+_SIGTERMS_CHI2_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+fg_total AS (SELECT count(*)::DOUBLE AS n FROM m),
+bg_total AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df FROM dt JOIN m USING (doc_id)
+  GROUP BY term HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dt GROUP BY term),
+cells AS (
+  SELECT term, fg_df, bg_df,
+         fg_df::DOUBLE AS n11, (bg_df - fg_df)::DOUBLE AS n01,
+         fg_total.n - fg_df AS n10,
+         (bg_total.n - fg_total.n) - (bg_df - fg_df) AS n00,
+         bg_total.n AS nn, fg_total.n AS fgn
+  FROM fg JOIN bg USING (term), fg_total, bg_total
+),
+s AS (
+  SELECT term, fg_df, bg_df,
+    CASE WHEN fg_df / fgn > bg_df / nn THEN
+      nn * pow(n11 * n00 - n10 * n01, 2)
+      / ((n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00))
+    ELSE 0.0 END AS score
+  FROM cells
+)
+SELECT term, fg_df, bg_df,
+       floor(score * 10000.0 + 0.5) / 10000.0 AS score
+FROM s ORDER BY s.score DESC, term ASC LIMIT 10
+"""
+
+
 def _sigterms_gnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_terms with the gnd heuristic (normalized Google
     distance, exp(-2·gnd) inversion) over the 'spark' match set."""
@@ -11555,6 +11658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrapper_query": _wrapper_query,
         "rank_eval": _rank_eval_row,
         "sparse_vector": _sparse_vector,
+        "sparse_vector_pruned": _sparse_vector_pruned,
         "alias_search": _alias_search,
         "reindex_search": _reindex_search,
         "facet_sibling": _facet_sibling,
@@ -11565,6 +11669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_point": _change_point,
         "anomaly_mad": _anomaly_mad,
         "bpe_pairs": _bpe_pairs,
+        "filter_sweep": _filter_sweep,
         "geo_line": _geo_line,
         "frequent_pairs": _frequent_pairs,
         "dedup_keep_best": _dedup_keep_best,
@@ -11783,6 +11888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_filtered": _ann_topk_filtered,
         "moving_fn_holt": _moving_fn_holt,
         "sigterms_mi": _sigterms_mi,
+        "sigterms_chi2": _sigterms_chi2,
         "sigterms_gnd": _sigterms_gnd,
         "ndjson_scan": _ndjson_scan,
         "csv_scan": _csv_scan,
@@ -11908,6 +12014,7 @@ def oracle_sql() -> dict[str, str]:
         "wrapper_query": _QS_SQL,
         "rank_eval": _rank_eval_sql(),
         "sparse_vector": _sparse_vector_sql(),
+        "sparse_vector_pruned": _sparse_vector_pruned_sql(),
         "alias_search": _ALIAS_SQL,
         "reindex_search": _REINDEX_SQL,
         "facet_sibling": _FACET_SIBLING_SQL,
@@ -11918,6 +12025,7 @@ def oracle_sql() -> dict[str, str]:
         "change_point": _CHANGE_POINT_SQL,
         "anomaly_mad": _ANOMALY_MAD_SQL,
         "bpe_pairs": OT.bpe_pair_counts_sql(20),
+        "filter_sweep": OT.filter_sweep_sql(_SWEEP_TS),
         "geo_line": _GEO_LINE_SQL,
         "frequent_pairs": _FREQ_PAIRS_SQL,
         "dedup_keep_best": _dedup_keep_best_sql(),
@@ -12170,6 +12278,7 @@ FROM topk JOIN documents USING (doc_id)
         "ann_topk_filtered": _ANN_TOPK_FILTERED_SQL,
         "moving_fn_holt": _MOVING_FN_HOLT_SQL,
         "sigterms_mi": _SIGTERMS_MI_SQL,
+        "sigterms_chi2": _SIGTERMS_CHI2_SQL,
         "sigterms_gnd": _SIGTERMS_GND_SQL,
         "ndjson_scan": _NDJSON_SCAN_SQL,
         "csv_scan": _CSV_SCAN_SQL,

@@ -1262,3 +1262,89 @@ p AS (
 SELECT pair, sum(c)::BIGINT AS cnt FROM p
 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT {n}
 """
+
+
+def filter_sweep(
+    df: DataFrame,
+    thresholds: "list[float]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-filter threshold calibration (the FineWeb-style ablation
+    report): for each candidate threshold, how many documents and tokens
+    survive `quality >= t` — docs_kept / tokens_kept plus retained
+    fractions, in ONE conditional-aggregate corpus pass (never one scan
+    per threshold; N thresholds = 2N extra agg expressions on the same
+    partial-aggregable plan).
+
+    Thresholds compare against the 4-decimal-quantized score
+    (floor(q*1e4+0.5)/1e4) so the cut is bit-stable across engines —
+    pick thresholds off the quantization grid. Output ordered by
+    threshold."""
+    if not thresholds:
+        raise ValueError("filter_sweep needs at least one threshold")
+    ts = sorted(float(t) for t in thresholds)
+    s = token_stats(df, text_col, id_col).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.floor(_quality_expr() * 1e4 + 0.5) / 1e4).alias("q"),
+    )
+    aggs = []
+    for i, t in enumerate(ts):
+        keep = F.col("q") >= F.lit(t)
+        aggs.append(F.sum(keep.cast("long")).alias(f"_d{i}"))
+        aggs.append(
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0)))
+            .alias(f"_t{i}")
+        )
+    aggs.append(F.count("*").alias("_nd"))
+    aggs.append(F.sum("n_tokens").alias("_nt"))
+    one = s.agg(*aggs)
+    stack = ", ".join(
+        f"{t}D, _d{i}, _t{i}" for i, t in enumerate(ts)
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(ts)}, {stack}) AS "
+                "(threshold, docs_kept, tokens_kept)"
+            ),
+            "_nd", "_nt",
+        )
+        .select(
+            "threshold", "docs_kept", "tokens_kept",
+            (F.floor(F.col("docs_kept") / F.col("_nd") * 1e4 + 0.5) / 1e4)
+            .alias("doc_frac"),
+            (F.floor(F.col("tokens_kept") / F.col("_nt") * 1e4 + 0.5) / 1e4)
+            .alias("token_frac"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def filter_sweep_sql(
+    thresholds: "list[float]", text: str = "text", id_col: str = "doc_id"
+) -> str:
+    ts = sorted(float(t) for t in thresholds)
+    vals = ", ".join(f"({t})" for t in ts)
+    return f"""
+WITH q AS (
+  SELECT {id_col}, n_tokens,
+         floor(CASE WHEN n_tokens > 0 THEN
+           0.4::DOUBLE * least(n_tokens / 100.0::DOUBLE, 1.0::DOUBLE)
+           + 0.3::DOUBLE * (n_unique::DOUBLE / n_tokens)
+           + 0.3::DOUBLE * least(stopword_ratio * 5.0::DOUBLE, 1.0::DOUBLE)
+         ELSE 0.0::DOUBLE END * 1e4 + 0.5) / 1e4 AS q
+  FROM ({token_stats_sql(text, id_col)})
+),
+tot AS (SELECT count(*)::DOUBLE AS nd, sum(n_tokens)::DOUBLE AS nt FROM q),
+th(threshold) AS (VALUES {vals})
+SELECT threshold::DOUBLE AS threshold,
+       count(*) FILTER (q.q >= threshold)::BIGINT AS docs_kept,
+       coalesce(sum(n_tokens) FILTER (q.q >= threshold), 0)::BIGINT AS tokens_kept,
+       floor(count(*) FILTER (q.q >= threshold) / tot.nd * 1e4 + 0.5) / 1e4 AS doc_frac,
+       floor(coalesce(sum(n_tokens) FILTER (q.q >= threshold), 0) / tot.nt * 1e4 + 0.5) / 1e4 AS token_frac
+FROM q, th, tot
+GROUP BY threshold, tot.nd, tot.nt
+ORDER BY threshold
+"""

@@ -3444,7 +3444,12 @@ class InvertedIndex:
         return self.search_filtered(query, filtered, k=k, mode=mode, id_col=id_col)
 
     def search_sparse(
-        self, query_weights: dict[str, float], k: int | None = 10
+        self,
+        query_weights: dict[str, float],
+        k: int | None = 10,
+        prune: bool = False,
+        tokens_freq_ratio_threshold: float = 5.0,
+        tokens_weight_threshold: float = 0.4,
     ) -> DataFrame:
         """ES sparse_vector / text_expansion query (learned sparse
         retrieval, ELSER-shaped): the query is a {token: weight} map, each
@@ -3459,7 +3464,20 @@ class InvertedIndex:
         dot product is one JVM map-lookup × column multiply, and the
         per-doc sum is ONE hash agg on doc_id (map-side partials) +
         TakeOrderedAndProject. No driver materialization; absent query
-        tokens contribute nothing (the ES contract)."""
+        tokens contribute nothing (the ES contract).
+
+        `prune=True` is ES 8.13's sparse_vector token pruning — drop
+        query tokens that are (a) frequent: df more than
+        `tokens_freq_ratio_threshold` × the average df of the query's
+        matched tokens, AND (b) weak: query weight below
+        `tokens_weight_threshold` × the best query weight. Both
+        conditions must hold to prune (the ES rule: a frequent token
+        with a strong weight stays). Pruning is planning-level — the
+        dfs are already on the driver from the stats probe; the scan
+        then reads strictly fewer postings. The documented deviation:
+        ES uses within-shard field statistics, this engine prunes on
+        GLOBAL df (deterministic across shard counts, like every other
+        stats decision here)."""
         terms = sorted(query_weights)
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -3467,6 +3485,20 @@ class InvertedIndex:
         present = [t for t in terms if t in dfs]
         if not present:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if prune:
+            avg_df = sum(dfs[t] for t in present) / len(present)
+            best_w = max(abs(float(query_weights[t])) for t in present)
+            kept = [
+                t for t in present
+                if not (
+                    dfs[t] > tokens_freq_ratio_threshold * avg_df
+                    and abs(float(query_weights[t]))
+                    < tokens_weight_threshold * best_w
+                )
+            ]
+            if not kept:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            present = kept
         n = self.meta.n_docs
         wmap = F.create_map(
             *[

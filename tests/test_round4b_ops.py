@@ -215,3 +215,56 @@ def test_bpe_pair_counts_skips_single_char_words(spark):
     df = spark.createDataFrame([(0, "a a a bc")], "doc_id long, text string")
     out = {r.pair: r.cnt for r in bpe_pair_counts(df).collect()}
     assert out == {"bc": 1}
+
+
+# --- sparse-vector pruning + filter sweep --------------------------------------
+
+def test_sparse_prune_drops_frequent_weak_tokens(spark, tmp_path):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+    rows = [(i, ("the common " * 5) + ("rare" if i == 0 else "filler"))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "idx")
+    build_index(spark, df, out, num_segments=2, num_chunks=1)
+    idx = InvertedIndex(spark, out)
+    w = {"rare": 1.0, "the": 0.05}
+    pruned = idx.search_sparse(w, k=None, prune=True,
+                               tokens_freq_ratio_threshold=1.5)
+    # 'the' (df 20 > 1.5 * avg_df 10.5, weight 0.05 < 0.4) pruned ->
+    # only doc 0 scores (via 'rare')
+    assert [r.doc_id for r in pruned.collect()] == [0]
+    # strong weight keeps an equally frequent token (both-conditions rule)
+    kept = idx.search_sparse({"rare": 1.0, "the": 0.9}, k=None, prune=True,
+                             tokens_freq_ratio_threshold=1.5)
+    assert kept.count() == 20
+
+
+def test_sparse_prune_all_pruned_is_empty(spark, tmp_path):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+    rows = [(i, "the the x") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "idx2")
+    build_index(spark, df, out, num_segments=1, num_chunks=1)
+    idx = InvertedIndex(spark, out)
+    # single matched token: avg_df == its own df -> ratio can never
+    # exceed 1 -> never pruned (degenerate case stays scored)
+    assert idx.search_sparse({"the": 0.01}, k=None, prune=True).count() == 10
+
+
+def test_filter_sweep_monotone_and_exact(spark):
+    from elasticsearch_assets_spark.operators.textstats import filter_sweep
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + 10 * i)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = filter_sweep(df, [0.15, 0.35, 0.55]).collect()
+    assert [r.threshold for r in out] == [0.15, 0.35, 0.55]
+    docs = [r.docs_kept for r in out]
+    toks = [r.tokens_kept for r in out]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert out[0].doc_frac <= 1.0 and out[0].token_frac <= 1.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        filter_sweep(df, [])
