@@ -2042,6 +2042,99 @@ def _highlight_sql() -> str:
     )
 
 
+def _highlight_frags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight with number_of_fragments=2: one fragment per matched
+    term (first occurrence), position-ordered, capped — the fragment set
+    is an array expression sorted/sliced/exploded JVM-side on the same
+    broadcast top-k join (zero extra shuffle)."""
+    from elasticsearch_assets_spark.operators.highlight import (
+        highlight_fragments,
+    )
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    topk = idx.search(_HL_TERMS, k=10, mode="and")
+    return highlight_fragments(
+        topk, docs, _HL_TERMS, n_fragments=2, before=10, width=40
+    )
+
+
+def _highlight_frags_sql() -> str:
+    from elasticsearch_assets_spark.operators.highlight import (
+        highlight_fragments_sql,
+    )
+
+    return highlight_fragments_sql(
+        _HL_TERMS, n_fragments=2, before=10, width=40,
+        match_sql=_bm25_sql(_HL_TERMS, "and", 10),
+    )
+
+
+_DISSECT2_PAT = "%{et->} %{?uid} %{v}"
+
+
+def _esql_dissect2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DISSECT modifiers: `%{et->}` right-padding (the delimiter
+    after the hole may repeat — variable-width space padding), `%{?uid}`
+    named skip (matched, not extracted). The oracle runs the SAME
+    compiled regex text."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 41 == 0"
+        " | EVAL line = CONCAT(event_type, ' ',"
+        "   REPEAT(' ', CAST(event_id % 3 AS INT)),"
+        "   'u', TO_STRING(user_id % 100), ' ', TO_STRING(event_id % 50))"
+        f" | DISSECT line '{_DISSECT2_PAT}'"
+        " | KEEP event_id, et, v | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out
+
+
+def _esql_dissect2_sql() -> str:
+    from elasticsearch_assets_spark.query.esql import dissect_compile
+
+    regex, names = dissect_compile(_DISSECT2_PAT)
+    assert names == ["et", "v"], names
+    return f"""
+SELECT event_id,
+       nullif(regexp_extract(line, '{regex}', 1), '') AS et,
+       nullif(regexp_extract(line, '{regex}', 2), '') AS v
+FROM (
+  SELECT event_id,
+         event_type || ' ' || repeat(' ', (event_id % 3)::INT)
+           || 'u' || (user_id % 100)::VARCHAR || ' '
+           || (event_id % 50)::VARCHAR AS line
+  FROM events WHERE event_id % 41 = 0
+) ORDER BY event_id
+"""
+
+
+def _esql_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL RLIKE: FULL-STRING regex match (Lucene RegExp is implicitly
+    anchored; Spark's RLIKE is substring search — the rewrite anchors
+    it), double-quoted pattern, NOT RLIKE negation."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        'FROM documents | WHERE source RLIKE "src1.?"'
+        ' | WHERE lang NOT RLIKE "z."'
+        " | STATS n = COUNT(*) BY source | SORT source",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out
+
+
+_ESQL_RLIKE_SQL = """
+SELECT count(*)::BIGINT AS n, source
+FROM documents
+WHERE regexp_matches(source, '^(?:src1.?)$')
+  AND NOT regexp_matches(lang, '^(?:z.)$')
+GROUP BY source ORDER BY source
+"""
+
+
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals (duplicate-bigram
     fraction, top-bigram share) — one O(n) JVM aggregate pass per doc,
@@ -11714,6 +11807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "querystring_or": _querystring_or,
         "significant_terms": _significant_terms,
         "highlight": _highlight,
+        "highlight_frags": _highlight_frags,
         "bm25_after_delete": _bm25_after_delete,
         "bm25_materialize": _bm25_materialize,
         "date_sort_topk": _date_sort_topk,
@@ -11775,6 +11869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_rowpipe": _esql_rowpipe,
         "esql_grok": _esql_grok,
         "esql_dissect": _esql_dissect,
+        "esql_dissect2": _esql_dissect2,
+        "esql_rlike": _esql_rlike,
         "completion_fuzzy": _completion_fuzzy,
         "count_query": _count_query,
         "indices_boost": _indices_boost,
@@ -12077,6 +12173,7 @@ def oracle_sql() -> dict[str, str]:
         "querystring_or": _QS_OR_SQL,
         "significant_terms": _SIGTERMS_SQL,
         "highlight": _highlight_sql(),
+        "highlight_frags": _highlight_frags_sql(),
         "bm25_after_delete": _bm25_sql(
             ["spark", "join"], "or", None, where=_DELETE_PRED_SQL
         ),
@@ -12166,6 +12263,8 @@ FROM topk JOIN documents USING (doc_id)
         "esql_rowpipe": _ESQL_ROW_SQL,
         "esql_grok": _esql_grok_sql(),
         "esql_dissect": _esql_dissect_sql(),
+        "esql_dissect2": _esql_dissect2_sql(),
+        "esql_rlike": _ESQL_RLIKE_SQL,
         "completion_fuzzy": _COMPLETION_FUZZY_SQL,
         "count_query": _COUNT_QUERY_SQL,
         "indices_boost": _indices_boost_sql(),

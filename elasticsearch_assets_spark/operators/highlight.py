@@ -88,3 +88,84 @@ FROM (SELECT {id_col}, {text_col}, least({locs}) AS p
       FROM {table}) d
 JOIN ({match_sql}) m USING ({id_col})
 """
+
+
+def highlight_fragments(
+    matches: DataFrame,
+    corpus: DataFrame,
+    terms: list[str],
+    n_fragments: int = 3,
+    before: int = 10,
+    width: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `highlight` with number_of_fragments > 1: one fragment per
+    MATCHED TERM (its first occurrence), ordered by position, capped at
+    `n_fragments` — the deterministic multi-fragment contract (ES's
+    passage scorer picks top-scored passages; first-occurrence-per-term
+    is the exact cross-engine form). Returns (id, frag, pos, snippet)
+    with frag the 1-based fragment index; docs where no term occurs
+    produce no rows.
+
+    Plan: same broadcast top-k join as highlight_first, then the
+    fragment set is an array expression (one locate per query term —
+    bounded by query size, never text length), sorted/sliced/exploded
+    JVM-side. Zero extra shuffle."""
+    if n_fragments < 1:
+        raise ValueError("n_fragments must be >= 1")
+    joined = corpus.select(F.col(id_col), F.col(text_col)).join(
+        F.broadcast(matches.select(F.col(id_col)).distinct()), id_col
+    )
+    tsorted = sorted(set(terms))
+    locs = F.array(
+        *[F.locate(t.lower(), F.lower(F.col(text_col))) for t in tsorted]
+    )
+    frags = F.slice(
+        F.sort_array(F.filter(locs, lambda p: p > 0)), 1, n_fragments
+    )
+    exploded = joined.select(
+        F.col(id_col), F.col(text_col), F.posexplode(frags)
+    ).withColumnRenamed("pos", "fidx").withColumnRenamed("col", "p")
+    start = F.greatest(F.lit(1), F.col("p") - F.lit(before))
+    return exploded.select(
+        F.col(id_col),
+        (F.col("fidx") + 1).cast("int").alias("frag"),
+        F.col("p").cast("long").alias("pos"),
+        F.substring(F.col(text_col), start, width).alias("snippet"),
+    )
+
+
+def highlight_fragments_sql(
+    terms: list[str],
+    n_fragments: int = 3,
+    before: int = 10,
+    width: int = 40,
+    *,
+    match_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: list of per-term strpos, filtered/sorted/sliced,
+    unnested WITH ORDINALITY via generate_subscripts-free unnest."""
+    tsorted = sorted(set(terms))
+    locs = ", ".join(
+        f"strpos(lower({text_col}), '{t.lower()}')" for t in tsorted
+    )
+    return f"""
+WITH j AS (
+  SELECT d.{id_col}, d.{text_col},
+         list_sort(list_filter([{locs}], p -> p > 0))[1:{n_fragments}] AS ps
+  FROM {table} d JOIN ({match_sql}) m USING ({id_col})
+),
+e AS (
+  SELECT {id_col}, {text_col},
+         unnest(ps) AS p,
+         unnest(range(1, len(ps) + 1)) AS frag
+  FROM j
+)
+SELECT {id_col}, frag::INT AS frag, p::BIGINT AS pos,
+       substring({text_col}, greatest(1, p - {before}), {width}) AS snippet
+FROM e
+"""

@@ -118,20 +118,50 @@ def grok_compile(pattern: str) -> "tuple[str, list[tuple[str, str]]]":
 def dissect_compile(pattern: str) -> "tuple[str, list[str]]":
     """Compile a dissect pattern (literal separators + %{field} holes) to
     an ANCHORED regex — dissect is exact-layout matching, unlike grok's
-    search semantics. Non-final holes match lazily up to their literal."""
-    parts = re.split(r"%\{(\w*)\}", pattern)
+    search semantics. Non-final holes match lazily up to their literal.
+
+    Modifiers (the ES dissect processor's): `%{}` / `%{?name}` are skips
+    (matched, not extracted); `%{name->}` right-pads — the delimiter
+    following the hole may repeat (`1  two` under `%{a->} %{b}`). The
+    reference-key (`%{*k}`/`%{&k}`) and append (`%{+k}`) modifiers raise
+    with guidance (append needs capture concatenation, a different
+    output shape)."""
+    parts = re.split(r"%\{([^}]*)\}", pattern)
     # parts = [lit0, name1, lit1, name2, lit2, ...]
-    fields = [parts[i] for i in range(1, len(parts), 2) if parts[i]]
-    if not fields:
-        raise ValueError("dissect pattern extracts no fields")
-    out: list[str] = ["^", _re_escape(parts[0])]
     holes = list(range(1, len(parts), 2))
+    fields: list[str] = []
+    out: list[str] = ["^", _re_escape(parts[0])]
     for j, i in enumerate(holes):
-        name = parts[i]
+        raw = parts[i]
+        if raw.startswith(("+", "*", "&")):
+            raise ValueError(
+                f"dissect modifier {raw[0]!r} (%{{{raw}}}) is not "
+                "supported: append/reference keys need capture "
+                "concatenation — restructure with plain holes + EVAL"
+            )
+        pad = raw.endswith("->")
+        if pad:
+            raw = raw[:-2]
+        name = "" if raw.startswith("?") else raw
+        if name and not re.match(r"^\w+$", name):
+            raise ValueError(f"bad dissect field name {raw!r}")
         body = ".*" if j == len(holes) - 1 else ".*?"
         out.append(f"({body})" if name else f"(?:{body})")
-        out.append(_re_escape(parts[i + 1]))
+        if name:
+            fields.append(name)
+        sep = parts[i + 1]
+        if pad:
+            if not sep:
+                raise ValueError(
+                    "%{name->} needs a following delimiter to absorb"
+                )
+            # the hole's delimiter may repeat: split the separator into
+            # its first literal char-run (the padding unit) + the rest
+            out.append(f"(?:{_re_escape(sep[0])})*")
+        out.append(_re_escape(sep))
     out.append("$")
+    if not fields:
+        raise ValueError("dissect pattern extracts no fields")
     return "".join(out), fields
 
 
@@ -836,6 +866,14 @@ def _rewrite_like(text: str) -> str:
         ).replace("\\", "\\\\")
         return f"{m.group(1) or ''}RLIKE '^{body}$'"
 
+    def sub_r(m: "re.Match[str]") -> str:
+        # ES|QL RLIKE is FULL-STRING (Lucene RegExp, implicitly
+        # anchored); Spark's RLIKE is substring search — anchor it.
+        # Double the backslashes for the SQL string literal.
+        pat = m.group(2).replace("\\", "\\\\")
+        return f"{m.group(1) or ''}RLIKE '^(?:{pat})$'"
+
+    text = re.sub(r"\b(NOT\s+)?RLIKE\s+\"([^\"]*)\"", sub_r, text, flags=re.I)
     return re.sub(r"\b(NOT\s+)?LIKE\s+\"([^\"]*)\"", sub, text, flags=re.I)
 
 

@@ -198,3 +198,57 @@ def test_to_datetime_epoch_millis(ev):
         tables={"t": ev},
     ).collect()[0]
     assert out.d == "1970-01-02 00:00:00.500"
+
+
+# --- DISSECT modifiers + RLIKE -------------------------------------------------
+
+def test_dissect_pad_and_named_skip(ev):
+    out = esql(
+        "FROM t | WHERE event_id == 0"
+        " | EVAL line = 'click   u42 17'"
+        " | DISSECT line '%{et->} %{?uid} %{v}'"
+        " | KEEP et, v",
+        tables={"t": ev},
+    ).collect()[0]
+    assert out.et == "click" and out.v == "17"
+
+
+def test_dissect_pad_single_space_still_matches(ev):
+    out = esql(
+        "FROM t | WHERE event_id == 0 | EVAL line = 'a b c'"
+        " | DISSECT line '%{x->} %{y} %{z}' | KEEP x, y, z",
+        tables={"t": ev},
+    ).collect()[0]
+    assert (out.x, out.y, out.z) == ("a", "b", "c")
+
+
+def test_dissect_append_modifier_raises(ev):
+    with pytest.raises(ValueError, match="append"):
+        esql(
+            "FROM t | EVAL line = 'a b' | DISSECT line '%{+x} %{y}'",
+            tables={"t": ev},
+        )
+
+
+def test_rlike_is_full_string_anchored(ev):
+    out = esql(
+        'FROM t | WHERE event_type RLIKE "cl.*" | KEEP event_id'
+        " | SORT event_id",
+        tables={"t": ev},
+    ).collect()
+    assert [r.event_id for r in out] == [0, 2]
+    # substring semantics would also match 'click' via "lic"; anchored
+    # must not
+    assert esql(
+        'FROM t | WHERE event_type RLIKE "lic" | KEEP event_id',
+        tables={"t": ev},
+    ).count() == 0
+
+
+def test_not_rlike(ev):
+    out = esql(
+        'FROM t | WHERE event_type NOT RLIKE "(?:click|view)"'
+        " | KEEP event_id",
+        tables={"t": ev},
+    ).collect()
+    assert [r.event_id for r in out] == [3]
