@@ -7641,6 +7641,38 @@ FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY 1 ORDER BY 1
 """
 
+def _esql_enrich_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ENRICH with a RANGE-type policy (the IP-range/ASN,
+    value-band shape): policy rows carry [lo, hi) bands, matched by a
+    non-equi broadcast left join — bands disjoint by construction."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1e9, "high")],
+        "value_lo double, value_hi double, band string",
+    )
+    out = esql(
+        "FROM events"
+        " | ENRICH bands ON value WITH band"
+        " | STATS n = COUNT(*), av = AVG(value) BY band"
+        " | SORT band",
+        tables={"events": ev, "bands": bands},
+    )
+    return out.select("n", _f4("av").alias("av"), "band")
+
+
+_ESQL_ENRICH_RANGE_SQL = """
+SELECT count(*)::BIGINT AS n,
+       floor(avg(value) * 1e4 + 0.5) / 1e4 AS av,
+       b.band
+FROM events e LEFT JOIN (
+  VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'), (100.0, 1e9, 'high')
+) b(value_lo, value_hi, band)
+  ON e.value >= b.value_lo AND e.value < b.value_hi
+GROUP BY b.band ORDER BY b.band
+"""
+
 _ESQL_SAMPLE_P = 0.3
 
 
@@ -11871,6 +11903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_dissect": _esql_dissect,
         "esql_dissect2": _esql_dissect2,
         "esql_rlike": _esql_rlike,
+        "esql_enrich_range": _esql_enrich_range,
         "completion_fuzzy": _completion_fuzzy,
         "count_query": _count_query,
         "indices_boost": _indices_boost,
@@ -12265,6 +12298,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_dissect": _esql_dissect_sql(),
         "esql_dissect2": _esql_dissect2_sql(),
         "esql_rlike": _ESQL_RLIKE_SQL,
+        "esql_enrich_range": _ESQL_ENRICH_RANGE_SQL,
         "completion_fuzzy": _COMPLETION_FUZZY_SQL,
         "count_query": _COUNT_QUERY_SQL,
         "indices_boost": _indices_boost_sql(),

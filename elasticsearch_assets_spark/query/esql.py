@@ -1221,7 +1221,32 @@ def esql(
             policy = resolve(em.group(1))
             field = em.group(2)
             fields = [c.strip() for c in _split_commas(em.group(3))]
-            if field not in df.columns or field not in policy.columns:
+            if field not in df.columns:
+                raise ValueError(
+                    f"ENRICH match field {field!r} must exist on both sides"
+                )
+            lo, hi = f"{field}_lo", f"{field}_hi"
+            if (
+                field not in policy.columns
+                and lo in policy.columns and hi in policy.columns
+            ):
+                # RANGE-type enrich policy (ES match on a range field):
+                # the policy row matches when value in [lo, hi) — the
+                # half-open convention of the numeric range mappings.
+                # Same broadcast-left shape, non-equi condition; policy
+                # ranges are expected DISJOINT (ES emits a multivalue on
+                # overlap — this engine would emit one row per match,
+                # the documented deviation).
+                missing = [c for c in fields if c not in policy.columns]
+                if missing:
+                    raise ValueError(
+                        f"ENRICH WITH fields {missing} not in policy"
+                    )
+                pol = F.broadcast(policy.select(lo, hi, *fields))
+                cond = (df[field] >= pol[lo]) & (df[field] < pol[hi])
+                df = df.join(pol, cond, "left").drop(lo, hi)
+                return df
+            if field not in policy.columns:
                 raise ValueError(
                     f"ENRICH match field {field!r} must exist on both sides"
                 )

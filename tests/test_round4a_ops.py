@@ -252,3 +252,33 @@ def test_not_rlike(ev):
         tables={"t": ev},
     ).collect()
     assert [r.event_id for r in out] == [3]
+
+
+# --- range-type ENRICH ----------------------------------------------------------
+
+def test_enrich_range_matches_half_open_bands(spark, ev):
+    bands = spark.createDataFrame(
+        [(0.0, 25.0, "small"), (25.0, 1000.0, "big")],
+        "value_lo double, value_hi double, band string",
+    )
+    out = esql(
+        "FROM t | ENRICH b ON value WITH band | KEEP event_id, band"
+        " | SORT event_id",
+        tables={"t": ev, "b": bands},
+    ).collect()
+    # values: 5, 25, 120, 600, -3 -> small, big (25 excluded from small:
+    # half-open), big, big, null (below every band)
+    assert [(r.event_id, r.band) for r in out] == [
+        (0, "small"), (1, "big"), (2, "big"), (3, "big"), (4, None)
+    ]
+
+
+def test_enrich_range_missing_with_field_raises(spark, ev):
+    bands = spark.createDataFrame(
+        [(0.0, 1.0, "x")], "value_lo double, value_hi double, band string"
+    )
+    with pytest.raises(ValueError, match="not in policy"):
+        esql(
+            "FROM t | ENRICH b ON value WITH nosuch",
+            tables={"t": ev, "b": bands},
+        )
