@@ -6382,6 +6382,38 @@ WHERE doc_id IN (SELECT doc_id FROM hits)
 """
 
 
+def _span_field_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field_masking_span: span_near(text:fast, mask(title:key),
+    slop 3) — the masked clause's positions come from the TITLE field's
+    positional index (the derived first-8-tokens field, so positions
+    align with the text's — ES's same-source-text use case). Per-doc
+    seg_ids align across the two doc_hash indexes, so the union of the
+    two pushed scans cogroups per segment with one shuffle
+    (engine.search_span_near_masked). Scored over the primary field's
+    terms only (documented contract)."""
+    text_idx = _docs_index_pos(spark, sf_dir)
+    title_idx = _docs_index_title(spark, sf_dir)
+    out = text_idx.search_span_near_masked(
+        title_idx, ("term", "fast"), ("term", "key"), slop=3,
+        in_order=False, k=None,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_SPAN_FIELD_MASKING_SQL = f"""
+WITH {_PTOKS_ONLY_CTE},
+{_bm25_body("term = 'fast'")},
+hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id
+  WHERE a.term = 'key' AND a.pos < 8 AND b.term = 'fast'
+    AND abs(a.pos - b.pos) <= 4
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM hits)
+"""
+
+
 _SYN_MAP = {"join": ["merge"]}
 
 
@@ -7640,6 +7672,39 @@ SELECT c.c_mktsegment,
 FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY 1 ORDER BY 1
 """
+
+def _ingest_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES inference ingest processor with the deterministic
+    hash-classifier stand-in (served models = declared boundary, the
+    RERANK pattern): pipeline adds ml_score (sigmoid) + ml_class
+    (threshold cut), composed after an uppercase processor to prove
+    chain order. Zero shuffle."""
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    docs = load_sf_table(spark, sf_dir, "documents").where(
+        "doc_id % 13 = 0"
+    ).select("doc_id", "text", "lang")
+    out = run_pipeline(docs, [
+        {"uppercase": {"field": "lang", "target_field": "lang_uc"}},
+        {"inference": {"model_id": "hash-classifier", "field": "text",
+                       "target_field": "ml", "threshold": 0.5}},
+    ], on_failure="drop")
+    return out.select(
+        "doc_id", "lang_uc", _f4("ml_score").alias("ml_score"), "ml_class"
+    ).orderBy("doc_id")
+
+
+def _ingest_inference_sql() -> str:
+    base = OT.hash_classifier_sql(4096)
+    inner = base.replace("FROM documents", "FROM documents WHERE doc_id % 13 = 0")
+    return f"""
+SELECT doc_id, upper(lang) AS lang_uc,
+       floor(score * 1e4 + 0.5) / 1e4 AS ml_score,
+       CASE WHEN score >= 0.5 THEN 'hq' ELSE 'lq' END AS ml_class
+FROM ({inner}) s JOIN documents USING (doc_id)
+ORDER BY doc_id
+"""
+
 
 def _esql_enrich_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL ENRICH with a RANGE-type policy (the IP-range/ASN,
@@ -11758,6 +11823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_vw_hist": _facet_vw_hist,
         "bm25_span_or": _bm25_span_or,
         "span_near_multi": _span_near_multi,
+        "span_field_masking": _span_field_masking,
         "bm25_span_containing": _bm25_span_containing,
         "bm25_intervals": _bm25_intervals,
         "sqs_search": _sqs_search,
@@ -11904,6 +11970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_dissect2": _esql_dissect2,
         "esql_rlike": _esql_rlike,
         "esql_enrich_range": _esql_enrich_range,
+        "ingest_inference": _ingest_inference,
         "completion_fuzzy": _completion_fuzzy,
         "count_query": _count_query,
         "indices_boost": _indices_boost,
@@ -12118,6 +12185,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_vw_hist": _FACET_VWH_SQL,
         "bm25_span_or": _BM25_SPAN_OR_SQL,
         "span_near_multi": _span_near_multi_sql(),
+        "span_field_masking": _SPAN_FIELD_MASKING_SQL,
         "bm25_span_containing": _BM25_SPAN_CONTAINING_SQL,
         "bm25_intervals": _bm25_intervals_sql(),
         "sqs_search": _SQS_SQL,
@@ -12299,6 +12367,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_dissect2": _esql_dissect2_sql(),
         "esql_rlike": _ESQL_RLIKE_SQL,
         "esql_enrich_range": _ESQL_ENRICH_RANGE_SQL,
+        "ingest_inference": _ingest_inference_sql(),
         "completion_fuzzy": _COMPLETION_FUZZY_SQL,
         "count_query": _COUNT_QUERY_SQL,
         "indices_boost": _indices_boost_sql(),

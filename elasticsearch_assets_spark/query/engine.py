@@ -34,6 +34,25 @@ from elasticsearch_assets_spark.query.wand import (
     topk_min_should_match,
 )
 
+# field_masking key prefix: a non-token byte (the tokenizer only emits
+# \p{L}\p{N} runs), so masked-field dictionary keys can never collide
+# with this field's inside a shared postings dict
+_MASK_PREFIX = "\x00"
+
+
+def _prefix_span_expr(expr, pfx: str):
+    """Rewrite every term in a span expr with a key prefix (the masked
+    clause's dictionary namespace inside a shared postings dict)."""
+    kind = expr[0]
+    if kind == "term":
+        return ("term", pfx + expr[1])
+    if kind == "any":
+        return ("any", [pfx + t for t in expr[1]])
+    if kind == "near":
+        return ("near", pfx + expr[1], pfx + expr[2], *expr[3:])
+    raise ValueError(f"unknown span expr {kind!r}")
+
+
 def _span_expr_terms(expr) -> list:
     """Terms referenced by a span expr: ("term", t) | ("any", [t, ...])
     (a rewritten span_multi) | ("near", t1, t2, slop[, ordered])."""
@@ -1775,6 +1794,99 @@ class InvertedIndex:
             return np.unique(docs)
 
         return self._span_search([clause_a, clause_b], doc_fn, k)
+
+    def search_span_near_masked(
+        self,
+        other: "InvertedIndex",
+        clause,
+        masked_clause,
+        slop: int = 0,
+        in_order: bool = False,
+        k: int | None = 10,
+    ) -> DataFrame:
+        """ES field_masking_span inside a span_near: the masked clause
+        evaluates against ANOTHER field's positional index (`other`) and
+        its positions compose with this field's — valid exactly when the
+        two fields analyze the same source text (multi-fields / derived
+        fields, ES's documented use; the contract row masks the derived
+        title field whose positions are a prefix of the text's).
+
+        Requires both indexes doc_hash-partitioned with identical
+        (num_segments, num_chunks, segs_per_chunk) so a doc lands in the
+        SAME seg_id on both sides — the union of the two pushed `term
+        IN` scans then cogroups per segment for free (one hash shuffle,
+        no doc-level join). The masked side's terms are key-prefixed
+        with a non-token byte inside the postings dict, so the two
+        fields' dictionaries can never collide.
+
+        Scoring (documented contract): BM25 over THIS field's involved
+        terms only, restricted to matching docs — the masked clause
+        gates matching, it does not score (ES itself warns
+        field_masking_span score composition is undefined across
+        fields)."""
+        from elasticsearch_assets_spark.query.phrase import near_span_pairs
+        from elasticsearch_assets_spark.query.wand import restrict
+
+        for idx, name in ((self, "primary"), (other, "masked")):
+            if not idx.meta.positions:
+                raise ValueError(f"{name} index has no positional stream")
+        same = (
+            self.meta.partitioning == "doc_hash"
+            and other.meta.partitioning == "doc_hash"
+            and self.meta.num_segments == other.meta.num_segments
+            and self.meta.num_chunks == other.meta.num_chunks
+            and self.meta.segs_per_chunk == other.meta.segs_per_chunk
+        )
+        if not same:
+            raise ValueError(
+                "field_masking_span needs both indexes doc_hash-"
+                "partitioned with identical segment geometry (same "
+                "num_segments/num_chunks) so per-doc seg_ids align"
+            )
+        terms_self = sorted(set(_span_expr_terms(clause)))
+        terms_other = sorted(set(_span_expr_terms(masked_clause)))
+        dfs = self.term_stats(terms_self)
+        meta = self.meta
+        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms_self}
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+        masked_expr = _prefix_span_expr(masked_clause, _MASK_PREFIX)
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            docs_m, _, _ = near_span_pairs(
+                _span_expr_eval(clause, postings),
+                _span_expr_eval(masked_expr, postings),
+                slop,
+                ordered=in_order,
+            )
+            docs = restrict(np.unique(docs_m), excluded, None)
+            score = exact_scores(
+                docs, terms_self, postings, idfs, avgdl, k1, b
+            )
+            order = np.lexsort((docs, -score))
+            if k is not None:
+                order = order[:k]
+            return pd.DataFrame(
+                {"doc_id": docs[order], "score": score[order]}
+            )
+
+        segs_a = self.segments.where(F.col("term").isin(terms_self))
+        segs_b = other.segments.where(
+            F.col("term").isin(terms_other)
+        ).withColumn("term", F.concat(F.lit(_MASK_PREFIX), F.col("term")))
+        per_seg = (
+            segs_a.unionByName(segs_b)
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
+        )
+        ordered = per_seg.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return ordered.limit(k) if k is not None else ordered
 
     def search_intervals(
         self, terms: list[str], max_gaps: int = 0, k: int | None = 10

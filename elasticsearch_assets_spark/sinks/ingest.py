@@ -187,6 +187,46 @@ def _apply(df: DataFrame, ptype: str, cfg: dict) -> DataFrame:
             df, cfg, _req(cfg, "target_field", "script"),
             F.expr(_req(cfg, "source", "script")),
         )
+    if ptype == "inference":
+        # ES inference processor. Real served models are the declared
+        # boundary (the RERANK / COMPLETION pattern); model_id
+        # 'hash-classifier' runs the engine's deterministic fastText-
+        # shaped stand-in (textstats.hash_classifier_score's expression,
+        # inlined per row — zero shuffle), emitting
+        # <target>_score (sigmoid) and <target>_class (threshold cut).
+        # The plan is identical for a learned weight table.
+        from elasticsearch_assets_spark.operators.texthash import (
+            hash60_expr, tokens_expr,
+        )
+        from elasticsearch_assets_spark.operators.textstats import (
+            _HC_HALF, _HC_MOD,
+        )
+
+        model = _req(cfg, "model_id", "inference")
+        if model != "hash-classifier":
+            raise ValueError(
+                f"inference model_id {model!r}: only the deterministic "
+                "'hash-classifier' stand-in is available (served models "
+                "are a declared boundary)"
+            )
+        field = _req(cfg, "field", "inference")
+        target = cfg.get("target_field", "ml")
+        n_buckets = int(cfg.get("n_buckets", 4096))
+        thr = float(cfg.get("threshold", 0.5))
+        toks = tokens_expr(field)
+        w = lambda t: (  # noqa: E731
+            ((hash60_expr(t) % n_buckets) % _HC_MOD - F.lit(_HC_HALF))
+            / F.lit(float(_HC_HALF))
+        )
+        s = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w(t))
+        x = F.when(F.size(toks) > 0, s / F.size(toks)).otherwise(F.lit(0.0))
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
+        df = _gate(df, cfg, f"{target}_score", score)
+        return df.withColumn(
+            f"{target}_class",
+            F.when(F.col(f"{target}_score") >= thr, F.lit("hq"))
+            .otherwise(F.lit("lq")),
+        )
     if ptype == "date":
         field = _req(cfg, "field", "date")
         if not _have(df, cfg, field, "date"):

@@ -268,3 +268,68 @@ def test_filter_sweep_monotone_and_exact(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         filter_sweep(df, [])
+
+
+# --- cross-field field_masking_span ---------------------------------------------
+
+@pytest.fixture(scope="module")
+def masked_pair(spark, tmp_path_factory):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+    base = tmp_path_factory.mktemp("fm")
+    rows = [
+        (0, "alpha beta gamma delta"),      # title: alpha beta
+        (1, "gamma beta alpha delta"),      # title: gamma beta
+        (2, "delta delta alpha beta"),      # title: delta delta
+        (3, "beta alpha"),                  # title: beta alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    title = df.selectExpr(
+        "doc_id",
+        "concat_ws(' ', slice(split(text, ' '), 1, 2)) AS title"
+    )
+    tdir, ldir = str(base / "text"), str(base / "title")
+    build_index(spark, df, tdir, num_segments=2, num_chunks=1,
+                positions=True)
+    build_index(spark, title, ldir, id_col="doc_id", text_col="title",
+                num_segments=2, num_chunks=1, positions=True)
+    return InvertedIndex(spark, tdir), InvertedIndex(spark, ldir)
+
+
+def test_masked_clause_restricted_to_other_field(masked_pair):
+    text_idx, title_idx = masked_pair
+    # gamma near beta, but gamma's positions come from the TITLE (first
+    # 2 tokens): doc 1 has title-gamma@0 near text-beta@1; doc 0's gamma
+    # is at position 2 — outside the title, so masked lookup misses it
+    out = text_idx.search_span_near_masked(
+        title_idx, ("term", "beta"), ("term", "gamma"), slop=0, k=None
+    ).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_masked_scoring_uses_primary_terms_only(masked_pair):
+    text_idx, title_idx = masked_pair
+    out = text_idx.search_span_near_masked(
+        title_idx, ("term", "beta"), ("term", "alpha"), slop=3, k=None
+    )
+    rows = {r.doc_id: r.score for r in out.collect()}
+    # every doc has alpha in title or text; matching docs score as the
+    # plain 'beta' query does (masked term contributes no score)
+    plain = {r.doc_id: r.score
+             for r in text_idx.search(["beta"], k=None).collect()}
+    for d, s in rows.items():
+        assert s == plain[d]
+
+
+def test_masked_geometry_mismatch_raises(spark, masked_pair, tmp_path):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+    text_idx, _ = masked_pair
+    df = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    odir = str(tmp_path / "odd")
+    build_index(spark, df, odir, num_segments=4, num_chunks=1,
+                positions=True)
+    with pytest.raises(ValueError, match="segment geometry"):
+        text_idx.search_span_near_masked(
+            InvertedIndex(spark, odir), ("term", "x"), ("term", "y")
+        )
