@@ -11284,6 +11284,52 @@ _SPAT_LAT = "(event_id % 160)::DOUBLE - 80.0 + 0.5"
 _SPAT_LON = "((event_id * 7) % 360)::DOUBLE - 180.0 + 0.5"
 
 
+def _esql_spatial_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL spatial relations over POINT/BBOX WKT: ST_INTERSECTS /
+    ST_DISJOINT / ST_WITHIN (point vs envelope) and ST_CONTAINS
+    (per-event envelope vs a query envelope) — closed-interval algebra
+    per axis, all folding to JVM boolean expressions."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 37 == 0"
+        " | EVAL lat = TO_DOUBLE(event_id % 160) - 80.0 + 0.5,"
+        "   lon = TO_DOUBLE(event_id * 7 % 360) - 180.0 + 0.5"
+        " | EVAL p = TO_GEOPOINT(CONCAT('POINT (', TO_STRING(lon), ' ',"
+        "   TO_STRING(lat), ')')),"
+        "   box = TO_GEOSHAPE(CONCAT('BBOX (', TO_STRING(lon - 5.0), ', ',"
+        "   TO_STRING(lon + 5.0), ', ', TO_STRING(lat + 5.0), ', ',"
+        "   TO_STRING(lat - 5.0), ')'))"
+        " | EVAL q = TO_GEOSHAPE('BBOX (-60.0, 60.0, 40.0, -40.0)')"
+        " | EVAL i = ST_INTERSECTS(p, q), dj = ST_DISJOINT(p, q),"
+        "   w = ST_WITHIN(p, q), c = ST_CONTAINS(q, p),"
+        "   bi = ST_INTERSECTS(box, q), bw = ST_WITHIN(box, q)"
+        " | KEEP event_id, i, dj, w, c, bi, bw | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out
+
+
+_ESQL_SPATIAL_REL_SQL = """
+WITH b AS (
+  SELECT event_id,
+         (event_id % 160)::DOUBLE - 80.0 + 0.5 AS lat,
+         (event_id * 7 % 360)::DOUBLE - 180.0 + 0.5 AS lon
+  FROM events WHERE event_id % 37 = 0
+)
+SELECT event_id,
+       (lon >= -60.0 AND lon <= 60.0 AND lat >= -40.0 AND lat <= 40.0) AS i,
+       NOT (lon >= -60.0 AND lon <= 60.0 AND lat >= -40.0 AND lat <= 40.0) AS dj,
+       (lon >= -60.0 AND lon <= 60.0 AND lat >= -40.0 AND lat <= 40.0) AS w,
+       (lon >= -60.0 AND lon <= 60.0 AND lat >= -40.0 AND lat <= 40.0) AS c,
+       (NOT (lon + 5.0 < -60.0 OR lon - 5.0 > 60.0
+             OR lat + 5.0 < -40.0 OR lat - 5.0 > 40.0)) AS bi,
+       (lon - 5.0 >= -60.0 AND lon + 5.0 <= 60.0
+        AND lat - 5.0 >= -40.0 AND lat + 5.0 <= 40.0) AS bw
+FROM b ORDER BY event_id
+"""
+
+
 def _esql_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL spatial scalars over WKT geo_points: TO_GEOPOINT, ST_X/ST_Y
     (substring/split parse, no regex), ST_DISTANCE (haversine meters via
@@ -12048,6 +12094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_math_funcs": _esql_math_funcs,
         "esql_mv_funcs2": _esql_mv_funcs2,
         "esql_spatial": _esql_spatial,
+        "esql_spatial_rel": _esql_spatial_rel,
         "esql_spatial_agg": _esql_spatial_agg,
         "ingest_uri_parts": _ingest_uri_parts,
         "ingest_kv_json": _ingest_kv_json,
@@ -12444,6 +12491,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_math_funcs": _ESQL_MATH_FUNCS_SQL,
         "esql_mv_funcs2": _ESQL_MV_FUNCS2_SQL,
         "esql_spatial": _esql_spatial_sql(),
+        "esql_spatial_rel": _ESQL_SPATIAL_REL_SQL,
         "esql_spatial_agg": _ESQL_SPATIAL_AGG_SQL,
         "ingest_uri_parts": _INGEST_URI_PARTS_SQL,
         "ingest_kv_json": _INGEST_KV_JSON_SQL,

@@ -701,12 +701,63 @@ def _h_st_geohash(a: "list[str]") -> str:
 
 
 _FUNC_HANDLERS["TO_GEOPOINT"] = lambda a: f"({a[0]})"
+_FUNC_HANDLERS["TO_GEOSHAPE"] = lambda a: f"({a[0]})"
 _FUNC_HANDLERS["ST_X"] = lambda a: _wkt_coord(a[0], 1)
 _FUNC_HANDLERS["ST_Y"] = lambda a: _wkt_coord(a[0], 2)
 _FUNC_HANDLERS["ST_XMIN"] = lambda a: _bbox_coord(a[0], 1)
 _FUNC_HANDLERS["ST_XMAX"] = lambda a: _bbox_coord(a[0], 2)
 _FUNC_HANDLERS["ST_YMAX"] = lambda a: _bbox_coord(a[0], 3)
 _FUNC_HANDLERS["ST_YMIN"] = lambda a: _bbox_coord(a[0], 4)
+def _env_coords(e: str) -> "tuple[str, str, str, str]":
+    """(xmin, xmax, ymin, ymax) envelope of a WKT expr that is either a
+    POINT (degenerate box) or a BBOX literal — branch folds when the
+    WKT prefix is a literal."""
+    isp = f"startswith(upper({e}), 'POINT')"
+    px, py = _wkt_coord(e, 1), _wkt_coord(e, 2)
+    bxmin, bxmax = _bbox_coord(e, 1), _bbox_coord(e, 2)
+    bymax, bymin = _bbox_coord(e, 3), _bbox_coord(e, 4)
+
+    def pick(p: str, b: str) -> str:
+        return f"(CASE WHEN {isp} THEN {p} ELSE {b} END)"
+
+    return pick(px, bxmin), pick(px, bxmax), pick(py, bymin), pick(py, bymax)
+
+
+def _h_st_relation(rel: str):
+    # ES|QL spatial relations over POINT/BBOX geometries: closed-interval
+    # algebra per axis (the geo_shape envelope contract; anti-meridian
+    # out of scope like the rest of the engine's geo predicates)
+    def h(a: "list[str]") -> str:
+        if len(a) != 2:
+            raise ValueError(f"ST_{rel.upper()} takes (geomA, geomB)")
+        ax0, ax1, ay0, ay1 = _env_coords(a[0])
+        bx0, bx1, by0, by1 = _env_coords(a[1])
+        inter = (
+            f"(NOT ({ax1} < {bx0} OR {ax0} > {bx1} "
+            f"OR {ay1} < {by0} OR {ay0} > {by1}))"
+        )
+        if rel == "intersects":
+            return inter
+        if rel == "disjoint":
+            return f"(NOT {inter})"
+        if rel == "contains":
+            return (
+                f"({ax0} <= {bx0} AND {ax1} >= {bx1} "
+                f"AND {ay0} <= {by0} AND {ay1} >= {by1})"
+            )
+        # within: a inside b
+        return (
+            f"({ax0} >= {bx0} AND {ax1} <= {bx1} "
+            f"AND {ay0} >= {by0} AND {ay1} <= {by1})"
+        )
+
+    return h
+
+
+_FUNC_HANDLERS["ST_INTERSECTS"] = _h_st_relation("intersects")
+_FUNC_HANDLERS["ST_DISJOINT"] = _h_st_relation("disjoint")
+_FUNC_HANDLERS["ST_CONTAINS"] = _h_st_relation("contains")
+_FUNC_HANDLERS["ST_WITHIN"] = _h_st_relation("within")
 _FUNC_HANDLERS["ST_DISTANCE"] = _h_st_distance
 _FUNC_HANDLERS["ST_CENTROID_AGG"] = _h_st_centroid
 _FUNC_HANDLERS["ST_EXTENT_AGG"] = _h_st_extent

@@ -282,3 +282,23 @@ def test_enrich_range_missing_with_field_raises(spark, ev):
             "FROM t | ENRICH b ON value WITH nosuch",
             tables={"t": ev, "b": bands},
         )
+
+
+# --- spatial relations -----------------------------------------------------------
+
+def test_st_relations_closed_boundaries(ev):
+    out = esql(
+        "FROM t | WHERE event_id == 0"
+        " | EVAL q = TO_GEOSHAPE('BBOX (0.0, 10.0, 10.0, 0.0)'),"
+        "   edge = TO_GEOPOINT('POINT (10.0 5.0)'),"
+        "   outp = TO_GEOPOINT('POINT (10.5 5.0)'),"
+        "   inner = TO_GEOSHAPE('BBOX (2.0, 8.0, 8.0, 2.0)')"
+        " | EVAL a = ST_INTERSECTS(edge, q), b = ST_DISJOINT(outp, q),"
+        "   c = ST_CONTAINS(q, inner), d = ST_WITHIN(inner, q),"
+        "   e = ST_CONTAINS(inner, q)"
+        " | KEEP a, b, c, d, e",
+        tables={"t": ev},
+    ).collect()[0]
+    assert (out.a, out.b, out.c, out.d, out.e) == (
+        True, True, True, True, False
+    )
