@@ -7673,6 +7673,48 @@ FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY 1 ORDER BY 1
 """
 
+def _esql_enrich_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ENRICH with a GEO_MATCH policy: events' POINT WKT matched
+    against BBOX shapes, compiled to a first-match-wins CASE chain of
+    closed-interval relations (planning-level policy, zero joins)."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    regions = spark.createDataFrame(
+        [("BBOX (-180.0, 0.0, 90.0, -90.0)", "west"),
+         ("BBOX (0.0, 90.0, 90.0, -90.0)", "central"),
+         ("BBOX (90.0, 180.0, 90.0, -90.0)", "east")],
+        "shape string, region string",
+    )
+    out = esql(
+        "FROM events | WHERE event_id % 43 == 0"
+        " | EVAL lat = TO_DOUBLE(event_id % 160) - 80.0 + 0.5,"
+        "   lon = TO_DOUBLE(event_id * 7 % 360) - 180.0 + 0.5"
+        " | EVAL p = CONCAT('POINT (', TO_STRING(lon), ' ',"
+        "   TO_STRING(lat), ')')"
+        " | ENRICH regions ON p WITH region"
+        " | STATS n = COUNT(*) BY region | SORT region",
+        tables={"events": ev, "regions": regions},
+    )
+    return out
+
+
+_ESQL_ENRICH_GEO_SQL = """
+WITH b AS (
+  SELECT event_id,
+         (event_id % 160)::DOUBLE - 80.0 + 0.5 AS lat,
+         (event_id * 7 % 360)::DOUBLE - 180.0 + 0.5 AS lon
+  FROM events WHERE event_id % 43 = 0
+)
+SELECT count(*)::BIGINT AS n,
+       CASE WHEN lon >= -180.0 AND lon <= 0.0 THEN 'west'
+            WHEN lon >= 0.0 AND lon <= 90.0 THEN 'central'
+            WHEN lon >= 90.0 AND lon <= 180.0 THEN 'east'
+       END AS region
+FROM b GROUP BY region ORDER BY region
+"""
+
+
 def _ingest_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES inference ingest processor with the deterministic
     hash-classifier stand-in (served models = declared boundary, the
@@ -12016,6 +12058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_dissect2": _esql_dissect2,
         "esql_rlike": _esql_rlike,
         "esql_enrich_range": _esql_enrich_range,
+        "esql_enrich_geo": _esql_enrich_geo,
         "ingest_inference": _ingest_inference,
         "completion_fuzzy": _completion_fuzzy,
         "count_query": _count_query,
@@ -12414,6 +12457,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_dissect2": _esql_dissect2_sql(),
         "esql_rlike": _ESQL_RLIKE_SQL,
         "esql_enrich_range": _ESQL_ENRICH_RANGE_SQL,
+        "esql_enrich_geo": _ESQL_ENRICH_GEO_SQL,
         "ingest_inference": _ingest_inference_sql(),
         "completion_fuzzy": _COMPLETION_FUZZY_SQL,
         "count_query": _COUNT_QUERY_SQL,

@@ -1276,6 +1276,39 @@ def esql(
                 raise ValueError(
                     f"ENRICH match field {field!r} must exist on both sides"
                 )
+            if "shape" in policy.columns and field not in policy.columns:
+                # GEO_MATCH-type enrich policy: the match field is a
+                # POINT WKT, each policy row a BBOX shape. The policy is
+                # planning-level tiny (ES materializes it into a
+                # single-shard system index) — collect it and compile a
+                # first-match-wins CASE chain of the closed-interval
+                # relation per enrich field: pure JVM expressions, no
+                # join at all. Deviation, documented: ES emits ALL
+                # matching shapes as a multivalue; first policy-row
+                # order wins here. Polygon shapes stay on the
+                # geo.polygon_predicate surface (literal rings).
+                missing = [c for c in fields if c not in policy.columns]
+                if missing:
+                    raise ValueError(
+                        f"ENRICH WITH fields {missing} not in policy"
+                    )
+                rows = policy.select("shape", *fields).collect()
+                for out_f in fields:
+                    expr = F.lit(None)
+                    for r in reversed(rows):
+                        if not str(r["shape"]).upper().startswith("BBOX"):
+                            raise ValueError(
+                                "geo_match enrich supports BBOX shapes; "
+                                "polygons go through geo.polygon_predicate"
+                            )
+                        cond = F.expr(
+                            _rewrite_funcs(
+                                f"ST_INTERSECTS({field}, '{r['shape']}')"
+                            )
+                        )
+                        expr = F.when(cond, F.lit(r[out_f])).otherwise(expr)
+                    df = df.withColumn(out_f, expr)
+                return df
             lo, hi = f"{field}_lo", f"{field}_hi"
             if (
                 field not in policy.columns

@@ -302,3 +302,39 @@ def test_st_relations_closed_boundaries(ev):
     assert (out.a, out.b, out.c, out.d, out.e) == (
         True, True, True, True, False
     )
+
+
+# --- geo_match ENRICH ------------------------------------------------------------
+
+def test_enrich_geo_first_match_wins_and_null_outside(spark, ev):
+    regions = spark.createDataFrame(
+        [("BBOX (0.0, 10.0, 10.0, 0.0)", "inner"),
+         ("BBOX (0.0, 20.0, 20.0, 0.0)", "outer")],
+        "shape string, region string",
+    )
+    pts = spark.createDataFrame(
+        [(0, "POINT (5.0 5.0)"), (1, "POINT (15.0 15.0)"),
+         (2, "POINT (-1.0 5.0)")],
+        "event_id long, p string",
+    )
+    out = esql(
+        "FROM t | ENRICH r ON p WITH region | KEEP event_id, region"
+        " | SORT event_id",
+        tables={"t": pts, "r": regions},
+    ).collect()
+    # point 0 is in BOTH boxes: first policy row wins; point 2 outside
+    assert [(r.event_id, r.region) for r in out] == [
+        (0, "inner"), (1, "outer"), (2, None)
+    ]
+
+
+def test_enrich_geo_polygon_shape_raises(spark, ev):
+    regions = spark.createDataFrame(
+        [("POLYGON ((0 0, 1 0, 1 1, 0 0))", "tri")],
+        "shape string, region string",
+    )
+    pts = spark.createDataFrame([(0, "POINT (0.5 0.2)")],
+                                "event_id long, p string")
+    with pytest.raises(ValueError, match="BBOX"):
+        esql("FROM t | ENRICH r ON p WITH region",
+             tables={"t": pts, "r": regions})
