@@ -7673,6 +7673,81 @@ FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY 1 ORDER BY 1
 """
 
+def _ingest_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES foreach ingest processor: split → per-element uppercase
+    (transform lambda, `_value` addressing) → per-element script
+    (suffix each token with its length) → join. One fused projection
+    chain, zero shuffle."""
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    docs = load_sf_table(spark, sf_dir, "documents").where(
+        "doc_id % 23 = 0"
+    ).select("doc_id", "text")
+    out = run_pipeline(docs, [
+        {"split": {"field": "text", "separator": " ",
+                   "target_field": "toks"}},
+        {"script": {"target_field": "toks",
+                    "source": "slice(toks, 1, 3)"}},
+        {"foreach": {"field": "toks", "processor": {"uppercase": {}}}},
+        {"foreach": {"field": "toks", "processor": {"script": {
+            "source": "concat(_value, ':', CAST(length(_value) AS STRING))"
+        }}}},
+        {"join": {"field": "toks", "separator": "|",
+                  "target_field": "head3"}},
+    ], on_failure="drop")
+    return out.select("doc_id", "head3").orderBy("doc_id")
+
+
+_INGEST_FOREACH_SQL = """
+SELECT doc_id,
+       array_to_string(
+         list_transform(string_split(text, ' ')[1:3],
+                        x -> upper(x) || ':' || length(x)::VARCHAR),
+         '|') AS head3
+FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id
+"""
+
+
+def _esql_mv_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multivalue battery 3: MV_MEDIAN_ABSOLUTE_DEVIATION (median
+    of |x − median|, sorted-middle helper applied twice) and MV_SORT
+    with an order literal."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 53 == 0"
+        " | EVAL a = array(value, value * 3, value * 7, value * 2)"
+        " | EVAL mad = MV_MEDIAN_ABSOLUTE_DEVIATION(a),"
+        "   top1 = MV_FIRST(MV_SORT(a, 'DESC'))"
+        " | KEEP event_id, mad, top1 | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("event_id", _f4("mad").alias("mad"),
+                      _f4("top1").alias("top1"))
+
+
+_ESQL_MV_FUNCS3_SQL = """
+WITH b AS (
+  SELECT event_id, [value, value * 3, value * 7, value * 2] AS a
+  FROM events WHERE event_id % 53 = 0
+),
+m AS (
+  SELECT event_id, a,
+         (list_sort(a)[2]::DOUBLE + list_sort(a)[3]::DOUBLE) / 2 AS med
+  FROM b
+),
+d AS (
+  SELECT event_id, a,
+         list_sort(list_transform(a, v -> abs(v::DOUBLE - med))) AS dv
+  FROM m
+)
+SELECT event_id,
+       floor((dv[2] + dv[3]) / 2 * 1e4 + 0.5) / 1e4 AS mad,
+       floor(list_sort(a, 'DESC')[1] * 1e4 + 0.5) / 1e4 AS top1
+FROM d ORDER BY event_id
+"""
+
+
 def _esql_enrich_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL ENRICH with a GEO_MATCH policy: events' POINT WKT matched
     against BBOX shapes, compiled to a first-match-wins CASE chain of
@@ -12059,6 +12134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_rlike": _esql_rlike,
         "esql_enrich_range": _esql_enrich_range,
         "esql_enrich_geo": _esql_enrich_geo,
+        "ingest_foreach": _ingest_foreach,
+        "esql_mv_funcs3": _esql_mv_funcs3,
         "ingest_inference": _ingest_inference,
         "completion_fuzzy": _completion_fuzzy,
         "count_query": _count_query,
@@ -12458,6 +12535,8 @@ FROM topk JOIN documents USING (doc_id)
         "esql_rlike": _ESQL_RLIKE_SQL,
         "esql_enrich_range": _ESQL_ENRICH_RANGE_SQL,
         "esql_enrich_geo": _ESQL_ENRICH_GEO_SQL,
+        "ingest_foreach": _INGEST_FOREACH_SQL,
+        "esql_mv_funcs3": _ESQL_MV_FUNCS3_SQL,
         "ingest_inference": _ingest_inference_sql(),
         "completion_fuzzy": _COMPLETION_FUZZY_SQL,
         "count_query": _COUNT_QUERY_SQL,

@@ -439,6 +439,13 @@ def _h_cidr_match(a: "list[str]") -> str:
     return "(" + " OR ".join(tests) + ")"
 
 
+def _mv_order(arg: str) -> bool:
+    om = re.match(r"^['\"](asc|desc)['\"]$", arg.strip(), re.I)
+    if not om:
+        raise ValueError('MV_SORT order must be "ASC" or "DESC"')
+    return om.group(1).lower() == "asc"
+
+
 def _h_mv_sum(a: "list[str]") -> str:
     if len(a) != 1:
         raise ValueError("MV_SUM takes 1 argument")
@@ -457,7 +464,12 @@ _FUNC_HANDLERS: "dict[str, object]" = {
     "MV_MIN": _h_rename("array_min", 1),
     "MV_MAX": _h_rename("array_max", 1),
     "MV_DEDUPE": _h_rename("array_distinct", 1),
-    "MV_SORT": _h_rename("sort_array", 1),
+    # MV_SORT(field[, "ASC"|"DESC"]) — order literal folds at compile
+    "MV_SORT": lambda a: (
+        f"sort_array({a[0]})" if len(a) == 1
+        else f"sort_array({a[0]}, "
+             f"{'true' if _mv_order(a[1]) else 'false'})"
+    ),
     "MV_SUM": _h_mv_sum,
     "MV_AVG": lambda a: f"({_h_mv_sum(a)} / size({a[0]}))",
     "MV_FIRST": lambda a: f"get({a[0]}, 0)",
@@ -542,9 +554,21 @@ def _h_mv_median(a: "list[str]") -> str:
     return f"((CAST({lo} AS DOUBLE) + CAST({hi} AS DOUBLE)) / 2)"
 
 
+def _h_mv_mad(a: "list[str]") -> str:
+    # ES|QL MV_MEDIAN_ABSOLUTE_DEVIATION: median(|x - median(x)|) — the
+    # sorted-middle helper applied twice (inner median folds into the
+    # deviation transform). DOUBLE promotion like the MV math family.
+    if len(a) != 1:
+        raise ValueError("MV_MEDIAN_ABSOLUTE_DEVIATION takes 1 argument")
+    med = _h_mv_median(a)
+    dev = f"transform({a[0]}, v -> abs(CAST(v AS DOUBLE) - {med}))"
+    return _h_mv_median([dev])
+
+
 _FUNC_HANDLERS["SPLIT"] = _h_split
 _FUNC_HANDLERS["DATE_TRUNC"] = _h_date_trunc
 _FUNC_HANDLERS["MV_MEDIAN"] = _h_mv_median
+_FUNC_HANDLERS["MV_MEDIAN_ABSOLUTE_DEVIATION"] = _h_mv_mad
 
 
 def _h_hash(a: "list[str]") -> str:

@@ -187,6 +187,30 @@ def _apply(df: DataFrame, ptype: str, cfg: dict) -> DataFrame:
             df, cfg, _req(cfg, "target_field", "script"),
             F.expr(_req(cfg, "source", "script")),
         )
+    if ptype == "foreach":
+        # ES foreach: apply one processor per element of an array field,
+        # writing back in place. Compiles to a transform() lambda — the
+        # element is addressed as `_value` (ES's `_ingest._value`), so
+        # the inner `script` source references `_value` directly. Inner
+        # processors: uppercase / lowercase / trim / script.
+        field = _req(cfg, "field", "foreach")
+        inner = _req(cfg, "processor", "foreach")
+        if len(inner) != 1:
+            raise ValueError("foreach takes exactly one inner processor")
+        (itype, icfg), = inner.items()
+        simple = {"uppercase": "upper", "lowercase": "lower", "trim": "trim"}
+        if itype in simple:
+            body = f"{simple[itype]}(_value)"
+        elif itype == "script":
+            body = f"({_req(icfg or {}, 'source', 'foreach.script')})"
+        else:
+            raise ValueError(
+                f"foreach inner processor {itype!r} not supported "
+                "(uppercase | lowercase | trim | script)"
+            )
+        return df.withColumn(
+            field, F.expr(f"transform({field}, _value -> {body})")
+        )
     if ptype == "inference":
         # ES inference processor. Real served models are the declared
         # boundary (the RERANK / COMPLETION pattern); model_id
