@@ -4675,6 +4675,52 @@ _URL_DERIVE_SQL = (
 )
 
 
+_URLQ_DERIVE_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'http://spam' || (doc_id % 7) || '.tracker.net/p/' || doc_id "
+    "WHEN doc_id % 5 = 1 THEN "
+    "'http://site' || (doc_id % 9) || '.com/feed/' || doc_id || '.xml' "
+    "WHEN doc_id % 5 = 2 THEN 'http://site.com/a/b/c/d/e/f/g/' || doc_id "
+    "WHEN doc_id % 5 = 3 THEN "
+    "'http://site.org/p?q=' || repeat('x', CAST(doc_id % 100 AS INT)) "
+    "ELSE 'http://ok.org/page/' || doc_id END"
+)
+_URLQ_BLOCKED = ["tracker.net"]
+
+
+def _url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL pre-filters (urls.url_quality_flags):
+    domain blocklist, extension blocklist, crawler-trap path depth,
+    oversized querystring, and the combined keep flag — shared-SQL-text
+    expressions, zero shuffle, evaluated before any content fetch."""
+    from elasticsearch_assets_spark.operators.urls import url_quality_flags
+
+    docs = load_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URLQ_DERIVE_SQL).alias("url")
+    )
+    out = url_quality_flags(docs, "url", _URLQ_BLOCKED)
+    return out.select(
+        "doc_id", "blocked_domain", "bad_ext", "deep_path", "long_query",
+        "keep",
+    ).orderBy("doc_id")
+
+
+def _url_quality_sql() -> str:
+    from elasticsearch_assets_spark.operators.urls import url_quality_sql
+
+    f = url_quality_sql("url", _URLQ_BLOCKED)
+    return f"""
+WITH u AS (SELECT doc_id, {_URLQ_DERIVE_SQL} AS url FROM documents)
+SELECT doc_id,
+       {f['blocked_domain']} AS blocked_domain,
+       {f['bad_ext']} AS bad_ext,
+       {f['deep_path']} AS deep_path,
+       {f['long_query']} AS long_query,
+       {f['keep']} AS keep
+FROM u ORDER BY doc_id
+"""
+
+
 def _url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level exact dedup (CCNet/C4 first pass): canonicalize (case,
     default port, fragment, trailing slash) then keep-first per
@@ -12135,6 +12181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_enrich_range": _esql_enrich_range,
         "esql_enrich_geo": _esql_enrich_geo,
         "ingest_foreach": _ingest_foreach,
+        "url_quality": _url_quality,
         "esql_mv_funcs3": _esql_mv_funcs3,
         "ingest_inference": _ingest_inference,
         "completion_fuzzy": _completion_fuzzy,
@@ -12536,6 +12583,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_enrich_range": _ESQL_ENRICH_RANGE_SQL,
         "esql_enrich_geo": _ESQL_ENRICH_GEO_SQL,
         "ingest_foreach": _INGEST_FOREACH_SQL,
+        "url_quality": _url_quality_sql(),
         "esql_mv_funcs3": _ESQL_MV_FUNCS3_SQL,
         "ingest_inference": _ingest_inference_sql(),
         "completion_fuzzy": _COMPLETION_FUZZY_SQL,

@@ -121,3 +121,68 @@ def snapshot_drift(
     return o.join(n, "curl", "full_outer").select(
         "curl", "old_fp", "new_fp", status.alias("status")
     )
+
+
+def url_quality_sql(
+    col: str,
+    blocked_domains: "list[str]",
+    bad_exts: "tuple[str, ...]" = ("xml", "rss", "css", "js", "png", "jpg"),
+    max_depth: int = 6,
+    max_query: int = 64,
+) -> "dict[str, str]":
+    """RefinedWeb-style URL pre-filters as portable SQL texts (one string
+    evaluated verbatim by Spark and DuckDB — the shared-SQL-text
+    pattern): blocked_domain (host == d or endswith .d), bad_ext
+    (path extension blocklist), deep_path (more than `max_depth` path
+    segments — the crawler-trap signal), long_query (querystring longer
+    than `max_query`), and keep = NOT any. Returns {flag: sql_text}.
+
+    These run BEFORE fetching/parsing content — at crawl scale the URL
+    filter is the cheapest quality gate in the pipeline (string math
+    only, zero shuffle, whole-stage codegen)."""
+    if not blocked_domains:
+        raise ValueError("url_quality_sql needs at least one blocked domain")
+    host = url_host_sql(col)
+    pfx = f"regexp_extract(trim({col}), '{_PREFIX_RE}', 0)"
+    after = f"substr(trim({col}), length({pfx}) + 1)"
+    path = (
+        f"(CASE WHEN instr({after}, '?') > 0 "
+        f"THEN substr({after}, 1, instr({after}, '?') - 1) "
+        f"ELSE {after} END)"
+    )
+    query = (
+        f"(CASE WHEN instr({after}, '?') > 0 "
+        f"THEN substr({after}, instr({after}, '?') + 1) ELSE '' END)"
+    )
+    blocked = " OR ".join(
+        f"{host} = '{d}' OR {host} LIKE '%.{d}'"
+        for d in sorted(blocked_domains)
+    )
+    bad = " OR ".join(f"lower({path}) LIKE '%.{e}'" for e in bad_exts)
+    flags = {
+        "blocked_domain": f"({blocked})",
+        "bad_ext": f"({bad})",
+        "deep_path": (
+            f"(length({path}) - length(replace({path}, '/', '')) "
+            f"> {int(max_depth)})"
+        ),
+        "long_query": f"(length({query}) > {int(max_query)})",
+    }
+    flags["keep"] = (
+        "(NOT (" + " OR ".join(flags[f] for f in
+                               ("blocked_domain", "bad_ext", "deep_path",
+                                "long_query")) + "))"
+    )
+    return flags
+
+
+def url_quality_flags(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: "list[str]",
+    **kwargs,
+) -> DataFrame:
+    """Column form of url_quality_sql: input plus the five flag columns."""
+    for name, sql in url_quality_sql(url_col, blocked_domains, **kwargs).items():
+        df = df.withColumn(name, F.expr(sql))
+    return df

@@ -333,3 +333,31 @@ def test_masked_geometry_mismatch_raises(spark, masked_pair, tmp_path):
         text_idx.search_span_near_masked(
             InvertedIndex(spark, odir), ("term", "x"), ("term", "y")
         )
+
+
+# --- URL quality pre-filters ------------------------------------------------------
+
+def test_url_quality_flags(spark):
+    from elasticsearch_assets_spark.operators.urls import url_quality_flags
+    rows = [
+        (0, "http://ads.tracker.net/x"),
+        (1, "http://ok.org/feed/1.XML"),
+        (2, "http://ok.org/a/b/c/d/e/f/g/h"),
+        (3, "http://ok.org/p?q=" + "x" * 100),
+        (4, "http://ok.org/fine"),
+        (5, "http://tracker.net/bare-host"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in
+           url_quality_flags(df, "url", ["tracker.net"]).collect()}
+    assert out[0].blocked_domain and not out[0].keep
+    assert out[1].bad_ext  # extension match is case-insensitive
+    assert out[2].deep_path
+    assert out[3].long_query
+    assert out[4].keep and not any(
+        [out[4].blocked_domain, out[4].bad_ext, out[4].deep_path,
+         out[4].long_query])
+    assert out[5].blocked_domain  # exact host, not just subdomain
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        url_quality_flags(df, "url", [])
