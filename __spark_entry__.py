@@ -7754,6 +7754,35 @@ FROM documents WHERE doc_id % 23 = 0 ORDER BY doc_id
 """
 
 
+def _esql_metadata_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `FROM a,b METADATA _index`: the source index name rides the
+    union as the _index column — counts per source index over a
+    two-table union (documents + a filtered view registered as a second
+    index)."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en")
+    out = esql(
+        "FROM docs_all, docs_en METADATA _index"
+        " | STATS n = COUNT(*), chars = SUM(n_chars) BY _index"
+        " | SORT _index",
+        tables={"docs_all": docs, "docs_en": en},
+    )
+    return out
+
+
+_ESQL_METADATA_INDEX_SQL = """
+SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars, _index
+FROM (
+  SELECT n_chars, 'docs_all' AS _index FROM documents
+  UNION ALL
+  SELECT n_chars, 'docs_en' AS _index FROM documents WHERE lang = 'en'
+)
+GROUP BY _index ORDER BY _index
+"""
+
+
 def _esql_mv_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL multivalue battery 3: MV_MEDIAN_ABSOLUTE_DEVIATION (median
     of |x − median|, sorted-middle helper applied twice) and MV_SORT
@@ -12183,6 +12212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_foreach": _ingest_foreach,
         "url_quality": _url_quality,
         "esql_mv_funcs3": _esql_mv_funcs3,
+        "esql_metadata_index": _esql_metadata_index,
         "ingest_inference": _ingest_inference,
         "completion_fuzzy": _completion_fuzzy,
         "count_query": _count_query,
@@ -12585,6 +12615,7 @@ FROM topk JOIN documents USING (doc_id)
         "ingest_foreach": _INGEST_FOREACH_SQL,
         "url_quality": _url_quality_sql(),
         "esql_mv_funcs3": _ESQL_MV_FUNCS3_SQL,
+        "esql_metadata_index": _ESQL_METADATA_INDEX_SQL,
         "ingest_inference": _ingest_inference_sql(),
         "completion_fuzzy": _COMPLETION_FUZZY_SQL,
         "count_query": _COUNT_QUERY_SQL,

@@ -1041,8 +1041,24 @@ def esql(
     def resolve_from(spec: str) -> DataFrame:
         """FROM accepts ES's comma lists and * patterns (`FROM a,logs-*`):
         every matching index unions by name, columns missing on a side
-        fill with null (the ES cross-index mapping behavior)."""
+        fill with null (the ES cross-index mapping behavior). A trailing
+        `METADATA _index` exposes the source index name as the `_index`
+        column (the only metadata field with meaning here — _id/_score
+        belong to the ranked engine, documented)."""
         import fnmatch
+
+        with_index = False
+        mm = re.search(r"\bMETADATA\s+(.+)$", spec, re.I)
+        if mm:
+            meta_fields = [f.strip() for f in mm.group(1).split(",")]
+            bad = [f for f in meta_fields if f != "_index"]
+            if bad:
+                raise ValueError(
+                    f"METADATA fields {bad} not supported (_index only; "
+                    "_score/_id are the ranked engine's surface)"
+                )
+            with_index = True
+            spec = spec[: mm.start()].strip()
 
         names: list[str] = []
         for part in (p.strip() for p in spec.split(",")):
@@ -1061,9 +1077,14 @@ def esql(
                 names.append(part)
         if not names:
             raise ValueError("FROM needs an index name")
-        out = resolve(names[0])
+
+        def tagged(n: str) -> DataFrame:
+            d = resolve(n)
+            return d.withColumn("_index", F.lit(n)) if with_index else d
+
+        out = tagged(names[0])
         for n in names[1:]:
-            out = out.unionByName(resolve(n), allowMissingColumns=True)
+            out = out.unionByName(tagged(n), allowMissingColumns=True)
         return out
 
     cmds = _split_pipes(query)

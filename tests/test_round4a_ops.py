@@ -338,3 +338,20 @@ def test_enrich_geo_polygon_shape_raises(spark, ev):
     with pytest.raises(ValueError, match="BBOX"):
         esql("FROM t | ENRICH r ON p WITH region",
              tables={"t": pts, "r": regions})
+
+
+# --- FROM METADATA _index -----------------------------------------------------
+
+def test_from_metadata_index_tags_sources(spark, ev):
+    a = ev.limit(2)
+    out = esql(
+        "FROM a, b METADATA _index | STATS n = COUNT(*) BY _index"
+        " | SORT _index",
+        tables={"a": a, "b": ev},
+    ).collect()
+    assert [(r._index, r.n) for r in out] == [("a", 2), ("b", 5)]
+
+
+def test_from_metadata_rejects_unknown_fields(spark, ev):
+    with pytest.raises(ValueError, match="_index only"):
+        esql("FROM a METADATA _score | LIMIT 1", tables={"a": ev})
