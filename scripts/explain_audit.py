@@ -476,6 +476,35 @@ def main() -> None:
         ).where("big"),
     )
 
+    tidx_dir = "/tmp/esa_plan_audit_idx_title"
+    if not os.path.exists(os.path.join(tidx_dir, "meta.json")):
+        from pyspark.sql import functions as _F
+
+        title = docs.select(
+            "doc_id",
+            _F.concat_ws(
+                " ", _F.slice(_F.split(_F.col("text"), " "), 1, 8)
+            ).alias("title"),
+        )
+        build_index(
+            spark, title, tidx_dir, id_col="doc_id", text_col="title",
+            num_segments=8, positions=True,
+        )
+    add(
+        "field_masking_span (session 7): two pushed scans, one cogroup",
+        "The masked clause's positions come from the OTHER field's "
+        "index: both pushed `term IN` scans union and hash-shuffle once "
+        "on seg_id (aligned doc_hash geometry) into one "
+        "FlatMapGroupsInPandas — no doc-level join, no driver "
+        "materialization.",
+        pidx.search_span_near_masked(
+            __import__(
+                "elasticsearch_assets_spark.query.engine",
+                fromlist=["InvertedIndex"],
+            ).InvertedIndex(spark, tidx_dir),
+            ("term", "fast"), ("term", "key"), slop=3, k=10,
+        ),
+    )
     add(
         "Scroll page (session 7): keyset cursor pushes to the scan",
         "A mid-export scroll batch plans as PushedFilters on the "
@@ -505,6 +534,9 @@ def main() -> None:
         "design claims. Regenerate after engine changes; review the diff.\n"
     )
     for title, claim, plan in sections:
+        # the field-masking key prefix is a literal NUL byte — escape it
+        # so PLANS.md stays a text file
+        plan = plan.replace("\x00", "\\x00")
         out.append(f"## {title}\n\n{claim}\n\n```\n{plan}\n```\n")
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as fh:
