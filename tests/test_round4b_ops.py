@@ -361,3 +361,43 @@ def test_url_quality_flags(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         url_quality_flags(df, "url", [])
+
+
+def test_near_span_pairs_fuzz_vs_brute_force():
+    import random
+    import numpy as np
+    from elasticsearch_assets_spark.query.phrase import near_span_pairs
+
+    rng = random.Random(7)
+
+    def brute(a, b, slop, ordered):
+        out = set()
+        for i in range(a[0].size):
+            for j in range(b[0].size):
+                if a[0][i] != b[0][j]:
+                    continue
+                s = min(a[1][i], b[1][j])
+                e = max(a[2][i], b[2][j])
+                w = (a[2][i] - a[1][i]) + (b[2][j] - b[1][j])
+                if (e - s) - w > slop:
+                    continue
+                if ordered and b[1][j] < a[2][i]:
+                    continue
+                out.add((int(a[0][i]), int(s), int(e)))
+        return out
+
+    def mk(n):
+        d = np.array(sorted(rng.randrange(4) for _ in range(n)),
+                     dtype=np.int64)
+        s = np.array([rng.randrange(12) for _ in range(n)], dtype=np.int64)
+        w = np.array([1 + rng.randrange(3) for _ in range(n)],
+                     dtype=np.int64)
+        return d, s, s + w
+
+    for _ in range(200):
+        a, b = mk(rng.randrange(1, 7)), mk(rng.randrange(1, 7))
+        slop = rng.randrange(0, 5)
+        ordered = rng.random() < 0.5
+        got = near_span_pairs(a, b, slop, ordered=ordered)
+        gs = set(zip(got[0].tolist(), got[1].tolist(), got[2].tolist()))
+        assert gs == brute(a, b, slop, ordered)
