@@ -327,6 +327,67 @@ WHERE doc_id IN (SELECT doc_id FROM phrase)
 """
 
 
+def _bm25_phrase_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase + scoring-clause composition (`"table hash" AND jo*`, the
+    Lucene BooleanQuery-with-a-PhraseQuery shape): a doc matches iff it
+    contains the phrase consecutively AND >= 1 dictionary term with the
+    jo prefix; the score sums every matched term — search(groups=...)'s
+    scoring_boolean contract restricted to phrase-matching docs
+    (engine.search_phrase(groups=...))."""
+    idx = _docs_index_pos(spark, sf_dir)
+    groups = [idx.expand_prefix("jo")]
+    res = idx.search_phrase(_PHRASE_TERMS, k=None, groups=groups)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_phrase_groups_sql(phrase: list[str], like: str) -> str:
+    """DuckDB twin of the composition: the positional adjacency self-join
+    restricted further by the group's dictionary predicate, scored over
+    phrase terms + matched group terms."""
+    distinct = sorted(set(phrase))
+    tlist = ", ".join(f"'{t}'" for t in distinct)
+    joins = " ".join(
+        f"JOIN ptoks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(phrase))
+    )
+    conds = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(phrase))
+    phrase_flags = " AND ".join(
+        f"max(CASE WHEN tf.term = '{t}' THEN 1 ELSE 0 END) = 1"
+        for t in distinct
+    )
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+toks AS (SELECT doc_id, term FROM ptoks),
+phrase AS (
+  SELECT DISTINCT t0.doc_id FROM ptoks t0 {joins} WHERE {conds}
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) OR term LIKE '{like}' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+  HAVING {phrase_flags}
+     AND max(CASE WHEN tf.term LIKE '{like}' THEN 1 ELSE 0 END) = 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM phrase)
+"""
+
+
 def _bm25_query(terms: list[str], mode: str, k: int | None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = _docs_index(spark, sf_dir)
@@ -11992,6 +12053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_single_term": _bm25_query(["filter"], "and", None),
         "bm25_filtered": _bm25_filtered,
         "bm25_phrase": _bm25_phrase,
+        "bm25_phrase_groups": _bm25_phrase_groups,
         "bm25_near": _bm25_near,
         "bm25_prefix": _bm25_prefix,
         "bm25_wildcard": _bm25_wildcard,
@@ -12351,6 +12413,7 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "table"], "or", 10, where="doc_id % 3 = 0"
         ),
         "bm25_phrase": _bm25_phrase_sql(_PHRASE_TERMS),
+        "bm25_phrase_groups": _bm25_phrase_groups_sql(_PHRASE_TERMS, "jo%"),
         "bm25_near": _bm25_near_sql(_NEAR_T1, _NEAR_T2, _NEAR_SLOP),
         "bm25_prefix": _bm25_sql([], "or", None, term_cond="term LIKE 's%'"),
         "bm25_wildcard": _bm25_sql(

@@ -2748,18 +2748,21 @@ class InvertedIndex:
             )
             filtered = corpus.where(pred)
             if plan.phrase is not None:
-                # phrase + filter: the cogrouped executor-side ladder —
-                # no collect_cap ceiling anymore (search_phrase_filtered)
+                # phrase (+ scoring clauses) + filter: the cogrouped
+                # executor-side ladder — no collect_cap ceiling anymore
                 return self.search_phrase_filtered(
                     plan.phrase, filtered, k=k,
                     id_col=id_col, collect_cap=collect_cap,
+                    groups=plan.groups or None,
                 )
             return self.search_filtered(
                 [], filtered, k=k, mode=plan.mode,
                 id_col=id_col, collect_cap=collect_cap, groups=plan.groups,
             )
         if plan.phrase is not None:
-            return self.search_phrase(plan.phrase, k=k)
+            return self.search_phrase(
+                plan.phrase, k=k, groups=plan.groups or None
+            )
         return self.search([], k=k, mode=plan.mode, groups=plan.groups)
 
     # -- more-like-this ------------------------------------------------------
@@ -2818,9 +2821,16 @@ class InvertedIndex:
         res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return res.limit(k) if k is not None else res
 
-    def _phrase_prep(self, phrase):
+    def _phrase_prep(self, phrase, groups=None):
         """Shared planning for the phrase paths: tokens, distinct terms,
-        idfs. Returns None when the result is provably empty."""
+        idfs. Returns None when the result is provably empty.
+
+        `groups` (extra clause-level scoring conjuncts, same semantics as
+        `search(groups=...)`) widens the idf fetch to the group terms in the
+        SAME planning round-trip; globally-absent group terms are dropped
+        from their group (an absent dictionary term can never match — the
+        MultiTermQuery-rewrite rule), and a group left empty makes the AND
+        provably empty."""
         toks = tokenize(phrase) if isinstance(phrase, str) else list(phrase)
         if not toks:
             return None
@@ -2832,33 +2842,52 @@ class InvertedIndex:
                 "restricting predicate"
             )
         distinct = sorted(set(toks))
-        dfs = self.term_stats(distinct)
-        if len(dfs) != len(distinct):
-            return None  # a missing term can never match consecutively
+        gterms = sorted({t for g in (groups or []) for t in g} - set(distinct))
+        dfs = self.term_stats(distinct + gterms)
+        if any(t not in dfs for t in distinct):
+            return None  # a missing phrase term can never match consecutively
         meta = self.meta
-        idfs = {t: idf(meta.n_docs, dfs[t]) for t in distinct}
-        return toks, distinct, idfs
+        idfs = {t: idf(meta.n_docs, dfs[t]) for t in dfs}
+        if groups is None:
+            return toks, distinct, idfs, None
+        kept = [[t for t in g if t in dfs] for g in groups]
+        if any(not g for g in kept):
+            return None  # an unsatisfiable AND clause
+        return toks, distinct, idfs, kept
 
     def search_phrase(
         self,
         phrase: str | list[str],
         k: int | None = 10,
         allowed: "np.ndarray | None" = None,
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """Top-k BM25 among docs containing the EXACT consecutive token
         sequence (index-assisted: positional postings, no text scan — see
         query/phrase.py). Scores are the AND-query scores restricted to
-        phrase-matching docs; ordering contract matches `search`."""
-        from elasticsearch_assets_spark.query.phrase import phrase_match
-        from elasticsearch_assets_spark.query.wand import restrict
+        phrase-matching docs; ordering contract matches `search`.
 
-        prep = self._phrase_prep(phrase)
+        `groups` (Lucene BooleanQuery: `"big deal" AND spark AND jo*`)
+        ANDs clause-level scoring conjuncts onto the phrase: a doc must
+        contain the phrase AND ≥ 1 term of every group; the score sums
+        every matched term (phrase terms + group terms) — exactly
+        `search(groups=...)`'s scoring contract restricted to
+        phrase-matching docs. groups=None is bit-identical to the plain
+        phrase kernel (tested)."""
+        from elasticsearch_assets_spark.query.phrase import phrase_match
+        from elasticsearch_assets_spark.query.wand import (
+            restrict,
+            topk_group_conjunctive,
+        )
+
+        prep = self._phrase_prep(phrase, groups)
         if prep is None:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        toks, distinct, idfs = prep
+        toks, distinct, idfs, kept = prep
         meta = self.meta
         avgdl, k1, b = meta.avgdl, meta.k1, meta.b
         excluded = self.tombstones
+        fetch = sorted(set(distinct) | {t for g in (kept or []) for t in g})
 
         def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             postings = {
@@ -2866,6 +2895,12 @@ class InvertedIndex:
                 for row in (t._asdict() for t in pdf.itertuples(index=False))
             }
             docs = restrict(phrase_match(postings, toks), excluded, allowed)
+            if kept is not None:
+                allg = [[t] for t in distinct] + kept
+                docs, score = topk_group_conjunctive(
+                    allg, postings, idfs, avgdl, k1, b, k, allowed=docs
+                )
+                return pd.DataFrame({"doc_id": docs, "score": score})
             score = exact_scores(docs, distinct, postings, idfs, avgdl, k1, b)
             order = np.lexsort((docs, -score))
             if k is not None:
@@ -2873,7 +2908,7 @@ class InvertedIndex:
             return pd.DataFrame({"doc_id": docs[order], "score": score[order]})
 
         per_seg = (
-            self.segments.where(F.col("term").isin(distinct))
+            self.segments.where(F.col("term").isin(fetch))
             .groupBy("seg_id")
             .applyInPandas(score_fn, TOPK_SCHEMA)
         )
@@ -2889,6 +2924,7 @@ class InvertedIndex:
         id_col: str = "doc_id",
         collect_cap: int = 5_000_000,
         strategy: str = "auto",
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """Phrase query restricted to a structured filter — the phrase
         sibling of search_filtered, with the same path ladder:
@@ -2896,14 +2932,20 @@ class InvertedIndex:
         (any filter size, no driver materialization — this closes the
         collect_cap ceiling the query-string phrase+filter path used to
         raise at), (2) broadcast id set, (3) exhaustive phrase + semi
-        join. All rank-identical (tested)."""
+        join. All rank-identical (tested). `groups` ANDs clause-level
+        scoring conjuncts onto the phrase (see search_phrase) — the full
+        `"phrase" AND clauses AND filter` query-string composition."""
         from elasticsearch_assets_spark.query.phrase import phrase_match
-        from elasticsearch_assets_spark.query.wand import restrict
+        from elasticsearch_assets_spark.query.wand import (
+            restrict,
+            topk_group_conjunctive,
+        )
 
-        prep = self._phrase_prep(phrase)
+        prep = self._phrase_prep(phrase, groups)
         if prep is None:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        toks, distinct, idfs = prep
+        toks, distinct, idfs, kept = prep
+        fetch = sorted(set(distinct) | {t for g in (kept or []) for t in g})
         ids = filtered.select(F.col(id_col).cast("long").alias("doc_id"))
         if strategy in ("auto", "cogroup"):
             with_seg = self._filter_with_seg(ids)
@@ -2929,6 +2971,15 @@ class InvertedIndex:
                     docs = restrict(
                         phrase_match(postings, toks), excluded, allowed
                     )
+                    if kept is not None:
+                        allg = [[t] for t in distinct] + kept
+                        docs, score = topk_group_conjunctive(
+                            allg, postings, idfs, avgdl, k1, b, k,
+                            allowed=docs,
+                        )
+                        return pd.DataFrame(
+                            {"doc_id": docs, "score": score}
+                        )
                     score = exact_scores(
                         docs, distinct, postings, idfs, avgdl, k1, b
                     )
@@ -2940,7 +2991,7 @@ class InvertedIndex:
                     )
 
                 per_seg = (
-                    self.segments.where(F.col("term").isin(distinct))
+                    self.segments.where(F.col("term").isin(fetch))
                     .groupBy("seg_id")
                     .cogroup(with_seg.groupBy("seg_id"))
                     .applyInPandas(score_fn, TOPK_SCHEMA)
@@ -2960,8 +3011,10 @@ class InvertedIndex:
                 allowed = np.sort(
                     np.array([r["doc_id"] for r in sample], dtype=np.int64)
                 )
-                return self.search_phrase(phrase, k=k, allowed=allowed)
-        scored = self.search_phrase(phrase, k=None)
+                return self.search_phrase(
+                    phrase, k=k, allowed=allowed, groups=groups
+                )
+        scored = self.search_phrase(phrase, k=None, groups=groups)
         out = scored.join(ids.distinct(), "doc_id", "left_semi")
         out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return out.limit(k) if k is not None else out
@@ -2971,19 +3024,24 @@ class InvertedIndex:
         phrase: str | list[str],
         k: int | None = 10,
         allowed: "np.ndarray | None" = None,
+        groups: list[list[str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Serving-path phrase search: one pushed-down posting collect, then
         the same kernels on the driver — identical to
         `search_phrase().collect()` (tested)."""
         from elasticsearch_assets_spark.query.phrase import phrase_match
-        from elasticsearch_assets_spark.query.wand import restrict
+        from elasticsearch_assets_spark.query.wand import (
+            restrict,
+            topk_group_conjunctive,
+        )
 
-        prep = self._phrase_prep(phrase)
+        prep = self._phrase_prep(phrase, groups)
         if prep is None:
             return []
-        toks, distinct, idfs = prep
+        toks, distinct, idfs, kept = prep
         meta = self.meta
-        rows = self.segments.where(F.col("term").isin(distinct)).collect()
+        fetch = sorted(set(distinct) | {t for g in (kept or []) for t in g})
+        rows = self.segments.where(F.col("term").isin(fetch)).collect()
         by_seg: dict[int, dict[str, TermPostings]] = {}
         for r in rows:
             by_seg.setdefault(r["seg_id"], {})[r["term"]] = TermPostings(r)
@@ -2992,6 +3050,17 @@ class InvertedIndex:
             docs = restrict(
                 phrase_match(postings, toks), self.tombstones, allowed
             )
+            if kept is not None:
+                allg = [[t] for t in distinct] + kept
+                docs, score = topk_group_conjunctive(
+                    allg, postings, idfs,
+                    meta.avgdl, meta.k1, meta.b, None, allowed=docs,
+                )
+                if docs.size == 0:
+                    continue
+                out_docs.append(docs)
+                out_scores.append(score)
+                continue
             if docs.size == 0:
                 continue
             out_docs.append(docs)

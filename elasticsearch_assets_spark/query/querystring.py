@@ -109,10 +109,10 @@ def plan_querystring(q: str, index, analyzed_fields: set[str]) -> QueryPlan:
                     "'(text...) AND filter' or use compile_filter"
                 )
             filters.append(c)
-    if phrase is not None and groups:
+    if phrase is not None and groups and mode == "or":
         raise NotImplementedError(
-            "mixing a phrase with other scoring clauses is not supported — "
-            "AND the phrase with structured filters instead"
+            "OR of a phrase with other scoring clauses is not supported — "
+            "AND composition ('\"phrase\" AND term ...') is"
         )
     # silently-empty expansions: an AND clause that matches no dictionary
     # term can never match a doc; an OR clause just drops out

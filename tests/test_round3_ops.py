@@ -368,8 +368,8 @@ def test_querystring_routes_and_matches_manual_composition(spark, corpus, index)
 def test_querystring_unsupported_shapes_raise(corpus, index, pos_index):
     with pytest.raises(NotImplementedError, match="OR of a text clause"):
         index.search_querystring("the OR doc_id:>=5", corpus)
-    with pytest.raises(NotImplementedError, match="phrase"):
-        pos_index.search_querystring('"the join" AND spark', corpus)
+    with pytest.raises(NotImplementedError, match="OR of a phrase"):
+        pos_index.search_querystring('"the join" OR spark', corpus)
     with pytest.raises(ValueError, match="no scoring clause"):
         index.search_querystring("doc_id:>=5", corpus)
     with pytest.raises(ValueError, match="corpus"):
