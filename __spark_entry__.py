@@ -9145,6 +9145,112 @@ FROM f ORDER BY fused DESC, _id LIMIT 15
 """
 
 
+def _esql_fuse_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FUSE linear: merge FORK branches by per-branch minmax score
+    normalization (degenerate branch -> 1.0, ES's edge rule) then an
+    unweighted sum per _id — the 8.16 linear retriever's math in window
+    form, same two exchanges as FUSE rrf."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM documents"
+        " | EVAL _id = doc_id"
+        " | FORK (WHERE lang == 'en' | EVAL _score = TO_DOUBLE(n_chars)"
+        "         | SORT _score DESC, _id ASC | LIMIT 20)"
+        "        (WHERE STARTS_WITH(source, 'src1')"
+        "         | EVAL _score = TO_DOUBLE(doc_id * 37 % 101)"
+        "         | SORT _score DESC, _id ASC | LIMIT 20)"
+        " | FUSE linear KEY BY _id"
+        " | SORT _score DESC, _id ASC | LIMIT 15",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select(
+        F.col("_id").alias("doc_id"), _f4("_score").alias("score")
+    )
+
+
+_ESQL_FUSE_LINEAR_SQL = """
+WITH b1 AS (
+  SELECT doc_id AS _id, CAST(n_chars AS DOUBLE) AS s
+  FROM documents WHERE lang = 'en' ORDER BY s DESC, _id LIMIT 20
+), b2 AS (
+  SELECT doc_id AS _id, CAST(doc_id * 37 % 101 AS DOUBLE) AS s
+  FROM documents WHERE starts_with(source, 'src1')
+  ORDER BY s DESC, _id LIMIT 20
+), u AS (
+  SELECT _id, s, 1 AS fork FROM b1
+  UNION ALL SELECT _id, s, 2 AS fork FROM b2
+), r AS (
+  SELECT _id, s,
+         min(s) OVER (PARTITION BY fork) AS lo,
+         max(s) OVER (PARTITION BY fork) AS hi
+  FROM u
+), f AS (
+  SELECT _id,
+         sum(CASE WHEN hi = lo THEN CAST(1 AS DOUBLE)
+                  ELSE (s - lo) / (hi - lo) END) AS fused
+  FROM r GROUP BY _id
+)
+SELECT _id AS doc_id, floor(fused * 10000.0 + 0.5) / 10000.0 AS score
+FROM f ORDER BY fused DESC, _id LIMIT 15
+"""
+
+
+def _esql_bucket_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL BUCKET 4-arg auto form: `BUCKET(ts, 20, from, to)` picks a
+    "nice" span from the literal bounds AT COMPILE TIME (10 days / 20 ->
+    12-hour rung on the second→90-day ladder) and then compiles exactly
+    like the 2-arg fixed-span form — the bounds are an interval HINT, all
+    rows still bucket (ES's contract)."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        ' | WHERE event_type == "click"'
+        " | STATS n = count(*)"
+        " BY b = BUCKET(ts, 20, '2024-01-01', '2024-01-11')"
+        " | SORT b",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select(
+        F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("b"), "n"
+    )
+
+
+_ESQL_BUCKET_AUTO_SQL = """
+SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+         + (floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  / 43200) * 43200)::BIGINT * INTERVAL 1 SECOND,
+         '%Y-%m-%d %H:%M:%S') AS b,
+       count(*)::BIGINT AS n
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY b
+"""
+
+
+def _esql_kql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `field: *` existence shorthand (Kibana's field-presence test):
+    rewritten to the Lucene surface's `_exists_:field` -> IsNotNull,
+    pushed to the scan like any structured clause."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM documents"
+        ' | WHERE KQL("lang: * and n_chars >= 900")'
+        " | STATS n = count(*) BY lang"
+        " | SORT lang",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("lang", "n")
+
+
+_ESQL_KQL_EXISTS_SQL = """
+SELECT lang, count(*)::BIGINT AS n
+FROM documents WHERE lang IS NOT NULL AND n_chars >= 900
+GROUP BY lang ORDER BY lang
+"""
+
+
 def _esql_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL scalar-function battery (TO_* casts, CASE, MV_* multivalue
     math, STARTS_WITH/ENDS_WITH/LOCATE) through the uppercase rewrite
@@ -12325,6 +12431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shrink_search": _shrink_search,
         "split_search": _split_search,
         "esql_fuse": _esql_fuse,
+        "esql_fuse_linear": _esql_fuse_linear,
+        "esql_bucket_auto": _esql_bucket_auto,
+        "esql_kql_exists": _esql_kql_exists,
         "esql_scalar_funcs": _esql_scalar_funcs,
         "esql_date_funcs": _esql_date_funcs,
         "ann_topk_bbq": _ann_topk_bbq,
@@ -12729,6 +12838,9 @@ FROM topk JOIN documents USING (doc_id)
         "shrink_search": _SHRINK_SEARCH_SQL,
         "split_search": _split_search_sql(),
         "esql_fuse": _ESQL_FUSE_SQL,
+        "esql_fuse_linear": _ESQL_FUSE_LINEAR_SQL,
+        "esql_bucket_auto": _ESQL_BUCKET_AUTO_SQL,
+        "esql_kql_exists": _ESQL_KQL_EXISTS_SQL,
         "esql_scalar_funcs": _ESQL_SCALAR_FUNCS_SQL,
         "esql_date_funcs": _ESQL_DATE_FUNCS_SQL,
         "ann_topk_bbq": _ann_topk_bbq_sql(),

@@ -333,18 +333,80 @@ def _bucket_sql(col: str, spec: str) -> str:
             f"* CAST({spec} AS DOUBLE)"
         )
     raise ValueError(
-        f"BUCKET needs `(field, N unit)` or `(field, span)`: got {spec!r} "
-        "(the 4-arg auto-interval form is not supported)"
+        f"BUCKET needs `(field, N unit)` or `(field, span)`: got {spec!r}"
     )
+
+
+# ES's "nice interval" ladder for the BUCKET auto form: pick the smallest
+# rung yielding <= target buckets over [from, to). Rungs must be shapes
+# _bucket_sql can emit — fixed multiples of seconds..days, or a 1-unit
+# calendar trunc; months/quarters ride as fixed 30/90-day widths
+# (documented deviation: ES picks calendar months there; the fixed form
+# keeps the emitted SQL portable and the compile deterministic).
+_AUTO_LADDER: "list[tuple[float, str]]" = [
+    (1, "1 second"), (5, "5 seconds"), (10, "10 seconds"),
+    (30, "30 seconds"), (60, "1 minute"), (300, "5 minutes"),
+    (600, "10 minutes"), (1800, "30 minutes"), (3600, "1 hour"),
+    (3 * 3600, "3 hours"), (12 * 3600, "12 hours"), (86400, "1 day"),
+    (7 * 86400, "7 days"), (30 * 86400, "30 days"), (90 * 86400, "90 days"),
+]
+
+
+def _parse_bound(lit: str) -> "tuple[str, float]":
+    """A BUCKET auto-form bound: a quoted ISO date/datetime (-> epoch
+    seconds) or a bare number."""
+    lit = lit.strip()
+    if lit and lit[0] in "\"'":
+        import datetime as _dt
+
+        s = _unquote(lit).replace("Z", "+00:00")
+        if "T" not in s and " " not in s:
+            s += "T00:00:00+00:00"
+        ts = _dt.datetime.fromisoformat(s)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return "date", ts.timestamp()
+    return "num", float(lit)
+
+
+def _bucket_auto_sql(col: str, target: str, lo: str, hi: str) -> str:
+    """The 4-arg auto form `BUCKET(field, buckets, from, to)`: choose a
+    "nice" span from literal bounds AT COMPILE TIME (the bounds are
+    literals in ES|QL too), then emit the plain 2-arg compile. Dates walk
+    the second→90-day ladder and fall back to calendar years above it;
+    numbers round (to-from)/buckets up to the nearest {1,2,5}x10^k tick."""
+    n = int(target.strip())
+    if n <= 0:
+        raise ValueError("BUCKET auto form needs a positive bucket count")
+    (kind_lo, lo_v), (kind_hi, hi_v) = _parse_bound(lo), _parse_bound(hi)
+    if kind_lo != kind_hi:
+        raise ValueError("BUCKET auto-form bounds must both be dates or numbers")
+    span = (hi_v - lo_v) / n
+    if span <= 0:
+        raise ValueError("BUCKET auto form needs from < to")
+    if kind_lo == "date":
+        for width, spec in _AUTO_LADDER:
+            if width >= span:
+                return _bucket_sql(col, spec)
+        return _bucket_sql(col, "1 year")
+    import math as _math
+
+    k = _math.floor(_math.log10(span))
+    for mult in (1.0, 2.0, 5.0, 10.0):
+        nice = mult * 10.0 ** k
+        if nice >= span:
+            return _bucket_sql(col, repr(nice) if nice % 1 else str(int(nice)))
+    raise AssertionError("unreachable: 10x10^k >= span by construction")
 
 
 def _rewrite_bucket(text: str) -> str:
     def sub(m: "re.Match[str]") -> str:
         args = _split_commas(m.group(1))
+        if len(args) == 4:
+            return _bucket_auto_sql(*args)
         if len(args) != 2:
             raise ValueError(
-                "BUCKET takes (field, span) — the 4-arg auto form is "
-                "not supported"
+                "BUCKET takes (field, span) or (field, buckets, from, to)"
             )
         return _bucket_sql(args[0], args[1])
 
@@ -1159,10 +1221,9 @@ def esql(
                     "[RANK_CONSTANT n]"
                 )
             method = (fm.group(1) or "rrf").lower()
-            if method != "rrf":
+            if method not in ("rrf", "linear"):
                 raise ValueError(
-                    f"FUSE method {method!r} not supported (rrf only; "
-                    "for linear fusion use similarity.linear_fuse)"
+                    f"FUSE method {method!r} not supported (rrf | linear)"
                 )
             keys = (
                 [c.strip() for c in fm.group(2).split(",")]
@@ -1183,6 +1244,45 @@ def esql(
                     f"ORDER BY _score DESC, {ks})"
                 ),
             )
+            if method == "linear":
+                # linear fusion (the 8.16 linear retriever's math, window
+                # form): per-branch minmax normalization — degenerate
+                # branch (max == min) normalizes to 1.0, ES's edge rule —
+                # then an unweighted sum over the key. Same two exchanges
+                # as rrf; RANK_CONSTANT is meaningless here (rejected).
+                if fm.group(3):
+                    raise ValueError(
+                        "RANK_CONSTANT applies to FUSE rrf, not linear"
+                    )
+                df = df.withColumn(
+                    "_lo", F.expr("min(_score) OVER (PARTITION BY _fork)")
+                ).withColumn(
+                    "_hi", F.expr("max(_score) OVER (PARTITION BY _fork)")
+                ).withColumn(
+                    "_norm",
+                    F.expr(
+                        "CASE WHEN _hi = _lo THEN CAST(1 AS DOUBLE) "
+                        "ELSE (_score - _lo) / (_hi - _lo) END"
+                    ),
+                )
+                df = df.withColumn(
+                    "_fused",
+                    F.expr(f"sum(_norm) OVER (PARTITION BY {ks})"),
+                ).withColumn(
+                    "_keep",
+                    F.expr(
+                        f"row_number() OVER (PARTITION BY {ks} "
+                        "ORDER BY _rank, _fork)"
+                    ),
+                )
+                return (
+                    df.where("_keep = 1")
+                    .drop(
+                        "_score", "_fork", "_rank", "_keep",
+                        "_lo", "_hi", "_norm",
+                    )
+                    .withColumnRenamed("_fused", "_score")
+                )
             df = df.withColumn(
                 "_fused",
                 F.expr(

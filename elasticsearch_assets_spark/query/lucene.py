@@ -326,10 +326,12 @@ def parse_kql(q: str):
         out.append(ch)
         i += 1
     s = "".join(out)
+    # `field: *` existence shorthand -> the Lucene surface's `_exists_:f`
+    # (same IsNotNull compile, pushed to the scan)
+    s = re.sub(r"([\w.]+):\s*\*(?![\w?*])", r"_exists_:\1", s)
     if re.search(r":\s*\*(?![\w?*])", s):
         raise ValueError(
-            "KQL `field: *` existence shorthand is not supported; use "
-            "Lucene's `_exists_:field` via QSTR"
+            "KQL `field: *` existence needs a plain field name on the left"
         )
     return parse_lucene(s)
 

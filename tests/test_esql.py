@@ -384,9 +384,11 @@ def test_bucket_numeric_and_errors(events):
         k = r["value"] // 50 * 50
         brute[k] = brute.get(k, 0) + 1
     assert {r["b"]: r["n"] for r in out} == brute
-    with pytest.raises(ValueError, match="auto"):
+    # the 4-arg auto form is now supported (see test_round4c_ops); a
+    # 3-arg call is still a shape error
+    with pytest.raises(ValueError, match="BUCKET takes"):
         esql(
-            "FROM events | STATS n = count(*) BY b = BUCKET(value, 10, 0, 100)",
+            "FROM events | STATS n = count(*) BY b = BUCKET(value, 10, 0)",
             tables={"events": events},
         )
     with pytest.raises(ValueError, match="fixed-width"):

@@ -119,8 +119,10 @@ def test_parse_kql_terms_starting_with_operator_words():
 def test_parse_kql_rejects_nested_and_existence():
     with pytest.raises(ValueError, match="nested-field"):
         parse_kql("parent: { child: x }")
+    # `field: *` is now the _exists_ rewrite (test_round4c_ops); a
+    # non-field left side is still an error
     with pytest.raises(ValueError, match="existence"):
-        parse_kql("field: *")
+        parse_kql('"quoted phrase": *')
 
 
 # --- full-text WHERE functions ---------------------------------------------

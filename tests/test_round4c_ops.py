@@ -101,3 +101,110 @@ def test_phrase_groups_missing_term_dropped_from_group(pos_index):
     )
     clean = _rows(pos_index.search_phrase(PHRASE, k=None, groups=[["data"]]))
     assert with_missing == clean and with_missing
+
+
+# ---------------------------------------------------------------------------
+# ES|QL FUSE linear, BUCKET auto form, KQL existence (session-8 batch 2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:05:00",
+                        "2024-01-01 07:00:00",
+                        "2024-01-02 01:00:00",
+                        "2024-01-05 13:00:00",
+                    ]
+                ),
+                "v": [1.0, 5.0, 17.0, 93.0],
+            }
+        )
+    ).cache()
+
+
+def test_fuse_linear_minmax_sum(tiny):
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM t | EVAL _id = v, _score = v"
+        " | FORK (WHERE v < 50) (WHERE v > 2)"
+        " | FUSE linear KEY BY _id | SORT _score DESC, _id",
+        tables={"t": tiny},
+    ).select("_id", "_score").collect()
+    got = [(r["_id"], pytest.approx(r["_score"])) for r in out]
+    # branch A = {1,5,17} minmax-> {0,.25,1}; branch B = {5,17,93} -> {0,12/88,1}
+    assert got == [
+        (17.0, pytest.approx(1.0 + 12.0 / 88.0)),
+        (93.0, pytest.approx(1.0)),
+        (5.0, pytest.approx(0.25)),
+        (1.0, pytest.approx(0.0)),
+    ]
+
+
+def test_fuse_linear_rejects_rank_constant(tiny):
+    from elasticsearch_assets_spark.query.esql import esql
+
+    with pytest.raises(ValueError, match="RANK_CONSTANT"):
+        esql(
+            "FROM t | EVAL _id = v, _score = v | FORK (WHERE v < 50)"
+            " (WHERE v > 2) | FUSE linear KEY BY _id RANK_CONSTANT 10",
+            tables={"t": tiny},
+        )
+
+
+def test_bucket_auto_date_picks_ladder_rung(tiny):
+    from elasticsearch_assets_spark.query.esql import esql
+
+    # 5 days / 10 buckets = 43200 s -> the 12-hour rung
+    out = esql(
+        "FROM t | STATS c = COUNT(*)"
+        " BY b = BUCKET(ts, 10, '2024-01-01', '2024-01-06') | SORT b",
+        tables={"t": tiny},
+    ).collect()
+    assert [str(r["b"]) for r in out] == [
+        "2024-01-01 00:00:00",
+        "2024-01-02 00:00:00",
+        "2024-01-05 12:00:00",
+    ] and [r["c"] for r in out] == [2, 1, 1]
+
+
+def test_bucket_auto_numeric_nice_tick(tiny):
+    from elasticsearch_assets_spark.query.esql import esql
+
+    # (100-0)/10 = 10 -> tick 10
+    out = esql(
+        "FROM t | STATS c = COUNT(*) BY b = BUCKET(v, 10, 0, 100) | SORT b",
+        tables={"t": tiny},
+    ).collect()
+    assert [(r["b"], r["c"]) for r in out] == [(0.0, 2), (10.0, 1), (90.0, 1)]
+    # (100-0)/3 = 33.3 -> tick 50
+    out2 = esql(
+        "FROM t | STATS c = COUNT(*) BY b = BUCKET(v, 3, 0, 100) | SORT b",
+        tables={"t": tiny},
+    ).collect()
+    assert [(r["b"], r["c"]) for r in out2] == [(0.0, 3), (50.0, 1)]
+
+
+def test_kql_exists_rewrites_to_isnotnull(spark):
+    from elasticsearch_assets_spark.query.lucene import (
+        compile_filter,
+        parse_kql,
+    )
+
+    node = parse_kql("lang: * and v >= 3")
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"lang": ["en", None, "de"], "v": [5.0, 9.0, 1.0], "text": [""] * 3}
+        )
+    )
+    got = df.where(compile_filter(node)).collect()
+    assert [(r["lang"], r["v"]) for r in got] == [("en", 5.0)]
