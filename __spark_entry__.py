@@ -523,6 +523,23 @@ def _bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _bm25_fuzzy_osa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy query under the DEFAULT metric (transpositions=true, OSA —
+    an adjacent swap costs one edit, Lucene's restricted Damerau): the
+    typo 'spakr' reaches 'spark' at distance 1 where plain Levenshtein
+    needs 2. Candidate band enumerated by a pushed JVM pre-filter
+    (length band + lev <= 2e), exact OSA on the collected band
+    (query/expand.py expand_fuzzy_osa). max_edits=1 because DuckDB's
+    damerau_levenshtein is the UNRESTRICTED variant — the two metrics
+    provably coincide at distance <= 1 (a single op is a single op in
+    both), diverge only at >= 2 ('ca'->'abc'), so the oracle is exact
+    here and the >= 2 behavior is pinned by the kernel's brute-force
+    unit tests instead."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search_fuzzy("spakr", max_edits=1, k=None, transpositions=True)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
 _AFTER_TERMS = ["spark", "table"]
 
 
@@ -12164,6 +12181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _bm25_prefix,
         "bm25_wildcard": _bm25_wildcard,
         "bm25_fuzzy": _bm25_fuzzy,
+        "bm25_fuzzy_osa": _bm25_fuzzy_osa,
         "bm25_msm": _bm25_msm,
         "bm25_boosted": _bm25_boosted,
         "bm25_must_not": _bm25_must_not,
@@ -12530,6 +12548,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_fuzzy": _bm25_sql(
             [], "or", None, term_cond="levenshtein(term, 'grow') <= 2"
+        ),
+        "bm25_fuzzy_osa": _bm25_sql(
+            [], "or", None,
+            term_cond="damerau_levenshtein(term, 'spakr') <= 1",
         ),
         "bm25_msm": _bm25_sql(_MSM_TERMS, "or", None, min_match=_MSM_M),
         "bm25_must_not": _bm25_sql(

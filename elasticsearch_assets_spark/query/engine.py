@@ -579,12 +579,21 @@ class InvertedIndex:
         max_edits: int = 1,
         prefix_length: int = 0,
         max_expansions: int | None = None,
+        transpositions: bool = False,
     ) -> list[str]:
         from elasticsearch_assets_spark.query.expand import (
+            expand_fuzzy_osa,
             expand_terms,
             fuzzy_condition,
         )
 
+        if transpositions:
+            # Lucene's DEFAULT fuzziness metric (OSA — an adjacent swap
+            # costs 1 edit); the plain-levenshtein form stays the default
+            # here for oracle exactness at max_edits 2 (see expand.py)
+            return expand_fuzzy_osa(
+                self.stats, term, max_edits, prefix_length, max_expansions
+            )
         return expand_terms(
             self.stats, fuzzy_condition(term, max_edits, prefix_length), max_expansions
         )
@@ -617,10 +626,15 @@ class InvertedIndex:
         prefix_length: int = 0,
         k: int | None = 10,
         max_expansions: int | None = None,
+        transpositions: bool = False,
     ) -> DataFrame:
         """ES fuzzy query: Levenshtein-expand (distance ≤ max_edits,
-        distance 0 included) against the dictionary, then a scored OR."""
-        terms = self.expand_fuzzy(term, max_edits, prefix_length, max_expansions)
+        distance 0 included) against the dictionary, then a scored OR.
+        `transpositions=True` switches to ES's default OSA metric (an
+        adjacent swap costs 1 edit — query/expand.py expand_fuzzy_osa)."""
+        terms = self.expand_fuzzy(
+            term, max_edits, prefix_length, max_expansions, transpositions
+        )
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.search(terms, k=k, mode="or")

@@ -111,6 +111,89 @@ def fuzzy_condition(term: str, max_edits: int = 1, prefix_length: int = 0) -> Co
     return cond & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
 
 
+def osa_distances(q: str, terms) -> "object":
+    """Optimal-string-alignment (restricted Damerau) distances from `q` to
+    every term in a numpy unicode array — Lucene's `transpositions=true`
+    fuzziness metric (an adjacent swap costs 1; unlike UNRESTRICTED
+    Damerau, no substring is edited twice, so OSA('ca','abc') = 3 where
+    Damerau = 2 — DuckDB's damerau_levenshtein is the unrestricted one;
+    the two coincide at distance <= 1).
+
+    Vectorized over the candidate batch: terms view as a 0-padded UTF-32
+    char matrix (numpy '<U' arrays are fixed-width code points), the DP
+    runs |q| x maxlen rounds of whole-batch vector ops — no per-row
+    Python."""
+    import numpy as np
+
+    terms = np.asarray(terms, dtype="U")
+    n = len(terms)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if terms.dtype.itemsize == 0:  # all-empty batch
+        return np.full(n, len(q), dtype=np.int64)
+    L = terms.dtype.itemsize // 4
+    T = terms.view(np.uint32).reshape(n, L)
+    tlens = (T != 0).sum(axis=1)
+    m = len(q)
+    Q = np.array([ord(c) for c in q], dtype=np.uint32)
+    prev2 = None
+    prev = np.broadcast_to(
+        np.arange(L + 1, dtype=np.int64), (n, L + 1)
+    ).copy()
+    for i in range(1, m + 1):
+        cur = np.empty((n, L + 1), dtype=np.int64)
+        cur[:, 0] = i
+        sub = (T != Q[i - 1]).astype(np.int64)
+        for j in range(1, L + 1):
+            c = np.minimum(prev[:, j] + 1, prev[:, j - 1] + sub[:, j - 1])
+            np.minimum(c, cur[:, j - 1] + 1, out=c)
+            if i > 1 and j > 1:
+                trans = (T[:, j - 1] == Q[i - 2]) & (T[:, j - 2] == Q[i - 1])
+                c = np.where(trans, np.minimum(c, prev2[:, j - 2] + 1), c)
+            cur[:, j] = c
+        prev2, prev = prev, cur
+    return prev[np.arange(n), tlens]
+
+
+def expand_fuzzy_osa(
+    stats,
+    term: str,
+    max_edits: int = 1,
+    prefix_length: int = 0,
+    max_expansions: int | None = None,
+) -> list[str]:
+    """Fuzzy expansion under Lucene's DEFAULT metric (transpositions=true,
+    OSA): a JVM pre-filter enumerates the candidate band distributed —
+    length band (OSA >= |len diff|, pushable) + optional literal prefix +
+    levenshtein <= 2*max_edits (a transposition costs <= 2 plain edits, so
+    OSA <= e implies lev <= 2e) — then the exact OSA check runs once on
+    the collected candidate rows (vocabulary-band-sized planning data,
+    same altitude as every other rewrite's collect) with the vectorized
+    kernel. Capping keeps highest-df first (TopTermsRewrite order)."""
+    import numpy as np
+
+    n = len(term)
+    cond = (F.length("term") >= n - max_edits) & (
+        F.length("term") <= n + max_edits
+    )
+    if prefix_length > 0:
+        cond = cond & F.col("term").startswith(term[:prefix_length])
+    cond = cond & (
+        F.levenshtein(F.col("term"), F.lit(term)) <= 2 * max_edits
+    )
+    rows = stats.where(cond).select("term", "df").collect()
+    if not rows:
+        return []
+    cands = np.array([r["term"] for r in rows], dtype="U")
+    dfs = np.array([r["df"] for r in rows], dtype=np.int64)
+    keep = osa_distances(term, cands) <= max_edits
+    cands, dfs = cands[keep], dfs[keep]
+    order = np.lexsort((cands, -dfs))
+    if max_expansions is not None:
+        order = order[:max_expansions]
+    return sorted(str(t) for t in cands[order])
+
+
 def expand_terms(stats, cond: Column, max_expansions: int | None = None) -> list[str]:
     """Enumerate matching dictionary terms, highest-df first under a cap.
 

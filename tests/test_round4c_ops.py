@@ -208,3 +208,61 @@ def test_kql_exists_rewrites_to_isnotnull(spark):
     )
     got = df.where(compile_filter(node)).collect()
     assert [(r["lang"], r["v"]) for r in got] == [("en", 5.0)]
+
+
+# ---------------------------------------------------------------------------
+# OSA (transpositions=true) fuzziness — ES's default fuzzy metric
+# ---------------------------------------------------------------------------
+
+
+def _brute_osa(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def test_osa_kernel_matches_bruteforce():
+    import random
+
+    from elasticsearch_assets_spark.query.expand import osa_distances
+
+    rng = random.Random(7)
+    cands = [""] + [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(0, 8)))
+        for _ in range(300)
+    ] + ["abc", "ba", "abdc", "ac"]
+    for q in ("", "a", "ca", "abcd", "spark"):
+        got = osa_distances(q, np.array(cands, dtype="U"))
+        want = np.array([_brute_osa(q, c) for c in cands])
+        assert (got == want).all()
+
+
+def test_osa_is_restricted_damerau():
+    from elasticsearch_assets_spark.query.expand import osa_distances
+
+    # the case separating OSA (Lucene) from unrestricted Damerau (DuckDB):
+    # 'ca' -> 'abc' is 2 in Damerau, 3 in OSA (no editing inside a swap)
+    assert int(osa_distances("ca", np.array(["abc"], dtype="U"))[0]) == 3
+    assert int(osa_distances("ab", np.array(["ba"], dtype="U"))[0]) == 1
+
+
+def test_fuzzy_transpositions_expansion(pos_index):
+    # a transposed typo reaches the real term at distance 1 under OSA
+    # where plain levenshtein needs 2
+    osa1 = pos_index.expand_fuzzy("teh", max_edits=1, transpositions=True)
+    lev1 = pos_index.expand_fuzzy("teh", max_edits=1)
+    assert "the" in osa1 and "the" not in lev1
+    # the expansion equals the brute-force OSA filter over the dictionary
+    vocab = [r["term"] for r in pos_index.stats.select("term").collect()]
+    want = sorted(t for t in vocab if _brute_osa("teh", t) <= 1)
+    assert osa1 == want
