@@ -9649,6 +9649,100 @@ FROM s ORDER BY sc DESC, doc_id ASC LIMIT 20
 """
 
 
+def _esql_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL TS source command (9.x time-series querying): aggregates wrap
+    over-time inner functions computed per series per bucket (series =
+    the TSDS dimension fields, passed as mapping-level metadata), then
+    the outer aggregate combines across series — two hash aggregations
+    plus one window pass for RATE (the engine's one counter contract:
+    reset-compensated increase / bucket seconds, identical math to
+    counter_rate). The counter is derived deterministically (windowed
+    cumsum mod) so both engines see identical resets; the gauge metric is
+    integer cents so every inner aggregate is an exact int-valued-double
+    sum plus at most one division — bit-identical across engines with no
+    summation-order sensitivity (avg-of-avg was measured hitting the
+    floor(x*1e4+0.5) boundary 4/720 buckets)."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    events = load_sf_table(spark, sf_dir, "events")
+    staged = (
+        events.withColumn("sid", F.col("user_id") % 5)
+        .withColumn("v100", F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .withColumn(
+            "c",
+            F.expr(
+                "sum(v100) OVER (PARTITION BY sid ORDER BY ts, event_id) "
+                "% 50000"
+            ),
+        )
+    )
+    out = esql(
+        "TS metrics"
+        " | STATS mr = max(rate(c)), am = max(avg_over_time(v100)),"
+        " lt = sum(last_over_time(v100)), ft = min(first_over_time(value)),"
+        " ac = avg(count_over_time(value)), n = sum(count_over_time(value))"
+        " BY h = BUCKET(ts, 1 hour)"
+        " | SORT h",
+        tables={"metrics": staged},
+        time_series={
+            "metrics": {"dimensions": ["sid"], "ts": "ts", "tiebreak": "event_id"}
+        },
+    )
+    return out.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("h"),
+        _f4("mr").alias("mr"),
+        _f4("am").alias("am"),
+        F.col("lt").cast("long").alias("lt"),
+        _f4("ft").alias("ft"),
+        _f4("ac").alias("ac"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+_ESQL_TS_SQL = """
+WITH s AS (
+  SELECT *, user_id % 5 AS sid,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+  FROM events
+),
+c AS (
+  SELECT sid, ts, event_id, value, v100,
+         sum(v100) OVER (PARTITION BY sid ORDER BY ts, event_id)
+           % 50000 AS c
+  FROM s
+),
+b AS (SELECT *, date_trunc('hour', ts) AS h FROM c),
+w AS (
+  SELECT *,
+         CAST(c AS DOUBLE) - lag(CAST(c AS DOUBLE))
+           OVER (PARTITION BY sid, h ORDER BY ts, event_id) AS d,
+         row_number() OVER (PARTITION BY sid, h
+                            ORDER BY ts DESC, event_id DESC) AS rl,
+         row_number() OVER (PARTITION BY sid, h ORDER BY ts, event_id) AS rf
+  FROM b
+),
+g1 AS (
+  SELECT sid, h,
+         sum(CASE WHEN d IS NULL THEN 0.0
+                  WHEN d >= 0 THEN d
+                  ELSE CAST(c AS DOUBLE) END) / 3600.0 AS rate,
+         avg(v100) AS aot,
+         max(CASE WHEN rl = 1 THEN v100 END) AS lot,
+         max(CASE WHEN rf = 1 THEN value END) AS fot,
+         count(value) AS cot
+  FROM w GROUP BY sid, h
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h,
+       floor(max(rate) * 10000.0 + 0.5) / 10000.0 AS mr,
+       floor(max(aot) * 10000.0 + 0.5) / 10000.0 AS am,
+       CAST(sum(lot) AS BIGINT) AS lt,
+       floor(min(fot) * 10000.0 + 0.5) / 10000.0 AS ft,
+       floor(avg(cot) * 10000.0 + 0.5) / 10000.0 AS ac,
+       CAST(sum(cot) AS BIGINT) AS n
+FROM g1 GROUP BY h ORDER BY h
+"""
+
+
 def _counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES TSDB rate over a counter metric: per (series, hour bucket),
     reset-compensated increase / seconds (facets.counter_rate). The
@@ -12468,6 +12562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _c4_filters,
         "esql_rerank": _esql_rerank,
         "counter_rate": _counter_rate,
+        "esql_ts": _esql_ts,
         "geo_shape_envelope": _geo_shape_envelope,
         "esql_scalar_funcs2": _esql_scalar_funcs2,
         "esql_scalar_funcs3": _esql_scalar_funcs3,
@@ -12878,6 +12973,7 @@ FROM topk JOIN documents USING (doc_id)
         "c4_filters": _C4_FILTERS_SQL,
         "esql_rerank": _esql_rerank_sql(),
         "counter_rate": _COUNTER_RATE_SQL,
+        "esql_ts": _ESQL_TS_SQL,
         "geo_shape_envelope": _geo_shape_envelope_sql(),
         "esql_scalar_funcs2": _ESQL_SCALAR_FUNCS2_SQL,
         "esql_scalar_funcs3": _ESQL_SCALAR_FUNCS3_SQL,

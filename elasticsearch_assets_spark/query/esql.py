@@ -30,6 +30,12 @@ floor column math — see `_rewrite_bucket`.
 
 ROW <name> = <expr> [, ...] may replace FROM as the literal source.
 
+TS <index> (ES 9.x time-series querying) may also replace FROM: the first
+STATS then computes per-series over-time inner aggregations (RATE,
+AVG/MIN/MAX/SUM/COUNT/FIRST/LAST_OVER_TIME) before the outer aggregate —
+two hash aggregations, series identity from the `time_series` metadata
+argument (ES's mapping-level time_series_dimension declaration).
+
 Expression dialect: expressions compile through `F.expr`, i.e. Spark SQL —
 the engine's ONE script dialect (the same contract as script_score /
 script queries / update_by_query), with ES|QL's `==` accepted as sugar
@@ -51,7 +57,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _SUPPORTED = (
-    "FROM", "ROW", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP",
+    "FROM", "ROW", "TS", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "GROK", "DISSECT", "MV_EXPAND", "LOOKUP JOIN",
     "ENRICH", "SAMPLE", "INLINESTATS", "FORK", "CHANGE_POINT", "FUSE",
     "RERANK", "COMPLETION",
@@ -1071,6 +1077,131 @@ def _fulltext_filter(body: str):
     return compile_filter(ast)
 
 
+# ---------------------------------------------------------------------------
+# TS — ES|QL time-series querying (ES 9.x, tech preview)
+# ---------------------------------------------------------------------------
+
+_OT_SIMPLE = {
+    "AVG_OVER_TIME": "avg", "MIN_OVER_TIME": "min", "MAX_OVER_TIME": "max",
+    "SUM_OVER_TIME": "sum", "COUNT_OVER_TIME": "count",
+}
+_OT_ALL = set(_OT_SIMPLE) | {"FIRST_OVER_TIME", "LAST_OVER_TIME", "RATE"}
+
+
+def _ts_stats(df: DataFrame, body: str, meta: dict) -> DataFrame:
+    """STATS under the TS source command (ES|QL time-series querying,
+    ES 9.x): every aggregate must be `outer(inner(metric))` where the
+    inner function is an over-time aggregation — RATE, AVG/MIN/MAX/SUM/
+    COUNT/FIRST/LAST_OVER_TIME. The inner function is computed per time
+    series per group (series identity = the index's dimension fields, the
+    mapping-level `time_series_dimension` declaration ES keeps out-of-band
+    of the query — here the `time_series` metadata passed to `esql()`);
+    the outer aggregate then combines across series within the BY keys.
+
+    Plan shape: TWO hash aggregations — stage 1 keyed by (dimensions x BY
+    keys), stage 2 by the BY keys — both partial-aggregated; RATE adds one
+    window pass keyed the same as stage 1 (lag per series per bucket, ts
+    order) implementing the engine's ONE counter contract
+    (reset-compensated increase / bucket seconds — identical math to
+    operators/facets.py counter_rate, tested bit-equal). At 10^12 samples
+    both shuffles are keyed by series x bucket, so million-series corpora
+    spread evenly; nothing global.
+
+    FIRST/LAST_OVER_TIME order by (ts, tiebreak) via min_by/max_by over a
+    struct key — deterministic under timestamp ties when the metadata
+    declares a tiebreak column."""
+    from pyspark.sql.window import Window
+
+    dims = list(meta["dimensions"])
+    ts_col = meta.get("ts", "@timestamp")
+    tiebreak = meta.get("tiebreak")
+    m = re.search(r"\bBY\b", body, re.I)
+    if not m:
+        raise ValueError("TS STATS needs `BY` with a time BUCKET key")
+    by_raw = [c.strip() for c in _split_commas(body[m.end():])]
+    body = body[: m.start()].strip()
+
+    aliases: list[str] = []
+    rate_seconds: "int | None" = None
+    staged = df
+    for c in by_raw:
+        nm = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$", c, re.S)
+        alias, text = (nm.group(1), nm.group(2)) if nm else (c, None)
+        if text is not None:
+            bm = re.match(
+                r"^BUCKET\(\s*[\w@.]+\s*,\s*(.+?)\s*\)$", text.strip(), re.I
+            )
+            if bm:
+                tm = re.match(r"^(\d+)\s+([A-Za-z]+)$", bm.group(1))
+                if tm and tm.group(2).lower() in _FIXED_SECONDS:
+                    rate_seconds = (
+                        int(tm.group(1)) * _FIXED_SECONDS[tm.group(2).lower()]
+                    )
+            staged = staged.withColumn(alias, _expr(text))
+        elif alias not in staged.columns:
+            raise ValueError(f"TS STATS BY column {alias!r} does not exist")
+        aliases.append(alias)
+
+    inner_aggs: list = []
+    outer_aggs: list = []
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    for i, assign in enumerate(_split_commas(body)):
+        am = re.match(
+            r"^\s*([A-Za-z_]\w*)\s*=\s*(\w+)\s*\(\s*(\w+)\s*\(\s*([\w@.]+)"
+            r"\s*\)\s*(?:,\s*(.+?))?\s*\)\s*$",
+            assign, re.S,
+        )
+        if not am:
+            raise ValueError(
+                "TS STATS aggregates must be `name = outer(inner(metric))` "
+                f"with inner one of {sorted(_OT_ALL)}: {assign!r}"
+            )
+        name, outer, inner, arg, extra = am.groups()
+        iu = inner.upper()
+        if iu not in _OT_ALL:
+            raise ValueError(
+                f"TS STATS inner function {inner!r} is not an over-time "
+                f"aggregation (supported: {sorted(_OT_ALL)})"
+            )
+        col = f"__ot{i}"
+        if iu == "RATE":
+            if rate_seconds is None:
+                raise ValueError(
+                    "RATE needs a fixed-width time BUCKET in BY (its "
+                    "per-second divisor) — e.g. BY h = BUCKET(ts, 1 hour)"
+                )
+            w = Window.partitionBy(
+                *[F.col(d) for d in dims], *[F.col(a) for a in aliases]
+            ).orderBy(*order)
+            v = F.col(arg).cast("double")
+            delta = v - F.lag(v, 1).over(w)
+            contrib = (
+                F.when(delta.isNull(), F.lit(0.0))
+                .when(delta >= 0, delta)
+                .otherwise(v)  # reset: the restarted counter's value
+            )
+            cc = f"__contrib{i}"
+            staged = staged.withColumn(cc, contrib)
+            inner_aggs.append((F.sum(cc) / float(rate_seconds)).alias(col))
+        elif iu in ("FIRST_OVER_TIME", "LAST_OVER_TIME"):
+            fn = "min_by" if iu.startswith("FIRST") else "max_by"
+            key = f"struct({ts_col}, {tiebreak})" if tiebreak else ts_col
+            inner_aggs.append(F.expr(f"{fn}({arg}, {key})").alias(col))
+        else:
+            inner_aggs.append(F.expr(f"{_OT_SIMPLE[iu]}({arg})").alias(col))
+        outer_aggs.append(
+            _expr(f"{outer}({col}{', ' + extra if extra else ''})").alias(name)
+        )
+    if not inner_aggs:
+        raise ValueError("TS STATS needs at least one aggregation")
+    g1 = staged.groupBy(
+        *[F.col(d) for d in dims], *[F.col(a) for a in aliases]
+    ).agg(*inner_aggs)
+    return g1.groupBy(*[F.col(a) for a in aliases]).agg(*outer_aggs)
+
+
 def _expr(text: str) -> F.Column:
     # ES|QL `==` is SQL `=`; `!=` passes through unchanged
     return F.expr(
@@ -1086,9 +1217,15 @@ def esql(
     tables: "dict[str, DataFrame] | None" = None,
     spark: SparkSession | None = None,
     sf_dir: str | None = None,
+    time_series: "dict[str, dict] | None" = None,
 ) -> DataFrame:
     """Run an ES|QL pipe. `tables` maps index names to DataFrames; or pass
-    (spark, sf_dir) to resolve FROM against the standard test tables."""
+    (spark, sf_dir) to resolve FROM against the standard test tables.
+
+    `time_series` supplies the mapping-level metadata the TS source
+    command needs (ES keeps it in the TSDS index mapping, out-of-band of
+    the query): ``{index: {"dimensions": [cols], "ts": ts_col,
+    "tiebreak": col?}}``."""
     def resolve(name: str) -> DataFrame:
         if tables is not None:
             if name not in tables:
@@ -1152,6 +1289,8 @@ def esql(
     cmds = _split_pipes(query)
     if not cmds:
         raise ValueError("empty ES|QL query")
+    # set by the TS source command; consumed by the first STATS
+    ts_state: "dict[str, dict | None]" = {"meta": None}
     head = cmds[0].split(None, 1)
     if head[0].upper() == "ROW":
         # ROW a = 1, b = "x": a literal one-row source
@@ -1172,8 +1311,24 @@ def esql(
         if len(head) != 2 or not head[1].strip():
             raise ValueError("FROM needs an index name")
         df = resolve_from(head[1].strip())
+    elif head[0].upper() == "TS":
+        # ES|QL TS (9.x time-series querying): like FROM, but the first
+        # STATS computes per-series inner over-time aggregations before
+        # the outer aggregate (see _ts_stats)
+        if len(head) != 2 or not head[1].strip():
+            raise ValueError("TS needs an index name")
+        name = head[1].strip()
+        meta = (time_series or {}).get(name)
+        if meta is None or "dimensions" not in meta:
+            raise ValueError(
+                f"TS {name!r} needs time-series metadata: pass "
+                "time_series={index: {'dimensions': [...], 'ts': col}} "
+                "(ES keeps this in the TSDS index mapping)"
+            )
+        df = resolve(name)
+        ts_state["meta"] = meta
     else:
-        raise ValueError("an ES|QL query must start with FROM or ROW")
+        raise ValueError("an ES|QL query must start with FROM, ROW or TS")
 
     def _step(df: DataFrame, cmd: str) -> DataFrame:
         kw = cmd.split(None, 1)[0].upper()
@@ -1581,6 +1736,9 @@ def esql(
                     raise ValueError(f"EVAL needs `name = expr`: {assign!r}")
                 df = df.withColumn(m.group(1), _expr(m.group(2)))
         elif kw == "STATS":
+            if ts_state["meta"] is not None:
+                meta, ts_state["meta"] = ts_state["meta"], None
+                return _ts_stats(df, body, meta)
             by: list[str] = []
             m = re.search(r"\bBY\b", body, re.I)
             if m:

@@ -1,0 +1,136 @@
+"""Round-3 session-8 ops: ES|QL TS (9.x time-series querying).
+
+TS replaces FROM and turns the first STATS into a two-level aggregation:
+over-time inner functions (RATE, AVG/MIN/MAX/SUM/COUNT/FIRST/
+LAST_OVER_TIME) per (series dimensions x group keys), then the outer
+aggregate across series. RATE implements the engine's one counter
+contract — reset-compensated increase / bucket seconds, identical math
+to operators/facets.counter_rate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from elasticsearch_assets_spark.query.esql import esql
+
+
+def _t(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def metrics(spark):
+    # two series (hosts), two hour-buckets; counter resets inside h0/a
+    rows = [
+        # host, ts,                 counter, gauge, uid
+        ("a", _t(0), 10.0, 1.0, 1),
+        ("a", _t(10), 25.0, 3.0, 2),   # +15
+        ("a", _t(20), 5.0, 5.0, 3),    # reset -> +5
+        ("a", _t(30), 8.0, 7.0, 4),    # +3
+        ("b", _t(5), 100.0, 10.0, 5),
+        ("b", _t(45), 160.0, 30.0, 6),  # +60
+        # second hour
+        ("a", _t(0) + dt.timedelta(hours=1), 9.0, 2.0, 7),
+        ("b", _t(5) + dt.timedelta(hours=1), 170.0, 20.0, 8),
+        ("b", _t(5) + dt.timedelta(hours=1), 175.0, 22.0, 9),  # ts tie
+    ]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def mdf(spark, metrics):
+    return spark.createDataFrame(
+        metrics, "host string, ts timestamp, c double, g double, uid int"
+    )
+
+
+META = {"m": {"dimensions": ["host"], "ts": "ts", "tiebreak": "uid"}}
+
+
+def _run(mdf, stats):
+    out = esql(
+        f"TS m | STATS {stats} BY h = BUCKET(ts, 1 hour) | SORT h",
+        tables={"m": mdf},
+        time_series=META,
+    )
+    return {r["h"].hour: r for r in out.collect()}
+
+
+def test_ts_rate_reset_compensated(mdf):
+    got = _run(mdf, "mr = max(rate(c)), sr = sum(rate(c))")
+    # h0: series a increase = 15 + 5 + 3 = 23; series b increase = 60
+    assert got[0]["mr"] == pytest.approx(60.0 / 3600.0)
+    assert got[0]["sr"] == pytest.approx((23.0 + 60.0) / 3600.0)
+    # h1: series a single sample -> 0; series b 170 -> 175 -> increase 5
+    assert got[1]["mr"] == pytest.approx(5.0 / 3600.0)
+    assert got[1]["sr"] == pytest.approx(5.0 / 3600.0)
+
+
+def test_ts_over_time_inner_then_outer(mdf):
+    got = _run(
+        mdf,
+        "am = max(avg_over_time(g)), sm = sum(max_over_time(g)),"
+        " mn = min(min_over_time(g)), n = sum(count_over_time(g))",
+    )
+    # h0: series a avg = (1+3+5+7)/4 = 4, series b avg = 20 -> max 20
+    assert got[0]["am"] == pytest.approx(20.0)
+    assert got[0]["sm"] == pytest.approx(7.0 + 30.0)
+    assert got[0]["mn"] == pytest.approx(1.0)
+    assert got[0]["n"] == 6
+    assert got[1]["n"] == 3
+
+
+def test_ts_first_last_tiebreak(mdf):
+    got = _run(
+        mdf, "lt = sum(last_over_time(g)), ft = sum(first_over_time(g))"
+    )
+    # h1 series b has two samples at the SAME ts: uid order decides —
+    # first = 20 (uid 8), last = 22 (uid 9); series a contributes 2
+    assert got[1]["ft"] == pytest.approx(2.0 + 20.0)
+    assert got[1]["lt"] == pytest.approx(2.0 + 22.0)
+
+
+def test_ts_by_can_include_dimension(mdf):
+    out = esql(
+        "TS m | STATS r = sum(rate(c)) BY host, h = BUCKET(ts, 1 hour)"
+        " | SORT host, h",
+        tables={"m": mdf},
+        time_series=META,
+    )
+    rows = {(r["host"], r["h"].hour): r["r"] for r in out.collect()}
+    assert rows[("a", 0)] == pytest.approx(23.0 / 3600.0)
+    assert rows[("b", 0)] == pytest.approx(60.0 / 3600.0)
+
+
+def test_ts_requires_metadata(mdf):
+    with pytest.raises(ValueError, match="time-series metadata"):
+        esql("TS m | STATS x = max(rate(c)) BY h = BUCKET(ts, 1 hour)",
+             tables={"m": mdf})
+
+
+def test_ts_rejects_plain_aggregate(mdf):
+    with pytest.raises(ValueError, match="outer\\(inner\\(metric\\)\\)"):
+        _run(mdf, "x = avg(g)")
+
+
+def test_ts_rate_needs_fixed_bucket(mdf):
+    with pytest.raises(ValueError, match="fixed-width time BUCKET"):
+        esql(
+            "TS m | STATS x = max(rate(c)) BY host",
+            tables={"m": mdf}, time_series=META,
+        )
+
+
+def test_ts_second_stats_is_regular(mdf):
+    # after the TS STATS consumed the metadata, a second STATS is plain
+    out = esql(
+        "TS m | STATS r = sum(rate(c)) BY host, h = BUCKET(ts, 1 hour)"
+        " | STATS total = sum(r), nb = count(*)",
+        tables={"m": mdf},
+        time_series=META,
+    )
+    r = out.collect()[0]
+    assert r["nb"] == 4
+    assert r["total"] == pytest.approx(88.0 / 3600.0)
