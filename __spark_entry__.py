@@ -3656,6 +3656,37 @@ FROM documents d JOIN s USING (doc_id)
 GROUP BY 1 ORDER BY doc_count DESC, bucket ASC
 """
 
+def _facet_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES random_sampler agg (8.2): per-lang doc_count / sum(n_chars)
+    scaled by 1/probability over a deterministic p=0.25 hash-cut sample
+    (md5-hex-prefix filter — the engine's seeded-sampling contract), avg
+    unscaled. The cut is a pure JVM filter on the scan; one hash agg."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OFA.facet_random_sampler(
+        docs, 0.25, "lang", "n_chars", seed="rs"
+    )
+    return out.select(
+        "bucket",
+        _f4("doc_count").alias("doc_count"),
+        _f4("sum_n_chars").alias("sum_n_chars"),
+        _f4("avg_n_chars").alias("avg_n_chars"),
+    )
+
+
+_FACET_RANDOM_SAMPLER_SQL = """
+WITH s AS (
+  SELECT * FROM documents
+  WHERE substr(md5(concat('rs', '|', doc_id::VARCHAR)), 1, 8) < '40000000'
+)
+SELECT lang AS bucket,
+       floor(count(*)::DOUBLE / 0.25 * 1e4 + 0.5) / 1e4 AS doc_count,
+       floor(sum(n_chars)::DOUBLE / 0.25 * 1e4 + 0.5) / 1e4 AS sum_n_chars,
+       floor(avg(n_chars) * 1e4 + 0.5) / 1e4 AS avg_n_chars
+FROM s GROUP BY lang ORDER BY bucket
+"""
+
 _BSCRIPT_MIN_COUNT = 70
 
 
@@ -5740,6 +5771,50 @@ kept AS (SELECT doc_id, item FROM it WHERE item IN (SELECT item FROM freq))
 SELECT a.item AS item1, b.item AS item2, count(*)::BIGINT AS support
 FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.item < b.item
 GROUP BY 1, 2 HAVING count(*) >= {_FREQ_PAIRS_SUPPORT}
+"""
+
+
+def _frequent_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets multi-level (sizes 2 and 3) as exact Apriori
+    with transaction trimming between levels — minimum_support is ES's
+    fraction knob (0.25 of the corpus), so the row scales with sf
+    (operators/itemsets.frequent_itemsets)."""
+    from elasticsearch_assets_spark.operators.itemsets import (
+        frequent_itemsets,
+    )
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return frequent_itemsets(
+        docs, "doc_id", "split(text, ' ')", 0.25, max_size=3
+    )
+
+
+_FREQ_ITEMSETS3_SQL = """
+WITH it AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS item
+  FROM documents
+),
+n AS (SELECT ceil(0.25 * count(*)) AS ms FROM documents),
+f AS (
+  SELECT item FROM it GROUP BY item
+  HAVING count(*) >= (SELECT ms FROM n)
+),
+k AS (SELECT doc_id, item FROM it WHERE item IN (SELECT item FROM f)),
+p2 AS (
+  SELECT a.item AS i1, b.item AS i2, count(*) AS sup
+  FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= (SELECT ms FROM n)
+),
+p3 AS (
+  SELECT a.item AS i1, b.item AS i2, c.item AS i3, count(*) AS sup
+  FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.item < b.item
+       JOIN k c ON b.doc_id = c.doc_id AND b.item < c.item
+  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT ms FROM n)
+)
+SELECT i1 || '|' || i2 AS itemset, 2 AS size, sup::BIGINT AS support FROM p2
+UNION ALL
+SELECT i1 || '|' || i2 || '|' || i3, 3, sup::BIGINT FROM p3
+ORDER BY size, support DESC, itemset
 """
 
 
@@ -11581,6 +11656,70 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _esql_scalar_funcs5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth ES|QL function battery — trigonometry, constants, and the
+    string-trim family, all same-spelling passthroughs to JVM column
+    expressions: SIN/COS/TAN/ASIN/ACOS/ATAN, E/PI/EXP, CEIL/SQRT/POW,
+    LEFT/RIGHT/TRIM/LTRIM/RTRIM/SPACE/SUBSTRING/LENGTH. (SHA1 exists on
+    the engine via the same passthrough but DuckDB lacks sha1, so it is
+    pinned by unit test rather than this oracle.)"""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events | WHERE event_id % 29 == 0"
+        " | EVAL u = TO_DOUBLE(event_id % 7) / 10.0 - 0.3"
+        " | EVAL sn = SIN(u), cn = COS(u), tn = TAN(u),"
+        "   asn = ASIN(u), acn = ACOS(u), atn = ATAN(u),"
+        "   ex = EXP(u), ee = E(), p = PI(),"
+        "   cl = CEIL(value), sq = SQRT(value + 1.0),"
+        "   pw = POW(2, event_id % 5),"
+        "   lf = LEFT(event_type, 3), rg = RIGHT(event_type, 3),"
+        "   tr = TRIM(CONCAT(' ', event_type, ' ')),"
+        "   ltr = LTRIM(CONCAT('  ', event_type)),"
+        "   rtr = RTRIM(CONCAT(event_type, '  ')),"
+        "   sp = CONCAT(SPACE(2), 'x'),"
+        "   sb = SUBSTRING(event_type, 2, 3), ln = LENGTH(event_type)"
+        " | KEEP event_id, sn, cn, tn, asn, acn, atn, ex, ee, p, cl, sq,"
+        "   pw, lf, rg, tr, ltr, rtr, sp, sb, ln"
+        " | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+    for c in ["sn", "cn", "tn", "asn", "acn", "atn", "ex", "ee", "p", "sq", "pw"]:
+        out = out.withColumn(c, _f4(c))
+    return out.withColumn("cl", F.col("cl").cast("long"))
+
+
+_ESQL_SCALAR_FUNCS5_SQL = """
+WITH b AS (
+  SELECT event_id, event_type, value,
+         (event_id % 7)::DOUBLE / 10.0 - 0.3 AS u
+  FROM events WHERE event_id % 29 = 0
+)
+SELECT event_id,
+       floor(sin(u) * 1e4 + 0.5) / 1e4 AS sn,
+       floor(cos(u) * 1e4 + 0.5) / 1e4 AS cn,
+       floor(tan(u) * 1e4 + 0.5) / 1e4 AS tn,
+       floor(asin(u) * 1e4 + 0.5) / 1e4 AS asn,
+       floor(acos(u) * 1e4 + 0.5) / 1e4 AS acn,
+       floor(atan(u) * 1e4 + 0.5) / 1e4 AS atn,
+       floor(exp(u) * 1e4 + 0.5) / 1e4 AS ex,
+       floor(exp(1) * 1e4 + 0.5) / 1e4 AS ee,
+       floor(pi() * 1e4 + 0.5) / 1e4 AS p,
+       ceil(value)::BIGINT AS cl,
+       floor(sqrt(value + 1.0) * 1e4 + 0.5) / 1e4 AS sq,
+       floor(pow(2, event_id % 5) * 1e4 + 0.5) / 1e4 AS pw,
+       left(event_type, 3) AS lf,
+       right(event_type, 3) AS rg,
+       trim(' ' || event_type || ' ') AS tr,
+       ltrim('  ' || event_type) AS ltr,
+       rtrim(event_type || '  ') AS rtr,
+       repeat(' ', 2) || 'x' AS sp,
+       substring(event_type, 2, 3) AS sb,
+       length(event_type)::BIGINT AS ln
+FROM b ORDER BY event_id
+"""
+
+
 def _esql_convert_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL type-conversion battery: TO_IP (dotted-quad validation,
     null on malformed — octets > 255 here), TO_VERSION (the version
@@ -12563,6 +12702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_rerank": _esql_rerank,
         "counter_rate": _counter_rate,
         "esql_ts": _esql_ts,
+        "esql_scalar_funcs5": _esql_scalar_funcs5,
+        "facet_random_sampler": _facet_random_sampler,
+        "frequent_itemsets3": _frequent_itemsets3,
         "geo_shape_envelope": _geo_shape_envelope,
         "esql_scalar_funcs2": _esql_scalar_funcs2,
         "esql_scalar_funcs3": _esql_scalar_funcs3,
@@ -12974,6 +13116,9 @@ FROM topk JOIN documents USING (doc_id)
         "esql_rerank": _esql_rerank_sql(),
         "counter_rate": _COUNTER_RATE_SQL,
         "esql_ts": _ESQL_TS_SQL,
+        "esql_scalar_funcs5": _ESQL_SCALAR_FUNCS5_SQL,
+        "facet_random_sampler": _FACET_RANDOM_SAMPLER_SQL,
+        "frequent_itemsets3": _FREQ_ITEMSETS3_SQL,
         "geo_shape_envelope": _geo_shape_envelope_sql(),
         "esql_scalar_funcs2": _ESQL_SCALAR_FUNCS2_SQL,
         "esql_scalar_funcs3": _ESQL_SCALAR_FUNCS3_SQL,

@@ -1084,6 +1084,55 @@ def facet_sampler(
     )
 
 
+def facet_random_sampler(
+    df: DataFrame,
+    probability: float,
+    group_col: str,
+    value_col: str,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "rs",
+) -> DataFrame:
+    """ES random_sampler aggregation (8.2): run sub-aggregations over an
+    i.i.d. `probability` sample of the docs, with monotonic metrics
+    (doc_count, sum) scaled by 1/probability to approximate the full
+    population; averages report unscaled. ES samples per-doc with a
+    `seed` for reproducibility — here the sample cut is the engine's
+    deterministic md5-hex-prefix filter salted by `seed`
+    (operators/sampling.py), so the sample is identical across engines,
+    runs, and retries, not merely across one seed's shard layout.
+
+    Plan: the cut is a pure JVM filter on the scan (zero shuffle, no
+    rand()), then ONE partial-aggregated hash agg — at 10^12 docs this is
+    the cheapest way to bound any expensive sub-aggregation, which is
+    exactly what ES built it for."""
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+
+    if not (0.0 < probability <= 1.0):
+        raise ValueError("probability must be in (0, 1]")
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+        1, 8,
+    )
+    sampled = df.where(h < F.lit(rate_threshold_hex(probability)))
+    p = F.lit(float(probability))  # scale by DIVISION so an oracle
+    # dividing by the same literal is bit-identical (1/p then multiply
+    # rounds differently for non-dyadic p)
+    return (
+        sampled.groupBy(F.col(group_col).alias("bucket"))
+        .agg(
+            (F.count("*").cast("double") / p).alias("doc_count"),
+            (F.sum(F.col(value_col)).cast("double") / p).alias(
+                f"sum_{value_col}"
+            ),
+            F.avg(value_col).alias(f"avg_{value_col}"),
+        )
+        .orderBy(F.col("bucket").asc())
+    )
+
+
 def facet_bucket_script(
     matches: DataFrame,
     corpus: DataFrame,

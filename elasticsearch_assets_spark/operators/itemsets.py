@@ -1,7 +1,7 @@
-"""Frequent item-set mining — ES frequent_item_sets aggregation at size 2,
-re-expressed as deterministic Apriori (ES samples and approximates; a
-distributed engine wants an exact, reproducible answer with the same
-pruning guarantee).
+"""Frequent item-set mining — ES frequent_item_sets aggregation
+(pairs at size 2; multi-level up to size 4), re-expressed as
+deterministic Apriori (ES samples and approximates; a distributed engine
+wants an exact, reproducible answer with the same pruning guarantee).
 
 Scale shape: the level-1 pass is one hash agg on the exploded items; the
 level-1 PRUNE (items below min_support can never appear in a frequent
@@ -69,4 +69,110 @@ def frequent_pairs(
             F.col("item1").asc(),
             F.col("item2").asc(),
         )
+    )
+
+
+# index-increasing k-combination expansion over a sorted array, as one
+# JVM nested-transform expression per k (each unordered set materializes
+# exactly once); k is the ES agg's set size, small by construction
+_COMBO_EXPRS = {
+    2: (
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), "
+        "y -> struct(x AS i1, y AS i2))))"
+    ),
+    3: (
+        "flatten(flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), (y, j) -> "
+        "transform(slice(items, i + j + 3, size(items)), "
+        "z -> struct(x AS i1, y AS i2, z AS i3))))))"
+    ),
+    4: (
+        "flatten(flatten(flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), (y, j) -> "
+        "transform(slice(items, i + j + 3, size(items)), (z, k) -> "
+        "transform(slice(items, i + j + k + 4, size(items)), "
+        "w -> struct(x AS i1, y AS i2, z AS i3, w AS i4))))))))"
+    ),
+}
+
+
+def frequent_itemsets(
+    corpus: DataFrame,
+    id_col: str,
+    items: Column | str,
+    min_support_ratio: float,
+    max_size: int = 3,
+) -> DataFrame:
+    """ES frequent_item_sets aggregation, multi-level: all item sets of
+    size 2..max_size present in at least ceil(min_support_ratio * n_docs)
+    documents (ES's `minimum_support` is this same fraction, default 0.1;
+    its `size` is `max_size`). Exact Apriori where ES samples.
+
+    Per level k: per-doc arrays hold only items that survived level k-1
+    (level 1 = the frequent-items prune; k >= 3 additionally trims to
+    items still present in some frequent (k-1)-set — transaction
+    trimming), so the k-combination expansion is polynomial in the
+    SURVIVING item count, never the document length; support counting is
+    one hash agg on the set key. The only driver actions are the doc
+    count and an empty-level early-exit probe — planning-level.
+
+    Returns (itemset '|'-joined, size, support), ordered by size, then
+    support DESC, then itemset."""
+    import math
+
+    if max_size not in (2, 3, 4):
+        raise ValueError("max_size must be 2, 3 or 4")
+    if not (0.0 < min_support_ratio <= 1.0):
+        raise ValueError("min_support_ratio must be in (0, 1]")
+    n_docs = corpus.count()
+    ms = max(1, math.ceil(min_support_ratio * n_docs))
+    items = F.expr(items) if isinstance(items, str) else items
+    base = corpus.select(
+        F.col(id_col).alias("_id"), F.array_distinct(items).alias("items")
+    )
+    ex = base.select("_id", F.explode("items").alias("item"))
+    freq1 = (
+        ex.groupBy("item")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= ms)
+    )
+    kept = ex.join(freq1.select("item"), "item", "left_semi")
+    levels: list[DataFrame] = []
+    for k in range(2, max_size + 1):
+        docs = kept.groupBy("_id").agg(
+            F.array_sort(F.collect_set("item")).alias("items")
+        )
+        cols = [f"i{j}" for j in range(1, k + 1)]
+        combos = docs.select(F.explode(F.expr(_COMBO_EXPRS[k])).alias("s"))
+        sets_k = (
+            combos.select(*[F.col(f"s.{c}") for c in cols])
+            .groupBy(*cols)
+            .agg(F.count("*").alias("support"))
+            .where(F.col("support") >= ms)
+        )
+        out_k = sets_k.select(
+            F.concat_ws("|", *cols).alias("itemset"),
+            F.lit(k).alias("size"),
+            "support",
+        )
+        if not out_k.take(1):  # Apriori: no frequent k-sets => no k+1
+            break
+        levels.append(out_k)
+        if k < max_size:
+            alive = (
+                sets_k.select(
+                    F.explode(F.array(*[F.col(c) for c in cols])).alias("item")
+                ).distinct()
+            )
+            kept = kept.join(alive, "item", "left_semi")
+    if not levels:
+        return ex.sparkSession.createDataFrame(
+            [], "itemset string, size int, support long"
+        )
+    out = levels[0]
+    for d in levels[1:]:
+        out = out.unionByName(d)
+    return out.orderBy(
+        F.col("size").asc(), F.col("support").desc(), F.col("itemset").asc()
     )

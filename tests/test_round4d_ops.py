@@ -134,3 +134,115 @@ def test_ts_second_stats_is_regular(mdf):
     r = out.collect()[0]
     assert r["nb"] == 4
     assert r["total"] == pytest.approx(88.0 / 3600.0)
+
+
+# ---------------------------------------------------------------------------
+# ES|QL scalar battery 5 extras / random_sampler / frequent_itemsets
+# ---------------------------------------------------------------------------
+
+
+def test_esql_sha1_passthrough(spark):
+    import hashlib
+
+    out = esql(
+        'ROW s = "abc" | EVAL h = SHA1(s)',
+        tables={}, spark=spark,
+    ).collect()[0]
+    assert out["h"] == hashlib.sha1(b"abc").hexdigest()
+
+
+def test_random_sampler_scaling(spark):
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_random_sampler,
+    )
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+    import hashlib
+
+    rows = [(i, "g1" if i % 2 == 0 else "g2", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, v double")
+    out = {
+        r["bucket"]: r
+        for r in facet_random_sampler(
+            df, 0.5, "grp", "v", seed="t"
+        ).collect()
+    }
+    # brute-force the same hash cut
+    cut = rate_threshold_hex(0.5)
+    kept = [
+        (i, g, v) for i, g, v in rows
+        if hashlib.md5(f"t|{i}".encode()).hexdigest()[:8] < cut
+    ]
+    for g in ("g1", "g2"):
+        sub = [r for r in kept if r[1] == g]
+        assert out[g]["doc_count"] == pytest.approx(len(sub) / 0.5)
+        assert out[g]["sum_v"] == pytest.approx(sum(r[2] for r in sub) / 0.5)
+        assert out[g]["avg_v"] == pytest.approx(
+            sum(r[2] for r in sub) / len(sub)
+        )
+
+
+def test_random_sampler_rejects_bad_probability(spark):
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_random_sampler,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, g string, v double")
+    with pytest.raises(ValueError):
+        facet_random_sampler(df, 0.0, "g", "v")
+
+
+def _brute_itemsets(txns, ms, max_size):
+    from itertools import combinations
+
+    sets = {}
+    for t in txns:
+        t = sorted(set(t))
+        for k in range(2, max_size + 1):
+            for c in combinations(t, k):
+                sets[c] = sets.get(c, 0) + 1
+    return {c: n for c, n in sets.items() if n >= ms}
+
+
+def test_frequent_itemsets_bruteforce(spark):
+    from elasticsearch_assets_spark.operators.itemsets import (
+        frequent_itemsets,
+    )
+    import math
+    import random
+
+    rng = random.Random(11)
+    txns = [
+        [rng.choice("abcdefgh") for _ in range(rng.randint(1, 6))]
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(txns)],
+        "doc_id long, text string",
+    )
+    ratio = 0.15
+    got = {
+        (tuple(r["itemset"].split("|")), r["size"]): r["support"]
+        for r in frequent_itemsets(
+            df, "doc_id", "split(text, ' ')", ratio, max_size=4
+        ).collect()
+    }
+    ms = math.ceil(ratio * len(txns))
+    want = _brute_itemsets(txns, ms, 4)
+    assert {k[0]: v for k, v in got.items()} == want
+    for (items, size), _ in got.items():
+        assert len(items) == size
+
+
+def test_frequent_itemsets_empty_level_short_circuits(spark):
+    from elasticsearch_assets_spark.operators.itemsets import (
+        frequent_itemsets,
+    )
+
+    # no pair is frequent -> size-3 never runs, result empty
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "c d"), (2, "e f")], "doc_id long, text string"
+    )
+    out = frequent_itemsets(df, "doc_id", "split(text, ' ')", 0.67, 3)
+    assert out.count() == 0
