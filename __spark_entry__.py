@@ -1244,6 +1244,76 @@ ORDER BY {combine} DESC, doc_id ASC LIMIT {_MM_K}
 """
 
 
+def _multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=cross_fields: TERM-centric blending (Lucene
+    BlendedTermQuery) — per term the field dfs blend to max_f df_f, each
+    field scores with its own norms but the blended idf, per-term field
+    scores combine dis_max (tie 0.3), doc score sums terms
+    (engine.cross_fields: per-field pushed posting decode carrying doc
+    lengths, two narrow hash aggs)."""
+    from elasticsearch_assets_spark.query.engine import cross_fields
+
+    fields = {
+        "title": (_docs_index_title(spark, sf_dir), _MM_TITLE_BOOST),
+        "text": (_docs_index(spark, sf_dir), 1.0),
+    }
+    out = cross_fields(fields, _MM_TERMS, tie_breaker=_MM_TIE, k=_MM_K, mode="or")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _mm_cross_base(pfx: str, toks_select: str) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(_MM_TERMS)))
+    return f"""
+{pfx}toks AS ({toks_select}),
+{pfx}dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {pfx}toks GROUP BY doc_id),
+{pfx}stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM {pfx}dl),
+{pfx}tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {pfx}toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+{pfx}df AS (SELECT term, count(*)::DOUBLE AS df FROM {pfx}tf GROUP BY term)"""
+
+
+def _mm_cross_ts(pfx: str, boost: float) -> str:
+    return f"""
+{pfx}ts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - bl.df + 0.5) / (bl.df + 0.5))
+           * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+           * {boost} AS s
+  FROM {pfx}stats s, {pfx}tf tf
+  JOIN blend bl USING (term) JOIN {pfx}dl dl USING (doc_id)
+)"""
+
+
+def _multi_match_cross_sql() -> str:
+    title_toks = (
+        "SELECT doc_id, unnest(string_split(text, ' ')"
+        f"[1:{_TITLE_TOKENS}]) AS term FROM documents"
+    )
+    body_toks = (
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+    )
+    return f"""
+WITH {_mm_cross_base('t', title_toks)},
+{_mm_cross_base('b', body_toks)},
+blend AS (
+  SELECT term, max(df) AS df
+  FROM (SELECT * FROM tdf UNION ALL SELECT * FROM bdf) GROUP BY term
+),
+{_mm_cross_ts('t', _MM_TITLE_BOOST)},
+{_mm_cross_ts('b', 1.0)},
+u AS (SELECT * FROM tts UNION ALL SELECT * FROM bts),
+pt AS (
+  SELECT doc_id, term, max(s) + {_MM_TIE} * (sum(s) - max(s)) AS ts
+  FROM u GROUP BY doc_id, term
+),
+sc AS (SELECT doc_id, sum(ts) AS sc FROM pt GROUP BY doc_id)
+SELECT doc_id, round(sc, 4) AS score
+FROM sc ORDER BY sc DESC, doc_id ASC LIMIT {_MM_K}
+"""
+
+
 def _multi_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES multi_match type=phrase: match_phrase per field over the
     positional indexes (title^2.0 + text), a doc matches when the phrase
@@ -12431,6 +12501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_completion": _suggest_completion,
         "multi_match_best": _multi_match_best,
         "multi_match_most": _multi_match_most,
+        "multi_match_cross": _multi_match_cross,
         "script_score": _script_score,
         "random_score": _random_score,
         "dedup_passages": _dedup_passages,
@@ -12811,6 +12882,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_completion": _SUGGEST_COMPLETION_SQL,
         "multi_match_best": _multi_match_sql("best_fields"),
         "multi_match_most": _multi_match_sql("most_fields"),
+        "multi_match_cross": _multi_match_cross_sql(),
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,
         "dedup_passages": _DEDUP_PASSAGES_SQL,

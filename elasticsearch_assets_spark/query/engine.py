@@ -1569,33 +1569,37 @@ class InvertedIndex:
 
     DECODE_SCHEMA = "term string, doc_id long, tf long"
 
-    def decode_postings(self, terms: list[str]) -> DataFrame:
-        """The query terms' postings decoded to (term, doc_id, tf) rows —
-        the doc-granularity surface cross-field scorers (combined_fields)
-        aggregate over. Same pushed `term IN` segment scan as search;
-        volume is exactly the postings the scorer would read. Tombstoned
-        docs are dropped in the decode kernel."""
+    def decode_postings(self, terms: list[str], with_dl: bool = False) -> DataFrame:
+        """The query terms' postings decoded to (term, doc_id, tf[, dl])
+        rows — the doc-granularity surface cross-field scorers
+        (combined_fields, cross_fields) aggregate over. Same pushed
+        `term IN` segment scan as search; volume is exactly the postings
+        the scorer would read. Doc lengths ride the posting blocks, so
+        `with_dl` costs no extra IO and no corpus access. Tombstoned docs
+        are dropped in the decode kernel."""
+        schema = self.DECODE_SCHEMA + (", dl long" if with_dl else "")
         distinct = sorted(set(terms))
         if not distinct:
-            return self.spark.createDataFrame([], self.DECODE_SCHEMA)
+            return self.spark.createDataFrame([], schema)
         excluded = self.tombstones
 
         def decode_fn(it):
             for pdf in it:
                 for row in (t._asdict() for t in pdf.itertuples(index=False)):
                     tp = TermPostings(row)
-                    tfs, _ = tp.full()
+                    tfs, dls = tp.full()
                     docs = tp.doc_ids
                     if excluded.size:
                         keep = ~np.isin(docs, excluded)
-                        docs, tfs = docs[keep], tfs[keep]
-                    yield pd.DataFrame(
-                        {"term": row["term"], "doc_id": docs, "tf": tfs}
-                    )
+                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                    cols = {"term": row["term"], "doc_id": docs, "tf": tfs}
+                    if with_dl:
+                        cols["dl"] = dls
+                    yield pd.DataFrame(cols)
 
         return (
             self.segments.where(F.col("term").isin(distinct))
-            .mapInPandas(decode_fn, self.DECODE_SCHEMA)
+            .mapInPandas(decode_fn, schema)
         )
 
     # -- simple_query_string ----------------------------------------------------
@@ -4096,6 +4100,112 @@ def combined_fields(
     )
     if mode == "and":
         agg = agg.where(F.col("_nt") == len(terms))
+    out = agg.select("doc_id", "score").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return out.limit(k) if k is not None else out
+
+
+def cross_fields(
+    field_indexes: dict,
+    query: "str | list[str]",
+    k: int | None = 10,
+    mode: str = "or",
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """ES multi_match type=cross_fields — TERM-centric blended scoring
+    (Lucene BlendedTermQuery under the dis_max rewrite): per query term
+    the per-field document frequencies blend to
+    df_blend(t) = max_f df_f(t); each field scores the term with its OWN
+    norms (dl, avgdl, N, k1/b — per-field Lucene stats) but the BLENDED
+    df in the idf, making per-field scores comparable so a term cannot
+    look artificially rare in a sparse field (the ES docs' first-name/
+    last-name problem); per term the field scores combine as
+    dis_max (max + tie_breaker * (sum - max)), and the doc score sums the
+    per-term combines. AND operator: every term must appear in AT LEAST
+    ONE field — term-centric, THE observable difference from best_fields
+    (whose AND requires all terms within a single field). df_blend is
+    used unclamped like Lucene's blended TermStates (the log1p idf stays
+    positive even when another field's df exceeds this field's docCount).
+
+    Plan: per field one pushed `term IN` segment scan decoded to
+    (term, doc, tf, dl) rows — doc lengths ride the posting blocks, no
+    corpus access; per-field dfs are planning-level stats lookups folded
+    into literal idf CASE maps; one union, ONE (term, doc) hash agg for
+    the dis_max and one doc agg for the sum — two narrow shuffles, all
+    partial-aggregated.
+
+    Reference surface: ES multi_match cross_fields semantics (the reader
+    facade passes multi-field query bodies through verbatim,
+    /root/reference/asset/elasticsearch_reader/index.js)."""
+    from elasticsearch_assets_spark.query.bm25 import idf
+
+    if not field_indexes:
+        raise ValueError("cross_fields needs at least one field index")
+    if mode not in ("or", "and"):
+        raise ValueError(f"unknown mode {mode!r}")
+    terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+    first_idx = next(iter(field_indexes.values()))[0]
+    spark = first_idx.spark
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    per_field_df = {
+        f: idx.term_stats(terms) for f, (idx, _w) in field_indexes.items()
+    }
+    df_blend = {
+        t: max((per_field_df[f].get(t, 0) for f in field_indexes), default=0)
+        for t in terms
+    }
+    live_terms = [t for t in terms if df_blend[t] > 0]
+    if not live_terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    parts = []
+    for f, (idx, w) in field_indexes.items():
+        meta = idx.meta
+        idf_col = F.lit(None).cast("double")
+        for t in live_terms:
+            idf_col = (
+                F.when(F.col("term") == t, F.lit(idf(meta.n_docs, df_blend[t])))
+                .otherwise(idf_col)
+            )
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        tf_part = (
+            tf * F.lit(meta.k1 + 1.0)
+            / (
+                tf
+                + F.lit(meta.k1)
+                * (
+                    F.lit(1.0 - meta.b)
+                    + F.lit(meta.b) * dl / F.lit(float(meta.avgdl))
+                )
+            )
+        )
+        parts.append(
+            idx.decode_postings(live_terms, with_dl=True).select(
+                "term",
+                "doc_id",
+                (idf_col * tf_part * F.lit(float(w))).alias("s"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    per_term = u.groupBy("term", "doc_id").agg(
+        (
+            F.max("s") + F.lit(float(tie_breaker)) * (F.sum("s") - F.max("s"))
+        ).alias("ts")
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("ts").alias("score"), F.count("*").alias("_nt")
+    )
+    if mode == "and":
+        if len(live_terms) != len(terms):
+            # a term absent from EVERY field can't be satisfied anywhere
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        agg = agg.where(F.col("_nt") == len(live_terms))
     out = agg.select("doc_id", "score").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -246,3 +246,153 @@ def test_frequent_itemsets_empty_level_short_circuits(spark):
     )
     out = frequent_itemsets(df, "doc_id", "split(text, ' ')", 0.67, 3)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# multi_match cross_fields (term-centric blended scoring)
+# ---------------------------------------------------------------------------
+
+_XF_TITLES = [
+    "spark engine",       # 0: spark in title only
+    "join planner",       # 1: join in title only
+    "spark join",         # 2: both in title
+    "index build",        # 3: neither
+    "query spark",        # 4
+]
+_XF_BODIES = [
+    "the fast engine runs",          # 0: no join/spark in body
+    "spark shuffles the data",       # 1: spark in body
+    "merge and scan",                # 2
+    "spark join join here",          # 3: both in body
+    "scan scan scan",                # 4
+]
+
+
+@pytest.fixture(scope="module")
+def xf_indexes(spark, tmp_path_factory):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    base = tmp_path_factory.mktemp("xf")
+    out = {}
+    for name, texts in (("title", _XF_TITLES), ("text", _XF_BODIES)):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        d = str(base / name)
+        build_index(spark, df, d, num_segments=2)
+        out[name] = InvertedIndex(spark, d)
+    return out
+
+
+def _brute_cross(fields, terms, tie=0.0, boosts=None):
+    """fields: {name: list[str] docs}; returns {doc: score} + per-doc
+    matched-term sets, with blended df and per-field norms."""
+    import math
+
+    from elasticsearch_assets_spark.query.bm25 import B, K1, idf
+
+    boosts = boosts or {}
+    toks = {f: [t.split() for t in docs] for f, docs in fields.items()}
+    n = {f: len(docs) for f, docs in fields.items()}
+    avgdl = {f: sum(len(d) for d in tk) / len(tk) for f, tk in toks.items()}
+    df = {
+        t: max(sum(t in d for d in tk) for tk in toks.values())
+        for t in terms
+    }
+    scores, matched = {}, {}
+    for t in terms:
+        if df[t] == 0:
+            continue
+        for i in range(len(next(iter(toks.values())))):
+            per_field = []
+            for f, tk in toks.items():
+                tf = tk[i].count(t)
+                if tf == 0:
+                    continue
+                dl = len(tk[i])
+                s = (
+                    idf(n[f], df[t])
+                    * tf * (K1 + 1)
+                    / (tf + K1 * (1 - B + B * dl / avgdl[f]))
+                    * boosts.get(f, 1.0)
+                )
+                per_field.append(s)
+            if per_field:
+                ts = max(per_field) + tie * (sum(per_field) - max(per_field))
+                scores[i] = scores.get(i, 0.0) + ts
+                matched.setdefault(i, set()).add(t)
+    return scores, matched
+
+
+def test_cross_fields_matches_bruteforce(xf_indexes):
+    from elasticsearch_assets_spark.query.engine import cross_fields
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in cross_fields(
+            {"title": (xf_indexes["title"], 2.0), "text": (xf_indexes["text"], 1.0)},
+            ["spark", "join"], k=None, tie_breaker=0.3,
+        ).collect()
+    }
+    want, _ = _brute_cross(
+        {"title": _XF_TITLES, "text": _XF_BODIES},
+        ["spark", "join"], tie=0.3, boosts={"title": 2.0},
+    )
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d]), d
+
+
+def test_cross_fields_and_is_term_centric(xf_indexes):
+    from elasticsearch_assets_spark.query.engine import (
+        cross_fields, multi_match,
+    )
+
+    fields = {
+        "title": (xf_indexes["title"], 1.0),
+        "text": (xf_indexes["text"], 1.0),
+    }
+    xf = {r["doc_id"] for r in
+          cross_fields(fields, ["spark", "join"], k=None, mode="and").collect()}
+    # doc 1: join in TITLE, spark in BODY — no single field has both
+    assert 1 in xf
+    bf = {r["doc_id"] for r in
+          multi_match(fields, ["spark", "join"], match_type="best_fields",
+                      k=None, mode="and").collect()}
+    assert 1 not in bf          # best_fields AND is field-centric
+    assert xf >= bf             # term-centric AND is strictly weaker
+
+
+def test_cross_fields_and_empty_when_term_absent_everywhere(xf_indexes):
+    from elasticsearch_assets_spark.query.engine import cross_fields
+
+    fields = {
+        "title": (xf_indexes["title"], 1.0),
+        "text": (xf_indexes["text"], 1.0),
+    }
+    out = cross_fields(fields, ["spark", "zzzmissing"], k=None, mode="and")
+    assert out.count() == 0
+
+
+def test_cross_fields_blended_df_differs_from_best_fields(xf_indexes):
+    from elasticsearch_assets_spark.query.bm25 import B, K1, idf
+    from elasticsearch_assets_spark.query.engine import cross_fields
+
+    # 'join' has df 2 in title, df 1 in text -> blended df 2 lowers the
+    # TEXT-side idf below its own-field value; doc 3's body-only 'join'
+    # must score with idf(n_text, 2), not idf(n_text, 1)
+    out = {
+        r["doc_id"]: r["score"]
+        for r in cross_fields(
+            {"title": (xf_indexes["title"], 1.0), "text": (xf_indexes["text"], 1.0)},
+            ["join"], k=None,
+        ).collect()
+    }
+    toks = [t.split() for t in _XF_BODIES]
+    avgdl = sum(map(len, toks)) / len(toks)
+    tf, dl = 2.0, 4.0  # doc 3 body: 'join' twice, 4 tokens
+    blended = idf(5, 2) * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+    own = idf(5, 1) * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+    assert out[3] == pytest.approx(blended)
+    assert abs(out[3] - own) > 1e-6
