@@ -5972,6 +5972,48 @@ SELECT vec_id, round(cos, 4) AS score FROM (
 """
 
 
+def _ann_topk_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES knn rescore_vector (8.18): k*3 candidates by int8-quantized
+    cosine (quarter-width scan), exact float re-score on the candidates
+    only, exact top-k out (similarity.rescore_vector_topk — quantized
+    TakeOrderedAndProject, broadcast semi-join, exact cosine on 30
+    rows)."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    out = OS.rescore_vector_topk(emb, qv, k=10, oversample=3.0)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+_ANN_RESCORE_SQL = f"""
+WITH s AS (
+  SELECT vec_id,
+         embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) AS sc
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(floor(x::DOUBLE / sc * 127.0 + 0.5) AS INTEGER)) AS q
+  FROM s
+),
+bq AS (SELECT q FROM qv WHERE vec_id = 0),
+cand AS (
+  SELECT a.vec_id
+  FROM qv a, bq b
+  ORDER BY list_dot_product(a.q, b.q)
+           / greatest(sqrt(list_dot_product(a.q, a.q))
+                      * sqrt(list_dot_product(b.q, b.q)), 1e-30) DESC,
+           a.vec_id ASC
+  LIMIT 30
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id, {_COS_AB} AS cos
+  FROM embeddings a JOIN cand USING (vec_id), q b
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 _PIT_CUT = 250
 
 
@@ -12502,6 +12544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_best": _multi_match_best,
         "multi_match_most": _multi_match_most,
         "multi_match_cross": _multi_match_cross,
+        "ann_topk_rescore": _ann_topk_rescore,
         "script_score": _script_score,
         "random_score": _random_score,
         "dedup_passages": _dedup_passages,
@@ -12883,6 +12926,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_match_best": _multi_match_sql("best_fields"),
         "multi_match_most": _multi_match_sql("most_fields"),
         "multi_match_cross": _multi_match_cross_sql(),
+        "ann_topk_rescore": _ANN_RESCORE_SQL,
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,
         "dedup_passages": _DEDUP_PASSAGES_SQL,

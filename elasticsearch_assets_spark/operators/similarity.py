@@ -469,6 +469,42 @@ def quantized_cosine_topk(
     return out.limit(k) if k is not None else out
 
 
+def rescore_vector_topk(
+    df: DataFrame,
+    query: "list[float]",
+    k: int = 10,
+    oversample: float = 3.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantized: "DataFrame | None" = None,
+) -> DataFrame:
+    """ES knn rescore_vector (8.18, GA 9.1): retrieve ceil(k * oversample)
+    candidates with the QUANTIZED vectors, re-score only those with the
+    full float vectors, return the exact-scored top k — the standard
+    recipe restoring quantization recall while the corpus scan stays on
+    quarter-width (int8) data.
+
+    Plan: the quantized pass is pure JVM integer kernels +
+    TakeOrderedAndProject (k * oversample rows, never the corpus); the
+    candidate ids broadcast back as a left-semi join onto the float
+    column, so exact cosine math runs on k * oversample rows only.
+    `quantized` supplies a materialized quantize_embeddings table — the
+    production shape (4x less IO per query); when None the quantization
+    folds into the candidate scan inline (demonstration/oracle shape)."""
+    import math as _math
+
+    if k < 1 or oversample < 1.0:
+        raise ValueError("need k >= 1 and oversample >= 1.0")
+    n = int(_math.ceil(k * float(oversample)))
+    cands = quantized_cosine_topk(
+        quantized if quantized is not None else df,
+        query, k=n, vec_col=vec_col, id_col=id_col,
+        prequantized=quantized is not None,
+    ).select(id_col)
+    pruned = df.join(F.broadcast(cands), id_col, "left_semi")
+    return cosine_topk(pruned, query, k, vec_col=vec_col, id_col=id_col)
+
+
 def knn_outlier_scores(
     df: DataFrame,
     k: int = 5,

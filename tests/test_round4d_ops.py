@@ -396,3 +396,80 @@ def test_cross_fields_blended_df_differs_from_best_fields(xf_indexes):
     own = idf(5, 1) * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
     assert out[3] == pytest.approx(blended)
     assert abs(out[3] - own) > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# knn rescore_vector (oversample quantized -> exact re-score)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_rescore_vector_scores_are_exact(vec_df):
+    from elasticsearch_assets_spark.operators.similarity import (
+        cosine_topk, rescore_vector_topk,
+    )
+
+    df, rows = vec_df
+    q = rows[7][1]
+    got = rescore_vector_topk(df, q, k=5, oversample=4.0).collect()
+    exact = {
+        r["vec_id"]: r["score"] for r in cosine_topk(df, q, 300).collect()
+    }
+    # every returned score is the EXACT float cosine, not the quantized one
+    for r in got:
+        assert r["score"] == pytest.approx(exact[r["vec_id"]], abs=1e-12)
+    # descending, k rows
+    ss = [r["score"] for r in got]
+    assert ss == sorted(ss, reverse=True) and len(ss) == 5
+
+
+def test_rescore_vector_recall_beats_quantized_only(vec_df):
+    from elasticsearch_assets_spark.operators.similarity import (
+        cosine_topk, quantized_cosine_topk, rescore_vector_topk,
+    )
+
+    df, rows = vec_df
+    hits_q = hits_r = 0
+    for probe in (1, 50, 123):
+        q = rows[probe][1]
+        truth = {r["vec_id"] for r in cosine_topk(df, q, 10).collect()}
+        qz = {r["vec_id"] for r in quantized_cosine_topk(df, q, 10).collect()}
+        rs = {r["vec_id"] for r in rescore_vector_topk(df, q, 10, 4.0).collect()}
+        hits_q += len(truth & qz)
+        hits_r += len(truth & rs)
+    assert hits_r >= hits_q  # rescoring can only help recall
+
+
+def test_rescore_vector_prequantized_path(vec_df):
+    from elasticsearch_assets_spark.operators.similarity import (
+        quantize_embeddings, rescore_vector_topk,
+    )
+
+    df, rows = vec_df
+    q = rows[7][1]
+    qt = quantize_embeddings(df)
+    a = rescore_vector_topk(df, q, k=5, oversample=4.0).collect()
+    b = rescore_vector_topk(df, q, k=5, oversample=4.0, quantized=qt).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
+
+
+def test_rescore_vector_validates(vec_df):
+    from elasticsearch_assets_spark.operators.similarity import (
+        rescore_vector_topk,
+    )
+
+    df, rows = vec_df
+    with pytest.raises(ValueError):
+        rescore_vector_topk(df, rows[0][1], k=5, oversample=0.5)
