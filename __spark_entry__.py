@@ -3757,6 +3757,55 @@ SELECT lang AS bucket,
 FROM s GROUP BY lang ORDER BY bucket
 """
 
+def _facet_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize pipeline agg, full method set (rescale_0_1/0_100,
+    percent_of_sum, mean, zscore, softmax) over the daily click
+    histogram's avg(value) — one hash agg + one window pass over bucket
+    cardinality (facets.facet_normalize)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_normalize(
+        matches, ev, "ts", "value", "day", id_col="event_id"
+    )
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        "doc_count",
+        _f4("m").alias("m"),
+        _f4("rescale_0_1").alias("rescale_0_1"),
+        _f4("rescale_0_100").alias("rescale_0_100"),
+        _f4("percent_of_sum").alias("percent_of_sum"),
+        _f4("mean_norm").alias("mean_norm"),
+        _f4("zscore").alias("zscore"),
+        _f4("softmax").alias("softmax"),
+    )
+
+
+_FACET_NORMALIZE_SQL = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count,
+         avg(value) AS m
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+w AS (
+  SELECT *, min(m) OVER () AS mn, max(m) OVER () AS mx,
+         avg(m) OVER () AS av, stddev_pop(m) OVER () AS sd,
+         sum(m) OVER () AS tot, sum(exp(m)) OVER () AS etot
+  FROM h
+)
+SELECT strftime(bucket, '%Y-%m-%d') AS bucket, doc_count,
+       floor(m * 1e4 + 0.5) / 1e4 AS m,
+       floor((m - mn) / (mx - mn) * 1e4 + 0.5) / 1e4 AS rescale_0_1,
+       floor(100.0 * (m - mn) / (mx - mn) * 1e4 + 0.5) / 1e4 AS rescale_0_100,
+       floor(m / tot * 1e4 + 0.5) / 1e4 AS percent_of_sum,
+       floor((m - av) / (mx - mn) * 1e4 + 0.5) / 1e4 AS mean_norm,
+       floor((m - av) / sd * 1e4 + 0.5) / 1e4 AS zscore,
+       floor(exp(m) / etot * 1e4 + 0.5) / 1e4 AS softmax
+FROM w ORDER BY bucket
+"""
+
+
 _BSCRIPT_MIN_COUNT = 70
 
 
@@ -6750,6 +6799,7 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 """
 
 _EQL_SPAN_S = 3600
+_EQL_UNTIL_SPAN_S = 86400
 
 
 def _eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6788,6 +6838,51 @@ FROM nxt
 WHERE event_type = 'view' AND n1 IS NOT NULL
   AND (n1 // 1000000) - (k // 1000000) <= {_EQL_SPAN_S * 1000}
 """
+
+def _eql_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL `sequence by user_id with maxspan=1h [view] [error] until
+    [purchase]`: the view->error chain is DISCARDED when a purchase event
+    falls between its two events (the sequence expires — ES EQL until).
+    Same single window pass as eql_sequence plus one conditional-min
+    column and one filter; no extra shuffle."""
+    from elasticsearch_assets_spark.operators.sequences import eql_sequence
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    return eql_sequence(
+        ev, "user_id",
+        ["event_type = 'view'", "event_type = 'error'"],
+        maxspan_seconds=_EQL_UNTIL_SPAN_S,
+        until="event_type = 'click'",
+    )
+
+
+_EQL_UNTIL_SQL = f"""
+WITH keyed AS (
+  SELECT user_id, event_type,
+         date_diff('millisecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+           * 1000000 + event_id AS k
+  FROM events
+),
+nxt AS (
+  SELECT user_id, event_type, k,
+         min(CASE WHEN event_type = 'error' THEN k END) OVER (
+           PARTITION BY user_id ORDER BY k
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS n1,
+         min(CASE WHEN event_type = 'click' THEN k END) OVER (
+           PARTITION BY user_id ORDER BY k
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS nu
+  FROM keyed
+)
+SELECT user_id, (k % 1000000)::BIGINT AS id_0, (n1 % 1000000)::BIGINT AS id_1,
+       ((n1 // 1000000) - (k // 1000000))::BIGINT AS span_ms
+FROM nxt
+WHERE event_type = 'view' AND n1 IS NOT NULL
+  AND (n1 // 1000000) - (k // 1000000) <= {_EQL_UNTIL_SPAN_S * 1000}
+  AND (nu IS NULL OR nu >= n1)
+"""
+
 
 _BC_INDICATOR = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
 
@@ -12545,6 +12640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most": _multi_match_most,
         "multi_match_cross": _multi_match_cross,
         "ann_topk_rescore": _ann_topk_rescore,
+        "eql_until": _eql_until,
+        "facet_normalize": _facet_normalize,
         "script_score": _script_score,
         "random_score": _random_score,
         "dedup_passages": _dedup_passages,
@@ -12927,6 +13024,8 @@ def oracle_sql() -> dict[str, str]:
         "multi_match_most": _multi_match_sql("most_fields"),
         "multi_match_cross": _multi_match_cross_sql(),
         "ann_topk_rescore": _ANN_RESCORE_SQL,
+        "eql_until": _EQL_UNTIL_SQL,
+        "facet_normalize": _FACET_NORMALIZE_SQL,
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,
         "dedup_passages": _DEDUP_PASSAGES_SQL,

@@ -1165,6 +1165,54 @@ def facet_bucket_script(
     )
 
 
+def facet_normalize(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    metric_col: str,
+    interval: str = "day",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES normalize pipeline aggregation — the full method set over one
+    date_histogram's per-bucket metric m = avg(metric_col):
+
+      rescale_0_1     (m - min) / (max - min)
+      rescale_0_100   100 * rescale_0_1
+      percent_of_sum  m / sum
+      mean            (m - avg) / (max - min)
+      zscore          (m - avg) / stddev_pop
+      softmax         e^m / sum(e^m)
+
+    (percent_of_sum is also pinned standalone next to serial_diff; this
+    row closes the method set.) Plan: ONE hash agg to buckets, then one
+    unpartitioned window pass over BUCKET CARDINALITY only — pipeline
+    aggs never re-touch the document rows, the property that makes them
+    free at 10^12 docs."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    h = joined.groupBy(
+        F.date_trunc(interval, F.col(date_col)).alias("bucket")
+    ).agg(
+        F.count("*").alias("doc_count"),
+        F.avg(F.col(metric_col).cast("double")).alias("m"),
+    )
+    w = Window.partitionBy()  # bucket-cardinality rows only
+    mn, mx = F.min("m").over(w), F.max("m").over(w)
+    av, sd = F.avg("m").over(w), F.stddev_pop("m").over(w)
+    tot, etot = F.sum("m").over(w), F.sum(F.exp("m")).over(w)
+    rng = mx - mn
+    return (
+        h.withColumn("rescale_0_1", (F.col("m") - mn) / rng)
+        .withColumn("rescale_0_100", F.lit(100.0) * (F.col("m") - mn) / rng)
+        .withColumn("percent_of_sum", F.col("m") / tot)
+        .withColumn("mean_norm", (F.col("m") - av) / rng)
+        .withColumn("zscore", (F.col("m") - av) / sd)
+        .withColumn("softmax", F.exp("m") / etot)
+        .orderBy(F.col("bucket").asc())
+    )
+
+
 def _match_join(
     matches: DataFrame, corpus: DataFrame, id_col: str
 ) -> DataFrame:

@@ -53,13 +53,21 @@ def eql_sequence(
     maxspan_seconds: float,
     ts_col: str = "ts",
     id_col: str = "event_id",
+    until: "str | None" = None,
 ) -> DataFrame:
-    """Match ``sequence by `by` with maxspan [steps...]``.
+    """Match ``sequence by `by` with maxspan [steps...] [until [u]]``.
 
     `steps` are Spark SQL boolean expressions (the engine's one script
     dialect), length >= 2. Returns one row per completed chain:
     the `by` columns, ``id_0..id_{n-1}`` (the chain's event ids) and
-    ``span_ms`` (last - first event time)."""
+    ``span_ms`` (last - first event time).
+
+    `until` (EQL's expiration clause): a chain is discarded when an
+    until-event occurs in the same `by` partition strictly between the
+    chain's first and last events — the sequence "expires" before it
+    completes (ES EQL docs). One extra column in the SAME window pass
+    (the earliest until-event key after each row), one extra filter —
+    no additional shuffle."""
     if len(steps) < 2:
         raise ValueError("an EQL sequence needs >= 2 steps")
     if maxspan_seconds <= 0:
@@ -76,9 +84,16 @@ def eql_sequence(
         base = base.withColumn(
             f"_n{i}", F.min(F.when(F.expr(steps[i]), F.col("_k"))).over(w)
         )
-    seq = base.where(F.expr(steps[0])).select(
-        *keys, F.col("_k").alias("k_0"), F.col("_n1").alias("k_1")
-    )
+    if until is not None:
+        base = base.withColumn(
+            "_nu", F.min(F.when(F.expr(until), F.col("_k"))).over(w)
+        )
+    first_cols = [
+        *keys, F.col("_k").alias("k_0"), F.col("_n1").alias("k_1"),
+    ]
+    if until is not None:
+        first_cols.append(F.col("_nu").alias("k_u"))
+    seq = base.where(F.expr(steps[0])).select(*first_cols)
     for i in range(2, n):
         hop = base.select(
             F.col("_k").alias(f"k_{i - 1}"), F.col(f"_n{i}").alias(f"k_{i}")
@@ -94,8 +109,12 @@ def eql_sequence(
         for i in range(n)
     ]
     out_cols.append(span_ms.alias("span_ms"))
-    return (
-        seq.where(last.isNotNull())
-        .where(span_ms <= int(maxspan_seconds * 1000))
-        .select(*out_cols)
+    out = seq.where(last.isNotNull()).where(
+        span_ms <= int(maxspan_seconds * 1000)
     )
+    if until is not None:
+        # expire: an until-event strictly between first and last event
+        # kills the chain (k_u is the EARLIEST until after k_0, so
+        # k_u >= last means none fell inside)
+        out = out.where(F.col("k_u").isNull() | (F.col("k_u") >= last))
+    return out.select(*out_cols)

@@ -473,3 +473,37 @@ def test_rescore_vector_validates(vec_df):
     df, rows = vec_df
     with pytest.raises(ValueError):
         rescore_vector_topk(df, rows[0][1], k=5, oversample=0.5)
+
+
+# ---------------------------------------------------------------------------
+# EQL sequence ... until
+# ---------------------------------------------------------------------------
+
+
+def test_eql_until_expires_chains(spark):
+    from elasticsearch_assets_spark.operators.sequences import eql_sequence
+
+    rows = [
+        # user, ts,      type,   id
+        (1, _t(0), "view", 1),
+        (1, _t(5), "error", 2),       # chain completes, nothing between
+        (2, _t(0), "view", 3),
+        (2, _t(2), "reset", 4),       # until event INSIDE the chain
+        (2, _t(5), "error", 5),
+        (3, _t(0), "view", 6),
+        (3, _t(5), "error", 7),
+        (3, _t(9), "reset", 8),       # until AFTER completion: harmless
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    base = eql_sequence(
+        df, "user_id", ["event_type = 'view'", "event_type = 'error'"],
+        maxspan_seconds=3600,
+    )
+    assert {r["user_id"] for r in base.collect()} == {1, 2, 3}
+    out = eql_sequence(
+        df, "user_id", ["event_type = 'view'", "event_type = 'error'"],
+        maxspan_seconds=3600, until="event_type = 'reset'",
+    )
+    assert {r["user_id"] for r in out.collect()} == {1, 3}
