@@ -2221,6 +2221,41 @@ def _highlight_frags_sql() -> str:
 _DISSECT2_PAT = "%{et->} %{?uid} %{v}"
 
 
+def _esql_dissect3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DISSECT append modifier `%{+code}` with APPEND_SEPARATOR
+    (repeated captures join in pattern order), plus MV_CONCAT (multivalue
+    -> one joined string, array_join passthrough). The oracle runs the
+    SAME compiled dissect regex text."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    return esql(
+        "FROM events | WHERE event_id % 31 == 0"
+        " | EVAL line = CONCAT(event_type, ' ', TO_STRING(event_id % 7),"
+        " '-', TO_STRING(user_id % 5))"
+        ' | DISSECT line "%{kind} %{+code}-%{+code}" APPEND_SEPARATOR=":"'
+        " | EVAL mv = MV_CONCAT(SPLIT(line, ' '), '_')"
+        " | KEEP event_id, kind, code, mv"
+        " | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+
+
+_ESQL_DISSECT3_SQL = r"""
+WITH b AS (
+  SELECT event_id,
+         event_type || ' ' || (event_id % 7)::VARCHAR || '-'
+           || (user_id % 5)::VARCHAR AS line
+  FROM events WHERE event_id % 31 = 0
+)
+SELECT event_id,
+       regexp_extract(line, '^(.*?) (.*?)-(.*)$', 1) AS kind,
+       regexp_extract(line, '^(.*?) (.*?)-(.*)$', 2) || ':'
+         || regexp_extract(line, '^(.*?) (.*?)-(.*)$', 3) AS code,
+       array_to_string(string_split(line, ' '), '_') AS mv
+FROM b ORDER BY event_id
+"""
+
+
 def _esql_dissect2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL DISSECT modifiers: `%{et->}` right-padding (the delimiter
     after the hole may repeat — variable-width space padding), `%{?uid}`
@@ -12836,6 +12871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_grok": _esql_grok,
         "esql_dissect": _esql_dissect,
         "esql_dissect2": _esql_dissect2,
+        "esql_dissect3": _esql_dissect3,
         "esql_rlike": _esql_rlike,
         "esql_enrich_range": _esql_enrich_range,
         "esql_enrich_geo": _esql_enrich_geo,
@@ -13255,6 +13291,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_grok": _esql_grok_sql(),
         "esql_dissect": _esql_dissect_sql(),
         "esql_dissect2": _esql_dissect2_sql(),
+        "esql_dissect3": _ESQL_DISSECT3_SQL,
         "esql_rlike": _ESQL_RLIKE_SQL,
         "esql_enrich_range": _ESQL_ENRICH_RANGE_SQL,
         "esql_enrich_geo": _ESQL_ENRICH_GEO_SQL,

@@ -128,10 +128,12 @@ def dissect_compile(pattern: str) -> "tuple[str, list[str]]":
 
     Modifiers (the ES dissect processor's): `%{}` / `%{?name}` are skips
     (matched, not extracted); `%{name->}` right-pads — the delimiter
-    following the hole may repeat (`1  two` under `%{a->} %{b}`). The
-    reference-key (`%{*k}`/`%{&k}`) and append (`%{+k}`) modifiers raise
-    with guidance (append needs capture concatenation, a different
-    output shape)."""
+    following the hole may repeat (`1  two` under `%{a->} %{b}`);
+    `%{+name}` appends — repeated names in the returned field list mark
+    captures the caller concatenates in order (dissect_extract applies
+    the append separator). The reference-key (`%{*k}`/`%{&k}`) modifiers
+    raise with guidance (dynamic key names need pivoting, a different
+    output shape); the ordered-append form `%{+k/2}` raises too."""
     parts = re.split(r"%\{([^}]*)\}", pattern)
     # parts = [lit0, name1, lit1, name2, lit2, ...]
     holes = list(range(1, len(parts), 2))
@@ -139,12 +141,19 @@ def dissect_compile(pattern: str) -> "tuple[str, list[str]]":
     out: list[str] = ["^", _re_escape(parts[0])]
     for j, i in enumerate(holes):
         raw = parts[i]
-        if raw.startswith(("+", "*", "&")):
+        if raw.startswith(("*", "&")):
             raise ValueError(
                 f"dissect modifier {raw[0]!r} (%{{{raw}}}) is not "
-                "supported: append/reference keys need capture "
-                "concatenation — restructure with plain holes + EVAL"
+                "supported: reference keys need dynamic column names — "
+                "restructure with plain holes + EVAL"
             )
+        if raw.startswith("+"):
+            raw = raw[1:]
+            if "/" in raw:
+                raise ValueError(
+                    "dissect ordered append (%{+k/n}) is not supported: "
+                    "captures append in pattern order"
+                )
         pad = raw.endswith("->")
         if pad:
             raw = raw[:-2]
@@ -169,6 +178,33 @@ def dissect_compile(pattern: str) -> "tuple[str, list[str]]":
     if not fields:
         raise ValueError("dissect pattern extracts no fields")
     return "".join(out), fields
+
+
+def dissect_extract(
+    df: DataFrame, src: str, regex: str, names: "list[str]", sep: str = ""
+) -> DataFrame:
+    """Materialize dissect captures as columns. Repeated names (the
+    `%{+key}` append modifier) concatenate their captures in pattern
+    order joined by `sep` (ES's append_separator, default empty); a
+    non-matching row yields null for every field (ES sets unmatched
+    fields to null)."""
+    groups: "dict[str, list[int]]" = {}
+    for i, n in enumerate(names):
+        groups.setdefault(n, []).append(i + 1)
+    for fname, idxs in groups.items():
+        if len(idxs) == 1:
+            ext = F.regexp_extract(F.col(src), regex, idxs[0])
+            col = F.when(ext != "", ext)
+        else:
+            parts = [F.regexp_extract(F.col(src), regex, j) for j in idxs]
+            joined = parts[0]
+            for p in parts[1:]:
+                joined = F.concat(joined, F.lit(sep), p)
+            # appended fields gate on the WHOLE pattern matching — a
+            # legitimately-empty capture still joins (ES append contract)
+            col = F.when(F.col(src).rlike(regex), joined)
+        df = df.withColumn(fname, col)
+    return df
 
 
 def _unquote(s: str) -> str:
@@ -539,6 +575,8 @@ _FUNC_HANDLERS: "dict[str, object]" = {
              f"{'true' if _mv_order(a[1]) else 'false'})"
     ),
     "MV_SUM": _h_mv_sum,
+    # MV_CONCAT(string_multivalue, delim) -> one joined string
+    "MV_CONCAT": _h_rename("array_join", 2),
     "MV_AVG": lambda a: f"({_h_mv_sum(a)} / size({a[0]}))",
     "MV_FIRST": lambda a: f"get({a[0]}, 0)",
     "MV_LAST": lambda a: f"get({a[0]}, size({a[0]}) - 1)",
@@ -1858,13 +1896,18 @@ def esql(
             gm = re.match(r"^\s*(\w+)\s+(.+)$", body, re.S)
             if not gm:
                 raise ValueError(f"{kw} needs `<column> \"<pattern>\"`")
-            src, pattern = gm.group(1), _unquote(gm.group(2))
-            if kw == "GROK":
-                regex, grok_fields = grok_compile(pattern)
-                typed = grok_fields
-            else:
-                regex, names = dissect_compile(pattern)
-                typed = [(n, "string") for n in names]
+            src, rest = gm.group(1), gm.group(2)
+            if kw == "DISSECT":
+                sep = ""
+                am = re.search(
+                    r"\s+APPEND_SEPARATOR\s*=\s*(['\"])(.*?)\1\s*$",
+                    rest, re.I | re.S,
+                )
+                if am:
+                    sep, rest = am.group(2), rest[: am.start()]
+                regex, names = dissect_compile(_unquote(rest))
+                return dissect_extract(df, src, regex, names, sep)
+            regex, typed = grok_compile(_unquote(rest))
             for i, (fname, ftype) in enumerate(typed):
                 ext = F.regexp_extract(F.col(src), regex, i + 1)
                 # ES sets unmatched fields to null (regexp_extract gives '')

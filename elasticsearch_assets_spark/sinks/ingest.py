@@ -276,16 +276,19 @@ def _apply(df: DataFrame, ptype: str, cfg: dict) -> DataFrame:
         pattern = _req(cfg, "pattern", ptype)
         if ptype == "grok":
             regex, typed = grok_compile(pattern)
-        else:
-            regex, names = dissect_compile(pattern)
-            typed = [(n, "string") for n in names]
-        for i, (fname, ftype) in enumerate(typed):
-            ext = F.regexp_extract(F.col(field), regex, i + 1)
-            col = F.when(ext != "", ext)
-            if ftype != "string":
-                col = col.cast(ftype)
-            df = df.withColumn(fname, col)
-        return df
+            for i, (fname, ftype) in enumerate(typed):
+                ext = F.regexp_extract(F.col(field), regex, i + 1)
+                col = F.when(ext != "", ext)
+                if ftype != "string":
+                    col = col.cast(ftype)
+                df = df.withColumn(fname, col)
+            return df
+        from elasticsearch_assets_spark.query.esql import dissect_extract
+
+        regex, names = dissect_compile(pattern)
+        return dissect_extract(
+            df, field, regex, names, cfg.get("append_separator", "")
+        )
     if ptype == "fingerprint":
         fields = _req(cfg, "fields", "fingerprint")
         for x in fields:
