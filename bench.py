@@ -488,6 +488,48 @@ def main() -> None:
     from elasticsearch_assets_spark.operators.textstats import bpe_pair_counts
 
     op_best("op_bpe_pairs", lambda: bpe_pair_counts(corpus, n=20).collect())
+
+    # session-8 ops: ES|QL TS two-level time-series agg (window + 2 hash
+    # aggs sharing one exchange), cross_fields blended scoring, int8
+    # oversample + exact re-score, multi-level Apriori itemsets
+    from elasticsearch_assets_spark.operators.itemsets import (
+        frequent_itemsets,
+    )
+    from elasticsearch_assets_spark.operators.similarity import (
+        rescore_vector_topk,
+    )
+    from elasticsearch_assets_spark.query.engine import cross_fields
+
+    ts_meta = {
+        "m": {"dimensions": ["sid"], "ts": "ts", "tiebreak": "event_id"}
+    }
+    ev_ts = ev_mad.withColumn("sid", F.col("user_id") % 64)
+    q_best(
+        "q_esql_ts",
+        lambda: esql_run(
+            "TS m | STATS mr = max(rate(value)),"
+            " am = max(avg_over_time(value)), n = sum(count_over_time(value))"
+            " BY h = BUCKET(ts, 1 hour) | SORT h",
+            tables={"m": ev_ts}, time_series=ts_meta,
+        ).collect(),
+    )
+    q_best(
+        "q_cross_fields",
+        lambda: cross_fields(
+            {"text": (idx, 1.0), "pos": (pidx, 2.0)},
+            ["spark", "join"], k=10, tie_breaker=0.3,
+        ).collect(),
+    )
+    op_best(
+        "op_ann_rescore",
+        lambda: rescore_vector_topk(emb, qv, k=10, oversample=3.0).collect(),
+    )
+    op_best(
+        "op_itemsets3",
+        lambda: frequent_itemsets(
+            docs, "doc_id", "split(text, ' ')", 0.25, max_size=3
+        ).count(),
+    )
     # warm-cache serving: segments+stats pinned in executor memory (the
     # ES page-cache warm-up) — same query, no parquet IO per request
     idx.warm()

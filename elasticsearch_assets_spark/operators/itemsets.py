@@ -137,7 +137,12 @@ def frequent_itemsets(
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= ms)
     )
-    kept = ex.join(freq1.select("item"), "item", "left_semi")
+    # each level is probed for emptiness AND read again by the final
+    # union, and level k+1's transactions derive from level k's sets —
+    # persist the small frequent-set frames (bounded by min_support) and
+    # the trimmed transaction rows so no level computes twice
+    kept = ex.join(freq1.select("item"), "item", "left_semi").persist()
+    pinned: list[DataFrame] = [kept]
     levels: list[DataFrame] = []
     for k in range(2, max_size + 1):
         docs = kept.groupBy("_id").agg(
@@ -150,13 +155,15 @@ def frequent_itemsets(
             .groupBy(*cols)
             .agg(F.count("*").alias("support"))
             .where(F.col("support") >= ms)
+            .persist()
         )
+        pinned.append(sets_k)
         out_k = sets_k.select(
             F.concat_ws("|", *cols).alias("itemset"),
             F.lit(k).alias("size"),
             "support",
         )
-        if not out_k.take(1):  # Apriori: no frequent k-sets => no k+1
+        if sets_k.count() == 0:  # Apriori: no frequent k-sets => no k+1
             break
         levels.append(out_k)
         if k < max_size:
@@ -165,14 +172,20 @@ def frequent_itemsets(
                     F.explode(F.array(*[F.col(c) for c in cols])).alias("item")
                 ).distinct()
             )
-            kept = kept.join(alive, "item", "left_semi")
+            kept = kept.join(alive, "item", "left_semi").persist()
+            pinned.append(kept)
     if not levels:
+        for d in pinned:
+            d.unpersist()
         return ex.sparkSession.createDataFrame(
             [], "itemset string, size int, support long"
         )
     out = levels[0]
     for d in levels[1:]:
         out = out.unionByName(d)
-    return out.orderBy(
+    out = out.orderBy(
         F.col("size").asc(), F.col("support").desc(), F.col("itemset").asc()
-    )
+    ).localCheckpoint()
+    for d in pinned:
+        d.unpersist()
+    return out
