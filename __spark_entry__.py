@@ -6919,6 +6919,42 @@ WHERE event_type = 'view' AND n1 IS NOT NULL
 """
 
 
+def _eql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL `sample by user_id [view] [error] [purchase]` — UNORDERED
+    correlation: one sample per user having at least one of each event
+    type, earliest event per query (deterministic deviation from ES's
+    arbitrary pick). One hash agg of conditional mins, no window, no
+    join (operators/sequences.eql_sample)."""
+    from elasticsearch_assets_spark.operators.sequences import eql_sample
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    return eql_sample(
+        ev, "user_id",
+        ["event_type = 'view'", "event_type = 'error'",
+         "event_type = 'purchase'"],
+    )
+
+
+_EQL_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT user_id, event_type,
+         date_diff('millisecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+           * 1000000 + event_id AS k
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN k END) AS k0,
+         min(CASE WHEN event_type = 'error' THEN k END) AS k1,
+         min(CASE WHEN event_type = 'purchase' THEN k END) AS k2
+  FROM keyed GROUP BY user_id
+)
+SELECT user_id, (k0 % 1000000)::BIGINT AS id_0,
+       (k1 % 1000000)::BIGINT AS id_1, (k2 % 1000000)::BIGINT AS id_2
+FROM g WHERE k0 IS NOT NULL AND k1 IS NOT NULL AND k2 IS NOT NULL
+"""
+
+
 _BC_INDICATOR = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
 
 
@@ -12676,6 +12712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_cross": _multi_match_cross,
         "ann_topk_rescore": _ann_topk_rescore,
         "eql_until": _eql_until,
+        "eql_sample": _eql_sample,
         "facet_normalize": _facet_normalize,
         "script_score": _script_score,
         "random_score": _random_score,
@@ -13061,6 +13098,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_match_cross": _multi_match_cross_sql(),
         "ann_topk_rescore": _ANN_RESCORE_SQL,
         "eql_until": _EQL_UNTIL_SQL,
+        "eql_sample": _EQL_SAMPLE_SQL,
         "facet_normalize": _FACET_NORMALIZE_SQL,
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,

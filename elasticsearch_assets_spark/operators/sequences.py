@@ -118,3 +118,40 @@ def eql_sequence(
         # k_u >= last means none fell inside)
         out = out.where(F.col("k_u").isNull() | (F.col("k_u") >= last))
     return out.select(*out_cols)
+
+
+def eql_sample(
+    df: DataFrame,
+    by: "str | list[str]",
+    steps: "list[str]",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """EQL ``sample by <key> [q1] [q2] ...`` — UNORDERED correlation: one
+    sample per key that has at least one event matching EVERY query,
+    regardless of order or time span (ES EQL sample, 8.6). Where ES picks
+    an arbitrary matching event per query, this engine picks the EARLIEST
+    (by the encoded (ts, id) key) — deterministic and reproducible, the
+    documented deviation.
+
+    Plan: ONE hash aggregation per key computing a conditional-min key
+    per query (map-side partials — no window, no ordering pass, no join;
+    cheaper than sequence because order doesn't matter), then a null
+    filter. Returns the `by` columns + id_0..id_{n-1}."""
+    if len(steps) < 2:
+        raise ValueError("an EQL sample needs >= 2 queries")
+    keys = [by] if isinstance(by, str) else list(by)
+    base = df.withColumn("_k", event_key_expr(ts_col, id_col))
+    aggs = [
+        F.min(F.when(F.expr(s), F.col("_k"))).alias(f"k_{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = base.groupBy(*[F.col(c) for c in keys]).agg(*aggs)
+    cond = F.lit(True)
+    for i in range(len(steps)):
+        cond = cond & F.col(f"k_{i}").isNotNull()
+    out_cols = [F.col(c) for c in keys] + [
+        (F.col(f"k_{i}") % KEY_SCALE).cast("long").alias(f"id_{i}")
+        for i in range(len(steps))
+    ]
+    return g.where(cond).select(*out_cols)

@@ -507,3 +507,26 @@ def test_eql_until_expires_chains(spark):
         maxspan_seconds=3600, until="event_type = 'reset'",
     )
     assert {r["user_id"] for r in out.collect()} == {1, 3}
+
+
+def test_eql_sample_unordered(spark):
+    from elasticsearch_assets_spark.operators.sequences import eql_sample
+
+    rows = [
+        (1, _t(5), "b", 1),   # order b before a — sample doesn't care
+        (1, _t(9), "a", 2),
+        (2, _t(0), "a", 3),   # no b for user 2
+        (3, _t(0), "a", 4),
+        (3, _t(1), "a", 5),   # earliest a = id 4
+        (3, _t(2), "b", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {
+        r["user_id"]: (r["id_0"], r["id_1"])
+        for r in eql_sample(
+            df, "user_id", ["event_type = 'a'", "event_type = 'b'"]
+        ).collect()
+    }
+    assert out == {1: (2, 1), 3: (4, 6)}
