@@ -528,6 +528,40 @@ def main() -> None:
         _ts.bpe_pair_counts(docs, n=20),
     )
 
+    add(
+        "ES|QL TS (session 8): two-level time-series agg shares one exchange",
+        "The (dims, bucket) hash exchange is planned ONCE and feeds both "
+        "the RATE window pass (lag per series per bucket) and the stage-1 "
+        "partial hash aggregate; stage 2 re-shuffles only bucket-keyed "
+        "aggregate rows. Two exchanges total, both partial-aggregated — "
+        "per-series inner math never moves twice.",
+        __import__(
+            "elasticsearch_assets_spark.query.esql", fromlist=["esql"]
+        ).esql(
+            "TS m | STATS mr = max(rate(value)),"
+            " am = max(avg_over_time(value)) BY h = BUCKET(ts, 1 hour)",
+            tables={"m": ev.withColumn("sid", F.col("user_id") % 5)},
+            time_series={
+                "m": {"dimensions": ["sid"], "ts": "ts",
+                      "tiebreak": "event_id"}
+            },
+        ),
+    )
+    add(
+        "multi_match cross_fields (session 8): pushed decode, two narrow shuffles",
+        "Each field contributes one pushed `term IN` segment scan decoded "
+        "to (term, doc, tf, dl) rows — doc lengths ride the posting "
+        "blocks, the corpus is never read; blended idfs fold to literal "
+        "CASE maps. The union aggregates per (term, doc) then per doc, "
+        "both partial-aggregated; no broadcast, no corpus join.",
+        __import__(
+            "elasticsearch_assets_spark.query.engine",
+            fromlist=["cross_fields"],
+        ).cross_fields(
+            {"text": (idx, 1.0)}, ["spark", "join"], k=10, tie_breaker=0.3,
+        ),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "
