@@ -540,6 +540,16 @@ def _bm25_fuzzy_osa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _bm25_fuzzy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzziness=AUTO: the edit budget resolves from the QUERY term's
+    length (0 below 3 chars, 1 below 6, else 2 — expand.parse_fuzziness).
+    'queryy' is 6 chars -> 2 edits, so the expansion reaches 'query'
+    (distance 1) plus any distance-2 dictionary terms."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search_fuzzy("queryy", max_edits="AUTO", k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
 _AFTER_TERMS = ["spark", "table"]
 
 
@@ -12693,6 +12703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wildcard": _bm25_wildcard,
         "bm25_fuzzy": _bm25_fuzzy,
         "bm25_fuzzy_osa": _bm25_fuzzy_osa,
+        "bm25_fuzzy_auto": _bm25_fuzzy_auto,
         "bm25_msm": _bm25_msm,
         "bm25_boosted": _bm25_boosted,
         "bm25_must_not": _bm25_must_not,
@@ -13073,6 +13084,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy_osa": _bm25_sql(
             [], "or", None,
             term_cond="damerau_levenshtein(term, 'spakr') <= 1",
+        ),
+        "bm25_fuzzy_auto": _bm25_sql(
+            [], "or", None, term_cond="levenshtein(term, 'queryy') <= 2"
         ),
         "bm25_msm": _bm25_sql(_MSM_TERMS, "or", None, min_match=_MSM_M),
         "bm25_must_not": _bm25_sql(

@@ -576,7 +576,7 @@ class InvertedIndex:
     def expand_fuzzy(
         self,
         term: str,
-        max_edits: int = 1,
+        max_edits: "int | str" = 1,
         prefix_length: int = 0,
         max_expansions: int | None = None,
         transpositions: bool = False,
@@ -585,8 +585,12 @@ class InvertedIndex:
             expand_fuzzy_osa,
             expand_terms,
             fuzzy_condition,
+            parse_fuzziness,
         )
 
+        # ES fuzziness=AUTO[:low,high] resolves to 0/1/2 edits from the
+        # query term's length at planning time
+        max_edits = parse_fuzziness(max_edits, term)
         if transpositions:
             # Lucene's DEFAULT fuzziness metric (OSA — an adjacent swap
             # costs 1 edit); the plain-levenshtein form stays the default
@@ -622,7 +626,7 @@ class InvertedIndex:
     def search_fuzzy(
         self,
         term: str,
-        max_edits: int = 1,
+        max_edits: "int | str" = 1,
         prefix_length: int = 0,
         k: int | None = 10,
         max_expansions: int | None = None,
@@ -630,6 +634,8 @@ class InvertedIndex:
     ) -> DataFrame:
         """ES fuzzy query: Levenshtein-expand (distance ≤ max_edits,
         distance 0 included) against the dictionary, then a scored OR.
+        `max_edits` accepts ES's `fuzziness` spellings — an int or
+        `"AUTO[:low,high]"` (resolved from the query term's length).
         `transpositions=True` switches to ES's default OSA metric (an
         adjacent swap costs 1 edit — query/expand.py expand_fuzzy_osa)."""
         terms = self.expand_fuzzy(

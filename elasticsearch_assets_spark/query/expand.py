@@ -111,6 +111,27 @@ def fuzzy_condition(term: str, max_edits: int = 1, prefix_length: int = 0) -> Co
     return cond & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
 
 
+def parse_fuzziness(spec: "int | str", term: str) -> int:
+    """ES `fuzziness` values: an integer edit count, or `AUTO[:low,high]`
+    — 0 edits for terms shorter than `low` (default 3), 1 below `high`
+    (default 6), else 2 (the ES AUTO ladder). Resolved at planning time
+    from the QUERY term's length, exactly like ES."""
+    if isinstance(spec, int):
+        return spec
+    m = re.match(r"^AUTO(?::(\d+),(\d+))?$", str(spec).strip(), re.I)
+    if not m:
+        raise ValueError(
+            f"fuzziness must be an int or 'AUTO[:low,high]', got {spec!r}"
+        )
+    low, high = (
+        (int(m.group(1)), int(m.group(2))) if m.group(1) else (3, 6)
+    )
+    if not (0 < low < high):
+        raise ValueError(f"AUTO needs 0 < low < high, got {spec!r}")
+    n = len(term)
+    return 0 if n < low else (1 if n < high else 2)
+
+
 def osa_distances(q: str, terms) -> "object":
     """Optimal-string-alignment (restricted Damerau) distances from `q` to
     every term in a numpy unicode array — Lucene's `transpositions=true`

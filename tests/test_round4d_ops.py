@@ -530,3 +530,19 @@ def test_eql_sample_unordered(spark):
         ).collect()
     }
     assert out == {1: (2, 1), 3: (4, 6)}
+
+
+def test_parse_fuzziness_auto_ladder():
+    from elasticsearch_assets_spark.query.expand import parse_fuzziness
+
+    assert parse_fuzziness(2, "ab") == 2
+    assert parse_fuzziness("AUTO", "ab") == 0
+    assert parse_fuzziness("AUTO", "abc") == 1
+    assert parse_fuzziness("auto", "abcde") == 1
+    assert parse_fuzziness("AUTO", "abcdef") == 2
+    assert parse_fuzziness("AUTO:2,4", "ab") == 1
+    assert parse_fuzziness("AUTO:2,4", "abcd") == 2
+    with pytest.raises(ValueError):
+        parse_fuzziness("FUZZY", "x")
+    with pytest.raises(ValueError):
+        parse_fuzziness("AUTO:6,3", "x")
