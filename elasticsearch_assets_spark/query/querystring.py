@@ -21,12 +21,14 @@ Clause-level boolean semantics are exact: `spark AND jo*` requires spark
 AND (any jo*-expansion term) per doc — the engine's `groups` kernel
 (wand.topk_group_conjunctive), not a flat term-list AND.
 
-Not supported (raise, by design): scoring an OR of a text clause with a
-structured filter (`spark OR n_chars:>=500` — ES gives constant scores to
-filter legs; this engine has no constant-score leg), phrases mixed with
-other text clauses in one query (phrase scoring composes differently), and
-NOT over text clauses in the scoring position (NOT filters, it never
-scores — put it in the structured part).
+Phrases compose with other scoring clauses under AND
+(`"hash table" AND spark AND jo*` — search_phrase(groups=...), one phrase
+per query). Not supported (raise, by design): scoring an OR of a text
+clause with a structured filter (`spark OR n_chars:>=500` — ES gives
+constant scores to filter legs; this engine has no constant-score leg),
+OR of a phrase with other scoring clauses, more than one phrase, and NOT
+over text clauses in the scoring position (NOT filters, it never scores —
+put it in the structured part).
 """
 
 from __future__ import annotations
