@@ -5306,6 +5306,71 @@ def _msearch_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+_HN_QUERIES = [(0, ["spark", "join"]), (1, ["query", "scan"]), (2, ["data", "web"])]
+_HN_K, _HN_DEPTH = 5, 20
+
+
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training (DPR): per query, the
+    top-k BM25 docs that are NOT its labeled positives (here: the
+    query's own top-2, so the anti-join removes genuinely high-ranked
+    docs). All queries ride ONE fused msearch scan at depth 20; the
+    positives remove by broadcast left-anti; one window re-ranks
+    (operators/mining.mine_hard_negatives)."""
+    from elasticsearch_assets_spark.operators.mining import (
+        mine_hard_negatives,
+    )
+
+    idx = _docs_index(spark, sf_dir)
+    positives = idx.msearch(
+        [{"query": t, "mode": "or", "k": 2} for _, t in _HN_QUERIES]
+    ).select("query_id", "doc_id")
+    out = mine_hard_negatives(
+        idx, _HN_QUERIES, positives, k=_HN_K, depth=_HN_DEPTH, mode="or"
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+def _hard_negatives_sql() -> str:
+    parts = []
+    for i, (qid, terms) in enumerate(_HN_QUERIES):
+        tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        body = _bm25_body(f"term IN ({tlist})")
+        parts.append(
+            f"q{i} AS (\n  WITH {body}\n"
+            f"  SELECT {qid} AS query_id, doc_id, s FROM scored\n"
+            f"  ORDER BY s DESC, doc_id ASC LIMIT {_HN_DEPTH}\n)"
+        )
+    blocks = ",\n".join(parts)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM q{i}" for i in range(len(_HN_QUERIES))
+    )
+    return f"""
+WITH {blocks},
+u AS ({union}),
+pos AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS r
+    FROM u
+  ) WHERE r <= 2
+),
+neg AS (
+  SELECT u.query_id, u.doc_id, u.s
+  FROM u LEFT JOIN pos
+    ON u.query_id = pos.query_id AND u.doc_id = pos.doc_id
+  WHERE pos.doc_id IS NULL
+)
+SELECT query_id, doc_id, round(s, 4) AS score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY s DESC, doc_id ASC) AS rank
+FROM neg QUALIFY rank <= {_HN_K} ORDER BY query_id, rank
+"""
+
+
 _MGET_IDS = [2, 7, 14, 21, 33, 999999]  # 7/14/21 tombstoned, 999999 absent
 
 
@@ -12724,6 +12789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_rescore": _ann_topk_rescore,
         "eql_until": _eql_until,
         "eql_sample": _eql_sample,
+        "hard_negatives": _hard_negatives,
         "facet_normalize": _facet_normalize,
         "script_score": _script_score,
         "random_score": _random_score,
@@ -13113,6 +13179,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_rescore": _ANN_RESCORE_SQL,
         "eql_until": _EQL_UNTIL_SQL,
         "eql_sample": _EQL_SAMPLE_SQL,
+        "hard_negatives": _hard_negatives_sql(),
         "facet_normalize": _FACET_NORMALIZE_SQL,
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,

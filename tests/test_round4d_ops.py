@@ -546,3 +546,49 @@ def test_parse_fuzziness_auto_ladder():
         parse_fuzziness("FUZZY", "x")
     with pytest.raises(ValueError):
         parse_fuzziness("AUTO:6,3", "x")
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_excludes_positives_and_matches_search(xf_indexes, spark):
+    from elasticsearch_assets_spark.operators.mining import (
+        mine_hard_negatives,
+    )
+
+    idx = xf_indexes["text"]
+    queries = [(10, ["spark"]), (20, ["scan"])]
+    # label each query's single top doc as its positive
+    tops = {
+        qid: idx.search(t, k=1, mode="or").collect()[0]["doc_id"]
+        for qid, t in queries
+    }
+    positives = spark.createDataFrame(
+        [(q, d) for q, d in tops.items()], "query_id long, doc_id long"
+    )
+    out = mine_hard_negatives(idx, queries, positives, k=2, depth=5)
+    rows = out.collect()
+    for r in rows:
+        assert r["doc_id"] != tops[r["query_id"]]
+    # negatives == search() results minus the positive, in rank order
+    for qid, t in queries:
+        want = [
+            r["doc_id"] for r in idx.search(t, k=5, mode="or").collect()
+            if r["doc_id"] != tops[qid]
+        ][:2]
+        got = [r["doc_id"] for r in rows if r["query_id"] == qid]
+        assert got == want
+
+
+def test_hard_negatives_validates(xf_indexes, spark):
+    from elasticsearch_assets_spark.operators.mining import (
+        mine_hard_negatives,
+    )
+
+    pos = spark.createDataFrame([(0, 1)], "query_id long, doc_id long")
+    with pytest.raises(ValueError):
+        mine_hard_negatives(xf_indexes["text"], [(0, ["a"])], pos, k=5, depth=3)
+    with pytest.raises(ValueError):
+        mine_hard_negatives(xf_indexes["text"], [], pos)
