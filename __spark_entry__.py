@@ -5306,6 +5306,38 @@ def _msearch_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _esql_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL NOW() + date-span arithmetic: `ts >= NOW() - 5 days` with a
+    PINNED now (implicit wall clock is rejected — the engine's
+    determinism contract); the span compiles to an INTERVAL literal the
+    same way in both engines, and the range predicate pushes to the
+    scan."""
+    import datetime as _dt
+
+    from elasticsearch_assets_spark.query.esql import esql
+
+    out = esql(
+        "FROM events"
+        " | WHERE ts >= NOW() - 5 days AND ts < NOW() - 2 days"
+        " | STATS n = count(*), v = sum(value)"
+        " BY d = DATE_FORMAT('yyyy-MM-dd', ts)"
+        " | SORT d",
+        spark=spark, sf_dir=sf_dir,
+        now=_dt.datetime(2024, 1, 20, 0, 0, 0),
+    )
+    return out.select("d", "n", _f4("v").alias("v"))
+
+
+_ESQL_NOW_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS d, count(*)::BIGINT AS n,
+       floor(sum(value) * 1e4 + 0.5) / 1e4 AS v
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 5 DAY
+  AND ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 2 DAY
+GROUP BY 1 ORDER BY d
+"""
+
+
 _HN_QUERIES = [(0, ["spark", "join"]), (1, ["query", "scan"]), (2, ["data", "web"])]
 _HN_K, _HN_DEPTH = 5, 20
 
@@ -12790,6 +12822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_until": _eql_until,
         "eql_sample": _eql_sample,
         "hard_negatives": _hard_negatives,
+        "esql_now": _esql_now,
         "facet_normalize": _facet_normalize,
         "script_score": _script_score,
         "random_score": _random_score,
@@ -13180,6 +13213,7 @@ def oracle_sql() -> dict[str, str]:
         "eql_until": _EQL_UNTIL_SQL,
         "eql_sample": _EQL_SAMPLE_SQL,
         "hard_negatives": _hard_negatives_sql(),
+        "esql_now": _ESQL_NOW_SQL,
         "facet_normalize": _FACET_NORMALIZE_SQL,
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,

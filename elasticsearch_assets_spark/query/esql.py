@@ -1240,12 +1240,32 @@ def _ts_stats(df: DataFrame, body: str, meta: dict) -> DataFrame:
     return g1.groupBy(*[F.col(a) for a in aliases]).agg(*outer_aggs)
 
 
+# ES|QL date-span arithmetic: `ts - 5 days` / `NOW() + 1 hour` — the span
+# literal after a +/- becomes an INTERVAL (same spelling in Spark SQL and
+# DuckDB). Anchored on the operator so BUCKET(ts, 1 hour) spans are
+# untouched.
+_SPAN_RE = re.compile(
+    r"([+\-])\s*(\d+)\s+(second|minute|hour|day|week|month|year)s?\b", re.I
+)
+
+
+def _rewrite_spans(text: str) -> str:
+    return _SPAN_RE.sub(
+        lambda m: f"{m.group(1)} INTERVAL {m.group(2)} {m.group(3).upper()}",
+        text,
+    )
+
+
 def _expr(text: str) -> F.Column:
     # ES|QL `==` is SQL `=`; `!=` passes through unchanged
     return F.expr(
         re.sub(
             r"(?<![!<>=])==", "=",
-            _rewrite_match(_rewrite_bucket(_rewrite_like(_rewrite_funcs(text)))),
+            _rewrite_match(
+                _rewrite_bucket(
+                    _rewrite_like(_rewrite_spans(_rewrite_funcs(text)))
+                )
+            ),
         )
     )
 
@@ -1256,6 +1276,7 @@ def esql(
     spark: SparkSession | None = None,
     sf_dir: str | None = None,
     time_series: "dict[str, dict] | None" = None,
+    now: "object | None" = None,
 ) -> DataFrame:
     """Run an ES|QL pipe. `tables` maps index names to DataFrames; or pass
     (spark, sf_dir) to resolve FROM against the standard test tables.
@@ -1263,7 +1284,25 @@ def esql(
     `time_series` supplies the mapping-level metadata the TS source
     command needs (ES keeps it in the TSDS index mapping, out-of-band of
     the query): ``{index: {"dimensions": [cols], "ts": ts_col,
-    "tiebreak": col?}}``."""
+    "tiebreak": col?}}``.
+
+    `now` pins NOW() to a datetime — REQUIRED when the query uses NOW()
+    (an implicit wall clock would make plans non-reproducible across
+    retries/resumes, the same determinism contract as everywhere else in
+    the engine); date-span arithmetic (`NOW() - 5 days`, `ts + 1 hour`)
+    compiles to INTERVAL literals."""
+    if re.search(r"\bNOW\s*\(\s*\)", query, re.I):
+        if now is None:
+            raise ValueError(
+                "NOW() needs an explicit pin: pass now=<datetime> "
+                "(implicit wall clock would be non-reproducible)"
+            )
+        query = re.sub(
+            r"\bNOW\s*\(\s*\)",
+            f"TIMESTAMP '{now:%Y-%m-%d %H:%M:%S}'",
+            query,
+            flags=re.I,
+        )
     def resolve(name: str) -> DataFrame:
         if tables is not None:
             if name not in tables:

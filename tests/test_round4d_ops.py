@@ -592,3 +592,28 @@ def test_hard_negatives_validates(xf_indexes, spark):
         mine_hard_negatives(xf_indexes["text"], [(0, ["a"])], pos, k=5, depth=3)
     with pytest.raises(ValueError):
         mine_hard_negatives(xf_indexes["text"], [], pos)
+
+
+def test_esql_now_requires_pin(spark):
+    df = spark.createDataFrame([(dt.datetime(2024, 1, 1),)], "ts timestamp")
+    with pytest.raises(ValueError, match="now="):
+        esql("FROM m | WHERE ts < NOW()", tables={"m": df})
+
+
+def test_esql_span_arithmetic_and_now(spark):
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i)) for i in range(10)],
+        "i long, ts timestamp",
+    )
+    out = esql(
+        "FROM m | WHERE ts >= NOW() - 3 days | STATS n = count(*)",
+        tables={"m": df}, now=dt.datetime(2024, 1, 8),
+    ).collect()[0]
+    # NOW()-3d = Jan 5; rows Jan 5..10 -> ids 4..9
+    assert out["n"] == 6
+    # BUCKET spans are untouched by the interval rewrite
+    out2 = esql(
+        "FROM m | STATS n = count(*) BY h = BUCKET(ts, 1 day) | SORT h",
+        tables={"m": df},
+    )
+    assert out2.count() == 10
