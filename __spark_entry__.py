@@ -721,6 +721,40 @@ GROUP BY 1 ORDER BY doc_count DESC, bucket ASC
 """
 
 
+def _facet_terms_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg response envelope: top-2 lang buckets +
+    sum_other_doc_count as the trailing `_other_` row — the mass the page
+    missed, emitted even when zero (facets.facet_counts_with_other; error
+    bound is 0 by construction, the exactness upgrade over ES's per-shard
+    approximation)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return OFA.facet_counts_with_other(matches, docs, "lang", 2)
+
+
+_FACET_TERMS_OTHER_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+b AS (
+  SELECT d.lang AS bucket, count(*)::BIGINT AS doc_count
+  FROM documents d JOIN m USING (doc_id) GROUP BY 1
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY doc_count DESC, bucket ASC) AS rk
+  FROM b
+)
+SELECT bucket, doc_count FROM r WHERE rk <= 2
+UNION ALL
+SELECT '_other_',
+       CAST(coalesce((SELECT sum(doc_count) FROM r WHERE rk > 2), 0) AS BIGINT)
+"""
+
+
 def _facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES histogram aggregation: fixed-width n_chars buckets (width 200)
     over the match set; bucket key = floor(v / w) * w (the ES formula)."""
@@ -12823,6 +12857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sample": _eql_sample,
         "hard_negatives": _hard_negatives,
         "esql_now": _esql_now,
+        "facet_terms_other": _facet_terms_other,
         "facet_normalize": _facet_normalize,
         "script_score": _script_score,
         "random_score": _random_score,
@@ -13214,6 +13249,7 @@ def oracle_sql() -> dict[str, str]:
         "eql_sample": _EQL_SAMPLE_SQL,
         "hard_negatives": _hard_negatives_sql(),
         "esql_now": _ESQL_NOW_SQL,
+        "facet_terms_other": _FACET_TERMS_OTHER_SQL,
         "facet_normalize": _FACET_NORMALIZE_SQL,
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,

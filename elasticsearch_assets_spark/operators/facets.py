@@ -45,6 +45,44 @@ def facet_counts(
     return out.limit(n) if n is not None else out
 
 
+def facet_counts_with_other(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    n: int,
+    id_col: str = "doc_id",
+    other_key: str = "_other_",
+) -> DataFrame:
+    """ES terms aggregation response ENVELOPE: the top-n buckets plus
+    `sum_other_doc_count` — the mass the page missed, reported as a
+    trailing `_other_` row (the same convention as
+    facet_filters(other_bucket=)); emitted even when zero, like ES.
+    `doc_count_error_upper_bound` is 0 by construction: this engine
+    aggregates exactly (one partial-agg shuffle over all buckets), not
+    per-shard top-shard_size like ES — the documented exactness upgrade.
+
+    The rank/other split is one window + one agg over BUCKET CARDINALITY
+    rows only."""
+    if n < 1:
+        raise ValueError("need n >= 1")
+    base = facet_counts(matches, corpus, col, None, id_col)
+    ranked = base.withColumn(
+        "_r",
+        F.expr("row_number() OVER (ORDER BY doc_count DESC, bucket ASC)"),
+    )
+    top = ranked.where(F.col("_r") <= n).select("bucket", "doc_count", "_r")
+    other = (
+        ranked.where(F.col("_r") > n)
+        .agg(F.coalesce(F.sum("doc_count"), F.lit(0)).alias("doc_count"))
+        .select(
+            F.lit(other_key).alias("bucket"),
+            F.col("doc_count").cast("long"),
+            F.lit(n + 1).alias("_r"),
+        )
+    )
+    return top.unionByName(other).orderBy("_r").drop("_r")
+
+
 def facet_histogram(
     matches: DataFrame,
     corpus: DataFrame,

@@ -617,3 +617,20 @@ def test_esql_span_arithmetic_and_now(spark):
         tables={"m": df},
     )
     assert out2.count() == 10
+
+
+def test_facet_counts_with_other(spark):
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_counts_with_other,
+    )
+
+    rows = [(i, ["a", "a", "a", "b", "b", "c", "d"][i % 7]) for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    m = df.select("doc_id")
+    got = facet_counts_with_other(m, df, "g", 2).collect()
+    assert [(r["bucket"], r["doc_count"]) for r in got] == [
+        ("a", 30), ("b", 20), ("_other_", 20),
+    ]
+    # n covering everything -> other row still present, zero
+    got2 = facet_counts_with_other(m, df, "g", 10).collect()
+    assert got2[-1]["bucket"] == "_other_" and got2[-1]["doc_count"] == 0
