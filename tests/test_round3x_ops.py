@@ -122,8 +122,14 @@ def test_fuse_drops_fork_and_branch_score_columns(spark, docs):
 
 
 def test_fuse_validation(spark, docs):
-    with pytest.raises(ValueError, match="rrf only"):
-        esql("FROM d | FUSE linear", tables={"d": docs})
+    with pytest.raises(ValueError, match="rrf | linear"):
+        esql("FROM d | FUSE zscore", tables={"d": docs})
+    with pytest.raises(ValueError, match="RANK_CONSTANT applies"):
+        esql(
+            "FROM d | EVAL _id = doc_id, _score = 1.0, _fork = 'fork1'"
+            " | FUSE linear RANK_CONSTANT 10",
+            tables={"d": docs},
+        )
     with pytest.raises(ValueError, match="_fork"):
         esql("FROM d | EVAL _id = doc_id, _score = 1.0 | FUSE",
              tables={"d": docs})

@@ -224,10 +224,17 @@ def test_dissect_pad_single_space_still_matches(ev):
     assert (out.x, out.y, out.z) == ("a", "b", "c")
 
 
-def test_dissect_append_modifier_raises(ev):
-    with pytest.raises(ValueError, match="append"):
+def test_dissect_reference_and_ordered_append_raise(ev):
+    # %{+key} appends now (session 8); reference keys and the ordered
+    # form %{+k/n} stay unsupported
+    with pytest.raises(ValueError, match="reference keys"):
         esql(
-            "FROM t | EVAL line = 'a b' | DISSECT line '%{+x} %{y}'",
+            "FROM t | EVAL line = 'a b' | DISSECT line '%{*x} %{&x}'",
+            tables={"t": ev},
+        )
+    with pytest.raises(ValueError, match="ordered append"):
+        esql(
+            "FROM t | EVAL line = 'a b' | DISSECT line '%{+x/2} %{+x/1}'",
             tables={"t": ev},
         )
 
