@@ -1631,11 +1631,27 @@ def esql(
                     f"(ORDER BY _cp_delta DESC NULLS LAST, {key} ASC)"
                 ),
             )
+            # classify the detected row: when its POINT deviation (value
+            # minus the neighbor midpoint) exceeds the mean-shift delta,
+            # the excursion is a single sample — ES's spike/dip types —
+            # else a level shift (step_change). Same global-sort window;
+            # boundary rows (no neighbor) classify step_change.
+            point_dev = (
+                f"({val} - (lag({val}) OVER (ORDER BY {key} ASC) "
+                f"+ lead({val}) OVER (ORDER BY {key} ASC)) / 2.0)"
+            )
+            df = df.withColumn("_cp_pd", F.expr(point_dev))
+            typ = F.when(
+                F.abs(F.col("_cp_pd")) > F.col("_cp_delta"),
+                F.when(F.col("_cp_pd") > 0, F.lit("spike")).otherwise(
+                    F.lit("dip")
+                ),
+            ).otherwise(F.lit("step_change"))
             flag = (F.col("_cp_rn") == 1) & F.col("_cp_delta").isNotNull()
             return (
-                df.withColumn("type", F.when(flag, F.lit("step_change")))
+                df.withColumn("type", F.when(flag, typ))
                 .withColumn("pvalue", F.when(flag, F.col("_cp_delta")))
-                .drop("_cp_delta", "_cp_rn")
+                .drop("_cp_delta", "_cp_rn", "_cp_pd")
             )
         if kw == "ENRICH":
             # ENRICH <policy> ON <match_field> WITH f1 [, f2 ...]

@@ -634,3 +634,23 @@ def test_facet_counts_with_other(spark):
     # n covering everything -> other row still present, zero
     got2 = facet_counts_with_other(m, df, "g", 10).collect()
     assert got2[-1]["bucket"] == "_other_" and got2[-1]["doc_count"] == 0
+
+
+def test_change_point_spike_dip_classification(spark):
+    import pyspark.sql.functions as F
+
+    def run(vals):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "k long, v double"
+        )
+        out = esql("FROM m | CHANGE_POINT v ON k", tables={"m": df})
+        hit = out.where(F.col("type").isNotNull()).collect()
+        assert len(hit) == 1
+        return hit[0]["k"], hit[0]["type"]
+
+    # single positive excursion -> spike at its position
+    assert run([10, 10, 10, 50, 10, 10, 10]) == (3, "spike")
+    # single negative excursion -> dip
+    assert run([10, 10, 10, -30, 10, 10, 10]) == (3, "dip")
+    # genuine level shift -> step_change at the first shifted row
+    assert run([10, 10, 10, 30, 30, 30, 30]) == (3, "step_change")
