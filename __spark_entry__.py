@@ -9290,6 +9290,44 @@ FROM firsts
 """
 
 
+def _analyze_chain2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _analyze, second filter chain (asciifolding → shingle:2 →
+    length:3:12) over accented literals + one corpus document:
+    combining-mark strip (DuckDB strip_accents twin), word shingles with
+    unigrams kept in first-token order, then a length gate — positions
+    renumber at the end (driver-side debug endpoint by design)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    text = "café naïve " + docs.where("doc_id = 0").head()["text"]
+    toks = idx.analyze(
+        text, filters=["asciifolding", "shingle:2", "length:3:12"]
+    )
+    return spark.createDataFrame(
+        [(int(p), t) for p, t in toks], "position long, token string"
+    )
+
+
+_ANALYZE_CHAIN2_SQL = """
+WITH t AS (
+  SELECT string_split('café naïve ' || text, ' ') AS tk0
+  FROM documents WHERE doc_id = 0
+),
+folded AS (SELECT list_transform(tk0, x -> strip_accents(x)) AS tk FROM t),
+uni AS (
+  SELECT 2 * i AS ord, tk[i] AS token
+  FROM folded, unnest(range(1, 4096)) AS g(i) WHERE i <= len(tk)
+),
+bi AS (
+  SELECT 2 * i + 1 AS ord, tk[i] || ' ' || tk[i + 1] AS token
+  FROM folded, unnest(range(1, 4096)) AS g(i) WHERE i <= len(tk) - 1
+),
+allt AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+kept AS (SELECT ord, token FROM allt WHERE length(token) BETWEEN 3 AND 12)
+SELECT row_number() OVER (ORDER BY ord ASC) - 1 AS position, token
+FROM kept
+"""
+
+
 # ---------------------------------------------------------------------------
 # Batch 3w: ES|QL analytics — BUCKET, named BY keys, INLINESTATS
 # ---------------------------------------------------------------------------
@@ -12858,6 +12896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _hard_negatives,
         "esql_now": _esql_now,
         "facet_terms_other": _facet_terms_other,
+        "analyze_chain2": _analyze_chain2,
         "facet_normalize": _facet_normalize,
         "script_score": _script_score,
         "random_score": _random_score,
@@ -13250,6 +13289,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "esql_now": _ESQL_NOW_SQL,
         "facet_terms_other": _FACET_TERMS_OTHER_SQL,
+        "analyze_chain2": _ANALYZE_CHAIN2_SQL,
         "facet_normalize": _FACET_NORMALIZE_SQL,
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,

@@ -1532,9 +1532,13 @@ class InvertedIndex:
         custom-analyzer chain: `stop` (the lang_id English stopword
         list), `s_stem` (the Harman S-stemmer behind search_stemmed),
         `edge_ngram` (the search_as_you_type expansion, lengths 2..4 +
-        the full token), `unique` (positions keep their first surface).
-        Positions re-number after each stage, the ES _analyze display
-        convention for chains that drop or expand tokens."""
+        the full token), `unique` (positions keep their first surface),
+        `asciifolding` (NFKD combining-mark strip — DuckDB's
+        strip_accents twin), `shingle[:n]` (word shingles of size n,
+        default 2, unigrams kept — ES output_unigrams; the shingle takes
+        its first token's slot), `length:min:max`, `truncate:n`,
+        `reverse`. Positions re-number after each stage, the ES _analyze
+        display convention for chains that drop or expand tokens."""
         toks = list(tokenize(text))
         for f in filters or []:
             if f == "stop":
@@ -1564,10 +1568,42 @@ class InvertedIndex:
                 toks = [
                     t for t in toks if not (t in seen2 or seen2.add(t))
                 ]
+            elif f == "asciifolding":
+                import unicodedata
+
+                toks = [
+                    "".join(
+                        c
+                        for c in unicodedata.normalize("NFKD", t)
+                        if not unicodedata.combining(c)
+                    )
+                    for t in toks
+                ]
+            elif f.startswith("shingle"):
+                n = int(f.split(":", 1)[1]) if ":" in f else 2
+                if n < 2:
+                    raise ValueError("shingle size must be >= 2")
+                out2: list[str] = []
+                for i in range(len(toks)):
+                    out2.append(toks[i])
+                    if i + n <= len(toks):
+                        out2.append(" ".join(toks[i:i + n]))
+                toks = out2
+            elif f.startswith("length"):
+                _, lo_s, hi_s = f.split(":")
+                lo_n, hi_n = int(lo_s), int(hi_s)
+                toks = [t for t in toks if lo_n <= len(t) <= hi_n]
+            elif f.startswith("truncate"):
+                tn = int(f.split(":", 1)[1])
+                toks = [t[:tn] for t in toks]
+            elif f == "reverse":
+                toks = [t[::-1] for t in toks]
             else:
                 raise ValueError(
                     f"unknown token filter {f!r} "
-                    "(have: stop, s_stem, edge_ngram, unique)"
+                    "(have: stop, s_stem, edge_ngram, unique, "
+                    "asciifolding, shingle[:n], length:min:max, "
+                    "truncate:n, reverse)"
                 )
         return list(enumerate(toks))
 

@@ -654,3 +654,29 @@ def test_change_point_spike_dip_classification(spark):
     assert run([10, 10, 10, -30, 10, 10, 10]) == (3, "dip")
     # genuine level shift -> step_change at the first shifted row
     assert run([10, 10, 10, 30, 30, 30, 30]) == (3, "step_change")
+
+
+# ---------------------------------------------------------------------------
+# analyzer filter chain additions
+# ---------------------------------------------------------------------------
+
+
+def test_analyze_new_filters(xf_indexes):
+    idx = xf_indexes["text"]
+    toks = lambda s, f: [t for _, t in idx.analyze(s, filters=f)]  # noqa: E731
+    assert toks("café naïve test", ["asciifolding"]) == ["cafe", "naive", "test"]
+    assert toks("a b c", ["shingle:2"]) == ["a", "a b", "b", "b c", "c"]
+    assert toks("a b c d", ["shingle:3"]) == [
+        "a", "a b c", "b", "b c d", "c", "d",
+    ]
+    assert toks("ab abc abcd abcde", ["length:3:4"]) == ["abc", "abcd"]
+    assert toks("hello hi", ["truncate:3"]) == ["hel", "hi"]
+    assert toks("abc de", ["reverse"]) == ["cba", "ed"]
+    # chains compose in order
+    assert toks("café x", ["asciifolding", "length:4:9"]) == ["cafe"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown token filter"):
+        idx.analyze("x", filters=["bogus"])
+    with _pt.raises(ValueError, match="shingle size"):
+        idx.analyze("x", filters=["shingle:1"])
