@@ -42,8 +42,8 @@ script queries / update_by_query), with ES|QL's `==` accepted as sugar
 for `=`. Every command is declarative, so Catalyst sees the whole pipe as
 one plan: WHERE pushes into the scan, STATS is a partial-aggregated hash
 agg, SORT+LIMIT collapses to TakeOrderedAndProject, GROK/DISSECT are one
-JVM regexp_extract per field. Unsupported commands (SHOW, METRICS,
-RERANK, ...) raise with guidance.
+JVM regexp_extract per field. Unsupported commands (SHOW, and METRICS —
+TS's pre-9.0 preview name) raise with guidance.
 
 Reference behavior: the ES|QL docs' command semantics; the reference repo
 predates ES|QL but its users' Kibana-side aggregations are exactly the
@@ -350,8 +350,8 @@ def _bucket_sql(col: str, spec: str) -> str:
     -> epoch-floor (tz-free timestampdiff/timestampadd form). Numeric
     spans: `BUCKET(v, 50)` -> floor(v/50)*50 as DOUBLE (both engines
     parse bare decimals as DECIMAL — the cast keeps them comparable).
-    The 4-arg auto form picks an interval from a target bucket COUNT;
-    that ladder is Kibana-driven and unsupported here (raise)."""
+    The 4-arg auto form picks an interval from a target bucket COUNT
+    over [from, to) via the nice-interval ladder (_bucket_auto_sql)."""
     spec = spec.strip()
     tm = re.match(r"^(\d+)\s+([A-Za-z]+)$", spec)
     if tm:
