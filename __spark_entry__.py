@@ -5372,6 +5372,16 @@ GROUP BY 1 ORDER BY d
 """
 
 
+def _span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption, deterministic blockwise variant: hash-cut
+    block masking (no RNG — byte-identical pairs across engines, runs,
+    and resumes), <extra_id_k> sentinels in reading order, targets =
+    sentinels + masked tokens (textstats.span_corruption; zero
+    shuffle)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OT.span_corruption(docs)
+
+
 _HN_QUERIES = [(0, ["spark", "join"]), (1, ["query", "scan"]), (2, ["data", "web"])]
 _HN_K, _HN_DEPTH = 5, 20
 
@@ -12897,6 +12907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_now": _esql_now,
         "facet_terms_other": _facet_terms_other,
         "analyze_chain2": _analyze_chain2,
+        "span_corruption": _span_corruption,
         "facet_normalize": _facet_normalize,
         "script_score": _script_score,
         "random_score": _random_score,
@@ -13290,6 +13301,7 @@ def oracle_sql() -> dict[str, str]:
         "esql_now": _ESQL_NOW_SQL,
         "facet_terms_other": _FACET_TERMS_OTHER_SQL,
         "analyze_chain2": _ANALYZE_CHAIN2_SQL,
+        "span_corruption": OT.span_corruption_sql(),
         "facet_normalize": _FACET_NORMALIZE_SQL,
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,

@@ -1348,3 +1348,116 @@ FROM q, th, tot
 GROUP BY threshold, tot.nd, tot.nt
 ORDER BY threshold
 """
+
+
+def span_corruption(
+    corpus: DataFrame,
+    *,
+    span: int = 3,
+    block: int = 10,
+    rate: float = 0.5,
+    seed: str = "sc",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4), the
+    DETERMINISTIC blockwise variant: tokens partition into fixed blocks
+    of `block`; a block masks its first `span` tokens iff the salted md5
+    of (seed, doc, block) clears the `rate` hex cut — the engine's
+    reproducible-sampling contract (operators/sampling.py): no RNG, so
+    the (inputs, targets) pairs are identical across engines, runs,
+    retries, and resumes, which T5's sampled spans are not. Masked runs
+    become <extra_id_k> sentinels in reading order; targets carry the
+    sentinels + the masked tokens — the exact T5 seq2seq shape. Expected
+    noise density = rate * span / block (defaults: 0.15).
+
+    Plan: pure JVM array lambdas over the scan — ZERO shuffle; the
+    sentinel rank is closed-form per block (count of masked blocks
+    before it), O(blocks^2) array work per doc in exchange for no
+    sequential fold — blocks ~ len/block stays small, and closed-form
+    masking is what makes a resumed/retried job emit byte-identical
+    training pairs.
+
+    Returns (id, inputs, targets)."""
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+
+    if span < 1 or block <= span:
+        raise ValueError("need 1 <= span < block")
+    thr = rate_threshold_hex(rate)
+    mask = (
+        f"substr(md5(concat('{seed}|', CAST({id_col} AS STRING), '|', "
+        "CAST(%s AS STRING))), 1, 8) < '" + thr + "'"
+    )
+    k_of = f"size(filter(sequence(0, nb - 1), x -> x < %s AND {mask % 'x'}))"
+    inputs = (
+        "concat_ws(' ', flatten(transform(sequence(0, nb - 1), b -> "
+        f"CASE WHEN {mask % 'b'} THEN concat(array(concat('<extra_id_', "
+        f"{k_of % 'b'}, '>')), slice(tk, b * {block} + {span} + 1, "
+        f"{block} - {span})) ELSE slice(tk, b * {block} + 1, {block}) "
+        "END)))"
+    )
+    targets = (
+        "concat_ws(' ', flatten(transform(filter(sequence(0, nb - 1), "
+        f"b -> {mask % 'b'}), b -> concat(array(concat('<extra_id_', "
+        f"{k_of % 'b'}, '>')), slice(tk, b * {block} + 1, {span})))))"
+    )
+    return (
+        corpus.withColumn("tk", F.split(F.col(text_col), " "))
+        .withColumn(
+            "nb",
+            F.expr(f"int(ceil(size(tk) / CAST({block} AS DOUBLE)))"),
+        )
+        .selectExpr(
+            id_col, f"({inputs}) AS inputs", f"({targets}) AS targets"
+        )
+    )
+
+
+def span_corruption_sql(
+    span: int = 3,
+    block: int = 10,
+    rate: float = 0.5,
+    seed: str = "sc",
+) -> str:
+    """DuckDB twin of span_corruption over the `documents` view — the
+    same md5-hex cut, block geometry, and sentinel ranks, so outputs are
+    byte-identical (integers and strings only, no floats)."""
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+
+    thr = rate_threshold_hex(rate)
+
+    def mask(b: str) -> str:
+        return (
+            f"substr(md5('{seed}|' || doc_id::VARCHAR || '|' || "
+            f"({b})::VARCHAR), 1, 8) < '{thr}'"
+        )
+
+    def k_of(b: str) -> str:
+        return (
+            f"len(list_filter(range(0, nb), x -> x < {b} AND {mask('x')}))"
+        )
+
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+n AS (
+  SELECT doc_id, tk,
+         CAST(ceil(len(tk) / CAST({block} AS DOUBLE)) AS INT) AS nb
+  FROM t
+)
+SELECT doc_id,
+  coalesce(array_to_string(flatten(list_transform(range(0, nb), b ->
+    CASE WHEN {mask('b')}
+         THEN ['<extra_id_' || {k_of('b')} || '>']
+              || tk[b * {block} + {span} + 1 : b * {block} + {block}]
+         ELSE tk[b * {block} + 1 : b * {block} + {block}] END)), ' '),
+    '') AS inputs,
+  coalesce(array_to_string(flatten(list_transform(
+    list_filter(range(0, nb), b -> {mask('b')}), b ->
+    ['<extra_id_' || {k_of('b')} || '>']
+    || tk[b * {block} + 1 : b * {block} + {span}])), ' '), '') AS targets
+FROM n
+"""

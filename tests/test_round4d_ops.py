@@ -680,3 +680,73 @@ def test_analyze_new_filters(xf_indexes):
         idx.analyze("x", filters=["bogus"])
     with _pt.raises(ValueError, match="shingle size"):
         idx.analyze("x", filters=["shingle:1"])
+
+
+# ---------------------------------------------------------------------------
+# T5 span corruption (deterministic blockwise)
+# ---------------------------------------------------------------------------
+
+
+def test_span_corruption_reconstructs(spark):
+    import hashlib
+    import re as _re
+
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+    from elasticsearch_assets_spark.operators.textstats import (
+        span_corruption,
+    )
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(37)),
+        1: "a b",
+        2: " ".join(f"w{i}" for i in range(10)),
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in span_corruption(df, seed="u").collect()
+    }
+    thr = rate_threshold_hex(0.5)
+    for did, text in texts.items():
+        toks = text.split(" ")
+        inp, tgt = out[did]["inputs"], out[did]["targets"]
+        # 1) brute-force the mask and check inputs/targets exactly
+        nb = -(-len(toks) // 10)
+        want_in, want_tgt, k = [], [], 0
+        for b in range(nb):
+            blk = toks[b * 10:(b + 1) * 10]
+            if hashlib.md5(f"u|{did}|{b}".encode()).hexdigest()[:8] < thr:
+                s = f"<extra_id_{k}>"
+                want_in += [s] + blk[3:]
+                want_tgt += [s] + blk[:3]
+                k += 1
+            else:
+                want_in += blk
+        assert inp == " ".join(want_in), did
+        assert tgt == " ".join(want_tgt), did
+        # 2) the pair reconstructs the original text: substituting each
+        # sentinel in inputs with its target run is lossless
+        fills = dict(
+            _re.findall(r"(<extra_id_\d+>) ?((?:(?!<extra_id_)\S+ ?)*)", tgt)
+        )
+        rebuilt = _re.sub(
+            r"<extra_id_\d+>",
+            lambda m: fills[m.group(0)].strip() or m.group(0),
+            inp,
+        )
+        assert " ".join(rebuilt.split()) == text if tgt else inp == text
+
+
+def test_span_corruption_validates(spark):
+    from elasticsearch_assets_spark.operators.textstats import (
+        span_corruption,
+    )
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        span_corruption(df, span=0)
+    with pytest.raises(ValueError):
+        span_corruption(df, span=10, block=10)
