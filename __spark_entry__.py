@@ -5382,6 +5382,15 @@ def _span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OT.span_corruption(docs)
 
 
+def _fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022):
+    deterministic multiplicative-hash cut points + md5-cut PSM/SPM mode
+    (50/50 joint training) — byte-identical across engines/runs/resumes,
+    zero shuffle (textstats.fim_transform)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OT.fim_transform(docs)
+
+
 _HN_QUERIES = [(0, ["spark", "join"]), (1, ["query", "scan"]), (2, ["data", "web"])]
 _HN_K, _HN_DEPTH = 5, 20
 
@@ -12908,6 +12917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_terms_other": _facet_terms_other,
         "analyze_chain2": _analyze_chain2,
         "span_corruption": _span_corruption,
+        "fim_transform": _fim_transform,
         "facet_normalize": _facet_normalize,
         "script_score": _script_score,
         "random_score": _random_score,
@@ -13302,6 +13312,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_terms_other": _FACET_TERMS_OTHER_SQL,
         "analyze_chain2": _ANALYZE_CHAIN2_SQL,
         "span_corruption": OT.span_corruption_sql(),
+        "fim_transform": OT.fim_transform_sql(),
         "facet_normalize": _FACET_NORMALIZE_SQL,
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,

@@ -1461,3 +1461,114 @@ SELECT doc_id,
     || tk[b * {block} + 1 : b * {block} + {span}])), ' '), '') AS targets
 FROM n
 """
+
+
+def fim_transform(
+    corpus: DataFrame,
+    *,
+    spm_rate: float = 0.5,
+    seed: str = "fim",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022):
+    split each document at two cut points into (prefix, middle, suffix)
+    and emit the sentinel-joined sequence — PSM
+    `<PRE> p <SUF> s <MID> m` or SPM `<PRE> <SUF> s <MID> p m` — with
+    the PSM/SPM choice made per doc at `spm_rate` (the paper's 50/50
+    joint training).
+
+    Determinism contract: the cut points come from multiplicative
+    integer hashing of the doc id (Knuth 2654435761 — exact BIGINT math
+    in both engines; hex->int conversion is NOT portable, CLAUDE.md) and
+    the mode from the engine's md5-hex rate cut, so a resumed/retried
+    job emits byte-identical sequences. Docs under 3 tokens pass through
+    unsplit (mode 'plain'). Pure JVM expressions, zero shuffle.
+
+    Returns (id, mode, fim)."""
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+
+    thr = rate_threshold_hex(spm_rate)
+    tk = "tk"
+    c1 = f"(1 + (({id_col} * 2654435761) % 1000003) % (size({tk}) - 1))"
+    c2 = (
+        f"(c1 + 1 + (({id_col} * 40503 + 2654435769) % 1000033) "
+        f"% (size({tk}) - c1))"
+    )
+    spm = (
+        f"substr(md5(concat('{seed}|', CAST({id_col} AS STRING))), 1, 8)"
+        f" < '{thr}'"
+    )
+    parts = (
+        "CASE WHEN spm THEN concat(array('<PRE>', '<SUF>'), array(suf), "
+        "array('<MID>'), array(pre), array(mid)) "
+        "ELSE concat(array('<PRE>'), array(pre), array('<SUF>'), "
+        "array(suf), array('<MID>'), array(mid)) END"
+    )
+    return (
+        corpus.withColumn(tk, F.split(F.col(text_col), " "))
+        .withColumn("c1", F.expr(f"CASE WHEN size({tk}) >= 3 THEN {c1} END"))
+        .withColumn("c2", F.expr(f"CASE WHEN size({tk}) >= 3 THEN {c2} END"))
+        .withColumn("pre", F.expr(f"concat_ws(' ', slice({tk}, 1, c1))"))
+        .withColumn(
+            "mid", F.expr(f"concat_ws(' ', slice({tk}, c1 + 1, c2 - c1))")
+        )
+        .withColumn(
+            "suf",
+            F.expr(f"concat_ws(' ', slice({tk}, c2 + 1, size({tk}) - c2))"),
+        )
+        .withColumn("spm", F.expr(spm))
+        .selectExpr(
+            id_col,
+            "CASE WHEN c1 IS NULL THEN 'plain' "
+            "WHEN spm THEN 'spm' ELSE 'psm' END AS mode",
+            f"CASE WHEN c1 IS NULL THEN {text_col} "
+            f"ELSE concat_ws(' ', filter({parts}, x -> x != '')) END AS fim",
+        )
+    )
+
+
+def fim_transform_sql(spm_rate: float = 0.5, seed: str = "fim") -> str:
+    """DuckDB twin over the `documents` view — same multiplicative-hash
+    cuts, same md5 mode cut, byte-identical output."""
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+
+    thr = rate_threshold_hex(spm_rate)
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+c AS (
+  SELECT *,
+    CASE WHEN len(tk) >= 3 THEN
+      1 + ((doc_id * 2654435761) % 1000003) % (len(tk) - 1) END AS c1
+  FROM t
+),
+c2t AS (
+  SELECT *,
+    CASE WHEN c1 IS NOT NULL THEN
+      c1 + 1 + ((doc_id * 40503 + 2654435769) % 1000033) % (len(tk) - c1)
+    END AS c2,
+    substr(md5('{seed}|' || doc_id::VARCHAR), 1, 8) < '{thr}' AS spm
+  FROM c
+),
+p AS (
+  SELECT doc_id, text, spm, c1,
+         array_to_string(tk[1 : c1], ' ') AS pre,
+         array_to_string(tk[c1 + 1 : c2], ' ') AS mid,
+         array_to_string(tk[c2 + 1 : len(tk)], ' ') AS suf
+  FROM c2t
+)
+SELECT doc_id,
+  CASE WHEN c1 IS NULL THEN 'plain' WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+  CASE WHEN c1 IS NULL THEN text
+       WHEN spm THEN array_to_string(
+         list_filter(['<PRE>', '<SUF>', suf, '<MID>', pre, mid],
+                     x -> x != ''), ' ')
+       ELSE array_to_string(
+         list_filter(['<PRE>', pre, '<SUF>', suf, '<MID>', mid],
+                     x -> x != ''), ' ') END AS fim
+FROM p
+"""

@@ -750,3 +750,51 @@ def test_span_corruption_validates(spark):
         span_corruption(df, span=0)
     with pytest.raises(ValueError):
         span_corruption(df, span=10, block=10)
+
+
+def test_fim_transform_reconstructs(spark):
+    from elasticsearch_assets_spark.operators.textstats import fim_transform
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(12)),
+        1: "a b",          # < 3 tokens -> plain passthrough
+        7: " ".join(f"w{i}" for i in range(5)),
+        13: "x y z",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    import re as _re
+
+    assert out[1]["mode"] == "plain" and out[1]["fim"] == "a b"
+    for did, text in texts.items():
+        r = out[did]
+        if r["mode"] == "plain":
+            continue
+        body = r["fim"]
+        if r["mode"] == "psm":
+            m = _re.match(
+                r"^<PRE>(?: (.*?))? <SUF>(?: (.*?))? <MID>(?: (.*))?$", body
+            )
+            assert m, (did, body)
+            pre, suf, mid = (g or "" for g in m.groups())
+            assert mid, did  # c2 > c1 guarantees a non-empty middle
+            rebuilt = " ".join(x for x in (pre, mid, suf) if x)
+        else:
+            m = _re.match(
+                r"^<PRE> <SUF>(?: (.*?))? <MID>(?: (.*))?$", body
+            )
+            assert m, (did, body)
+            suf, premid = (g or "" for g in m.groups())
+            rebuilt = " ".join(x for x in (premid, suf) if x)
+        assert rebuilt == text, did
+
+
+def test_fim_modes_split_by_hash(spark):
+    from elasticsearch_assets_spark.operators.textstats import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(200)], "doc_id long, text string"
+    )
+    modes = [r["mode"] for r in fim_transform(df).collect()]
+    assert modes.count("plain") == 0
+    assert 60 < modes.count("spm") < 140  # ~50/50 cut
