@@ -5382,6 +5382,35 @@ def _span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OT.span_corruption(docs)
 
 
+def _curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009): deterministic
+    md5-cut shard assignment (4 shards) + easy-to-hard (n_chars ASC)
+    position within each shard — one JVM shard expression + one window
+    per shard, no global sort (sampling.curriculum_order)."""
+    from elasticsearch_assets_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return curriculum_order(docs, "n_chars", 4)
+
+
+_CURRICULUM_SQL = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN substr(md5('cur|' || doc_id::VARCHAR), 1, 8) >= 'c0000000' THEN 3
+         WHEN substr(md5('cur|' || doc_id::VARCHAR), 1, 8) >= '80000000' THEN 2
+         WHEN substr(md5('cur|' || doc_id::VARCHAR), 1, 8) >= '40000000' THEN 1
+         ELSE 0 END AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY n_chars ASC, doc_id ASC) AS position
+FROM s
+"""
+
+
 def _fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle pretraining transform (Bavarian et al. 2022):
     deterministic multiplicative-hash cut points + md5-cut PSM/SPM mode
@@ -12918,6 +12947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_chain2": _analyze_chain2,
         "span_corruption": _span_corruption,
         "fim_transform": _fim_transform,
+        "curriculum_order": _curriculum_order,
         "facet_normalize": _facet_normalize,
         "script_score": _script_score,
         "random_score": _random_score,
@@ -13313,6 +13343,7 @@ def oracle_sql() -> dict[str, str]:
         "analyze_chain2": _ANALYZE_CHAIN2_SQL,
         "span_corruption": OT.span_corruption_sql(),
         "fim_transform": OT.fim_transform_sql(),
+        "curriculum_order": _CURRICULUM_SQL,
         "facet_normalize": _FACET_NORMALIZE_SQL,
         "script_score": _script_score_sql(),
         "random_score": _RANDOM_SCORE_SQL,

@@ -253,3 +253,48 @@ def cluster_split(
             "split"
         ),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+    salt: str = "cur",
+) -> DataFrame:
+    """Deterministic training-order assignment: docs land in one of
+    `n_shards` output shards by salted md5 (reproducible across engines,
+    runs, and retries — the same contract as stratified_sample), and
+    within a shard are ordered easy-to-hard by `score_col` (curriculum
+    learning, Bengio et al. 2009; ties break by id). Returns
+    (id, shard, position) with position 1..len(shard).
+
+    Plan: the shard key is a pure JVM expression on the scan; the
+    ordering is ONE window partitioned by shard — at 10^12 docs each
+    shard sorts independently (shard count = writer parallelism), there
+    is no global sort anywhere."""
+    if n_shards < 1:
+        raise ValueError("need n_shards >= 1")
+    h = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    # first 8 hex digits mod shards, via substring arithmetic kept in
+    # hex-string space per digit (hex->int conversion is not portable;
+    # per-digit position math is): use conv on Spark ONLY — instead key
+    # the shard by comparing against n_shards equal hex cut points so
+    # both engines share the text
+    cuts = [format(int(i * 16**8 / n_shards), "08x") for i in range(1, n_shards)]
+    shard = F.lit(0)
+    for i, c in enumerate(cuts, start=1):
+        shard = F.when(F.substring(h, 1, 8) >= c, F.lit(i)).otherwise(shard)
+    w = (
+        "row_number() OVER (PARTITION BY shard ORDER BY "
+        f"{score_col} {'ASC' if ascending else 'DESC'}, {id_col} ASC)"
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("position", F.expr(w))
+        .select(id_col, "shard", "position")
+    )

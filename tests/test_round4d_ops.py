@@ -798,3 +798,32 @@ def test_fim_modes_split_by_hash(spark):
     modes = [r["mode"] for r in fim_transform(df).collect()]
     assert modes.count("plain") == 0
     assert 60 < modes.count("spm") < 140  # ~50/50 cut
+
+
+def test_curriculum_order(spark):
+    import hashlib
+
+    from elasticsearch_assets_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    rows = [(i, float((i * 37) % 100)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    got = curriculum_order(df, "q", 3, salt="t").collect()
+    # brute-force shard cut
+    cuts = [int(i * 16**8 / 3) for i in range(1, 3)]
+    def shard(i):
+        h = int(hashlib.md5(f"t|{i}".encode()).hexdigest()[:8], 16)
+        return sum(h >= c for c in cuts)
+    by_shard = {}
+    for i, q in rows:
+        by_shard.setdefault(shard(i), []).append((q, i))
+    want = {}
+    for s, lst in by_shard.items():
+        for pos, (_q, i) in enumerate(sorted(lst), start=1):
+            want[i] = (s, pos)
+    assert {r["doc_id"]: (r["shard"], r["position"]) for r in got} == want
+    # descending flips the order
+    d = curriculum_order(df, "q", 1, ascending=False, salt="t").collect()
+    qs = [dict(rows)[r["doc_id"]] for r in sorted(d, key=lambda r: r["position"])]
+    assert qs == sorted(qs, reverse=True)
