@@ -6287,6 +6287,44 @@ SELECT vec_id, round(cos, 4) AS score FROM (
 """
 
 
+def _ann_topk_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022): keep the first 16 of
+    64 dims, L2-renormalize (similarity.truncate_embeddings — zero
+    shuffle), exact cosine top-k over the quarter-width vectors. The
+    query vector goes through the SAME truncate+renormalize arithmetic
+    driver-side, so both engines' unit vectors are bit-identical."""
+    import math as _m
+
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    full = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    tv = full[:16]
+    s = sum(x * x for x in tv)
+    q = [x / _m.sqrt(s) for x in tv]
+    tr = OS.truncate_embeddings(emb, 16)
+    out = OS.cosine_topk(tr, q, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+_ANN_MRL_SQL = """
+WITH t AS (SELECT vec_id, embedding[1:16] AS tv FROM embeddings),
+u AS (
+  SELECT vec_id,
+         list_transform(tv, x -> x::DOUBLE /
+           sqrt(list_sum(list_transform(tv, y -> y::DOUBLE * y::DOUBLE))))
+           AS v
+  FROM t
+),
+q AS (SELECT v FROM u WHERE vec_id = 0)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id,
+         (SELECT sum(a.v[i] * b.v[i]) FROM range(1, 17) r(i))
+         / (sqrt((SELECT sum(a.v[i] * a.v[i]) FROM range(1, 17) r(i)))
+            * sqrt((SELECT sum(b.v[i] * b.v[i]) FROM range(1, 17) r(i)))) AS cos
+  FROM u a, q b
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 _PIT_CUT = 250
 
 
@@ -12939,6 +12977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most": _multi_match_most,
         "multi_match_cross": _multi_match_cross,
         "ann_topk_rescore": _ann_topk_rescore,
+        "ann_topk_mrl": _ann_topk_mrl,
         "eql_until": _eql_until,
         "eql_sample": _eql_sample,
         "hard_negatives": _hard_negatives,
@@ -13335,6 +13374,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_match_most": _multi_match_sql("most_fields"),
         "multi_match_cross": _multi_match_cross_sql(),
         "ann_topk_rescore": _ANN_RESCORE_SQL,
+        "ann_topk_mrl": _ANN_MRL_SQL,
         "eql_until": _EQL_UNTIL_SQL,
         "eql_sample": _EQL_SAMPLE_SQL,
         "hard_negatives": _hard_negatives_sql(),

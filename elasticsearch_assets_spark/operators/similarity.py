@@ -932,3 +932,41 @@ def rescore_with(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka representation truncation (Kusupati et al. 2022, the
+    shipping practice behind dimension-reducible embedding APIs): keep
+    the first `dims` coordinates and L2-renormalize — MRL-trained
+    vectors keep most of their retrieval quality at a fraction of the
+    storage/compute, the standard first move when an embedding corpus
+    outgrows memory (a 64-dim float column drops 4x at dims=16 BEFORE
+    quantization, and the two compose).
+
+    Pure JVM array lambdas over the scan (slice + one aggregate fold +
+    transform) — zero shuffle. Cosine over renormalized truncations ==
+    dot product; cosine_topk stays correct either way since it divides
+    by the norm again (a no-op on unit vectors).
+
+    Returns (id, embedding) with the truncated (unit, when
+    `renormalize`) vectors."""
+    if dims < 1:
+        raise ValueError("need dims >= 1")
+    v = F.slice(F.col(vec_col), 1, dims)
+    if not renormalize:
+        return df.select(F.col(id_col), v.alias(vec_col))
+    n = F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    unit = F.transform(v, lambda x: x.cast("double") / n)
+    return df.select(F.col(id_col), unit.alias(vec_col))

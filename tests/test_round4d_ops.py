@@ -827,3 +827,35 @@ def test_curriculum_order(spark):
     d = curriculum_order(df, "q", 1, ascending=False, salt="t").collect()
     qs = [dict(rows)[r["doc_id"]] for r in sorted(d, key=lambda r: r["position"])]
     assert qs == sorted(qs, reverse=True)
+
+
+def test_truncate_embeddings_unit_and_recall(vec_df):
+    import math
+
+    from elasticsearch_assets_spark.operators.similarity import (
+        cosine_topk, truncate_embeddings,
+    )
+
+    df, rows = vec_df
+    tr = truncate_embeddings(df, 8)
+    got = {r["vec_id"]: r["embedding"] for r in tr.limit(50).collect()}
+    for vid, v in got.items():
+        raw = rows[vid][1][:8]
+        n = math.sqrt(sum(x * x for x in raw))
+        assert len(v) == 8
+        assert v == pytest.approx([x / n for x in raw])
+        assert sum(x * x for x in v) == pytest.approx(1.0)
+    # truncated search still recalls a decent share of the full top-k
+    q = rows[7][1]
+    qn = math.sqrt(sum(x * x for x in q[:8]))
+    truth = {r["vec_id"] for r in cosine_topk(df, q, 10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in cosine_topk(tr, [x / qn for x in q[:8]], 10).collect()
+    }
+    assert len(truth & approx) >= 2  # random 16-dim data, half the dims
+    # no-renormalize path keeps raw values
+    raw8 = truncate_embeddings(df, 8, renormalize=False).limit(1).collect()[0]
+    assert raw8["embedding"] == pytest.approx(rows[raw8["vec_id"]][1][:8])
+    with pytest.raises(ValueError):
+        truncate_embeddings(df, 0)
