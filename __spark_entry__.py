@@ -4073,6 +4073,54 @@ ORDER BY doc_id ASC, query_id ASC
 """
 
 
+_PERC_F_SPECS = [
+    (0, ["spark", "join"], 2, "n_chars >= 300"),
+    (1, ["query"], 1, "lang = 'en'"),
+    (2, ["data"], 1, None),
+    (3, ["merge", "scan"], 1, "n_chars < 250 AND source = 'src0'"),
+]
+
+
+def _percolate_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator with FULL stored queries (terms + filters): the
+    term/msm stage prunes candidates first, surviving pairs join back to
+    the doc row once, and all per-query conditions compile into ONE CASE
+    chain on query_id (operators/percolate.percolate_filtered)."""
+    from elasticsearch_assets_spark.operators import percolate as OP
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    qs = OP.make_filtered_queries(spark, _PERC_F_SPECS)
+    return OP.percolate_filtered(qs, docs)
+
+
+def _percolate_filtered_sql() -> str:
+    rows = ", ".join(
+        f"({qid}::BIGINT, '{t}', {msm if msm > 0 else len(set(terms))})"
+        for qid, terms, msm, _c in _PERC_F_SPECS
+        for t in sorted(set(terms))
+    )
+    case = " ".join(
+        f"WHEN m.query_id = {qid} THEN ({cond})"
+        for qid, _t, _m, cond in _PERC_F_SPECS
+        if cond
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+q(query_id, term, msm) AS (VALUES {rows}),
+m AS (
+  SELECT dt.doc_id, q.query_id, count(*) AS n, min(q.msm) AS msm
+  FROM dt JOIN q ON dt.term = q.term GROUP BY 1, 2
+)
+SELECT m.doc_id, m.query_id
+FROM m JOIN documents d ON m.doc_id = d.doc_id
+WHERE m.n >= m.msm AND (CASE {case} ELSE TRUE END)
+ORDER BY m.doc_id ASC, m.query_id ASC
+"""
+
+
 # ---------------------------------------------------------------------------
 # round-3 batch 7a: remaining ES metric aggregations
 # ---------------------------------------------------------------------------
@@ -12978,6 +13026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_cross": _multi_match_cross,
         "ann_topk_rescore": _ann_topk_rescore,
         "ann_topk_mrl": _ann_topk_mrl,
+        "percolate_filtered": _percolate_filtered,
         "eql_until": _eql_until,
         "eql_sample": _eql_sample,
         "hard_negatives": _hard_negatives,
@@ -13375,6 +13424,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_match_cross": _multi_match_cross_sql(),
         "ann_topk_rescore": _ANN_RESCORE_SQL,
         "ann_topk_mrl": _ANN_MRL_SQL,
+        "percolate_filtered": _percolate_filtered_sql(),
         "eql_until": _EQL_UNTIL_SQL,
         "eql_sample": _EQL_SAMPLE_SQL,
         "hard_negatives": _hard_negatives_sql(),

@@ -66,3 +66,69 @@ def percolate(
         .select("doc_id", "query_id")
         .orderBy(F.col("doc_id").asc(), F.col("query_id").asc())
     )
+
+
+def make_filtered_queries(
+    spark, specs: "list[tuple[int, list[str], int, str | None]]"
+) -> DataFrame:
+    """Stored queries with an optional per-query FILTER condition:
+    (query_id, terms, msm, cond) — `cond` is a Spark SQL boolean over the
+    document row (the engine's one script dialect; None = no filter).
+    This is the ES percolator's real shape: stored queries are full query
+    bodies (bool: match terms + range/term filters), not bare term sets."""
+    rows = [
+        (
+            int(qid),
+            sorted(set(terms)),
+            int(msm) if msm > 0 else len(set(terms)),
+            cond,
+        )
+        for qid, terms, msm, cond in specs
+    ]
+    if any(not r[1] for r in rows):
+        raise ValueError(
+            "every stored query needs at least one term (a pure-filter "
+            "percolator query would be a full-corpus scan per query — "
+            "express it as a WHERE on the corpus instead)"
+        )
+    return spark.createDataFrame(
+        rows, "query_id long, terms array<string>, msm long, cond string"
+    )
+
+
+def percolate_filtered(
+    queries: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """percolate() plus per-query document filters: a doc matches a
+    stored query iff the term/msm clause holds AND the query's `cond`
+    (when present) evaluates true on the doc row.
+
+    Plan: the term/msm stage is percolate()'s broadcast-join shape and
+    PRUNES candidates first (term selectivity bounds the pair stream);
+    the surviving (doc, query) pairs join back to the corpus row once,
+    and ALL queries' conditions compile into ONE CASE chain on query_id
+    (planning-level collect of the tiny query table) — per-query filters
+    never scan the corpus independently."""
+    base = percolate(queries, corpus, text_col, id_col)
+    conds = [
+        (r["query_id"], r["cond"])
+        for r in queries.select("query_id", "cond").collect()
+        if r["cond"]
+    ]
+    if not conds:
+        return base
+    keep = F.lit(None).cast("boolean")
+    for qid, cond in reversed(conds):
+        keep = F.when(F.col("query_id") == qid, F.expr(cond)).otherwise(keep)
+    keep = F.coalesce(keep, F.lit(True))  # queries without cond
+    joined = base.join(
+        corpus.withColumnRenamed(id_col, "doc_id"), "doc_id"
+    )
+    return (
+        joined.where(keep)
+        .select("doc_id", "query_id")
+        .orderBy(F.col("doc_id").asc(), F.col("query_id").asc())
+    )

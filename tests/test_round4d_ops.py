@@ -859,3 +859,32 @@ def test_truncate_embeddings_unit_and_recall(vec_df):
     assert raw8["embedding"] == pytest.approx(rows[raw8["vec_id"]][1][:8])
     with pytest.raises(ValueError):
         truncate_embeddings(df, 0)
+
+
+def test_percolate_filtered(spark):
+    from elasticsearch_assets_spark.operators.percolate import (
+        make_filtered_queries, percolate_filtered,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark join fast", 100, "en"),
+            (1, "spark join slow", 500, "en"),
+            (2, "query only", 100, "de"),
+            (3, "query stuff", 100, "en"),
+        ],
+        "doc_id long, text string, n_chars long, lang string",
+    )
+    qs = make_filtered_queries(
+        spark,
+        [
+            (0, ["spark", "join"], 2, "n_chars >= 300"),
+            (1, ["query"], 1, "lang = 'en'"),
+            (2, ["query"], 1, None),
+        ],
+    )
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate_filtered(qs, docs).collect()}
+    assert got == {(1, 0), (3, 1), (2, 2), (3, 2)}
+    with pytest.raises(ValueError, match="at least one term"):
+        make_filtered_queries(spark, [(0, [], 1, "n_chars > 0")])
