@@ -140,6 +140,27 @@ def main() -> None:
             f"{r['total_tokens']} tokens, avg quality "
             f"{r['avg_quality']:.3f}"
         )
+
+    # 13. training order: deterministic shards, easy-to-hard by quality
+    from elasticsearch_assets_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    order = curriculum_order(
+        mixed.withColumn("q", F.length("text")), "q", 8, id_col="doc_id"
+    )
+    n13 = order.count()
+    print(f"[13] curriculum order: {n13} rows across 8 shards")
+
+    # 14. objective transforms: T5 span corruption + FIM (both
+    # hash-deterministic — a resumed job emits byte-identical pairs)
+    sc = OT.span_corruption(mixed.select("doc_id", "text").distinct())
+    n14 = sc.where(F.col("targets") != "").count()
+    fim = OT.fim_transform(mixed.select("doc_id", "text").distinct())
+    modes = {r["mode"]: r["n"] for r in
+             fim.groupBy("mode").agg(F.count("*").alias("n")).collect()}
+    print(f"[14] span-corruption pairs with targets: {n14}; "
+          f"FIM modes: {modes}")
     spark.stop()
 
 

@@ -888,3 +888,54 @@ def test_percolate_filtered(spark):
     assert got == {(1, 0), (3, 1), (2, 2), (3, 2)}
     with pytest.raises(ValueError, match="at least one term"):
         make_filtered_queries(spark, [(0, [], 1, "n_chars > 0")])
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: the deterministic transforms' invariants
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcde", min_size=1, max_size=4),
+            min_size=1, max_size=40,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_span_corruption_invariants_fuzz(spark, token_lists):
+    import hashlib
+
+    from elasticsearch_assets_spark.operators.sampling import (
+        rate_threshold_hex,
+    )
+    from elasticsearch_assets_spark.operators.textstats import (
+        span_corruption,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           span_corruption(df, span=2, block=5, seed="hz").collect()}
+    thr = rate_threshold_hex(0.5)
+    for did, toks in enumerate(token_lists):
+        inp, tgt = out[did]["inputs"], out[did]["targets"]
+        nb = -(-len(toks) // 5)
+        want_in, want_tgt, k = [], [], 0
+        for b in range(nb):
+            blk = toks[b * 5:(b + 1) * 5]
+            if hashlib.md5(f"hz|{did}|{b}".encode()).hexdigest()[:8] < thr:
+                s = f"<extra_id_{k}>"
+                want_in += [s] + blk[2:]
+                want_tgt += [s] + blk[:2]
+                k += 1
+            else:
+                want_in += blk
+        assert inp == " ".join(want_in)
+        assert tgt == " ".join(want_tgt)
