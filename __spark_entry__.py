@@ -12247,6 +12247,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _esql_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second ES|QL date battery: DATE_EXTRACT over the calendar parts
+    (year/quarter/month/day/hour/minute/dow) — compiles to date_part,
+    the same field names both engines share (ES|QL's ChronoField
+    spellings map 1:1 for these). dow is Spark's 1-based Sunday=1
+    convention; DuckDB's 0-based dow shifts by one in the oracle."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    return esql(
+        "FROM events | WHERE event_id % 37 == 0"
+        " | EVAL y = DATE_EXTRACT('year', ts), q = DATE_EXTRACT('quarter', ts),"
+        "   mo = DATE_EXTRACT('month', ts), d = DATE_EXTRACT('day', ts),"
+        "   h = DATE_EXTRACT('hour', ts), mi = DATE_EXTRACT('minute', ts),"
+        "   dw = DATE_EXTRACT('dow', ts)"
+        " | KEEP event_id, y, q, mo, d, h, mi, dw"
+        " | SORT event_id",
+        spark=spark, sf_dir=sf_dir,
+    )
+
+
+_ESQL_DATE_FUNCS2_SQL = """
+SELECT event_id,
+       date_part('year', ts) AS y,
+       date_part('quarter', ts) AS q,
+       date_part('month', ts) AS mo,
+       date_part('day', ts) AS d,
+       date_part('hour', ts) AS h,
+       date_part('minute', ts) AS mi,
+       date_part('dow', ts) + 1 AS dw
+FROM events WHERE event_id % 37 = 0 ORDER BY event_id
+"""
+
+
 def _esql_scalar_funcs5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth ES|QL function battery — trigonometry, constants, and the
     string-trim family, all same-spelling passthroughs to JVM column
@@ -13310,6 +13343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": _counter_rate,
         "esql_ts": _esql_ts,
         "esql_scalar_funcs5": _esql_scalar_funcs5,
+        "esql_date_funcs2": _esql_date_funcs2,
         "facet_random_sampler": _facet_random_sampler,
         "frequent_itemsets3": _frequent_itemsets3,
         "geo_shape_envelope": _geo_shape_envelope,
@@ -13742,6 +13776,7 @@ FROM topk JOIN documents USING (doc_id)
         "counter_rate": _COUNTER_RATE_SQL,
         "esql_ts": _ESQL_TS_SQL,
         "esql_scalar_funcs5": _ESQL_SCALAR_FUNCS5_SQL,
+        "esql_date_funcs2": _ESQL_DATE_FUNCS2_SQL,
         "facet_random_sampler": _FACET_RANDOM_SAMPLER_SQL,
         "frequent_itemsets3": _FREQ_ITEMSETS3_SQL,
         "geo_shape_envelope": _geo_shape_envelope_sql(),
