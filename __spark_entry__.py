@@ -10409,6 +10409,82 @@ FROM g1 GROUP BY h ORDER BY h
 """
 
 
+def _esql_ts_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS with a DIMENSION in BY (per-series output, the Prometheus-style
+    shape) and a fixed 6-hour epoch-floor bucket: rate + max_over_time
+    per (sid, bucket). Exercises the stage-2 grouping that routes
+    dimension columns through both aggregation levels."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    events = load_sf_table(spark, sf_dir, "events")
+    staged = (
+        events.withColumn("sid", F.col("user_id") % 5)
+        .withColumn("v100", F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .withColumn(
+            "c",
+            F.expr(
+                "sum(v100) OVER (PARTITION BY sid ORDER BY ts, event_id) "
+                "% 50000"
+            ),
+        )
+    )
+    out = esql(
+        "TS metrics"
+        " | STATS r = sum(rate(c)), m = max(max_over_time(v100))"
+        " BY sid, h = BUCKET(ts, 6 hours)"
+        " | SORT sid, h",
+        tables={"metrics": staged},
+        time_series={
+            "metrics": {"dimensions": ["sid"], "ts": "ts", "tiebreak": "event_id"}
+        },
+    )
+    return out.select(
+        "sid",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("h"),
+        _f4("r").alias("r"),
+        F.col("m").cast("long").alias("m"),
+    )
+
+
+_ESQL_TS_DIMS_SQL = """
+WITH s AS (
+  SELECT *, user_id % 5 AS sid,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+  FROM events
+),
+c AS (
+  SELECT sid, ts, event_id, v100,
+         sum(v100) OVER (PARTITION BY sid ORDER BY ts, event_id)
+           % 50000 AS c
+  FROM s
+),
+b AS (
+  SELECT *, TIMESTAMP '1970-01-01 00:00:00'
+         + (floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  / 21600) * 21600)::BIGINT * INTERVAL 1 SECOND AS h
+  FROM c
+),
+w AS (
+  SELECT *,
+         CAST(c AS DOUBLE) - lag(CAST(c AS DOUBLE))
+           OVER (PARTITION BY sid, h ORDER BY ts, event_id) AS d
+  FROM b
+),
+g1 AS (
+  SELECT sid, h,
+         sum(CASE WHEN d IS NULL THEN 0.0
+                  WHEN d >= 0 THEN d
+                  ELSE CAST(c AS DOUBLE) END) / 21600.0 AS rate,
+         max(v100) AS mot
+  FROM w GROUP BY sid, h
+)
+SELECT sid, strftime(h, '%Y-%m-%d %H:%M:%S') AS h,
+       floor(sum(rate) * 10000.0 + 0.5) / 10000.0 AS r,
+       CAST(max(mot) AS BIGINT) AS m
+FROM g1 GROUP BY sid, h ORDER BY sid, h
+"""
+
+
 def _counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES TSDB rate over a counter metric: per (series, hour bucket),
     reset-compensated increase / seconds (facets.counter_rate). The
@@ -13342,6 +13418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_rerank": _esql_rerank,
         "counter_rate": _counter_rate,
         "esql_ts": _esql_ts,
+        "esql_ts_dims": _esql_ts_dims,
         "esql_scalar_funcs5": _esql_scalar_funcs5,
         "esql_date_funcs2": _esql_date_funcs2,
         "facet_random_sampler": _facet_random_sampler,
@@ -13775,6 +13852,7 @@ FROM topk JOIN documents USING (doc_id)
         "esql_rerank": _esql_rerank_sql(),
         "counter_rate": _COUNTER_RATE_SQL,
         "esql_ts": _ESQL_TS_SQL,
+        "esql_ts_dims": _ESQL_TS_DIMS_SQL,
         "esql_scalar_funcs5": _ESQL_SCALAR_FUNCS5_SQL,
         "esql_date_funcs2": _ESQL_DATE_FUNCS2_SQL,
         "facet_random_sampler": _FACET_RANDOM_SAMPLER_SQL,
