@@ -1,7 +1,10 @@
 """Frequent item-set mining — ES frequent_item_sets aggregation
-(pairs at size 2; multi-level up to size 4), re-expressed as
+(pairs at size 2; multi-level at any size), re-expressed as
 deterministic Apriori (ES samples and approximates; a distributed engine
 wants an exact, reproducible answer with the same pruning guarantee).
+frequent_pairs keeps the zero-extra-shuffle nested-transform shape
+(right for the single-level case); frequent_itemsets uses prefix-pruned
+incremental joins (see its docstring).
 
 Scale shape: the level-1 pass is one hash agg on the exploded items; the
 level-1 PRUNE (items below min_support can never appear in a frequent
