@@ -7230,6 +7230,53 @@ FROM g WHERE k0 IS NOT NULL AND k1 IS NOT NULL AND k2 IS NOT NULL
 """
 
 
+def _eql_sequence3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step EQL chain — `sequence by user_id with maxspan=24h
+    [view] with runs=2 [error]` (EQL's runs syntax is literal step
+    repetition): pins the multi-hop path, where chains longer than two
+    steps extend via unique-key equi-joins on the encoded event key
+    (the 2-step row decodes from one window pass alone)."""
+    from elasticsearch_assets_spark.operators.sequences import eql_sequence
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    return eql_sequence(
+        ev, "user_id",
+        ["event_type = 'view'", "event_type = 'view'",
+         "event_type = 'error'"],
+        maxspan_seconds=_EQL_UNTIL_SPAN_S,
+    )
+
+
+_EQL_SEQ3_SQL = f"""
+WITH keyed AS (
+  SELECT user_id, event_type,
+         date_diff('millisecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+           * 1000000 + event_id AS k
+  FROM events
+),
+nxt AS (
+  SELECT user_id, event_type, k,
+         min(CASE WHEN event_type = 'view' THEN k END) OVER (
+           PARTITION BY user_id ORDER BY k
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS nv,
+         min(CASE WHEN event_type = 'error' THEN k END) OVER (
+           PARTITION BY user_id ORDER BY k
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS ne
+  FROM keyed
+)
+SELECT a.user_id,
+       (a.k % 1000000)::BIGINT AS id_0,
+       (a.nv % 1000000)::BIGINT AS id_1,
+       (b.ne % 1000000)::BIGINT AS id_2,
+       ((b.ne // 1000000) - (a.k // 1000000))::BIGINT AS span_ms
+FROM nxt a JOIN nxt b ON b.k = a.nv
+WHERE a.event_type = 'view' AND a.nv IS NOT NULL AND b.ne IS NOT NULL
+  AND (b.ne // 1000000) - (a.k // 1000000) <= {_EQL_UNTIL_SPAN_S * 1000}
+"""
+
+
 _BC_INDICATOR = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
 
 
@@ -13138,6 +13185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_filtered": _percolate_filtered,
         "eql_until": _eql_until,
         "eql_sample": _eql_sample,
+        "eql_sequence3": _eql_sequence3,
         "hard_negatives": _hard_negatives,
         "esql_now": _esql_now,
         "facet_terms_other": _facet_terms_other,
@@ -13538,6 +13586,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate_filtered": _percolate_filtered_sql(),
         "eql_until": _EQL_UNTIL_SQL,
         "eql_sample": _EQL_SAMPLE_SQL,
+        "eql_sequence3": _EQL_SEQ3_SQL,
         "hard_negatives": _hard_negatives_sql(),
         "esql_now": _ESQL_NOW_SQL,
         "facet_terms_other": _FACET_TERMS_OTHER_SQL,
