@@ -13139,6 +13139,328 @@ WHERE ({cell}) IN ({in_list}) ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# round 3 session 9: post_filter / track_total_hits / zero_terms / fields API,
+# multi-kNN, EQL head pipe, paragraph dedup, ICT pairs, vocab coverage
+# ---------------------------------------------------------------------------
+
+
+def _bm25_post_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES post_filter (the faceted-navigation contract): aggregations see
+    EVERY query match — `total_before_filter` is the unfiltered match
+    count the agg side computed — while the hit list is additionally
+    restricted to doc_id % 5 == 1 AFTER scoring. One scored scan feeds
+    both; the total rides back as a 1-row broadcast (engine
+    .search_post_filter)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    post = docs.where(F.col("doc_id") % 5 == 1)
+    out = idx.search_post_filter(["spark", "table"], post, k=10, mode="or")
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"), "total_before_filter"
+    )
+
+
+def _bm25_post_filter_sql() -> str:
+    body = _bm25_body("term IN ('spark', 'table')")
+    return f"""
+WITH {body},
+tot AS (SELECT count(*)::BIGINT AS total_before_filter FROM scored)
+SELECT doc_id, round(s, 4) AS score, total_before_filter
+FROM scored, tot
+WHERE doc_id % 5 = 1 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _bm25_tracked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES track_total_hits: hits carry the match total counted only up to
+    the cap (100 here; the query matches more, so the arm fires) and
+    relation 'gte' — the stop-counting-at-10k contract; the engine's
+    early stop is a limit(cap+1) CollectLimit over the match-id stream
+    (engine.search_tracked)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search_tracked(
+        ["spark", "table"], k=10, mode="or", track_total_hits=100
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"), "total_hits", "relation"
+    )
+
+
+def _bm25_tracked_sql() -> str:
+    body = _bm25_body("term IN ('spark', 'table')")
+    return f"""
+WITH {body},
+tot AS (SELECT count(*) AS c FROM scored)
+SELECT doc_id, round(s, 4) AS score,
+       least(c, 100)::BIGINT AS total_hits,
+       CASE WHEN c > 100 THEN 'gte' ELSE 'eq' END AS relation
+FROM scored, tot ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _match_zero_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match with zero_terms_query='all': a query the analyzer reduces
+    to ZERO tokens (punctuation only) degrades to match_all — every live
+    doc scores a constant 1.0, deterministic doc_id tie-break
+    (engine.search_match / match_all)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = idx.search_match(
+        "??? !!!", k=15, mode="or", zero_terms_query="all", corpus=docs
+    )
+    return out.select("doc_id", "score")
+
+
+_MATCH_ZERO_ALL_SQL = """
+SELECT doc_id, (1.0)::DOUBLE AS score FROM documents
+ORDER BY doc_id ASC LIMIT 15
+"""
+
+
+def _fields_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES fields API: requested stored fields projected onto the hit
+    list — plain names, `n_*` wildcard expansion, and a formatted date
+    field ({'field': 'crawl_date', 'format': 'yyyy/MM/dd'} — formatted
+    values serialize as STRINGS, the fields-API contract). The derived
+    crawl_date (epoch + doc_id % 1000 days) runs verbatim in the oracle
+    (engine.fetch_fields)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    stored = docs.withColumn(
+        "crawl_date",
+        F.date_add(
+            F.to_date(F.lit("2020-01-01")), (F.col("doc_id") % 1000).cast("int")
+        ),
+    )
+    hits = idx.search(["spark", "join"], k=10, mode="and")
+    out = idx.fetch_fields(
+        hits, stored,
+        ["lang", "n_*", {"field": "crawl_date", "format": "yyyy/MM/dd"}],
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        "lang", "n_chars", "crawl_date",
+    ).orderBy("doc_id")
+
+
+def _fields_fetch_sql() -> str:
+    body = _bm25_body(
+        "term IN ('join', 'spark')", "HAVING count(*) = 2"
+    )
+    return f"""
+WITH {body},
+top AS (
+  SELECT doc_id, round(s, 4) AS score FROM scored
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+)
+SELECT t.doc_id, t.score, d.lang, d.n_chars,
+       strftime(DATE '2020-01-01' + (d.doc_id % 1000)::INT, '%Y/%m/%d')
+         AS crawl_date
+FROM top t JOIN documents d USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def _ann_multi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple knn clauses in one search (ES 8.7): two exact cosine
+    retrievals (k=20 each, boosts 1.0 / 0.5) whose boosted similarities
+    SUM per doc before the global top-10 cut — union + one hash agg
+    (similarity.multi_knn)."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    q0 = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    q1 = [float(x) for x in emb.where(F.col("vec_id") == 1).head()["embedding"]]
+    out = OS.multi_knn(
+        emb,
+        [
+            {"query_vec": q0, "k": 20, "boost": 1.0},
+            {"query_vec": q1, "k": 20, "boost": 0.5},
+        ],
+        k=10,
+    )
+    return out.select("vec_id", _f4("score").alias("score"))
+
+
+def _ann_multi_knn_sql() -> str:
+    return f"""
+WITH qa AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT embedding FROM embeddings WHERE vec_id = 1),
+ta AS (
+  SELECT vec_id, s FROM (
+    SELECT a.vec_id AS vec_id, ({_COS_AB}) * 1.0 AS s
+    FROM embeddings a, qa b
+  ) ORDER BY s DESC, vec_id ASC LIMIT 20
+),
+tb AS (
+  SELECT vec_id, s FROM (
+    SELECT a.vec_id AS vec_id, ({_COS_AB}) * 0.5 AS s
+    FROM embeddings a, qb b
+  ) ORDER BY s DESC, vec_id ASC LIMIT 20
+),
+u AS (SELECT * FROM ta UNION ALL SELECT * FROM tb)
+SELECT vec_id, floor(sum(s) * 10000.0 + 0.5) / 10000.0 AS score
+FROM u GROUP BY vec_id ORDER BY sum(s) DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _eql_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL result pipe `| head 5`: the five chains whose FIRST event is
+    earliest (encoded (ts, id)-key tie-break) — one
+    TakeOrderedAndProject over the chain rows, no extra shuffle
+    (sequences.eql_sequence(head=))."""
+    from elasticsearch_assets_spark.operators.sequences import eql_sequence
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    return eql_sequence(
+        ev, "user_id",
+        ["event_type = 'view'", "event_type = 'error'"],
+        maxspan_seconds=_EQL_SPAN_S,
+        head=5,
+    )
+
+
+_EQL_HEAD_SQL = f"""
+WITH keyed AS (
+  SELECT user_id, event_type,
+         date_diff('millisecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+           * 1000000 + event_id AS k
+  FROM events
+),
+nxt AS (
+  SELECT user_id, event_type, k,
+         min(CASE WHEN event_type = 'error' THEN k END) OVER (
+           PARTITION BY user_id ORDER BY k
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS n1
+  FROM keyed
+)
+SELECT user_id, (k % 1000000)::BIGINT AS id_0, (n1 % 1000000)::BIGINT AS id_1,
+       ((n1 // 1000000) - (k // 1000000))::BIGINT AS span_ms
+FROM nxt
+WHERE event_type = 'view' AND n1 IS NOT NULL
+  AND (n1 // 1000000) - (k // 1000000) <= {_EQL_SPAN_S * 1000}
+ORDER BY k ASC LIMIT 5
+"""
+
+
+def _paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact paragraph dedup, keep-FIRST (the Dolma/
+    RefinedWeb paragraph pass): a repeated paragraph survives only at its
+    globally first (doc, position) occurrence — one hash agg on the
+    paragraph hash (min struct), join back, ordered re-assembly; line
+    structure derived by the shared _WRAPPED_CTE replaces
+    (dedup.paragraph_dedup)."""
+    out = OD.paragraph_dedup(_wrapped_docs(spark, sf_dir), sep="\n")
+    return out.select("doc_id", "cleaned_text", "n_paras", "n_removed")
+
+
+_PARAGRAPH_DEDUP_SQL = f"""
+WITH w AS ({_WRAPPED_CTE}),
+s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    l -> trim(l)), l -> l != '') AS paras
+  FROM w
+),
+e AS (
+  SELECT doc_id, unnest(paras) AS para,
+         generate_subscripts(paras, 1) AS pos
+  FROM s
+),
+r AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM e
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pos) AS cleaned_text,
+         count(*)::BIGINT AS n_kept
+  FROM r WHERE rn = 1 GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(rb.cleaned_text, '') AS cleaned_text,
+       len(s.paras)::BIGINT AS n_paras,
+       (len(s.paras) - coalesce(rb.n_kept, 0))::BIGINT AS n_removed
+FROM s LEFT JOIN rebuilt rb USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+def _ict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse Cloze Task pairs (ORQA): per doc, the hash60(doc_id)-picked
+    sentence becomes the pseudo-query, the rest (in order) the context —
+    pure array expressions, zero shuffle; the pick hash is the shared
+    md5-prefix SQL text, so both engines choose the same sentence
+    (mining.ict_pairs over the line-wrapped corpus)."""
+    from elasticsearch_assets_spark.operators.mining import ict_pairs
+
+    out = ict_pairs(
+        _wrapped_docs(spark, sf_dir), sep="\n", min_sentences=2
+    )
+    return out.select("doc_id", "n_sents", "pick", "query_sent", "context")
+
+
+_ICT_PAIRS_SQL = f"""
+WITH w AS ({_WRAPPED_CTE}),
+s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    x -> trim(x)), x -> x != '') AS l
+  FROM w
+),
+p AS (
+  SELECT doc_id, l, len(l)::BIGINT AS n,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % len(l))::BIGINT AS pick
+  FROM s WHERE len(l) >= 2
+)
+SELECT doc_id, n AS n_sents, pick,
+       l[pick + 1] AS query_sent,
+       array_to_string(list_concat(l[1:pick], l[pick + 2:len(l)]), ' ')
+         AS context
+FROM p ORDER BY doc_id
+"""
+
+
+_VOCAB = [
+    "a", "and", "data", "for", "in", "index", "is", "of", "on", "query",
+    "spark", "table", "the", "to", "web",
+]
+
+
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage / OOV rate per doc (pairs with the
+    fertility diagnostic): tokens outside a fixed 15-term vocab counted
+    with one array filter — pure JVM expressions, zero shuffle; the
+    tokenizer is the frozen contract kernel shared with the oracle
+    (textstats.vocab_coverage)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OT.vocab_coverage(docs, _VOCAB)
+    return out.select(
+        "doc_id", "n_tokens", "n_oov", _f4("oov_rate").alias("oov_rate")
+    ).orderBy("doc_id")
+
+
+def _vocab_coverage_sql() -> str:
+    from elasticsearch_assets_spark.operators.texthash import tokens_sql
+
+    vlist = ", ".join(f"'{v}'" for v in _VOCAB)
+    return f"""
+WITH s AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         len(list_filter(toks, t -> NOT list_contains([{vlist}], t)))::BIGINT
+           AS n_oov
+  FROM s
+)
+SELECT doc_id, n_tokens, n_oov,
+       CASE WHEN n_tokens > 0
+            THEN floor(n_oov::DOUBLE / n_tokens * 10000.0 + 0.5) / 10000.0
+            ELSE (0.0)::DOUBLE END AS oov_rate
+FROM m ORDER BY doc_id
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -13530,6 +13852,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepers": _dedup_keepers,
         "bigram_lm": _bigram_lm,
         "token_budget_plan": _token_budget_plan,
+        "bm25_post_filter": _bm25_post_filter,
+        "bm25_tracked": _bm25_tracked,
+        "match_zero_all": _match_zero_all,
+        "fields_fetch": _fields_fetch,
+        "ann_multi_knn": _ann_multi_knn,
+        "eql_head": _eql_head,
+        "paragraph_dedup": _paragraph_dedup,
+        "ict_pairs": _ict_pairs,
+        "vocab_coverage": _vocab_coverage,
     }
 
 
@@ -13965,6 +14296,15 @@ FROM topk JOIN documents USING (doc_id)
         "dedup_keepers": _DEDUP_KEEPERS_SQL,
         "bigram_lm": _bigram_lm_sql(),
         "token_budget_plan": _token_budget_plan_sql(),
+        "bm25_post_filter": _bm25_post_filter_sql(),
+        "bm25_tracked": _bm25_tracked_sql(),
+        "match_zero_all": _MATCH_ZERO_ALL_SQL,
+        "fields_fetch": _fields_fetch_sql(),
+        "ann_multi_knn": _ann_multi_knn_sql(),
+        "eql_head": _EQL_HEAD_SQL,
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "ict_pairs": _ICT_PAIRS_SQL,
+        "vocab_coverage": _vocab_coverage_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

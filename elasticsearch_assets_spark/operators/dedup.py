@@ -1034,3 +1034,76 @@ def resolve_keepers(
         (F.col(id_col) == F.col("keeper")).alias("keep"),
         F.col(priority_col),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level exact PARAGRAPH dedup, keep-first (the Dolma/
+    RefinedWeb paragraph pass, one granularity above
+    remove_boilerplate_lines): every repeated paragraph keeps only its
+    globally FIRST occurrence — ordered by (doc id, position) — and is
+    stripped everywhere else; document paragraph order is preserved.
+    Differs from boilerplate removal in both rule (first survives vs
+    frequent-stripped-everywhere) and key (global first occurrence needs
+    a total order, not a doc-frequency count).
+
+    Plan: split/trim/posexplode (text fans out as rows once), ONE hash
+    agg on the 32-byte paragraph hash taking min(struct(id, pos)) — the
+    skew-free shuffle key; winners broadcast-join back (winner set ≤
+    distinct-paragraph count), then per-doc re-assembly via sort_array
+    over (pos, para) structs — no window over text, no per-row Python.
+
+    Returns (id, cleaned_text, n_paras, n_removed)."""
+    sep_lit = sep.replace("\\", "\\\\").replace("'", "\\'")
+    paras = F.expr(
+        f"filter(transform(split({text_col}, '{sep_lit}'), p -> trim(p)),"
+        " p -> p != '')"
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(paras).alias("pos", "para")
+    ).withColumn("h", F.md5(F.col("para")))
+    first = (
+        exploded.groupBy("h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"))
+        .select(
+            "h",
+            F.col(f"_w.{id_col}").alias("_wid"),
+            F.col("_w.pos").alias("_wpos"),
+        )
+    )
+    kept = (
+        exploded.join(first, "h")
+        .where(
+            (F.col(id_col) == F.col("_wid")) & (F.col("pos") == F.col("_wpos"))
+        )
+        .select(id_col, "pos", "para")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, para))),"
+                " s -> s.para)"
+            ),
+            sep,
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(paras).cast("long").alias("n_paras")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            "n_paras",
+            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy(F.col(id_col).asc())
+    )

@@ -69,3 +69,54 @@ def mine_hard_negatives(
         ),
     )
     return ranked.where(F.col("rank") <= k).orderBy("query_id", "rank")
+
+
+def ict_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_sentences: int = 2,
+) -> DataFrame:
+    """Inverse Cloze Task pairs (Lee et al. 2019, ORQA) — the standard
+    self-supervised pre-training data for dense retrievers: one sentence
+    per document becomes the pseudo-QUERY, the remaining sentences (in
+    order) the pseudo-CONTEXT the retriever must find. The picked
+    sentence index is a deterministic 60-bit hash of the doc id modulo
+    the sentence count (replayable under retries — a sampled pick is
+    not), mirroring the mixture/sampling ops' md5-cut convention.
+
+    Plan: pure array expressions over one corpus scan — split/trim/
+    filter, one element_at pick, one concat of the rest. ZERO shuffle;
+    at 10^12 docs this is a map-only pass, the cheapest possible shape.
+    Docs with < `min_sentences` sentences are dropped (no context would
+    remain).
+
+    Returns (id, n_sents, pick, query_sent, context)."""
+    sep_lit = sep.replace("\\", "\\\\").replace("'", "\\'")
+    from elasticsearch_assets_spark.operators.texthash import hash60_expr
+
+    sents = F.expr(
+        f"filter(transform(split({text_col}, '{sep_lit}'), s -> trim(s)),"
+        " s -> s != '')"
+    )
+    base = df.select(F.col(id_col), sents.alias("_s")).where(
+        F.size("_s") >= int(min_sentences)
+    )
+    pick = F.pmod(
+        hash60_expr(F.col(id_col).cast("string")), F.size("_s")
+    ).cast("int")
+    out = base.withColumn("pick", pick).select(
+        id_col,
+        F.size("_s").cast("long").alias("n_sents"),
+        F.col("pick").cast("long").alias("pick"),
+        F.element_at(F.col("_s"), F.col("pick") + 1).alias("query_sent"),
+        F.array_join(
+            F.concat(
+                F.slice(F.col("_s"), 1, F.col("pick")),
+                F.expr("slice(_s, pick + 2, size(_s) - pick - 1)"),
+            ),
+            " ",
+        ).alias("context"),
+    )
+    return out

@@ -54,8 +54,14 @@ def eql_sequence(
     ts_col: str = "ts",
     id_col: str = "event_id",
     until: "str | None" = None,
+    head: "int | None" = None,
 ) -> DataFrame:
     """Match ``sequence by `by` with maxspan [steps...] [until [u]]``.
+
+    `head` (the EQL ``| head N`` pipe): keep only the N chains whose
+    FIRST event is earliest (ties broken by the encoded (ts, id) key —
+    deterministic), the EQL result-pipe contract. Compiles to one
+    TakeOrderedAndProject over the chain rows — no extra shuffle.
 
     `steps` are Spark SQL boolean expressions (the engine's one script
     dialect), length >= 2. Returns one row per completed chain:
@@ -117,6 +123,8 @@ def eql_sequence(
         # kills the chain (k_u is the EARLIEST until after k_0, so
         # k_u >= last means none fell inside)
         out = out.where(F.col("k_u").isNull() | (F.col("k_u") >= last))
+    if head is not None:
+        out = out.orderBy(F.col("k_0").asc()).limit(int(head))
     return out.select(*out_cols)
 
 

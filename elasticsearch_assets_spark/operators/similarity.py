@@ -970,3 +970,46 @@ def truncate_embeddings(
     )
     unit = F.transform(v, lambda x: x.cast("double") / n)
     return df.select(F.col(id_col), unit.alias(vec_col))
+
+
+def multi_knn(
+    df: DataFrame,
+    clauses: "list[dict]",
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multiple `knn` clauses in one search (ES 8.7): each clause is
+    {"query_vec": [...], "k": per-clause candidates, "boost": weight};
+    a document found by several clauses sums their boosted similarities
+    (the ES multi-kNN combination), then the global top-k is cut.
+
+    Plan: one exact cosine top-k_c per clause (each a
+    TakeOrderedAndProject over the same scan — Spark reuses the
+    exchange), union of ≤ Σk_c rows, ONE hash agg on the id, final
+    global cut. The per-clause retrievals are where the ANN variants
+    swap in at scale (quantized/IVF/LSH topk are drop-in: same (id,
+    score) contract)."""
+    if not clauses:
+        raise ValueError("multi_knn needs >= 1 clause")
+    parts = []
+    for c in clauses:
+        boost = float(c.get("boost", 1.0))
+        part = cosine_topk(
+            df, c["query_vec"], k=int(c.get("k", k)),
+            vec_col=vec_col, id_col=id_col,
+        ).select(
+            F.col(id_col),
+            (F.col("score") * F.lit(boost)).alias("score"),
+        )
+        parts.append(part)
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (
+        union.groupBy(id_col)
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

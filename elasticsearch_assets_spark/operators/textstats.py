@@ -1572,3 +1572,41 @@ SELECT doc_id,
                      x -> x != ''), ' ') END AS fim
 FROM p
 """
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage / OOV rate per document — the
+    pre-training diagnostic that decides whether a tokenizer's vocab fits
+    a corpus (high OOV ⇒ fertility blows up on exactly these docs; pairs
+    with textstats.tokenizer_fertility). `vocab` is the known-token list
+    (e.g. the top-N corpus terms or a tokenizer's word-level vocab
+    export), folded into the plan as ONE literal array — at real vocab
+    sizes (≤ a few 100k strings) this stays an executor-local array
+    probe; beyond that, join against a vocab table instead.
+
+    Plan: tokenize (the frozen analyzer contract) + one array_contains
+    filter + size arithmetic — pure JVM expressions, ZERO shuffle.
+
+    Returns (id, n_tokens, n_oov, oov_rate)."""
+    vset = sorted(set(vocab))
+    varr = F.array(*[F.lit(v) for v in vset])
+    toks = tokens_expr(text_col)
+    staged = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: ~F.array_contains(varr, t))
+        ).cast("long").alias("n_oov"),
+    )
+    return staged.select(
+        id_col, "n_tokens", "n_oov",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)).alias("oov_rate"),
+    )

@@ -1484,6 +1484,175 @@ class InvertedIndex:
                 cols.append(F.col(c))
         return joined.select(*cols)
 
+    def match_all(
+        self, corpus: DataFrame, k: int | None = None, id_col: str = "doc_id"
+    ) -> DataFrame:
+        """ES match_all: every LIVE document scores a constant 1.0 (the
+        Lucene MatchAllDocsQuery contract). Tombstones are excluded the
+        same way the ranked kernels exclude them; order is the engine's
+        deterministic tie-break (score ties ⇒ doc_id ASC), so a k-cut is
+        stable. One corpus scan, no index access — ES answers match_all
+        from live-docs bitsets, the engine's analog is the stored-fields
+        scan with the tombstone anti-filter."""
+        out = corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.lit(1.0).cast("double").alias("score"),
+        )
+        ts = self.tombstones
+        if ts is not None and getattr(ts, "size", 0):
+            tomb = self.spark.createDataFrame(
+                [(int(i),) for i in ts], "doc_id long"
+            )
+            out = out.join(F.broadcast(tomb), "doc_id", "left_anti")
+        out = out.orderBy(F.col("doc_id").asc())
+        return out.limit(k) if k is not None else out
+
+    def search_match(
+        self,
+        query: str,
+        k: int | None = 10,
+        mode: str = "and",
+        *,
+        zero_terms_query: str = "none",
+        corpus: DataFrame | None = None,
+        **kw,
+    ) -> DataFrame:
+        """The ES `match` query surface: analyze `query` with the index
+        tokenizer, then rank. `zero_terms_query` decides what an
+        all-stopwords/punctuation query (zero tokens after analysis)
+        returns — "none" (ES default): no hits; "all": match_all over the
+        stored-fields `corpus` (required then). Non-empty queries
+        delegate to search() unchanged (every kernel knob passes
+        through **kw)."""
+        if zero_terms_query not in ("none", "all"):
+            raise ValueError(
+                f"zero_terms_query must be 'none'|'all', got {zero_terms_query!r}"
+            )
+        terms = tokenize(query)
+        if terms:
+            return self.search(terms, k=k, mode=mode, **kw)
+        if zero_terms_query == "none":
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if corpus is None:
+            raise ValueError("zero_terms_query='all' needs the corpus DataFrame")
+        return self.match_all(corpus, k=k)
+
+    def search_post_filter(
+        self,
+        query: "str | list[str]",
+        post_filter: DataFrame,
+        k: int | None = 10,
+        mode: str = "and",
+        *,
+        id_col: str = "doc_id",
+        **kw,
+    ) -> DataFrame:
+        """ES post_filter: aggregations see EVERY query match; only the
+        hit list is additionally restricted (the faceted-navigation
+        pattern — facet counts stay global while the user's facet click
+        narrows the hits). Returns the top-k among post-filter survivors
+        plus `total_before_filter`, the unfiltered match count the agg
+        side computed (compose operators/facets.py over the same match
+        set for full agg trees).
+
+        Plan: ONE scored scan produces the match set (the aggregation
+        input — ES also touches every match to aggregate it); the hits
+        are a semi join against the filter ids + TakeOrderedAndProject,
+        rank-identical to search_filtered (BM25 scores are
+        filter-independent). The unfiltered total rides back as a 1-row
+        broadcast cross join — no driver collect."""
+        matched = self.search(query, k=None, mode=mode, **kw)
+        ids = post_filter.select(F.col(id_col).cast("long").alias("doc_id"))
+        hits = matched.join(ids, "doc_id", "semi").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        if k is not None:
+            hits = hits.limit(k)
+        total = matched.agg(
+            F.count("*").cast("long").alias("total_before_filter")
+        )
+        return hits.crossJoin(F.broadcast(total))
+
+    def search_tracked(
+        self,
+        query: "str | list[str]",
+        k: int | None = 10,
+        mode: str = "and",
+        *,
+        track_total_hits: int = 10_000,
+        **kw,
+    ) -> DataFrame:
+        """ES track_total_hits: hits carry `total_hits` counted only up
+        to the cap and `relation` ('eq' below the cap, 'gte' at it) — the
+        contract that lets ES stop counting at 10k instead of touching
+        every match. The engine's analog of the early stop is a
+        limit(cap+1) over the match-id stream: Spark's CollectLimit runs
+        incrementally (one partition, then 4x, ...), so a frequent term
+        never pays a full-corpus count just to say '10000+'."""
+        cap = int(track_total_hits)
+        if cap <= 0:
+            raise ValueError("track_total_hits must be positive")
+        hits = self.search(query, k=k, mode=mode, **kw)
+        probe = self.search(query, k=None, mode=mode, **kw).select("doc_id")
+        n = probe.limit(cap + 1).count()
+        total, rel = (cap, "gte") if n > cap else (n, "eq")
+        return hits.select(
+            "doc_id", "score",
+            F.lit(int(total)).cast("long").alias("total_hits"),
+            F.lit(rel).alias("relation"),
+        )
+
+    def fetch_fields(
+        self,
+        hits: DataFrame,
+        stored: DataFrame,
+        fields: "list[str | dict]",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """The ES `fields` API: project requested stored fields onto a hit
+        list, with per-field output formatting — entries are names,
+        `*`-wildcards (expanded against the stored schema in name order),
+        or {"field": name, "format": pattern} for date/timestamp columns
+        (Spark date_format; output is a STRING, the ES fields-API
+        contract — formatted values serialize as text). Unknown names
+        raise, like every strict surface here.
+
+        Plan: the hit list is k-bounded, so it broadcasts into the stored
+        scan; only the requested columns survive the projection (column
+        pruning reaches the parquet footer)."""
+        import fnmatch
+
+        cols: list = []
+        seen: set[str] = set()
+        for f in fields:
+            if isinstance(f, dict):
+                name, fmt = f["field"], f.get("format")
+            else:
+                name, fmt = f, None
+            if "*" in name:
+                matches = sorted(fnmatch.filter(stored.columns, name))
+                if not matches:
+                    raise ValueError(f"fields: no column matches {name!r}")
+                for m in matches:
+                    if m not in seen:
+                        seen.add(m)
+                        cols.append(F.col(m))
+                continue
+            if name not in stored.columns:
+                raise ValueError(f"fields: unknown column {name!r}")
+            if name in seen:
+                continue
+            seen.add(name)
+            if fmt is not None:
+                cols.append(F.date_format(F.col(name), fmt).alias(name))
+            else:
+                cols.append(F.col(name))
+        ids = hits.select(
+            F.col(id_col).cast("long").alias(id_col), "score"
+        )
+        side = stored.select(F.col(id_col).cast("long").alias(id_col), *cols)
+        return F.broadcast(ids).join(side, id_col, "inner")
+
     def search_named(
         self, named: "dict[str, list[str]]", k: int | None = 10
     ) -> DataFrame:
