@@ -239,6 +239,8 @@ def _bm25_body(
     having: str = "",
     boost: str = "",
     corpus_where: str | None = None,
+    k1: float = K1,
+    b: float = B,
 ) -> str:
     """The shared BM25 CTE chain (toks → dl → stats → tf → df → scored)
     so composite oracles (pinned ranks, feature boosts) can attach their
@@ -261,7 +263,7 @@ df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
          sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)){boost}
-              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+              * tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) ) AS s
   FROM stats, tf
   JOIN df USING (term) JOIN dl USING (doc_id)
   GROUP BY tf.doc_id
@@ -13461,6 +13463,109 @@ FROM m ORDER BY doc_id
 """
 
 
+def _bm25_custom_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES custom BM25 similarity (index-settings `similarity` block,
+    k1=1.6 / b=0.3): the constants live in index meta, so every kernel
+    re-ranks consistently. The row hard-link-clones the committed docs
+    index (metadata-only, the PIT/snapshot machinery) and rewrites only
+    its meta — same postings, different scorer
+    (index.stats.set_similarity)."""
+    import shutil
+
+    from elasticsearch_assets_spark.index.stats import set_similarity
+    from elasticsearch_assets_spark.query.engine import clone_index_files
+
+    base = _docs_index(spark, sf_dir)
+    d = _idx_dir(sf_dir, "_documents_sim")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    clone_index_files(base.index_dir, d)
+    set_similarity(d, k1=1.6, b=0.3)
+    idx = InvertedIndex(spark, d)
+    res = idx.search(["spark", "join"], k=None, mode="or")
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_custom_sim_sql() -> str:
+    body = _bm25_body("term IN ('join', 'spark')", k1=1.6, b=0.3)
+    return f"""
+WITH {body}
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, doc_id ASC
+"""
+
+
+def _facet_hist_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram hard_bounds (7.10): the bucket space is CLIPPED to
+    [300, 1300] — keys outside never bucket (the predicate lands before
+    the count shuffle, ES's bucket-explosion guard) and extended_bounds
+    only widen inside the clip (facets.facet_histogram_bounds)."""
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_histogram_bounds,
+    )
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = facet_histogram_bounds(
+        matches, docs, "n_chars", 200.0,
+        offset=50.0, extended_lo=0.0, extended_hi=1999.0,
+        hard_lo=300.0, hard_hi=1300.0,
+    )
+    return out.select("bucket", "doc_count")
+
+
+_FACET_HIST_HARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+hist AS (
+  SELECT bucket, count(*)::BIGINT AS doc_count FROM (
+    SELECT (floor((d.n_chars - 50.0) / 200.0) * 200.0 + 50.0)::DOUBLE
+      AS bucket
+    FROM documents d JOIN m USING (doc_id)
+  ) WHERE bucket >= 250.0 AND bucket <= 1250.0 GROUP BY bucket
+),
+spine AS (
+  SELECT (k * 200.0 + 50.0)::DOUBLE AS bucket FROM range(1, 7) r(k)
+)
+SELECT s.bucket, coalesce(h.doc_count, 0)::BIGINT AS doc_count
+FROM spine s LEFT JOIN hist h USING (bucket) ORDER BY s.bucket
+"""
+
+
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent corpus diagnostic: alpha = -regr_slope(ln freq,
+    ln rank) over the 64 most frequent terms (deterministic (freq DESC,
+    term ASC) ranks) — one tokenize + vocab-sized hash agg + one window
+    + one aggregate (textstats.zipf_fit)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = OT.zipf_fit(docs, top=64)
+    return out.select(
+        _f4("alpha").alias("alpha"), "n_vocab", "n_top"
+    )
+
+
+def _zipf_fit_sql() -> str:
+    from elasticsearch_assets_spark.operators.texthash import tokens_sql
+
+    return f"""
+WITH s AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents),
+t AS (SELECT unnest(toks) AS term FROM s),
+tf AS (SELECT term, count(*)::DOUBLE AS c FROM t GROUP BY term),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS r FROM tf
+  QUALIFY r <= 64
+)
+SELECT floor((-regr_slope(ln(c), ln(r::DOUBLE))) * 10000.0 + 0.5) / 10000.0
+         AS alpha,
+       (SELECT count(*) FROM tf)::BIGINT AS n_vocab,
+       count(*)::BIGINT AS n_top
+FROM ranked
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -13861,6 +13966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _paragraph_dedup,
         "ict_pairs": _ict_pairs,
         "vocab_coverage": _vocab_coverage,
+        "bm25_custom_sim": _bm25_custom_sim,
+        "facet_hist_hard": _facet_hist_hard,
+        "zipf_fit": _zipf_fit,
     }
 
 
@@ -14305,6 +14413,9 @@ FROM topk JOIN documents USING (doc_id)
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "ict_pairs": _ICT_PAIRS_SQL,
         "vocab_coverage": _vocab_coverage_sql(),
+        "bm25_custom_sim": _bm25_custom_sim_sql(),
+        "facet_hist_hard": _FACET_HIST_HARD_SQL,
+        "zipf_fit": _zipf_fit_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -608,6 +608,27 @@ def main() -> None:
     )
     _sh.rmtree(_sorted_dir, ignore_errors=True)
 
+    # --- round-3 session-9 ops ------------------------------------------
+    # paragraph keep-first dedup + ICT pair generation over a line-derived
+    # corpus; post_filter's one-scan hits+total shape at 80% selectivity
+    from elasticsearch_assets_spark.operators.mining import ict_pairs
+
+    wrapped = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", " a ", ".\n"), " the ", "…\n- "
+        ).alias("text"),
+    )
+    op_best("op_paragraph_dedup", lambda: OD.paragraph_dedup(wrapped).count())
+    op_best("op_ict_pairs", lambda: ict_pairs(wrapped).count())
+    _pf = corpus.where(F.col("doc_id") % 5 != 0)
+    q_best(
+        "q_post_filter",
+        lambda: idx.search_post_filter(
+            ["spark", "join"], _pf, k=10, mode="or"
+        ).collect(),
+    )
+
     total = time.monotonic() - t_total
     print(
         json.dumps(

@@ -106,3 +106,24 @@ def disk_usage(index_dir: str) -> "list[dict]":
         }
         for (s, c), v in sorted(out.items())
     ]
+
+
+def set_similarity(index_dir: str, k1: float, b: float) -> IndexMeta:
+    """ES custom BM25 similarity (the index-settings `similarity` block:
+    `{"type": "BM25", "k1": ..., "b": ...}`): the constants live in the
+    index metadata — every scorer (distributed kernels, serving path,
+    explain) reads them from meta, so changing them here re-ranks
+    consistently everywhere. Like ES, this is an index-level setting, not
+    a per-query knob; changing it on a live index is the ES
+    close-update-reopen flow (open handles cache meta — re-open the
+    InvertedIndex after calling this).
+
+    meta.save is temp + os.replace, so the update is safe on hard-link
+    clones (PIT / snapshot / split)."""
+    if k1 < 0 or not (0.0 <= b <= 1.0):
+        raise ValueError("BM25 needs k1 >= 0 and 0 <= b <= 1")
+    meta = load_meta(index_dir)
+    meta.k1 = float(k1)
+    meta.b = float(b)
+    meta.save(index_dir)
+    return meta

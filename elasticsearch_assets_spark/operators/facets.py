@@ -2415,13 +2415,22 @@ def facet_histogram_bounds(
     offset: float = 0.0,
     extended_lo: float,
     extended_hi: float,
+    hard_lo: float | None = None,
+    hard_hi: float | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """ES histogram with `offset`, `extended_bounds`, and min_doc_count=0:
-    bucket key = floor((value - offset) / interval) * interval + offset,
-    and EVERY bucket between the extended bounds appears (zero-count rows
-    included) — the Kibana-chart contract facet_histogram's
-    min_doc_count=1 shape can't give.
+    """ES histogram with `offset`, `extended_bounds`, `hard_bounds`, and
+    min_doc_count=0: bucket key = floor((value - offset) / interval) *
+    interval + offset, and EVERY bucket between the extended bounds
+    appears (zero-count rows included) — the Kibana-chart contract
+    facet_histogram's min_doc_count=1 shape can't give.
+
+    `hard_bounds` (ES 7.10) CLIPS the bucket space: buckets whose key
+    falls outside [hard_lo, hard_hi] are not returned, and values outside
+    never create buckets — ES's guard against a runaway bucket explosion
+    from one outlier value; the predicate lands BEFORE the count shuffle,
+    so the guard also caps the shuffle. extended_bounds can only widen
+    INSIDE the hard bounds (the ES contract).
 
     Plan: the counted histogram is the usual semi-join + hash agg; the
     dense bucket spine is a literal sequence (O(buckets) rows, broadcast)
@@ -2430,6 +2439,8 @@ def facet_histogram_bounds(
         raise ValueError("interval must be positive")
     if extended_hi < extended_lo:
         raise ValueError("extended bounds must be ordered")
+    if (hard_lo is None) != (hard_hi is None):
+        raise ValueError("hard_bounds needs both lo and hi")
     spark = matches.sparkSession
     joined = corpus.join(
         matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
@@ -2438,11 +2449,22 @@ def facet_histogram_bounds(
         F.floor((F.col(col) - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
         + F.lit(offset)
     ).cast("double")
+    import math
+
+    if hard_lo is not None:
+        if hard_hi < hard_lo:
+            raise ValueError("hard bounds must be ordered")
+        # bucket-key clip, evaluated before the count shuffle
+        hk_lo = math.floor((hard_lo - offset) / interval) * interval + offset
+        hk_hi = math.floor((hard_hi - offset) / interval) * interval + offset
+        joined = joined.where(
+            (key >= F.lit(hk_lo)) & (key <= F.lit(hk_hi))
+        )
+        extended_lo = max(extended_lo, hard_lo)
+        extended_hi = min(extended_hi, hard_hi)
     hist = joined.groupBy(key.alias("bucket")).agg(
         F.count(F.lit(1)).alias("doc_count")
     )
-    import math
-
     lo_k = math.floor((extended_lo - offset) / interval)
     hi_k = math.floor((extended_hi - offset) / interval)
     spine = spark.createDataFrame(

@@ -1610,3 +1610,41 @@ def vocab_coverage(
             F.col("n_oov").cast("double") / F.col("n_tokens"),
         ).otherwise(F.lit(0.0)).alias("oov_rate"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 64,
+) -> DataFrame:
+    """Zipf-law fit over the corpus term-frequency distribution — the
+    classic corpus-health diagnostic (natural text follows freq ∝
+    rank^-alpha with alpha ≈ 1; template/spam corpora bend the curve):
+    least-squares slope of ln(freq) on ln(rank) over the `top` most
+    frequent terms, alpha = -slope.
+
+    Plan: one tokenize + hash agg builds the term-frequency table (the
+    same vocabulary-sized reduction the index's stats pass does), a
+    row_number window ranks it (vocab-sized, the bounded-window argument
+    every facet op uses), regr_slope folds the top slice in one
+    aggregate. Ties rank deterministically by (freq DESC, term ASC).
+
+    Returns one row (alpha, n_vocab, n_top)."""
+    tf = (
+        df.select(F.explode(tokens_expr(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = tf.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= int(top)
+    )
+    fit = ranked.agg(
+        (-F.regr_slope(F.ln("c"), F.ln(F.col("r").cast("double")))).alias(
+            "alpha"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+    )
+    vocab = tf.agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    return fit.crossJoin(vocab).select("alpha", "n_vocab", "n_top")

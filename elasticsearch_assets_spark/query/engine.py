@@ -1653,6 +1653,42 @@ class InvertedIndex:
         side = stored.select(F.col(id_col).cast("long").alias(id_col), *cols)
         return F.broadcast(ids).join(side, id_col, "inner")
 
+    def profile(
+        self,
+        query: "str | list[str]",
+        k: int | None = 10,
+        mode: str = "and",
+        **kw,
+    ) -> dict:
+        """ES `profile=true`: run the query and return a timing + plan
+        breakdown next to the hits. ES profiles Lucene collector phases;
+        the engine's equivalent phases are planning (Catalyst analysis +
+        physical planning of the scoring DataFrame) and execution (the
+        distributed collect). The physical plan string is the engine's
+        analog of ES's per-shard query breakdown — it shows the pushed
+        term filter, the per-segment scoring exchange, and the global
+        top-k, the three phases every profile question is about.
+
+        Returns {"hits": list[Row], "took_ms", "planning_ms",
+        "execution_ms", "plan": str}. Diagnostic surface — not a
+        DataFrame op; don't put it in a data path."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        df = self.search(query, k=k, mode=mode, **kw)
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        t1 = _time.monotonic()
+        hits = df.collect()
+        t2 = _time.monotonic()
+        return {
+            "hits": hits,
+            "took_ms": round((t2 - t0) * 1000.0, 3),
+            "planning_ms": round((t1 - t0) * 1000.0, 3),
+            "execution_ms": round((t2 - t1) * 1000.0, 3),
+            "plan": plan,
+        }
+
     def search_named(
         self, named: "dict[str, list[str]]", k: int | None = 10
     ) -> DataFrame:

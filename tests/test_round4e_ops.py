@@ -347,3 +347,83 @@ def test_vocab_coverage_counts(spark):
     assert out[2]["n_oov"] == 0 and out[2]["oov_rate"] == 0.0
     # zero tokens -> rate 0.0, not NaN
     assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# histogram hard_bounds / custom similarity / zipf / profile
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_hard_bounds_clips(spark):
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_histogram_bounds,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0), (4, 95.0)], "doc_id long, v double"
+    )
+    matches = corpus.select("doc_id")
+    out = facet_histogram_bounds(
+        matches, corpus, "v", 10.0,
+        extended_lo=0.0, extended_hi=99.0, hard_lo=10.0, hard_hi=30.0,
+    ).collect()
+    # buckets clipped to [10, 30]; value 5 and 95 never bucket
+    assert [(r["bucket"], r["doc_count"]) for r in out] == [
+        (10.0, 1), (20.0, 1), (30.0, 0),
+    ]
+    with pytest.raises(ValueError):
+        facet_histogram_bounds(
+            matches, corpus, "v", 10.0,
+            extended_lo=0.0, extended_hi=99.0, hard_lo=10.0,
+        )
+
+
+def test_set_similarity_reranks(spark, idx, tmp_path):
+    import os
+
+    from elasticsearch_assets_spark.index.stats import (
+        load_meta, set_similarity,
+    )
+    from elasticsearch_assets_spark.query.engine import (
+        InvertedIndex, clone_index_files,
+    )
+
+    d = str(tmp_path / "sim")
+    os.makedirs(d, exist_ok=True)
+    clone_index_files(idx.index_dir, d)
+    set_similarity(d, k1=0.0, b=0.0)  # k1=0 -> pure idf, tf ignored
+    idx2 = InvertedIndex(spark, d)
+    base = {r["doc_id"]: r["score"] for r in idx.search(["spark"], k=None, mode="or").collect()}
+    flat = {r["doc_id"]: r["score"] for r in idx2.search(["spark"], k=None, mode="or").collect()}
+    # same match set, and with k1=0 every match scores identical (idf only)
+    assert set(base) == set(flat)
+    assert len(set(flat.values())) == 1
+    assert len(set(base.values())) > 1  # tf=2 doc scored higher before
+    # source index meta untouched (hard-link safety)
+    assert load_meta(idx.index_dir).k1 != 0.0
+    with pytest.raises(ValueError):
+        set_similarity(d, k1=-1.0, b=0.5)
+    with pytest.raises(ValueError):
+        set_similarity(d, k1=1.2, b=1.5)
+
+
+def test_zipf_fit_known_distribution(spark):
+    from elasticsearch_assets_spark.operators.textstats import zipf_fit
+
+    # freq exactly proportional to 1/rank -> alpha == 1 (exact fit)
+    words = []
+    for rank, w in enumerate(["w1", "w2", "w3", "w4"], start=1):
+        words += [w] * (120 // rank)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = zipf_fit(docs, top=4).collect()[0]
+    assert abs(r["alpha"] - 1.0) < 0.02
+    assert r["n_vocab"] == 4 and r["n_top"] == 4
+
+
+def test_profile_returns_plan_and_hits(idx):
+    p = idx.profile(["spark"], k=3, mode="or")
+    assert len(p["hits"]) == 3
+    assert p["execution_ms"] > 0 and p["planning_ms"] >= 0
+    assert "TakeOrdered" in p["plan"] or "CollectLimit" in p["plan"]
