@@ -13566,6 +13566,45 @@ FROM ranked
 """
 
 
+
+
+def _ann_nested_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN over a nested dense_vector field: parents rank by their
+    BEST passage's cosine, `best_chunk` = the argmax passage ordinal (the
+    inner_hits contract). Passages derive from the flat embeddings by the
+    shared 4x16 chunking; the query is embedding 0's first chunk
+    (similarity.nested_knn over chunk_vectors)."""
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]][:16]
+    nested = OS.chunk_vectors(emb, 4)
+    out = OS.nested_knn(nested, qv, k=10)
+    return out.select("vec_id", _f4("score").alias("score"), "best_chunk")
+
+
+def _ann_nested_best_sql() -> str:
+    chunk_cos = []
+    for j in range(4):
+        off = j * 16
+        dot = (f"(SELECT sum(a.embedding[{off} + i]::DOUBLE * b.embedding[i]::DOUBLE) "
+               f"FROM range(1, 17) r(i))")
+        na = (f"sqrt((SELECT sum(a.embedding[{off} + i]::DOUBLE * a.embedding[{off} + i]::DOUBLE) "
+              f"FROM range(1, 17) r(i)))")
+        nb = ("sqrt((SELECT sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) "
+              "FROM range(1, 17) r(i)))")
+        chunk_cos.append(f"({dot}) / (({na}) * ({nb}))")
+    cols = ", ".join(f"({c}) AS c{j}" for j, c in enumerate(chunk_cos))
+    best = ("CASE WHEN c0 = s THEN 0 WHEN c1 = s THEN 1 "
+            "WHEN c2 = s THEN 2 ELSE 3 END")
+    return f"""
+WITH q AS (SELECT embedding[1:16] AS embedding FROM embeddings WHERE vec_id = 0),
+per AS (SELECT a.vec_id AS vec_id, {cols} FROM embeddings a, q b),
+m AS (SELECT vec_id, c0, c1, c2, c3, greatest(c0, c1, c2, c3) AS s FROM per)
+SELECT vec_id, floor(s * 10000.0 + 0.5) / 10000.0 AS score,
+       ({best})::INT AS best_chunk
+FROM m ORDER BY s DESC, vec_id ASC LIMIT 10
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -13969,6 +14008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_custom_sim": _bm25_custom_sim,
         "facet_hist_hard": _facet_hist_hard,
         "zipf_fit": _zipf_fit,
+        "ann_nested_best": _ann_nested_best,
     }
 
 
@@ -14416,6 +14456,7 @@ FROM topk JOIN documents USING (doc_id)
         "bm25_custom_sim": _bm25_custom_sim_sql(),
         "facet_hist_hard": _FACET_HIST_HARD_SQL,
         "zipf_fit": _zipf_fit_sql(),
+        "ann_nested_best": _ann_nested_best_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

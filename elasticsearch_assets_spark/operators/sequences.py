@@ -55,13 +55,16 @@ def eql_sequence(
     id_col: str = "event_id",
     until: "str | None" = None,
     head: "int | None" = None,
+    tail: "int | None" = None,
 ) -> DataFrame:
     """Match ``sequence by `by` with maxspan [steps...] [until [u]]``.
 
-    `head` (the EQL ``| head N`` pipe): keep only the N chains whose
-    FIRST event is earliest (ties broken by the encoded (ts, id) key —
-    deterministic), the EQL result-pipe contract. Compiles to one
+    `head` / `tail` (the EQL ``| head N`` / ``| tail N`` result pipes):
+    keep only the N chains whose FIRST event is earliest (head) or
+    latest (tail), ties broken by the encoded (ts, id) key —
+    deterministic, the EQL result-pipe contract. Each compiles to one
     TakeOrderedAndProject over the chain rows — no extra shuffle.
+    Mutually exclusive, like piping in EQL.
 
     `steps` are Spark SQL boolean expressions (the engine's one script
     dialect), length >= 2. Returns one row per completed chain:
@@ -123,8 +126,12 @@ def eql_sequence(
         # kills the chain (k_u is the EARLIEST until after k_0, so
         # k_u >= last means none fell inside)
         out = out.where(F.col("k_u").isNull() | (F.col("k_u") >= last))
+    if head is not None and tail is not None:
+        raise ValueError("head and tail are mutually exclusive pipes")
     if head is not None:
         out = out.orderBy(F.col("k_0").asc()).limit(int(head))
+    if tail is not None:
+        out = out.orderBy(F.col("k_0").desc()).limit(int(tail))
     return out.select(*out_cols)
 
 

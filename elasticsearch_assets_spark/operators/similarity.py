@@ -1013,3 +1013,35 @@ def multi_knn(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def nested_knn(
+    df: DataFrame,
+    query_vec: "list[float]",
+    k: int = 10,
+    *,
+    vecs_col: str = "vectors",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ES kNN over a NESTED dense_vector field (long-doc retrieval:
+    each parent doc holds N passage vectors): parents rank by their BEST
+    passage's cosine — ES dedups nested hits to the parent by max child
+    score — and `best_chunk` carries the 0-based argmax passage ordinal
+    (first occurrence on ties), the `inner_hits` contract.
+
+    Plan: per-row JVM max over the passage array + one array_position
+    argmax — zero shuffle before the global TakeOrderedAndProject, the
+    same scan shape as cosine_topk; at 10^12 docs the quantized /
+    IVF-probed variants compose per passage exactly like the flat ops."""
+    qa = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    cos = lambda dv: dot_expr(dv, qa) / (norm_expr(dv) * F.lit(qn))  # noqa: E731
+    sims = F.transform(F.col(vecs_col), cos)
+    out = df.select(
+        F.col(id_col),
+        F.array_max(sims).alias("score"),
+        (F.array_position(sims, F.array_max(sims)) - 1)
+        .cast("int")
+        .alias("best_chunk"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -427,3 +427,46 @@ def test_profile_returns_plan_and_hits(idx):
     assert len(p["hits"]) == 3
     assert p["execution_ms"] > 0 and p["planning_ms"] >= 0
     assert "TakeOrdered" in p["plan"] or "CollectLimit" in p["plan"]
+
+
+def test_eql_tail_latest_chains(spark):
+    from elasticsearch_assets_spark.operators.sequences import eql_sequence
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, minute in [("a", 0), ("b", 10), ("c", 20), ("d", 30)]:
+        rows.append((u, "view", t0 + dt.timedelta(minutes=minute), eid))
+        eid += 1
+        rows.append((u, "error", t0 + dt.timedelta(minutes=minute + 1), eid))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp, event_id long"
+    )
+    tail2 = eql_sequence(
+        df, "user_id", ["event_type = 'view'", "event_type = 'error'"],
+        3600, tail=2,
+    )
+    assert sorted(r["user_id"] for r in tail2.collect()) == ["c", "d"]
+    with pytest.raises(ValueError):
+        eql_sequence(
+            df, "user_id", ["event_type = 'view'", "event_type = 'error'"],
+            3600, head=1, tail=1,
+        )
+
+
+def test_nested_knn_best_passage(spark):
+    from elasticsearch_assets_spark.operators.similarity import nested_knn
+
+    rows = [
+        (1, [[1.0, 0.0], [0.0, 1.0]]),   # chunk 0 aligned with query
+        (2, [[0.0, 1.0], [0.8, 0.6]]),   # best is chunk 1 (cos 0.8)
+        (3, [[0.0, -1.0], [-1.0, 0.0]]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vectors array<array<double>>")
+    out = nested_knn(df, [1.0, 0.0], k=3).collect()
+    got = {r["vec_id"]: (round(r["score"], 6), r["best_chunk"]) for r in out}
+    assert got[1] == (1.0, 0)
+    assert got[2] == (0.8, 1)
+    assert got[3] == (0.0, 0)  # chunks score 0 and -1; max 0 at ordinal 0
+    # ranked by best passage: 1, 2, 3
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
