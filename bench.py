@@ -608,6 +608,46 @@ def main() -> None:
     )
     _sh.rmtree(_sorted_dir, ignore_errors=True)
 
+    # compaction throughput: hard-link clone of the pages index merged
+    # 32 -> 8 segments with tombstone purge (the steady-state operational
+    # cost of the delete/merge path; clone keeps the bench index intact)
+    import shutil as _sh9
+    import uuid as _uuid9
+
+    from elasticsearch_assets_spark.index.merge import merge_segments
+    from elasticsearch_assets_spark.index.tombstones import add_tombstones
+    from elasticsearch_assets_spark.query.engine import clone_index_files
+
+    def _compact_once() -> None:
+        d = f"/tmp/esa_bench_compact_{_uuid9.uuid4().hex[:8]}"
+        os.makedirs(d, exist_ok=True)
+        clone_index_files(f"/tmp/esa_bench_idx_{N_PAGES}", d)
+        add_tombstones(d, list(range(0, N_PAGES, 13)))
+        merge_segments(spark, d, 8, apply_tombstones=True)
+        _sh9.rmtree(d, ignore_errors=True)
+
+    op_best("op_compaction_purge", _compact_once, reps=1)
+
+    # ANN quality-at-speed: recall@10 of the bucketed/quantized paths vs
+    # the exact top-10 (the numbers a 100 TB deployment trades on)
+    exact10 = {
+        r["vec_id"]
+        for r in OS.cosine_topk(emb, qv, k=10).collect()
+    }
+    lsh10 = {
+        r["vec_id"]
+        for r in OS.ann_topk_lsh(emb, qv, k=10, n_planes=8, multiprobe=8).collect()
+    }
+    int810 = {
+        r["vec_id"] for r in OS.quantized_cosine_topk(emb, qv, k=10).collect()
+    }
+    bbq10 = {
+        r["vec_id"] for r in OS.ann_topk_binary(emb, qv, k=10, rerank=128).collect()
+    }
+    extras["ann_lsh_recall10"] = round(len(exact10 & lsh10) / 10.0, 3)
+    extras["ann_int8_recall10"] = round(len(exact10 & int810) / 10.0, 3)
+    extras["ann_bbq_recall10"] = round(len(exact10 & bbq10) / 10.0, 3)
+
     # --- round-3 session-9 ops ------------------------------------------
     # paragraph keep-first dedup + ICT pair generation over a line-derived
     # corpus; post_filter's one-scan hits+total shape at 80% selectivity

@@ -562,6 +562,56 @@ def main() -> None:
         ),
     )
 
+    # --- session 9 -------------------------------------------------------
+    docs_pf = docs.where(F.col("doc_id") % 5 == 1)
+    add(
+        "post_filter (one scored scan feeds hits AND the agg-side total)",
+        "The hit side is a semi join against the filter ids followed by "
+        "TakeOrderedAndProject; the unfiltered match total attaches as a "
+        "1-row broadcast (BroadcastNestedLoopJoin over an aggregate of the "
+        "same scored plan) — no driver collect, no second corpus scan "
+        "beyond the shared scoring pass.",
+        idx.search_post_filter(["spark", "table"], docs_pf, k=10, mode="or"),
+    )
+    from elasticsearch_assets_spark.operators.similarity import (
+        chunk_vectors,
+        nested_knn,
+    )
+
+    qv16 = [float(i % 7 - 3) for i in range(16)]
+    add(
+        "nested kNN best-passage (zero shuffle before the global top-k)",
+        "Per-row JVM max over the passage array + argmax ordinal; the only "
+        "wide op is TakeOrderedAndProject — no Exchange before the cut.",
+        nested_knn(chunk_vectors(emb, 4), qv16, k=10),
+    )
+    add(
+        "paragraph keep-first dedup (hash-keyed min + ordered re-assembly)",
+        "Text fans out as rows once (posexplode); the winner election is "
+        "ONE hash aggregate keyed by the 32-byte paragraph hash (skew-free "
+        "key), re-assembly one groupBy(doc) with sort_array — no window "
+        "over text, no per-row Python.",
+        OD.paragraph_dedup(
+            docs.select(
+                "doc_id",
+                F.regexp_replace("text", " a ", ".\n").alias("text"),
+            )
+        ),
+    )
+    from elasticsearch_assets_spark.operators.mining import ict_pairs
+
+    add(
+        "ICT pair generation (map-only)",
+        "Pure array expressions over one corpus scan — the plan has no "
+        "Exchange at all (the cheapest possible 10^12-doc shape).",
+        ict_pairs(
+            docs.select(
+                "doc_id",
+                F.regexp_replace("text", " a ", ".\n").alias("text"),
+            )
+        ),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "
