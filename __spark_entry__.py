@@ -13605,6 +13605,43 @@ FROM m ORDER BY s DESC, vec_id ASC LIMIT 10
 """
 
 
+
+
+def _bm25_wildcard_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-wildcard query `*ark*` through the trigram-accelerated
+    dictionary (the ES `wildcard` field type's n-gram subfield): candidate
+    terms come from a pushed gram lookup instead of the full-dictionary
+    regex a leading `*` forces, the glob regex verifies candidates only —
+    expansion- and rank-identical to the brute-force path
+    (engine.search_wildcard_trigram)."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search_wildcard_trigram("*ark*", k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): top-25 by ln(u)/w with u = the shared 60-bit md5-hash
+    uniform and w = n_chars — the quality-weighted curation pick,
+    replayable under retries, zero shuffle
+    (operators/sampling.weighted_sample)."""
+    from elasticsearch_assets_spark.operators.sampling import weighted_sample
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = weighted_sample(docs, 25, "n_chars")
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         ln((('0x' || substr(md5('esw1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             + 1.0) / 1152921504606846976.0) / n_chars::DOUBLE AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+) ORDER BY k DESC, doc_id ASC LIMIT 25
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14009,6 +14046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_hist_hard": _facet_hist_hard,
         "zipf_fit": _zipf_fit,
         "ann_nested_best": _ann_nested_best,
+        "bm25_wildcard_tri": _bm25_wildcard_tri,
+        "weighted_sample": _weighted_sample,
     }
 
 
@@ -14457,6 +14496,10 @@ FROM topk JOIN documents USING (doc_id)
         "facet_hist_hard": _FACET_HIST_HARD_SQL,
         "zipf_fit": _zipf_fit_sql(),
         "ann_nested_best": _ann_nested_best_sql(),
+        "bm25_wildcard_tri": _bm25_sql(
+            [], "or", None, term_cond="term LIKE '%ark%'"
+        ),
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -298,3 +298,58 @@ def curriculum_order(
         .withColumn("position", F.expr(w))
         .select(id_col, "shard", "position")
     )
+
+
+_HASH60_SPAN = float(1 << 60)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "esw1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws a reproducible uniform u ∈ (0, 1]
+    from the 60-bit md5 hash of (seed, id) and keys as ln(u) / w — the
+    top-n keys are exactly a weight-proportional sample without
+    replacement (the monotone transform of u^(1/w) that avoids pow). The
+    quality-weighted curation pick next to stratified_sample's rate cut:
+    "take the best-weighted 1M docs, diversity preserved by randomness,
+    replayable under retries".
+
+    Plan: one JVM hash + log expression, global TakeOrderedAndProject —
+    zero shuffle, no window, idempotent. Rows with NULL or non-positive
+    weights are dropped before keying (a zero-weight row must never be
+    drawn — the A-ES contract), documented here rather than raised
+    because weights are typically model scores with a clipped-at-zero
+    tail.
+
+    Returns the sampled rows (all input columns), deterministic order
+    (key DESC, id ASC)."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(_HASH60_SPAN)
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "_aes_key", F.ln(u) / w
+    )
+    out = (
+        keyed.orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
+        .limit(int(n))
+        .drop("_aes_key")
+    )
+    return out

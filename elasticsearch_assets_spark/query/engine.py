@@ -623,6 +623,48 @@ class InvertedIndex:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.search(terms, k=k, mode="or")
 
+    def expand_wildcard_trigram(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Wildcard expansion through the trigram dictionary (the ES
+        `wildcard` FIELD TYPE's n-gram acceleration): candidates must
+        contain every 3-gram of every literal run — a pushed `gram IN`
+        lookup instead of the full-dictionary regex a leading-`*` pattern
+        otherwise forces — then the glob regex verifies candidates only.
+        Expansion-identical to expand_wildcard (tested); patterns with no
+        3-gram (e.g. `a*b`) fall back to the plain scan. `max_expansions`
+        caps highest-df-first like every rewrite."""
+        from elasticsearch_assets_spark.query.expand import (
+            trigram_dictionary,
+            wildcard_candidates_trigram,
+        )
+
+        cand = wildcard_candidates_trigram(
+            trigram_dictionary(self.stats), pattern
+        )
+        if cand is None:
+            return self.expand_wildcard(pattern, max_expansions)
+        out = cand.join(self.stats, "term").select("term", "df")
+        if max_expansions is not None:
+            out = out.orderBy(F.col("df").desc(), F.col("term").asc()).limit(
+                max_expansions
+            )
+        return sorted(r["term"] for r in out.collect())
+
+    def search_wildcard_trigram(
+        self, pattern: str, k: int | None = 10,
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """search_wildcard through the trigram-accelerated expansion —
+        rank-identical to the brute-force path by construction (the
+        trigram filter is a necessary condition; the same regex verifies).
+        The path that keeps leading-wildcard queries off the full
+        dictionary at 10^12-doc vocab sizes."""
+        terms = self.expand_wildcard_trigram(pattern, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.search(terms, k=k, mode="or")
+
     def search_fuzzy(
         self,
         term: str,

@@ -292,3 +292,52 @@ def s_stem_sql(col: str) -> str:
         f"THEN substr({col}, 1, length({col}) - 1) "
         f"ELSE {col} END"
     )
+
+
+def wildcard_runs(pattern: str) -> "list[str]":
+    """Literal runs of a glob pattern (the text between `*`/`?`)."""
+    import re as _re
+
+    return [r for r in _re.split(r"[*?]+", pattern) if r]
+
+
+def trigram_dictionary(stats: DataFrame) -> DataFrame:
+    """(gram, term) rows derived from the term dictionary — the engine's
+    analog of the ES `wildcard` FIELD TYPE's n-gram subfield. Vocab-sized
+    (≤ ~len(term) grams per distinct term); at 10^12 docs persist it
+    gram-sorted next to stats/ at build time, so candidate lookups are a
+    pushed `gram IN (...)` scan instead of a full-dictionary regex."""
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(term) - 2, 0)),"
+        " i -> substring(term, i, 3))"
+    )
+    return stats.select(
+        F.explode(F.array_distinct(grams)).alias("gram"), "term"
+    )
+
+
+def wildcard_candidates_trigram(
+    tri: DataFrame, pattern: str
+) -> "DataFrame | None":
+    """Candidate dictionary terms for a glob via the trigram table: a term
+    qualifies only if it contains EVERY 3-gram of every literal run
+    (necessary condition), then the full glob regex verifies candidates
+    only — rank-identical to the brute-force dictionary scan by
+    construction. Returns None when no run yields a trigram (pattern too
+    wild — the caller falls back to the full scan, like ES does when the
+    n-gram subfield can't prune)."""
+    grams = sorted(
+        {run[i : i + 3] for run in wildcard_runs(pattern)
+         for i in range(len(run) - 2)}
+    )
+    if not grams:
+        return None
+    cand = (
+        tri.where(F.col("gram").isin(grams))
+        .groupBy("term")
+        .agg(F.count_distinct("gram").alias("_g"))
+        .where(F.col("_g") == len(grams))
+    )
+    return cand.where(
+        F.col("term").rlike(wildcard_to_regex(pattern))
+    ).select("term")

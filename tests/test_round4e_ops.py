@@ -470,3 +470,38 @@ def test_nested_knn_best_passage(spark):
     assert got[3] == (0.0, 0)  # chunks score 0 and -1; max 0 at ordinal 0
     # ranked by best passage: 1, 2, 3
     assert [r["vec_id"] for r in out] == [1, 2, 3]
+
+
+def test_wildcard_trigram_expansion_identical(spark, idx):
+    # every pattern's trigram expansion == brute-force expansion
+    for pat in ["*ark*", "s?a*", "*erge", "*a*"]:
+        assert idx.expand_wildcard_trigram(pat) == idx.expand_wildcard(pat), pat
+
+
+def test_wildcard_trigram_rank_identical(spark, idx):
+    a = idx.search_wildcard_trigram("*ark*", k=None).collect()
+    b = idx.search_wildcard("*ark*", k=None).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_weighted_sample_properties(spark):
+    from elasticsearch_assets_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 if i < 90 else 1000)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, 10, "w")
+    ids = [r["doc_id"] for r in out.collect()]
+    assert len(ids) == 10 and len(set(ids)) == 10
+    # the 10 heavy rows (w=1000, ids 90..99) should dominate the sample
+    assert sum(1 for i in ids if i >= 90) >= 8
+    # deterministic replay
+    assert ids == [r["doc_id"] for r in weighted_sample(df, 10, "w").collect()]
+    # zero/NULL weights never drawn
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 5.0)], "doc_id long, w double"
+    )
+    assert [r["doc_id"] for r in weighted_sample(df2, 3, "w").collect()] == [3]
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")
