@@ -13642,6 +13642,77 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 
+
+
+def _analyze_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _analyze with char_filters (the pre-tokenize slot): html_strip
+    (tags to one space + the five standard entities — analysis/extract's
+    shared SQL twin gives bit parity) then a pattern_replace digit wipe,
+    then the frozen tokenizer and a length gate. The `x&amp;y` probe makes
+    entity decoding observable (undecoded it would tokenize as x/amp/y)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    body = docs.where("doc_id = 1").head()["text"]
+    text = "<p>" + body + "</p> <b>x&amp;y</b> <a href='z'>link2go</a>"
+    toks = idx.analyze(
+        text,
+        filters=["length:2:10"],
+        char_filters=["html_strip", ("pattern_replace", "[0-9]+", " ")],
+    )
+    return spark.createDataFrame(
+        [(int(p), t) for p, t in toks], "position long, token string"
+    )
+
+
+def _analyze_html_sql() -> str:
+    from elasticsearch_assets_spark.analysis.extract import html_strip_sql
+    from elasticsearch_assets_spark.operators.texthash import tokens_sql
+
+    return f"""
+WITH raw AS (
+  SELECT '<p>' || text || '</p> <b>x&amp;y</b> <a href=''z''>link2go</a>'
+    AS x
+  FROM documents WHERE doc_id = 1
+),
+s AS (
+  SELECT regexp_replace({html_strip_sql("x")}, '[0-9]+', ' ', 'g') AS y
+  FROM raw
+),
+tk AS (SELECT {tokens_sql("y")} AS toks FROM s),
+e AS (
+  SELECT unnest(toks) AS token, generate_subscripts(toks, 1) AS ord FROM tk
+),
+kept AS (SELECT ord, token FROM e WHERE length(token) BETWEEN 2 AND 10)
+SELECT row_number() OVER (ORDER BY ord ASC) - 1 AS position, token FROM kept
+"""
+
+
+_HEAPS_LADDER = [50, 100, 200, 400]
+
+
+def _heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct terms among the doc_id < N
+    prefix at four ladder points — ONE tokenize + per-term min(doc_id)
+    reduction, then all points as conditional counts in a single
+    aggregate (textstats.heaps_curve; pairs with zipf_fit)."""
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OT.heaps_curve(docs, _HEAPS_LADDER)
+
+
+def _heaps_curve_sql() -> str:
+    from elasticsearch_assets_spark.operators.texthash import tokens_sql
+
+    vals = ", ".join(f"({n})" for n in _HEAPS_LADDER)
+    return f"""
+WITH s AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM s),
+f AS (SELECT term, min(doc_id) AS first FROM e GROUP BY term)
+SELECT n::BIGINT AS prefix_docs,
+       (SELECT count(*) FROM f WHERE first < n)::BIGINT AS vocab_size
+FROM (VALUES {vals}) v(n) ORDER BY prefix_docs
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14048,6 +14119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_nested_best": _ann_nested_best,
         "bm25_wildcard_tri": _bm25_wildcard_tri,
         "weighted_sample": _weighted_sample,
+        "analyze_html": _analyze_html,
+        "heaps_curve": _heaps_curve,
     }
 
 
@@ -14500,6 +14573,8 @@ FROM topk JOIN documents USING (doc_id)
             [], "or", None, term_cond="term LIKE '%ark%'"
         ),
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "analyze_html": _analyze_html_sql(),
+        "heaps_curve": _heaps_curve_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

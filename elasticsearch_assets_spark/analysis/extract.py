@@ -44,3 +44,35 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     inside an Arrow-transferred pandas UDF batch — no row-at-a-time Spark UDF.
     """
     return html.map(extract_text)
+
+
+# ---------------------------------------------------------------------------
+# html_strip char filter (the ES analyzer char_filter, distinct from the
+# byte-identity extractor above: strips EVERY tag, keeps all body text)
+# ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(r"<[^>]*>")
+_ENTITIES_STR = [(e.decode(), c.decode()) for e, c in _ENTITIES]
+
+
+def html_strip(text: str) -> str:
+    """ES `html_strip` char filter contract (documented subset): every
+    tag is replaced by one space (so adjacent words never fuse), then the
+    five standard entities unescape — `&amp;` last, single pass, same
+    ordering rule as extract_text. Runs BEFORE tokenization; the
+    tokenizer's non-alnum splitting absorbs the extra spaces."""
+    out = _TAG_RE.sub(" ", text)
+    for ent, ch in _ENTITIES_STR:
+        out = out.replace(ent, ch)
+    return out
+
+
+def html_strip_sql(col: str) -> str:
+    """DuckDB twin of html_strip — the same tag regex (shared Java/RE2
+    dialect) and the same entity replace ordering, for oracle parity."""
+    expr = f"regexp_replace({col}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in _ENTITIES_STR:
+        ent_sql = ent.replace("'", "''")
+        ch_sql = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent_sql}', '{ch_sql}')"
+    return expr

@@ -1648,3 +1648,51 @@ def zipf_fit(
     )
     vocab = tf.agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
     return fit.crossJoin(vocab).select("alpha", "n_vocab", "n_top")
+
+
+def heaps_curve(
+    df: DataFrame,
+    ladder: "list[int]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (the companion diagnostic to
+    zipf_fit): distinct-term count among the corpus prefix `doc_id < N`
+    for each ladder point — natural text grows vocab ∝ N^beta with
+    beta ≈ 0.5; a flattening curve betrays template/duplicated text.
+
+    Plan: the expensive reduction happens ONCE — tokenize + explode +
+    per-term min(doc_id) (the vocab-sized hash agg the index's stats pass
+    already proves scales); each ladder point is then one conditional
+    count over the vocab table, all K in a single aggregate pass. Exact,
+    not sampled; the prefix-by-id framing makes the answer deterministic
+    and oracle-checkable (a time-ordered corpus would use its timestamp
+    the same way).
+
+    Returns (prefix_docs, vocab_size), one row per ladder point."""
+    if not ladder:
+        raise ValueError("ladder must be non-empty")
+    first = (
+        df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.min(id_col).alias("_first"))
+    )
+    aggs = [
+        F.count_if(F.col("_first") < int(n)).cast("long").alias(f"_v{i}")
+        for i, n in enumerate(ladder)
+    ]
+    row = first.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(int(n)).cast("long").alias("prefix_docs"),
+                F.col(f"_v{i}").alias("vocab_size"),
+            )
+            for i, n in enumerate(ladder)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select("p.prefix_docs", "p.vocab_size")
+        .orderBy("prefix_docs")
+    )

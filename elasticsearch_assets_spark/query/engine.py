@@ -1767,7 +1767,10 @@ class InvertedIndex:
         return ordered.limit(k) if k is not None else ordered
 
     def analyze(
-        self, text: str, filters: "list[str] | None" = None
+        self,
+        text: str,
+        filters: "list[str] | None" = None,
+        char_filters: "list | None" = None,
     ) -> list[tuple[int, str]]:
         """ES _analyze API: the (position, token) sequence the engine's
         analyzer produces for a text — the same frozen tokenizer contract
@@ -1785,7 +1788,31 @@ class InvertedIndex:
         default 2, unigrams kept — ES output_unigrams; the shingle takes
         its first token's slot), `length:min:max`, `truncate:n`,
         `reverse`. Positions re-number after each stage, the ES _analyze
-        display convention for chains that drop or expand tokens."""
+        display convention for chains that drop or expand tokens.
+
+        `char_filters` runs BEFORE tokenization (the ES char_filter
+        slot): `"html_strip"` (tags to one space + the five standard
+        entities, analysis/extract.html_strip — shared SQL twin for
+        oracle parity) and `("pattern_replace", pattern, repl)` (the
+        pattern must stay in the Java-regex ∩ RE2 dialect, the repo's one
+        portable-regex rule)."""
+        import re as _re
+
+        for cf in char_filters or []:
+            if cf == "html_strip":
+                from elasticsearch_assets_spark.analysis.extract import (
+                    html_strip,
+                )
+
+                text = html_strip(text)
+            elif isinstance(cf, tuple) and cf[0] == "pattern_replace":
+                _, pat, rep = cf
+                text = _re.sub(pat, rep, text)
+            else:
+                raise ValueError(
+                    f"unknown char_filter {cf!r} "
+                    "(html_strip | ('pattern_replace', pat, repl))"
+                )
         toks = list(tokenize(text))
         for f in filters or []:
             if f == "stop":

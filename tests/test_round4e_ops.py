@@ -505,3 +505,36 @@ def test_weighted_sample_properties(spark):
     assert [r["doc_id"] for r in weighted_sample(df2, 3, "w").collect()] == [3]
     with pytest.raises(ValueError):
         weighted_sample(df, 0, "w")
+
+
+def test_html_strip_char_filter(idx):
+    toks = idx.analyze(
+        "<p>Hello <b>x&amp;y</b></p>", char_filters=["html_strip"]
+    )
+    assert [t for _, t in toks] == ["hello", "x", "y"]
+    # undecoded the entity would tokenize as x / amp / y
+    toks2 = idx.analyze("<p>Hello <b>x&amp;y</b></p>")
+    assert "amp" in [t for _, t in toks2]
+
+
+def test_pattern_replace_char_filter(idx):
+    toks = idx.analyze(
+        "a1b 2024 c", char_filters=[("pattern_replace", "[0-9]+", " ")]
+    )
+    assert [t for _, t in toks] == ["a", "b", "c"]
+    with pytest.raises(ValueError):
+        idx.analyze("x", char_filters=["nope"])
+
+
+def test_heaps_curve_monotone(spark):
+    from elasticsearch_assets_spark.operators.textstats import heaps_curve
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "d e f"), (3, "a")],
+        "doc_id long, text string",
+    )
+    out = heaps_curve(docs, [1, 2, 4])
+    got = [(r["prefix_docs"], r["vocab_size"]) for r in out.collect()]
+    assert got == [(1, 2), (2, 3), (4, 6)]
+    with pytest.raises(ValueError):
+        heaps_curve(docs, [])
