@@ -1051,11 +1051,13 @@ def paragraph_dedup(
     frequent-stripped-everywhere) and key (global first occurrence needs
     a total order, not a doc-frequency count).
 
-    Plan: split/trim/posexplode (text fans out as rows once), ONE hash
-    agg on the 32-byte paragraph hash taking min(struct(id, pos)) — the
-    skew-free shuffle key; winners broadcast-join back (winner set ≤
-    distinct-paragraph count), then per-doc re-assembly via sort_array
-    over (pos, para) structs — no window over text, no per-row Python.
+    Plan — text shuffles ONCE, and never fans out as rows: paragraph
+    hashes leave the corpus scan as (32-byte hash, id, pos) TRIPLES
+    (paragraph text feeds md5 map-side only), the winner election is one
+    min-struct hash agg on the hash (skew-free key), winners re-key by
+    doc into per-doc surviving-position arrays, and the rebuild is a
+    single index-aware array filter on the original row — no posexplode
+    of text, no re-assembly groupBy, no window, no per-row Python.
 
     Returns (id, cleaned_text, n_paras, n_removed)."""
     sep_lit = sep.replace("\\", "\\\\").replace("'", "\\'")
@@ -1063,47 +1065,27 @@ def paragraph_dedup(
         f"filter(transform(split({text_col}, '{sep_lit}'), p -> trim(p)),"
         " p -> p != '')"
     )
-    exploded = df.select(
-        F.col(id_col), F.posexplode(paras).alias("pos", "para")
-    ).withColumn("h", F.md5(F.col("para")))
-    first = (
-        exploded.groupBy("h")
+    base = df.select(F.col(id_col), paras.alias("_paras"))
+    triples = base.select(
+        F.col(id_col),
+        F.posexplode(F.transform(F.col("_paras"), F.md5)).alias("pos", "h"),
+    )
+    keep_pos = (
+        triples.groupBy("h")
         .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"))
-        .select(
-            "h",
-            F.col(f"_w.{id_col}").alias("_wid"),
-            F.col("_w.pos").alias("_wpos"),
-        )
+        .groupBy(F.col(f"_w.{id_col}").alias(id_col))
+        .agg(F.collect_list("_w.pos").alias("_keep"))
     )
-    kept = (
-        exploded.join(first, "h")
-        .where(
-            (F.col(id_col) == F.col("_wid")) & (F.col("pos") == F.col("_wpos"))
-        )
-        .select(id_col, "pos", "para")
+    joined = base.join(keep_pos, id_col, "left")
+    kept = F.filter(
+        F.col("_paras"),
+        lambda p, i: F.array_contains(
+            F.coalesce(F.col("_keep"), F.array().cast("array<int>")), i
+        ),
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.expr(
-                "transform(sort_array(collect_list(struct(pos, para))),"
-                " s -> s.para)"
-            ),
-            sep,
-        ).alias("cleaned_text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = df.select(
-        F.col(id_col), F.size(paras).cast("long").alias("n_paras")
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-            "n_paras",
-            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
-        .orderBy(F.col(id_col).asc())
-    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, sep).alias("cleaned_text"),
+        F.size("_paras").cast("long").alias("n_paras"),
+        (F.size("_paras") - F.size(kept)).cast("long").alias("n_removed"),
+    ).orderBy(F.col(id_col).asc())
