@@ -13713,6 +13713,54 @@ FROM (VALUES {vals}) v(n) ORDER BY prefix_docs
 """
 
 
+
+
+_LUHN_SALT_CTE = (
+    "SELECT doc_id, text || CASE doc_id % 3"
+    " WHEN 0 THEN ' card 4111111111111111 ok'"
+    " WHEN 1 THEN ' fake 4111111111111112 no'"
+    " ELSE '' END AS text FROM documents"
+)
+
+
+def _pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-card PII with Luhn validation: 13-16 digit candidate runs,
+    pure-integer-fold check digit (textstats.luhn_stats) — the corpus is
+    salted identically in both engines with one valid and one invalid
+    card so both counters fire (the pii_scrub salting pattern)."""
+    docs = load_sf_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" card 4111111111111111 ok"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" fake 4111111111111112 no"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = OT.luhn_stats(docs)
+    return out.select("doc_id", "n_candidates", "n_valid").orderBy("doc_id")
+
+
+def _pii_luhn_sql() -> str:
+    from elasticsearch_assets_spark.operators.textstats import (
+        _LUHN_CAND_RE,
+        luhn_sql,
+    )
+
+    return f"""
+WITH salted AS ({_LUHN_SALT_CTE}),
+c AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_LUHN_CAND_RE}') AS cands
+  FROM salted
+)
+SELECT doc_id,
+       len(cands)::BIGINT AS n_candidates,
+       len(list_filter(cands, c -> {luhn_sql("c")}))::BIGINT AS n_valid
+FROM c ORDER BY doc_id
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14121,6 +14169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "analyze_html": _analyze_html,
         "heaps_curve": _heaps_curve,
+        "pii_luhn": _pii_luhn,
     }
 
 
@@ -14575,6 +14624,7 @@ FROM topk JOIN documents USING (doc_id)
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "analyze_html": _analyze_html_sql(),
         "heaps_curve": _heaps_curve_sql(),
+        "pii_luhn": _pii_luhn_sql(),
     }
     ivf = _ann_ivf_sql()
     if ivf is not None:  # oracle tables unavailable -> rows-only check

@@ -1696,3 +1696,59 @@ def heaps_curve(
         .select("p.prefix_docs", "p.vocab_size")
         .orderBy("prefix_docs")
     )
+
+
+_LUHN_CAND_RE = "[0-9]{13,16}"  # shared Java/RE2 dialect, non-overlapping
+
+
+def _luhn_valid_expr(c: str) -> str:
+    """Spark SQL boolean: the digit string `c` passes the Luhn check —
+    from the RIGHTMOST digit, every second digit doubles (9-wrapped),
+    sum % 10 == 0. Pure integer fold, no UDF."""
+    d = f"(ascii(substring({c}, i, 1)) - 48)"
+    term = (
+        f"CASE WHEN (length({c}) - i) % 2 = 0 THEN {d} "
+        f"ELSE CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END END"
+    )
+    return (
+        f"aggregate(sequence(1, length({c})), 0, (acc, i) -> acc + ({term}))"
+        " % 10 = 0"
+    )
+
+
+def luhn_sql(c: str) -> str:
+    """DuckDB twin of _luhn_valid_expr — identical integer math, DuckDB's
+    list_reduce (INT state is safe; the struct-state gotcha in CLAUDE.md
+    does not apply) over range()."""
+    d = f"(ascii(substring({c}, i, 1)) - 48)"
+    term = (
+        f"CASE WHEN (length({c}) - i) % 2 = 0 THEN {d} "
+        f"ELSE CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END END"
+    )
+    return (
+        f"list_reduce(list_prepend(0, range(1, length({c}) + 1)),"
+        f" (acc, i) -> acc + ({term})) % 10 = 0"
+    )
+
+
+def luhn_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Credit-card PII detection with Luhn validation (the pii_scrub
+    family's high-precision member): 13-16 digit runs are candidates
+    (non-overlapping regex, both engines' dialect), a pure integer fold
+    checks the Luhn digit — random digit runs pass only ~10% of the
+    time, so validation is what separates card numbers from ids/phone
+    runs. Zero shuffle, no UDF.
+
+    Returns (id, n_candidates, n_valid)."""
+    cands = F.expr(f"regexp_extract_all({text_col}, '{_LUHN_CAND_RE}', 0)")
+    valid = F.expr(
+        f"size(filter(regexp_extract_all({text_col}, '{_LUHN_CAND_RE}', 0),"
+        f" c -> {_luhn_valid_expr('c')}))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        valid.cast("long").alias("n_valid"),
+    )

@@ -586,11 +586,13 @@ def main() -> None:
         nested_knn(chunk_vectors(emb, 4), qv16, k=10),
     )
     add(
-        "paragraph keep-first dedup (hash-keyed min + ordered re-assembly)",
-        "Text fans out as rows once (posexplode); the winner election is "
-        "ONE hash aggregate keyed by the 32-byte paragraph hash (skew-free "
-        "key), re-assembly one groupBy(doc) with sort_array — no window "
-        "over text, no per-row Python.",
+        "paragraph keep-first dedup (ONE text shuffle)",
+        "Paragraph text never fans out as rows: only (hash, id, pos) "
+        "triples shuffle for the winner election (min-struct hash agg on "
+        "the 32-byte hash — skew-free), winners re-key into per-doc "
+        "position arrays, and the rebuild is an index-aware array filter "
+        "joined back to the original row — exactly one Exchange touches "
+        "text (the keep_pos join), no window, no per-row Python.",
         OD.paragraph_dedup(
             docs.select(
                 "doc_id",

@@ -538,3 +538,51 @@ def test_heaps_curve_monotone(spark):
     assert got == [(1, 2), (2, 3), (4, 6)]
     with pytest.raises(ValueError):
         heaps_curve(docs, [])
+
+
+def test_luhn_stats_known_cards(spark):
+    from elasticsearch_assets_spark.operators.textstats import luhn_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay 4111111111111111 now"),          # valid visa test num
+            (2, "id 4111111111111112"),               # bad check digit
+            (3, "x 5500005555555559 y 6011000990139424"),  # two valid
+            (4, "short 123456789012 run"),            # 12 digits: no cand
+            (5, "none"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in luhn_stats(docs).collect()}
+    assert (out[1]["n_candidates"], out[1]["n_valid"]) == (1, 1)
+    assert (out[2]["n_candidates"], out[2]["n_valid"]) == (1, 0)
+    assert (out[3]["n_candidates"], out[3]["n_valid"]) == (2, 2)
+    assert (out[4]["n_candidates"], out[4]["n_valid"]) == (0, 0)
+    assert (out[5]["n_candidates"], out[5]["n_valid"]) == (0, 0)
+
+
+def test_luhn_brute_force_parity(spark):
+    # engine expression == python Luhn on random digit runs
+    import random
+
+    from elasticsearch_assets_spark.operators.textstats import luhn_stats
+
+    rng = random.Random(7)
+    def luhn_py(s):
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2 - 9 if d * 2 > 9 else d * 2
+            tot += d
+        return tot % 10 == 0
+
+    rows = []
+    expected = []
+    for i in range(60):
+        s = "".join(rng.choice("0123456789") for _ in range(rng.choice([13, 14, 15, 16])))
+        rows.append((i, f"n {s} t"))
+        expected.append(1 if luhn_py(s) else 0)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_valid"] for r in luhn_stats(df).collect()}
+    assert [got[i] for i in range(60)] == expected
