@@ -1083,9 +1083,11 @@ def paragraph_dedup(
             F.coalesce(F.col("_keep"), F.array().cast("array<int>")), i
         ),
     )
+    # no orderBy: a global sort Exchange buys nothing a consumer can't
+    # add itself (the contract compare is order-insensitive)
     return joined.select(
         id_col,
         F.array_join(kept, sep).alias("cleaned_text"),
         F.size("_paras").cast("long").alias("n_paras"),
         (F.size("_paras") - F.size(kept)).cast("long").alias("n_removed"),
-    ).orderBy(F.col(id_col).asc())
+    )

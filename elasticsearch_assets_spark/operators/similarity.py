@@ -986,11 +986,11 @@ def multi_knn(
     (the ES multi-kNN combination), then the global top-k is cut.
 
     Plan: one exact cosine top-k_c per clause (each a
-    TakeOrderedAndProject over the same scan — Spark reuses the
-    exchange), union of ≤ Σk_c rows, ONE hash agg on the id, final
-    global cut. The per-clause retrievals are where the ANN variants
-    swap in at scale (quantized/IVF/LSH topk are drop-in: same (id,
-    score) contract)."""
+    TakeOrderedAndProject over the vector scan — the scan repeats per
+    clause; cache/materialize the table when clause counts grow), union
+    of ≤ Σk_c rows, ONE hash agg on the id, final global cut. The
+    per-clause retrievals are where the ANN variants swap in at scale
+    (quantized/IVF/LSH topk are drop-in: same (id, score) contract)."""
     if not clauses:
         raise ValueError("multi_knn needs >= 1 clause")
     parts = []
