@@ -586,3 +586,35 @@ def test_luhn_brute_force_parity(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["n_valid"] for r in luhn_stats(df).collect()}
     assert [got[i] for i in range(60)] == expected
+
+
+def test_ict_pairs_zero_exchange_plan(spark):
+    docs = spark.createDataFrame(
+        [(1, "a\nb\nc")], "doc_id long, text string"
+    )
+    out = ict_pairs(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: the 10^12-doc shape
+
+
+def test_nested_knn_single_wide_op_plan(spark):
+    from elasticsearch_assets_spark.operators.similarity import nested_knn
+
+    df = spark.createDataFrame(
+        [(1, [[1.0, 0.0], [0.0, 1.0]])],
+        "vec_id long, vectors array<array<double>>",
+    )
+    out = nested_knn(df, [1.0, 0.0], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle before the global cut
+
+
+def test_weighted_sample_zero_shuffle_plan(spark):
+    from elasticsearch_assets_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, w double")
+    out = weighted_sample(df, 5, "w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
