@@ -13761,6 +13761,109 @@ FROM c ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_K = 8
+_BPE_SPARK_CACHE: dict[tuple[str, int], list] = {}
+_BPE_ORACLE_CACHE: dict[int, list] = {}
+
+
+def _bpe_spark_merges(spark: SparkSession, sf_dir: str, k: int = _BPE_K) -> list:
+    """Train once per (sf_dir, k) per process — both BPE rows share the
+    distributed training run."""
+    from elasticsearch_assets_spark.operators import bpe as OB
+
+    key = (os.path.abspath(sf_dir), k)
+    if key not in _BPE_SPARK_CACHE:
+        docs = load_sf_table(spark, sf_dir, "documents")
+        _BPE_SPARK_CACHE[key] = OB.bpe_learn(docs, k)
+    return _BPE_SPARK_CACHE[key]
+
+
+def _bpe_oracle_merges(k: int = _BPE_K) -> "list | None":
+    """Independent re-training for the oracle twin: the (word, count)
+    vocabulary is read through DuckDB with the shared tokens_sql text, the
+    merge loop is the pure-Python reference trainer (bpe.bpe_learn_local) —
+    a from-scratch implementation of the same deterministic algorithm, the
+    trained-constants pattern of _ann_ivf_sql."""
+    from elasticsearch_assets_spark.operators import bpe as OB
+
+    if k not in _BPE_ORACLE_CACHE:
+        import duckdb
+
+        path = os.path.join(_ORACLE_SF_DIR, "documents.parquet")
+        if not os.path.exists(path):
+            return None
+        vocab = duckdb.connect().execute(
+            f"SELECT wd, count(*)::BIGINT AS c FROM ("
+            f"SELECT unnest({tokens_sql('text')}) AS wd "
+            f"FROM read_parquet('{path}')) GROUP BY wd"
+        ).fetchall()
+        _BPE_ORACLE_CACHE[k] = OB.bpe_learn_local(vocab, k)
+    return _BPE_ORACLE_CACHE[k]
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich et al. 2016): the corpus reduces
+    to its cached word vocabulary once, each merge iteration is one tiny
+    pair-count aggregation + one vectorized symbol-array fold, ties break
+    (count DESC, left ASC, right ASC). Output: the learned merge list."""
+    merges = _bpe_spark_merges(spark, sf_dir)
+    rows = [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, schema="rank BIGINT, lhs STRING, rhs STRING, cnt BIGINT"
+    ).orderBy("rank")
+
+
+def _bpe_merges_sql() -> "str | None":
+    merges = _bpe_oracle_merges()
+    if merges is None:
+        return None
+    vals = ", ".join(
+        f"({i + 1}, '{a}', '{b}', {int(c)})" for i, (a, b, c) in enumerate(merges)
+    )
+    return f"""
+SELECT rank::BIGINT AS rank, lhs, rhs, cnt::BIGINT AS cnt
+FROM (VALUES {vals}) t(rank, lhs, rhs, cnt) ORDER BY rank
+"""
+
+
+def _bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the learned merges: one zero-shuffle
+    projection of per-word JVM merge folds (bpe.bpe_apply); output is the
+    per-doc BPE token count + an md5 signature of the full symbol stream,
+    so the hash checks every symbol of every doc."""
+    merges = _bpe_spark_merges(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    from elasticsearch_assets_spark.operators import bpe as OB
+
+    out = OB.bpe_apply(docs, merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe").cast("long").alias("n_bpe"),
+        F.md5(F.array_join("bpe", " ")).alias("sig"),
+    ).orderBy("doc_id")
+
+
+def _bpe_apply_sql() -> "str | None":
+    from elasticsearch_assets_spark.operators import bpe as OB
+
+    merges = _bpe_oracle_merges()
+    if merges is None:
+        return None
+    word_sql = OB.bpe_apply_word_sql("wd", merges)
+    return f"""
+SELECT doc_id, length(b)::BIGINT AS n_bpe, md5(array_to_string(b, ' ')) AS sig
+FROM (
+  SELECT doc_id,
+         flatten(list_transform({tokens_sql('text')}, wd -> {word_sql})) AS b
+  FROM documents)
+ORDER BY doc_id
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14169,6 +14272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "analyze_html": _analyze_html,
         "heaps_curve": _heaps_curve,
+        "bpe_merges": _bpe_merges,
+        "bpe_apply": _bpe_apply,
         "pii_luhn": _pii_luhn,
     }
 
@@ -14632,4 +14737,10 @@ FROM topk JOIN documents USING (doc_id)
     sdd = _semdedup_sql()
     if sdd is not None:
         out["semdedup"] = sdd
+    for name, sql in (
+        ("bpe_merges", _bpe_merges_sql()),
+        ("bpe_apply", _bpe_apply_sql()),
+    ):
+        if sql is not None:
+            out[name] = sql
     return out

@@ -427,6 +427,20 @@ def main() -> None:
         lambda: ccnet_buckets(corpus, thresholds="approx").count(),
     )
     op_best("op_fertility", lambda: fertility_stats(corpus).count())
+    # session-10: distributed BPE tokenizer training (the corpus reduces to
+    # its cached vocabulary once; each merge = one pair-count agg + one
+    # symbol-array fold) and the zero-shuffle application of the learned
+    # merge list to the full corpus
+    from elasticsearch_assets_spark.operators import bpe as OB
+
+    _bpe_merges: list = []
+
+    def _bpe_train() -> None:
+        _bpe_merges.clear()
+        _bpe_merges.extend(OB.bpe_learn(corpus, 16))
+
+    op_best("op_bpe_train16", _bpe_train, reps=1)
+    op_best("op_bpe_apply", lambda: OB.bpe_apply(corpus, _bpe_merges).count())
     # hashed classifier + normalization: zero-shuffle JVM passes
     op_best(
         "op_hash_classifier", lambda: hash_classifier_score(corpus).count()
