@@ -13864,6 +13864,126 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 session-10 batch 2: caret boosts, sharded terms agg, _source
+# filtering, per-host caps
+# ---------------------------------------------------------------------------
+
+
+def _querystring_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene caret boosts in the query-string surface: `spark^2.5 OR
+    jo*^0.5 OR table` — the term boost and the rewrite boost (applied to
+    every jo*-expansion term) fold into the per-term idf exactly where
+    Lucene folds `clause^w` into its scorers; `table` stays unboosted."""
+    idx = _docs_index(spark, sf_dir)
+    res = idx.search_querystring("spark^2.5 OR jo*^0.5 OR table", k=None)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_QS_BOOST_SQL = _bm25_sql(
+    [], "or", None,
+    term_cond="term = 'spark' OR term LIKE 'jo%' OR term = 'table'",
+    boost_case=(
+        "CASE WHEN tf.term = 'spark' THEN 2.5 "
+        "WHEN tf.term LIKE 'jo%' THEN 0.5 ELSE 1.0 END"
+    ),
+)
+
+
+def _facet_terms_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES's distributed terms agg with its real accuracy contract: 4
+    hash-routed shards each report only their top shard_size=3 lang
+    buckets; the merge reports per-bucket doc_count_error_upper_bound
+    (sum of non-reporting shards' smallest returned counts)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OFA.facet_terms_sharded(
+        docs, "lang", 3, n_shards=4, shard_size=3
+    )
+
+
+_FACET_SHARDED_SQL = """
+WITH per AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 4 AS shard,
+         lang AS bucket, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+top AS (
+  SELECT * FROM per
+  QUALIFY row_number() OVER (
+    PARTITION BY shard ORDER BY cnt DESC, bucket ASC) <= 3
+),
+floors AS (
+  SELECT shard,
+         CASE WHEN count(*) = 3 THEN min(cnt) ELSE 0 END AS flr
+  FROM top GROUP BY shard
+),
+tot AS (SELECT coalesce(sum(flr), 0) AS tot FROM floors),
+merged AS (
+  SELECT bucket, sum(cnt) AS doc_count, sum(flr) AS rep
+  FROM top JOIN floors USING (shard) GROUP BY bucket
+)
+SELECT bucket, doc_count::BIGINT AS doc_count,
+       (tot.tot - rep)::BIGINT AS doc_count_error_upper_bound
+FROM merged, tot
+ORDER BY doc_count DESC, bucket ASC LIMIT 3
+"""
+
+
+def _source_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_source` filtering: includes=['lang', 'n_*'] expands by
+    wildcard, excludes=['n_chars'] wins on the overlap — the hit list
+    carries back exactly (doc_id, score, lang)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    hits = idx.search(["spark", "join"], k=10, mode="or")
+    src = idx.fetch_source(
+        hits, docs, includes=["lang", "n_*"], excludes=["n_chars"]
+    )
+    return src.select(
+        "doc_id", F.round("score", 4).alias("score"), "lang"
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+_SOURCE_FILTER_SQL = f"""
+WITH hits AS ({_bm25_sql(["spark", "join"], "or", 10)})
+SELECT h.doc_id, h.score, d.lang
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.score DESC, h.doc_id ASC
+"""
+
+
+def _host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (RefinedWeb/C4 curation rule): at most 2 docs
+    per URL host, keeping the largest by n_chars (priority mode), ties on
+    doc_id — ONE window shuffle keyed by host, replayable."""
+    from elasticsearch_assets_spark.operators.sampling import cap_per_host
+    from elasticsearch_assets_spark.operators.urls import url_host_sql
+
+    docs = load_sf_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_DERIVE_SQL)
+    )
+    hosted = docs.withColumn("host", F.expr(url_host_sql("url")))
+    out = cap_per_host(hosted, "host", 2, priority_col="n_chars")
+    return out.select("host", "doc_id", "n_chars").orderBy("host", "doc_id")
+
+
+def _host_cap_sql() -> str:
+    from elasticsearch_assets_spark.operators.urls import url_host_sql
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, n_chars, {_URL_DERIVE_SQL} AS url FROM documents
+),
+h AS (SELECT doc_id, n_chars, {url_host_sql("url")} AS host FROM u)
+SELECT host, doc_id, n_chars FROM h
+QUALIFY row_number() OVER (
+  PARTITION BY host ORDER BY n_chars DESC, doc_id ASC) <= 2
+ORDER BY host, doc_id
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14274,6 +14394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_curve": _heaps_curve,
         "bpe_merges": _bpe_merges,
         "bpe_apply": _bpe_apply,
+        "querystring_boost": _querystring_boost,
+        "facet_terms_sharded": _facet_terms_sharded,
+        "source_filtering": _source_filtering,
+        "host_cap": _host_cap,
         "pii_luhn": _pii_luhn,
     }
 
@@ -14743,4 +14867,8 @@ FROM topk JOIN documents USING (doc_id)
     ):
         if sql is not None:
             out[name] = sql
+    out["querystring_boost"] = _QS_BOOST_SQL
+    out["facet_terms_sharded"] = _FACET_SHARDED_SQL
+    out["source_filtering"] = _SOURCE_FILTER_SQL
+    out["host_cap"] = _host_cap_sql()
     return out

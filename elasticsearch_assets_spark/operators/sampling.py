@@ -353,3 +353,53 @@ def weighted_sample(
         .drop("_aes_key")
     )
     return out
+
+
+def cap_per_host(
+    df: DataFrame,
+    host_col: str,
+    cap: int,
+    *,
+    priority_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: str = "hostcap1",
+) -> DataFrame:
+    """Per-host document cap (the RefinedWeb / C4 crawl-curation rule:
+    no single domain may dominate the training mix). Keeps at most `cap`
+    rows per host — the best `cap` by `priority_col` DESC when given
+    (quality-aware trimming), otherwise an unbiased deterministic draw
+    (each row keyed by the 60-bit md5 of (seed, id), smallest keys kept,
+    so the survivor set is replayable under retries and independent of
+    partitioning). Ties break on id ASC; NULL hosts are kept as their own
+    group (a missing host is still a host for capping purposes — dropping
+    them silently would delete docs).
+
+    Plan: ONE shuffle keyed by host (the row_number window); no joins, no
+    driver state. Skew note: a pathological mega-host concentrates its
+    rows in one partition for the window pass — acceptable because crawl
+    politeness bounds per-host page counts long before 10^12 totals, and
+    the window writes only `cap` survivors; for a truly degenerate host,
+    pre-filter with a count-based gate (facet_counts on host) first.
+
+    Returns the surviving rows, original columns, deterministic."""
+    from pyspark.sql import Window
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    if priority_col is not None:
+        order = [F.col(priority_col).desc(), F.col(id_col).asc()]
+    else:
+        draw = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        order = [draw.asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(F.col(host_col)).orderBy(*order)
+    return (
+        df.withColumn("_hc_rank", F.row_number().over(w))
+        .where(F.col("_hc_rank") <= cap)
+        .drop("_hc_rank")
+    )

@@ -1695,6 +1695,52 @@ class InvertedIndex:
         side = stored.select(F.col(id_col).cast("long").alias(id_col), *cols)
         return F.broadcast(ids).join(side, id_col, "inner")
 
+    def fetch_source(
+        self,
+        hits: DataFrame,
+        stored: DataFrame,
+        includes: "list[str] | None" = None,
+        excludes: "list[str] | None" = None,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES `_source` filtering (`_source: {includes, excludes}`): project
+        the source columns a hit list carries back, by name or `*`-wildcard.
+        `includes=None` means every stored column; excludes are applied
+        after includes and win on overlap — the ES rule. Patterns that
+        match nothing are legal (ES is lenient here, unlike the strict
+        `fields` API — source filtering is routinely written against
+        heterogeneous mappings); an empty RESULT projection raises, because
+        a hit list with no source at all is a caller bug.
+
+        Plan: identical shape to fetch_fields — the k-bounded hit list
+        broadcasts into the stored scan and only surviving columns are
+        read (column pruning reaches the parquet footer)."""
+        import fnmatch
+
+        def expand(patterns: "list[str] | None", default: list[str]):
+            if patterns is None:
+                return list(default)
+            out: list[str] = []
+            for p in patterns:
+                for m in sorted(fnmatch.filter(stored.columns, p)):
+                    if m not in out:
+                        out.append(m)
+            return out
+
+        keep = expand(includes, [c for c in stored.columns if c != id_col])
+        drop = set(expand(excludes, []))
+        cols = [c for c in keep if c not in drop and c != id_col]
+        if not cols:
+            raise ValueError(
+                f"_source filtering selected no columns "
+                f"(includes={includes!r}, excludes={excludes!r})"
+            )
+        ids = hits.select(F.col(id_col).cast("long").alias(id_col), "score")
+        side = stored.select(
+            F.col(id_col).cast("long").alias(id_col), *[F.col(c) for c in cols]
+        )
+        return F.broadcast(ids).join(side, id_col, "inner")
+
     def profile(
         self,
         query: "str | list[str]",
@@ -3087,17 +3133,21 @@ class InvertedIndex:
                 return self.search_phrase_filtered(
                     plan.phrase, filtered, k=k,
                     id_col=id_col, collect_cap=collect_cap,
-                    groups=plan.groups or None,
+                    groups=plan.groups or None, boosts=plan.boosts,
                 )
             return self.search_filtered(
                 [], filtered, k=k, mode=plan.mode,
                 id_col=id_col, collect_cap=collect_cap, groups=plan.groups,
+                boosts=plan.boosts,
             )
         if plan.phrase is not None:
             return self.search_phrase(
-                plan.phrase, k=k, groups=plan.groups or None
+                plan.phrase, k=k, groups=plan.groups or None,
+                boosts=plan.boosts,
             )
-        return self.search([], k=k, mode=plan.mode, groups=plan.groups)
+        return self.search(
+            [], k=k, mode=plan.mode, groups=plan.groups, boosts=plan.boosts
+        )
 
     # -- more-like-this ------------------------------------------------------
 
@@ -3155,7 +3205,7 @@ class InvertedIndex:
         res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return res.limit(k) if k is not None else res
 
-    def _phrase_prep(self, phrase, groups=None):
+    def _phrase_prep(self, phrase, groups=None, boosts=None):
         """Shared planning for the phrase paths: tokens, distinct terms,
         idfs. Returns None when the result is provably empty.
 
@@ -3181,7 +3231,10 @@ class InvertedIndex:
         if any(t not in dfs for t in distinct):
             return None  # a missing phrase term can never match consecutively
         meta = self.meta
-        idfs = {t: idf(meta.n_docs, dfs[t]) for t in dfs}
+        idfs = {
+            t: idf(meta.n_docs, dfs[t]) * (boosts or {}).get(t, 1.0)
+            for t in dfs
+        }
         if groups is None:
             return toks, distinct, idfs, None
         kept = [[t for t in g if t in dfs] for g in groups]
@@ -3195,6 +3248,7 @@ class InvertedIndex:
         k: int | None = 10,
         allowed: "np.ndarray | None" = None,
         groups: list[list[str]] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """Top-k BM25 among docs containing the EXACT consecutive token
         sequence (index-assisted: positional postings, no text scan — see
@@ -3214,7 +3268,7 @@ class InvertedIndex:
             topk_group_conjunctive,
         )
 
-        prep = self._phrase_prep(phrase, groups)
+        prep = self._phrase_prep(phrase, groups, boosts)
         if prep is None:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         toks, distinct, idfs, kept = prep
@@ -3259,6 +3313,7 @@ class InvertedIndex:
         collect_cap: int = 5_000_000,
         strategy: str = "auto",
         groups: list[list[str]] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """Phrase query restricted to a structured filter — the phrase
         sibling of search_filtered, with the same path ladder:
@@ -3275,7 +3330,7 @@ class InvertedIndex:
             topk_group_conjunctive,
         )
 
-        prep = self._phrase_prep(phrase, groups)
+        prep = self._phrase_prep(phrase, groups, boosts)
         if prep is None:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         toks, distinct, idfs, kept = prep
@@ -3346,9 +3401,9 @@ class InvertedIndex:
                     np.array([r["doc_id"] for r in sample], dtype=np.int64)
                 )
                 return self.search_phrase(
-                    phrase, k=k, allowed=allowed, groups=groups
+                    phrase, k=k, allowed=allowed, groups=groups, boosts=boosts
                 )
-        scored = self.search_phrase(phrase, k=None, groups=groups)
+        scored = self.search_phrase(phrase, k=None, groups=groups, boosts=boosts)
         out = scored.join(ids.distinct(), "doc_id", "left_semi")
         out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return out.limit(k) if k is not None else out
@@ -3359,6 +3414,7 @@ class InvertedIndex:
         k: int | None = 10,
         allowed: "np.ndarray | None" = None,
         groups: list[list[str]] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Serving-path phrase search: one pushed-down posting collect, then
         the same kernels on the driver — identical to
@@ -3369,7 +3425,7 @@ class InvertedIndex:
             topk_group_conjunctive,
         )
 
-        prep = self._phrase_prep(phrase, groups)
+        prep = self._phrase_prep(phrase, groups, boosts)
         if prep is None:
             return []
         toks, distinct, idfs, kept = prep
@@ -3551,6 +3607,7 @@ class InvertedIndex:
         collect_cap: int = 5_000_000,
         strategy: str = "auto",
         groups: list[list[str]] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """The reference's full query composition: BM25 top-k AMONG the docs
         matching a structured filter (`range AND (user query)`,
@@ -3572,7 +3629,8 @@ class InvertedIndex:
             with_seg = self._filter_with_seg(ids)
             if with_seg is not None:
                 return self._search_cogrouped(
-                    query, with_seg, k=k, mode=mode, groups=groups
+                    query, with_seg, k=k, mode=mode, groups=groups,
+                    boosts=boosts,
                 )
             if strategy == "cogroup":
                 raise ValueError(
@@ -3586,9 +3644,10 @@ class InvertedIndex:
                     np.array([r["doc_id"] for r in sample], dtype=np.int64)
                 )
                 return self.search(
-                    query, k=k, mode=mode, allowed=allowed, groups=groups
+                    query, k=k, mode=mode, allowed=allowed, groups=groups,
+                    boosts=boosts,
                 )
-        scored = self.search(query, k=None, mode=mode, groups=groups)
+        scored = self.search(query, k=None, mode=mode, groups=groups, boosts=boosts)
         out = scored.join(ids.distinct(), "doc_id", "left_semi")
         out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return out.limit(k) if k is not None else out
@@ -3600,6 +3659,7 @@ class InvertedIndex:
         k: int | None,
         mode: str,
         groups: list[list[str]] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """Distributed filtered search: per segment, cogroup (posting rows,
         allowed doc ids) and run the same scoring kernels restricted to the
@@ -3620,7 +3680,10 @@ class InvertedIndex:
             elif len(dfs) != len(terms):
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
         meta = self.meta
-        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in terms}
+        idfs = {
+            t: idf(meta.n_docs, dfs.get(t, 0)) * (boosts or {}).get(t, 1.0)
+            for t in terms
+        }
         avgdl, k1, b = meta.avgdl, meta.k1, meta.b
         excluded = self.tombstones
 

@@ -34,24 +34,28 @@ from pyspark.sql import Column, DataFrame, functions as F
 class Term:
     field: str | None
     value: str
+    boost: float = 1.0  # Lucene `term^boost` (1.0 = unboosted)
 
 
 @dataclass(frozen=True)
 class Phrase:
     field: str | None
     value: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Prefix:
     field: str | None
     value: str  # without the trailing *
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Wildcard:
     field: str | None
     value: str  # raw pattern with * (any run) and ? (single char)
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -59,6 +63,7 @@ class Fuzzy:
     field: str | None
     value: str
     max_edits: int  # Lucene `term~` defaults to 2, `term~N` pins it
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -90,6 +95,22 @@ class Or:
 @dataclass(frozen=True)
 class Not:
     child: object
+
+
+def _boosted(node, w: float):
+    """Apply a caret boost to a parsed clause: leaves multiply their boost
+    (Lucene folds `clause^w` into the leaf scorers), groups distribute to
+    children, filter-context nodes (Range/Cmp/Not) ignore it — exactly the
+    ES rule that boost is meaningless in filter context."""
+    import dataclasses
+
+    if isinstance(node, (Term, Phrase, Prefix, Wildcard, Fuzzy)):
+        return dataclasses.replace(node, boost=node.boost * w)
+    if isinstance(node, And):
+        return And(tuple(_boosted(c, w) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(_boosted(c, w) for c in node.children))
+    return node
 
 
 # ---------------------------------------------------------------------------
@@ -180,14 +201,30 @@ class _Parser:
         t = self.peek()
         if t == "NOT":
             self.take()
-            return Not(self.unary(ctx))
+            return self._maybe_boost(Not(self.unary(ctx)))
         if t == "(":
             self.take()
             node = self.or_expr(ctx)
             if self.take() != ")":
                 raise ValueError("unbalanced parens")
+            return self._maybe_boost(node)
+        return self._maybe_boost(self.clause(ctx))
+
+    _BOOST_TOKEN_RE = re.compile(r"^\^(\d+(?:\.\d+)?)$")
+
+    def _maybe_boost(self, node):
+        """Consume a standalone `^N` token following a clause — the boost
+        spelling for quoted phrases (`"a b"^2`), groups (`(a OR b)^2`) and
+        ranges, whose tokens end before the caret. Attached boosts
+        (`term^2`) are stripped inside value_clause."""
+        t = self.peek()
+        if t is None:
             return node
-        return self.clause(ctx)
+        m = self._BOOST_TOKEN_RE.match(t)
+        if not m:
+            return node
+        self.take()
+        return _boosted(node, float(m.group(1)))
 
     @staticmethod
     def _is_field_token(t: str) -> bool:
@@ -221,6 +258,20 @@ class _Parser:
     def value_clause(self, field: str | None, v: str):
         if v.startswith('"') and v.endswith('"'):
             return Phrase(field, v[1:-1])
+        # attached caret boost (`term^2`, `jo*^1.5`, `word~1^2`): the caret
+        # is a boost iff unescaped (backslash-run parity, as for `:`/`~`)
+        boost = 1.0
+        mb = re.match(r"^(.+)\^(\d+(?:\.\d+)?)$", v)
+        if mb:
+            body = mb.group(1)
+            n_bs = len(body) - len(body.rstrip("\\"))
+            if n_bs % 2 == 0:
+                v, boost = body, float(mb.group(2))
+        if boost != 1.0:
+            return _boosted(self._value_clause_inner(field, v), boost)
+        return self._value_clause_inner(field, v)
+
+    def _value_clause_inner(self, field: str | None, v: str):
         if v and v[0] in "[{":
             incl_lo = v[0] == "["
             incl_hi = v[-1] == "]"

@@ -61,6 +61,12 @@ class QueryPlan:
     phrase: list[str] | None
     filters: list
     mode: str  # "and" | "or"
+    # caret boosts (`term^2`, `jo*^1.5`, `"a b"^3`): term -> multiplicative
+    # idf weight, exactly search(boosts=)'s contract. A multi-term rewrite's
+    # boost applies to every expansion term; a term named by two boosted
+    # clauses takes the max (documented — the engine scores each distinct
+    # term once, unlike Lucene's per-clause scorers).
+    boosts: dict[str, float] | None = None
 
 
 def _is_text(node, analyzed: set[str]) -> bool:
@@ -84,18 +90,27 @@ def plan_querystring(q: str, index, analyzed_fields: set[str]) -> QueryPlan:
     groups: list[list[str]] = []
     phrase: list[str] | None = None
     filters: list = []
+    boosts: dict[str, float] = {}
+
+    def _note_boosts(terms: list[str], w: float) -> None:
+        if w == 1.0:
+            return
+        for t in terms:
+            # first boosted clause sets the term's weight; a SECOND boosted
+            # clause naming the same term takes the max (documented —
+            # boosts below 1.0 must register, so no default-1.0 floor here)
+            boosts[t] = max(boosts[t], w) if t in boosts else w
+
     for c in clauses:
         if _is_text(c, analyzed_fields):
             if isinstance(c, Term):
-                groups.append([c.value.lower()])
+                g = [c.value.lower()]
             elif isinstance(c, Prefix):
-                groups.append(index.expand_prefix(c.value.lower()))
+                g = index.expand_prefix(c.value.lower())
             elif isinstance(c, Wildcard):
-                groups.append(index.expand_wildcard(c.value.lower()))
+                g = index.expand_wildcard(c.value.lower())
             elif isinstance(c, Fuzzy):
-                groups.append(
-                    index.expand_fuzzy(c.value.lower(), max_edits=c.max_edits)
-                )
+                g = index.expand_fuzzy(c.value.lower(), max_edits=c.max_edits)
             else:  # Phrase
                 if phrase is not None:
                     raise NotImplementedError(
@@ -103,6 +118,10 @@ def plan_querystring(q: str, index, analyzed_fields: set[str]) -> QueryPlan:
                         "not compose with other phrases here)"
                     )
                 phrase = tokenize(c.value)
+                _note_boosts(phrase, c.boost)
+                continue
+            groups.append(g)
+            _note_boosts(g, c.boost)
         else:
             if mode == "or":
                 raise NotImplementedError(
@@ -120,7 +139,10 @@ def plan_querystring(q: str, index, analyzed_fields: set[str]) -> QueryPlan:
     # term can never match a doc; an OR clause just drops out
     if mode == "or":
         groups = [g for g in groups if g]
-    return QueryPlan(groups=groups, phrase=phrase, filters=filters, mode=mode)
+    return QueryPlan(
+        groups=groups, phrase=phrase, filters=filters, mode=mode,
+        boosts=boosts or None,
+    )
 
 
 def and_node(filters: list):

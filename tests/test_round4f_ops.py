@@ -110,3 +110,173 @@ def test_bpe_apply_zero_shuffle_plan(spark):
 def test_bpe_symbol_literal_guard():
     with pytest.raises(ValueError):
         bpe.apply_merges_spark_sql("wd", [("a'", "b")])
+
+
+# --- session-10 batch 2: caret boosts, _source filtering, sharded terms
+# agg, per-host caps ---------------------------------------------------------
+
+
+def test_caret_boost_parsing():
+    from elasticsearch_assets_spark.query.lucene import (
+        Fuzzy, Not, Or, Phrase, Prefix, Range, Term, parse_lucene,
+    )
+
+    assert parse_lucene("spark^2") == Term(None, "spark", 2.0)
+    assert parse_lucene('"big deal"^3') == Phrase(None, "big deal", 3.0)
+    assert parse_lucene("jo*^1.5") == Prefix(None, "jo", 1.5)
+    assert parse_lucene("word~1^2") == Fuzzy(None, "word", 1, 2.0)
+    # group boost distributes to leaves
+    assert parse_lucene("(a OR b)^2") == Or(
+        (Term(None, "a", 2.0), Term(None, "b", 2.0))
+    )
+    # filter context ignores boost (the ES rule)
+    assert parse_lucene("count:[1 TO 5]^2") == Range("count", "1", "5", True, True)
+    n = parse_lucene("NOT a^2")
+    assert isinstance(n, Not)
+    # escaped caret is literal (backslash-run parity)
+    assert parse_lucene("foo\\^2") == Term(None, "foo^2")
+
+
+@pytest.fixture(scope="module")
+def boost_index(spark, tmp_path_factory):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    rows = [
+        (0, "spark join table spark"),
+        (1, "join table row"),
+        (2, "spark row row join"),
+        (3, "table table join spark row"),
+        (4, "jolt jolt row"),
+        (5, "spark jolt table"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = str(tmp_path_factory.mktemp("boostidx"))
+    build_index(spark, docs, d, num_segments=2, num_chunks=1, positions=True)
+    return InvertedIndex(spark, d), docs
+
+
+def test_querystring_boost_parity_with_search(boost_index):
+    idx, _ = boost_index
+    via_qs = idx.search_querystring("spark^2 OR jo*^0.5 OR table", k=None).collect()
+    expansions = idx.expand_prefix("jo")
+    boosts = {"spark": 2.0, **{t: 0.5 for t in expansions}}
+    groups = [["spark"], expansions, ["table"]]
+    direct = idx.search([], k=None, mode="or", groups=groups, boosts=boosts).collect()
+    assert [(r["doc_id"], r["score"]) for r in via_qs] == [
+        (r["doc_id"], r["score"]) for r in direct
+    ]
+    # boost actually changes scores vs unboosted
+    plain = idx.search([], k=None, mode="or", groups=groups).collect()
+    assert [(r["doc_id"], r["score"]) for r in via_qs] != [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+
+
+def test_querystring_phrase_boost_through_filtered_path(boost_index):
+    idx, docs = boost_index
+    # phrase boost reaches _phrase_prep through the filtered ladder
+    via_qs = idx.search_querystring(
+        '"spark join"^2 AND doc_id:<=4', docs, k=None
+    ).collect()
+    direct = idx.search_phrase_filtered(
+        ["spark", "join"],
+        docs.where(F.col("doc_id") <= 4),
+        k=None,
+        boosts={"spark": 2.0, "join": 2.0},
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in via_qs] == [
+        (r["doc_id"], r["score"]) for r in direct
+    ]
+    assert via_qs, "phrase must match"
+
+
+def test_fetch_source_include_exclude(boost_index, spark):
+    idx, docs = boost_index
+    stored = docs.withColumn("n_chars", F.length("text")).withColumn(
+        "n_upper", F.lit(0)
+    )
+    hits = idx.search(["spark"], k=3)
+    out = idx.fetch_source(hits, stored, includes=["n_*", "text"], excludes=["n_chars"])
+    assert sorted(out.columns) == ["doc_id", "n_upper", "score", "text"]
+    # includes=None -> everything minus excludes
+    out2 = idx.fetch_source(hits, stored, excludes=["n_*"])
+    assert sorted(out2.columns) == ["doc_id", "score", "text"]
+    # lenient on non-matching patterns, strict on empty projection
+    idx.fetch_source(hits, stored, includes=["text", "zz*"])
+    with pytest.raises(ValueError):
+        idx.fetch_source(hits, stored, includes=["zz*"])
+
+
+def test_facet_terms_sharded_error_bound_brute(spark):
+    """Replay the per-shard merge in python and check doc_count AND
+    error bound; also: error bound is 0 when shard_size covers all."""
+    import hashlib
+
+    from elasticsearch_assets_spark.operators.facets import facet_terms_sharded
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4] if i % 7 else "e") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    n_shards, shard_size = 3, 2
+    got = facet_terms_sharded(
+        df, "lang", 4, n_shards=n_shards, shard_size=shard_size, id_col="doc_id"
+    ).collect()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    per: dict = {}
+    for i, lang in rows:
+        sh = h60(str(i)) % n_shards
+        per.setdefault(sh, {}).setdefault(lang, 0)
+        per[sh][lang] += 1
+    tops, floors = {}, {}
+    for sh, counts in per.items():
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        keep = ordered[:shard_size]
+        tops[sh] = dict(keep)
+        floors[sh] = keep[-1][1] if len(keep) == shard_size else 0
+    merged: dict = {}
+    for sh, keep in tops.items():
+        for b, c in keep.items():
+            merged.setdefault(b, [0, 0])
+            merged[b][0] += c
+            merged[b][1] += floors[sh]
+    tot = sum(floors.values())
+    exp = sorted(
+        ((b, c, tot - rep) for b, (c, rep) in merged.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:4]
+    assert [(r["bucket"], r["doc_count"], r["doc_count_error_upper_bound"]) for r in got] == exp
+    # wide shard_size -> exact counts, zero error
+    wide = facet_terms_sharded(
+        df, "lang", 10, n_shards=n_shards, shard_size=100, id_col="doc_id"
+    ).collect()
+    true_counts = {}
+    for _, lang in rows:
+        true_counts[lang] = true_counts.get(lang, 0) + 1
+    assert {r["bucket"]: r["doc_count"] for r in wide} == true_counts
+    assert all(r["doc_count_error_upper_bound"] == 0 for r in wide)
+
+
+def test_cap_per_host(spark):
+    from elasticsearch_assets_spark.operators.sampling import cap_per_host
+
+    rows = [
+        (1, "a.com", 10), (2, "a.com", 30), (3, "a.com", 20),
+        (4, "b.com", 5), (5, None, 1), (6, None, 2), (7, None, 3),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "host", "n"])
+    # priority mode: keep the largest-n 2 per host; NULL host is a group
+    got = cap_per_host(df, "host", 2, priority_col="n").collect()
+    kept = sorted(
+        ((r["host"], r["doc_id"]) for r in got),
+        key=lambda t: (t[0] or "", t[1]),
+    )
+    assert kept == [(None, 6), (None, 7), ("a.com", 2), ("a.com", 3), ("b.com", 4)]
+    # unbiased mode: deterministic + cap respected
+    g1 = sorted(r["doc_id"] for r in cap_per_host(df, "host", 1).collect())
+    g2 = sorted(r["doc_id"] for r in cap_per_host(df, "host", 1).collect())
+    assert g1 == g2 and len(g1) == 3
+    with pytest.raises(ValueError):
+        cap_per_host(df, "host", 0)
