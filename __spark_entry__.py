@@ -13984,6 +13984,143 @@ ORDER BY host, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 session-10 batch 3: ES|QL KNN, semantic query, extended_stats_bucket,
+# terms include/exclude regex
+# ---------------------------------------------------------------------------
+
+
+def _esql_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL KNN function in WHERE (9.1): restrict the pipe to the 10 rows
+    nearest the literal query vector by cosine, similarity emitted as
+    _score (the RERANK convention). Exact top-k — ONE scan +
+    TakeOrderedAndProject; the ANN variants are the 10^12-row swap-in."""
+    from elasticsearch_assets_spark.query.esql import esql
+
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    vec = ", ".join(repr(v) for v in qv)
+    out = esql(
+        f"FROM embeddings | WHERE KNN(embedding, [{vec}], 10)"
+        " | KEEP vec_id, _score",
+        spark=spark, sf_dir=sf_dir,
+    )
+    return out.select("vec_id", F.round("_score", 4).alias("score"))
+
+
+_ESQL_KNN_SQL = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(cos, 4) AS score FROM (
+  SELECT a.vec_id AS vec_id, {_COS_AB} AS cos
+  FROM embeddings a, q b
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+_SEM_QUERY = "spark join table row quick brown"
+
+
+def _semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES semantic query (semantic_text fields, 8.15): rank by cosine in
+    the deterministic hashed-unigram stand-in embedding space (declared
+    model boundary — the plan is embedder-agnostic). Integer dims make
+    both engines' sums exact; the one float expression at the end gives
+    bit parity by construction."""
+    from elasticsearch_assets_spark.operators.semantic import semantic_topk
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    out = semantic_topk(docs, _SEM_QUERY, k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _semantic_search_sql() -> str:
+    from elasticsearch_assets_spark.operators.semantic import semantic_sql
+
+    return semantic_sql(_SEM_QUERY, k=10)
+
+
+def _facet_ext_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats_bucket over the click-events daily histogram:
+    integer n/sum/sum_of_squares, float variance/std/±2σ derived in one
+    projection over the single reduced row."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    out = OFA.facet_extended_stats_bucket(
+        matches, ev, "ts", "day", id_col="event_id"
+    )
+    return out.select(
+        "n_buckets", "sum_bucket", "min_bucket", "max_bucket",
+        "sum_of_squares",
+        _f4("avg_bucket").alias("avg_bucket"),
+        _f4("variance").alias("variance"),
+        _f4("std_deviation").alias("std_deviation"),
+        _f4("std_upper").alias("std_upper"),
+        _f4("std_lower").alias("std_lower"),
+    )
+
+
+_FACET_EXT_STATS_SQL = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+base AS (
+  SELECT count(*)::BIGINT AS n_buckets,
+         sum(doc_count)::BIGINT AS sum_bucket,
+         min(doc_count)::BIGINT AS min_bucket,
+         max(doc_count)::BIGINT AS max_bucket,
+         sum(doc_count * doc_count)::BIGINT AS sum_of_squares
+  FROM h
+)
+SELECT n_buckets, sum_bucket, min_bucket, max_bucket, sum_of_squares,
+  floor((sum_bucket::DOUBLE / n_buckets::DOUBLE) * 10000.0 + 0.5) / 10000.0
+    AS avg_bucket,
+  floor((sum_of_squares::DOUBLE / n_buckets::DOUBLE
+         - (sum_bucket::DOUBLE / n_buckets::DOUBLE)
+           * (sum_bucket::DOUBLE / n_buckets::DOUBLE)) * 10000.0 + 0.5)
+    / 10000.0 AS variance,
+  floor(sqrt(sum_of_squares::DOUBLE / n_buckets::DOUBLE
+             - (sum_bucket::DOUBLE / n_buckets::DOUBLE)
+               * (sum_bucket::DOUBLE / n_buckets::DOUBLE)) * 10000.0 + 0.5)
+    / 10000.0 AS std_deviation,
+  floor((sum_bucket::DOUBLE / n_buckets::DOUBLE
+         + 2.0 * sqrt(sum_of_squares::DOUBLE / n_buckets::DOUBLE
+                      - (sum_bucket::DOUBLE / n_buckets::DOUBLE)
+                        * (sum_bucket::DOUBLE / n_buckets::DOUBLE)))
+        * 10000.0 + 0.5) / 10000.0 AS std_upper,
+  floor((sum_bucket::DOUBLE / n_buckets::DOUBLE
+         - 2.0 * sqrt(sum_of_squares::DOUBLE / n_buckets::DOUBLE
+                      - (sum_bucket::DOUBLE / n_buckets::DOUBLE)
+                        * (sum_bucket::DOUBLE / n_buckets::DOUBLE)))
+        * 10000.0 + 0.5) / 10000.0 AS std_lower
+FROM base
+"""
+
+
+def _facet_terms_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg include/exclude regex knobs: whole-string-anchored
+    patterns prune the bucket universe BEFORE the count shuffle
+    (include src1.* minus exclude src1[23]); portable regex dialect."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    return OFA.facet_counts_regex(
+        docs.select("doc_id"), docs, "source", 10,
+        include_re="src1.*", exclude_re="src1[23]",
+    )
+
+
+_FACET_TERMS_REGEX_SQL = """
+SELECT source AS bucket, count(*)::BIGINT AS doc_count
+FROM documents
+WHERE regexp_full_match(source, '(?:src1.*)')
+  AND NOT regexp_full_match(source, '(?:src1[23])')
+GROUP BY 1 ORDER BY doc_count DESC, bucket ASC LIMIT 10
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14398,6 +14535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_terms_sharded": _facet_terms_sharded,
         "source_filtering": _source_filtering,
         "host_cap": _host_cap,
+        "esql_knn": _esql_knn,
+        "semantic_search": _semantic_search,
+        "facet_ext_stats_bucket": _facet_ext_stats_bucket,
+        "facet_terms_regex": _facet_terms_regex,
         "pii_luhn": _pii_luhn,
     }
 
@@ -14871,4 +15012,8 @@ FROM topk JOIN documents USING (doc_id)
     out["facet_terms_sharded"] = _FACET_SHARDED_SQL
     out["source_filtering"] = _SOURCE_FILTER_SQL
     out["host_cap"] = _host_cap_sql()
+    out["esql_knn"] = _ESQL_KNN_SQL
+    out["semantic_search"] = _semantic_search_sql()
+    out["facet_ext_stats_bucket"] = _FACET_EXT_STATS_SQL
+    out["facet_terms_regex"] = _FACET_TERMS_REGEX_SQL
     return out

@@ -2785,3 +2785,74 @@ def facet_terms_sharded(
         .orderBy(F.col("doc_count").desc(), F.col("bucket").asc())
         .limit(n)
     )
+
+
+def facet_extended_stats_bucket(
+    matches: DataFrame,
+    corpus: DataFrame,
+    date_col: str,
+    interval: str = "day",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES extended_stats_bucket sibling pipeline agg: facet_sibling_stats
+    plus sum_of_squares, population variance, std_deviation, and the
+    ±2σ bounds ES reports. The bucket counts are integers, so n / sum /
+    sum_of_squares are EXACT integer aggregates; the float math is a
+    single projection over the one-row reduction (the int-sum-then-divide
+    doctrine — both engines see identical inputs to identical float
+    expressions). Reduction cost: bucket cardinality only."""
+    hist = facet_date_histogram(matches, corpus, date_col, interval, id_col)
+    base = hist.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("doc_count").alias("sum_bucket"),
+        F.min("doc_count").alias("min_bucket"),
+        F.max("doc_count").alias("max_bucket"),
+        F.sum(F.col("doc_count") * F.col("doc_count")).alias("sum_of_squares"),
+    )
+    n = F.col("n_buckets").cast("double")
+    s = F.col("sum_bucket").cast("double")
+    ss = F.col("sum_of_squares").cast("double")
+    avg = s / n
+    variance = ss / n - (s / n) * (s / n)
+    std = F.sqrt(variance)
+    return base.select(
+        "n_buckets", "sum_bucket", "min_bucket", "max_bucket",
+        "sum_of_squares",
+        avg.alias("avg_bucket"),
+        variance.alias("variance"),
+        std.alias("std_deviation"),
+        (avg + F.lit(2.0) * std).alias("std_upper"),
+        (avg - F.lit(2.0) * std).alias("std_lower"),
+    )
+
+
+def facet_counts_regex(
+    matches: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    n: int | None = None,
+    *,
+    include_re: str | None = None,
+    exclude_re: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES terms agg `include` / `exclude` regex knobs: bucket values are
+    whole-string matched (Lucene RegExp anchoring) against `include_re`
+    and then `exclude_re` BEFORE the count shuffle — the filter prunes the
+    agg's key space, it never post-filters the page (ES semantics: the
+    regexes define the candidate bucket universe). Patterns stay inside
+    the Java-regex ∩ RE2 dialect so the DuckDB twin matches verbatim."""
+    joined = corpus.join(
+        matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    v = F.col(col)
+    if include_re is not None:
+        joined = joined.where(v.rlike(f"^(?:{include_re})$"))
+    if exclude_re is not None:
+        joined = joined.where(~v.rlike(f"^(?:{exclude_re})$"))
+    out = (
+        joined.groupBy(v.alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("bucket").asc())
+    )
+    return out.limit(n) if n is not None else out

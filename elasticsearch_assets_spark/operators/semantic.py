@@ -1,0 +1,174 @@
+"""Semantic search — ES `semantic_text` / `semantic` query (8.15+)
+re-expressed with the declared-model-boundary stand-in embedder.
+
+In ES, a `semantic_text` field runs every document (and every query) through
+an inference endpoint and ranks by vector similarity; the interesting part
+for a 10^12-doc engine is NOT the model but the plan: embed once per doc at
+ingest (a map-only pass), embed the query at planning time, rank by cosine
+with an exact or ANN cut. Here the embedder is the deterministic
+hashed-unigram stand-in (the RERANK / COMPLETION / inference-processor
+pattern: models stay a declared boundary, the plan is model-agnostic):
+
+    bucket(term)  = hash60('sb1' || term) % dim
+    value(term)   = (hash60('sv1' || term) % 2001) - 1000        (integer)
+    emb_j(doc)    = sum over tokens with bucket == j of value    (integer)
+
+Dimensions are INTEGER sums — exact under any evaluation order and in both
+engines — and the only float arithmetic is the final
+`dot / (sqrt(nd) * sqrt(nq))`, so the DuckDB twin is bit-identical by
+construction (the quantize_embeddings / int-cent doctrine from CLAUDE.md).
+A real deployment swaps the per-doc embedding projection for a
+mapInPandas batch-inference pass and keeps everything downstream unchanged.
+
+Scale shape: embedding is a zero-shuffle projection (one md5 pair per
+token, `dim` cheap integer folds over a staged struct array); ranking is
+one scan + TakeOrderedAndProject. At 10^12 docs, persist the embedded
+corpus once and reuse the ANN variants (operators/similarity.py) — the
+cut is embedder-agnostic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from elasticsearch_assets_spark.operators.texthash import (
+    hash60_expr,
+    tokens_expr,
+    tokens_sql,
+)
+
+SEM_DIM = 8
+_B_SEED = "sb1"
+_V_SEED = "sv1"
+_V_MOD = 2001
+_V_HALF = 1000
+
+
+def _pairs_expr(toks: Column, dim: int) -> Column:
+    """(bucket, value) struct per token — ONE md5 pair per token, staged so
+    the dim folds below reuse it (the dsir staging rule: inlined, Catalyst
+    would re-run the hashes per fold)."""
+    return F.transform(
+        toks,
+        lambda t: F.struct(
+            (hash60_expr(F.concat(F.lit(_B_SEED), t)) % dim).alias("j"),
+            (hash60_expr(F.concat(F.lit(_V_SEED), t)) % _V_MOD - _V_HALF).alias(
+                "v"
+            ),
+        ),
+    )
+
+
+def _dim_fold(pairs: Column, j: int) -> Column:
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        pairs,
+        zero,
+        lambda a, x: a + F.when(x["j"] == j, x["v"]).otherwise(zero),
+    )
+
+
+def embed_local(text: str, dim: int = SEM_DIM) -> list[int]:
+    """Python twin of the embedder (query planning + oracle constants).
+    Token rule mirrors texthash.TOKEN_RE for the ASCII range the contract
+    rows exercise."""
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    vec = [0] * dim
+    for t in re.findall(r"[^\W_]+", text.lower(), re.UNICODE):
+        vec[h60(_B_SEED + t) % dim] += (h60(_V_SEED + t) % _V_MOD) - _V_HALF
+    return vec
+
+
+def semantic_topk(
+    corpus: DataFrame,
+    query_text: str,
+    k: int = 10,
+    *,
+    dim: int = SEM_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `semantic` query: embed the query at planning time, rank the
+    corpus by cosine in the integer-exact stand-in space, return the top k
+    (score DESC, id ASC). Docs embedding to the zero vector can't rank
+    (no direction — the cosine is undefined) and are dropped, ES's
+    missing-inference-result shape."""
+    qvec = embed_local(query_text, dim)
+    nq = sum(v * v for v in qvec)
+    if nq == 0:
+        return corpus.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    staged = corpus.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col), _pairs_expr(F.col("_toks"), dim).alias("_pv")
+    )
+    dims = [_dim_fold(F.col("_pv"), j).alias(f"_e{j}") for j in range(dim)]
+    emb = staged.select(F.col(id_col), *dims)
+    dot = None
+    nd = None
+    for j, qv in enumerate(qvec):
+        e = F.col(f"_e{j}")
+        term_d = e * F.lit(int(qv))
+        term_n = e * e
+        dot = term_d if dot is None else dot + term_d
+        nd = term_n if nd is None else nd + term_n
+    score = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_nd").cast("double")) * F.lit(math.sqrt(float(nq)))
+    )
+    return (
+        emb.select(F.col(id_col), dot.alias("_dot"), nd.alias("_nd"))
+        .where(F.col("_nd") > 0)
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def semantic_sql(
+    query_text: str,
+    k: int = 10,
+    *,
+    dim: int = SEM_DIM,
+    text: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: same integer dims via unnest + group-by (a different
+    plan, the SAME integers), same single float expression at the end."""
+    qvec = embed_local(query_text, dim)
+    nq = sum(v * v for v in qvec)
+    qrows = ", ".join(f"({j}, {v})" for j, v in enumerate(qvec))
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({tokens_sql(text)}) AS term FROM {table}
+),
+vals AS (
+  SELECT {id_col},
+         ('0x' || substr(md5('{_B_SEED}' || term), 1, 15))::BIGINT % {dim} AS j,
+         (('0x' || substr(md5('{_V_SEED}' || term), 1, 15))::BIGINT % {_V_MOD})
+           - {_V_HALF} AS v
+  FROM toks
+),
+emb AS (SELECT {id_col}, j, sum(v) AS e FROM vals GROUP BY 1, 2),
+q(j, qe) AS (VALUES {qrows}),
+agg AS (
+  SELECT {id_col}, sum(e * qe) AS d, sum(e * e) AS nd
+  FROM emb JOIN q USING (j) GROUP BY {id_col}
+)
+SELECT {id_col},
+       round(d::DOUBLE / (sqrt(nd::DOUBLE) * sqrt({float(nq)!r})), 4) AS score
+FROM agg WHERE nd > 0
+ORDER BY d::DOUBLE / (sqrt(nd::DOUBLE) * sqrt({float(nq)!r})) DESC,
+         {id_col} ASC
+LIMIT {k}
+"""

@@ -1058,6 +1058,58 @@ def _rewrite_like(text: str) -> str:
     return re.sub(r"\b(NOT\s+)?LIKE\s+\"([^\"]*)\"", sub, text, flags=re.I)
 
 
+_KNN_RE = re.compile(
+    r"^\s*KNN\s*\(\s*([A-Za-z_]\w*)\s*,\s*\[([^\]]*)\]\s*,\s*(\d+)\s*\)\s*$",
+    re.I | re.S,
+)
+
+
+def _knn_where(df: DataFrame, body: str):
+    """ES|QL KNN function in WHERE (ES 9.1): `KNN(col, [v...], k)`
+    restricts the pipe to the k rows nearest the literal query vector by
+    cosine and emits the similarity as `_score` (the RERANK convention —
+    METADATA _score stays the ranked engine's surface). Like the other
+    full-text WHERE functions it must be the entire condition; compose
+    with predicates as chained `| WHERE` steps (filter-during-search:
+    a preceding WHERE restricts the candidate set BEFORE the top-k cut,
+    exactly ES's knn filter semantics — tested).
+
+    Deterministic: ties break on the frame's scalar columns left to
+    right. Exact top-k here (one scan + TakeOrderedAndProject); at 10^12
+    rows swap in the ANN variants (operators/similarity.py — LSH/IVF/BBQ
+    prune the scan, the pipe shape is unchanged)."""
+    m = _KNN_RE.match(body)
+    if m is None:
+        if re.search(r"(?<![\w.])KNN\s*\(", body, re.I):
+            raise ValueError(
+                "KNN must be the entire WHERE condition; compose with "
+                "other predicates as chained `| WHERE` steps"
+            )
+        return None
+    import math
+
+    from elasticsearch_assets_spark.operators.similarity import (
+        dot_expr, norm_expr,
+    )
+
+    col = m.group(1)
+    vals = [float(x) for x in m.group(2).split(",")]
+    k = int(m.group(3))
+    q = F.array(*[F.lit(v) for v in vals])
+    qn = math.sqrt(sum(v * v for v in vals))
+    scored = df.withColumn(
+        "_score", dot_expr(F.col(col), q) / (norm_expr(F.col(col)) * F.lit(qn))
+    )
+    simple = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() not in ("array", "map", "struct", "binary")
+    ]
+    return scored.orderBy(
+        F.col("_score").desc(), *[F.col(c).asc() for c in simple]
+    ).limit(k)
+
+
 _FULLTEXT_RE = re.compile(
     r"^\s*(QSTR|KQL|MATCH_PHRASE)\s*\((.*)\)\s*$", re.I | re.S
 )
@@ -1817,11 +1869,15 @@ def esql(
                 )
             return df
         if kw == "WHERE":
-            ft = _fulltext_filter(body)
-            if ft is not None:
-                df = df.where(ft)
+            knn = _knn_where(df, body)
+            if knn is not None:
+                df = knn
             else:
-                df = df.where(_expr(body))
+                ft = _fulltext_filter(body)
+                if ft is not None:
+                    df = df.where(ft)
+                else:
+                    df = df.where(_expr(body))
         elif kw == "EVAL":
             for assign in _split_commas(body):
                 m = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", assign, re.S)

@@ -280,3 +280,94 @@ def test_cap_per_host(spark):
     assert g1 == g2 and len(g1) == 3
     with pytest.raises(ValueError):
         cap_per_host(df, "host", 0)
+
+
+# --- session-10 batch 3: ES|QL KNN, semantic stand-in, agg knobs ------------
+
+
+def test_esql_knn_filter_during_search(spark):
+    from elasticsearch_assets_spark.query.esql import esql
+
+    rows = [(i, [float(i), 1.0], "en" if i % 2 == 0 else "de") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<DOUBLE>, lang STRING")
+    out = esql(
+        'FROM t | WHERE lang == "en" | WHERE KNN(v, [1.0, 0.0], 2) | KEEP id, _score',
+        tables={"t": df},
+    ).collect()
+    # even ids only (filter BEFORE the cut), ranked by cosine to (1,0):
+    # larger first component wins -> ids 8, 6
+    assert [r["id"] for r in out] == [8, 6]
+    assert out[0]["_score"] > out[1]["_score"]
+    with pytest.raises(ValueError, match="entire WHERE"):
+        esql('FROM t | WHERE KNN(v, [1.0, 0.0], 2) AND lang == "en"', tables={"t": df})
+
+
+def test_semantic_embed_parity_and_zero_norm(spark):
+    from elasticsearch_assets_spark.operators.semantic import (
+        embed_local, semantic_topk,
+    )
+
+    rows = [
+        (0, "spark join table"),
+        (1, "quick brown fox"),
+        (2, "join join row"),
+        (3, ""),  # zero vector -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = semantic_topk(df, "spark join", k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 3 not in ids and len(ids) >= 2
+    # replay scores in python from embed_local
+    import math
+
+    q = embed_local("spark join")
+    nq = math.sqrt(sum(v * v for v in q))
+    exp = []
+    for i, t in rows:
+        e = embed_local(t)
+        nd = math.sqrt(sum(v * v for v in e))
+        if nd == 0:
+            continue
+        exp.append((i, sum(a * b for a, b in zip(e, q)) / (nd * nq)))
+    exp.sort(key=lambda p: (-p[1], p[0]))
+    assert [(r["doc_id"], pytest.approx(r["score"], abs=1e-12)) for r in got] == [
+        (i, pytest.approx(s, abs=1e-12)) for i, s in exp
+    ]
+
+
+def test_facet_extended_stats_bucket_numpy(spark):
+    import numpy as np
+
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_extended_stats_bucket,
+    )
+
+    rows = [(i, f"2024-01-{1 + i % 5:02d} 10:00:00") for i in range(37)]
+    df = spark.createDataFrame(rows, ["doc_id", "s"]).withColumn(
+        "ts", F.col("s").cast("timestamp")
+    )
+    got = facet_extended_stats_bucket(
+        df.select("doc_id"), df, "ts", "day"
+    ).collect()[0]
+    counts = np.bincount([i % 5 for i in range(37)])
+    assert got["n_buckets"] == 5
+    assert got["sum_bucket"] == 37
+    assert got["sum_of_squares"] == int((counts**2).sum())
+    assert got["variance"] == pytest.approx(counts.var(), abs=1e-9)
+    assert got["std_upper"] == pytest.approx(
+        counts.mean() + 2 * counts.std(), abs=1e-9
+    )
+
+
+def test_facet_counts_regex(spark):
+    from elasticsearch_assets_spark.operators.facets import facet_counts_regex
+
+    rows = [(i, f"src{i % 15}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = facet_counts_regex(
+        df.select("doc_id"), df, "source",
+        include_re="src1.*", exclude_re="src1[23]",
+    ).collect()
+    buckets = {r["bucket"] for r in got}
+    assert buckets == {"src1", "src10", "src11", "src14"}
+    assert all(r["doc_count"] == 4 for r in got)
