@@ -14121,6 +14121,96 @@ GROUP BY 1 ORDER BY doc_count DESC, bucket ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 session-10 batch 4: SLM retention, bulk op_type=create
+# ---------------------------------------------------------------------------
+
+_SLM_NOW = "2024-02-05"
+_SLM_EXPIRE, _SLM_MIN, _SLM_MAX = 10, 3, 4
+
+
+def _slm_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SLM retention (expire_after yields to min_count, max_count
+    overrides freshness): the decision table over one snapshot per event
+    day — both delete reasons fire under this policy (max_count cuts an
+    unexpired snapshot at rank 5, expire_after everything older)."""
+    from elasticsearch_assets_spark.index.slm import retention_plan
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    snaps = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("ts")
+    ).distinct().select(
+        F.concat(F.lit("snap-"), F.date_format("ts", "yyyy-MM-dd")).alias(
+            "name"
+        ),
+        "ts",
+    )
+    return retention_plan(
+        snaps, _SLM_NOW,
+        expire_after_days=_SLM_EXPIRE, min_count=_SLM_MIN, max_count=_SLM_MAX,
+    )
+
+
+_SLM_SQL = f"""
+WITH s AS (
+  SELECT 'snap-' || strftime(d, '%Y-%m-%d') AS name, d AS ts
+  FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
+),
+r AS (
+  SELECT name, strftime(ts, '%Y-%m-%d') AS snap_date,
+         date_diff('day', ts::DATE, DATE '{_SLM_NOW}') AS age_days,
+         row_number() OVER (ORDER BY ts DESC, name ASC) AS rank
+  FROM s
+)
+SELECT name, snap_date, age_days::INT AS age_days, rank::INT AS rank,
+       (rank <= {_SLM_MIN}
+        OR (age_days <= {_SLM_EXPIRE} AND rank <= {_SLM_MAX})) AS keep,
+       CASE
+         WHEN rank <= {_SLM_MIN}
+           OR (age_days <= {_SLM_EXPIRE} AND rank <= {_SLM_MAX})
+           THEN 'retained'
+         WHEN age_days > {_SLM_EXPIRE} THEN 'expired'
+         ELSE 'max_count_exceeded'
+       END AS reason
+FROM r ORDER BY rank
+"""
+
+
+def _bulk_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bulk `op_type=create` (insert-if-absent): the second batch's
+    rows whose keys already exist are conflicts and never written —
+    existing docs win, exactly ES's create-conflict contract. Output is
+    the final table: batch-1 rows plus only the genuinely-new batch-2
+    keys."""
+    import tempfile
+
+    from elasticsearch_assets_spark.sinks.keyed_table import KeyedParquetTable
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="esa_create_"), "tbl")
+    table = KeyedParquetTable(spark, path, key="_id", num_buckets=8)
+    table.create(
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("_id"), F.lit("first").alias("src")
+        )
+    )
+    table.create(
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            F.col("doc_id").alias("_id"), F.lit("second").alias("src")
+        )
+    )
+    return table.read().select("_id", "src").orderBy("_id")
+
+
+_BULK_CREATE_SQL = """
+SELECT doc_id AS _id, 'first' AS src FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id AS _id, 'second' AS src FROM documents
+WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0
+ORDER BY _id
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14539,6 +14629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_search": _semantic_search,
         "facet_ext_stats_bucket": _facet_ext_stats_bucket,
         "facet_terms_regex": _facet_terms_regex,
+        "slm_retention": _slm_retention,
+        "bulk_create": _bulk_create,
         "pii_luhn": _pii_luhn,
     }
 
@@ -15016,4 +15108,6 @@ FROM topk JOIN documents USING (doc_id)
     out["semantic_search"] = _semantic_search_sql()
     out["facet_ext_stats_bucket"] = _FACET_EXT_STATS_SQL
     out["facet_terms_regex"] = _FACET_TERMS_REGEX_SQL
+    out["slm_retention"] = _SLM_SQL
+    out["bulk_create"] = _BULK_CREATE_SQL
     return out

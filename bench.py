@@ -441,6 +441,19 @@ def main() -> None:
 
     op_best("op_bpe_train16", _bpe_train, reps=1)
     op_best("op_bpe_apply", lambda: OB.bpe_apply(corpus, _bpe_merges).count())
+    # semantic stand-in embed+rank (zero shuffle before the global cut) and
+    # per-host cap (one WindowGroupLimit-pruned shuffle)
+    from elasticsearch_assets_spark.operators.sampling import cap_per_host
+    from elasticsearch_assets_spark.operators.semantic import semantic_topk
+
+    op_best(
+        "op_semantic_topk",
+        lambda: semantic_topk(corpus, "spark join table row", k=10).count(),
+    )
+    hosted = corpus.withColumn(
+        "host", F.concat(F.lit("h"), F.col("doc_id") % 500)
+    )
+    op_best("op_host_cap", lambda: cap_per_host(hosted, "host", 5).count())
     # hashed classifier + normalization: zero-shuffle JVM passes
     op_best(
         "op_hash_classifier", lambda: hash_classifier_score(corpus).count()

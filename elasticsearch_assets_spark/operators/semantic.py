@@ -63,12 +63,20 @@ def _pairs_expr(toks: Column, dim: int) -> Column:
     )
 
 
-def _dim_fold(pairs: Column, j: int) -> Column:
+def _emb_fold(pairs: Column, dim: int) -> Column:
+    """All `dim` integer dimensions in ONE pass over the (bucket, value)
+    pairs — an array accumulator updated per token, so the md5 pair runs
+    once per token regardless of dim (the first cut folded per dimension:
+    Catalyst inlines the staged transform into every fold, which made the
+    cost linear in dim — measured before rewriting)."""
     zero = F.lit(0).cast("long")
+    init = F.array_repeat(zero, dim)
     return F.aggregate(
         pairs,
-        zero,
-        lambda a, x: a + F.when(x["j"] == j, x["v"]).otherwise(zero),
+        init,
+        lambda acc, x: F.transform(
+            acc, lambda a, i: a + F.when(x["j"] == i, x["v"]).otherwise(zero)
+        ),
     )
 
 
@@ -112,21 +120,37 @@ def semantic_topk(
     ).select(
         F.col(id_col), _pairs_expr(F.col("_toks"), dim).alias("_pv")
     )
-    dims = [_dim_fold(F.col("_pv"), j).alias(f"_e{j}") for j in range(dim)]
-    emb = staged.select(F.col(id_col), *dims)
-    dot = None
-    nd = None
-    for j, qv in enumerate(qvec):
-        e = F.col(f"_e{j}")
-        term_d = e * F.lit(int(qv))
-        term_n = e * e
-        dot = term_d if dot is None else dot + term_d
-        nd = term_n if nd is None else nd + term_n
+    emb = staged.select(
+        F.col(id_col), _emb_fold(F.col("_pv"), dim).alias("_emb")
+    )
+    # dot and squared norm in one pass over the dim array — the emb fold
+    # is referenced exactly once, so the whole chain (tokens -> pairs ->
+    # dims -> (dot, nd)) evaluates each token's md5 pair a single time
+    q_arr = F.array(*[F.lit(int(v)).cast("long") for v in qvec])
+    zero = F.lit(0).cast("long")
+    dn = F.aggregate(
+        F.zip_with(
+            F.col("_emb"),
+            q_arr,
+            lambda e, q: F.struct(
+                (e * q).alias("d"), (e * e).alias("n")
+            ),
+        ),
+        F.struct(zero.alias("d"), zero.alias("n")),
+        lambda a, x: F.struct(
+            (a["d"] + x["d"]).alias("d"), (a["n"] + x["n"]).alias("n")
+        ),
+    )
     score = F.col("_dot").cast("double") / (
         F.sqrt(F.col("_nd").cast("double")) * F.lit(math.sqrt(float(nq)))
     )
     return (
-        emb.select(F.col(id_col), dot.alias("_dot"), nd.alias("_nd"))
+        emb.select(F.col(id_col), dn.alias("_dn"))
+        .select(
+            F.col(id_col),
+            F.col("_dn")["d"].alias("_dot"),
+            F.col("_dn")["n"].alias("_nd"),
+        )
         .where(F.col("_nd") > 0)
         .select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())

@@ -614,6 +614,45 @@ def main() -> None:
         ),
     )
 
+    # --- session 10 ------------------------------------------------------
+    from elasticsearch_assets_spark.operators.bpe import bpe_apply
+    from elasticsearch_assets_spark.operators.facets import facet_terms_sharded
+    from elasticsearch_assets_spark.operators.sampling import cap_per_host
+    from elasticsearch_assets_spark.operators.semantic import semantic_topk
+
+    add(
+        "BPE application (zero shuffle)",
+        "The learned merge list compiles to a chain of per-word JVM folds "
+        "inside ONE projection — no Exchange: tokenizing 10^12 docs with a "
+        "trained tokenizer is a pure map.",
+        bpe_apply(docs, [("t", "h"), ("th", "e")]),
+    )
+    add(
+        "semantic stand-in embedding + rank (zero shuffle before top-k)",
+        "Embedding is a staged-struct projection (one md5 pair per token, "
+        "dim integer folds); the only wide op is TakeOrderedAndProject. "
+        "Swapping the projection for mapInPandas model inference keeps the "
+        "plan shape.",
+        semantic_topk(docs, "spark join table", k=10),
+    )
+    add(
+        "sharded terms agg (coordinator work bounded by shards x shard_size)",
+        "Per-shard counts partial-aggregate map-side; the per-shard top cut "
+        "is a window over (shard, bucket) count rows; everything after the "
+        "cut (floors, merge, error bound) runs over <= shards x shard_size "
+        "rows regardless of bucket cardinality.",
+        facet_terms_sharded(docs, "lang", 3, n_shards=4, shard_size=3),
+    )
+    add(
+        "per-host cap (ONE host-keyed shuffle)",
+        "A single row_number window keyed by host — one Exchange, no joins; "
+        "the deterministic md5 draw makes survivors replayable.",
+        cap_per_host(
+            docs.withColumn("host", F.concat(F.lit("h"), F.col("doc_id") % 50)),
+            "host", 2,
+        ),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "

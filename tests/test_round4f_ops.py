@@ -371,3 +371,81 @@ def test_facet_counts_regex(spark):
     buckets = {r["bucket"] for r in got}
     assert buckets == {"src1", "src10", "src11", "src14"}
     assert all(r["doc_count"] == 4 for r in got)
+
+
+# --- session-10 batch 4: SLM retention ---------------------------------------
+
+
+def test_slm_retention_plan_semantics(spark):
+    from elasticsearch_assets_spark.index.slm import retention_plan
+
+    rows = [(f"s{i:02d}", f"2024-01-{i:02d} 12:00:00") for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["name", "s"]).withColumn(
+        "ts", F.col("s").cast("timestamp")
+    )
+    plan = retention_plan(
+        df, "2024-01-25", expire_after_days=7, min_count=2, max_count=4
+    ).collect()
+    by_name = {r["name"]: r for r in plan}
+    # newest (s20, age 5) .. rank asc
+    assert by_name["s20"]["rank"] == 1 and by_name["s20"]["keep"]
+    # ranks 1-2 retained by min_count regardless; ranks 3-4 kept while
+    # unexpired (ages 7, 8 -> s18 age 7 kept, s17 age 8 expired... check)
+    keeps = sorted(r["name"] for r in plan if r["keep"])
+    # ages: s20=5, s19=6, s18=7, s17=8; expire=7 -> s17 over age at rank 4
+    assert keeps == ["s18", "s19", "s20"]
+    reasons = {r["name"]: r["reason"] for r in plan}
+    assert reasons["s17"] == "expired"
+    # min_count beats expiry: everything expired -> newest 2 still kept
+    plan2 = retention_plan(
+        df, "2024-06-01", expire_after_days=7, min_count=2, max_count=4
+    ).collect()
+    assert sorted(r["name"] for r in plan2 if r["keep"]) == ["s19", "s20"]
+    # max_count beats freshness
+    plan3 = retention_plan(
+        df, "2024-01-21", expire_after_days=365, min_count=1, max_count=3
+    ).collect()
+    assert sum(r["keep"] for r in plan3) == 3
+    assert {r["reason"] for r in plan3 if not r["keep"]} == {
+        "max_count_exceeded"
+    }
+    with pytest.raises(ValueError):
+        retention_plan(df, "2024-01-21", expire_after_days=1, min_count=5, max_count=2)
+
+
+def test_slm_apply_retention_filesystem(spark, tmp_path):
+    import os
+
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.index.slm import (
+        apply_retention, list_snapshots,
+    )
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} spark join") for i in range(20)], ["doc_id", "text"]
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, docs, d, num_segments=2, num_chunks=1)
+    idx = InvertedIndex(spark, d)
+    repo = str(tmp_path / "repo")
+    for n in ("snap-a", "snap-b", "snap-c"):
+        idx.snapshot(repo, n)
+    assert list_snapshots(repo) == ["snap-a", "snap-b", "snap-c"]
+    plan = [
+        {"name": "snap-a", "keep": False},
+        {"name": "snap-b", "keep": True},
+        {"name": "snap-c", "keep": False},
+    ]
+    deleted = apply_retention(repo, plan)
+    assert deleted == ["snap-a", "snap-c"]
+    assert list_snapshots(repo) == ["snap-b"]
+    # the survivor restores and searches (hard links intact)
+    from elasticsearch_assets_spark.query.engine import restore_snapshot
+
+    rest = restore_snapshot(spark, repo, "snap-b", str(tmp_path / "restored"))
+    assert rest.search(["spark"], k=3).count() == 3
+    # unknown plan names refuse BEFORE deleting anything
+    with pytest.raises(ValueError):
+        apply_retention(repo, [{"name": "nope", "keep": False}])
+    assert list_snapshots(repo) == ["snap-b"]
