@@ -14211,6 +14211,96 @@ ORDER BY _id
 """
 
 
+_MLT_MULTI_LIKES = [7, 21]
+_MLT_MULTI_UNLIKE = 12
+
+
+def _mlt_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this with a multi-doc `like` array + `unlike`: term
+    frequencies AGGREGATE across the like-docs before the characteristic-
+    term cut, any unlike-doc's terms are subtracted, and every like-doc is
+    excluded from the hits."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    res = idx.more_like_this(
+        _MLT_MULTI_LIKES, docs, max_terms=10, k=10, unlike=[_MLT_MULTI_UNLIKE]
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _mlt_multi_sql() -> str:
+    likes = ", ".join(str(i) for i in _MLT_MULTI_LIKES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+src AS (
+  SELECT term, count(*)::BIGINT AS tf FROM toks
+  WHERE doc_id IN ({likes}) GROUP BY term
+),
+gdf AS (
+  SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS df
+  FROM toks t JOIN src USING (term) GROUP BY t.term
+),
+sel AS (
+  SELECT s.term FROM src s JOIN gdf g USING (term)
+  WHERE s.term NOT IN (
+    SELECT term FROM toks WHERE doc_id = {_MLT_MULTI_UNLIKE})
+  ORDER BY s.tf DESC, g.df ASC, s.term ASC LIMIT 10
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id NOT IN ({likes})
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _ingest_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline processor (pipeline composition): the outer pipeline
+    invokes a shared named pipeline by name; composition inlines into ONE
+    projection chain (a single Catalyst plan, no per-doc dispatch)."""
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    docs = load_sf_table(spark, sf_dir, "documents")
+    shared = [
+        {"uppercase": {"field": "lang"}},
+        {"set": {"field": "curated", "value": "yes"}},
+    ]
+    outer = [
+        {"script": {"target_field": "n_kchars", "source": "n_chars / 1000.0"}},
+        {"pipeline": {"name": "shared-enrich"}},
+    ]
+    out = run_pipeline(
+        docs.select("doc_id", "lang", "n_chars"),
+        outer,
+        registry={"shared-enrich": shared},
+    )
+    return out.select(
+        "doc_id", "lang", "curated", _f4("n_kchars").alias("n_kchars")
+    ).orderBy("doc_id")
+
+
+_INGEST_COMPOSED_SQL = """
+SELECT doc_id, upper(lang) AS lang, 'yes' AS curated,
+       floor((n_chars / 1000.0) * 10000.0 + 0.5) / 10000.0 AS n_kchars
+FROM documents ORDER BY doc_id
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14631,6 +14721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_terms_regex": _facet_terms_regex,
         "slm_retention": _slm_retention,
         "bulk_create": _bulk_create,
+        "mlt_multi": _mlt_multi,
+        "ingest_composed": _ingest_composed,
         "pii_luhn": _pii_luhn,
     }
 
@@ -15110,4 +15202,6 @@ FROM topk JOIN documents USING (doc_id)
     out["facet_terms_regex"] = _FACET_TERMS_REGEX_SQL
     out["slm_retention"] = _SLM_SQL
     out["bulk_create"] = _BULK_CREATE_SQL
+    out["mlt_multi"] = _mlt_multi_sql()
+    out["ingest_composed"] = _INGEST_COMPOSED_SQL
     return out

@@ -3153,42 +3153,47 @@ class InvertedIndex:
 
     def more_like_this(
         self,
-        doc_id: int,
+        doc_id: "int | list[int]",
         corpus: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
         max_terms: int = 10,
         k: int | None = 10,
-        unlike: "int | None" = None,
+        unlike: "int | list[int] | None" = None,
     ) -> DataFrame:
-        """ES more_like_this: select the source doc's most characteristic
-        terms, run them as a scored OR query, exclude the source doc.
+        """ES more_like_this: select the source docs' most characteristic
+        terms, run them as a scored OR query, exclude the source docs.
 
         Term selection (deterministic, integer-ordered so the SQL oracle is
-        exact): by (tf in source DESC, global df ASC, term ASC), top
-        `max_terms` — rare-but-frequent-in-doc first, the tf-idf ordering
-        with integer tie-breaks. The source text fetch is a planning-level
-        single-row lookup; everything after is the standard OR plan.
+        exact): by (tf summed over the like-docs DESC, global df ASC,
+        term ASC), top `max_terms` — rare-but-frequent-in-doc first, the
+        tf-idf ordering with integer tie-breaks. The source text fetch is a
+        planning-level M-row lookup; everything after is the standard OR
+        plan.
 
-        `unlike` (ES's mlt `unlike` docs list): a doc id whose terms are
-        SUBTRACTED from the candidate set before the top-`max_terms` cut
-        — "similar to A but not like B". One more single-row planning
-        fetch; the query plan is unchanged."""
-        row = (
-            corpus.where(F.col(id_col) == doc_id).select(text_col).head()
-        )
-        if row is None:
+        `doc_id` accepts a list (the ES `like` array: term frequencies
+        AGGREGATE across the like-docs before selection, the multi-doc
+        contract); `unlike` likewise (terms of ANY unlike-doc are
+        subtracted before the cut — "similar to these but not like
+        those")."""
+        likes = [doc_id] if isinstance(doc_id, int) else list(doc_id)
+        if not likes:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        toks = tokenize(row[0])
+        rows = (
+            corpus.where(F.col(id_col).isin(likes)).select(text_col).collect()
+        )
+        if not rows:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        toks = [t for r in rows for t in tokenize(r[0])]
         if not toks:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         banned: set = set()
         if unlike is not None:
-            urow = (
-                corpus.where(F.col(id_col) == unlike).select(text_col).head()
-            )
-            if urow is not None:
-                banned = set(tokenize(urow[0]))
+            unl = [unlike] if isinstance(unlike, int) else list(unlike)
+            for urow in (
+                corpus.where(F.col(id_col).isin(unl)).select(text_col).collect()
+            ):
+                banned |= set(tokenize(urow[0]))
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
@@ -3199,9 +3204,9 @@ class InvertedIndex:
         )[:max_terms]
         if not sel:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        # k+1 then drop the source doc: rank-safe (≤1 row removed)
-        res = self.search(sel, k=None if k is None else k + 1, mode="or")
-        res = res.where(F.col("doc_id") != doc_id)
+        # k+|likes| then drop the source docs: rank-safe (≤|likes| removed)
+        res = self.search(sel, k=None if k is None else k + len(likes), mode="or")
+        res = res.where(~F.col("doc_id").isin(likes))
         res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return res.limit(k) if k is not None else res
 

@@ -75,16 +75,19 @@ def run_pipeline(
     df: DataFrame,
     processors: "list[dict]",
     on_failure: str = "keep",
+    registry: "dict[str, list] | None" = None,
 ) -> DataFrame:
     """Apply an ES-shaped processor list. Each element is
-    {"<type>": {config}} exactly like the ES pipeline JSON."""
+    {"<type>": {config}} exactly like the ES pipeline JSON.
+
+    `registry` maps pipeline names for the `pipeline` processor (ES
+    pipeline composition: a shared enrichment pipeline invoked by name).
+    Composition inlines the named pipeline's processors into the SAME
+    projection chain — still one Catalyst plan, no per-doc dispatch;
+    cycles raise at compile time (ES raises at runtime on recursion)."""
     if on_failure not in ("keep", "drop", "fail"):
         raise ValueError("on_failure must be keep | drop | fail")
-    for p in processors:
-        if len(p) != 1:
-            raise ValueError(f"one processor type per entry: {p!r}")
-        (ptype, cfg), = p.items()
-        df = _apply(df, ptype, cfg or {})
+    df = _run_processors(df, processors, registry or {}, frozenset())
     if ERROR_COL not in df.columns:
         df = df.withColumn(ERROR_COL, F.lit(None).cast("string"))
     if on_failure == "drop":
@@ -94,6 +97,33 @@ def run_pipeline(
         if bad is not None:
             raise ValueError(f"ingest pipeline failed: {bad[ERROR_COL]}")
         df = df.drop(ERROR_COL)
+    return df
+
+
+def _run_processors(
+    df: DataFrame,
+    processors: "list[dict]",
+    registry: "dict[str, list]",
+    stack: frozenset,
+) -> DataFrame:
+    for p in processors:
+        if len(p) != 1:
+            raise ValueError(f"one processor type per entry: {p!r}")
+        (ptype, cfg), = p.items()
+        cfg = cfg or {}
+        if ptype == "pipeline":
+            name = cfg.get("name")
+            if name not in registry:
+                raise ValueError(f"pipeline processor: unknown name {name!r}")
+            if name in stack:
+                raise ValueError(
+                    f"pipeline processor: cycle through {name!r}"
+                )
+            df = _run_processors(
+                df, registry[name], registry, stack | {name}
+            )
+            continue
+        df = _apply(df, ptype, cfg)
     return df
 
 
@@ -601,9 +631,10 @@ _PSL_SUBSET = [
 def simulate_pipeline(
     spark, docs: "list[dict]", processors: "list[dict]",
     on_failure: str = "keep",
+    registry: "dict[str, list] | None" = None,
 ) -> "list[dict]":
     """ES `_ingest/pipeline/_simulate`: run sample docs through the SAME
     compiled plan and return the transformed docs as dicts."""
     df = spark.createDataFrame(docs)
-    out = run_pipeline(df, processors, on_failure=on_failure)
+    out = run_pipeline(df, processors, on_failure=on_failure, registry=registry)
     return [r.asDict(recursive=True) for r in out.collect()]

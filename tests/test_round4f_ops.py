@@ -449,3 +449,36 @@ def test_slm_apply_retention_filesystem(spark, tmp_path):
     with pytest.raises(ValueError):
         apply_retention(repo, [{"name": "nope", "keep": False}])
     assert list_snapshots(repo) == ["snap-b"]
+
+
+# --- session-10 batch 5: MLT multi-doc, ingest pipeline composition ---------
+
+
+def test_mlt_multi_doc_like(boost_index):
+    idx, docs = boost_index
+    multi = idx.more_like_this([0, 1], docs, max_terms=3, k=None).collect()
+    ids = [r["doc_id"] for r in multi]
+    assert 0 not in ids and 1 not in ids
+    # single-doc call unchanged (int arg keeps working)
+    single = idx.more_like_this(0, docs, max_terms=3, k=None).collect()
+    assert all(r["doc_id"] != 0 for r in single)
+
+
+def test_ingest_pipeline_composition(spark):
+    from elasticsearch_assets_spark.sinks.ingest import run_pipeline
+
+    df = spark.createDataFrame([(1, "en"), (2, "de")], ["id", "lang"])
+    shared = [{"uppercase": {"field": "lang"}}]
+    out = run_pipeline(
+        df,
+        [{"pipeline": {"name": "s"}}, {"set": {"field": "f", "value": "x"}}],
+        registry={"s": shared},
+    ).collect()
+    assert {(r["id"], r["lang"], r["f"]) for r in out} == {
+        (1, "EN", "x"), (2, "DE", "x"),
+    }
+    with pytest.raises(ValueError, match="unknown name"):
+        run_pipeline(df, [{"pipeline": {"name": "nope"}}])
+    cyc = {"a": [{"pipeline": {"name": "b"}}], "b": [{"pipeline": {"name": "a"}}]}
+    with pytest.raises(ValueError, match="cycle"):
+        run_pipeline(df, [{"pipeline": {"name": "a"}}], registry=cyc)
