@@ -14301,6 +14301,72 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _cached_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES shard request cache: the second identical request reads a
+    parquet entry keyed by (canonical query, index-state fingerprint) —
+    no posting scan at all. Parity with the uncached search IS the
+    contract; the row runs miss-then-hit and returns the hit."""
+    import tempfile
+
+    from elasticsearch_assets_spark.query.cache import RequestCache
+
+    idx = _docs_index(spark, sf_dir)
+    cache = RequestCache(
+        idx, cache_dir=os.path.join(tempfile.mkdtemp(prefix="esa_rc_"), "rc")
+    )
+    cache.search(["spark", "join"], k=None, mode="or")  # miss fills
+    res = cache.search(["spark", "join"], k=None, mode="or")  # hit
+    assert cache.hits == 1 and cache.misses == 1
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_CACHED_SEARCH_SQL = _bm25_sql(["spark", "join"], "or", None)
+
+
+_HYB_SEM_Q = "spark join table row quick brown"
+
+
+def _hybrid_semantic_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, both retrievers from this engine: BM25 top-20 +
+    semantic (stand-in embedding) top-20 fused by RRF (rank_constant 60).
+    Every stage has an exact SQL twin, so the fused ranking is value-
+    checked end-to-end — the ES `retriever: rrf` over a semantic_text
+    field."""
+    from elasticsearch_assets_spark.operators.semantic import semantic_topk
+    from elasticsearch_assets_spark.operators.similarity import rrf_fuse
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    bm = idx.search(["spark", "join"], k=20, mode="or")
+    sem = semantic_topk(docs, _HYB_SEM_Q, k=20)
+    out = rrf_fuse([bm, sem], k_const=60, k=10)
+    return out.select("doc_id", _f4("score").alias("score"))
+
+
+def _hybrid_semantic_rrf_sql() -> str:
+    from elasticsearch_assets_spark.operators.semantic import semantic_sql
+
+    bm = _bm25_sql(["spark", "join"], "or", 20)
+    sem = semantic_sql(_HYB_SEM_Q, k=20)
+    return f"""
+WITH bm AS ({bm}),
+sem AS ({sem}),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       FROM bm),
+rs AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       FROM sem),
+u AS (
+  SELECT doc_id, 1.0 / (60 + r) AS c FROM rb
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + r) AS c FROM rs
+)
+SELECT doc_id,
+       floor(sum(c) * 10000.0 + 0.5) / 10000.0 AS score
+FROM u GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT 10
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14723,6 +14789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_create": _bulk_create,
         "mlt_multi": _mlt_multi,
         "ingest_composed": _ingest_composed,
+        "cached_search": _cached_search,
+        "hybrid_semantic_rrf": _hybrid_semantic_rrf,
         "pii_luhn": _pii_luhn,
     }
 
@@ -15204,4 +15272,6 @@ FROM topk JOIN documents USING (doc_id)
     out["bulk_create"] = _BULK_CREATE_SQL
     out["mlt_multi"] = _mlt_multi_sql()
     out["ingest_composed"] = _INGEST_COMPOSED_SQL
+    out["cached_search"] = _CACHED_SEARCH_SQL
+    out["hybrid_semantic_rrf"] = _hybrid_semantic_rrf_sql()
     return out

@@ -482,3 +482,49 @@ def test_ingest_pipeline_composition(spark):
     cyc = {"a": [{"pipeline": {"name": "b"}}], "b": [{"pipeline": {"name": "a"}}]}
     with pytest.raises(ValueError, match="cycle"):
         run_pipeline(df, [{"pipeline": {"name": "a"}}], registry=cyc)
+
+
+# --- session-10 batch 6: request cache ---------------------------------------
+
+
+def test_request_cache_parity_invalidation_eviction(spark, tmp_path):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.cache import (
+        RequestCache, index_fingerprint,
+    )
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join row{i % 3} alpha") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, docs, d, num_segments=2, num_chunks=1)
+    idx = InvertedIndex(spark, d)
+    cache = RequestCache(idx, cache_dir=str(tmp_path / "rc"), max_entries=2)
+
+    direct = [(r["doc_id"], r["score"]) for r in idx.search("spark join", k=5).collect()]
+    first = [(r["doc_id"], r["score"]) for r in cache.search("spark join", k=5).collect()]
+    second = [(r["doc_id"], r["score"]) for r in cache.search("spark join", k=5).collect()]
+    assert first == direct == second
+    assert (cache.hits, cache.misses) == (1, 1)
+
+    # a delete changes the fingerprint -> the stale entry is unreachable
+    from elasticsearch_assets_spark.index.tombstones import add_tombstones
+
+    fp0 = index_fingerprint(d)
+    add_tombstones(d, [direct[0][0]])
+    idx = InvertedIndex(spark, d)  # fresh handle (tombstones load at open)
+    cache.index = idx
+    assert index_fingerprint(d) != fp0
+    after = [(r["doc_id"], r["score"]) for r in cache.search("spark join", k=5).collect()]
+    assert cache.misses == 2
+    assert direct[0][0] not in [t[0] for t in after]
+
+    # eviction keeps the entry count bounded
+    for q in ("alpha", "row0", "row1", "row2"):
+        cache.search(q, k=3)
+    assert len(cache._entries()) <= 2
+    # different kwargs are different keys
+    cache.search("spark join", k=5, mode="and")
+    assert cache.misses >= 6
