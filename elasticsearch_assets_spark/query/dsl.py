@@ -1,0 +1,500 @@
+"""ES Query DSL (the JSON request-body language) compiled onto this engine.
+
+The reference never builds queries itself — its facade passes the caller's
+JSON search body straight to Elasticsearch
+(/root/reference/asset/elasticsearch_reader/index.js builds `body` from
+user input; simple_api_reader composes `q=` strings). The Lucene string
+surface covered the `q=` form; this module covers the body form: a
+`{"query": {...}}` tree compiled onto the SAME engine entry points, so
+every rank-semantics guarantee (rank identity, oracle parity, tombstone
+exclusion) is inherited rather than re-implemented.
+
+Supported scoring-context tree (the subset with exact engine semantics —
+anything else raises with guidance, the repo's strict-surface rule):
+
+    match                 {"match": {f: "q"}} or {f: {"query", "operator",
+                          "boost", "minimum_should_match"}} — f analyzed
+    match_phrase          {"match_phrase": {f: "..."}} (positional index)
+    term / terms          on the analyzed field: exact-token clause(s)
+    prefix/wildcard/fuzzy on the analyzed field: dictionary rewrites
+    query_string          {"query_string": {"query": "..."}} (delegates)
+    match_all             constant 1.0 over live docs
+    ids                   {"ids": {"values": [...]}}
+    constant_score        {"filter": <filter tree>, "boost": b}
+    dis_max               {"queries": [<match-like>...], "tie_breaker"}
+    bool                  must / filter / must_not / should (+
+                          minimum_should_match); `should` composes as a
+                          pure OR and cannot be mixed with `must` in v1
+                          (ES's optional-should scoring has no engine
+                          kernel — raise, don't approximate)
+
+Filter context (`bool.filter`, `constant_score.filter`, and every
+structured clause) compiles to the Lucene-surface AST (query/lucene.py
+nodes) and from there to pushed-down Spark predicates — term / terms /
+range {gt,gte,lt,lte} / exists / prefix / wildcard / match /
+match_phrase / nested bool, the ES filter algebra.
+
+must_not folds index-assisted when the engine path allows it (pure scoring
+query) and as Not-filters when a structured filter is present — identical
+match semantics either way (token membership), only the physical plan
+differs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+
+from elasticsearch_assets_spark.analysis.tokenizer import tokenize
+from elasticsearch_assets_spark.query.lucene import (
+    And,
+    Cmp,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Range,
+    Term,
+    Wildcard,
+    compile_filter,
+)
+
+
+@dataclass
+class _Spec:
+    groups: list = dc_field(default_factory=list)   # list[list[str]]
+    boosts: dict = dc_field(default_factory=dict)   # term -> weight
+    phrase: "list[str] | None" = None
+    phrase_boost: float = 1.0
+    filters: list = dc_field(default_factory=list)  # lucene AST nodes
+    must_not_terms: list = dc_field(default_factory=list)
+    mode: str = "and"
+    msm: "int | None" = None
+
+
+def _err(msg: str):
+    raise NotImplementedError(f"Query DSL: {msg}")
+
+
+def _one(node: dict) -> tuple:
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"a DSL clause is a single-key object: {node!r}")
+    return next(iter(node.items()))
+
+
+def _match_cfg(body) -> tuple:
+    """(query_text, operator, boost, msm) from the short or long form."""
+    if isinstance(body, str):
+        return body, "or", 1.0, None
+    return (
+        body["query"],
+        body.get("operator", "or"),
+        float(body.get("boost", 1.0)),
+        body.get("minimum_should_match"),
+    )
+
+
+def _note(spec: _Spec, terms: list[str], w: float) -> None:
+    if w == 1.0:
+        return
+    for t in terms:
+        spec.boosts[t] = max(spec.boosts[t], w) if t in spec.boosts else w
+
+
+# -- filter context ----------------------------------------------------------
+
+
+def filter_ast(node: dict, *, text_col: str = "text", analyzed=None):
+    """Compile a DSL filter tree to the Lucene-surface AST."""
+    analyzed = analyzed or {text_col}
+    kind, body = _one(node)
+    if kind == "bool":
+        parts = []
+        for c in body.get("must", []) + body.get("filter", []):
+            parts.append(filter_ast(c, text_col=text_col, analyzed=analyzed))
+        should = [
+            filter_ast(c, text_col=text_col, analyzed=analyzed)
+            for c in body.get("should", [])
+        ]
+        if should:
+            parts.append(should[0] if len(should) == 1 else Or(tuple(should)))
+        for c in body.get("must_not", []):
+            parts.append(
+                Not(filter_ast(c, text_col=text_col, analyzed=analyzed))
+            )
+        if not parts:
+            raise ValueError("empty bool filter")
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+    if kind == "term":
+        f, v = _one(body)
+        v = v["value"] if isinstance(v, dict) else v
+        return Term(f, str(v))
+    if kind == "terms":
+        f, vals = _one(body)
+        ts = [Term(f, str(v)) for v in vals]
+        return ts[0] if len(ts) == 1 else Or(tuple(ts))
+    if kind == "range":
+        f, cfg = _one(body)
+        lo = cfg.get("gte", cfg.get("gt"))
+        hi = cfg.get("lte", cfg.get("lt"))
+        if lo is not None and hi is not None:
+            return Range(
+                f, str(lo), str(hi), "gte" in cfg, "lte" in cfg
+            )
+        if lo is not None:
+            return Cmp(f, ">=" if "gte" in cfg else ">", str(lo))
+        if hi is not None:
+            return Cmp(f, "<=" if "lte" in cfg else "<", str(hi))
+        raise ValueError(f"empty range for {f!r}")
+    if kind == "exists":
+        return Term("_exists_", body["field"])
+    if kind == "prefix":
+        f, v = _one(body)
+        v = v["value"] if isinstance(v, dict) else v
+        return Prefix(f, str(v))
+    if kind == "wildcard":
+        f, v = _one(body)
+        v = v["value"] if isinstance(v, dict) else v
+        return Wildcard(f, str(v))
+    if kind == "match":
+        f, body2 = _one(body)
+        q, op, _, _ = _match_cfg(body2)
+        toks = tokenize(q)
+        if not toks:
+            raise ValueError("empty match in filter context")
+        nodes = [Term(None if f in analyzed else f, t) for t in toks]
+        if len(nodes) == 1:
+            return nodes[0]
+        return And(tuple(nodes)) if op == "and" else Or(tuple(nodes))
+    if kind == "match_phrase":
+        f, body2 = _one(body)
+        q = body2["query"] if isinstance(body2, dict) else body2
+        return Phrase(None if f in analyzed else f, q)
+    if kind == "ids":
+        ts = [Cmp("doc_id", ">=", "0")]  # placeholder never used
+        raise NotImplementedError(
+            "ids inside filter context: use bool.filter on doc_id ranges or "
+            "the top-level ids query"
+        )
+    _err(f"unsupported filter clause {kind!r}")
+
+
+# -- scoring context ---------------------------------------------------------
+
+
+def _scoring_clause(spec: _Spec, kind: str, body, idx, text_col, analyzed):
+    """Fold one scoring-context clause into the spec (must semantics)."""
+    if kind == "match":
+        f, b2 = _one(body)
+        if f not in analyzed:
+            _err(f"match on non-analyzed field {f!r} scores — filter it")
+        q, op, w, msm = _match_cfg(b2)
+        toks = tokenize(q)
+        if not toks:
+            _err("empty match (zero_terms_query goes through search_match)")
+        if msm is not None:
+            _err("per-clause minimum_should_match: put it on the bool")
+        if op == "and":
+            for t in toks:
+                spec.groups.append([t])
+        else:
+            spec.groups.append(sorted(set(toks)))
+        _note(spec, toks, w)
+        return
+    if kind in ("term", "terms"):
+        f, v = _one(body)
+        if f not in analyzed:
+            _err(
+                f"scoring {kind} on non-analyzed field {f!r} — move it to "
+                "bool.filter"
+            )
+        if kind == "term":
+            v = v["value"] if isinstance(v, dict) else v
+            spec.groups.append([str(v).lower()])
+        else:
+            spec.groups.append(sorted({str(x).lower() for x in v}))
+        return
+    if kind == "match_phrase":
+        if spec.phrase is not None:
+            _err("one match_phrase per query (the engine contract)")
+        f, b2 = _one(body)
+        if f not in analyzed:
+            _err(f"match_phrase on non-analyzed field {f!r}")
+        q = b2["query"] if isinstance(b2, dict) else b2
+        w = float(b2.get("boost", 1.0)) if isinstance(b2, dict) else 1.0
+        spec.phrase = tokenize(q)
+        _note(spec, spec.phrase, w)
+        return
+    if kind in ("prefix", "wildcard", "fuzzy"):
+        f, v = _one(body)
+        if f not in analyzed:
+            _err(f"scoring {kind} on non-analyzed field {f!r}")
+        cfg = v if isinstance(v, dict) else {"value": v}
+        val = str(cfg["value"]).lower()
+        w = float(cfg.get("boost", 1.0))
+        if kind == "prefix":
+            g = idx.expand_prefix(val)
+        elif kind == "wildcard":
+            g = idx.expand_wildcard(val)
+        else:
+            edits = cfg.get("fuzziness", 2)
+            g = idx.expand_fuzzy(val, max_edits=int(edits))
+        spec.groups.append(g)
+        _note(spec, g, w)
+        return
+    _err(f"unsupported scoring clause {kind!r} inside bool.must")
+
+
+def compile_body(
+    query: dict,
+    idx,
+    *,
+    text_col: str = "text",
+    analyzed_fields: "set[str] | None" = None,
+) -> _Spec:
+    """Normalize a DSL `query` tree into the engine execution spec."""
+    analyzed = analyzed_fields or {text_col}
+    spec = _Spec()
+    kind, body = _one(query)
+    if kind == "bool":
+        must = body.get("must", [])
+        if isinstance(must, dict):
+            must = [must]
+        should = body.get("should", [])
+        filters = body.get("filter", [])
+        if isinstance(filters, dict):
+            filters = [filters]
+        must_not = body.get("must_not", [])
+        if isinstance(must_not, dict):
+            must_not = [must_not]
+        if should and (must or body.get("minimum_should_match") is None
+                       and not must and False):
+            pass
+        if should and must:
+            _err(
+                "bool with BOTH must and should (optional-should scoring) "
+                "— restructure as must-only or should-only"
+            )
+        for c in must:
+            ckind, cbody = _one(c)
+            if ckind in ("term", "terms", "range", "exists") and (
+                _one(cbody)[0] not in analyzed
+                if ckind != "exists" else True
+            ):
+                spec.filters.append(
+                    filter_ast(c, text_col=text_col, analyzed=analyzed)
+                )
+            else:
+                _scoring_clause(spec, ckind, cbody, idx, text_col, analyzed)
+        for c in filters:
+            spec.filters.append(
+                filter_ast(c, text_col=text_col, analyzed=analyzed)
+            )
+        if should:
+            spec.mode = "or"
+            flat: list[str] = []
+            all_single = True
+            for c in should:
+                sub = _Spec()
+                ckind, cbody = _one(c)
+                _scoring_clause(sub, ckind, cbody, idx, text_col, analyzed)
+                if sub.phrase is not None:
+                    _err("match_phrase inside should")
+                for g in sub.groups:
+                    if len(g) > 1:
+                        all_single = False
+                    spec.groups.append(g)
+                    flat.extend(g)
+                spec.boosts.update(sub.boosts)
+            msm = body.get("minimum_should_match")
+            if msm is not None:
+                if not all_single:
+                    _err(
+                        "minimum_should_match with multi-term should "
+                        "clauses (rewrites) — the engine counts distinct "
+                        "terms, not clauses"
+                    )
+                spec.msm = int(msm)
+                spec.groups = []
+                spec.flat_terms = sorted(set(flat))  # type: ignore[attr-defined]
+        else:
+            spec.mode = "and"
+        for c in must_not:
+            ckind, cbody = _one(c)
+            if ckind in ("match", "term") and (
+                _one(cbody)[0] in analyzed
+            ):
+                if ckind == "match":
+                    q, _, _, _ = _match_cfg(_one(cbody)[1])
+                    spec.must_not_terms.extend(tokenize(q))
+                else:
+                    v = _one(cbody)[1]
+                    v = v["value"] if isinstance(v, dict) else v
+                    spec.must_not_terms.append(str(v).lower())
+            else:
+                spec.filters.append(
+                    Not(filter_ast(c, text_col=text_col, analyzed=analyzed))
+                )
+        return spec
+    # single-clause query (no bool wrapper)
+    if kind in (
+        "match", "term", "terms", "match_phrase", "prefix", "wildcard",
+        "fuzzy",
+    ):
+        _scoring_clause(spec, kind, body, idx, text_col, analyzed)
+        return spec
+    _err(f"unsupported top-level query {kind!r} in compile_body (match_all/"
+         "ids/query_string/constant_score/dis_max go through search_dsl)")
+
+
+def search_dsl(
+    idx,
+    body: dict,
+    corpus: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    analyzed_fields: "set[str] | None" = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute an ES search body: `{"query": {...}, "size": k,
+    "min_score": s}`. Structured filters need `corpus` (the reference's
+    reader scan). Returns the engine's (doc_id, score) contract frame."""
+    from pyspark.sql import functions as F
+
+    if "query" not in body:
+        raise ValueError("search body needs a query")
+    k = body.get("size", 10)
+    min_score = body.get("min_score")
+    query = body["query"]
+    kind, qbody = _one(query)
+    analyzed = analyzed_fields or {text_col}
+
+    # delegating top-level forms
+    if kind == "match_all":
+        if corpus is None:
+            raise ValueError("match_all needs corpus")
+        out = idx.match_all(corpus, k=k, id_col=id_col)
+        return out
+    if kind == "ids":
+        if corpus is None:
+            raise ValueError("ids needs corpus")
+        return idx.ids_query(
+            [int(v) for v in qbody["values"]], corpus,
+            boost=float(qbody.get("boost", 1.0)), id_col=id_col,
+        )
+    if kind == "query_string":
+        return idx.search_querystring(
+            qbody["query"], corpus, k=k,
+            text_col=text_col, analyzed_fields=analyzed, id_col=id_col,
+        )
+    if kind == "constant_score":
+        w = float(qbody.get("boost", 1.0))
+        fnode = qbody["filter"]
+        fkind, fbody = _one(fnode)
+        if fkind in ("match", "term") and _one(fbody)[0] in analyzed:
+            if fkind == "match":
+                q, op, _, _ = _match_cfg(_one(fbody)[1])
+                return idx.constant_score(tokenize(q), boost=w, k=k, mode=op)
+            v = _one(fbody)[1]
+            v = v["value"] if isinstance(v, dict) else v
+            return idx.constant_score([str(v).lower()], boost=w, k=k)
+        if corpus is None:
+            raise ValueError("structured constant_score filter needs corpus")
+        pred = compile_filter(
+            filter_ast(fnode, text_col=text_col, analyzed=analyzed),
+            text_col=text_col, analyzed_fields=analyzed,
+        )
+        out = idx.match_all(corpus.where(pred), k=None, id_col=id_col)
+        out = out.select(
+            "doc_id", (F.col("score") * F.lit(w)).alias("score")
+        ).orderBy(F.col("doc_id").asc())
+        return out.limit(k) if k is not None else out
+    if kind == "dis_max":
+        subs = []
+        for sq in qbody["queries"]:
+            skind, sbody = _one(sq)
+            if skind != "match" or _one(sbody)[0] not in analyzed:
+                _err("dis_max v1 takes match subqueries on analyzed fields")
+            q, _, _, _ = _match_cfg(_one(sbody)[1])
+            subs.append(tokenize(q))
+        return idx.dis_max(
+            subs, tie_breaker=float(qbody.get("tie_breaker", 0.0)), k=k
+        )
+
+    spec = compile_body(
+        query, idx, text_col=text_col, analyzed_fields=analyzed
+    )
+    boosts = spec.boosts or None
+    flat = getattr(spec, "flat_terms", None)
+    if spec.filters:
+        if corpus is None:
+            raise ValueError("structured DSL filters need corpus")
+        pred = None
+        for node in spec.filters:
+            c = compile_filter(
+                node, text_col=text_col, analyzed_fields=analyzed
+            )
+            pred = c if pred is None else (pred & c)
+        filtered = corpus.where(pred)
+        if spec.must_not_terms:
+            # fold exclusions into the filter (identical token semantics;
+            # the pure-scoring path uses the index-assisted exclusion)
+            ex = compile_filter(
+                Not(
+                    Or(tuple(Term(None, t) for t in
+                             sorted(set(spec.must_not_terms))))
+                    if len(set(spec.must_not_terms)) > 1
+                    else Not(Term(None, spec.must_not_terms[0])).child
+                    and Term(None, spec.must_not_terms[0])
+                ),
+                text_col=text_col, analyzed_fields=analyzed,
+            ) if False else compile_filter(
+                Not(Or(tuple(
+                    Term(None, t) for t in sorted(set(spec.must_not_terms))
+                ))),
+                text_col=text_col, analyzed_fields=analyzed,
+            )
+            filtered = filtered.where(ex)
+        if spec.phrase is not None:
+            res = idx.search_phrase_filtered(
+                spec.phrase, filtered, k=k, id_col=id_col,
+                groups=spec.groups or None, boosts=boosts,
+            )
+        elif spec.msm is not None:
+            raise NotImplementedError(
+                "minimum_should_match + structured filter: compose via "
+                "search_filtered(groups=...) without msm, or drop the filter"
+            )
+        else:
+            res = idx.search_filtered(
+                flat or [], filtered, k=k, mode=spec.mode,
+                id_col=id_col, groups=spec.groups or None, boosts=boosts,
+            )
+    else:
+        if spec.phrase is not None:
+            res = idx.search_phrase(
+                spec.phrase, k=k, groups=spec.groups or None, boosts=boosts
+            )
+            if spec.must_not_terms:
+                raise NotImplementedError(
+                    "must_not with match_phrase: add a structured filter "
+                    "context (the filtered ladder) for this composition"
+                )
+        elif spec.msm is not None:
+            res = idx.search(
+                flat, k=k, mode="or", min_should_match=spec.msm,
+                boosts=boosts,
+                must_not=sorted(set(spec.must_not_terms)) or None,
+            )
+        else:
+            res = idx.search(
+                [], k=k, mode=spec.mode, groups=spec.groups or None,
+                boosts=boosts,
+                must_not=sorted(set(spec.must_not_terms)) or None,
+            )
+    if min_score is not None:
+        from pyspark.sql import functions as F2
+
+        res = res.where(F2.col("score") >= float(min_score))
+    return res
