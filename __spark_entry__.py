@@ -14367,6 +14367,37 @@ ORDER BY sum(c) DESC, doc_id ASC LIMIT 10
 """
 
 
+def _dsl_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES Query DSL (the JSON body surface the reference passes through):
+    bool must (operator=and match) + structured range filter + must_not
+    term, compiled onto search_filtered — rank semantics inherited from
+    the oracle-pinned kernels (query/dsl.py)."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": {"query": "spark join",
+                                         "operator": "and"}}}],
+            "filter": [{"range": {"n_chars": {"gte": 400}}}],
+            "must_not": [{"term": {"text": "table"}}],
+        }},
+        "size": None,
+    }
+    res = search_dsl(idx, body, docs)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_DSL_BOOL_SQL = _bm25_sql(
+    ["spark", "join"], "and", None,
+    where=(
+        "doc_id IN (SELECT doc_id FROM documents WHERE n_chars >= 400) "
+        "AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'table')"
+    ),
+)
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14790,6 +14821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_multi": _mlt_multi,
         "ingest_composed": _ingest_composed,
         "cached_search": _cached_search,
+        "dsl_bool": _dsl_bool,
         "hybrid_semantic_rrf": _hybrid_semantic_rrf,
         "pii_luhn": _pii_luhn,
     }
@@ -15273,5 +15305,6 @@ FROM topk JOIN documents USING (doc_id)
     out["mlt_multi"] = _mlt_multi_sql()
     out["ingest_composed"] = _INGEST_COMPOSED_SQL
     out["cached_search"] = _CACHED_SEARCH_SQL
+    out["dsl_bool"] = _DSL_BOOL_SQL
     out["hybrid_semantic_rrf"] = _hybrid_semantic_rrf_sql()
     return out

@@ -71,6 +71,7 @@ class _Spec:
     must_not_terms: list = dc_field(default_factory=list)
     mode: str = "and"
     msm: "int | None" = None
+    flat_terms: "list[str] | None" = None  # msm path (flat OR kernel)
 
 
 def _err(msg: str):
@@ -171,12 +172,6 @@ def filter_ast(node: dict, *, text_col: str = "text", analyzed=None):
         f, body2 = _one(body)
         q = body2["query"] if isinstance(body2, dict) else body2
         return Phrase(None if f in analyzed else f, q)
-    if kind == "ids":
-        ts = [Cmp("doc_id", ">=", "0")]  # placeholder never used
-        raise NotImplementedError(
-            "ids inside filter context: use bool.filter on doc_id ranges or "
-            "the top-level ids query"
-        )
     _err(f"unsupported filter clause {kind!r}")
 
 
@@ -268,9 +263,6 @@ def compile_body(
         must_not = body.get("must_not", [])
         if isinstance(must_not, dict):
             must_not = [must_not]
-        if should and (must or body.get("minimum_should_match") is None
-                       and not must and False):
-            pass
         if should and must:
             _err(
                 "bool with BOTH must and should (optional-should scoring) "
@@ -278,10 +270,14 @@ def compile_body(
             )
         for c in must:
             ckind, cbody = _one(c)
-            if ckind in ("term", "terms", "range", "exists") and (
-                _one(cbody)[0] not in analyzed
-                if ckind != "exists" else True
-            ):
+            structured = (
+                ckind in ("range", "exists")
+                or (
+                    ckind in ("term", "terms")
+                    and _one(cbody)[0] not in analyzed
+                )
+            )
+            if structured:
                 spec.filters.append(
                     filter_ast(c, text_col=text_col, analyzed=analyzed)
                 )
@@ -317,7 +313,7 @@ def compile_body(
                     )
                 spec.msm = int(msm)
                 spec.groups = []
-                spec.flat_terms = sorted(set(flat))  # type: ignore[attr-defined]
+                spec.flat_terms = sorted(set(flat))
         else:
             spec.mode = "and"
         for c in must_not:
@@ -426,7 +422,29 @@ def search_dsl(
         query, idx, text_col=text_col, analyzed_fields=analyzed
     )
     boosts = spec.boosts or None
-    flat = getattr(spec, "flat_terms", None)
+    flat = spec.flat_terms
+    if not spec.groups and spec.phrase is None and spec.msm is None:
+        # filter-only bool: every match scores 1.0 (the ES filter-context
+        # contract), tombstones excluded by match_all
+        if not spec.filters:
+            raise ValueError("bool query with no clauses")
+        if corpus is None:
+            raise ValueError("structured DSL filters need corpus")
+        pred = None
+        for node in spec.filters:
+            c = compile_filter(
+                node, text_col=text_col, analyzed_fields=analyzed
+            )
+            pred = c if pred is None else (pred & c)
+        if spec.must_not_terms:
+            ex = compile_filter(
+                Not(Or(tuple(
+                    Term(None, t) for t in sorted(set(spec.must_not_terms))
+                ))),
+                text_col=text_col, analyzed_fields=analyzed,
+            )
+            pred = pred & ex
+        return idx.match_all(corpus.where(pred), k=k, id_col=id_col)
     if spec.filters:
         if corpus is None:
             raise ValueError("structured DSL filters need corpus")
@@ -441,15 +459,6 @@ def search_dsl(
             # fold exclusions into the filter (identical token semantics;
             # the pure-scoring path uses the index-assisted exclusion)
             ex = compile_filter(
-                Not(
-                    Or(tuple(Term(None, t) for t in
-                             sorted(set(spec.must_not_terms))))
-                    if len(set(spec.must_not_terms)) > 1
-                    else Not(Term(None, spec.must_not_terms[0])).child
-                    and Term(None, spec.must_not_terms[0])
-                ),
-                text_col=text_col, analyzed_fields=analyzed,
-            ) if False else compile_filter(
                 Not(Or(tuple(
                     Term(None, t) for t in sorted(set(spec.must_not_terms))
                 ))),
@@ -483,7 +492,7 @@ def search_dsl(
                 )
         elif spec.msm is not None:
             res = idx.search(
-                flat, k=k, mode="or", min_should_match=spec.msm,
+                flat or [], k=k, mode="or", min_should_match=spec.msm,
                 boosts=boosts,
                 must_not=sorted(set(spec.must_not_terms)) or None,
             )

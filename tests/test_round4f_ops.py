@@ -528,3 +528,136 @@ def test_request_cache_parity_invalidation_eviction(spark, tmp_path):
     # different kwargs are different keys
     cache.search("spark join", k=5, mode="and")
     assert cache.misses >= 6
+
+
+# --- session-10 batch 7: ES Query DSL (JSON body) compiler -------------------
+
+
+def test_dsl_match_parity(boost_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = boost_index
+    got = search_dsl(
+        idx, {"query": {"match": {"text": "spark join"}}, "size": None}
+    ).collect()
+    exp = idx.search("spark join", k=None, mode="or").collect()
+    assert got == exp
+    got_and = search_dsl(
+        idx,
+        {"query": {"match": {"text": {"query": "spark join",
+                                      "operator": "and"}}}, "size": None},
+    ).collect()
+    exp_and = idx.search("spark join", k=None, mode="and").collect()
+    assert got_and == exp_and
+
+
+def test_dsl_bool_must_filter_must_not(boost_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = boost_index
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": {"query": "spark", "boost": 2.0}}}],
+            "filter": [{"range": {"doc_id": {"gte": 0, "lte": 4}}}],
+            "must_not": [{"term": {"text": "jolt"}}],
+        }},
+        "size": None,
+    }
+    got = search_dsl(idx, body, docs).collect()
+    filtered = docs.where(
+        (F.col("doc_id") >= 0) & (F.col("doc_id") <= 4)
+        & ~F.col("text").rlike(r"(?i)(^|[^\p{L}\p{N}])jolt($|[^\p{L}\p{N}])")
+    )
+    exp = idx.search_filtered(
+        ["spark"], filtered, k=None, boosts={"spark": 2.0}
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in exp
+    ]
+    assert got, "must match at least one doc"
+
+
+def test_dsl_should_msm_and_pure_filter(boost_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = boost_index
+    body = {
+        "query": {"bool": {
+            "should": [
+                {"term": {"text": "spark"}},
+                {"term": {"text": "row"}},
+                {"term": {"text": "table"}},
+            ],
+            "minimum_should_match": 2,
+        }},
+        "size": None,
+    }
+    got = search_dsl(idx, body).collect()
+    exp = idx.search(
+        ["spark", "row", "table"], k=None, mode="or", min_should_match=2
+    ).collect()
+    assert got == exp
+    # filter-only bool: constant 1.0 over matches
+    fo = search_dsl(
+        idx,
+        {"query": {"bool": {"filter": [
+            {"term": {"doc_id": "3"}}]}}, "size": None},
+        docs,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in fo] == [(3, 1.0)]
+
+
+def test_dsl_phrase_constant_score_dismax(boost_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = boost_index
+    ph = search_dsl(
+        idx,
+        {"query": {"bool": {
+            "must": [{"match_phrase": {"text": "spark join"}}],
+            "filter": [{"range": {"doc_id": {"lte": 4}}}],
+        }}, "size": None},
+        docs,
+    ).collect()
+    exp = idx.search_phrase_filtered(
+        ["spark", "join"], docs.where(F.col("doc_id") <= 4), k=None
+    ).collect()
+    assert ph == exp
+    cs = search_dsl(
+        idx,
+        {"query": {"constant_score": {
+            "filter": {"range": {"doc_id": {"gte": 4}}}, "boost": 2.5,
+        }}, "size": None},
+        docs,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in cs] == [(4, 2.5), (5, 2.5)]
+    dm = search_dsl(
+        idx,
+        {"query": {"dis_max": {
+            "queries": [{"match": {"text": "spark"}},
+                        {"match": {"text": "join table"}}],
+            "tie_breaker": 0.3,
+        }}, "size": None},
+    ).collect()
+    exp_dm = idx.dis_max(
+        [["spark"], ["join", "table"]], tie_breaker=0.3, k=None
+    ).collect()
+    assert dm == exp_dm
+
+
+def test_dsl_strictness(boost_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = boost_index
+    with pytest.raises(NotImplementedError, match="must and should"):
+        search_dsl(idx, {"query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "should": [{"match": {"text": "row"}}],
+        }}})
+    with pytest.raises(NotImplementedError, match="non-analyzed"):
+        search_dsl(idx, {"query": {"match": {"doc_id": "3"}}})
+    with pytest.raises(ValueError, match="need corpus"):
+        search_dsl(idx, {"query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "filter": [{"range": {"doc_id": {"gte": 0}}}],
+        }}})
