@@ -14398,6 +14398,54 @@ _DSL_BOOL_SQL = _bm25_sql(
 )
 
 
+def _dsl_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search body with BOTH `query` and a `knn` section (8.7 hybrid):
+    a doc found by both sides SUMS its BM25 and cosine scores (the
+    documented ES combination), then the global size cut applies. The knn
+    corpus is documents ⋈ embeddings on id."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    body = {
+        "query": {"match": {"text": "spark"}},
+        "knn": {"field": "embedding", "query_vector": qv, "k": 10},
+        "size": 10,
+    }
+    res = search_dsl(idx, body, corpus)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _dsl_knn_hybrid_sql() -> str:
+    body = _bm25_body("term IN ('spark')")
+    return f"""
+WITH {body},
+bm AS (SELECT doc_id, s AS score FROM scored),
+j AS (
+  SELECT d.doc_id, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+knn AS (
+  SELECT doc_id, cos AS score FROM (
+    SELECT a.doc_id AS doc_id, {_COS_AB} AS cos FROM j a, q b
+  ) ORDER BY cos DESC, doc_id ASC LIMIT 10
+),
+u AS (
+  SELECT doc_id, score FROM bm
+  UNION ALL
+  SELECT doc_id, score FROM knn
+)
+SELECT doc_id, round(sum(score), 4) AS score FROM u
+GROUP BY doc_id ORDER BY sum(score) DESC, doc_id ASC LIMIT 10
+"""
+
+
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -14822,6 +14870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_composed": _ingest_composed,
         "cached_search": _cached_search,
         "dsl_bool": _dsl_bool,
+        "dsl_knn_hybrid": _dsl_knn_hybrid,
         "hybrid_semantic_rrf": _hybrid_semantic_rrf,
         "pii_luhn": _pii_luhn,
     }
@@ -15306,5 +15355,6 @@ FROM topk JOIN documents USING (doc_id)
     out["ingest_composed"] = _INGEST_COMPOSED_SQL
     out["cached_search"] = _CACHED_SEARCH_SQL
     out["dsl_bool"] = _DSL_BOOL_SQL
+    out["dsl_knn_hybrid"] = _dsl_knn_hybrid_sql()
     out["hybrid_semantic_rrf"] = _hybrid_semantic_rrf_sql()
     return out

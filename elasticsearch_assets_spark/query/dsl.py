@@ -358,13 +358,64 @@ def search_dsl(
     reader scan). Returns the engine's (doc_id, score) contract frame."""
     from pyspark.sql import functions as F
 
-    if "query" not in body:
-        raise ValueError("search body needs a query")
+    if "query" not in body and "knn" not in body:
+        raise ValueError("search body needs a query and/or a knn section")
     k = body.get("size", 10)
     min_score = body.get("min_score")
+    analyzed = analyzed_fields or {text_col}
+
+    if "knn" in body:
+        # body-level knn section (ES 8.x): each clause retrieves its own
+        # top-k by cosine; a doc found by several clauses — or by the
+        # query side too — SUMS the boosted scores (the documented ES
+        # combination), then the global size cut applies. `corpus` must
+        # carry the vector column for the knn clauses.
+        from elasticsearch_assets_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        if corpus is None:
+            raise ValueError("knn section needs corpus (with the vector col)")
+        spec_knn = body["knn"]
+        clauses = [spec_knn] if isinstance(spec_knn, dict) else list(spec_knn)
+        union = None
+        for c in clauses:
+            part = cosine_topk(
+                corpus,
+                [float(x) for x in c["query_vector"]],
+                k=int(c.get("k", 10)),
+                vec_col=c.get("field", "embedding"),
+                id_col=id_col,
+                similarity=c.get("similarity"),
+            ).select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                (F.col("score") * F.lit(float(c.get("boost", 1.0)))).alias(
+                    "score"
+                ),
+            )
+            union = part if union is None else union.unionByName(part)
+        if "query" in body:
+            sub = {kk: v for kk, v in body.items()
+                   if kk not in ("knn", "size", "min_score")}
+            sub["size"] = None
+            qres = search_dsl(
+                idx, sub, corpus, text_col=text_col,
+                analyzed_fields=analyzed, id_col=id_col,
+            ).select("doc_id", "score")
+            union = union.unionByName(qres)
+        res = (
+            union.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        if k is not None:
+            res = res.limit(k)
+        if min_score is not None:
+            res = res.where(F.col("score") >= float(min_score))
+        return res
+
     query = body["query"]
     kind, qbody = _one(query)
-    analyzed = analyzed_fields or {text_col}
 
     # delegating top-level forms
     if kind == "match_all":
@@ -507,3 +558,66 @@ def search_dsl(
 
         res = res.where(F2.col("score") >= float(min_score))
     return res
+
+
+def aggs_dsl(
+    aggs: dict,
+    matches: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> "dict[str, DataFrame]":
+    """The search body's `aggs` section: each named aggregation compiles to
+    its facets-module plan over (match set x corpus) and comes back as a
+    DataFrame keyed by the caller's agg name — the set-oriented spelling
+    of the ES response's `aggregations` object. Supported types map 1:1
+    onto the oracle-pinned facet ops: terms (size / include / exclude),
+    histogram, date_histogram (calendar_interval), stats, cardinality,
+    value_count, missing. Sub-aggregations raise (compose the facet ops
+    directly — each is already a grouped plan)."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    out: dict[str, DataFrame] = {}
+    for name, node in aggs.items():
+        if "aggs" in node or "aggregations" in node:
+            raise NotImplementedError(
+                "sub-aggregations: compose the facets-module plans directly"
+            )
+        kind, cfg = _one(node)
+        f = cfg.get("field")
+        if kind == "terms":
+            if "include" in cfg or "exclude" in cfg:
+                out[name] = OFA.facet_counts_regex(
+                    matches, corpus, f, cfg.get("size"),
+                    include_re=cfg.get("include"),
+                    exclude_re=cfg.get("exclude"), id_col=id_col,
+                )
+            else:
+                out[name] = OFA.facet_counts(
+                    matches, corpus, f, cfg.get("size"), id_col=id_col
+                )
+        elif kind == "histogram":
+            out[name] = OFA.facet_histogram(
+                matches, corpus, f, float(cfg["interval"]), id_col=id_col
+            )
+        elif kind == "date_histogram":
+            out[name] = OFA.facet_date_histogram(
+                matches, corpus, f,
+                cfg.get("calendar_interval", cfg.get("interval", "month")),
+                id_col=id_col,
+            )
+        elif kind == "stats":
+            out[name] = OFA.facet_stats(matches, corpus, f, id_col=id_col)
+        elif kind == "cardinality":
+            out[name] = OFA.facet_cardinality(
+                matches, corpus, f, id_col=id_col
+            )
+        elif kind == "value_count":
+            out[name] = OFA.facet_value_count(
+                matches, corpus, f, id_col=id_col
+            )
+        elif kind == "missing":
+            out[name] = OFA.facet_missing(matches, corpus, f, id_col=id_col)
+        else:
+            _err(f"unsupported aggregation {kind!r} in aggs_dsl")
+    return out

@@ -661,3 +661,70 @@ def test_dsl_strictness(boost_index):
             "must": [{"match": {"text": "spark"}}],
             "filter": [{"range": {"doc_id": {"gte": 0}}}],
         }}})
+
+
+def test_dsl_knn_section_and_hybrid(spark, boost_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = boost_index
+    vecs = docs.withColumn(
+        "embedding",
+        F.array(
+            (F.col("doc_id") % 3).cast("double"),
+            F.lit(1.0),
+        ),
+    )
+    # pure knn: sums boosted clause similarities (single clause = cosine)
+    got = search_dsl(
+        idx,
+        {"knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                 "k": 3, "boost": 2.0}, "size": 3},
+        vecs,
+    ).collect()
+    from elasticsearch_assets_spark.operators.similarity import cosine_topk
+
+    exp = cosine_topk(vecs, [1.0, 0.0], k=3, id_col="doc_id").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], 2.0 * r["score"]) for r in exp
+    ]
+    # hybrid: query + knn sum per doc
+    hy = search_dsl(
+        idx,
+        {"query": {"match": {"text": "spark"}},
+         "knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 6},
+         "size": None},
+        vecs,
+    ).collect()
+    bm = {r["doc_id"]: r["score"]
+          for r in idx.search("spark", k=None, mode="or").collect()}
+    kn = {r["doc_id"]: r["score"]
+          for r in cosine_topk(vecs, [1.0, 0.0], k=6, id_col="doc_id").collect()}
+    exp_h = {}
+    for d in set(bm) | set(kn):
+        exp_h[d] = bm.get(d, 0.0) + kn.get(d, 0.0)
+    got_h = {r["doc_id"]: r["score"] for r in hy}
+    assert got_h == pytest.approx(exp_h)
+
+
+def test_dsl_aggs_section(spark, boost_index):
+    from elasticsearch_assets_spark.query.dsl import aggs_dsl
+
+    idx, docs = boost_index
+    corpus = docs.withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en"))
+    matches = idx.search(["row"], k=None, mode="or")
+    out = aggs_dsl(
+        {
+            "langs": {"terms": {"field": "lang", "size": 5}},
+            "nmiss": {"missing": {"field": "lang"}},
+            "ids": {"stats": {"field": "doc_id"}},
+        },
+        matches, corpus,
+    )
+    langs = {(r["bucket"], r["doc_count"]) for r in out["langs"].collect()}
+    # matches: docs containing 'row' = 1, 2, 3, 4 -> en for 2, 4; None for 1, 3
+    assert ("en", 2) in langs
+    assert out["nmiss"].collect()[0][0] == 2
+    st = out["ids"].collect()[0]
+    assert st["count"] == 4 and st["min"] == 1 and st["max"] == 4
+    with pytest.raises(NotImplementedError):
+        aggs_dsl({"x": {"terms": {"field": "lang"}, "aggs": {}}}, matches, corpus)
