@@ -354,8 +354,18 @@ def search_dsl(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Execute an ES search body: `{"query": {...}, "size": k,
-    "min_score": s}`. Structured filters need `corpus` (the reference's
-    reader scan). Returns the engine's (doc_id, score) contract frame."""
+    "min_score": s, "knn": {...}, "sort": [...], "search_after": [...],
+    "aggs": via aggs_dsl}`. Structured filters need `corpus` (the
+    reference's reader scan). Returns the engine's (doc_id, score)
+    contract frame — or (doc_id, sort_col) under a field sort.
+
+    Body knobs that change the RESPONSE SHAPE stay separate entry points
+    (set-oriented composition beats a mega-response object here):
+    `_source`/`fields` -> fetch_source / fetch_fields over the hits,
+    `highlight` -> operators/highlight, `post_filter` ->
+    search_post_filter, `track_total_hits` -> search_tracked,
+    `rescore` -> engine.rescore, `collapse` -> facets.collapse_topk,
+    `suggest` -> the suggester entry points."""
     from pyspark.sql import functions as F
 
     if "query" not in body and "knn" not in body:
@@ -412,6 +422,34 @@ def search_dsl(
             res = res.limit(k)
         if min_score is not None:
             res = res.where(F.col("score") >= float(min_score))
+        return res
+
+    if "sort" in body:
+        # field sort replaces relevance order (`sort: [{field: {order}}]`,
+        # one field + implicit doc_id tiebreak — the search_sorted
+        # contract; search_after rides the same path via `after`)
+        sort = body["sort"]
+        if isinstance(sort, dict):
+            sort = [sort]
+        if len(sort) != 1:
+            _err("multi-field sort: one field + the doc_id tiebreak")
+        sf, scfg = _one(sort[0])
+        order = (scfg or {}).get("order", "asc") if isinstance(
+            scfg, dict
+        ) else (scfg or "asc")
+        qkind, qb = _one(body["query"])
+        if qkind != "match":
+            _err("sort supports the match query (search_sorted's surface)")
+        f, b2 = _one(qb)
+        qtext, op, _, _ = _match_cfg(b2)
+        if corpus is None:
+            raise ValueError("sort needs corpus")
+        res = idx.search_sorted(
+            tokenize(qtext), corpus, sf,
+            ascending=(order == "asc"), k=k, mode=op, id_col=id_col,
+            after=tuple(body["search_after"]) if "search_after" in body
+            else None,
+        )
         return res
 
     query = body["query"]

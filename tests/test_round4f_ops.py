@@ -728,3 +728,31 @@ def test_dsl_aggs_section(spark, boost_index):
     assert st["count"] == 4 and st["min"] == 1 and st["max"] == 4
     with pytest.raises(NotImplementedError):
         aggs_dsl({"x": {"terms": {"field": "lang"}, "aggs": {}}}, matches, corpus)
+
+
+def test_dsl_sort_section(boost_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = boost_index
+    corpus = docs.withColumn("n", F.length("text"))
+    got = search_dsl(
+        idx,
+        {"query": {"match": {"text": "row"}},
+         "sort": [{"n": {"order": "desc"}}], "size": 3},
+        corpus,
+    ).collect()
+    exp = idx.search_sorted(["row"], corpus, "n", ascending=False, k=3).collect()
+    assert got == exp
+    # search_after pages through the same path
+    after = (got[-1]["n"], got[-1]["doc_id"])
+    page2 = search_dsl(
+        idx,
+        {"query": {"match": {"text": "row"}},
+         "sort": [{"n": {"order": "desc"}}], "size": 3,
+         "search_after": list(after)},
+        corpus,
+    ).collect()
+    exp2 = idx.search_sorted(
+        ["row"], corpus, "n", ascending=False, k=3, after=after
+    ).collect()
+    assert page2 == exp2
