@@ -495,6 +495,26 @@ def search_dsl(
             "doc_id", (F.col("score") * F.lit(w)).alias("score")
         ).orderBy(F.col("doc_id").asc())
         return out.limit(k) if k is not None else out
+    if kind == "function_score":
+        inner = qbody["query"]
+        ikind, ibody = _one(inner)
+        if ikind != "match" or _one(ibody)[0] not in analyzed:
+            _err("function_score v1 wraps a match query on an analyzed field")
+        if "field_value_factor" not in qbody:
+            _err("function_score v1 supports field_value_factor (decay "
+                 "functions go through similarity/function entry points)")
+        if corpus is None:
+            raise ValueError("function_score needs corpus (the factor field)")
+        q, op, _, _ = _match_cfg(_one(ibody)[1])
+        fvf = qbody["field_value_factor"]
+        return idx.function_score(
+            tokenize(q), corpus, fvf["field"],
+            factor=float(fvf.get("factor", 1.0)),
+            modifier=fvf.get("modifier", "none"),
+            missing=float(fvf.get("missing", 1.0)),
+            boost_mode=qbody.get("boost_mode", "multiply"),
+            k=k, mode=op, id_col=id_col,
+        )
     if kind == "dis_max":
         subs = []
         for sq in qbody["queries"]:

@@ -756,3 +756,22 @@ def test_dsl_sort_section(boost_index):
         ["row"], corpus, "n", ascending=False, k=3, after=after
     ).collect()
     assert page2 == exp2
+
+
+def test_dsl_function_score(boost_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = boost_index
+    corpus = docs.withColumn("pop", (F.col("doc_id") + 1).cast("double"))
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "spark"}},
+        "field_value_factor": {"field": "pop", "factor": 2.0,
+                               "modifier": "log1p"},
+        "boost_mode": "sum",
+    }}, "size": None}
+    got = search_dsl(idx, body, corpus).collect()
+    exp = idx.function_score(
+        ["spark"], corpus, "pop", factor=2.0, modifier="log1p",
+        boost_mode="sum", k=None, mode="or",
+    ).collect()
+    assert got == exp and got
