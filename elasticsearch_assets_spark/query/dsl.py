@@ -413,15 +413,14 @@ def search_dsl(
                 analyzed_fields=analyzed, id_col=id_col,
             ).select("doc_id", "score")
             union = union.unionByName(qres)
-        res = (
-            union.groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        )
+        res = union.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        if min_score is not None:
+            # exclusion BEFORE the size cut — dropped docs never occupy
+            # the window (the ES min_score contract)
+            res = res.where(F.col("score") >= float(min_score))
+        res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         if k is not None:
             res = res.limit(k)
-        if min_score is not None:
-            res = res.where(F.col("score") >= float(min_score))
         return res
 
     if "sort" in body:
@@ -530,6 +529,9 @@ def search_dsl(
     spec = compile_body(
         query, idx, text_col=text_col, analyzed_fields=analyzed
     )
+    # min_score excludes docs BEFORE the size window (the ES contract):
+    # run the kernels uncut, filter, then cut
+    _kq = None if min_score is not None else k
     boosts = spec.boosts or None
     flat = spec.flat_terms
     if not spec.groups and spec.phrase is None and spec.msm is None:
@@ -553,7 +555,7 @@ def search_dsl(
                 text_col=text_col, analyzed_fields=analyzed,
             )
             pred = pred & ex
-        return idx.match_all(corpus.where(pred), k=k, id_col=id_col)
+        return idx.match_all(corpus.where(pred), k=_kq, id_col=id_col)
     if spec.filters:
         if corpus is None:
             raise ValueError("structured DSL filters need corpus")
@@ -576,7 +578,7 @@ def search_dsl(
             filtered = filtered.where(ex)
         if spec.phrase is not None:
             res = idx.search_phrase_filtered(
-                spec.phrase, filtered, k=k, id_col=id_col,
+                spec.phrase, filtered, k=_kq, id_col=id_col,
                 groups=spec.groups or None, boosts=boosts,
             )
         elif spec.msm is not None:
@@ -586,13 +588,13 @@ def search_dsl(
             )
         else:
             res = idx.search_filtered(
-                flat or [], filtered, k=k, mode=spec.mode,
+                flat or [], filtered, k=_kq, mode=spec.mode,
                 id_col=id_col, groups=spec.groups or None, boosts=boosts,
             )
     else:
         if spec.phrase is not None:
             res = idx.search_phrase(
-                spec.phrase, k=k, groups=spec.groups or None, boosts=boosts
+                spec.phrase, k=_kq, groups=spec.groups or None, boosts=boosts
             )
             if spec.must_not_terms:
                 raise NotImplementedError(
@@ -601,20 +603,21 @@ def search_dsl(
                 )
         elif spec.msm is not None:
             res = idx.search(
-                flat or [], k=k, mode="or", min_should_match=spec.msm,
+                flat or [], k=_kq, mode="or", min_should_match=spec.msm,
                 boosts=boosts,
                 must_not=sorted(set(spec.must_not_terms)) or None,
             )
         else:
             res = idx.search(
-                [], k=k, mode=spec.mode, groups=spec.groups or None,
+                [], k=_kq, mode=spec.mode, groups=spec.groups or None,
                 boosts=boosts,
                 must_not=sorted(set(spec.must_not_terms)) or None,
             )
     if min_score is not None:
-        from pyspark.sql import functions as F2
-
-        res = res.where(F2.col("score") >= float(min_score))
+        res = res.where(F.col("score") >= float(min_score))
+        res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        if k is not None:
+            res = res.limit(k)
     return res
 
 

@@ -775,3 +775,21 @@ def test_dsl_function_score(boost_index):
         boost_mode="sum", k=None, mode="or",
     ).collect()
     assert got == exp and got
+
+
+def test_dsl_min_score_before_size_cut(boost_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = boost_index
+    full = idx.search("spark join", k=None, mode="or").collect()
+    thr = full[2]["score"]  # keep the top-3-or-ties band
+    got = search_dsl(
+        idx,
+        {"query": {"match": {"text": "spark join"}}, "size": 2,
+         "min_score": thr},
+    ).collect()
+    exp = [r for r in full if r["score"] >= thr][:2]
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in exp
+    ]
+    assert len(got) == 2
