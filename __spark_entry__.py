@@ -14061,7 +14061,7 @@ def _facet_ext_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FACET_EXT_STATS_SQL = """
+_FACET_EXT_STATS_BUCKET_SQL = """
 WITH h AS (
   SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
   FROM events WHERE event_type = 'click' GROUP BY 1
@@ -15347,7 +15347,7 @@ FROM topk JOIN documents USING (doc_id)
     out["host_cap"] = _host_cap_sql()
     out["esql_knn"] = _ESQL_KNN_SQL
     out["semantic_search"] = _semantic_search_sql()
-    out["facet_ext_stats_bucket"] = _FACET_EXT_STATS_SQL
+    out["facet_ext_stats_bucket"] = _FACET_EXT_STATS_BUCKET_SQL
     out["facet_terms_regex"] = _FACET_TERMS_REGEX_SQL
     out["slm_retention"] = _SLM_SQL
     out["bulk_create"] = _BULK_CREATE_SQL

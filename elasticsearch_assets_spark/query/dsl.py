@@ -386,6 +386,11 @@ def search_dsl(
 
         if corpus is None:
             raise ValueError("knn section needs corpus (with the vector col)")
+        if "sort" in body:
+            _err(
+                "knn with a field sort: kNN retrieval is score-ordered by "
+                "definition — sort the hits after materialization"
+            )
         spec_knn = body["knn"]
         clauses = [spec_knn] if isinstance(spec_knn, dict) else list(spec_knn)
         union = None

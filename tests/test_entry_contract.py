@@ -89,3 +89,26 @@ def test_no_duplicate_contract_keys():
         ]
         dupes = [k for k, n in collections.Counter(keys).items() if n > 1]
         assert not dupes, f"duplicate contract keys in {fn.name}(): {dupes}"
+
+
+def test_no_duplicate_toplevel_names():
+    """Python's last-assignment-wins silently shadows an earlier module
+    constant or function — bitten twice now (_PTOKS_CTE in session 3,
+    _FACET_EXT_STATS_SQL in session 10: the new bucket oracle shadowed the
+    extended_stats agg's oracle and the driver gate caught the mismatch).
+    Reject ANY duplicated top-level assignment or def in the entry
+    module."""
+    import ast
+    import collections
+
+    tree = ast.parse(open(entry_mod.__file__).read())
+    names: collections.Counter = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names[t.id] += 1
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            names[node.name] += 1
+    dups = {n: c for n, c in names.items() if c > 1}
+    assert not dups, f"shadowed top-level names: {dups}"
