@@ -26,7 +26,36 @@ anything else raises with guidance, the repo's strict-surface rule):
                           minimum_should_match); `should` composes as a
                           pure OR and cannot be mixed with `must` in v1
                           (ES's optional-should scoring has no engine
-                          kernel — raise, don't approximate)
+                          kernel — raise, don't approximate); exception:
+                          a should consisting of ONE rank_feature /
+                          distance_feature clause over one must clause
+                          delegates to the feature-booster kernels
+                          (exactly their semantics)
+
+Delegating top-level forms (each compiles onto its own oracle-pinned
+kernel, so rank semantics are inherited):
+
+    simple_query_string   search_simple_query_string
+    boosting              positive/negative/negative_boost
+    pinned                ids + organic (rank-contract output)
+    terms_set             per-doc minimum_should_match_field
+    script_score          Spark-SQL `source` over `_score` + doc fields
+                          (the painless boundary, documented deviation)
+    more_like_this        like/unlike [{"_id": ...}] + max_query_terms
+    regexp                dictionary rewrite (whole-token, RE2 subset)
+    match_phrase_prefix   positional prefix phrase
+    match_bool_prefix     terms + trailing prefix clause
+    sparse_vector         {token: weight} query vector (+ pruning knobs)
+    wrapper               base64 payload -> the query-string surface
+    intervals             ordered `match` rule with max_gaps
+    span_near / span_first / span_not / span_or / span_containing /
+    span_within           positional span algebra (span_term, span_multi
+                          prefix/wildcard/regexp/fuzzy rewrites, nested
+                          two-term span_near)
+    multi_match           best_fields / most_fields / phrase /
+                          cross_fields over `field_indexes` (field ->
+                          InvertedIndex; `f^2` boost suffixes)
+    combined_fields       BM25F over field_indexes (^w = tf weights)
 
 Filter context (`bool.filter`, `constant_score.filter`, and every
 structured clause) compiles to the Lucene-surface AST (query/lucene.py
@@ -173,6 +202,68 @@ def filter_ast(node: dict, *, text_col: str = "text", analyzed=None):
         q = body2["query"] if isinstance(body2, dict) else body2
         return Phrase(None if f in analyzed else f, q)
     _err(f"unsupported filter clause {kind!r}")
+
+
+# -- kernel-argument helpers -------------------------------------------------
+
+
+def _match_like(node: dict, analyzed) -> tuple:
+    """(query_terms, mode) from a match / term / terms clause — the shape
+    the delegating kernels (boosting, pinned, script_score, rank_feature,
+    distance_feature) take as their query argument."""
+    kind, body = _one(node)
+    if kind == "match":
+        f, b2 = _one(body)
+        if f not in analyzed:
+            _err(f"match on non-analyzed field {f!r}")
+        q, op, _, _ = _match_cfg(b2)
+        toks = tokenize(q)
+        if not toks:
+            _err("empty match where a match-like clause is expected")
+        return toks, op
+    if kind == "term":
+        f, v = _one(body)
+        if f not in analyzed:
+            _err(f"term on non-analyzed field {f!r} where scoring is needed")
+        v = v["value"] if isinstance(v, dict) else v
+        return [str(v).lower()], "or"
+    if kind == "terms":
+        f, vals = _one(body)
+        if f not in analyzed:
+            _err(f"terms on non-analyzed field {f!r} where scoring is needed")
+        return sorted({str(x).lower() for x in vals}), "or"
+    _err(f"{kind!r} where a match-like clause (match/term/terms) is expected")
+
+
+def _span_ast(node: dict, idx):
+    """Compile a DSL span clause to the engine's span expr tuples:
+    ("term", t) | ("any", [terms]) (span_multi rewrites) |
+    ("near", t1, t2, slop, ordered) (two-span_term span_near)."""
+    kind, body = _one(node)
+    if kind == "span_term":
+        f, v = _one(body)
+        v = v["value"] if isinstance(v, dict) else v
+        return ("term", str(v).lower())
+    if kind == "span_multi":
+        mkind, mbody = _one(body["match"])
+        if mkind not in ("prefix", "wildcard", "regexp", "fuzzy"):
+            _err(f"span_multi wraps a multiterm query, got {mkind!r}")
+        _, v = _one(mbody)
+        cfg = v if isinstance(v, dict) else {"value": v}
+        return idx.span_multi(
+            str(cfg["value"]).lower(), kind=mkind,
+            max_expansions=cfg.get("max_expansions"),
+        )
+    if kind == "span_near":
+        clauses = [_span_ast(c, idx) for c in body["clauses"]]
+        if len(clauses) == 2 and all(c[0] == "term" for c in clauses):
+            return (
+                "near", clauses[0][1], clauses[1][1],
+                int(body.get("slop", 0)), bool(body.get("in_order", False)),
+            )
+        _err("a NESTED span_near takes exactly two span_term clauses "
+             "(top-level span_near composes general clauses)")
+    _err(f"unsupported span clause {kind!r}")
 
 
 # -- scoring context ---------------------------------------------------------
@@ -352,6 +443,7 @@ def search_dsl(
     text_col: str = "text",
     analyzed_fields: "set[str] | None" = None,
     id_col: str = "doc_id",
+    field_indexes: "dict | None" = None,
 ) -> DataFrame:
     """Execute an ES search body: `{"query": {...}, "size": k,
     "min_score": s, "knn": {...}, "sort": [...], "search_after": [...],
@@ -530,6 +622,228 @@ def search_dsl(
         return idx.dis_max(
             subs, tie_breaker=float(qbody.get("tie_breaker", 0.0)), k=k
         )
+    if kind == "simple_query_string":
+        return idx.search_simple_query_string(
+            qbody["query"], k=k,
+            default_operator=qbody.get("default_operator", "or"),
+        )
+    if kind == "boosting":
+        pos, pmode = _match_like(qbody["positive"], analyzed)
+        neg, _ = _match_like(qbody["negative"], analyzed)
+        return idx.boosting(
+            pos, neg,
+            negative_boost=float(qbody.get("negative_boost", 0.5)),
+            k=k, mode=pmode,
+        )
+    if kind == "pinned":
+        org, omode = _match_like(qbody["organic"], analyzed)
+        return idx.pinned(
+            [int(i) for i in qbody["ids"]], org, k=k, mode=omode,
+            corpus=corpus, id_col=id_col,
+        )
+    if kind == "terms_set":
+        f, cfg = _one(qbody)
+        if f not in analyzed:
+            _err(f"terms_set on non-analyzed field {f!r}")
+        if corpus is None:
+            raise ValueError("terms_set needs corpus (the msm field)")
+        return idx.terms_set(
+            [str(t).lower() for t in cfg["terms"]], corpus,
+            cfg["minimum_should_match_field"], k=k, id_col=id_col,
+        )
+    if kind == "script_score":
+        inner, imode = _match_like(qbody["query"], analyzed)
+        script = qbody["script"]
+        src = script["source"] if isinstance(script, dict) else str(script)
+        if corpus is None:
+            raise ValueError("script_score needs corpus (the script fields)")
+        return idx.script_score(inner, corpus, src, k=k, mode=imode,
+                                id_col=id_col)
+    if kind == "more_like_this":
+        like = qbody["like"]
+        like = [like] if isinstance(like, dict) else list(like)
+        ids = [int(d["_id"]) for d in like]
+        unlike = qbody.get("unlike")
+        if unlike is not None:
+            unlike = [unlike] if isinstance(unlike, dict) else list(unlike)
+            unlike = [int(d["_id"]) for d in unlike]
+        if corpus is None:
+            raise ValueError("more_like_this needs corpus (the like docs)")
+        return idx.more_like_this(
+            ids if len(ids) > 1 else ids[0], corpus,
+            text_col=text_col, id_col=id_col,
+            max_terms=int(qbody.get("max_query_terms", 10)),
+            k=k, unlike=unlike,
+        )
+    if kind == "regexp":
+        f, v = _one(qbody)
+        if f not in analyzed:
+            _err(f"regexp on non-analyzed field {f!r} scores — filter it")
+        cfg = v if isinstance(v, dict) else {"value": v}
+        return idx.search_regexp(
+            str(cfg["value"]).lower(), k=k,
+            max_expansions=cfg.get("max_expansions"),
+        )
+    if kind == "match_phrase_prefix":
+        f, b2 = _one(qbody)
+        if f not in analyzed:
+            _err(f"match_phrase_prefix on non-analyzed field {f!r}")
+        q = b2["query"] if isinstance(b2, dict) else b2
+        me = b2.get("max_expansions") if isinstance(b2, dict) else None
+        return idx.search_phrase_prefix(q, k=k, max_expansions=me)
+    if kind == "match_bool_prefix":
+        f, b2 = _one(qbody)
+        if f not in analyzed:
+            _err(f"match_bool_prefix on non-analyzed field {f!r}")
+        q, op, _, _ = _match_cfg(b2)
+        me = b2.get("max_expansions") if isinstance(b2, dict) else None
+        return idx.match_bool_prefix(q, k=k, operator=op, max_expansions=me)
+    if kind == "sparse_vector":
+        qv = qbody["query_vector"]
+        return idx.search_sparse(
+            {str(t).lower(): float(w) for t, w in qv.items()}, k=k,
+            prune=bool(qbody.get("prune", False)),
+            **{
+                kk: float(qbody[kk])
+                for kk in (
+                    "tokens_freq_ratio_threshold", "tokens_weight_threshold",
+                )
+                if kk in qbody
+            },
+        )
+    if kind == "wrapper":
+        return idx.search_wrapper(qbody["query"], corpus, k=k)
+    if kind == "intervals":
+        f, cfg = _one(qbody)
+        if f not in analyzed:
+            _err(f"intervals on non-analyzed field {f!r}")
+        m = cfg.get("match")
+        if m is None:
+            _err("intervals v1 supports the `match` rule")
+        if not m.get("ordered", False):
+            _err("intervals v1 implements the ordered match rule — set "
+                 "ordered: true (unordered has no engine kernel)")
+        return idx.search_intervals(
+            tokenize(m["query"]), max_gaps=int(m.get("max_gaps", 0)), k=k
+        )
+    if kind == "span_near":
+        clauses = qbody["clauses"]
+        slop = int(qbody.get("slop", 0))
+        in_order = bool(qbody.get("in_order", False))
+        exprs = [_span_ast(c, idx) for c in clauses]
+        if all(e[0] == "term" for e in exprs):
+            return idx.search_span_near(
+                [e[1] for e in exprs], slop=slop, in_order=in_order, k=k
+            )
+        if len(exprs) != 2:
+            _err("span_near with non-term clauses takes exactly two clauses")
+        return idx.search_span_near_spans(
+            exprs[0], exprs[1], slop=slop, in_order=in_order, k=k
+        )
+    if kind == "span_first":
+        e = _span_ast(qbody["match"], idx)
+        if e[0] != "term":
+            _err("span_first's match must be a span_term")
+        return idx.search_span_first(e[1], int(qbody["end"]), k=k)
+    if kind == "span_not":
+        inc = _span_ast(qbody["include"], idx)
+        exc = _span_ast(qbody["exclude"], idx)
+        if inc[0] != "term" or exc[0] != "term":
+            _err("span_not v1 takes span_term include/exclude")
+        return idx.search_span_not(
+            inc[1], exc[1], pre=int(qbody.get("pre", 0)),
+            post=int(qbody.get("post", 0)), k=k,
+        )
+    if kind == "span_or":
+        return idx.search_span_or(
+            [_span_ast(c, idx) for c in qbody["clauses"]], k=k
+        )
+    if kind == "span_containing":
+        return idx.search_span_containing(
+            _span_ast(qbody["big"], idx), _span_ast(qbody["little"], idx), k=k
+        )
+    if kind == "span_within":
+        return idx.search_span_within(
+            _span_ast(qbody["little"], idx), _span_ast(qbody["big"], idx), k=k
+        )
+    if kind in ("multi_match", "combined_fields"):
+        from elasticsearch_assets_spark.query import engine as EM
+
+        if field_indexes is None:
+            raise ValueError(f"{kind} needs field_indexes "
+                             "(field -> InvertedIndex)")
+        fi = {}
+        for fspec in qbody["fields"]:
+            name, _, b = str(fspec).partition("^")
+            if name not in field_indexes:
+                raise ValueError(f"no index registered for field {name!r}")
+            fi[name] = (field_indexes[name], float(b) if b else 1.0)
+        if kind == "combined_fields":
+            # per-field ^weights thread through as the BM25F tf weights
+            if corpus is None:
+                raise ValueError("combined_fields needs corpus (doclens)")
+            return EM.combined_fields(
+                fi, corpus, {f: f for f in fi}, qbody["query"], k=k,
+                mode=qbody.get("operator", "or"), id_col=id_col,
+            )
+        ty = qbody.get("type", "best_fields")
+        if ty == "cross_fields":
+            return EM.cross_fields(
+                fi, qbody["query"], k=k, mode=qbody.get("operator", "or"),
+                tie_breaker=float(qbody.get("tie_breaker", 0.0)),
+            )
+        return EM.multi_match(
+            fi, qbody["query"], match_type=ty,
+            tie_breaker=float(qbody.get("tie_breaker", 0.0)), k=k,
+            mode=qbody.get("operator", "or"),
+        )
+    if kind == "bool":
+        # feature boosters (rank_feature / distance_feature) live in
+        # `should` next to a `must` match — ES's documented composition;
+        # the engine kernel IS that composition (BM25 + boost·S(f)), so
+        # detect it BEFORE compile_body's must+should rejection.
+        should = qbody.get("should", [])
+        if isinstance(should, dict):
+            should = [should]
+        feats = [
+            c for c in should
+            if isinstance(c, dict)
+            and len(c) == 1
+            and next(iter(c)) in ("rank_feature", "distance_feature")
+        ]
+        if feats and len(feats) == len(should):
+            must = qbody.get("must", [])
+            if isinstance(must, dict):
+                must = [must]
+            if len(feats) != 1 or len(must) != 1:
+                _err("feature boosters v1: exactly one rank_feature/"
+                     "distance_feature should-clause over one must clause")
+            if qbody.get("filter") or qbody.get("must_not"):
+                _err("feature boosters v1 compose with a bare must clause")
+            if corpus is None:
+                raise ValueError("feature boosters need corpus (the field)")
+            mtoks, mmode = _match_like(must[0], analyzed)
+            fkind, fb = _one(feats[0])
+            if fkind == "rank_feature":
+                fn = next(
+                    (n for n in ("saturation", "log", "sigmoid") if n in fb),
+                    "saturation",
+                )
+                cfg = fb.get(fn) or {}
+                return idx.rank_feature(
+                    mtoks, corpus, fb["field"], function=fn,
+                    pivot=float(cfg.get("pivot", 1.0)),
+                    boost=float(fb.get("boost", 1.0)),
+                    exponent=float(cfg.get("exponent", 1.0)),
+                    scaling_factor=float(cfg.get("scaling_factor", 1.0)),
+                    k=k, mode=mmode, id_col=id_col,
+                )
+            return idx.distance_feature(
+                mtoks, corpus, fb["field"],
+                origin=float(fb["origin"]), pivot=float(fb["pivot"]),
+                boost=float(fb.get("boost", 1.0)), k=k, mode=mmode,
+                id_col=id_col,
+            )
 
     spec = compile_body(
         query, idx, text_col=text_col, analyzed_fields=analyzed
