@@ -953,17 +953,31 @@ def aggs_dsl(
     of the ES response's `aggregations` object. Supported types map 1:1
     onto the oracle-pinned facet ops: terms (size / include / exclude),
     histogram, date_histogram (calendar_interval), stats, cardinality,
-    value_count, missing. Sub-aggregations raise (compose the facet ops
-    directly — each is already a grouped plan)."""
+    value_count, missing.
+
+    ONE level of sub-aggregation under `terms` is supported — exactly the
+    shapes with single-pass kernels: metric children (avg / sum — extra
+    partial aggregates on the same shuffle, facet_terms_metrics; `order`
+    by a child name rides along) and ONE nested `terms` child
+    (facet_terms_nested). Anything deeper raises (compose the
+    facets-module plans directly — each is already a grouped plan)."""
     from elasticsearch_assets_spark.operators import facets as OFA
 
     out: dict[str, DataFrame] = {}
     for name, node in aggs.items():
-        if "aggs" in node or "aggregations" in node:
-            raise NotImplementedError(
-                "sub-aggregations: compose the facets-module plans directly"
-            )
-        kind, cfg = _one(node)
+        kind, cfg = _one(
+            {kk: v for kk, v in node.items()
+             if kk not in ("aggs", "aggregations")}
+        )
+        sub = node.get("aggs", node.get("aggregations"))
+        if sub is not None:
+            if kind != "terms":
+                raise NotImplementedError(
+                    "sub-aggregations are supported under `terms` only"
+                )
+            out[name] = _terms_subaggs(sub, cfg, matches, corpus, OFA,
+                                       id_col=id_col)
+            continue
         f = cfg.get("field")
         if kind == "terms":
             if "include" in cfg or "exclude" in cfg:
@@ -1001,3 +1015,54 @@ def aggs_dsl(
         else:
             _err(f"unsupported aggregation {kind!r} in aggs_dsl")
     return out
+
+
+def _terms_subaggs(
+    sub: dict, cfg: dict, matches, corpus, OFA, *, id_col: str
+):
+    """One level of children under a `terms` bucket agg — the two shapes
+    with single-pass kernels (extra partials on the bucket shuffle; no
+    second pass over the data, the ES execution model)."""
+    if any("aggs" in node or "aggregations" in node for node in sub.values()):
+        raise NotImplementedError(
+            "aggs_dsl supports ONE level of sub-aggregation"
+        )
+    kinds = {n: _one(node) for n, node in sub.items()}
+    if all(k in ("avg", "sum") for k, _ in kinds.values()):
+        fields = {c.get("field") for _, c in kinds.values()}
+        if len(fields) != 1:
+            raise NotImplementedError(
+                "metric children must share one field "
+                "(facet_terms_metrics computes sum+avg in the same pass)"
+            )
+        order_by, ascending = "count", False
+        order = cfg.get("order")
+        if order:
+            oname, odir = _one(order)
+            ascending = odir == "asc"
+            if oname == "_count":
+                order_by = "count"
+            elif oname in kinds:
+                order_by = kinds[oname][0]
+            else:
+                raise ValueError(f"order references unknown child {oname!r}")
+        return OFA.facet_terms_metrics(
+            matches, corpus, cfg["field"], next(iter(fields)),
+            n=cfg.get("size"), id_col=id_col,
+            order_by=order_by, ascending=ascending,
+            missing=cfg.get("missing"),
+        )
+    if len(kinds) == 1 and next(iter(kinds.values()))[0] == "terms":
+        if "size" in cfg:
+            raise NotImplementedError(
+                "terms-in-terms returns ALL buckets (facet_terms_nested); "
+                "apply the size cut on the result frame"
+            )
+        (_, (_, inner_cfg)), = kinds.items()
+        return OFA.facet_terms_nested(
+            matches, corpus, cfg["field"], inner_cfg["field"], id_col=id_col
+        )
+    raise NotImplementedError(
+        "supported children: avg/sum metrics (one shared field) or a "
+        "single nested terms"
+    )

@@ -296,6 +296,55 @@ def test_dsl_multifield_forms(dsl_index):
     assert got == exp and got
 
 
+def test_dsl_aggs_subaggs(dsl_index):
+    from elasticsearch_assets_spark.operators.facets import (
+        facet_terms_metrics,
+        facet_terms_nested,
+    )
+    from elasticsearch_assets_spark.query.dsl import aggs_dsl
+
+    idx, _, docs = dsl_index
+    matches = idx.search("spark", k=None, mode="or")
+
+    out = aggs_dsl(
+        {"by_msm": {
+            "terms": {"field": "msm", "order": {"mean_views": "desc"}},
+            "aggs": {"mean_views": {"avg": {"field": "views"}},
+                     "total_views": {"sum": {"field": "views"}}},
+        }},
+        matches, docs,
+    )
+    exp = facet_terms_metrics(
+        matches, docs, "msm", "views", order_by="avg", ascending=False
+    )
+    assert out["by_msm"].collect() == exp.collect()
+
+    out = aggs_dsl(
+        {"nested": {
+            "terms": {"field": "msm"},
+            "aggs": {"by_title": {"terms": {"field": "title"}}},
+        }},
+        matches, docs,
+    )
+    exp = facet_terms_nested(matches, docs, "msm", "title")
+    assert out["nested"].collect() == exp.collect()
+
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):  # two levels deep
+        aggs_dsl({"x": {"terms": {"field": "msm"}, "aggs": {
+            "y": {"terms": {"field": "title"},
+                  "aggs": {"z": {"avg": {"field": "views"}}}}}}},
+            matches, docs)
+    with _pt.raises(NotImplementedError):  # mixed children
+        aggs_dsl({"x": {"terms": {"field": "msm"}, "aggs": {
+            "y": {"terms": {"field": "title"}},
+            "z": {"avg": {"field": "views"}}}}}, matches, docs)
+    with _pt.raises(NotImplementedError):  # metric children, two fields
+        aggs_dsl({"x": {"terms": {"field": "msm"}, "aggs": {
+            "y": {"avg": {"field": "views"}},
+            "z": {"sum": {"field": "ts"}}}}}, matches, docs)
+
+
 def test_dsl_delegation_strictness(dsl_index):
     idx, _, docs = dsl_index
     with pytest.raises(NotImplementedError):  # unordered intervals
