@@ -435,6 +435,226 @@ def compile_body(
          "ids/query_string/constant_score/dis_max go through search_dsl)")
 
 
+# response-shape body sections: each changes the output frame's shape, so
+# exactly one per body — ES merges them into one response object; the
+# set-oriented spelling is one shaped frame per request
+_SHAPE_SECTIONS = (
+    "post_filter", "rescore", "collapse", "highlight",
+    "_source", "fields", "track_total_hits",
+)
+
+
+def suggest_dsl(idx, suggest: dict) -> "dict[str, DataFrame]":
+    """The search body's `suggest` section: each named suggester compiles
+    to its engine entry point (term -> InvertedIndex.suggest, phrase ->
+    suggest_phrase incl. the collate query, completion ->
+    suggest_completion / _fuzzy) and comes back as a DataFrame keyed by
+    the caller's name — the set-oriented spelling of the ES response's
+    `suggest` object."""
+    out: dict[str, DataFrame] = {}
+    for name, node in suggest.items():
+        kinds = [kk for kk in ("term", "phrase", "completion") if kk in node]
+        if len(kinds) != 1:
+            _err("a named suggester holds exactly one of "
+                 "term / phrase / completion")
+        kind = kinds[0]
+        cfg = node[kind] or {}
+        text = node.get("text", node.get("prefix"))
+        if text is None:
+            text = cfg.get("text", cfg.get("prefix"))
+        if not text:
+            raise ValueError(f"suggester {name!r} needs text/prefix")
+        if kind == "term":
+            out[name] = idx.suggest(
+                text,
+                max_edits=int(cfg.get("max_edits", 2)),
+                prefix_length=int(cfg.get("prefix_length", 0)),
+                size=cfg.get("size", 5),
+                suggest_mode=cfg.get("suggest_mode", "always"),
+            )
+        elif kind == "phrase":
+            collate = cfg.get("collate")
+            out[name] = idx.suggest_phrase(
+                text,
+                max_edits=int(cfg.get("max_edits", 2)),
+                per_token=int(cfg.get("per_token", 3)),
+                size=cfg.get("size", 5),
+                collate=collate is not None,
+                collate_prune=bool((collate or {}).get("prune", False)),
+            )
+        else:
+            fuzzy = cfg.get("fuzzy")
+            if fuzzy:
+                fz = fuzzy if isinstance(fuzzy, dict) else {}
+                out[name] = idx.suggest_completion_fuzzy(
+                    text, size=cfg.get("size", 5),
+                    fuzziness=int(fz.get("fuzziness", 1)),
+                )
+            else:
+                out[name] = idx.suggest_completion(
+                    text, size=cfg.get("size", 5)
+                )
+    return out
+
+
+def _shaped(
+    idx, body: dict, section: str, corpus, *, text_col: str,
+    analyzed, id_col: str, field_indexes,
+):
+    """Apply ONE response-shape section over the body's query result —
+    each delegates to (or mirrors row-for-row) its oracle-pinned kernel;
+    the query side recurses through search_dsl so every query shape
+    composes."""
+    from pyspark.sql import functions as F
+
+    sub = {kk: v for kk, v in body.items() if kk != section}
+    cfg = body[section]
+    k = body.get("size", 10)
+
+    def run(size):
+        b = dict(sub)
+        b["size"] = size
+        return search_dsl(
+            idx, b, corpus, text_col=text_col, analyzed_fields=analyzed,
+            id_col=id_col, field_indexes=field_indexes,
+        )
+
+    if section == "post_filter":
+        # aggregations see EVERY query match; only the hit list narrows
+        # (search_post_filter's contract, same plan: one scored scan,
+        # semi join, 1-row broadcast total)
+        if corpus is None:
+            raise ValueError("post_filter needs corpus")
+        pred = compile_filter(
+            filter_ast(cfg, text_col=text_col, analyzed=analyzed),
+            text_col=text_col, analyzed_fields=analyzed,
+        )
+        matched = run(None)
+        ids = corpus.where(pred).select(
+            F.col(id_col).cast("long").alias("doc_id")
+        )
+        hits = matched.join(ids, "doc_id", "semi").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        if k is not None:
+            hits = hits.limit(k)
+        total = matched.agg(
+            F.count("*").cast("long").alias("total_before_filter")
+        )
+        return hits.crossJoin(F.broadcast(total))
+
+    if section == "rescore":
+        if isinstance(cfg, list):
+            if len(cfg) != 1:
+                _err("one rescore stage (chain engine.rescore for more)")
+            cfg = cfg[0]
+        if "query" not in sub:
+            _err("rescore needs a query section")
+        qc = cfg["query"]
+        mtoks, mmode = _match_like(sub["query"], analyzed)
+        rtoks, _ = _match_like(qc["rescore_query"], analyzed)
+        return idx.rescore(
+            mtoks, rtoks,
+            window_size=int(cfg.get("window_size", 50)), k=k, mode=mmode,
+            query_weight=float(qc.get("query_weight", 1.0)),
+            rescore_query_weight=float(qc.get("rescore_query_weight", 1.0)),
+            score_mode=qc.get("score_mode", "total"),
+        )
+
+    if section == "collapse":
+        if corpus is None:
+            raise ValueError("collapse needs corpus (the collapse field)")
+        from elasticsearch_assets_spark.operators.facets import collapse_topk
+
+        return collapse_topk(run(None), corpus, cfg["field"], k=k,
+                             id_col=id_col)
+
+    if section == "highlight":
+        from elasticsearch_assets_spark.operators import highlight as H
+
+        if corpus is None:
+            raise ValueError("highlight needs corpus (the text)")
+        fields_cfg = cfg.get("fields")
+        if not fields_cfg or len(fields_cfg) != 1:
+            _err("highlight takes exactly one field entry")
+        hf, hcfg = _one(fields_cfg)
+        hcfg = hcfg or {}
+        if hf not in analyzed:
+            _err(f"highlight on non-analyzed field {hf!r}")
+        if "query" not in sub:
+            _err("highlight needs a query section")
+        mtoks, _ = _match_like(sub["query"], analyzed)
+        hits = run(k)
+        cor2 = corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+        )
+        nf = int(hcfg.get("number_of_fragments", 1))
+        if nf <= 1:
+            hl = H.highlight_first(
+                hits, cor2, mtoks,
+                width=int(hcfg.get("fragment_size", 80)),
+                text_col=text_col, id_col="doc_id",
+            )
+            order = [F.col("score").desc(), F.col("doc_id").asc()]
+        else:
+            hl = H.highlight_fragments(
+                hits, cor2, mtoks, n_fragments=nf,
+                width=int(hcfg.get("fragment_size", 40)),
+                text_col=text_col, id_col="doc_id",
+            )
+            order = [
+                F.col("score").desc(), F.col("doc_id").asc(),
+                F.col("frag").asc(),
+            ]
+        # hits keep their rank; docs where no term occurs literally keep
+        # null highlight columns (ES omits the highlight key there)
+        return hits.join(hl, "doc_id", "left").orderBy(*order)
+
+    if section in ("_source", "fields"):
+        if corpus is None:
+            raise ValueError(f"{section} needs corpus (the stored fields)")
+        hits = run(k)
+        stored = corpus
+        if id_col != "doc_id":
+            stored = stored.withColumnRenamed(id_col, "doc_id")
+        if section == "fields":
+            return idx.fetch_fields(hits, stored, cfg, id_col="doc_id")
+        if cfg is False:
+            return hits
+        if isinstance(cfg, str):
+            inc, exc = [cfg], None
+        elif isinstance(cfg, list):
+            inc, exc = [str(x) for x in cfg], None
+        elif isinstance(cfg, dict):
+            inc, exc = cfg.get("includes"), cfg.get("excludes")
+        else:
+            _err(f"unsupported _source form {cfg!r}")
+        return idx.fetch_source(
+            hits, stored, includes=inc, excludes=exc, id_col="doc_id"
+        )
+
+    # track_total_hits: the capped incremental count (search_tracked's
+    # contract — CollectLimit over the match-id stream, never a full
+    # count above the cap)
+    if cfg is False:
+        return run(k)
+    hits = run(k)
+    probe = run(None).select("doc_id")
+    if cfg is True:
+        total, rel = probe.count(), "eq"
+    else:
+        cap = int(cfg)
+        if cap <= 0:
+            raise ValueError("track_total_hits must be positive")
+        n = probe.limit(cap + 1).count()
+        total, rel = (cap, "gte") if n > cap else (n, "eq")
+    return hits.select(
+        "doc_id", "score",
+        F.lit(int(total)).cast("long").alias("total_hits"),
+        F.lit(rel).alias("relation"),
+    )
+
+
 def search_dsl(
     idx,
     body: dict,
@@ -451,20 +671,41 @@ def search_dsl(
     reference's reader scan). Returns the engine's (doc_id, score)
     contract frame — or (doc_id, sort_col) under a field sort.
 
-    Body knobs that change the RESPONSE SHAPE stay separate entry points
-    (set-oriented composition beats a mega-response object here):
-    `_source`/`fields` -> fetch_source / fetch_fields over the hits,
-    `highlight` -> operators/highlight, `post_filter` ->
-    search_post_filter, `track_total_hits` -> search_tracked,
-    `rescore` -> engine.rescore, `collapse` -> facets.collapse_topk,
-    `suggest` -> the suggester entry points."""
+    Response-shape sections are wired to their kernels (ONE per body —
+    each changes the output frame's shape, and set-oriented composition
+    means stacking them is an explicit pipeline, not a mega-response):
+    `post_filter` (hits + total_before_filter, the faceted-navigation
+    contract), `rescore` -> engine.rescore, `collapse` ->
+    facets.collapse_topk, `highlight` -> operators/highlight columns on
+    the hits, `_source`/`fields` -> fetch_source / fetch_fields,
+    `track_total_hits` -> the capped-count columns, `suggest` (alone in
+    its body) -> the suggester frame (several named suggesters: call
+    suggest_dsl directly for the name -> DataFrame dict)."""
     from pyspark.sql import functions as F
 
+    analyzed = analyzed_fields or {text_col}
+    if "suggest" in body:
+        if set(body) - {"suggest"}:
+            _err("suggest composes alone in a body — suggesters rank "
+                 "dictionary terms, not documents (separate frames)")
+        named = suggest_dsl(idx, body["suggest"])
+        if len(named) != 1:
+            _err("one named suggester per search_dsl body; suggest_dsl "
+                 "returns the name -> DataFrame dict for several")
+        return next(iter(named.values()))
+    shape = [s for s in _SHAPE_SECTIONS if s in body]
+    if len(shape) > 1:
+        _err(f"one response-shape section per body (got {shape}); "
+             "stack them as an explicit pipeline over the entry points")
+    if shape:
+        return _shaped(
+            idx, body, shape[0], corpus, text_col=text_col,
+            analyzed=analyzed, id_col=id_col, field_indexes=field_indexes,
+        )
     if "query" not in body and "knn" not in body:
         raise ValueError("search body needs a query and/or a knn section")
     k = body.get("size", 10)
     min_score = body.get("min_score")
-    analyzed = analyzed_fields or {text_col}
 
     if "knn" in body:
         # body-level knn section (ES 8.x): each clause retrieves its own
@@ -901,9 +1142,12 @@ def search_dsl(
                 groups=spec.groups or None, boosts=boosts,
             )
         elif spec.msm is not None:
-            raise NotImplementedError(
-                "minimum_should_match + structured filter: compose via "
-                "search_filtered(groups=...) without msm, or drop the filter"
+            # membership (>= msm distinct terms) is filter-independent,
+            # so the filtered kernels apply the same count before the
+            # allowed-set cut — rank-identical across strategies (tested)
+            res = idx.search_filtered(
+                flat or [], filtered, k=_kq, mode="or", id_col=id_col,
+                boosts=boosts, min_should_match=spec.msm,
             )
         else:
             res = idx.search_filtered(
@@ -912,14 +1156,21 @@ def search_dsl(
             )
     else:
         if spec.phrase is not None:
+            ex_terms = sorted(set(spec.must_not_terms))
             res = idx.search_phrase(
-                spec.phrase, k=_kq, groups=spec.groups or None, boosts=boosts
+                spec.phrase, k=None if ex_terms else _kq,
+                groups=spec.groups or None, boosts=boosts,
             )
-            if spec.must_not_terms:
-                raise NotImplementedError(
-                    "must_not with match_phrase: add a structured filter "
-                    "context (the filtered ladder) for this composition"
+            if ex_terms:
+                # index-assisted exclusion: docs holding ANY not-term come
+                # from one pushed OR posting scan; anti-join only removes
+                # rows, so the phrase ranking stays rank-safe
+                ex = idx.search(ex_terms, k=None, mode="or").select("doc_id")
+                res = res.join(ex, "doc_id", "left_anti").orderBy(
+                    F.col("score").desc(), F.col("doc_id").asc()
                 )
+                if _kq is not None:
+                    res = res.limit(_kq)
         elif spec.msm is not None:
             res = idx.search(
                 flat or [], k=_kq, mode="or", min_should_match=spec.msm,

@@ -3613,6 +3613,7 @@ class InvertedIndex:
         strategy: str = "auto",
         groups: list[list[str]] | None = None,
         boosts: dict[str, float] | None = None,
+        min_should_match: int | None = None,
     ) -> DataFrame:
         """The reference's full query composition: BM25 top-k AMONG the docs
         matching a structured filter (`range AND (user query)`,
@@ -3628,14 +3629,22 @@ class InvertedIndex:
         2. "broadcast": selective filters (≤ collect_cap ids) broadcast the
            id set into the scoring kernels.
         3. "exhaustive": exhaustive scoring + semi join + re-limit (correct
-           for any selectivity, costs a full OR scan)."""
+           for any selectivity, costs a full OR scan).
+
+        `min_should_match` (mode="or", flat queries — same contract as
+        search()): only filter survivors matching at least that many
+        distinct query terms rank. Membership is filter-independent, so
+        every path stays rank-identical (the kernel counts matched terms
+        before the allowed-set cut either way)."""
+        if min_should_match is not None and (mode != "or" or groups is not None):
+            raise ValueError("min_should_match applies to mode='or' flat queries")
         ids = filtered.select(F.col(id_col).cast("long").alias("doc_id"))
         if strategy in ("auto", "cogroup"):
             with_seg = self._filter_with_seg(ids)
             if with_seg is not None:
                 return self._search_cogrouped(
                     query, with_seg, k=k, mode=mode, groups=groups,
-                    boosts=boosts,
+                    boosts=boosts, min_should_match=min_should_match,
                 )
             if strategy == "cogroup":
                 raise ValueError(
@@ -3650,9 +3659,12 @@ class InvertedIndex:
                 )
                 return self.search(
                     query, k=k, mode=mode, allowed=allowed, groups=groups,
-                    boosts=boosts,
+                    boosts=boosts, min_should_match=min_should_match,
                 )
-        scored = self.search(query, k=None, mode=mode, groups=groups, boosts=boosts)
+        scored = self.search(
+            query, k=None, mode=mode, groups=groups, boosts=boosts,
+            min_should_match=min_should_match,
+        )
         out = scored.join(ids.distinct(), "doc_id", "left_semi")
         out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return out.limit(k) if k is not None else out
@@ -3665,6 +3677,7 @@ class InvertedIndex:
         mode: str,
         groups: list[list[str]] | None = None,
         boosts: dict[str, float] | None = None,
+        min_should_match: int | None = None,
     ) -> DataFrame:
         """Distributed filtered search: per segment, cogroup (posting rows,
         allowed doc ids) and run the same scoring kernels restricted to the
@@ -3700,7 +3713,7 @@ class InvertedIndex:
             allowed = np.unique(right["doc_id"].to_numpy(np.int64))
             return _score_segment(
                 left, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed,
-                None, groups,
+                None, groups, min_should_match,
             )
 
         posts = self.segments.where(F.col("term").isin(terms))
