@@ -831,6 +831,22 @@ def _bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _bm25_msm_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match UNDER a structured filter (the ES bool
+    should+msm+filter composition): membership (>= 2 distinct terms) is
+    filter-independent, so the filtered kernels count matched terms before
+    the allowed-set cut — rank-identical across all three strategies
+    (engine.search_filtered min_should_match; forced cogroup here, the
+    scale path)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    res = idx.search_filtered(
+        _MSM_TERMS, docs.where(F.col("doc_id") % 3 == 0), k=None,
+        mode="or", min_should_match=_MSM_M, strategy="cogroup",
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
 _BOOST_TERMS, _BOOSTS = ["spark", "join"], {"spark": 2.5}
 
 
@@ -14398,6 +14414,39 @@ _DSL_BOOL_SQL = _bm25_sql(
 )
 
 
+def _dsl_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full ES search body with a RESPONSE-SHAPE section — post_filter —
+    through the DSL compiler (query/dsl.py search_dsl): aggregations see
+    every query match (total_before_filter), only the hit list narrows
+    (the faceted-navigation contract; one scored scan, semi join, 1-row
+    broadcast total)."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    body = {
+        "query": {"match": {"text": "spark table"}},
+        "post_filter": {"range": {"n_chars": {"gte": 500}}},
+        "size": 10,
+    }
+    res = search_dsl(idx, body, docs)
+    return res.select(
+        "doc_id", F.round("score", 4).alias("score"), "total_before_filter"
+    )
+
+
+def _dsl_shaped_sql() -> str:
+    body = _bm25_body("term IN ('spark', 'table')")
+    return f"""
+WITH {body},
+tot AS (SELECT count(*)::BIGINT AS total_before_filter FROM scored)
+SELECT doc_id, round(s, 4) AS score, total_before_filter
+FROM scored, tot
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE n_chars >= 500)
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _dsl_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search body with BOTH `query` and a `knn` section (8.7 hybrid):
     a doc found by both sides SUMS its BM25 and cosine scores (the
@@ -14873,6 +14922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_knn_hybrid": _dsl_knn_hybrid,
         "hybrid_semantic_rrf": _hybrid_semantic_rrf,
         "pii_luhn": _pii_luhn,
+        "bm25_msm_filtered": _bm25_msm_filtered,
+        "dsl_shaped": _dsl_shaped,
     }
 
 
@@ -15357,4 +15408,8 @@ FROM topk JOIN documents USING (doc_id)
     out["dsl_bool"] = _DSL_BOOL_SQL
     out["dsl_knn_hybrid"] = _dsl_knn_hybrid_sql()
     out["hybrid_semantic_rrf"] = _hybrid_semantic_rrf_sql()
+    out["bm25_msm_filtered"] = _bm25_sql(
+        _MSM_TERMS, "or", None, where="doc_id % 3 = 0", min_match=_MSM_M
+    )
+    out["dsl_shaped"] = _dsl_shaped_sql()
     return out
