@@ -43,16 +43,26 @@ def fuzz_index(spark, tmp_path_factory):
 
     rng = random.Random(20260820)
     docs = _mk_docs(rng)
+    vals = {d: rng.randint(0, 100) for d in docs}
     df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(d, t, vals[d]) for d, t in docs.items()],
+        ["doc_id", "text", "val"],
+    )
     d = str(tmp_path_factory.mktemp("fuzzidx"))
-    build_index(spark, df, d, num_segments=3, num_chunks=1)
-    return InvertedIndex(spark, d), docs
+    build_index(spark, df, d, num_segments=3, num_chunks=1, positions=True)
+    return InvertedIndex(spark, d), docs, vals, corpus
 
 
 # --- the naive interpreter ---------------------------------------------------
 
 
-def _naive(docs, groups, boosts, must_not, msm=None):
+def _naive(docs, groups, boosts, must_not, msm=None, allowed=None,
+           phrase=None):
+    """`allowed` restricts RANKING to a doc set (collection stats stay
+    global — the ES filter-context contract); `phrase` requires the token
+    sequence to occur adjacently (scored as BM25 over its distinct
+    terms — the match_phrase contract the positional oracle pins)."""
     toks = {d: tokenize(t) for d, t in docs.items()}
     n = len(docs)
     dls = {d: len(ts) for d, ts in toks.items()}
@@ -65,13 +75,22 @@ def _naive(docs, groups, boosts, must_not, msm=None):
     dfs = {t: sum(1 for d in docs if t in tfs[d]) for t in all_terms}
     out = []
     for d in docs:
+        if allowed is not None and d not in allowed:
+            continue
         if any(x in toks[d] for x in must_not):
+            continue
+        if phrase is not None and not any(
+            toks[d][i:i + len(phrase)] == phrase
+            for i in range(len(toks[d]) - len(phrase) + 1)
+        ):
             continue
         matched = [t for t in all_terms if t in tfs[d]]
         if msm is not None:
             if len(matched) < msm:
                 continue
-        elif not all(any(t in tfs[d] for t in g) for g in groups):
+        elif phrase is None and not all(
+            any(t in tfs[d] for t in g) for g in groups
+        ):
             continue
         s = 0.0
         for t in sorted(matched):
@@ -97,9 +116,14 @@ def _expansions(docs, prefix):
 
 
 def _gen_body(rng: random.Random, docs):
-    """(body, groups, boosts, must_not, msm) — the body plus the published
-    semantics it should compile to."""
-    shape = rng.choice(["match", "bool_must", "should", "msm", "prefix"])
+    """(body, groups, boosts, must_not, msm, gte, phrase) — the body plus
+    the published semantics it should compile to (`gte` = structured
+    filter threshold on `val`, or None; `phrase` = required adjacent
+    token sequence, or None)."""
+    shape = rng.choice([
+        "match", "bool_must", "should", "msm", "prefix",
+        "filtered", "msm_filter", "phrase",
+    ])
     boosts: dict = {}
     if shape == "match":
         txt = " ".join(rng.choices(VOCAB, k=rng.randint(1, 3)))
@@ -111,7 +135,59 @@ def _gen_body(rng: random.Random, docs):
         groups = [[t] for t in toks] if op == "and" else [sorted(set(toks))]
         if w != 1.0:
             boosts = {t: w for t in toks}
-        return body, groups, boosts, [], None
+        return body, groups, boosts, [], None, None, None
+    if shape == "filtered":
+        # bool must match + structured range filter (+ optional must_not):
+        # ranking restricted under GLOBAL stats, the filter-context contract
+        txt = " ".join(rng.choices(VOCAB, k=rng.randint(1, 3)))
+        op = rng.choice(["or", "and"])
+        gte = rng.randint(10, 90)
+        toks = tokenize(txt)
+        groups = [[t] for t in toks] if op == "and" else [sorted(set(toks))]
+        bool_body: dict = {
+            "must": [{"match": {"text": {"query": txt, "operator": op}}}],
+            "filter": [{"range": {"val": {"gte": gte}}}],
+        }
+        must_not = []
+        if rng.random() < 0.5:
+            ex = rng.choice(VOCAB)
+            bool_body["must_not"] = [{"term": {"text": ex}}]
+            must_not = [ex]
+        return (
+            {"query": {"bool": bool_body}, "size": None},
+            groups, {}, must_not, None, gte, None,
+        )
+    if shape == "msm_filter":
+        terms = rng.sample(VOCAB, rng.randint(2, 4))
+        msm = rng.randint(1, len(terms))
+        gte = rng.randint(10, 90)
+        body = {"query": {"bool": {
+            "should": [{"term": {"text": t}} for t in terms],
+            "minimum_should_match": msm,
+            "filter": [{"range": {"val": {"gte": gte}}}],
+        }}, "size": None}
+        return body, [sorted(set(terms))], {}, [], msm, gte, None
+    if shape == "phrase":
+        # a real adjacent pair from a random doc (so hits exist), plus an
+        # optional must_not exclusion — the anti-join composition
+        src = tokenize(docs[rng.choice(sorted(docs))])
+        while len(src) < 2:
+            src = tokenize(docs[rng.choice(sorted(docs))])
+        i = rng.randrange(len(src) - 1)
+        phrase = src[i:i + 2]
+        bool_body = {"must": [
+            {"match_phrase": {"text": " ".join(phrase)}}
+        ]}
+        must_not = []
+        if rng.random() < 0.5:
+            ex = rng.choice(VOCAB)
+            bool_body["must_not"] = [{"term": {"text": ex}}]
+            must_not = [ex]
+        return (
+            {"query": {"bool": bool_body}, "size": None},
+            [[t] for t in sorted(set(phrase))],
+            {}, must_not, None, None, phrase,
+        )
     if shape == "bool_must":
         clauses, groups = [], []
         for _ in range(rng.randint(1, 3)):
@@ -142,7 +218,7 @@ def _gen_body(rng: random.Random, docs):
             must_not = [ex]
         return (
             {"query": {"bool": body_bool}, "size": None},
-            groups, {}, must_not, None,
+            groups, {}, must_not, None, None, None,
         )
     if shape in ("should", "msm"):
         terms = rng.sample(VOCAB, rng.randint(2, 4))
@@ -157,20 +233,23 @@ def _gen_body(rng: random.Random, docs):
         return (
             {"query": {"bool": body_bool}, "size": None},
             [sorted(set(terms))],
-            {}, [], msm,
+            {}, [], msm, None, None,
         )
     # prefix rewrite — the caller fills in the corpus-derived expansions
     pre = rng.choice(["s", "jo", "ta", "sh", "me"])
     body = {"query": {"prefix": {"text": pre}}, "size": None}
-    return body, [[]], {}, [], None
+    return body, [[]], {}, [], None, None, None
 
 
 def test_dsl_fuzz_against_naive(fuzz_index):
-    idx, docs = fuzz_index
+    idx, docs, vals, corpus = fuzz_index
     rng = random.Random(99)
     n_checked = 0
-    for trial in range(14):
-        body, groups, boosts, must_not, msm = _gen_body(rng, docs)
+    shapes_hit = set()
+    for trial in range(22):
+        body, groups, boosts, must_not, msm, gte, phrase = _gen_body(
+            rng, docs
+        )
         if groups and groups[0] and groups[0][0] is None:
             continue
         # prefix expansions need the corpus vocabulary
@@ -179,11 +258,19 @@ def test_dsl_fuzz_against_naive(fuzz_index):
             groups = [_expansions(docs, pre)]
             if not groups[0]:
                 continue
-        exp = _naive(docs, groups, boosts, must_not, msm=msm)
+        allowed = (
+            {d for d, v in vals.items() if v >= gte}
+            if gte is not None else None
+        )
+        exp = _naive(
+            docs, groups, boosts, must_not, msm=msm, allowed=allowed,
+            phrase=phrase,
+        )
         got = [
             (r["doc_id"], r["score"])
-            for r in search_dsl(idx, body).collect()
+            for r in search_dsl(idx, body, corpus).collect()
         ]
+        shapes_hit.add((gte is not None, phrase is not None, msm is not None))
         assert [d for d, _ in got] == [d for d, _ in exp], (
             f"trial {trial}: rank mismatch for {body!r}"
         )
@@ -192,14 +279,17 @@ def test_dsl_fuzz_against_naive(fuzz_index):
                 f"trial {trial}: score mismatch doc {gd} for {body!r}"
             )
         n_checked += 1
-    assert n_checked >= 10
+    assert n_checked >= 15
+    # the new composition arms all fired: filtered, msm+filter, phrase
+    assert {(True, False, False), (True, False, True),
+            (False, True, False)} <= shapes_hit
 
 
 def test_dsl_fuzz_should_pure_or_semantics(fuzz_index):
     # a pure should with no msm matches ANY clause (flat OR), scored over
     # every matched term — the single spec point the generator's msm arm
     # does not cover at msm=1 (identical match set, identical scoring).
-    idx, docs = fuzz_index
+    idx, docs, _, _ = fuzz_index
     body = {"query": {"bool": {"should": [
         {"term": {"text": "spark"}}, {"term": {"text": "merge"}},
     ]}}, "size": None}
