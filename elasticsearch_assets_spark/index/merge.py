@@ -5,9 +5,16 @@ the Lucene "many small flushes" shape); queries then pay per-segment
 overhead and tiny posting lists compress worse. `merge_segments` compacts an
 index to `target_segments` doc-buckets:
 
-  segments --map: new_seg = old_seg % target--> repartition(new_seg)
+  segments --map: new_seg = old_seg % target--> repartition(new_seg, term)
            --applyInPandas: decode + k-way merge by (term, doc) + re-encode
            --> compacted segment rows
+
+The merge unit is a (new_seg, term) GROUP — every source row of a group
+hash-routes to exactly one partition — so the shuffle keys on (seg_id,
+term), not seg_id alone: parallelism is the full shuffle-partition count,
+never capped at target_segments (an 8-way compaction on a 32-core box
+runs 32 merge tasks, not 8). Output files are term-sorted within
+themselves, so the pushed `term IN` scan still prunes row-groups.
 
 Only ENCODED bytes shuffle (the compressed posting lists, ~10x smaller than
 raw postings); documents are never touched. Doc-disjointness of the source
@@ -173,8 +180,8 @@ def merge_chunks(
     seg_base = int(
         all_chunks.agg(F.max("seg_id")).collect()[0][0] or 0
     ) + 1
-    nparts = shuffle_partitions or min(
-        segs_out, int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
     )
     src_paths = [os.path.join(seg_root, f"chunk={c}") for c in chunk_ids]
     src = spark.read.parquet(*src_paths).withColumn(
@@ -182,7 +189,9 @@ def merge_chunks(
         (F.lit(seg_base) + F.pmod(F.col("seg_id"), F.lit(segs_out))).cast("int"),
     )
     out_schema = SEGMENT_SCHEMA_POS if "pos_enc" in src.columns else SEGMENT_SCHEMA
-    merged = src.repartition(nparts, "seg_id").mapInPandas(
+    # (seg_id, term) is the merge unit — hash both so parallelism is nparts,
+    # not segs_out (see module docstring)
+    merged = src.repartition(nparts, "seg_id", "term").mapInPandas(
         lambda it: _merge_partition(it, None), schema=out_schema
     )
     new_path = os.path.join(seg_root, f"chunk={new_chunk}")
@@ -244,12 +253,16 @@ def count_distinct_docs(spark: SparkSession, index_dir: str) -> int:
     from elasticsearch_assets_spark.index.codec import decode_doc_ids
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen: dict[int, set] = {}
+        parts: dict[int, list] = {}
         for pdf in batches:
             for seg, g in zip(pdf["seg_id"], pdf["doc_gaps"]):
-                ids = decode_doc_ids(bytes(g))
-                seen.setdefault(int(seg), set()).update(ids.tolist())
-        yield pd.DataFrame({"n": [sum(len(s) for s in seen.values())]})
+                parts.setdefault(int(seg), []).append(decode_doc_ids(bytes(g)))
+        # one vectorized unique per segment (segments are doc-disjoint,
+        # so per-segment uniques sum exactly) — never per-element Python
+        total = sum(
+            int(np.unique(np.concatenate(v)).size) for v in parts.values()
+        )
+        yield pd.DataFrame({"n": [total]})
 
     seg = spark.read.parquet(os.path.join(index_dir, "segments"))
     # repartition by seg_id so each task holds whole segments
@@ -287,8 +300,8 @@ def merge_segments(
 
     seg_path = os.path.join(index_dir, "segments")
     tmp_path = os.path.join(index_dir, "segments.tmp")
-    nparts = shuffle_partitions or min(
-        target_segments, int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
     )
     excluded = load_tombstones(index_dir) if apply_tombstones else None
     if excluded is not None and excluded.size == 0:
@@ -297,7 +310,9 @@ def merge_segments(
         "seg_id", F.pmod(F.col("seg_id"), F.lit(target_segments)).cast("int")
     )
     out_schema = SEGMENT_SCHEMA_POS if "pos_enc" in src.columns else SEGMENT_SCHEMA
-    merged = src.repartition(nparts, "seg_id").mapInPandas(
+    # (seg_id, term) is the merge unit — hash both so parallelism is nparts,
+    # not target_segments (see module docstring)
+    merged = src.repartition(nparts, "seg_id", "term").mapInPandas(
         lambda it: _merge_partition(it, excluded), schema=out_schema
     )
     merged.write.mode("overwrite").parquet(os.path.join(tmp_path, "chunk=0"))
