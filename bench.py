@@ -418,8 +418,17 @@ def main() -> None:
     )
 
     dsir_in = corpus.withColumn("_t", F.col("doc_id") % 10 == 0)
+    # cold = full two-phase job; warm = the persisted feature frame serves
+    # the identical later plan from cache (CacheManager plan matching —
+    # the document-level resampling rerun loop). Report both; never
+    # best-of over the cache boundary.
     op_best(
         "op_dsir",
+        lambda: dsir_importance(dsir_in, "_t", n_buckets=4096).count(),
+        reps=1,
+    )
+    op_best(
+        "op_dsir_warm",
         lambda: dsir_importance(dsir_in, "_t", n_buckets=4096).count(),
     )
     op_best(

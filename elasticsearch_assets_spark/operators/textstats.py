@@ -899,6 +899,8 @@ def dsir_importance(
     lam: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feature_hash: str = "md5",
+    persist_features: bool = True,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023, "Data Selection for Language Models via
     Importance Resampling") log importance weights over hashed n-gram
@@ -909,22 +911,37 @@ def dsir_importance(
         log w(x) = sum_b c_b(x) * [ln p_b - ln q_b],
         p_b = (cnt_target(b) + lam) / (T + lam*B)   (q_b likewise over all)
 
-    Plan: one tokenize+hash scan exploded to (doc, bucket) and reduced
-    map-side to per-doc bucket counts; BOTH distributions come from one
-    hash agg over that frame (target = conditional sum, no second scan);
-    the <=B-row log-ratio table broadcasts back onto the per-doc counts
-    and one hash agg on doc finishes. Head-bucket skew is absorbed by the
-    map-side partials exactly like the index build's df pass. Docs with
-    zero features drop (no evidence, no weight) — documented. The feature
-    hash is the oracle-matched 60-bit md5 (texthash.hash60); production
-    swaps it for F.xxhash64 — same plan, ~4x less hash CPU (the md5 cost
-    dominates this op's bench row).
+    Plan: ONE tokenize+hash+explode scan produces the (doc, target,
+    bucket) occurrence frame, persisted MEMORY_AND_DISK
+    (`persist_features`, default on — it feeds both phases of the
+    classically two-pass DSIR recipe; measured ~2x over recomputing the
+    scan per phase, and a localCheckpoint variant measured SLOWER than
+    both, RDD-row storage losing the columnar pipelining). The cache
+    entry lives in the session's CacheManager until clearCache() —
+    re-scoring the same corpus serves the feature frame from cache
+    (document-level resampling reruns are the common loop); a long-lived
+    service scoring MANY distinct corpora should pass
+    persist_features=False (pure two-scan plan, zero retained state) or
+    clear the cache between corpora. Phase 1:
+    both distributions in one groupBy(b) hash agg — map-side partials
+    shrink every task to <= n_buckets rows before the shuffle, so
+    head-bucket skew never moves rows. Phase 2: the <=B-row log-ratio
+    table broadcasts onto the cached occurrences and one per-doc hash agg
+    finishes (sum of r over occurrences == sum of c_b*r_b over distinct
+    buckets). Docs with zero features drop (no evidence, no weight) —
+    documented.
+
+    `feature_hash`: "md5" (default) is the oracle-matched 60-bit
+    texthash.hash60; "xxhash64" is the production swap — same plan,
+    measurably less hash CPU, NOT cross-engine portable.
 
     Returns (id, n_feats, logw). Select by ordering on logw (the paper's
     Gumbel top-k adds sampling noise; deterministic top-k is the
     reproducible variant, noted in the docstring of the contract row)."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    if feature_hash not in ("md5", "xxhash64"):
+        raise ValueError(f"feature_hash must be md5 | xxhash64, got {feature_hash!r}")
     from elasticsearch_assets_spark.operators.texthash import (
         hash60_expr,
         shingles_expr,
@@ -941,17 +958,23 @@ def dsir_importance(
     )
     toks = F.col("_toks")
     feats = F.concat(toks, shingles_expr(toks, 2))
+    hfn = (
+        (lambda c: hash60_expr(c) % n_buckets)
+        if feature_hash == "md5"
+        else (lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets)))
+    )
     exploded = staged.select(
         F.col(id_col), F.col("_t"), F.explode(feats).alias("_f")
     ).select(
-        id_col, "_t", (hash60_expr(F.col("_f")) % n_buckets).alias("b")
+        id_col, "_t", hfn(F.col("_f")).alias("b")
     )
-    doc_b = exploded.groupBy(id_col, "_t", "b").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
-    )
-    dist = doc_b.groupBy("b").agg(
-        F.sum("c").alias("q"),
-        F.sum(F.when(F.col("_t"), F.col("c")).otherwise(F.lit(0.0))).alias("p"),
+    if persist_features:
+        from pyspark import StorageLevel
+
+        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    dist = exploded.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("q"),
+        F.sum(F.when(F.col("_t"), F.lit(1.0)).otherwise(F.lit(0.0))).alias("p"),
     )
     tot = dist.agg(F.sum("q").alias("tq"), F.sum("p").alias("tp"))
     lamb = float(lam)
@@ -963,11 +986,11 @@ def dsir_importance(
         ).alias("r"),
     )
     return (
-        doc_b.join(F.broadcast(ratio), "b")
+        exploded.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
         .agg(
-            F.sum("c").cast("long").alias("n_feats"),
-            F.sum(F.col("c") * F.col("r")).alias("logw"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("r").alias("logw"),
         )
     )
 

@@ -155,6 +155,35 @@ def test_dsir_target_docs_score_higher_on_their_own_terms(spark):
 def test_dsir_validates_buckets(docs):
     with pytest.raises(ValueError):
         T.dsir_importance(docs, "is_tgt", n_buckets=1)
+    with pytest.raises(ValueError):
+        T.dsir_importance(docs, "is_tgt", feature_hash="sha1")
+
+
+def test_dsir_plan_knobs_value_identical(docs):
+    base = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in T.dsir_importance(docs, "is_tgt", n_buckets=64).collect()
+    }
+    # persist_features=False: the leak-free two-scan plan, same values
+    nop = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in T.dsir_importance(
+            docs, "is_tgt", n_buckets=64, persist_features=False
+        ).collect()
+    }
+    assert set(base) == set(nop)
+    for d, (n, w) in base.items():
+        assert nop[d][0] == n and nop[d][1] == pytest.approx(w, rel=1e-12)
+    # xxhash64: same shape/feature counts (bucket assignment differs by
+    # design — the production hash is not the oracle hash)
+    xx = {
+        r["doc_id"]: r["n_feats"]
+        for r in T.dsir_importance(
+            docs, "is_tgt", n_buckets=64, feature_hash="xxhash64"
+        ).collect()
+    }
+    assert set(xx) == set(base)
+    assert all(xx[d] == base[d][0] for d in base)
 
 
 # --- CCNet buckets -------------------------------------------------------
