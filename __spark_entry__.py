@@ -399,6 +399,81 @@ def _bm25_query(terms: list[str], mode: str, k: int | None):
     return run
 
 
+# ES bool optional-should (must + should in one body): must decides
+# matching, each should clause ADDS weight × its BM25 sum; a term in BOTH
+# sides scores twice (Lucene sums independent clause scores). The msm row
+# additionally requires ≥ 2 matched should CLAUSES.
+_OPT_MUST = ["spark", "join"]
+_OPT_CLAUSES = [(["table"], 1.0), (["hash", "merge"], 2.0), (["join"], 1.0)]
+_OPTM_MUST = ["spark"]
+_OPTM_CLAUSES = [(["join"], 1.0), (["table"], 1.0), (["hash"], 1.0)]
+
+
+def _bm25_opt_should_query(must, clauses, msm: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _docs_index(spark, sf_dir)
+        res = idx.search_optional_should(
+            must, clauses, k=None, minimum_should_match=msm
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    return run
+
+
+def _bm25_opt_should_sql(must, clauses, msm: int = 0, k: int | None = None) -> str:
+    """DuckDB twin of search_optional_should: a per-(doc, term) BM25
+    contribution CTE; the must side is the AND-having aggregate, each
+    should clause its own weighted sum LEFT-JOINed on — absent clause =
+    0 (never required), msm = count of non-NULL clause joins."""
+    all_terms = sorted(set(must) | {t for ts, _ in clauses for t in ts})
+    tlist = ", ".join(f"'{t}'" for t in all_terms)
+    mlist = ", ".join(f"'{t}'" for t in sorted(set(must)))
+    cl_ctes, joins, score_parts, flags = [], [], ["m.s"], []
+    for i, (ts, w) in enumerate(clauses):
+        clist = ", ".join(f"'{t}'" for t in sorted(set(ts)))
+        cl_ctes.append(
+            f"cl{i} AS (SELECT doc_id, {float(w)} * sum(w) AS s "
+            f"FROM contrib WHERE term IN ({clist}) GROUP BY doc_id)"
+        )
+        joins.append(f"LEFT JOIN cl{i} USING (doc_id)")
+        score_parts.append(f"coalesce(cl{i}.s, 0)")
+        flags.append(f"(CASE WHEN cl{i}.s IS NOT NULL THEN 1 ELSE 0 END)")
+    total = " + ".join(score_parts)
+    where = f"WHERE {' + '.join(flags)} >= {msm}" if msm else ""
+    limit = f"LIMIT {k}" if k is not None else ""
+    cl_block = ",\n".join(cl_ctes)
+    join_block = " ".join(joins)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS w
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+),
+m AS (
+  SELECT doc_id, sum(w) AS s FROM contrib WHERE term IN ({mlist})
+  GROUP BY doc_id HAVING count(*) = {len(set(must))}
+),
+{cl_block}
+SELECT m.doc_id, round({total}, 4) AS score
+FROM m {join_block}
+{where}
+ORDER BY {total} DESC, m.doc_id ASC
+{limit}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Half A reader-semantics queries (SURVEY.md §2.2, §2.5, §2.7)
 # ---------------------------------------------------------------------------
@@ -14924,6 +14999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_luhn": _pii_luhn,
         "bm25_msm_filtered": _bm25_msm_filtered,
         "dsl_shaped": _dsl_shaped,
+        "bm25_opt_should": _bm25_opt_should_query(_OPT_MUST, _OPT_CLAUSES, 0),
+        "bm25_opt_should_msm": _bm25_opt_should_query(
+            _OPTM_MUST, _OPTM_CLAUSES, 2
+        ),
     }
 
 
@@ -15412,4 +15491,8 @@ FROM topk JOIN documents USING (doc_id)
         _MSM_TERMS, "or", None, where="doc_id % 3 = 0", min_match=_MSM_M
     )
     out["dsl_shaped"] = _dsl_shaped_sql()
+    out["bm25_opt_should"] = _bm25_opt_should_sql(_OPT_MUST, _OPT_CLAUSES)
+    out["bm25_opt_should_msm"] = _bm25_opt_should_sql(
+        _OPTM_MUST, _OPTM_CLAUSES, msm=2
+    )
     return out

@@ -101,6 +101,9 @@ class _Spec:
     mode: str = "and"
     msm: "int | None" = None
     flat_terms: "list[str] | None" = None  # msm path (flat OR kernel)
+    # must+should optional-clause scoring: [(clause terms, weight)] —
+    # spec.groups stays the must side (search_optional_should)
+    opt_should: "list | None" = None
 
 
 def _err(msg: str):
@@ -354,11 +357,6 @@ def compile_body(
         must_not = body.get("must_not", [])
         if isinstance(must_not, dict):
             must_not = [must_not]
-        if should and must:
-            _err(
-                "bool with BOTH must and should (optional-should scoring) "
-                "— restructure as must-only or should-only"
-            )
         for c in must:
             ckind, cbody = _one(c)
             structured = (
@@ -378,7 +376,43 @@ def compile_body(
             spec.filters.append(
                 filter_ast(c, text_col=text_col, analyzed=analyzed)
             )
-        if should:
+        if should and must:
+            # bool with BOTH must and should: optional-clause scoring —
+            # must decides matching, each should clause ADDS its score
+            # (engine.search_optional_should; minimum_should_match counts
+            # matched should CLAUSES, the ES with-must semantics)
+            if spec.phrase is not None:
+                _err("match_phrase in must next to should clauses "
+                     "(optional-should composes term/match musts)")
+            if spec.filters or not spec.groups:
+                _err("optional-should (must+should) composes scoring "
+                     "musts only — structured filters next to optional "
+                     "shoulds have no filtered kernel yet")
+            if spec.boosts:
+                _err("boosted must terms next to should clauses — the "
+                     "optional-should kernel carries boosts per should "
+                     "clause (idf-folded must boosts would double-apply "
+                     "to terms shared across sides)")
+            opt: list = []
+            for c in should:
+                sub = _Spec()
+                ckind, cbody = _one(c)
+                _scoring_clause(sub, ckind, cbody, idx, text_col, analyzed)
+                if sub.phrase is not None:
+                    _err("match_phrase inside should")
+                if len(sub.groups) != 1:
+                    _err("a should clause next to must must compile to ONE "
+                         "OR sub-query (match operator=and has no "
+                         "optional-clause kernel — split into clauses)")
+                terms_c = sub.groups[0]
+                w = sub.boosts.get(terms_c[0], 1.0)
+                opt.append((terms_c, w))
+            spec.opt_should = opt
+            msm = body.get("minimum_should_match")
+            if msm is not None:
+                spec.msm = int(msm)
+            spec.mode = "and"
+        elif should:
             spec.mode = "or"
             flat: list[str] = []
             all_single = True
@@ -1094,6 +1128,21 @@ def search_dsl(
     _kq = None if min_score is not None else k
     boosts = spec.boosts or None
     flat = spec.flat_terms
+    if spec.opt_should is not None:
+        # must+should optional-clause scoring (compile_body guarantees
+        # scoring-only musts, no structured filters)
+        res = idx.search_optional_should(
+            [], spec.opt_should, k=_kq,
+            minimum_should_match=spec.msm or 0,
+            must_not=sorted(set(spec.must_not_terms)) or None,
+            groups=spec.groups,
+        )
+        if min_score is not None:
+            res = res.where(F.col("score") >= float(min_score))
+            res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            if k is not None:
+                res = res.limit(k)
+        return res
     if not spec.groups and spec.phrase is None and spec.msm is None:
         # filter-only bool: every match scores 1.0 (the ES filter-context
         # contract), tombstones excluded by match_all

@@ -32,6 +32,7 @@ from elasticsearch_assets_spark.query.wand import (
     topk_disjunctive_pruned,
     topk_group_conjunctive,
     topk_min_should_match,
+    topk_optional_should,
 )
 
 # field_masking key prefix: a non-token byte (the tokenizer only emits
@@ -136,6 +137,26 @@ def _score_segment(
     )
 
 
+def _merge_not_excluded(
+    postings: dict,
+    not_terms: list[str],
+    excluded: "np.ndarray | None",
+) -> "np.ndarray | None":
+    """ES bool must_not: docs containing ANY excluded term are dropped
+    BEFORE ranking, index-assisted (the not-terms' postings ride the
+    same pushed `term IN` scan; they never contribute to scores).
+    Doc-bucketed segments hold each doc's postings in exactly one
+    segment, so per-segment exclusion IS global exclusion."""
+    hits = [postings[t].doc_ids for t in not_terms if t in postings]
+    if hits:
+        seg_excl = hits[0] if len(hits) == 1 else np.unique(np.concatenate(hits))
+        excluded = (
+            seg_excl if excluded is None or excluded.size == 0
+            else np.union1d(excluded, seg_excl)
+        )
+    return excluded
+
+
 def _score_postings(
     postings: dict,
     terms: list[str],
@@ -159,18 +180,7 @@ def _score_postings(
     from elasticsearch_assets_spark.query.wand import restrict
 
     if not_terms:
-        # ES bool must_not: docs containing ANY excluded term are dropped
-        # BEFORE ranking, index-assisted (the not-terms' postings ride the
-        # same pushed `term IN` scan; they never contribute to scores).
-        # Doc-bucketed segments hold each doc's postings in exactly one
-        # segment, so per-segment exclusion IS global exclusion.
-        hits = [postings[t].doc_ids for t in not_terms if t in postings]
-        if hits:
-            seg_excl = hits[0] if len(hits) == 1 else np.unique(np.concatenate(hits))
-            excluded = (
-                seg_excl if excluded is None or excluded.size == 0
-                else np.union1d(excluded, seg_excl)
-            )
+        excluded = _merge_not_excluded(postings, not_terms, excluded)
     if after is not None:
         if mode == "and":
             if groups is not None:
@@ -437,6 +447,94 @@ class InvertedIndex:
         )
         if min_score is not None:
             per_seg = per_seg.where(F.col("score") >= float(min_score))
+        ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered.limit(k) if k is not None else ordered
+
+    def search_optional_should(
+        self,
+        must: "str | list[str]",
+        should: "list[str | list[str] | tuple[list[str], float]]",
+        k: int | None = 10,
+        minimum_should_match: int = 0,
+        must_not: "str | list[str] | None" = None,
+        groups: list[list[str]] | None = None,
+    ) -> DataFrame:
+        """ES `bool` with BOTH must and should — optional-clause scoring
+        (the one bool composition `search` can't express; the reference
+        forwards such bodies verbatim to ES,
+        /root/reference/asset/elasticsearch_reader/index.js `query` knob).
+
+        Matching is the must side alone (`groups` overrides `must` with
+        clause-level ≥-1-of-each semantics, as in `search`). Each should
+        entry is one SHOULD sub-query — a term list scored as Lucene's
+        within-clause OR (a `(terms, weight)` tuple boosts the clause) —
+        adding its BM25 sum to matching docs without being required.
+        `minimum_should_match` > 0 additionally requires that many should
+        CLAUSES to match (the ES bool knob next to a must). A term in both
+        must and a should clause scores twice: ES sums independent clause
+        scores (oracle-pinned in `bm25_opt_should`).
+
+        One pushed `term IN` segment scan carries must + should + must_not
+        postings; should postings never widen the candidate set — per
+        segment they cost one gather over the must survivors. Doc-bucketed
+        segments make the per-segment clause-match count global, so
+        segment-local top-k + global merge keeps the rank identity."""
+        if groups is not None:
+            must_groups = [sorted(set(g)) for g in groups]
+        else:
+            must_terms = sorted(
+                set(tokenize(must) if isinstance(must, str) else must)
+            )
+            must_groups = [[t] for t in must_terms]
+        if not must_groups:
+            raise ValueError(
+                "search_optional_should needs must terms; a should-only "
+                "bool is plain OR — use search(mode='or')"
+            )
+        clauses: list[tuple[list[str], float]] = []
+        for c in should:
+            w = 1.0
+            if isinstance(c, tuple):
+                c, w = c
+            terms_c = sorted(set(tokenize(c) if isinstance(c, str) else c))
+            if terms_c:
+                clauses.append((terms_c, float(w)))
+        if minimum_should_match > len(clauses):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        all_terms = sorted(
+            {t for g in must_groups for t in g}
+            | {t for ts, _ in clauses for t in ts}
+        )
+        not_terms = sorted(
+            set(tokenize(must_not) if isinstance(must_not, str) else must_not or [])
+        )
+        dfs = self.term_stats(all_terms)
+        if any(all(t not in dfs for t in g) for g in must_groups):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        meta = self.meta
+        idfs = {t: idf(meta.n_docs, dfs.get(t, 0)) for t in all_terms}
+        avgdl, k1, b = meta.avgdl, meta.k1, meta.b
+        excluded = self.tombstones
+        msm = minimum_should_match
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            excl = _merge_not_excluded(postings, not_terms, excluded)
+            docs, score = topk_optional_should(
+                must_groups, clauses, postings, idfs, avgdl, k1, b, k,
+                excl, None, msm,
+            )
+            return pd.DataFrame({"doc_id": docs, "score": score})
+
+        fetch = sorted(set(all_terms) | set(not_terms))
+        per_seg = (
+            self.segments.where(F.col("term").isin(fetch))
+            .groupBy("seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
+        )
         ordered = per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return ordered.limit(k) if k is not None else ordered
 

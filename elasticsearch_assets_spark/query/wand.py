@@ -340,3 +340,71 @@ def topk_conjunctive(
     if k is not None:
         order = order[:k]
     return cand[order], scores[order]
+
+
+def topk_optional_should(
+    must_groups: list[list[str]],
+    clauses: "list[tuple[list[str], float]]",
+    postings: dict[str, TermPostings],
+    idfs: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    excluded: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
+    min_should_match: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES `bool` optional-should scoring — must + should in ONE body
+    (the composition the reference forwards verbatim to ES;
+    /root/reference/asset/elasticsearch_reader supports arbitrary bodies).
+    Matching is decided by the must side alone (every group contributes
+    ≥ 1 present term); each should clause is a Lucene SHOULD sub-query
+    that ADDS `weight × Σ BM25(present clause terms)` to matching docs
+    without being required. `min_should_match` (> 0) additionally
+    requires ≥ that many should CLAUSES to match — the ES bool knob's
+    with-must semantics.
+
+    Candidate selection = the group-conjunctive intersection (must terms
+    only — should postings are never unioned into the candidate set, so
+    a huge optional term costs one gather over the must survivors, not a
+    corpus-wide union). A term in BOTH must and a should clause scores
+    twice — Lucene sums per-clause scores, each clause scoring
+    independently (oracle-pinned)."""
+    e = np.array([], dtype=np.int64)
+    ef = np.array([], dtype=np.float64)
+    unions: list[np.ndarray] = []
+    for g in must_groups:
+        arrs = [postings[t].doc_ids for t in g if t in postings]
+        if not arrs:
+            return e, ef
+        u = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        unions.append(u)
+    unions.sort(key=lambda a: a.size)
+    cand = restrict(unions[0], excluded, allowed)
+    for u in unions[1:]:
+        cand = _sorted_intersect(cand, u)
+        if cand.size == 0:
+            return e, ef
+    if cand.size == 0:
+        return e, ef
+    must_terms = sorted({t for g in must_groups for t in g})
+    scores = exact_scores(cand, must_terms, postings, idfs, avgdl, k1, b)
+    matched = np.zeros(cand.size, dtype=np.int64)
+    for terms, w in clauses:
+        present = sorted({t for t in terms if t in postings})
+        if not present:
+            continue
+        scores = scores + w * exact_scores(
+            cand, present, postings, idfs, avgdl, k1, b
+        )
+        arrs = [postings[t].doc_ids for t in present]
+        u = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        matched += np.isin(cand, u, assume_unique=True)
+    if min_should_match > 0:
+        keep = matched >= min_should_match
+        cand, scores = cand[keep], scores[keep]
+    order = np.lexsort((cand, -scores))
+    if k is not None:
+        order = order[:k]
+    return cand[order], scores[order]

@@ -1,0 +1,305 @@
+"""Session-12 batch 1: ES bool optional-should scoring — must + should in
+ONE body (the composition the DSL used to reject outright). Matching is
+the must side alone; each should clause ADDS weight × its BM25 sum;
+minimum_should_match counts matched should CLAUSES. Semantics are pinned
+against the already-oracle-pinned kernels (AND search + per-clause OR
+search composed frame-side), the double-count contract (a term in BOTH
+sides scores twice — Lucene sums independent clause scores), and the
+segment-count rank identity.
+
+Reference surface: the reader facade forwards caller-built JSON bodies
+straight to ES (/root/reference/asset/elasticsearch_reader/index.js);
+bool must/should semantics from the public ES bool-query docs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.query.dsl import search_dsl
+
+
+@pytest.fixture(scope="module")
+def opt_index(spark, tmp_path_factory):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    rows = [
+        (0, "spark join table spark shuffle"),
+        (1, "join table row filter"),
+        (2, "spark row row join order"),
+        (3, "table table join spark row"),
+        (4, "jolt jolt row order by"),
+        (5, "spark jolt table shuffle join"),
+        (6, "order by table spark spark"),
+        (7, "spark join hash merge partition"),
+        (8, "hash merge hash row order"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = str(tmp_path_factory.mktemp("optidx"))
+    build_index(spark, docs, d, num_segments=2, num_chunks=1)
+    return InvertedIndex(spark, d), docs
+
+
+def _pairs(df):
+    return [(r[0], round(r[1], 9)) for r in df.collect()]
+
+
+def _expected(idx, must, clauses, msm=0):
+    """Compose from oracle-pinned kernels: AND scores + per-clause OR
+    scores left-joined on the must match set."""
+    base = idx.search(must, k=None, mode="and").select(
+        "doc_id", F.col("score").alias("s")
+    )
+    nmatched = F.lit(0)
+    total = F.col("s")
+    for i, (terms, w) in enumerate(clauses):
+        cl = idx.search(terms, k=None, mode="or").select(
+            "doc_id", (F.col("score") * F.lit(w)).alias(f"c{i}")
+        )
+        base = base.join(cl, "doc_id", "left")
+        nmatched = nmatched + F.when(
+            F.col(f"c{i}").isNotNull(), F.lit(1)
+        ).otherwise(F.lit(0))
+        total = total + F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+    out = base.select("doc_id", total.alias("score"), nmatched.alias("nm"))
+    if msm:
+        out = out.where(F.col("nm") >= msm)
+    return out.select("doc_id", "score").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+
+
+def test_opt_should_matches_kernel_composition(opt_index):
+    idx, _ = opt_index
+    clauses = [(["table"], 1.0), (["hash", "merge"], 2.0)]
+    got = idx.search_optional_should(["spark", "join"], clauses, k=None)
+    exp = _expected(idx, ["spark", "join"], clauses)
+    assert _pairs(got) == _pairs(exp)
+    # match set = the must AND set, never widened by should postings
+    and_ids = {r[0] for r in idx.search(["spark", "join"], k=None).collect()}
+    assert {r[0] for r in got.collect()} == and_ids
+
+
+def test_opt_should_double_counts_shared_term(opt_index):
+    idx, _ = opt_index
+    # `join` in BOTH must and a should clause: each clause scores
+    # independently and sums — the Lucene bool contract
+    got = idx.search_optional_should(
+        ["spark", "join"], [(["join"], 1.0)], k=None
+    )
+    exp = _expected(idx, ["spark", "join"], [(["join"], 1.0)])
+    assert _pairs(got) == _pairs(exp)
+    base = dict(_pairs(idx.search(["spark", "join"], k=None)))
+    for doc, s in _pairs(got):
+        assert s > base[doc]  # join's contribution genuinely added again
+
+
+def test_opt_should_msm_counts_clauses(opt_index):
+    idx, _ = opt_index
+    clauses = [(["join"], 1.0), (["table"], 1.0), (["hash"], 1.0)]
+    for m in (0, 1, 2, 3):
+        got = idx.search_optional_should(
+            ["spark"], clauses, k=None, minimum_should_match=m
+        )
+        exp = _expected(idx, ["spark"], clauses, msm=m)
+        assert _pairs(got) == _pairs(exp), f"msm={m}"
+    # msm beyond the clause count: empty, not an error
+    assert (
+        idx.search_optional_should(
+            ["spark"], clauses, k=None, minimum_should_match=4
+        ).count()
+        == 0
+    )
+
+
+def test_opt_should_must_not_and_missing_terms(opt_index):
+    idx, _ = opt_index
+    # must_not composes (index-assisted exclusion before ranking)
+    got = idx.search_optional_should(
+        ["spark"], [(["table"], 1.0)], k=None, must_not=["jolt"]
+    )
+    jolt_ids = {r[0] for r in idx.search(["jolt"], k=None).collect()}
+    assert {r[0] for r in got.collect()}.isdisjoint(jolt_ids)
+    # a should clause with only out-of-vocabulary terms contributes 0
+    a = _pairs(idx.search_optional_should(["spark"], [(["zzzz"], 5.0)], k=None))
+    b = _pairs(idx.search(["spark"], k=None))
+    assert a == b
+    # missing must term: empty result (AND semantics)
+    assert (
+        idx.search_optional_should(["zzzz"], [(["table"], 1.0)], k=None).count()
+        == 0
+    )
+
+
+def test_opt_should_segment_count_rank_identity(spark, tmp_path_factory):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "spark join table",
+                "spark hash merge join",
+                "table hash spark",
+                "join join spark table hash",
+                "merge spark join",
+                "spark table",
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    results = []
+    for nseg in (1, 3):
+        d = str(tmp_path_factory.mktemp(f"optseg{nseg}"))
+        build_index(spark, docs, d, num_segments=nseg, num_chunks=1)
+        idx = InvertedIndex(spark, d)
+        results.append(
+            _pairs(
+                idx.search_optional_should(
+                    ["spark"], [(["table"], 1.5), (["hash", "merge"], 1.0)],
+                    k=None,
+                )
+            )
+        )
+    assert results[0] == results[1]
+
+
+# -- DSL routing ---------------------------------------------------------------
+
+
+def test_dsl_bool_must_and_should(opt_index):
+    idx, _ = opt_index
+    body = {
+        "query": {
+            "bool": {
+                "must": [
+                    {"match": {"text": {"query": "spark join",
+                                        "operator": "and"}}}
+                ],
+                "should": [
+                    {"match": {"text": "table"}},
+                    {"match": {"text": {"query": "hash merge", "boost": 2.0}}},
+                ],
+            }
+        },
+        "size": None,
+    }
+    got = _pairs(search_dsl(idx, body))
+    exp = _pairs(
+        idx.search_optional_should(
+            ["spark", "join"],
+            [(["table"], 1.0), (["hash", "merge"], 2.0)],
+            k=None,
+        )
+    )
+    assert got == exp
+    # a must match with the DEFAULT operator (or) is ONE ≥-1-of group —
+    # docs matching either must term rank (clause-level semantics)
+    body_or = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "spark join"}}],
+                "should": [{"match": {"text": "table"}}],
+            }
+        },
+        "size": None,
+    }
+    got_or = _pairs(search_dsl(idx, body_or))
+    exp_or = _pairs(
+        idx.search_optional_should(
+            [], [(["table"], 1.0)], k=None, groups=[["join", "spark"]]
+        )
+    )
+    assert got_or == exp_or
+    or_ids = {r[0] for r in idx.search(["spark", "join"], k=None,
+                                       mode="or").collect()}
+    assert {d for d, _ in got_or} == or_ids
+
+
+def test_dsl_opt_should_msm_and_must_not(opt_index):
+    idx, _ = opt_index
+    body = {
+        "query": {
+            "bool": {
+                "must": {"match": {"text": "spark"}},
+                "should": [
+                    {"term": {"text": "join"}},
+                    {"term": {"text": "table"}},
+                    {"term": {"text": "hash"}},
+                ],
+                "must_not": [{"term": {"text": "jolt"}}],
+                "minimum_should_match": 2,
+            }
+        },
+        "size": None,
+    }
+    got = _pairs(search_dsl(idx, body))
+    exp = _pairs(
+        idx.search_optional_should(
+            ["spark"],
+            [(["join"], 1.0), (["table"], 1.0), (["hash"], 1.0)],
+            k=None,
+            minimum_should_match=2,
+            must_not=["jolt"],
+        )
+    )
+    assert got == exp
+
+
+def test_dsl_opt_should_strictness(opt_index):
+    idx, _ = opt_index
+    # structured must next to should: no filtered kernel yet — loud
+    with pytest.raises(NotImplementedError):
+        search_dsl(
+            idx,
+            {
+                "query": {
+                    "bool": {
+                        "must": {"range": {"views": {"gte": 1}}},
+                        "should": [{"term": {"text": "join"}}],
+                    }
+                }
+            },
+        )
+    # operator=and inside an optional should clause: ALL-required
+    # sub-query semantics have no optional-clause kernel — loud
+    with pytest.raises(NotImplementedError):
+        search_dsl(
+            idx,
+            {
+                "query": {
+                    "bool": {
+                        "must": {"match": {"text": "spark"}},
+                        "should": [
+                            {
+                                "match": {
+                                    "text": {
+                                        "query": "hash merge",
+                                        "operator": "and",
+                                    }
+                                }
+                            }
+                        ],
+                    }
+                }
+            },
+        )
+    # boosted must terms next to should: idf-folded boosts would
+    # double-apply to shared terms — loud
+    with pytest.raises(NotImplementedError):
+        search_dsl(
+            idx,
+            {
+                "query": {
+                    "bool": {
+                        "must": {
+                            "match": {"text": {"query": "spark", "boost": 2.0}}
+                        },
+                        "should": [{"term": {"text": "join"}}],
+                    }
+                }
+            },
+        )
