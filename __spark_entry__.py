@@ -420,11 +420,32 @@ def _bm25_opt_should_query(must, clauses, msm: int):
     return run
 
 
-def _bm25_opt_should_sql(must, clauses, msm: int = 0, k: int | None = None) -> str:
+def _bm25_opt_should_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional-should UNDER a structured filter (bool must+should+filter):
+    must∩filter decides matching, clauses add score; clause membership and
+    the must intersection are filter-independent per-doc properties, so
+    all three search_filtered strategies are rank-identical — forced
+    cogroup here (the scale path: filter ids shuffle by segment, clause
+    postings ride the same pushed `term IN` scan)."""
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    res = idx.search_filtered(
+        _OPT_MUST, docs.where(F.col("doc_id") % 3 == 0), k=None,
+        strategy="cogroup", opt_should=_OPT_CLAUSES, opt_msm=1,
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_opt_should_sql(
+    must, clauses, msm: int = 0, k: int | None = None,
+    where: str | None = None,
+) -> str:
     """DuckDB twin of search_optional_should: a per-(doc, term) BM25
     contribution CTE; the must side is the AND-having aggregate, each
     should clause its own weighted sum LEFT-JOINed on — absent clause =
-    0 (never required), msm = count of non-NULL clause joins."""
+    0 (never required), msm = count of non-NULL clause joins. `where`
+    restricts RANKING to matching docs under GLOBAL collection stats —
+    the search_filtered(opt_should=...) composition."""
     all_terms = sorted(set(must) | {t for ts, _ in clauses for t in ts})
     tlist = ", ".join(f"'{t}'" for t in all_terms)
     mlist = ", ".join(f"'{t}'" for t in sorted(set(must)))
@@ -439,7 +460,12 @@ def _bm25_opt_should_sql(must, clauses, msm: int = 0, k: int | None = None) -> s
         score_parts.append(f"coalesce(cl{i}.s, 0)")
         flags.append(f"(CASE WHEN cl{i}.s IS NOT NULL THEN 1 ELSE 0 END)")
     total = " + ".join(score_parts)
-    where = f"WHERE {' + '.join(flags)} >= {msm}" if msm else ""
+    conds = []
+    if msm:
+        conds.append(f"{' + '.join(flags)} >= {msm}")
+    if where:
+        conds.append(f"({where})")
+    where_clause = f"WHERE {' AND '.join(conds)}" if conds else ""
     limit = f"LIMIT {k}" if k is not None else ""
     cl_block = ",\n".join(cl_ctes)
     join_block = " ".join(joins)
@@ -468,7 +494,7 @@ m AS (
 {cl_block}
 SELECT m.doc_id, round({total}, 4) AS score
 FROM m {join_block}
-{where}
+{where_clause}
 ORDER BY {total} DESC, m.doc_id ASC
 {limit}
 """
@@ -15003,6 +15029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_opt_should_msm": _bm25_opt_should_query(
             _OPTM_MUST, _OPTM_CLAUSES, 2
         ),
+        "bm25_opt_should_filtered": _bm25_opt_should_filtered,
     }
 
 
@@ -15494,5 +15521,8 @@ FROM topk JOIN documents USING (doc_id)
     out["bm25_opt_should"] = _bm25_opt_should_sql(_OPT_MUST, _OPT_CLAUSES)
     out["bm25_opt_should_msm"] = _bm25_opt_should_sql(
         _OPTM_MUST, _OPTM_CLAUSES, msm=2
+    )
+    out["bm25_opt_should_filtered"] = _bm25_opt_should_sql(
+        _OPT_MUST, _OPT_CLAUSES, msm=1, where="doc_id % 3 = 0"
     )
     return out

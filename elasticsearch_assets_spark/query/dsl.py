@@ -23,10 +23,12 @@ anything else raises with guidance, the repo's strict-surface rule):
     constant_score        {"filter": <filter tree>, "boost": b}
     dis_max               {"queries": [<match-like>...], "tie_breaker"}
     bool                  must / filter / must_not / should (+
-                          minimum_should_match); `should` composes as a
-                          pure OR and cannot be mixed with `must` in v1
-                          (ES's optional-should scoring has no engine
-                          kernel — raise, don't approximate); exception:
+                          minimum_should_match); should-only composes as
+                          a pure OR; must + should = optional-clause
+                          scoring (engine.search_optional_should — must
+                          decides matching, each should clause ADDS its
+                          weighted BM25 sum, msm counts clauses; composes
+                          with `filter` via search_filtered's opt path);
                           a should consisting of ONE rank_feature /
                           distance_feature clause over one must clause
                           delegates to the feature-booster kernels
@@ -384,10 +386,11 @@ def compile_body(
             if spec.phrase is not None:
                 _err("match_phrase in must next to should clauses "
                      "(optional-should composes term/match musts)")
-            if spec.filters or not spec.groups:
-                _err("optional-should (must+should) composes scoring "
-                     "musts only — structured filters next to optional "
-                     "shoulds have no filtered kernel yet")
+            if not spec.groups:
+                _err("optional-should (must+should) needs ≥ 1 scoring "
+                     "must clause (structured-only musts: move them to "
+                     "`filter` — filter+should alone is the should-only "
+                     "path)")
             if spec.boosts:
                 _err("boosted must terms next to should clauses — the "
                      "optional-should kernel carries boosts per should "
@@ -1128,9 +1131,9 @@ def search_dsl(
     _kq = None if min_score is not None else k
     boosts = spec.boosts or None
     flat = spec.flat_terms
-    if spec.opt_should is not None:
-        # must+should optional-clause scoring (compile_body guarantees
-        # scoring-only musts, no structured filters)
+    if spec.opt_should is not None and not spec.filters:
+        # must+should optional-clause scoring (the filtered composition
+        # rides search_filtered's opt_should path below)
         res = idx.search_optional_should(
             [], spec.opt_should, k=_kq,
             minimum_should_match=spec.msm or 0,
@@ -1185,7 +1188,16 @@ def search_dsl(
                 text_col=text_col, analyzed_fields=analyzed,
             )
             filtered = filtered.where(ex)
-        if spec.phrase is not None:
+        if spec.opt_should is not None:
+            # optional-should under a structured filter: must∩filter
+            # decides matching, clauses add score — all three
+            # search_filtered strategies rank-identical (tested)
+            res = idx.search_filtered(
+                [], filtered, k=_kq, mode="and", id_col=id_col,
+                groups=spec.groups, opt_should=spec.opt_should,
+                opt_msm=spec.msm or 0,
+            )
+        elif spec.phrase is not None:
             res = idx.search_phrase_filtered(
                 spec.phrase, filtered, k=_kq, id_col=id_col,
                 groups=spec.groups or None, boosts=boosts,

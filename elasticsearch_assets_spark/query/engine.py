@@ -458,6 +458,7 @@ class InvertedIndex:
         minimum_should_match: int = 0,
         must_not: "str | list[str] | None" = None,
         groups: list[list[str]] | None = None,
+        allowed: "np.ndarray | None" = None,
     ) -> DataFrame:
         """ES `bool` with BOTH must and should — optional-clause scoring
         (the one bool composition `search` can't express; the reference
@@ -525,7 +526,7 @@ class InvertedIndex:
             excl = _merge_not_excluded(postings, not_terms, excluded)
             docs, score = topk_optional_should(
                 must_groups, clauses, postings, idfs, avgdl, k1, b, k,
-                excl, None, msm,
+                excl, allowed, msm,
             )
             return pd.DataFrame({"doc_id": docs, "score": score})
 
@@ -3712,6 +3713,8 @@ class InvertedIndex:
         groups: list[list[str]] | None = None,
         boosts: dict[str, float] | None = None,
         min_should_match: int | None = None,
+        opt_should: "list[tuple[list[str], float]] | None" = None,
+        opt_msm: int = 0,
     ) -> DataFrame:
         """The reference's full query composition: BM25 top-k AMONG the docs
         matching a structured filter (`range AND (user query)`,
@@ -3733,9 +3736,24 @@ class InvertedIndex:
         search()): only filter survivors matching at least that many
         distinct query terms rank. Membership is filter-independent, so
         every path stays rank-identical (the kernel counts matched terms
-        before the allowed-set cut either way)."""
+        before the allowed-set cut either way).
+
+        `opt_should` (+ `opt_msm`) = the bool optional-should composition
+        under a structured filter: the query/groups side is the must,
+        each (terms, weight) clause adds its score to must∩filter
+        survivors, `opt_msm` counts matched should CLAUSES. Clause
+        membership and the must intersection are both filter-independent
+        per-doc properties, so the three strategies stay rank-identical
+        (tested)."""
         if min_should_match is not None and (mode != "or" or groups is not None):
             raise ValueError("min_should_match applies to mode='or' flat queries")
+        if opt_should is not None and (
+            min_should_match is not None or boosts or mode != "and"
+        ):
+            raise ValueError(
+                "opt_should composes with must semantics (mode='and', "
+                "clause weights carry the boosts, opt_msm counts clauses)"
+            )
         ids = filtered.select(F.col(id_col).cast("long").alias("doc_id"))
         if strategy in ("auto", "cogroup"):
             with_seg = self._filter_with_seg(ids)
@@ -3743,6 +3761,7 @@ class InvertedIndex:
                 return self._search_cogrouped(
                     query, with_seg, k=k, mode=mode, groups=groups,
                     boosts=boosts, min_should_match=min_should_match,
+                    opt_should=opt_should, opt_msm=opt_msm,
                 )
             if strategy == "cogroup":
                 raise ValueError(
@@ -3755,14 +3774,26 @@ class InvertedIndex:
                 allowed = np.sort(
                     np.array([r["doc_id"] for r in sample], dtype=np.int64)
                 )
+                if opt_should is not None:
+                    return self.search_optional_should(
+                        query, opt_should, k=k,
+                        minimum_should_match=opt_msm, groups=groups,
+                        allowed=allowed,
+                    )
                 return self.search(
                     query, k=k, mode=mode, allowed=allowed, groups=groups,
                     boosts=boosts, min_should_match=min_should_match,
                 )
-        scored = self.search(
-            query, k=None, mode=mode, groups=groups, boosts=boosts,
-            min_should_match=min_should_match,
-        )
+        if opt_should is not None:
+            scored = self.search_optional_should(
+                query, opt_should, k=None, minimum_should_match=opt_msm,
+                groups=groups,
+            )
+        else:
+            scored = self.search(
+                query, k=None, mode=mode, groups=groups, boosts=boosts,
+                min_should_match=min_should_match,
+            )
         out = scored.join(ids.distinct(), "doc_id", "left_semi")
         out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return out.limit(k) if k is not None else out
@@ -3776,32 +3807,44 @@ class InvertedIndex:
         groups: list[list[str]] | None = None,
         boosts: dict[str, float] | None = None,
         min_should_match: int | None = None,
+        opt_should: "list[tuple[list[str], float]] | None" = None,
+        opt_msm: int = 0,
     ) -> DataFrame:
         """Distributed filtered search: per segment, cogroup (posting rows,
         allowed doc ids) and run the same scoring kernels restricted to the
         allowed set — rank-identical to the broadcast path (tested). The
         shuffle moves only the filter ids (8 B each) keyed by segment; the
-        posting side is the usual pushed-down `term IN` scan."""
+        posting side is the usual pushed-down `term IN` scan.
+        `opt_should` routes to the optional-should kernel (query/groups =
+        the must side; clause postings ride the same pushed scan)."""
         if groups is not None:
             terms = sorted({t for g in groups for t in g})
         else:
             terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        dfs = self.term_stats(terms)
+        opt_terms = sorted(
+            {t for ts, _ in (opt_should or []) for t in ts} - set(terms)
+        )
+        dfs = self.term_stats(sorted(set(terms) | set(opt_terms)))
         if mode == "and":
             if groups is not None:
                 if any(all(t not in dfs for t in g) for g in groups):
                     return self.spark.createDataFrame([], TOPK_SCHEMA)
-            elif len(dfs) != len(terms):
+            elif any(t not in dfs for t in terms):
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
         meta = self.meta
         idfs = {
             t: idf(meta.n_docs, dfs.get(t, 0)) * (boosts or {}).get(t, 1.0)
-            for t in terms
+            for t in sorted(set(terms) | set(opt_terms))
         }
         avgdl, k1, b = meta.avgdl, meta.k1, meta.b
         excluded = self.tombstones
+        must_groups = (
+            None if opt_should is None
+            else ([sorted(set(g)) for g in groups] if groups is not None
+                  else [[t] for t in terms])
+        )
 
         def score_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0 or len(right) == 0:
@@ -3809,12 +3852,24 @@ class InvertedIndex:
                     {"doc_id": "int64", "score": "float64"}
                 )
             allowed = np.unique(right["doc_id"].to_numpy(np.int64))
+            if opt_should is not None:
+                postings = {
+                    row["term"]: TermPostings(row)
+                    for row in (t._asdict() for t in left.itertuples(index=False))
+                }
+                docs, score = topk_optional_should(
+                    must_groups, opt_should, postings, idfs, avgdl, k1, b,
+                    k, excluded, allowed, opt_msm,
+                )
+                return pd.DataFrame({"doc_id": docs, "score": score})
             return _score_segment(
                 left, terms, idfs, avgdl, k1, b, mode, k, excluded, allowed,
                 None, groups, min_should_match,
             )
 
-        posts = self.segments.where(F.col("term").isin(terms))
+        posts = self.segments.where(
+            F.col("term").isin(sorted(set(terms) | set(opt_terms)))
+        )
         per_seg = (
             posts.groupBy("seg_id")
             .cogroup(ids_with_seg.groupBy("seg_id"))

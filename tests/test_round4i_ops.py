@@ -303,3 +303,95 @@ def test_dsl_opt_should_strictness(opt_index):
                 }
             },
         )
+
+
+# -- optional-should under a structured filter ---------------------------------
+
+
+def test_opt_should_filtered_strategies_rank_identical(spark, tmp_path_factory):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    rows = [
+        (i, t, float(i * 10))
+        for i, t in enumerate(
+            [
+                "spark join table",
+                "spark hash merge join",
+                "table hash spark",
+                "join join spark table hash",
+                "merge spark join",
+                "spark table",
+                "spark join merge table",
+                "hash merge row",
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "views"])
+    d = str(tmp_path_factory.mktemp("optfidx"))
+    build_index(spark, docs, d, num_segments=2, num_chunks=1)
+    idx = InvertedIndex(spark, d)
+    filt = docs.where(F.col("views") >= 20)
+    clauses = [(["table"], 1.5), (["hash", "merge"], 1.0)]
+
+    # ground truth from the unfiltered kernel + frame-side semi join
+    exp = _pairs(
+        idx.search_optional_should(["spark", "join"], clauses, k=None)
+        .join(filt.select("doc_id"), "doc_id", "semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    assert exp  # non-degenerate
+
+    for strat in ("exhaustive", "broadcast", "cogroup"):
+        got = _pairs(
+            idx.search_filtered(
+                ["spark", "join"], filt, k=None, strategy=strat,
+                opt_should=clauses,
+            )
+        )
+        assert got == exp, strat
+
+    # opt_msm counts clauses among filter survivors too
+    exp_m = _pairs(
+        idx.search_optional_should(
+            ["spark", "join"], clauses, k=None, minimum_should_match=2
+        )
+        .join(filt.select("doc_id"), "doc_id", "semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    for strat in ("exhaustive", "broadcast", "cogroup"):
+        got = _pairs(
+            idx.search_filtered(
+                ["spark", "join"], filt, k=None, strategy=strat,
+                opt_should=clauses, opt_msm=2,
+            )
+        )
+        assert got == exp_m, strat
+
+
+def test_dsl_opt_should_with_filter_section(opt_index):
+    idx, docs = opt_index
+    body = {
+        "query": {
+            "bool": {
+                "must": {"match": {"text": {"query": "spark join",
+                                            "operator": "and"}}},
+                "should": [
+                    {"term": {"text": "table"}},
+                    {"match": {"text": {"query": "hash merge",
+                                        "boost": 2.0}}},
+                ],
+                "filter": [{"range": {"doc_id": {"lte": 5}}}],
+            }
+        },
+        "size": None,
+    }
+    got = _pairs(search_dsl(idx, body, corpus=docs))
+    exp = _pairs(
+        idx.search_filtered(
+            ["spark", "join"], docs.where(F.col("doc_id") <= 5), k=None,
+            opt_should=[(["table"], 1.0), (["hash", "merge"], 2.0)],
+        )
+    )
+    assert got == exp
+    assert got  # non-degenerate
