@@ -420,6 +420,37 @@ def _bm25_opt_should_query(must, clauses, msm: int):
     return run
 
 
+def _dsl_filter_should_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool{filter, should} with NO explicit minimum_should_match — the ES
+    default next to a filter is 0: every filter survivor matches; docs
+    matching a should clause score its BM25 sum, the rest score 0 and sort
+    after every positive (doc_id tiebreak). The DSL unions the zero rows
+    in (query/dsl.py zero_should); should-only bools keep the default of
+    1 (`bm25_or_all` pins that contract)."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    body = {
+        "query": {"bool": {
+            "should": [{"term": {"text": "dup"}}],
+            "filter": [{"range": {"n_chars": {"gte": 400}}}],
+        }},
+        "size": None,
+    }
+    res = search_dsl(idx, body, docs)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_DSL_FILTER_SHOULD_SQL = f"""
+WITH {_bm25_body("term IN ('dup')")},
+f AS (SELECT doc_id FROM documents WHERE n_chars >= 400)
+SELECT f.doc_id, round(coalesce(s.s, 0), 4) AS score
+FROM f LEFT JOIN scored s USING (doc_id)
+ORDER BY coalesce(s.s, 0) DESC, f.doc_id ASC
+"""
+
+
 def _bm25_opt_should_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optional-should UNDER a structured filter (bool must+should+filter):
     must∩filter decides matching, clauses add score; clause membership and
@@ -15030,6 +15061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _OPTM_MUST, _OPTM_CLAUSES, 2
         ),
         "bm25_opt_should_filtered": _bm25_opt_should_filtered,
+        "dsl_filter_should_default": _dsl_filter_should_default,
     }
 
 
@@ -15525,4 +15557,5 @@ FROM topk JOIN documents USING (doc_id)
     out["bm25_opt_should_filtered"] = _bm25_opt_should_sql(
         _OPT_MUST, _OPT_CLAUSES, msm=1, where="doc_id % 3 = 0"
     )
+    out["dsl_filter_should_default"] = _DSL_FILTER_SHOULD_SQL
     return out

@@ -106,6 +106,10 @@ class _Spec:
     # must+should optional-clause scoring: [(clause terms, weight)] —
     # spec.groups stays the must side (search_optional_should)
     opt_should: "list | None" = None
+    # bool{filter, should} with NO explicit minimum_should_match: the ES
+    # default is 0 next to a filter — filter survivors matching no should
+    # clause still match, at score 0 (the execution unions them in)
+    zero_should: bool = False
 
 
 def _err(msg: str):
@@ -294,6 +298,12 @@ def _scoring_clause(spec: _Spec, kind: str, body, idx, text_col, analyzed):
         _note(spec, toks, w)
         return
     if kind in ("term", "terms"):
+        w = 1.0
+        if kind == "terms" and isinstance(body, dict) and "boost" in body:
+            # ES terms query: {field: [...], boost: w} — boost is a
+            # sibling key of the field, not nested in its value
+            body = dict(body)
+            w = float(body.pop("boost"))
         f, v = _one(body)
         if f not in analyzed:
             _err(
@@ -301,10 +311,13 @@ def _scoring_clause(spec: _Spec, kind: str, body, idx, text_col, analyzed):
                 "bool.filter"
             )
         if kind == "term":
-            v = v["value"] if isinstance(v, dict) else v
-            spec.groups.append([str(v).lower()])
+            cfg = v if isinstance(v, dict) else {"value": v}
+            w = float(cfg.get("boost", w))
+            g = [str(cfg["value"]).lower()]
         else:
-            spec.groups.append(sorted({str(x).lower() for x in v}))
+            g = sorted({str(x).lower() for x in v})
+        spec.groups.append(g)
+        _note(spec, g, w)
         return
     if kind == "match_phrase":
         if spec.phrase is not None:
@@ -442,6 +455,11 @@ def compile_body(
                 spec.msm = int(msm)
                 spec.groups = []
                 spec.flat_terms = sorted(set(flat))
+            elif filters:
+                # ES: next to a filter the DEFAULT minimum_should_match
+                # is 0 — shoulds become optional, filter-only docs match
+                # at score 0 (should-only bools keep the default of 1)
+                spec.zero_should = True
         else:
             spec.mode = "and"
         for c in must_not:
@@ -1210,6 +1228,25 @@ def search_dsl(
                 flat or [], filtered, k=_kq, mode="or", id_col=id_col,
                 boosts=boosts, min_should_match=spec.msm,
             )
+        elif spec.zero_should:
+            # bool{filter, should}, no explicit msm — the ES default is
+            # 0: score the shoulds over the filter survivors, then union
+            # the no-should survivors back in at score 0 (they sort after
+            # every positive BM25 score; doc_id tiebreak as everywhere)
+            scored = idx.search_filtered(
+                flat or [], filtered, k=None, mode="or",
+                id_col=id_col, groups=spec.groups or None, boosts=boosts,
+            )
+            zeros = (
+                idx.match_all(filtered, k=None, id_col=id_col)
+                .join(scored.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", F.lit(0.0).alias("score"))
+            )
+            res = scored.unionByName(zeros).orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+            if _kq is not None:
+                res = res.limit(_kq)
         else:
             res = idx.search_filtered(
                 flat or [], filtered, k=_kq, mode=spec.mode,

@@ -58,22 +58,37 @@ def fuzz_index(spark, tmp_path_factory):
 
 
 def _naive(docs, groups, boosts, must_not, msm=None, allowed=None,
-           phrase=None):
+           phrase=None, opt_clauses=None, opt_msm=0):
     """`allowed` restricts RANKING to a doc set (collection stats stay
     global — the ES filter-context contract); `phrase` requires the token
     sequence to occur adjacently (scored as BM25 over its distinct
-    terms — the match_phrase contract the positional oracle pins)."""
+    terms — the match_phrase contract the positional oracle pins).
+    `opt_clauses` = [(terms, weight)] optional-should next to the must
+    groups: never required, each matching clause ADDS weight × its
+    per-term BM25 sum (a term in both sides scores twice — Lucene sums
+    independent clauses); `opt_msm` requires ≥ that many matched
+    CLAUSES."""
     toks = {d: tokenize(t) for d, t in docs.items()}
     n = len(docs)
     dls = {d: len(ts) for d, ts in toks.items()}
     avgdl = sum(dls.values()) / n
-    all_terms = sorted({t for g in groups for t in g})
+    opt_terms = {t for ts, _ in (opt_clauses or []) for t in ts}
+    all_terms = sorted({t for g in groups for t in g} | opt_terms)
     tfs = {
         d: {t: ts.count(t) for t in all_terms if t in ts}
         for d, ts in toks.items()
     }
     dfs = {t: sum(1 for d in docs if t in tfs[d]) for t in all_terms}
+
+    def _w(d, t):
+        idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        tf = tfs[d][t]
+        return idf * tf * (K1 + 1.0) / (
+            tf + K1 * (1.0 - B + B * dls[d] / avgdl)
+        )
+
     out = []
+    must_terms = sorted({t for g in groups for t in g})
     for d in docs:
         if allowed is not None and d not in allowed:
             continue
@@ -84,6 +99,20 @@ def _naive(docs, groups, boosts, must_not, msm=None, allowed=None,
             for i in range(len(toks[d]) - len(phrase) + 1)
         ):
             continue
+        if opt_clauses is not None:
+            if not all(any(t in tfs[d] for t in g) for g in groups):
+                continue
+            n_cl = sum(
+                1 for ts, _ in opt_clauses if any(t in tfs[d] for t in ts)
+            )
+            if n_cl < opt_msm:
+                continue
+            s = sum(_w(d, t) for t in must_terms if t in tfs[d])
+            for ts, w in opt_clauses:
+                s += w * sum(_w(d, t) for t in sorted(set(ts))
+                             if t in tfs[d])
+            out.append((d, s))
+            continue
         matched = [t for t in all_terms if t in tfs[d]]
         if msm is not None:
             if len(matched) < msm:
@@ -92,14 +121,7 @@ def _naive(docs, groups, boosts, must_not, msm=None, allowed=None,
             any(t in tfs[d] for t in g) for g in groups
         ):
             continue
-        s = 0.0
-        for t in sorted(matched):
-            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
-            tf = tfs[d][t]
-            tfn = tf * (K1 + 1.0) / (
-                tf + K1 * (1.0 - B + B * dls[d] / avgdl)
-            )
-            s += boosts.get(t, 1.0) * idf * tfn
+        s = sum(boosts.get(t, 1.0) * _w(d, t) for t in sorted(matched))
         out.append((d, s))
     out.sort(key=lambda p: (-p[1], p[0]))
     return out
@@ -298,3 +320,99 @@ def test_dsl_fuzz_should_pure_or_semantics(fuzz_index):
         (r["doc_id"], r["score"]) for r in search_dsl(idx, body).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+# --- optional-should (must + should) arm --------------------------------------
+
+
+def _gen_opt_body(rng: random.Random):
+    """(body, groups, opt_clauses, opt_msm, must_not, gte) — a bool with
+    BOTH must and should (+ optional filter / must_not / msm), plus the
+    published semantics it should compile to."""
+    # must: 1-2 scoring clauses
+    groups, must_clauses = [], []
+    for _ in range(rng.randint(1, 2)):
+        if rng.random() < 0.5:
+            t = rng.choice(VOCAB)
+            must_clauses.append({"term": {"text": t}})
+            groups.append([t])
+        else:
+            txt = " ".join(rng.choices(VOCAB, k=rng.randint(1, 2)))
+            op = rng.choice(["or", "and"])
+            must_clauses.append(
+                {"match": {"text": {"query": txt, "operator": op}}}
+            )
+            toks = tokenize(txt)
+            groups += (
+                [[t] for t in toks] if op == "and" else [sorted(set(toks))]
+            )
+    # should: 1-3 optional clauses, each a term or an OR match, some boosted
+    opt_clauses, should_clauses = [], []
+    for _ in range(rng.randint(1, 3)):
+        w = rng.choice([1.0, 1.0, 2.0, 0.5])
+        if rng.random() < 0.5:
+            t = rng.choice(VOCAB)
+            cfg = {"value": t, "boost": w} if w != 1.0 else t
+            should_clauses.append({"term": {"text": cfg}})
+            opt_clauses.append(([t], w))
+        else:
+            txt = " ".join(rng.choices(VOCAB, k=rng.randint(1, 2)))
+            cfg = {"query": txt}
+            if w != 1.0:
+                cfg["boost"] = w
+            should_clauses.append({"match": {"text": cfg}})
+            opt_clauses.append((sorted(set(tokenize(txt))), w))
+    bool_body: dict = {"must": must_clauses, "should": should_clauses}
+    opt_msm = 0
+    if rng.random() < 0.4:
+        opt_msm = rng.randint(1, len(should_clauses))
+        bool_body["minimum_should_match"] = opt_msm
+    must_not = []
+    if rng.random() < 0.4:
+        ex = rng.choice(VOCAB)
+        bool_body["must_not"] = [{"term": {"text": ex}}]
+        must_not = [ex]
+    gte = None
+    if rng.random() < 0.4:
+        gte = rng.randint(10, 90)
+        bool_body["filter"] = [{"range": {"val": {"gte": gte}}}]
+    return (
+        {"query": {"bool": bool_body}, "size": None},
+        groups, opt_clauses, opt_msm, must_not, gte,
+    )
+
+
+def test_dsl_fuzz_opt_should_against_naive(fuzz_index):
+    idx, docs, vals, corpus = fuzz_index
+    rng = random.Random(1212)
+    n_checked, n_filtered, n_msm, n_boosted = 0, 0, 0, 0
+    for trial in range(25):
+        body, groups, opt_clauses, opt_msm, must_not, gte = _gen_opt_body(
+            rng
+        )
+        allowed = (
+            {d for d, v in vals.items() if v >= gte}
+            if gte is not None else None
+        )
+        exp = _naive(
+            docs, groups, {}, must_not, allowed=allowed,
+            opt_clauses=opt_clauses, opt_msm=opt_msm,
+        )
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_dsl(idx, body, corpus).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], (
+            f"trial {trial}: rank mismatch for {body!r}"
+        )
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-9), (
+                f"trial {trial}: score mismatch doc {gd} for {body!r}"
+            )
+        n_checked += 1
+        n_filtered += gte is not None
+        n_msm += opt_msm > 0
+        n_boosted += any(w != 1.0 for _, w in opt_clauses)
+    assert n_checked == 25
+    # every composition axis fired
+    assert n_filtered >= 3 and n_msm >= 3 and n_boosted >= 3

@@ -649,9 +649,21 @@ def test_dsl_strictness(boost_index):
     from elasticsearch_assets_spark.query.dsl import search_dsl
 
     idx, docs = boost_index
-    with pytest.raises(NotImplementedError, match="must and should"):
+    # must + should routes to optional-should scoring (session 12) —
+    # the rejection this battery used to pin is now a kernel
+    # (test_round4i_ops.py pins its semantics); phrase-in-must next to
+    # should is the shape that still raises
+    got = search_dsl(idx, {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "should": [{"match": {"text": "row"}}],
+    }}, "size": None}).collect()
+    exp = idx.search_optional_should(
+        ["spark"], [(["row"], 1.0)], k=None
+    ).collect()
+    assert got == exp
+    with pytest.raises(NotImplementedError, match="match_phrase in must"):
         search_dsl(idx, {"query": {"bool": {
-            "must": [{"match": {"text": "spark"}}],
+            "must": [{"match_phrase": {"text": "spark join"}}],
             "should": [{"match": {"text": "row"}}],
         }}})
     with pytest.raises(NotImplementedError, match="non-analyzed"):

@@ -395,3 +395,43 @@ def test_dsl_opt_should_with_filter_section(opt_index):
     )
     assert got == exp
     assert got  # non-degenerate
+
+
+# -- bool{filter, should}: the ES default minimum_should_match is 0 ------------
+
+
+def test_dsl_filter_should_default_zero(opt_index):
+    idx, docs = opt_index
+    filt_ids = set(range(6))  # doc_id <= 5
+    body = {
+        "query": {"bool": {
+            "should": [{"term": {"text": "table"}}],
+            "filter": [{"range": {"doc_id": {"lte": 5}}}],
+        }},
+        "size": None,
+    }
+    got = _pairs(search_dsl(idx, body, corpus=docs))
+    # every filter survivor matches (ES default msm=0 next to a filter)
+    assert {d for d, _ in got} == filt_ids
+    pos = _pairs(
+        idx.search_filtered(
+            ["table"], docs.where(F.col("doc_id") <= 5), k=None, mode="or"
+        )
+    )
+    zeros = sorted(filt_ids - {d for d, _ in pos})
+    assert got == pos + [(d, 0.0) for d in zeros]  # zeros sort last
+    # explicit minimum_should_match: 1 restores the requiring behavior
+    body_msm = {
+        "query": {"bool": {
+            "should": [{"term": {"text": "table"}}],
+            "filter": [{"range": {"doc_id": {"lte": 5}}}],
+            "minimum_should_match": 1,
+        }},
+        "size": None,
+    }
+    assert _pairs(search_dsl(idx, body_msm, corpus=docs)) == pos
+    # should-only keeps the ES default of 1 (no zero-score union)
+    body_pure = {"query": {"bool": {
+        "should": [{"term": {"text": "table"}}]}}, "size": None}
+    pure = _pairs(search_dsl(idx, body_pure))
+    assert all(s > 0 for _, s in pure)
