@@ -388,6 +388,32 @@ def main() -> None:
         reps.append(time.monotonic() - t0)
     queries["q_filtered_cogroup_wide"] = round(min(reps), 3)
 
+    # optional-should (bool must+should, session 12): should postings ride
+    # the same pushed scan, never widening the must candidate set — the
+    # cost over the plain AND query is one gather per clause
+    reps = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        idx.search_optional_should(
+            ["spark", "join"], [(["table"], 1.0), (["data", "query"], 2.0)],
+            k=10,
+        ).collect()
+        reps.append(time.monotonic() - t0)
+    queries["q_opt_should"] = round(min(reps), 3)
+
+    # ... and under the LOW-selectivity filter (forced cogroup): the
+    # filtered composition at the scale-path plan
+    reps = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        idx.search_filtered(
+            ["spark", "join"], wide, k=10, strategy="cogroup",
+            opt_should=[(["table"], 1.0), (["data", "query"], 2.0)],
+            opt_msm=1,
+        ).collect()
+        reps.append(time.monotonic() - t0)
+    queries["q_opt_should_filtered"] = round(min(reps), 3)
+
     # --- round-3 session-4 ops: corpus-curation + query surface ----------
     from elasticsearch_assets_spark.operators.packing import pack_documents
     from elasticsearch_assets_spark.operators.textstats import (

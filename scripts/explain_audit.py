@@ -126,6 +126,27 @@ def main() -> None:
             k=10, strategy="cogroup",
         ),
     )
+    add(
+        "Optional-should (bool must+should), one pushed scan",
+        "Must AND should AND must_not postings all ride ONE pushed "
+        "`term IN` segment scan (no second scan for the optional side); "
+        "the kernel intersects the must lists and gathers clause "
+        "contributions over the survivors — should postings never widen "
+        "the candidate set. Global cut = the usual TakeOrderedAndProject.",
+        idx.search_optional_should(
+            ["spark", "join"], [(["table"], 1.0), (["data"], 2.0)], k=10
+        ),
+    )
+    add(
+        "Optional-should under a structured filter (forced cogroup)",
+        "The filtered composition keeps the cogrouped scale plan: "
+        "FlatMapCoGroupsInPandas with the 8-byte filter ids shuffled by "
+        "segment; must + clause postings share the pushed scan.",
+        idx.search_filtered(
+            ["spark", "join"], docs.where(F.col("doc_id") % 3 == 0),
+            k=10, strategy="cogroup", opt_should=[(["table"], 1.0)],
+        ),
+    )
     pidx_dir = "/tmp/esa_plan_audit_idx_pos"
     if not os.path.exists(os.path.join(pidx_dir, "meta.json")):
         build_index(spark, docs, pidx_dir, num_segments=8, positions=True)
