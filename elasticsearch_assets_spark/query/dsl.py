@@ -374,13 +374,14 @@ def compile_body(
             must_not = [must_not]
         for c in must:
             ckind, cbody = _one(c)
-            structured = (
-                ckind in ("range", "exists")
-                or (
-                    ckind in ("term", "terms")
-                    and _one(cbody)[0] not in analyzed
+            if ckind in ("term", "terms") and isinstance(cbody, dict):
+                # terms carries `boost` as a SIBLING of the field key
+                cfield = next(
+                    (kk for kk in cbody if kk != "boost"), None
                 )
-            )
+                structured = cfield not in analyzed
+            else:
+                structured = ckind in ("range", "exists")
             if structured:
                 spec.filters.append(
                     filter_ast(c, text_col=text_col, analyzed=analyzed)

@@ -435,3 +435,29 @@ def test_dsl_filter_should_default_zero(opt_index):
         "should": [{"term": {"text": "table"}}]}}, "size": None}
     pure = _pairs(search_dsl(idx, body_pure))
     assert all(s > 0 for _, s in pure)
+
+
+def test_dsl_terms_sibling_boost_and_prefix_should(opt_index):
+    idx, _ = opt_index
+    # ES terms query boost is a SIBLING key of the field; it folds into
+    # the idf exactly like a match boost (was a silent no-op pre-s12)
+    got = _pairs(search_dsl(idx, {"query": {"bool": {"must": [
+        {"terms": {"text": ["table", "hash"], "boost": 2.0}},
+    ]}}, "size": None}))
+    exp = _pairs(
+        idx.search([], k=None, mode="and", groups=[["hash", "table"]],
+                   boosts={"hash": 2.0, "table": 2.0})
+    )
+    assert got == exp and got
+    # a prefix should-clause next to a must: the dictionary rewrite is
+    # ONE group, so it rides the optional-should path like any clause
+    got2 = _pairs(search_dsl(idx, {"query": {"bool": {
+        "must": [{"term": {"text": "spark"}}],
+        "should": [{"prefix": {"text": {"value": "tab", "boost": 3.0}}}],
+    }}, "size": None}))
+    exp2 = _pairs(
+        idx.search_optional_should(
+            ["spark"], [(idx.expand_prefix("tab"), 3.0)], k=None
+        )
+    )
+    assert got2 == exp2 and got2
