@@ -550,6 +550,8 @@ class InvertedIndex:
         min_should_match: int | None = None,
         boosts: dict[str, float] | None = None,
         must_not: "str | list[str] | None" = None,
+        opt_should: "list[tuple[list[str], float]] | None" = None,
+        opt_msm: int = 0,
     ) -> list[tuple[int, float]]:
         """Low-latency serving path: ONE Spark job (the pushed-down `term IN`
         scan collects the few matching posting rows), then the same scoring
@@ -563,19 +565,41 @@ class InvertedIndex:
         Right when the query's posting lists are driver-small (typical
         serving); `search()` remains the distributed path for huge head
         terms or k=None analytics. `min_should_match` / `boosts` carry the
-        same contracts as `search` (tested identical)."""
+        same contracts as `search` (tested identical). `opt_should` /
+        `opt_msm` = the serving twin of `search_optional_should` (same
+        kernel, tested rank-identical)."""
         if min_should_match is not None and (mode != "or" or groups is not None):
             raise ValueError("min_should_match applies to mode='or' flat queries")
+        if opt_should is not None and (
+            min_should_match is not None or boosts or mode != "and"
+            or after is not None
+        ):
+            raise ValueError(
+                "opt_should composes with must semantics (mode='and', "
+                "clause weights carry the boosts, opt_msm counts clauses)"
+            )
         if groups is not None:
             terms = sorted({t for g in groups for t in g})
         else:
             terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return []
+        clauses: list[tuple[list[str], float]] = [
+            (sorted(set(ts)), float(w)) for ts, w in (opt_should or [])
+            if ts
+        ]
+        must_groups = (
+            None if opt_should is None
+            else ([sorted(set(g)) for g in groups] if groups is not None
+                  else [[t] for t in terms])
+        )
+        opt_terms = sorted(
+            {t for ts, _ in clauses for t in ts} - set(terms)
+        )
         not_terms = sorted(
             set(tokenize(must_not) if isinstance(must_not, str) else must_not or [])
         )
-        fetch = sorted(set(terms) | set(not_terms))
+        fetch = sorted(set(terms) | set(not_terms) | set(opt_terms))
         rows = self.segments.where(F.col("term").isin(fetch)).collect()
         dfs: dict[str, int] = {}
         by_seg: dict[int, dict[str, object]] = {}
@@ -591,7 +615,7 @@ class InvertedIndex:
         meta = self.meta
         idfs = {
             t: idf(meta.n_docs, dfs.get(t, 0)) * (boosts or {}).get(t, 1.0)
-            for t in terms
+            for t in sorted(set(terms) | set(opt_terms))
         }
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
@@ -611,7 +635,12 @@ class InvertedIndex:
                         seg_excl if excl is None or excl.size == 0
                         else np.union1d(excl, seg_excl)
                     )
-            if mode == "and" and groups is not None:
+            if opt_should is not None:
+                d, s = topk_optional_should(
+                    must_groups, clauses, postings, idfs, meta.avgdl,
+                    meta.k1, meta.b, seg_k, excl, allowed, opt_msm,
+                )
+            elif mode == "and" and groups is not None:
                 d, s = topk_group_conjunctive(
                     groups, postings, idfs, meta.avgdl, meta.k1, meta.b, seg_k,
                     excl, allowed,
@@ -3918,10 +3947,28 @@ class InvertedIndex:
             not_terms = sorted(
                 set(tokenize(mn) if isinstance(mn, str) else mn or [])
             )
+            opt = s.get("opt_should")
+            if opt is not None:
+                # bool must+should batched like any other body: the
+                # clause postings join the fused union scan, the
+                # optional-should kernel runs per segment (same code
+                # path as search_optional_should = rank identity)
+                if mode != "and" or msm is not None or s.get("boosts"):
+                    raise ValueError(
+                        "opt_should composes with must semantics "
+                        "(mode='and'; clause weights carry the boosts)"
+                    )
+                opt = [
+                    (sorted(set(ts)), float(w)) for ts, w in opt
+                    if ts
+                ]
             specs.append(
-                (qid, terms, mode, s.get("k", k), s.get("boosts"), msm, not_terms)
+                (qid, terms, mode, s.get("k", k), s.get("boosts"), msm,
+                 not_terms, opt, int(s.get("opt_msm", 0)))
             )
             score_terms |= set(terms)
+            if opt:
+                score_terms |= {t for ts, _ in opt for t in ts}
         if not score_terms:
             return self.spark.createDataFrame([], MSEARCH_SCHEMA)
         dfs = self.term_stats(sorted(score_terms))
@@ -3930,17 +3977,18 @@ class InvertedIndex:
         excluded = self.tombstones
         kspecs = []
         fetch: set[str] = set()
-        for qid, terms, mode, kq, boosts, msm, not_terms in specs:
+        for qid, terms, mode, kq, boosts, msm, not_terms, opt, omsm in specs:
             if not terms:
                 continue
             if mode == "and" and any(t not in dfs for t in terms):
                 continue  # unsatisfiable AND — search() returns empty too
+            opt_terms = {t for ts, _ in (opt or []) for t in ts}
             idfs = {
                 t: idf(meta.n_docs, dfs.get(t, 0)) * (boosts or {}).get(t, 1.0)
-                for t in terms
+                for t in sorted(set(terms) | opt_terms)
             }
-            kspecs.append((qid, terms, idfs, mode, kq, msm, not_terms))
-            fetch |= set(terms) | set(not_terms)
+            kspecs.append((qid, terms, idfs, mode, kq, msm, not_terms, opt, omsm))
+            fetch |= set(terms) | set(not_terms) | opt_terms
         if not kspecs:
             return self.spark.createDataFrame([], MSEARCH_SCHEMA)
 
@@ -3950,11 +3998,19 @@ class InvertedIndex:
                 for row in (t._asdict() for t in pdf.itertuples(index=False))
             }
             frames = []
-            for qid, terms, idfs, mode, kq, msm, not_terms in kspecs:
-                out = _score_postings(
-                    postings, terms, idfs, avgdl, k1, b, mode, kq, excluded,
-                    None, None, None, msm, not_terms,
-                )
+            for qid, terms, idfs, mode, kq, msm, not_terms, opt, omsm in kspecs:
+                if opt is not None:
+                    excl = _merge_not_excluded(postings, not_terms, excluded)
+                    docs, score = topk_optional_should(
+                        [[t] for t in terms], opt, postings, idfs, avgdl,
+                        k1, b, kq, excl, None, omsm,
+                    )
+                    out = pd.DataFrame({"doc_id": docs, "score": score})
+                else:
+                    out = _score_postings(
+                        postings, terms, idfs, avgdl, k1, b, mode, kq,
+                        excluded, None, None, None, msm, not_terms,
+                    )
                 if len(out):
                     out.insert(0, "query_id", np.int32(qid))
                     frames.append(out)
@@ -3973,7 +4029,7 @@ class InvertedIndex:
             .groupBy("seg_id")
             .applyInPandas(score_fn, MSEARCH_SCHEMA)
         )
-        ks = {qid: kq for qid, _, _, _, kq, _, _ in kspecs if kq is not None}
+        ks = {spec[0]: spec[4] for spec in kspecs if spec[4] is not None}
         if ks:
             w = Window.partitionBy("query_id").orderBy(
                 F.col("score").desc(), F.col("doc_id").asc()

@@ -461,3 +461,40 @@ def test_dsl_terms_sibling_boost_and_prefix_should(opt_index):
         )
     )
     assert got2 == exp2 and got2
+
+
+def test_opt_should_serving_and_msearch_parity(opt_index):
+    idx, _ = opt_index
+    clauses = [(["table"], 1.0), (["hash", "merge"], 2.0)]
+    dist = _pairs(
+        idx.search_optional_should(
+            ["spark"], clauses, k=None, minimum_should_match=1,
+            must_not=["jolt"],
+        )
+    )
+    # serving path: same kernel over driver-fetched postings
+    local = [
+        (d, round(s, 9))
+        for d, s in idx.search_local(
+            ["spark"], k=None, opt_should=clauses, opt_msm=1,
+            must_not=["jolt"],
+        )
+    ]
+    assert local == dist
+    # msearch: the bool body batches through the fused scan, per-query
+    # rows bit-identical to the solo kernel
+    ms = idx.msearch(
+        [
+            {"query": ["spark"], "opt_should": clauses, "opt_msm": 1,
+             "must_not": ["jolt"], "k": None},
+            {"query": ["spark", "join"], "mode": "and", "k": None},
+        ],
+        k=None,
+    )
+    rows = ms.collect()
+    q0 = [(r["doc_id"], round(r["score"], 9)) for r in rows
+          if r["query_id"] == 0]
+    q1 = [(r["doc_id"], round(r["score"], 9)) for r in rows
+          if r["query_id"] == 1]
+    assert q0 == dist
+    assert q1 == _pairs(idx.search(["spark", "join"], k=None))
