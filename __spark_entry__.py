@@ -420,6 +420,84 @@ def _bm25_opt_should_query(must, clauses, msm: int):
     return run
 
 
+def _bm25_opt_should_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed optional-should (session 12): a match_phrase SHOULD clause
+    next to a must — the phrase clause's positional kernel produces its
+    own scored frame, LEFT-JOINed onto the must set (dsl._run_opt_composed;
+    phrase membership is adjacency-exact, never a bag-of-words
+    approximation). Score = must BM25 + 2 × phrase-clause BM25 where the
+    phrase occurs."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx = _docs_index_pos(spark, sf_dir)
+    body = {
+        "query": {"bool": {
+            "must": [{"term": {"text": "spark"}}],
+            "should": [{"match_phrase": {"text": {
+                "query": " ".join(_PHRASE_TERMS), "boost": 2.0}}}],
+        }},
+        "size": None,
+    }
+    res = search_dsl(idx, body)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_opt_should_phrase_sql() -> str:
+    """DuckDB twin: the adjacency self-join defines phrase membership;
+    the clause sum (phrase terms' BM25, weighted) LEFT-JOINs onto the
+    must aggregate."""
+    distinct = sorted(set(_PHRASE_TERMS))
+    plist = ", ".join(f"'{t}'" for t in distinct)
+    all_terms = sorted(set(["spark"]) | set(distinct))
+    tlist = ", ".join(f"'{t}'" for t in all_terms)
+    joins = " ".join(
+        f"JOIN ptoks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(_PHRASE_TERMS))
+    )
+    conds = " AND ".join(
+        f"t{i}.term = '{t}'" for i, t in enumerate(_PHRASE_TERMS)
+    )
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+toks AS (SELECT doc_id, term FROM ptoks),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS w
+  FROM stats, tf
+  JOIN df USING (term) JOIN dl USING (doc_id)
+),
+m AS (
+  SELECT doc_id, sum(w) AS s FROM contrib WHERE term = 'spark'
+  GROUP BY doc_id
+),
+phrase AS (
+  SELECT DISTINCT t0.doc_id FROM ptoks t0 {joins} WHERE {conds}
+),
+cl0 AS (
+  SELECT c.doc_id, 2.0 * sum(c.w) AS s
+  FROM contrib c JOIN phrase p ON c.doc_id = p.doc_id
+  WHERE c.term IN ({plist})
+  GROUP BY c.doc_id
+)
+SELECT m.doc_id, round(m.s + coalesce(cl0.s, 0), 4) AS score
+FROM m LEFT JOIN cl0 USING (doc_id)
+ORDER BY m.s + coalesce(cl0.s, 0) DESC, m.doc_id ASC
+"""
+
+
 def _dsl_filter_should_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bool{filter, should} with NO explicit minimum_should_match — the ES
     default next to a filter is 0: every filter survivor matches; docs
@@ -15062,6 +15140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_opt_should_filtered": _bm25_opt_should_filtered,
         "dsl_filter_should_default": _dsl_filter_should_default,
+        "bm25_opt_should_phrase": _bm25_opt_should_phrase,
     }
 
 
@@ -15558,4 +15637,5 @@ FROM topk JOIN documents USING (doc_id)
         _OPT_MUST, _OPT_CLAUSES, msm=1, where="doc_id % 3 = 0"
     )
     out["dsl_filter_should_default"] = _DSL_FILTER_SHOULD_SQL
+    out["bm25_opt_should_phrase"] = _bm25_opt_should_phrase_sql()
     return out

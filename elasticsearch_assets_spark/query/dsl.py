@@ -110,6 +110,11 @@ class _Spec:
     # default is 0 next to a filter — filter survivors matching no should
     # clause still match, at score 0 (the execution unions them in)
     zero_should: bool = False
+    # composed optional-should: clause descriptors [(kind, terms, w)]
+    # with kind in {"or", "and", "phrase"} — used instead of opt_should
+    # when a clause needs its own kernel (phrase / operator=and); the
+    # execution LEFT-JOINs each clause's scored frame onto the must set
+    opt_composed: "list | None" = None
 
 
 def _err(msg: str):
@@ -410,21 +415,32 @@ def compile_body(
                      "optional-should kernel carries boosts per should "
                      "clause (idf-folded must boosts would double-apply "
                      "to terms shared across sides)")
-            opt: list = []
+            descs: list = []
             for c in should:
                 sub = _Spec()
                 ckind, cbody = _one(c)
                 _scoring_clause(sub, ckind, cbody, idx, text_col, analyzed)
                 if sub.phrase is not None:
-                    _err("match_phrase inside should")
-                if len(sub.groups) != 1:
-                    _err("a should clause next to must must compile to ONE "
-                         "OR sub-query (match operator=and has no "
-                         "optional-clause kernel — split into clauses)")
-                terms_c = sub.groups[0]
-                w = sub.boosts.get(terms_c[0], 1.0)
-                opt.append((terms_c, w))
-            spec.opt_should = opt
+                    # phrase should-clause: needs the positional kernel —
+                    # composed execution (its scored frame LEFT-JOINs on)
+                    w = sub.boosts.get(sub.phrase[0], 1.0)
+                    descs.append(("phrase", sub.phrase, w))
+                elif len(sub.groups) == 1:
+                    terms_c = sub.groups[0]
+                    w = sub.boosts.get(terms_c[0], 1.0)
+                    descs.append(("or", terms_c, w))
+                else:
+                    # match operator=and: the clause matches only when ALL
+                    # its terms do — its own AND kernel, composed
+                    terms_c = sorted({t for g in sub.groups for t in g})
+                    w = sub.boosts.get(terms_c[0], 1.0)
+                    descs.append(("and", terms_c, w))
+            if all(kind == "or" for kind, _, _ in descs):
+                # every clause is a flat OR sub-query: the fused
+                # single-scan kernel path
+                spec.opt_should = [(ts, w) for _, ts, w in descs]
+            else:
+                spec.opt_composed = descs
             msm = body.get("minimum_should_match")
             if msm is not None:
                 spec.msm = int(msm)
@@ -709,6 +725,53 @@ def _shaped(
         F.lit(int(total)).cast("long").alias("total_hits"),
         F.lit(rel).alias("relation"),
     )
+
+
+def _run_opt_composed(idx, spec, k, *, filtered=None, id_col="doc_id"):
+    """Composed optional-should: each clause's own kernel produces a
+    scored frame (phrase → positional kernel, operator=and → AND kernel,
+    flat → OR kernel) that LEFT-JOINs onto the must match set — score =
+    must + Σ weight × clause, msm = count of non-NULL clause joins. The
+    join side is ≤ |clause matches| rows of (id, double); the fused
+    single-scan kernel (spec.opt_should) remains the default whenever
+    every clause is a flat OR."""
+    from pyspark.sql import functions as F
+
+    mn = sorted(set(spec.must_not_terms)) or None
+    if filtered is not None:
+        # must_not already folded into `filtered` by the caller
+        base = idx.search_filtered(
+            [], filtered, k=None, id_col=id_col, groups=spec.groups
+        )
+    else:
+        base = idx.search(
+            [], k=None, mode="and", groups=spec.groups, must_not=mn
+        )
+    base = base.select("doc_id", F.col("score").alias("__s"))
+    nm = F.lit(0)
+    total = F.col("__s")
+    for i, (kind, terms, w) in enumerate(spec.opt_composed):
+        if kind == "phrase":
+            cl = idx.search_phrase(terms, k=None)
+        elif kind == "and":
+            cl = idx.search(terms, k=None, mode="and")
+        else:
+            cl = idx.search(terms, k=None, mode="or")
+        cl = cl.select(
+            "doc_id", (F.col("score") * F.lit(float(w))).alias(f"__c{i}")
+        )
+        base = base.join(cl, "doc_id", "left")
+        nm = nm + F.when(F.col(f"__c{i}").isNotNull(), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        total = total + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    out = base.select("doc_id", total.alias("score"), nm.alias("__nm"))
+    if spec.msm:
+        out = out.where(F.col("__nm") >= spec.msm)
+    out = out.select("doc_id", "score").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return out.limit(k) if k is not None else out
 
 
 def search_dsl(
@@ -1150,6 +1213,14 @@ def search_dsl(
     _kq = None if min_score is not None else k
     boosts = spec.boosts or None
     flat = spec.flat_terms
+    if spec.opt_composed is not None and not spec.filters:
+        res = _run_opt_composed(idx, spec, _kq, id_col=id_col)
+        if min_score is not None:
+            res = res.where(F.col("score") >= float(min_score))
+            res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            if k is not None:
+                res = res.limit(k)
+        return res
     if spec.opt_should is not None and not spec.filters:
         # must+should optional-clause scoring (the filtered composition
         # rides search_filtered's opt_should path below)
@@ -1207,7 +1278,11 @@ def search_dsl(
                 text_col=text_col, analyzed_fields=analyzed,
             )
             filtered = filtered.where(ex)
-        if spec.opt_should is not None:
+        if spec.opt_composed is not None:
+            res = _run_opt_composed(
+                idx, spec, _kq, filtered=filtered, id_col=id_col
+            )
+        elif spec.opt_should is not None:
             # optional-should under a structured filter: must∩filter
             # decides matching, clauses add score — all three
             # search_filtered strategies rank-identical (tested)

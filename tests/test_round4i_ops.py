@@ -265,28 +265,9 @@ def test_dsl_opt_should_strictness(opt_index):
             },
         )
     # operator=and inside an optional should clause: ALL-required
-    # sub-query semantics have no optional-clause kernel — loud
-    with pytest.raises(NotImplementedError):
-        search_dsl(
-            idx,
-            {
-                "query": {
-                    "bool": {
-                        "must": {"match": {"text": "spark"}},
-                        "should": [
-                            {
-                                "match": {
-                                    "text": {
-                                        "query": "hash merge",
-                                        "operator": "and",
-                                    }
-                                }
-                            }
-                        ],
-                    }
-                }
-            },
-        )
+    # sub-query semantics — the composed path runs the clause's own AND
+    # kernel and LEFT-JOINs it on (session-12 follow-up; parity below in
+    # test_dsl_opt_should_composed_clauses)
     # boosted must terms next to should: idf-folded boosts would
     # double-apply to shared terms — loud
     with pytest.raises(NotImplementedError):
@@ -498,3 +479,109 @@ def test_opt_should_serving_and_msearch_parity(opt_index):
           if r["query_id"] == 1]
     assert q0 == dist
     assert q1 == _pairs(idx.search(["spark", "join"], k=None))
+
+
+def test_dsl_opt_should_composed_clauses(spark, tmp_path_factory):
+    """Phrase and operator=and should-clauses next to a must: the composed
+    path runs each clause's own kernel and LEFT-JOINs its scored frame
+    onto the must set — parity against the hand-built composition of the
+    same (oracle-pinned) kernels."""
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    rows = [
+        (0, "spark join table spark shuffle"),
+        (1, "join table row filter"),
+        (2, "spark row hash merge join order"),
+        (3, "table table join spark row"),
+        (4, "spark hash merge table"),
+        (5, "spark jolt table shuffle join"),
+        (6, "merge hash spark spark"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = str(tmp_path_factory.mktemp("optcomp"))
+    build_index(spark, docs, d, num_segments=2, num_chunks=1,
+                positions=True)
+    idx = InvertedIndex(spark, d)
+
+    body = {
+        "query": {"bool": {
+            "must": [{"term": {"text": "spark"}}],
+            "should": [
+                {"match_phrase": {"text": {"query": "hash merge",
+                                           "boost": 2.0}}},
+                {"match": {"text": {"query": "join table",
+                                    "operator": "and"}}},
+                {"term": {"text": "shuffle"}},
+            ],
+            "minimum_should_match": 1,
+        }},
+        "size": None,
+    }
+    got = _pairs(search_dsl(idx, body))
+
+    # hand-built: must scores + per-clause kernel frames left-joined
+    base = idx.search(["spark"], k=None).select(
+        "doc_id", F.col("score").alias("s")
+    )
+    ph = idx.search_phrase(["hash", "merge"], k=None).select(
+        "doc_id", (F.col("score") * 2.0).alias("c0")
+    )
+    an = idx.search(["join", "table"], k=None, mode="and").select(
+        "doc_id", F.col("score").alias("c1")
+    )
+    orc = idx.search(["shuffle"], k=None, mode="or").select(
+        "doc_id", F.col("score").alias("c2")
+    )
+    j = base.join(ph, "doc_id", "left").join(an, "doc_id", "left").join(
+        orc, "doc_id", "left"
+    )
+    nm = sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0)
+        for c in ("c0", "c1", "c2")
+    )
+    tot = (
+        F.col("s") + F.coalesce("c0", F.lit(0.0))
+        + F.coalesce("c1", F.lit(0.0)) + F.coalesce("c2", F.lit(0.0))
+    )
+    exp = _pairs(
+        j.select("doc_id", tot.alias("score"), nm.alias("nm"))
+        .where(F.col("nm") >= 1)
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    assert got == exp and got
+    # phrase membership is positional: doc 6 has merge+hash NON-adjacent
+    # in phrase order, so its phrase clause must NOT fire
+    by_doc = dict(got)
+    base_d = dict(_pairs(idx.search(["spark"], k=None)))
+    if 6 in by_doc:
+        assert by_doc[6] == pytest.approx(base_d[6], abs=1e-9)
+
+    # ... and under a structured filter (composed + filtered base)
+    body_f = {
+        "query": {"bool": {
+            "must": [{"term": {"text": "spark"}}],
+            "should": [
+                {"match_phrase": {"text": "hash merge"}},
+            ],
+            "filter": [{"range": {"doc_id": {"lte": 4}}}],
+        }},
+        "size": None,
+    }
+    got_f = _pairs(search_dsl(idx, body_f, corpus=docs))
+    base_f = idx.search_filtered(
+        ["spark"], docs.where(F.col("doc_id") <= 4), k=None
+    ).select("doc_id", F.col("score").alias("s"))
+    ph1 = idx.search_phrase(["hash", "merge"], k=None).select(
+        "doc_id", F.col("score").alias("c0")
+    )
+    exp_f = _pairs(
+        base_f.join(ph1, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("s") + F.coalesce("c0", F.lit(0.0))).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    assert got_f == exp_f and got_f
