@@ -402,10 +402,7 @@ def compile_body(
             # must decides matching, each should clause ADDS its score
             # (engine.search_optional_should; minimum_should_match counts
             # matched should CLAUSES, the ES with-must semantics)
-            if spec.phrase is not None:
-                _err("match_phrase in must next to should clauses "
-                     "(optional-should composes term/match musts)")
-            if not spec.groups:
+            if not spec.groups and spec.phrase is None:
                 _err("optional-should (must+should) needs ≥ 1 scoring "
                      "must clause (structured-only musts: move them to "
                      "`filter` — filter+should alone is the should-only "
@@ -435,11 +432,15 @@ def compile_body(
                     terms_c = sorted({t for g in sub.groups for t in g})
                     w = sub.boosts.get(terms_c[0], 1.0)
                     descs.append(("and", terms_c, w))
-            if all(kind == "or" for kind, _, _ in descs):
-                # every clause is a flat OR sub-query: the fused
-                # single-scan kernel path
+            if spec.phrase is None and all(
+                kind == "or" for kind, _, _ in descs
+            ):
+                # every clause is a flat OR sub-query over a term/match
+                # must: the fused single-scan kernel path
                 spec.opt_should = [(ts, w) for _, ts, w in descs]
             else:
+                # phrase in must, or a clause needing its own kernel:
+                # composed execution (phrase base keeps adjacency exact)
                 spec.opt_composed = descs
             msm = body.get("minimum_should_match")
             if msm is not None:
@@ -738,7 +739,23 @@ def _run_opt_composed(idx, spec, k, *, filtered=None, id_col="doc_id"):
     from pyspark.sql import functions as F
 
     mn = sorted(set(spec.must_not_terms)) or None
-    if filtered is not None:
+    if spec.phrase is not None:
+        # phrase in must: base = the positional kernel (adjacency-exact),
+        # ANDed with any other scoring groups — search_phrase's contract
+        if filtered is not None:
+            base = idx.search_phrase_filtered(
+                spec.phrase, filtered, k=None, id_col=id_col,
+                groups=spec.groups or None,
+            )
+        else:
+            base = idx.search_phrase(
+                spec.phrase, k=None, groups=spec.groups or None
+            )
+            if mn:
+                # same index-assisted anti-join as the plain phrase path
+                ex = idx.search(mn, k=None, mode="or").select("doc_id")
+                base = base.join(ex, "doc_id", "left_anti")
+    elif filtered is not None:
         # must_not already folded into `filtered` by the caller
         base = idx.search_filtered(
             [], filtered, k=None, id_col=id_col, groups=spec.groups

@@ -661,9 +661,11 @@ def test_dsl_strictness(boost_index):
         ["spark"], [(["row"], 1.0)], k=None
     ).collect()
     assert got == exp
-    with pytest.raises(NotImplementedError, match="match_phrase in must"):
+    # phrase-in-must next to should composes too (session 12) — the one
+    # still-rejected shape is a boosted must term next to shoulds
+    with pytest.raises(NotImplementedError, match="boosted must"):
         search_dsl(idx, {"query": {"bool": {
-            "must": [{"match_phrase": {"text": "spark join"}}],
+            "must": [{"match": {"text": {"query": "spark", "boost": 2.0}}}],
             "should": [{"match": {"text": "row"}}],
         }}})
     with pytest.raises(NotImplementedError, match="non-analyzed"):

@@ -585,3 +585,79 @@ def test_dsl_opt_should_composed_clauses(spark, tmp_path_factory):
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
     assert got_f == exp_f and got_f
+
+
+def test_dsl_phrase_must_with_should(spark, tmp_path_factory):
+    """match_phrase in MUST next to should clauses: base = the positional
+    kernel (adjacency-exact), clauses LEFT-JOIN on — parity vs the
+    hand-built composition; must_not anti-join and the filtered variant
+    ride along."""
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    rows = [
+        (0, "spark join table row"),
+        (1, "join spark table shuffle"),
+        (2, "spark join spark join hash"),
+        (3, "table spark join merge"),
+        (4, "join table spark row"),
+        (5, "spark join jolt"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = str(tmp_path_factory.mktemp("optph"))
+    build_index(spark, docs, d, num_segments=2, num_chunks=1,
+                positions=True)
+    idx = InvertedIndex(spark, d)
+
+    body = {
+        "query": {"bool": {
+            "must": [{"match_phrase": {"text": "spark join"}}],
+            "should": [{"term": {"text": "table"}}],
+            "must_not": [{"term": {"text": "jolt"}}],
+        }},
+        "size": None,
+    }
+    got = _pairs(search_dsl(idx, body))
+    base = idx.search_phrase(["spark", "join"], k=None)
+    ex = idx.search(["jolt"], k=None).select("doc_id")
+    base = base.join(ex, "doc_id", "left_anti").select(
+        "doc_id", F.col("score").alias("s")
+    )
+    cl = idx.search(["table"], k=None, mode="or").select(
+        "doc_id", F.col("score").alias("c0")
+    )
+    exp = _pairs(
+        base.join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("s") + F.coalesce("c0", F.lit(0.0))).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    assert got == exp and got
+    # phrase matching stays adjacency-exact: doc 1 (join spark, reversed)
+    # and doc 4 (non-adjacent) never rank; doc 5 excluded by must_not
+    assert {d_ for d_, _ in got} == {0, 2, 3}
+
+    # filtered: phrase base restricted by the structured filter
+    body_f = {
+        "query": {"bool": {
+            "must": [{"match_phrase": {"text": "spark join"}}],
+            "should": [{"term": {"text": "table"}}],
+            "filter": [{"range": {"doc_id": {"lte": 2}}}],
+        }},
+        "size": None,
+    }
+    got_f = _pairs(search_dsl(idx, body_f, corpus=docs))
+    base_f = idx.search_phrase_filtered(
+        ["spark", "join"], docs.where(F.col("doc_id") <= 2), k=None
+    ).select("doc_id", F.col("score").alias("s"))
+    exp_f = _pairs(
+        base_f.join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("s") + F.coalesce("c0", F.lit(0.0))).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    assert got_f == exp_f and got_f
