@@ -407,11 +407,6 @@ def compile_body(
                      "must clause (structured-only musts: move them to "
                      "`filter` — filter+should alone is the should-only "
                      "path)")
-            if spec.boosts:
-                _err("boosted must terms next to should clauses — the "
-                     "optional-should kernel carries boosts per should "
-                     "clause (idf-folded must boosts would double-apply "
-                     "to terms shared across sides)")
             descs: list = []
             for c in should:
                 sub = _Spec()
@@ -432,15 +427,19 @@ def compile_body(
                     terms_c = sorted({t for g in sub.groups for t in g})
                     w = sub.boosts.get(terms_c[0], 1.0)
                     descs.append(("and", terms_c, w))
-            if spec.phrase is None and all(
-                kind == "or" for kind, _, _ in descs
+            if (
+                spec.phrase is None
+                and not spec.boosts
+                and all(kind == "or" for kind, _, _ in descs)
             ):
-                # every clause is a flat OR sub-query over a term/match
-                # must: the fused single-scan kernel path
+                # every clause is a flat OR sub-query over an unboosted
+                # term/match must: the fused single-scan kernel path
                 spec.opt_should = [(ts, w) for _, ts, w in descs]
             else:
-                # phrase in must, or a clause needing its own kernel:
-                # composed execution (phrase base keeps adjacency exact)
+                # phrase/boosts in must, or a clause needing its own
+                # kernel: composed execution — the base and clause frames
+                # score independently, so a must boost can never leak
+                # into a should clause's contribution for a shared term
                 spec.opt_composed = descs
             msm = body.get("minimum_should_match")
             if msm is not None:
@@ -739,17 +738,18 @@ def _run_opt_composed(idx, spec, k, *, filtered=None, id_col="doc_id"):
     from pyspark.sql import functions as F
 
     mn = sorted(set(spec.must_not_terms)) or None
+    wb = spec.boosts or None  # must-side boosts stay on the base kernel
     if spec.phrase is not None:
         # phrase in must: base = the positional kernel (adjacency-exact),
         # ANDed with any other scoring groups — search_phrase's contract
         if filtered is not None:
             base = idx.search_phrase_filtered(
                 spec.phrase, filtered, k=None, id_col=id_col,
-                groups=spec.groups or None,
+                groups=spec.groups or None, boosts=wb,
             )
         else:
             base = idx.search_phrase(
-                spec.phrase, k=None, groups=spec.groups or None
+                spec.phrase, k=None, groups=spec.groups or None, boosts=wb
             )
             if mn:
                 # same index-assisted anti-join as the plain phrase path
@@ -758,11 +758,13 @@ def _run_opt_composed(idx, spec, k, *, filtered=None, id_col="doc_id"):
     elif filtered is not None:
         # must_not already folded into `filtered` by the caller
         base = idx.search_filtered(
-            [], filtered, k=None, id_col=id_col, groups=spec.groups
+            [], filtered, k=None, id_col=id_col, groups=spec.groups,
+            boosts=wb,
         )
     else:
         base = idx.search(
-            [], k=None, mode="and", groups=spec.groups, must_not=mn
+            [], k=None, mode="and", groups=spec.groups, must_not=mn,
+            boosts=wb,
         )
     base = base.select("doc_id", F.col("score").alias("__s"))
     nm = F.lit(0)

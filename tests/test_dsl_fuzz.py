@@ -107,7 +107,12 @@ def _naive(docs, groups, boosts, must_not, msm=None, allowed=None,
             )
             if n_cl < opt_msm:
                 continue
-            s = sum(_w(d, t) for t in must_terms if t in tfs[d])
+            # `boosts` = MUST-side boosts only: the composed path keeps
+            # them on the base kernel, never on a clause's contribution
+            s = sum(
+                boosts.get(t, 1.0) * _w(d, t)
+                for t in must_terms if t in tfs[d]
+            )
             for ts, w in opt_clauses:
                 s += w * sum(_w(d, t) for t in sorted(set(ts))
                              if t in tfs[d])
@@ -326,26 +331,35 @@ def test_dsl_fuzz_should_pure_or_semantics(fuzz_index):
 
 
 def _gen_opt_body(rng: random.Random):
-    """(body, groups, opt_clauses, opt_msm, must_not, gte) — a bool with
-    BOTH must and should (+ optional filter / must_not / msm), plus the
-    published semantics it should compile to."""
-    # must: 1-2 scoring clauses
+    """(body, groups, must_boosts, opt_clauses, opt_msm, must_not, gte) —
+    a bool with BOTH must and should (+ optional filter / must_not / msm /
+    must-side boosts, which force the composed path), plus the published
+    semantics it should compile to."""
+    # must: 1-2 scoring clauses, sometimes boosted (composed-path arm)
     groups, must_clauses = [], []
+    must_boosts: dict = {}
     for _ in range(rng.randint(1, 2)):
+        mw = 2.0 if rng.random() < 0.3 else 1.0
         if rng.random() < 0.5:
             t = rng.choice(VOCAB)
-            must_clauses.append({"term": {"text": t}})
+            cfg = {"value": t, "boost": mw} if mw != 1.0 else t
+            must_clauses.append({"term": {"text": cfg}})
             groups.append([t])
+            if mw != 1.0:
+                must_boosts[t] = mw
         else:
             txt = " ".join(rng.choices(VOCAB, k=rng.randint(1, 2)))
             op = rng.choice(["or", "and"])
-            must_clauses.append(
-                {"match": {"text": {"query": txt, "operator": op}}}
-            )
+            mcfg: dict = {"query": txt, "operator": op}
+            if mw != 1.0:
+                mcfg["boost"] = mw
+            must_clauses.append({"match": {"text": mcfg}})
             toks = tokenize(txt)
             groups += (
                 [[t] for t in toks] if op == "and" else [sorted(set(toks))]
             )
+            if mw != 1.0:
+                must_boosts.update({t: mw for t in toks})
     # should: 1-3 optional clauses, each a term or an OR match, some boosted
     opt_clauses, should_clauses = [], []
     for _ in range(rng.randint(1, 3)):
@@ -378,24 +392,23 @@ def _gen_opt_body(rng: random.Random):
         bool_body["filter"] = [{"range": {"val": {"gte": gte}}}]
     return (
         {"query": {"bool": bool_body}, "size": None},
-        groups, opt_clauses, opt_msm, must_not, gte,
+        groups, must_boosts, opt_clauses, opt_msm, must_not, gte,
     )
 
 
 def test_dsl_fuzz_opt_should_against_naive(fuzz_index):
     idx, docs, vals, corpus = fuzz_index
     rng = random.Random(1212)
-    n_checked, n_filtered, n_msm, n_boosted = 0, 0, 0, 0
+    n_checked, n_filtered, n_msm, n_boosted, n_mboost = 0, 0, 0, 0, 0
     for trial in range(25):
-        body, groups, opt_clauses, opt_msm, must_not, gte = _gen_opt_body(
-            rng
-        )
+        (body, groups, must_boosts, opt_clauses, opt_msm, must_not,
+         gte) = _gen_opt_body(rng)
         allowed = (
             {d for d, v in vals.items() if v >= gte}
             if gte is not None else None
         )
         exp = _naive(
-            docs, groups, {}, must_not, allowed=allowed,
+            docs, groups, must_boosts, must_not, allowed=allowed,
             opt_clauses=opt_clauses, opt_msm=opt_msm,
         )
         got = [
@@ -413,6 +426,8 @@ def test_dsl_fuzz_opt_should_against_naive(fuzz_index):
         n_filtered += gte is not None
         n_msm += opt_msm > 0
         n_boosted += any(w != 1.0 for _, w in opt_clauses)
+        n_mboost += bool(must_boosts)
     assert n_checked == 25
-    # every composition axis fired
-    assert n_filtered >= 3 and n_msm >= 3 and n_boosted >= 3
+    # every composition axis fired (must boosts = the composed path)
+    assert (n_filtered >= 3 and n_msm >= 3 and n_boosted >= 3
+            and n_mboost >= 3)

@@ -661,13 +661,28 @@ def test_dsl_strictness(boost_index):
         ["spark"], [(["row"], 1.0)], k=None
     ).collect()
     assert got == exp
-    # phrase-in-must next to should composes too (session 12) — the one
-    # still-rejected shape is a boosted must term next to shoulds
-    with pytest.raises(NotImplementedError, match="boosted must"):
-        search_dsl(idx, {"query": {"bool": {
-            "must": [{"match": {"text": {"query": "spark", "boost": 2.0}}}],
-            "should": [{"match": {"text": "row"}}],
-        }}})
+    # every must+should shape now routes (session 12): boosted musts take
+    # the composed path, where base and clause frames score independently
+    got_b = search_dsl(idx, {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark", "boost": 2.0}}}],
+        "should": [{"match": {"text": "row"}}],
+    }}, "size": None}).collect()
+    import pyspark.sql.functions as SF
+
+    base_b = idx.search(["spark"], k=None, boosts={"spark": 2.0}).select(
+        "doc_id", SF.col("score").alias("s")
+    )
+    cl_b = idx.search(["row"], k=None, mode="or").select(
+        "doc_id", SF.col("score").alias("c")
+    )
+    exp_b = (
+        base_b.join(cl_b, "doc_id", "left")
+        .select("doc_id",
+                (SF.col("s") + SF.coalesce("c", SF.lit(0.0))).alias("score"))
+        .orderBy(SF.col("score").desc(), SF.col("doc_id").asc())
+        .collect()
+    )
+    assert got_b == exp_b and got_b
     with pytest.raises(NotImplementedError, match="non-analyzed"):
         search_dsl(idx, {"query": {"match": {"doc_id": "3"}}})
     with pytest.raises(ValueError, match="need corpus"):

@@ -268,22 +268,45 @@ def test_dsl_opt_should_strictness(opt_index):
     # sub-query semantics — the composed path runs the clause's own AND
     # kernel and LEFT-JOINs it on (session-12 follow-up; parity below in
     # test_dsl_opt_should_composed_clauses)
-    # boosted must terms next to should: idf-folded boosts would
-    # double-apply to shared terms — loud
-    with pytest.raises(NotImplementedError):
-        search_dsl(
-            idx,
-            {
-                "query": {
-                    "bool": {
-                        "must": {
-                            "match": {"text": {"query": "spark", "boost": 2.0}}
-                        },
-                        "should": [{"term": {"text": "join"}}],
-                    }
+    # boosted must terms next to should: the composed path keeps the
+    # boost on the base kernel only — a must boost can never leak into
+    # a should clause's contribution, even for a SHARED term
+    got = _pairs(search_dsl(
+        idx,
+        {
+            "query": {
+                "bool": {
+                    "must": {
+                        "match": {"text": {"query": "spark", "boost": 2.0}}
+                    },
+                    # the shared term `spark` in the should: its clause
+                    # contribution must be UNBOOSTED
+                    "should": [{"term": {"text": "spark"}},
+                               {"term": {"text": "join"}}],
                 }
             },
+            "size": None,
+        },
+    ))
+    base = idx.search(["spark"], k=None, boosts={"spark": 2.0}).select(
+        "doc_id", F.col("score").alias("s")
+    )
+    c0 = idx.search(["spark"], k=None, mode="or").select(
+        "doc_id", F.col("score").alias("c0")
+    )
+    c1 = idx.search(["join"], k=None, mode="or").select(
+        "doc_id", F.col("score").alias("c1")
+    )
+    exp = _pairs(
+        base.join(c0, "doc_id", "left").join(c1, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("s") + F.coalesce("c0", F.lit(0.0))
+             + F.coalesce("c1", F.lit(0.0))).alias("score"),
         )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    assert got == exp and got
 
 
 # -- optional-should under a structured filter ---------------------------------
