@@ -24,15 +24,21 @@ anything else raises with guidance, the repo's strict-surface rule):
     dis_max               {"queries": [<match-like>...], "tie_breaker"}
     bool                  must / filter / must_not / should (+
                           minimum_should_match); should-only composes as
-                          a pure OR; must + should = optional-clause
-                          scoring (engine.search_optional_should — must
+                          a pure OR (next to a filter the ES DEFAULT msm
+                          is 0 — filter-only docs rank at score 0);
+                          must + should = optional-clause scoring — must
                           decides matching, each should clause ADDS its
-                          weighted BM25 sum, msm counts clauses; composes
-                          with `filter` via search_filtered's opt path);
-                          a should consisting of ONE rank_feature /
-                          distance_feature clause over one must clause
-                          delegates to the feature-booster kernels
-                          (exactly their semantics)
+                          weighted BM25 sum, msm counts clauses; flat-OR
+                          clauses over unboosted musts take the fused
+                          single-scan kernel (search_optional_should,
+                          also via search_filtered / search_local /
+                          msearch), phrase / operator=and / boosted-must
+                          shapes take the composed path (each clause's
+                          own kernel LEFT-JOINed on). NO must+should
+                          shape is rejected. A should of ONE
+                          rank_feature / distance_feature clause over
+                          one must delegates to the feature-booster
+                          kernels (exactly their semantics)
 
 Delegating top-level forms (each compiles onto its own oracle-pinned
 kernel, so rank semantics are inherited):
