@@ -51,6 +51,8 @@ class ShardedIndex:
         k: int | None = 10,
         mode: str = "and",
         boosts: list[float] | None = None,
+        opt_should: "list[tuple[list[str], float]] | None" = None,
+        opt_msm: int = 0,
     ) -> list[tuple[int, float]]:
         """Coordinating-node search: global idfs -> per-shard kernel scoring
         -> k-way merge with the canonical (score DESC, doc_id ASC) order.
@@ -58,19 +60,39 @@ class ShardedIndex:
         `boosts` is ES `indices_boost`: one multiplier per shard applied
         to that shard's scores BEFORE the global merge. The multiplier is
         monotone within a shard, so the per-shard top-k cut is unchanged
-        and the boost composes exactly with block-max pruning."""
+        and the boost composes exactly with block-max pruning.
+
+        `opt_should` / `opt_msm`: the bool must+should optional-clause
+        composition — same kernel as search_optional_should with GLOBAL
+        (idfs, avgdl) substituted, so sharded results stay rank-identical
+        to the monolithic index (tested). Clause membership is a per-doc
+        property and shards are doc-disjoint, so per-shard counting IS
+        global counting."""
         if boosts is not None and len(boosts) != len(self.shards):
             raise ValueError("indices_boost needs one multiplier per shard")
+        if opt_should is not None and mode != "and":
+            raise ValueError("opt_should composes with must (mode='and')")
         terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
         if not terms:
             return []
-        dfs = self.term_stats(terms)
-        if mode == "and" and len(dfs) != len(terms):
+        clauses = [
+            (sorted(set(ts)), float(w)) for ts, w in (opt_should or [])
+            if ts
+        ]
+        opt_terms = sorted({t for ts, _ in clauses for t in ts} - set(terms))
+        dfs = self.term_stats(sorted(set(terms) | set(opt_terms)))
+        if mode == "and" and any(t not in dfs for t in terms):
             return []
-        idfs = {t: idf(self.n_docs, dfs.get(t, 0)) for t in terms}
+        idfs = {
+            t: idf(self.n_docs, dfs.get(t, 0))
+            for t in sorted(set(terms) | set(opt_terms))
+        }
         allhits: list[tuple[int, float]] = []
         for i, s in enumerate(self.shards):
-            hits = self._shard_local(s, terms, idfs, k, mode)
+            hits = self._shard_local(
+                s, terms, idfs, k, mode,
+                clauses if opt_should is not None else None, opt_msm,
+            )
             if boosts is not None:
                 b = float(boosts[i])
                 hits = [(d, sc * b) for d, sc in hits]
@@ -78,7 +100,8 @@ class ShardedIndex:
         allhits.sort(key=lambda ds: (-ds[1], ds[0]))
         return allhits[:k] if k is not None else allhits
 
-    def _shard_local(self, shard, terms, idfs, k, mode):
+    def _shard_local(self, shard, terms, idfs, k, mode,
+                     opt_clauses=None, opt_msm: int = 0):
         """search_local's kernel loop with GLOBAL (idfs, avgdl) substituted."""
         from pyspark.sql import functions as SF
 
@@ -88,15 +111,25 @@ class ShardedIndex:
             restrict,
             topk_conjunctive,
             topk_disjunctive_pruned,
+            topk_optional_should,
         )
 
-        rows = shard.segments.where(SF.col("term").isin(terms)).collect()
+        fetch = sorted(
+            set(terms) | {t for ts, _ in (opt_clauses or []) for t in ts}
+        )
+        rows = shard.segments.where(SF.col("term").isin(fetch)).collect()
         by_seg: dict[int, dict] = {}
         for r in rows:
             by_seg.setdefault(r["seg_id"], {})[r["term"]] = TermPostings(r)
         out: list[tuple[int, float]] = []
         for postings in by_seg.values():
-            if mode == "and":
+            if opt_clauses is not None:
+                d, s = topk_optional_should(
+                    [[t] for t in terms], opt_clauses, postings, idfs,
+                    self.avgdl, self.k1, self.b, k, shard.tombstones,
+                    None, opt_msm,
+                )
+            elif mode == "and":
                 d, s = topk_conjunctive(
                     terms, postings, idfs, self.avgdl, self.k1, self.b, k,
                     shard.tombstones,

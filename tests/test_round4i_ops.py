@@ -684,3 +684,56 @@ def test_dsl_phrase_must_with_should(spark, tmp_path_factory):
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
     assert got_f == exp_f and got_f
+
+
+def test_opt_should_sharded_rank_identity(spark, tmp_path_factory):
+    """Sharded vs monolithic rank identity extends to optional-should:
+    global (idfs, avgdl) substituted into the same kernel per shard,
+    doc-disjoint shards make per-shard clause counting global."""
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+    from elasticsearch_assets_spark.query.sharded import ShardedIndex
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "spark join table",
+                "spark hash merge join",
+                "table hash spark",
+                "join join spark table hash",
+                "merge spark join",
+                "spark table",
+                "spark join merge table",
+                "hash merge spark",
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    mono_d = str(tmp_path_factory.mktemp("optmono"))
+    build_index(spark, docs, mono_d, num_segments=2, num_chunks=1)
+    mono = InvertedIndex(spark, mono_d)
+    shard_dirs = []
+    for sh in (0, 1):
+        d = str(tmp_path_factory.mktemp(f"optsh{sh}"))
+        build_index(
+            spark, docs.where(F.col("doc_id") % 2 == sh), d,
+            num_segments=1, num_chunks=1,
+        )
+        shard_dirs.append(d)
+    sharded = ShardedIndex(spark, shard_dirs)
+
+    clauses = [(["table"], 1.5), (["hash", "merge"], 1.0)]
+    for msm in (0, 1, 2):
+        exp = _pairs(
+            mono.search_optional_should(
+                ["spark"], clauses, k=None, minimum_should_match=msm
+            )
+        )
+        got = [
+            (d, round(s, 9))
+            for d, s in sharded.search_local(
+                ["spark"], k=None, opt_should=clauses, opt_msm=msm
+            )
+        ]
+        assert got == exp, f"msm={msm}"
