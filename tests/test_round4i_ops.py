@@ -784,3 +784,24 @@ def test_opt_should_routed_and_kwargs_guard(spark, tmp_path_factory):
     # unknown kwargs under routing raise instead of silently dropping
     with pytest.raises(TypeError, match="unsupported kwargs"):
         ridx.search_local(["spark"], k=5, routing="u1", boosts=[1.0, 2.0])
+
+
+def test_semantic_engines_bit_identical(spark):
+    """The mapInPandas batch embedder (md5 per UNIQUE token per batch, np
+    scatter-add) and the pure-SQL fold produce bit-identical results:
+    integer dims are exact under any evaluation order."""
+    from elasticsearch_assets_spark.operators.semantic import semantic_topk
+
+    rows = [
+        (0, "spark join table row"),
+        (1, "alpha beta gamma spark spark"),
+        (2, ""),
+        (3, "join merge hash table index query"),
+        (4, "spark"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for q in ("spark join", "table row hash"):
+        a = semantic_topk(docs, q, k=None if False else 10,
+                          engine="pandas").collect()
+        b = semantic_topk(docs, q, k=10, engine="sql").collect()
+        assert a == b, q
