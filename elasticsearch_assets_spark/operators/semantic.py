@@ -114,7 +114,12 @@ def _dot_norm_pandas(dim: int, qvec: list[int], id_col: str):
             if n == 0:
                 continue
             toks = pdf["_toks"]
-            lens = np.fromiter((len(t) for t in toks), np.int64, count=n)
+            # NULL text rows arrive as None: embed to the zero vector,
+            # dropped downstream by `_nd > 0` — same as the SQL path
+            lens = np.fromiter(
+                (0 if t is None else len(t) for t in toks),
+                np.int64, count=n,
+            )
             if int(lens.sum()) == 0:
                 yield pd.DataFrame(
                     {
@@ -124,7 +129,10 @@ def _dot_norm_pandas(dim: int, qvec: list[int], id_col: str):
                     }
                 )
                 continue
-            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks
+                 if t is not None and len(t)]
+            )
             uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
             uj = np.empty(len(uniq), np.int64)
             uv = np.empty(len(uniq), np.int64)
@@ -169,6 +177,10 @@ def semantic_topk(
     occurrence). `engine="sql"` keeps the zero-Python column-expression
     chain; integer dims make the two bit-identical (tested) — the
     contract-row oracle covers both by construction."""
+    if engine not in ("pandas", "sql"):
+        raise ValueError(
+            f"engine must be 'pandas' or 'sql', got {engine!r}"
+        )
     qvec = embed_local(query_text, dim)
     nq = sum(v * v for v in qvec)
     if nq == 0:

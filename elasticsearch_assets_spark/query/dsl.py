@@ -377,6 +377,8 @@ def compile_body(
         if isinstance(must, dict):
             must = [must]
         should = body.get("should", [])
+        if isinstance(should, dict):
+            should = [should]
         filters = body.get("filter", [])
         if isinstance(filters, dict):
             filters = [filters]
@@ -425,6 +427,12 @@ def compile_body(
                     descs.append(("phrase", sub.phrase, w))
                 elif len(sub.groups) == 1:
                     terms_c = sub.groups[0]
+                    if not terms_c:
+                        # an empty rewrite (prefix/wildcard/fuzzy matching
+                        # no dictionary term, or terms: []) can never
+                        # match — the clause contributes nothing and never
+                        # counts toward minimum_should_match (ES shape)
+                        continue
                     w = sub.boosts.get(terms_c[0], 1.0)
                     descs.append(("or", terms_c, w))
                 else:
@@ -468,7 +476,19 @@ def compile_body(
                     flat.extend(g)
                 spec.boosts.update(sub.boosts)
             msm = body.get("minimum_should_match")
-            if msm is not None:
+            if msm is not None and int(msm) == 0:
+                # explicit 0 ≡ the omitted-key default next to a filter
+                # (ES defines the with-filter default as exactly 0);
+                # without a filter it would match EVERY doc at score 0 —
+                # that needs the corpus, spell it match_all
+                if not filters:
+                    _err(
+                        "minimum_should_match: 0 on a should-only bool "
+                        "matches every doc — compose match_all with the "
+                        "scored shoulds instead"
+                    )
+                spec.zero_should = True
+            elif msm is not None:
                 if not all_single:
                     _err(
                         "minimum_should_match with multi-term should "

@@ -625,16 +625,7 @@ class InvertedIndex:
         for postings in by_seg.values():
             excl = self.tombstones
             if not_terms:  # same per-segment exclusion as _score_segment
-                hits = [postings[t].doc_ids for t in not_terms if t in postings]
-                if hits:
-                    seg_excl = (
-                        hits[0] if len(hits) == 1
-                        else np.unique(np.concatenate(hits))
-                    )
-                    excl = (
-                        seg_excl if excl is None or excl.size == 0
-                        else np.union1d(excl, seg_excl)
-                    )
+                excl = _merge_not_excluded(postings, not_terms, excl)
             if opt_should is not None:
                 d, s = topk_optional_should(
                     must_groups, clauses, postings, idfs, meta.avgdl,

@@ -139,6 +139,10 @@ class RoutedIndex(ShardedIndex):
 
         opt_should = kwargs.pop("opt_should", None)
         opt_msm = int(kwargs.pop("opt_msm", 0))
+        if opt_should is not None and mode != "and":
+            # same contract as the unrouted path — never silently run an
+            # OR must with AND semantics
+            raise ValueError("opt_should composes with must (mode='and')")
         if kwargs:
             # loud, not a silent no-op: a dropped knob under routing
             # would silently change ranking semantics

@@ -805,3 +805,82 @@ def test_semantic_engines_bit_identical(spark):
                           engine="pandas").collect()
         b = semantic_topk(docs, q, k=10, engine="sql").collect()
         assert a == b, q
+
+
+def test_opt_should_review_fixes(opt_index, spark):
+    """Session-12 review regressions: empty-rewrite should clauses, a
+    single-object should, explicit minimum_should_match: 0 under a
+    filter, NULL text under the pandas semantic engine, unknown engine
+    strings, and the routed mode guard."""
+    from elasticsearch_assets_spark.operators.semantic import semantic_topk
+
+    idx, docs = opt_index
+    # a should clause whose rewrite matches nothing contributes nothing
+    # (no IndexError), and never counts toward msm
+    body = {"query": {"bool": {
+        "must": [{"term": {"text": "spark"}}],
+        "should": [{"prefix": {"text": {"value": "zzzzzz"}}},
+                   {"term": {"text": "table"}}],
+        "minimum_should_match": 1,
+    }}, "size": None}
+    got = _pairs(search_dsl(idx, body))
+    exp = _pairs(
+        idx.search_optional_should(
+            ["spark"], [(["table"], 1.0)], k=None, minimum_should_match=1
+        )
+    )
+    assert got == exp and got
+    # single-object (non-list) should — legal ES spelling
+    one = _pairs(search_dsl(idx, {"query": {"bool": {
+        "must": [{"term": {"text": "spark"}}],
+        "should": {"term": {"text": "table"}},
+    }}, "size": None}))
+    assert one == _pairs(
+        idx.search_optional_should(["spark"], [(["table"], 1.0)], k=None)
+    )
+    # explicit minimum_should_match: 0 ≡ the omitted-key default next to
+    # a filter (both union the zero-score filter survivors)
+    fbody = {"query": {"bool": {
+        "should": [{"term": {"text": "dup" if False else "table"}}],
+        "filter": [{"range": {"doc_id": {"lte": 5}}}],
+    }}, "size": None}
+    implicit = _pairs(search_dsl(idx, fbody, corpus=docs))
+    fbody["query"]["bool"]["minimum_should_match"] = 0
+    explicit = _pairs(search_dsl(idx, fbody, corpus=docs))
+    assert implicit == explicit
+    # ... but msm: 0 with no filter is loud (would match every doc)
+    with pytest.raises(NotImplementedError, match="match_all"):
+        search_dsl(idx, {"query": {"bool": {
+            "should": [{"term": {"text": "table"}}],
+            "minimum_should_match": 0,
+        }}})
+    # NULL text rows: the pandas engine drops them like the SQL path
+    ndocs = spark.createDataFrame(
+        [(0, "spark join"), (1, None), (2, "table spark")],
+        "doc_id long, text string",
+    )
+    a = semantic_topk(ndocs, "spark", k=10, engine="pandas").collect()
+    b = semantic_topk(ndocs, "spark", k=10, engine="sql").collect()
+    assert a == b and 1 not in {r["doc_id"] for r in a}
+    # unknown engine strings are loud
+    with pytest.raises(ValueError, match="engine"):
+        semantic_topk(ndocs, "spark", engine="arrow")
+
+
+def test_routed_opt_should_mode_guard(spark, tmp_path_factory):
+    from elasticsearch_assets_spark.query.routing import (
+        RoutedIndex,
+        build_routed_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark join", "u0"), (1, "table spark", "u1")],
+        ["doc_id", "text", "user"],
+    )
+    base = str(tmp_path_factory.mktemp("optrg"))
+    build_routed_shards(spark, docs, base, n_shards=2, routing_col="user")
+    ridx = RoutedIndex(spark, base)
+    # same contract routed or not: opt_should is must semantics
+    with pytest.raises(ValueError, match="mode='and'"):
+        ridx.search_local(["spark"], k=5, mode="or", routing="u1",
+                          opt_should=[(["table"], 1.0)])
