@@ -892,6 +892,71 @@ FROM documents
 """
 
 
+def _dsir_features_pandas(n_buckets: int, id_col: str):
+    """mapInPandas batch kernel: (id, _t, _toks) -> (id, _t, b, c) per-doc
+    bucket COUNTS. md5 runs once per UNIQUE feature (unigram or bigram)
+    per Arrow batch — the semantic.py batch-embedder shape — and every
+    per-occurrence step is a vectorized np pass (repeat / char.add /
+    unique), no per-row Python over tokens. Bucket ids are bit-identical
+    to the SQL path's hash60 % n_buckets (int(md5[:15],16) over the same
+    UTF-8 bytes); emitting counts matches the DuckDB oracle's own `db`
+    CTE, so the grouped sum(c*r) downstream mirrors the oracle more
+    closely than the per-occurrence SQL fold does."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            toks = pdf["_toks"]
+            lens = np.fromiter(
+                (0 if t is None else len(t) for t in toks),
+                np.int64, count=n,
+            )
+            total = int(lens.sum())
+            if total == 0:
+                # zero-feature docs drop: no evidence, no weight
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks
+                 if t is not None and len(t)]
+            ).astype("U")
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            if total >= 2:
+                same = rows[:-1] == rows[1:]
+                big = np.char.add(
+                    np.char.add(flat[:-1][same], " "), flat[1:][same]
+                )
+                brow = rows[:-1][same]
+            else:
+                big = np.empty(0, dtype=flat.dtype)
+                brow = np.empty(0, dtype=np.int64)
+            feats = np.concatenate([flat, big])
+            frow = np.concatenate([rows, brow])
+            uniq, inv = np.unique(feats, return_inverse=True)
+            ub = np.empty(len(uniq), np.int64)
+            for i, u in enumerate(uniq):
+                d = hashlib.md5(u.encode()).hexdigest()
+                ub[i] = int(d[:15], 16) % n_buckets
+            key = frow * np.int64(n_buckets) + ub[inv]
+            ukey, cnt = np.unique(key, return_counts=True)
+            orow = ukey // n_buckets
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[orow],
+                    "_t": pdf["_t"].to_numpy()[orow],
+                    "b": ukey % n_buckets,
+                    "c": cnt.astype(np.int64),
+                }
+            )
+
+    return fn
+
+
 def dsir_importance(
     df: DataFrame,
     target_col: str,
@@ -901,6 +966,7 @@ def dsir_importance(
     id_col: str = "doc_id",
     feature_hash: str = "md5",
     persist_features: bool = True,
+    engine: str | None = None,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023, "Data Selection for Language Models via
     Importance Resampling") log importance weights over hashed n-gram
@@ -911,8 +977,8 @@ def dsir_importance(
         log w(x) = sum_b c_b(x) * [ln p_b - ln q_b],
         p_b = (cnt_target(b) + lam) / (T + lam*B)   (q_b likewise over all)
 
-    Plan: ONE tokenize+hash+explode scan produces the (doc, target,
-    bucket) occurrence frame, persisted MEMORY_AND_DISK
+    Plan: ONE tokenize+hash scan produces the (doc, target, bucket,
+    count) feature frame, persisted MEMORY_AND_DISK
     (`persist_features`, default on — it feeds both phases of the
     classically two-pass DSIR recipe; measured ~2x over recomputing the
     scan per phase, and a localCheckpoint variant measured SLOWER than
@@ -935,6 +1001,17 @@ def dsir_importance(
     texthash.hash60; "xxhash64" is the production swap — same plan,
     measurably less hash CPU, NOT cross-engine portable.
 
+    `engine`: None (default) auto-selects — "pandas" for md5, "sql" for
+    xxhash64. "pandas" computes the feature frame with the vectorized
+    mapInPandas batch kernel (_dsir_features_pandas): md5 once per UNIQUE
+    feature per Arrow batch + per-doc bucket counts emitted directly, so
+    the persisted frame, both shuffles, and the broadcast join all carry
+    <= distinct (doc, bucket) rows instead of per-occurrence rows.
+    "sql" keeps the zero-Python explode chain. Bucket ids and counts are
+    bit-identical across engines (tested); logw sums agree to FP
+    round-off (both are well inside the contract's 1e-4 protocol, and
+    the grouped sum(c*r) is exactly the DuckDB oracle's own shape).
+
     Returns (id, n_feats, logw). Select by ordering on logw (the paper's
     Gumbel top-k adds sampling noise; deterministic top-k is the
     reproducible variant, noted in the docstring of the contract row)."""
@@ -942,6 +1019,15 @@ def dsir_importance(
         raise ValueError("n_buckets must be >= 2")
     if feature_hash not in ("md5", "xxhash64"):
         raise ValueError(f"feature_hash must be md5 | xxhash64, got {feature_hash!r}")
+    if engine is None:
+        engine = "pandas" if feature_hash == "md5" else "sql"
+    if engine not in ("pandas", "sql"):
+        raise ValueError(f"engine must be pandas | sql, got {engine!r}")
+    if engine == "pandas" and feature_hash != "md5":
+        raise ValueError(
+            "engine='pandas' implements the md5 hash60 contract only; "
+            "use engine='sql' with feature_hash='xxhash64'"
+        )
     from elasticsearch_assets_spark.operators.texthash import (
         hash60_expr,
         shingles_expr,
@@ -956,25 +1042,34 @@ def dsir_importance(
         F.col(target_col).cast("boolean").alias("_t"),
         tokens_expr(text_col).alias("_toks"),
     )
-    toks = F.col("_toks")
-    feats = F.concat(toks, shingles_expr(toks, 2))
-    hfn = (
-        (lambda c: hash60_expr(c) % n_buckets)
-        if feature_hash == "md5"
-        else (lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets)))
-    )
-    exploded = staged.select(
-        F.col(id_col), F.col("_t"), F.explode(feats).alias("_f")
-    ).select(
-        id_col, "_t", hfn(F.col("_f")).alias("b")
-    )
+    if engine == "pandas":
+        occ = staged.mapInPandas(
+            _dsir_features_pandas(n_buckets, id_col),
+            schema=f"{id_col} long, _t boolean, b long, c long",
+        )
+    else:
+        toks = F.col("_toks")
+        feats = F.concat(toks, shingles_expr(toks, 2))
+        hfn = (
+            (lambda c: hash60_expr(c) % n_buckets)
+            if feature_hash == "md5"
+            else (lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets)))
+        )
+        occ = staged.select(
+            F.col(id_col), F.col("_t"), F.explode(feats).alias("_f")
+        ).select(
+            id_col, "_t", hfn(F.col("_f")).alias("b"),
+            F.lit(1).cast("long").alias("c"),
+        )
     if persist_features:
         from pyspark import StorageLevel
 
-        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
-    dist = exploded.groupBy("b").agg(
-        F.count(F.lit(1)).cast("double").alias("q"),
-        F.sum(F.when(F.col("_t"), F.lit(1.0)).otherwise(F.lit(0.0))).alias("p"),
+        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+    dist = occ.groupBy("b").agg(
+        F.sum("c").cast("double").alias("q"),
+        F.sum(F.when(F.col("_t"), F.col("c")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("p"),
     )
     tot = dist.agg(F.sum("q").alias("tq"), F.sum("p").alias("tp"))
     lamb = float(lam)
@@ -986,11 +1081,11 @@ def dsir_importance(
         ).alias("r"),
     )
     return (
-        exploded.join(F.broadcast(ratio), "b")
+        occ.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.sum("r").alias("logw"),
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("r")).alias("logw"),
         )
     )
 

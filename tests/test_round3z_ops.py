@@ -186,6 +186,64 @@ def test_dsir_plan_knobs_value_identical(docs):
     assert all(xx[d] == base[d][0] for d in base)
 
 
+def test_dsir_engines_identical(docs):
+    """pandas batch kernel == SQL explode chain: n_feats exactly equal,
+    logw to FP round-off (the pandas path groups (doc,bucket) counts —
+    the oracle's own shape — so only summation grouping differs)."""
+    pd_res = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in T.dsir_importance(
+            docs, "is_tgt", n_buckets=64, engine="pandas"
+        ).collect()
+    }
+    sql_res = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in T.dsir_importance(
+            docs, "is_tgt", n_buckets=64, engine="sql"
+        ).collect()
+    }
+    assert set(pd_res) == set(sql_res)
+    for d, (n, w) in sql_res.items():
+        assert pd_res[d][0] == n
+        assert pd_res[d][1] == pytest.approx(w, rel=1e-12)
+    # invalid combinations are loud
+    with pytest.raises(ValueError):
+        T.dsir_importance(docs, "is_tgt", engine="arrow")
+    with pytest.raises(ValueError):
+        T.dsir_importance(
+            docs, "is_tgt", feature_hash="xxhash64", engine="pandas"
+        )
+
+
+def test_dsir_pandas_null_target_and_unicode(spark):
+    """NULL target counts as non-target (both engines); non-ASCII
+    features hash identically through the Python md5 and hash60_expr."""
+    rows = [
+        (1, "héllo wörld héllo", True),
+        (2, "héllo naïve café", None),
+        (3, "wörld café zebra", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, is_tgt boolean"
+    )
+    a = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in T.dsir_importance(
+            df, "is_tgt", n_buckets=32, engine="pandas"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in T.dsir_importance(
+            df, "is_tgt", n_buckets=32, engine="sql"
+        ).collect()
+    }
+    assert set(a) == {1, 2, 3} and set(b) == {1, 2, 3}
+    for d, (n, w) in b.items():
+        assert a[d][0] == n
+        assert a[d][1] == pytest.approx(w, rel=1e-12)
+
+
 # --- CCNet buckets -------------------------------------------------------
 
 def test_ccnet_exact_thirds(docs):
