@@ -6022,6 +6022,90 @@ GROUP BY tf.doc_id
 """
 
 
+def _sparse_rescore_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.13 weighted_tokens / sparse_vector `only_score_pruned_tokens`
+    (the rescore contract): the SAME pruning rule as sparse_vector_pruned
+    drops 'the' — this pass scores ONLY the dropped token, the complement
+    a rescore block adds back onto the pruned main query. kept-set scores
+    + this frame == the unpruned scores per doc (unit-tested identity).
+    Reached through the DSL weighted_tokens body (pruning_config)."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    body = {
+        "query": {"weighted_tokens": {"text": {
+            "tokens": dict(_SPARSE_PRUNE_W),
+            "pruning_config": {
+                "tokens_freq_ratio_threshold": 1.2,
+                "only_score_pruned_tokens": True,
+            },
+        }}},
+        "size": None,
+    }
+    out = search_dsl(idx, body)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _sparse_rescore_pruned_sql() -> str:
+    dropped = {"the": _SPARSE_PRUNE_W["the"]}
+    tlist = ", ".join(f"'{t}'" for t in sorted(dropped))
+    qw = " ".join(f"WHEN '{t}' THEN {w}" for t, w in sorted(dropped.items()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( (CASE tf.term {qw} END)
+                  * tf.tf * ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) ), 4) AS score
+FROM n, tf JOIN df USING (term)
+GROUP BY tf.doc_id
+"""
+
+
+def _dsl_script_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search body's `script_fields` section: computed hit columns in
+    the engine's ONE script dialect (Spark SQL — the ingest `script` /
+    script_score boundary), evaluated on the k surviving rows after the
+    broadcast hit-list join, never on the full stored scan."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    body = {
+        "query": {"match": {"text": "spark table"}},
+        "script_fields": {
+            "twice_chars": {"script": {"source": "n_chars * 2"}},
+            "loud_lang": {"script": "upper(lang)"},
+        },
+        "size": 10,
+    }
+    res = search_dsl(idx, body, docs)
+    return res.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        "twice_chars", "loud_lang",
+    )
+
+
+def _dsl_script_fields_sql() -> str:
+    body = _bm25_body("term IN ('spark', 'table')")
+    return f"""
+WITH {body},
+hits AS (
+  SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+)
+SELECT h.doc_id, round(h.s, 4) AS score,
+       d.n_chars * 2 AS twice_chars, upper(d.lang) AS loud_lang
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.s DESC, h.doc_id ASC
+"""
+
+
 def _alias_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES filtered alias: the alias' stored filter (lang = 'en') applies
     to every search through it; collection stats stay GLOBAL — an alias
@@ -14836,6 +14920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": _rank_eval_row,
         "sparse_vector": _sparse_vector,
         "sparse_vector_pruned": _sparse_vector_pruned,
+        "sparse_rescore_pruned": _sparse_rescore_pruned,
+        "dsl_script_fields": _dsl_script_fields,
         "alias_search": _alias_search,
         "reindex_search": _reindex_search,
         "facet_sibling": _facet_sibling,
@@ -15282,6 +15368,8 @@ def oracle_sql() -> dict[str, str]:
         "rank_eval": _rank_eval_sql(),
         "sparse_vector": _sparse_vector_sql(),
         "sparse_vector_pruned": _sparse_vector_pruned_sql(),
+        "sparse_rescore_pruned": _sparse_rescore_pruned_sql(),
+        "dsl_script_fields": _dsl_script_fields_sql(),
         "alias_search": _ALIAS_SQL,
         "reindex_search": _REINDEX_SQL,
         "facet_sibling": _FACET_SIBLING_SQL,

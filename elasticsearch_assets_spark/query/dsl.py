@@ -54,6 +54,9 @@ kernel, so rank semantics are inherited):
     match_phrase_prefix   positional prefix phrase
     match_bool_prefix     terms + trailing prefix clause
     sparse_vector         {token: weight} query vector (+ pruning knobs)
+    weighted_tokens       precomputed (token, weight) pairs under the
+                          field name + pruning_config (ES 8.13; same
+                          sparse kernel, incl. only_score_pruned_tokens)
     wrapper               base64 payload -> the query-string surface
     intervals             ordered `match` rule with max_gaps
     span_near / span_first / span_not / span_or / span_containing /
@@ -538,7 +541,7 @@ def compile_body(
 # set-oriented spelling is one shaped frame per request
 _SHAPE_SECTIONS = (
     "post_filter", "rescore", "collapse", "highlight",
-    "_source", "fields", "track_total_hits",
+    "_source", "fields", "script_fields", "track_total_hits",
 )
 
 
@@ -708,6 +711,43 @@ def _shaped(
         # null highlight columns (ES omits the highlight key there)
         return hits.join(hl, "doc_id", "left").orderBy(*order)
 
+    if section == "script_fields":
+        # computed hit fields: each named entry's script (the engine's
+        # ONE script dialect — Spark SQL via F.expr, like the ingest
+        # `script` processor and script_score) projects over the stored
+        # doc columns; the k-bounded hit list broadcasts into the stored
+        # scan, ES's per-hit script evaluation as one fused projection
+        if corpus is None:
+            raise ValueError("script_fields needs corpus (the stored doc)")
+        hits = run(k)
+        stored = corpus
+        if id_col != "doc_id":
+            stored = stored.withColumnRenamed(id_col, "doc_id")
+        exprs = []
+        for name, spec in cfg.items():
+            script = spec.get("script") if isinstance(spec, dict) else None
+            src = (
+                script.get("source") if isinstance(script, dict) else script
+            )
+            if not src:
+                _err(f"script_fields entry {name!r} needs script.source")
+            exprs.append(F.expr(str(src)).alias(str(name)))
+        if not exprs:
+            return hits
+        ids = hits.select(F.col("doc_id").cast("long").alias("doc_id"),
+                          "score")
+        side = stored.withColumn(
+            "doc_id", F.col("doc_id").cast("long")
+        )
+        # exprs project AFTER the broadcast join so scripts evaluate on
+        # the k surviving rows, not the full stored scan
+        return (
+            F.broadcast(ids)
+            .join(side, "doc_id", "inner")
+            .select("doc_id", ids["score"], *exprs)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+
     if section in ("_source", "fields"):
         if corpus is None:
             raise ValueError(f"{section} needs corpus (the stored fields)")
@@ -842,6 +882,8 @@ def search_dsl(
     contract), `rescore` -> engine.rescore, `collapse` ->
     facets.collapse_topk, `highlight` -> operators/highlight columns on
     the hits, `_source`/`fields` -> fetch_source / fetch_fields,
+    `script_fields` -> computed hit columns (Spark-SQL scripts over the
+    stored doc, broadcast join on the k-bounded hit list),
     `track_total_hits` -> the capped-count columns, `suggest` (alone in
     its body) -> the suggester frame (several named suggesters: call
     suggest_dsl directly for the name -> DataFrame dict)."""
@@ -1115,6 +1157,31 @@ def search_dsl(
                 )
                 if kk in qbody
             },
+        )
+    if kind == "weighted_tokens":
+        # ES 8.13: precomputed (token, weight) pairs nested under the
+        # FIELD name, pruning knobs under pruning_config — the same
+        # sparse dot-product kernel as sparse_vector, different body
+        # shape (weighted_tokens ships the model output verbatim;
+        # sparse_vector runs inference server-side)
+        f, cfg = _one(qbody)
+        if f not in analyzed:
+            _err(f"weighted_tokens on non-analyzed field {f!r}")
+        pc = cfg.get("pruning_config") or {}
+        return idx.search_sparse(
+            {str(t).lower(): float(w) for t, w in cfg["tokens"].items()},
+            k=k,
+            prune=bool(cfg.get("pruning_config")),
+            **{
+                kk: float(pc[kk])
+                for kk in (
+                    "tokens_freq_ratio_threshold", "tokens_weight_threshold",
+                )
+                if kk in pc
+            },
+            only_score_pruned_tokens=bool(
+                pc.get("only_score_pruned_tokens", False)
+            ),
         )
     if kind == "wrapper":
         return idx.search_wrapper(qbody["query"], corpus, k=k)

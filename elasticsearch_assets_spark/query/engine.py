@@ -4246,6 +4246,7 @@ class InvertedIndex:
         prune: bool = False,
         tokens_freq_ratio_threshold: float = 5.0,
         tokens_weight_threshold: float = 0.4,
+        only_score_pruned_tokens: bool = False,
     ) -> DataFrame:
         """ES sparse_vector / text_expansion query (learned sparse
         retrieval, ELSER-shaped): the query is a {token: weight} map, each
@@ -4273,7 +4274,13 @@ class InvertedIndex:
         then reads strictly fewer postings. The documented deviation:
         ES uses within-shard field statistics, this engine prunes on
         GLOBAL df (deterministic across shard counts, like every other
-        stats decision here)."""
+        stats decision here).
+
+        `only_score_pruned_tokens=True` (ES 8.13 weighted_tokens /
+        sparse_vector rescore contract) INVERTS the kept set: score only
+        the tokens the pruning rule dropped — the complement pass a
+        rescore block adds back onto the pruned main query. Requires
+        prune=True (it is a pruning-config knob)."""
         terms = sorted(query_weights)
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -4281,6 +4288,11 @@ class InvertedIndex:
         present = [t for t in terms if t in dfs]
         if not present:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if only_score_pruned_tokens and not prune:
+            raise ValueError(
+                "only_score_pruned_tokens is a pruning-config knob — "
+                "set prune=True"
+            )
         if prune:
             avg_df = sum(dfs[t] for t in present) / len(present)
             best_w = max(abs(float(query_weights[t])) for t in present)
@@ -4292,6 +4304,9 @@ class InvertedIndex:
                     < tokens_weight_threshold * best_w
                 )
             ]
+            if only_score_pruned_tokens:
+                kept_set = set(kept)
+                kept = [t for t in present if t not in kept_set]
             if not kept:
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
             present = kept

@@ -1,0 +1,141 @@
+"""Session-13: weighted_tokens query (ES 8.13 — precomputed sparse
+pairs under the field name, pruning_config incl.
+only_score_pruned_tokens) and the script_fields response section
+(computed hit columns in the engine's one Spark-SQL script dialect).
+
+Reference surface: the reader facade forwards caller-built JSON bodies
+straight to ES (/root/reference/asset/elasticsearch_reader/index.js);
+query-type semantics from the public ES Query DSL docs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from elasticsearch_assets_spark.query.dsl import search_dsl
+
+
+@pytest.fixture(scope="module")
+def wt_index(spark, tmp_path_factory):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    rows = [
+        (0, "the spark join table spark shuffle", "en", 34),
+        (1, "the join table row filter", "en", 25),
+        (2, "the spark row row join order", "de", 28),
+        (3, "the the the join row", "en", 20),
+        (4, "jolt jolt row order by the", "fr", 26),
+        (5, "the spark jolt table shuffle join", "en", 33),
+        (6, "the order by table spark spark", "de", 30),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    d = str(tmp_path_factory.mktemp("wtidx"))
+    build_index(spark, docs, d, num_segments=2, num_chunks=1)
+    return InvertedIndex(spark, d), docs
+
+
+def _pairs(df):
+    return [(r[0], round(r[1], 9)) for r in df.collect()]
+
+
+def test_weighted_tokens_routes_sparse_kernel(wt_index):
+    idx, _ = wt_index
+    qv = {"spark": 2.0, "shuffle": 0.5}
+    got = _pairs(search_dsl(
+        idx, {"query": {"weighted_tokens": {"text": {"tokens": qv}}},
+              "size": None}
+    ))
+    exp = _pairs(idx.search_sparse(qv, k=None))
+    assert got == exp and got
+
+
+def test_weighted_tokens_pruning_config(wt_index):
+    idx, _ = wt_index
+    qv = {"spark": 1.0, "the": 0.05}
+    got = _pairs(search_dsl(
+        idx, {"query": {"weighted_tokens": {"text": {
+            "tokens": qv,
+            "pruning_config": {"tokens_freq_ratio_threshold": 1.2},
+        }}}, "size": None}
+    ))
+    exp = _pairs(idx.search_sparse(
+        qv, k=None, prune=True, tokens_freq_ratio_threshold=1.2
+    ))
+    assert got == exp and got
+
+
+def test_only_score_pruned_tokens_is_the_complement(wt_index):
+    """kept-set scores + pruned-set scores == unpruned scores per doc
+    (the rescore contract: the complement pass adds back exactly what
+    pruning dropped)."""
+    idx, _ = wt_index
+    qv = {"spark": 1.0, "the": 0.05}
+    full = dict(_pairs(idx.search_sparse(qv, k=None)))
+    kept = dict(_pairs(idx.search_sparse(
+        qv, k=None, prune=True, tokens_freq_ratio_threshold=1.2
+    )))
+    pruned = dict(_pairs(idx.search_sparse(
+        qv, k=None, prune=True, tokens_freq_ratio_threshold=1.2,
+        only_score_pruned_tokens=True,
+    )))
+    assert kept != full and pruned  # the prune really dropped a token
+    for d, s in full.items():
+        assert kept.get(d, 0.0) + pruned.get(d, 0.0) == pytest.approx(s)
+    # the DSL spelling routes the knob
+    got = _pairs(search_dsl(
+        idx, {"query": {"weighted_tokens": {"text": {
+            "tokens": qv,
+            "pruning_config": {"tokens_freq_ratio_threshold": 1.2,
+                               "only_score_pruned_tokens": True},
+        }}}, "size": None}
+    ))
+    assert dict(got) == pruned
+
+
+def test_only_score_pruned_requires_prune(wt_index):
+    idx, _ = wt_index
+    with pytest.raises(ValueError):
+        idx.search_sparse({"spark": 1.0}, only_score_pruned_tokens=True)
+
+
+def test_script_fields_section(wt_index):
+    idx, docs = wt_index
+    out = search_dsl(
+        idx,
+        {"query": {"match": {"text": "spark"}},
+         "script_fields": {
+             "twice": {"script": {"source": "n_chars * 2"}},
+             "loud_lang": {"script": "upper(lang)"},
+         },
+         "size": 3},
+        docs,
+    ).collect()
+    assert len(out) == 3
+    stored = {r["doc_id"]: r for r in docs.collect()}
+    base = idx.search("spark", k=3).collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in base]
+    for r in out:
+        assert r["twice"] == stored[r["doc_id"]]["n_chars"] * 2
+        assert r["loud_lang"] == stored[r["doc_id"]]["lang"].upper()
+
+
+def test_script_fields_strictness(wt_index):
+    idx, docs = wt_index
+    with pytest.raises(ValueError):  # needs corpus
+        search_dsl(idx, {"query": {"match": {"text": "spark"}},
+                         "script_fields": {"x": {"script": "1"}}})
+    with pytest.raises(NotImplementedError):  # entry without a source
+        search_dsl(idx, {"query": {"match": {"text": "spark"}},
+                         "script_fields": {"x": {"script": {}}}}, docs)
+    # empty section is the identity
+    got = _pairs(search_dsl(
+        idx, {"query": {"match": {"text": "spark"}},
+              "script_fields": {}, "size": None}, docs
+    ))
+    exp = _pairs(search_dsl(
+        idx, {"query": {"match": {"text": "spark"}}, "size": None}, docs
+    ))
+    assert got == exp
