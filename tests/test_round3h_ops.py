@@ -151,3 +151,26 @@ def test_ks_test_known_distributions(spark):
         bucket_count_ks_test(df.select("doc_id"), df, "x", 10.0, 4, [0.5, 0.5])
     with pytest.raises(ValueError, match="positive mass"):
         bucket_count_ks_test(df.select("doc_id"), df, "x", 10.0, 2, [0.0, 0.0])
+
+
+def test_lsh_neardup_engines_agree(spark):
+    """pandas batch verify == SQL fold verify: identical pair sets,
+    cosine to FP round-off (np pairwise vs sequential summation)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    pd_res = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_neardup_pairs(
+            emb, tau=0.45, n_planes=4, n_tables=8, engine="pandas"
+        ).collect()
+    }
+    sql_res = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_neardup_pairs(
+            emb, tau=0.45, n_planes=4, n_tables=8, engine="sql"
+        ).collect()
+    }
+    assert set(pd_res) == set(sql_res) and pd_res
+    for k, v in sql_res.items():
+        assert pd_res[k] == pytest.approx(v, rel=1e-12)
+    with pytest.raises(ValueError, match="engine"):
+        lsh_neardup_pairs(emb, engine="arrow")
