@@ -301,6 +301,72 @@ def ragged_gather(
     return flat[idx]
 
 
+def decode_varint_concat(bufs: list) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY LEB128 streams in ONE vectorized pass.
+
+    The streams are self-delimiting (a value ends at its first byte
+    < 0x80), so their concatenation decodes exactly like one stream;
+    per-stream value counts fall out of a cumsum of terminator bytes over
+    the stream boundaries. Returns (values uint64, counts int64 per
+    input buffer). Turns N per-list decode calls into ~3 array passes —
+    the batch shape for merge/compaction kernels that touch every list
+    of a partition (N ≈ 30k lists per task on the bench compaction)."""
+    n = len(bufs)
+    if n == 0:
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    sizes = np.fromiter((len(b) for b in bufs), np.int64, count=n)
+    raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    if raw.size == 0:
+        return np.array([], dtype=np.uint64), np.zeros(n, dtype=np.int64)
+    is_last = raw < 0x80
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    idx = np.arange(raw.size, dtype=np.int64)
+    group_start = starts[np.searchsorted(ends, idx, side="left")]
+    pos = (idx - group_start).astype(np.uint64)
+    contrib = (raw & np.uint8(0x7F)).astype(np.uint64) << (pos * _SEVEN)
+    values = np.add.reduceat(contrib, starts)
+    cum_last = np.concatenate(([0], np.cumsum(is_last)))
+    bounds = np.concatenate(([0], np.cumsum(sizes)))
+    counts = cum_last[bounds[1:]] - cum_last[bounds[:-1]]
+    return values, counts
+
+
+def decode_doc_ids_concat(doc_gaps: list) -> tuple[np.ndarray, np.ndarray]:
+    """Batch decode_doc_ids: gap→id reconstruction is a SEGMENTED cumsum
+    (one global cumsum, per-list offset subtracted — no per-list Python).
+    Returns (doc_ids int64 concatenated, counts int64 per list)."""
+    gaps, counts = decode_varint_concat(doc_gaps)
+    gaps = gaps.astype(np.int64)
+    total = np.cumsum(gaps)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    nonempty = counts > 0
+    offsets = np.zeros(counts.size, dtype=np.int64)
+    ne_starts = starts[nonempty]
+    offsets[nonempty] = np.where(ne_starts > 0, total[ne_starts - 1], 0)
+    return total - np.repeat(offsets, counts), counts
+
+
+def decode_postings_concat(doc_gaps: list, tfs_enc: list, doclens_enc: list):
+    """Batch decode_postings over aligned per-list byte streams: returns
+    (doc_ids, tfs, doclens, counts) where the value arrays are the lists'
+    postings concatenated in order and `counts` is postings-per-list."""
+    doc_ids, counts = decode_doc_ids_concat(doc_gaps)
+    tfs, tf_counts = decode_varint_concat(tfs_enc)
+    dls, dl_counts = decode_varint_concat(doclens_enc)
+    if not (
+        np.array_equal(tf_counts, counts)
+        and np.array_equal(dl_counts, counts)
+    ):
+        raise ValueError("posting stream lengths disagree across columns")
+    return (
+        doc_ids,
+        tfs.astype(np.int64),
+        dls.astype(np.int64),
+        counts,
+    )
+
+
 def decode_postings(doc_gaps: bytes, tfs_enc: bytes, doclens_enc: bytes):
     """Decode to (doc_ids int64, tfs int64, doclens int64)."""
     gaps = decode_varint(doc_gaps).astype(np.int64)

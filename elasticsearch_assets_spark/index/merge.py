@@ -39,7 +39,10 @@ from elasticsearch_assets_spark.index.build import (
     SEGMENT_SCHEMA_POS,
     read_manifest,
 )
-from elasticsearch_assets_spark.index.codec import decode_postings, encode_postings_batch
+from elasticsearch_assets_spark.index.codec import (
+    decode_postings_concat,
+    encode_postings_batch,
+)
 from elasticsearch_assets_spark.index.stats import load_meta
 
 
@@ -68,35 +71,34 @@ def _merge_partition(
         raise ValueError(
             "mixed positional/non-positional segment rows in one index"
         )
-    docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-    counts = np.empty(len(pdf), dtype=np.int64)
-    from itertools import repeat
-
-    pos_iter = pdf["pos_enc"] if has_pos else repeat(None)
-    for i, (g, t, d, p) in enumerate(
-        zip(pdf["doc_gaps"], pdf["tfs_enc"], pdf["doclens_enc"], pos_iter)
-    ):
-        doc_ids, tfs, dls = decode_postings(bytes(g), bytes(t), bytes(d))
+    # ONE vectorized decode across every list of the partition (the
+    # streams are self-delimiting — see codec.decode_varint_concat);
+    # positions stay per-list (tf-ragged runs) but ride the batch tf array
+    docs, tfs, dls, counts = decode_postings_concat(
+        list(pdf["doc_gaps"]), list(pdf["tfs_enc"]), list(pdf["doclens_enc"])
+    )
+    flat_pos = None
+    if has_pos:
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        pos_parts = [
+            decode_positions(bytes(p), tfs[bounds[i] : bounds[i + 1]])
+            for i, p in enumerate(pdf["pos_enc"])
+        ]
+        flat_pos = (
+            np.concatenate(pos_parts)
+            if pos_parts
+            else np.array([], dtype=np.int64)
+        )
+    if excluded is not None and excluded.size:
+        keep = ~np.isin(docs, excluded)
         if has_pos:
-            pos = decode_positions(bytes(p), tfs)
-        if excluded is not None and excluded.size:
-            keep = ~np.isin(doc_ids, excluded)
-            if has_pos:
-                pos = pos[np.repeat(keep, tfs)]
-            doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
-        counts[i] = doc_ids.size
-        docs_l.append(doc_ids)
-        tfs_l.append(tfs)
-        dls_l.append(dls)
-        if has_pos:
-            pos_l.append(pos)
-    if not any(c for c in counts):
+            flat_pos = flat_pos[np.repeat(keep, tfs)]
+        cs = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        counts = cs[bounds[1:]] - cs[bounds[:-1]]
+        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+    if int(counts.sum()) == 0:
         return
-    docs = np.concatenate(docs_l)
-    tfs = np.concatenate(tfs_l)
-    dls = np.concatenate(dls_l)
-    flat_pos = np.concatenate(pos_l) if has_pos else None
-    del docs_l, tfs_l, dls_l, pos_l
     segs = np.repeat(pdf["seg_id"].to_numpy(dtype=np.int64), counts)
     codes, uniques = pd.factorize(pdf["term"], sort=False)
     term_codes = np.repeat(codes.astype(np.int64), counts)
@@ -250,17 +252,19 @@ def count_distinct_docs(spark: SparkSession, index_dir: str) -> int:
     """Exact live-doc count: decode only the docID streams, unique per
     segment (segments are doc-disjoint), sum. Used after a tombstone-
     applying compaction to correct collection stats."""
-    from elasticsearch_assets_spark.index.codec import decode_doc_ids
+    from elasticsearch_assets_spark.index.codec import decode_doc_ids_concat
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts: dict[int, list] = {}
+        # batch decode (one varint pass per Arrow batch); one unique per
+        # PARTITION — partitions hold whole segments (repartition below)
+        # and segments are doc-disjoint, so per-partition uniques sum
+        # exactly, same as the per-segment uniques they replace
+        parts: list = []
         for pdf in batches:
-            for seg, g in zip(pdf["seg_id"], pdf["doc_gaps"]):
-                parts.setdefault(int(seg), []).append(decode_doc_ids(bytes(g)))
-        # one vectorized unique per segment (segments are doc-disjoint,
-        # so per-segment uniques sum exactly) — never per-element Python
-        total = sum(
-            int(np.unique(np.concatenate(v)).size) for v in parts.values()
+            if len(pdf):
+                parts.append(decode_doc_ids_concat(list(pdf["doc_gaps"]))[0])
+        total = (
+            int(np.unique(np.concatenate(parts)).size) if parts else 0
         )
         yield pd.DataFrame({"n": [total]})
 

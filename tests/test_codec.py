@@ -68,3 +68,72 @@ def test_postings_rejects_unsorted():
 
     with pytest.raises(ValueError):
         encode_postings(np.array([5, 3]), np.array([1, 1]), np.array([1, 1]))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=40),
+        max_size=20,
+    )
+)
+def test_varint_concat_matches_per_list(lists):
+    from elasticsearch_assets_spark.index.codec import decode_varint_concat
+
+    bufs = [encode_varint(np.array(v, dtype=np.uint64)) for v in lists]
+    vals, counts = decode_varint_concat(bufs)
+    np.testing.assert_array_equal(
+        counts, np.array([len(v) for v in lists], dtype=np.int64)
+    )
+    exp = (
+        np.concatenate([np.array(v, dtype=np.uint64) for v in lists])
+        if lists and any(lists)
+        else np.array([], dtype=np.uint64)
+    )
+    np.testing.assert_array_equal(vals, exp)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=10**6),
+            min_size=1, max_size=60, unique=True,
+        ),
+        min_size=1, max_size=15,
+    ),
+    st.data(),
+)
+def test_postings_concat_matches_per_list(id_lists, data):
+    from elasticsearch_assets_spark.index.codec import (
+        decode_doc_ids_concat,
+        decode_postings_concat,
+    )
+
+    encs = []
+    exp_docs, exp_tfs, exp_dls = [], [], []
+    for ids in id_lists:
+        ids = np.sort(np.array(ids, dtype=np.int64))
+        n = ids.size
+        tfs = np.array(
+            data.draw(st.lists(st.integers(1, 500), min_size=n, max_size=n))
+        )
+        dls = np.array(
+            data.draw(st.lists(st.integers(1, 900), min_size=n, max_size=n))
+        )
+        encs.append(encode_postings(ids, tfs, dls))
+        exp_docs.append(ids)
+        exp_tfs.append(tfs)
+        exp_dls.append(dls)
+    d, t, l, c = decode_postings_concat(
+        [e["doc_gaps"] for e in encs],
+        [e["tfs_enc"] for e in encs],
+        [e["doclens_enc"] for e in encs],
+    )
+    np.testing.assert_array_equal(c, [len(x) for x in exp_docs])
+    np.testing.assert_array_equal(d, np.concatenate(exp_docs))
+    np.testing.assert_array_equal(t, np.concatenate(exp_tfs))
+    np.testing.assert_array_equal(l, np.concatenate(exp_dls))
+    d2, c2 = decode_doc_ids_concat([e["doc_gaps"] for e in encs])
+    np.testing.assert_array_equal(d2, d)
+    np.testing.assert_array_equal(c2, c)
