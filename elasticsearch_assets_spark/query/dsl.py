@@ -1147,8 +1147,15 @@ def search_dsl(
         return idx.match_bool_prefix(q, k=k, operator=op, max_expansions=me)
     if kind == "sparse_vector":
         qv = qbody["query_vector"]
+        # a query-level boost multiplies the final score == scaling every
+        # query weight (the sparse dot product is linear in them); folding
+        # it here keeps the kernel boost-free. NOTE it must NOT change the
+        # pruning decision — tokens_weight_threshold compares weights to
+        # the BEST weight, a ratio the uniform scale cancels out of, so
+        # folding before the kernel's prune is exact.
+        qb = float(qbody.get("boost", 1.0))
         return idx.search_sparse(
-            {str(t).lower(): float(w) for t, w in qv.items()}, k=k,
+            {str(t).lower(): float(w) * qb for t, w in qv.items()}, k=k,
             prune=bool(qbody.get("prune", False)),
             **{
                 kk: float(qbody[kk])
@@ -1168,8 +1175,11 @@ def search_dsl(
         if f not in analyzed:
             _err(f"weighted_tokens on non-analyzed field {f!r}")
         pc = cfg.get("pruning_config") or {}
+        # boost folds into the weights exactly like sparse_vector's (the
+        # ratio-based pruning rule is scale-invariant, so this is exact)
+        wb = float(cfg.get("boost", 1.0))
         return idx.search_sparse(
-            {str(t).lower(): float(w) for t, w in cfg["tokens"].items()},
+            {str(t).lower(): float(w) * wb for t, w in cfg["tokens"].items()},
             k=k,
             prune=bool(cfg.get("pruning_config")),
             **{

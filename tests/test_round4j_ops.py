@@ -139,3 +139,38 @@ def test_script_fields_strictness(wt_index):
         idx, {"query": {"match": {"text": "spark"}}, "size": None}, docs
     ))
     assert got == exp
+
+
+def test_sparse_boost_scales_scores_not_pruning(wt_index):
+    """Query-level boost on sparse_vector / weighted_tokens multiplies
+    every score (linearity) and cannot change the pruning decision (the
+    weight rule is a ratio to the best weight — scale-invariant)."""
+    idx, _ = wt_index
+    qv = {"spark": 1.0, "the": 0.05}
+    base = dict(_pairs(search_dsl(
+        idx, {"query": {"weighted_tokens": {"text": {
+            "tokens": qv,
+            "pruning_config": {"tokens_freq_ratio_threshold": 1.2},
+        }}}, "size": None}
+    )))
+    boosted = dict(_pairs(search_dsl(
+        idx, {"query": {"weighted_tokens": {"text": {
+            "tokens": qv, "boost": 3.0,
+            "pruning_config": {"tokens_freq_ratio_threshold": 1.2},
+        }}}, "size": None}
+    )))
+    assert set(base) == set(boosted) and base
+    for d, s in base.items():
+        assert boosted[d] == pytest.approx(3.0 * s)
+    sv = dict(_pairs(search_dsl(
+        idx, {"query": {"sparse_vector": {
+            "field": "text", "query_vector": qv, "boost": 2.0}},
+            "size": None}
+    )))
+    un = dict(_pairs(search_dsl(
+        idx, {"query": {"sparse_vector": {
+            "field": "text", "query_vector": qv}}, "size": None}
+    )))
+    assert set(sv) == set(un)
+    for d, s in un.items():
+        assert sv[d] == pytest.approx(2.0 * s)
