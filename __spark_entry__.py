@@ -241,6 +241,7 @@ def _bm25_body(
     corpus_where: str | None = None,
     k1: float = K1,
     b: float = B,
+    source: str = "documents",
 ) -> str:
     """The shared BM25 CTE chain (toks → dl → stats → tf → df → scored)
     so composite oracles (pinned ranks, feature boosts) can attach their
@@ -251,7 +252,7 @@ def _bm25_body(
     under GLOBAL stats (filtered search / aliases / tombstones)."""
     cw = f" WHERE {corpus_where}" if corpus_where else ""
     return f"""toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents{cw}
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {source}{cw}
 ),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
@@ -6103,6 +6104,98 @@ SELECT h.doc_id, round(h.s, 4) AS score,
        d.n_chars * 2 AS twice_chars, upper(d.lang) AS loud_lang
 FROM hits h JOIN documents d USING (doc_id)
 ORDER BY h.s DESC, h.doc_id ASC
+"""
+
+
+_NP_TOKENS = 20    # tokens per passage (nested object)
+_NP_BASE = 16      # slot base; documents cap at 100 tokens -> <= 5 slots
+
+
+def _passage_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """CHILD index over disjoint 20-token passages of documents (child id
+    = doc_id*16 + slot — relations.passage_corpus, the explicit Lucene
+    nested-block encoding). Backs the ES nested-query contract row;
+    version-stale caches rebuild like the other derived indexes."""
+    key = os.path.abspath(sf_dir) + "#passages"
+    if key not in _INDEX_CACHE:
+        idx_dir = _idx_dir(sf_dir, "_passages")
+        import json
+
+        from elasticsearch_assets_spark.analysis.tokenizer import TOKENIZER_VERSION
+        from elasticsearch_assets_spark.index.codec import CODEC_VERSION
+
+        meta_path = os.path.join(idx_dir, "meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                m = json.load(fh)
+            stale = (
+                m.get("codec_version") != CODEC_VERSION
+                or m.get("tokenizer_version") != TOKENIZER_VERSION
+            )
+        if stale:
+            from elasticsearch_assets_spark.operators.relations import (
+                passage_corpus,
+            )
+
+            docs = load_sf_table(spark, sf_dir, "documents")
+            build_index(
+                spark,
+                passage_corpus(docs, n=_NP_TOKENS, slot_base=_NP_BASE),
+                idx_dir, id_col="doc_id", text_col="text",
+                num_segments=8, num_chunks=1,
+            )
+        _INDEX_CACHE[key] = InvertedIndex(spark, idx_dir)
+    return _INDEX_CACHE[key]
+
+
+def _nested_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `nested` query with score_mode=max — per-PASSAGE BM25 rolled up
+    to parents (MaxP passage retrieval): nested objects are a child index
+    (relations.passage_corpus), the inner match recurses through the DSL
+    against it, engine.nested_topk combines the matching children. A doc
+    whose query terms sit in one dense passage outranks one that spreads
+    them — the ranking flat BM25 cannot express (and the reason ES nested
+    exists)."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    parent_idx = _docs_index(spark, sf_dir)
+    child_idx = _passage_index(spark, sf_dir)
+    body = {
+        "query": {"nested": {
+            "path": "passages",
+            "query": {"match": {"text": "spark table"}},
+            "score_mode": "max",
+        }},
+        "size": None,
+    }
+    out = search_dsl(
+        parent_idx, body,
+        nested_paths={"passages": (child_idx, _NP_BASE)},
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _nested_maxp_sql() -> str:
+    body = _bm25_body("term IN ('spark', 'table')", source="passages")
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+passages AS (
+  SELECT doc_id * {_NP_BASE} + start // {_NP_TOKENS} AS doc_id,
+         array_to_string(toks[start + 1 : start + {_NP_TOKENS}], ' ') AS text
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks), 1), {_NP_TOKENS})) AS start
+    FROM ptoks
+  )
+),
+{body}
+SELECT doc_id, round(s, 4) AS score FROM (
+  SELECT doc_id // {_NP_BASE} AS doc_id, max(s) AS s
+  FROM scored GROUP BY 1
+)
 """
 
 
@@ -14922,6 +15015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_vector_pruned": _sparse_vector_pruned,
         "sparse_rescore_pruned": _sparse_rescore_pruned,
         "dsl_script_fields": _dsl_script_fields,
+        "nested_maxp": _nested_maxp,
         "alias_search": _alias_search,
         "reindex_search": _reindex_search,
         "facet_sibling": _facet_sibling,
@@ -15370,6 +15464,7 @@ def oracle_sql() -> dict[str, str]:
         "sparse_vector_pruned": _sparse_vector_pruned_sql(),
         "sparse_rescore_pruned": _sparse_rescore_pruned_sql(),
         "dsl_script_fields": _dsl_script_fields_sql(),
+        "nested_maxp": _nested_maxp_sql(),
         "alias_search": _ALIAS_SQL,
         "reindex_search": _REINDEX_SQL,
         "facet_sibling": _FACET_SIBLING_SQL,

@@ -80,6 +80,48 @@ def nested_chunks(text_col: str, n: int) -> Column:
     )
 
 
+def passage_corpus(
+    df,
+    *,
+    n: int = 20,
+    slot_base: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Derive a CHILD corpus of disjoint n-token passages, one row per
+    passage, indexable as ordinary documents: child id = parent *
+    slot_base + slot (recover the parent with an integer divide — the
+    Lucene nested-document block encoding, made explicit). Feed the
+    result to build_index and query it like any index; `nested_topk`
+    rolls child scores back up to parents. `slot_base` must exceed the
+    max passages per document (ceil(max_tokens / n)) — validated by the
+    caller's data contract, not scanned here (one pass at 10^12 docs is
+    not free). Empty documents yield one empty passage (indexes nothing).
+    """
+    from elasticsearch_assets_spark.operators.texthash import tokens_expr
+
+    if n < 1 or slot_base < 2:
+        raise ValueError("n >= 1 and slot_base >= 2 required")
+    toks = tokens_expr(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks), F.lit(1)) - 1, F.lit(n)
+    )
+    passages = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / n).cast("long").alias("slot"),
+            F.concat_ws(" ", F.slice(toks, s + 1, n)).alias("text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("_parent"),
+        F.explode(passages).alias("_p"),
+    ).select(
+        (F.col("_parent") * slot_base + F.col("_p.slot")).alias(id_col),
+        F.col("_p.text").alias(text_col),
+    )
+
+
 def nested_co_match(text_col: str, terms: list[str], n: int = 10) -> Column:
     """ES nested-query semantics: TRUE iff some single n-token nested
     object contains EVERY term — a flattened (whole-document) AND match

@@ -58,6 +58,9 @@ kernel, so rank semantics are inherited):
                           field name + pruning_config (ES 8.13; same
                           sparse kernel, incl. only_score_pruned_tokens)
     wrapper               base64 payload -> the query-string surface
+    nested                child-index recursion + score_mode roll-up
+                          (nested_paths maps path -> (child_index,
+                          slot_base); max == MaxP passage retrieval)
     intervals             ordered `match` rule with max_gaps
     span_near / span_first / span_not / span_or / span_containing /
     span_within           positional span algebra (span_term, span_multi
@@ -600,7 +603,7 @@ def suggest_dsl(idx, suggest: dict) -> "dict[str, DataFrame]":
 
 def _shaped(
     idx, body: dict, section: str, corpus, *, text_col: str,
-    analyzed, id_col: str, field_indexes,
+    analyzed, id_col: str, field_indexes, nested_paths=None,
 ):
     """Apply ONE response-shape section over the body's query result —
     each delegates to (or mirrors row-for-row) its oracle-pinned kernel;
@@ -618,6 +621,7 @@ def _shaped(
         return search_dsl(
             idx, b, corpus, text_col=text_col, analyzed_fields=analyzed,
             id_col=id_col, field_indexes=field_indexes,
+            nested_paths=nested_paths,
         )
 
     if section == "post_filter":
@@ -868,6 +872,7 @@ def search_dsl(
     analyzed_fields: "set[str] | None" = None,
     id_col: str = "doc_id",
     field_indexes: "dict | None" = None,
+    nested_paths: "dict | None" = None,
 ) -> DataFrame:
     """Execute an ES search body: `{"query": {...}, "size": k,
     "min_score": s, "knn": {...}, "sort": [...], "search_after": [...],
@@ -907,6 +912,7 @@ def search_dsl(
         return _shaped(
             idx, body, shape[0], corpus, text_col=text_col,
             analyzed=analyzed, id_col=id_col, field_indexes=field_indexes,
+            nested_paths=nested_paths,
         )
     if "query" not in body and "knn" not in body:
         raise ValueError("search body needs a query and/or a knn section")
@@ -1165,6 +1171,40 @@ def search_dsl(
                 if kk in qbody
             },
         )
+    if kind == "nested":
+        # ES nested query, Spark-first: nested objects live in a CHILD
+        # index (operators/relations.passage_corpus — child id = parent *
+        # slot_base + slot, the explicit Lucene block encoding), the
+        # inner query recurses through search_dsl against it (every
+        # scoring shape composes), and engine.nested_topk rolls matching-
+        # children scores up with score_mode (max == MaxP, sum == SumP;
+        # ES default avg; `none` = match-only). `nested_paths` maps path
+        # -> (child_index, slot_base) — the mapping ES derives from the
+        # mapping's `nested` type declaration.
+        from elasticsearch_assets_spark.query.engine import nested_topk
+
+        path = qbody["path"]
+        if not nested_paths or path not in nested_paths:
+            _err(
+                f"nested path {path!r}: pass nested_paths={{path: "
+                "(child_index, slot_base)}} (the nested-mapping "
+                "declaration)"
+            )
+        child_idx, slot_base = nested_paths[path]
+        hits = search_dsl(
+            child_idx, {"query": qbody["query"], "size": None},
+            text_col=text_col, analyzed_fields=analyzed,
+        )
+        boost = float(qbody.get("boost", 1.0))
+        out = nested_topk(
+            hits, int(slot_base),
+            score_mode=qbody.get("score_mode", "avg"), k=k,
+        )
+        if boost != 1.0:
+            out = out.select(
+                "doc_id", (F.col("score") * boost).alias("score")
+            ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return out
     if kind == "weighted_tokens":
         # ES 8.13: precomputed (token, weight) pairs nested under the
         # FIELD name, pruning knobs under pruning_config — the same

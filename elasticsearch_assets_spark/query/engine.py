@@ -4858,3 +4858,52 @@ def cross_cluster_search(
         F.col("score").desc(), F.col("cluster").asc(), F.col("doc_id").asc()
     )
     return out.limit(k) if k is not None else out
+
+
+_NESTED_MODES = {
+    "max": F.max, "sum": F.sum, "avg": F.avg, "min": F.min,
+}
+
+
+def nested_topk(
+    child_hits: DataFrame,
+    slot_base: int,
+    *,
+    score_mode: str = "avg",
+    k: int | None = 10,
+) -> DataFrame:
+    """ES `nested` query scoring (score_mode): roll CHILD hits — any
+    (doc_id, score) frame over a passage_corpus-derived child index — up
+    to their parents: parent = child_id div slot_base (the explicit form
+    of Lucene's nested block encoding), combined score = max / sum / avg /
+    min over the parent's MATCHING children (ES's rule: non-matching
+    children contribute nothing, even to avg), `none` = match-only,
+    score 0. The IR reading: max == MaxP passage retrieval, sum == SumP.
+
+    Plan: one hash agg on the derived parent key over the child hit frame
+    (matching children only — bounded by the child query's postings, never
+    corpus-wide) + TakeOrderedAndProject. ES default is avg."""
+    # integer divide — float division truncation breaks past 2^52
+    parent = F.expr(f"doc_id div {int(slot_base)}")
+    if score_mode == "none":
+        out = (
+            child_hits.select(parent.alias("doc_id"))
+            .distinct()
+            .withColumn("score", F.lit(0.0))
+            .orderBy(F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+    agg = _NESTED_MODES.get(score_mode)
+    if agg is None:
+        raise ValueError(
+            f"score_mode must be one of {sorted(_NESTED_MODES)} + ['none'], "
+            f"got {score_mode!r}"
+        )
+    out = (
+        child_hits.select(parent.alias("parent"), "score")
+        .groupBy("parent")
+        .agg(agg("score").alias("score"))
+        .select(F.col("parent").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    return out.limit(k) if k is not None else out

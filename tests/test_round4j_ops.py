@@ -174,3 +174,115 @@ def test_sparse_boost_scales_scores_not_pruning(wt_index):
     assert set(sv) == set(un)
     for d, s in un.items():
         assert sv[d] == pytest.approx(2.0 * s)
+
+
+# --- nested query (child passage index + score_mode roll-up) -------------
+
+@pytest.fixture(scope="module")
+def nested_setup(spark, wt_index, tmp_path_factory):
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.operators.relations import passage_corpus
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    _, docs = wt_index
+    passages = passage_corpus(docs, n=3, slot_base=16)
+    d = str(tmp_path_factory.mktemp("childidx"))
+    build_index(spark, passages, d, num_segments=2, num_chunks=1)
+    return InvertedIndex(spark, d), passages
+
+
+def test_passage_corpus_shape(nested_setup, wt_index):
+    _, passages = nested_setup
+    _, docs = wt_index
+    rows = {r["doc_id"]: r["text"] for r in passages.collect()}
+    # doc 0: "the spark join table spark shuffle" -> 2 passages of 3
+    assert rows[0 * 16 + 0] == "the spark join"
+    assert rows[0 * 16 + 1] == "table spark shuffle"
+    # doc 3: 5 tokens -> "the the the", "join row"
+    assert rows[3 * 16 + 0] == "the the the"
+    assert rows[3 * 16 + 1] == "join row"
+    # parent reassembly: passages rejoined == original text
+    import collections
+    per = collections.defaultdict(list)
+    for pid, txt in rows.items():
+        per[pid // 16].append((pid % 16, txt))
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for parent, parts in per.items():
+        joined = " ".join(t for _, t in sorted(parts))
+        assert joined == orig[parent]
+
+
+def test_nested_score_modes_match_manual(nested_setup, wt_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    child_idx, _ = nested_setup
+    idx, _ = wt_index
+    # child-level hits, straight from the oracle-pinned kernel
+    child = {
+        r["doc_id"]: r["score"]
+        for r in child_idx.search(["spark", "table"], k=None,
+                                  mode="or").collect()
+    }
+    assert child
+    import collections
+    per = collections.defaultdict(list)
+    for pid, s in child.items():
+        per[pid // 16].append(s)
+    for mode, fn in [
+        ("max", max), ("sum", sum), ("min", min),
+        ("avg", lambda v: sum(v) / len(v)),
+    ]:
+        got = dict(_pairs(search_dsl(
+            idx,
+            {"query": {"nested": {
+                "path": "passages",
+                "query": {"match": {"text": "spark table"}},
+                "score_mode": mode,
+            }}, "size": None},
+            nested_paths={"passages": (child_idx, 16)},
+        )))
+        exp = {p: round(fn(v), 9) for p, v in per.items()}
+        assert got == exp, mode
+    # none: match-only, score 0
+    got = _pairs(search_dsl(
+        idx,
+        {"query": {"nested": {
+            "path": "passages",
+            "query": {"match": {"text": "spark table"}},
+            "score_mode": "none",
+        }}, "size": None},
+        nested_paths={"passages": (child_idx, 16)},
+    ))
+    assert got == [(p, 0.0) for p in sorted(per)]
+    # boost scales the rolled-up score
+    boosted = dict(_pairs(search_dsl(
+        idx,
+        {"query": {"nested": {
+            "path": "passages",
+            "query": {"match": {"text": "spark table"}},
+            "score_mode": "max", "boost": 2.0,
+        }}, "size": None},
+        nested_paths={"passages": (child_idx, 16)},
+    )))
+    for p, v in per.items():
+        assert boosted[p] == pytest.approx(2.0 * max(v))
+
+
+def test_nested_vs_flat_ranking_differs(nested_setup, wt_index):
+    """The point of nested: per-passage scoring, not whole-doc — a doc
+    whose terms are spread across passages scores lower under MaxP than
+    a doc with one dense passage, even when flat BM25 ties them."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    child_idx, _ = nested_setup
+    idx, _ = wt_index
+    with pytest.raises(NotImplementedError, match="nested"):
+        search_dsl(idx, {"query": {"nested": {
+            "path": "passages", "query": {"match": {"text": "spark"}},
+        }}})
+    with pytest.raises(ValueError, match="score_mode"):
+        from elasticsearch_assets_spark.query.engine import nested_topk
+        nested_topk(
+            child_idx.search(["spark"], k=None, mode="or"), 16,
+            score_mode="geometric",
+        )
