@@ -6199,6 +6199,60 @@ SELECT doc_id, round(s, 4) AS score FROM (
 """
 
 
+def _nested_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested `inner_hits`: the top-2 MATCHING passages per parent in
+    child-score order — which nested objects made the parent match (one
+    grouped-top-k window over the posting-bounded child hit frame)."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    parent_idx = _docs_index(spark, sf_dir)
+    child_idx = _passage_index(spark, sf_dir)
+    body = {
+        "query": {"nested": {
+            "path": "passages",
+            "query": {"match": {"text": "spark table"}},
+            "inner_hits": {"size": 2},
+        }},
+        "size": None,
+    }
+    out = search_dsl(
+        parent_idx, body,
+        nested_paths={"passages": (child_idx, _NP_BASE)},
+    )
+    return out.select(
+        "doc_id", "slot", F.round("child_score", 4).alias("child_score"),
+        "child_rank",
+    )
+
+
+def _nested_inner_hits_sql() -> str:
+    body = _bm25_body("term IN ('spark', 'table')", source="passages")
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+passages AS (
+  SELECT doc_id * {_NP_BASE} + start // {_NP_TOKENS} AS doc_id,
+         array_to_string(toks[start + 1 : start + {_NP_TOKENS}], ' ') AS text
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks), 1), {_NP_TOKENS})) AS start
+    FROM ptoks
+  )
+),
+{body}
+SELECT doc_id // {_NP_BASE} AS doc_id,
+       doc_id % {_NP_BASE} AS slot,
+       round(s, 4) AS child_score,
+       row_number() OVER (
+         PARTITION BY doc_id // {_NP_BASE}
+         ORDER BY s DESC, doc_id % {_NP_BASE} ASC
+       )::INT AS child_rank
+FROM scored
+QUALIFY child_rank <= 2
+"""
+
+
 def _alias_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES filtered alias: the alias' stored filter (lang = 'en') applies
     to every search through it; collection stats stay GLOBAL — an alias
@@ -15016,6 +15070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_rescore_pruned": _sparse_rescore_pruned,
         "dsl_script_fields": _dsl_script_fields,
         "nested_maxp": _nested_maxp,
+        "nested_inner_hits": _nested_inner_hits,
         "alias_search": _alias_search,
         "reindex_search": _reindex_search,
         "facet_sibling": _facet_sibling,
@@ -15465,6 +15520,7 @@ def oracle_sql() -> dict[str, str]:
         "sparse_rescore_pruned": _sparse_rescore_pruned_sql(),
         "dsl_script_fields": _dsl_script_fields_sql(),
         "nested_maxp": _nested_maxp_sql(),
+        "nested_inner_hits": _nested_inner_hits_sql(),
         "alias_search": _ALIAS_SQL,
         "reindex_search": _REINDEX_SQL,
         "facet_sibling": _FACET_SIBLING_SQL,

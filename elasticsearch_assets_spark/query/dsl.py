@@ -1195,6 +1195,18 @@ def search_dsl(
             child_idx, {"query": qbody["query"], "size": None},
             text_col=text_col, analyzed_fields=analyzed,
         )
+        if "inner_hits" in qbody:
+            # which passages made the parent match — the inner_hits frame
+            # replaces the parent frame (one shaped frame per request,
+            # the repo's response-shape convention)
+            from elasticsearch_assets_spark.query.engine import (
+                nested_inner_hits,
+            )
+
+            ih = qbody["inner_hits"] or {}
+            return nested_inner_hits(
+                hits, int(slot_base), size=int(ih.get("size", 3))
+            )
         boost = float(qbody.get("boost", 1.0))
         out = nested_topk(
             hits, int(slot_base),

@@ -4907,3 +4907,44 @@ def nested_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
     return out.limit(k) if k is not None else out
+
+
+def nested_inner_hits(
+    child_hits: DataFrame,
+    slot_base: int,
+    *,
+    size: int = 3,
+) -> DataFrame:
+    """ES nested `inner_hits`: the top `size` MATCHING children per
+    parent, child-score order — which passages made the parent match.
+    Returns (doc_id, slot, child_score, child_rank), rank 1-based.
+
+    Plan: one grouped-top-k window over the child hit frame, partitioned
+    by the derived parent key — WindowGroupLimit prunes per partition
+    before the shuffle's sort, and the frame is matching children only
+    (posting-bounded), never the corpus."""
+    from pyspark.sql import Window
+
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    parent = F.expr(f"doc_id div {int(slot_base)}")
+    slot = F.expr(f"doc_id % {int(slot_base)}")
+    w = Window.partitionBy("parent").orderBy(
+        F.col("child_score").desc(), F.col("slot").asc()
+    )
+    return (
+        child_hits.select(
+            parent.alias("parent"),
+            slot.alias("slot"),
+            F.col("score").alias("child_score"),
+        )
+        .withColumn("child_rank", F.row_number().over(w))
+        .where(F.col("child_rank") <= size)
+        .select(
+            F.col("parent").alias("doc_id"),
+            "slot", "child_score", "child_rank",
+        )
+        .orderBy(
+            F.col("doc_id").asc(), F.col("child_rank").asc()
+        )
+    )

@@ -286,3 +286,43 @@ def test_nested_vs_flat_ranking_differs(nested_setup, wt_index):
             child_idx.search(["spark"], k=None, mode="or"), 16,
             score_mode="geometric",
         )
+
+
+def test_nested_inner_hits(nested_setup, wt_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    child_idx, _ = nested_setup
+    idx, _ = wt_index
+    child = {
+        r["doc_id"]: r["score"]
+        for r in child_idx.search(["spark", "table"], k=None,
+                                  mode="or").collect()
+    }
+    import collections
+    per = collections.defaultdict(list)
+    for pid, s in child.items():
+        per[pid // 16].append((pid % 16, s))
+    got = search_dsl(
+        idx,
+        {"query": {"nested": {
+            "path": "passages",
+            "query": {"match": {"text": "spark table"}},
+            "inner_hits": {"size": 2},
+        }}, "size": None},
+        nested_paths={"passages": (child_idx, 16)},
+    ).collect()
+    exp = []
+    for parent in sorted(per):
+        ranked = sorted(per[parent], key=lambda t: (-t[1], t[0]))[:2]
+        for rank, (slot, s) in enumerate(ranked, 1):
+            exp.append((parent, slot, round(s, 9), rank))
+    assert [
+        (r["doc_id"], r["slot"], round(r["child_score"], 9),
+         r["child_rank"])
+        for r in got
+    ] == exp
+    with pytest.raises(ValueError, match="size"):
+        from elasticsearch_assets_spark.query.engine import nested_inner_hits
+        nested_inner_hits(
+            child_idx.search(["spark"], k=None, mode="or"), 16, size=0
+        )
