@@ -191,3 +191,38 @@ def test_streaming_positional_index(spark, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b2
     ]
+
+
+def test_positional_purge_merge(spark, corpus, tmp_path):
+    """Tombstone PURGE through a positional merge (the batch-decode path's
+    position masking): purged docs vanish, survivors keep bit-identical
+    phrase results vs a fresh rebuild without the victims."""
+    from elasticsearch_assets_spark.index.merge import merge_segments
+    from elasticsearch_assets_spark.index.tombstones import add_tombstones
+
+    d = str(tmp_path / "pm")
+    build_index(spark, corpus, d, num_segments=8, num_chunks=1, positions=True)
+    idx = InvertedIndex(spark, d)
+    full = [r["doc_id"] for r in idx.search_phrase("the join", k=None).collect()]
+    victims = full[:2]
+    add_tombstones(d, victims)
+    merge_segments(spark, d, 4, apply_tombstones=True)
+    merged = InvertedIndex(spark, d)
+    assert merged.meta.positions
+    got = [
+        (r["doc_id"], r["score"])
+        for r in merged.search_phrase("the join", k=None).collect()
+    ]
+    # fresh rebuild without the victims == merged-with-purge, bit for bit
+    d2 = str(tmp_path / "pm2")
+    from pyspark.sql import functions as F
+
+    build_index(
+        spark, corpus.where(~F.col("doc_id").isin([int(v) for v in victims])),
+        d2, num_segments=4, num_chunks=1, positions=True,
+    )
+    want = [
+        (r["doc_id"], r["score"])
+        for r in InvertedIndex(spark, d2).search_phrase("the join", k=None).collect()
+    ]
+    assert got == want and not set(victims) & {g for g, _ in got}
