@@ -544,7 +544,8 @@ def compile_body(
 # set-oriented spelling is one shaped frame per request
 _SHAPE_SECTIONS = (
     "post_filter", "rescore", "collapse", "highlight",
-    "_source", "fields", "script_fields", "track_total_hits",
+    "_source", "fields", "stored_fields", "docvalue_fields",
+    "script_fields", "track_total_hits",
 )
 
 
@@ -752,14 +753,21 @@ def _shaped(
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )
 
-    if section in ("_source", "fields"):
+    if section in ("_source", "fields", "stored_fields", "docvalue_fields"):
         if corpus is None:
             raise ValueError(f"{section} needs corpus (the stored fields)")
         hits = run(k)
         stored = corpus
         if id_col != "doc_id":
             stored = stored.withColumnRenamed(id_col, "doc_id")
-        if section == "fields":
+        if section in ("fields", "stored_fields", "docvalue_fields"):
+            # stored_fields / docvalue_fields are the pre-7.x spellings of
+            # the fields API — same name/{field,format} entries, same
+            # projection kernel (this engine stores columns, so "stored"
+            # vs "doc-values" is a distinction without a difference here);
+            # stored_fields: "_none_" -> the bare hit list
+            if section == "stored_fields" and cfg == "_none_":
+                return hits
             return idx.fetch_fields(hits, stored, cfg, id_col="doc_id")
         if cfg is False:
             return hits

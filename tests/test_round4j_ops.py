@@ -326,3 +326,30 @@ def test_nested_inner_hits(nested_setup, wt_index):
         nested_inner_hits(
             child_idx.search(["spark"], k=None, mode="or"), 16, size=0
         )
+
+
+def test_stored_and_docvalue_fields_alias_fields_api(wt_index):
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = wt_index
+    want = [
+        (r["doc_id"], r["lang"])
+        for r in search_dsl(
+            idx, {"query": {"match": {"text": "spark"}},
+                  "fields": ["lang"], "size": 3}, docs
+        ).collect()
+    ]
+    for section in ("stored_fields", "docvalue_fields"):
+        got = [
+            (r["doc_id"], r["lang"])
+            for r in search_dsl(
+                idx, {"query": {"match": {"text": "spark"}},
+                      section: ["lang"], "size": 3}, docs
+            ).collect()
+        ]
+        assert got == want and got
+    none = search_dsl(
+        idx, {"query": {"match": {"text": "spark"}},
+              "stored_fields": "_none_", "size": 3}, docs
+    )
+    assert none.columns == ["doc_id", "score"] and none.count() == 3
