@@ -674,6 +674,50 @@ def main() -> None:
         ),
     )
 
+    np_dir = "/tmp/esa_plan_audit_idx_passages"
+    if not os.path.exists(os.path.join(np_dir, "meta.json")):
+        from elasticsearch_assets_spark.operators.relations import (
+            passage_corpus,
+        )
+
+        build_index(
+            spark, passage_corpus(docs, n=20, slot_base=16), np_dir,
+            num_segments=8,
+        )
+    from elasticsearch_assets_spark.query.dsl import search_dsl as _sdsl
+    from elasticsearch_assets_spark.query.engine import (
+        InvertedIndex as _II,
+    )
+
+    add(
+        "nested query roll-up (session 13): child postings -> one parent agg",
+        "The child index's pushed `term IN` scan feeds the per-passage "
+        "BM25 kernel; the parent roll-up is ONE hash aggregate on the "
+        "derived `doc_id div slot_base` key (map-side partials over "
+        "matching children only) + TakeOrderedAndProject — no join "
+        "against the parent corpus, nothing corpus-wide.",
+        _sdsl(
+            idx,
+            {"query": {"nested": {
+                "path": "passages",
+                "query": {"match": {"text": "spark table"}},
+                "score_mode": "max",
+            }}, "size": 10},
+            nested_paths={"passages": (_II(spark, np_dir), 16)},
+        ),
+    )
+    add(
+        "LSH near-dup verify (session 13): batch matmul after key-only join",
+        "Candidates shuffle as (table, code, id) keys; vectors join back "
+        "only for the candidate set, and the cosine verify is ONE "
+        "mapInPandas (ArrowEvalPython) over the joined frame — no "
+        "interpreted per-element fold per pair.",
+        __import__(
+            "elasticsearch_assets_spark.operators.similarity",
+            fromlist=["lsh_neardup_pairs"],
+        ).lsh_neardup_pairs(emb, tau=0.45, n_planes=4, n_tables=4),
+    )
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "
