@@ -731,6 +731,32 @@ def main() -> None:
         ).collect(),
     )
 
+    # --- round-3 session-13 ops -----------------------------------------
+    # nested query: per-passage BM25 rolled up to parents (MaxP) — child
+    # passage index over the documents table, built once and reused
+    from elasticsearch_assets_spark.operators.relations import passage_corpus
+    from elasticsearch_assets_spark.query.dsl import search_dsl as _sdsl13
+
+    np_dir = f"/tmp/esa_bench_idx_passages_{SF}"
+    if not os.path.exists(os.path.join(np_dir, "meta.json")):
+        build_index(
+            spark, passage_corpus(docs, n=20, slot_base=16), np_dir,
+            num_chunks=1,
+        )
+    np_idx = InvertedIndex(spark, np_dir)
+    q_best(
+        "q_nested_maxp",
+        lambda: _sdsl13(
+            idx,
+            {"query": {"nested": {
+                "path": "passages",
+                "query": {"match": {"text": "spark table"}},
+                "score_mode": "max",
+            }}, "size": 10},
+            nested_paths={"passages": (np_idx, 16)},
+        ).collect(),
+    )
+
     total = time.monotonic() - t_total
     print(
         json.dumps(
