@@ -871,6 +871,19 @@ def _run_opt_composed(idx, spec, k, *, filtered=None, id_col="doc_id"):
     return out.limit(k) if k is not None else out
 
 
+# top-level kinds whose handlers return their kernel frame directly
+# (before the compile_body scoring surface where generic min_score lives)
+_NO_MIN_SCORE_KINDS = frozenset({
+    "match_all", "ids", "query_string", "constant_score", "function_score",
+    "dis_max", "simple_query_string", "boosting", "pinned", "terms_set",
+    "script_score", "more_like_this", "regexp", "match_phrase_prefix",
+    "match_bool_prefix", "sparse_vector", "nested", "weighted_tokens",
+    "wrapper", "intervals", "span_near", "span_first", "span_not",
+    "span_or", "span_containing", "span_within", "multi_match",
+    "combined_fields",
+})
+
+
 def search_dsl(
     idx,
     body: dict,
@@ -1011,6 +1024,18 @@ def search_dsl(
 
     query = body["query"]
     kind, qbody = _one(query)
+
+    # min_score composes with the compiled scoring surface (compile_body
+    # paths), knn, and the bool optional-should paths; the delegating
+    # kinds below return their kernel's frame directly, so a min_score
+    # there would be SILENTLY dropped — raise instead (the silent-no-op
+    # bug class). Callers: run size=None and filter the score column.
+    if min_score is not None and kind in _NO_MIN_SCORE_KINDS:
+        _err(
+            f"min_score with {kind!r} is not wired — run the query with "
+            "size: None and filter the returned score column (generic "
+            "min_score covers match/term/bool bodies and knn)"
+        )
 
     # delegating top-level forms
     if kind == "match_all":

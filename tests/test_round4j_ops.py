@@ -353,3 +353,34 @@ def test_stored_and_docvalue_fields_alias_fields_api(wt_index):
               "stored_fields": "_none_", "size": 3}, docs
     )
     assert none.columns == ["doc_id", "score"] and none.count() == 3
+
+
+def test_min_score_on_delegating_kinds_is_loud(wt_index):
+    """min_score next to a delegating kind was a silent drop — it raises
+    with guidance now; the compiled scoring surface keeps honoring it."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, _ = wt_index
+    with pytest.raises(NotImplementedError, match="min_score"):
+        search_dsl(idx, {
+            "query": {"sparse_vector": {"field": "text",
+                                        "query_vector": {"spark": 1.0}}},
+            "min_score": 0.5,
+        })
+    with pytest.raises(NotImplementedError, match="min_score"):
+        search_dsl(idx, {
+            "query": {"nested": {"path": "p", "query": {}}},
+            "min_score": 0.5,
+        })
+    # the compiled surface still honors it
+    allr = dict(_pairs(search_dsl(
+        idx, {"query": {"match": {"text": "spark"}}, "size": None}
+    )))
+    vals = sorted(set(allr.values()))
+    assert len(vals) >= 2  # two score tiers in this corpus
+    cut = (vals[0] + vals[-1]) / 2  # strictly between tiers
+    kept = dict(_pairs(search_dsl(
+        idx, {"query": {"match": {"text": "spark"}}, "size": None,
+              "min_score": cut}
+    )))
+    assert kept and kept == {d: s for d, s in allr.items() if s >= cut}
