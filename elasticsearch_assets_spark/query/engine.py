@@ -4281,6 +4281,11 @@ class InvertedIndex:
         the tokens the pruning rule dropped — the complement pass a
         rescore block adds back onto the pruned main query. Requires
         prune=True (it is a pruning-config knob)."""
+        if only_score_pruned_tokens and not prune:
+            raise ValueError(
+                "only_score_pruned_tokens is a pruning-config knob — "
+                "set prune=True"
+            )
         terms = sorted(query_weights)
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -4288,11 +4293,6 @@ class InvertedIndex:
         present = [t for t in terms if t in dfs]
         if not present:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        if only_score_pruned_tokens and not prune:
-            raise ValueError(
-                "only_score_pruned_tokens is a pruning-config knob — "
-                "set prune=True"
-            )
         if prune:
             avg_df = sum(dfs[t] for t in present) / len(present)
             best_w = max(abs(float(query_weights[t])) for t in present)
