@@ -940,12 +940,23 @@ def search_dsl(
     k = body.get("size", 10)
     min_score = body.get("min_score")
 
+    rank = body.get("rank")
+    if rank is not None and "knn" not in body:
+        _err(
+            "rank.rrf fuses the body's query and knn result sets — add a "
+            "knn section (for arbitrary result lists call "
+            "similarity.rrf_fuse directly)"
+        )
     if "knn" in body:
         # body-level knn section (ES 8.x): each clause retrieves its own
         # top-k by cosine; a doc found by several clauses — or by the
         # query side too — SUMS the boosted scores (the documented ES
         # combination), then the global size cut applies. `corpus` must
-        # carry the vector column for the knn clauses.
+        # carry the vector column for the knn clauses. With a
+        # `rank: {rrf: ...}` section (8.8) the result sets fuse by
+        # reciprocal-rank instead: each list cut to rank_window_size,
+        # score = Σ 1/(rank_constant + rank) — rank-based, so clause
+        # boosts can't change it (they never reorder their own list).
         from elasticsearch_assets_spark.operators.similarity import (
             cosine_topk,
         )
@@ -957,6 +968,47 @@ def search_dsl(
                 "knn with a field sort: kNN retrieval is score-ordered by "
                 "definition — sort the hits after materialization"
             )
+        if rank is not None:
+            if set(rank) != {"rrf"}:
+                _err(f"rank supports the rrf method, got {sorted(rank)}")
+            from elasticsearch_assets_spark.operators.similarity import (
+                rrf_fuse,
+            )
+
+            rcfg = rank["rrf"] or {}
+            window = int(rcfg.get("rank_window_size", 10))
+            kconst = int(rcfg.get("rank_constant", 60))
+            spec_knn = body["knn"]
+            kcls = (
+                [spec_knn] if isinstance(spec_knn, dict) else list(spec_knn)
+            )
+            lists = [
+                cosine_topk(
+                    corpus,
+                    [float(x) for x in c["query_vector"]],
+                    k=window,
+                    vec_col=c.get("field", "embedding"),
+                    id_col=id_col,
+                    similarity=c.get("similarity"),
+                ).select(F.col(id_col).cast("long").alias("doc_id"), "score")
+                for c in kcls
+            ]
+            if "query" in body:
+                sub = {kk: v for kk, v in body.items()
+                       if kk not in ("knn", "rank", "size", "min_score")}
+                sub["size"] = window
+                lists.append(
+                    search_dsl(
+                        idx, sub, corpus, text_col=text_col,
+                        analyzed_fields=analyzed, id_col=id_col,
+                        nested_paths=nested_paths,
+                    ).select("doc_id", "score")
+                )
+            res = rrf_fuse(lists, k_const=kconst, k=None)
+            if min_score is not None:
+                res = res.where(F.col("score") >= float(min_score))
+            res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            return res.limit(k) if k is not None else res
         spec_knn = body["knn"]
         clauses = [spec_knn] if isinstance(spec_knn, dict) else list(spec_knn)
         union = None

@@ -384,3 +384,44 @@ def test_min_score_on_delegating_kinds_is_loud(wt_index):
               "min_score": cut}
     )))
     assert kept and kept == {d: s for d, s in allr.items() if s >= cut}
+
+
+def test_body_rank_rrf_fuses_query_and_knn(spark, wt_index):
+    """ES 8.8 `rank: {rrf: ...}`: the body's query and knn result sets
+    fuse by reciprocal rank (each list cut to rank_window_size) instead
+    of score-summing."""
+    import numpy as np
+
+    from elasticsearch_assets_spark.operators.similarity import (
+        cosine_topk, rrf_fuse,
+    )
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = wt_index
+    rng = np.random.default_rng(3)
+    emb = docs.select("doc_id").toPandas()
+    emb["embedding"] = [rng.standard_normal(8).tolist() for _ in range(len(emb))]
+    corpus = spark.createDataFrame(emb).join(docs, "doc_id")
+    qv = rng.standard_normal(8).tolist()
+    body = {
+        "query": {"match": {"text": "spark table"}},
+        "knn": {"field": "embedding", "query_vector": qv, "k": 3},
+        "rank": {"rrf": {"rank_window_size": 4, "rank_constant": 10}},
+        "size": 5,
+    }
+    got = _pairs(search_dsl(idx, body, corpus))
+    exp = _pairs(rrf_fuse(
+        [
+            cosine_topk(corpus, qv, k=4, vec_col="embedding",
+                        id_col="doc_id"),
+            search_dsl(idx, {"query": {"match": {"text": "spark table"}},
+                             "size": 4}, corpus),
+        ],
+        k_const=10, k=5,
+    ))
+    assert got == exp and got
+    with pytest.raises(NotImplementedError, match="rrf"):
+        search_dsl(idx, {"query": {"match": {"text": "spark"}},
+                         "rank": {"rrf": {}}}, corpus)
+    with pytest.raises(NotImplementedError, match="rrf"):
+        search_dsl(idx, {**body, "rank": {"linear": {}}}, corpus)
