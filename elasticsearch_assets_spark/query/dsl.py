@@ -969,15 +969,17 @@ def search_dsl(
                 "definition — sort the hits after materialization"
             )
         if rank is not None:
-            if set(rank) != {"rrf"}:
-                _err(f"rank supports the rrf method, got {sorted(rank)}")
+            method = sorted(rank)
+            if method not in (["rrf"], ["linear"]):
+                _err(f"rank supports rrf | linear, got {method}")
+            method = method[0]
             from elasticsearch_assets_spark.operators.similarity import (
+                linear_fuse,
                 rrf_fuse,
             )
 
-            rcfg = rank["rrf"] or {}
+            rcfg = rank[method] or {}
             window = int(rcfg.get("rank_window_size", 10))
-            kconst = int(rcfg.get("rank_constant", 60))
             spec_knn = body["knn"]
             kcls = (
                 [spec_knn] if isinstance(spec_knn, dict) else list(spec_knn)
@@ -1004,7 +1006,22 @@ def search_dsl(
                         nested_paths=nested_paths,
                     ).select("doc_id", "score")
                 )
-            res = rrf_fuse(lists, k_const=kconst, k=None)
+            if method == "rrf":
+                res = rrf_fuse(
+                    lists, k_const=int(rcfg.get("rank_constant", 60)),
+                    k=None,
+                )
+            else:
+                # linear method (8.16): minmax-normalized weighted sum;
+                # knn clauses first, the query list last — weights follow
+                # that order
+                ws = rcfg.get("weights")
+                res = linear_fuse(
+                    lists,
+                    weights=[float(w) for w in ws] if ws else None,
+                    normalizer=str(rcfg.get("normalizer", "minmax")),
+                    k=None,
+                )
             if min_score is not None:
                 res = res.where(F.col("score") >= float(min_score))
             res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())

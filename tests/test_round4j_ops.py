@@ -424,4 +424,40 @@ def test_body_rank_rrf_fuses_query_and_knn(spark, wt_index):
         search_dsl(idx, {"query": {"match": {"text": "spark"}},
                          "rank": {"rrf": {}}}, corpus)
     with pytest.raises(NotImplementedError, match="rrf"):
-        search_dsl(idx, {**body, "rank": {"linear": {}}}, corpus)
+        search_dsl(idx, {**body, "rank": {"fancy": {}}}, corpus)
+
+
+def test_body_rank_linear(spark, wt_index):
+    """ES 8.16 `rank: {linear: ...}`: minmax-normalized weighted sum of
+    the knn and query result lists (knn clauses first, query last)."""
+    import numpy as np
+
+    from elasticsearch_assets_spark.operators.similarity import (
+        cosine_topk, linear_fuse,
+    )
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = wt_index
+    rng = np.random.default_rng(5)
+    emb = docs.select("doc_id").toPandas()
+    emb["embedding"] = [rng.standard_normal(8).tolist() for _ in range(len(emb))]
+    corpus = spark.createDataFrame(emb).join(docs, "doc_id")
+    qv = rng.standard_normal(8).tolist()
+    body = {
+        "query": {"match": {"text": "spark table"}},
+        "knn": {"field": "embedding", "query_vector": qv, "k": 3},
+        "rank": {"linear": {"rank_window_size": 4,
+                            "weights": [2.0, 1.0]}},
+        "size": 5,
+    }
+    got = _pairs(search_dsl(idx, body, corpus))
+    exp = _pairs(linear_fuse(
+        [
+            cosine_topk(corpus, qv, k=4, vec_col="embedding",
+                        id_col="doc_id"),
+            search_dsl(idx, {"query": {"match": {"text": "spark table"}},
+                             "size": 4}, corpus),
+        ],
+        weights=[2.0, 1.0], k=5,
+    ))
+    assert got == exp and got
