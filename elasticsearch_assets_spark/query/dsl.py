@@ -871,6 +871,87 @@ def _run_opt_composed(idx, spec, k, *, filtered=None, id_col="doc_id"):
     return out.limit(k) if k is not None else out
 
 
+def _run_retriever(
+    idx, node: dict, corpus, k, *, text_col, analyzed, id_col, nested_paths,
+):
+    """One retriever-tree node -> a (doc_id, score) frame. `standard`
+    recurses through search_dsl (every query shape composes), `knn` is
+    the exact cosine kernel, `rrf` / `linear` fuse their children's
+    k-bounded lists (rank_window_size per child). linear children carry
+    per-entry weight; ES's per-entry normalizer is supported when uniform
+    (linear_fuse normalizes per list with ONE rule — mixed per-child
+    normalizers raise rather than approximate)."""
+    from pyspark.sql import functions as F
+
+    kind, cfg = _one(node)
+    if kind == "standard":
+        return search_dsl(
+            idx, {"query": cfg["query"], "size": k}, corpus,
+            text_col=text_col, analyzed_fields=analyzed, id_col=id_col,
+            nested_paths=nested_paths,
+        )
+    if kind == "knn":
+        from elasticsearch_assets_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        if corpus is None:
+            raise ValueError("knn retriever needs corpus (the vector col)")
+        out = cosine_topk(
+            corpus,
+            [float(x) for x in cfg["query_vector"]],
+            k=int(cfg.get("k", k if k is not None else 10)),
+            vec_col=cfg.get("field", "embedding"),
+            id_col=id_col,
+            similarity=cfg.get("similarity"),
+        )
+        return out.select(
+            F.col(id_col).cast("long").alias("doc_id"), "score"
+        )
+    if kind in ("rrf", "linear"):
+        from elasticsearch_assets_spark.operators.similarity import (
+            linear_fuse,
+            rrf_fuse,
+        )
+
+        window = int(cfg.get("rank_window_size", 10))
+        entries = cfg["retrievers"]
+        if not isinstance(entries, list) or not entries:
+            _err(f"{kind} retriever needs a non-empty retrievers list")
+        children, weights, normalizers = [], [], set()
+        for e in entries:
+            if isinstance(e, dict) and "retriever" in e:
+                child, w = e["retriever"], float(e.get("weight", 1.0))
+                normalizers.add(str(e.get("normalizer", "minmax")))
+            else:
+                child, w = e, 1.0
+            children.append(_run_retriever(
+                idx, child, corpus, window, text_col=text_col,
+                analyzed=analyzed, id_col=id_col,
+                nested_paths=nested_paths,
+            ))
+            weights.append(w)
+        if kind == "rrf":
+            return rrf_fuse(
+                children, k_const=int(cfg.get("rank_constant", 60)),
+                k=None,
+            )
+        if len(normalizers) > 1:
+            _err(
+                "linear retriever with MIXED per-child normalizers — "
+                "linear_fuse applies one rule; split the fusion"
+            )
+        return linear_fuse(
+            children, weights=weights,
+            normalizer=(normalizers.pop() if normalizers else "minmax"),
+            k=None,
+        )
+    _err(
+        f"retriever type {kind!r} (standard/knn/rrf/linear are wired; "
+        "text_similarity_reranker = rescore over the semantic kernel)"
+    )
+
+
 # top-level kinds whose handlers return their kernel frame directly
 # (before the compile_body scoring surface where generic min_score lives)
 _NO_MIN_SCORE_KINDS = frozenset({
@@ -935,10 +1016,31 @@ def search_dsl(
             analyzed=analyzed, id_col=id_col, field_indexes=field_indexes,
             nested_paths=nested_paths,
         )
-    if "query" not in body and "knn" not in body:
-        raise ValueError("search body needs a query and/or a knn section")
     k = body.get("size", 10)
     min_score = body.get("min_score")
+
+    if "retriever" in body:
+        # ES 8.14+ retriever tree — the modern spelling of hybrid
+        # retrieval: standard (a query body), knn, and the rrf / linear
+        # compound retrievers nest recursively; leaves run their own
+        # kernels, compounds fuse k-bounded result lists
+        if set(body) - {"retriever", "size", "min_score"}:
+            _err(
+                "retriever composes with size/min_score only (its tree "
+                "replaces query/knn/rank)"
+            )
+        res = _run_retriever(
+            idx, body["retriever"], corpus, k,
+            text_col=text_col, analyzed=analyzed, id_col=id_col,
+            nested_paths=nested_paths,
+        )
+        if min_score is not None:
+            res = res.where(F.col("score") >= float(min_score))
+        res = res.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return res.limit(k) if k is not None else res
+
+    if "query" not in body and "knn" not in body:
+        raise ValueError("search body needs a query and/or a knn section")
 
     rank = body.get("rank")
     if rank is not None and "knn" not in body:

@@ -461,3 +461,69 @@ def test_body_rank_linear(spark, wt_index):
         weights=[2.0, 1.0], k=5,
     ))
     assert got == exp and got
+
+
+def test_retriever_tree(spark, wt_index):
+    """ES 8.14 retriever tree: standard/knn leaves, rrf/linear compounds
+    nest recursively; the rrf spelling matches the rank.rrf body."""
+    import numpy as np
+
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = wt_index
+    rng = np.random.default_rng(3)
+    emb = docs.select("doc_id").toPandas()
+    emb["embedding"] = [rng.standard_normal(8).tolist() for _ in range(len(emb))]
+    corpus = spark.createDataFrame(emb).join(docs, "doc_id")
+    qv = rng.standard_normal(8).tolist()
+    tree = {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"text": "spark table"}}}},
+                {"knn": {"field": "embedding", "query_vector": qv}},
+            ],
+            "rank_window_size": 4, "rank_constant": 10,
+        }},
+        "size": 5,
+    }
+    got = _pairs(search_dsl(idx, tree, corpus))
+    rank_body = {
+        "query": {"match": {"text": "spark table"}},
+        "knn": {"field": "embedding", "query_vector": qv, "k": 4},
+        "rank": {"rrf": {"rank_window_size": 4, "rank_constant": 10}},
+        "size": 5,
+    }
+    exp_raw = _pairs(search_dsl(idx, rank_body, corpus))
+    assert dict(got) == dict(exp_raw) and got
+    # linear compound with per-entry weights, nesting an rrf child
+    nested_tree = {
+        "retriever": {"linear": {
+            "retrievers": [
+                {"retriever": {"standard": {"query": {
+                    "match": {"text": "spark"}}}}, "weight": 2.0},
+                {"retriever": {"rrf": {"retrievers": [
+                    {"standard": {"query": {"match": {"text": "table"}}}},
+                    {"knn": {"field": "embedding", "query_vector": qv}},
+                ], "rank_window_size": 3}}, "weight": 1.0},
+            ],
+            "rank_window_size": 4,
+        }},
+        "size": 5,
+    }
+    out = search_dsl(idx, nested_tree, corpus).collect()
+    # minmax normalizes each list's minimum to 0, so 0.0 totals are legal
+    assert out and all(r["score"] >= 0 for r in out)
+    assert out[0]["score"] > 0  # and the ranking is non-degenerate
+    # strictness
+    with pytest.raises(NotImplementedError, match="retriever"):
+        search_dsl(idx, {"retriever": {"standard": {
+            "query": {"match": {"text": "x"}}}}, "query": {}}, corpus)
+    with pytest.raises(NotImplementedError, match="retriever type"):
+        search_dsl(idx, {"retriever": {"magic": {}}}, corpus)
+    with pytest.raises(NotImplementedError, match="normalizer"):
+        search_dsl(idx, {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"match": {"text": "a"}}}},
+             "normalizer": "minmax"},
+            {"retriever": {"standard": {"query": {"match": {"text": "b"}}}},
+             "normalizer": "none"},
+        ]}}}, corpus)
