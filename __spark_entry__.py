@@ -6253,6 +6253,60 @@ QUALIFY child_rank <= 2
 """
 
 
+def _dsl_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.8 `rank: {rrf}` search body (== the 8.14 rrf retriever tree,
+    identity-tested): the query and knn result sets — each cut to
+    rank_window_size with the (score DESC, id ASC) tie-break — fuse by
+    reciprocal rank, score = Σ 1/(rank_constant + rank)."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    emb = load_sf_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    body = {
+        "query": {"match": {"text": "spark"}},
+        "knn": {"field": "embedding", "query_vector": qv, "k": 20},
+        "rank": {"rrf": {"rank_window_size": 20, "rank_constant": 60}},
+        "size": 10,
+    }
+    res = search_dsl(idx, body, corpus)
+    return res.select("doc_id", _f4("score").alias("score"))
+
+
+def _dsl_rank_rrf_sql() -> str:
+    body = _bm25_body("term IN ('spark')")
+    return f"""
+WITH {body},
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20
+),
+j AS (
+  SELECT d.doc_id, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+knn AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+  FROM (SELECT a.doc_id AS doc_id, {_COS_AB.replace('a.vec_id', 'a.doc_id')} AS cos FROM j a, q b)
+  ORDER BY cos DESC, doc_id ASC LIMIT 20
+),
+u AS (
+  SELECT doc_id, 1.0 / (60 + r) AS contrib FROM bm
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + r) AS contrib FROM knn
+)
+SELECT doc_id,
+       floor(sum(contrib) * 10000.0 + 0.5) / 10000.0 AS score
+FROM u GROUP BY doc_id
+ORDER BY sum(contrib) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _alias_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES filtered alias: the alias' stored filter (lang = 'en') applies
     to every search through it; collection stats stay GLOBAL — an alias
@@ -15071,6 +15125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_script_fields": _dsl_script_fields,
         "nested_maxp": _nested_maxp,
         "nested_inner_hits": _nested_inner_hits,
+        "dsl_rank_rrf": _dsl_rank_rrf,
         "alias_search": _alias_search,
         "reindex_search": _reindex_search,
         "facet_sibling": _facet_sibling,
@@ -15521,6 +15576,7 @@ def oracle_sql() -> dict[str, str]:
         "dsl_script_fields": _dsl_script_fields_sql(),
         "nested_maxp": _nested_maxp_sql(),
         "nested_inner_hits": _nested_inner_hits_sql(),
+        "dsl_rank_rrf": _dsl_rank_rrf_sql(),
         "alias_search": _ALIAS_SQL,
         "reindex_search": _REINDEX_SQL,
         "facet_sibling": _FACET_SIBLING_SQL,
