@@ -946,9 +946,41 @@ def _run_retriever(
             normalizer=(normalizers.pop() if normalizers else "minmax"),
             k=None,
         )
+    if kind == "text_similarity_reranker":
+        # 8.15 semantic reranker: the child's top rank_window_size hits
+        # are RE-SCORED by semantic similarity between inference_text and
+        # the document's field — here the declared-boundary stand-in
+        # embedder (operators/semantic.py); a real cross-encoder swaps
+        # into the same k-bounded plan. Docs embedding to the zero
+        # vector drop (no direction), the kernel's documented shape.
+        from elasticsearch_assets_spark.operators.semantic import (
+            semantic_topk,
+        )
+
+        if corpus is None:
+            raise ValueError(
+                "text_similarity_reranker needs corpus (the reranked field)"
+            )
+        window = int(cfg.get("rank_window_size", 10))
+        hits = _run_retriever(
+            idx, cfg["retriever"], corpus, window, text_col=text_col,
+            analyzed=analyzed, id_col=id_col, nested_paths=nested_paths,
+        )
+        stored = corpus
+        if id_col != "doc_id":
+            stored = stored.withColumnRenamed(id_col, "doc_id")
+        sub = F.broadcast(
+            hits.select(F.col("doc_id").cast("long").alias("doc_id"))
+        ).join(stored.withColumn(
+            "doc_id", F.col("doc_id").cast("long")
+        ), "doc_id")
+        return semantic_topk(
+            sub, str(cfg["inference_text"]), k=window,
+            text_col=str(cfg.get("field", text_col)), id_col="doc_id",
+        )
     _err(
-        f"retriever type {kind!r} (standard/knn/rrf/linear are wired; "
-        "text_similarity_reranker = rescore over the semantic kernel)"
+        f"retriever type {kind!r} (standard/knn/rrf/linear/"
+        "text_similarity_reranker are wired)"
     )
 
 

@@ -527,3 +527,34 @@ def test_retriever_tree(spark, wt_index):
             {"retriever": {"standard": {"query": {"match": {"text": "b"}}}},
              "normalizer": "none"},
         ]}}}, corpus)
+
+
+def test_retriever_text_similarity_reranker(wt_index):
+    """8.15 semantic reranker: the child's top-window hits re-score by
+    the stand-in semantic kernel over the document field."""
+    from elasticsearch_assets_spark.operators.semantic import semantic_topk
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = wt_index
+    tree = {
+        "retriever": {"text_similarity_reranker": {
+            "retriever": {"standard": {"query": {
+                "match": {"text": "spark table"}}}},
+            "inference_text": "table shuffle order",
+            "rank_window_size": 4,
+        }},
+        "size": 4,
+    }
+    got = _pairs(search_dsl(idx, tree, docs))
+    base = search_dsl(
+        idx, {"query": {"match": {"text": "spark table"}}, "size": 4}, docs
+    )
+    import pyspark.sql.functions as SF
+    sub = docs.join(base.select("doc_id"), "doc_id")
+    exp = _pairs(semantic_topk(sub, "table shuffle order", k=4))
+    assert got == exp and got
+    # the rerank really reorders vs the child
+    child_order = [r["doc_id"] for r in base.collect()]
+    assert [d for d, _ in got] != child_order[: len(got)] or len(got) < 4
+    with pytest.raises(ValueError, match="corpus"):
+        search_dsl(idx, tree)
