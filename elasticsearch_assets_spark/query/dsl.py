@@ -885,8 +885,17 @@ def _run_retriever(
 
     kind, cfg = _one(node)
     if kind == "standard":
+        q = cfg["query"]
+        flt = cfg.get("filter")
+        if flt is not None:
+            # the standard retriever's filter folds into a bool filter
+            # context (the fully-wired composition) — never dropped
+            q = {"bool": {
+                "must": [q],
+                "filter": flt if isinstance(flt, list) else [flt],
+            }}
         return search_dsl(
-            idx, {"query": cfg["query"], "size": k}, corpus,
+            idx, {"query": q, "size": k}, corpus,
             text_col=text_col, analyzed_fields=analyzed, id_col=id_col,
             nested_paths=nested_paths,
         )
@@ -897,6 +906,17 @@ def _run_retriever(
 
         if corpus is None:
             raise ValueError("knn retriever needs corpus (the vector col)")
+        flt = cfg.get("filter")
+        if flt is not None:
+            # ES filtered kNN: the filter applies DURING the search (the
+            # k survivors all satisfy it), which is exactly a pre-filtered
+            # scan feeding the exact cosine kernel
+            preds = flt if isinstance(flt, list) else [flt]
+            for fnode in preds:
+                corpus = corpus.where(compile_filter(
+                    filter_ast(fnode, text_col=text_col, analyzed=analyzed),
+                    text_col=text_col, analyzed_fields=analyzed,
+                ))
         out = cosine_topk(
             corpus,
             [float(x) for x in cfg["query_vector"]],

@@ -558,3 +558,37 @@ def test_retriever_text_similarity_reranker(wt_index):
     assert [d for d, _ in got] != child_order[: len(got)] or len(got) < 4
     with pytest.raises(ValueError, match="corpus"):
         search_dsl(idx, tree)
+
+
+def test_retriever_filters(spark, wt_index):
+    """standard/knn retriever `filter` keys are wired (were the silent-
+    drop shape): standard folds into a bool filter context, knn
+    pre-filters the scan (every survivor satisfies the filter)."""
+    import numpy as np
+
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = wt_index
+    rng = np.random.default_rng(7)
+    emb = docs.select("doc_id").toPandas()
+    emb["embedding"] = [rng.standard_normal(8).tolist() for _ in range(len(emb))]
+    corpus = spark.createDataFrame(emb).join(docs, "doc_id")
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    got = search_dsl(idx, {
+        "retriever": {"standard": {
+            "query": {"match": {"text": "spark table"}},
+            "filter": {"term": {"lang": "en"}},
+        }}, "size": None}, corpus).collect()
+    assert got and all(langs[r["doc_id"]] == "en" for r in got)
+    exp = search_dsl(idx, {
+        "query": {"bool": {"must": [{"match": {"text": "spark table"}}],
+                           "filter": [{"term": {"lang": "en"}}]}},
+        "size": None}, corpus).collect()
+    assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in exp]
+    qv = rng.standard_normal(8).tolist()
+    kn = search_dsl(idx, {
+        "retriever": {"knn": {
+            "field": "embedding", "query_vector": qv, "k": 4,
+            "filter": {"term": {"lang": "en"}},
+        }}, "size": None}, corpus).collect()
+    assert kn and all(langs[r["doc_id"]] == "en" for r in kn)
