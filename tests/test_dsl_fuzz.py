@@ -431,3 +431,52 @@ def test_dsl_fuzz_opt_should_against_naive(fuzz_index):
     # every composition axis fired (must boosts = the composed path)
     assert (n_filtered >= 3 and n_msm >= 3 and n_boosted >= 3
             and n_mboost >= 3)
+
+
+def _naive_rrf(lists, kconst):
+    contrib = {}
+    for lst in lists:
+        for rank, (d, _s) in enumerate(lst, 1):
+            contrib[d] = contrib.get(d, 0.0) + 1.0 / (kconst + rank)
+    return sorted(contrib.items(), key=lambda p: (-p[1], p[0]))
+
+
+def test_dsl_fuzz_retriever_rrf(fuzz_index):
+    """Random rrf retriever trees of 2-3 standard children (AND match
+    bodies) vs reciprocal-rank fusion over the naive interpreter's
+    ranked lists — the 8.14 retriever surface checked against the
+    published formula, not the kernels it delegates to."""
+    idx, docs, vals, corpus = fuzz_index
+    rng = random.Random(1313)
+    for trial in range(10):
+        n_child = rng.randint(2, 3)
+        window = rng.randint(3, 8)
+        kconst = rng.choice([10, 60])
+        children, naive_lists = [], []
+        for _ in range(n_child):
+            terms = sorted(
+                set(rng.choices(VOCAB, k=rng.randint(1, 2)))
+            )
+            children.append({"standard": {"query": {"match": {"text": {
+                "query": " ".join(terms), "operator": "and"}}}}})
+            naive_lists.append(
+                _naive(docs, [[t] for t in terms], {}, [])[:window]
+            )
+        tree = {
+            "retriever": {"rrf": {
+                "retrievers": children,
+                "rank_window_size": window,
+                "rank_constant": kconst,
+            }},
+            "size": None,
+        }
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_dsl(idx, tree, corpus).collect()
+        ]
+        exp = _naive_rrf(naive_lists, kconst)
+        assert [d for d, _ in got] == [d for d, _ in exp], (
+            trial, got, exp
+        )
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-12), (trial, gd)
