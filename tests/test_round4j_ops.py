@@ -592,3 +592,27 @@ def test_retriever_filters(spark, wt_index):
             "filter": {"term": {"lang": "en"}},
         }}, "size": None}, corpus).collect()
     assert kn and all(langs[r["doc_id"]] == "en" for r in kn)
+
+
+def test_reader_cache_freshness_across_compaction(spark, tmp_path):
+    """ONE handle across a compaction: the layout-keyed reader cache
+    serves identical results before and after merge_segments (the key
+    moves, the stale file listing is dropped), and the cached reader
+    object is REUSED while the layout is unchanged."""
+    from elasticsearch_assets_spark.index.build import build_index
+    from elasticsearch_assets_spark.index.merge import merge_segments
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    rows = [(i, f"alpha beta w{i % 7} gamma") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "idx")
+    build_index(spark, df, d, num_segments=8, num_chunks=1)
+    idx = InvertedIndex(spark, d)
+    before = [(r[0], r[1]) for r in idx.search("alpha beta", k=None).collect()]
+    seg_a = idx.segments
+    assert idx.segments is seg_a  # unchanged layout -> same reader object
+    merge_segments(spark, d, 2, apply_tombstones=True)
+    seg_b = idx.segments
+    assert seg_b is not seg_a  # compaction moved the key
+    after = [(r[0], r[1]) for r in idx.search("alpha beta", k=None).collect()]
+    assert after == before
