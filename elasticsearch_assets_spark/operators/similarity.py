@@ -599,8 +599,14 @@ def lsh_neardup_pairs(
     if engine not in ("pandas", "sql"):
         raise ValueError(f"engine must be pandas | sql, got {engine!r}")
     sp = df.sparkSession
-    n_shuffle = int(sp.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n_shuffle:
+    try:
+        # non-numeric on AQE-managed platforms (e.g. "auto") — the gate is
+        # an optimization, never a precondition (round-3 advice); df.rdd
+        # (an RDD conversion) is only forced when the parse succeeded
+        n_shuffle = int(sp.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_shuffle = None
+    if n_shuffle is not None and df.rdd.getNumPartitions() < n_shuffle:
         df = df.repartition(n_shuffle)
     codes = F.array(
         *[
@@ -626,6 +632,10 @@ def lsh_neardup_pairs(
     joined = cand.join(va, "id_a").join(vb, "id_b")
     if engine == "pandas":
         t = float(tau)
+        # the id type rides through from the input schema — a string id
+        # column must survive the pandas kernel unchanged (round-3 advice:
+        # hard-coding `long` silently broke non-integer ids)
+        id_type = df.schema[id_col].dataType.simpleString()
 
         def verify(batches):
             import pandas as pd
@@ -651,7 +661,7 @@ def lsh_neardup_pairs(
                 )
 
         return joined.mapInPandas(
-            verify, schema="id_a long, id_b long, cosine double"
+            verify, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
         )
     cos = dot_expr(F.col("va"), F.col("vb")) / (
         norm_expr(F.col("va")) * norm_expr(F.col("vb"))

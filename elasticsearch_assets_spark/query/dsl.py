@@ -945,11 +945,26 @@ def _run_retriever(
                 normalizers.add(str(e.get("normalizer", "minmax")))
             else:
                 child, w = e, 1.0
-            children.append(_run_retriever(
+            cf = _run_retriever(
                 idx, child, corpus, window, text_col=text_col,
                 analyzed=analyzed, id_col=id_col,
                 nested_paths=nested_paths,
-            ))
+            )
+            # ES truncates EACH child result set to the compound's
+            # rank_window_size before fusing — a child knn with explicit
+            # k > window (or a nested compound, which returns unbounded)
+            # must not contribute ranks beyond the window (round-3
+            # advice). Same ordering rule the fusers rank by, so the cut
+            # is exactly the child's top-`window`; ≤k rows, trivial cost.
+            from pyspark.sql import Window as _W
+
+            _w = _W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            cf = (
+                cf.withColumn("_rw", F.row_number().over(_w))
+                .where(F.col("_rw") <= window)
+                .drop("_rw")
+            )
+            children.append(cf)
             weights.append(w)
         if kind == "rrf":
             return rrf_fuse(
@@ -1133,6 +1148,16 @@ def search_dsl(
             )
 
             rcfg = rank[method] or {}
+            # strict composition (round-3 advice): a shape section inside
+            # a rank body would be forwarded into the recursive query-side
+            # search_dsl and fuse a wrongly-shaped frame — reject, same
+            # rule the retriever path enforces
+            bad = [s for s in _SHAPE_SECTIONS if s in body]
+            if bad:
+                _err(
+                    f"rank body cannot carry response-shape sections {bad}"
+                    " — apply them over the fused result as a pipeline"
+                )
             window = int(rcfg.get("rank_window_size", 10))
             spec_knn = body["knn"]
             kcls = (

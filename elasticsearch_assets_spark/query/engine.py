@@ -290,11 +290,14 @@ class InvertedIndex:
         finalize rewrite meta.json (always via temp + os.replace, so
         mtime_ns moves even through hard-link clones). Tombstone writes
         deliberately do NOT move it: they change ranking, not file
-        layout, and ride refresh_tombstones."""
+        layout, and ride refresh_tombstones. st_ino rides in the key
+        because temp+os.replace allocates a fresh inode per rewrite —
+        robust even on filesystems whose timestamp granularity could
+        land a same-size rewrite in one tick (round-3 advice)."""
         parts = []
         try:
             st = os.stat(os.path.join(self.index_dir, "meta.json"))
-            parts.append((st.st_mtime_ns, st.st_size))
+            parts.append((st.st_mtime_ns, st.st_size, st.st_ino))
         except OSError:
             parts.append(None)
         try:
