@@ -523,10 +523,12 @@ def finalize_index(
         row["n_postings"] = int(n_postings or 0)
         row["n_terms"] = int(n_terms or 0)
         _commit_manifest_row(index_dir, row)
+    # delete-everything edge: a purge can leave zero live docs (ES allows
+    # it — the index stays open, empty); aggregates come back NULL then
     meta = IndexMeta(
         n_docs=int(n_docs),
-        total_tokens=int(total),
-        avgdl=float(total) / float(n_docs),
+        total_tokens=int(total or 0),
+        avgdl=float(total or 0) / float(n_docs) if n_docs else 0.0,
         num_segments=num_segments,
         num_chunks=num_chunks,
         tokenizer_version=TOKENIZER_VERSION,
