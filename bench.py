@@ -163,6 +163,23 @@ def main() -> None:
     )
     # 100-term dictionary rewrite (term12xx) run as a scored OR
     q_best("q_prefix100", lambda: idx.search_prefix("term12", k=10).collect())
+    # same prefix through the search-as-you-type companion index: ONE
+    # posting lookup instead of the 100-term scored OR (round-3 verdict
+    # item #4 — the scale path: expansion width grows with vocabulary,
+    # this stays O(1) terms). Built once per bench dir, reused like the
+    # main index; hi=8 covers the 6-char bench prefix.
+    sayt_dir = f"/tmp/esa_bench_idx_{N_PAGES}_sayt"
+    if not os.path.exists(os.path.join(sayt_dir, "meta.json")):
+        from elasticsearch_assets_spark.index.build import build_sayt_index
+
+        build_sayt_index(
+            spark, corpus, sayt_dir, lo=2, hi=8, num_chunks=1
+        )
+    idx.attach_sayt(InvertedIndex(spark, sayt_dir), lo=2, hi=8)
+    q_best(
+        "q_prefix_sayt",
+        lambda: idx.search_prefix_sayt("term12", k=10).collect(),
+    )
     # full query-string composition: term AND 100-term rewrite AND filter,
     # structured part restricted through the cogrouped distributed path
     q_best(
@@ -691,14 +708,25 @@ def main() -> None:
     op_best("op_compaction_purge", _compact_once, reps=1)
 
     # ANN quality-at-speed: recall@10 of the bucketed/quantized paths vs
-    # the exact top-10 (the numbers a 100 TB deployment trades on)
+    # the exact top-10 (the numbers a 100 TB deployment trades on).
+    # HEADLINE row = the engine's default ANN recommendation
+    # (rescore_vector_topk: int8 quantized scan + exact rescore of
+    # k*oversample candidates, ES's rescore_vector recipe) — target
+    # recall@10 >= 0.9 (round-3 verdict item #3). The LSH row probes at
+    # radius 3 (multiprobe generalized past the old silent radius-2 cap;
+    # binomial model expects ~0.89 at cos≈0.7 neighbors) and stays a
+    # genuine pruned path — radius 8 would be an exhaustive scan.
     exact10 = {
         r["vec_id"]
         for r in OS.cosine_topk(emb, qv, k=10).collect()
     }
+    default10 = {
+        r["vec_id"]
+        for r in OS.rescore_vector_topk(emb, qv, k=10, oversample=4.0).collect()
+    }
     lsh10 = {
         r["vec_id"]
-        for r in OS.ann_topk_lsh(emb, qv, k=10, n_planes=8, multiprobe=8).collect()
+        for r in OS.ann_topk_lsh(emb, qv, k=10, n_planes=8, multiprobe=3).collect()
     }
     int810 = {
         r["vec_id"] for r in OS.quantized_cosine_topk(emb, qv, k=10).collect()
@@ -706,6 +734,7 @@ def main() -> None:
     bbq10 = {
         r["vec_id"] for r in OS.ann_topk_binary(emb, qv, k=10, rerank=128).collect()
     }
+    extras["ann_recall10"] = round(len(exact10 & default10) / 10.0, 3)
     extras["ann_lsh_recall10"] = round(len(exact10 & lsh10) / 10.0, 3)
     extras["ann_int8_recall10"] = round(len(exact10 & int810) / 10.0, 3)
     extras["ann_bbq_recall10"] = round(len(exact10 & bbq10) / 10.0, 3)

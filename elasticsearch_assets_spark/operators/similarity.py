@@ -265,18 +265,27 @@ def ann_topk_lsh(
     Probe count = sum_{d<=multiprobe} C(n_planes, d); with the default 8
     planes and multiprobe=1 that's 9 of 256 buckets — a 96% scan prune that
     becomes partition pruning when the table is written partitioned/bucketed
-    by the code.
-    """
+    by the code. Any radius up to n_planes is honored (radius n_planes =
+    exhaustive scan; earlier versions silently capped at 2, under-recalling
+    for callers who asked deeper). Expected recall for a neighbor whose
+    per-plane disagreement probability is p is the binomial CDF
+    P[Binom(n_planes, p) <= multiprobe] — at p≈0.25 (cos≈0.7 neighbors)
+    radius 2 gives ~0.68, radius 3 ~0.89, radius 4 ~0.97: the measured
+    bench recalls track this model. For ≥0.9 recall at BETTER pruning than
+    radius-4 single-table probing, prefer `rescore_vector_topk` (int8 scan
+    + exact rescore, the ES rescore_vector recipe) — the engine's default
+    ANN recommendation."""
+    from itertools import combinations
+
     dim = len(query_vec)
     qcode = _query_code(query_vec, n_planes)
     probes = {qcode}
-    if multiprobe >= 1:
-        for i in range(n_planes):
-            probes.add(qcode ^ (1 << i))
-    if multiprobe >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(qcode ^ (1 << i) ^ (1 << j))
+    for r in range(1, min(int(multiprobe), n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            probes.add(qcode ^ m)
     bucketed = df.withColumn(
         "bucket", bucket_code_expr(F.col(vec_col), n_planes, dim)
     ).where(F.col("bucket").isin(sorted(probes)))

@@ -781,6 +781,86 @@ class InvertedIndex:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.search(terms, k=k, mode="or")
 
+    # -- search-as-you-type prefix acceleration (round-3 verdict item #4) ----
+
+    def attach_sayt(
+        self, sayt_index: "InvertedIndex", lo: int = 2, hi: int = 4
+    ) -> None:
+        """Register a companion search-as-you-type index: the SAME corpus
+        re-analyzed with index-time edge n-grams (texthash.
+        edge_ngrams_expr(lo, hi) — every token's leading prefixes of
+        length lo..hi plus the full token). This is ES's `_index_prefixes`
+        subfield: prefixes become TERMS of the derived field, so a prefix
+        query is one posting lookup instead of an N-term dictionary
+        expansion. Build it with the same id space as this index."""
+        if not (1 <= lo <= hi):
+            raise ValueError("need 1 <= lo <= hi")
+        self._sayt = (sayt_index, int(lo), int(hi))
+
+    def search_prefix_sayt(self, prefix: str, k: int | None = 10) -> DataFrame:
+        """Prefix query through the attached sayt index: one posting
+        lookup, no dictionary expansion — the plan a 10^12-doc vocabulary
+        needs (search_prefix's scored-OR widens with vocabulary; this
+        stays O(1) terms per query regardless of corpus size).
+
+        Scoring contract (the documented ES parity): ranks are BM25 of
+        the prefix AS A TERM of the edge-ngram field, under that field's
+        own collection stats — exactly how ES scores `index_prefixes`-
+        accelerated prefix queries (Lucene rewrites them to a term query
+        on the ._index_prefix subfield). That is intentionally NOT the
+        scoring_boolean sum search_prefix computes; the expansion path
+        remains the rank-exact ES-default fallback. The MATCH SET is
+        identical by construction (a doc contains a token starting with
+        p iff the derived field contains the gram p) — tested.
+
+        Prefixes outside [lo, hi] fall back to search_prefix (the ES
+        behavior beyond index_prefixes.max_chars)."""
+        sayt = getattr(self, "_sayt", None)
+        if sayt is None:
+            raise ValueError(
+                "no sayt index attached — attach_sayt(build over "
+                "edge_ngrams_expr) first, or use search_prefix"
+            )
+        s, lo, hi = sayt
+        if not (lo <= len(prefix) <= hi):
+            return self.search_prefix(prefix, k=k)
+        return s.search([prefix], k=k, mode="and")
+
+    def match_bool_prefix_sayt(
+        self, text: str, k: int | None = 10
+    ) -> DataFrame:
+        """match_bool_prefix (operator="or") with the prefix clause served
+        by the attached sayt index: full-token clauses score on THIS
+        index, the trailing-prefix clause scores as one sayt posting
+        lookup, contributions sum per doc (the bool-should combine).
+        Same documented scoring deviation as search_prefix_sayt; match
+        set identical to match_bool_prefix. Falls back entirely when the
+        prefix length is outside the sayt [lo, hi] window."""
+        toks = tokenize(text)
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        sayt = getattr(self, "_sayt", None)
+        if sayt is None:
+            raise ValueError("no sayt index attached")
+        s, lo, hi = sayt
+        if not (lo <= len(toks[-1]) <= hi):
+            return self.match_bool_prefix(text, k=k)
+        pre = s.search([toks[-1]], k=None, mode="and")
+        rest = sorted(set(toks[:-1]))
+        if not rest:
+            out = pre.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            return out.limit(k) if k is not None else out
+        full = self.search(rest, k=None, mode="or")
+        both = full.select("doc_id", "score").unionByName(
+            pre.select("doc_id", "score")
+        )
+        out = (
+            both.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+        return out.limit(k) if k is not None else out
+
     def search_wildcard(
         self, pattern: str, k: int | None = 10, max_expansions: int | None = None
     ) -> DataFrame:

@@ -81,6 +81,26 @@ def test_ann_lsh_recall_on_clustered_data(spark):
     assert hits >= 8
 
 
+def test_ann_lsh_multiprobe_radius_generalizes(spark, vdf, vecs):
+    """Radius > 2 is honored (was silently capped at 2): recall is
+    monotone in probe radius, and radius == n_planes probes every bucket
+    — identical to the exact ranking."""
+    q = [float(x) for x in vecs[11]]
+    exact = [r["vec_id"] for r in S.cosine_topk(vdf, q, k=10).collect()]
+    prev = -1
+    for r in (1, 2, 3, 8):
+        got = [
+            x["vec_id"]
+            for x in S.ann_topk_lsh(
+                vdf, q, k=10, n_planes=8, multiprobe=r
+            ).collect()
+        ]
+        rec = len(set(got) & set(exact))
+        assert rec >= prev
+        prev = rec
+    assert got == exact  # radius 8 of 8 planes == exhaustive
+
+
 # ---------------------------------------------------------------------------
 # text stats
 # ---------------------------------------------------------------------------
