@@ -174,12 +174,14 @@ def test_dsir_plan_knobs_value_identical(docs):
     assert set(base) == set(nop)
     for d, (n, w) in base.items():
         assert nop[d][0] == n and nop[d][1] == pytest.approx(w, rel=1e-12)
-    # xxhash64: same shape/feature counts (bucket assignment differs by
-    # design — the production hash is not the oracle hash)
+    # xxhash64 (sql engine only): same shape/feature counts (bucket
+    # assignment differs by design — the production hash is not the
+    # oracle hash)
     xx = {
         r["doc_id"]: r["n_feats"]
         for r in T.dsir_importance(
-            docs, "is_tgt", n_buckets=64, feature_hash="xxhash64"
+            docs, "is_tgt", n_buckets=64, feature_hash="xxhash64",
+            engine="sql",
         ).collect()
     }
     assert set(xx) == set(base)
@@ -206,6 +208,18 @@ def test_dsir_engines_identical(docs):
     for d, (n, w) in sql_res.items():
         assert pd_res[d][0] == n
         assert pd_res[d][1] == pytest.approx(w, rel=1e-12)
+    # fused (the round-4 default): same doc set, n_feats exact, logw to
+    # FP round-off (prefix-sum differences vs grouped sums)
+    fu_res = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in T.dsir_importance(
+            docs, "is_tgt", n_buckets=64, engine="fused"
+        ).collect()
+    }
+    assert set(fu_res) == set(sql_res)
+    for d, (n, w) in sql_res.items():
+        assert fu_res[d][0] == n
+        assert fu_res[d][1] == pytest.approx(w, rel=1e-9)
     # invalid combinations are loud
     with pytest.raises(ValueError):
         T.dsir_importance(docs, "is_tgt", engine="arrow")
