@@ -249,6 +249,32 @@ def ann_topk_ivf(
     return cosine_topk(probed, query_vec, k, vec_col=vec_col, id_col=id_col)
 
 
+def lsh_probe_radius(
+    recall_target: float, n_planes: int = 8, neighbor_cos: float = 0.7
+) -> int:
+    """Smallest hamming probe radius whose EXPECTED recall meets
+    `recall_target` under the hyperplane model: a neighbor at cosine c
+    disagrees with the query on each plane independently with
+    p = arccos(c)/π, so recall at radius r is the binomial CDF
+    P[Binom(n_planes, p) <= r]. The bench measurements track this model
+    (radius 2 ≈ 0.68 predicted vs 0.7 measured at 8 planes, cos 0.7).
+    `neighbor_cos` is the similarity of the neighbors you care to
+    recall — lower targets (more distant neighbors) need deeper probes."""
+    import math
+
+    if not (0.0 < recall_target <= 1.0):
+        raise ValueError("recall_target must be in (0, 1]")
+    if not (-1.0 < neighbor_cos < 1.0):
+        raise ValueError("neighbor_cos must be in (-1, 1)")
+    p = math.acos(neighbor_cos) / math.pi
+    cdf = 0.0
+    for r in range(n_planes + 1):
+        cdf += math.comb(n_planes, r) * p**r * (1 - p) ** (n_planes - r)
+        if cdf >= recall_target:
+            return r
+    return n_planes
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: list[float],
@@ -256,6 +282,8 @@ def ann_topk_lsh(
     *,
     n_planes: int = 8,
     multiprobe: int = 1,
+    recall_target: float | None = None,
+    neighbor_cos: float = 0.7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -274,9 +302,15 @@ def ann_topk_lsh(
     bench recalls track this model. For ≥0.9 recall at BETTER pruning than
     radius-4 single-table probing, prefer `rescore_vector_topk` (int8 scan
     + exact rescore, the ES rescore_vector recipe) — the engine's default
-    ANN recommendation."""
+    ANN recommendation.
+
+    `recall_target` auto-tunes the radius from that model
+    (lsh_probe_radius — pass `neighbor_cos` to describe the neighbors
+    you must recall); it overrides `multiprobe` when given."""
     from itertools import combinations
 
+    if recall_target is not None:
+        multiprobe = lsh_probe_radius(recall_target, n_planes, neighbor_cos)
     dim = len(query_vec)
     qcode = _query_code(query_vec, n_planes)
     probes = {qcode}

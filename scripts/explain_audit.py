@@ -718,6 +718,50 @@ def main() -> None:
         ).lsh_neardup_pairs(emb, tau=0.45, n_planes=4, n_tables=4),
     )
 
+    from elasticsearch_assets_spark.index.build import (
+        SEGMENT_SCHEMA,
+        build_sayt_index,
+    )
+    from elasticsearch_assets_spark.index.merge import _purge_cogroup
+    from elasticsearch_assets_spark.index.tombstones import (
+        add_tombstones,
+        clear_tombstones,
+        tombstones_df,
+    )
+
+    sayt_dir = "/tmp/esa_plan_audit_sayt"
+    if not os.path.exists(os.path.join(sayt_dir, "meta.json")):
+        build_sayt_index(spark, docs, sayt_dir, num_segments=4)
+    idx.attach_sayt(InvertedIndex(spark, sayt_dir), 2, 4)
+    add(
+        "Sayt prefix lookup (round 4): one posting scan, no dictionary job",
+        "The attached edge-ngram companion answers an in-window prefix as "
+        "a TERM query: the plan is exactly the single-term search shape — "
+        "pushed `term IN` scan + per-segment kernel + "
+        "TakeOrderedAndProject — with NO stats-table expansion scan "
+        "anywhere (contrast search_prefix, whose first job enumerates the "
+        "dictionary).",
+        idx.search_prefix_sayt("spa", k=10),
+    )
+
+    add_tombstones(cidx_dir, [1, 2, 3])
+    purge_src = spark.read.parquet(os.path.join(cidx_dir, "segments")).withColumn(
+        "seg_id", F.pmod(F.col("seg_id"), F.lit(4)).cast("int")
+    )
+    add(
+        "Distributed tombstone purge (round 4): cogrouped anti-set",
+        "Above the broadcast cap the purge's exclusion ids route to their "
+        "segment via the seg_map residue table, replicate across term-hash "
+        "bands, and meet the segment rows in FlatMapCoGroupsInPandas — no "
+        "driver materialization and no broadcast of the tombstone set in "
+        "the plan; only 8-byte ids shuffle.",
+        _purge_cogroup(
+            spark, purge_src, cidx_dir, 4, 8, SEGMENT_SCHEMA,
+            tombstones_df(spark, cidx_dir),
+        ),
+    )
+    clear_tombstones(cidx_dir)
+
     out = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     out.append(
         "Evidence that the load-bearing plans have the shape the 100 TB "

@@ -101,6 +101,32 @@ def test_ann_lsh_multiprobe_radius_generalizes(spark, vdf, vecs):
     assert got == exact  # radius 8 of 8 planes == exhaustive
 
 
+def test_lsh_probe_radius_model_and_autotune(spark, vdf, vecs):
+    """The binomial probe-radius model: monotone in target, matches the
+    hand-computed CDF anchor points at 8 planes / cos 0.7 (~0.68 at
+    r=2, ~0.89 at r=3), and recall_target wires through ann_topk_lsh
+    with results identical to the explicit radius."""
+    r2 = S.lsh_probe_radius(0.65, 8, 0.7)
+    r3 = S.lsh_probe_radius(0.85, 8, 0.7)
+    r4 = S.lsh_probe_radius(0.95, 8, 0.7)
+    assert r2 == 2 and r3 == 3 and r4 == 4
+    assert S.lsh_probe_radius(1.0, 8, 0.7) == 8
+    with pytest.raises(ValueError):
+        S.lsh_probe_radius(0.0)
+    q = [float(x) for x in vecs[3]]
+    auto = [
+        r["vec_id"]
+        for r in S.ann_topk_lsh(
+            vdf, q, k=5, n_planes=8, recall_target=0.85
+        ).collect()
+    ]
+    explicit = [
+        r["vec_id"]
+        for r in S.ann_topk_lsh(vdf, q, k=5, n_planes=8, multiprobe=3).collect()
+    ]
+    assert auto == explicit
+
+
 # ---------------------------------------------------------------------------
 # text stats
 # ---------------------------------------------------------------------------
