@@ -47,6 +47,7 @@ class StreamingIndexWriter:
         refresh_every: int = 1,
         auto_compact_max_chunks: int | None = None,
         compact_merge_factor: int = 4,
+        auto_purge_tombstones: int | None = None,
     ):
         self.index_dir = index_dir
         self.id_col = id_col
@@ -60,6 +61,11 @@ class StreamingIndexWriter:
         # refresh() merges the `compact_merge_factor` smallest into one
         self.auto_compact_max_chunks = auto_compact_max_chunks
         self.compact_merge_factor = compact_merge_factor
+        # deletes-pressure purge (round-4, next to the chunk-count cap):
+        # when tombstone cardinality exceeds this at a refresh, run the
+        # physical purge compaction — the Lucene deletes_pct_allowed
+        # analog for long-lived streams receiving delete traffic
+        self.auto_purge_tombstones = auto_purge_tombstones
         os.makedirs(index_dir, exist_ok=True)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -109,7 +115,26 @@ class StreamingIndexWriter:
         """Re-finalize (global stats + meta) so queries see all committed
         chunks — the ES refresh analogue. With auto_compact_max_chunks set,
         first folds the smallest chunks together when the count exceeds the
-        cap (bounded segment growth for long-lived streams)."""
+        cap (bounded segment growth for long-lived streams). With
+        auto_purge_tombstones set, a refresh that finds more undeleted
+        tombstones than the cap runs the full physical purge
+        (merge_segments(apply_tombstones=True) — distributed above the
+        broadcast cap) before the tiered merge, so delete traffic on a
+        long-lived stream can never grow the exclusion set unboundedly."""
+        if self.auto_purge_tombstones is not None:
+            from elasticsearch_assets_spark.index.tombstones import (
+                tombstone_count,
+            )
+
+            if tombstone_count(self.index_dir) > self.auto_purge_tombstones:
+                from elasticsearch_assets_spark.index.merge import (
+                    merge_segments,
+                )
+
+                merge_segments(
+                    spark, self.index_dir, self.segs_per_batch,
+                    apply_tombstones=True,
+                )
         if self.auto_compact_max_chunks is not None:
             from elasticsearch_assets_spark.index.merge import (
                 merge_chunks,

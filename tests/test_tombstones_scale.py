@@ -153,6 +153,38 @@ def test_load_tombstones_overflow_raises(spark, tmp_path):
     assert tombstone_count(d) == 0
 
 
+def test_stream_auto_purge_on_tombstone_pressure(spark, tmp_path):
+    """A streaming index with auto_purge_tombstones: deletes between
+    epochs are physically purged at the next refresh (tombstones -> 0),
+    the deleted docs stay gone, and the stream keeps appending +
+    serving correctly afterwards."""
+    from elasticsearch_assets_spark.streaming.index_stream import (
+        StreamingIndexWriter,
+    )
+
+    corpus = pages_df(spark, 600, partitions=2).select("doc_id", "text").cache()
+    d = str(tmp_path / "sp")
+    writer = StreamingIndexWriter(
+        d, segs_per_batch=2, auto_purge_tombstones=0
+    )
+    for b in range(2):
+        writer(corpus.where(f"doc_id >= {b*200} AND doc_id < {(b+1)*200}"), b)
+    writer.refresh(spark)
+    idx = InvertedIndex(spark, d)
+    victims = [r["doc_id"] for r in idx.search(["data"], k=None).collect()][:25]
+    assert victims
+    add_tombstones(d, victims)
+    # next epoch + refresh triggers the purge
+    writer(corpus.where("doc_id >= 400 AND doc_id < 600"), 2)
+    writer.refresh(spark)
+    assert tombstone_count(d) == 0
+    idx = InvertedIndex(spark, d)
+    assert idx.meta.n_docs == 600 - len(victims)
+    got = {r["doc_id"] for r in idx.search(["data"], k=None).collect()}
+    assert not got & set(victims)
+    assert any(i >= 400 for i in got)  # post-purge epoch is serving
+
+
 def test_delete_everything_survives(spark, tmp_path_factory):
     """Deleting every doc then purging leaves a live, empty index (the ES
     behavior): zero docs, zero tombstones, searches return empty."""
