@@ -815,6 +815,20 @@ class InvertedIndex:
 
         Prefixes outside [lo, hi] fall back to search_prefix (the ES
         behavior beyond index_prefixes.max_chars)."""
+        s, lo, hi = self._sayt_handle()
+        if not (lo <= len(prefix) <= hi):
+            return self.search_prefix(prefix, k=k)
+        return s.search([prefix], k=k, mode="and")
+
+    def _sayt_handle(self):
+        """The attached companion, with THIS index's tombstones synced
+        into its in-memory exclusion set first: ES's index_prefixes
+        subfield lives inside the same index, so a delete hides the doc
+        from the accelerated path the moment it hides it from the main
+        one. The sync is in-memory only (union per call, exclusion
+        before top-k = rank-safe); the companion's own tombstone files
+        stay untouched, and a purge compaction of the main index should
+        be mirrored by rebuilding or purging the companion."""
         sayt = getattr(self, "_sayt", None)
         if sayt is None:
             raise ValueError(
@@ -822,9 +836,15 @@ class InvertedIndex:
                 "edge_ngrams_expr) first, or use search_prefix"
             )
         s, lo, hi = sayt
-        if not (lo <= len(prefix) <= hi):
-            return self.search_prefix(prefix, k=k)
-        return s.search([prefix], k=k, mode="and")
+        if self.tombstones.size:
+            merged = (
+                np.union1d(s.tombstones, self.tombstones)
+                if s.tombstones.size
+                else self.tombstones
+            )
+            if merged.size != s.tombstones.size:
+                s.tombstones = merged
+        return s, lo, hi
 
     def match_bool_prefix_sayt(
         self, text: str, k: int | None = 10
@@ -839,10 +859,7 @@ class InvertedIndex:
         toks = tokenize(text)
         if not toks:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        sayt = getattr(self, "_sayt", None)
-        if sayt is None:
-            raise ValueError("no sayt index attached")
-        s, lo, hi = sayt
+        s, lo, hi = self._sayt_handle()
         if not (lo <= len(toks[-1]) <= hi):
             return self.match_bool_prefix(text, k=k)
         pre = s.search([toks[-1]], k=None, mode="and")

@@ -186,6 +186,7 @@ def main() -> None:
         "runs": [by_cpus[c] for c in sizes],
         "pairs": pair_reports,
         "scaling_efficiency": pair_reports[0]["efficiency"],
+        "reps": args.reps,
         "generated_at": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -88,6 +88,31 @@ def test_sayt_requires_attachment(spark, corpus, tmp_path_factory):
         bare.search_prefix_sayt("da")
 
 
+def test_sayt_respects_main_index_deletes(spark, corpus, tmp_path_factory):
+    """Deleting on the MAIN index hides the docs from the accelerated
+    path immediately (ES's index_prefixes subfield shares deletes) —
+    without touching the companion's tombstone files."""
+    import glob as _glob
+    import os as _os
+
+    d = str(tmp_path_factory.mktemp("saytdel") / "main")
+    build_index(spark, corpus, d, num_segments=2, num_chunks=1)
+    i = InvertedIndex(spark, d)
+    sd = str(tmp_path_factory.mktemp("saytdel") / "companion")
+    build_sayt_index(spark, corpus, sd, lo=2, hi=4, num_segments=2)
+    i.attach_sayt(InvertedIndex(spark, sd), lo=2, hi=4)
+    assert _ids(i.search_prefix_sayt("dat", k=None))
+    deleted = _ids(i.search(["data"], k=None))
+    assert deleted
+    assert i.delete_by_query(["data"], mode="or") == len(deleted)
+    after = _ids(i.search_prefix_sayt("dat", k=None))
+    assert not after & deleted
+    # parity with the exact path, which excludes main tombstones natively
+    assert after == _ids(i.search_prefix("dat", k=None))
+    # the companion's own tombstone FILES stayed untouched
+    assert not _glob.glob(_os.path.join(sd, "tombstones", "*"))
+
+
 def test_match_bool_prefix_sayt_match_set(idx):
     fast = _ids(idx.match_bool_prefix_sayt("the dat", k=None))
     exact = _ids(idx.match_bool_prefix("the dat", k=None))
