@@ -9566,10 +9566,18 @@ def _bm25_sayt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
-def _bm25_sayt_sql(term: str = "qu") -> str:
+def _bm25_sayt_sql(term: str = "qu", raw: bool = False) -> str:
+    """`raw=True` returns the same query ending in unrounded `s` — the
+    composable form (the mbp_sayt oracle sums it with a full-token BM25
+    side BEFORE the single final round, matching the engine's combine)."""
     from elasticsearch_assets_spark.operators.texthash import edge_ngrams_sql
 
     toks = edge_ngrams_sql("string_split(text, ' ')", 2, 4)
+    tail = (
+        "SELECT doc_id, s FROM scored"
+        if raw
+        else "SELECT doc_id, round(s, 4) AS score FROM scored"
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -9589,7 +9597,36 @@ scored AS (
   JOIN df USING (term) JOIN dl USING (doc_id)
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(s, 4) AS score FROM scored
+{tail}
+"""
+
+
+def _mbp_sayt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_bool_prefix through the sayt companion
+    (engine.match_bool_prefix_sayt, round-4): full-token clauses score
+    on the main docs index, the trailing 3-char prefix scores as ONE
+    posting lookup on the edge-ngram field, contributions sum per doc
+    (the bool-should combine). Oracle: the two BM25 bodies composed
+    raw and summed before the single final round."""
+    idx = _docs_index(spark, sf_dir)
+    idx.attach_sayt(_docs_index_sayt(spark, sf_dir), lo=2, hi=4)
+    out = idx.match_bool_prefix_sayt("the que", k=None)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _mbp_sayt_sql() -> str:
+    full_side = _bm25_sql(["the"], "or", None).strip()
+    # strip the builder's rounded projection down to raw s (same CTE body)
+    full_side = full_side.replace(
+        "SELECT doc_id, round(s, 4) AS score FROM scored",
+        "SELECT doc_id, s FROM scored",
+    )
+    sayt_side = _bm25_sayt_sql("que", raw=True).strip()
+    return f"""
+WITH fullside AS ( {full_side} ),
+     saytside AS ( {sayt_side} ),
+     u AS (SELECT * FROM fullside UNION ALL SELECT * FROM saytside)
+SELECT doc_id, round(sum(s), 4) AS score FROM u GROUP BY doc_id
 """
 
 
@@ -15298,6 +15335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": _ngram_diversity,
         "bm25_sayt": _bm25_sayt,
         "bm25_prefix_sayt": _bm25_prefix_sayt,
+        "bm25_mbp_sayt": _mbp_sayt,
         "winnow_fps": _winnow_fps,
         "geo_polygon_holes": _geo_polygon_holes,
         "esql_categorize": _esql_categorize,
@@ -15785,6 +15823,7 @@ FROM topk JOIN documents USING (doc_id)
         "ngram_diversity": _ngram_diversity_sql(),
         "bm25_sayt": _bm25_sayt_sql(),
         "bm25_prefix_sayt": _bm25_sayt_sql("que"),
+        "bm25_mbp_sayt": _mbp_sayt_sql(),
         "winnow_fps": _winnow_sql(),
         "geo_polygon_holes": _geo_polygon_holes_sql(),
         "esql_categorize": _ESQL_CATEGORIZE_SQL,
