@@ -88,6 +88,34 @@ def test_sayt_requires_attachment(spark, corpus, tmp_path_factory):
         bare.search_prefix_sayt("da")
 
 
+def test_sayt_fuzz_match_set_identity(idx, corpus):
+    """Random prefixes of random lengths (1..6): the accelerated path's
+    MATCH SET equals the dictionary-expansion path's for every prefix —
+    in-window ones through the companion lookup, out-of-window ones
+    through the rank-exact fallback (which must also be score-equal)."""
+    import random
+
+    from elasticsearch_assets_spark.analysis.tokenizer import tokenize_series
+
+    pdf = corpus.select("text").limit(50).toPandas()
+    vocab = sorted({t for toks in tokenize_series(pdf["text"]) for t in toks})
+    rng = random.Random(7)
+    seen = set()
+    for _ in range(15):
+        tok = rng.choice(vocab)
+        p = tok[: rng.randint(1, min(6, len(tok)))]
+        if p in seen:
+            continue
+        seen.add(p)
+        fast = idx.search_prefix_sayt(p, k=None)
+        exact = idx.search_prefix(p, k=None)
+        assert _ids(fast) == _ids(exact), p
+        if not 2 <= len(p) <= 4:  # fallback arm: scores must match too
+            assert [
+                (r["doc_id"], r["score"]) for r in fast.collect()
+            ] == [(r["doc_id"], r["score"]) for r in exact.collect()], p
+
+
 def test_sayt_respects_main_index_deletes(spark, corpus, tmp_path_factory):
     """Deleting on the MAIN index hides the docs from the accelerated
     path immediately (ES's index_prefixes subfield shares deletes) —
