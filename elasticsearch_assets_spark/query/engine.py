@@ -801,7 +801,12 @@ class InvertedIndex:
         """Prefix query through the attached sayt index: one posting
         lookup, no dictionary expansion — the plan a 10^12-doc vocabulary
         needs (search_prefix's scored-OR widens with vocabulary; this
-        stays O(1) terms per query regardless of corpus size).
+        stays O(1) terms per query regardless of corpus size). The
+        reference's heaviest prefix consumer is its id-keyspace slicer,
+        which issues one `type#<prefix>*` wildcard query PER SLICE
+        (/root/reference/asset/id_reader/id_slicer.js:65) — at slice
+        counts in the thousands, per-query expansion cost multiplies,
+        which is what this path removes.
 
         Scoring contract (the documented ES parity): ranks are BM25 of
         the prefix AS A TERM of the edge-ngram field, under that field's
