@@ -616,3 +616,41 @@ def test_reader_cache_freshness_across_compaction(spark, tmp_path):
     assert seg_b is not seg_a  # compaction moved the key
     after = [(r[0], r[1]) for r in idx.search("alpha beta", k=None).collect()]
     assert after == before
+
+
+def test_retriever_child_truncates_to_rank_window(spark, wt_index):
+    """Round-3 advice #1: a child knn with explicit k LARGER than the
+    compound's rank_window_size contributes only its top-`window` ranks
+    to the fusion — identical to running it with k == window (ES
+    truncates each child result set to rank_window_size before fusing)."""
+    import numpy as np
+
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx, docs = wt_index
+    rng = np.random.default_rng(11)
+    emb = docs.select("doc_id").toPandas()
+    emb["embedding"] = [rng.standard_normal(8).tolist() for _ in range(len(emb))]
+    corpus = spark.createDataFrame(emb).join(docs, "doc_id")
+    qv = rng.standard_normal(8).tolist()
+
+    def run(knn_k):
+        tree = {
+            "retriever": {"rrf": {
+                "retrievers": [
+                    {"standard": {"query": {"match": {"text": "spark table"}}}},
+                    {"knn": {"field": "embedding", "query_vector": qv,
+                             "k": knn_k}},
+                ],
+                "rank_window_size": 3, "rank_constant": 10,
+            }},
+            "size": 10,
+        }
+        return [
+            (r["doc_id"], round(r["score"], 10))
+            for r in search_dsl(idx, tree, corpus).collect()
+        ]
+
+    big = run(50)   # k >> window: must be cut to the window
+    ref = run(3)    # k == window
+    assert big == ref and big
