@@ -174,3 +174,34 @@ def test_lsh_neardup_engines_agree(spark):
         assert pd_res[k] == pytest.approx(v, rel=1e-12)
     with pytest.raises(ValueError, match="engine"):
         lsh_neardup_pairs(emb, engine="arrow")
+
+
+def test_lsh_neardup_string_ids_survive_pandas_engine(spark):
+    """Round-3 advice: the pandas verify's output schema derives the id
+    type from the input — string ids must come back as strings, with
+    the same pair set the sql engine (which always preserved them)
+    finds."""
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .limit(300)
+        .select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+            "embedding",
+        )
+        .cache()
+    )
+    pd_res = lsh_neardup_pairs(
+        emb, tau=0.45, n_planes=4, n_tables=8, engine="pandas"
+    )
+    assert dict(pd_res.dtypes)["id_a"] == "string"
+    pd_pairs = {(r["id_a"], r["id_b"]) for r in pd_res.collect()}
+    sql_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            emb, tau=0.45, n_planes=4, n_tables=8, engine="sql"
+        ).collect()
+    }
+    assert pd_pairs == sql_pairs
+    assert all(a.startswith("doc-") and b.startswith("doc-") for a, b in pd_pairs)
