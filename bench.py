@@ -180,6 +180,11 @@ def main() -> None:
         "q_prefix_sayt",
         lambda: idx.search_prefix_sayt("term12", k=10).collect(),
     )
+    # type-ahead compound: full-token clause + sayt prefix clause summed
+    q_best(
+        "q_mbp_sayt",
+        lambda: idx.match_bool_prefix_sayt("the term12", k=10).collect(),
+    )
     # full query-string composition: term AND 100-term rewrite AND filter,
     # structured part restricted through the cogrouped distributed path
     q_best(
