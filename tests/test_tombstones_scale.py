@@ -141,6 +141,26 @@ def test_purge_trigger_auto_compacts(spark, corpus, tmp_path_factory):
     assert idx.meta.n_docs == n_before - n  # purged stats are live-only
 
 
+def test_tombstone_parquet_write_is_crash_atomic(spark, tmp_path):
+    """A crash mid-write leaves only an ignored `.tmp-` dir: count, load
+    and the distributed view never see it; a later successful write
+    coexists with the debris."""
+    d = str(tmp_path / "idx")
+    os.makedirs(os.path.join(d, "tombstones", ".tmp-999"), exist_ok=True)
+    with open(os.path.join(d, "tombstones", ".tmp-999", "part-0"), "w") as fh:
+        fh.write("garbage")
+    assert tombstone_count(d) == 0
+    assert load_tombstones(d).size == 0
+    assert tombstones_df(spark, d) is None
+    add_tombstones_df(
+        d, spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    )
+    assert tombstone_count(d) == 50
+    assert load_tombstones(d).size == 50
+    clear_tombstones(d)
+    assert tombstone_count(d) == 0
+
+
 def test_load_tombstones_overflow_raises(spark, tmp_path):
     d = str(tmp_path / "idx")
     os.makedirs(d)
