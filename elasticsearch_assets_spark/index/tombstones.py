@@ -92,20 +92,33 @@ def add_tombstones_df(index_dir: str, ids_df, count: int | None = None) -> int:
     The write goes to a temp dir and lands via os.replace-style dir rename,
     the same atomic-commit rule every other metadata writer follows; a
     crash mid-write leaves only an ignored ``.tmp-`` dir. Returns the
-    recorded id count. The ids never pass through the driver."""
+    recorded id count. The ids never pass through the driver.
+
+    ONE Spark job: when ``count`` isn't supplied, it is derived from the
+    written parquet footers (a driver-side metadata read), not a separate
+    ``count()`` — a mass delete_by_query would otherwise execute its full
+    matched-query scoring job twice (round-4 advice #4)."""
     from pyspark.sql import functions as F
 
     ids_df = ids_df.select(F.col("doc_id").cast("long").alias("doc_id"))
-    if count is None:
-        count = ids_df.count()
-    count = int(count)
-    if count == 0:
-        return 0
     os.makedirs(_tdir(index_dir), exist_ok=True)
     ts = time.time_ns()
     final = os.path.join(_tdir(index_dir), f"p-{ts:020d}.parquet")
     tmp = os.path.join(_tdir(index_dir), f".tmp-{ts:020d}")
     ids_df.write.mode("overwrite").parquet(tmp)
+    if count is None:
+        import pyarrow.parquet as pq
+
+        count = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(tmp, "*.parquet"))
+        )
+    count = int(count)
+    if count == 0:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return 0
     os.rename(tmp, final)  # atomic dir move on one filesystem
     side = final + ".count.json"
     with open(side + ".tmp", "w") as fh:

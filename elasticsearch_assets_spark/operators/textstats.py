@@ -971,9 +971,11 @@ def _dsir_features_pandas(n_buckets: int, id_col: str):
 # RAW feature string (values are the full 60-bit hash60, config-free, so
 # one cache serves every n_buckets). Global repetition makes them pay —
 # measured on the bench corpus: unigrams 1100x occurrences/distinct,
-# bigrams ~5x — and the pair cache is size-capped so unbounded real-text
-# vocabularies degrade to hashing, never to memory growth.
+# bigrams ~5x — and BOTH caches are size-capped so unbounded real-text
+# vocabularies (ids, typos, web tokens at 10^12 docs) degrade to
+# hashing uncached keys, never to executor memory growth.
 _DSIR_UHASH: dict = {}
+_DSIR_UHASH_CAP = 4_000_000
 _DSIR_PHASH: dict = {}
 _DSIR_PHASH_CAP = 4_000_000
 
@@ -1009,7 +1011,9 @@ def _dsir_batch_buckets(pdf: "pd.DataFrame", n_buckets: int, text_col: str):
     for i, u in enumerate(uniques):
         v = _DSIR_UHASH.get(u)
         if v is None:
-            v = _DSIR_UHASH[u] = h60(u)
+            v = h60(u)
+            if len(_DSIR_UHASH) < _DSIR_UHASH_CAP:
+                _DSIR_UHASH[u] = v
         lut[i] = v
     uni_b = (lut % n_buckets)[codes]
     doc_of = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
@@ -1129,8 +1133,13 @@ def _dsir_fused(
                 }
             )
 
+    # preserve the caller's id dtype (string ids are the common web-corpus
+    # shape) — hardcoding `long` here turned a previously-working default
+    # call into an Arrow conversion error (round-4 advice #3, same class
+    # of bug lsh_neardup_pairs fixed in round 3)
+    id_type = df.schema[id_col].dataType.simpleString()
     return staged.mapInPandas(
-        score_kernel, f"{id_col} long, n_feats long, logw double"
+        score_kernel, f"{id_col} {id_type}, n_feats long, logw double"
     )
 
 

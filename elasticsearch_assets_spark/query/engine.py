@@ -276,11 +276,23 @@ class InvertedIndex:
         self.tombstones: np.ndarray = load_tombstones(index_dir)
         # ES filtered aliases: name -> stored filter SQL (None = plain view)
         self._aliases: dict[str, str | None] = {}
+        # layout fingerprint self.meta was loaded at — refresh_tombstones
+        # compares against it to detect external compactions (round-4
+        # advice #1: a stale handle must not score with pre-purge stats)
+        self._meta_layout_key = self._layout_key()
 
     def refresh_tombstones(self) -> None:
+        """Reload the deletion set — the ES refresh a reader performs to
+        see new deletes. Also re-syncs meta/stats caches when the index
+        FILE LAYOUT moved since this handle loaded them (an external
+        compaction or epoch finalize, e.g. StreamingIndexWriter.refresh's
+        auto-purge): tombstone writes alone never move the layout key, so
+        the common refresh stays two driver-side stat calls."""
         from elasticsearch_assets_spark.index.tombstones import load_tombstones
 
         self.tombstones = load_tombstones(self.index_dir)
+        if self._layout_key() != getattr(self, "_meta_layout_key", None):
+            self._refresh_after_compaction()
 
     def _layout_key(self):
         """Cheap freshness fingerprint for the reader cache: meta.json's
@@ -1793,9 +1805,35 @@ class InvertedIndex:
                 meta.num_segments,
                 apply_tombstones=True,
             )
+            self._refresh_after_compaction()
         if refresh:
             self.refresh_tombstones()
         return n
+
+    def _refresh_after_compaction(self) -> None:
+        """Re-sync THIS handle after a physical compaction it triggered
+        itself (auto-purge): the purge rewrites stats/ and meta.json, so
+        cached global stats (n_docs/avgdl in self.meta, per-term df in
+        _stats_cache) would otherwise keep scoring with pre-purge values
+        — a rank-identity violation vs a reopened handle (round-4 advice
+        #1). The parquet reader cache self-invalidates via _layout_key
+        (meta.json is rewritten through temp+os.replace, so st_ino
+        moves); warm() pins do NOT — they serve the snapshot they warmed,
+        now pointing at deleted chunk files with tombstones cleared — so
+        a pinned handle is cooled and lazily re-warmed over the compacted
+        layout (first query pays the reload, like an ES cache refresh
+        after a merge)."""
+        self.meta = load_meta(self.index_dir)
+        self._stats_cache = None
+        self._meta_layout_key = self._layout_key()
+        if getattr(self, "_warm_segments", None) is not None:
+            self.cool()
+            self.warm(materialize=False)
+        # the deletion set was folded into the compacted postings —
+        # reload so this handle stops excluding (now-purged) ids
+        from elasticsearch_assets_spark.index.tombstones import load_tombstones
+
+        self.tombstones = load_tombstones(self.index_dir)
 
     def update_by_query(
         self,

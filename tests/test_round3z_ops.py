@@ -258,6 +258,57 @@ def test_dsir_pandas_null_target_and_unicode(spark):
         assert a[d][1] == pytest.approx(w, rel=1e-12)
 
 
+def test_dsir_string_ids_survive_default_engine(spark):
+    """Round-4 advice #3: the fused default must preserve a non-integer id
+    column's dtype (web corpora key on URL/string ids) — it previously
+    hardcoded `long` and crashed in Arrow conversion. Values must match
+    the sql engine on the same string-keyed frame."""
+    rows = [
+        ("url-a", "alpha beta alpha", True),
+        ("url-b", "alpha beta gamma", False),
+        ("url-c", "zeta eta theta", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, is_tgt boolean")
+    fu = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in T.dsir_importance(df, "is_tgt", n_buckets=32).collect()
+    }
+    sq = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in T.dsir_importance(
+            df, "is_tgt", n_buckets=32, engine="sql"
+        ).collect()
+    }
+    assert set(fu) == set(sq) == {"url-a", "url-b", "url-c"}
+    for d, (n, w) in sq.items():
+        assert fu[d][0] == n
+        assert fu[d][1] == pytest.approx(w, rel=1e-9)
+
+
+def test_dsir_unigram_hash_memo_is_capped(monkeypatch):
+    """Round-4 advice #2: _DSIR_UHASH must stop inserting past its cap —
+    an unbounded web vocabulary would otherwise grow executor memory
+    without bound. Past the cap, values still compute correctly (hash
+    uncached), the dict just stops growing."""
+    import numpy as np
+    import pandas as pd
+
+    from elasticsearch_assets_spark.operators import textstats as TS
+
+    monkeypatch.setattr(TS, "_DSIR_UHASH", {})
+    monkeypatch.setattr(TS, "_DSIR_UHASH_CAP", 3)
+    pdf = pd.DataFrame({"_txt": ["aa bb cc dd ee aa"]})
+    uni_b, _, lens, _ = TS._dsir_batch_buckets(pdf, 64, "_txt")
+    assert lens.sum() == 6
+    assert len(TS._DSIR_UHASH) == 3  # capped, not 5
+    # bit-parity with the uncapped run
+    monkeypatch.setattr(TS, "_DSIR_UHASH", {})
+    monkeypatch.setattr(TS, "_DSIR_UHASH_CAP", 4_000_000)
+    uni_b2, _, _, _ = TS._dsir_batch_buckets(pdf, 64, "_txt")
+    assert np.array_equal(uni_b, uni_b2)
+    assert len(TS._DSIR_UHASH) == 5
+
+
 # --- CCNet buckets -------------------------------------------------------
 
 def test_ccnet_exact_thirds(docs):

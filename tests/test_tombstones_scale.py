@@ -232,3 +232,75 @@ def test_pit_carries_parquet_tombstones(spark, corpus, tmp_path_factory):
     merge_segments(spark, d, 2, apply_tombstones=True)
     assert pit.search([term], k=None).count() == 0
     assert tombstone_count(d) == 0
+
+
+def test_same_handle_fresh_after_auto_purge(spark, corpus, tmp_path_factory):
+    """Round-4 advice #1: a delete_by_query that trips the auto-purge must
+    leave the SAME live handle rank-identical to a freshly opened one —
+    cached meta (n_docs/avgdl), the driver df cache, and the deletion set
+    all re-sync, so a second search scores with post-purge (live-only)
+    stats, not the pre-purge globals."""
+    d = _build(spark, corpus, tmp_path_factory, "samehandle")
+    idx = InvertedIndex(spark, d)
+    term = _term_matching_fraction(corpus)
+    probe = _term_matching_fraction(corpus, lo=0.05, exclude={term})
+    # populate the handle's caches pre-purge (stats dict + meta)
+    idx.search([probe], k=5).collect()
+    assert idx._stats_cache is not None
+    n_before = idx.meta.n_docs
+    n = idx.delete_by_query([term], purge_trigger=0)
+    assert n > 0
+    # same handle, no reopen: meta/stats/tombstones must match a reopen
+    fresh = InvertedIndex(spark, d)
+    assert idx.meta.n_docs == fresh.meta.n_docs == n_before - n
+    assert idx.meta.avgdl == fresh.meta.avgdl
+    assert idx.tombstones.size == 0
+    same = [(r["doc_id"], r["score"]) for r in idx.search([probe], k=None).collect()]
+    ref = [(r["doc_id"], r["score"]) for r in fresh.search([probe], k=None).collect()]
+    assert same and same == ref
+
+
+def test_warmed_handle_repins_after_auto_purge(spark, corpus, tmp_path_factory):
+    """A warm()-pinned handle whose own delete_by_query auto-purges must
+    not keep serving the pre-purge pinned segments (deleted docs would
+    reappear once tombstones clear): the purge cools and re-warms the pin
+    over the compacted layout."""
+    d = _build(spark, corpus, tmp_path_factory, "warmhandle")
+    idx = InvertedIndex(spark, d).warm()
+    term = _term_matching_fraction(corpus)
+    deleted = {r["doc_id"] for r in idx.search([term], k=None).collect()}
+    assert idx.delete_by_query([term], purge_trigger=0) == len(deleted)
+    assert idx._warm_segments is not None  # still pinned, on the new layout
+    got = {r["doc_id"] for r in idx.search([term], k=None).collect()}
+    assert not got  # purged docs must NOT reappear through the old pin
+    probe = _term_matching_fraction(corpus, lo=0.05, exclude={term})
+    fresh = InvertedIndex(spark, d)
+    same = [(r["doc_id"], r["score"]) for r in idx.search([probe], k=None).collect()]
+    ref = [(r["doc_id"], r["score"]) for r in fresh.search([probe], k=None).collect()]
+    assert same and same == ref
+    idx.cool()
+
+
+def test_refresh_tombstones_resyncs_after_external_purge(
+    spark, corpus, tmp_path_factory
+):
+    """An open handle whose index is purged EXTERNALLY (e.g. a
+    StreamingIndexWriter.refresh auto-purge in another process) re-syncs
+    meta + stats on its next refresh_tombstones() — the layout key moved,
+    so the cheap tombstone reload escalates to a full cache refresh."""
+    d = _build(spark, corpus, tmp_path_factory, "exthandle")
+    idx = InvertedIndex(spark, d)
+    term = _term_matching_fraction(corpus)
+    idx.search([term], k=5).collect()  # warm the caches
+    n_before = idx.meta.n_docs
+    victims = [r["doc_id"] for r in idx.search([term], k=None).collect()]
+    add_tombstones(d, victims)
+    merge_segments(spark, d, 2, apply_tombstones=True)  # external compaction
+    idx.refresh_tombstones()
+    assert idx.meta.n_docs == n_before - len(victims)
+    assert idx.meta.num_segments == 2
+    fresh = InvertedIndex(spark, d)
+    probe = _term_matching_fraction(corpus, lo=0.05, exclude={term})
+    same = [(r["doc_id"], r["score"]) for r in idx.search([probe], k=None).collect()]
+    ref = [(r["doc_id"], r["score"]) for r in fresh.search([probe], k=None).collect()]
+    assert same and same == ref
