@@ -9633,6 +9633,49 @@ SELECT doc_id, round(sum(s), 4) AS score FROM u GROUP BY doc_id
 _WN_K, _WN_W = 5, 4
 
 
+def _dsl_prefix_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL prefix AUTO-ROUTE (round-5, verdict item #1): a plain
+    `{"prefix": ...}` body on a sayt-attached index routes to the
+    companion WITHOUT the caller invoking search_prefix_sayt — the ES
+    index_prefixes transparent rewrite. Same oracle as the explicit
+    entry point: match set identical to expansion, scores = BM25 of the
+    gram under the companion field's stats (query/dsl.py routing
+    branch)."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    idx.attach_sayt(_docs_index_sayt(spark, sf_dir), lo=2, hi=4)
+    out = search_dsl(idx, {"query": {"prefix": {"text": "que"}}, "size": None})
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _dsl_mbp_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL match_bool_prefix AUTO-ROUTE (round-5): the default
+    operator=or body routes its trailing prefix clause through the sayt
+    companion automatically — same oracle as the explicit
+    match_bool_prefix_sayt row (full-token BM25 + gram BM25 summed)."""
+    from elasticsearch_assets_spark.query.dsl import search_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    idx.attach_sayt(_docs_index_sayt(spark, sf_dir), lo=2, hi=4)
+    out = search_dsl(
+        idx,
+        {"query": {"match_bool_prefix": {"text": "the que"}}, "size": None},
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _qs_prefix_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-string prefix AUTO-ROUTE (round-5): `que*` — the
+    reference's per-slice wildcard shape (id_slicer.js:65) — routes to
+    the sayt companion when it is the whole query string; the oracle is
+    the companion term-BM25 body."""
+    idx = _docs_index(spark, sf_dir)
+    idx.attach_sayt(_docs_index_sayt(spark, sf_dir), lo=2, hi=4)
+    out = idx.search_querystring("que*", k=None)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS, Schleimer et al. 2003): min hash of
     every w-window of token k-gram hashes — any shared run of
@@ -15336,6 +15379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sayt": _bm25_sayt,
         "bm25_prefix_sayt": _bm25_prefix_sayt,
         "bm25_mbp_sayt": _mbp_sayt,
+        "dsl_prefix_auto": _dsl_prefix_auto,
+        "dsl_mbp_auto": _dsl_mbp_auto,
+        "qs_prefix_auto": _qs_prefix_auto,
         "winnow_fps": _winnow_fps,
         "geo_polygon_holes": _geo_polygon_holes,
         "esql_categorize": _esql_categorize,
@@ -15824,6 +15870,9 @@ FROM topk JOIN documents USING (doc_id)
         "bm25_sayt": _bm25_sayt_sql(),
         "bm25_prefix_sayt": _bm25_sayt_sql("que"),
         "bm25_mbp_sayt": _mbp_sayt_sql(),
+        "dsl_prefix_auto": _bm25_sayt_sql("que"),
+        "dsl_mbp_auto": _mbp_sayt_sql(),
+        "qs_prefix_auto": _bm25_sayt_sql("que"),
         "winnow_fps": _winnow_sql(),
         "geo_polygon_holes": _geo_polygon_holes_sql(),
         "esql_categorize": _ESQL_CATEGORIZE_SQL,

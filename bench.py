@@ -185,6 +185,18 @@ def main() -> None:
         "q_mbp_sayt",
         lambda: idx.match_bool_prefix_sayt("the term12", k=10).collect(),
     )
+    # the DEFAULT route a naive user hits (round-5): a plain DSL
+    # {"prefix": ...} body on the sayt-attached index — auto-routes to
+    # the companion (ES index_prefixes transparent rewrite), so this row
+    # should read ~q_prefix_sayt, not ~q_prefix100
+    from elasticsearch_assets_spark.query.dsl import search_dsl as _sdsl
+
+    q_best(
+        "q_prefix_dsl",
+        lambda: _sdsl(
+            idx, {"query": {"prefix": {"text": "term12"}}, "size": 10}
+        ).collect(),
+    )
     # full query-string composition: term AND 100-term rewrite AND filter,
     # structured part restricted through the cogrouped distributed path
     q_best(

@@ -1424,6 +1424,18 @@ def search_dsl(
             _err(f"match_phrase_prefix on non-analyzed field {f!r}")
         q = b2["query"] if isinstance(b2, dict) else b2
         me = b2.get("max_expansions") if isinstance(b2, dict) else None
+        toks = tokenize(q)
+        if (
+            len(toks) == 1
+            and me is None
+            and idx.sayt_routes(len(toks[0]))
+        ):
+            # a one-term phrase prefix IS a prefix query (the ES
+            # degenerate case) — route it like one; multi-term phrase
+            # prefixes stay on the positional expansion path (the sayt
+            # companion carries no position-aligned gram stream, so the
+            # consecutive-occurrence check needs the main index's terms)
+            return idx.search_prefix_sayt(toks[0], k=k)
         return idx.search_phrase_prefix(q, k=k, max_expansions=me)
     if kind == "match_bool_prefix":
         f, b2 = _one(qbody)
@@ -1431,6 +1443,18 @@ def search_dsl(
             _err(f"match_bool_prefix on non-analyzed field {f!r}")
         q, op, _, _ = _match_cfg(b2)
         me = b2.get("max_expansions") if isinstance(b2, dict) else None
+        toks = tokenize(q)
+        if (
+            op == "or"
+            and me is None
+            and toks
+            and idx.sayt_routes(len(toks[-1]))
+        ):
+            # ES index_prefixes rewrite: the trailing prefix clause
+            # becomes one sayt posting lookup (an explicit max_expansions
+            # opts out — its truncated match set is expansion-path
+            # semantics; operator=and keeps the exact kernel)
+            return idx.match_bool_prefix_sayt(q, k=k)
         return idx.match_bool_prefix(q, k=k, operator=op, max_expansions=me)
     if kind == "sparse_vector":
         qv = qbody["query_vector"]
@@ -1660,6 +1684,35 @@ def search_dsl(
                 id_col=id_col,
             )
 
+    if kind == "prefix":
+        f, v = _one(qbody)
+        cfg = v if isinstance(v, dict) else {"value": v}
+        val = str(cfg.get("value", "")).lower()
+        if f in analyzed and "rewrite" not in cfg and idx.sayt_routes(len(val)):
+            # ES index_prefixes transparent rewrite (round-4 verdict #1):
+            # the prefix becomes a term query on the attached sayt
+            # companion — one posting lookup instead of the N-term scored
+            # OR, identical match set, the companion's documented
+            # term-BM25 scoring. An explicit `rewrite` key keeps the
+            # requested expansion rewrite; attach_sayt(auto=False) is the
+            # global opt-out.
+            w = float(cfg.get("boost", 1.0))
+            res = idx.search_prefix_sayt(
+                val, k=None if min_score is not None else k
+            )
+            if w != 1.0:
+                res = res.select(
+                    "doc_id", (F.col("score") * w).alias("score")
+                )
+            if min_score is not None:
+                res = res.where(F.col("score") >= float(min_score))
+            if w != 1.0 or min_score is not None:
+                res = res.orderBy(
+                    F.col("score").desc(), F.col("doc_id").asc()
+                )
+                if min_score is not None and k is not None:
+                    res = res.limit(k)
+            return res
     spec = compile_body(
         query, idx, text_col=text_col, analyzed_fields=analyzed
     )

@@ -796,7 +796,8 @@ class InvertedIndex:
     # -- search-as-you-type prefix acceleration (round-3 verdict item #4) ----
 
     def attach_sayt(
-        self, sayt_index: "InvertedIndex", lo: int = 2, hi: int = 4
+        self, sayt_index: "InvertedIndex", lo: int = 2, hi: int = 4,
+        *, auto: bool = True,
     ) -> None:
         """Register a companion search-as-you-type index: the SAME corpus
         re-analyzed with index-time edge n-grams (texthash.
@@ -804,10 +805,36 @@ class InvertedIndex:
         length lo..hi plus the full token). This is ES's `_index_prefixes`
         subfield: prefixes become TERMS of the derived field, so a prefix
         query is one posting lookup instead of an N-term dictionary
-        expansion. Build it with the same id space as this index."""
+        expansion. Build it with the same id space as this index.
+
+        ``auto`` (default True) mirrors ES's transparent rewrite: once
+        index_prefixes exists, ES rewrites prefix-shaped queries to the
+        subfield WITHOUT the caller asking — here the DSL
+        (`{"prefix": ...}`, `match_bool_prefix`) and query-string (`foo*`)
+        surfaces route to the companion automatically when the prefix is
+        in the [lo, hi] window (round-4 verdict item #1). auto=False is
+        the opt-out: the companion stays available through the explicit
+        `search_prefix_sayt` / `match_bool_prefix_sayt` entry points but
+        the compilers keep the rank-exact scoring_boolean expansion."""
         if not (1 <= lo <= hi):
             raise ValueError("need 1 <= lo <= hi")
         self._sayt = (sayt_index, int(lo), int(hi))
+        self._sayt_auto = bool(auto)
+
+    def sayt_routes(self, prefix_len: "int | None" = None) -> bool:
+        """True when prefix-shaped queries should auto-route to the
+        attached sayt companion: one is attached, auto wasn't opted out,
+        and (when given) the prefix length is inside the companion's
+        [lo, hi] gram window — outside it the compilers keep the
+        expansion path directly instead of bouncing through the sayt
+        entry points' own fallback."""
+        sayt = getattr(self, "_sayt", None)
+        if sayt is None or not getattr(self, "_sayt_auto", True):
+            return False
+        if prefix_len is None:
+            return True
+        _, lo, hi = sayt
+        return lo <= prefix_len <= hi
 
     def search_prefix_sayt(self, prefix: str, k: int | None = 10) -> DataFrame:
         """Prefix query through the attached sayt index: one posting
@@ -3454,14 +3481,41 @@ class InvertedIndex:
         boolean via the `groups` kernel), structured clauses compile to a
         pushed-down filter over `corpus` and restrict ranking through
         search_filtered's distributed machinery. See query/querystring.py
-        for the routing contract and unsupported shapes."""
-        from elasticsearch_assets_spark.query.lucene import compile_filter
+        for the routing contract and unsupported shapes.
+
+        Sayt auto-route: a query string that is ONE trailing-`*` prefix
+        clause (`jo*`, the reference's per-slice wildcard shape —
+        id_slicer.js:65 issues exactly this, thousands of times per run)
+        routes to the attached sayt companion when in its gram window
+        (attach_sayt(auto=True), the ES index_prefixes transparent
+        rewrite). Match set identical; scoring is the companion's
+        documented term-BM25 (see search_prefix_sayt); a caret boost
+        scales it (rank-preserving)."""
+        from elasticsearch_assets_spark.query.lucene import (
+            Prefix,
+            compile_filter,
+            parse_lucene,
+        )
         from elasticsearch_assets_spark.query.querystring import (
             and_node,
             plan_querystring,
         )
 
         analyzed = analyzed_fields or {text_col}
+        if getattr(self, "_sayt", None) is not None:
+            node = parse_lucene(q)
+            if (
+                isinstance(node, Prefix)
+                and (node.field is None or node.field in analyzed)
+                and self.sayt_routes(len(node.value))
+            ):
+                res = self.search_prefix_sayt(node.value.lower(), k=k)
+                if node.boost != 1.0:
+                    res = res.select(
+                        "doc_id",
+                        (F.col("score") * float(node.boost)).alias("score"),
+                    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                return res
         plan = plan_querystring(q, self, analyzed)
         if not plan.groups and plan.phrase is None:
             raise ValueError(
