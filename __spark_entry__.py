@@ -9633,6 +9633,166 @@ SELECT doc_id, round(sum(s), 4) AS score FROM u GROUP BY doc_id
 _WN_K, _WN_W = 5, 4
 
 
+def _aggs_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-level aggregation TREE through the generalized aggs_dsl compiler
+    (round-5, verdict item #2): terms(lang) > terms(source) with TWO
+    metric children on different fields (avg + cardinality of n_chars) —
+    the shape the one-level compiler rejected. Executes as ONE rollup
+    shuffle (facets.facet_tree); the leaf frame keys by level path."""
+    from elasticsearch_assets_spark.query.dsl import aggs_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = aggs_dsl(
+        {
+            "bylang": {
+                "terms": {"field": "lang"},
+                "aggs": {
+                    "bysource": {
+                        "terms": {"field": "source"},
+                        "aggs": {
+                            "avg_chars": {"avg": {"field": "n_chars"}},
+                            "card_chars": {
+                                "cardinality": {"field": "n_chars"}
+                            },
+                        },
+                    }
+                },
+            }
+        },
+        matches, docs,
+    )["bylang>bysource"]
+    return out.select(
+        "bylang", "bysource", "doc_count",
+        _f4("avg_chars").alias("avg_chars"), "card_chars",
+    )
+
+
+_AGGS_TREE2_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.lang AS bylang, d.source AS bysource, count(*)::BIGINT AS doc_count,
+       floor(avg(d.n_chars::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+       count(DISTINCT d.n_chars)::BIGINT AS card_chars
+FROM documents d JOIN m USING (doc_id)
+WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def _aggs_tree3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level aggregation tree with per-level `size` cuts (round-5):
+    terms(lang, size=2) > terms(source, size=2) > histogram(n_chars, 200)
+    + sum metric. Each size cut is a per-parent row_number window (the
+    QUALIFY shape) whose survivors prune deeper levels — the oracle
+    spells the identical cuts with DuckDB QUALIFY."""
+    from elasticsearch_assets_spark.query.dsl import aggs_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    out = aggs_dsl(
+        {
+            "bylang": {
+                "terms": {"field": "lang", "size": 2},
+                "aggs": {
+                    "bysource": {
+                        "terms": {"field": "source", "size": 2},
+                        "aggs": {
+                            "hist": {
+                                "histogram": {
+                                    "field": "n_chars", "interval": 200.0,
+                                },
+                                "aggs": {
+                                    "sum_chars": {"sum": {"field": "n_chars"}}
+                                },
+                            }
+                        },
+                    }
+                },
+            }
+        },
+        matches, docs,
+    )["bylang>bysource>hist"]
+    return out.select(
+        "bylang", "bysource", "hist", "doc_count",
+        _f4("sum_chars").alias("sum_chars"),
+    )
+
+
+_AGGS_TREE3_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+d0 AS (
+  SELECT d.* FROM documents d JOIN m USING (doc_id)
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+),
+l1 AS (
+  SELECT lang, count(*) AS n FROM d0 GROUP BY 1
+  QUALIFY row_number() OVER (ORDER BY n DESC, lang ASC) <= 2
+),
+d1 AS (SELECT d0.* FROM d0 JOIN l1 USING (lang)),
+l2 AS (
+  SELECT lang, source, count(*) AS n FROM d1 GROUP BY 1, 2
+  QUALIFY row_number() OVER (
+    PARTITION BY lang ORDER BY n DESC, source ASC
+  ) <= 2
+),
+d2 AS (SELECT d1.* FROM d1 JOIN l2 USING (lang, source))
+SELECT lang AS bylang, source AS bysource,
+       floor(n_chars / 200.0) * 200.0 AS hist,
+       count(*)::BIGINT AS doc_count,
+       floor(sum(n_chars::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_chars
+FROM d2 GROUP BY 1, 2, 3
+"""
+
+
+def _aggs_tree_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline child in an agg tree (round-5): max_bucket over the child
+    terms level's doc counts (`bysource>_count`) — pipeline aggs run over
+    the BUCKET series of the already-aggregated frame, grouped by the
+    owning level's keys (integer-exact across engines)."""
+    from elasticsearch_assets_spark.query.dsl import aggs_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return aggs_dsl(
+        {
+            "bylang": {
+                "terms": {"field": "lang"},
+                "aggs": {
+                    "bysource": {"terms": {"field": "source"}},
+                    "pmax": {
+                        "max_bucket": {"buckets_path": "bysource>_count"}
+                    },
+                },
+            }
+        },
+        matches, docs,
+    )["bylang>pmax"]
+
+
+_AGGS_TREE_PIPE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+leaf AS (
+  SELECT d.lang, d.source, count(*) AS n
+  FROM documents d JOIN m USING (doc_id)
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT lang AS bylang, max(n)::BIGINT AS value FROM leaf GROUP BY 1
+"""
+
+
 def _dsl_prefix_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSL prefix AUTO-ROUTE (round-5, verdict item #1): a plain
     `{"prefix": ...}` body on a sayt-attached index routes to the
@@ -15382,6 +15542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_prefix_auto": _dsl_prefix_auto,
         "dsl_mbp_auto": _dsl_mbp_auto,
         "qs_prefix_auto": _qs_prefix_auto,
+        "aggs_tree2": _aggs_tree2,
+        "aggs_tree3": _aggs_tree3,
+        "aggs_tree_pipe": _aggs_tree_pipe,
         "winnow_fps": _winnow_fps,
         "geo_polygon_holes": _geo_polygon_holes,
         "esql_categorize": _esql_categorize,
@@ -15873,6 +16036,9 @@ FROM topk JOIN documents USING (doc_id)
         "dsl_prefix_auto": _bm25_sayt_sql("que"),
         "dsl_mbp_auto": _mbp_sayt_sql(),
         "qs_prefix_auto": _bm25_sayt_sql("que"),
+        "aggs_tree2": _AGGS_TREE2_SQL,
+        "aggs_tree3": _AGGS_TREE3_SQL,
+        "aggs_tree_pipe": _AGGS_TREE_PIPE_SQL,
         "winnow_fps": _winnow_sql(),
         "geo_polygon_holes": _geo_polygon_holes_sql(),
         "esql_categorize": _ESQL_CATEGORIZE_SQL,

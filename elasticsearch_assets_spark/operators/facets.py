@@ -2856,3 +2856,113 @@ def facet_counts_regex(
         .orderBy(F.col("doc_count").desc(), F.col("bucket").asc())
     )
     return out.limit(n) if n is not None else out
+
+
+def facet_tree(
+    matches: "DataFrame | None",
+    corpus: DataFrame,
+    levels: "list[dict]",
+    id_col: str = "doc_id",
+) -> "dict[int, DataFrame]":
+    """Arbitrary LINEAR bucket-agg chain with per-level metric children in
+    ONE shuffle (round-5: the generalized `aggs` tree executor behind
+    query/dsl.aggs_dsl). The chain compiles to a ROLLUP aggregation —
+    grouping sets (k0), (k0,k1), ..., (k0..kn-1) — so every level's
+    buckets AND every level's metrics come out of a single Expand +
+    hash-aggregate pass over the match set, the execution shape ES uses
+    for nested aggs (sub-aggs are extra collectors on the same pass,
+    never a second scan). At 100 TB the scan dominates: n levels cost one
+    scan and one shuffle of (n+1)-way expanded key rows, versus n scans
+    for the naive per-level plan.
+
+    ``levels``: one dict per bucket level, outermost first —
+      name      output column name for the level's key
+      key       non-null Column keying the bucket (terms value, histogram
+                floor, date_trunc, range index, ...)
+      explode   instead of `key`: an ARRAY Column exploded into the key
+                (the `filters` agg — a doc lands in every matching
+                bucket, the ES overlapping-buckets contract)
+      drop_null drop rows whose key is null before grouping (default
+                True — the ES missing-field behavior for every bucket
+                agg; pre-coalesce the key for `missing` semantics)
+      metrics   [(out_name, agg Column)] computed grouped by the key
+                prefix up to THIS level (extra partials on the shared
+                rollup, zero extra passes)
+      size      ES terms `size`: keep the top-N buckets PER PARENT
+                bucket (row_number window over the parent prefix — the
+                QUALIFY shape; descendant levels of eliminated buckets
+                drop via a broadcast semi join on the survivor prefix,
+                which is bucket-cardinality sized by construction)
+      order     (by, ascending) for the size cut: "_count" (default),
+                "_key", or one of this level's metric out_names
+
+    Returns {level_index: frame}: frame i has the level-0..i key columns
+    (named per level), `doc_count`, and level i's metric columns. The
+    window in a level-0 size cut is global but runs over bucket
+    cardinality, not doc cardinality — the facet_pipeline safety
+    argument."""
+    joined = corpus
+    if matches is not None:
+        joined = corpus.join(
+            matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
+    n = len(levels)
+    if n == 0:
+        raise ValueError("facet_tree needs at least one bucket level")
+    kcols = [f"_k{i}" for i in range(n)]
+    cur = joined
+    for i, lv in enumerate(levels):
+        if lv.get("explode") is not None:
+            cur = cur.withColumn(kcols[i], F.explode(lv["explode"]))
+        else:
+            cur = cur.withColumn(kcols[i], lv["key"])
+        if lv.get("drop_null", True):
+            cur = cur.where(F.col(kcols[i]).isNotNull())
+    aggs: list = [F.grouping_id().alias("_gid"), F.count(F.lit(1)).alias("_cnt")]
+    placed: list[tuple[int, str, str]] = []  # (level, out_name, alias)
+    for i, lv in enumerate(levels):
+        for out_name, expr in lv.get("metrics", []):
+            alias = f"_m{len(placed)}"
+            aggs.append(expr.alias(alias))
+            placed.append((i, out_name, alias))
+    rolled = cur.rollup(*[F.col(c) for c in kcols]).agg(*aggs)
+
+    out: dict[int, DataFrame] = {}
+    survivors: "DataFrame | None" = None
+    surv_keys: list[str] = []
+    for i, lv in enumerate(levels):
+        gid = (1 << (n - 1 - i)) - 1
+        names = [levels[j]["name"] for j in range(i + 1)]
+        sel = [F.col(kcols[j]).alias(names[j]) for j in range(i + 1)]
+        sel.append(F.col("_cnt").alias("doc_count"))
+        for li, out_name, alias in placed:
+            if li == i:
+                sel.append(F.col(alias).alias(out_name))
+        f = rolled.where(F.col("_gid") == gid).select(*sel)
+        if survivors is not None:
+            f = f.join(F.broadcast(survivors), surv_keys, "left_semi")
+        if lv.get("size") is not None:
+            by, asc = lv.get("order") or ("_count", False)
+            if by == "_count":
+                oc = F.col("doc_count")
+            elif by == "_key":
+                oc = F.col(lv["name"])
+            else:
+                if by not in {o for li2, o, _ in placed if li2 == i}:
+                    raise ValueError(
+                        f"order target {by!r} is not a metric of level "
+                        f"{lv['name']!r}"
+                    )
+                oc = F.col(by)
+            w = Window.partitionBy(*names[:-1]).orderBy(
+                oc.asc() if asc else oc.desc(), F.col(lv["name"]).asc()
+            )
+            f = (
+                f.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= int(lv["size"]))
+                .drop("_rn")
+            )
+            survivors = f.select(*names)
+            surv_keys = names
+        out[i] = f.orderBy(*[F.col(c).asc() for c in names])
+    return out

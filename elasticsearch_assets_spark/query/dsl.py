@@ -1879,23 +1879,43 @@ def aggs_dsl(
     corpus: DataFrame,
     *,
     id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzed_fields: "set[str] | None" = None,
 ) -> "dict[str, DataFrame]":
     """The search body's `aggs` section: each named aggregation compiles to
     its facets-module plan over (match set x corpus) and comes back as a
     DataFrame keyed by the caller's agg name — the set-oriented spelling
-    of the ES response's `aggregations` object. Supported types map 1:1
-    onto the oracle-pinned facet ops: terms (size / include / exclude),
-    histogram, date_histogram (calendar_interval), stats, cardinality,
-    value_count, missing.
+    of the ES response's `aggregations` object. Flat types map 1:1 onto
+    the oracle-pinned facet ops: terms (size / include / exclude),
+    histogram, date_histogram (calendar_interval), range, filters, stats,
+    cardinality, value_count, missing.
 
-    ONE level of sub-aggregation under `terms` is supported — exactly the
-    shapes with single-pass kernels: metric children (avg / sum — extra
-    partial aggregates on the same shuffle, facet_terms_metrics; `order`
-    by a child name rides along) and ONE nested `terms` child
-    (facet_terms_nested). Anything deeper raises (compose the
-    facets-module plans directly — each is already a grouped plan)."""
+    Sub-aggregation TREES compile recursively (round-5, verdict item #2):
+    any chain of bucket aggs (terms / histogram / date_histogram / range /
+    filters) nested to any depth, each level carrying any mix of metric
+    children (avg / sum / min / max / value_count / cardinality / stats)
+    and sibling-path pipeline children (avg_bucket / sum_bucket /
+    min_bucket / max_bucket). The whole chain executes as ONE rollup
+    shuffle (operators/facets.facet_tree — every level's buckets and
+    metrics are grouping sets of the same pass, the ES sub-collector
+    execution model); a terms `size` at any depth is a per-parent
+    row_number cut (the QUALIFY shape) whose survivors prune deeper
+    levels via a broadcast semi join. The two round-3 one-level shapes
+    keep their original single-kernel plans and column names
+    (facet_terms_metrics / facet_terms_nested).
+
+    Tree response shape: deep results come back keyed by LEVEL PATH —
+    `"outer>inner"` for the leaf frame of a 2-level chain (columns =
+    one key column per level named by its agg name, `doc_count`, the
+    leaf level's metric children) plus one extra `"outer"`-style entry
+    for every SHALLOWER level that carries its own metric children, and
+    `"outer>pipe_name"` entries for pipeline children (grouped by their
+    owning level's keys, column `value`). A node with several bucket
+    children emits one path per branch — branches are independent in ES
+    too; shared prefix levels are emitted once."""
     from elasticsearch_assets_spark.operators import facets as OFA
 
+    analyzed = analyzed_fields or {text_col}
     out: dict[str, DataFrame] = {}
     for name, node in aggs.items():
         kind, cfg = _one(
@@ -1903,16 +1923,40 @@ def aggs_dsl(
              if kk not in ("aggs", "aggregations")}
         )
         sub = node.get("aggs", node.get("aggregations"))
+        if sub is not None and not sub:
+            _err(f"aggregation {name!r}: empty `aggs` object")
         if sub is not None:
-            if kind != "terms":
-                raise NotImplementedError(
-                    "sub-aggregations are supported under `terms` only"
-                )
-            out[name] = _terms_subaggs(sub, cfg, matches, corpus, OFA,
-                                       id_col=id_col)
+            if kind == "terms":
+                try:
+                    out[name] = _terms_subaggs(sub, cfg, matches, corpus,
+                                               OFA, id_col=id_col)
+                    continue
+                except NotImplementedError:
+                    pass  # not a one-level fast-path shape: general tree
+            out.update(_aggs_tree(
+                name, node, matches, corpus, OFA, id_col=id_col,
+                text_col=text_col, analyzed=analyzed,
+            ))
             continue
         f = cfg.get("field")
-        if kind == "terms":
+        if kind == "range":
+            out[name] = OFA.facet_range(
+                matches, corpus, f, _range_edges(cfg), id_col=id_col
+            )
+        elif kind == "filters":
+            out[name] = OFA.facet_filters(
+                corpus,
+                {
+                    fn: compile_filter(
+                        filter_ast(q, text_col=text_col, analyzed=analyzed),
+                        text_col=text_col, analyzed_fields=analyzed,
+                    )
+                    for fn, q in cfg["filters"].items()
+                },
+                matches=matches, id_col=id_col,
+                other_bucket=bool(cfg.get("other_bucket", False)),
+            )
+        elif kind == "terms":
             if "include" in cfg or "exclude" in cfg:
                 out[name] = OFA.facet_counts_regex(
                     matches, corpus, f, cfg.get("size"),
@@ -1999,3 +2043,260 @@ def _terms_subaggs(
         "supported children: avg/sum metrics (one shared field) or a "
         "single nested terms"
     )
+
+
+# -- general aggregation trees (round-5, verdict item #2) --------------------
+
+_TREE_BUCKET_KINDS = frozenset(
+    {"terms", "histogram", "date_histogram", "range", "filters"}
+)
+_TREE_METRIC_KINDS = frozenset(
+    {"avg", "sum", "min", "max", "value_count", "cardinality", "stats"}
+)
+_TREE_PIPE_KINDS = frozenset(
+    {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket"}
+)
+_TREE_CAL_INTERVALS = (
+    "year", "quarter", "month", "week", "day", "hour", "minute",
+)
+
+
+def _range_edges(cfg: dict) -> list[float]:
+    """ES `ranges` [{to}, {from,to}, ..., {from}] -> the contiguous edge
+    list facet_range keys by. The engine's range buckets are the
+    contiguous half-open partition (*-e0, e0-e1, ..., en-*); overlapping
+    or gapped range lists raise (they need per-range conditional counts —
+    spell them as a `filters` agg, which IS that plan)."""
+    ranges = cfg.get("ranges")
+    if not ranges:
+        raise ValueError("range agg needs `ranges`")
+    edges: list[float] = []
+    prev_to = None
+    for i, r in enumerate(ranges):
+        lo, hi = r.get("from"), r.get("to")
+        if i == 0:
+            if lo is not None:
+                raise ValueError(
+                    "range agg: first range must be open (*-to); gapped/"
+                    "overlapping range lists: use a `filters` agg"
+                )
+        elif lo is None or float(lo) != prev_to:
+            raise ValueError(
+                "range agg: ranges must be contiguous (from == previous "
+                "to); gapped/overlapping lists: use a `filters` agg"
+            )
+        if i < len(ranges) - 1:
+            if hi is None:
+                raise ValueError("range agg: only the last range is *-open")
+            edges.append(float(hi))
+            prev_to = float(hi)
+        elif hi is not None:
+            raise ValueError("range agg: last range must be open (from-*)")
+    return edges
+
+
+def _tree_level(name: str, kind: str, cfg: dict, *, text_col, analyzed):
+    """One bucket level of an agg tree -> the facets.facet_tree level dict
+    (key Column per bucket kind, the ES key formulas shared with the flat
+    kernels: terms value, floor(v/interval)*interval, date_trunc, range
+    bucket index, filters explode)."""
+    from pyspark.sql import functions as F
+
+    if kind == "terms":
+        key = F.col(cfg["field"])
+        if cfg.get("missing") is not None:
+            key = F.coalesce(key, F.lit(cfg["missing"]))
+        order = None
+        if cfg.get("order"):
+            oname, odir = _one(cfg["order"])
+            order = (
+                "_count" if oname == "_count"
+                else "_key" if oname == "_key" else oname,
+                odir == "asc",
+            )
+        return {
+            "name": name, "key": key,
+            "size": cfg.get("size"), "order": order,
+        }
+    if kind == "histogram":
+        iv = float(cfg["interval"])
+        key = (F.floor(F.col(cfg["field"]) / F.lit(iv)) * F.lit(iv)).cast(
+            "double"
+        )
+        return {"name": name, "key": key}
+    if kind == "date_histogram":
+        interval = cfg.get("calendar_interval", cfg.get("interval", "month"))
+        if interval not in _TREE_CAL_INTERVALS:
+            raise ValueError(f"unsupported calendar interval {interval!r}")
+        return {
+            "name": name,
+            "key": F.date_trunc(interval, F.col(cfg["field"])),
+        }
+    if kind == "range":
+        edges = _range_edges(cfg)
+        v = F.col(cfg["field"]).cast("double")
+        bidx = sum(
+            (F.when(v >= F.lit(float(e)), 1).otherwise(0) for e in edges),
+            F.lit(0),
+        )
+        # key = bucket INDEX (0 = *-e0), matching facet_range's bidx —
+        # label strings would re-introduce float formatting into oracles.
+        # Missing field drops (null-guarded: null comparisons would
+        # otherwise land in bucket 0)
+        return {"name": name, "key": F.when(v.isNotNull(), bidx)}
+    if kind == "filters":
+        named = cfg["filters"]
+        arrs = []
+        for fn in sorted(named):
+            cond = compile_filter(
+                filter_ast(named[fn], text_col=text_col, analyzed=analyzed),
+                text_col=text_col, analyzed_fields=analyzed,
+            )
+            arrs.append(
+                F.when(F.coalesce(cond, F.lit(False)), F.array(F.lit(fn)))
+                .otherwise(F.array().cast("array<string>"))
+            )
+        return {"name": name, "explode": F.concat(*arrs)}
+    _err(f"unsupported bucket agg {kind!r} in agg tree")
+
+
+def _tree_metric(child: str, kind: str, cfg: dict) -> list:
+    """Metric child -> [(out column name, agg Column)] — extra partials on
+    the tree's shared rollup shuffle (`stats` fans out to its five
+    columns, prefixed by the child name like the ES response object)."""
+    from pyspark.sql import functions as F
+
+    v = F.col(cfg["field"]).cast("double")
+    if kind == "avg":
+        return [(child, F.avg(v))]
+    if kind == "sum":
+        return [(child, F.sum(v))]
+    if kind == "min":
+        return [(child, F.min(v))]
+    if kind == "max":
+        return [(child, F.max(v))]
+    if kind == "value_count":
+        return [(child, F.count(F.col(cfg["field"])))]
+    if kind == "cardinality":
+        return [(child, F.countDistinct(F.col(cfg["field"])))]
+    if kind == "stats":
+        return [
+            (f"{child}_count", F.count(v)),
+            (f"{child}_min", F.min(v)),
+            (f"{child}_max", F.max(v)),
+            (f"{child}_sum", F.sum(v)),
+            (f"{child}_avg", F.avg(v)),
+        ]
+    raise AssertionError(kind)
+
+
+def _aggs_tree(
+    name: str, node: dict, matches, corpus, OFA, *,
+    id_col: str, text_col: str, analyzed,
+) -> "dict[str, DataFrame]":
+    """Compile one named agg NODE with sub-aggregations into frames via
+    the single-rollup kernel (facets.facet_tree). The tree flattens to
+    root-to-leaf bucket CHAINS (a node with several bucket children
+    branches into one chain per child — ES computes sibling branches
+    independently too; shared prefix levels are emitted once, from the
+    first branch). Response keys are level paths (aggs_dsl docstring)."""
+    from pyspark.sql import functions as F
+
+    chains: list[list[dict]] = []   # parsed level dicts, one list per path
+    pipes: list[tuple[int, str, str, dict, list]] = []
+
+    def walk(aggname: str, n_: dict, prefix: list) -> None:
+        kind, cfg = _one(
+            {kk: v for kk, v in n_.items()
+             if kk not in ("aggs", "aggregations")}
+        )
+        if kind not in _TREE_BUCKET_KINDS:
+            _err(
+                f"agg tree node {aggname!r}: {kind!r} cannot carry "
+                f"sub-aggregations (bucket kinds: "
+                f"{sorted(_TREE_BUCKET_KINDS)})"
+            )
+        lv = _tree_level(aggname, kind, cfg, text_col=text_col,
+                         analyzed=analyzed)
+        metrics: list = []
+        buckets: list = []
+        sub = n_.get("aggs", n_.get("aggregations")) or {}
+        for cn, cnode in sub.items():
+            ckind, ccfg = _one(
+                {kk: v for kk, v in cnode.items()
+                 if kk not in ("aggs", "aggregations")}
+            )
+            deeper = cnode.get("aggs", cnode.get("aggregations"))
+            if ckind in _TREE_METRIC_KINDS and not deeper:
+                metrics.extend(_tree_metric(cn, ckind, ccfg))
+            elif ckind in _TREE_PIPE_KINDS and not deeper:
+                pipes.append((len(prefix), cn, ckind, ccfg, prefix + [lv]))
+            elif ckind in _TREE_BUCKET_KINDS:
+                buckets.append((cn, cnode))
+            else:
+                _err(
+                    f"unsupported child agg {ckind!r} under {aggname!r} "
+                    f"(metrics: {sorted(_TREE_METRIC_KINDS)}, pipelines: "
+                    f"{sorted(_TREE_PIPE_KINDS)}, buckets: "
+                    f"{sorted(_TREE_BUCKET_KINDS)})"
+                )
+        lv["metrics"] = metrics
+        chain = prefix + [lv]
+        if not buckets:
+            chains.append(chain)
+            return
+        for cn, cnode in buckets:
+            walk(cn, cnode, chain)
+
+    walk(name, node, [])
+
+    out: dict[str, DataFrame] = {}
+    emitted: set[str] = set()
+    for chain in chains:
+        frames = OFA.facet_tree(matches, corpus, chain, id_col=id_col)
+        for i, lv in enumerate(chain):
+            path = ">".join(c["name"] for c in chain[: i + 1])
+            if path in emitted:
+                continue
+            # leaf frames always ship; shallower levels only when they
+            # carry their own metric children (otherwise their counts
+            # are derivable and the response stays lean)
+            if i == len(chain) - 1 or lv["metrics"]:
+                out[path] = frames[i]
+                emitted.add(path)
+        # resolve pipeline children whose owning level lies on this chain
+        for owner_depth, pn, pkind, pcfg, owner_chain in pipes:
+            owner_path = ">".join(c["name"] for c in owner_chain)
+            this_path = ">".join(c["name"] for c in chain[: owner_depth + 1])
+            key = f"{owner_path}>{pn}"
+            if key in emitted or this_path != owner_path:
+                continue
+            bpath = pcfg["buckets_path"].split(">")
+            target_names = [c["name"] for c in chain]
+            want = [c["name"] for c in owner_chain] + bpath[:-1]
+            if target_names[: len(want)] != want:
+                continue  # the referenced branch is a different chain
+            tcol = bpath[-1]
+            tcol = "doc_count" if tcol == "_count" else tcol
+            depth = len(want) - 1
+            fn = {
+                "avg_bucket": F.avg, "sum_bucket": F.sum,
+                "min_bucket": F.min, "max_bucket": F.max,
+            }[pkind]
+            keys = [c["name"] for c in owner_chain]
+            out[key] = (
+                frames[depth]
+                .groupBy(*keys)
+                .agg(fn(F.col(tcol)).alias("value"))
+                .orderBy(*[F.col(c).asc() for c in keys])
+            )
+            emitted.add(key)
+    for owner_depth, pn, pkind, pcfg, owner_chain in pipes:
+        key = ">".join(c["name"] for c in owner_chain) + f">{pn}"
+        if key not in emitted:
+            _err(
+                f"pipeline {pn!r}: buckets_path "
+                f"{pcfg.get('buckets_path')!r} does not resolve to a "
+                "descendant bucket level + metric/_count"
+            )
+    return out

@@ -1,0 +1,426 @@
+"""Generalized aggregation trees (round-4 verdict item #2).
+
+aggs_dsl now compiles ARBITRARY agg trees: any chain of bucket aggs
+(terms/histogram/date_histogram/range/filters) to any depth, any mix of
+metric children per level, sibling-path pipeline children, per-level
+terms `size` cuts — all riding ONE rollup shuffle (facets.facet_tree).
+Every test pins results against an independent pandas brute force.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from elasticsearch_assets_spark.query.dsl import aggs_dsl
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (
+            i,
+            ["alpha", "beta", "gamma", None][i % 4],
+            ["en", "de", "fr"][i % 3],
+            float(i % 23) * 1.5,
+            i % 7,
+        )
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, host string, lang string, price double, grp int"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def pdf(corpus):
+    return corpus.toPandas()
+
+
+@pytest.fixture(scope="module")
+def matches(corpus):
+    return corpus.select("doc_id").where("doc_id % 2 = 0")
+
+
+@pytest.fixture(scope="module")
+def mpdf(pdf):
+    return pdf[pdf.doc_id % 2 == 0]
+
+
+def _pd(df):
+    return df.toPandas()
+
+
+def test_two_level_terms_metric_multi_field(corpus, matches, mpdf):
+    """terms>terms with metric children on DIFFERENT fields — the shape
+    the one-level compiler rejected (shared-field restriction)."""
+    out = aggs_dsl(
+        {
+            "byhost": {
+                "terms": {"field": "host"},
+                "aggs": {
+                    "bylang": {
+                        "terms": {"field": "lang"},
+                        "aggs": {
+                            "p": {"avg": {"field": "price"}},
+                            "g": {"sum": {"field": "grp"}},
+                        },
+                    }
+                },
+            }
+        },
+        matches, corpus,
+    )
+    assert set(out) == {"byhost>bylang"}
+    got = _pd(out["byhost>bylang"])
+    base = mpdf[mpdf.host.notna()]
+    exp = (
+        base.groupby(["host", "lang"])
+        .agg(doc_count=("doc_id", "size"), p=("price", "mean"), g=("grp", "sum"))
+        .reset_index()
+    )
+    m = {
+        (r.host, r.lang): (r.doc_count, r.p, r.g)
+        for r in exp.itertuples(index=False)
+    }
+    assert len(got) == len(m)
+    for r in got.itertuples(index=False):
+        dc, p, g = m[(r.byhost, r.bylang)]
+        assert r.doc_count == dc
+        assert r.p == pytest.approx(p)
+        assert r.g == pytest.approx(g)
+
+
+def test_three_level_chain_with_size_cut(corpus, matches, mpdf):
+    """terms(size=2)>terms(size=1)>avg: per-parent top-N by count with
+    _key tie-break (the QUALIFY shape); eliminated parents prune their
+    descendants."""
+    out = aggs_dsl(
+        {
+            "byhost": {
+                "terms": {"field": "host", "size": 2},
+                "aggs": {
+                    "bylang": {
+                        "terms": {"field": "lang", "size": 1},
+                        "aggs": {
+                            "bygrp": {
+                                "terms": {"field": "grp"},
+                                "aggs": {"p": {"avg": {"field": "price"}}},
+                            }
+                        },
+                    }
+                },
+            }
+        },
+        matches, corpus,
+    )
+    got = _pd(out["byhost>bylang>bygrp"])
+    base = mpdf[mpdf.host.notna()]
+    hc = base.groupby("host").size().reset_index(name="n")
+    hosts = set(
+        hc.sort_values(["n", "host"], ascending=[False, True]).head(2).host
+    )
+    keep = []
+    for h in hosts:
+        lc = base[base.host == h].groupby("lang").size().reset_index(name="n")
+        lang = lc.sort_values(["n", "lang"], ascending=[False, True]).iloc[0].lang
+        keep.append((h, lang))
+    exp = (
+        base[
+            base.apply(lambda r: (r.host, r.lang) in keep, axis=1)
+        ]
+        .groupby(["host", "lang", "grp"])
+        .agg(doc_count=("doc_id", "size"), p=("price", "mean"))
+        .reset_index()
+    )
+    assert len(got) == len(exp)
+    m = {
+        (r.host, r.lang, r.grp): (r.doc_count, r.p)
+        for r in exp.itertuples(index=False)
+    }
+    for r in got.itertuples(index=False):
+        dc, p = m[(r.byhost, r.bylang, r.bygrp)]
+        assert r.doc_count == dc and r.p == pytest.approx(p)
+
+
+def test_intermediate_metrics_and_pipeline(corpus, matches, mpdf):
+    out = aggs_dsl(
+        {
+            "byhost": {
+                "terms": {"field": "host"},
+                "aggs": {
+                    "m": {"sum": {"field": "price"}},
+                    "bylang": {
+                        "terms": {"field": "lang"},
+                        "aggs": {"p": {"avg": {"field": "price"}}},
+                    },
+                    "pavg": {"avg_bucket": {"buckets_path": "bylang>p"}},
+                    "pcnt": {"max_bucket": {"buckets_path": "bylang>_count"}},
+                },
+            }
+        },
+        matches, corpus,
+    )
+    assert set(out) == {"byhost", "byhost>bylang", "byhost>pavg", "byhost>pcnt"}
+    base = mpdf[mpdf.host.notna()]
+    inter = _pd(out["byhost"])
+    exp = base.groupby("host").agg(
+        doc_count=("doc_id", "size"), m=("price", "sum")
+    )
+    for r in inter.itertuples(index=False):
+        assert r.doc_count == exp.loc[r.byhost].doc_count
+        assert r.m == pytest.approx(exp.loc[r.byhost].m)
+    leaf = base.groupby(["host", "lang"]).agg(
+        p=("price", "mean"), n=("doc_id", "size")
+    ).reset_index()
+    pavg = _pd(out["byhost>pavg"])
+    for r in pavg.itertuples(index=False):
+        assert r.value == pytest.approx(
+            leaf[leaf.host == r.byhost].p.mean()
+        )
+    pcnt = _pd(out["byhost>pcnt"])
+    for r in pcnt.itertuples(index=False):
+        assert r.value == leaf[leaf.host == r.byhost].n.max()
+
+
+def test_histogram_parent_stats_child(corpus, matches, mpdf):
+    out = aggs_dsl(
+        {
+            "hist": {
+                "histogram": {"field": "price", "interval": 10.0},
+                "aggs": {"s": {"stats": {"field": "grp"}}},
+            }
+        },
+        matches, corpus,
+    )
+    got = _pd(out["hist"])
+    base = mpdf.copy()
+    base["bucket"] = (base.price // 10.0) * 10.0
+    exp = base.groupby("bucket").agg(
+        doc_count=("doc_id", "size"),
+        s_count=("grp", "count"), s_min=("grp", "min"),
+        s_max=("grp", "max"), s_sum=("grp", "sum"), s_avg=("grp", "mean"),
+    )
+    assert len(got) == len(exp)
+    for r in got.itertuples(index=False):
+        e = exp.loc[r.hist]
+        assert r.doc_count == e.doc_count
+        assert (r.s_count, r.s_min, r.s_max) == (e.s_count, e.s_min, e.s_max)
+        assert r.s_sum == pytest.approx(e.s_sum)
+        assert r.s_avg == pytest.approx(e.s_avg)
+
+
+def test_range_parent_child_metric(corpus, matches, mpdf):
+    out = aggs_dsl(
+        {
+            "rng": {
+                "range": {
+                    "field": "price",
+                    "ranges": [
+                        {"to": 10.0},
+                        {"from": 10.0, "to": 25.0},
+                        {"from": 25.0},
+                    ],
+                },
+                "aggs": {"c": {"cardinality": {"field": "grp"}}},
+            }
+        },
+        matches, corpus,
+    )
+    got = _pd(out["rng"])
+    base = mpdf.copy()
+    base["bidx"] = (base.price >= 10.0).astype(int) + (
+        base.price >= 25.0
+    ).astype(int)
+    exp = base.groupby("bidx").agg(
+        doc_count=("doc_id", "size"), c=("grp", "nunique")
+    )
+    assert len(got) == len(exp)
+    for r in got.itertuples(index=False):
+        e = exp.loc[r.rng]
+        assert (r.doc_count, r.c) == (e.doc_count, e.c)
+
+
+def test_filters_level_overlap_and_nesting(corpus, matches, mpdf):
+    """A filters level under terms: docs land in EVERY matching bucket
+    (the ES overlapping-buckets contract), nested metrics follow."""
+    out = aggs_dsl(
+        {
+            "byhost": {
+                "terms": {"field": "host"},
+                "aggs": {
+                    "fl": {
+                        "filters": {
+                            "filters": {
+                                "low": {"range": {"grp": {"lte": 3}}},
+                                "even": {"terms": {"grp": [0, 2, 4, 6]}},
+                            }
+                        },
+                        "aggs": {"mx": {"max": {"field": "price"}}},
+                    }
+                },
+            }
+        },
+        matches, corpus,
+    )
+    got = _pd(out["byhost>fl"])
+    base = mpdf[mpdf.host.notna()]
+    exp = {}
+    for r in base.itertuples(index=False):
+        if r.grp <= 3:
+            exp.setdefault((r.host, "low"), []).append(r.price)
+        if r.grp in (0, 2, 4, 6):
+            exp.setdefault((r.host, "even"), []).append(r.price)
+    assert len(got) == len(exp)
+    for r in got.itertuples(index=False):
+        vals = exp[(r.byhost, r.fl)]
+        assert r.doc_count == len(vals)
+        assert r.mx == pytest.approx(max(vals))
+
+
+def test_terms_missing_and_order_by_child(corpus, matches, mpdf):
+    """`missing` fills null buckets; `order` by a child metric drives the
+    size cut."""
+    out = aggs_dsl(
+        {
+            "byhost": {
+                "terms": {
+                    "field": "host", "missing": "_none_", "size": 2,
+                    "order": {"m": "desc"},
+                },
+                "aggs": {
+                    "m": {"sum": {"field": "price"}},
+                    "bylang": {"terms": {"field": "lang"}},
+                },
+            }
+        },
+        matches, corpus,
+    )
+    base = mpdf.copy()
+    base["host2"] = base.host.fillna("_none_")
+    sums = base.groupby("host2").price.sum().sort_values(ascending=False)
+    top2 = set(sums.head(2).index)
+    inter = _pd(out["byhost"])
+    assert set(inter.byhost) == top2
+    leaf = _pd(out["byhost>bylang"])
+    assert set(leaf.byhost) == top2
+    exp = base[base.host2.isin(top2)].groupby(["host2", "lang"]).size()
+    assert len(leaf) == len(exp)
+    for r in leaf.itertuples(index=False):
+        assert r.doc_count == exp.loc[(r.byhost, r.bylang)]
+
+
+def test_branching_buckets_emit_per_path(corpus, matches):
+    out = aggs_dsl(
+        {
+            "byhost": {
+                "terms": {"field": "host"},
+                "aggs": {
+                    "bylang": {"terms": {"field": "lang"}},
+                    "bygrp": {"terms": {"field": "grp"}},
+                },
+            }
+        },
+        matches, corpus,
+    )
+    assert set(out) == {"byhost>bylang", "byhost>bygrp"}
+    a = _pd(out["byhost>bylang"])
+    b = _pd(out["byhost>bygrp"])
+    # both branches share the same parent totals
+    assert (
+        a.groupby("byhost").doc_count.sum().to_dict()
+        == b.groupby("byhost").doc_count.sum().to_dict()
+    )
+
+
+def test_one_level_fast_paths_keep_their_schema(corpus, matches):
+    """The round-3 single-kernel shapes still compile to their original
+    kernels and column names — back-compat for existing consumers."""
+    out = aggs_dsl(
+        {
+            "byhost": {
+                "terms": {"field": "host"},
+                "aggs": {
+                    "avg": {"avg": {"field": "price"}},
+                    "sum": {"sum": {"field": "price"}},
+                },
+            }
+        },
+        matches, corpus,
+    )
+    assert list(out["byhost"].columns) == ["bucket", "doc_count", "sum", "avg"]
+    out2 = aggs_dsl(
+        {
+            "byhost": {
+                "terms": {"field": "host"},
+                "aggs": {"bylang": {"terms": {"field": "lang"}}},
+            }
+        },
+        matches, corpus,
+    )
+    assert list(out2["byhost"].columns) == [
+        "bucket", "outer_count", "sub_bucket", "doc_count",
+    ]
+
+
+def test_flat_range_and_filters_now_supported(corpus, matches, mpdf):
+    out = aggs_dsl(
+        {
+            "rng": {
+                "range": {
+                    "field": "price",
+                    "ranges": [{"to": 15.0}, {"from": 15.0}],
+                }
+            },
+            "fl": {
+                "filters": {
+                    "filters": {"low": {"range": {"grp": {"lte": 3}}}}
+                }
+            },
+        },
+        matches, corpus,
+    )
+    rng = _pd(out["rng"])
+    assert rng.doc_count.sum() == len(mpdf)
+    fl = _pd(out["fl"])
+    assert fl.doc_count.iloc[0] == int((mpdf.grp <= 3).sum())
+
+
+def test_tree_error_surfaces(corpus, matches):
+    with pytest.raises(NotImplementedError, match="cannot carry"):
+        aggs_dsl(
+            {
+                "s": {
+                    "stats": {"field": "price"},
+                    "aggs": {"x": {"avg": {"field": "grp"}}},
+                }
+            },
+            matches, corpus,
+        )
+    with pytest.raises(NotImplementedError, match="does not resolve"):
+        aggs_dsl(
+            {
+                "byhost": {
+                    "terms": {"field": "host"},
+                    "aggs": {
+                        "bylang": {"terms": {"field": "lang"}},
+                        "p": {"avg_bucket": {"buckets_path": "nosuch>m"}},
+                    },
+                }
+            },
+            matches, corpus,
+        )
+    with pytest.raises(ValueError, match="contiguous"):
+        aggs_dsl(
+            {
+                "rng": {
+                    "range": {
+                        "field": "price",
+                        "ranges": [{"to": 5.0}, {"from": 9.0, "to": 12.0},
+                                   {"from": 12.0}],
+                    },
+                    "aggs": {"m": {"avg": {"field": "grp"}}},
+                }
+            },
+            matches, corpus,
+        )
