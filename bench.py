@@ -837,6 +837,33 @@ def main() -> None:
         ).collect(),
     )
 
+    # --- window health self-annotation (round-4 verdict item, bench must
+    # carry its own load canary) -------------------------------------------
+    # One more WARM build of the pages corpus, measured at the END of the
+    # run: the same 200k-page warm-build probe shape the repo's ad-hoc
+    # window checks use. probe_ratio_vs_canonical compares it against the
+    # documented healthy-host floor (BASELINE.md: healthy ≈ 100k+ docs/s,
+    # repo record 150.1k) so every BENCH_r{N}.json self-reports whether
+    # its absolutes were taken on a degraded window — two consecutive
+    # driver records had to be adjudicated from outside evidence before.
+    PROBE_CANONICAL_DOCS_PER_SEC = 100_000.0
+    t0 = time.monotonic()
+    build_index(
+        spark, corpus, f"/tmp/esa_bench_idx_{N_PAGES}", num_chunks=1
+    )
+    probe_sec = time.monotonic() - t0
+    probe_dps = N_PAGES / probe_sec
+    extras["probe_docs_per_sec"] = round(probe_dps, 1)
+    extras["probe_ratio_vs_canonical"] = round(
+        probe_dps / PROBE_CANONICAL_DOCS_PER_SEC, 3
+    )
+    # the in-run build rows double as the START-of-run probe; their ratio
+    # vs the end probe exposes window drift WITHIN the record
+    start_dps = extras.get("index_docs_per_sec") or probe_dps
+    extras["probe_drift_end_over_start"] = round(
+        probe_dps / float(start_dps), 3
+    )
+
     total = time.monotonic() - t_total
     print(
         json.dumps(
