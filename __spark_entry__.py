@@ -9836,6 +9836,73 @@ def _qs_prefix_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _resp_hits_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-section response body (round-5, verdict item #6): ONE request
+    returns hits + aggs together (query/dsl.search_response — the query
+    side scans once, the persisted id+score frame feeds both sections).
+    This row returns the AGGS section; _resp_hits_aggs_hits returns the
+    hits page of the SAME body — together they pin the composed response
+    against the single-section oracles."""
+    from elasticsearch_assets_spark.query.dsl import search_response
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    resp = search_response(
+        idx,
+        {
+            "query": {"match": {"text": "spark"}},
+            "size": 10,
+            "aggs": {
+                "bylang": {
+                    "terms": {"field": "lang"},
+                    "aggs": {"chars": {"avg": {"field": "n_chars"}}},
+                }
+            },
+        },
+        docs,
+    )
+    out = resp["aggs:bylang"]
+    return out.select(
+        F.col("bucket").alias("bylang"), "doc_count",
+        _f4("avg").alias("chars"),
+    )
+
+
+_RESP_HITS_AGGS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.lang AS bylang, count(*)::BIGINT AS doc_count,
+       floor(avg(d.n_chars::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS chars
+FROM documents d JOIN m USING (doc_id)
+WHERE d.lang IS NOT NULL
+GROUP BY 1
+"""
+
+
+def _resp_hits_aggs_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hits page of the composed hits+aggs body — must equal the
+    plain top-10 BM25 oracle even though the same matched frame also fed
+    the aggregation section."""
+    from elasticsearch_assets_spark.query.dsl import search_response
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    resp = search_response(
+        idx,
+        {
+            "query": {"match": {"text": "spark"}},
+            "size": 10,
+            "aggs": {"bylang": {"terms": {"field": "lang"}}},
+        },
+        docs,
+    )
+    return resp["hits"].select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS, Schleimer et al. 2003): min hash of
     every w-window of token k-gram hashes — any shared run of
@@ -15545,6 +15612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggs_tree2": _aggs_tree2,
         "aggs_tree3": _aggs_tree3,
         "aggs_tree_pipe": _aggs_tree_pipe,
+        "resp_hits_aggs": _resp_hits_aggs,
+        "resp_hits_aggs_hits": _resp_hits_aggs_hits,
         "winnow_fps": _winnow_fps,
         "geo_polygon_holes": _geo_polygon_holes,
         "esql_categorize": _esql_categorize,
@@ -16039,6 +16108,8 @@ FROM topk JOIN documents USING (doc_id)
         "aggs_tree2": _AGGS_TREE2_SQL,
         "aggs_tree3": _AGGS_TREE3_SQL,
         "aggs_tree_pipe": _AGGS_TREE_PIPE_SQL,
+        "resp_hits_aggs": _RESP_HITS_AGGS_SQL,
+        "resp_hits_aggs_hits": _bm25_sql(["spark"], "and", 10),
         "winnow_fps": _winnow_sql(),
         "geo_polygon_holes": _geo_polygon_holes_sql(),
         "esql_categorize": _ESQL_CATEGORIZE_SQL,

@@ -602,6 +602,54 @@ def suggest_dsl(idx, suggest: dict) -> "dict[str, DataFrame]":
     return out
 
 
+def _highlight_hits(
+    hits, cfg: dict, query: dict, corpus, *, text_col: str, analyzed,
+    id_col: str,
+):
+    """Decorate a hit frame with highlight columns (the ES `highlight`
+    section): ONE field entry, fragments from operators/highlight over
+    the k-bounded hit list. Hits keep their rank; docs where no query
+    term occurs literally keep null highlight columns (ES omits the
+    highlight key there). Shared by the single-section _shaped path and
+    the multi-section search_response composition."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_assets_spark.operators import highlight as H
+
+    if corpus is None:
+        raise ValueError("highlight needs corpus (the text)")
+    fields_cfg = cfg.get("fields")
+    if not fields_cfg or len(fields_cfg) != 1:
+        _err("highlight takes exactly one field entry")
+    hf, hcfg = _one(fields_cfg)
+    hcfg = hcfg or {}
+    if hf not in analyzed:
+        _err(f"highlight on non-analyzed field {hf!r}")
+    mtoks, _ = _match_like(query, analyzed)
+    cor2 = corpus.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+    )
+    nf = int(hcfg.get("number_of_fragments", 1))
+    if nf <= 1:
+        hl = H.highlight_first(
+            hits, cor2, mtoks,
+            width=int(hcfg.get("fragment_size", 80)),
+            text_col=text_col, id_col="doc_id",
+        )
+        order = [F.col("score").desc(), F.col("doc_id").asc()]
+    else:
+        hl = H.highlight_fragments(
+            hits, cor2, mtoks, n_fragments=nf,
+            width=int(hcfg.get("fragment_size", 40)),
+            text_col=text_col, id_col="doc_id",
+        )
+        order = [
+            F.col("score").desc(), F.col("doc_id").asc(),
+            F.col("frag").asc(),
+        ]
+    return hits.join(hl, "doc_id", "left").orderBy(*order)
+
+
 def _shaped(
     idx, body: dict, section: str, corpus, *, text_col: str,
     analyzed, id_col: str, field_indexes, nested_paths=None,
@@ -676,45 +724,12 @@ def _shaped(
                              id_col=id_col)
 
     if section == "highlight":
-        from elasticsearch_assets_spark.operators import highlight as H
-
-        if corpus is None:
-            raise ValueError("highlight needs corpus (the text)")
-        fields_cfg = cfg.get("fields")
-        if not fields_cfg or len(fields_cfg) != 1:
-            _err("highlight takes exactly one field entry")
-        hf, hcfg = _one(fields_cfg)
-        hcfg = hcfg or {}
-        if hf not in analyzed:
-            _err(f"highlight on non-analyzed field {hf!r}")
         if "query" not in sub:
             _err("highlight needs a query section")
-        mtoks, _ = _match_like(sub["query"], analyzed)
-        hits = run(k)
-        cor2 = corpus.select(
-            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+        return _highlight_hits(
+            run(k), cfg, sub["query"], corpus,
+            text_col=text_col, analyzed=analyzed, id_col=id_col,
         )
-        nf = int(hcfg.get("number_of_fragments", 1))
-        if nf <= 1:
-            hl = H.highlight_first(
-                hits, cor2, mtoks,
-                width=int(hcfg.get("fragment_size", 80)),
-                text_col=text_col, id_col="doc_id",
-            )
-            order = [F.col("score").desc(), F.col("doc_id").asc()]
-        else:
-            hl = H.highlight_fragments(
-                hits, cor2, mtoks, n_fragments=nf,
-                width=int(hcfg.get("fragment_size", 40)),
-                text_col=text_col, id_col="doc_id",
-            )
-            order = [
-                F.col("score").desc(), F.col("doc_id").asc(),
-                F.col("frag").asc(),
-            ]
-        # hits keep their rank; docs where no term occurs literally keep
-        # null highlight columns (ES omits the highlight key there)
-        return hits.join(hl, "doc_id", "left").orderBy(*order)
 
     if section == "script_fields":
         # computed hit fields: each named entry's script (the engine's
@@ -2299,4 +2314,123 @@ def _aggs_tree(
                 f"{pcfg.get('buckets_path')!r} does not resolve to a "
                 "descendant bucket level + metric/_count"
             )
+    return out
+
+
+def search_response(
+    idx,
+    body: dict,
+    corpus: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    analyzed_fields: "set[str] | None" = None,
+    id_col: str = "doc_id",
+    field_indexes: "dict | None" = None,
+    nested_paths: "dict | None" = None,
+    persist_matches: bool = True,
+) -> "dict[str, DataFrame]":
+    """Multi-section ES response (round-5, verdict item #6): one request
+    body returns hits + aggs + suggest + highlight + total TOGETHER, as a
+    dict of frames — the set-oriented spelling of the one ES response
+    object (each section is a differently-shaped frame, so a dict of
+    frames IS the faithful relational encoding; `search_dsl` remains the
+    single-frame entry point and keeps its one-shape-per-body rule).
+
+    Keys: ``"hits"`` (the ranked (doc_id, score) page, highlight columns
+    joined on when a `highlight` section is present), ``"total"`` (the
+    track_total_hits capped-count single row, when requested),
+    ``"aggs:<name-or-level-path>"`` per aggs_dsl entry, and
+    ``"suggest:<name>"`` per named suggester.
+
+    Plan: the query side runs ONCE — the uncut match frame (doc_id,
+    score — 16 bytes/row, match-set not corpus cardinality) feeds the hit
+    page, the total probe, AND every aggregation's semi join, exactly the
+    post_filter one-scan pattern generalized. ``persist_matches`` (default
+    True) pins that id+score frame MEMORY_AND_DISK so the N consuming
+    jobs reuse one scored scan instead of re-ranking per section; at
+    10^9-match scale that is ~16 GB cluster-wide — the same working set
+    ES's aggregation phase holds. Callers streaming sections lazily can
+    pass False and unpersist nothing. The caller owns the returned
+    frames' lifetime: call ``response["hits"].sparkSession`` -> nothing
+    to release; the pinned frame unpersists with the session (or
+    collect every section eagerly and the pin is short-lived).
+
+    Sections NOT composable here (rescore/collapse/post_filter/field
+    fetching) keep the explicit single-section or pipeline spelling —
+    each REPLACES the hit frame's shape, so stacking them is an explicit
+    pipeline by design."""
+    from pyspark.sql import functions as F
+
+    analyzed = analyzed_fields or {text_col}
+    section_keys = {"aggs", "aggregations", "suggest", "highlight",
+                    "track_total_hits"}
+    query_keys = {"query", "knn", "size", "min_score"}
+    extra = set(body) - section_keys - query_keys
+    if extra:
+        _err(
+            f"search_response composes query/knn/size/min_score with "
+            f"{sorted(section_keys)}; {sorted(extra)} keep the "
+            "single-section search_dsl / pipeline spelling"
+        )
+    out: dict[str, DataFrame] = {}
+    if "suggest" in body:
+        for sname, frame in suggest_dsl(idx, body["suggest"]).items():
+            out[f"suggest:{sname}"] = frame
+    if "query" not in body and "knn" not in body:
+        if not out:
+            raise ValueError("search_response body needs query/knn/suggest")
+        return out
+
+    qbody = {kk: v for kk, v in body.items() if kk in ("query", "knn",
+                                                       "min_score")}
+    qbody["size"] = None
+    matched = search_dsl(
+        idx, qbody, corpus, text_col=text_col, analyzed_fields=analyzed,
+        id_col=id_col, field_indexes=field_indexes,
+        nested_paths=nested_paths,
+    ).select("doc_id", "score")
+    if persist_matches:
+        from pyspark import StorageLevel
+
+        matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+
+    k = body.get("size", 10)
+    hits = matched.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    if k is not None:
+        hits = hits.limit(k)
+    if "highlight" in body:
+        if "query" not in body:
+            _err("highlight needs a query section")
+        hits = _highlight_hits(
+            hits, body["highlight"], body["query"], corpus,
+            text_col=text_col, analyzed=analyzed, id_col=id_col,
+        )
+    out["hits"] = hits
+
+    tth = body.get("track_total_hits")
+    if tth is not None and tth is not False:
+        if tth is True:
+            total = matched.agg(
+                F.count("*").cast("long").alias("total_hits"),
+            ).select("total_hits", F.lit("eq").alias("relation"))
+        else:
+            cap = int(tth)
+            if cap <= 0:
+                raise ValueError("track_total_hits must be positive")
+            n = matched.limit(cap + 1).count()
+            t, rel = (cap, "gte") if n > cap else (n, "eq")
+            total = matched.sparkSession.createDataFrame(
+                [(int(t), rel)], "total_hits long, relation string"
+            )
+        out["total"] = total
+
+    aggs = body.get("aggs", body.get("aggregations"))
+    if aggs:
+        if corpus is None:
+            raise ValueError("aggs need corpus")
+        for aname, frame in aggs_dsl(
+            aggs, matched.select(F.col("doc_id").alias(id_col)), corpus,
+            id_col=id_col, text_col=text_col, analyzed_fields=analyzed,
+        ).items():
+            out[f"aggs:{aname}"] = frame
     return out
