@@ -837,6 +837,42 @@ def main() -> None:
         ).collect(),
     )
 
+    # --- multi-process sharded deployment build (round-5, verdict #5) -----
+    # The executor-sizing finding as a runnable path: 4 independent
+    # local[8] JVMs each build one hash-disjoint shard of the pages
+    # corpus CONCURRENTLY (index/sharded_build.build_sharded — the
+    # production per-node topology; same 4x8 shape whose ceiling sum read
+    # 219k docs/s vs one local[32] at 108k). agg throughput = total docs /
+    # slowest child's warm build; rank identity of the produced shards vs
+    # the monolithic index is checked in-record.
+    import shutil as _shsb
+
+    from elasticsearch_assets_spark.index.sharded_build import build_sharded
+    from elasticsearch_assets_spark.query.sharded import ShardedIndex
+
+    _sb_out = f"/tmp/esa_bench_sharded_{N_PAGES}"
+    _shsb.rmtree(_sb_out, ignore_errors=True)
+    try:
+        sb = build_sharded(
+            pages_path, _sb_out, n_shards=4,
+            cores_per_shard=max(1, CPUS // 4), warm=True,
+        )
+        extras["sharded_build_docs_per_sec"] = sb["agg_docs_per_sec"]
+        extras["sharded_build_wall_sec"] = sb["wall_sec"]
+        extras["sharded_vs_inproc_ratio"] = round(
+            sb["agg_docs_per_sec"] / float(extras["index_docs_per_sec"]), 3
+        )
+        sh = ShardedIndex(spark, sb["shard_dirs"])
+        mono_top = [
+            (r["doc_id"], r["score"])
+            for r in idx.search(["spark", "join"], k=10, mode="and").collect()
+        ]
+        extras["sharded_rank_identity"] = (
+            sh.search_local(["spark", "join"], k=10, mode="and") == mono_top
+        )
+    finally:
+        _shsb.rmtree(_sb_out, ignore_errors=True)
+
     # --- window health self-annotation (round-4 verdict item, bench must
     # carry its own load canary) -------------------------------------------
     # One more WARM build of the pages corpus, measured at the END of the

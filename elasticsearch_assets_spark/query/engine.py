@@ -891,7 +891,7 @@ class InvertedIndex:
         return s, lo, hi
 
     def match_bool_prefix_sayt(
-        self, text: str, k: int | None = 10
+        self, text: str, k: int | None = 10, *, fused: bool = True
     ) -> DataFrame:
         """match_bool_prefix (operator="or") with the prefix clause served
         by the attached sayt index: full-token clauses score on THIS
@@ -899,24 +899,93 @@ class InvertedIndex:
         lookup, contributions sum per doc (the bool-should combine).
         Same documented scoring deviation as search_prefix_sayt; match
         set identical to match_bool_prefix. Falls back entirely when the
-        prefix length is outside the sayt [lo, hi] window."""
+        prefix length is outside the sayt [lo, hi] window.
+
+        `fused` (default, round-5 verdict item #7): both indexes' segment
+        frames share a schema, so the compound runs as ONE union scan →
+        one grouped applyInPandas pass — each group keyed (source, seg)
+        scores with ITS index's stats via the same kernels the separate
+        plans use, then one doc-level sum. Bit-identical to the two-plan
+        path (float addition of the two sides commutes; tested), but one
+        python stage and one shuffle instead of two of each — the
+        msearch fusion idea applied across the index pair. fused=False
+        keeps the two-plan reference path."""
         toks = tokenize(text)
         if not toks:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         s, lo, hi = self._sayt_handle()
-        if not (lo <= len(toks[-1]) <= hi):
+        last = toks[-1]
+        if not (lo <= len(last) <= hi):
             return self.match_bool_prefix(text, k=k)
-        pre = s.search([toks[-1]], k=None, mode="and")
         rest = sorted(set(toks[:-1]))
         if not rest:
+            pre = s.search([last], k=None, mode="and")
             out = pre.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             return out.limit(k) if k is not None else out
-        full = self.search(rest, k=None, mode="or")
-        both = full.select("doc_id", "score").unionByName(
-            pre.select("doc_id", "score")
+        if not fused:
+            pre = s.search([last], k=None, mode="and")
+            full = self.search(rest, k=None, mode="or")
+            both = full.select("doc_id", "score").unionByName(
+                pre.select("doc_id", "score")
+            )
+            out = (
+                both.groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            )
+            return out.limit(k) if k is not None else out
+        meta, ms = self.meta, s.meta
+        idfs_m = {
+            t: idf(meta.n_docs, d)
+            for t, d in self.term_stats(rest).items()
+        }
+        idfs_m.update({t: idf(meta.n_docs, 0) for t in rest
+                       if t not in idfs_m})
+        idfs_s = {last: idf(ms.n_docs, s.term_stats([last]).get(last, 0))}
+        avgdl_m, k1_m, b_m = meta.avgdl, meta.k1, meta.b
+        avgdl_s, k1_s, b_s = ms.avgdl, ms.k1, ms.b
+        excl_m, excl_s = self.tombstones, s.tombstones
+        # common scoring columns (positions never feed BM25; the sayt
+        # companion is position-free, so the intersection is the plain
+        # codec schema either way)
+        cols = [
+            c for c in self.segments.columns
+            if c in set(s.segments.columns) and c not in ("chunk", "pos_enc")
+        ]
+        main_side = (
+            self.segments.where(F.col("term").isin(rest))
+            .select(*cols)
+            .withColumn("_src", F.lit(0))
+        )
+        sayt_side = (
+            s.segments.where(F.col("term") == last)
+            .select(*cols)
+            .withColumn("_src", F.lit(1))
+        )
+
+        def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            src = int(pdf["_src"].iloc[0])
+            postings = {
+                row["term"]: TermPostings(row)
+                for row in (t._asdict() for t in pdf.itertuples(index=False))
+            }
+            if src == 0:
+                return _score_postings(
+                    postings, rest, idfs_m, avgdl_m, k1_m, b_m, "or",
+                    None, excl_m, None,
+                )
+            return _score_postings(
+                postings, [last], idfs_s, avgdl_s, k1_s, b_s, "and",
+                None, excl_s, None,
+            )
+
+        per_seg = (
+            main_side.unionByName(sayt_side)
+            .groupBy("_src", "seg_id")
+            .applyInPandas(score_fn, TOPK_SCHEMA)
         )
         out = (
-            both.groupBy("doc_id")
+            per_seg.groupBy("doc_id")
             .agg(F.sum("score").alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )

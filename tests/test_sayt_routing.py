@@ -202,3 +202,15 @@ def test_routed_prefix_respects_deletes(pair, spark, corpus, tmp_path_factory):
     after = _ids(search_dsl(i, body))
     assert not after & victims
     assert after == before - victims
+
+
+def test_mbp_sayt_fused_bit_identical(pair):
+    """Round-4 verdict item #7: the fused one-scan compound must be
+    bit-identical to the two-plan reference path (same kernels, same
+    stats per side, one union scan instead of two plans)."""
+    routed, _ = pair
+    for q in ("data pro", "the data pro", "dat", "zzz dat"):
+        fused = _rows(routed.match_bool_prefix_sayt(q, k=None))
+        legacy = _rows(routed.match_bool_prefix_sayt(q, k=None, fused=False))
+        assert fused == legacy, q
+    assert _rows(routed.match_bool_prefix_sayt("data pro", k=None))
