@@ -9836,6 +9836,61 @@ def _qs_prefix_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _aggs_tree_knobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 agg-tree knobs in one body: fixed_interval date_histogram
+    (epoch-floored buckets, UTC session == DuckDB naive epoch) > terms
+    with min_doc_count (below-floor buckets AND their descendants drop)
+    carrying an exact percentiles child (Spark `percentile` ==
+    quantile_cont, the facet_percentiles oracle argument)."""
+    from elasticsearch_assets_spark.query.dsl import aggs_dsl
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    matches = ev.where(F.col("value") > 0).select("event_id")
+    out = aggs_dsl(
+        {
+            "byday": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                "aggs": {
+                    "bytype": {
+                        "terms": {
+                            "field": "event_type", "min_doc_count": 2,
+                        },
+                        "aggs": {
+                            "vp": {
+                                "percentiles": {
+                                    "field": "value",
+                                    "percents": [50, 90],
+                                }
+                            }
+                        },
+                    }
+                },
+            }
+        },
+        matches, ev, id_col="event_id",
+    )["byday>bytype"]
+    return out.select(
+        F.unix_timestamp("byday").cast("long").alias("day_epoch"),
+        "bytype", "doc_count",
+        _f4("vp_50").alias("p50"), _f4("vp_90").alias("p90"),
+    )
+
+
+_AGGS_TREE_KNOBS_SQL = """
+WITH m AS (SELECT event_id FROM events WHERE value > 0),
+e AS (SELECT events.* FROM events JOIN m USING (event_id)),
+leaf AS (
+  SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_epoch,
+         event_type AS bytype,
+         count(*)::BIGINT AS doc_count,
+         floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+         floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90
+  FROM e GROUP BY 1, 2
+)
+SELECT * FROM leaf WHERE doc_count >= 2
+"""
+
+
 def _resp_hits_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-section response body (round-5, verdict item #6): ONE request
     returns hits + aggs together (query/dsl.search_response — the query
@@ -15614,6 +15669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggs_tree_pipe": _aggs_tree_pipe,
         "resp_hits_aggs": _resp_hits_aggs,
         "resp_hits_aggs_hits": _resp_hits_aggs_hits,
+        "aggs_tree_knobs": _aggs_tree_knobs,
         "winnow_fps": _winnow_fps,
         "geo_polygon_holes": _geo_polygon_holes,
         "esql_categorize": _esql_categorize,
@@ -16110,6 +16166,7 @@ FROM topk JOIN documents USING (doc_id)
         "aggs_tree_pipe": _AGGS_TREE_PIPE_SQL,
         "resp_hits_aggs": _RESP_HITS_AGGS_SQL,
         "resp_hits_aggs_hits": _bm25_sql(["spark"], "and", 10),
+        "aggs_tree_knobs": _AGGS_TREE_KNOBS_SQL,
         "winnow_fps": _winnow_sql(),
         "geo_polygon_holes": _geo_polygon_holes_sql(),
         "esql_categorize": _ESQL_CATEGORIZE_SQL,

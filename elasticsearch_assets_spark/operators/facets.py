@@ -2918,6 +2918,14 @@ def facet_tree(
             cur = cur.withColumn(kcols[i], lv["key"])
         if lv.get("drop_null", True):
             cur = cur.where(F.col(kcols[i]).isNotNull())
+        if lv.get("include_re") is not None:
+            cur = cur.where(
+                F.col(kcols[i]).rlike(f"^(?:{lv['include_re']})$")
+            )
+        if lv.get("exclude_re") is not None:
+            cur = cur.where(
+                ~F.col(kcols[i]).rlike(f"^(?:{lv['exclude_re']})$")
+            )
     aggs: list = [F.grouping_id().alias("_gid"), F.count(F.lit(1)).alias("_cnt")]
     placed: list[tuple[int, str, str]] = []  # (level, out_name, alias)
     for i, lv in enumerate(levels):
@@ -2941,6 +2949,12 @@ def facet_tree(
         f = rolled.where(F.col("_gid") == gid).select(*sel)
         if survivors is not None:
             f = f.join(F.broadcast(survivors), surv_keys, "left_semi")
+        if lv.get("min_doc_count") is not None and int(lv["min_doc_count"]) > 1:
+            # ES min_doc_count: buckets below the floor drop BEFORE the
+            # size cut, and their descendants prune with them
+            f = f.where(F.col("doc_count") >= int(lv["min_doc_count"]))
+            survivors = f.select(*names)
+            surv_keys = names
         if lv.get("size") is not None:
             by, asc = lv.get("order") or ("_count", False)
             if by == "_count":

@@ -1941,7 +1941,12 @@ def aggs_dsl(
         if sub is not None and not sub:
             _err(f"aggregation {name!r}: empty `aggs` object")
         if sub is not None:
-            if kind == "terms":
+            # the one-level fast path only understands these cfg keys —
+            # anything else (min_doc_count, include/exclude, ...) must NOT
+            # be silently dropped: route to the general tree instead
+            if kind == "terms" and set(cfg) <= {
+                "field", "size", "order", "missing"
+            }:
                 try:
                     out[name] = _terms_subaggs(sub, cfg, matches, corpus,
                                                OFA, id_col=id_col)
@@ -2066,7 +2071,8 @@ _TREE_BUCKET_KINDS = frozenset(
     {"terms", "histogram", "date_histogram", "range", "filters"}
 )
 _TREE_METRIC_KINDS = frozenset(
-    {"avg", "sum", "min", "max", "value_count", "cardinality", "stats"}
+    {"avg", "sum", "min", "max", "value_count", "cardinality", "stats",
+     "percentiles"}
 )
 _TREE_PIPE_KINDS = frozenset(
     {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket"}
@@ -2132,20 +2138,38 @@ def _tree_level(name: str, kind: str, cfg: dict, *, text_col, analyzed):
         return {
             "name": name, "key": key,
             "size": cfg.get("size"), "order": order,
+            "min_doc_count": cfg.get("min_doc_count"),
+            # include/exclude prune the bucket UNIVERSE before the count
+            # shuffle (facet_counts_regex's anchored-whole-string rule)
+            "include_re": cfg.get("include"),
+            "exclude_re": cfg.get("exclude"),
         }
     if kind == "histogram":
         iv = float(cfg["interval"])
         key = (F.floor(F.col(cfg["field"]) / F.lit(iv)) * F.lit(iv)).cast(
             "double"
         )
-        return {"name": name, "key": key}
+        return {"name": name, "key": key,
+                "min_doc_count": cfg.get("min_doc_count")}
     if kind == "date_histogram":
+        if "fixed_interval" in cfg:
+            # epoch-floored fixed buckets ("30s"/"5m"/"1h"/"7d") — the
+            # session timezone is pinned UTC (session.py), so epoch
+            # flooring here == DuckDB's epoch() on naive timestamps
+            secs = _fixed_interval_seconds(cfg["fixed_interval"])
+            key = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(F.col(cfg["field"])) / F.lit(secs))
+                * F.lit(secs)
+            )
+            return {"name": name, "key": key,
+                    "min_doc_count": cfg.get("min_doc_count")}
         interval = cfg.get("calendar_interval", cfg.get("interval", "month"))
         if interval not in _TREE_CAL_INTERVALS:
             raise ValueError(f"unsupported calendar interval {interval!r}")
         return {
             "name": name,
             "key": F.date_trunc(interval, F.col(cfg["field"])),
+            "min_doc_count": cfg.get("min_doc_count"),
         }
     if kind == "range":
         edges = _range_edges(cfg)
@@ -2202,7 +2226,34 @@ def _tree_metric(child: str, kind: str, cfg: dict) -> list:
             (f"{child}_sum", F.sum(v)),
             (f"{child}_avg", F.avg(v)),
         ]
+    if kind == "percentiles":
+        # EXACT variant (linear interpolation at rank p*(n-1)) — Spark's
+        # `percentile` and DuckDB's quantile_cont share the definition
+        # (facet_percentiles' oracle argument); at 10^12 docs swap
+        # percentile_approx into the same slot and drop to rows-only
+        pcts = cfg.get("percents", [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0])
+        return [
+            (
+                f"{child}_{float(p):g}".replace(".", "_"),
+                F.percentile(v, F.lit(float(p) / 100.0)),
+            )
+            for p in pcts
+        ]
     raise AssertionError(kind)
+
+
+def _fixed_interval_seconds(spec: str) -> int:
+    """ES fixed_interval ("30s", "5m", "3h", "7d") -> seconds."""
+    units = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+    s = str(spec).strip().lower()
+    if not s or s[-1] not in units or not s[:-1].isdigit():
+        raise ValueError(
+            f"unsupported fixed_interval {spec!r} (use <n>[smhd])"
+        )
+    n = int(s[:-1])
+    if n <= 0:
+        raise ValueError("fixed_interval must be positive")
+    return n * units[s[-1]]
 
 
 def _aggs_tree(

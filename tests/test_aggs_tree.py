@@ -424,3 +424,115 @@ def test_tree_error_surfaces(corpus, matches):
             },
             matches, corpus,
         )
+
+
+def test_min_doc_count_prunes_bucket_and_descendants(corpus, matches, mpdf):
+    base = mpdf.copy()
+    counts = base.groupby("lang").size()
+    floor = int(counts.max())  # keeps only the strictly-largest bucket(s)
+    keep = set(counts[counts >= floor].index)
+    assert 0 < len(keep) < len(counts)
+    out = aggs_dsl(
+        {
+            "bylang": {
+                "terms": {"field": "lang", "min_doc_count": floor},
+                "aggs": {"bygrp": {"terms": {"field": "grp"}}},
+            }
+        },
+        matches, corpus,
+    )
+    leaf = _pd(out["bylang>bygrp"])
+    assert set(leaf.bylang) == keep
+    exp = base[base.lang.isin(keep)].groupby(["lang", "grp"]).size()
+    assert len(leaf) == len(exp)
+    for r in leaf.itertuples(index=False):
+        assert r.doc_count == exp.loc[(r.bylang, r.bygrp)]
+
+
+def test_date_histogram_fixed_interval(spark, matches):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=7 * i))
+        for i in range(200)
+    ]
+    ts = spark.createDataFrame(rows, "doc_id long, ts timestamp")
+    out = aggs_dsl(
+        {
+            "byhour": {
+                "date_histogram": {"field": "ts", "fixed_interval": "2h"},
+                "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+            }
+        },
+        matches, ts,
+    )
+    got = _pd(out["byhour"])
+    exp = {}
+    for i, t in rows:
+        if i % 2 != 0:
+            continue  # matches fixture keeps even ids
+        b = t - dt.timedelta(
+            minutes=t.minute % 120 + (t.hour % 2) * 60,
+            seconds=t.second,
+        )
+        b = b.replace(minute=0)
+        b = b.replace(hour=b.hour - b.hour % 2)
+        exp[b] = exp.get(b, 0) + 1
+    assert len(got) == len(exp)
+    for r in got.itertuples(index=False):
+        key = r.byhour.to_pydatetime()
+        assert exp[key] == r.doc_count == r.n
+    with pytest.raises(ValueError, match="fixed_interval"):
+        aggs_dsl(
+            {"x": {"date_histogram": {"field": "ts", "fixed_interval": "2w"},
+                   "aggs": {"n": {"value_count": {"field": "doc_id"}}}}},
+            matches, ts,
+        )
+
+
+def test_percentiles_metric_child(corpus, matches, mpdf):
+    import numpy as np
+
+    out = aggs_dsl(
+        {
+            "byhost": {
+                "terms": {"field": "host"},
+                "aggs": {
+                    "pp": {
+                        "percentiles": {
+                            "field": "price", "percents": [25, 50, 99.9],
+                        }
+                    }
+                },
+            }
+        },
+        matches, corpus,
+    )
+    got = _pd(out["byhost"])
+    assert {"pp_25", "pp_50", "pp_99_9"} <= set(got.columns)
+    base = mpdf[mpdf.host.notna()]
+    for r in got.itertuples(index=False):
+        vals = base[base.host == r.byhost].price.to_numpy()
+        for pct, col in ((25, r.pp_25), (50, r.pp_50), (99.9, r.pp_99_9)):
+            assert col == pytest.approx(
+                float(np.percentile(vals, pct, method="linear"))
+            )
+
+
+def test_terms_include_exclude_in_tree(corpus, matches, mpdf):
+    """terms include/exclude regex prune the bucket universe in a tree
+    level (previously only the flat path had them)."""
+    out = aggs_dsl(
+        {
+            "bylang": {
+                "terms": {"field": "lang", "include": "en|de"},
+                "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+            }
+        },
+        matches, corpus,
+    )
+    got = _pd(out["bylang"])
+    assert set(got.bylang) == {"en", "de"}
+    exp = mpdf[mpdf.lang.isin(["en", "de"])].groupby("lang").size()
+    for r in got.itertuples(index=False):
+        assert r.doc_count == r.n == exp.loc[r.bylang]
