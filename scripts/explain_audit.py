@@ -744,6 +744,43 @@ def main() -> None:
         idx.search_prefix_sayt("spa", k=10),
     )
 
+    from elasticsearch_assets_spark.query.dsl import aggs_dsl, search_dsl
+
+    add(
+        "Sayt auto-route (round 5): DSL prefix body lands on the companion",
+        "A plain `{\"prefix\": ...}` body on a sayt-attached index compiles "
+        "to the SAME one-posting-lookup plan as the explicit "
+        "search_prefix_sayt call (pushed `term =` scan on the companion, "
+        "no dictionary expansion job) — the ES index_prefixes transparent "
+        "rewrite is the default route, not an opt-in.",
+        search_dsl(idx, {"query": {"prefix": {"text": "spa"}}, "size": 10}),
+    )
+    add(
+        "Aggregation tree (round 5): n levels, ONE rollup shuffle",
+        "A 2-level terms>terms tree with a metric child executes as "
+        "Expand (the grouping sets) -> partial HashAggregate (map-side "
+        "combine collapses the Expand multiplier to bucket cardinality) "
+        "-> ONE Exchange -> final HashAggregate; the grouping-set filter "
+        "(`spark_grouping_id = 0`) is pushed BELOW the aggregate, so each "
+        "emitted frame shuffles only its own set. No per-level scans, no "
+        "joins in the aggregation itself.",
+        aggs_dsl(
+            {"bylang": {"terms": {"field": "lang"}, "aggs": {
+                "bysource": {"terms": {"field": "source"}, "aggs": {
+                    "chars": {"avg": {"field": "n_chars"}}}}}}},
+            docs.select("doc_id"), docs,
+        )["bylang>bysource"],
+    )
+    add(
+        "Fused type-ahead compound (round 5): one union scan, one python stage",
+        "match_bool_prefix_sayt(fused=True): the main and companion "
+        "segment scans union into ONE FlatMapGroupsInPandas keyed "
+        "(source, seg) — each group scores with its own index's stats — "
+        "then one doc-level hash aggregate. The two-plan path ran two "
+        "separate grouped python stages.",
+        idx.match_bool_prefix_sayt("data spa", k=10),
+    )
+
     add_tombstones(cidx_dir, [1, 2, 3])
     purge_src = spark.read.parquet(os.path.join(cidx_dir, "segments")).withColumn(
         "seg_id", F.pmod(F.col("seg_id"), F.lit(4)).cast("int")
