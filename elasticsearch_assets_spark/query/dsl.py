@@ -2009,6 +2009,86 @@ def aggs_dsl(
             )
         elif kind == "missing":
             out[name] = OFA.facet_missing(matches, corpus, f, id_col=id_col)
+        elif kind == "percentiles":
+            out[name] = OFA.facet_percentiles(
+                matches, corpus, f,
+                [float(p) for p in cfg.get(
+                    "percents", [1, 5, 25, 50, 75, 95, 99]
+                )],
+                id_col=id_col,
+            )
+        elif kind == "percentile_ranks":
+            out[name] = OFA.facet_percentile_ranks(
+                matches, corpus, f, [float(v) for v in cfg["values"]],
+                id_col=id_col,
+            )
+        elif kind == "extended_stats":
+            out[name] = OFA.facet_extended_stats(
+                matches, corpus, f, sigma=float(cfg.get("sigma", 2.0)),
+                id_col=id_col,
+            )
+        elif kind == "weighted_avg":
+            out[name] = OFA.facet_weighted_avg(
+                matches, corpus, cfg["value"]["field"],
+                cfg["weight"]["field"], id_col=id_col,
+            )
+        elif kind == "rare_terms":
+            out[name] = OFA.facet_rare_terms(
+                matches, corpus, f,
+                max_doc_count=int(cfg.get("max_doc_count", 1)),
+                id_col=id_col,
+            )
+        elif kind == "multi_terms":
+            out[name] = OFA.facet_multi_terms(
+                matches, corpus, [t["field"] for t in cfg["terms"]],
+                n=cfg.get("size"), id_col=id_col,
+            )
+        elif kind == "median_absolute_deviation":
+            out[name] = OFA.facet_mad(matches, corpus, f, id_col=id_col)
+        elif kind == "boxplot":
+            out[name] = OFA.facet_boxplot(matches, corpus, f, id_col=id_col)
+        elif kind == "string_stats":
+            out[name] = OFA.facet_string_stats(
+                matches, corpus, f, id_col=id_col
+            )
+        elif kind == "auto_date_histogram":
+            out[name] = OFA.facet_auto_date_histogram(
+                matches, corpus, f,
+                target_buckets=int(cfg.get("buckets", 10)), id_col=id_col,
+            )
+        elif kind == "adjacency_matrix":
+            out[name] = OFA.facet_adjacency_matrix(
+                matches, corpus,
+                {
+                    fn: compile_filter(
+                        filter_ast(q, text_col=text_col, analyzed=analyzed),
+                        text_col=text_col, analyzed_fields=analyzed,
+                    )
+                    for fn, q in cfg["filters"].items()
+                },
+                sep=cfg.get("separator", "&"), id_col=id_col,
+            )
+        elif kind == "composite":
+            keys = []
+            for s in cfg["sources"]:
+                sname, sdef = _one(s)
+                skind, sc = _one(sdef)
+                if skind != "terms":
+                    _err(
+                        f"composite source {sname!r}: only terms sources "
+                        "compile (date_histogram/histogram sources: "
+                        "pre-project the bucket column)"
+                    )
+                keys.append(sc["field"])
+            after = cfg.get("after")
+            at = (
+                tuple(after[_one(s)[0]] for s in cfg["sources"])
+                if after is not None else None
+            )
+            out[name] = OFA.facet_composite(
+                corpus, keys, size=cfg.get("size"), after=at,
+                matches=matches, id_col=id_col,
+            )
         else:
             _err(f"unsupported aggregation {kind!r} in aggs_dsl")
     return out

@@ -536,3 +536,94 @@ def test_terms_include_exclude_in_tree(corpus, matches, mpdf):
     exp = mpdf[mpdf.lang.isin(["en", "de"])].groupby("lang").size()
     for r in got.itertuples(index=False):
         assert r.doc_count == r.n == exp.loc[r.bylang]
+
+
+def test_flat_agg_kinds_delegate_to_kernels(corpus, matches):
+    """Round-5: every remaining facet kernel with an ES body shape is
+    reachable through aggs_dsl — each result must be row-identical to the
+    direct kernel call."""
+    from elasticsearch_assets_spark.operators import facets as OFA
+
+    body = {
+        "pp": {"percentiles": {"field": "price", "percents": [25, 50, 95]}},
+        "pr": {"percentile_ranks": {"field": "price", "values": [5.0, 20.0]}},
+        "xs": {"extended_stats": {"field": "price", "sigma": 3.0}},
+        "wa": {"weighted_avg": {"value": {"field": "price"},
+                                "weight": {"field": "grp"}}},
+        "rare": {"rare_terms": {"field": "grp", "max_doc_count": 20}},
+        "mt": {"multi_terms": {"terms": [{"field": "host"},
+                                         {"field": "lang"}], "size": 5}},
+        "mad": {"median_absolute_deviation": {"field": "price"}},
+        "box": {"boxplot": {"field": "price"}},
+        "ss": {"string_stats": {"field": "lang"}},
+        "comp": {"composite": {"sources": [
+            {"h": {"terms": {"field": "host"}}},
+            {"l": {"terms": {"field": "lang"}}},
+        ], "size": 7}},
+    }
+    out = aggs_dsl(body, matches, corpus)
+    direct = {
+        "pp": OFA.facet_percentiles(matches, corpus, "price", [25.0, 50.0, 95.0]),
+        "pr": OFA.facet_percentile_ranks(matches, corpus, "price", [5.0, 20.0]),
+        "xs": OFA.facet_extended_stats(matches, corpus, "price", sigma=3.0),
+        "wa": OFA.facet_weighted_avg(matches, corpus, "price", "grp"),
+        "rare": OFA.facet_rare_terms(matches, corpus, "grp", max_doc_count=20),
+        "mt": OFA.facet_multi_terms(matches, corpus, ["host", "lang"], n=5),
+        "mad": OFA.facet_mad(matches, corpus, "price"),
+        "box": OFA.facet_boxplot(matches, corpus, "price"),
+        "ss": OFA.facet_string_stats(matches, corpus, "lang"),
+        "comp": OFA.facet_composite(corpus, ["host", "lang"], size=7,
+                                    matches=matches),
+    }
+    assert set(out) == set(body)
+    for kname, frame in direct.items():
+        assert [tuple(r) for r in out[kname].collect()] == [
+            tuple(r) for r in frame.collect()
+        ], kname
+    # composite after-key pagination maps the named-dict `after` form
+    page2 = aggs_dsl(
+        {"comp": {"composite": {"sources": [
+            {"h": {"terms": {"field": "host"}}},
+            {"l": {"terms": {"field": "lang"}}},
+        ], "size": 7, "after": {"h": "alpha", "l": "fr"}}}},
+        matches, corpus,
+    )["comp"]
+    exp2 = OFA.facet_composite(
+        corpus, ["host", "lang"], size=7, after=("alpha", "fr"),
+        matches=matches,
+    )
+    assert [tuple(r) for r in page2.collect()] == [
+        tuple(r) for r in exp2.collect()
+    ]
+
+
+def test_flat_adjacency_and_auto_dh(spark, corpus, matches):
+    from elasticsearch_assets_spark.operators import facets as OFA
+    from pyspark.sql import functions as F
+    import datetime as dt
+
+    out = aggs_dsl(
+        {"adj": {"adjacency_matrix": {"filters": {
+            "low": {"range": {"grp": {"lte": 3}}},
+            "en": {"term": {"lang": "en"}},
+        }}}},
+        matches, corpus, analyzed_fields={"__none__"},
+    )["adj"]
+    exp = OFA.facet_adjacency_matrix(
+        matches, corpus,
+        {"low": F.col("grp") <= 3, "en": F.col("lang") == "en"},
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in exp.collect()
+    ]
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=9 * i))
+            for i in range(120)]
+    ts = spark.createDataFrame(rows, "doc_id long, ts timestamp")
+    got = aggs_dsl(
+        {"adh": {"auto_date_histogram": {"field": "ts", "buckets": 8}}},
+        matches, ts,
+    )["adh"]
+    exp2 = OFA.facet_auto_date_histogram(matches, ts, "ts", target_buckets=8)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in exp2.collect()
+    ]
