@@ -1941,6 +1941,76 @@ def aggs_dsl(
         if sub is not None and not sub:
             _err(f"aggregation {name!r}: empty `aggs` object")
         if sub is not None:
+            from pyspark.sql import functions as F
+
+            if kind == "global":
+                # ES global agg: sub-aggs see the WHOLE corpus, ignoring
+                # the query's match set — recurse with an all-ids match
+                # frame; results nest under "<name>>"
+                if cfg:
+                    _err("global agg takes an empty body")
+                inner = aggs_dsl(
+                    sub, corpus.select(F.col(id_col)), corpus,
+                    id_col=id_col, text_col=text_col,
+                    analyzed_fields=analyzed,
+                )
+                out.update({f"{name}>{kk}": v for kk, v in inner.items()})
+                continue
+            if kind == "filter":
+                # ES filter agg: sub-aggs over (match set ∩ filter) —
+                # the filter compiles to a pushed corpus predicate and
+                # narrows the id frame with one semi join
+                pred = compile_filter(
+                    filter_ast(cfg, text_col=text_col, analyzed=analyzed),
+                    text_col=text_col, analyzed_fields=analyzed,
+                )
+                ids = corpus.where(pred).select(F.col(id_col))
+                m2 = matches.select(F.col(id_col)).join(
+                    ids, id_col, "left_semi"
+                )
+                inner = aggs_dsl(
+                    sub, m2, corpus, id_col=id_col, text_col=text_col,
+                    analyzed_fields=analyzed,
+                )
+                out.update({f"{name}>{kk}": v for kk, v in inner.items()})
+                continue
+            if kind == "sampler":
+                # deterministic sampler (facet_sampler's contract): v1
+                # sub-agg = one terms child, the kernel's built-in shape
+                ck, cc = _one_child(sub, "sampler", "terms")
+                out[name] = OFA.facet_sampler(
+                    matches, corpus, cc["field"],
+                    shard_size=int(cfg.get("shard_size", 100)),
+                    id_col=id_col,
+                )
+                continue
+            if kind == "terms" and len(sub) == 1:
+                (cn, cnode), = sub.items()
+                ck2, cc2 = _one(
+                    {kk: v for kk, v in cnode.items()
+                     if kk not in ("aggs", "aggregations")}
+                )
+                deeper2 = cnode.get("aggs", cnode.get("aggregations"))
+                if ck2 == "top_hits" and not deeper2:
+                    # terms + top_hits child: the grouped-top-k window
+                    # kernel; needs a SCORED match frame (the hit ranks
+                    # order per bucket)
+                    if "score" not in matches.columns:
+                        _err(
+                            "top_hits needs a scored match frame "
+                            "(pass the search result, not bare ids)"
+                        )
+                    extra = set(cfg) - {"field"}
+                    if extra:
+                        _err(
+                            f"terms+top_hits composes with a plain field "
+                            f"terms (got extra keys {sorted(extra)})"
+                        )
+                    out[name] = OFA.facet_top_hits(
+                        matches, corpus, cfg["field"],
+                        per_bucket=int(cc2.get("size", 1)), id_col=id_col,
+                    )
+                    continue
             # the one-level fast path only understands these cfg keys —
             # anything else (min_doc_count, include/exclude, ...) must NOT
             # be silently dropped: route to the general tree instead
@@ -2160,6 +2230,21 @@ _TREE_PIPE_KINDS = frozenset(
 _TREE_CAL_INTERVALS = (
     "year", "quarter", "month", "week", "day", "hour", "minute",
 )
+
+
+def _one_child(sub: dict, parent: str, want: str) -> tuple:
+    """The single sub-agg of `parent`, asserting it is a `want` node with
+    no deeper children; returns (kind, cfg)."""
+    if len(sub) != 1:
+        _err(f"{parent} agg v1 takes exactly one sub-aggregation")
+    (cn, cnode), = sub.items()
+    kind, cfg = _one(
+        {kk: v for kk, v in cnode.items()
+         if kk not in ("aggs", "aggregations")}
+    )
+    if kind != want or cnode.get("aggs", cnode.get("aggregations")):
+        _err(f"{parent} agg v1: the sub-aggregation must be a flat {want}")
+    return kind, cfg
 
 
 def _range_edges(cfg: dict) -> list[float]:

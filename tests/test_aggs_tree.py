@@ -627,3 +627,65 @@ def test_flat_adjacency_and_auto_dh(spark, corpus, matches):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in exp2.collect()
     ]
+
+
+def test_global_filter_sampler_tophits_wrappers(spark, corpus, matches, mpdf, pdf):
+    from elasticsearch_assets_spark.operators import facets as OFA
+    from pyspark.sql import functions as F
+
+    # global: sub-aggs see the WHOLE corpus (query ignored)
+    out = aggs_dsl(
+        {"all": {"global": {}, "aggs": {
+            "bylang": {"terms": {"field": "lang"}}}}},
+        matches, corpus,
+    )
+    got = {(r["bucket"], r["doc_count"])
+           for r in out["all>bylang"].collect()}
+    exp = pdf.groupby("lang").size()
+    assert got == {(l, int(n)) for l, n in exp.items()}
+
+    # filter: sub-aggs over match ∩ predicate — trees compose inside
+    out2 = aggs_dsl(
+        {"cheap": {"filter": {"range": {"price": {"lt": 10.0}}}, "aggs": {
+            "bylang": {"terms": {"field": "lang"}, "aggs": {
+                "p": {"avg": {"field": "price"}}}}}}},
+        matches, corpus,
+    )
+    got2 = _pd(out2["cheap>bylang"])  # one-level fast-path schema
+    base = mpdf[mpdf.price < 10.0]
+    exp2 = base.groupby("lang").agg(n=("doc_id", "size"), p=("price", "mean"))
+    assert len(got2) == len(exp2)
+    for r in got2.itertuples(index=False):
+        assert r.doc_count == exp2.loc[r.bucket].n
+        assert r.avg == pytest.approx(exp2.loc[r.bucket].p)
+
+    # sampler: delegates to the deterministic kernel
+    out3 = aggs_dsl(
+        {"s": {"sampler": {"shard_size": 30}, "aggs": {
+            "bylang": {"terms": {"field": "lang"}}}}},
+        matches, corpus,
+    )["s"]
+    exp3 = OFA.facet_sampler(matches, corpus, "lang", shard_size=30)
+    assert [tuple(r) for r in out3.collect()] == [
+        tuple(r) for r in exp3.collect()
+    ]
+
+    # terms + top_hits child needs a SCORED match frame
+    scored = matches.withColumn(
+        "score", (F.col("doc_id") % 13).cast("double")
+    )
+    out4 = aggs_dsl(
+        {"byhost": {"terms": {"field": "host"}, "aggs": {
+            "top": {"top_hits": {"size": 2}}}}},
+        scored, corpus,
+    )["byhost"]
+    exp4 = OFA.facet_top_hits(scored, corpus, "host", per_bucket=2)
+    assert [tuple(r) for r in out4.collect()] == [
+        tuple(r) for r in exp4.collect()
+    ]
+    with pytest.raises(NotImplementedError, match="scored"):
+        aggs_dsl(
+            {"byhost": {"terms": {"field": "host"}, "aggs": {
+                "top": {"top_hits": {"size": 2}}}}},
+            matches, corpus,
+        )
