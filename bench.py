@@ -844,7 +844,13 @@ def main() -> None:
     # production per-node topology; same 4x8 shape whose ceiling sum read
     # 219k docs/s vs one local[32] at 108k). agg throughput = total docs /
     # slowest child's warm build; rank identity of the produced shards vs
-    # the monolithic index is checked in-record.
+    # the monolithic index is checked in-record. NOTE the THROUGHPUT
+    # number here is a path-works check, not the deployment ceiling: at
+    # bench scale each shard holds only N_PAGES/4 docs (50k at sf0.1), so
+    # per-child fixed costs (job scheduling, first-stage codegen) eat the
+    # rate a 400k-doc/JVM shard amortizes away — the ceiling record
+    # (scripts/ceiling_bench.py, BENCH/ceiling_s10.json) is the sizing
+    # evidence; this row proves the orchestration + rank identity.
     import shutil as _shsb
 
     from elasticsearch_assets_spark.index.sharded_build import build_sharded
