@@ -167,3 +167,39 @@ def test_non_composable_sections_stay_loud(setup):
         )
     with pytest.raises(ValueError, match="needs query"):
         search_response(idx, {"aggs": {}})
+
+
+def test_prefix_auto_route_inside_composed_response(
+    spark, setup, tmp_path_factory
+):
+    """Round-5 features compose: a composed hits+aggs body whose query is
+    a prefix auto-routes to the sayt companion (hits == the explicit sayt
+    call) while the aggs section sees the routed match set."""
+    from elasticsearch_assets_spark.index.build import build_sayt_index
+
+    idx, corpus = setup
+    sd = str(tmp_path_factory.mktemp("respsayt") / "companion")
+    build_sayt_index(spark, corpus, sd, lo=2, hi=4, num_segments=4)
+    from elasticsearch_assets_spark.query.engine import InvertedIndex
+
+    idx.attach_sayt(InvertedIndex(spark, sd), lo=2, hi=4)
+    try:
+        resp = search_response(
+            idx,
+            {
+                "query": {"prefix": {"text": "dat"}},
+                "size": 5,
+                "aggs": {"bylang": {"terms": {"field": "lang"}}},
+            },
+            corpus,
+        )
+        assert _rows(resp["hits"]) == _rows(
+            idx.search_prefix_sayt("dat", k=5)
+        )
+        matched = idx.search_prefix_sayt("dat", k=None)
+        agg_total = sum(
+            r["doc_count"] for r in resp["aggs:bylang"].collect()
+        )
+        assert agg_total == matched.count()
+    finally:
+        del idx._sayt  # leave the shared fixture unrouted
