@@ -9891,6 +9891,52 @@ SELECT * FROM leaf WHERE doc_count >= 2
 """
 
 
+def _aggs_tree_serial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial pipeline child in an agg tree (round-5): cumulative_sum of
+    the per-month bucket counts under a terms parent — one value per
+    CHILD bucket via a window over the bucket series partitioned by the
+    parent key (bucket cardinality, the facet_pipeline safety argument).
+    Oracle: the identical window sum in DuckDB."""
+    from elasticsearch_assets_spark.query.dsl import aggs_dsl
+
+    ev = load_sf_table(spark, sf_dir, "events")
+    out = aggs_dsl(
+        {
+            "bytype": {
+                "terms": {"field": "event_type"},
+                "aggs": {
+                    "bymonth": {
+                        "date_histogram": {
+                            "field": "ts", "calendar_interval": "month",
+                        }
+                    },
+                    "cum": {
+                        "cumulative_sum": {"buckets_path": "bymonth>_count"}
+                    },
+                },
+            }
+        },
+        ev.select("event_id"), ev, id_col="event_id",
+    )["bytype>cum"]
+    return out.select(
+        "bytype",
+        F.date_format("bymonth", "yyyy-MM-dd").alias("bymonth"),
+        "series", F.col("value").cast("long").alias("value"),
+    )
+
+
+_AGGS_TREE_SERIAL_SQL = """
+WITH leaf AS (
+  SELECT event_type AS bytype, date_trunc('month', ts) AS b,
+         count(*)::BIGINT AS series
+  FROM events GROUP BY 1, 2
+)
+SELECT bytype, strftime(b, '%Y-%m-%d') AS bymonth, series,
+       (sum(series) OVER (PARTITION BY bytype ORDER BY b))::BIGINT AS value
+FROM leaf
+"""
+
+
 def _resp_hits_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-section response body (round-5, verdict item #6): ONE request
     returns hits + aggs together (query/dsl.search_response — the query
@@ -15670,6 +15716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resp_hits_aggs": _resp_hits_aggs,
         "resp_hits_aggs_hits": _resp_hits_aggs_hits,
         "aggs_tree_knobs": _aggs_tree_knobs,
+        "aggs_tree_serial": _aggs_tree_serial,
         "winnow_fps": _winnow_fps,
         "geo_polygon_holes": _geo_polygon_holes,
         "esql_categorize": _esql_categorize,
@@ -16167,6 +16214,7 @@ FROM topk JOIN documents USING (doc_id)
         "resp_hits_aggs": _RESP_HITS_AGGS_SQL,
         "resp_hits_aggs_hits": _bm25_sql(["spark"], "and", 10),
         "aggs_tree_knobs": _AGGS_TREE_KNOBS_SQL,
+        "aggs_tree_serial": _AGGS_TREE_SERIAL_SQL,
         "winnow_fps": _winnow_sql(),
         "geo_polygon_holes": _geo_polygon_holes_sql(),
         "esql_categorize": _ESQL_CATEGORIZE_SQL,

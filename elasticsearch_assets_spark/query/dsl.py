@@ -2225,7 +2225,8 @@ _TREE_METRIC_KINDS = frozenset(
      "percentiles"}
 )
 _TREE_PIPE_KINDS = frozenset(
-    {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket"}
+    {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+     "cumulative_sum", "derivative", "moving_fn"}
 )
 _TREE_CAL_INTERVALS = (
     "year", "quarter", "month", "week", "day", "hour", "minute",
@@ -2431,7 +2432,7 @@ def _aggs_tree(
     branches into one chain per child — ES computes sibling branches
     independently too; shared prefix levels are emitted once, from the
     first branch). Response keys are level paths (aggs_dsl docstring)."""
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
 
     chains: list[list[dict]] = []   # parsed level dicts, one list per path
     pipes: list[tuple[int, str, str, dict, list]] = []
@@ -2510,11 +2511,45 @@ def _aggs_tree(
             tcol = bpath[-1]
             tcol = "doc_count" if tcol == "_count" else tcol
             depth = len(want) - 1
+            keys = [c["name"] for c in owner_chain]
+            if pkind in ("cumulative_sum", "derivative", "moving_fn"):
+                # SERIAL pipeline aggs: one value PER child bucket, a
+                # window over the bucket series ordered by the child's
+                # key, partitioned by the owning level's keys — bucket
+                # cardinality, not doc cardinality (facet_pipeline's
+                # safety argument). ES restricts these to histogram-
+                # family parents; the key ordering generalizes.
+                ser_keys = [c["name"] for c in chain[: depth + 1]]
+                w = Window.partitionBy(*keys).orderBy(
+                    *[F.col(c).asc() for c in ser_keys[len(keys):]]
+                )
+                if pkind == "cumulative_sum":
+                    val = F.sum(tcol).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                elif pkind == "derivative":
+                    # first bucket's derivative is null (the ES contract)
+                    val = F.col(tcol) - F.lag(tcol, 1).over(w)
+                else:
+                    mw = int(pcfg.get("window", 3))
+                    # ES moving_fn default shapes: trailing window
+                    # INCLUDING the current bucket; v1 script = the avg
+                    # (MovingFunctions.unweightedAvg)
+                    val = F.avg(tcol).over(w.rowsBetween(-(mw - 1), 0))
+                out[key] = (
+                    frames[depth]
+                    .withColumn("value", val)
+                    .select(
+                        *ser_keys, F.col(tcol).alias("series"), "value"
+                    )
+                    .orderBy(*[F.col(c).asc() for c in ser_keys])
+                )
+                emitted.add(key)
+                continue
             fn = {
                 "avg_bucket": F.avg, "sum_bucket": F.sum,
                 "min_bucket": F.min, "max_bucket": F.max,
             }[pkind]
-            keys = [c["name"] for c in owner_chain]
             out[key] = (
                 frames[depth]
                 .groupBy(*keys)

@@ -689,3 +689,52 @@ def test_global_filter_sampler_tophits_wrappers(spark, corpus, matches, mpdf, pd
                 "top": {"top_hits": {"size": 2}}}}},
             matches, corpus,
         )
+
+
+def test_serial_pipeline_children(corpus, matches, mpdf):
+    """cumulative_sum / derivative / moving_fn as tree children: one
+    value per CHILD bucket, windowed over the bucket series per parent
+    (ordered by the child key), vs a pandas replay."""
+    out = aggs_dsl(
+        {
+            "byhost": {
+                "terms": {"field": "host"},
+                "aggs": {
+                    "hist": {"histogram": {"field": "price",
+                                           "interval": 8.0}},
+                    "cum": {"cumulative_sum": {
+                        "buckets_path": "hist>_count"}},
+                    "der": {"derivative": {"buckets_path": "hist>_count"}},
+                    "mov": {"moving_fn": {"buckets_path": "hist>_count",
+                                          "window": 2}},
+                },
+            }
+        },
+        matches, corpus,
+    )
+    assert {"byhost>cum", "byhost>der", "byhost>mov"} <= set(out)
+    base = mpdf[mpdf.host.notna()].copy()
+    base["bucket"] = (base.price // 8.0) * 8.0
+    series = (
+        base.groupby(["host", "bucket"]).size().rename("n").reset_index()
+        .sort_values(["host", "bucket"])
+    )
+    cum = _pd(out["byhost>cum"]).sort_values(["byhost", "hist"])
+    exp_cum = series.groupby("host").n.cumsum().tolist()
+    assert cum.value.tolist() == exp_cum
+    assert cum.series.tolist() == series.n.tolist()
+    der = _pd(out["byhost>der"]).sort_values(["byhost", "hist"])
+    exp_der = series.groupby("host").n.diff().tolist()
+    got_der = der.value.tolist()
+    for g, e in zip(got_der, exp_der):
+        if pd.isna(e):
+            assert g is None or pd.isna(g)  # null -> NaN through Arrow
+        else:
+            assert g == e
+    mov = _pd(out["byhost>mov"]).sort_values(["byhost", "hist"])
+    exp_mov = (
+        series.groupby("host").n
+        .rolling(2, min_periods=1).mean().reset_index(drop=True).tolist()
+    )
+    for g, e in zip(mov.value.tolist(), exp_mov):
+        assert g == pytest.approx(e)
