@@ -2900,7 +2900,16 @@ def facet_tree(
     (named per level), `doc_count`, and level i's metric columns. The
     window in a level-0 size cut is global but runs over bucket
     cardinality, not doc cardinality — the facet_pipeline safety
-    argument."""
+    argument.
+
+    Documented deviation (the rollup contract): drop_null applies to the
+    SHARED input, so ancestor buckets count only docs carrying every
+    descendant bucket key — ES keeps a doc whose child field is null in
+    the PARENT's doc_count while dropping it from child buckets. Set the
+    child terms' `missing` (coalesce before grouping, the ES-recommended
+    spelling) to retain those docs everywhere. Similarly, levels above an
+    `explode` (filters) level see exploded rows — the DSL compiler
+    refuses metric/size/min_doc_count consumers there."""
     joined = corpus
     if matches is not None:
         joined = corpus.join(

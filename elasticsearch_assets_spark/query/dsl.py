@@ -2482,6 +2482,32 @@ def _aggs_tree(
 
     walk(name, node, [])
 
+    for chain in chains:
+        ei = next(
+            (i for i, c in enumerate(chain) if c.get("explode") is not None),
+            None,
+        )
+        if ei is None:
+            continue
+        # a filters level EXPLODES overlapping buckets — correct for the
+        # filters level and everything beneath it, but a doc matching two
+        # filters would be counted twice by any SHALLOWER level's metrics
+        # / count-ordered size cut / min_doc_count. Refuse those
+        # combinations instead of silently double-counting.
+        bad = [
+            c["name"] for c in chain[:ei]
+            if c.get("metrics") or c.get("size") is not None
+            or c.get("min_doc_count") is not None
+        ]
+        if bad:
+            _err(
+                f"levels {bad} sit above the overlapping-buckets filters "
+                f"level {chain[ei]['name']!r}: their metrics/size/"
+                "min_doc_count would double-count docs matching several "
+                "filters — attach them as a sibling named agg, or make "
+                "the filters level outermost"
+            )
+
     out: dict[str, DataFrame] = {}
     emitted: set[str] = set()
     for chain in chains:
@@ -2511,6 +2537,15 @@ def _aggs_tree(
             tcol = bpath[-1]
             tcol = "doc_count" if tcol == "_count" else tcol
             depth = len(want) - 1
+            if any(
+                c.get("explode") is not None for c in chain[depth + 1:]
+            ):
+                _err(
+                    f"pipeline {pn!r}: its bucket series sits above an "
+                    "overlapping-buckets filters level — doc counts there "
+                    "double-count docs matching several filters; attach "
+                    "the pipeline as a sibling named agg"
+                )
             keys = [c["name"] for c in owner_chain]
             if pkind in ("cumulative_sum", "derivative", "moving_fn"):
                 # SERIAL pipeline aggs: one value PER child bucket, a

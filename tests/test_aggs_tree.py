@@ -738,3 +738,43 @@ def test_serial_pipeline_children(corpus, matches, mpdf):
     )
     for g, e in zip(mov.value.tolist(), exp_mov):
         assert g == pytest.approx(e)
+
+
+def test_filters_level_refuses_shallower_count_consumers(corpus, matches):
+    """Docs matching several filters explode into several rows — metrics,
+    count-ordered size cuts, min_doc_count, and pipeline series ABOVE the
+    filters level would double-count them. The compiler refuses loudly."""
+    fl = {"filters": {"filters": {
+        "low": {"range": {"grp": {"lte": 3}}},
+        "even": {"terms": {"grp": [0, 2, 4, 6]}},
+    }}}
+    with pytest.raises(NotImplementedError, match="double-count"):
+        aggs_dsl(
+            {"byhost": {"terms": {"field": "host"},
+                        "aggs": {"m": {"sum": {"field": "price"}},
+                                 "fl": dict(fl)}}},
+            matches, corpus,
+        )
+    with pytest.raises(NotImplementedError, match="double-count"):
+        aggs_dsl(
+            {"byhost": {"terms": {"field": "host", "size": 2},
+                        "aggs": {"fl": dict(fl)}}},
+            matches, corpus,
+        )
+    with pytest.raises(NotImplementedError, match="double-count"):
+        aggs_dsl(
+            {"byhost": {"terms": {"field": "host"},
+                        "aggs": {"bylang": {"terms": {"field": "lang"},
+                                            "aggs": {"fl": dict(fl)}},
+                                 "p": {"max_bucket": {
+                                     "buckets_path": "bylang>_count"}}}}},
+            matches, corpus,
+        )
+    # the legitimate shapes keep working: filters leaf under terms, and
+    # a size cut ordered by _key (count-independent) would still be
+    # refused v1 — spell it as a sibling agg (the error's guidance)
+    ok = aggs_dsl(
+        {"byhost": {"terms": {"field": "host"}, "aggs": {"fl": dict(fl)}}},
+        matches, corpus,
+    )
+    assert "byhost>fl" in ok
