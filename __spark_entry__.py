@@ -9891,6 +9891,50 @@ SELECT * FROM leaf WHERE doc_count >= 2
 """
 
 
+def _facet_hist_mdc0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram with the ES DEFAULT min_doc_count=0 (round-5): every
+    bucket between the observed min and max keys appears, zero-count
+    buckets included — the fill is a distributed sequence() explode over
+    the 1-row span agg, never a driver loop. Oracle: DuckDB's scalar
+    range() list with the same LEFT JOIN."""
+    from elasticsearch_assets_spark.query.dsl import aggs_dsl
+
+    idx = _docs_index(spark, sf_dir)
+    docs = load_sf_table(spark, sf_dir, "documents")
+    matches = idx.search(["spark"], k=None, mode="and")
+    return aggs_dsl(
+        {
+            "h": {
+                "histogram": {
+                    "field": "n_chars", "interval": 700.0,
+                    "min_doc_count": 0,
+                }
+            }
+        },
+        matches, docs,
+    )["h"]
+
+
+_FACET_HIST_MDC0_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+c AS (
+  SELECT floor(d.n_chars / 700.0)::BIGINT AS bidx,
+         count(*)::BIGINT AS doc_count
+  FROM documents d JOIN m USING (doc_id) GROUP BY 1
+),
+span AS (SELECT min(bidx) AS lo, max(bidx) AS hi FROM c),
+allb AS (
+  SELECT unnest(range(lo, hi + 1)) AS bidx FROM span WHERE lo IS NOT NULL
+)
+SELECT (bidx * 700.0)::DOUBLE AS bucket,
+       coalesce(doc_count, 0)::BIGINT AS doc_count
+FROM allb LEFT JOIN c USING (bidx)
+"""
+
+
 def _aggs_tree_serial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serial pipeline child in an agg tree (round-5): cumulative_sum of
     the per-month bucket counts under a terms parent — one value per
@@ -15717,6 +15761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resp_hits_aggs_hits": _resp_hits_aggs_hits,
         "aggs_tree_knobs": _aggs_tree_knobs,
         "aggs_tree_serial": _aggs_tree_serial,
+        "facet_hist_mdc0": _facet_hist_mdc0,
         "winnow_fps": _winnow_fps,
         "geo_polygon_holes": _geo_polygon_holes,
         "esql_categorize": _esql_categorize,
@@ -16215,6 +16260,7 @@ FROM topk JOIN documents USING (doc_id)
         "resp_hits_aggs_hits": _bm25_sql(["spark"], "and", 10),
         "aggs_tree_knobs": _AGGS_TREE_KNOBS_SQL,
         "aggs_tree_serial": _AGGS_TREE_SERIAL_SQL,
+        "facet_hist_mdc0": _FACET_HIST_MDC0_SQL,
         "winnow_fps": _winnow_sql(),
         "geo_polygon_holes": _geo_polygon_holes_sql(),
         "esql_categorize": _ESQL_CATEGORIZE_SQL,

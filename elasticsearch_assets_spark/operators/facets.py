@@ -89,19 +89,45 @@ def facet_histogram(
     col: str,
     interval: float,
     id_col: str = "doc_id",
+    min_doc_count: int = 1,
 ) -> DataFrame:
     """ES histogram aggregation: doc counts per fixed-width numeric bucket
     (bucket key = floor(value / interval) * interval, the ES formula).
-    Empty buckets are absent (ES min_doc_count=1 shape)."""
+    `min_doc_count=1` (this engine's historical shape) omits empty
+    buckets; `min_doc_count=0` is the ES DEFAULT — every bucket between
+    the min and max observed keys appears, zero-count ones included.
+
+    The fill never touches the driver: the [min, max] bucket-INDEX span
+    comes from one 1-row agg, `sequence()` explodes it into the bucket
+    frame (bucket cardinality = span/interval — same magnitude as the
+    response itself), and the counts LEFT-join on. Values >1 filter
+    after the count (same pass)."""
     joined = corpus.join(
         matches.select(F.col(id_col)).distinct(), id_col, "left_semi"
     )
-    bucket = (F.floor(F.col(col) / F.lit(interval)) * F.lit(interval)).cast(
-        "double"
-    )
-    return (
-        joined.groupBy(bucket.alias("bucket"))
+    bidx = F.floor(F.col(col) / F.lit(interval))
+    counts = (
+        joined.groupBy(bidx.alias("bidx"))
         .agg(F.count("*").alias("doc_count"))
+    )
+    if min_doc_count <= 0:
+        span = counts.agg(
+            F.min("bidx").alias("lo"), F.max("bidx").alias("hi")
+        )
+        all_b = span.where(F.col("lo").isNotNull()).select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bidx")
+        )
+        counts = all_b.join(counts, "bidx", "left").select(
+            "bidx",
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+        )
+    elif min_doc_count > 1:
+        counts = counts.where(F.col("doc_count") >= int(min_doc_count))
+    return (
+        counts.select(
+            (F.col("bidx") * F.lit(interval)).cast("double").alias("bucket"),
+            "doc_count",
+        )
         .orderBy(F.col("bucket").asc())
     )
 

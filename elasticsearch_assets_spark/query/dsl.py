@@ -2059,7 +2059,8 @@ def aggs_dsl(
                 )
         elif kind == "histogram":
             out[name] = OFA.facet_histogram(
-                matches, corpus, f, float(cfg["interval"]), id_col=id_col
+                matches, corpus, f, float(cfg["interval"]), id_col=id_col,
+                min_doc_count=int(cfg.get("min_doc_count", 1)),
             )
         elif kind == "date_histogram":
             out[name] = OFA.facet_date_histogram(
@@ -2315,8 +2316,14 @@ def _tree_level(name: str, kind: str, cfg: dict, *, text_col, analyzed):
         key = (F.floor(F.col(cfg["field"]) / F.lit(iv)) * F.lit(iv)).cast(
             "double"
         )
-        return {"name": name, "key": key,
-                "min_doc_count": cfg.get("min_doc_count")}
+        mdc = cfg.get("min_doc_count")
+        if mdc is not None and int(mdc) == 0:
+            raise ValueError(
+                "histogram min_doc_count=0 (empty-bucket fill) is a flat-"
+                "path feature — empty buckets have no rows to roll up in "
+                "a tree; use the flat histogram agg"
+            )
+        return {"name": name, "key": key, "min_doc_count": mdc}
     if kind == "date_histogram":
         if "fixed_interval" in cfg:
             # epoch-floored fixed buckets ("30s"/"5m"/"1h"/"7d") — the

@@ -778,3 +778,54 @@ def test_filters_level_refuses_shallower_count_consumers(corpus, matches):
         matches, corpus,
     )
     assert "byhost>fl" in ok
+
+
+def test_histogram_min_doc_count_zero_fills_empty_buckets(spark, matches, corpus, mpdf):
+    """ES's histogram DEFAULT (min_doc_count=0): every bucket between the
+    observed min and max keys appears, zero-count ones included."""
+    rows = [(i, float(v)) for i, v in enumerate([1, 2, 30, 31, 62])]
+    df = spark.createDataFrame(rows, "doc_id long, price double")
+    out = aggs_dsl(
+        {"h": {"histogram": {"field": "price", "interval": 10.0,
+                             "min_doc_count": 0}}},
+        df.select("doc_id"), df,
+    )["h"]
+    got = [(r["bucket"], r["doc_count"]) for r in out.collect()]
+    assert got == [(0.0, 2), (10.0, 0), (20.0, 0), (30.0, 2),
+                   (40.0, 0), (50.0, 0), (60.0, 1)]
+    # min_doc_count >= 2 filters; default (1) matches the historical shape
+    out2 = aggs_dsl(
+        {"h": {"histogram": {"field": "price", "interval": 10.0,
+                             "min_doc_count": 2}}},
+        df.select("doc_id"), df,
+    )["h"]
+    assert [(r["bucket"], r["doc_count"]) for r in out2.collect()] == [
+        (0.0, 2), (30.0, 2)
+    ]
+    base = aggs_dsl(
+        {"h": {"histogram": {"field": "price", "interval": 10.0}}},
+        df.select("doc_id"), df,
+    )["h"]
+    assert [(r["bucket"], r["doc_count"]) for r in base.collect()] == [
+        (0.0, 2), (30.0, 2), (60.0, 1)
+    ]
+    # negative values: floor toward -inf, fill spans the negatives too
+    neg = spark.createDataFrame(
+        [(0, -15.0), (1, 5.0)], "doc_id long, price double"
+    )
+    out3 = aggs_dsl(
+        {"h": {"histogram": {"field": "price", "interval": 10.0,
+                             "min_doc_count": 0}}},
+        neg.select("doc_id"), neg,
+    )["h"]
+    assert [(r["bucket"], r["doc_count"]) for r in out3.collect()] == [
+        (-20.0, 1), (-10.0, 0), (0.0, 1)
+    ]
+    # tree levels refuse the fill with guidance
+    with pytest.raises(ValueError, match="flat"):
+        aggs_dsl(
+            {"h": {"histogram": {"field": "price", "interval": 10.0,
+                                 "min_doc_count": 0},
+                   "aggs": {"m": {"avg": {"field": "price"}}}}},
+            neg.select("doc_id"), neg,
+        )
